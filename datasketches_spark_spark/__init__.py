@@ -1,0 +1,25 @@
+"""datasketches_spark_spark — a PySpark-native approximate-analytics engine.
+
+A from-scratch rebuild of the query capabilities of
+``maropu/datasketches-spark`` (reference surveyed in SURVEY.md): approximate
+quantiles/percentiles, frequent items, and distinct counting, each with the
+four-verb lifecycle *direct aggregate / accumulate / combine / estimate*
+over an opaque binary sketch-state column — plus large-scale data-pipeline
+operators (dedup, similarity search, text analysis, multimodal plumbing)
+built on the same primitives.
+
+Quick start::
+
+    import datasketches_spark_spark as dss
+    dss.install(spark)                       # register SQL functions
+    spark.sql("SELECT approx_count_distinct_ex(user_id) FROM events")
+
+    from datasketches_spark_spark import functions as dsf
+    df.agg(dsf.approx_percentile_kll("value", [0.5, 0.95]))
+"""
+
+__version__ = "0.1.0"
+
+from .register import install  # noqa: E402
+
+__all__ = ["install", "__version__"]

@@ -1,0 +1,109 @@
+"""Engine configuration — same key surface as the reference.
+
+The reference defines 8 SQLConf entries (``DataSketchConf.scala:36-92``).
+This engine reads the same keys from the active ``SparkSession`` conf (or
+accepts explicit keyword overrides on every function).
+
+Divergences (documented per SURVEY.md §7 risk register):
+
+* ``quantiles.sketchImpl``: reference values KLL/REQ/MERGEABLE select three
+  DataSketches algorithms. Here all three map onto the engine's KLL core —
+  REQ runs KLL with 4x k (comparable rank accuracy at the defaults),
+  MERGEABLE runs KLL over float64 (the reference's DoublesSketch is
+  double-typed, ``quantileSketches.scala:124-127``).
+* ``distinctCnt.sketchImpl``: reference values CPC/HLL. Here CPC is served
+  by a KMV Theta sketch (``sketches/theta.py``) and HLL by Spark's native
+  ``hll_sketch_agg`` family. ``THETA`` is accepted as an explicit value.
+* ``approx_count_distinct_hll`` really runs HLL here (the reference
+  mislabels it and runs CPC, ``distinctCntSketches.scala:249`` — we
+  implement the documented behavior, not the bug).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_PREFIX = "spark.sql.dataSketches"
+
+QUANTILE_IMPL_KEY = f"{_PREFIX}.quantiles.sketchImpl"
+QUANTILE_KLL_K_KEY = f"{_PREFIX}.quantiles.kll.k"
+QUANTILE_REQ_K_KEY = f"{_PREFIX}.quantiles.req.k"
+QUANTILE_MERGEABLE_K_KEY = f"{_PREFIX}.quantiles.mergeable.k"
+FREQ_MAX_MAP_SIZE_KEY = f"{_PREFIX}.freqItems.maxMapSize"
+DISTINCT_IMPL_KEY = f"{_PREFIX}.distinctCnt.sketchImpl"
+DISTINCT_CPC_LGK_KEY = f"{_PREFIX}.distinctCnt.cpc.lgK"
+DISTINCT_HLL_LGK_KEY = f"{_PREFIX}.distinctCnt.hll.lgK"
+
+DEFAULTS = {
+    QUANTILE_IMPL_KEY: "REQ",          # DataSketchConf.scala:36-41
+    QUANTILE_KLL_K_KEY: "200",         # :43-48
+    QUANTILE_REQ_K_KEY: "12",          # :50-55
+    QUANTILE_MERGEABLE_K_KEY: "128",   # :57-62
+    FREQ_MAX_MAP_SIZE_KEY: "1024",     # :64-71
+    DISTINCT_IMPL_KEY: "CPC",          # :73-78
+    DISTINCT_CPC_LGK_KEY: "11",        # :80-85
+    DISTINCT_HLL_LGK_KEY: "12",        # :87-92
+}
+
+QUANTILE_IMPLS = ("KLL", "REQ", "MERGEABLE")
+DISTINCT_IMPLS = ("CPC", "THETA", "HLL")
+
+
+def _spark() -> SparkSession | None:
+    return SparkSession.getActiveSession()
+
+
+def get_conf(key: str, spark: SparkSession | None = None) -> str:
+    spark = spark or _spark()
+    default = DEFAULTS[key]
+    if spark is None:
+        return default
+    return spark.conf.get(key, default)
+
+
+def quantile_impl(spark=None) -> str:
+    v = get_conf(QUANTILE_IMPL_KEY, spark).upper()
+    if v not in QUANTILE_IMPLS:
+        raise ValueError(
+            f"{QUANTILE_IMPL_KEY} must be one of {QUANTILE_IMPLS}, got {v}")
+    return v
+
+
+def quantile_k(impl: str, spark=None) -> int:
+    key = {
+        "KLL": QUANTILE_KLL_K_KEY,
+        "REQ": QUANTILE_REQ_K_KEY,
+        "MERGEABLE": QUANTILE_MERGEABLE_K_KEY,
+    }[impl]
+    k = int(get_conf(key, spark))
+    if impl == "REQ":
+        # REQ's k (default 12) is a compactor section size, not a KLL k.
+        # Scale onto the KLL core so default accuracy matches the
+        # reference's published REQ accuracy (~0.4% at rank 0.95).
+        k = max(k * 32, 64)
+    return k
+
+
+def freq_max_map_size(spark=None) -> int:
+    v = int(get_conf(FREQ_MAX_MAP_SIZE_KEY, spark))
+    if v <= 0 or (v & (v - 1)) != 0:
+        raise ValueError(f"{FREQ_MAX_MAP_SIZE_KEY} must be a positive power of 2")
+    return v
+
+
+def distinct_impl(spark=None) -> str:
+    v = get_conf(DISTINCT_IMPL_KEY, spark).upper()
+    if v not in DISTINCT_IMPLS:
+        raise ValueError(
+            f"{DISTINCT_IMPL_KEY} must be one of {DISTINCT_IMPLS}, got {v}")
+    return v
+
+
+def distinct_theta_k(spark=None) -> int:
+    # CPC lgK=11 has RSE ~0.6%; KMV needs more entries for similar RSE.
+    # Use 2**(lgK+1) nominal entries (k=4096 at the default lgK=11).
+    return 1 << (int(get_conf(DISTINCT_CPC_LGK_KEY, spark)) + 1)
+
+
+def distinct_hll_lgk(spark=None) -> int:
+    return int(get_conf(DISTINCT_HLL_LGK_KEY, spark))

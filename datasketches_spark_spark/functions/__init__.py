@@ -1,0 +1,57 @@
+"""Public function surface — the reference's 18 SQL functions
+(``shims.scala:32-56``) as PySpark Column functions.
+
+Import as::
+
+    from datasketches_spark_spark import functions as dsf
+    df.groupBy("g").agg(dsf.approx_percentile_ex("v", 0.95).alias("p95"))
+"""
+
+from .distinctcnt import (
+    approx_count_distinct_accumulate,
+    approx_count_distinct_combine,
+    approx_count_distinct_cpc,
+    approx_count_distinct_estimate,
+    approx_count_distinct_ex,
+    approx_count_distinct_hll,
+)
+from .freqitems import (
+    approx_freqitems,
+    approx_freqitems_accumulate,
+    approx_freqitems_combine,
+    approx_freqitems_estimate,
+)
+from .quantiles import (
+    approx_percentile_accumulate,
+    approx_percentile_combine,
+    approx_percentile_estimate,
+    approx_percentile_ex,
+    approx_percentile_kll,
+    approx_percentile_mergeable,
+    approx_percentile_req,
+    approx_pmf_estimate,
+)
+
+__all__ = [
+    # quantiles (reference #1-#8)
+    "approx_percentile_ex",
+    "approx_percentile_kll",
+    "approx_percentile_req",
+    "approx_percentile_mergeable",
+    "approx_percentile_accumulate",
+    "approx_percentile_combine",
+    "approx_percentile_estimate",
+    "approx_pmf_estimate",
+    # frequent items (#9-#12)
+    "approx_freqitems",
+    "approx_freqitems_accumulate",
+    "approx_freqitems_combine",
+    "approx_freqitems_estimate",
+    # distinct count (#13-#18)
+    "approx_count_distinct_ex",
+    "approx_count_distinct_cpc",
+    "approx_count_distinct_hll",
+    "approx_count_distinct_accumulate",
+    "approx_count_distinct_combine",
+    "approx_count_distinct_estimate",
+]

@@ -1,0 +1,80 @@
+"""Approximate distinct-count functions (reference #13-#18).
+
+API parity with ``distinctCntSketches.scala:180-443``. Two execution paths,
+selected by conf ``spark.sql.dataSketches.distinctCnt.sketchImpl`` or the
+forced-impl variants:
+
+* ``CPC`` / ``THETA`` — the engine's KMV Theta sketch via Arrow-batched
+  pandas UDFs (``sketches/theta.py``; CPC accepted as a compatibility alias,
+  see conf.py).
+* ``HLL`` — Spark's native DataSketches-HLL built-ins ``hll_sketch_agg`` /
+  ``hll_union_agg`` / ``hll_sketch_estimate``: pure JVM, true partial
+  aggregation (TypedImperativeAggregate), zero Python overhead, and its
+  binary states use the Apache DataSketches HLL wire format — portable to
+  other DataSketches implementations just like the reference's states.
+
+Unlike the reference, ``approx_count_distinct_hll`` really runs HLL (the
+reference mislabels it and runs CPC — ``distinctCntSketches.scala:249``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import conf
+from .udfs import combine_udf, theta_acc_udf, theta_direct_udf, theta_est_udf
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _impl(impl: str | None) -> str:
+    v = (impl or conf.distinct_impl()).upper()
+    if v == "CPC":
+        v = "THETA"
+    if v not in ("THETA", "HLL"):
+        raise ValueError(f"unknown distinct-count impl {impl}")
+    return v
+
+
+def approx_count_distinct_ex(col, impl: str | None = None,
+                             k: int | None = None) -> Column:
+    """NDV estimate via the conf-selected sketch (LongType result)."""
+    if _impl(impl) == "HLL":
+        return approx_count_distinct_hll(col)
+    return approx_count_distinct_cpc(col, k=k)
+
+
+def approx_count_distinct_cpc(col, k: int | None = None) -> Column:
+    """NDV via the engine's Theta/KMV sketch (reference-name alias)."""
+    return theta_direct_udf(k or conf.distinct_theta_k())(_col(col))
+
+
+def approx_count_distinct_hll(col, lgk: int | None = None) -> Column:
+    """NDV via Spark-native DataSketches HLL (JVM fast path)."""
+    lgk = lgk or conf.distinct_hll_lgk()
+    return F.hll_sketch_estimate(F.hll_sketch_agg(_col(col), F.lit(lgk)))
+
+
+def approx_count_distinct_accumulate(col, impl: str | None = None,
+                                     k: int | None = None) -> Column:
+    """Aggregate raw values into a serialized distinct-count state."""
+    if _impl(impl) == "HLL":
+        return F.hll_sketch_agg(_col(col), F.lit(conf.distinct_hll_lgk()))
+    return theta_acc_udf(k or conf.distinct_theta_k())(_col(col))
+
+
+def approx_count_distinct_combine(col, impl: str | None = None) -> Column:
+    """Merge serialized distinct-count states."""
+    if _impl(impl) == "HLL":
+        return F.hll_union_agg(_col(col))
+    return combine_udf()(_col(col))
+
+
+def approx_count_distinct_estimate(col, impl: str | None = None) -> Column:
+    """Decode a state and return the NDV estimate (LongType)."""
+    if _impl(impl) == "HLL":
+        return F.hll_sketch_estimate(_col(col))
+    return theta_est_udf()(_col(col))

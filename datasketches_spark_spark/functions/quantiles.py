@@ -1,0 +1,103 @@
+"""Quantile / percentile sketch functions (reference #1-#8, SURVEY.md §2a).
+
+API parity with ``quantileSketches.scala``: ``approx_percentile_ex`` (impl
+chosen by conf ``spark.sql.dataSketches.quantiles.sketchImpl``), forced-impl
+variants ``_kll`` / ``_req`` / ``_mergeable``, and the
+accumulate / combine / estimate / pmf lifecycle
+(``quantileSketches.scala:311-748``).
+
+Value semantics: input numerics are sketched as float32 for KLL/REQ
+(reference down-cast, ``quantileSketches.scala:250-255``) and float64 for
+MERGEABLE (``:124-127``). Estimate-from-state is always double-typed
+(``:601-605``); the direct aggregate can preserve the input type via
+``output_type`` (reference does this through Catalyst,
+``quantileSketches.scala:196-211``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import conf
+from .udfs import (
+    combine_udf,
+    pmf_est_udf,
+    quantile_acc_udf,
+    quantile_direct_udf,
+    quantile_est_udf,
+    validate_num_splits,
+    validate_percentage,
+)
+
+_DTYPES = {"KLL": np.float32, "REQ": np.float32, "MERGEABLE": np.float64}
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _resolve(impl: str | None, k: int | None) -> tuple[int, type]:
+    impl = (impl or conf.quantile_impl()).upper()
+    if impl not in conf.QUANTILE_IMPLS:
+        raise ValueError(f"unknown quantile sketch impl {impl}")
+    if k is None:
+        k = conf.quantile_k(impl)
+    return int(k), _DTYPES[impl]
+
+
+def _direct(col, percentage, impl: str | None, k: int | None,
+            output_type=None) -> Column:
+    ps, multi = validate_percentage(percentage)
+    k, dtype = _resolve(impl, k)
+    udf = quantile_direct_udf(k, dtype, ps, multi)
+    out = udf(_col(col).cast("double"))
+    if output_type is not None:
+        out = out.cast(output_type)
+    return out
+
+
+def approx_percentile_ex(col, percentage, k: int | None = None,
+                         output_type=None) -> Column:
+    """Percentile estimate; sketch impl from conf (default REQ)."""
+    return _direct(col, percentage, None, k, output_type)
+
+
+def approx_percentile_kll(col, percentage, k: int | None = None,
+                          output_type=None) -> Column:
+    return _direct(col, percentage, "KLL", k, output_type)
+
+
+def approx_percentile_req(col, percentage, k: int | None = None,
+                          output_type=None) -> Column:
+    return _direct(col, percentage, "REQ", k, output_type)
+
+
+def approx_percentile_mergeable(col, percentage, k: int | None = None,
+                                output_type=None) -> Column:
+    return _direct(col, percentage, "MERGEABLE", k, output_type)
+
+
+def approx_percentile_accumulate(col, impl: str | None = None,
+                                 k: int | None = None) -> Column:
+    """Aggregate raw values into a serialized quantile-sketch state."""
+    k, dtype = _resolve(impl, k)
+    return quantile_acc_udf(k, dtype)(_col(col).cast("double"))
+
+
+def approx_percentile_combine(col) -> Column:
+    """Merge serialized quantile-sketch states (re-aggregable)."""
+    return combine_udf()(_col(col))
+
+
+def approx_percentile_estimate(col, percentage) -> Column:
+    """Decode a state and return quantile(s); output is always double."""
+    ps, multi = validate_percentage(percentage)
+    return quantile_est_udf(ps, multi)(_col(col))
+
+
+def approx_pmf_estimate(col, num_splits: int = 9) -> Column:
+    """Probability mass over ``num_splits`` equal-width bins of [min, max]."""
+    validate_num_splits(num_splits)
+    return pmf_est_udf(num_splits)(_col(col))

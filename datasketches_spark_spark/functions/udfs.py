@@ -1,0 +1,310 @@
+"""Pandas-UDF builders backing every sketch function.
+
+Execution pattern (SURVEY.md §4): the reference's ``TypedImperativeAggregate``
+update/merge/serialize contract (``quantileSketches.scala:234-273``) maps to
+
+* *accumulate / direct agg*  -> ``GROUPED_AGG`` pandas UDF (Arrow-batched),
+* *combine*                  -> ``GROUPED_AGG`` pandas UDF over binary states,
+* *estimate / pmf*           -> scalar pandas UDF over binary states.
+
+For true map-side combine at scale, see
+``datasketches_spark_spark.operators.sketch_agg`` which pre-sketches per
+partition with ``mapInPandas`` before the merge UDAF — the two-phase physics
+of the reference's partial/final aggregation.
+
+Error semantics preserved from the reference:
+
+* input nulls skipped (``quantileSketches.scala:248-249``);
+* empty aggregation -> null (``quantileSketches.scala:286-287``);
+* ``*_estimate`` swallows corrupt state bytes -> null with a warning
+  (``quantileSketches.scala:614-624``);
+* ``*_combine`` raises on corrupt state bytes (``quantileSketches.scala:542-551``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sketches import (
+    ITEM_LONG,
+    ITEM_STR,
+    FreqItemsSketch,
+    KllSketch,
+    ThetaSketch,
+    deserialize_any,
+)
+
+log = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------- utils
+
+def validate_percentage(percentage):
+    """Analysis-time validation, matching the reference's AnalysisException
+    rules (``quantileSketches.scala:176-194``). Returns (list[float], is_multi).
+    """
+    if isinstance(percentage, (list, tuple, np.ndarray)):
+        ps = [float(p) for p in percentage]
+        multi = True
+    elif isinstance(percentage, (int, float)) and not isinstance(percentage, bool):
+        ps = [float(percentage)]
+        multi = False
+    else:
+        raise ValueError(
+            f"percentage must be a numeric literal or a list of numeric "
+            f"literals, but got {percentage!r}")
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(
+                f"percentage(s) must be between 0.0 and 1.0, but got {p}")
+    return ps, multi
+
+
+def validate_num_splits(num_splits):
+    if not isinstance(num_splits, int) or isinstance(num_splits, bool) or num_splits <= 1:
+        raise ValueError(
+            f"the number of splits must be greater than 1, but got {num_splits}")
+    return num_splits
+
+
+def _clean_numeric(v: pd.Series) -> np.ndarray:
+    arr = pd.to_numeric(v, errors="coerce").dropna().to_numpy(dtype=np.float64)
+    return arr
+
+
+def _clean_items(v: pd.Series, item_type: str):
+    v = v.dropna()
+    if item_type == ITEM_LONG:
+        return v.astype(np.int64).tolist()
+    return v.astype(str).tolist()
+
+
+# --------------------------------------------------------------------- quantile
+
+def quantile_acc_udf(k: int, dtype):
+    """GROUPED_AGG: numeric values -> serialized KLL state (or null)."""
+
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        arr = _clean_numeric(v)
+        if arr.size == 0:
+            return None
+        sk = KllSketch(k=k, dtype=dtype)
+        sk.update_batch(arr)
+        return sk.serialize()
+
+    return acc
+
+
+def quantile_direct_udf(k: int, dtype, percentages: list[float], multi: bool):
+    """GROUPED_AGG: numeric values -> quantile estimate(s) directly."""
+    rt = ArrayType(DoubleType(), containsNull=False) if multi else DoubleType()
+
+    if multi:
+        @pandas_udf(rt)
+        def direct(v: pd.Series) -> list:
+            arr = _clean_numeric(v)
+            if arr.size == 0:
+                return None
+            sk = KllSketch(k=k, dtype=dtype)
+            sk.update_batch(arr)
+            return sk.quantiles(percentages)
+    else:
+        @pandas_udf(rt)
+        def direct(v: pd.Series) -> float:
+            arr = _clean_numeric(v)
+            if arr.size == 0:
+                return None
+            sk = KllSketch(k=k, dtype=dtype)
+            sk.update_batch(arr)
+            return sk.quantile(percentages[0])
+
+    return direct
+
+
+def quantile_est_udf(percentages: list[float], multi: bool):
+    """Scalar: binary state -> double (or array<double>). Always double-typed,
+    matching the reference (``quantileSketches.scala:601-605``)."""
+    rt = ArrayType(DoubleType(), containsNull=False) if multi else DoubleType()
+
+    @pandas_udf(rt)
+    def est(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                sk = KllSketch.deserialize(bytes(blob))
+                qs = sk.quantiles(percentages)
+                out.append(None if qs is None else (qs if multi else qs[0]))
+            except Exception as e:  # corrupt state -> null (reference parity)
+                log.warning("approx_percentile_estimate: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return est
+
+
+def pmf_est_udf(num_splits: int):
+    @pandas_udf(ArrayType(DoubleType(), containsNull=False))
+    def pmf(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                sk = KllSketch.deserialize(bytes(blob))
+                out.append(sk.pmf(num_splits))
+            except Exception as e:
+                log.warning("approx_pmf_estimate: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return pmf
+
+
+# --------------------------------------------------------------------- combine
+
+def combine_udf():
+    """GROUPED_AGG: binary states (any family) -> merged binary state.
+
+    Family-agnostic: dispatches on the state header, so one combine kernel
+    serves quantiles, freq-items and theta (the reference has one class per
+    family; semantics identical). Raises on corrupt input like the
+    reference's combine (``quantileSketches.scala:542-551``).
+    """
+
+    @pandas_udf(BinaryType())
+    def combine(states: pd.Series) -> bytes:
+        merged = None
+        for blob in states:
+            if blob is None:
+                continue
+            sk = deserialize_any(bytes(blob))  # raises on corrupt input
+            merged = sk if merged is None else merged.merge(sk)
+        return None if merged is None else merged.serialize()
+
+    return combine
+
+
+# --------------------------------------------------------------------- freq items
+
+def freq_result_type(item_type: str) -> ArrayType:
+    item_dt = StringType() if item_type == ITEM_STR else LongType()
+    return ArrayType(StructType([
+        StructField("item", item_dt),
+        StructField("estimated", LongType()),
+    ]))
+
+
+def freq_acc_udf(max_map_size: int, item_type: str):
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        items = _clean_items(v, item_type)
+        if not items:
+            return None
+        sk = FreqItemsSketch(max_map_size=max_map_size, item_type=item_type)
+        sk.update_batch(items)
+        return sk.serialize()
+
+    return acc
+
+
+def freq_direct_udf(max_map_size: int, item_type: str):
+    @pandas_udf(freq_result_type(item_type))
+    def direct(v: pd.Series) -> list:
+        items = _clean_items(v, item_type)
+        if not items:
+            return None
+        sk = FreqItemsSketch(max_map_size=max_map_size, item_type=item_type)
+        sk.update_batch(items)
+        return [{"item": i, "estimated": int(c)} for i, c in sk.frequent_items()]
+
+    return direct
+
+
+def freq_est_udf(item_type: str):
+    @pandas_udf(freq_result_type(item_type))
+    def est(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                sk = FreqItemsSketch.deserialize(bytes(blob))
+                out.append([{"item": i, "estimated": int(c)}
+                            for i, c in sk.frequent_items()])
+            except Exception as e:
+                log.warning("approx_freqitems_estimate: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return est
+
+
+# --------------------------------------------------------------------- distinct count
+
+def theta_acc_udf(k: int):
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = ThetaSketch(k=k)
+        if pd.api.types.is_integer_dtype(v) or pd.api.types.is_float_dtype(v):
+            sk.update_longs(v.astype(np.int64).to_numpy())
+        else:
+            sk.update_strings(v.astype(str).tolist())
+        return sk.serialize()
+
+    return acc
+
+
+def theta_direct_udf(k: int):
+    @pandas_udf(LongType())
+    def direct(v: pd.Series) -> int:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = ThetaSketch(k=k)
+        if pd.api.types.is_integer_dtype(v) or pd.api.types.is_float_dtype(v):
+            sk.update_longs(v.astype(np.int64).to_numpy())
+        else:
+            sk.update_strings(v.astype(str).tolist())
+        return sk.estimate()
+
+    return direct
+
+
+def theta_est_udf():
+    @pandas_udf(LongType())
+    def est(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                out.append(ThetaSketch.deserialize(bytes(blob)).estimate())
+            except Exception as e:
+                log.warning("approx_count_distinct_estimate: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return est

@@ -1,0 +1,169 @@
+"""SQL function registration — the engine's ``install()``.
+
+Mirrors the reference's PySpark bootstrap: ``DataSketchApi.install()``
+(``DataSketchApi.scala:22-24``) registers every function in the session's
+function registry (``shims.scala:58-65``) so they resolve from
+``spark.sql(...)``. Here the same 18 names (plus ``*_array`` / ``*_long``
+variants, because a Python UDF registration has a single fixed return type)
+are registered as Arrow-batched pandas UDFs via ``spark.udf.register``.
+
+SQL-path notes:
+
+* percentage / numSplits arguments are passed as ordinary (constant)
+  columns and validated at runtime; the DataFrame API in
+  ``datasketches_spark_spark.functions`` validates them eagerly at query
+  build, matching the reference's AnalysisException behavior.
+* ``approx_count_distinct_hll`` in SQL is served by the engine's Theta
+  sketch: a Python UDF cannot wrap the JVM ``hll_sketch_agg`` aggregate.
+  (Amusingly this matches the reference, whose ``_hll`` actually runs CPC —
+  ``distinctCntSketches.scala:249``.) For native HLL in SQL use Spark's
+  built-in ``hll_sketch_agg`` / ``hll_sketch_estimate`` directly, or the
+  DataFrame API which routes HLL to those built-ins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, LongType
+
+from . import conf
+from .functions.udfs import (
+    combine_udf,
+    freq_acc_udf,
+    freq_direct_udf,
+    freq_est_udf,
+    theta_acc_udf,
+    theta_direct_udf,
+    theta_est_udf,
+    validate_num_splits,
+    validate_percentage,
+)
+from .sketches import ITEM_LONG, ITEM_STR, KllSketch
+
+_DTYPES = {"KLL": np.float32, "REQ": np.float32, "MERGEABLE": np.float64}
+
+
+def _build_sketch(v: pd.Series, k: int, dtype) -> KllSketch | None:
+    arr = pd.to_numeric(v, errors="coerce").dropna().to_numpy(dtype=np.float64)
+    if arr.size == 0:
+        return None
+    sk = KllSketch(k=k, dtype=dtype)
+    sk.update_batch(arr)
+    return sk
+
+
+def _sql_quantile_scalar(k: int, dtype):
+    @pandas_udf(DoubleType())
+    def f(v: pd.Series, p: pd.Series) -> float:
+        ps, _ = validate_percentage(float(p.iloc[0]))
+        sk = _build_sketch(v, k, dtype)
+        return None if sk is None else sk.quantile(ps[0])
+    return f
+
+
+def _sql_quantile_array(k: int, dtype):
+    @pandas_udf(ArrayType(DoubleType(), containsNull=False))
+    def f(v: pd.Series, p: pd.Series) -> list:
+        ps, _ = validate_percentage(list(p.iloc[0]))
+        sk = _build_sketch(v, k, dtype)
+        return None if sk is None else sk.quantiles(ps)
+    return f
+
+
+def _sql_quantile_acc(k: int, dtype):
+    @pandas_udf(BinaryType())
+    def f(v: pd.Series) -> bytes:
+        sk = _build_sketch(v, k, dtype)
+        return None if sk is None else sk.serialize()
+    return f
+
+
+def _sql_quantile_est():
+    @pandas_udf(DoubleType())
+    def f(states: pd.Series, p: pd.Series) -> pd.Series:
+        out = []
+        for blob, pct in zip(states, p):
+            if blob is None:
+                out.append(None)
+                continue
+            ps, _ = validate_percentage(float(pct))
+            try:
+                out.append(KllSketch.deserialize(bytes(blob)).quantile(ps[0]))
+            except ValueError:  # corrupt state -> null (reference parity)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+    return f
+
+
+def _sql_quantile_est_array():
+    @pandas_udf(ArrayType(DoubleType(), containsNull=False))
+    def f(states: pd.Series, p: pd.Series) -> pd.Series:
+        out = []
+        for blob, pct in zip(states, p):
+            if blob is None:
+                out.append(None)
+                continue
+            ps, _ = validate_percentage(list(pct))
+            try:
+                out.append(KllSketch.deserialize(bytes(blob)).quantiles(ps))
+            except ValueError:  # corrupt state -> null (reference parity)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+    return f
+
+
+def _sql_pmf_est():
+    @pandas_udf(ArrayType(DoubleType(), containsNull=False))
+    def f(states: pd.Series, n: pd.Series) -> pd.Series:
+        out = []
+        for blob, splits in zip(states, n):
+            if blob is None:
+                out.append(None)
+                continue
+            validate_num_splits(int(splits))
+            try:
+                out.append(KllSketch.deserialize(bytes(blob)).pmf(int(splits)))
+            except ValueError:  # corrupt state -> null (reference parity)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+    return f
+
+
+def install(spark: SparkSession) -> None:
+    """Register all engine functions in the session's SQL registry."""
+    q_impl = conf.quantile_impl(spark)
+
+    impl_k = {i: conf.quantile_k(i, spark) for i in conf.QUANTILE_IMPLS}
+    for name, impl in [("approx_percentile_ex", q_impl),
+                       ("approx_percentile_kll", "KLL"),
+                       ("approx_percentile_req", "REQ"),
+                       ("approx_percentile_mergeable", "MERGEABLE")]:
+        k, dt = impl_k[impl], _DTYPES[impl]
+        spark.udf.register(name, _sql_quantile_scalar(k, dt))
+        spark.udf.register(f"{name}_array", _sql_quantile_array(k, dt))
+
+    k, dt = impl_k[q_impl], _DTYPES[q_impl]
+    spark.udf.register("approx_percentile_accumulate", _sql_quantile_acc(k, dt))
+    spark.udf.register("approx_percentile_combine", combine_udf())
+    spark.udf.register("approx_percentile_estimate", _sql_quantile_est())
+    spark.udf.register("approx_percentile_estimate_array", _sql_quantile_est_array())
+    spark.udf.register("approx_pmf_estimate", _sql_pmf_est())
+
+    m = conf.freq_max_map_size(spark)
+    spark.udf.register("approx_freqitems", freq_direct_udf(m, ITEM_STR))
+    spark.udf.register("approx_freqitems_long", freq_direct_udf(m, ITEM_LONG))
+    spark.udf.register("approx_freqitems_accumulate", freq_acc_udf(m, ITEM_STR))
+    spark.udf.register("approx_freqitems_combine", combine_udf())
+    spark.udf.register("approx_freqitems_estimate", freq_est_udf(ITEM_STR))
+    spark.udf.register("approx_freqitems_estimate_long", freq_est_udf(ITEM_LONG))
+
+    tk = conf.distinct_theta_k(spark)
+    spark.udf.register("approx_count_distinct_ex", theta_direct_udf(tk))
+    spark.udf.register("approx_count_distinct_cpc", theta_direct_udf(tk))
+    spark.udf.register("approx_count_distinct_hll", theta_direct_udf(tk))
+    spark.udf.register("approx_count_distinct_accumulate", theta_acc_udf(tk))
+    spark.udf.register("approx_count_distinct_combine", combine_udf())
+    spark.udf.register("approx_count_distinct_estimate", theta_est_udf())

@@ -1,0 +1,42 @@
+"""Pure-Python mergeable sketch implementations.
+
+One class per family, all exposing the reference's four-verb lifecycle
+(accumulate / combine / estimate + direct aggregate; see SURVEY.md §0):
+``update* -> serialize -> deserialize -> merge -> estimate/quantile/...``.
+"""
+
+from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
+from .kll import KllSketch
+from .serde import (
+    FAMILY_FREQ_LONG,
+    FAMILY_FREQ_STR,
+    FAMILY_KLL,
+    FAMILY_THETA,
+    family_of,
+)
+from .theta import ThetaSketch, hash_longs, hash_strings
+
+
+def deserialize_any(data: bytes):
+    """Decode a state produced by any family's accumulate/combine."""
+    fam = family_of(data)
+    if fam == FAMILY_KLL:
+        return KllSketch.deserialize(data)
+    if fam in (FAMILY_FREQ_STR, FAMILY_FREQ_LONG):
+        return FreqItemsSketch.deserialize(data)
+    if fam == FAMILY_THETA:
+        return ThetaSketch.deserialize(data)
+    raise ValueError(f"unknown sketch family {fam}")
+
+
+__all__ = [
+    "KllSketch",
+    "FreqItemsSketch",
+    "ThetaSketch",
+    "ITEM_STR",
+    "ITEM_LONG",
+    "hash_longs",
+    "hash_strings",
+    "deserialize_any",
+    "family_of",
+]

@@ -1,0 +1,263 @@
+"""KLL quantile sketch (pure numpy).
+
+Re-implements the capability of the reference's quantile family
+(``quantileSketches.scala:42-142``: KLL / REQ / classic ``DoublesSketch``
+wrappers around the DataSketches Java library) as a single KLL implementation
+parameterized by ``k`` and value dtype:
+
+* ``dtype=float32`` reproduces the reference's float down-cast semantics
+  (``quantileSketches.scala:250-255``: every numeric is fed to the sketch as
+  a Float).
+* ``dtype=float64`` corresponds to the reference's MERGEABLE
+  (``DoublesSketch``) family which re-widens float->double
+  (``quantileSketches.scala:124-127``).
+
+KLL (Karnin-Lang-Liberty, "Optimal Quantile Approximation in Streams",
+FOCS'16) keeps a hierarchy of levels; items at level ``h`` carry weight
+``2**h``.  While only level 0 exists (n <= capacity) the sketch is EXACT —
+this engine's correctness queries exploit that regime.
+
+Quantile rank rule (chosen to match ``quantile_disc`` semantics used by the
+DuckDB oracle): ``quantile(p)`` returns the smallest retained value whose
+cumulative weight >= max(ceil(p * n), 1).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .serde import FAMILY_KLL, pack, unpack
+
+_MIN_LEVEL_CAP = 8
+_GROWTH = 2.0 / 3.0
+
+_DTYPE_CODES = {np.dtype("float32"): 0, np.dtype("float64"): 1}
+_CODE_DTYPES = {v: k for k, v in _DTYPE_CODES.items()}
+
+
+def _level_cap(k: int, depth: int) -> int:
+    """Capacity of a level ``depth`` below the top level."""
+    return max(int(math.ceil(k * (_GROWTH ** depth))), _MIN_LEVEL_CAP)
+
+
+class KllSketch:
+    """Mergeable quantile sketch over float32/float64 values."""
+
+    __slots__ = ("k", "dtype", "n", "_levels", "_buf", "_buf_len", "_rng")
+
+    def __init__(self, k: int = 200, dtype=np.float32):
+        self.k = int(k)
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in _DTYPE_CODES:
+            raise ValueError(f"unsupported dtype {dtype}")
+        self.n = 0
+        # _levels[h] : np.ndarray of items with weight 2**h (h >= 1 sorted-ish,
+        # sorted lazily at query/compaction time). Level 0 is buffered in _buf.
+        self._levels: list[np.ndarray] = [np.empty(0, self.dtype)]
+        self._buf: list[np.ndarray] = []
+        self._buf_len = 0
+        # Deterministic seed: compaction coin flips are reproducible for a
+        # given input order.  (Exact-regime queries never compact at all.)
+        self._rng = np.random.default_rng(0xD5C0FFEE)
+
+    # ------------------------------------------------------------------ udpate
+
+    def update_batch(self, values: np.ndarray) -> None:
+        v = np.asarray(values)
+        if v.size == 0:
+            return
+        v = v[~np.isnan(v.astype(np.float64))] if v.dtype.kind == "f" else v
+        if v.size == 0:
+            return
+        v = v.astype(self.dtype, copy=False)
+        self._buf.append(v)
+        self._buf_len += v.size
+        self.n += v.size
+        if self._buf_len + self._retained_above0() > self._total_capacity():
+            self._consolidate()
+            self._compress()
+
+    def update(self, value: float) -> None:
+        self.update_batch(np.asarray([value], dtype=self.dtype))
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        if other.n == 0:
+            return self
+        if other.dtype != self.dtype:
+            raise ValueError("cannot merge sketches of different dtypes")
+        self.k = min(self.k, other.k)
+        other_levels = other._snapshot_levels()
+        while len(self._levels) < len(other_levels):
+            self._levels.append(np.empty(0, self.dtype))
+        self._consolidate()
+        for h, arr in enumerate(other_levels):
+            if arr.size:
+                self._levels[h] = np.concatenate([self._levels[h], arr])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # ------------------------------------------------------------------ query
+
+    def is_exact(self) -> bool:
+        return len(self._levels) == 1 or all(a.size == 0 for a in self._levels[1:])
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        self._consolidate()
+        vals = []
+        wts = []
+        for h, arr in enumerate(self._levels):
+            if arr.size:
+                vals.append(arr)
+                wts.append(np.full(arr.size, 1 << h, dtype=np.int64))
+        if not vals:
+            return np.empty(0, self.dtype), np.empty(0, np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, p: float) -> float | None:
+        if self.n == 0:
+            return None
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentage must be in [0, 1], got {p}")
+        v, w = self._weighted_items()
+        cum = np.cumsum(w)
+        target = max(int(math.ceil(p * self.n)), 1)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        idx = min(idx, v.size - 1)
+        return float(v[idx])
+
+    def quantiles(self, ps) -> list[float] | None:
+        if self.n == 0:
+            return None
+        v, w = self._weighted_items()
+        cum = np.cumsum(w)
+        out = []
+        for p in ps:
+            if not (0.0 <= p <= 1.0):
+                raise ValueError(f"percentage must be in [0, 1], got {p}")
+            target = max(int(math.ceil(p * self.n)), 1)
+            idx = min(int(np.searchsorted(cum, target, side="left")), v.size - 1)
+            out.append(float(v[idx]))
+        return out
+
+    @property
+    def min_value(self) -> float | None:
+        if self.n == 0:
+            return None
+        v, _ = self._weighted_items()
+        return float(v[0])
+
+    @property
+    def max_value(self) -> float | None:
+        if self.n == 0:
+            return None
+        v, _ = self._weighted_items()
+        return float(v[-1])
+
+    def pmf(self, num_splits: int) -> list[float] | None:
+        """Probability mass over ``num_splits`` equal-width bins spanning
+        [min, max], matching the reference's binning
+        (``quantileSketches.scala:100-104``: splitpoints at
+        ``min + i*(max-min)/numSplits``). Mass uses ``value < splitpoint``.
+        """
+        if self.n == 0:
+            return None
+        if num_splits <= 1:
+            raise ValueError("numSplits must be greater than 1")
+        v, w = self._weighted_items()
+        lo, hi = float(v[0]), float(v[-1])
+        width = (hi - lo) / num_splits
+        splits = [lo + i * width for i in range(1, num_splits)]
+        cum = np.cumsum(w)
+        total = float(cum[-1])
+        masses = []
+        prev = 0.0
+        for sp in splits:
+            idx = int(np.searchsorted(v, sp, side="left"))
+            below = float(cum[idx - 1]) if idx > 0 else 0.0
+            masses.append((below - prev) / total)
+            prev = below
+        masses.append((total - prev) / total)
+        return masses
+
+    # ------------------------------------------------------------------ serde
+
+    def serialize(self) -> bytes:
+        self._consolidate()
+        head = struct.pack("<IBQ", self.k, _DTYPE_CODES[self.dtype], self.n)
+        nlev = len(self._levels)
+        lens = struct.pack(f"<H{nlev}I", nlev, *(a.size for a in self._levels))
+        body = b"".join(np.ascontiguousarray(a).tobytes() for a in self._levels)
+        return pack(FAMILY_KLL, head + lens + body)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "KllSketch":
+        family, payload = unpack(data)
+        if family != FAMILY_KLL:
+            raise ValueError(f"not a KLL state (family={family})")
+        k, dcode, n = struct.unpack_from("<IBQ", payload, 0)
+        off = struct.calcsize("<IBQ")
+        (nlev,) = struct.unpack_from("<H", payload, off)
+        off += 2
+        lens = struct.unpack_from(f"<{nlev}I", payload, off)
+        off += 4 * nlev
+        sk = cls(k=k, dtype=_CODE_DTYPES[dcode])
+        sk.n = n
+        itemsize = sk.dtype.itemsize
+        levels = []
+        for ln in lens:
+            nbytes = ln * itemsize
+            levels.append(np.frombuffer(payload, dtype=sk.dtype, count=ln, offset=off).copy())
+            off += nbytes
+        sk._levels = levels if levels else [np.empty(0, sk.dtype)]
+        return sk
+
+    # ------------------------------------------------------------------ internals
+
+    def _retained_above0(self) -> int:
+        return sum(a.size for a in self._levels)
+
+    def _total_capacity(self) -> int:
+        nlev = len(self._levels)
+        return sum(_level_cap(self.k, nlev - 1 - h) for h in range(nlev))
+
+    def _consolidate(self) -> None:
+        if self._buf:
+            self._levels[0] = np.concatenate([self._levels[0], *self._buf])
+            self._buf = []
+            self._buf_len = 0
+
+    def _snapshot_levels(self) -> list[np.ndarray]:
+        self._consolidate()
+        return self._levels
+
+    def _compress(self) -> None:
+        while self._retained_above0() > self._total_capacity():
+            nlev = len(self._levels)
+            target = -1
+            for h in range(nlev):
+                if self._levels[h].size >= _level_cap(self.k, nlev - 1 - h):
+                    target = h
+                    break
+            if target < 0:
+                target = max(range(nlev), key=lambda h: self._levels[h].size)
+            if self._levels[target].size < 2:
+                break
+            arr = np.sort(self._levels[target])
+            offset = int(self._rng.integers(0, 2))
+            promoted = arr[offset::2]
+            self._levels[target] = np.empty(0, self.dtype)
+            if target + 1 == len(self._levels):
+                self._levels.append(promoted.copy())
+            else:
+                self._levels[target + 1] = np.concatenate(
+                    [self._levels[target + 1], promoted]
+                )

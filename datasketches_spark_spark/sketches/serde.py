@@ -1,0 +1,47 @@
+"""Binary wire format shared by all sketch families.
+
+The reference engine (maropu/datasketches-spark) serializes sketch state in
+the Apache DataSketches cross-language wire format (e.g.
+``quantileSketches.scala:66-79``: ``heapify(Memory.wrap(bytes))``).  This
+engine defines its own compact, versioned format because the DataSketches
+Python binding is not available in the target environment; states remain an
+opaque ``BinaryType`` column exactly as in the reference
+(``quantileSketches.scala:476``), and round-trip between accumulate /
+combine / estimate.
+
+Layout:  ``MAGIC(4) | family(u8) | version(u8) | payload``
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"DSSS"
+VERSION = 1
+
+FAMILY_KLL = 1
+FAMILY_FREQ_STR = 2
+FAMILY_FREQ_LONG = 3
+FAMILY_THETA = 4
+
+_HEADER = struct.Struct("<4sBB")
+
+
+def pack(family: int, payload: bytes) -> bytes:
+    return _HEADER.pack(MAGIC, family, VERSION) + payload
+
+
+def unpack(data: bytes) -> tuple[int, bytes]:
+    """Return (family, payload). Raises ValueError on corrupt input."""
+    if data is None or len(data) < _HEADER.size:
+        raise ValueError("sketch state too short")
+    magic, family, version = _HEADER.unpack_from(data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad sketch magic: {magic!r}")
+    if version != VERSION:
+        raise ValueError(f"unsupported sketch version: {version}")
+    return family, data[_HEADER.size:]
+
+
+def family_of(data: bytes) -> int:
+    return unpack(data)[0]

@@ -1,0 +1,64 @@
+"""Parquet source helpers for the engine's test/bench tables.
+
+The reference reads CSV demo data with stock Spark readers
+(``README.md:31, :121, :239``); this engine's fixtures are the
+driver-generated parquet tables (TESTDATA.md). Those files carry
+``TIMESTAMP(NANOS)`` columns which Spark rejects by default
+([PARQUET_TYPE_ILLEGAL]); we read them via
+``spark.sql.legacy.parquet.nanosAsLong`` and convert to regular
+microsecond timestamps with *integer* arithmetic (``div 1000`` — a float
+division would lose microsecond precision: nanos-since-epoch exceeds
+2**53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Columns stored as TIMESTAMP(NANOS) in the fixture parquet, per table.
+_NANOS_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+NANOS_CONF = {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+
+
+def session_builder(master: str = "local[*]", app: str = "datasketches_spark_spark",
+                    shuffle_partitions: int = 32):
+    """Opinionated builder: AQE on, Arrow on, nanos-parquet readable."""
+    b = (SparkSession.builder.master(master).appName(app)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    return b
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, restoring nanos columns to TimestampType."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Read fixture tables and register them as temp views."""
+    out = {}
+    for name in names or TABLE_NAMES:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,213 @@
+"""End-to-end tests of the 18 sketch functions on Spark.
+
+Ports the reference's ApproximateQuerySuite patterns
+(``ApproximateQuerySuite.scala``): small inline datasets with nulls checked
+against exact answers (sketches are exact on tiny inputs), the
+accumulate -> combine -> estimate pipeline over time windows, and
+error-handling rules.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import datasketches_spark_spark as dss
+from datasketches_spark_spark import functions as dsf
+
+
+@pytest.fixture(scope="module", autouse=True)
+def installed(spark):
+    dss.install(spark)
+
+
+@pytest.fixture(scope="module")
+def smalldf(spark):
+    # mirrors ApproximateQuerySuite.scala:32-50 style: values with nulls
+    data = [(None,), (1.0,), (2.0,), (3.0,), (4.0,), (5.0,), (6.0,),
+            (7.0,), (8.0,), (9.0,), (10.0,), (None,)]
+    return spark.createDataFrame(data, "v double")
+
+
+class TestQuantiles:
+    def test_direct_scalar(self, smalldf):
+        for fn in (dsf.approx_percentile_ex, dsf.approx_percentile_kll,
+                   dsf.approx_percentile_req, dsf.approx_percentile_mergeable):
+            row = smalldf.agg(fn("v", 0.5).alias("p")).collect()[0]
+            assert row.p == 5.0, fn.__name__
+
+    def test_direct_array(self, smalldf):
+        row = smalldf.agg(
+            dsf.approx_percentile_ex("v", [0.1, 0.5, 0.95]).alias("p")).collect()[0]
+        assert row.p == [1.0, 5.0, 10.0]
+
+    def test_output_type_preservation(self, spark):
+        # reference: output type follows input type (ApproximateQuerySuite.scala:52-65)
+        df = spark.createDataFrame([(i,) for i in range(1, 11)], "v int")
+        row = df.agg(dsf.approx_percentile_ex("v", 0.5, output_type="int")
+                     .alias("p")).collect()[0]
+        assert row.p == 5 and isinstance(row.p, int)
+
+    def test_empty_input_returns_null(self, spark):
+        df = spark.createDataFrame([(None,), (None,)], "v double")
+        assert df.agg(dsf.approx_percentile_ex("v", 0.5).alias("p")).collect()[0].p is None
+
+    def test_invalid_percentage_raises_eagerly(self, smalldf):
+        with pytest.raises(ValueError, match="between 0.0 and 1.0"):
+            dsf.approx_percentile_ex("v", 1.5)
+        with pytest.raises(ValueError, match="numeric"):
+            dsf.approx_percentile_ex("v", "half")
+
+    def test_accumulate_combine_estimate(self, smalldf):
+        acc = smalldf.agg(dsf.approx_percentile_accumulate("v").alias("state"))
+        merged = acc.agg(dsf.approx_percentile_combine("state").alias("m"))
+        row = merged.select(
+            dsf.approx_percentile_estimate("m", 0.5).alias("p50"),
+            dsf.approx_percentile_estimate("m", [0.1, 1.0]).alias("ps"),
+            dsf.approx_pmf_estimate("m", 3).alias("pmf"),
+        ).collect()[0]
+        assert row.p50 == 5.0
+        assert row.ps == [1.0, 10.0]
+        assert len(row.pmf) == 3 and abs(sum(row.pmf) - 1.0) < 1e-12
+
+    def test_estimate_null_and_corrupt(self, spark):
+        df = spark.createDataFrame([(None,), (b"garbage",)], "state binary")
+        rows = df.select(dsf.approx_percentile_estimate("state", 0.5).alias("p")).collect()
+        assert [r.p for r in rows] == [None, None]
+
+    def test_combine_raises_on_corrupt(self, spark):
+        df = spark.createDataFrame([(b"garbage",)], "state binary")
+        with pytest.raises(Exception):
+            df.agg(dsf.approx_percentile_combine("state").alias("m")).collect()
+
+    def test_invalid_num_splits(self, smalldf):
+        with pytest.raises(ValueError, match="greater than 1"):
+            dsf.approx_pmf_estimate("state", 1)
+
+    def test_sql_registration(self, spark, smalldf):
+        smalldf.createOrReplaceTempView("tiny")
+        r = spark.sql("""
+            SELECT approx_percentile_ex(v, 0.5) AS p,
+                   approx_percentile_ex_array(v, array(0.1, 0.95)) AS ps
+            FROM tiny""").collect()[0]
+        assert r.p == 5.0 and r.ps == [1.0, 10.0]
+        r2 = spark.sql("""
+            WITH s AS (SELECT approx_percentile_accumulate(v) AS st FROM tiny),
+                 m AS (SELECT approx_percentile_combine(st) AS m FROM s)
+            SELECT approx_percentile_estimate(m, 0.5) AS p,
+                   approx_pmf_estimate(m, 3) AS pmf FROM m""").collect()[0]
+        assert r2.p == 5.0 and len(r2.pmf) == 3
+
+
+class TestFreqItems:
+    def test_direct_string(self, spark):
+        # mirrors ApproximateQuerySuite.scala:202-220
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("a",), ("b",), ("c",), (None,)], "v string")
+        row = df.agg(dsf.approx_freqitems("v").alias("fi")).collect()[0]
+        assert [(r.item, r.estimated) for r in row.fi] == [("a", 3), ("b", 1), ("c", 1)]
+
+    def test_direct_long(self, spark):
+        df = spark.createDataFrame([(7,), (7,), (8,), (None,)], "v long")
+        row = df.agg(dsf.approx_freqitems("v", item_type="long").alias("fi")).collect()[0]
+        assert [(r.item, r.estimated) for r in row.fi] == [(7, 2), (8, 1)]
+
+    def test_lifecycle_and_inline(self, spark):
+        df = spark.createDataFrame(
+            [("g1", "a"), ("g1", "a"), ("g2", "b"), ("g2", "a")], "g string, v string")
+        summ = df.groupBy("g").agg(dsf.approx_freqitems_accumulate("v").alias("state"))
+        merged = summ.agg(dsf.approx_freqitems_combine("state").alias("m"))
+        est = merged.select(dsf.approx_freqitems_estimate("m").alias("fi"))
+        exploded = est.select(F.inline("fi")).collect()
+        assert [(r.item, r.estimated) for r in exploded] == [("a", 3), ("b", 1)]
+
+    def test_sql(self, spark):
+        spark.createDataFrame([("x",), ("x",), ("y",)], "v string") \
+            .createOrReplaceTempView("fi_t")
+        rows = spark.sql(
+            "SELECT inline(approx_freqitems(v)) FROM fi_t").collect()
+        assert [(r.item, r.estimated) for r in rows] == [("x", 2), ("y", 1)]
+
+
+class TestDistinctCount:
+    def test_direct_exact_regime(self, spark):
+        df = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+        for fn in (dsf.approx_count_distinct_ex, dsf.approx_count_distinct_cpc,
+                   dsf.approx_count_distinct_hll):
+            row = df.agg(fn("v").alias("ndv")).collect()[0]
+            assert row.ndv == 100, fn.__name__
+
+    def test_string_input(self, spark):
+        df = spark.createDataFrame([(f"u{i % 37}",) for i in range(500)], "v string")
+        assert df.agg(dsf.approx_count_distinct_ex("v").alias("n")).collect()[0].n == 37
+
+    def test_lifecycle_theta(self, spark):
+        df = spark.createDataFrame(
+            [("g1", 1), ("g1", 2), ("g2", 2), ("g2", 3)], "g string, v long")
+        summ = df.groupBy("g").agg(
+            dsf.approx_count_distinct_accumulate("v").alias("state"))
+        merged = summ.agg(dsf.approx_count_distinct_combine("state").alias("m"))
+        row = merged.select(
+            dsf.approx_count_distinct_estimate("m").alias("ndv")).collect()[0]
+        assert row.ndv == 3
+
+    def test_lifecycle_hll_builtin(self, spark):
+        df = spark.createDataFrame(
+            [("g1", 1), ("g1", 2), ("g2", 2), ("g2", 3)], "g string, v long")
+        summ = df.groupBy("g").agg(
+            dsf.approx_count_distinct_accumulate("v", impl="HLL").alias("state"))
+        merged = summ.agg(
+            dsf.approx_count_distinct_combine("state", impl="HLL").alias("m"))
+        row = merged.select(
+            dsf.approx_count_distinct_estimate("m", impl="HLL").alias("ndv")).collect()[0]
+        assert row.ndv == 3
+
+    def test_sql(self, spark):
+        spark.createDataFrame([(i % 50,) for i in range(300)], "v long") \
+            .createOrReplaceTempView("dc_t")
+        r = spark.sql("""
+            WITH s AS (SELECT approx_count_distinct_accumulate(CAST(v AS STRING)) AS st
+                       FROM dc_t),
+                 m AS (SELECT approx_count_distinct_combine(st) AS m FROM s)
+            SELECT (SELECT approx_count_distinct_ex(v) FROM dc_t) AS a,
+                   approx_count_distinct_estimate(m) AS b
+            FROM m""").collect()[0]
+        assert r.a == 50 and r.b == 50
+
+
+class TestTwoPhaseOperator:
+    def test_quantile_two_phase_matches_exact(self, spark, tables):
+        from datasketches_spark_spark.operators import sketch_accumulate
+        li = tables["lineitem"].repartition(8)
+        summ = sketch_accumulate(li, ["l_returnflag"], "l_quantity",
+                                 family="quantile", impl="MERGEABLE", k=65536)
+        est = summ.select(
+            "l_returnflag",
+            dsf.approx_percentile_estimate("state", 0.5).alias("p50"))
+        got = {r.l_returnflag: r.p50 for r in est.collect()}
+        exact = {r.l_returnflag: r.p50 for r in li.groupBy("l_returnflag")
+                 .agg(F.expr("percentile(l_quantity, 0.5)").alias("p50")).collect()}
+        for k, v in exact.items():
+            assert abs(got[k] - v) <= 1.0, (k, got[k], v)
+
+    def test_theta_two_phase_exact_regime(self, spark, tables):
+        from datasketches_spark_spark.operators import sketch_accumulate
+        ev = tables["events"].repartition(8)
+        summ = sketch_accumulate(ev, ["event_type"], "user_id", family="theta")
+        est = summ.select("event_type",
+                          dsf.approx_count_distinct_estimate("state").alias("ndv"))
+        got = {r.event_type: r.ndv for r in est.collect()}
+        exact = {r.event_type: r.n for r in
+                 ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert got == exact
+
+    def test_freq_two_phase(self, spark, tables):
+        from datasketches_spark_spark.operators import sketch_accumulate
+        li = tables["lineitem"].repartition(8)
+        summ = sketch_accumulate(li, [], "l_returnflag", family="freq")
+        est = summ.select(dsf.approx_freqitems_estimate("state").alias("fi"))
+        items = {r.item: r.estimated for r in est.select(F.inline("fi")).collect()}
+        exact = {r.l_returnflag: r.c for r in
+                 li.groupBy("l_returnflag").agg(F.count("*").alias("c")).collect()}
+        assert items == exact

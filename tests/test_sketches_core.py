@@ -1,0 +1,190 @@
+"""Unit tests for the pure-Python sketch core (no Spark).
+
+Mirrors the reference's SketchExpressionSuite strategy
+(``SketchExpressionSuite.scala:27-85``): exercise serialize -> deserialize ->
+merge -> estimate round trips and exactness/accuracy properties.
+"""
+
+import numpy as np
+import pytest
+
+from datasketches_spark_spark.sketches import (
+    FreqItemsSketch,
+    KllSketch,
+    ThetaSketch,
+    deserialize_any,
+)
+
+
+# --------------------------------------------------------------------- KLL
+
+class TestKll:
+    def test_exact_small(self):
+        sk = KllSketch(k=200)
+        sk.update_batch(np.arange(1, 101, dtype=np.float64))
+        assert sk.is_exact()
+        # rank rule: smallest value with cumweight >= ceil(p*n)
+        assert sk.quantile(0.5) == 50.0
+        assert sk.quantile(0.95) == 95.0
+        assert sk.quantile(0.0) == 1.0
+        assert sk.quantile(1.0) == 100.0
+
+    def test_empty_returns_none(self):
+        sk = KllSketch()
+        assert sk.quantile(0.5) is None
+        assert sk.quantiles([0.1, 0.9]) is None
+        assert sk.pmf(4) is None
+
+    def test_serde_roundtrip(self):
+        sk = KllSketch(k=128)
+        sk.update_batch(np.random.default_rng(1).normal(size=5000))
+        blob = sk.serialize()
+        sk2 = KllSketch.deserialize(blob)
+        assert sk2.n == sk.n
+        assert sk2.quantile(0.5) == sk.quantile(0.5)
+        assert isinstance(deserialize_any(blob), KllSketch)
+
+    def test_merge_matches_union(self):
+        rng = np.random.default_rng(2)
+        a, b = rng.normal(size=20000), rng.normal(size=30000)
+        sa, sb = KllSketch(k=200), KllSketch(k=200)
+        sa.update_batch(a)
+        sb.update_batch(b)
+        sa.merge(sb)
+        assert sa.n == 50000
+        exact = np.quantile(np.concatenate([a, b]), 0.5)
+        assert abs(sa.quantile(0.5) - exact) < 0.05
+
+    def test_accuracy_large(self):
+        rng = np.random.default_rng(3)
+        data = rng.uniform(0, 1, size=200_000)
+        sk = KllSketch(k=200)
+        for chunk in np.array_split(data, 37):
+            sk.update_batch(chunk)
+        assert not sk.is_exact()
+        for p in [0.01, 0.25, 0.5, 0.75, 0.99]:
+            est = sk.quantile(p)
+            # rank error for k=200 should be well under 2%
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - max(p, 1e-9)) < 0.02, (p, est, true_rank)
+
+    def test_pmf_exact(self):
+        sk = KllSketch(k=1000, dtype=np.float64)
+        vals = np.arange(1.0, 101.0)
+        sk.update_batch(vals)
+        pmf = sk.pmf(4)
+        assert len(pmf) == 4
+        assert abs(sum(pmf) - 1.0) < 1e-12
+        # splits at 1+i*99/4 = 25.75, 50.5, 75.25 over integers 1..100
+        assert pmf[0] == 25 / 100  # x < 25.75
+        assert pmf[1] == 25 / 100  # 25.75 <= x < 50.5
+        assert pmf[2] == 25 / 100
+        assert pmf[3] == 25 / 100
+
+    def test_float32_downcast(self):
+        # reference parity: values sketched as float32 (quantileSketches.scala:250-255)
+        sk = KllSketch(k=100, dtype=np.float32)
+        sk.update_batch(np.asarray([1.1, 2.2, 3.3]))
+        q = sk.quantile(0.5)
+        assert q == pytest.approx(np.float32(2.2), abs=0)
+
+    def test_quantile_disc_rule_matches_duckdb(self):
+        import duckdb
+        rng = np.random.default_rng(4)
+        vals = rng.integers(0, 1000, size=777).astype(np.float64)
+        sk = KllSketch(k=4096, dtype=np.float64)
+        sk.update_batch(vals)
+        assert sk.is_exact()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest($1::DOUBLE[]) v", [list(vals)])
+        for p in [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0]:
+            want = con.execute(f"SELECT quantile_disc(v, {p}) FROM t").fetchone()[0]
+            assert sk.quantile(p) == want, p
+
+
+# --------------------------------------------------------------------- freq
+
+class TestFreq:
+    def test_exact_regime(self):
+        sk = FreqItemsSketch(max_map_size=64)
+        sk.update_batch(["a"] * 3 + ["b"] + ["c"])
+        assert sk.is_exact()
+        assert sk.frequent_items() == [("a", 3), ("b", 1), ("c", 1)]
+
+    def test_long_items(self):
+        from datasketches_spark_spark.sketches import ITEM_LONG
+        sk = FreqItemsSketch(max_map_size=64, item_type=ITEM_LONG)
+        sk.update_batch([7, 7, 8])
+        assert sk.frequent_items() == [(7, 2), (8, 1)]
+
+    def test_serde_roundtrip(self):
+        sk = FreqItemsSketch(max_map_size=64)
+        sk.update_batch(["x", "y", "x"])
+        sk2 = FreqItemsSketch.deserialize(sk.serialize())
+        assert sk2.frequent_items() == sk.frequent_items()
+        assert sk2.n == 3
+
+    def test_merge(self):
+        a = FreqItemsSketch(max_map_size=64)
+        b = FreqItemsSketch(max_map_size=64)
+        a.update_batch(["a", "a", "b"])
+        b.update_batch(["a", "c"])
+        a.merge(b)
+        assert a.frequent_items() == [("a", 3), ("b", 1), ("c", 1)]
+        assert a.n == 5
+
+    def test_no_false_positives_under_purge(self):
+        rng = np.random.default_rng(5)
+        # heavy item appears 5000 times among 20000 noise items
+        stream = ["HEAVY"] * 5000 + [f"n{i}" for i in rng.integers(0, 20000, 20000)]
+        rng.shuffle(stream)
+        sk = FreqItemsSketch(max_map_size=256)
+        for i in range(0, len(stream), 1000):
+            sk.update_batch(stream[i:i + 1000])
+        assert not sk.is_exact()
+        items = dict(sk.frequent_items())
+        assert "HEAVY" in items
+        # estimate is an upper bound within n/cap of truth
+        assert items["HEAVY"] >= 5000
+        assert items["HEAVY"] - 5000 <= len(stream) // 256 + 1
+
+    def test_invalid_map_size(self):
+        with pytest.raises(ValueError):
+            FreqItemsSketch(max_map_size=100)  # not a power of 2
+
+
+# --------------------------------------------------------------------- theta
+
+class TestTheta:
+    def test_exact_below_k(self):
+        sk = ThetaSketch(k=4096)
+        sk.update_longs(np.arange(1000))
+        assert sk.is_exact()
+        assert sk.estimate() == 1000
+
+    def test_string_updates(self):
+        sk = ThetaSketch(k=4096)
+        sk.update_strings([f"u{i}" for i in range(500)] * 3)
+        assert sk.estimate() == 500
+
+    def test_estimation_accuracy(self):
+        sk = ThetaSketch(k=4096)
+        n = 1_000_000
+        sk.update_longs(np.arange(n))
+        assert not sk.is_exact()
+        est = sk.estimate()
+        assert abs(est - n) / n < 0.05  # ~3 RSE at k=4096
+
+    def test_merge_dedups(self):
+        a, b = ThetaSketch(k=1024), ThetaSketch(k=1024)
+        a.update_longs(np.arange(0, 600))
+        b.update_longs(np.arange(300, 900))
+        a.merge(b)
+        assert a.estimate() == 900  # still exact: 900 < k
+
+    def test_serde_roundtrip(self):
+        sk = ThetaSketch(k=256)
+        sk.update_longs(np.arange(10_000))
+        sk2 = ThetaSketch.deserialize(sk.serialize())
+        assert sk2.estimate() == sk.estimate()
+        assert isinstance(deserialize_any(sk.serialize()), ThetaSketch)
