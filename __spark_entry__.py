@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (SURVEY.md §2) at a scale
+where the sketch is in its EXACT regime (retained items below sketch
+capacity), so results hash-match the DuckDB oracle bit-for-bit; pytest
+covers the approximate regime against error bounds separately
+(tests/test_functions_spark.py, tests/test_sketches_core.py).
+
+Engine quantile rank rule == DuckDB ``quantile_disc``: value at rank
+``max(ceil(p*n), 1)`` (see sketches/kll.py).
 """
 
 from __future__ import annotations
@@ -12,27 +15,249 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark import functions as dsf
+from datasketches_spark_spark.operators import sketch_accumulate
+from datasketches_spark_spark.sources import read_table
+
+# Sketch sizes chosen so sf0.01 (and sf0.1 for the pipeline queries on
+# `events`) stays in the exact regime; see module docstring.
+_QK = 262_144        # quantile sketch k (l_returnflag group ~20k rows at sf0.01)
+_TK = 16_384         # theta k (user_id NDV 1.5k at sf0.1)
+
+
+# --------------------------------------------------------------------- queries
+
+def _q01_percentile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(dsf.approx_percentile_mergeable("l_quantity", 0.5, k=_QK)
+                 .alias("p50_qty"),
+                 dsf.approx_percentile_mergeable("l_extendedprice", 0.95, k=_QK)
+                 .alias("p95_price"))
+            .orderBy("l_returnflag"))
+
+
+def _q02_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    qs = dsf.approx_percentile_mergeable(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], k=_QK).alias("qs")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(qs)
+            .select("l_returnflag", "l_linestatus",
+                    F.element_at("qs", 1).alias("p25"),
+                    F.element_at("qs", 2).alias("p50"),
+                    F.element_at("qs", 3).alias("p75"),
+                    F.element_at("qs", 4).alias("p95"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q03_percentile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: accumulate per day -> filter window -> combine -> estimate.
+
+    The reference's distinguishing capability (README.md:68-100): sketch
+    summaries per time bucket, merged over an arbitrary later-chosen subset
+    without rescanning raw data. Two-phase map-side combine via
+    sketch_accumulate."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    summaries = sketch_accumulate(
+        ev.select(day, "value"), ["day"], "value",
+        family="quantile", impl="MERGEABLE", k=_QK)
+    merged = (summaries
+              .where((F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-22"))
+              .agg(dsf.approx_percentile_combine("state").alias("m")))
+    est = dsf.approx_percentile_estimate("m", [0.5, 0.95])
+    return merged.select(F.element_at(est, 1).alias("p50"),
+                         F.element_at(est, 2).alias("p95"))
+
+
+def _q04_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    summ = (li.groupBy("l_returnflag")
+            .agg(dsf.approx_percentile_accumulate("l_quantity", impl="MERGEABLE",
+                                                  k=_QK).alias("state")))
+    pmf = dsf.approx_pmf_estimate("state", 4)
+    return (summ.select("l_returnflag",
+                        F.element_at(pmf, 1).alias("b0"),
+                        F.element_at(pmf, 2).alias("b1"),
+                        F.element_at(pmf, 3).alias("b2"),
+                        F.element_at(pmf, 4).alias("b3"))
+            .orderBy("l_returnflag"))
+
+
+def _q05_ndv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(dsf.approx_count_distinct_ex("user_id", k=_TK).alias("ndv_users"))
+            .orderBy("event_type"))
+
+
+def _q06_ndv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    summaries = sketch_accumulate(ev.select(day, "user_id"), ["day"], "user_id",
+                                  family="theta", k=_TK)
+    merged = (summaries.where(F.col("day") < "2024-01-15")
+              .agg(dsf.approx_count_distinct_combine("state").alias("m")))
+    return merged.select(dsf.approx_count_distinct_estimate("m").alias("ndv_users"))
+
+
+def _q07_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native DataSketches HLL path (JVM TypedImperativeAggregate)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(dsf.approx_count_distinct_hll("user_id").alias("ndv_users"))
+            .orderBy("event_type"))
+
+
+def _q08_freqitems_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part")
+    # broadcast the small dim: lineitem ⋈ part is a broadcast-hash join
+    joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    fi = joined.agg(dsf.approx_freqitems("p_brand").alias("fi"))
+    return fi.select(F.inline("fi")).orderBy(F.desc("estimated"), "item")
+
+
+def _q09_freqitems_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = read_table(spark, sf_dir, "orders")
+    summ = sketch_accumulate(od, ["o_orderstatus"], "o_orderpriority",
+                             family="freq")
+    merged = summ.agg(dsf.approx_freqitems_combine("state").alias("m"))
+    est = merged.select(dsf.approx_freqitems_estimate("m").alias("fi"))
+    return est.select(F.inline("fi")).orderBy(F.desc("estimated"), "item")
+
+
+def _q10_freqitems_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    fi = li.agg(dsf.approx_freqitems("l_suppkey", item_type="long").alias("fi"))
+    return (fi.select(F.inline("fi"))
+            .orderBy(F.desc("estimated"), "item").limit(10))
+
+
+def _q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary with a sketch percentile column:
+    exact aggregates stay JVM-side (whole-stage codegen), only the sketch
+    runs through Arrow."""
+    li = read_table(spark, sf_dir, "lineitem")
+    # sum over integer-valued doubles (l_quantity) and integer cents is
+    # order-independent — exact match with the oracle regardless of
+    # partial-aggregation order; a raw double sum would differ in the last
+    # bits between Spark's partial/final tree and DuckDB's scan order.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    filtered = li.where(F.col("l_shipdate") <= "1998-09-01")
+    # Spark cannot mix a grouped-agg pandas UDF with JVM aggregates in one
+    # Aggregate ([INVALID_PANDAS_UDF_PLACEMENT]), so the sketch runs as a
+    # separate two-phase aggregation and joins back on the (tiny) group keys.
+    exact = (filtered.groupBy("l_returnflag", "l_linestatus")
+             .agg(F.sum("l_quantity").alias("sum_qty"),
+                  F.sum(cents).alias("sum_base_price_cents"),
+                  F.count("*").alias("count_order")))
+    sketched = sketch_accumulate(filtered, ["l_returnflag", "l_linestatus"],
+                                 "l_quantity", family="quantile",
+                                 impl="MERGEABLE", k=_QK)
+    sketched = sketched.select(
+        "l_returnflag", "l_linestatus",
+        dsf.approx_percentile_estimate("state", 0.9).alias("p90_qty"))
+    return (exact.join(sketched, ["l_returnflag", "l_linestatus"])
+            .orderBy("l_returnflag", "l_linestatus"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_percentile_by_flag": _q01_percentile_by_flag,
+        "q02_percentile_multi": _q02_percentile_multi,
+        "q03_percentile_pipeline": _q03_percentile_pipeline,
+        "q04_pmf": _q04_pmf,
+        "q05_ndv_by_type": _q05_ndv_by_type,
+        "q06_ndv_pipeline": _q06_ndv_pipeline,
+        "q07_ndv_hll": _q07_ndv_hll,
+        "q08_freqitems_brand": _q08_freqitems_brand,
+        "q09_freqitems_pipeline": _q09_freqitems_pipeline,
+        "q10_freqitems_long": _q10_freqitems_long,
+        "q11_pricing_summary": _q11_pricing_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_percentile_by_flag": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5) AS p50_qty,
+                   quantile_disc(l_extendedprice, 0.95) AS p95_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q02_percentile_multi": """
+            SELECT l_returnflag, l_linestatus,
+                   quantile_disc(l_extendedprice, 0.25) AS p25,
+                   quantile_disc(l_extendedprice, 0.50) AS p50,
+                   quantile_disc(l_extendedprice, 0.75) AS p75,
+                   quantile_disc(l_extendedprice, 0.95) AS p95
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q03_percentile_pipeline": """
+            SELECT quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.95) AS p95
+            FROM events
+            WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-08'
+              AND date_trunc('day', ts) <  TIMESTAMP '2024-01-22'
+        """,
+        # PMF bins: splitpoints at min + i*((max-min)/4), mass of x < sp
+        # (matching sketches/kll.py::pmf); integer-valued l_quantity avoids
+        # boundary-equality float hazards.
+        "q04_pmf": """
+            WITH b AS (SELECT l_returnflag, min(l_quantity) lo,
+                              max(l_quantity) hi, count(*) n
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT li.l_returnflag,
+                   CAST(sum(CASE WHEN l_quantity <  lo + (hi-lo)/4 THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n) AS b0,
+                   CAST(sum(CASE WHEN l_quantity >= lo + (hi-lo)/4 AND l_quantity < lo + 2*((hi-lo)/4) THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n) AS b1,
+                   CAST(sum(CASE WHEN l_quantity >= lo + 2*((hi-lo)/4) AND l_quantity < lo + 3*((hi-lo)/4) THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n) AS b2,
+                   CAST(sum(CASE WHEN l_quantity >= lo + 3*((hi-lo)/4) THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n) AS b3
+            FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+            GROUP BY li.l_returnflag ORDER BY li.l_returnflag
+        """,
+        "q05_ndv_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS ndv_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q06_ndv_pipeline": """
+            SELECT count(DISTINCT user_id) AS ndv_users
+            FROM events WHERE date_trunc('day', ts) < TIMESTAMP '2024-01-15'
+        """,
+        "q07_ndv_hll": """
+            SELECT event_type, count(DISTINCT user_id) AS ndv_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q08_freqitems_brand": """
+            SELECT p_brand AS item, count(*) AS estimated
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY estimated DESC, item
+        """,
+        "q09_freqitems_pipeline": """
+            SELECT o_orderpriority AS item, count(*) AS estimated
+            FROM orders GROUP BY o_orderpriority ORDER BY estimated DESC, item
+        """,
+        "q10_freqitems_long": """
+            SELECT l_suppkey AS item, count(*) AS estimated
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY estimated DESC, item LIMIT 10
+        """,
+        "q11_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   count(*) AS count_order,
+                   quantile_disc(l_quantity, 0.9) AS p90_qty
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+    }
