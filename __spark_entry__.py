@@ -145,7 +145,11 @@ def _q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-independent — exact match with the oracle regardless of
     # partial-aggregation order; a raw double sum would differ in the last
     # bits between Spark's partial/final tree and DuckDB's scan order.
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # floor(), not round(): both engines floor the identical IEEE double
+    # (l_extendedprice*100), whereas Spark rounds via BigDecimal HALF_UP on
+    # the shortest-decimal repr and DuckDB via C round on the binary value —
+    # they disagree on half-cent boundaries (CORRECTNESS_r01 q11 hash miss).
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     filtered = li.where(F.col("l_shipdate") <= "1998-09-01")
     # Spark cannot mix a grouped-agg pandas UDF with JVM aggregates in one
     # Aggregate ([INVALID_PANDAS_UDF_PLACEMENT]), so the sketch runs as a
@@ -253,7 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
                    count(*) AS count_order,
                    quantile_disc(l_quantity, 0.9) AS p90_qty
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
