@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datasketches_spark_spark import functions as dsf
-from datasketches_spark_spark.operators import sketch_accumulate
+from datasketches_spark_spark.operators import (
+    distinct_measure,
+    freqitems_measure,
+    percentile_measure,
+    sketch_accumulate,
+    sketch_grouped_agg,
+)
 from datasketches_spark_spark.sources import read_table
 
 # Sketch sizes chosen so sf0.01 (and sf0.1 for the pipeline queries on
@@ -30,25 +36,29 @@ _TK = 16_384         # theta k (user_id NDV 1.5k at sf0.1)
 # --------------------------------------------------------------------- queries
 
 def _q01_percentile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two measures, one scan, one state-only shuffle (map-side sketching
+    via sketch_grouped_agg — raw rows never cross the exchange)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(dsf.approx_percentile_mergeable("l_quantity", 0.5, k=_QK)
-                 .alias("p50_qty"),
-                 dsf.approx_percentile_mergeable("l_extendedprice", 0.95, k=_QK)
-                 .alias("p95_price"))
+    return (sketch_grouped_agg(
+                li, ["l_returnflag"],
+                percentile_measure("p50_qty", "l_quantity", 0.5,
+                                   impl="MERGEABLE", k=_QK),
+                percentile_measure("p95_price", "l_extendedprice", 0.95,
+                                   impl="MERGEABLE", k=_QK))
             .orderBy("l_returnflag"))
 
 
 def _q02_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    qs = dsf.approx_percentile_mergeable(
-        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], k=_QK).alias("qs")
-    return (li.groupBy("l_returnflag", "l_linestatus").agg(qs)
-            .select("l_returnflag", "l_linestatus",
-                    F.element_at("qs", 1).alias("p25"),
-                    F.element_at("qs", 2).alias("p50"),
-                    F.element_at("qs", 3).alias("p75"),
-                    F.element_at("qs", 4).alias("p95"))
+    agg = sketch_grouped_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        percentile_measure("qs", "l_extendedprice", [0.25, 0.5, 0.75, 0.95],
+                           impl="MERGEABLE", k=_QK))
+    return (agg.select("l_returnflag", "l_linestatus",
+                       F.element_at("qs", 1).alias("p25"),
+                       F.element_at("qs", 2).alias("p50"),
+                       F.element_at("qs", 3).alias("p75"),
+                       F.element_at("qs", 4).alias("p95"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
@@ -74,9 +84,8 @@ def _q03_percentile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q04_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    summ = (li.groupBy("l_returnflag")
-            .agg(dsf.approx_percentile_accumulate("l_quantity", impl="MERGEABLE",
-                                                  k=_QK).alias("state")))
+    summ = sketch_accumulate(li, ["l_returnflag"], "l_quantity",
+                             family="quantile", impl="MERGEABLE", k=_QK)
     pmf = dsf.approx_pmf_estimate("state", 4)
     return (summ.select("l_returnflag",
                         F.element_at(pmf, 1).alias("b0"),
@@ -88,8 +97,8 @@ def _q04_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q05_ndv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(dsf.approx_count_distinct_ex("user_id", k=_TK).alias("ndv_users"))
+    return (sketch_grouped_agg(ev, ["event_type"],
+                               distinct_measure("ndv_users", "user_id", k=_TK))
             .orderBy("event_type"))
 
 
@@ -116,7 +125,10 @@ def _q08_freqitems_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = read_table(spark, sf_dir, "part")
     # broadcast the small dim: lineitem ⋈ part is a broadcast-hash join
     joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-    fi = joined.agg(dsf.approx_freqitems("p_brand").alias("fi"))
+    # single-group aggregate via map-side sketching: each partition emits one
+    # small freq-items state; only ~num_partitions states reach the one
+    # merging task (round 1 shuffled every raw row to it).
+    fi = sketch_grouped_agg(joined, [], freqitems_measure("fi", "p_brand"))
     return fi.select(F.inline("fi")).orderBy(F.desc("estimated"), "item")
 
 
@@ -131,7 +143,9 @@ def _q09_freqitems_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q10_freqitems_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    fi = li.agg(dsf.approx_freqitems("l_suppkey", item_type="long").alias("fi"))
+    fi = sketch_grouped_agg(li, [],
+                            freqitems_measure("fi", "l_suppkey",
+                                              item_type="long"))
     return (fi.select(F.inline("fi"))
             .orderBy(F.desc("estimated"), "item").limit(10))
 

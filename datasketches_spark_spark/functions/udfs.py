@@ -45,6 +45,7 @@ from ..sketches import (
     KllSketch,
     ThetaSketch,
     deserialize_any,
+    hash_series,
 )
 
 log = logging.getLogger(__name__)
@@ -267,10 +268,7 @@ def theta_acc_udf(k: int):
         if v.empty:
             return None
         sk = ThetaSketch(k=k)
-        if pd.api.types.is_integer_dtype(v) or pd.api.types.is_float_dtype(v):
-            sk.update_longs(v.astype(np.int64).to_numpy())
-        else:
-            sk.update_strings(v.astype(str).tolist())
+        sk.update_hashes(hash_series(v))
         return sk.serialize()
 
     return acc
@@ -283,10 +281,7 @@ def theta_direct_udf(k: int):
         if v.empty:
             return None
         sk = ThetaSketch(k=k)
-        if pd.api.types.is_integer_dtype(v) or pd.api.types.is_float_dtype(v):
-            sk.update_longs(v.astype(np.int64).to_numpy())
-        else:
-            sk.update_strings(v.astype(str).tolist())
+        sk.update_hashes(hash_series(v))
         return sk.estimate()
 
     return direct

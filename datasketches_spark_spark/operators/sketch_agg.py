@@ -41,6 +41,7 @@ from ..sketches import (
     FreqItemsSketch,
     KllSketch,
     ThetaSketch,
+    hash_series,
 )
 
 _QUANTILE_DTYPES = {"KLL": np.float32, "REQ": np.float32, "MERGEABLE": np.float64}
@@ -89,12 +90,8 @@ def _theta_family(k: int | None):
 
     def update(sk, values: pd.Series):
         v = values.dropna()
-        if v.empty:
-            return
-        if pd.api.types.is_integer_dtype(v) or pd.api.types.is_float_dtype(v):
-            sk.update_longs(v.astype(np.int64).to_numpy())
-        else:
-            sk.update_strings(v.astype(str).tolist())
+        if not v.empty:
+            sk.update_hashes(hash_series(v))
 
     return make, update
 
@@ -115,14 +112,27 @@ def _family(name: str, **params):
 
 def sketch_partial(df: DataFrame, keys: list[str], col: str,
                    family: str, state_col: str = "state",
+                   max_groups: int = 100_000,
                    **params) -> DataFrame:
     """Phase 1: partition-local sketching. One output row per (partition,
     group); no shuffle. Input is pruned to ``keys + [col]`` so the parquet
-    scan reads only those columns."""
+    scan reads only those columns.
+
+    ``max_groups`` bounds executor memory for high-cardinality group keys
+    (e.g. ``user_id`` at 100 TB): when a partition has accumulated that many
+    live sketches, their states are flushed downstream and the dict resets.
+    Correctness is unaffected — phase 2 re-merges all partial states for a
+    key; the cost is only extra (still state-sized, not raw-sized) shuffle
+    rows on pathological key distributions."""
     make, update = _family(family, **params)
     src = df.select(*keys, col)
     fields = [src.schema[k] for k in keys]
     out_schema = StructType(fields + [StructField(state_col, BinaryType())])
+
+    def flush(sketches: dict) -> pd.DataFrame:
+        rows = {k: [kv[i] for kv in sketches] for i, k in enumerate(keys)}
+        rows[state_col] = [sk.serialize() for sk in sketches.values()]
+        return pd.DataFrame(rows)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict = {}
@@ -141,12 +151,116 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
                 if sk is None:
                     sk = sketches[kv] = make()
                 update(sk, grp[col])
+            if len(sketches) >= max_groups:
+                yield flush(sketches)
+                sketches = {}
         if sketches:
-            rows = {k: [kv[i] for kv in sketches] for i, k in enumerate(keys)}
-            rows[state_col] = [sk.serialize() for sk in sketches.values()]
-            yield pd.DataFrame(rows)
+            yield flush(sketches)
 
     return src.mapInPandas(build, out_schema)
+
+
+class Measure:
+    """One sketched aggregate in a :func:`sketch_grouped_agg` call: which
+    column to sketch, with which family/params, and how to turn the merged
+    state into the output column."""
+
+    __slots__ = ("name", "col", "family", "params", "estimator")
+
+    def __init__(self, name: str, col: str, family: str, estimator, **params):
+        self.name = name
+        self.col = col
+        self.family = family
+        self.params = params
+        self.estimator = estimator  # Column(state) -> Column(result)
+
+
+def percentile_measure(name: str, col: str, percentage,
+                       impl: str | None = None, k: int | None = None) -> Measure:
+    from ..functions.quantiles import approx_percentile_estimate
+    return Measure(name, col, "quantile",
+                   lambda c: approx_percentile_estimate(c, percentage),
+                   impl=impl, k=k)
+
+
+def freqitems_measure(name: str, col: str, item_type: str = "string",
+                      max_map_size: int | None = None) -> Measure:
+    from ..functions.freqitems import approx_freqitems_estimate
+    it = ITEM_LONG if item_type in ("long", "int") else ITEM_STR
+    return Measure(name, col, "freq",
+                   lambda c: approx_freqitems_estimate(c, item_type=item_type),
+                   item_type=it, max_map_size=max_map_size)
+
+
+def distinct_measure(name: str, col: str, k: int | None = None) -> Measure:
+    from ..functions.distinctcnt import approx_count_distinct_estimate
+    return Measure(name, col, "theta",
+                   lambda c: approx_count_distinct_estimate(c), k=k)
+
+
+def sketch_partial_multi(df: DataFrame, keys: list[str],
+                         measures: list[Measure],
+                         max_groups: int = 100_000) -> DataFrame:
+    """Phase 1 over several measures in ONE pass: each input partition is
+    streamed once, one live sketch per (group, measure), emitting
+    ``(keys..., <name>__state ...)`` rows. Compared with running one
+    ``sketch_partial`` per measure this scans the source once instead of M
+    times and shuffles one state row per group instead of M."""
+    built = [(m, *_family(m.family, **m.params)) for m in measures]
+    cols = list(dict.fromkeys([*keys, *(m.col for m in measures)]))
+    src = df.select(*cols)
+    fields = [src.schema[k] for k in keys]
+    state_cols = [f"{m.name}__state" for m in measures]
+    out_schema = StructType(fields + [StructField(c, BinaryType())
+                                      for c in state_cols])
+
+    def flush(groups: dict) -> pd.DataFrame:
+        rows = {k: [kv[i] for kv in groups] for i, k in enumerate(keys)}
+        for j, c in enumerate(state_cols):
+            rows[c] = [sks[j].serialize() for sks in groups.values()]
+        return pd.DataFrame(rows)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if keys:
+                grouped = pdf.groupby(keys, dropna=False, sort=False)
+            else:
+                grouped = [((), pdf)]
+            for kv, grp in grouped:
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                sks = groups.get(kv)
+                if sks is None:
+                    sks = groups[kv] = [make() for _, make, _ in built]
+                for j, (m, _, update) in enumerate(built):
+                    update(sks[j], grp[m.col])
+            if len(groups) >= max_groups:
+                yield flush(groups)
+                groups = {}
+        if groups:
+            yield flush(groups)
+
+    return src.mapInPandas(build, out_schema)
+
+
+def sketch_grouped_agg(df: DataFrame, keys: list[str],
+                       *measures: Measure) -> DataFrame:
+    """Grouped sketch aggregation with the scale-correct physics: map-side
+    partial sketches (``mapInPandas``), a state-only shuffle, reduce-side
+    merge, then estimate. This is what a bare ``GROUPED_AGG`` pandas UDF
+    cannot do — it would shuffle every raw row to the aggregating task
+    (the reference gets partial/final for free from
+    ``TypedImperativeAggregate``, ``quantileSketches.scala:234-273``)."""
+    ms = list(measures)
+    partial = sketch_partial_multi(df, keys, ms)
+    combines = [combine_udf()(F.col(f"{m.name}__state"))
+                .alias(f"{m.name}__state") for m in ms]
+    merged = (partial.groupBy(*keys).agg(*combines) if keys
+              else partial.agg(*combines))
+    outs = [m.estimator(F.col(f"{m.name}__state")).alias(m.name) for m in ms]
+    return merged.select(*keys, *outs)
 
 
 def sketch_merge(df: DataFrame, keys: list[str],

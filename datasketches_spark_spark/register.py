@@ -13,12 +13,12 @@ SQL-path notes:
   columns and validated at runtime; the DataFrame API in
   ``datasketches_spark_spark.functions`` validates them eagerly at query
   build, matching the reference's AnalysisException behavior.
-* ``approx_count_distinct_hll`` in SQL is served by the engine's Theta
-  sketch: a Python UDF cannot wrap the JVM ``hll_sketch_agg`` aggregate.
-  (Amusingly this matches the reference, whose ``_hll`` actually runs CPC —
-  ``distinctCntSketches.scala:249``.) For native HLL in SQL use Spark's
-  built-in ``hll_sketch_agg`` / ``hll_sketch_estimate`` directly, or the
-  DataFrame API which routes HLL to those built-ins.
+* ``approx_count_distinct_hll`` in SQL fails fast with a redirect message:
+  a Python UDF cannot wrap the JVM ``hll_sketch_agg`` aggregate, and
+  registering Theta under the HLL name (as round 1 did) would give SQL and
+  DataFrame users incompatible state formats behind one name. Native HLL in
+  SQL = Spark's built-in ``hll_sketch_agg`` / ``hll_sketch_estimate``; the
+  engine's Theta sketch in SQL = ``approx_count_distinct_theta``.
 """
 
 from __future__ import annotations
@@ -92,7 +92,7 @@ def _sql_quantile_est():
             ps, _ = validate_percentage(float(pct))
             try:
                 out.append(KllSketch.deserialize(bytes(blob)).quantile(ps[0]))
-            except ValueError:  # corrupt state -> null (reference parity)
+            except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
     return f
@@ -109,7 +109,7 @@ def _sql_quantile_est_array():
             ps, _ = validate_percentage(list(pct))
             try:
                 out.append(KllSketch.deserialize(bytes(blob)).quantiles(ps))
-            except ValueError:  # corrupt state -> null (reference parity)
+            except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
     return f
@@ -126,9 +126,21 @@ def _sql_pmf_est():
             validate_num_splits(int(splits))
             try:
                 out.append(KllSketch.deserialize(bytes(blob)).pmf(int(splits)))
-            except ValueError:  # corrupt state -> null (reference parity)
+            except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
+    return f
+
+
+def _sql_hll_redirect():
+    @pandas_udf(LongType())
+    def f(v: pd.Series) -> int:
+        raise ValueError(
+            "approx_count_distinct_hll is not served by a Python UDF: in SQL "
+            "use Spark's built-in hll_sketch_estimate(hll_sketch_agg(col)), "
+            "or the DataFrame API dsf.approx_count_distinct_hll which routes "
+            "to those built-ins; for the engine's Theta sketch in SQL use "
+            "approx_count_distinct_theta / approx_count_distinct_ex.")
     return f
 
 
@@ -163,7 +175,13 @@ def install(spark: SparkSession) -> None:
     tk = conf.distinct_theta_k(spark)
     spark.udf.register("approx_count_distinct_ex", theta_direct_udf(tk))
     spark.udf.register("approx_count_distinct_cpc", theta_direct_udf(tk))
-    spark.udf.register("approx_count_distinct_hll", theta_direct_udf(tk))
+    spark.udf.register("approx_count_distinct_theta", theta_direct_udf(tk))
+    # Honest non-registration of HLL-under-a-Theta-hood: a Python UDF cannot
+    # wrap the JVM hll_sketch_agg aggregate, and silently running Theta under
+    # the HLL name would hand SQL and DataFrame users mutually un-mergeable
+    # states for the same function name. The SQL name fails fast with a
+    # pointer to the real HLL paths instead.
+    spark.udf.register("approx_count_distinct_hll", _sql_hll_redirect())
     spark.udf.register("approx_count_distinct_accumulate", theta_acc_udf(tk))
     spark.udf.register("approx_count_distinct_combine", combine_udf())
     spark.udf.register("approx_count_distinct_estimate", theta_est_udf())

@@ -14,7 +14,13 @@ from .serde import (
     FAMILY_THETA,
     family_of,
 )
-from .theta import ThetaSketch, hash_longs, hash_strings
+from .theta import (
+    ThetaSketch,
+    hash_doubles,
+    hash_longs,
+    hash_series,
+    hash_strings,
+)
 
 
 def deserialize_any(data: bytes):
@@ -37,6 +43,8 @@ __all__ = [
     "ITEM_LONG",
     "hash_longs",
     "hash_strings",
+    "hash_doubles",
+    "hash_series",
     "deserialize_any",
     "family_of",
 ]

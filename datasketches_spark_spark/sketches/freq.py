@@ -71,7 +71,10 @@ class FreqItemsSketch:
                 self._purge()
 
     def update(self, item, weight: int = 1) -> None:
-        self.update_batch([item] * weight) if weight != 1 else self.update_batch([item])
+        if weight < 0:
+            raise ValueError("weight must be non-negative")
+        if weight:
+            self.update_batch({item: weight})
 
     # ------------------------------------------------------------------ merge
 
@@ -82,7 +85,15 @@ class FreqItemsSketch:
             raise ValueError("cannot merge freq sketches of different item types")
         self.max_map_size = min(self.max_map_size, other.max_map_size)
         counts, errs = self._counts, self._errs
-        for item, c in other._counts.items():
+        other_counts = other._counts
+        if other._max_err:
+            # items present only in self could have been purged from other:
+            # their estimate upper bound grows by other's max error (mirrors
+            # the self._max_err added to other-only items below).
+            for item in counts:
+                if item not in other_counts:
+                    errs[item] += other._max_err
+        for item, c in other_counts.items():
             if item in counts:
                 counts[item] += c
                 errs[item] += other._errs[item]

@@ -16,21 +16,32 @@ This engine offers two implementations:
   DataSketches HLL, true partial aggregation); see
   ``datasketches_spark_spark.functions.distinctcnt``.
 
-Hashing: 64-bit splitmix64 for integers, blake2b-8 for strings — stable
-across processes and sessions (no PYTHONHASHSEED dependence).
+Hashing (the stable state spec — states store hash values, so these rules
+must never change without a serde version bump):
+
+* integers: splitmix64 finalizer over the int64 value;
+* floats: integral values in int64 range hash as their integer (so an
+  int column that arrives as float64 because of nulls merges consistently
+  with partitions that arrived as int64); non-integral values hash their
+  raw IEEE-754 bit pattern (1.5 and 1.7 stay distinct — the round-1 code
+  truncated via astype(int64) and collapsed them);
+* strings: pandas ``hash_array`` (vectorized C siphash13 with the fixed
+  default key — deterministic across processes, no PYTHONHASHSEED
+  dependence), replacing the round-1 per-row blake2b Python loop.
 """
 
 from __future__ import annotations
 
 import struct
-from hashlib import blake2b
 
 import numpy as np
+import pandas as pd
 
 from .serde import FAMILY_THETA, pack, unpack
 
 _U64 = np.uint64
 _MAX_U64 = float(2**64)
+_INT64_MAX_F = float(2**63)
 
 
 def hash_longs(values: np.ndarray) -> np.ndarray:
@@ -46,12 +57,33 @@ def hash_longs(values: np.ndarray) -> np.ndarray:
 
 
 def hash_strings(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, s in enumerate(values):
-        out[i] = int.from_bytes(
-            blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
-        )
+    arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=True).astype(np.uint64)
+
+
+def hash_doubles(values: np.ndarray) -> np.ndarray:
+    """Per-value rule (batch-composition independent): integral & in-range
+    -> int64 hash; otherwise hash the IEEE bit pattern (-0.0 normalized)."""
+    f = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
+    if f.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    as_int = (np.floor(f) == f) & (np.abs(f) < _INT64_MAX_F)
+    out = np.empty(f.size, dtype=np.uint64)
+    out[as_int] = hash_longs(f[as_int].astype(np.int64))
+    rest = f[~as_int] + 0.0  # -0.0 -> 0.0 so equal values hash equally
+    out[~as_int] = hash_longs(rest.view(np.uint64))
     return out
+
+
+def hash_series(v: pd.Series) -> np.ndarray:
+    """Dtype dispatch for a null-free pandas Series -> uint64 hashes."""
+    if pd.api.types.is_integer_dtype(v):
+        return hash_longs(v.to_numpy(dtype=np.int64))
+    if pd.api.types.is_float_dtype(v):
+        return hash_doubles(v.to_numpy(dtype=np.float64))
+    return hash_strings(v.astype(str).to_numpy(dtype=object))
 
 
 class ThetaSketch:

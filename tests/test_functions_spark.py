@@ -211,3 +211,70 @@ class TestTwoPhaseOperator:
         exact = {r.l_returnflag: r.c for r in
                  li.groupBy("l_returnflag").agg(F.count("*").alias("c")).collect()}
         assert items == exact
+
+
+class TestTwoPhaseOperators:
+    def test_sketch_grouped_agg_multi_measure(self, spark, tables):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import (
+            distinct_measure, percentile_measure, sketch_grouped_agg)
+        li = tables["lineitem"].repartition(16)  # force multi-partition merge
+        got = {r["l_returnflag"]: r for r in sketch_grouped_agg(
+            li, ["l_returnflag"],
+            percentile_measure("p50", "l_quantity", 0.5,
+                               impl="MERGEABLE", k=262144),
+            distinct_measure("ndv_supp", "l_suppkey", k=16384)).collect()}
+        exact = {r["l_returnflag"]: r for r in li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50x"),
+            F.countDistinct("l_suppkey").alias("ndvx")).collect()}
+        for flag, row in got.items():
+            assert row["ndv_supp"] == exact[flag]["ndvx"]
+            # engine rank rule = value at ceil(p*n); exact percentile
+            # interpolates — allow the one-value gap
+            assert abs(row["p50"] - exact[flag]["p50x"]) <= 1.0
+
+    def test_sketch_partial_bounded_flush(self, spark, tables):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import (
+            sketch_merge, sketch_partial)
+        from datasketches_spark_spark import functions as dsf
+        ev = tables["events"]
+        # max_groups=2 forces repeated mid-partition flushes; phase-2 merge
+        # must still produce identical exact-regime results
+        partial = sketch_partial(ev, ["event_type"], "user_id",
+                                 family="theta", k=16384, max_groups=2)
+        merged = sketch_merge(partial, ["event_type"])
+        got = {r["event_type"]: r["ndv"] for r in merged.select(
+            "event_type",
+            dsf.approx_count_distinct_estimate("state").alias("ndv")).collect()}
+        exact = {r["event_type"]: r["ndv"] for r in ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("ndv")).collect()}
+        assert got == exact
+
+    def test_single_group_map_side_combine(self, spark, tables):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import (
+            freqitems_measure, sketch_grouped_agg)
+        od = tables["orders"].repartition(8)
+        fi = sketch_grouped_agg(od, [],
+                                freqitems_measure("fi", "o_orderpriority"))
+        got = dict((r["item"], r["estimated"])
+                   for r in fi.select(F.inline("fi")).collect())
+        exact = dict((r["o_orderpriority"], r["n"])
+                     for r in od.groupBy("o_orderpriority")
+                     .agg(F.count("*").alias("n")).collect())
+        assert got == exact
+
+    def test_sql_hll_name_fails_fast(self, spark, tables):
+        import pytest
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        with pytest.raises(Exception, match="hll_sketch_agg"):
+            spark.sql(
+                "SELECT approx_count_distinct_hll(user_id) FROM events"
+            ).collect()
+        # the honest Theta name works
+        n = spark.sql(
+            "SELECT approx_count_distinct_theta(user_id) AS n FROM events"
+        ).collect()[0].n
+        assert n > 0

@@ -188,3 +188,77 @@ class TestTheta:
         sk2 = ThetaSketch.deserialize(sk.serialize())
         assert sk2.estimate() == sk.estimate()
         assert isinstance(deserialize_any(sk.serialize()), ThetaSketch)
+
+
+class TestHashing:
+    def test_float_distinctness_preserved(self):
+        # round-1 bug: astype(int64) collapsed 1.5 and 1.7 (ADVICE item)
+        import numpy as np
+        from datasketches_spark_spark.sketches import ThetaSketch, hash_doubles
+        sk = ThetaSketch(k=64)
+        sk.update_hashes(hash_doubles(np.array([1.5, 1.7, 1.5])))
+        assert sk.estimate() == 2
+
+    def test_integral_float_matches_int(self):
+        # int column arriving as float64 (nulls) must merge consistently
+        # with partitions that arrived as int64
+        import numpy as np
+        from datasketches_spark_spark.sketches import hash_doubles, hash_longs
+        ints = np.array([0, 1, 5, -3, 2**40], dtype=np.int64)
+        assert (hash_doubles(ints.astype(np.float64)) == hash_longs(ints)).all()
+
+    def test_negative_zero(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import hash_doubles
+        a = hash_doubles(np.array([0.0]))
+        b = hash_doubles(np.array([-0.0]))
+        assert (a == b).all()
+
+    def test_string_hash_stable_and_distinct(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import hash_strings
+        vals = [f"item-{i}" for i in range(1000)]
+        h1 = hash_strings(np.array(vals, dtype=object))
+        h2 = hash_strings(np.array(vals, dtype=object))
+        assert (h1 == h2).all()
+        assert len(set(h1.tolist())) == 1000
+
+    def test_hash_series_dispatch(self):
+        import numpy as np
+        import pandas as pd
+        from datasketches_spark_spark.sketches import (
+            hash_longs, hash_series, hash_strings)
+        assert (hash_series(pd.Series([1, 2, 3]))
+                == hash_longs(np.array([1, 2, 3]))).all()
+        assert (hash_series(pd.Series(["a", "b"]))
+                == hash_strings(np.array(["a", "b"], dtype=object))).all()
+
+
+class TestFreqMergeSymmetry:
+    def test_merge_order_independent_estimates(self):
+        # ADVICE item: self-only items previously missed other's max_err,
+        # so estimates depended on merge order after a lossy merge
+        from datasketches_spark_spark.sketches import FreqItemsSketch
+
+        def build(items):
+            sk = FreqItemsSketch(max_map_size=4)
+            sk.update_batch(items)
+            return sk
+
+        left = ["a"] * 100 + ["b"] * 50 + ["x", "y", "z", "w", "v"]  # purges
+        right = ["a"] * 80 + ["c"] * 60 + ["p", "q", "r", "s", "t"]  # purges
+        ab = build(left).merge(build(right))
+        ba = build(right).merge(build(left))
+        for item in ("a", "b", "c"):
+            assert ab.estimate(item) == ba.estimate(item), item
+        assert ab._max_err == ba._max_err
+
+    def test_weighted_update(self):
+        from datasketches_spark_spark.sketches import FreqItemsSketch
+        sk = FreqItemsSketch(max_map_size=16)
+        sk.update("a", weight=5)
+        sk.update("a")
+        sk.update("b", weight=0)
+        assert sk.estimate("a") == 6
+        assert sk.estimate("b") == 0
+        assert sk.n == 6
