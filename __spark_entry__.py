@@ -182,6 +182,42 @@ def _q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def _q12_percentile_impls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three quantile impls (KLL / REQ / default=REQ per conf) through
+    the oracle on l_quantity — integer-valued, exactly representable in the
+    float32 the KLL/REQ sketches use (l_extendedprice would lose float32
+    precision; the MERGEABLE/float64 impl covers that in q01/q02)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (sketch_grouped_agg(
+                li, ["l_returnflag"],
+                # default impl (conf: REQ) — covers approx_percentile_ex
+                percentile_measure("p50_default", "l_quantity", 0.5,
+                                   impl=None, k=65_536),
+                percentile_measure("p90_kll", "l_quantity", 0.9,
+                                   impl="KLL", k=262_144),
+                percentile_measure("p99_req", "l_quantity", 0.99,
+                                   impl="REQ", k=65_536))
+            .orderBy("l_returnflag"))
+
+
+def _q13_percentile_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registry path for approx_percentile_ex (default conf impl = REQ),
+    exact regime via a conf-tuned k — the path a spark.sql() user runs."""
+    import datasketches_spark_spark as dss
+    spark.conf.set("spark.sql.dataSketches.quantiles.req.k", "65536")
+    try:
+        dss.install(spark)
+    finally:
+        spark.conf.set("spark.sql.dataSketches.quantiles.req.k", "12")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               approx_percentile_ex(l_quantity, 0.5) AS p50_qty,
+               approx_percentile_req(l_quantity, 0.95) AS p95_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -200,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_freqitems_pipeline": _q09_freqitems_pipeline,
         "q10_freqitems_long": _q10_freqitems_long,
         "q11_pricing_summary": _q11_pricing_summary,
+        "q12_percentile_impls": _q12_percentile_impls,
+        "q13_percentile_sql": _q13_percentile_sql,
     }
 
 
@@ -277,5 +315,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q12_percentile_impls": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5)  AS p50_default,
+                   quantile_disc(l_quantity, 0.9)  AS p90_kll,
+                   quantile_disc(l_quantity, 0.99) AS p99_req
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q13_percentile_sql": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5)  AS p50_qty,
+                   quantile_disc(l_quantity, 0.95) AS p95_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -7,10 +7,11 @@ accepts explicit keyword overrides on every function).
 Divergences (documented per SURVEY.md §7 risk register):
 
 * ``quantiles.sketchImpl``: reference values KLL/REQ/MERGEABLE select three
-  DataSketches algorithms. Here all three map onto the engine's KLL core —
-  REQ runs KLL with 4x k (comparable rank accuracy at the defaults),
-  MERGEABLE runs KLL over float64 (the reference's DoublesSketch is
-  double-typed, ``quantileSketches.scala:124-127``).
+  DataSketches algorithms. Here KLL and REQ are the engine's own
+  implementations (``sketches/kll.py``, ``sketches/req.py`` — REQ is a real
+  relative-error sketch with high-rank accuracy, the reference's default);
+  MERGEABLE runs the KLL core over float64 (the reference's DoublesSketch
+  is double-typed, ``quantileSketches.scala:124-127``).
 * ``distinctCnt.sketchImpl``: reference values CPC/HLL. Here CPC is served
   by a KMV Theta sketch (``sketches/theta.py``) and HLL by Spark's native
   ``hll_sketch_agg`` family. ``THETA`` is accepted as an explicit value.
@@ -75,13 +76,7 @@ def quantile_k(impl: str, spark=None) -> int:
         "REQ": QUANTILE_REQ_K_KEY,
         "MERGEABLE": QUANTILE_MERGEABLE_K_KEY,
     }[impl]
-    k = int(get_conf(key, spark))
-    if impl == "REQ":
-        # REQ's k (default 12) is a compactor section size, not a KLL k.
-        # Scale onto the KLL core so default accuracy matches the
-        # reference's published REQ accuracy (~0.4% at rank 0.95).
-        k = max(k * 32, 64)
-    return k
+    return int(get_conf(key, spark))
 
 
 def freq_max_map_size(spark=None) -> int:

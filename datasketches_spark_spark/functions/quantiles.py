@@ -38,20 +38,20 @@ def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def _resolve(impl: str | None, k: int | None) -> tuple[int, type]:
+def _resolve(impl: str | None, k: int | None) -> tuple[str, int, type]:
     impl = (impl or conf.quantile_impl()).upper()
     if impl not in conf.QUANTILE_IMPLS:
         raise ValueError(f"unknown quantile sketch impl {impl}")
     if k is None:
         k = conf.quantile_k(impl)
-    return int(k), _DTYPES[impl]
+    return impl, int(k), _DTYPES[impl]
 
 
 def _direct(col, percentage, impl: str | None, k: int | None,
             output_type=None) -> Column:
     ps, multi = validate_percentage(percentage)
-    k, dtype = _resolve(impl, k)
-    udf = quantile_direct_udf(k, dtype, ps, multi)
+    impl, k, dtype = _resolve(impl, k)
+    udf = quantile_direct_udf(impl, k, dtype, ps, multi)
     out = udf(_col(col).cast("double"))
     if output_type is not None:
         out = out.cast(output_type)
@@ -82,8 +82,8 @@ def approx_percentile_mergeable(col, percentage, k: int | None = None,
 def approx_percentile_accumulate(col, impl: str | None = None,
                                  k: int | None = None) -> Column:
     """Aggregate raw values into a serialized quantile-sketch state."""
-    k, dtype = _resolve(impl, k)
-    return quantile_acc_udf(k, dtype)(_col(col).cast("double"))
+    impl, k, dtype = _resolve(impl, k)
+    return quantile_acc_udf(impl, k, dtype)(_col(col).cast("double"))
 
 
 def approx_percentile_combine(col) -> Column:

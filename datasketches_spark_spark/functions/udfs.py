@@ -42,10 +42,11 @@ from ..sketches import (
     ITEM_LONG,
     ITEM_STR,
     FreqItemsSketch,
-    KllSketch,
     ThetaSketch,
     deserialize_any,
+    deserialize_quantile,
     hash_series,
+    make_quantile_sketch,
 )
 
 log = logging.getLogger(__name__)
@@ -95,22 +96,23 @@ def _clean_items(v: pd.Series, item_type: str):
 
 # --------------------------------------------------------------------- quantile
 
-def quantile_acc_udf(k: int, dtype):
-    """GROUPED_AGG: numeric values -> serialized KLL state (or null)."""
+def quantile_acc_udf(impl: str, k: int, dtype):
+    """GROUPED_AGG: numeric values -> serialized KLL/REQ state (or null)."""
 
     @pandas_udf(BinaryType())
     def acc(v: pd.Series) -> bytes:
         arr = _clean_numeric(v)
         if arr.size == 0:
             return None
-        sk = KllSketch(k=k, dtype=dtype)
+        sk = make_quantile_sketch(impl, k, dtype)
         sk.update_batch(arr)
         return sk.serialize()
 
     return acc
 
 
-def quantile_direct_udf(k: int, dtype, percentages: list[float], multi: bool):
+def quantile_direct_udf(impl: str, k: int, dtype, percentages: list[float],
+                        multi: bool):
     """GROUPED_AGG: numeric values -> quantile estimate(s) directly."""
     rt = ArrayType(DoubleType(), containsNull=False) if multi else DoubleType()
 
@@ -120,7 +122,7 @@ def quantile_direct_udf(k: int, dtype, percentages: list[float], multi: bool):
             arr = _clean_numeric(v)
             if arr.size == 0:
                 return None
-            sk = KllSketch(k=k, dtype=dtype)
+            sk = make_quantile_sketch(impl, k, dtype)
             sk.update_batch(arr)
             return sk.quantiles(percentages)
     else:
@@ -129,7 +131,7 @@ def quantile_direct_udf(k: int, dtype, percentages: list[float], multi: bool):
             arr = _clean_numeric(v)
             if arr.size == 0:
                 return None
-            sk = KllSketch(k=k, dtype=dtype)
+            sk = make_quantile_sketch(impl, k, dtype)
             sk.update_batch(arr)
             return sk.quantile(percentages[0])
 
@@ -149,7 +151,7 @@ def quantile_est_udf(percentages: list[float], multi: bool):
                 out.append(None)
                 continue
             try:
-                sk = KllSketch.deserialize(bytes(blob))
+                sk = deserialize_quantile(bytes(blob))
                 qs = sk.quantiles(percentages)
                 out.append(None if qs is None else (qs if multi else qs[0]))
             except Exception as e:  # corrupt state -> null (reference parity)
@@ -169,7 +171,7 @@ def pmf_est_udf(num_splits: int):
                 out.append(None)
                 continue
             try:
-                sk = KllSketch.deserialize(bytes(blob))
+                sk = deserialize_quantile(bytes(blob))
                 out.append(sk.pmf(num_splits))
             except Exception as e:
                 log.warning("approx_pmf_estimate: corrupt state: %s", e)

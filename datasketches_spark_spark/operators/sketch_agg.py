@@ -39,9 +39,9 @@ from ..sketches import (
     ITEM_LONG,
     ITEM_STR,
     FreqItemsSketch,
-    KllSketch,
     ThetaSketch,
     hash_series,
+    make_quantile_sketch,
 )
 
 _QUANTILE_DTYPES = {"KLL": np.float32, "REQ": np.float32, "MERGEABLE": np.float64}
@@ -55,7 +55,7 @@ def _quantile_family(impl: str | None, k: int | None):
     dtype = _QUANTILE_DTYPES[impl]
 
     def make():
-        return KllSketch(k=k, dtype=dtype)
+        return make_quantile_sketch(impl, k, dtype)
 
     def update(sk, values: pd.Series):
         arr = pd.to_numeric(values, errors="coerce").dropna().to_numpy(np.float64)

@@ -41,42 +41,47 @@ from .functions.udfs import (
     validate_num_splits,
     validate_percentage,
 )
-from .sketches import ITEM_LONG, ITEM_STR, KllSketch
+from .sketches import (
+    ITEM_LONG,
+    ITEM_STR,
+    deserialize_quantile,
+    make_quantile_sketch,
+)
 
 _DTYPES = {"KLL": np.float32, "REQ": np.float32, "MERGEABLE": np.float64}
 
 
-def _build_sketch(v: pd.Series, k: int, dtype) -> KllSketch | None:
+def _build_sketch(v: pd.Series, impl: str, k: int, dtype):
     arr = pd.to_numeric(v, errors="coerce").dropna().to_numpy(dtype=np.float64)
     if arr.size == 0:
         return None
-    sk = KllSketch(k=k, dtype=dtype)
+    sk = make_quantile_sketch(impl, k, dtype)
     sk.update_batch(arr)
     return sk
 
 
-def _sql_quantile_scalar(k: int, dtype):
+def _sql_quantile_scalar(impl: str, k: int, dtype):
     @pandas_udf(DoubleType())
     def f(v: pd.Series, p: pd.Series) -> float:
         ps, _ = validate_percentage(float(p.iloc[0]))
-        sk = _build_sketch(v, k, dtype)
+        sk = _build_sketch(v, impl, k, dtype)
         return None if sk is None else sk.quantile(ps[0])
     return f
 
 
-def _sql_quantile_array(k: int, dtype):
+def _sql_quantile_array(impl: str, k: int, dtype):
     @pandas_udf(ArrayType(DoubleType(), containsNull=False))
     def f(v: pd.Series, p: pd.Series) -> list:
         ps, _ = validate_percentage(list(p.iloc[0]))
-        sk = _build_sketch(v, k, dtype)
+        sk = _build_sketch(v, impl, k, dtype)
         return None if sk is None else sk.quantiles(ps)
     return f
 
 
-def _sql_quantile_acc(k: int, dtype):
+def _sql_quantile_acc(impl: str, k: int, dtype):
     @pandas_udf(BinaryType())
     def f(v: pd.Series) -> bytes:
-        sk = _build_sketch(v, k, dtype)
+        sk = _build_sketch(v, impl, k, dtype)
         return None if sk is None else sk.serialize()
     return f
 
@@ -91,7 +96,7 @@ def _sql_quantile_est():
                 continue
             ps, _ = validate_percentage(float(pct))
             try:
-                out.append(KllSketch.deserialize(bytes(blob)).quantile(ps[0]))
+                out.append(deserialize_quantile(bytes(blob)).quantile(ps[0]))
             except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
@@ -108,7 +113,7 @@ def _sql_quantile_est_array():
                 continue
             ps, _ = validate_percentage(list(pct))
             try:
-                out.append(KllSketch.deserialize(bytes(blob)).quantiles(ps))
+                out.append(deserialize_quantile(bytes(blob)).quantiles(ps))
             except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
@@ -125,7 +130,7 @@ def _sql_pmf_est():
                 continue
             validate_num_splits(int(splits))
             try:
-                out.append(KllSketch.deserialize(bytes(blob)).pmf(int(splits)))
+                out.append(deserialize_quantile(bytes(blob)).pmf(int(splits)))
             except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
@@ -154,11 +159,12 @@ def install(spark: SparkSession) -> None:
                        ("approx_percentile_req", "REQ"),
                        ("approx_percentile_mergeable", "MERGEABLE")]:
         k, dt = impl_k[impl], _DTYPES[impl]
-        spark.udf.register(name, _sql_quantile_scalar(k, dt))
-        spark.udf.register(f"{name}_array", _sql_quantile_array(k, dt))
+        spark.udf.register(name, _sql_quantile_scalar(impl, k, dt))
+        spark.udf.register(f"{name}_array", _sql_quantile_array(impl, k, dt))
 
     k, dt = impl_k[q_impl], _DTYPES[q_impl]
-    spark.udf.register("approx_percentile_accumulate", _sql_quantile_acc(k, dt))
+    spark.udf.register("approx_percentile_accumulate",
+                       _sql_quantile_acc(q_impl, k, dt))
     spark.udf.register("approx_percentile_combine", combine_udf())
     spark.udf.register("approx_percentile_estimate", _sql_quantile_est())
     spark.udf.register("approx_percentile_estimate_array", _sql_quantile_est_array())

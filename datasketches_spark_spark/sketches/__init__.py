@@ -7,10 +7,12 @@ One class per family, all exposing the reference's four-verb lifecycle
 
 from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
 from .kll import KllSketch
+from .req import ReqSketch
 from .serde import (
     FAMILY_FREQ_LONG,
     FAMILY_FREQ_STR,
     FAMILY_KLL,
+    FAMILY_REQ,
     FAMILY_THETA,
     family_of,
 )
@@ -28,6 +30,8 @@ def deserialize_any(data: bytes):
     fam = family_of(data)
     if fam == FAMILY_KLL:
         return KllSketch.deserialize(data)
+    if fam == FAMILY_REQ:
+        return ReqSketch.deserialize(data)
     if fam in (FAMILY_FREQ_STR, FAMILY_FREQ_LONG):
         return FreqItemsSketch.deserialize(data)
     if fam == FAMILY_THETA:
@@ -35,10 +39,31 @@ def deserialize_any(data: bytes):
     raise ValueError(f"unknown sketch family {fam}")
 
 
+def make_quantile_sketch(impl: str, k: int, dtype):
+    """Factory for the three quantile impls (KLL / REQ / MERGEABLE)."""
+    if impl == "REQ":
+        return ReqSketch(k=k, dtype=dtype)
+    return KllSketch(k=k, dtype=dtype)
+
+
+def deserialize_quantile(data: bytes):
+    """Decode a quantile-family state (KLL or REQ); raises on other
+    families so estimate UDFs keep the corrupt-state->null contract."""
+    fam = family_of(data)
+    if fam == FAMILY_KLL:
+        return KllSketch.deserialize(data)
+    if fam == FAMILY_REQ:
+        return ReqSketch.deserialize(data)
+    raise ValueError(f"not a quantile sketch state (family={fam})")
+
+
 __all__ = [
     "KllSketch",
+    "ReqSketch",
     "FreqItemsSketch",
     "ThetaSketch",
+    "make_quantile_sketch",
+    "deserialize_quantile",
     "ITEM_STR",
     "ITEM_LONG",
     "hash_longs",

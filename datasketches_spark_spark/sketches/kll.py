@@ -46,6 +46,8 @@ def _level_cap(k: int, depth: int) -> int:
 class KllSketch:
     """Mergeable quantile sketch over float32/float64 values."""
 
+    FAMILY = FAMILY_KLL
+
     __slots__ = ("k", "dtype", "n", "_levels", "_buf", "_buf_len", "_rng")
 
     def __init__(self, k: int = 200, dtype=np.float32):
@@ -90,6 +92,8 @@ class KllSketch:
             return self
         if other.dtype != self.dtype:
             raise ValueError("cannot merge sketches of different dtypes")
+        if other.FAMILY != self.FAMILY:
+            raise ValueError("cannot merge KLL and REQ sketch states")
         self.k = min(self.k, other.k)
         other_levels = other._snapshot_levels()
         while len(self._levels) < len(other_levels):
@@ -196,13 +200,13 @@ class KllSketch:
         nlev = len(self._levels)
         lens = struct.pack(f"<H{nlev}I", nlev, *(a.size for a in self._levels))
         body = b"".join(np.ascontiguousarray(a).tobytes() for a in self._levels)
-        return pack(FAMILY_KLL, head + lens + body)
+        return pack(self.FAMILY, head + lens + body)
 
     @classmethod
     def deserialize(cls, data: bytes) -> "KllSketch":
         family, payload = unpack(data)
-        if family != FAMILY_KLL:
-            raise ValueError(f"not a KLL state (family={family})")
+        if family != cls.FAMILY:
+            raise ValueError(f"not a {cls.__name__} state (family={family})")
         k, dcode, n = struct.unpack_from("<IBQ", payload, 0)
         off = struct.calcsize("<IBQ")
         (nlev,) = struct.unpack_from("<H", payload, off)
@@ -225,9 +229,13 @@ class KllSketch:
     def _retained_above0(self) -> int:
         return sum(a.size for a in self._levels)
 
+    def _cap(self, depth: int) -> int:
+        """Capacity of a level ``depth`` below the top level (overridable)."""
+        return _level_cap(self.k, depth)
+
     def _total_capacity(self) -> int:
         nlev = len(self._levels)
-        return sum(_level_cap(self.k, nlev - 1 - h) for h in range(nlev))
+        return sum(self._cap(nlev - 1 - h) for h in range(nlev))
 
     def _consolidate(self) -> None:
         if self._buf:
@@ -244,7 +252,7 @@ class KllSketch:
             nlev = len(self._levels)
             target = -1
             for h in range(nlev):
-                if self._levels[h].size >= _level_cap(self.k, nlev - 1 - h):
+                if self._levels[h].size >= self._cap(nlev - 1 - h):
                     target = h
                     break
             if target < 0:
@@ -252,12 +260,24 @@ class KllSketch:
             if self._levels[target].size < 2:
                 break
             arr = np.sort(self._levels[target])
-            offset = int(self._rng.integers(0, 2))
-            promoted = arr[offset::2]
-            self._levels[target] = np.empty(0, self.dtype)
+            kept, promoted = self._compact_level(arr)
+            if promoted.size == 0:
+                break
+            self._levels[target] = kept
             if target + 1 == len(self._levels):
                 self._levels.append(promoted.copy())
             else:
                 self._levels[target + 1] = np.concatenate(
                     [self._levels[target + 1], promoted]
                 )
+
+    def _compact_level(self, arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Split a sorted over-full level into (kept, promoted). KLL compacts
+        the whole level: every other item moves up. Only an even count is
+        compacted — promoting ceil(m/2) of an odd m at double weight would
+        inflate total weight, drifting cum-weight ranks off n (an odd
+        leftover item stays at this level instead)."""
+        odd = arr.size % 2
+        body = arr[odd:]
+        offset = int(self._rng.integers(0, 2))
+        return arr[:odd].copy(), body[offset::2]

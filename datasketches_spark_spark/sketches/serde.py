@@ -23,6 +23,9 @@ FAMILY_KLL = 1
 FAMILY_FREQ_STR = 2
 FAMILY_FREQ_LONG = 3
 FAMILY_THETA = 4
+FAMILY_REQ = 5
+FAMILY_MINHASH = 6
+FAMILY_HLL = 7
 
 _HEADER = struct.Struct("<4sBB")
 

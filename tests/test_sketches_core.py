@@ -262,3 +262,91 @@ class TestFreqMergeSymmetry:
         assert sk.estimate("a") == 6
         assert sk.estimate("b") == 0
         assert sk.n == 6
+
+
+class TestReqSketch:
+    def test_exact_regime(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import ReqSketch
+        sk = ReqSketch(k=64)  # capacity 6k=384 > 300
+        vals = np.random.default_rng(1).permutation(300).astype(np.float64)
+        sk.update_batch(vals)
+        assert sk.is_exact()
+        # rank rule: value at rank max(ceil(p*n),1) over 0..299
+        assert sk.quantile(0.5) == 149.0
+        assert sk.quantile(1.0) == 299.0
+        assert sk.quantile(0.0) == 0.0
+
+    def test_tail_accuracy_beats_kll(self):
+        # REQ's reason to exist: relative error at the rank extremes
+        # (quantileSketches.scala:387-405 wraps DataSketches ReqSketch)
+        import numpy as np
+        from datasketches_spark_spark.sketches import KllSketch, ReqSketch
+        n = 200_000
+
+        def rank_err(sk, p):
+            target = max(int(np.ceil(p * n)), 1)
+            return abs((sk.quantile(p) + 1) - target) / n
+
+        for seed in (7, 11, 42):
+            vals = np.random.default_rng(seed).permutation(n).astype(np.float64)
+            req, kll = ReqSketch(k=12), KllSketch(k=260, dtype=np.float32)
+            for chunk in np.array_split(vals, 50):
+                req.update_batch(chunk)
+                kll.update_batch(chunk)
+            # max is exact: protected region is never compacted
+            assert rank_err(req, 1.0) == 0.0
+            assert rank_err(req, 0.999) <= 1e-4
+            assert rank_err(req, 0.999) <= rank_err(kll, 0.999) + 1e-6
+
+    def test_merge_weight_exact(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import ReqSketch
+        n = 50_000
+        vals = np.random.default_rng(3).permutation(n).astype(np.float64)
+        parts = []
+        for chunk in np.array_split(vals, 16):
+            s = ReqSketch(k=12)
+            s.update_batch(chunk)
+            parts.append(s)
+        m = parts[0]
+        for s in parts[1:]:
+            m = m.merge(s)
+        assert m.n == n
+        v, w = m._weighted_items()
+        assert int(w.sum()) == n  # weight-exact compaction invariant
+        assert m.quantile(1.0) == n - 1
+
+    def test_serde_roundtrip(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import (
+            ReqSketch, deserialize_any, deserialize_quantile)
+        sk = ReqSketch(k=12)
+        sk.update_batch(np.arange(10_000, dtype=np.float64))
+        back = ReqSketch.deserialize(sk.serialize())
+        assert back.n == sk.n
+        assert back.quantile(0.99) == sk.quantile(0.99)
+        assert isinstance(deserialize_any(sk.serialize()), ReqSketch)
+        assert deserialize_quantile(sk.serialize()).quantile(1.0) == 9999.0
+
+    def test_kll_req_states_do_not_merge(self):
+        import numpy as np
+        import pytest
+        from datasketches_spark_spark.sketches import KllSketch, ReqSketch
+        a = ReqSketch(k=12)
+        b = KllSketch(k=200, dtype=np.float32)
+        a.update_batch(np.arange(10, dtype=np.float64))
+        b.update_batch(np.arange(10, dtype=np.float64))
+        with pytest.raises(ValueError):
+            a.merge(b)
+
+
+class TestKllWeightExact:
+    def test_cum_weight_equals_n_after_compaction(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import KllSketch
+        sk = KllSketch(k=50, dtype=np.float32)
+        n = 100_000
+        sk.update_batch(np.random.default_rng(5).permutation(n).astype(np.float64))
+        v, w = sk._weighted_items()
+        assert int(w.sum()) == n
