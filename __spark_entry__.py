@@ -218,6 +218,135 @@ def _q13_percentile_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ----------------------------------------------------- LLM-pipeline queries
+
+def _q14_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the distinct-token-set fingerprint: one JVM-side hash
+    shuffle (operators/dedup.py::exact_dedup_groups)."""
+    from datasketches_spark_spark.functions.text import token_set_fingerprint
+    from datasketches_spark_spark.operators import exact_dedup_groups
+    docs = read_table(spark, sf_dir, "documents")
+    return (exact_dedup_groups(docs, "doc_id", token_set_fingerprint("text"))
+            .orderBy("group_id"))
+
+
+def _q15_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over word-trigram shingle sets, verified
+    with exact Jaccard — bucketed candidate generation, never all-pairs.
+    128 hashes / 32 bands: P(miss a J>=0.8 pair) ~ 5e-8, so the LSH output
+    equals the exact-Jaccard oracle."""
+    from datasketches_spark_spark.operators import minhash_dedup_pairs
+    docs = read_table(spark, sf_dir, "documents")
+    return (minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 word bigrams via the frequent-items sketch (exact regime:
+    distinct bigrams < maxMapSize), two-phase map-side sketching."""
+    from datasketches_spark_spark.functions.text import ngrams, tokenize
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(ngrams(tokenize("text"), 2)).alias("bigram"))
+    fi = sketch_grouped_agg(grams, [],
+                            freqitems_measure("fi", "bigram",
+                                              max_map_size=65_536))
+    return (fi.select(F.inline("fi"))
+            .orderBy(F.desc("estimated"), "item").limit(10))
+
+
+def _q17_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3 (4x16-bit pigeonhole
+    buckets -> exact popcount verify). Engine-defined hash: no SQL oracle
+    exists, so this entry is rows-only checked; pytest covers the Hamming
+    property and recall against the exact-Jaccard near-dup set."""
+    from datasketches_spark_spark.operators import simhash_dedup_pairs
+    docs = read_table(spark, sf_dir, "documents")
+    return (simhash_dedup_pairs(docs, "doc_id", "text", max_distance=3)
+            .orderBy("id_a", "id_b"))
+
+
+def _q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs via the blocked self-join GEMM
+    (bounded executor memory; no driver collect). Output is integer ids
+    only — float cosines stay internal so summation order can't flip the
+    hash."""
+    from datasketches_spark_spark.operators import cosine_pairs
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (cosine_pairs(emb, threshold=0.45, block_size=4096)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
+def _q19_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 query vectors: per-partition numpy
+    top-k then a tiny global re-rank (shuffle = partitions x queries x k
+    rows, not the corpus). The LSH-bucketed variant (rhp_ann_topk) is the
+    sub-linear scale path, recall-tested in pytest."""
+    from datasketches_spark_spark.operators import cosine_topk
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = [(r.vec_id, r.embedding)
+          for r in emb.where("vec_id < 20").collect()]  # small query set
+    return cosine_topk(emb, qs, k=5).orderBy("query_id", "rank")
+
+
+def _q20_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: exact counts JVM-side; token-count median
+    via the quantile sketch and distinct sources via Theta (both exact
+    regime), map-side-combined; tiny join on the 5 language keys."""
+    from datasketches_spark_spark.functions.text import token_count
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("lang", "source",
+                    token_count("text").cast("long").alias("n_tokens"))
+    exact = t.groupBy("lang").agg(F.count("*").alias("n_docs"),
+                                  F.sum("n_tokens").alias("sum_tokens"))
+    sk = sketch_grouped_agg(
+        t, ["lang"],
+        percentile_measure("p50_tokens", "n_tokens", 0.5,
+                           impl="MERGEABLE", k=_QK),
+        distinct_measure("ndv_sources", "source", k=_TK))
+    return exact.join(sk, "lang").orderBy("lang")
+
+
+def _q21_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token stats, stopword/distinct
+    ratios) — pure JVM expressions, ratios of integers so values are
+    deterministic across engines."""
+    from datasketches_spark_spark.functions.text import quality_features
+    docs = read_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return (docs.where(F.col("doc_id") < 50)
+            .select("doc_id",
+                    feats["n_tokens"].alias("n_tokens"),
+                    feats["distinct_ratio"].alias("distinct_ratio"),
+                    feats["stopword_ratio"].alias("stopword_ratio"),
+                    feats["mean_token_len"].alias("mean_token_len"))
+            .orderBy("doc_id"))
+
+
+def _q22_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (argmax stopword hits, fixed tie-break) as a
+    pure per-row expression; distribution of predictions."""
+    from datasketches_spark_spark.functions.text import lang_id
+    docs = read_table(spark, sf_dir, "documents")
+    return (docs.select(lang_id("text").alias("pred_lang"))
+            .groupBy("pred_lang").agg(F.count("*").alias("n"))
+            .orderBy("pred_lang"))
+
+
+def _q23_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + metadata struct, streaming
+    byte-level feature extraction (mapInPandas), then relational rollup.
+    Only integer features surface so the oracle comparison is exact."""
+    from datasketches_spark_spark.operators import extract_features, with_payload
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(with_payload(docs, "text"), "doc_id")
+    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
+    return (joined.groupBy("source")
+            .agg(F.count("*").alias("n_assets"),
+                 F.sum("num_bytes").alias("total_bytes"),
+                 F.max("num_bytes").alias("max_bytes"))
+            .orderBy("source"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -238,6 +367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_pricing_summary": _q11_pricing_summary,
         "q12_percentile_impls": _q12_percentile_impls,
         "q13_percentile_sql": _q13_percentile_sql,
+        "q14_dedup_exact": _q14_dedup_exact,
+        "q15_dedup_minhash": _q15_dedup_minhash,
+        "q16_ngram_topk": _q16_ngram_topk,
+        "q17_dedup_simhash": _q17_dedup_simhash,
+        "q18_embedding_neardup": _q18_embedding_neardup,
+        "q19_ann_topk": _q19_ann_topk,
+        "q20_textstats": _q20_textstats,
+        "q21_quality": _q21_quality,
+        "q22_langid": _q22_langid,
+        "q23_multimodal": _q23_multimodal,
     }
 
 
@@ -328,5 +467,108 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_quantity, 0.5)  AS p50_qty,
                    quantile_disc(l_quantity, 0.95) AS p95_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # q17_dedup_simhash: no oracle — engine-defined 64-bit hash, checked
+        # rows-only by the driver; pytest asserts the Hamming property.
+        "q14_dedup_exact": """
+            SELECT min(doc_id) AS group_id, count(*) AS n_dups
+            FROM (SELECT doc_id,
+                         array_to_string(list_sort(list_distinct(
+                             string_split(text, ' '))), ' ') AS fp
+                  FROM documents)
+            GROUP BY fp HAVING count(*) > 1 ORDER BY group_id
+        """,
+        "q15_dedup_minhash": """
+            WITH s AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "q16_ngram_topk": """
+            SELECT bg AS item, count(*) AS estimated
+            FROM (SELECT unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS bg
+                  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+            GROUP BY bg ORDER BY estimated DESC, item LIMIT 10
+        """,
+        "q18_embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "q19_ann_topk": """
+            SELECT q AS query_id, r AS rank, nb AS neighbor_id FROM (
+              SELECT a.vec_id q, b.vec_id nb,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) r
+              FROM embeddings a
+              JOIN embeddings b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+            ) WHERE r <= 5 ORDER BY query_id, rank
+        """,
+        "q20_textstats": """
+            WITH t AS (SELECT lang, source,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents)
+            SELECT lang, count(*) AS n_docs, sum(n) AS sum_tokens,
+                   quantile_disc(CAST(n AS DOUBLE), 0.5) AS p50_tokens,
+                   count(DISTINCT source) AS ndv_sources
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "q21_quality": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 50)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','a','and','of','to','in','is','it','for','on'],
+                       x)))::DOUBLE / len(toks) AS stopword_ratio,
+                   list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                     / len(toks) AS mean_token_len
+            FROM t ORDER BY doc_id
+        """,
+        "q22_langid": """
+            WITH s AS (
+              SELECT
+                len(list_filter(t, x -> list_contains(
+                  ['the','a','and','of','to','in','is','it','for','on'], x))) s_en,
+                len(list_filter(t, x -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','den','mit'], x))) s_de,
+                len(list_filter(t, x -> list_contains(
+                  ['le','la','les','et','est','un','une','des','du'], x))) s_fr,
+                len(list_filter(t, x -> list_contains(
+                  ['el','la','los','las','y','es','un','una','de'], x))) s_es,
+                len(list_filter(t, x -> list_contains(
+                  ['de','shi','bu','le','wo','ni','ta'], x))) s_zh
+              FROM (SELECT string_split(text, ' ') t FROM documents)
+            )
+            SELECT CASE
+              WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                   AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              WHEN s_es >= s_zh THEN 'es'
+              ELSE 'zh' END AS pred_lang, count(*) AS n
+            FROM s GROUP BY pred_lang ORDER BY pred_lang
+        """,
+        "q23_multimodal": """
+            SELECT source, count(*) AS n_assets,
+                   sum(octet_length(encode(text))) AS total_bytes,
+                   max(octet_length(encode(text))) AS max_bytes
+            FROM documents GROUP BY source ORDER BY source
         """,
     }

@@ -1,0 +1,119 @@
+"""Text-analysis functions for large-scale document pipelines.
+
+All functions here return Column expressions built from
+``pyspark.sql.functions`` built-ins (split / transform / filter / aggregate
+/ hash), so they run JVM-side inside whole-stage codegen — no Python in the
+hot path. They compose with the sketch operators (e.g. token-count
+quantiles via ``percentile_measure``, top-k n-grams via
+``freqitems_measure``) for the aggregate views.
+
+These extend the reference's surface (it has no text operators); they are
+the "text analysis" component of the LLM-data-pipeline north star:
+tokenization, token statistics, n-grams, quality scoring, language ID and
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal public stopword lists (top function words per language) for the
+# n-gram-free language-ID heuristic. Deterministic and tiny on purpose: the
+# heuristic is argmax of stopword hits with a fixed tie-break order.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de"],
+    "zh": ["de", "shi", "bu", "le", "wo", "ni", "ta"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # tie-break priority
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokenize(col, sep: str = " ") -> Column:
+    """Whitespace tokenization; empty tokens dropped (robust to runs of
+    separators)."""
+    toks = F.split(_col(col), sep)
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def token_count(col, sep: str = " ") -> Column:
+    return F.size(tokenize(col, sep))
+
+
+def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
+    """Word n-grams of a token array (JVM-side: sequence + transform +
+    element_at). Returns an array of space-joined n-grams; empty array when
+    the document has fewer than n tokens."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return tokens
+
+    def gram(i: Column) -> Column:
+        parts = [F.element_at(tokens, i + j) for j in range(n)]
+        return F.concat_ws(sep, *parts)
+
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    return F.when(F.size(tokens) >= n, F.transform(idx, gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram set of a document — the unit of Jaccard
+    similarity for MinHash dedup (``operators/dedup.py``)."""
+    return F.array_distinct(ngrams(tokenize(col, sep), n))
+
+
+def token_set_fingerprint(col, sep: str = " ") -> Column:
+    """Deterministic fingerprint of the distinct-token SET — exact dedup of
+    documents that use the same vocabulary regardless of order/repetition."""
+    return F.md5(F.array_join(F.array_sort(
+        F.array_distinct(tokenize(col, sep))), sep))
+
+
+def doc_fingerprint(col) -> Column:
+    """Exact-content fingerprint (md5 of the raw text)."""
+    return F.md5(_col(col))
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(tokens, lambda x: x.isin(*sw)))
+
+
+def lang_id(col, sep: str = " ") -> Column:
+    """Heuristic language ID: argmax of stopword hits over LANG_ORDER with
+    fixed tie-break (earlier language wins ties). Pure expression — at 100 TB
+    this is a per-row map with no shuffle."""
+    toks = tokenize(col, sep)
+    scores = [(lang, stopword_hits(toks, lang)) for lang in LANG_ORDER]
+    best = F.greatest(*[s for _, s in scores])
+    # first language (in priority order) reaching `best` wins ties
+    result = F.lit("und")
+    for lang, score in reversed(scores):
+        result = F.when(score == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def quality_features(col, sep: str = " ") -> dict[str, Column]:
+    """Quality-scoring components as named Column expressions: token count,
+    distinct-token ratio, stopword ratio (en), mean token length. All exact
+    integer ratios — deterministic across engines."""
+    toks = tokenize(col, sep)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    sw = stopword_hits(toks, "en")
+    total_len = F.aggregate(toks, F.lit(0),
+                            lambda acc, x: acc + F.length(x))
+    return {
+        "n_tokens": n,
+        "distinct_ratio": nd.cast("double") / n.cast("double"),
+        "stopword_ratio": sw.cast("double") / n.cast("double"),
+        "mean_token_len": total_len.cast("double") / n.cast("double"),
+    }

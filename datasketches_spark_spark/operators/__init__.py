@@ -1,5 +1,21 @@
 """Distributed operators built on the sketch primitives and stock Spark."""
 
+from .dedup import (
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_bands,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_dedup_pairs,
+)
+from .multimodal import extract_features, with_payload
+from .similarity import (
+    cosine_pairs,
+    cosine_topk,
+    rhp_ann_topk,
+    rhp_signatures,
+)
 from .sketch_agg import (
     Measure,
     distinct_measure,
@@ -13,6 +29,19 @@ from .sketch_agg import (
 )
 
 __all__ = [
+    "exact_dedup_groups",
+    "jaccard_verify",
+    "lsh_candidate_pairs",
+    "minhash_bands",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_dedup_pairs",
+    "extract_features",
+    "with_payload",
+    "cosine_pairs",
+    "cosine_topk",
+    "rhp_ann_topk",
+    "rhp_signatures",
     "Measure",
     "distinct_measure",
     "freqitems_measure",

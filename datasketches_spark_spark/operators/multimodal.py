@@ -1,0 +1,111 @@
+"""Multimodal column handling — opaque binary payloads + typed metadata.
+
+The LLM-pipeline pattern for image/audio/video at 100 TB: the asset is an
+opaque ``binary`` column with a typed metadata struct beside it; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so each partition
+streams its payloads through Python once, and everything downstream of the
+extracted features is ordinary JVM-side relational work.
+
+The decode step is STUBBED here (this environment ships no image/audio
+codecs): ``decode_payload`` raises ``NotImplementedError`` unless a codec
+callback is injected, and ``extract_features`` falls back to a
+deterministic byte-level featurizer (length, checksum, byte histogram
+stats) so the Spark-side plumbing — schema, batching, partitioning, UDF
+signature — is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def with_payload(df: DataFrame, content_col: str, modality: str = "text",
+                 payload_col: str = "payload",
+                 meta_col: str = "meta") -> DataFrame:
+    """Attach an opaque binary payload + metadata struct. For the fixture
+    tables the payload is the UTF-8 encoding of a text column (a
+    deterministic stand-in for image/audio bytes); with real assets the
+    binary column arrives from the source as-is."""
+    payload = F.encode(F.col(content_col), "UTF-8")
+    meta = F.struct(
+        F.lit(modality).alias("modality"),
+        F.length(payload).alias("num_bytes"),
+        F.lit("utf-8").alias("codec"),
+    )
+    return df.withColumn(payload_col, payload).withColumn(meta_col, meta)
+
+
+def decode_payload(payload: bytes, modality: str,
+                   codec: Callable[[bytes], object] | None = None):
+    """Decode one payload. Real codecs (PIL / libav / soundfile) are not
+    available in this environment — inject one via ``codec`` or get
+    ``NotImplementedError`` (clearly-marked stub per the build contract)."""
+    if codec is not None:
+        return codec(payload)
+    raise NotImplementedError(
+        f"no codec available for modality={modality!r}: install/inject a "
+        f"decoder (e.g. PIL for images) and pass it as `codec`")
+
+
+FEATURE_SCHEMA_FIELDS = [
+    StructField("num_bytes", LongType()),
+    StructField("checksum", LongType()),
+    StructField("byte_mean", DoubleType()),
+    StructField("byte_entropy", DoubleType()),
+]
+
+
+def extract_features(df: DataFrame, id_col: str,
+                     payload_col: str = "payload",
+                     codec: Callable[[bytes], object] | None = None,
+                     featurizer: Callable[[object], dict] | None = None
+                     ) -> DataFrame:
+    """Per-payload features via one streaming pass per partition
+    (mapInPandas). Default featurizer is the deterministic byte-level one
+    (decode stub); pass ``codec`` + ``featurizer`` for real modalities."""
+    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+    out_schema = StructType([StructField("_id", src.schema["_id"].dataType)]
+                            + FEATURE_SCHEMA_FIELDS)
+
+    def byte_features(raw: bytes) -> dict:
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        counts = np.bincount(arr, minlength=256).astype(np.float64)
+        probs = counts[counts > 0] / arr.size
+        return {
+            "num_bytes": int(arr.size),
+            "checksum": int(zlib.crc32(raw)),
+            "byte_mean": float(arr.mean()),
+            "byte_entropy": float(-(probs * np.log2(probs)).sum()),
+        }
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _id, raw in zip(pdf["_id"], pdf["_p"]):
+                if raw is None:
+                    continue
+                raw = bytes(raw)
+                if codec is not None and featurizer is not None:
+                    feats = featurizer(decode_payload(raw, "custom", codec))
+                else:
+                    feats = byte_features(raw)
+                rows.append({"_id": _id, **feats})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return src.mapInPandas(build, out_schema).withColumnRenamed("_id", id_col)

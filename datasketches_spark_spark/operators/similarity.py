@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three operators, one per scale regime:
+
+* ``cosine_topk``      exact brute-force top-k for a SMALL query set: the
+                       query matrix rides along as a numpy closure (a
+                       broadcast variable in Spark terms), each corpus
+                       partition computes a blocked GEMM and emits only its
+                       local top-k rows per query, and a final tiny
+                       window/row_number pass re-ranks partitions' survivors
+                       — the shuffle is (partitions x queries x k) rows, not
+                       the corpus.
+* ``cosine_pairs``     exact all-pairs above a threshold, as a blocked
+                       self-join: the corpus is grouped into blocks of
+                       ``block_size`` vectors, block pairs (i <= j) are
+                       joined, and one numpy GEMM per block pair emits
+                       qualifying pairs. Work is n²/2 — that is what exact
+                       demands — but distributed over block pairs with no
+                       driver collect and bounded executor memory.
+* ``rhp_ann_topk``     approximate: random-hyperplane LSH bucket candidates
+                       re-ranked exactly. Sub-linear candidate sets at the
+                       cost of recall; the scale path when n² is off the
+                       table. Recall is measured in tests, not assumed.
+
+Cosine math is float64 on float32 inputs; outputs expose integer ids/ranks
+so results are deterministic under summation-order differences.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64, copy=False)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _id_field(df: DataFrame, col: str) -> StructField:
+    return StructField("query_id", df.schema[col].dataType)
+
+
+def cosine_topk(corpus: DataFrame, queries: list[tuple], k: int = 5,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each (query_id, vector) in
+    ``queries`` (a small in-memory list — the ANN baseline's query set).
+    Returns ``(query_id, rank, neighbor_id)``; ties break on neighbor id.
+    Self-matches (same id) are excluded."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    q_ids = np.array([q[0] for q in queries])
+    q_mat = _normalize(np.asarray([np.asarray(q[1], dtype=np.float64)
+                                   for q in queries]))
+
+    src = corpus.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_v"))
+    part_schema = StructType([
+        StructField("query_id", src.schema["_nid"].dataType),
+        StructField("neighbor_id", src.schema["_nid"].dataType),
+        StructField("sim", DoubleType()),
+    ])
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_all, sims_all = [], []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_nid"].to_numpy()
+            mat = _normalize(np.vstack(pdf["_v"].to_numpy()))
+            sims_all.append(q_mat @ mat.T)        # (n_q, n_batch)
+            ids_all.append(ids)
+        if not ids_all:
+            return
+        sims = np.concatenate(sims_all, axis=1)
+        ids = np.concatenate(ids_all)
+        keep = min(k + 1, sims.shape[1])          # +1 absorbs a self-match
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], keep - 1)[:keep]
+            out_q.extend([q_ids[qi]] * len(idx))
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(sims[qi][idx].tolist())
+        yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                            "sim": out_s})
+
+    local = src.mapInPandas(local_topk, part_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (local.where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))
+
+
+def cosine_pairs(corpus: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 block_size: int = 4096) -> DataFrame:
+    """Exact pairs with cosine >= threshold via a blocked self-join
+    (id_a < id_b). Executor memory per task is two blocks of vectors."""
+    blocked = (corpus.select(F.col(id_col).alias("_bid"),
+                             F.col(vec_col).alias("_v"))
+               .withColumn("block", (F.col("_bid") / block_size)
+                           .cast("long"))
+               .groupBy("block")
+               .agg(F.collect_list(F.struct("_bid", "_v")).alias("vs")))
+    a = blocked.select(F.col("block").alias("block_a"),
+                       F.col("vs").alias("vs_a"))
+    b = blocked.select(F.col("block").alias("block_b"),
+                       F.col("vs").alias("vs_b"))
+    pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+
+    out_schema = StructType([
+        StructField("id_a", corpus.schema[id_col].dataType),
+        StructField("id_b", corpus.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def block_gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["_bid"] for r in row["vs_a"]])
+                mat_a = _normalize(np.vstack([np.asarray(r["_v"])
+                                              for r in row["vs_a"]]))
+                ids_b = np.array([r["_bid"] for r in row["vs_b"]])
+                mat_b = _normalize(np.vstack([np.asarray(r["_v"])
+                                              for r in row["vs_b"]]))
+                sims = mat_a @ mat_b.T
+                ii, jj = np.where(sims >= threshold)
+                mask = ids_a[ii] < ids_b[jj]
+                ii, jj = ii[mask], jj[mask]
+                if len(ii):
+                    yield pd.DataFrame({"id_a": ids_a[ii],
+                                        "id_b": ids_b[jj],
+                                        "cosine": sims[ii, jj]})
+
+    return pairs.mapInPandas(block_gemm, out_schema)
+
+
+def rhp_signatures(corpus: DataFrame, num_bits: int = 16, num_tables: int = 8,
+                   dim: int = 64, seed: int = 0xA11CE,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: per table, a ``num_bits``-bit signature whose
+    bit b is sign(<v, h_b>). Emits (id, table, bucket) rows."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_bits, dim))
+    src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    out_schema = StructType([
+        StructField("_id", src.schema["_id"].dataType),
+        StructField("table", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
+    weights = (1 << np.arange(num_bits, dtype=np.int64))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy()
+            mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            frames = []
+            for t in range(num_tables):
+                bits = (mat @ planes[t].T) > 0          # (n, num_bits)
+                buckets = bits.astype(np.int64) @ weights
+                frames.append(pd.DataFrame({
+                    "_id": ids, "table": t, "bucket": buckets}))
+            yield pd.concat(frames, ignore_index=True)
+
+    return src.mapInPandas(build, out_schema)
+
+
+def rhp_ann_topk(corpus: DataFrame, queries: list[tuple], k: int = 5,
+                 num_bits: int = 12, num_tables: int = 8, dim: int = 64,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: LSH-bucket candidates (a query only scores corpus
+    vectors sharing a bucket in >= 1 table), re-ranked exactly. Returns
+    (query_id, rank, neighbor_id); recall < 1 by construction."""
+    rng = np.random.default_rng(0xA11CE)
+    planes = rng.standard_normal((num_tables, num_bits, dim))
+    weights = (1 << np.arange(num_bits, dtype=np.int64))
+    sig = rhp_signatures(corpus, num_bits=num_bits, num_tables=num_tables,
+                         dim=dim, id_col=id_col, vec_col=vec_col)
+
+    q_rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        for t in range(num_tables):
+            bucket = int(((v @ planes[t].T) > 0).astype(np.int64) @ weights)
+            q_rows.append((qid, t, bucket, [float(x) for x in v]))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        q_rows, "query_id long, table int, bucket long, qvec array<double>")
+
+    cands = (sig.join(F.broadcast(qdf), ["table", "bucket"])
+             .where(F.col("_id") != F.col("query_id"))
+             .select("query_id", F.col("_id").alias("neighbor_id"), "qvec")
+             .distinct())
+    nvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nvec"))
+    dot = F.aggregate(
+        F.zip_with("qvec", F.col("nvec").cast("array<double>"),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qn = F.sqrt(F.aggregate("qvec", F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    nn = F.sqrt(F.aggregate(F.col("nvec").cast("array<double>"), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    scored = (cands.join(nvec, "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      (dot / (qn * nn)).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))

@@ -1,0 +1,167 @@
+"""Tests for the LLM-pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestTextFunctions:
+    def test_tokenize_and_ngrams(self, spark):
+        from datasketches_spark_spark.functions.text import ngrams, tokenize
+        df = spark.createDataFrame([("a b c d",), ("x y",), ("solo",)],
+                                   ["text"])
+        out = df.select(
+            tokenize("text").alias("t"),
+            ngrams(tokenize("text"), 3).alias("tri")).collect()
+        assert out[0].t == ["a", "b", "c", "d"]
+        assert out[0].tri == ["a b c", "b c d"]
+        assert out[1].tri == []          # shorter than n -> empty, not null
+        assert out[2].t == ["solo"]
+
+    def test_lang_id(self, spark):
+        from datasketches_spark_spark.functions.text import lang_id
+        df = spark.createDataFrame(
+            [("the cat is in the house",),
+             ("der hund ist ein tier und das ist gut",),
+             ("qqq zzz www",)], ["text"])
+        got = [r.l for r in df.select(lang_id("text").alias("l")).collect()]
+        assert got == ["en", "de", "und"]
+
+    def test_quality_features_exact(self, spark):
+        from datasketches_spark_spark.functions.text import quality_features
+        df = spark.createDataFrame([("the the cat",)], ["text"])
+        feats = quality_features("text")
+        r = df.select(feats["n_tokens"].alias("n"),
+                      feats["distinct_ratio"].alias("dr"),
+                      feats["stopword_ratio"].alias("sr"),
+                      feats["mean_token_len"].alias("ml")).collect()[0]
+        assert r.n == 3
+        assert r.dr == pytest.approx(2 / 3)
+        assert r.sr == pytest.approx(2 / 3)
+        assert r.ml == pytest.approx(9 / 3)
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, spark):
+        from datasketches_spark_spark.functions.text import token_set_fingerprint
+        from datasketches_spark_spark.operators import exact_dedup_groups
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a a"), (3, "x y"), (4, "x y"), (5, "z")],
+            ["doc_id", "text"])
+        got = {(r.group_id, r.n_dups) for r in exact_dedup_groups(
+            df, "doc_id", token_set_fingerprint("text")).collect()}
+        assert got == {(1, 2), (3, 2)}   # {a,b,c} group and {x,y} group
+
+    def test_minhash_finds_planted_neardups(self, spark):
+        from datasketches_spark_spark.operators import minhash_dedup_pairs
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+               "lam mu nu xi omicron pi rho sigma tau upsilon"
+        near = base.replace("pi rho", "pi zzz rho")  # high trigram overlap
+        far = "one two three four five six seven eight nine ten eleven " \
+              "twelve thirteen fourteen"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], ["doc_id", "text"])
+        pairs = minhash_dedup_pairs(df, "doc_id", "text",
+                                    threshold=0.3).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+        assert 0.3 <= pairs[0].jaccard < 1.0
+
+    def test_simhash_hamming_property(self, spark, tables):
+        from datasketches_spark_spark.operators import (
+            simhash, simhash_dedup_pairs)
+        docs = tables["documents"]
+        sigs = {r._id: r.simhash
+                for r in simhash(docs, "doc_id", "text").collect()}
+        assert len(sigs) == docs.count()
+        pairs = simhash_dedup_pairs(docs, "doc_id", "text",
+                                    max_distance=3).collect()
+        mask = (1 << 64) - 1  # signatures are signed int64: mask for popcount
+        for p in pairs:
+            assert p.id_a < p.id_b
+            ham = bin((sigs[p.id_a] ^ sigs[p.id_b]) & mask).count("1")
+            assert ham <= 3
+            assert p.hamming == ham
+
+    def test_simhash_distance_cap(self, spark, tables):
+        from datasketches_spark_spark.operators import simhash_dedup_pairs
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_dedup_pairs(tables["documents"], "doc_id", "text",
+                                max_distance=4)
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark, tables):
+        from datasketches_spark_spark.operators import cosine_topk
+        emb = tables["embeddings"]
+        rows = emb.collect()
+        ids = np.array([r.vec_id for r in rows])
+        mat = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                         for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qs = [(r.vec_id, r.embedding) for r in rows[:5]]
+        got = cosine_topk(emb.repartition(8), qs, k=3).collect()
+        for qid, vec in qs:
+            qv = np.asarray(vec, dtype=np.float64)
+            qv = qv / np.linalg.norm(qv)
+            sims = mat @ qv
+            order = [int(ids[i]) for i in np.lexsort((ids, -sims))
+                     if ids[i] != qid][:3]
+            mine = [r.neighbor_id for r in sorted(
+                (g for g in got if g.query_id == qid), key=lambda r: r.rank)]
+            assert mine == order
+
+    def test_cosine_pairs_blocked_equals_single_block(self, spark, tables):
+        from datasketches_spark_spark.operators import cosine_pairs
+        emb = tables["embeddings"]
+        small = {(r.id_a, r.id_b) for r in
+                 cosine_pairs(emb, 0.4, block_size=50).collect()}
+        big = {(r.id_a, r.id_b) for r in
+               cosine_pairs(emb, 0.4, block_size=100_000).collect()}
+        assert small == big
+
+    def test_rhp_ann_recall(self, spark, tables):
+        from datasketches_spark_spark.operators import cosine_topk, rhp_ann_topk
+        emb = tables["embeddings"]
+        qs = [(r.vec_id, r.embedding)
+              for r in emb.where("vec_id < 10").collect()]
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(emb, qs, k=5).collect()}
+        # top-5 neighbors here sit at cosine ~0.4 (~66 deg): RHP bit-match
+        # prob ~0.63, so short signatures + many tables is the right trade
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in rhp_ann_topk(emb, qs, k=5, num_bits=4,
+                                        num_tables=32).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6  # approximate by design; must be non-trivial
+
+
+class TestMultimodal:
+    def test_payload_and_features(self, spark, tables):
+        import zlib
+        from datasketches_spark_spark.operators import (
+            extract_features, with_payload)
+        docs = tables["documents"].limit(20)
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        out = extract_features(with_payload(docs, "text"), "doc_id").collect()
+        assert len(out) == 20
+        for r in out:
+            raw = texts[r.doc_id].encode("utf-8")
+            assert r.num_bytes == len(raw)
+            assert r.checksum == zlib.crc32(raw)
+            assert 0 <= r.byte_entropy <= 8
+
+    def test_decode_stub_raises(self):
+        from datasketches_spark_spark.operators.multimodal import decode_payload
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x89PNG", "image")
+        assert decode_payload(b"xy", "image", codec=lambda b: len(b)) == 2
+
+    def test_metadata_struct_schema(self, spark, tables):
+        from datasketches_spark_spark.operators import with_payload
+        df = with_payload(tables["documents"].limit(1), "text")
+        meta = df.select("meta.*").collect()[0]
+        assert meta.modality == "text"
+        assert meta.codec == "utf-8"
+        assert meta.num_bytes > 0
+        assert dict(df.dtypes)["payload"] == "binary"
