@@ -37,8 +37,18 @@ def main() -> None:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + Python worker pool once so q01 isn't charged for it.
+    # Warm up the JVM and the Arrow/Python worker pool once so the first
+    # query isn't charged for process startup: one task per core imports the
+    # engine (numpy/pandas/sketches) inside the reused workers.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _warm(batches):
+        import datasketches_spark_spark.operators  # noqa: F401 (worker warmup)
+        import datasketches_spark_spark.sketches  # noqa: F401
+        yield from batches
+
+    warm = spark.range(cpus * 10).repartition(cpus)
+    warm.mapInPandas(_warm, warm.schema).selectExpr("count(*)").collect()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

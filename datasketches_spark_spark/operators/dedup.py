@@ -87,39 +87,58 @@ def minhash_bands(df: DataFrame, id_col: str, shingle_hashes: Column,
         StructField("band", LongType()),
         StructField("bucket", LongType()),
     ])
+    band_idx = np.arange(bands, dtype=np.int64)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids, bnds, bkts = [], [], []
-            for _id, sh in zip(pdf["_id"], pdf["_sh"]):
-                if sh is None or len(sh) == 0:
-                    continue
-                h = np.asarray(sh, dtype=np.int64).astype(np.uint64)
-                # (n_shingles, num_hashes) splitmix64(h ^ seed) matrix-min
-                sig = hash_longs(h[:, None] ^ seeds[None, :]).min(axis=0)
-                bucket = hash_longs(
-                    sig.reshape(bands, rows).sum(axis=1,
-                                                 dtype=np.uint64)).view(np.int64)
-                ids.extend([_id] * bands)
-                bnds.extend(range(bands))
-                bkts.extend(bucket.tolist())
-            if ids:
-                yield pd.DataFrame({"_id": ids, "band": bnds, "bucket": bkts})
+            keep = pdf["_sh"].map(lambda s: s is not None and len(s) > 0)
+            pdf = pdf[keep]
+            if pdf.empty:
+                continue
+            # Flatten all docs' shingle hashes into one array and min-reduce
+            # per (doc, seed) segment — one vectorized pass per seed instead
+            # of a Python loop per document.
+            arrs = [np.asarray(s, dtype=np.int64).astype(np.uint64)
+                    for s in pdf["_sh"]]
+            lens = np.array([a.size for a in arrs])
+            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            flat = np.concatenate(arrs)
+            ndocs = len(arrs)
+            sig = np.empty((ndocs, num_hashes), dtype=np.uint64)
+            for i in range(num_hashes):
+                sig[:, i] = np.minimum.reduceat(hash_longs(flat ^ seeds[i]),
+                                                offsets)
+            buckets = hash_longs(
+                sig.reshape(ndocs, bands, rows)
+                   .sum(axis=2, dtype=np.uint64).ravel()).view(np.int64)
+            yield pd.DataFrame({
+                "_id": np.repeat(pdf["_id"].to_numpy(), bands),
+                "band": np.tile(band_idx, ndocs),
+                "bucket": buckets,
+            })
 
     return src.mapInPandas(build, out_schema)
 
 
 def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band bucket.
-    Self-join keyed by (band, bucket) — the shuffle is on bucket keys, cost
-    proportional to real collisions (never an n² cross join)."""
-    a = band_df.select(F.col("_id").alias("id_a"), "band", "bucket")
-    b = band_df.select(F.col("_id").alias("id_b"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"])
+
+    One aggregation keyed by (band, bucket) + an in-row pair expansion —
+    NOT a self-join: a self-join would execute the upstream signature
+    computation twice (Spark cannot reuse an un-materialized subplan across
+    both join sides). Cost stays proportional to real collisions; a skewed
+    mega-bucket expands quadratically, which is inherent to LSH bucketing
+    regardless of formulation."""
+    buckets = (band_df.groupBy("band", "bucket")
+               .agg(F.collect_list("_id").alias("ids"))
+               .where(F.size("ids") > 1))
+    return (buckets
+            .select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .distinct())
 
 
 def jaccard_verify(pairs: DataFrame, df: DataFrame, id_col: str,
@@ -139,6 +158,17 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame, id_col: str,
             .where(F.col("jaccard") >= threshold))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the source
+    arrives in fewer partitions (a small parquet file reads as one split —
+    which would serialize every downstream per-row compute onto one core).
+    No-op when the input is already partitioned, i.e. at real scale."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.5, shingle_n: int = 3,
                         num_hashes: int = 128, bands: int = 32) -> DataFrame:
@@ -148,7 +178,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     ``(id_a, id_b, jaccard)`` with id_a < id_b."""
     sh = shingles(text_col, n=shingle_n)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    base = df.select(F.col(id_col), sh.alias("_sh"), hashed.alias("_shh"))
+    base = _spread(df).select(F.col(id_col), sh.alias("_sh"),
+                              hashed.alias("_shh"))
     bands_df = minhash_bands(base, id_col, F.col("_shh"),
                              num_hashes=num_hashes, bands=bands)
     cands = lsh_candidate_pairs(bands_df)
@@ -164,7 +195,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     Vectorized numpy via mapInPandas."""
     toks = tokenize(text_col, sep)
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
-    src = df.select(F.col(id_col).alias("_id"), hashed.alias("_th"))
+    src = _spread(df).select(F.col(id_col).alias("_id"), hashed.alias("_th"))
     out_schema = StructType([
         StructField("_id", src.schema["_id"].dataType),
         StructField("simhash", LongType()),
@@ -202,21 +233,24 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                          "recall guarantee; add more chunks instead")
     sig = simhash(df, id_col, text_col)
     chunks = sig.select(
-        F.col("_id"),
-        F.col("simhash"),
+        F.struct(F.col("_id").alias("id"), F.col("simhash").alias("sig"))
+         .alias("doc"),
         F.posexplode(F.array(*[
             (F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)))
             for i in range(4)
         ])).alias("chunk_idx", "chunk_val"))
-    a = chunks.select(F.col("_id").alias("id_a"),
-                      F.col("simhash").alias("sig_a"),
-                      "chunk_idx", "chunk_val")
-    b = chunks.select(F.col("_id").alias("id_b"),
-                      F.col("simhash").alias("sig_b"),
-                      "chunk_idx", "chunk_val")
-    cands = (a.join(b, ["chunk_idx", "chunk_val"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    # one aggregation + in-row pair expansion (see lsh_candidate_pairs for
+    # why this beats a self-join: no double execution of simhash())
+    buckets = (chunks.groupBy("chunk_idx", "chunk_val")
+               .agg(F.collect_list("doc").alias("docs"))
+               .where(F.size("docs") > 1))
+    pairs = (buckets
+             .select(F.explode("docs").alias("a"), "docs")
+             .select("a", F.explode("docs").alias("b"))
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .distinct())
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (cands.select("id_a", "id_b", dist.alias("hamming"))
+    return (pairs.select("id_a", "id_b", dist.alias("hamming"))
             .where(F.col("hamming") <= max_distance))
