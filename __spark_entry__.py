@@ -347,6 +347,41 @@ def _q23_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _q24_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stateful sketch accumulation (extension beyond
+    the reference, which has no streaming): events replayed as a file
+    stream (availableNow), one serialized quantile sketch per event_type in
+    the state store via applyInPandasWithState, final states estimated and
+    oracle-checked like any batch result."""
+    import tempfile
+    from datasketches_spark_spark.streaming import sketch_accumulate_stream
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="dss_q24_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_q24_ckpt_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sketch_accumulate_stream(stream, ["event_type"], "value",
+                                   family="quantile", impl="MERGEABLE",
+                                   k=_QK)
+    import uuid
+    name = f"q24_stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    final = spark.sql(f"""
+        SELECT event_type, state FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC) rn FROM {name}
+        ) WHERE rn = 1""")
+    return (final.select(
+                "event_type",
+                dsf.approx_percentile_estimate("state", 0.5).alias("p50_value"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -377,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_quality": _q21_quality,
         "q22_langid": _q22_langid,
         "q23_multimodal": _q23_multimodal,
+        "q24_streaming": _q24_streaming,
     }
 
 
@@ -570,5 +606,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(octet_length(encode(text))) AS total_bytes,
                    max(octet_length(encode(text))) AS max_bytes
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "q24_streaming": """
+            SELECT event_type, quantile_disc(value, 0.5) AS p50_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

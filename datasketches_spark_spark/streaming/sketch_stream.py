@@ -1,0 +1,101 @@
+"""Streaming sketch aggregation — mergeable summaries over unbounded data.
+
+Sketch states are commutative mergeable monoids, which makes them ideal
+streaming aggregates: a running serialized state per group is updated with
+each micro-batch and is queryable at any time with the same ``*_estimate``
+functions used in batch (the reference has no streaming support at all —
+``SURVEY.md §2b`` marks this an extension opportunity).
+
+Two shapes:
+
+* ``sketch_accumulate_stream`` — custom stateful operator via
+  ``applyInPandasWithState``: one serialized sketch per group key lives in
+  the state store; each trigger folds the new rows in and emits the updated
+  ``(keys..., state, n)`` row. Use with update-mode sinks.
+* ``streaming_summary_sink`` — ``foreachBatch`` composition for
+  append-style pipelines: every micro-batch runs the batch two-phase
+  operator (``sketch_partial`` -> merge) and APPENDS its per-batch states
+  to a summary table; readers re-combine states at query time with
+  ``*_combine``. This is the streaming version of the reference's
+  accumulate -> (filter) -> combine -> estimate pipeline and needs no
+  state store at all — the summary table IS the state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.sketch_agg import _family
+from ..operators import sketch_accumulate
+from ..sketches import deserialize_any
+
+
+def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
+                             family: str, state_col: str = "state",
+                             **params) -> DataFrame:
+    """Stateful streaming accumulate: ``groupBy(keys)`` +
+    ``applyInPandasWithState`` keeping one serialized sketch per group.
+
+    Emits ``(keys..., state, n)`` every trigger for every updated group
+    (``n`` = rows folded in so far). The state blob is the same wire format
+    as batch accumulate — estimate/combine functions apply unchanged."""
+    make, update = _family(family, **params)
+    src = df.select(*keys, col)
+    key_fields = [src.schema[k] for k in keys]
+    out_schema = StructType(key_fields + [
+        StructField(state_col, BinaryType()),
+        StructField("n", LongType()),
+    ])
+    state_schema = StructType([StructField("blob", BinaryType()),
+                               StructField("n", LongType())])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            blob, n = state.get
+            sk = deserialize_any(bytes(blob))
+        else:
+            sk, n = make(), 0
+        for pdf in pdfs:
+            vals = pdf[col].dropna()
+            n += len(vals)
+            update(sk, vals)
+        blob = sk.serialize()
+        state.update((blob, n))
+        row = {k: [v] for k, v in zip(keys, key)}
+        row[state_col] = [blob]
+        row["n"] = [n]
+        yield pd.DataFrame(row)
+
+    return (src.groupBy(*keys)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def streaming_summary_sink(df: DataFrame, keys: list[str], col: str,
+                           family: str, path: str, checkpoint: str,
+                           state_col: str = "state", **params):
+    """foreachBatch pipeline: per micro-batch two-phase sketch aggregation
+    appended to a parquet summary table (plus a ``batch_id`` column).
+    Query-time: ``combine(state)`` over any key/batch subset — the
+    reference's mergeable-summaries pattern, continuously maintained.
+    Returns the DataStreamWriter (caller starts/stops it)."""
+
+    def process(batch_df: DataFrame, batch_id: int):
+        from pyspark.sql import functions as F
+        summary = sketch_accumulate(batch_df, keys, col, family,
+                                    state_col=state_col, **params)
+        (summary.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(path))
+
+    return (df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint))

@@ -1,0 +1,82 @@
+"""Structured Streaming sketch aggregation tests (file source, availableNow
+trigger, memory/parquet sinks)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def stream_dirs():
+    dirs = [tempfile.mkdtemp(prefix=f"dss_stream_{i}_") for i in range(3)]
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_stream(spark, tables, src_dir):
+    ev = tables["events"].select("event_type", "user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    return (spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+
+class TestStreaming:
+    def test_stateful_accumulate_matches_batch(self, spark, tables,
+                                               stream_dirs):
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.streaming import sketch_accumulate_stream
+        src_dir, ckpt, _ = stream_dirs
+        stream = _events_stream(spark, tables, src_dir)
+        out = sketch_accumulate_stream(stream, ["event_type"], "value",
+                                       family="quantile", impl="MERGEABLE",
+                                       k=262_144)
+        q = (out.writeStream.format("memory").queryName("sk_stream")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # memory sink in update mode appends every trigger's rows: the LAST
+        # row per key carries the final state
+        final = spark.sql("""
+            SELECT event_type, state FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC) rn FROM sk_stream
+            ) WHERE rn = 1""")
+        got = {r.event_type: r.p50 for r in final.select(
+            "event_type",
+            dsf.approx_percentile_estimate("state", 0.5).alias("p50")
+        ).collect()}
+        exact = {r.event_type: float(r.p50) for r in
+                 tables["events"].groupBy("event_type").agg(
+                     F.expr("percentile_disc(0.5) WITHIN GROUP "
+                            "(ORDER BY value)").alias("p50")).collect()}
+        assert set(got) == set(exact)
+        for k in exact:
+            assert got[k] == pytest.approx(exact[k], abs=1e-9), k
+
+    def test_summary_sink_recombines(self, spark, tables, stream_dirs):
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.streaming import streaming_summary_sink
+        src_dir, ckpt, sink = stream_dirs
+        stream = _events_stream(spark, tables, src_dir)
+        q = streaming_summary_sink(stream, ["event_type"], "user_id",
+                                   family="theta", k=16_384,
+                                   path=sink, checkpoint=ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        summaries = spark.read.parquet(sink)
+        assert "batch_id" in summaries.columns
+        assert summaries.select("batch_id").distinct().count() > 1
+        got = {r.event_type: r.ndv for r in
+               (summaries.groupBy("event_type")
+                .agg(dsf.approx_count_distinct_combine("state").alias("m"))
+                .select("event_type",
+                        dsf.approx_count_distinct_estimate("m").alias("ndv"))
+                ).collect()}
+        exact = {r.event_type: r.ndv for r in
+                 tables["events"].groupBy("event_type").agg(
+                     F.countDistinct("user_id").alias("ndv")).collect()}
+        assert got == exact
