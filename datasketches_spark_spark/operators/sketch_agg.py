@@ -31,7 +31,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    StructField,
+    StructType,
+)
 
 from .. import conf
 from ..functions.udfs import combine_udf
@@ -165,7 +170,8 @@ class Measure:
     column to sketch, with which family/params, and how to turn the merged
     state into the output column."""
 
-    __slots__ = ("name", "col", "family", "params", "estimator")
+    __slots__ = ("name", "col", "family", "params", "estimator",
+                 "preserve_type", "multi")
 
     def __init__(self, name: str, col: str, family: str, estimator, **params):
         self.name = name
@@ -173,14 +179,25 @@ class Measure:
         self.family = family
         self.params = params
         self.estimator = estimator  # Column(state) -> Column(result)
+        self.preserve_type = False  # cast result back to input column type
+        self.multi = False          # result is an array (multi-percentage)
 
 
 def percentile_measure(name: str, col: str, percentage,
-                       impl: str | None = None, k: int | None = None) -> Measure:
+                       impl: str | None = None, k: int | None = None,
+                       preserve_type: bool = False) -> Measure:
+    """``preserve_type=True`` reproduces the reference's direct-aggregate
+    output typing: the estimate is cast back to the input column's type,
+    incl. Decimal (``quantileSketches.scala:196-211``; type matrix test
+    ``ApproximateQuerySuite.scala:52-65``). The estimate-from-state path
+    stays double, like the reference's (``:601-605``)."""
     from ..functions.quantiles import approx_percentile_estimate
-    return Measure(name, col, "quantile",
-                   lambda c: approx_percentile_estimate(c, percentage),
-                   impl=impl, k=k)
+    m = Measure(name, col, "quantile",
+                lambda c: approx_percentile_estimate(c, percentage),
+                impl=impl, k=k)
+    m.preserve_type = preserve_type
+    m.multi = isinstance(percentage, (list, tuple))
+    return m
 
 
 def freqitems_measure(name: str, col: str, item_type: str = "string",
@@ -259,7 +276,13 @@ def sketch_grouped_agg(df: DataFrame, keys: list[str],
                 .alias(f"{m.name}__state") for m in ms]
     merged = (partial.groupBy(*keys).agg(*combines) if keys
               else partial.agg(*combines))
-    outs = [m.estimator(F.col(f"{m.name}__state")).alias(m.name) for m in ms]
+    outs = []
+    for m in ms:
+        out = m.estimator(F.col(f"{m.name}__state"))
+        if m.preserve_type:
+            dt = df.schema[m.col].dataType
+            out = out.cast(ArrayType(dt) if m.multi else dt)
+        outs.append(out.alias(m.name))
     return merged.select(*keys, *outs)
 
 

@@ -278,3 +278,50 @@ class TestTwoPhaseOperators:
             "SELECT approx_count_distinct_theta(user_id) AS n FROM events"
         ).collect()[0].n
         assert n > 0
+
+
+class TestTypePreservation:
+    def test_percentile_output_type_matrix(self, spark):
+        # reference type matrix (ApproximateQuerySuite.scala:52-65):
+        # approx_percentile_ex output type == input column type
+        from decimal import Decimal
+        from datasketches_spark_spark.operators import (
+            percentile_measure, sketch_grouped_agg)
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1.0, 1.0, Decimal("1.00")),
+             (2, 2, 2, 2.0, 2.0, Decimal("2.00")),
+             (3, 3, 3, 3.0, 3.0, Decimal("3.00"))],
+            "c_byte tinyint, c_int int, c_long bigint, c_float float, "
+            "c_double double, c_dec decimal(10,2)")
+        ms = [percentile_measure(f"p_{c}", c, 0.5, impl="MERGEABLE",
+                                 k=1024, preserve_type=True)
+              for c in df.columns]
+        out = sketch_grouped_agg(df, [], *ms)
+        got = dict(out.dtypes)
+        assert got == {"p_c_byte": "tinyint", "p_c_int": "int",
+                       "p_c_long": "bigint", "p_c_float": "float",
+                       "p_c_double": "double", "p_c_dec": "decimal(10,2)"}
+        row = out.collect()[0]
+        assert row.p_c_int == 2
+        assert row.p_c_dec == Decimal("2.00")
+
+    def test_multi_percentage_array_type_preserved(self, spark):
+        from datasketches_spark_spark.operators import (
+            percentile_measure, sketch_grouped_agg)
+        df = spark.createDataFrame([(i,) for i in range(1, 101)], "v int")
+        out = sketch_grouped_agg(
+            df, [], percentile_measure("qs", "v", [0.25, 0.75],
+                                       impl="MERGEABLE", k=1024,
+                                       preserve_type=True))
+        assert dict(out.dtypes)["qs"] == "array<int>"
+        assert out.collect()[0].qs == [25, 75]
+
+    def test_estimate_from_state_stays_double(self, spark):
+        # reference parity: estimate-from-state is always double
+        # (quantileSketches.scala:601-605)
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([(i,) for i in range(1, 11)], "v int")
+        st = df.agg(dsf.approx_percentile_accumulate(
+            "v", impl="MERGEABLE").alias("s"))
+        out = st.select(dsf.approx_percentile_estimate("s", 0.5).alias("e"))
+        assert dict(out.dtypes)["e"] == "double"
