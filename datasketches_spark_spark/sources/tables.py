@@ -53,6 +53,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_csv(spark: SparkSession, path: str, header: bool = True,
+             sep: str = ",", schema=None, infer: bool = True) -> DataFrame:
+    """CSV source with the reference demos' options surface
+    (``README.md:31, :121, :239``: header/sep, schema inference)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_summary(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Persist a sketch-summary table (binary states are plain parquet
+    columns; partitioning by time/group keys enables partition pruning on
+    later combine-subset queries)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> dict[str, DataFrame]:
     """Read fixture tables and register them as temp views."""

@@ -325,3 +325,37 @@ class TestTypePreservation:
             "v", impl="MERGEABLE").alias("s"))
         out = st.select(dsf.approx_percentile_estimate("s", 0.5).alias("e"))
         assert dict(out.dtypes)["e"] == "double"
+
+
+class TestSources:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        import os
+        from datasketches_spark_spark.sources import read_csv
+        p = os.path.join(str(tmp_path), "t.csv")
+        with open(p, "w") as f:
+            f.write("a;b\n1;x\n2;y\n")
+        df = read_csv(spark, p, sep=";")
+        assert df.columns == ["a", "b"]
+        assert df.count() == 2
+        assert dict(df.dtypes)["a"] == "int"  # inferSchema
+
+    def test_write_summary_partitioned(self, spark, tables, tmp_path):
+        import os
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.operators import sketch_accumulate
+        from datasketches_spark_spark.sources import write_summary
+        from pyspark.sql import functions as F
+        ev = tables["events"]
+        summ = sketch_accumulate(ev, ["event_type"], "user_id",
+                                 family="theta", k=16384)
+        path = os.path.join(str(tmp_path), "summaries")
+        write_summary(summ, path, partition_by=["event_type"])
+        back = spark.read.parquet(path)
+        # partition-pruned subset re-combines correctly
+        one = (back.where(F.col("event_type") == "click")
+               .agg(dsf.approx_count_distinct_combine("state").alias("m"))
+               .select(dsf.approx_count_distinct_estimate("m").alias("ndv"))
+               .collect())
+        exact = ev.where("event_type = 'click'") \
+                  .agg(F.countDistinct("user_id").alias("n")).collect()
+        assert one[0].ndv == exact[0].n
