@@ -382,6 +382,41 @@ def _q24_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
+    sample — the standard IVF design), distributed cell assignment, probe +
+    exact re-rank. Probing ALL cells makes the result exactly brute-force
+    top-k, so the oracle hash-checks the full IVF machinery; partial-probe
+    recall is pytest-measured."""
+    from datasketches_spark_spark.operators import (
+        ivf_ann_topk, train_ivf_centroids)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, num_cells=8, iters=5)
+    qs = [(r.vec_id, r.embedding) for r in emb.where("vec_id < 10").collect()]
+    return (ivf_ann_topk(emb, qs, cents, k=5, nprobe=8)
+            .orderBy("query_id", "rank"))
+
+
+def _q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content document fingerprints (md5) — the cheap first pass of
+    any dedup pipeline; pure JVM expression."""
+    from datasketches_spark_spark.functions.text import doc_fingerprint
+    docs = read_table(spark, sf_dir, "documents")
+    return (docs.where(F.col("doc_id") < 30)
+            .select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+def _q27_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (rolling k-gram hash + window
+    minima). Engine-defined hash: rows-only driver check; the winnowing
+    shift-invariance property is pytest-verified."""
+    from datasketches_spark_spark.operators import winnow_dedup_pairs
+    docs = read_table(spark, sf_dir, "documents")
+    return (winnow_dedup_pairs(docs, "doc_id", "text", min_overlap=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -413,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_langid": _q22_langid,
         "q23_multimodal": _q23_multimodal,
         "q24_streaming": _q24_streaming,
+        "q25_ivf_ann": _q25_ivf_ann,
+        "q26_fingerprint": _q26_fingerprint,
+        "q27_winnow": _q27_winnow,
     }
 
 
@@ -610,5 +648,22 @@ def oracle_sql() -> dict[str, str]:
         "q24_streaming": """
             SELECT event_type, quantile_disc(value, 0.5) AS p50_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # q27_winnow: no oracle — engine-defined rolling hash (rows-only).
+        "q25_ivf_ann": """
+            SELECT q AS query_id, r AS rank, nb AS neighbor_id FROM (
+              SELECT a.vec_id q, b.vec_id nb,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) r
+              FROM embeddings a
+              JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+            ) WHERE r <= 5 ORDER BY query_id, rank
+        """,
+        "q26_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint
+            FROM documents WHERE doc_id < 30 ORDER BY doc_id
         """,
     }

@@ -82,6 +82,20 @@ def doc_fingerprint(col) -> Column:
     return F.md5(_col(col))
 
 
+# BPE-ish subword segmentation pattern (ASCII simplification of the GPT-2
+# pre-tokenizer): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace. Counting matches approximates a
+# subword-tokenizer's token count without a vocab.
+BPE_ISH_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def subword_token_count(col) -> Column:
+    """Approximate subword (BPE-style) token count via regexp_count — a
+    JVM-side stand-in for tokenizer-based counting when the real tokenizer
+    can't run inside the row path."""
+    return F.regexp_count(_col(col), F.lit(BPE_ISH_PATTERN))
+
+
 def stopword_hits(tokens: Column, lang: str) -> Column:
     sw = STOPWORDS[lang]
     return F.size(F.filter(tokens, lambda x: x.isin(*sw)))

@@ -2,6 +2,8 @@
 
 from .dedup import (
     exact_dedup_groups,
+    winnow_dedup_pairs,
+    winnow_fingerprints,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_bands,
@@ -13,8 +15,11 @@ from .multimodal import extract_features, with_payload
 from .similarity import (
     cosine_pairs,
     cosine_topk,
+    ivf_ann_topk,
+    ivf_assign,
     rhp_ann_topk,
     rhp_signatures,
+    train_ivf_centroids,
 )
 from .sketch_agg import (
     Measure,
@@ -30,6 +35,8 @@ from .sketch_agg import (
 
 __all__ = [
     "exact_dedup_groups",
+    "winnow_dedup_pairs",
+    "winnow_fingerprints",
     "jaccard_verify",
     "lsh_candidate_pairs",
     "minhash_bands",
@@ -42,6 +49,9 @@ __all__ = [
     "cosine_topk",
     "rhp_ann_topk",
     "rhp_signatures",
+    "ivf_ann_topk",
+    "ivf_assign",
+    "train_ivf_centroids",
     "Measure",
     "distinct_measure",
     "freqitems_measure",

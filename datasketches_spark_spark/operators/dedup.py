@@ -186,6 +186,82 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     return jaccard_verify(cands, base, id_col, F.col("_sh"), threshold)
 
 
+# ------------------------------------------------------------------ winnowing
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): hash every character ``k``-gram, slide a ``window`` over
+    the hash sequence and keep each window's minimum — a position-robust
+    fingerprint set whose size is ~2/(window+1) of the text length.
+    Vectorized numpy (sliding_window_view) per Arrow batch; emits
+    ``(id, fingerprints: array<long>)``."""
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    out_schema = StructType([
+        StructField("_id", src.schema["_id"].dataType),
+        StructField("fingerprints", ArrayType(LongType(), containsNull=False)),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+        pows = (np.full(k, 1099511628211, dtype=np.uint64)
+                ** np.arange(k, dtype=np.uint64))  # FNV-prime powers, mod 2^64
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, fps = [], []
+            for _id, text in zip(pdf["_id"], pdf["_t"]):
+                if text is None or len(text) < k:
+                    continue
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                grams = sliding_window_view(raw, k).astype(np.uint64)
+                gh = hash_longs((grams * pows).sum(axis=1, dtype=np.uint64))
+                if gh.size >= window:
+                    mins = sliding_window_view(gh, window).min(axis=1)
+                else:
+                    mins = gh.min(keepdims=True)
+                ids.append(_id)
+                fps.append(np.unique(mins).view(np.int64).tolist())
+            if ids:
+                yield pd.DataFrame({"_id": ids, "fingerprints": fps})
+
+    return src.mapInPandas(build, out_schema)
+
+
+def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 8, window: int = 4,
+                       min_overlap: float = 0.5,
+                       max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs whose winnowing-fingerprint containment
+    (shared / min(|fp_a|, |fp_b|)) >= min_overlap — bucketed by
+    fingerprint (one aggregation + in-row pair expansion, like the LSH
+    path). An absolute shared-count threshold is meaningless on corpora
+    with common boilerplate substrings: every pair shares some k-grams;
+    the containment ratio normalizes by document size. ``max_bucket``
+    drops degenerate fingerprints shared by more than that many docs
+    (stop-gram equivalent of a stopword list) to bound the quadratic
+    bucket expansion."""
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    sized = fp.select("_id", F.size("fingerprints").alias("n_fp"),
+                      F.explode("fingerprints").alias("fp"))
+    buckets = (sized.groupBy("fp")
+               .agg(F.collect_list(F.struct("_id", "n_fp")).alias("ids"))
+               .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
+    pairs = (buckets
+             .select(F.explode("ids").alias("a"), "ids")
+             .select("a", F.explode("ids").alias("b"))
+             .where(F.col("a._id") < F.col("b._id")))
+    counted = (pairs.groupBy(F.col("a._id").alias("id_a"),
+                             F.col("b._id").alias("id_b"))
+               .agg(F.count("*").alias("shared"),
+                    F.first("a.n_fp").alias("n_a"),
+                    F.first("b.n_fp").alias("n_b")))
+    overlap = (F.col("shared").cast("double")
+               / F.least("n_a", "n_b").cast("double"))
+    return (counted.select("id_a", "id_b", overlap.alias("overlap"))
+            .where(F.col("overlap") >= min_overlap))
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

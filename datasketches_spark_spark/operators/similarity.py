@@ -149,6 +149,92 @@ def cosine_pairs(corpus: DataFrame, threshold: float,
     return pairs.mapInPandas(block_gemm, out_schema)
 
 
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid cell — the IVF
+    coarse quantizer. One mapInPandas pass; emits (id, cell)."""
+    cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+    src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    out_schema = StructType([
+        StructField("_id", src.schema["_id"].dataType),
+        StructField("cell", IntegerType()),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.vstack(pdf["_v"].to_numpy()))
+            cells = (mat @ cmat.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "cell": cells})
+
+    return src.mapInPandas(assign, out_schema)
+
+
+def train_ivf_centroids(corpus: DataFrame, num_cells: int = 16,
+                        sample_fraction: float = 1.0, iters: int = 10,
+                        seed: int = 7, vec_col: str = "embedding"
+                        ) -> np.ndarray:
+    """Spherical k-means on a (sampled) collect of vectors. The training
+    sample is deliberately small and driver-side — at 100 TB you train the
+    quantizer on a ~1M-row sample, not the corpus; assignment stays fully
+    distributed (``ivf_assign``)."""
+    sample = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    mat = _normalize(np.vstack([np.asarray(r[0]) for r in sample.collect()]))
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(mat.shape[0], size=num_cells, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(num_cells):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: list[tuple],
+                 centroids: np.ndarray, k: int = 5, nprobe: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells and scores only vectors assigned there — the candidate scan is
+    n * (nprobe / num_cells) instead of n. Exact re-rank inside the probed
+    cells; ties break on neighbor id."""
+    cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+    cells = ivf_assign(corpus, cmat, id_col=id_col, vec_col=vec_col)
+    tagged = corpus.join(cells.withColumnRenamed("_id", id_col), id_col)
+
+    q_rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / (np.linalg.norm(v) or 1.0)
+        probes = np.argsort(-(cmat @ v))[:nprobe]
+        for c in probes:
+            q_rows.append((int(qid), int(c), [float(x) for x in v]))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        q_rows, "query_id long, cell int, qvec array<double>")
+
+    cands = (tagged.join(F.broadcast(qdf), "cell")
+             .where(F.col(id_col) != F.col("query_id")))
+    dot = F.aggregate(
+        F.zip_with("qvec", F.col(vec_col).cast("array<double>"),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nn = F.sqrt(F.aggregate(F.col(vec_col).cast("array<double>"), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    scored = cands.select("query_id", F.col(id_col).alias("neighbor_id"),
+                          (dot / nn).alias("sim"))  # qvec pre-normalized
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))
+
+
 def rhp_signatures(corpus: DataFrame, num_bits: int = 16, num_tables: int = 8,
                    dim: int = 64, seed: int = 0xA11CE,
                    id_col: str = "vec_id",

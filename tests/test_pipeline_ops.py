@@ -165,3 +165,74 @@ class TestMultimodal:
         assert meta.codec == "utf-8"
         assert meta.num_bytes > 0
         assert dict(df.dtypes)["payload"] == "binary"
+
+
+class TestIVF:
+    def test_ivf_assign_covers_all(self, spark, tables):
+        from datasketches_spark_spark.operators import (
+            ivf_assign, train_ivf_centroids)
+        emb = tables["embeddings"]
+        cents = train_ivf_centroids(emb, num_cells=8, iters=5)
+        assert cents.shape == (8, 64)
+        cells = ivf_assign(emb, cents)
+        assert cells.count() == emb.count()
+        assert cells.select("cell").distinct().count() > 1
+
+    def test_ivf_topk_recall_and_full_probe_exact(self, spark, tables):
+        from datasketches_spark_spark.operators import (
+            cosine_topk, ivf_ann_topk, train_ivf_centroids)
+        emb = tables["embeddings"]
+        qs = [(r.vec_id, r.embedding)
+              for r in emb.where("vec_id < 10").collect()]
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(emb, qs, k=5).collect()}
+        cents = train_ivf_centroids(emb, num_cells=8, iters=5)
+        # probing ALL cells == brute force (sanity: re-rank is exact)
+        full = {(r.query_id, r.neighbor_id)
+                for r in ivf_ann_topk(emb, qs, cents, k=5,
+                                      nprobe=8).collect()}
+        assert full == exact
+        # partial probe: approximate but non-trivial recall
+        part = {(r.query_id, r.neighbor_id)
+                for r in ivf_ann_topk(emb, qs, cents, k=5,
+                                      nprobe=4).collect()}
+        assert len(exact & part) / len(exact) >= 0.5
+
+
+class TestWinnowing:
+    def test_fingerprints_shift_invariant(self, spark):
+        from datasketches_spark_spark.operators import winnow_fingerprints
+        text = "the quick brown fox jumps over the lazy dog " * 3
+        df = spark.createDataFrame(
+            [(1, text), (2, "PREFIX-123 " + text), (3, "totally different "
+              "content with no overlap whatsoever in characters")],
+            ["doc_id", "text"])
+        fps = {r._id: set(r.fingerprints) for r in
+               winnow_fingerprints(df, "doc_id", "text").collect()}
+        # winnowing guarantees shared substrings yield shared fingerprints
+        overlap_12 = len(fps[1] & fps[2]) / len(fps[1])
+        overlap_13 = len(fps[1] & fps[3]) / len(fps[1])
+        assert overlap_12 > 0.8
+        assert overlap_13 < 0.2
+
+    def test_winnow_dedup_pairs(self, spark, tables):
+        from datasketches_spark_spark.operators import winnow_dedup_pairs
+        docs = tables["documents"]
+        pairs = winnow_dedup_pairs(docs, "doc_id", "text",
+                                   min_overlap=0.5).collect()
+        assert all(p.id_a < p.id_b for p in pairs)
+        assert all(p.overlap >= 0.5 for p in pairs)
+        n_docs = docs.count()
+        assert 0 < len(pairs) < n_docs * 3  # near-dups, not all-pairs soup
+
+
+class TestSubwordCount:
+    def test_bpe_ish_counts(self, spark):
+        from datasketches_spark_spark.functions.text import subword_token_count
+        df = spark.createDataFrame(
+            [("hello world",),      # "hello" + " world" = 2
+             ("it's 42 degrees!",),  # it + 's + " 42" + " degrees" + "!" = 5
+             ("",)], ["text"])
+        got = [r.n for r in df.select(
+            subword_token_count("text").alias("n")).collect()]
+        assert got == [2, 5, 0]
