@@ -189,14 +189,15 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 # ------------------------------------------------------------------ winnowing
 
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 8, window: int = 4) -> DataFrame:
+                        k: int = 16, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD'03): hash every character ``k``-gram, slide a ``window`` over
     the hash sequence and keep each window's minimum — a position-robust
     fingerprint set whose size is ~2/(window+1) of the text length.
     Vectorized numpy (sliding_window_view) per Arrow batch; emits
     ``(id, fingerprints: array<long>)``."""
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    src = _spread(df).select(F.col(id_col).alias("_id"),
+                             F.col(text_col).alias("_t"))
     out_schema = StructType([
         StructField("_id", src.schema["_id"].dataType),
         StructField("fingerprints", ArrayType(LongType(), containsNull=False)),
@@ -229,18 +230,20 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 
 def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
-                       k: int = 8, window: int = 4,
+                       k: int = 16, window: int = 4,
                        min_overlap: float = 0.5,
-                       max_bucket: int = 1000) -> DataFrame:
+                       max_bucket: int = 64) -> DataFrame:
     """Near-dup pairs whose winnowing-fingerprint containment
     (shared / min(|fp_a|, |fp_b|)) >= min_overlap — bucketed by
     fingerprint (one aggregation + in-row pair expansion, like the LSH
     path). An absolute shared-count threshold is meaningless on corpora
     with common boilerplate substrings: every pair shares some k-grams;
     the containment ratio normalizes by document size. ``max_bucket``
-    drops degenerate fingerprints shared by more than that many docs
-    (stop-gram equivalent of a stopword list) to bound the quadratic
-    bucket expansion."""
+    drops degenerate fingerprints shared by more than that many docs — the
+    stop-gram equivalent of a stopword list. This both bounds the quadratic
+    bucket expansion AND improves precision: a k-gram occurring in hundreds
+    of documents is boilerplate, not evidence of duplication (true near-dup
+    pairs always also share rare fingerprints from their unique content)."""
     fp = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
     sized = fp.select("_id", F.size("fingerprints").alias("n_fp"),
                       F.explode("fingerprints").alias("fp"))
