@@ -42,6 +42,7 @@ from ..sketches import (
     ITEM_LONG,
     ITEM_STR,
     FreqItemsSketch,
+    HllSketch,
     ThetaSketch,
     deserialize_any,
     deserialize_quantile,
@@ -290,6 +291,9 @@ def theta_direct_udf(k: int):
 
 
 def theta_est_udf():
+    """Estimate for distinct-count states — accepts both Theta/KMV and the
+    engine's numpy HLL states (dispatch on the state header), mirroring the
+    family-agnostic combine."""
     @pandas_udf(LongType())
     def est(states: pd.Series) -> pd.Series:
         out = []
@@ -298,7 +302,10 @@ def theta_est_udf():
                 out.append(None)
                 continue
             try:
-                out.append(ThetaSketch.deserialize(bytes(blob)).estimate())
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, (ThetaSketch, HllSketch)):
+                    raise ValueError("not a distinct-count state")
+                out.append(sk.estimate())
             except Exception as e:
                 log.warning("approx_count_distinct_estimate: corrupt state: %s", e)
                 out.append(None)

@@ -44,6 +44,7 @@ from ..sketches import (
     ITEM_LONG,
     ITEM_STR,
     FreqItemsSketch,
+    HllSketch,
     ThetaSketch,
     hash_series,
     make_quantile_sketch,
@@ -101,6 +102,20 @@ def _theta_family(k: int | None):
     return make, update
 
 
+def _hll_family(lgk: int | None):
+    lgk = lgk or conf.distinct_hll_lgk()
+
+    def make():
+        return HllSketch(lgk=lgk)
+
+    def update(sk, values: pd.Series):
+        v = values.dropna()
+        if not v.empty:
+            sk.update_hashes(hash_series(v))
+
+    return make, update
+
+
 def _family(name: str, **params):
     if name in ("quantile", "kll", "req", "mergeable"):
         impl = None if name == "quantile" else name.upper()
@@ -110,6 +125,8 @@ def _family(name: str, **params):
                             params.get("max_map_size"))
     if name in ("theta", "cpc", "distinct"):
         return _theta_family(params.get("k"))
+    if name == "hll":
+        return _hll_family(params.get("lgk"))
     raise ValueError(f"unknown sketch family {name!r}")
 
 
@@ -209,8 +226,16 @@ def freqitems_measure(name: str, col: str, item_type: str = "string",
                    item_type=it, max_map_size=max_map_size)
 
 
-def distinct_measure(name: str, col: str, k: int | None = None) -> Measure:
+def distinct_measure(name: str, col: str, k: int | None = None,
+                     impl: str = "theta") -> Measure:
+    """``impl="theta"`` (default): KMV — exact below k, 8 B/entry states.
+    ``impl="hll"``: the engine's numpy HLL — never exact, but fixed
+    2^lgk-byte states with CPC-class accuracy; the right choice when
+    per-group NDV is huge and summary-table size matters."""
     from ..functions.distinctcnt import approx_count_distinct_estimate
+    if impl == "hll":
+        return Measure(name, col, "hll",
+                       lambda c: approx_count_distinct_estimate(c), k=k)
     return Measure(name, col, "theta",
                    lambda c: approx_count_distinct_estimate(c), k=k)
 

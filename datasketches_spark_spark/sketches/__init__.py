@@ -6,11 +6,13 @@ One class per family, all exposing the reference's four-verb lifecycle
 """
 
 from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
+from .hll import HllSketch
 from .kll import KllSketch
 from .req import ReqSketch
 from .serde import (
     FAMILY_FREQ_LONG,
     FAMILY_FREQ_STR,
+    FAMILY_HLL,
     FAMILY_KLL,
     FAMILY_REQ,
     FAMILY_THETA,
@@ -36,6 +38,8 @@ def deserialize_any(data: bytes):
         return FreqItemsSketch.deserialize(data)
     if fam == FAMILY_THETA:
         return ThetaSketch.deserialize(data)
+    if fam == FAMILY_HLL:
+        return HllSketch.deserialize(data)
     raise ValueError(f"unknown sketch family {fam}")
 
 
@@ -58,6 +62,7 @@ def deserialize_quantile(data: bytes):
 
 
 __all__ = [
+    "HllSketch",
     "KllSketch",
     "ReqSketch",
     "FreqItemsSketch",

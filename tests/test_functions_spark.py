@@ -359,3 +359,27 @@ class TestSources:
         exact = ev.where("event_type = 'click'") \
                   .agg(F.countDistinct("user_id").alias("n")).collect()
         assert one[0].ndv == exact[0].n
+
+
+class TestHllTwoPhase:
+    def test_hll_measure_accuracy_and_lifecycle(self, spark, tables):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.operators import (
+            distinct_measure, sketch_accumulate, sketch_grouped_agg)
+        ev = tables["events"].repartition(8)
+        got = {r.event_type: r.ndv for r in sketch_grouped_agg(
+            ev, ["event_type"],
+            distinct_measure("ndv", "user_id", impl="hll")).collect()}
+        exact = {r.event_type: r.n for r in ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        for k, n in exact.items():
+            assert abs(got[k] - n) / n < 0.05, (k, got[k], n)  # lgk=12
+        # lifecycle: hll states flow through the family-agnostic
+        # combine/estimate functions
+        summ = sketch_accumulate(ev, ["event_type"], "user_id", family="hll")
+        est = (summ.agg(dsf.approx_count_distinct_combine("state").alias("m"))
+               .select(dsf.approx_count_distinct_estimate("m").alias("ndv"))
+               .collect()[0].ndv)
+        total = ev.select("user_id").distinct().count()
+        assert abs(est - total) / total < 0.05

@@ -350,3 +350,61 @@ class TestKllWeightExact:
         sk.update_batch(np.random.default_rng(5).permutation(n).astype(np.float64))
         v, w = sk._weighted_items()
         assert int(w.sum()) == n
+
+
+class TestHllSketch:
+    def test_accuracy_within_rse_bounds(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import HllSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        for lgk, n in [(12, 100_000), (14, 1_000_000)]:
+            rse = 1.04 / (2 ** (lgk / 2))
+            errs = []
+            for seed in (1, 2, 3):
+                sk = HllSketch(lgk=lgk)
+                vals = np.random.default_rng(seed).integers(
+                    0, 2**62, size=n, dtype=np.int64)
+                sk.update_hashes(hash_longs(vals))
+                nd = len(np.unique(vals))
+                errs.append(abs(sk.estimate() - nd) / nd)
+            assert np.mean(errs) < 3 * rse, (lgk, errs)
+
+    def test_merge_equals_single_stream(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import HllSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        vals = np.random.default_rng(9).integers(0, 2**62, size=200_000,
+                                                 dtype=np.int64)
+        whole = HllSketch(lgk=12)
+        whole.update_hashes(hash_longs(vals))
+        merged = HllSketch(lgk=12)
+        for chunk in np.array_split(vals, 16):
+            part = HllSketch(lgk=12)
+            part.update_hashes(hash_longs(chunk))
+            merged.merge(part)
+        assert merged.estimate() == whole.estimate()  # registers identical
+
+    def test_serde_and_lifecycle_dispatch(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import (
+            HllSketch, deserialize_any)
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        sk = HllSketch(lgk=12)
+        sk.update_hashes(hash_longs(np.arange(50_000, dtype=np.int64)))
+        back = deserialize_any(sk.serialize())
+        assert isinstance(back, HllSketch)
+        assert back.estimate() == sk.estimate()
+
+    def test_lgk_mismatch_refuses_merge(self):
+        import pytest
+        from datasketches_spark_spark.sketches import HllSketch
+        with pytest.raises(ValueError, match="lgk"):
+            HllSketch(lgk=12).merge(HllSketch(lgk=13))
+
+    def test_small_range_linear_counting(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import HllSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        sk = HllSketch(lgk=12)
+        sk.update_hashes(hash_longs(np.arange(100, dtype=np.int64)))
+        assert abs(sk.estimate() - 100) <= 3
