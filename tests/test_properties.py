@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the sketch algebra: merge laws,
+serde round-trips, and error-bound invariants that must hold for ANY input,
+not just the fixtures."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from datasketches_spark_spark.sketches import (
+    FreqItemsSketch,
+    HllSketch,
+    KllSketch,
+    ReqSketch,
+    ThetaSketch,
+    deserialize_any,
+)
+from datasketches_spark_spark.sketches.theta import hash_longs
+
+floats = st.lists(
+    st.floats(min_value=-float(2**30), max_value=float(2**30),
+              allow_nan=False, width=32),
+    min_size=1, max_size=400)
+
+
+class TestQuantileProperties:
+    @given(vals=floats, splits=st.integers(1, 7))
+    @settings(max_examples=60, deadline=None)
+    def test_merge_of_chunks_preserves_weight_and_bounds(self, vals, splits):
+        arr = np.asarray(vals, dtype=np.float32)
+        for cls, kw in ((KllSketch, {"k": 32, "dtype": np.float32}),
+                        (ReqSketch, {"k": 8})):
+            parts = []
+            for chunk in np.array_split(arr, splits):
+                sk = cls(**kw)
+                sk.update_batch(chunk.astype(np.float64))
+                parts.append(sk)
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.merge(p)
+            assert merged.n == arr.size
+            v, w = merged._weighted_items()
+            assert int(w.sum()) == arr.size          # weight conservation
+            q = merged.quantile(0.5)
+            assert arr.min() <= q <= arr.max()       # estimates stay in range
+            assert merged.quantile(0.0) == float(arr.min())
+
+    @given(vals=floats)
+    @settings(max_examples=40, deadline=None)
+    def test_serde_roundtrip_identical_quantiles(self, vals):
+        for cls, kw in ((KllSketch, {"k": 16, "dtype": np.float32}),
+                        (ReqSketch, {"k": 8})):
+            sk = cls(**kw)
+            sk.update_batch(np.asarray(vals, dtype=np.float64))
+            back = deserialize_any(sk.serialize())
+            assert type(back) is cls
+            for p in (0.0, 0.25, 0.5, 0.9, 1.0):
+                assert back.quantile(p) == sk.quantile(p)
+
+    @given(vals=floats)
+    @settings(max_examples=40, deadline=None)
+    def test_req_max_always_exact(self, vals):
+        sk = ReqSketch(k=4)
+        sk.update_batch(np.asarray(vals, dtype=np.float64))
+        assert sk.quantile(1.0) == float(np.asarray(vals,
+                                                    dtype=np.float32).max())
+
+
+class TestThetaProperties:
+    @given(vals=st.lists(st.integers(-2**62, 2**62), min_size=1,
+                         max_size=300), splits=st.integers(1, 5))
+    @settings(max_examples=60, deadline=None)
+    def test_exact_below_k_and_merge_commutative(self, vals, splits):
+        arr = np.asarray(vals, dtype=np.int64)
+        nd = len(np.unique(arr))
+        parts = []
+        for chunk in np.array_split(arr, splits):
+            sk = ThetaSketch(k=1024)
+            if chunk.size:
+                sk.update_hashes(hash_longs(chunk))
+            parts.append(sk)
+        ab = parts[0]
+        for p in parts[1:]:
+            ab = ab.merge(p)
+        assert ab.estimate() == nd  # exact regime: k > distinct count
+        back = deserialize_any(ab.serialize())
+        assert back.estimate() == nd
+
+
+class TestFreqProperties:
+    @given(items=st.lists(st.sampled_from("abcdefghij"), min_size=1,
+                          max_size=500), cap=st.sampled_from([4, 8, 16]))
+    @settings(max_examples=60, deadline=None)
+    def test_estimate_brackets_true_count(self, items, cap):
+        from collections import Counter
+        sk = FreqItemsSketch(max_map_size=cap)
+        sk.update_batch(items)
+        true = Counter(items)
+        for item, c in true.items():
+            est = sk.estimate(item)
+            # Misra-Gries bound: true - max_err <= lower <= true,
+            # estimate (count+err) >= true
+            if est:
+                assert est >= c - sk._max_err
+            assert sk.estimate(item) <= c + sk._max_err * 2
+
+    @given(items=st.lists(st.sampled_from("abcde"), min_size=1, max_size=200))
+    @settings(max_examples=40, deadline=None)
+    def test_serde_roundtrip(self, items):
+        sk = FreqItemsSketch(max_map_size=8)
+        sk.update_batch(items)
+        back = deserialize_any(sk.serialize())
+        for item in "abcde":
+            assert back.estimate(item) == sk.estimate(item)
+
+
+class TestHllProperties:
+    @given(vals=st.lists(st.integers(0, 2**62), min_size=1, max_size=500),
+           splits=st.integers(1, 5))
+    @settings(max_examples=40, deadline=None)
+    def test_merge_register_identity(self, vals, splits):
+        arr = np.asarray(vals, dtype=np.int64)
+        whole = HllSketch(lgk=12)
+        whole.update_hashes(hash_longs(arr))
+        merged = HllSketch(lgk=12)
+        for chunk in np.array_split(arr, splits):
+            part = HllSketch(lgk=12)
+            if chunk.size:
+                part.update_hashes(hash_longs(chunk))
+            merged.merge(part)
+        assert (merged._regs == whole._regs).all()
+        assert deserialize_any(merged.serialize()).estimate() == whole.estimate()
