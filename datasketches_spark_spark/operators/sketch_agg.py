@@ -55,68 +55,95 @@ _QUANTILE_DTYPES = {"KLL": np.float32, "REQ": np.float32, "MERGEABLE": np.float6
 
 # --------------------------------------------------------------------- families
 
-def _quantile_family(impl: str | None, k: int | None):
+class _Family:
+    """Per-family kernel: ``prep`` runs ONCE per Arrow batch (vectorized
+    cleaning/hashing of the whole column), ``update`` folds a numpy
+    position slice of the prepped batch into one sketch. This split is what
+    makes many-tiny-groups workloads fast: per-group work is a numpy slice
+    + one sketch call, with no per-group pandas Series construction."""
+
+    __slots__ = ("make", "prep", "update")
+
+    def __init__(self, make, prep, update):
+        self.make = make
+        self.prep = prep
+        self.update = update
+
+    def update_series(self, sk, values: pd.Series) -> None:
+        ctx = self.prep(values)
+        self.update(sk, ctx, None)
+
+
+def _quantile_family(impl: str | None, k: int | None) -> _Family:
     impl = (impl or conf.quantile_impl()).upper()
     k = k or conf.quantile_k(impl)
     dtype = _QUANTILE_DTYPES[impl]
 
-    def make():
-        return make_quantile_sketch(impl, k, dtype)
+    def prep(values: pd.Series):
+        # keep NaNs in place (update_batch drops them) so positions align
+        return pd.to_numeric(values, errors="coerce").to_numpy(np.float64)
 
-    def update(sk, values: pd.Series):
-        arr = pd.to_numeric(values, errors="coerce").dropna().to_numpy(np.float64)
-        sk.update_batch(arr)
+    def update(sk, arr, idx):
+        sk.update_batch(arr if idx is None else arr[idx])
 
-    return make, update
+    return _Family(lambda: make_quantile_sketch(impl, k, dtype), prep, update)
 
 
-def _freq_family(item_type: str, max_map_size: int | None):
+def _freq_family(item_type: str, max_map_size: int | None) -> _Family:
     m = max_map_size or conf.freq_max_map_size()
 
-    def make():
-        return FreqItemsSketch(max_map_size=m, item_type=item_type)
+    if item_type == ITEM_LONG:
+        def prep(values: pd.Series):
+            arr = pd.to_numeric(values, errors="coerce")
+            mask = arr.notna().to_numpy()
+            ints = arr.fillna(0).to_numpy(np.int64)
+            return ints, mask
+    else:
+        def prep(values: pd.Series):
+            mask = values.notna().to_numpy()
+            return values.astype(str).to_numpy(object), mask
 
-    def update(sk, values: pd.Series):
-        v = values.dropna()
-        if v.empty:
-            return
-        if item_type == ITEM_LONG:
-            sk.update_batch(v.astype(np.int64).tolist())
-        else:
-            sk.update_batch(v.astype(str).tolist())
+    def update(sk, ctx, idx):
+        vals, mask = ctx
+        if idx is not None:
+            vals, mask = vals[idx], mask[idx]
+        items = vals[mask]
+        if items.size:
+            sk.update_batch(items.tolist())
 
-    return make, update
+    return _Family(lambda: FreqItemsSketch(max_map_size=m,
+                                           item_type=item_type), prep, update)
 
 
-def _theta_family(k: int | None):
+def _hashed_prep(values: pd.Series):
+    """Whole-batch vectorized hashing with NaN-position mask (theta/hll)."""
+    mask = values.notna().to_numpy()
+    hashes = np.zeros(len(values), dtype=np.uint64)
+    if mask.any():
+        hashes[mask] = hash_series(values[mask])
+    return hashes, mask
+
+
+def _hashed_update(sk, ctx, idx):
+    hashes, mask = ctx
+    if idx is not None:
+        hashes, mask = hashes[idx], mask[idx]
+    h = hashes[mask]
+    if h.size:
+        sk.update_hashes(h)
+
+
+def _theta_family(k: int | None) -> _Family:
     k = k or conf.distinct_theta_k()
-
-    def make():
-        return ThetaSketch(k=k)
-
-    def update(sk, values: pd.Series):
-        v = values.dropna()
-        if not v.empty:
-            sk.update_hashes(hash_series(v))
-
-    return make, update
+    return _Family(lambda: ThetaSketch(k=k), _hashed_prep, _hashed_update)
 
 
-def _hll_family(lgk: int | None):
+def _hll_family(lgk: int | None) -> _Family:
     lgk = lgk or conf.distinct_hll_lgk()
-
-    def make():
-        return HllSketch(lgk=lgk)
-
-    def update(sk, values: pd.Series):
-        v = values.dropna()
-        if not v.empty:
-            sk.update_hashes(hash_series(v))
-
-    return make, update
+    return _Family(lambda: HllSketch(lgk=lgk), _hashed_prep, _hashed_update)
 
 
-def _family(name: str, **params):
+def _family(name: str, **params) -> _Family:
     if name in ("quantile", "kll", "req", "mergeable"):
         impl = None if name == "quantile" else name.upper()
         return _quantile_family(params.get("impl", impl), params.get("k"))
@@ -146,7 +173,7 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     Correctness is unaffected — phase 2 re-merges all partial states for a
     key; the cost is only extra (still state-sized, not raw-sized) shuffle
     rows on pathological key distributions."""
-    make, update = _family(family, **params)
+    fam = _family(family, **params)
     src = df.select(*keys, col)
     fields = [src.schema[k] for k in keys]
     out_schema = StructType(fields + [StructField(state_col, BinaryType())])
@@ -164,15 +191,20 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
             if not keys:
                 sk = sketches.get(())
                 if sk is None:
-                    sk = sketches[()] = make()
-                update(sk, pdf[col])
+                    sk = sketches[()] = fam.make()
+                fam.update_series(sk, pdf[col])
                 continue
-            for kv, grp in pdf.groupby(keys, dropna=False, sort=False):
+            # prep the whole batch column once (vectorized); per group only
+            # a numpy position slice + one sketch call. groupby().indices is
+            # computed in C and avoids materializing per-group sub-frames.
+            ctx = fam.prep(pdf[col])
+            for kv, idx in pdf.groupby(keys, dropna=False,
+                                       sort=False).indices.items():
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 sk = sketches.get(kv)
                 if sk is None:
-                    sk = sketches[kv] = make()
-                update(sk, grp[col])
+                    sk = sketches[kv] = fam.make()
+                fam.update(sk, ctx, idx)
             if len(sketches) >= max_groups:
                 yield flush(sketches)
                 sketches = {}
@@ -248,7 +280,7 @@ def sketch_partial_multi(df: DataFrame, keys: list[str],
     ``(keys..., <name>__state ...)`` rows. Compared with running one
     ``sketch_partial`` per measure this scans the source once instead of M
     times and shuffles one state row per group instead of M."""
-    built = [(m, *_family(m.family, **m.params)) for m in measures]
+    fams = [(m, _family(m.family, **m.params)) for m in measures]
     cols = list(dict.fromkeys([*keys, *(m.col for m in measures)]))
     src = df.select(*cols)
     fields = [src.schema[k] for k in keys]
@@ -267,17 +299,22 @@ def sketch_partial_multi(df: DataFrame, keys: list[str],
         for pdf in batches:
             if pdf.empty:
                 continue
-            if keys:
-                grouped = pdf.groupby(keys, dropna=False, sort=False)
-            else:
-                grouped = [((), pdf)]
-            for kv, grp in grouped:
+            if not keys:
+                sks = groups.get(())
+                if sks is None:
+                    sks = groups[()] = [fam.make() for _, fam in fams]
+                for j, (m, fam) in enumerate(fams):
+                    fam.update_series(sks[j], pdf[m.col])
+                continue
+            ctxs = [fam.prep(pdf[m.col]) for m, fam in fams]
+            for kv, idx in pdf.groupby(keys, dropna=False,
+                                       sort=False).indices.items():
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 sks = groups.get(kv)
                 if sks is None:
-                    sks = groups[kv] = [make() for _, make, _ in built]
-                for j, (m, _, update) in enumerate(built):
-                    update(sks[j], grp[m.col])
+                    sks = groups[kv] = [fam.make() for _, fam in fams]
+                for j, (_, fam) in enumerate(fams):
+                    fam.update(sks[j], ctxs[j], idx)
             if len(groups) >= max_groups:
                 yield flush(groups)
                 groups = {}

@@ -49,7 +49,7 @@ def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
     Emits ``(keys..., state, n)`` every trigger for every updated group
     (``n`` = rows folded in so far). The state blob is the same wire format
     as batch accumulate — estimate/combine functions apply unchanged."""
-    make, update = _family(family, **params)
+    fam = _family(family, **params)
     src = df.select(*keys, col)
     key_fields = [src.schema[k] for k in keys]
     out_schema = StructType(key_fields + [
@@ -64,11 +64,11 @@ def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
             blob, n = state.get
             sk = deserialize_any(bytes(blob))
         else:
-            sk, n = make(), 0
+            sk, n = fam.make(), 0
         for pdf in pdfs:
             vals = pdf[col].dropna()
             n += len(vals)
-            update(sk, vals)
+            fam.update_series(sk, vals)
         blob = sk.serialize()
         state.update((blob, n))
         row = {k: [v] for k, v in zip(keys, key)}
