@@ -159,6 +159,39 @@ def _family(name: str, **params) -> _Family:
 
 # --------------------------------------------------------------------- operator
 
+def _hashable(v):
+    if isinstance(v, dict):
+        return tuple(_hashable(x) for x in v.values())
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_hashable(x) for x in v)
+    return v
+
+
+def _iter_groups(pdf: pd.DataFrame, keys: list[str]):
+    """Yield (hashable_key, original_key_tuple, positions) per group.
+    Fast path: C-computed groupby().indices. Fallback for unhashable key
+    values (a window/struct key arrives in pandas as a dict — the reference
+    supports groupBy(window(...)) so we must too): a per-row python loop
+    keyed on a hashable rendering, emitting the original values."""
+    try:
+        for kv, idx in pdf.groupby(keys, dropna=False, sort=False) \
+                          .indices.items():
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            yield kv, kv, idx
+    except TypeError:
+        cols = [pdf[k].tolist() for k in keys]
+        groups: dict = {}
+        originals: dict = {}
+        for pos, row in enumerate(zip(*cols)):
+            hk = tuple(_hashable(v) for v in row)
+            groups.setdefault(hk, []).append(pos)
+            if hk not in originals:
+                originals[hk] = row
+        for hk, poss in groups.items():
+            yield hk, originals[hk], np.asarray(poss)
+
+
+
 def sketch_partial(df: DataFrame, keys: list[str], col: str,
                    family: str, state_col: str = "state",
                    max_groups: int = 100_000,
@@ -178,13 +211,15 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     fields = [src.schema[k] for k in keys]
     out_schema = StructType(fields + [StructField(state_col, BinaryType())])
 
-    def flush(sketches: dict) -> pd.DataFrame:
-        rows = {k: [kv[i] for kv in sketches] for i, k in enumerate(keys)}
+    def flush(sketches: dict, originals: dict) -> pd.DataFrame:
+        rows = {k: [originals[hk][i] for hk in sketches]
+                for i, k in enumerate(keys)}
         rows[state_col] = [sk.serialize() for sk in sketches.values()]
         return pd.DataFrame(rows)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict = {}
+        originals: dict = {}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -192,24 +227,23 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
                 sk = sketches.get(())
                 if sk is None:
                     sk = sketches[()] = fam.make()
+                    originals[()] = ()
                 fam.update_series(sk, pdf[col])
                 continue
             # prep the whole batch column once (vectorized); per group only
-            # a numpy position slice + one sketch call. groupby().indices is
-            # computed in C and avoids materializing per-group sub-frames.
+            # a numpy position slice + one sketch call
             ctx = fam.prep(pdf[col])
-            for kv, idx in pdf.groupby(keys, dropna=False,
-                                       sort=False).indices.items():
-                kv = kv if isinstance(kv, tuple) else (kv,)
-                sk = sketches.get(kv)
+            for hk, kv, idx in _iter_groups(pdf, keys):
+                sk = sketches.get(hk)
                 if sk is None:
-                    sk = sketches[kv] = fam.make()
+                    sk = sketches[hk] = fam.make()
+                    originals[hk] = kv
                 fam.update(sk, ctx, idx)
             if len(sketches) >= max_groups:
-                yield flush(sketches)
-                sketches = {}
+                yield flush(sketches, originals)
+                sketches, originals = {}, {}
         if sketches:
-            yield flush(sketches)
+            yield flush(sketches, originals)
 
     return src.mapInPandas(build, out_schema)
 
@@ -288,14 +322,16 @@ def sketch_partial_multi(df: DataFrame, keys: list[str],
     out_schema = StructType(fields + [StructField(c, BinaryType())
                                       for c in state_cols])
 
-    def flush(groups: dict) -> pd.DataFrame:
-        rows = {k: [kv[i] for kv in groups] for i, k in enumerate(keys)}
+    def flush(groups: dict, originals: dict) -> pd.DataFrame:
+        rows = {k: [originals[hk][i] for hk in groups]
+                for i, k in enumerate(keys)}
         for j, c in enumerate(state_cols):
             rows[c] = [sks[j].serialize() for sks in groups.values()]
         return pd.DataFrame(rows)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         groups: dict = {}
+        originals: dict = {}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -303,23 +339,23 @@ def sketch_partial_multi(df: DataFrame, keys: list[str],
                 sks = groups.get(())
                 if sks is None:
                     sks = groups[()] = [fam.make() for _, fam in fams]
+                    originals[()] = ()
                 for j, (m, fam) in enumerate(fams):
                     fam.update_series(sks[j], pdf[m.col])
                 continue
             ctxs = [fam.prep(pdf[m.col]) for m, fam in fams]
-            for kv, idx in pdf.groupby(keys, dropna=False,
-                                       sort=False).indices.items():
-                kv = kv if isinstance(kv, tuple) else (kv,)
-                sks = groups.get(kv)
+            for hk, kv, idx in _iter_groups(pdf, keys):
+                sks = groups.get(hk)
                 if sks is None:
-                    sks = groups[kv] = [fam.make() for _, fam in fams]
+                    sks = groups[hk] = [fam.make() for _, fam in fams]
+                    originals[hk] = kv
                 for j, (_, fam) in enumerate(fams):
                     fam.update(sks[j], ctxs[j], idx)
             if len(groups) >= max_groups:
-                yield flush(groups)
-                groups = {}
+                yield flush(groups, originals)
+                groups, originals = {}, {}
         if groups:
-            yield flush(groups)
+            yield flush(groups, originals)
 
     return src.mapInPandas(build, out_schema)
 

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Side-by-side parity demo: the reference's README workflow, re-expressed.
+
+The reference's flagship example (maropu/datasketches-spark README.md:68-100)
+builds weekly percentile summaries over a household-power CSV, filters a
+date range, merges the summaries and estimates p95 — without rescanning raw
+data. This script runs the same workflow shape on the `events` fixture with
+this engine, exercising both the SQL surface (after install()) and the
+DataFrame API, so a reference user can map every line 1:1.
+
+Run: python examples/reference_parity_demo.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import datasketches_spark_spark as dss  # noqa: E402
+from datasketches_spark_spark import functions as dsf
+from datasketches_spark_spark.operators import sketch_accumulate
+from datasketches_spark_spark.sources import read_table, session_builder
+from pyspark.sql import functions as F
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (session_builder(master="local[4]", shuffle_partitions=4)
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ------------------------------------------------- reference: install()
+    dss.install(spark)                       # == DataSketchApi.install()
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+
+    # -------------------------- reference README.md:31-60: direct aggregate
+    spark.sql("""
+        SELECT approx_percentile_ex(value, 0.95) AS p95,
+               approx_percentile_kll(value, 0.95) AS p95_kll,
+               approx_percentile_mergeable(value, 0.95) AS p95_mergeable
+        FROM events
+    """).show()
+
+    # ------------- reference README.md:68-100: accumulate per time window,
+    # filter a date range, combine the subset, estimate — no raw rescan.
+    # (Two-phase map-side sketching; the reference gets the same physics
+    # from TypedImperativeAggregate.)
+    summaries = sketch_accumulate(
+        ev.select(F.window("ts", "1 week").alias("window"), "value"),
+        ["window"], "value", family="quantile", impl="MERGEABLE")
+    summaries.persist()
+    summaries.select("window.start", F.bit_length("state").alias("bits")) \
+             .show(5, truncate=False)
+
+    merged = (summaries
+              .where(F.col("window.start") >= "2024-01-08")
+              .agg(dsf.approx_percentile_combine("state").alias("merged")))
+    merged.select(
+        dsf.approx_percentile_estimate("merged", 0.95).alias("p95"),
+        dsf.approx_pmf_estimate("merged", 4).alias("pmf4")).show(truncate=False)
+
+    # ----------------- reference README.md:141-168: frequent items + inline
+    spark.sql("""
+        SELECT inline(approx_freqitems(event_type)) FROM events
+    """).show()
+
+    # ------------------- reference README.md:239-302: distinct count family
+    spark.sql("""
+        SELECT approx_count_distinct_ex(user_id) AS ndv_cpc_stand_in,
+               approx_count_distinct_theta(user_id) AS ndv_theta
+        FROM events
+    """).show()
+    # native HLL path (DataFrame API routes to Spark's JVM built-ins)
+    ev.agg(dsf.approx_count_distinct_hll("user_id").alias("ndv_hll")).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

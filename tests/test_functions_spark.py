@@ -383,3 +383,27 @@ class TestHllTwoPhase:
                .collect()[0].ndv)
         total = ev.select("user_id").distinct().count()
         assert abs(est - total) / total < 0.05
+
+
+class TestWindowStructKeys:
+    def test_accumulate_by_time_window_struct(self, spark, tables):
+        # the reference's flagship groups by window(...) (README.md:68-100);
+        # a struct key arrives in pandas as an unhashable dict — covered by
+        # the _iter_groups fallback
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.operators import sketch_accumulate
+        ev = tables["events"]
+        summ = sketch_accumulate(
+            ev.select(F.window("ts", "1 week").alias("window"), "value"),
+            ["window"], "value", family="quantile", impl="MERGEABLE",
+            k=262_144)
+        rows = summ.collect()
+        assert len(rows) == ev.select(F.window("ts", "1 week")).distinct().count()
+        assert all(r.window.start is not None for r in rows)
+        merged = summ.agg(dsf.approx_percentile_combine("state").alias("m"))
+        got = merged.select(
+            dsf.approx_percentile_estimate("m", 0.5).alias("p50")).collect()[0].p50
+        exact = ev.selectExpr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) p").collect()[0].p
+        assert got == float(exact)
