@@ -1,0 +1,105 @@
+"""Approximate-regime accuracy vs exact answers at default sketch sizes —
+the engine-side evidence for BASELINE.md's accuracy targets (quantile rank
+error ~1%, KMV NDV RSE ~1.6% at k=4096, freq-items NO_FALSE_POSITIVES),
+checked against exact Spark aggregates on the sf0.001 fixtures plus
+larger synthetic columns."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestQuantileAccuracy:
+    def test_default_req_rank_error_on_synthetic_2m(self, spark):
+        # BASELINE.md: reference REQ p95 within ~0.5% of exact on 2M rows
+        from datasketches_spark_spark.operators import (
+            percentile_measure, sketch_grouped_agg)
+        n = 2_000_000
+        df = (spark.range(n)
+              .select((F.hash("id") % 1_000_000).cast("double").alias("v")))
+        out = sketch_grouped_agg(
+            df, [], percentile_measure("p95", "v", 0.95))  # default conf: REQ k=12
+        got = out.collect()[0].p95
+        exact_rank = (df.where(F.col("v") <= got).count()) / n
+        assert abs(exact_rank - 0.95) < 0.01  # <1% rank error at p95
+
+    def test_kll_default_rank_error(self, spark):
+        from datasketches_spark_spark.operators import (
+            percentile_measure, sketch_grouped_agg)
+        n = 500_000
+        df = (spark.range(n)
+              .select((F.hash("id") % 1_000_000).cast("double").alias("v")))
+        out = sketch_grouped_agg(
+            df, [], percentile_measure("p50", "v", 0.5, impl="KLL"))  # k=200
+        got = out.collect()[0].p50
+        exact_rank = (df.where(F.col("v") <= got).count()) / n
+        assert abs(exact_rank - 0.5) < 0.02
+
+
+class TestNdvAccuracy:
+    def test_kmv_default_rse(self, spark):
+        # default k=4096: RSE ~ 1/sqrt(k-2) ~ 1.6%; allow 3 sigma
+        from datasketches_spark_spark.operators import (
+            distinct_measure, sketch_grouped_agg)
+        df = spark.range(500_000).select(F.hash("id").alias("v"))
+        nd = df.distinct().count()
+        got = sketch_grouped_agg(df, [], distinct_measure("ndv", "v")).collect()[0].ndv
+        assert abs(got - nd) / nd < 3 * 0.016
+
+    def test_hll_default_rse(self, spark):
+        from datasketches_spark_spark.operators import (
+            distinct_measure, sketch_grouped_agg)
+        df = spark.range(500_000).select(F.hash("id").alias("v"))
+        nd = df.distinct().count()
+        got = sketch_grouped_agg(df, [],
+                                 distinct_measure("ndv", "v",
+                                                  impl="hll")).collect()[0].ndv
+        assert abs(got - nd) / nd < 3 * (1.04 / 2 ** 6)  # lgk=12
+
+
+class TestFreqNoFalsePositives:
+    def test_reported_items_are_true_heavy_hitters(self, spark):
+        # zipf-ish skew with cap far below distinct count -> lossy sketch;
+        # NO_FALSE_POSITIVES: every reported item's true count must exceed
+        # the sketch's max error bound
+        from datasketches_spark_spark.operators import (
+            freqitems_measure, sketch_grouped_agg)
+        df = (spark.range(300_000)
+              .select((F.floor(F.pow(F.rand(seed=5), 4) * 5000))
+                      .cast("long").alias("v")))
+        true = {r.v: r.n for r in
+                df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+        out = sketch_grouped_agg(
+            df, [], freqitems_measure("fi", "v", item_type="long",
+                                      max_map_size=64))
+        items = out.select(F.inline("fi")).collect()
+        assert 0 < len(items) <= 64
+        n = sum(true.values())
+        for r in items:
+            # estimate never under the true count (NO_FALSE_POSITIVES side);
+            # and nothing negligible is reported — the single-stream
+            # Misra-Gries threshold is n/(cap+1), merged partials relax it
+            # by the summed per-partition errors, so assert a loose bound
+            assert r.estimated >= true[r.item]
+            assert true[r.item] > n / (64 + 1) / 4
+
+
+class TestSkewedGroups:
+    def test_two_phase_handles_hot_key(self, spark):
+        # 90% of rows in one group: map-side sketching means the hot key
+        # ships ~num_partitions states, not 90% of the rows
+        from datasketches_spark_spark.operators import (
+            percentile_measure, sketch_grouped_agg)
+        df = (spark.range(400_000)
+              .select(F.when(F.col("id") % 10 < 9, F.lit("hot"))
+                      .otherwise((F.col("id") % 10).cast("string"))
+                      .alias("k"),
+                      (F.col("id") % 1000).cast("double").alias("v"))
+              .repartition(16))
+        out = {r.k: r.p50 for r in sketch_grouped_agg(
+            df, ["k"], percentile_measure("p50", "v", 0.5, impl="MERGEABLE",
+                                          k=1_048_576)).collect()}
+        exact = {r.k: float(r.p) for r in df.groupBy("k").agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+            .alias("p")).collect()}
+        assert out == exact  # exact regime even for the hot key
