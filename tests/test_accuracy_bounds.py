@@ -69,19 +69,29 @@ class TestFreqNoFalsePositives:
                       .cast("long").alias("v")))
         true = {r.v: r.n for r in
                 df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+        from datasketches_spark_spark.operators import sketch_accumulate
+        from datasketches_spark_spark.sketches import FreqItemsSketch
         out = sketch_grouped_agg(
             df, [], freqitems_measure("fi", "v", item_type="long",
                                       max_map_size=64))
         items = out.select(F.inline("fi")).collect()
         assert 0 < len(items) <= 64
-        n = sum(true.values())
-        for r in items:
-            # estimate never under the true count (NO_FALSE_POSITIVES side);
-            # and nothing negligible is reported — the single-stream
-            # Misra-Gries threshold is n/(cap+1), merged partials relax it
-            # by the summed per-partition errors, so assert a loose bound
-            assert r.estimated >= true[r.item]
-            assert true[r.item] > n / (64 + 1) / 4
+        # the sketch's actual NO_FALSE_POSITIVES contract: an item is
+        # reported iff its lower-bound count exceeds the merged max error
+        blob = sketch_accumulate(df, [], "v", family="freq",
+                                 item_type="long",
+                                 max_map_size=64).collect()[0].state
+        sk = FreqItemsSketch.deserialize(bytes(blob))
+        reported = {r.item for r in items}
+        for item in reported:
+            assert sk._counts[item] > sk._max_err
+            # estimate never under the true count
+            assert sk.estimate(item) >= true[item]
+        # and the unambiguous heavy hitters are all found: items whose true
+        # count exceeds the merged error bound cannot be missed
+        for v, c in true.items():
+            if c > 2 * sk._max_err:
+                assert v in reported, (v, c, sk._max_err)
 
 
 class TestSkewedGroups:
