@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -66,6 +67,100 @@ FEATURE_SCHEMA_FIELDS = [
     StructField("byte_mean", DoubleType()),
     StructField("byte_entropy", DoubleType()),
 ]
+
+
+def transform_payloads(df: DataFrame, id_col: str, transform,
+                       out_fields: list[StructField],
+                       payload_col: str = "payload") -> DataFrame:
+    """Generic streaming payload transform (one Arrow-batched pass per
+    partition): ``transform(payload: bytes) -> dict`` matching
+    ``out_fields``. The plumbing for decode/resize/frame-sample style
+    operators — swap in a real codec-backed transform at deploy time."""
+    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+    out_schema = StructType([StructField("_id", src.schema["_id"].dataType)]
+                            + out_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, raw in zip(pdf["_id"], pdf["_p"]):
+                if raw is None:
+                    continue
+                rows.append({"_id": _id, **transform(bytes(raw))})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, out_schema).withColumnRenamed("_id", id_col)
+
+
+RESIZE_FIELDS = [
+    StructField("payload", BinaryType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+]
+
+
+def resize_images(df: DataFrame, id_col: str, width: int, height: int,
+                  payload_col: str = "payload",
+                  codec: Callable[[bytes], object] | None = None,
+                  resizer: Callable[[object, int, int], bytes] | None = None
+                  ) -> DataFrame:
+    """Image resize over opaque payloads. Real decode/resize requires an
+    image library (absent here): without an injected ``codec``+``resizer``
+    this uses a deterministic fake — truncating/cycling the byte stream to
+    width*height bytes — so the Spark-side schema, batching and output
+    contract are real and testable end-to-end."""
+
+    def fake(raw: bytes) -> dict:
+        if codec is not None and resizer is not None:
+            out = resizer(decode_payload(raw, "image", codec), width, height)
+        else:
+            need = width * height
+            reps = (need // max(len(raw), 1)) + 1
+            out = (raw * reps)[:need]
+        return {"payload": out, "width": width, "height": height}
+
+    return transform_payloads(df, id_col, fake, RESIZE_FIELDS,
+                              payload_col=payload_col)
+
+
+def sample_frames(df: DataFrame, id_col: str, num_frames: int,
+                  payload_col: str = "payload",
+                  decoder: Callable[[bytes, int], list] | None = None
+                  ) -> DataFrame:
+    """Frame sampling for video-like payloads: emits one row per sampled
+    frame ``(id, frame_idx, frame: binary)``. Without an injected
+    ``decoder`` the payload is split into ``num_frames`` evenly-spaced
+    byte slices (deterministic fake; the row-explosion plumbing is real)."""
+    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+    out_schema = StructType([
+        StructField("_id", src.schema["_id"].dataType),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _id, raw in zip(pdf["_id"], pdf["_p"]):
+                if raw is None:
+                    continue
+                raw = bytes(raw)
+                if decoder is not None:
+                    fs = decoder(raw, num_frames)
+                else:
+                    step = max(len(raw) // num_frames, 1)
+                    fs = [raw[i * step:(i + 1) * step]
+                          for i in range(num_frames)]
+                for i, f in enumerate(fs):
+                    ids.append(_id)
+                    idxs.append(i)
+                    frames.append(f)
+            if ids:
+                yield pd.DataFrame({"_id": ids, "frame_idx": idxs,
+                                    "frame": frames})
+
+    return src.mapInPandas(run, out_schema).withColumnRenamed("_id", id_col)
 
 
 def extract_features(df: DataFrame, id_col: str,

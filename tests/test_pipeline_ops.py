@@ -236,3 +236,36 @@ class TestSubwordCount:
         got = [r.n for r in df.select(
             subword_token_count("text").alias("n")).collect()]
         assert got == [2, 5, 0]
+
+
+class TestMultimodalTransforms:
+    def test_resize_fake_deterministic(self, spark, tables):
+        from datasketches_spark_spark.operators import (
+            resize_images, with_payload)
+        docs = with_payload(tables["documents"].limit(10), "text")
+        out = resize_images(docs, "doc_id", width=16, height=8).collect()
+        assert len(out) == 10
+        for r in out:
+            assert len(bytes(r.payload)) == 16 * 8
+            assert (r.width, r.height) == (16, 8)
+
+    def test_resize_with_injected_codec(self, spark, tables):
+        from datasketches_spark_spark.operators import (
+            resize_images, with_payload)
+        docs = with_payload(tables["documents"].limit(3), "text")
+        out = resize_images(
+            docs, "doc_id", width=4, height=4,
+            codec=lambda b: b.upper(),
+            resizer=lambda img, w, h: img[: w * h]).collect()
+        assert all(bytes(r.payload) == bytes(r.payload).upper() for r in out)
+
+    def test_sample_frames_explodes_rows(self, spark, tables):
+        from datasketches_spark_spark.operators import (
+            sample_frames, with_payload)
+        docs = with_payload(tables["documents"].limit(5), "text")
+        out = sample_frames(docs, "doc_id", num_frames=4).collect()
+        assert len(out) == 5 * 4
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())

@@ -80,3 +80,39 @@ class TestStreaming:
                  tables["events"].groupBy("event_type").agg(
                      F.countDistinct("user_id").alias("ndv")).collect()}
         assert got == exact
+
+
+class TestWindowedStreaming:
+    def test_watermarked_window_sketch_agg(self, spark, tables, stream_dirs):
+        """Event-time windowed sketch aggregation with a watermark — the
+        late-data pattern: group by window(ts, 1 day) with a 2-day
+        watermark, one sketch state per (window) in the state store."""
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.streaming import sketch_accumulate_stream
+        src_dir, ckpt, _ = stream_dirs
+        ev = tables["events"].select("ts", "value")
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src_dir)
+                  .withWatermark("ts", "2 days"))
+        windowed = stream.select(F.window("ts", "1 day").alias("w"), "value")
+        out = sketch_accumulate_stream(windowed, ["w"], "value",
+                                       family="quantile", impl="MERGEABLE",
+                                       k=262_144)
+        q = (out.writeStream.format("memory").queryName("win_stream")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        final = spark.sql("""
+            SELECT w, state FROM (
+              SELECT *, row_number() OVER (PARTITION BY w ORDER BY n DESC) rn
+              FROM win_stream) WHERE rn = 1""")
+        got = {r.w.start: r.p50 for r in final.select(
+            "w", dsf.approx_percentile_estimate("state", 0.5).alias("p50")
+        ).collect()}
+        exact = {r.w.start: float(r.p) for r in
+                 ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+                     F.expr("percentile_disc(0.5) WITHIN GROUP "
+                            "(ORDER BY value)").alias("p")).collect()}
+        assert got == exact
