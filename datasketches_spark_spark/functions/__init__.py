@@ -7,6 +7,7 @@ Import as::
     df.groupBy("g").agg(dsf.approx_percentile_ex("v", 0.95).alias("p95"))
 """
 
+from . import text
 from .distinctcnt import (
     approx_count_distinct_accumulate,
     approx_count_distinct_combine,
@@ -33,6 +34,7 @@ from .quantiles import (
 )
 
 __all__ = [
+    "text",
     # quantiles (reference #1-#8)
     "approx_percentile_ex",
     "approx_percentile_kll",

@@ -174,10 +174,10 @@ def _iter_groups(pdf: pd.DataFrame, keys: list[str]):
     supports groupBy(window(...)) so we must too): a per-row python loop
     keyed on a hashable rendering, emitting the original values."""
     try:
-        for kv, idx in pdf.groupby(keys, dropna=False, sort=False) \
-                          .indices.items():
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            yield kv, kv, idx
+        # .indices builds the full dict eagerly; materialize before any
+        # yield so a TypeError can never leave groups half-processed
+        items = list(pdf.groupby(keys, dropna=False, sort=False)
+                     .indices.items())
     except TypeError:
         cols = [pdf[k].tolist() for k in keys]
         groups: dict = {}
@@ -189,6 +189,10 @@ def _iter_groups(pdf: pd.DataFrame, keys: list[str]):
                 originals[hk] = row
         for hk, poss in groups.items():
             yield hk, originals[hk], np.asarray(poss)
+        return
+    for kv, idx in items:
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        yield kv, kv, idx
 
 
 
