@@ -417,6 +417,26 @@ def _q27_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def _q28_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta set algebra over accumulate states (extension: the Theta
+    framework's intersection/Jaccard applied to persisted sketch summaries
+    — audience-overlap analytics without re-reading raw events). Exact
+    regime: per-type user sets are below the sketch k."""
+    ev = read_table(spark, sf_dir, "events")
+    summ = sketch_accumulate(ev, ["event_type"], "user_id",
+                             family="theta", k=_TK)
+    a = summ.select(F.col("event_type").alias("type_a"),
+                    F.col("state").alias("sa"))
+    b = summ.select(F.col("event_type").alias("type_b"),
+                    F.col("state").alias("sb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))  # 5x5 tiny
+    return (pairs.select(
+                "type_a", "type_b",
+                dsf.approx_set_intersection("sa", "sb").alias("common_users"),
+                dsf.approx_set_jaccard("sa", "sb").alias("jaccard"))
+            .orderBy("type_a", "type_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -451,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_ann": _q25_ivf_ann,
         "q26_fingerprint": _q26_fingerprint,
         "q27_winnow": _q27_winnow,
+        "q28_set_overlap": _q28_set_overlap,
     }
 
 
@@ -665,5 +686,20 @@ def oracle_sql() -> dict[str, str]:
         "q26_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint
             FROM documents WHERE doc_id < 30 ORDER BY doc_id
+        """,
+        "q28_set_overlap": """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+            cnt AS (SELECT event_type, count(*) n FROM s GROUP BY 1),
+            com AS (SELECT a.event_type ta, b.event_type tb, count(*) c
+                    FROM s a JOIN s b ON a.user_id = b.user_id
+                                      AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+            SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                   COALESCE(com.c, 0) AS common_users,
+                   COALESCE(com.c, 0)::DOUBLE
+                     / (ca.n + cb.n - COALESCE(com.c, 0)) AS jaccard
+            FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+            LEFT JOIN com ON com.ta = ca.event_type AND com.tb = cb.event_type
+            ORDER BY type_a, type_b
         """,
     }

@@ -10,6 +10,9 @@ Import as::
 from . import text
 from .distinctcnt import (
     approx_count_distinct_accumulate,
+    approx_set_difference,
+    approx_set_intersection,
+    approx_set_jaccard,
     approx_count_distinct_combine,
     approx_count_distinct_cpc,
     approx_count_distinct_estimate,

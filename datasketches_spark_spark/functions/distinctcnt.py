@@ -23,7 +23,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .. import conf
-from .udfs import combine_udf, theta_acc_udf, theta_direct_udf, theta_est_udf
+from .udfs import (
+    combine_udf,
+    theta_acc_udf,
+    theta_direct_udf,
+    theta_est_udf,
+    theta_setop_udf,
+)
 
 
 def _col(c) -> Column:
@@ -78,3 +84,21 @@ def approx_count_distinct_estimate(col, impl: str | None = None) -> Column:
     if _impl(impl) == "HLL":
         return F.hll_sketch_estimate(_col(col))
     return theta_est_udf()(_col(col))
+
+
+def approx_set_jaccard(col_a, col_b) -> Column:
+    """Jaccard similarity of two Theta set states (|A∩B| / |A∪B|) — exact
+    while both sketches are in the exact regime. Extension beyond the
+    reference: the Theta framework's set algebra applied to the engine's
+    accumulate states (sets compared without re-reading raw data)."""
+    return theta_setop_udf("jaccard")(_col(col_a), _col(col_b))
+
+
+def approx_set_intersection(col_a, col_b) -> Column:
+    """Estimated |A ∩ B| of two Theta set states."""
+    return theta_setop_udf("intersection")(_col(col_a), _col(col_b))
+
+
+def approx_set_difference(col_a, col_b) -> Column:
+    """Estimated |A \\ B| of two Theta set states."""
+    return theta_setop_udf("a_not_b")(_col(col_a), _col(col_b))

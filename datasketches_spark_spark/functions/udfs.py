@@ -262,6 +262,44 @@ def freq_est_udf(item_type: str):
     return est
 
 
+# --------------------------------------------------------------------- set ops
+
+def _theta_pair(blob_a, blob_b):
+    a = deserialize_any(bytes(blob_a))
+    b = deserialize_any(bytes(blob_b))
+    if not isinstance(a, ThetaSketch) or not isinstance(b, ThetaSketch):
+        raise ValueError("set operations need Theta sketch states")
+    return a, b
+
+
+def theta_setop_udf(op: str):
+    """Scalar over two Theta states: 'jaccard' -> double, 'intersection' /
+    'a_not_b' -> long. Null/corrupt state -> null (estimate-side parity)."""
+    rt = DoubleType() if op == "jaccard" else LongType()
+
+    @pandas_udf(rt)
+    def setop(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for blob_a, blob_b in zip(sa, sb):
+            if blob_a is None or blob_b is None:
+                out.append(None)
+                continue
+            try:
+                a, b = _theta_pair(blob_a, blob_b)
+                if op == "jaccard":
+                    out.append(a.jaccard_estimate(b))
+                elif op == "intersection":
+                    out.append(a.intersection_estimate(b))
+                else:
+                    out.append(a.a_not_b_estimate(b))
+            except Exception as e:
+                log.warning("theta set op %s: corrupt state: %s", op, e)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return setop
+
+
 # --------------------------------------------------------------------- distinct count
 
 def theta_acc_udf(k: int):

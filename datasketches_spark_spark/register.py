@@ -32,6 +32,7 @@ from pyspark.sql.types import ArrayType, BinaryType, DoubleType, LongType
 from . import conf
 from .functions.udfs import (
     combine_udf,
+    theta_setop_udf,
     freq_acc_udf,
     freq_direct_udf,
     freq_est_udf,
@@ -191,3 +192,7 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_count_distinct_accumulate", theta_acc_udf(tk))
     spark.udf.register("approx_count_distinct_combine", combine_udf())
     spark.udf.register("approx_count_distinct_estimate", theta_est_udf())
+    spark.udf.register("approx_set_jaccard", theta_setop_udf("jaccard"))
+    spark.udf.register("approx_set_intersection",
+                       theta_setop_udf("intersection"))
+    spark.udf.register("approx_set_difference", theta_setop_udf("a_not_b"))

@@ -129,6 +129,54 @@ class ThetaSketch:
         kth = float(self._hashes[self.k - 1]) + 1.0
         return int((self.k - 1) * _MAX_U64 / kth)
 
+    # ------------------------------------------------------------------ set ops
+
+    def _theta(self) -> float:
+        """Inclusion threshold as a fraction of the hash space: 1.0 while
+        exact; (k-th smallest hash + 1)/2^64 once saturated (matching the
+        estimator in :meth:`estimate`)."""
+        if len(self._hashes) < self.k:
+            return 1.0
+        return (float(self._hashes[self.k - 1]) + 1.0) / _MAX_U64
+
+    def intersection_estimate(self, other: "ThetaSketch") -> int:
+        """|A ∩ B| via the Theta set-operation rule (Dasgupta et al.,
+        "Theta-Sketch Framework"): count common hashes below the combined
+        threshold θ = min(θ_a, θ_b), scale by 1/θ. EXACT while both
+        sketches are exact."""
+        theta = min(self._theta(), other._theta())
+        cut = np.uint64(theta * _MAX_U64) if theta < 1.0 else None
+        a, b = self._hashes, other._hashes
+        if cut is not None:
+            a, b = a[a < cut], b[b < cut]
+        common = np.intersect1d(a, b, assume_unique=True).size
+        return int(round(common / theta))
+
+    def a_not_b_estimate(self, other: "ThetaSketch") -> int:
+        """|A \\ B| with the same combined-threshold rule."""
+        theta = min(self._theta(), other._theta())
+        cut = np.uint64(theta * _MAX_U64) if theta < 1.0 else None
+        a, b = self._hashes, other._hashes
+        if cut is not None:
+            a, b = a[a < cut], b[b < cut]
+        only_a = np.setdiff1d(a, b, assume_unique=True).size
+        return int(round(only_a / theta))
+
+    def jaccard_estimate(self, other: "ThetaSketch") -> float:
+        """|A ∩ B| / |A ∪ B| — the ratio of common to total hashes below
+        the combined threshold (the standard KMV Jaccard estimator; exact
+        while both sketches are exact)."""
+        theta = min(self._theta(), other._theta())
+        cut = np.uint64(theta * _MAX_U64) if theta < 1.0 else None
+        a, b = self._hashes, other._hashes
+        if cut is not None:
+            a, b = a[a < cut], b[b < cut]
+        union = np.union1d(a, b).size
+        if union == 0:
+            return 0.0
+        common = np.intersect1d(a, b, assume_unique=True).size
+        return common / union
+
     # ------------------------------------------------------------------ serde
 
     def serialize(self) -> bytes:

@@ -408,3 +408,41 @@ class TestHllSketch:
         sk = HllSketch(lgk=12)
         sk.update_hashes(hash_longs(np.arange(100, dtype=np.int64)))
         assert abs(sk.estimate() - 100) <= 3
+
+
+class TestThetaSetOps:
+    def _two(self, n_a, n_b, overlap, k=4096, seed=3):
+        import numpy as np
+        from datasketches_spark_spark.sketches import ThetaSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        rng = np.random.default_rng(seed)
+        pool = rng.choice(2**62, size=n_a + n_b - overlap, replace=False)
+        a_vals, b_vals = pool[:n_a], pool[n_a - overlap:]
+        a, b = ThetaSketch(k=k), ThetaSketch(k=k)
+        a.update_hashes(hash_longs(a_vals))
+        b.update_hashes(hash_longs(b_vals))
+        return a, b
+
+    def test_exact_regime_set_ops(self):
+        a, b = self._two(1000, 800, 300)
+        assert a.intersection_estimate(b) == 300
+        assert a.a_not_b_estimate(b) == 700
+        assert b.a_not_b_estimate(a) == 500
+        assert a.jaccard_estimate(b) == 300 / 1500
+
+    def test_approximate_regime_within_bounds(self):
+        a, b = self._two(200_000, 150_000, 60_000, k=4096)
+        est_i = a.intersection_estimate(b)
+        assert abs(est_i - 60_000) / 60_000 < 0.10
+        est_j = a.jaccard_estimate(b)
+        true_j = 60_000 / 290_000
+        assert abs(est_j - true_j) / true_j < 0.10
+        est_d = a.a_not_b_estimate(b)
+        assert abs(est_d - 140_000) / 140_000 < 0.10
+
+    def test_disjoint_and_identical(self):
+        a, b = self._two(500, 500, 0)
+        assert a.intersection_estimate(b) == 0
+        assert a.jaccard_estimate(b) == 0.0
+        assert a.jaccard_estimate(a) == 1.0
+        assert a.a_not_b_estimate(a) == 0
