@@ -358,9 +358,9 @@ def _q24_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_type", "value")
     src = tempfile.mkdtemp(prefix="dss_q24_src_")
     ckpt = tempfile.mkdtemp(prefix="dss_q24_ckpt_")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    ev.repartition(2).write.mode("overwrite").parquet(src)
     stream = (spark.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+              .option("maxFilesPerTrigger", 1).parquet(src))  # 2 triggers
     out = sketch_accumulate_stream(stream, ["event_type"], "value",
                                    family="quantile", impl="MERGEABLE",
                                    k=_QK)

@@ -26,7 +26,9 @@ from .freqitems import (
     approx_freqitems_estimate,
 )
 from .quantiles import (
+    approx_cdf_estimate,
     approx_percentile_accumulate,
+    approx_rank_estimate,
     approx_percentile_combine,
     approx_percentile_estimate,
     approx_percentile_ex,

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 
 from .. import conf
 from .udfs import (
+    cdf_est_udf,
     combine_udf,
     pmf_est_udf,
+    rank_est_udf,
     quantile_acc_udf,
     quantile_direct_udf,
     quantile_est_udf,
@@ -101,3 +103,19 @@ def approx_pmf_estimate(col, num_splits: int = 9) -> Column:
     """Probability mass over ``num_splits`` equal-width bins of [min, max]."""
     validate_num_splits(num_splits)
     return pmf_est_udf(num_splits)(_col(col))
+
+
+def approx_rank_estimate(col, value) -> Column:
+    """Rank of ``value`` (fraction of mass <= value) from a quantile state
+    — the inverse of approx_percentile_estimate. Extension beyond the
+    reference's surface (it has quantile + pmf only)."""
+    return rank_est_udf(float(value))(_col(col))
+
+
+def approx_cdf_estimate(col, split_points) -> Column:
+    """Cumulative distribution at each split point (plus a trailing 1.0),
+    the cumulative complement of approx_pmf_estimate."""
+    sps = [float(x) for x in split_points]
+    if not sps:
+        raise ValueError("split_points must be non-empty")
+    return cdf_est_udf(sps)(_col(col))

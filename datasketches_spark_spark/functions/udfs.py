@@ -163,6 +163,46 @@ def quantile_est_udf(percentages: list[float], multi: bool):
     return est
 
 
+def rank_est_udf(value: float):
+    """Scalar: binary quantile state -> rank of `value` in [0,1] (the
+    inverse of quantile(); extension beyond the reference surface)."""
+    @pandas_udf(DoubleType())
+    def rank(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                out.append(deserialize_quantile(bytes(blob)).rank(value))
+            except Exception as e:
+                log.warning("approx_rank_estimate: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return rank
+
+
+def cdf_est_udf(split_points: list[float]):
+    """Scalar: binary quantile state -> cumulative mass at each split point
+    (+ trailing 1.0), complementing approx_pmf_estimate."""
+    @pandas_udf(ArrayType(DoubleType(), containsNull=False))
+    def cdf(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                out.append(deserialize_quantile(bytes(blob)).cdf(split_points))
+            except Exception as e:
+                log.warning("approx_cdf_estimate: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return cdf
+
+
 def pmf_est_udf(num_splits: int):
     @pandas_udf(ArrayType(DoubleType(), containsNull=False))
     def pmf(states: pd.Series) -> pd.Series:

@@ -281,3 +281,28 @@ class KllSketch:
         body = arr[odd:]
         offset = int(self._rng.integers(0, 2))
         return arr[:odd].copy(), body[offset::2]
+
+
+# NOTE: rank/cdf extend the reference surface (it exposes quantile + pmf
+# only); the rank rule is the inverse of quantile(): fraction of total
+# weight with value <= x.
+
+def _rank_of(sk: "KllSketch", x: float) -> float | None:
+    if sk.n == 0:
+        return None
+    v, w = sk._weighted_items()
+    idx = int(np.searchsorted(v, x, side="right"))
+    below = float(np.cumsum(w)[idx - 1]) if idx > 0 else 0.0
+    return below / float(sk.n)
+
+
+def _cdf_of(sk: "KllSketch", split_points) -> list[float] | None:
+    if sk.n == 0:
+        return None
+    out = [_rank_of(sk, float(x)) for x in split_points]
+    out.append(1.0)
+    return out
+
+
+KllSketch.rank = _rank_of
+KllSketch.cdf = _cdf_of

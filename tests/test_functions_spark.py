@@ -407,3 +407,31 @@ class TestWindowStructKeys:
         exact = ev.selectExpr(
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) p").collect()[0].p
         assert got == float(exact)
+
+
+class TestRankCdf:
+    def test_rank_and_cdf_exact_regime(self, spark, tables):
+        from datasketches_spark_spark import functions as dsf
+        from pyspark.sql import functions as F
+        li = tables["lineitem"]
+        st = li.agg(dsf.approx_percentile_accumulate(
+            "l_quantity", impl="MERGEABLE", k=262_144).alias("s"))
+        row = st.select(
+            dsf.approx_rank_estimate("s", 25).alias("r25"),
+            dsf.approx_cdf_estimate("s", [10, 25, 40]).alias("cdf")).collect()[0]
+        n = li.count()
+        exact_r25 = li.where("l_quantity <= 25").count() / n
+        assert row.r25 == pytest.approx(exact_r25)
+        assert row.cdf[-1] == 1.0
+        assert row.cdf == sorted(row.cdf)  # monotone
+        assert row.cdf[1] == pytest.approx(exact_r25)
+
+    def test_rank_inverts_quantile(self, spark, tables):
+        from datasketches_spark_spark import functions as dsf
+        li = tables["lineitem"]
+        st = li.agg(dsf.approx_percentile_accumulate(
+            "l_quantity", impl="MERGEABLE", k=262_144).alias("s"))
+        q = st.select(dsf.approx_percentile_estimate("s", 0.5).alias("q")
+                      ).collect()[0].q
+        r = st.select(dsf.approx_rank_estimate("s", q).alias("r")).collect()[0].r
+        assert r >= 0.5  # rank of the p50 value covers at least half the mass
