@@ -121,6 +121,39 @@ def _sql_quantile_est_array():
     return f
 
 
+def _sql_rank_est():
+    @pandas_udf(DoubleType())
+    def f(states: pd.Series, v: pd.Series) -> pd.Series:
+        out = []
+        for blob, x in zip(states, v):
+            if blob is None or x is None:
+                out.append(None)
+                continue
+            try:
+                out.append(deserialize_quantile(bytes(blob)).rank(float(x)))
+            except Exception:  # corrupt state -> null (reference parity)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+    return f
+
+
+def _sql_cdf_est():
+    @pandas_udf(ArrayType(DoubleType(), containsNull=False))
+    def f(states: pd.Series, sps: pd.Series) -> pd.Series:
+        out = []
+        for blob, sp in zip(states, sps):
+            if blob is None or sp is None:
+                out.append(None)
+                continue
+            try:
+                out.append(deserialize_quantile(bytes(blob))
+                           .cdf([float(x) for x in sp]))
+            except Exception:  # corrupt state -> null (reference parity)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+    return f
+
+
 def _sql_pmf_est():
     @pandas_udf(ArrayType(DoubleType(), containsNull=False))
     def f(states: pd.Series, n: pd.Series) -> pd.Series:
@@ -170,6 +203,8 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_percentile_estimate", _sql_quantile_est())
     spark.udf.register("approx_percentile_estimate_array", _sql_quantile_est_array())
     spark.udf.register("approx_pmf_estimate", _sql_pmf_est())
+    spark.udf.register("approx_rank_estimate", _sql_rank_est())
+    spark.udf.register("approx_cdf_estimate", _sql_cdf_est())
 
     m = conf.freq_max_map_size(spark)
     spark.udf.register("approx_freqitems", freq_direct_udf(m, ITEM_STR))
