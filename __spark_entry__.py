@@ -543,7 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
                    count(*) AS count_order,
                    quantile_disc(l_quantity, 0.9) AS p90_qty
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -617,7 +617,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT lang, source,
                               len(string_split(text, ' ')) AS n
                        FROM documents)
-            SELECT lang, count(*) AS n_docs, sum(n) AS sum_tokens,
+            SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
                    quantile_disc(CAST(n AS DOUBLE), 0.5) AS p50_tokens,
                    count(DISTINCT source) AS ndv_sources
             FROM t GROUP BY lang ORDER BY lang
@@ -662,7 +662,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q23_multimodal": """
             SELECT source, count(*) AS n_assets,
-                   sum(octet_length(encode(text))) AS total_bytes,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    max(octet_length(encode(text))) AS max_bytes
             FROM documents GROUP BY source ORDER BY source
         """,
