@@ -201,21 +201,29 @@ def _q12_percentile_impls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q13_percentile_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-registry path for approx_percentile_ex (default conf impl = REQ),
-    exact regime via a conf-tuned k — the path a spark.sql() user runs."""
+    """SQL-text path for approx_percentile_ex (default conf impl = REQ) via
+    dss.sql — the two-phase front-end (datasketches_spark_spark/sql.py):
+    map-side partial sketches (MapInPandas before the exchange, like q01's
+    plan), state-only shuffle, merge. Exact regime via a conf-tuned k.
+    The conf is saved and restored so nothing leaks into later queries."""
     import datasketches_spark_spark as dss
-    spark.conf.set("spark.sql.dataSketches.quantiles.req.k", "65536")
+    key = "spark.sql.dataSketches.quantiles.req.k"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "65536")
     try:
-        dss.install(spark)
+        read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        # conf is read eagerly while building the two-phase plan
+        return dss.sql(spark, """
+            SELECT l_returnflag,
+                   approx_percentile_ex(l_quantity, 0.5) AS p50_qty,
+                   approx_percentile_req(l_quantity, 0.95) AS p95_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """)
     finally:
-        spark.conf.set("spark.sql.dataSketches.quantiles.req.k", "12")
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql("""
-        SELECT l_returnflag,
-               approx_percentile_ex(l_quantity, 0.5) AS p50_qty,
-               approx_percentile_req(l_quantity, 0.95) AS p95_qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """)
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 # ----------------------------------------------------- LLM-pipeline queries

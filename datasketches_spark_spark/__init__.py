@@ -14,6 +14,9 @@ Quick start::
     dss.install(spark)                       # register SQL functions
     spark.sql("SELECT approx_count_distinct_ex(user_id) FROM events")
 
+    # two-phase physics from SQL text (map-side partial sketches):
+    dss.sql(spark, "SELECT k, approx_percentile_ex(v, 0.9) FROM t GROUP BY k")
+
     from datasketches_spark_spark import functions as dsf
     df.agg(dsf.approx_percentile_kll("value", [0.5, 0.95]))
 """
@@ -21,5 +24,6 @@ Quick start::
 __version__ = "0.1.0"
 
 from .register import install  # noqa: E402
+from .sql import sql  # noqa: E402
 
-__all__ = ["install", "__version__"]
+__all__ = ["install", "sql", "__version__"]

@@ -1,0 +1,609 @@
+"""Two-phase SQL front-end — ``dss.sql(spark, query)``.
+
+The reference's SQL surface gets partial/final aggregation for free from
+``TypedImperativeAggregate`` (``quantileSketches.scala:234-273``): a SQL
+``GROUP BY`` builds per-executor partial sketches and ships only serialized
+states across the exchange. A Python-UDF registry cannot express that —
+Spark's ``AggregateInPandasExec`` has no partial mode, so
+``spark.sql("SELECT approx_percentile_ex(v, p) ... GROUP BY k")`` shuffles
+every *raw row* to the aggregating task. At 100 TB that is the difference
+between shuffling kilobyte states and shuffling the column itself.
+
+``dss.sql`` closes the gap for SQL-text users. It parses only the *clause
+structure* of a single-block SELECT; every expression inside a clause is
+handed to Catalyst verbatim, so pushdown, pruning and join planning behave
+exactly like ``spark.sql``:
+
+* ``FROM`` (joins, LATERAL VIEW, …), ``WHERE`` and any leading CTEs pass
+  through as SQL — the base plan is ``spark.sql("<ctes> SELECT * FROM
+  <from> WHERE <where>")`` and column pruning reaches the scan through it;
+* select items that call an engine sketch aggregate are re-planned onto
+  :func:`~datasketches_spark_spark.operators.sketch_agg.sketch_grouped_agg`
+  (``mapInPandas`` partial sketches → state-only shuffle → merge →
+  estimate);
+* select items built from native aggregates (``count``/``sum``/… — or
+  ``approx_count_distinct_hll``, which maps to Spark's JVM
+  ``hll_sketch_agg`` and already aggregates partially) run as one JVM
+  ``groupBy().agg()`` and re-join the sketched half null-safely on the
+  group keys — the same split/join plan the flagship pricing-summary query
+  builds by hand;
+* anything outside the supported shape falls back to ``spark.sql(query)``
+  unchanged (the registered pandas-UDF path: correct, raw-row shuffle).
+
+Eager validation (reference ``AnalysisException`` timing,
+``quantileSketches.scala:176-194``): literal percentage / numSplits
+arguments are validated inside ``dss.sql()`` itself, before any job runs,
+with the failing function named in the error.
+
+Direct-aggregate typing follows the reference (estimate cast back to the
+input column type, ``quantileSketches.scala:196-211``), which the
+registered-UDF fallback cannot do (a pandas UDF has one fixed return type).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import conf
+from .functions.udfs import validate_percentage
+from .operators.sketch_agg import (
+    Measure,
+    distinct_measure,
+    freqitems_measure,
+    percentile_measure,
+    sketch_grouped_agg,
+)
+
+
+class _Unsupported(Exception):
+    """Query shape outside dss.sql's rewrite grammar → spark.sql fallback."""
+
+
+# ------------------------------------------------------------------ scanning
+
+_QUOTES = "'\"`"
+
+
+def _skip_quoted(q: str, i: int) -> int:
+    """Return index just past the quoted span starting at ``q[i]``."""
+    quote = q[i]
+    j, n = i + 1, len(q)
+    while j < n:
+        c = q[j]
+        if c == "\\" and quote != "`":
+            j += 2
+            continue
+        if c == quote:
+            if j + 1 < n and q[j + 1] == quote:  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    raise _Unsupported("unterminated quoted literal")
+
+
+def _strip_comments(q: str) -> str:
+    out, i, n = [], 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in _QUOTES:
+            j = _skip_quoted(q, i)
+            out.append(q[i:j])
+            i = j
+        elif q.startswith("--", i):
+            j = q.find("\n", i)
+            i = n if j < 0 else j
+        elif q.startswith("/*", i):
+            j = q.find("*/", i + 2)
+            if j < 0:
+                raise _Unsupported("unterminated block comment")
+            out.append(" ")
+            i = j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _top_level_positions(q: str):
+    """Yield indices of characters at paren-depth 0, outside quotes."""
+    i, depth, n = 0, 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in _QUOTES:
+            i = _skip_quoted(q, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth < 0:
+                raise _Unsupported("unbalanced parentheses")
+        elif depth == 0:
+            yield i
+        i += 1
+
+
+_CLAUSE_RES = [
+    ("select", re.compile(r"SELECT\b", re.I)),
+    ("from", re.compile(r"FROM\b", re.I)),
+    ("where", re.compile(r"WHERE\b", re.I)),
+    ("group", re.compile(r"GROUP\s+BY\b", re.I)),
+    ("having", re.compile(r"HAVING\b", re.I)),
+    ("order", re.compile(r"ORDER\s+BY\b", re.I)),
+    ("limit", re.compile(r"LIMIT\b", re.I)),
+]
+_CLAUSE_ORDER = [name for name, _ in _CLAUSE_RES]
+
+_REJECT_RE = re.compile(
+    r"UNION\b|INTERSECT\b|EXCEPT\b|MINUS\b|SORT\s+BY\b|DISTRIBUTE\s+BY\b"
+    r"|CLUSTER\s+BY\b|WINDOW\b|QUALIFY\b|PIVOT\b|UNPIVOT\b", re.I)
+
+_WORD_RE = re.compile(r"[A-Za-z_0-9]")
+
+
+def _at_word_boundary(q: str, i: int) -> bool:
+    return i == 0 or not _WORD_RE.match(q[i - 1])
+
+
+def _find_clauses(q: str) -> dict[str, str]:
+    """Split the single-block query into clause bodies, or raise."""
+    marks: list[tuple[int, int, str]] = []  # (start, body_start, name)
+    for i in _top_level_positions(q):
+        if not _at_word_boundary(q, i):
+            continue
+        if _REJECT_RE.match(q, i):
+            raise _Unsupported(f"clause at {i} outside the rewrite grammar")
+        for name, rx in _CLAUSE_RES:
+            m = rx.match(q, i)
+            if m:
+                marks.append((i, m.end(), name))
+                break
+    if not marks or marks[0][2] != "select" or marks[0][0] != 0:
+        raise _Unsupported("not a plain SELECT block")
+    names = [m[2] for m in marks]
+    if len(set(names)) != len(names):
+        raise _Unsupported("repeated clause")
+    if names != sorted(names, key=_CLAUSE_ORDER.index):
+        raise _Unsupported("clauses out of canonical order")
+    if "from" not in names:
+        raise _Unsupported("missing FROM")
+    clauses: dict[str, str] = {}
+    for idx, (_, body_start, name) in enumerate(marks):
+        end = marks[idx + 1][0] if idx + 1 < len(marks) else len(q)
+        clauses[name] = q[body_start:end].strip()
+    return clauses
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split on top-level separators (outside quotes/parens)."""
+    cuts = [i for i in _top_level_positions(text) if text[i] == sep]
+    parts, prev = [], 0
+    for c in cuts:
+        parts.append(text[prev:c])
+        prev = c + 1
+    parts.append(text[prev:])
+    parts = [p.strip() for p in parts]
+    if any(not p for p in parts):
+        raise _Unsupported("empty list element")
+    return parts
+
+
+def _normalize(expr: str) -> str:
+    """Canonical text for expression matching: lowercase outside quotes,
+    whitespace collapsed, backticks stripped."""
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c in _QUOTES:
+            j = _skip_quoted(expr, i)
+            piece = expr[i:j]
+            out.append(piece.strip("`") if c == "`" else piece)
+            i = j
+        else:
+            out.append(c.lower())
+            i += 1
+    return re.sub(r"\s+", " ", "".join(out)).strip()
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _as_ident(expr: str) -> str | None:
+    e = expr.strip().strip("`")
+    return e if _IDENT_RE.match(e) else None
+
+
+# ------------------------------------------------------------------- parsing
+
+_AS_RE = re.compile(r"AS\b", re.I)
+
+
+def _split_alias(item: str) -> tuple[str, str | None]:
+    """Split ``expr AS alias`` on the rightmost top-level AS."""
+    last = None
+    for i in _top_level_positions(item):
+        if _at_word_boundary(item, i) and _AS_RE.match(item, i):
+            last = i
+    if last is None:
+        return item.strip(), None
+    alias = item[last + 2:].strip().strip("`")
+    if not _IDENT_RE.match(alias):
+        raise _Unsupported(f"unsupported alias {alias!r}")
+    return item[:last].strip(), alias
+
+
+_CALL_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", re.S)
+
+
+def _parse_call(expr: str) -> tuple[str, str] | None:
+    """``fn(args)`` with the parens enclosing the whole tail, else None."""
+    m = _CALL_RE.match(expr.strip())
+    if not m:
+        return None
+    args = m.group(2)
+    # the match is only a call if the first '(' closes at the end
+    depth = 0
+    for ch in args:
+        if ch in _QUOTES:
+            return _parse_call_slow(expr)
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth < 0:
+                return None
+    if depth != 0:
+        return None
+    return m.group(1).lower(), args
+
+
+def _parse_call_slow(expr: str) -> tuple[str, str] | None:
+    expr = expr.strip()
+    m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\(", expr)
+    if not m or not expr.endswith(")"):
+        return None
+    inner = expr[m.end():-1]
+    try:
+        list(_top_level_positions(inner))
+    except _Unsupported:
+        return None
+    return m.group(1).lower(), inner
+
+
+_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _parse_literal_number(text: str) -> float:
+    t = text.strip()
+    if t.upper().endswith("D"):
+        t = t[:-1]
+    if not _NUM_RE.match(t):
+        raise _Unsupported(f"non-literal argument {text!r}")
+    return float(t)
+
+
+def _parse_percentage_literal(text: str):
+    """A literal double or ``array(...)`` of literal doubles."""
+    call = _parse_call(text)
+    if call and call[0] == "array":
+        return [_parse_literal_number(a) for a in _split_top(call[1])]
+    return _parse_literal_number(text)
+
+
+# ------------------------------------------------------- sketch-agg registry
+
+_QUANTILE_DIRECT = {
+    "approx_percentile_ex": None,
+    "approx_percentile_kll": "KLL",
+    "approx_percentile_req": "REQ",
+    "approx_percentile_mergeable": "MERGEABLE",
+    "approx_percentile_ex_array": None,
+    "approx_percentile_kll_array": "KLL",
+    "approx_percentile_req_array": "REQ",
+    "approx_percentile_mergeable_array": "MERGEABLE",
+}
+_FREQ_DIRECT = {"approx_freqitems": "string", "approx_freqitems_long": "long"}
+_DISTINCT_DIRECT = ("approx_count_distinct_ex", "approx_count_distinct_cpc",
+                    "approx_count_distinct_theta")
+_ACC_FAMILY = {
+    "approx_percentile_accumulate": "quantile",
+    "approx_freqitems_accumulate": "freq",
+    "approx_count_distinct_accumulate": "theta",
+}
+
+_SKETCH_FUNCS = (set(_QUANTILE_DIRECT) | set(_FREQ_DIRECT)
+                 | set(_DISTINCT_DIRECT) | set(_ACC_FAMILY)
+                 | {"approx_count_distinct_hll"})
+
+# native aggregates that may appear anywhere inside an exact select item
+_EXACT_AGGS = {
+    "count", "sum", "min", "max", "avg", "mean", "median", "mode", "first",
+    "last", "any_value", "first_value", "last_value", "approx_count_distinct",
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+    "skewness", "kurtosis", "corr", "covar_pop", "covar_samp", "collect_list",
+    "collect_set", "array_agg", "percentile", "percentile_approx", "try_sum",
+    "try_avg", "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or", "every",
+    "some", "count_if", "count_distinct", "sum_distinct", "grouping",
+    "hll_sketch_agg", "hll_union_agg", "listagg", "string_agg",
+}
+
+_FUNC_NAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _called_functions(expr: str) -> set[str]:
+    """Function names invoked anywhere in the expression. Quoted literals are
+    not excluded — a false positive only widens the match and at worst sends
+    the query down the spark.sql fallback."""
+    return {m.group(1).lower() for m in _FUNC_NAME_RE.finditer(expr)}
+
+
+class _Item:
+    """One select-list item, classified."""
+
+    __slots__ = ("text", "alias", "kind", "measure", "jvm_col", "gk_index")
+
+    def __init__(self, text: str, alias: str | None):
+        self.text = text
+        self.alias = alias or text
+        self.kind = ""          # "sketch" | "jvm" | "key"
+        self.measure: Measure | None = None
+        self.jvm_col = None     # Callable[[str], Column] given resolved col
+        self.gk_index: int | None = None
+
+
+def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
+    """Fill ``item.kind`` (sketch measure / JVM aggregate) or raise."""
+    called = _called_functions(item.text)
+    sketch_called = called & _SKETCH_FUNCS
+    if not sketch_called:
+        if called & _EXACT_AGGS:
+            item.kind = "jvm"
+            text = item.text
+            item.jvm_col = lambda _=None: F.expr(text)
+            return
+        item.kind = "key"       # must match a group-by expr, checked later
+        return
+
+    call = _parse_call(item.text)
+    if call is None or call[0] not in _SKETCH_FUNCS:
+        raise _Unsupported(
+            f"sketch aggregate nested in a larger expression: {item.text!r}")
+    fname, args_text = call
+    args = _split_top(args_text)
+    name = item.alias
+
+    if fname in _QUANTILE_DIRECT:
+        if len(args) != 2:
+            raise _Unsupported(f"{fname} expects (col, percentage)")
+        pct = _parse_percentage_literal(args[1])
+        try:
+            validate_percentage(pct)
+        except ValueError as e:
+            raise ValueError(f"{fname}: {e}") from None
+        item.kind = "sketch"
+        item.measure = (args[0], lambda col: percentile_measure(
+            name, col, pct, impl=_QUANTILE_DIRECT[fname], preserve_type=True))
+        return
+    if fname in _FREQ_DIRECT:
+        if len(args) != 1:
+            raise _Unsupported(f"{fname} expects (col)")
+        item.kind = "sketch"
+        item.measure = (args[0], lambda col: freqitems_measure(
+            name, col, item_type=_FREQ_DIRECT[fname]))
+        return
+    if fname in _DISTINCT_DIRECT or fname == "approx_count_distinct_hll":
+        if len(args) != 1:
+            raise _Unsupported(f"{fname} expects (col)")
+        use_hll = (fname == "approx_count_distinct_hll"
+                   or (fname == "approx_count_distinct_ex"
+                       and conf.distinct_impl(spark) == "HLL"))
+        if use_hll:
+            # Spark's JVM hll_sketch_agg is a TypedImperativeAggregate —
+            # partial/final physics for free; route it with the exact aggs.
+            lgk = conf.distinct_hll_lgk(spark)
+            item.kind = "jvm_col"
+            item.jvm_col = lambda col: F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.expr(col), F.lit(lgk)))
+            item.measure = (args[0], None)
+            return
+        item.kind = "sketch"
+        item.measure = (args[0], lambda col: distinct_measure(
+            name, col, impl="theta"))
+        return
+    if fname in _ACC_FAMILY:
+        if len(args) != 1:
+            raise _Unsupported(f"{fname} expects (col)")
+        family = _ACC_FAMILY[fname]
+        item.kind = "sketch"
+        item.measure = (args[0], lambda col: Measure(
+            name, col, family, lambda c: c))
+        return
+    raise _Unsupported(f"unhandled sketch function {fname}")
+
+
+# ----------------------------------------------------------------- execution
+
+_ORDER_ITEM_RE = re.compile(
+    r"^(?P<expr>.*?)(?:\s+(?P<dir>ASC|DESC))?(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?$",
+    re.I | re.S)
+
+
+def _order_col(item: str):
+    m = _ORDER_ITEM_RE.match(item.strip())
+    c = F.expr(m.group("expr"))
+    desc = (m.group("dir") or "").upper() == "DESC"
+    nulls = (m.group("nulls") or "").upper()
+    if desc:
+        return c.desc_nulls_first() if nulls == "FIRST" else c.desc()
+    return c.asc_nulls_last() if nulls == "LAST" else c.asc()
+
+
+def _rewrite(spark: SparkSession, query: str) -> DataFrame:
+    q = _strip_comments(query).strip().rstrip(";").strip()
+
+    cte_prefix = ""
+    if re.match(r"WITH\b", q, re.I):
+        starts = [i for i in _top_level_positions(q)
+                  if _at_word_boundary(q, i) and re.match(r"SELECT\b", q[i:], re.I)]
+        if not starts:
+            raise _Unsupported("WITH without top-level SELECT")
+        cte_prefix, q = q[:starts[0]], q[starts[0]:]
+
+    clauses = _find_clauses(q)
+    select_body = clauses["select"]
+    if re.match(r"(DISTINCT|ALL)\b", select_body, re.I):
+        raise _Unsupported("SELECT DISTINCT/ALL")
+
+    items = [_Item(*_split_alias(t)) for t in _split_top(select_body)]
+    for i, it in enumerate(items):
+        _classify_item(it, spark, i)
+    if not any(it.kind in ("sketch", "jvm_col") for it in items):
+        raise _Unsupported("no engine sketch aggregate in select list")
+
+    # ---- base plan: FROM/WHERE (and CTEs) go to Catalyst verbatim
+    base_sql = f"{cte_prefix}SELECT * FROM {clauses['from']}"
+    if clauses.get("where"):
+        base_sql += f" WHERE {clauses['where']}"
+    base = spark.sql(base_sql)
+
+    # ---- group keys: derive non-identifier exprs as hidden columns
+    group_texts = _split_top(clauses["group"]) if clauses.get("group") else []
+    if any(re.fullmatch(r"ALL|CUBE.*|ROLLUP.*|GROUPING\s+SETS.*", g,
+                        re.I | re.S) for g in group_texts):
+        raise _Unsupported("non-plain grouping")
+    resolved_groups: list[str] = []   # column names to group by
+    norm_groups: list[str] = []
+    for gi, g in enumerate(group_texts):
+        if re.fullmatch(r"\d+", g):   # positional: GROUP BY 1
+            pos = int(g) - 1
+            if not (0 <= pos < len(items)):
+                raise _Unsupported("GROUP BY position out of range")
+            g = items[pos].text
+        ident = _as_ident(g)
+        if ident is None:
+            cname = f"__gk{gi}"
+            base = base.withColumn(cname, F.expr(g))
+        else:
+            cname = ident
+        resolved_groups.append(cname)
+        norm_groups.append(_normalize(g))
+
+    # ---- key passthrough items must match a group-by expression
+    for it in items:
+        if it.kind == "key":
+            nt = _normalize(it.text)
+            if nt not in norm_groups:
+                raise _Unsupported(
+                    f"select item {it.text!r} is neither an aggregate nor a "
+                    "group-by expression")
+            it.gk_index = norm_groups.index(nt)
+
+    # ---- sketch measure columns: derive expression inputs
+    measures: list[Measure] = []
+    for mi, it in enumerate(items):
+        if it.kind not in ("sketch", "jvm_col"):
+            continue
+        colexpr = it.measure[0]
+        ident = _as_ident(colexpr)
+        if ident is None:
+            cname = f"__m{mi}"
+            base = base.withColumn(cname, F.expr(colexpr))
+        else:
+            cname = ident
+        if it.kind == "sketch":
+            measures.append(it.measure[1](cname))
+        else:
+            it.jvm_col = (lambda f, c: (lambda: f(c)))(it.jvm_col, cname)
+
+    jvm_items = [it for it in items if it.kind in ("jvm", "jvm_col")]
+
+    # ---- two-phase sketched half + JVM exact half, joined on the keys
+    sketched = (sketch_grouped_agg(base, resolved_groups, *measures)
+                if measures else None)
+    exact = None
+    if jvm_items:
+        aggs = [it.jvm_col().alias(it.alias) for it in jvm_items]
+        exact = (base.groupBy(*resolved_groups).agg(*aggs)
+                 if resolved_groups else base.agg(*aggs))
+
+    if sketched is not None and exact is not None:
+        if resolved_groups:
+            cond = reduce(lambda a, b: a & b,
+                          [sketched[k].eqNullSafe(exact[k])
+                           for k in resolved_groups])
+            joined = sketched.join(exact, cond)
+        else:
+            joined = sketched.crossJoin(exact)
+        left = sketched
+    else:
+        joined = sketched if sketched is not None else exact
+        left = joined
+
+    out_cols = []
+    for it in items:
+        if it.kind == "key":
+            out_cols.append(left[resolved_groups[it.gk_index]].alias(
+                it.alias if it.alias != it.text else _as_ident(it.text)
+                or it.alias))
+        elif it.kind == "sketch":
+            out_cols.append(left[it.alias])
+        else:
+            src = exact if exact is not None else left
+            out_cols.append(src[it.alias])
+    result = joined.select(*out_cols)
+
+    # HAVING / ORDER BY may reference an aggregate by its expression text
+    # (``HAVING count(*) > 5``); post-projection only the aliases exist, so
+    # substitute each select item's normalized text with its alias.
+    subs = sorted(((_normalize(it.text), it.alias) for it in items
+                   if it.kind != "key" and _normalize(it.text) != it.alias),
+                  key=lambda p: -len(p[0]))
+
+    def _aliased(expr: str) -> str:
+        e = _normalize(expr)
+        for text, alias in subs:
+            e = e.replace(text, f"`{alias}`")
+        return e
+
+    if clauses.get("having"):
+        result = result.filter(F.expr(_aliased(clauses["having"])))
+    if clauses.get("order"):
+        result = result.orderBy(
+            *[_order_col(_aliased(t)) for t in _split_top(clauses["order"])])
+    if clauses.get("limit"):
+        if not re.fullmatch(r"\d+", clauses["limit"].strip()):
+            raise _Unsupported("non-literal LIMIT")
+        result = result.limit(int(clauses["limit"]))
+
+    result.schema  # force analysis now: unsupported references → fallback
+    return result
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Run ``query``; engine direct aggregates get two-phase physics.
+
+    Drop-in for ``spark.sql`` on single-block SELECTs. Queries outside the
+    rewrite grammar run through ``spark.sql`` unchanged (requires
+    ``dss.install(spark)`` for the engine's function names). Invalid literal
+    arguments (percentage out of [0,1], bad numSplits) raise eagerly here,
+    before any Spark job starts.
+    """
+    try:
+        return _rewrite(spark, query)
+    except _Unsupported:
+        return spark.sql(query)
+    except ValueError:
+        raise
+    except Exception:
+        # analysis failed under the rewrite (e.g. HAVING over a non-selected
+        # aggregate) — let Spark's own path produce the answer or the error
+        return spark.sql(query)
+
+
+__all__ = ["sql"]

@@ -1,0 +1,185 @@
+"""dss.sql — the two-phase SQL front-end (datasketches_spark_spark/sql.py).
+
+Covers: rewrite correctness vs the registered-UDF path and vs exact SQL,
+two-phase physics in the plan (MapInPandas before the exchange), mixed
+native + sketch aggregates (inexpressible via plain spark.sql), CTE/WHERE
+passthrough, eager literal validation, and verbatim fallback.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import datasketches_spark_spark as dss
+from datasketches_spark_spark.sql import (
+    _find_clauses,
+    _parse_call,
+    _split_alias,
+    _split_top,
+    _strip_comments,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _installed(spark, tables):
+    dss.install(spark)
+
+
+# ----------------------------------------------------------------- parser
+
+def test_clause_split_respects_nesting():
+    c = _find_clauses(
+        "SELECT a, f(x) FROM t JOIN (SELECT * FROM u WHERE z GROUP BY g) s "
+        "ON t.k = s.k WHERE substring(a FROM 1) = 'x' GROUP BY a "
+        "ORDER BY a LIMIT 5")
+    assert c["from"].startswith("t JOIN")
+    assert "GROUP BY g" in c["from"]
+    assert c["where"] == "substring(a FROM 1) = 'x'"
+    assert c["group"] == "a"
+    assert c["limit"] == "5"
+
+
+def test_split_top_and_alias():
+    assert _split_top("a, f(x, y), 'p,q'") == ["a", "f(x, y)", "'p,q'"]
+    assert _split_alias("CAST(x AS INT) AS y") == ("CAST(x AS INT)", "y")
+    assert _split_alias("sum(x)") == ("sum(x)", None)
+
+
+def test_parse_call_rejects_compound():
+    assert _parse_call("f(x) + g(y)") is None
+    assert _parse_call("approx_freqitems(concat(a, 'x'))") == (
+        "approx_freqitems", "concat(a, 'x')")
+
+
+def test_strip_comments_keeps_strings():
+    q = "SELECT '--not a comment' AS s -- real\nFROM t /* gone */ WHERE 1=1"
+    out = _strip_comments(q)
+    assert "--not a comment" in out and "real" not in out and "gone" not in out
+
+
+# ------------------------------------------------------------- execution
+
+def test_rewrite_matches_registered_udf_path(spark):
+    q = ("SELECT l_returnflag, approx_percentile_mergeable(l_quantity, 0.5) "
+         "AS p50 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    got = dss.sql(spark, q).collect()
+    ref = spark.sql(q).collect()
+    assert [r.l_returnflag for r in got] == [r.l_returnflag for r in ref]
+    # both run the same sketch in the exact regime at this SF? k differs by
+    # phase structure only for MERGEABLE (float64) — values must agree.
+    for g, r in zip(got, ref):
+        assert g.p50 == pytest.approx(r.p50, rel=1e-6)
+
+
+def test_rewrite_plan_is_two_phase(spark):
+    df = dss.sql(spark, (
+        "SELECT l_returnflag, approx_percentile_ex(l_quantity, 0.9) AS p90 "
+        "FROM lineitem GROUP BY l_returnflag"))
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    # partial sketching must sit BELOW the exchange (raw rows never shuffle):
+    # formatted-plan node ids grow from the scan upward, so the MapInPandas
+    # id must be smaller than every Exchange id.
+    import re
+    mp = [int(m) for m in re.findall(r"MapInPandas \((\d+)\)", plan)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert mp and ex and min(mp) < min(ex), plan
+
+
+def test_mixed_native_and_sketch_aggregates(spark, tables):
+    # plain spark.sql CANNOT run this shape at all
+    q = ("SELECT l_returnflag, count(*) AS n, "
+         "approx_percentile_ex(l_quantity, 0.5) AS p50 "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    with pytest.raises(Exception, match="INVALID_PANDAS_UDF_PLACEMENT"):
+        spark.sql(q).collect()
+    rows = dss.sql(spark, q).collect()
+    exact = {r.l_returnflag: r.n for r in spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag").collect()}
+    assert {r.l_returnflag: r.n for r in rows} == exact
+    assert all(r.p50 is not None for r in rows)
+
+
+def test_having_and_order_by_aggregate_text(spark):
+    q = ("SELECT l_returnflag, count(*) AS n, "
+         "approx_percentile_ex(l_quantity, 0.5) AS p50 FROM lineitem "
+         "GROUP BY l_returnflag HAVING count(*) > 0 ORDER BY count(*) DESC")
+    rows = dss.sql(spark, q).collect()
+    assert len(rows) == 3
+    assert [r.n for r in rows] == sorted([r.n for r in rows], reverse=True)
+
+
+def test_cte_where_and_expression_key(spark):
+    q = ("WITH t AS (SELECT * FROM lineitem WHERE l_quantity > 10) "
+         "SELECT upper(l_returnflag) AS flag, "
+         "approx_count_distinct_ex(l_partkey) AS ndv "
+         "FROM t GROUP BY upper(l_returnflag) ORDER BY flag")
+    rows = dss.sql(spark, q).collect()
+    assert [r.flag for r in rows] == ["A", "N", "R"]
+    assert all(r.ndv > 0 for r in rows)
+
+
+def test_global_aggregate_no_group_by(spark):
+    got = dss.sql(spark, (
+        "SELECT approx_count_distinct_ex(l_partkey) AS ndv, count(*) AS n "
+        "FROM lineitem")).collect()[0]
+    exact = spark.sql("SELECT count(DISTINCT l_partkey) AS ndv, count(*) AS n "
+                      "FROM lineitem").collect()[0]
+    assert got.n == exact.n
+    assert got.ndv == exact.ndv  # exact regime below k
+
+
+def test_accumulate_states_compatible_with_estimate(spark):
+    dss.sql(spark, (
+        "SELECT l_returnflag, approx_percentile_accumulate(l_quantity) AS st "
+        "FROM lineitem GROUP BY l_returnflag")).createOrReplaceTempView("_states")
+    rows = spark.sql(
+        "SELECT l_returnflag, approx_percentile_estimate(st, 0.5) AS p50 "
+        "FROM _states ORDER BY l_returnflag").collect()
+    assert len(rows) == 3 and all(r.p50 is not None for r in rows)
+
+
+def test_hll_name_runs_native_jvm(spark):
+    df = dss.sql(spark, (
+        "SELECT l_returnflag, approx_count_distinct_hll(l_partkey) AS ndv "
+        "FROM lineitem GROUP BY l_returnflag"))
+    plan = _plan(df)
+    assert "MapInPandas" not in plan          # JVM TypedImperativeAggregate
+    assert all(r.ndv > 0 for r in df.collect())
+
+
+def test_fallback_verbatim(spark):
+    assert dss.sql(spark, "SELECT 1 AS one").collect()[0].one == 1
+    # estimate-over-state queries are not direct aggregates: fallback path
+    df = dss.sql(spark, "SELECT approx_percentile_estimate(NULL, 0.5) AS v")
+    assert df.collect()[0].v is None
+
+
+def test_eager_validation_before_any_job(spark):
+    with pytest.raises(ValueError, match="approx_percentile_ex"):
+        dss.sql(spark, ("SELECT approx_percentile_ex(l_quantity, 1.5) "
+                        "FROM lineitem"))
+    with pytest.raises(ValueError, match="approx_percentile_kll"):
+        dss.sql(spark, ("SELECT l_returnflag, "
+                        "approx_percentile_kll(l_quantity, array(0.5, -2.0)) "
+                        "AS p FROM lineitem GROUP BY l_returnflag"))
+
+
+def test_multi_percentage_array(spark):
+    rows = dss.sql(spark, (
+        "SELECT l_returnflag, "
+        "approx_percentile_mergeable(l_quantity, array(0.25, 0.75)) AS iqr "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")).collect()
+    assert all(len(r.iqr) == 2 and r.iqr[0] <= r.iqr[1] for r in rows)
+
+
+def test_freqitems_via_sql(spark):
+    rows = dss.sql(spark, (
+        "SELECT approx_freqitems(l_returnflag) AS top FROM lineitem")).collect()
+    items = {e.item for e in rows[0].top}
+    assert items == {"A", "N", "R"}
