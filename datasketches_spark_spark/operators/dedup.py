@@ -122,20 +122,42 @@ def minhash_bands(df: DataFrame, id_col: str, shingle_hashes: Column,
     return src.mapInPandas(build, out_schema)
 
 
-def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(band_df: DataFrame,
+                        max_bucket: int = 1024) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band bucket.
 
     One aggregation keyed by (band, bucket) + an in-row pair expansion —
     NOT a self-join: a self-join would execute the upstream signature
     computation twice (Spark cannot reuse an un-materialized subplan across
-    both join sides). Cost stays proportional to real collisions; a skewed
-    mega-bucket expands quadratically, which is inherent to LSH bucketing
-    regardless of formulation."""
+    both join sides). Cost stays proportional to real collisions.
+
+    ``max_bucket`` bounds the quadratic expansion of a skewed mega-bucket
+    (boilerplate-heavy corpora can put 10^5+ near-identical docs in one
+    band bucket — B^2/2 pairs from a single aggregation row). Buckets
+    larger than the cap degrade to a STAR expansion: every member pairs
+    with the bucket minimum only, B-1 edges instead of B^2/2. Connectivity
+    for duplicate-group finding is preserved (a union-find over pair edges
+    needs only a spanning set per cluster); what is lost is only the
+    explicit enumeration of every intra-cluster pair, which at that bucket
+    size is the output-size pathology being prevented. The downstream
+    exact-Jaccard verify still filters every emitted edge, so precision is
+    unchanged. Both regimes run in the same single pass (no branch-and-
+    union, which would re-execute the upstream minhash). A ``observe``
+    metric ``lsh_buckets`` reports total vs capped bucket counts per
+    action."""
     buckets = (band_df.groupBy("band", "bucket")
                .agg(F.collect_list("_id").alias("ids"))
-               .where(F.size("ids") > 1))
+               .where(F.size("ids") > 1)
+               .observe("lsh_buckets",
+                        F.count(F.lit(1)).alias("n_buckets"),
+                        F.count(F.when(F.size("ids") > max_bucket, 1))
+                         .alias("capped_buckets"),
+                        F.max(F.size("ids")).alias("max_bucket_size")))
+    left = (F.when(F.size("ids") <= max_bucket, F.col("ids"))
+            .otherwise(F.array(F.array_min("ids"))))
     return (buckets
-            .select(F.explode("ids").alias("id_a"), "ids")
+            .select(left.alias("left_ids"), "ids")
+            .select(F.explode("left_ids").alias("id_a"), "ids")
             .select("id_a", F.explode("ids").alias("id_b"))
             .where(F.col("id_a") < F.col("id_b"))
             .distinct())
@@ -171,7 +193,8 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.5, shingle_n: int = 3,
-                        num_hashes: int = 128, bands: int = 32) -> DataFrame:
+                        num_hashes: int = 128, bands: int = 32,
+                        max_bucket: int = 1024) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs over word-``shingle_n``-
     gram sets: shingle (JVM) -> xxhash64 per shingle (JVM) -> minhash bands
     (numpy) -> bucket self-join -> exact-Jaccard verify. Returns
@@ -182,7 +205,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                               hashed.alias("_shh"))
     bands_df = minhash_bands(base, id_col, F.col("_shh"),
                              num_hashes=num_hashes, bands=bands)
-    cands = lsh_candidate_pairs(bands_df)
+    cands = lsh_candidate_pairs(bands_df, max_bucket=max_bucket)
     return jaccard_verify(cands, base, id_col, F.col("_sh"), threshold)
 
 

@@ -174,15 +174,24 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
 
 def train_ivf_centroids(corpus: DataFrame, num_cells: int = 16,
                         sample_fraction: float = 1.0, iters: int = 10,
-                        seed: int = 7, vec_col: str = "embedding"
-                        ) -> np.ndarray:
+                        seed: int = 7, vec_col: str = "embedding",
+                        max_train: int = 1_000_000) -> np.ndarray:
     """Spherical k-means on a (sampled) collect of vectors. The training
     sample is deliberately small and driver-side — at 100 TB you train the
-    quantizer on a ~1M-row sample, not the corpus; assignment stays fully
-    distributed (``ivf_assign``)."""
+    quantizer on a sample, not the corpus; assignment stays fully
+    distributed (``ivf_assign``).
+
+    ``max_train`` is an ABSOLUTE row cap on the driver-side collect,
+    enforced with ``limit()`` regardless of ``sample_fraction`` — the
+    default fraction of 1.0 must never mean "collect 100 TB to the
+    driver". Raising the cap is an explicit caller decision."""
+    if max_train < num_cells:
+        raise ValueError(
+            f"max_train={max_train} must be >= num_cells={num_cells}")
     sample = corpus.select(vec_col)
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
+    sample = sample.limit(max_train)
     mat = _normalize(np.vstack([np.asarray(r[0]) for r in sample.collect()]))
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(mat.shape[0], size=num_cells, replace=False)]

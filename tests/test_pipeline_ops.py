@@ -67,6 +67,34 @@ class TestDedup:
         assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
         assert 0.3 <= pairs[0].jaccard < 1.0
 
+    def test_lsh_mega_bucket_capped_to_star(self, spark):
+        """A hot (band, bucket) with B ids must emit B-1 star edges (to the
+        bucket minimum), not B^2/2 — while small buckets keep the full
+        pairwise expansion. Connectivity survives: every id still reaches
+        the bucket minimum."""
+        from datasketches_spark_spark.operators.dedup import (
+            lsh_candidate_pairs)
+        hot = [(i, 0, 7) for i in range(50)]           # one mega-bucket
+        small = [(100, 1, 9), (101, 1, 9), (102, 1, 9)]  # ordinary bucket
+        band_df = spark.createDataFrame(hot + small,
+                                        ["_id", "band", "bucket"])
+        rows = lsh_candidate_pairs(band_df, max_bucket=8).collect()
+        hot_pairs = {(r.id_a, r.id_b) for r in rows if r.id_b < 100}
+        small_pairs = {(r.id_a, r.id_b) for r in rows if r.id_b >= 100}
+        assert hot_pairs == {(0, i) for i in range(1, 50)}   # star, B-1 edges
+        assert small_pairs == {(100, 101), (100, 102), (101, 102)}
+
+    def test_minhash_unaffected_below_cap(self, spark):
+        from datasketches_spark_spark.operators import minhash_dedup_pairs
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+               "lam mu nu xi omicron pi rho sigma tau upsilon"
+        near = base.replace("pi rho", "pi zzz rho")
+        df = spark.createDataFrame(
+            [(1, base), (2, near)], ["doc_id", "text"])
+        pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.3,
+                                    max_bucket=4).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
     def test_simhash_hamming_property(self, spark, tables):
         from datasketches_spark_spark.operators import (
             simhash, simhash_dedup_pairs)
@@ -168,6 +196,18 @@ class TestMultimodal:
 
 
 class TestIVF:
+    def test_ivf_trainer_collect_is_capped(self, spark, tables):
+        """The driver-side training collect must honor max_train regardless
+        of sample_fraction — the scan feeding collect() carries a limit."""
+        from datasketches_spark_spark.operators.similarity import (
+            train_ivf_centroids)
+        emb = tables["embeddings"]
+        cents = train_ivf_centroids(emb, num_cells=4, iters=2, max_train=16)
+        assert cents.shape[0] == 4
+        import pytest as _pt
+        with _pt.raises(ValueError, match="max_train"):
+            train_ivf_centroids(emb, num_cells=8, max_train=4)
+
     def test_ivf_assign_covers_all(self, spark, tables):
         from datasketches_spark_spark.operators import (
             ivf_assign, train_ivf_centroids)
