@@ -18,6 +18,7 @@ from .distinctcnt import (
     approx_count_distinct_estimate,
     approx_count_distinct_ex,
     approx_count_distinct_hll,
+    approx_count_distinct_theta,
 )
 from .freqitems import (
     approx_freqitems,
@@ -57,6 +58,7 @@ __all__ = [
     # distinct count (#13-#18)
     "approx_count_distinct_ex",
     "approx_count_distinct_cpc",
+    "approx_count_distinct_theta",
     "approx_count_distinct_hll",
     "approx_count_distinct_accumulate",
     "approx_count_distinct_combine",

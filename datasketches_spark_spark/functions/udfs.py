@@ -342,6 +342,36 @@ def theta_setop_udf(op: str):
 
 # --------------------------------------------------------------------- distinct count
 
+def hll_acc_udf(lgk: int):
+    """Accumulate into the engine's numpy HLL (sparse->dense) state."""
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = HllSketch(lgk=lgk)
+        sk.update_hashes(hash_series(v))
+        return sk.serialize()
+
+    return acc
+
+
+def hll_direct_udf(lgk: int):
+    """Direct NDV estimate via the engine's numpy HLL — exact while the
+    sketch is in its sparse phase (NDV <= 2^(lgk-3)), CPC-class RSE past
+    it. Serves the CPC name (conf.distinct_cpc_lgk)."""
+    @pandas_udf(LongType())
+    def direct(v: pd.Series) -> int:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = HllSketch(lgk=lgk)
+        sk.update_hashes(hash_series(v))
+        return sk.estimate()
+
+    return direct
+
+
 def theta_acc_udf(k: int):
     @pandas_udf(BinaryType())
     def acc(v: pd.Series) -> bytes:

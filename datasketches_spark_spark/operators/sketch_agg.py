@@ -297,15 +297,17 @@ def freqitems_measure(name: str, col: str, item_type: str = "string",
 
 
 def distinct_measure(name: str, col: str, k: int | None = None,
-                     impl: str = "theta") -> Measure:
-    """``impl="theta"`` (default): KMV — exact below k, 8 B/entry states.
-    ``impl="hll"``: the engine's numpy HLL — never exact, but fixed
-    2^lgk-byte states with CPC-class accuracy; the right choice when
-    per-group NDV is huge and summary-table size matters."""
+                     impl: str = "theta", lgk: int | None = None) -> Measure:
+    """``impl="theta"`` (default): KMV — exact below k, 8 B/entry states,
+    the family the set algebra operates on. ``impl="hll"``: the engine's
+    numpy HLL — exact through its sparse phase, then CPC-class accuracy in
+    a bounded 2^lgk-byte state; the right choice when per-group NDV is
+    huge and summary-table size matters (this is what serves the CPC name,
+    at ``conf.distinct_cpc_lgk()``)."""
     from ..functions.distinctcnt import approx_count_distinct_estimate
     if impl == "hll":
         return Measure(name, col, "hll",
-                       lambda c: approx_count_distinct_estimate(c), k=k)
+                       lambda c: approx_count_distinct_estimate(c), lgk=lgk)
     return Measure(name, col, "theta",
                    lambda c: approx_count_distinct_estimate(c), k=k)
 

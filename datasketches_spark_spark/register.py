@@ -36,6 +36,8 @@ from .functions.udfs import (
     freq_acc_udf,
     freq_direct_udf,
     freq_est_udf,
+    hll_acc_udf,
+    hll_direct_udf,
     theta_acc_udf,
     theta_direct_udf,
     theta_est_udf,
@@ -215,8 +217,15 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_freqitems_estimate_long", freq_est_udf(ITEM_LONG))
 
     tk = conf.distinct_theta_k(spark)
-    spark.udf.register("approx_count_distinct_ex", theta_direct_udf(tk))
-    spark.udf.register("approx_count_distinct_cpc", theta_direct_udf(tk))
+    clgk = conf.distinct_cpc_lgk(spark)
+    dimpl = conf.distinct_impl(spark)
+    # CPC (the default) is served by the engine's numpy HLL at a CPC-
+    # equivalent lgk: exact through its sparse phase, CPC-class RSE past it.
+    ex_udf = (theta_direct_udf(tk) if dimpl == "THETA"
+              else hll_direct_udf(conf.distinct_hll_lgk(spark))
+              if dimpl == "HLL" else hll_direct_udf(clgk))
+    spark.udf.register("approx_count_distinct_ex", ex_udf)
+    spark.udf.register("approx_count_distinct_cpc", hll_direct_udf(clgk))
     spark.udf.register("approx_count_distinct_theta", theta_direct_udf(tk))
     # Honest non-registration of HLL-under-a-Theta-hood: a Python UDF cannot
     # wrap the JVM hll_sketch_agg aggregate, and silently running Theta under
@@ -224,7 +233,12 @@ def install(spark: SparkSession) -> None:
     # states for the same function name. The SQL name fails fast with a
     # pointer to the real HLL paths instead.
     spark.udf.register("approx_count_distinct_hll", _sql_hll_redirect())
-    spark.udf.register("approx_count_distinct_accumulate", theta_acc_udf(tk))
+    acc_udf = (theta_acc_udf(tk) if dimpl == "THETA"
+               else hll_acc_udf(conf.distinct_hll_lgk(spark))
+               if dimpl == "HLL" else hll_acc_udf(clgk))
+    spark.udf.register("approx_count_distinct_accumulate", acc_udf)
+    spark.udf.register("approx_count_distinct_accumulate_theta",
+                       theta_acc_udf(tk))
     spark.udf.register("approx_count_distinct_combine", combine_udf())
     spark.udf.register("approx_count_distinct_estimate", theta_est_udf())
     spark.udf.register("approx_set_jaccard", theta_setop_udf("jaccard"))

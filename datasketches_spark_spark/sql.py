@@ -400,10 +400,11 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
     if fname in _DISTINCT_DIRECT or fname == "approx_count_distinct_hll":
         if len(args) != 1:
             raise _Unsupported(f"{fname} expects (col)")
-        use_hll = (fname == "approx_count_distinct_hll"
-                   or (fname == "approx_count_distinct_ex"
-                       and conf.distinct_impl(spark) == "HLL"))
-        if use_hll:
+        impl = ("THETA" if fname == "approx_count_distinct_theta"
+                else "HLL" if fname == "approx_count_distinct_hll"
+                else "CPC" if fname == "approx_count_distinct_cpc"
+                else conf.distinct_impl(spark))
+        if impl == "HLL":
             # Spark's JVM hll_sketch_agg is a TypedImperativeAggregate —
             # partial/final physics for free; route it with the exact aggs.
             lgk = conf.distinct_hll_lgk(spark)
@@ -413,8 +414,13 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
             item.measure = (args[0], None)
             return
         item.kind = "sketch"
-        item.measure = (args[0], lambda col: distinct_measure(
-            name, col, impl="theta"))
+        if impl == "CPC":
+            clgk = conf.distinct_cpc_lgk(spark)
+            item.measure = (args[0], lambda col: distinct_measure(
+                name, col, impl="hll", lgk=clgk))
+        else:
+            item.measure = (args[0], lambda col: distinct_measure(
+                name, col, impl="theta"))
         return
     if fname in _ACC_FAMILY:
         if len(args) != 1:

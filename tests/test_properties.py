@@ -126,5 +126,5 @@ class TestHllProperties:
             if chunk.size:
                 part.update_hashes(hash_longs(chunk))
             merged.merge(part)
-        assert (merged._regs == whole._regs).all()
+        assert (merged.registers() == whole.registers()).all()
         assert deserialize_any(merged.serialize()).estimate() == whole.estimate()

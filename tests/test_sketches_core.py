@@ -401,6 +401,53 @@ class TestHllSketch:
         with pytest.raises(ValueError, match="lgk"):
             HllSketch(lgk=12).merge(HllSketch(lgk=13))
 
+    def test_sparse_phase_exact_and_serde(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import (
+            HllSketch, deserialize_any)
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        sk = HllSketch(lgk=12)  # sparse cap = 2^9 = 512
+        sk.update_hashes(hash_longs(np.arange(300, dtype=np.int64)))
+        assert sk.is_sparse and sk.estimate() == 300
+        back = deserialize_any(sk.serialize())
+        assert back.is_sparse and back.estimate() == 300
+        # duplicates do not advance the count
+        sk.update_hashes(hash_longs(np.arange(300, dtype=np.int64)))
+        assert sk.estimate() == 300
+
+    def test_sparse_densifies_past_cap(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import HllSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        sk = HllSketch(lgk=12)
+        sk.update_hashes(hash_longs(np.arange(2_000, dtype=np.int64)))
+        assert not sk.is_sparse
+        assert abs(sk.estimate() - 2_000) / 2_000 < 0.05
+
+    def test_merge_sparse_dense_mixes(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import HllSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+
+        def mk(lo, hi):
+            sk = HllSketch(lgk=12)
+            sk.update_hashes(hash_longs(np.arange(lo, hi, dtype=np.int64)))
+            return sk
+
+        whole = mk(0, 5_000)
+        # sparse + dense and dense + sparse both equal the single-stream sketch
+        a = mk(0, 100).merge(mk(100, 5_000))
+        b = mk(0, 4_000).merge(mk(4_000, 5_000))
+        assert (a.registers() == whole.registers()).all()
+        assert (b.registers() == whole.registers()).all()
+        # sparse+sparse staying under cap is exact
+        s = mk(0, 200).merge(mk(100, 400))
+        assert s.is_sparse and s.estimate() == 400
+        # sparse+sparse overflowing the cap densifies and matches whole
+        t = mk(0, 400).merge(mk(300, 5_000))
+        assert not t.is_sparse
+        assert (t.registers() == whole.registers()).all()
+
     def test_small_range_linear_counting(self):
         import numpy as np
         from datasketches_spark_spark.sketches import HllSketch
