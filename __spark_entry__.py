@@ -362,7 +362,8 @@ def _q24_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store via applyInPandasWithState, final states estimated and
     oracle-checked like any batch result."""
     import tempfile
-    from datasketches_spark_spark.streaming import sketch_accumulate_stream
+    from datasketches_spark_spark.streaming import (
+        await_or_fail, sketch_accumulate_stream)
     ev = read_table(spark, sf_dir, "events").select("event_type", "value")
     src = tempfile.mkdtemp(prefix="dss_q24_src_")
     ckpt = tempfile.mkdtemp(prefix="dss_q24_ckpt_")
@@ -378,7 +379,7 @@ def _q24_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    await_or_fail(q, 300)
     final = spark.sql(f"""
         SELECT event_type, state FROM (
           SELECT *, row_number() OVER (

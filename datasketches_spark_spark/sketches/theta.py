@@ -24,7 +24,14 @@ must never change without a serde version bump):
   int column that arrives as float64 because of nulls merges consistently
   with partitions that arrived as int64); non-integral values hash their
   raw IEEE-754 bit pattern (1.5 and 1.7 stay distinct — the round-1 code
-  truncated via astype(int64) and collapsed them);
+  truncated via astype(int64) and collapsed them).
+  KNOWN LIMIT: float64 represents integers exactly only up to 2^53. A
+  nullable int64 column that Spark's Arrow conversion delivers as float64
+  (classic pandas has no NA for int64) rounds values above 2^53 BEFORE the
+  engine sees them, so such values can hash differently from partitions
+  that arrived as int64 — full-width 64-bit keys with nulls should be
+  pre-hashed or cast to string upstream. Columns arriving as pandas
+  nullable ``Int64`` extension dtype are handled losslessly;
 * strings: pandas ``hash_array`` (vectorized C siphash13 with the fixed
   default key — deterministic across processes, no PYTHONHASHSEED
   dependence), replacing the round-1 per-row blake2b Python loop.
@@ -78,8 +85,14 @@ def hash_doubles(values: np.ndarray) -> np.ndarray:
 
 
 def hash_series(v: pd.Series) -> np.ndarray:
-    """Dtype dispatch for a null-free pandas Series -> uint64 hashes."""
+    """Dtype dispatch for a null-free pandas Series -> uint64 hashes.
+
+    Covers numpy int64 and pandas nullable ``Int64`` (lossless integer
+    path — never through float64), float dtypes (see the 2^53 note in the
+    module docstring), everything else as strings."""
     if pd.api.types.is_integer_dtype(v):
+        # works for both numpy int dtypes and masked extension arrays once
+        # nulls are dropped; never round-trips through float64
         return hash_longs(v.to_numpy(dtype=np.int64))
     if pd.api.types.is_float_dtype(v):
         return hash_doubles(v.to_numpy(dtype=np.float64))
@@ -131,34 +144,43 @@ class ThetaSketch:
 
     # ------------------------------------------------------------------ set ops
 
-    def _theta(self) -> float:
-        """Inclusion threshold as a fraction of the hash space: 1.0 while
-        exact; (k-th smallest hash + 1)/2^64 once saturated (matching the
-        estimator in :meth:`estimate`)."""
+    def _cut(self) -> int | None:
+        """Exclusive inclusion threshold as an exact INTEGER hash value:
+        None while exact; (k-th smallest hash + 1) once saturated. Kept as
+        a Python int — a float64 round-trip could move the boundary by up
+        to 2^11 for thresholds near 2^64, including/excluding boundary
+        hashes inconsistently with the estimator (and for kth = 2^64 - 1
+        would overflow a uint64 conversion)."""
         if len(self._hashes) < self.k:
-            return 1.0
-        return (float(self._hashes[self.k - 1]) + 1.0) / _MAX_U64
+            return None
+        return int(self._hashes[self.k - 1]) + 1
+
+    def _setop_inputs(self, other: "ThetaSketch"):
+        """Hashes of both sketches below the combined integer threshold,
+        plus theta (the threshold as a hash-space fraction, derived FROM
+        the integer cut so filter and scale can never disagree)."""
+        cuts = [c for c in (self._cut(), other._cut()) if c is not None]
+        cut = min(cuts) if cuts else None
+        if cut is not None and cut >= 2**64:  # kth == max u64: keep all
+            cut = None
+        a, b = self._hashes, other._hashes
+        if cut is None:
+            return a, b, 1.0
+        u = _U64(cut)
+        return a[a < u], b[b < u], cut / _MAX_U64
 
     def intersection_estimate(self, other: "ThetaSketch") -> int:
         """|A ∩ B| via the Theta set-operation rule (Dasgupta et al.,
         "Theta-Sketch Framework"): count common hashes below the combined
         threshold θ = min(θ_a, θ_b), scale by 1/θ. EXACT while both
         sketches are exact."""
-        theta = min(self._theta(), other._theta())
-        cut = np.uint64(theta * _MAX_U64) if theta < 1.0 else None
-        a, b = self._hashes, other._hashes
-        if cut is not None:
-            a, b = a[a < cut], b[b < cut]
+        a, b, theta = self._setop_inputs(other)
         common = np.intersect1d(a, b, assume_unique=True).size
         return int(round(common / theta))
 
     def a_not_b_estimate(self, other: "ThetaSketch") -> int:
         """|A \\ B| with the same combined-threshold rule."""
-        theta = min(self._theta(), other._theta())
-        cut = np.uint64(theta * _MAX_U64) if theta < 1.0 else None
-        a, b = self._hashes, other._hashes
-        if cut is not None:
-            a, b = a[a < cut], b[b < cut]
+        a, b, theta = self._setop_inputs(other)
         only_a = np.setdiff1d(a, b, assume_unique=True).size
         return int(round(only_a / theta))
 
@@ -166,11 +188,7 @@ class ThetaSketch:
         """|A ∩ B| / |A ∪ B| — the ratio of common to total hashes below
         the combined threshold (the standard KMV Jaccard estimator; exact
         while both sketches are exact)."""
-        theta = min(self._theta(), other._theta())
-        cut = np.uint64(theta * _MAX_U64) if theta < 1.0 else None
-        a, b = self._hashes, other._hashes
-        if cut is not None:
-            a, b = a[a < cut], b[b < cut]
+        a, b, theta = self._setop_inputs(other)
         union = np.union1d(a, b).size
         if union == 0:
             return 0.0

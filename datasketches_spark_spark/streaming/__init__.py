@@ -1,5 +1,10 @@
 """Structured Streaming operators for the sketch engine."""
 
-from .sketch_stream import sketch_accumulate_stream, streaming_summary_sink
+from .sketch_stream import (
+    await_or_fail,
+    sketch_accumulate_stream,
+    streaming_summary_sink,
+)
 
-__all__ = ["sketch_accumulate_stream", "streaming_summary_sink"]
+__all__ = ["await_or_fail", "sketch_accumulate_stream",
+           "streaming_summary_sink"]

@@ -40,6 +40,18 @@ from ..operators import sketch_accumulate
 from ..sketches import deserialize_any
 
 
+def await_or_fail(query, timeout_sec: float) -> None:
+    """``awaitTermination`` that cannot silently time out: on timeout the
+    query is stopped and a TimeoutError raised, so a caller can never read
+    a partially-populated sink as if it were final (``awaitTermination``
+    returns False on timeout, which is easy to ignore)."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} did not terminate "
+            f"within {timeout_sec}s; sink contents would be partial")
+
+
 def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
                              family: str, state_col: str = "state",
                              **params) -> DataFrame:

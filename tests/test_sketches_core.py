@@ -458,6 +458,30 @@ class TestHllSketch:
 
 
 class TestThetaSetOps:
+    def test_integer_cut_no_float_roundtrip(self):
+        """The combined threshold is the exact integer kth+1 — a float64
+        round-trip would move it by up to 2^11 near 2^64 and could overflow
+        uint64 when kth is the max hash."""
+        import numpy as np
+        from datasketches_spark_spark.sketches import ThetaSketch
+        a, b = ThetaSketch(k=16), ThetaSketch(k=16)
+        # saturated sketch whose kth hash is 2^64 - 1: cut would be 2^64
+        top = np.arange(2**64 - 16, 2**64, dtype=np.uint64)
+        a._hashes = np.sort(top)
+        b._hashes = np.sort(top)
+        ha, hb, theta = a._setop_inputs(b)
+        assert theta == 1.0 and ha.size == 16  # no overflow, nothing cut
+        assert a.jaccard_estimate(b) == 1.0
+        # odd boundary: kth+1 not representable in float64 — the boundary
+        # hash kth itself must stay INCLUDED (hash < kth+1)
+        kth = np.uint64(2**63 + 2**34 + 1)
+        lows = np.arange(15, dtype=np.uint64)
+        a._hashes = np.sort(np.concatenate([lows, [kth]]))
+        b._hashes = a._hashes.copy()
+        ha, hb, theta = a._setop_inputs(b)
+        assert ha.size == 16 and hb.size == 16
+        assert theta == (int(kth) + 1) / 2.0**64
+
     def _two(self, n_a, n_b, overlap, k=4096, seed=3):
         import numpy as np
         from datasketches_spark_spark.sketches import ThetaSketch

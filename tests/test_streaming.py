@@ -27,7 +27,8 @@ class TestStreaming:
     def test_stateful_accumulate_matches_batch(self, spark, tables,
                                                stream_dirs):
         from datasketches_spark_spark import functions as dsf
-        from datasketches_spark_spark.streaming import sketch_accumulate_stream
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream)
         src_dir, ckpt, _ = stream_dirs
         stream = _events_stream(spark, tables, src_dir)
         out = sketch_accumulate_stream(stream, ["event_type"], "value",
@@ -37,7 +38,7 @@ class TestStreaming:
              .outputMode("update")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_or_fail(q, 120)
         # memory sink in update mode appends every trigger's rows: the LAST
         # row per key carries the final state
         final = spark.sql("""
@@ -59,14 +60,15 @@ class TestStreaming:
 
     def test_summary_sink_recombines(self, spark, tables, stream_dirs):
         from datasketches_spark_spark import functions as dsf
-        from datasketches_spark_spark.streaming import streaming_summary_sink
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, streaming_summary_sink)
         src_dir, ckpt, sink = stream_dirs
         stream = _events_stream(spark, tables, src_dir)
         q = streaming_summary_sink(stream, ["event_type"], "user_id",
                                    family="theta", k=16_384,
                                    path=sink, checkpoint=ckpt) \
             .trigger(availableNow=True).start()
-        q.awaitTermination(120)
+        await_or_fail(q, 120)
         summaries = spark.read.parquet(sink)
         assert "batch_id" in summaries.columns
         assert summaries.select("batch_id").distinct().count() > 1
@@ -88,7 +90,8 @@ class TestWindowedStreaming:
         late-data pattern: group by window(ts, 1 day) with a 2-day
         watermark, one sketch state per (window) in the state store."""
         from datasketches_spark_spark import functions as dsf
-        from datasketches_spark_spark.streaming import sketch_accumulate_stream
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream)
         src_dir, ckpt, _ = stream_dirs
         ev = tables["events"].select("ts", "value")
         ev.repartition(4).write.mode("overwrite").parquet(src_dir)
@@ -103,7 +106,7 @@ class TestWindowedStreaming:
              .outputMode("update")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        await_or_fail(q, 120)
         final = spark.sql("""
             SELECT w, state FROM (
               SELECT *, row_number() OVER (PARTITION BY w ORDER BY n DESC) rn
