@@ -10,9 +10,11 @@ are registered as Arrow-batched pandas UDFs via ``spark.udf.register``.
 SQL-path notes:
 
 * percentage / numSplits arguments are passed as ordinary (constant)
-  columns and validated at runtime; the DataFrame API in
-  ``datasketches_spark_spark.functions`` validates them eagerly at query
-  build, matching the reference's AnalysisException behavior.
+  columns and validated on the first row with the failing function named
+  in the error; the DataFrame API in
+  ``datasketches_spark_spark.functions`` and the two-phase SQL front-end
+  ``dss.sql()`` both validate eagerly before any job starts, matching the
+  reference's AnalysisException timing.
 * ``approx_count_distinct_hll`` in SQL fails fast with a redirect message:
   a Python UDF cannot wrap the JVM ``hll_sketch_agg`` aggregate, and
   registering Theta under the HLL name (as round 1 did) would give SQL and
@@ -63,19 +65,30 @@ def _build_sketch(v: pd.Series, impl: str, k: int, dtype):
     return sk
 
 
-def _sql_quantile_scalar(impl: str, k: int, dtype):
+def _named_validate(name: str, validator, arg):
+    """First-row argument validation with the failing SQL function named —
+    the closest a Python UDF registry can get to the reference's
+    AnalysisException timing (``quantileSketches.scala:176-194``; the
+    DataFrame API and dss.sql() both validate before any job starts)."""
+    try:
+        return validator(arg)
+    except ValueError as e:
+        raise ValueError(f"{name}: {e}") from None
+
+
+def _sql_quantile_scalar(impl: str, k: int, dtype, name: str):
     @pandas_udf(DoubleType())
     def f(v: pd.Series, p: pd.Series) -> float:
-        ps, _ = validate_percentage(float(p.iloc[0]))
+        ps, _ = _named_validate(name, validate_percentage, float(p.iloc[0]))
         sk = _build_sketch(v, impl, k, dtype)
         return None if sk is None else sk.quantile(ps[0])
     return f
 
 
-def _sql_quantile_array(impl: str, k: int, dtype):
+def _sql_quantile_array(impl: str, k: int, dtype, name: str):
     @pandas_udf(ArrayType(DoubleType(), containsNull=False))
     def f(v: pd.Series, p: pd.Series) -> list:
-        ps, _ = validate_percentage(list(p.iloc[0]))
+        ps, _ = _named_validate(name, validate_percentage, list(p.iloc[0]))
         sk = _build_sketch(v, impl, k, dtype)
         return None if sk is None else sk.quantiles(ps)
     return f
@@ -97,7 +110,8 @@ def _sql_quantile_est():
             if blob is None:
                 out.append(None)
                 continue
-            ps, _ = validate_percentage(float(pct))
+            ps, _ = _named_validate("approx_percentile_estimate",
+                                   validate_percentage, float(pct))
             try:
                 out.append(deserialize_quantile(bytes(blob)).quantile(ps[0]))
             except Exception:  # corrupt state -> null (reference parity)
@@ -114,7 +128,8 @@ def _sql_quantile_est_array():
             if blob is None:
                 out.append(None)
                 continue
-            ps, _ = validate_percentage(list(pct))
+            ps, _ = _named_validate("approx_percentile_estimate_array",
+                                   validate_percentage, list(pct))
             try:
                 out.append(deserialize_quantile(bytes(blob)).quantiles(ps))
             except Exception:  # corrupt state -> null (reference parity)
@@ -164,7 +179,8 @@ def _sql_pmf_est():
             if blob is None:
                 out.append(None)
                 continue
-            validate_num_splits(int(splits))
+            _named_validate("approx_pmf_estimate",
+                            validate_num_splits, int(splits))
             try:
                 out.append(deserialize_quantile(bytes(blob)).pmf(int(splits)))
             except Exception:  # corrupt state -> null (reference parity)
@@ -195,8 +211,9 @@ def install(spark: SparkSession) -> None:
                        ("approx_percentile_req", "REQ"),
                        ("approx_percentile_mergeable", "MERGEABLE")]:
         k, dt = impl_k[impl], _DTYPES[impl]
-        spark.udf.register(name, _sql_quantile_scalar(impl, k, dt))
-        spark.udf.register(f"{name}_array", _sql_quantile_array(impl, k, dt))
+        spark.udf.register(name, _sql_quantile_scalar(impl, k, dt, name))
+        spark.udf.register(f"{name}_array",
+                           _sql_quantile_array(impl, k, dt, f"{name}_array"))
 
     k, dt = impl_k[q_impl], _DTYPES[q_impl]
     spark.udf.register("approx_percentile_accumulate",

@@ -59,6 +59,24 @@ class TestQuantiles:
         with pytest.raises(ValueError, match="numeric"):
             dsf.approx_percentile_ex("v", "half")
 
+    def test_sql_path_invalid_args_name_the_function(self, spark, smalldf):
+        """Registered-UDF path: out-of-range args fail the query with the
+        SQL function named (first-row validation — the reference raises
+        AnalysisException at analysis, quantileSketches.scala:176-194;
+        dss.sql() gets the true eager timing)."""
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        smalldf.createOrReplaceTempView("val_t")
+        with pytest.raises(Exception, match="approx_percentile_kll.*between"):
+            spark.sql(
+                "SELECT approx_percentile_kll(v, 1.5) FROM val_t").collect()
+        with pytest.raises(Exception,
+                           match="approx_pmf_estimate.*greater than 1"):
+            spark.sql("""
+                WITH s AS (SELECT approx_percentile_accumulate(v) AS st
+                           FROM val_t)
+                SELECT approx_pmf_estimate(st, 1) FROM s""").collect()
+
     def test_accumulate_combine_estimate(self, smalldf):
         acc = smalldf.agg(dsf.approx_percentile_accumulate("v").alias("state"))
         merged = acc.agg(dsf.approx_percentile_combine("state").alias("m"))
