@@ -74,7 +74,47 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }))
+    _compare(timings, total)
     spark.stop()
+
+
+def _compare(timings: dict, total: float) -> None:
+    """Regression gate vs a recorded baseline (BASELINE.md engine table):
+    ``--compare FILE.json`` or $SPARK_GRAFT_BASELINE. Accepts either the
+    driver's BENCH_r{N}.json (uses .parsed) or bench.py's own output.
+    Report goes to stderr; stdout stays the one-line JSON contract. A query
+    over 2x its baseline is flagged; exit status is unchanged (the wall
+    clock on this box is +-40% noisy - the flag is a review signal, not CI)."""
+    path = None
+    if "--compare" in sys.argv:
+        path = sys.argv[sys.argv.index("--compare") + 1]
+    path = path or os.environ.get("SPARK_GRAFT_BASELINE")
+    if not path:
+        return
+    try:
+        with open(path) as fh:
+            base = json.load(fh)
+        base = base.get("parsed") or base
+        base_q = base["queries"]
+    except Exception as e:
+        print(f"bench: cannot read baseline {path}: {e}", file=sys.stderr)
+        return
+    flagged = []
+    for name, t in timings.items():
+        b = base_q.get(name)
+        if b and b > 0 and t > 0:
+            ratio = t / b
+            if ratio > 2.0:
+                flagged.append((name, b, t, ratio))
+    bt = base.get("value")
+    print(f"bench compare vs {path}: total {bt}s -> {total}s "
+          f"({total / bt:.2f}x)" if bt else "bench compare: no baseline total",
+          file=sys.stderr)
+    for name, b, t, ratio in sorted(flagged, key=lambda x: -x[3]):
+        print(f"bench REGRESSION {name}: {b}s -> {t}s ({ratio:.2f}x > 2x)",
+              file=sys.stderr)
+    if not flagged:
+        print("bench compare: no query above 2x baseline", file=sys.stderr)
 
 
 if __name__ == "__main__":
