@@ -446,6 +446,37 @@ def _q28_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("type_a", "type_b"))
 
 
+def _q29_mixed_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed native + sketch aggregates in ONE SQL text via dss.sql — a
+    shape plain spark.sql cannot execute at all (Spark refuses to mix
+    GROUPED_AGG pandas UDFs with JVM aggregates:
+    INVALID_PANDAS_UDF_PLACEMENT). The front-end splits the select list:
+    count/sum run as JVM hash aggregates, the sketch half runs two-phase
+    (MapInPandas partials before the exchange), joined null-safely on the
+    group key (datasketches_spark_spark/sql.py). MERGEABLE (float64)
+    because o_totalprice carries cents beyond float32's mantissa."""
+    import datasketches_spark_spark as dss
+    key = "spark.sql.dataSketches.quantiles.mergeable.k"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "65536")
+    try:
+        read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+        return dss.sql(spark, """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                     AS sum_price_units,
+                   approx_count_distinct_ex(o_custkey) AS ndv_cust,
+                   approx_percentile_mergeable(o_totalprice, 0.9) AS p90_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -481,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_fingerprint": _q26_fingerprint,
         "q27_winnow": _q27_winnow,
         "q28_set_overlap": _q28_set_overlap,
+        "q29_mixed_sql": _q29_mixed_sql,
     }
 
 
@@ -710,5 +742,14 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
             LEFT JOIN com ON com.ta = ca.event_type AND com.tb = cb.event_type
             ORDER BY type_a, type_b
+        """,
+        "q29_mixed_sql": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                     AS sum_price_units,
+                   count(DISTINCT o_custkey) AS ndv_cust,
+                   quantile_disc(o_totalprice, 0.9) AS p90_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
     }
