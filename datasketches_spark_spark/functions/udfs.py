@@ -291,7 +291,9 @@ def freq_est_udf(item_type: str):
                 out.append(None)
                 continue
             try:
-                sk = FreqItemsSketch.deserialize(bytes(blob))
+                sk = deserialize_any(bytes(blob))  # engine or imported state
+                if not isinstance(sk, FreqItemsSketch):
+                    raise ValueError("not a frequent-items state")
                 out.append([{"item": i, "estimated": int(c)}
                             for i, c in sk.frequent_items()])
             except Exception as e:

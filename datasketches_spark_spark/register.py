@@ -262,3 +262,16 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_set_intersection",
                        theta_setop_udf("intersection"))
     spark.udf.register("approx_set_difference", theta_setop_udf("a_not_b"))
+
+    # Apache DataSketches wire-format import (reference-state migration;
+    # estimate fns also read foreign states directly via the deserializer
+    # fallback — this converts once for merge-heavy pipelines).
+    @pandas_udf(BinaryType())
+    def _sql_import_state(states: pd.Series) -> pd.Series:
+        from .compat.datasketches import to_engine_sketch
+        return pd.Series(
+            [None if b is None
+             else to_engine_sketch(bytes(b)).serialize() for b in states],
+            dtype=object)
+
+    spark.udf.register("import_datasketches_state", _sql_import_state)

@@ -16,6 +16,7 @@ from .serde import (
     FAMILY_KLL,
     FAMILY_REQ,
     FAMILY_THETA,
+    MAGIC,
     family_of,
 )
 from .theta import (
@@ -27,8 +28,24 @@ from .theta import (
 )
 
 
+def _foreign_sketch(data: bytes):
+    """Fallback for bytes without the engine magic: try the Apache
+    DataSketches wire format (reference-persisted states; compat module).
+    Returns an engine sketch object, or None if the bytes are not a
+    recognizable DataSketches state."""
+    from ..compat.datasketches import is_datasketches, to_engine_sketch
+    if not is_datasketches(data):
+        return None
+    return to_engine_sketch(data)
+
+
 def deserialize_any(data: bytes):
-    """Decode a state produced by any family's accumulate/combine."""
+    """Decode a state produced by any family's accumulate/combine, or an
+    imported Apache DataSketches state (compat fallback)."""
+    if len(data or b"") >= 4 and bytes(data[:4]) != MAGIC:
+        sk = _foreign_sketch(data)
+        if sk is not None:
+            return sk
     fam = family_of(data)
     if fam == FAMILY_KLL:
         return KllSketch.deserialize(data)
@@ -51,8 +68,17 @@ def make_quantile_sketch(impl: str, k: int, dtype):
 
 
 def deserialize_quantile(data: bytes):
-    """Decode a quantile-family state (KLL or REQ); raises on other
-    families so estimate UDFs keep the corrupt-state->null contract."""
+    """Decode a quantile-family state (KLL or REQ), or an imported
+    DataSketches quantile state (KLL/REQ/classic doubles; compat
+    fallback); raises on other families so estimate UDFs keep the
+    corrupt-state->null contract."""
+    if len(data or b"") >= 4 and bytes(data[:4]) != MAGIC:
+        sk = _foreign_sketch(data)
+        if isinstance(sk, KllSketch):  # ReqSketch subclasses KllSketch
+            return sk
+        if sk is not None:
+            raise ValueError("not a quantile sketch state (imported "
+                             "DataSketches state of another family)")
     fam = family_of(data)
     if fam == FAMILY_KLL:
         return KllSketch.deserialize(data)

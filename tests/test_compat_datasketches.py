@@ -1,0 +1,219 @@
+"""Wire-format interop: decode Apache DataSketches states produced by the
+reference engine, validated against the reference's own golden byte
+vectors (``SketchExpressionSuite.scala:27-85``).
+
+Each vector is the serialized state of the commented reference query; the
+expected estimates are the reference suite's own ``checkEvaluation``
+targets, so a pass here means a reference user's persisted states yield
+the reference's answers through this engine's estimate functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datasketches_spark_spark.compat import (
+    decode_freqitems,
+    decode_quantile,
+    to_engine_sketch,
+    to_engine_state,
+)
+from datasketches_spark_spark.sketches import (
+    FreqItemsSketch,
+    KllSketch,
+    ReqSketch,
+    deserialize_any,
+    deserialize_quantile,
+)
+
+
+def _b(signed) -> bytes:
+    """Scala Array[Byte] literal (signed) -> python bytes."""
+    return bytes(x & 0xFF for x in signed)
+
+
+# SELECT approx_percentile_accumulate(c) FROM VALUES (0),(1),(2),(10) t(c)
+GOLDEN_KLL = _b([5, 1, 15, 0, -56, 0, 8, 0, 4, 0, 0, 0, 0, 0, 0, 0, -56,
+                 0, 1, 0, -60, 0, 0, 0, 0, 0, 0, 0, 0, 0, 32, 65, 0, 0, 32,
+                 65, 0, 0, 0, 64, 0, 0, -128, 63, 0, 0, 0, 0])
+GOLDEN_REQ = _b([2, 1, 17, 56, 12, 0, 1, 4, 0, 0, 0, 0, 0, 0, -128, 63,
+                 0, 0, 0, 64, 0, 0, 32, 65])
+GOLDEN_MERGEABLE = _b([2, 3, 8, 0, -128, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0,
+                       0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 36, 64, 0, 0,
+                       0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -16, 63, 0, 0, 0,
+                       0, 0, 0, 0, 64, 0, 0, 0, 0, 0, 0, 36, 64])
+# SELECT approx_freqitems_accumulate(c)
+#   FROM VALUES ('a'),('a'),('b'),('c'),('a') t(c)
+GOLDEN_FREQ = _b([4, 1, 10, 3, 3, 0, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0, 5, 0, 0,
+                  0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0,
+                  0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0, 1,
+                  0, 0, 0, 99, 1, 0, 0, 0, 98, 1, 0, 0, 0, 97])
+GOLDEN_CPC = _b([4, 1, 16, 11, 0, 10, -52, -109, 3, 0, 0, 0, 2, 0, 0, 0,
+                 -66, 21, 24, 110, 3, 0, 0, 0])
+
+QUANTILE_VECTORS = [
+    ("KLL", GOLDEN_KLL),
+    ("REQ", GOLDEN_REQ),
+    ("MERGEABLE", GOLDEN_MERGEABLE),
+]
+
+
+class TestGoldenVectors:
+    @pytest.mark.parametrize("name,blob", QUANTILE_VECTORS)
+    def test_quantile_golden(self, name, blob):
+        # reference: checkEvaluation(QuantileFromSketchState(bytes, 0.95), 10.0)
+        ws = decode_quantile(blob)
+        assert ws.n == 4
+        assert ws.quantile(0.95) == 10.0
+        assert sorted(ws.values.tolist()) == [0.0, 1.0, 2.0, 10.0]
+        assert ws.weights.tolist() == [1, 1, 1, 1]
+
+    @pytest.mark.parametrize("name,blob", QUANTILE_VECTORS)
+    def test_quantile_through_engine_path(self, name, blob):
+        # The estimate UDFs call deserialize_quantile; foreign bytes must
+        # resolve through the compat fallback to a working engine sketch.
+        sk = deserialize_quantile(blob)
+        assert isinstance(sk, KllSketch)
+        assert sk.quantiles([0.0, 0.5, 0.95]) == [0.0, 1.0, 10.0]
+        assert sk.rank(2.0) == 0.75
+        assert sk.pmf(2) == [0.75, 0.25]
+
+    def test_req_maps_to_req_class(self):
+        assert isinstance(to_engine_sketch(GOLDEN_REQ), ReqSketch)
+
+    def test_freqitems_golden(self):
+        # reference: Array(Row("a", 3L), Row("c", 1L), Row("b", 1L))
+        rows = decode_freqitems(GOLDEN_FREQ, "string")
+        assert rows[0] == ("a", 3)
+        assert sorted(rows[1:]) == [("b", 1), ("c", 1)]
+        sk = deserialize_any(GOLDEN_FREQ)
+        assert isinstance(sk, FreqItemsSketch)
+        assert sk.n == 5
+        assert sk.estimate("a") == 3
+        assert dict(sk.frequent_items()) == {"a": 3, "b": 1, "c": 1}
+
+    def test_cpc_is_an_explicit_gap(self):
+        with pytest.raises(NotImplementedError, match="CPC"):
+            deserialize_any(GOLDEN_CPC)
+
+
+class TestEngineIntegration:
+    def test_combine_imported_with_native(self):
+        # Merge a reference-persisted KLL state with a native accumulation;
+        # total weight must stay exact and quantiles reflect both inputs.
+        native = KllSketch(k=200, dtype=np.float32)
+        native.update_batch(np.arange(100, 200, dtype=np.float32))
+        imported = to_engine_sketch(GOLDEN_KLL)
+        merged = imported.merge(native)
+        assert merged.n == 104
+        assert merged.quantile(0.0) == 0.0
+        assert merged.quantile(1.0) == 199.0
+
+    def test_to_engine_state_roundtrip(self):
+        blob = to_engine_state(GOLDEN_MERGEABLE)
+        sk = deserialize_quantile(blob)
+        assert sk.quantiles([0.95]) == [10.0]
+        assert sk.dtype == np.dtype("float64")
+
+    def test_corrupt_foreign_bytes_still_raise(self):
+        with pytest.raises(ValueError):
+            deserialize_quantile(b"\x00\x01\x63\x00\x00\x00\x00\x00")
+        with pytest.raises(ValueError):
+            deserialize_any(b"\x00\x01\x63\x00\x00\x00\x00\x00")
+
+    def test_truncated_golden_raises_not_garbage(self):
+        with pytest.raises(Exception):
+            decode_quantile(GOLDEN_KLL[:20])
+
+    def test_estimation_mode_req_refused(self):
+        # flags without the raw-items bit -> explicit NotImplementedError,
+        # never silently-wrong weights.
+        fake = bytearray(GOLDEN_REQ)
+        fake[3] = 0x30  # clear bit 3 (raw items), keep non-empty
+        with pytest.raises(NotImplementedError, match="estimation-mode"):
+            decode_quantile(bytes(fake))
+
+
+class TestMultiLevelDoubles:
+    def test_two_level_bit_pattern(self):
+        # Construct a compact DoublesSketch image: k=2, n=9 ->
+        # base buffer = 1 item (w1), bit pattern 10 -> level 1 block (w4).
+        # Retained weight 1 + 2*4 = 9 = n.
+        import struct
+        k, n = 2, 9
+        vals_bb = [7.0]
+        vals_lvl1 = [1.0, 5.0]
+        head = struct.pack("<BBBBHH", 2, 3, 8, 0, k, 0)
+        body = struct.pack("<Q", n) + struct.pack("<dd", 1.0, 7.0)
+        body += struct.pack("<d", vals_bb[0])
+        body += struct.pack("<dd", *vals_lvl1)
+        ws = decode_quantile(head + body)
+        assert ws.n == 9
+        assert int(ws.weights.sum()) == 9
+        assert ws.quantile(1.0) == 7.0
+        sk = to_engine_sketch(head + body)
+        assert sk.quantiles([1.0]) == [7.0]
+
+
+class TestSparkSurface:
+    """Reference-persisted states through the engine's Spark estimate
+    functions — the end-to-end migration path."""
+
+    def test_estimate_imported_states(self, spark):
+        from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+        from datasketches_spark_spark.functions import quantiles as Q
+        from datasketches_spark_spark.functions import freqitems as FI
+
+        schema = StructType([StructField("impl", StringType()),
+                             StructField("state", BinaryType())])
+        df = spark.createDataFrame(
+            [(n, bytearray(b)) for n, b in QUANTILE_VECTORS], schema)
+        rows = (df.select("impl",
+                          Q.approx_percentile_estimate("state", 0.95)
+                           .alias("p95"))
+                  .collect())
+        assert {r["impl"]: r["p95"] for r in rows} == {
+            "KLL": 10.0, "REQ": 10.0, "MERGEABLE": 10.0}
+
+        fdf = spark.createDataFrame(
+            [("freq", bytearray(GOLDEN_FREQ))], schema)
+        (item_rows,) = fdf.select(
+            FI.approx_freqitems_estimate("state").alias("items")).collect()
+        assert {r["item"]: r["estimated"] for r in item_rows["items"]} == {
+            "a": 3, "b": 1, "c": 1}
+
+    def test_sql_estimate_imported_state(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        spark.createDataFrame(
+            [(bytearray(GOLDEN_KLL),)], "state binary"
+        ).createOrReplaceTempView("imported_states")
+        (row,) = spark.sql(
+            "SELECT approx_percentile_estimate(state, 0.95) AS p95 "
+            "FROM imported_states").collect()
+        assert row["p95"] == 10.0
+
+    def test_bulk_import_then_combine(self, spark):
+        import datasketches_spark_spark as dss
+        from datasketches_spark_spark.compat import import_datasketches_state
+
+        dss.install(spark)
+        df = spark.createDataFrame(
+            [(bytearray(GOLDEN_KLL),), (bytearray(GOLDEN_KLL),)],
+            "state binary")
+        converted = df.select(
+            import_datasketches_state("state").alias("state"))
+        converted.createOrReplaceTempView("migrated_states")
+        (row,) = spark.sql(
+            "SELECT approx_percentile_estimate("
+            "  approx_percentile_combine(state), 0.5) AS p50 "
+            "FROM migrated_states").collect()
+        assert row["p50"] == 1.0
+
+        df.createOrReplaceTempView("reference_states")
+        (sql_row,) = spark.sql(
+            "SELECT approx_percentile_estimate("
+            "  import_datasketches_state(state), 0.95) AS p95 "
+            "FROM reference_states LIMIT 1").collect()
+        assert sql_row["p95"] == 10.0
