@@ -477,6 +477,41 @@ def _q29_mixed_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
 
 
+def _q30_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling quotas (operators/sampling.py). The sampled
+    ROWS are random; the per-stratum COUNT contract is deterministic:
+    exactly min(k, |stratum|) unique rows per l_returnflag. n_unique
+    (count of distinct line ids inside the sample) must equal n_sampled —
+    a without-replacement proof the oracle reproduces with least()."""
+    from datasketches_spark_spark.operators import stratified_sample_exact
+    li = read_table(spark, sf_dir, "lineitem")
+    sample = stratified_sample_exact(li, "l_returnflag", 50, seed=6)
+    return (sample.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.countDistinct("l_orderkey", "l_linenumber")
+                  .alias("n_unique"))
+            .orderBy("l_returnflag"))
+
+
+def _q31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling (Efraimidis-Spirakis top-k physics) in its
+    deterministic regime: k >= corpus size, so the sample is exactly the
+    positive-weight rows — 'de' docs get weight 0 and must be absent,
+    everything else kept once. Exercises the weight filter + top-k path
+    end-to-end with a bit-exact oracle."""
+    from datasketches_spark_spark.operators import weighted_sample
+    docs = read_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "wt", F.when(F.col("lang") == "de", F.lit(0.0))
+               .otherwise(F.octet_length("text").cast("double")))
+    sample = weighted_sample(weighted, 10_000_000, "wt", seed=13)
+    return (sample.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.octet_length("text")).cast("bigint")
+                  .alias("sum_bytes"))
+            .orderBy("lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -513,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_winnow": _q27_winnow,
         "q28_set_overlap": _q28_set_overlap,
         "q29_mixed_sql": _q29_mixed_sql,
+        "q30_stratified_sample": _q30_stratified_sample,
+        "q31_weighted_sample": _q31_weighted_sample,
     }
 
 
@@ -751,5 +788,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_custkey) AS ndv_cust,
                    quantile_disc(o_totalprice, 0.9) AS p90_price
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q30_stratified_sample": """
+            SELECT l_returnflag,
+                   least(50, count(*)) AS n_sampled,
+                   least(50, count(*)) AS n_unique
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q31_weighted_sample": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+            FROM documents WHERE lang <> 'de'
+            GROUP BY lang ORDER BY lang
         """,
     }

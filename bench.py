@@ -87,8 +87,14 @@ def _compare(timings: dict, total: float) -> None:
     clock on this box is +-40% noisy - the flag is a review signal, not CI)."""
     path = None
     if "--compare" in sys.argv:
-        path = sys.argv[sys.argv.index("--compare") + 1]
+        i = sys.argv.index("--compare") + 1
+        path = sys.argv[i] if i < len(sys.argv) else None
     path = path or os.environ.get("SPARK_GRAFT_BASELINE")
+    if not path and "--compare" in sys.argv:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cand = os.path.join(here, "ENGINE_BASELINE.json")
+        if os.path.exists(cand):
+            path = cand
     if not path:
         return
     try:

@@ -1,0 +1,152 @@
+"""Distributed sampling operators for training-data curation.
+
+A 100 TB corpus is curated by sampling as much as by dedup: uniform
+subsets for eval splits, weight-proportional subsets for quality-aware
+mixing, per-stratum quotas for balanced domains. These are the Spark-first
+re-expressions of the DataSketches *sampling* family's capability
+(reservoir / VarOpt — the one sketch family the reference repo does not
+wrap), built so the heavy path never shuffles the corpus:
+
+* :func:`reservoir_sample` — uniform k without replacement. Implemented
+  as global top-k over a random key: Catalyst plans ``ORDER BY rand
+  LIMIT k`` as ``TakeOrderedAndProject``, which keeps a k-row heap PER
+  PARTITION and merges only ``k × partitions`` rows on the driver — the
+  distributed-reservoir merge, with no full shuffle and no skew
+  sensitivity.
+* :func:`weighted_sample` — weight-proportional k without replacement
+  (Efraimidis–Spirakis A-ES: key ``u^(1/w)``, equivalently order by
+  ``-ln(u)/w`` ascending; VarOpt-class semantics). Same top-k physics.
+* :func:`stratified_sample` — per-stratum FRACTIONS via one scan-side
+  filter on ``rand`` (no shuffle at all; Bernoulli per row, like
+  ``DataFrame.sampleBy`` but for any number of strata from a dict).
+* :func:`stratified_sample_exact` — exact per-stratum k. This one
+  genuinely needs the rows co-located per stratum, so it costs ONE hash
+  shuffle of the projected columns (window ``row_number`` over
+  ``rand``); at scale, pass ``prefilter_fraction`` to Bernoulli-thin
+  each stratum before the shuffle when stratum sizes are known to be
+  ≫ k (the thinning keeps ≥ k rows w.h.p. — the operator validates by
+  counting only when ``validate=True``).
+
+Determinism: every operator takes ``seed``; ``F.rand(seed)`` is
+deterministic per (row, partition) for a fixed input partitioning, so
+reruns on the same data+layout reproduce the same sample.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RAND = "_dss_rand"
+
+
+def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """Uniform random k-row sample without replacement.
+
+    Equivalent to a distributed reservoir: per-partition top-k heaps over
+    a uniform key, merged on the driver (``TakeOrderedAndProject`` —
+    verify with ``.explain()``; no exchange appears).
+    """
+    if k <= 0:
+        raise ValueError(f"sample size k must be positive, got {k}")
+    out = (df.withColumn(_RAND, F.rand(seed))
+             .orderBy(_RAND)
+             .limit(k)
+             .drop(_RAND))
+    return out
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    seed: int = 42) -> DataFrame:
+    """Weight-proportional k-row sample without replacement (A-ES).
+
+    Rows with non-positive / null weight are excluded (zero-weight rows
+    can never be drawn). Inclusion probability is proportional to weight
+    in the without-replacement sense of Efraimidis–Spirakis: order by
+    ``-ln(u)/w`` ascending and take k.
+    """
+    if k <= 0:
+        raise ValueError(f"sample size k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    # -ln(u)/w: smallest keys win; u in (0,1] via 1-rand to avoid ln(0).
+    key = -F.log(F.lit(1.0) - F.rand(seed)) / w
+    return (df.where(w.isNotNull() & (w > 0))
+              .withColumn(_RAND, key)
+              .orderBy(_RAND)
+              .limit(k)
+              .drop(_RAND))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict | float,
+                      seed: int = 42) -> DataFrame:
+    """Bernoulli per-stratum sampling — shuffle-free (scan-side filter).
+
+    ``fractions`` is either one float for every stratum or a dict
+    ``{stratum_value: fraction}`` (strata missing from the dict are
+    dropped, like ``DataFrame.sampleBy``).
+    """
+    if isinstance(fractions, dict):
+        if not fractions:
+            raise ValueError("fractions dict must not be empty")
+        for v, f in fractions.items():
+            if not (0.0 <= f <= 1.0):
+                raise ValueError(f"fraction for {v!r} must be in [0,1], got {f}")
+        frac = None
+        col = F.col(strata_col)
+        for v, f in fractions.items():
+            cond = F.when(col == F.lit(v), F.lit(float(f)))
+            frac = cond if frac is None else frac.when(col == F.lit(v),
+                                                       F.lit(float(f)))
+        frac = frac.otherwise(F.lit(-1.0))  # unlisted strata never pass
+    else:
+        if not (0.0 <= fractions <= 1.0):
+            raise ValueError(f"fraction must be in [0,1], got {fractions}")
+        frac = F.lit(float(fractions))
+    return df.where(F.rand(seed) < frac)
+
+
+def stratified_sample_exact(df: DataFrame, strata_col: str, k: int,
+                            seed: int = 42,
+                            prefilter_fraction: float | None = None,
+                            validate: bool = False) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, uniformly.
+
+    Costs one hash shuffle on the stratum key (window ``row_number`` over
+    a random order). ``prefilter_fraction`` Bernoulli-thins each stratum
+    BEFORE the shuffle — at 100 TB with million-row strata and k in the
+    hundreds, thinning to e.g. ``100*k/est_stratum_size`` shrinks the
+    shuffle by orders of magnitude. With thinning the per-stratum count
+    is exact only while every stratum retains ≥ k rows (w.h.p. for
+    sensible fractions); ``validate=True`` asserts that cheaply from the
+    sampled result itself (any stratum returning < k rows while the
+    unthinned stratum had ≥ k indicates over-thinning).
+    """
+    if k <= 0:
+        raise ValueError(f"sample size k must be positive, got {k}")
+    base = df
+    if prefilter_fraction is not None:
+        if not (0.0 < prefilter_fraction <= 1.0):
+            raise ValueError(
+                f"prefilter_fraction must be in (0,1], got {prefilter_fraction}")
+        # Guard seed independence: the thinning draw must not correlate
+        # with the ranking draw, or thinning biases the sample.
+        base = base.where(F.rand(seed + 1) < F.lit(float(prefilter_fraction)))
+    win = Window.partitionBy(strata_col).orderBy(F.rand(seed))
+    out = (base.withColumn(_RAND, F.row_number().over(win))
+               .where(F.col(_RAND) <= k)
+               .drop(_RAND))
+    if validate and prefilter_fraction is not None:
+        short = (out.groupBy(strata_col).count()
+                    .where(F.col("count") < k)
+                    .join(df.groupBy(strata_col).count()
+                            .where(F.col("count") >= k),
+                          strata_col, "inner")
+                    .limit(1).count())
+        if short:
+            raise ValueError(
+                "prefilter_fraction thinned at least one stratum below k; "
+                "raise the fraction or skip prefiltering")
+    return out

@@ -1,0 +1,148 @@
+"""Sampling operators: exact-regime identity, plan shape (the reservoir
+path must be TakeOrdered partial top-k, not a sort shuffle), statistical
+sanity at fixed seeds, and the stratified quota contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.operators import (
+    reservoir_sample,
+    stratified_sample,
+    stratified_sample_exact,
+    weighted_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def pop(spark):
+    # 10k rows, 4 partitions, strata a..e with skewed sizes
+    df = spark.range(0, 10_000, 1, 4).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("v"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in "aaabbc"]),
+            (F.col("id") % 6 + 1).cast("int")).alias("stratum"),
+        (F.col("id") % 10 + 1).cast("double").alias("w"))
+    df.cache().count()
+    return df
+
+
+class TestReservoir:
+    def test_exact_regime_is_identity(self, pop):
+        got = reservoir_sample(pop, 20_000, seed=7)
+        assert got.count() == 10_000
+        assert got.columns == pop.columns
+
+    def test_sample_size_and_uniqueness(self, pop):
+        rows = reservoir_sample(pop, 500, seed=7).select("id").collect()
+        ids = [r["id"] for r in rows]
+        assert len(ids) == 500 and len(set(ids)) == 500
+
+    def test_deterministic_for_seed(self, pop):
+        a = sorted(r["id"] for r in reservoir_sample(pop, 200, seed=9)
+                   .select("id").collect())
+        b = sorted(r["id"] for r in reservoir_sample(pop, 200, seed=9)
+                   .select("id").collect())
+        c = sorted(r["id"] for r in reservoir_sample(pop, 200, seed=10)
+                   .select("id").collect())
+        assert a == b and a != c
+
+    def test_plan_is_partial_topk_no_exchange(self, pop):
+        plan = reservoir_sample(pop, 100)._jdf.queryExecution() \
+                                         .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
+    def test_uniformity(self, pop):
+        # mean of uniform ids 0..9999 is ~5000; for n=2000 the SE of the
+        # sample mean is sigma/sqrt(n) ~ 2887/44.7 ~ 65. Allow 5 SE.
+        got = reservoir_sample(pop, 2_000, seed=3).agg(
+            F.avg("id").alias("m")).collect()[0]["m"]
+        assert abs(got - 4999.5) < 5 * 65
+
+    def test_k_validation(self, pop):
+        with pytest.raises(ValueError, match="positive"):
+            reservoir_sample(pop, 0)
+
+
+class TestWeighted:
+    def test_exact_regime_keeps_positive_weights_only(self, pop):
+        df = pop.withColumn(
+            "w2", F.when(F.col("id") < 100, F.lit(None).cast("double"))
+                   .when(F.col("id") < 200, F.lit(0.0))
+                   .otherwise(F.lit(1.0)))
+        got = weighted_sample(df, 20_000, "w2", seed=5)
+        assert got.count() == 9_800
+
+    def test_weight_proportionality(self, pop):
+        # weights 1..10; E[w of sampled] > E[w of population] = 5.5, and
+        # for A-ES with k<<N the sampled-weight mean approaches
+        # E[w^2]/E[w] = 38.5/5.5 = 7.0. Allow a generous band.
+        got = weighted_sample(pop, 1_000, "w", seed=11).agg(
+            F.avg("w").alias("m")).collect()[0]["m"]
+        assert 6.3 < got < 7.7
+
+    def test_plan_is_partial_topk_no_exchange(self, pop):
+        plan = weighted_sample(pop, 100, "w")._jdf.queryExecution() \
+                                             .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
+
+class TestStratified:
+    def test_fraction_no_shuffle(self, pop):
+        plan = stratified_sample(pop, "stratum", 0.5)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_fraction_dict_drops_unlisted(self, pop):
+        got = stratified_sample(pop, "stratum", {"a": 1.0, "b": 0.0}, seed=2)
+        counts = {r["stratum"]: r["count"] for r in
+                  got.groupBy("stratum").count().collect()}
+        assert set(counts) == {"a"}
+        assert counts["a"] == 5_001  # residues 0-2 of 10k rows
+
+    def test_fraction_statistics(self, pop):
+        n = stratified_sample(pop, "stratum", 0.3, seed=4).count()
+        # Binomial(10000, 0.3): sd ~ 46; allow 5 sd
+        assert abs(n - 3_000) < 5 * 46
+
+    def test_exact_quota_per_stratum(self, pop):
+        got = stratified_sample_exact(pop, "stratum", 50, seed=6)
+        counts = {r["stratum"]: r["count"] for r in
+                  got.groupBy("stratum").count().collect()}
+        assert counts == {"a": 50, "b": 50, "c": 50}
+
+    def test_exact_quota_caps_at_stratum_size(self, pop):
+        small = pop.where((F.col("stratum") != "c") | (F.col("id") < 60))
+        got = stratified_sample_exact(small, "stratum", 1_000, seed=6)
+        counts = {r["stratum"]: r["count"] for r in
+                  got.groupBy("stratum").count().collect()}
+        # stratum c: only ids < 60 with id%6==5 -> 10 rows
+        assert counts["c"] == 10
+        assert counts["a"] == 1_000 and counts["b"] == 1_000
+
+    def test_prefilter_keeps_quota_and_validates(self, pop):
+        got = stratified_sample_exact(pop, "stratum", 20, seed=8,
+                                      prefilter_fraction=0.2, validate=True)
+        counts = {r["stratum"]: r["count"] for r in
+                  got.groupBy("stratum").count().collect()}
+        assert counts == {"a": 20, "b": 20, "c": 20}
+
+    def test_overthinned_prefilter_raises(self, pop):
+        # c has ~1667 rows; 0.001 keeps ~1.7 rows << k=50 -> must raise
+        with pytest.raises(ValueError, match="thinned"):
+            stratified_sample_exact(pop, "stratum", 50, seed=8,
+                                    prefilter_fraction=0.001, validate=True)
+
+    def test_fraction_validation(self, pop):
+        with pytest.raises(ValueError, match=r"\[0,1\]"):
+            stratified_sample(pop, "stratum", 1.5)
+        with pytest.raises(ValueError, match=r"\[0,1\]"):
+            stratified_sample(pop, "stratum", {"a": -0.1})
+        with pytest.raises(ValueError, match="empty"):
+            stratified_sample(pop, "stratum", {})
