@@ -512,6 +512,41 @@ def _q31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q32_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-sampling sketch family (sketches/reservoir.py) through
+    the full SQL lifecycle: per-(lang,source) accumulate -> per-lang
+    combine -> estimate. k=65536 keeps every group in the exact regime at
+    any test SF, so the merged reservoir IS the complete sorted doc_id
+    multiset and n the true stream size — bit-exact against the oracle's
+    list_sort(list(...))."""
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark import conf as dconf
+    key = dconf.SAMPLE_RESERVOIR_K_KEY
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "65536")
+    dss.install(spark)
+    try:
+        read_table(spark, sf_dir, "documents") \
+            .createOrReplaceTempView("documents")
+        return spark.sql("""
+            SELECT lang,
+                   approx_sample_estimate_long(approx_sample_combine(st))
+                     AS doc_ids,
+                   approx_sample_stream_size(approx_sample_combine(st))
+                     AS n_docs
+            FROM (SELECT lang, source,
+                         approx_sample_accumulate_long(doc_id) AS st
+                  FROM documents GROUP BY lang, source)
+            GROUP BY lang ORDER BY lang
+        """)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        dss.install(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -550,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_mixed_sql": _q29_mixed_sql,
         "q30_stratified_sample": _q30_stratified_sample,
         "q31_weighted_sample": _q31_weighted_sample,
+        "q32_reservoir_sql": _q32_reservoir_sql,
     }
 
 
@@ -801,5 +837,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
             FROM documents WHERE lang <> 'de'
             GROUP BY lang ORDER BY lang
+        """,
+        "q32_reservoir_sql": """
+            SELECT lang,
+                   list_sort(list(doc_id)) AS doc_ids,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -34,6 +34,7 @@ FREQ_MAX_MAP_SIZE_KEY = f"{_PREFIX}.freqItems.maxMapSize"
 DISTINCT_IMPL_KEY = f"{_PREFIX}.distinctCnt.sketchImpl"
 DISTINCT_CPC_LGK_KEY = f"{_PREFIX}.distinctCnt.cpc.lgK"
 DISTINCT_HLL_LGK_KEY = f"{_PREFIX}.distinctCnt.hll.lgK"
+SAMPLE_RESERVOIR_K_KEY = f"{_PREFIX}.sampling.reservoir.k"
 
 DEFAULTS = {
     QUANTILE_IMPL_KEY: "REQ",          # DataSketchConf.scala:36-41
@@ -44,6 +45,7 @@ DEFAULTS = {
     DISTINCT_IMPL_KEY: "CPC",          # :73-78
     DISTINCT_CPC_LGK_KEY: "11",        # :80-85
     DISTINCT_HLL_LGK_KEY: "12",        # :87-92
+    SAMPLE_RESERVOIR_K_KEY: "1024",    # extension (no reference analogue)
 }
 
 QUANTILE_IMPLS = ("KLL", "REQ", "MERGEABLE")
@@ -102,6 +104,13 @@ def distinct_theta_k(spark=None) -> int:
 
 def distinct_hll_lgk(spark=None) -> int:
     return int(get_conf(DISTINCT_HLL_LGK_KEY, spark))
+
+
+def sample_reservoir_k(spark=None) -> int:
+    v = int(get_conf(SAMPLE_RESERVOIR_K_KEY, spark))
+    if v <= 0:
+        raise ValueError(f"{SAMPLE_RESERVOIR_K_KEY} must be positive")
+    return v
 
 
 def distinct_cpc_lgk(spark=None) -> int:

@@ -26,6 +26,12 @@ from .freqitems import (
     approx_freqitems_combine,
     approx_freqitems_estimate,
 )
+from .sampling import (
+    approx_sample_accumulate,
+    approx_sample_combine,
+    approx_sample_estimate,
+    approx_sample_stream_size,
+)
 from .quantiles import (
     approx_cdf_estimate,
     approx_percentile_accumulate,
@@ -41,6 +47,11 @@ from .quantiles import (
 
 __all__ = [
     "text",
+    # reservoir sampling (extension; DataSketches sampling family)
+    "approx_sample_accumulate",
+    "approx_sample_combine",
+    "approx_sample_estimate",
+    "approx_sample_stream_size",
     # quantiles (reference #1-#8)
     "approx_percentile_ex",
     "approx_percentile_kll",

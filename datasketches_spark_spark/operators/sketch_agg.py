@@ -41,10 +41,12 @@ from pyspark.sql.types import (
 from .. import conf
 from ..functions.udfs import combine_udf
 from ..sketches import (
+    ITEM_DOUBLE,
     ITEM_LONG,
     ITEM_STR,
     FreqItemsSketch,
     HllSketch,
+    ReservoirSketch,
     ThetaSketch,
     hash_series,
     make_quantile_sketch,
@@ -143,6 +145,35 @@ def _hll_family(lgk: int | None) -> _Family:
     return _Family(lambda: HllSketch(lgk=lgk), _hashed_prep, _hashed_update)
 
 
+def _reservoir_family(k: int | None, item_type: str) -> _Family:
+    k = k or conf.sample_reservoir_k()
+
+    if item_type == ITEM_STR:
+        def prep(values: pd.Series):
+            mask = values.notna().to_numpy()
+            return values.astype(str).to_numpy(object), mask
+    elif item_type == ITEM_LONG:
+        def prep(values: pd.Series):
+            arr = pd.to_numeric(values, errors="coerce")
+            mask = arr.notna().to_numpy()
+            return arr.fillna(0).to_numpy(np.int64), mask
+    else:
+        def prep(values: pd.Series):
+            arr = pd.to_numeric(values, errors="coerce").to_numpy(np.float64)
+            return arr, ~np.isnan(arr)
+
+    def update(sk, ctx, idx):
+        vals, mask = ctx
+        if idx is not None:
+            vals, mask = vals[idx], mask[idx]
+        items = vals[mask]
+        if items.size:
+            sk.update_batch(items)
+
+    return _Family(lambda: ReservoirSketch(k=k, item_type=item_type),
+                   prep, update)
+
+
 def _family(name: str, **params) -> _Family:
     if name in ("quantile", "kll", "req", "mergeable"):
         impl = None if name == "quantile" else name.upper()
@@ -154,6 +185,9 @@ def _family(name: str, **params) -> _Family:
         return _theta_family(params.get("k"))
     if name == "hll":
         return _hll_family(params.get("lgk"))
+    if name in ("reservoir", "sample"):
+        return _reservoir_family(params.get("k"),
+                                 params.get("item_type", ITEM_DOUBLE))
     raise ValueError(f"unknown sketch family {name!r}")
 
 
@@ -310,6 +344,19 @@ def distinct_measure(name: str, col: str, k: int | None = None,
                        lambda c: approx_count_distinct_estimate(c), lgk=lgk)
     return Measure(name, col, "theta",
                    lambda c: approx_count_distinct_estimate(c), k=k)
+
+
+def sample_measure(name: str, col: str, k: int | None = None,
+                   item_type: str = "double") -> Measure:
+    """Uniform per-group reservoir sample (``sketches/reservoir.py``).
+    Exact (returns the complete sorted multiset) while group size <= k;
+    beyond that, a uniform k-sample. Output is a sorted array column."""
+    from ..functions.sampling import approx_sample_estimate
+    it = (ITEM_LONG if item_type in ("long", "int")
+          else ITEM_STR if item_type in ("str", "string") else ITEM_DOUBLE)
+    return Measure(name, col, "reservoir",
+                   lambda c: approx_sample_estimate(c, item_type=item_type),
+                   k=k, item_type=it)
 
 
 def sketch_partial_multi(df: DataFrame, keys: list[str],

@@ -263,6 +263,26 @@ def install(spark: SparkSession) -> None:
                        theta_setop_udf("intersection"))
     spark.udf.register("approx_set_difference", theta_setop_udf("a_not_b"))
 
+    # Reservoir sampling family (extension): per-group uniform samples
+    # with the same accumulate/combine/estimate lifecycle; combine is the
+    # shared family-agnostic kernel.
+    from .functions.sampling import sample_acc_udf, sample_est_udf, \
+        sample_size_udf
+    from .sketches import ITEM_DOUBLE as _IT_D
+    rk = conf.sample_reservoir_k(spark)
+    spark.udf.register("approx_sample_accumulate", sample_acc_udf(rk, _IT_D))
+    spark.udf.register("approx_sample_accumulate_long",
+                       sample_acc_udf(rk, ITEM_LONG))
+    spark.udf.register("approx_sample_accumulate_string",
+                       sample_acc_udf(rk, ITEM_STR))
+    spark.udf.register("approx_sample_combine", combine_udf())
+    spark.udf.register("approx_sample_estimate", sample_est_udf(_IT_D))
+    spark.udf.register("approx_sample_estimate_long",
+                       sample_est_udf(ITEM_LONG))
+    spark.udf.register("approx_sample_estimate_string",
+                       sample_est_udf(ITEM_STR))
+    spark.udf.register("approx_sample_stream_size", sample_size_udf())
+
     # Apache DataSketches wire-format import (reference-state migration;
     # estimate fns also read foreign states directly via the deserializer
     # fallback — this converts once for merge-heavy pipelines).

@@ -9,12 +9,14 @@ from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
 from .hll import HllSketch
 from .kll import KllSketch
 from .req import ReqSketch
+from .reservoir import ITEM_DOUBLE, ReservoirSketch
 from .serde import (
     FAMILY_FREQ_LONG,
     FAMILY_FREQ_STR,
     FAMILY_HLL,
     FAMILY_KLL,
     FAMILY_REQ,
+    FAMILY_RESERVOIR,
     FAMILY_THETA,
     MAGIC,
     family_of,
@@ -57,6 +59,8 @@ def deserialize_any(data: bytes):
         return ThetaSketch.deserialize(data)
     if fam == FAMILY_HLL:
         return HllSketch.deserialize(data)
+    if fam == FAMILY_RESERVOIR:
+        return ReservoirSketch.deserialize(data)
     raise ValueError(f"unknown sketch family {fam}")
 
 
@@ -92,7 +96,9 @@ __all__ = [
     "KllSketch",
     "ReqSketch",
     "FreqItemsSketch",
+    "ReservoirSketch",
     "ThetaSketch",
+    "ITEM_DOUBLE",
     "make_quantile_sketch",
     "deserialize_quantile",
     "ITEM_STR",

@@ -26,6 +26,7 @@ FAMILY_THETA = 4
 FAMILY_REQ = 5
 FAMILY_MINHASH = 6
 FAMILY_HLL = 7
+FAMILY_RESERVOIR = 8
 
 _HEADER = struct.Struct("<4sBB")
 

@@ -1,0 +1,153 @@
+"""Reservoir sketch family: exact-regime identity, Algorithm-R and merge
+statistics, serde round-trips, and the Spark accumulate/combine/estimate
+lifecycle incl. the two-phase operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.sketches import (
+    ITEM_DOUBLE,
+    ITEM_LONG,
+    ITEM_STR,
+    ReservoirSketch,
+    deserialize_any,
+)
+
+
+class TestCore:
+    def test_exact_regime_keeps_everything(self):
+        sk = ReservoirSketch(k=100)
+        sk.update_batch(np.arange(60, dtype=np.float64))
+        assert sk.is_exact() and sk.n == 60
+        assert sk.items() == [float(x) for x in range(60)]
+
+    def test_capacity_bound_and_n(self):
+        sk = ReservoirSketch(k=32)
+        for _ in range(10):
+            sk.update_batch(np.arange(100, dtype=np.float64))
+        assert sk.n == 1000 and len(sk.items()) == 32
+        assert not sk.is_exact()
+
+    def test_algorithm_r_uniformity(self):
+        # Sample 64 of 0..4095 over many independent sketches; the mean of
+        # sampled values estimates 2047.5. SE of one sample mean ~
+        # (4096/sqrt(12))/8 ~ 148; averaged over 40 trials SE ~ 23.
+        means = []
+        for t in range(40):
+            sk = ReservoirSketch(k=64)
+            vals = np.arange(4096, dtype=np.float64)
+            rng = np.random.default_rng(t)
+            sk.update_batch(rng.permutation(vals))
+            means.append(np.mean(sk.items()))
+        assert abs(np.mean(means) - 2047.5) < 5 * 23
+
+    def test_merge_exact_regime_is_union(self):
+        a = ReservoirSketch(k=100)
+        a.update_batch(np.arange(30, dtype=np.float64))
+        b = ReservoirSketch(k=100)
+        b.update_batch(np.arange(30, 60, dtype=np.float64))
+        a.merge(b)
+        assert a.n == 60 and a.items() == [float(x) for x in range(60)]
+
+    def test_merge_is_uniform_over_union(self):
+        # A holds 0..999, B holds 1000..3999 (3x heavier). After merging
+        # k=64 reservoirs, E[fraction from B] = 0.75. Averaged over 40
+        # trials: sd of one trial's fraction ~ sqrt(.75*.25/64) ~ 0.054,
+        # so the mean is within 5*0.0086.
+        fracs = []
+        for t in range(40):
+            a = ReservoirSketch(k=64)
+            rng = np.random.default_rng(100 + t)
+            a.update_batch(rng.permutation(np.arange(1000, dtype=np.float64)))
+            b = ReservoirSketch(k=64)
+            b.update_batch(rng.permutation(
+                np.arange(1000, 4000, dtype=np.float64)))
+            # decorrelate the deterministic per-instance rng across trials
+            a._rng = np.random.default_rng(200 + t)
+            a.merge(b)
+            items = np.array(a.items())
+            assert items.size == 64 and a.n == 4000
+            fracs.append(np.mean(items >= 1000))
+        assert abs(np.mean(fracs) - 0.75) < 5 * 0.0086
+
+    def test_merge_mismatched_types_raise(self):
+        a = ReservoirSketch(k=10, item_type=ITEM_STR)
+        b = ReservoirSketch(k=10, item_type=ITEM_LONG)
+        b.update(1)
+        with pytest.raises(ValueError, match="item types"):
+            a.merge(b)
+
+    @pytest.mark.parametrize("item_type,items", [
+        (ITEM_DOUBLE, [1.5, -2.25, 1e300]),
+        (ITEM_LONG, [2**62, -5, 0]),
+        (ITEM_STR, ["b", "ä", ""]),
+    ])
+    def test_serde_roundtrip(self, item_type, items):
+        sk = ReservoirSketch(k=8, item_type=item_type)
+        sk.update_batch(np.asarray(items, dtype=object))
+        back = deserialize_any(sk.serialize())
+        assert isinstance(back, ReservoirSketch)
+        assert back.items() == sk.items()
+        assert back.n == sk.n and back.k == sk.k
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="positive"):
+            ReservoirSketch(k=0)
+        with pytest.raises(ValueError, match="item type"):
+            ReservoirSketch(k=4, item_type="binary")
+
+
+class TestSparkSurface:
+    def test_sql_lifecycle_exact_regime(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        spark.range(0, 100, 1, 4).select(
+            (F.col("id") % 5).alias("g"),
+            F.col("id").cast("double").alias("v")
+        ).createOrReplaceTempView("resv_t")
+        rows = spark.sql("""
+            SELECT approx_sample_estimate(approx_sample_combine(st)) AS all_v,
+                   approx_sample_stream_size(approx_sample_combine(st)) AS n
+            FROM (SELECT g, approx_sample_accumulate(v) AS st
+                  FROM resv_t GROUP BY g)
+        """).collect()
+        (row,) = rows
+        assert row["n"] == 100
+        assert row["all_v"] == [float(x) for x in range(100)]
+
+    def test_two_phase_sample_measure(self, spark):
+        from datasketches_spark_spark.operators import (
+            sample_measure, sketch_grouped_agg)
+        df = spark.range(0, 300, 1, 8).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+        out = sketch_grouped_agg(
+            df, ["g"], sample_measure("sample_v", "v", k=1000,
+                                      item_type="long")).orderBy("g")
+        rows = out.collect()
+        assert [r["g"] for r in rows] == [0, 1, 2]
+        for r in rows:
+            assert r["sample_v"] == sorted(
+                x for x in range(300) if x % 3 == r["g"])
+
+    def test_approximate_regime_is_bounded_sample(self, spark):
+        from datasketches_spark_spark.operators import (
+            sample_measure, sketch_grouped_agg)
+        df = spark.range(0, 20_000, 1, 8).select(
+            F.lit(1).alias("g"), F.col("id").cast("double").alias("v"))
+        (row,) = sketch_grouped_agg(
+            df, ["g"], sample_measure("s", "v", k=256)).collect()
+        vals = row["s"]
+        assert len(vals) == 256 and len(set(vals)) == 256
+        # uniform over 0..19999: mean within 5 SE (SE ~ 5774/16 ~ 361)
+        assert abs(float(np.mean(vals)) - 9999.5) < 5 * 361
+
+    def test_corrupt_state_null_estimate(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        (row,) = spark.sql(
+            "SELECT approx_sample_estimate(CAST('junk' AS BINARY)) AS x"
+        ).collect()
+        assert row["x"] is None
