@@ -151,3 +151,41 @@ class TestSparkSurface:
             "SELECT approx_sample_estimate(CAST('junk' AS BINARY)) AS x"
         ).collect()
         assert row["x"] is None
+
+
+class TestStreamingReservoir:
+    """The stateful streaming operator is family-generic; a reservoir in
+    the exact regime must accumulate to the complete per-key multiset
+    across micro-batches."""
+
+    def test_streaming_accumulate_exact_regime(self, spark, tmp_path):
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream)
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.range(0, 200, 1, 4).select(
+            (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v"))
+        df.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = sketch_accumulate_stream(stream, ["g"], "v",
+                                       family="reservoir", k=10_000)
+        q = (out.writeStream.format("memory").queryName("resv_stream")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        final = spark.sql("""
+            SELECT g, state FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY g ORDER BY n DESC) rn FROM resv_stream
+            ) WHERE rn = 1""")
+        rows = final.select(
+            "g", dsf.approx_sample_estimate("state").alias("vals"),
+            dsf.approx_sample_stream_size("state").alias("n")).collect()
+        got = {r["g"]: (r["n"], r["vals"]) for r in rows}
+        for g in (0, 1):
+            n, vals = got[g]
+            assert n == 100
+            assert vals == [float(x) for x in range(200) if x % 2 == g]
