@@ -19,13 +19,14 @@ wrap), built so the heavy path never shuffles the corpus:
 * :func:`stratified_sample` — per-stratum FRACTIONS via one scan-side
   filter on ``rand`` (no shuffle at all; Bernoulli per row, like
   ``DataFrame.sampleBy`` but for any number of strata from a dict).
-* :func:`stratified_sample_exact` — exact per-stratum k. This one
-  genuinely needs the rows co-located per stratum, so it costs ONE hash
-  shuffle of the projected columns (window ``row_number`` over
-  ``rand``); at scale, pass ``prefilter_fraction`` to Bernoulli-thin
-  each stratum before the shuffle when stratum sizes are known to be
-  ≫ k (the thinning keeps ≥ k rows w.h.p. — the operator validates by
-  counting only when ``validate=True``).
+* :func:`stratified_sample_exact` — exact per-stratum k via window
+  ``row_number`` over ``rand``. Catalyst plans the rank filter as
+  ``WindowGroupLimit`` with a PARTIAL pass before the exchange (visible
+  in ``docs/PLANS.md`` q30), so each map task forwards at most
+  ``k × strata`` rows — the shuffle is bounded by quota, not corpus
+  size. ``prefilter_fraction`` additionally Bernoulli-thins each
+  stratum before ranking (``validate=True`` asserts no quota
+  shortfall), useful when per-partition stratum counts are still huge.
 
 Determinism: every operator takes ``seed``; ``F.rand(seed)`` is
 deterministic per (row, partition) for a fixed input partitioning, so
