@@ -547,6 +547,44 @@ def _q32_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         dss.install(spark)
 
 
+def _q33_weighted_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted reservoir family (deterministic top-k merge over
+    persisted keys). Weight = n_chars, except lang 'de' gets weight 0 —
+    zero-weight rows can never be drawn, so the 'de' group's state is
+    null end-to-end (null combine -> null estimate/size) while every
+    other lang, in the exact regime (k=65536), retains its complete
+    doc_id multiset."""
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark import conf as dconf
+    key = dconf.SAMPLE_RESERVOIR_K_KEY
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "65536")
+    dss.install(spark)
+    try:
+        read_table(spark, sf_dir, "documents") \
+            .createOrReplaceTempView("documents")
+        return spark.sql("""
+            SELECT lang,
+                   approx_sample_estimate_long(approx_sample_combine(st))
+                     AS doc_ids,
+                   approx_sample_stream_size(approx_sample_combine(st))
+                     AS n_docs
+            FROM (SELECT lang, source,
+                         approx_sample_weighted_accumulate_long(
+                             doc_id,
+                             CASE WHEN lang = 'de' THEN 0.0
+                                  ELSE CAST(n_chars AS DOUBLE) END) AS st
+                  FROM documents GROUP BY lang, source)
+            GROUP BY lang ORDER BY lang
+        """)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        dss.install(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -586,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_stratified_sample": _q30_stratified_sample,
         "q31_weighted_sample": _q31_weighted_sample,
         "q32_reservoir_sql": _q32_reservoir_sql,
+        "q33_weighted_reservoir_sql": _q33_weighted_reservoir_sql,
     }
 
 
@@ -842,6 +881,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    list_sort(list(doc_id)) AS doc_ids,
                    count(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q33_weighted_reservoir_sql": """
+            SELECT lang,
+                   CASE WHEN lang = 'de' THEN NULL
+                        ELSE list_sort(list(doc_id)) END AS doc_ids,
+                   CASE WHEN lang = 'de' THEN NULL
+                        ELSE count(*) END AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -31,6 +31,7 @@ from .sampling import (
     approx_sample_combine,
     approx_sample_estimate,
     approx_sample_stream_size,
+    approx_sample_weighted_accumulate,
 )
 from .quantiles import (
     approx_cdf_estimate,
@@ -52,6 +53,7 @@ __all__ = [
     "approx_sample_combine",
     "approx_sample_estimate",
     "approx_sample_stream_size",
+    "approx_sample_weighted_accumulate",
     # quantiles (reference #1-#8)
     "approx_percentile_ex",
     "approx_percentile_kll",

@@ -29,8 +29,11 @@ from ..sketches import (
     ITEM_LONG,
     ITEM_STR,
     ReservoirSketch,
+    WeightedReservoirSketch,
     deserialize_any,
 )
+
+_SAMPLE_FAMILIES = (ReservoirSketch, WeightedReservoirSketch)
 
 log = logging.getLogger(__name__)
 
@@ -88,7 +91,7 @@ def sample_est_udf(item_type: str):
                 continue
             try:
                 sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, ReservoirSketch):
+                if not isinstance(sk, _SAMPLE_FAMILIES):
                     raise ValueError("not a reservoir sample state")
                 out.append(sk.items())
             except Exception as e:  # corrupt state -> null (family contract)
@@ -109,7 +112,7 @@ def sample_size_udf():
                 continue
             try:
                 sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, ReservoirSketch):
+                if not isinstance(sk, _SAMPLE_FAMILIES):
                     raise ValueError("not a reservoir sample state")
                 out.append(int(sk.n))
             except Exception as e:
@@ -120,12 +123,44 @@ def sample_size_udf():
     return size
 
 
+def wsample_acc_udf(k: int, item_type: str):
+    if k <= 0:
+        raise ValueError(f"sample size k must be positive, got {k}")
+
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series, w: pd.Series) -> bytes:
+        sk = WeightedReservoirSketch(k=k, item_type=item_type)
+        weights = pd.to_numeric(w, errors="coerce").astype("float64")
+        mask = v.notna() & weights.notna()
+        vals = v[mask]
+        if len(vals):
+            if item_type == ITEM_STR:
+                items = vals.astype(str).to_numpy(object)
+            elif item_type == ITEM_LONG:
+                items = pd.to_numeric(vals).astype("int64").to_numpy()
+            else:
+                items = pd.to_numeric(vals).astype("float64").to_numpy()
+            sk.update_batch(items, weights[mask].to_numpy())
+        return sk.serialize() if sk.n else None
+
+    return acc
+
+
 # ------------------------------------------------------------------ public
 
 def approx_sample_accumulate(col, k: int = 1024,
                              item_type: str = "double") -> Column:
     """Aggregate: column -> serialized reservoir state (k-sample)."""
     return sample_acc_udf(k, _item_type(item_type))(_col(col))
+
+
+def approx_sample_weighted_accumulate(col, weight_col, k: int = 1024,
+                                      item_type: str = "double") -> Column:
+    """Aggregate: (value, weight) -> serialized A-ES weighted-reservoir
+    state. Zero/negative/null weights are excluded; merge is the
+    deterministic top-k over persisted keys."""
+    return wsample_acc_udf(k, _item_type(item_type))(_col(col),
+                                                     _col(weight_col))
 
 
 def approx_sample_combine(col) -> Column:

@@ -267,7 +267,7 @@ def install(spark: SparkSession) -> None:
     # with the same accumulate/combine/estimate lifecycle; combine is the
     # shared family-agnostic kernel.
     from .functions.sampling import sample_acc_udf, sample_est_udf, \
-        sample_size_udf
+        sample_size_udf, wsample_acc_udf
     from .sketches import ITEM_DOUBLE as _IT_D
     rk = conf.sample_reservoir_k(spark)
     spark.udf.register("approx_sample_accumulate", sample_acc_udf(rk, _IT_D))
@@ -275,6 +275,12 @@ def install(spark: SparkSession) -> None:
                        sample_acc_udf(rk, ITEM_LONG))
     spark.udf.register("approx_sample_accumulate_string",
                        sample_acc_udf(rk, ITEM_STR))
+    spark.udf.register("approx_sample_weighted_accumulate",
+                       wsample_acc_udf(rk, _IT_D))
+    spark.udf.register("approx_sample_weighted_accumulate_long",
+                       wsample_acc_udf(rk, ITEM_LONG))
+    spark.udf.register("approx_sample_weighted_accumulate_string",
+                       wsample_acc_udf(rk, ITEM_STR))
     spark.udf.register("approx_sample_combine", combine_udf())
     spark.udf.register("approx_sample_estimate", sample_est_udf(_IT_D))
     spark.udf.register("approx_sample_estimate_long",

@@ -9,7 +9,7 @@ from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
 from .hll import HllSketch
 from .kll import KllSketch
 from .req import ReqSketch
-from .reservoir import ITEM_DOUBLE, ReservoirSketch
+from .reservoir import ITEM_DOUBLE, ReservoirSketch, WeightedReservoirSketch
 from .serde import (
     FAMILY_FREQ_LONG,
     FAMILY_FREQ_STR,
@@ -18,6 +18,7 @@ from .serde import (
     FAMILY_REQ,
     FAMILY_RESERVOIR,
     FAMILY_THETA,
+    FAMILY_WRESERVOIR,
     MAGIC,
     family_of,
 )
@@ -61,6 +62,8 @@ def deserialize_any(data: bytes):
         return HllSketch.deserialize(data)
     if fam == FAMILY_RESERVOIR:
         return ReservoirSketch.deserialize(data)
+    if fam == FAMILY_WRESERVOIR:
+        return WeightedReservoirSketch.deserialize(data)
     raise ValueError(f"unknown sketch family {fam}")
 
 
@@ -97,6 +100,7 @@ __all__ = [
     "ReqSketch",
     "FreqItemsSketch",
     "ReservoirSketch",
+    "WeightedReservoirSketch",
     "ThetaSketch",
     "ITEM_DOUBLE",
     "make_quantile_sketch",

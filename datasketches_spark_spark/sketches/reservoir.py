@@ -31,7 +31,7 @@ import struct
 import numpy as np
 
 from .freq import ITEM_LONG, ITEM_STR
-from .serde import FAMILY_RESERVOIR, pack, unpack
+from .serde import FAMILY_RESERVOIR, FAMILY_WRESERVOIR, pack, unpack
 
 ITEM_DOUBLE = "double"
 
@@ -166,4 +166,146 @@ class ReservoirSketch:
             sk._items = arr.tolist()
         if len(sk._items) != min(sk.n, sk.k) and len(sk._items) != count:
             raise ValueError("corrupt reservoir state")
+        return sk
+
+
+class WeightedReservoirSketch:
+    """Weight-proportional k-sample without replacement (VarOpt-class
+    semantics via Efraimidis-Spirakis A-ES).
+
+    Each positive-weight item draws a key ``log(u)/w`` once, at update
+    time; the sketch retains the k LARGEST keys. Because the keys are
+    part of the serialized state, merging is a deterministic top-k over
+    the union — order- and tree-shape-independent with NO randomness at
+    merge, a strict monoid (stronger than the uniform reservoir, whose
+    merge must re-randomize). Inclusion probabilities follow A-ES
+    weighted sampling without replacement; zero/negative/NaN weights are
+    excluded (they can never be drawn). EXACT regime: n <= k retains
+    every positive-weight item.
+    """
+
+    FAMILY = FAMILY_WRESERVOIR
+
+    __slots__ = ("k", "item_type", "n", "total_weight",
+                 "_keys", "_items", "_rng")
+
+    def __init__(self, k: int = 1024, item_type: str = ITEM_DOUBLE):
+        if k <= 0:
+            raise ValueError(f"reservoir k must be positive, got {k}")
+        if item_type not in _ITEM_CODES:
+            raise ValueError(f"unsupported item type {item_type!r}")
+        self.k = int(k)
+        self.item_type = item_type
+        self.n = 0                      # positive-weight items seen
+        self.total_weight = 0.0
+        self._keys = np.empty(0, dtype=np.float64)
+        self._items: list = []
+        self._rng = np.random.default_rng(0xD5C0FFEE)
+
+    # ------------------------------------------------------------------ update
+
+    def update_batch(self, items, weights) -> None:
+        arr = np.asarray(items, dtype=object)
+        w = np.asarray(weights, dtype=np.float64)
+        if arr.size != w.size:
+            raise ValueError("items and weights must align")
+        ok = np.isfinite(w) & (w > 0)
+        arr, w = arr[ok], w[ok]
+        if arr.size == 0:
+            return
+        u = self._rng.random(arr.size)
+        u[u == 0.0] = np.nextafter(0.0, 1.0)  # log(0) guard
+        keys = np.log(u) / w                  # in (-inf, 0); larger wins
+        self._insert(keys, arr.tolist())
+        self.n += int(arr.size)
+        self.total_weight += float(w.sum())
+
+    def update(self, item, weight: float) -> None:
+        self.update_batch([item], [weight])
+
+    def _insert(self, keys: np.ndarray, items: list) -> None:
+        all_keys = np.concatenate([self._keys, keys])
+        all_items = self._items + items
+        if all_keys.size > self.k:
+            top = np.argpartition(all_keys, all_keys.size - self.k)[-self.k:]
+            all_keys = all_keys[top]
+            all_items = [all_items[i] for i in top.tolist()]
+        self._keys = all_keys
+        self._items = all_items
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(self, other: "WeightedReservoirSketch") -> "WeightedReservoirSketch":
+        if other.n == 0:
+            return self
+        if other.FAMILY != self.FAMILY:
+            raise ValueError("cannot merge weighted reservoir with another family")
+        if other.item_type != self.item_type:
+            raise ValueError("cannot merge reservoirs of different item types")
+        self.k = min(self.k, other.k)
+        self._insert(other._keys, list(other._items))
+        if self._keys.size > self.k:  # k may have shrunk below both sizes
+            self._insert(np.empty(0), [])
+        self.n += other.n
+        self.total_weight += other.total_weight
+        return self
+
+    # ------------------------------------------------------------------ query
+
+    def is_exact(self) -> bool:
+        return self.n <= self.k
+
+    def items(self) -> list:
+        if self.item_type == ITEM_STR:
+            return sorted(str(x) for x in self._items)
+        if self.item_type == ITEM_LONG:
+            return sorted(int(x) for x in self._items)
+        return sorted(float(x) for x in self._items)
+
+    # ------------------------------------------------------------------ serde
+
+    def serialize(self) -> bytes:
+        order = np.argsort(self._keys)
+        keys = self._keys[order]
+        items = [self._items[i] for i in order.tolist()]
+        head = struct.pack("<IBQdI", self.k, _ITEM_CODES[self.item_type],
+                           self.n, self.total_weight, len(items))
+        parts = [head, keys.astype("<f8").tobytes()]
+        if self.item_type == ITEM_STR:
+            for s in items:
+                b = str(s).encode("utf-8")
+                parts.append(struct.pack("<I", len(b)) + b)
+        else:
+            dtype = "<f8" if self.item_type == ITEM_DOUBLE else "<q"
+            parts.append(np.asarray(items, dtype=dtype).tobytes())
+        return pack(self.FAMILY, b"".join(parts))
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "WeightedReservoirSketch":
+        family, payload = unpack(data)
+        if family != cls.FAMILY:
+            raise ValueError(
+                f"not a WeightedReservoirSketch state (family={family})")
+        k, code, n, tw, count = struct.unpack_from("<IBQdI", payload, 0)
+        off = struct.calcsize("<IBQdI")
+        sk = cls(k=k, item_type=_CODE_ITEMS[code])
+        sk.n = int(n)
+        sk.total_weight = float(tw)
+        sk._keys = np.frombuffer(payload, dtype="<f8", offset=off,
+                                 count=count).copy()
+        off += 8 * count
+        if sk.item_type == ITEM_STR:
+            items = []
+            for _ in range(count):
+                (ln,) = struct.unpack_from("<I", payload, off)
+                off += 4
+                items.append(payload[off:off + ln].decode("utf-8"))
+                off += ln
+            sk._items = items
+        else:
+            dtype = "<f8" if sk.item_type == ITEM_DOUBLE else "<q"
+            sk._items = np.frombuffer(payload, dtype=dtype, offset=off,
+                                      count=count).tolist()
+        if len(sk._items) != count or count > sk.k:
+            raise ValueError("corrupt weighted reservoir state")
         return sk

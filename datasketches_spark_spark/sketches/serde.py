@@ -27,6 +27,7 @@ FAMILY_REQ = 5
 FAMILY_MINHASH = 6
 FAMILY_HLL = 7
 FAMILY_RESERVOIR = 8
+FAMILY_WRESERVOIR = 9
 
 _HEADER = struct.Struct("<4sBB")
 

@@ -189,3 +189,81 @@ class TestStreamingReservoir:
             n, vals = got[g]
             assert n == 100
             assert vals == [float(x) for x in range(200) if x % 2 == g]
+
+
+class TestWeightedReservoir:
+    def test_exact_regime_and_weight_filter(self):
+        from datasketches_spark_spark.sketches import WeightedReservoirSketch
+        sk = WeightedReservoirSketch(k=100)
+        sk.update_batch(np.arange(10, dtype=np.float64),
+                        np.array([1, 1, 1, 0, -2, np.nan, 1, 1, 1, 1]))
+        assert sk.n == 7 and sk.is_exact()
+        assert sk.items() == [0.0, 1.0, 2.0, 6.0, 7.0, 8.0, 9.0]
+        assert sk.total_weight == 7.0
+
+    def test_merge_is_deterministic_and_commutative(self):
+        from datasketches_spark_spark.sketches import (
+            WeightedReservoirSketch, deserialize_any)
+        a = WeightedReservoirSketch(k=16)
+        a.update_batch(np.arange(100, dtype=np.float64), np.ones(100))
+        b = WeightedReservoirSketch(k=16)
+        b._rng = np.random.default_rng(7)
+        b.update_batch(np.arange(100, 200, dtype=np.float64), np.ones(100))
+        ab = deserialize_any(a.serialize()).merge(deserialize_any(b.serialize()))
+        ba = deserialize_any(b.serialize()).merge(deserialize_any(a.serialize()))
+        assert ab.items() == ba.items()        # strict monoid: no merge RNG
+        assert ab.n == ba.n == 200
+        assert ab.total_weight == 200.0
+
+    def test_weight_proportional_inclusion(self):
+        from datasketches_spark_spark.sketches import WeightedReservoirSketch
+        # items 0..999 weight 1, 1000..1999 weight 9: E[fraction heavy]
+        # approaches 0.9 for k << effective N. 40 trials, allow 5 SE.
+        fracs = []
+        for t in range(40):
+            sk = WeightedReservoirSketch(k=50)
+            sk._rng = np.random.default_rng(t)
+            w = np.concatenate([np.ones(1000), np.full(1000, 9.0)])
+            sk.update_batch(np.arange(2000, dtype=np.float64), w)
+            fracs.append(np.mean(np.array(sk.items()) >= 1000))
+        se = np.sqrt(0.9 * 0.1 / 50) / np.sqrt(40)
+        assert abs(np.mean(fracs) - 0.9) < 5 * se + 0.02
+
+    @pytest.mark.parametrize("item_type,items", [
+        (ITEM_DOUBLE, [1.5, -2.25, 1e300]),
+        (ITEM_LONG, [2**62, -5, 0]),
+        (ITEM_STR, ["b", "ä", ""]),
+    ])
+    def test_serde_roundtrip(self, item_type, items):
+        from datasketches_spark_spark.sketches import (
+            WeightedReservoirSketch, deserialize_any)
+        sk = WeightedReservoirSketch(k=8, item_type=item_type)
+        sk.update_batch(np.asarray(items, dtype=object),
+                        np.array([1.0, 2.0, 3.0]))
+        back = deserialize_any(sk.serialize())
+        assert isinstance(back, WeightedReservoirSketch)
+        assert back.items() == sk.items()
+        assert back.n == sk.n and back.total_weight == sk.total_weight
+        # keys persist: a further merge of the round-tripped state is
+        # identical to merging the original
+        other = WeightedReservoirSketch(k=8, item_type=item_type)
+        assert back.merge(other).items() == sk.items()
+
+    def test_sql_lifecycle_exact_regime(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        spark.range(0, 100, 1, 4).select(
+            (F.col("id") % 5).alias("g"),
+            F.col("id").alias("v"),
+            F.when(F.col("id") < 50, F.lit(0.0))
+             .otherwise(F.lit(2.5)).alias("w")
+        ).createOrReplaceTempView("wresv_t")
+        (row,) = spark.sql("""
+            SELECT approx_sample_estimate_long(approx_sample_combine(st))
+                     AS kept,
+                   approx_sample_stream_size(approx_sample_combine(st)) AS n
+            FROM (SELECT g, approx_sample_weighted_accumulate_long(v, w) AS st
+                  FROM wresv_t GROUP BY g)
+        """).collect()
+        assert row["n"] == 50
+        assert row["kept"] == list(range(50, 100))
