@@ -67,12 +67,43 @@ def main():
 
     # ------------------- reference README.md:239-302: distinct count family
     spark.sql("""
-        SELECT approx_count_distinct_ex(user_id) AS ndv_cpc_stand_in,
+        SELECT approx_count_distinct_ex(user_id) AS ndv_cpc_class,
                approx_count_distinct_theta(user_id) AS ndv_theta
         FROM events
     """).show()
     # native HLL path (DataFrame API routes to Spark's JVM built-ins)
     ev.agg(dsf.approx_count_distinct_hll("user_id").alias("ndv_hll")).show()
+
+    # ---------------- migration: estimate a reference-persisted state here.
+    # These bytes are the reference test suite's golden KLL vector
+    # (SketchExpressionSuite.scala:27-37) — an Apache DataSketches Java
+    # serialized state. The engine's estimate functions read it directly
+    # (deserializer sniffs foreign bytes); import_datasketches_state
+    # converts a whole column once for merge-heavy pipelines.
+    golden_kll = bytes(x & 0xFF for x in [
+        5, 1, 15, 0, -56, 0, 8, 0, 4, 0, 0, 0, 0, 0, 0, 0, -56,
+        0, 1, 0, -60, 0, 0, 0, 0, 0, 0, 0, 0, 0, 32, 65, 0, 0, 32,
+        65, 0, 0, 0, 64, 0, 0, -128, 63, 0, 0, 0, 0])
+    spark.createDataFrame([(bytearray(golden_kll),)], "state binary") \
+         .createOrReplaceTempView("reference_states")
+    spark.sql("""
+        SELECT approx_percentile_estimate(state, 0.95) AS p95_direct,
+               approx_percentile_estimate(
+                   import_datasketches_state(state), 0.95) AS p95_migrated
+        FROM reference_states
+    """).show()
+
+    # --------------- extension: sampling (no reference analogue). Uniform
+    # reservoir states ride the same combine; weighted states merge
+    # deterministically via persisted A-ES keys.
+    spark.sql("""
+        SELECT event_type,
+               approx_sample_estimate(approx_sample_accumulate(value))
+                 AS sampled_values,
+               approx_sample_stream_size(approx_sample_accumulate(value))
+                 AS n_seen
+        FROM events GROUP BY event_type ORDER BY event_type
+    """).show(truncate=60)
 
     spark.stop()
 
