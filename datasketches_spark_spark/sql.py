@@ -312,9 +312,15 @@ _FREQ_DIRECT = {"approx_freqitems": "string", "approx_freqitems_long": "long"}
 _DISTINCT_DIRECT = ("approx_count_distinct_ex", "approx_count_distinct_cpc",
                     "approx_count_distinct_theta")
 _ACC_FAMILY = {
-    "approx_percentile_accumulate": "quantile",
-    "approx_freqitems_accumulate": "freq",
-    "approx_count_distinct_accumulate": "theta",
+    "approx_percentile_accumulate": ("quantile", {}),
+    "approx_freqitems_accumulate": ("freq", {}),
+    # conf-dependent: resolved in _classify_item (matches register.py's
+    # accumulate UDF, which follows distinctCnt.sketchImpl)
+    "approx_count_distinct_accumulate": (None, {}),
+    "approx_count_distinct_accumulate_theta": ("theta", {}),
+    "approx_sample_accumulate": ("reservoir", {"item_type": "double"}),
+    "approx_sample_accumulate_long": ("reservoir", {"item_type": "long"}),
+    "approx_sample_accumulate_string": ("reservoir", {"item_type": "str"}),
 }
 
 _SKETCH_FUNCS = (set(_QUANTILE_DIRECT) | set(_FREQ_DIRECT)
@@ -425,10 +431,21 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
     if fname in _ACC_FAMILY:
         if len(args) != 1:
             raise _Unsupported(f"{fname} expects (col)")
-        family = _ACC_FAMILY[fname]
+        family, params = _ACC_FAMILY[fname]
+        if family is None:  # distinct accumulate follows the conf impl,
+            # like the registered UDF (register.py)
+            impl = conf.distinct_impl(spark)
+            if impl == "THETA":
+                family, params = "theta", {}
+            elif impl == "HLL":
+                family, params = "hll", {"lgk": conf.distinct_hll_lgk(spark)}
+            else:  # CPC name served by the engine HLL at CPC-class lgk
+                family, params = "hll", {"lgk": conf.distinct_cpc_lgk(spark)}
+        if family == "reservoir":
+            params = dict(params, k=conf.sample_reservoir_k(spark))
         item.kind = "sketch"
         item.measure = (args[0], lambda col: Measure(
-            name, col, family, lambda c: c))
+            name, col, family, lambda c: c, **params))
         return
     raise _Unsupported(f"unhandled sketch function {fname}")
 

@@ -183,3 +183,49 @@ def test_freqitems_via_sql(spark):
         "SELECT approx_freqitems(l_returnflag) AS top FROM lineitem")).collect()
     items = {e.item for e in rows[0].top}
     assert items == {"A", "N", "R"}
+
+
+def test_sample_accumulate_mixed_with_native(spark):
+    # a shape plain spark.sql rejects (pandas UDAF + JVM aggregate); the
+    # rewriter splits it and the reservoir states stay usable downstream
+    from datasketches_spark_spark import functions as dsf
+    df = dss.sql(spark, (
+        "SELECT l_returnflag, count(*) AS n, "
+        "approx_sample_accumulate(l_quantity) AS st "
+        "FROM lineitem GROUP BY l_returnflag"))
+    rows = df.select("l_returnflag", "n",
+                     dsf.approx_sample_stream_size("st").alias("seen")) \
+             .collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.seen == r.n
+
+
+def test_sample_accumulate_plan_is_two_phase(spark):
+    df = dss.sql(spark, (
+        "SELECT l_returnflag, approx_sample_accumulate(l_quantity) AS st "
+        "FROM lineitem GROUP BY l_returnflag"))
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    import re
+    mp = [int(m) for m in re.findall(r"MapInPandas \((\d+)\)", plan)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert mp and ex and min(mp) < min(ex), plan  # partial before shuffle
+
+
+def test_distinct_accumulate_follows_conf_impl(spark):
+    # default conf (CPC) -> engine HLL states; THETA conf -> theta states
+    from datasketches_spark_spark.sketches import (
+        HllSketch, ThetaSketch, deserialize_any)
+    (st,) = dss.sql(spark, (
+        "SELECT approx_count_distinct_accumulate(l_partkey) AS st "
+        "FROM lineitem")).collect()[0]
+    assert isinstance(deserialize_any(bytes(st)), HllSketch)
+    spark.conf.set("spark.sql.dataSketches.distinctCnt.sketchImpl", "THETA")
+    try:
+        (st2,) = dss.sql(spark, (
+            "SELECT approx_count_distinct_accumulate(l_partkey) AS st "
+            "FROM lineitem")).collect()[0]
+        assert isinstance(deserialize_any(bytes(st2)), ThetaSketch)
+    finally:
+        spark.conf.unset("spark.sql.dataSketches.distinctCnt.sketchImpl")
