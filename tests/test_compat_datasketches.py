@@ -217,3 +217,38 @@ class TestSparkSurface:
             "  import_datasketches_state(state), 0.95) AS p95 "
             "FROM reference_states LIMIT 1").collect()
         assert sql_row["p95"] == 10.0
+
+
+class TestMultiLevelKll:
+    def test_two_level_layout(self):
+        # Hand-built compact KLL-floats image: k=20, n=12, two levels.
+        # Retained: 4 items at level 0 (weight 1) + 4 at level 1 (weight 2)
+        # -> total weight 4 + 8 = 12 = n. Levels array stores absolute
+        # positions [12, 16]; items serialize from levels[0].
+        import struct
+        header = struct.pack("<BBBBHBB", 5, 1, 15, 0, 20, 8, 0)
+        header += struct.pack("<Q", 12)               # n
+        header += struct.pack("<HBB", 20, 2, 0)       # minK, numLevels, pad
+        header += struct.pack("<ii", 12, 16)          # levels
+        header += struct.pack("<ff", 0.0, 90.0)       # min, max
+        lvl0 = [5.0, 1.0, 9.0, 3.0]                   # weight 1
+        lvl1 = [10.0, 90.0, 30.0, 50.0]               # weight 2
+        blob = header + struct.pack("<8f", *(lvl0 + lvl1))
+        ws = decode_quantile(blob)
+        assert ws.n == 12 and int(ws.weights.sum()) == 12
+        assert sorted(ws.weights.tolist()) == [1, 1, 1, 1, 2, 2, 2, 2]
+        assert ws.quantile(1.0) == 90.0
+        sk = deserialize_quantile(blob)
+        assert sk.quantiles([0.0, 1.0]) == [1.0, 90.0]
+        assert sk.n == 12
+
+    def test_weight_mismatch_rejected(self):
+        import struct
+        header = struct.pack("<BBBBHBB", 5, 1, 15, 0, 20, 8, 0)
+        header += struct.pack("<Q", 99)               # wrong n
+        header += struct.pack("<HBB", 20, 1, 0)
+        header += struct.pack("<i", 16)
+        header += struct.pack("<ff", 0.0, 3.0)
+        blob = header + struct.pack("<4f", 0.0, 1.0, 2.0, 3.0)
+        with pytest.raises(ValueError, match="retained weight"):
+            decode_quantile(blob)

@@ -3,6 +3,7 @@ serde round-trips, and error-bound invariants that must hold for ANY input,
 not just the fixtures."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from datasketches_spark_spark.sketches import (
@@ -128,3 +129,54 @@ class TestHllProperties:
             merged.merge(part)
         assert (merged.registers() == whole.registers()).all()
         assert deserialize_any(merged.serialize()).estimate() == whole.estimate()
+
+
+class TestReservoirProperties:
+    @given(vals=floats, splits=st.integers(1, 7), k=st.integers(1, 64))
+    @settings(max_examples=60, deadline=None)
+    def test_merge_of_chunks_preserves_n_and_subset(self, vals, splits, k):
+        from datasketches_spark_spark.sketches import ReservoirSketch
+        arr = np.asarray(vals, dtype=np.float64)
+        chunks = np.array_split(arr, splits)
+        merged = None
+        for c in chunks:
+            sk = ReservoirSketch(k=k)
+            sk.update_batch(c)
+            sk = deserialize_any(sk.serialize())  # states, like Spark would
+            merged = sk if merged is None else merged.merge(sk)
+        assert merged.n == arr.size
+        items = merged.items()
+        assert len(items) == min(arr.size, k)
+        # every retained item came from the stream (multiset containment)
+        from collections import Counter
+        assert not Counter(items) - Counter(arr.tolist())
+        if arr.size <= k:  # exact regime: identity regardless of split
+            assert items == sorted(arr.tolist())
+
+    @given(vals=floats, splits=st.integers(1, 7), k=st.integers(1, 64))
+    @settings(max_examples=60, deadline=None)
+    def test_weighted_merge_deterministic_any_tree(self, vals, splits, k):
+        from datasketches_spark_spark.sketches import WeightedReservoirSketch
+        arr = np.asarray(vals, dtype=np.float64)
+        w = np.abs(arr) + 1.0
+        chunks = np.array_split(np.arange(arr.size), splits)
+        states = []
+        for i, idx in enumerate(chunks):
+            sk = WeightedReservoirSketch(k=k)
+            sk._rng = np.random.default_rng(1000 + i)  # distinct draws
+            sk.update_batch(arr[idx], w[idx])
+            states.append(sk.serialize())
+        # left fold vs right fold must agree item-for-item (strict monoid)
+        def fold(seq):
+            m = None
+            for s in seq:
+                sk = deserialize_any(s)
+                m = sk if m is None else m.merge(sk)
+            return m
+        lf, rf = fold(states), fold(list(reversed(states)))
+        assert lf.items() == rf.items()
+        assert lf.n == rf.n == arr.size
+        # float summation is non-associative: equal to the last few ulps only
+        assert lf.total_weight == pytest.approx(rf.total_weight, rel=1e-12)
+        if arr.size <= k:
+            assert lf.items() == sorted(arr.tolist())
