@@ -48,6 +48,7 @@ from ..sketches import (
     HllSketch,
     ReservoirSketch,
     ThetaSketch,
+    WeightedReservoirSketch,
     hash_series,
     make_quantile_sketch,
 )
@@ -174,6 +175,38 @@ def _reservoir_family(k: int | None, item_type: str) -> _Family:
                    prep, update)
 
 
+def _wreservoir_family(k: int | None, item_type: str) -> _Family:
+    """Two-column family: measure col is (value_col, weight_col); prep
+    receives the two-column pandas sub-frame."""
+    k = k or conf.sample_reservoir_k()
+
+    def prep(pdf: pd.DataFrame):
+        vcol, wcol = pdf.columns[0], pdf.columns[1]
+        w = pd.to_numeric(pdf[wcol], errors="coerce").to_numpy(np.float64)
+        if item_type == ITEM_STR:
+            vals = pdf[vcol].astype(str).to_numpy(object)
+            mask = pdf[vcol].notna().to_numpy()
+        elif item_type == ITEM_LONG:
+            arr = pd.to_numeric(pdf[vcol], errors="coerce")
+            mask = arr.notna().to_numpy()
+            vals = arr.fillna(0).to_numpy(np.int64)
+        else:
+            vals = pd.to_numeric(pdf[vcol], errors="coerce") \
+                     .to_numpy(np.float64)
+            mask = ~np.isnan(vals)
+        return vals, w, mask
+
+    def update(sk, ctx, idx):
+        vals, w, mask = ctx
+        if idx is not None:
+            vals, w, mask = vals[idx], w[idx], mask[idx]
+        if mask.any():
+            sk.update_batch(vals[mask], w[mask])
+
+    return _Family(lambda: WeightedReservoirSketch(k=k, item_type=item_type),
+                   prep, update)
+
+
 def _family(name: str, **params) -> _Family:
     if name in ("quantile", "kll", "req", "mergeable"):
         impl = None if name == "quantile" else name.upper()
@@ -188,6 +221,9 @@ def _family(name: str, **params) -> _Family:
     if name in ("reservoir", "sample"):
         return _reservoir_family(params.get("k"),
                                  params.get("item_type", ITEM_DOUBLE))
+    if name in ("wreservoir", "weighted_sample"):
+        return _wreservoir_family(params.get("k"),
+                                  params.get("item_type", ITEM_DOUBLE))
     raise ValueError(f"unknown sketch family {name!r}")
 
 
@@ -359,6 +395,25 @@ def sample_measure(name: str, col: str, k: int | None = None,
                    k=k, item_type=it)
 
 
+def _measure_input(pdf: pd.DataFrame, m: Measure):
+    """A measure's batch input: one Series, or the two-column sub-frame
+    for (value, weight) measures."""
+    return pdf[list(m.col)] if isinstance(m.col, tuple) else pdf[m.col]
+
+
+def weighted_sample_measure(name: str, col: str, weight_col: str,
+                            k: int | None = None,
+                            item_type: str = "double") -> Measure:
+    """Weight-proportional per-group sample (A-ES weighted reservoir;
+    deterministic top-k merge). Zero/negative/null weights excluded."""
+    from ..functions.sampling import approx_sample_estimate
+    it = (ITEM_LONG if item_type in ("long", "int")
+          else ITEM_STR if item_type in ("str", "string") else ITEM_DOUBLE)
+    return Measure(name, (col, weight_col), "wreservoir",
+                   lambda c: approx_sample_estimate(c, item_type=item_type),
+                   k=k, item_type=it)
+
+
 def sketch_partial_multi(df: DataFrame, keys: list[str],
                          measures: list[Measure],
                          max_groups: int = 100_000) -> DataFrame:
@@ -368,7 +423,9 @@ def sketch_partial_multi(df: DataFrame, keys: list[str],
     ``sketch_partial`` per measure this scans the source once instead of M
     times and shuffles one state row per group instead of M."""
     fams = [(m, _family(m.family, **m.params)) for m in measures]
-    cols = list(dict.fromkeys([*keys, *(m.col for m in measures)]))
+    cols = list(dict.fromkeys(
+        [*keys, *(c for m in measures
+                  for c in (m.col if isinstance(m.col, tuple) else (m.col,)))]))
     src = df.select(*cols)
     fields = [src.schema[k] for k in keys]
     state_cols = [f"{m.name}__state" for m in measures]
@@ -394,9 +451,9 @@ def sketch_partial_multi(df: DataFrame, keys: list[str],
                     sks = groups[()] = [fam.make() for _, fam in fams]
                     originals[()] = ()
                 for j, (m, fam) in enumerate(fams):
-                    fam.update_series(sks[j], pdf[m.col])
+                    fam.update_series(sks[j], _measure_input(pdf, m))
                 continue
-            ctxs = [fam.prep(pdf[m.col]) for m, fam in fams]
+            ctxs = [fam.prep(_measure_input(pdf, m)) for m, fam in fams]
             for hk, kv, idx in _iter_groups(pdf, keys):
                 sks = groups.get(hk)
                 if sks is None:

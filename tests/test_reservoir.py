@@ -267,3 +267,38 @@ class TestWeightedReservoir:
         """).collect()
         assert row["n"] == 50
         assert row["kept"] == list(range(50, 100))
+
+
+class TestTwoPhaseWeighted:
+    def test_weighted_sample_measure_exact_regime(self, spark):
+        from datasketches_spark_spark.operators import (
+            percentile_measure, sketch_grouped_agg, weighted_sample_measure)
+        df = spark.range(0, 300, 1, 8).select(
+            (F.col("id") % 3).alias("g"),
+            F.col("id").alias("v"),
+            F.when(F.col("id") < 150, F.lit(0.0))
+             .otherwise(F.lit(1.5)).alias("w"))
+        # mixed with a single-column measure in the same one-pass scan
+        out = sketch_grouped_agg(
+            df, ["g"],
+            weighted_sample_measure("kept", "v", "w", k=1000,
+                                    item_type="long"),
+            percentile_measure("p50", "v", 0.5, impl="MERGEABLE",
+                               k=4096)).orderBy("g")
+        rows = out.collect()
+        assert [r["g"] for r in rows] == [0, 1, 2]
+        for r in rows:
+            assert r["kept"] == [x for x in range(150, 300) if x % 3 == r["g"]]
+            assert r["p50"] is not None
+
+    def test_plan_partial_before_exchange(self, spark):
+        import re
+        from datasketches_spark_spark.operators import (
+            sketch_grouped_agg, weighted_sample_measure)
+        df = spark.range(0, 1000, 1, 4).select(
+            (F.col("id") % 5).alias("g"), F.col("id").alias("v"),
+            F.lit(1.0).alias("w"))
+        out = sketch_grouped_agg(
+            df, ["g"], weighted_sample_measure("s", "v", "w", k=16))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
