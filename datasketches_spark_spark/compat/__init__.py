@@ -13,6 +13,7 @@ from .datasketches import (
     decode_freqitems,
     decode_quantile,
     is_datasketches,
+    to_datasketches_state,
     to_engine_sketch,
     to_engine_state,
 )
@@ -38,8 +39,28 @@ def import_datasketches_state(col, item_type: str = "auto"):
     return conv(_c(col) if isinstance(col, str) else col)
 
 
+def export_datasketches_state(col):
+    """Column fn: engine state bytes -> Apache DataSketches wire bytes
+    (null -> null). Exact-regime quantile and frequent-items states only;
+    raises on compacted or non-exportable families so an export job never
+    silently drops states."""
+    import pandas as pd
+    from pyspark.sql.functions import col as _c, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def conv(states: pd.Series) -> pd.Series:
+        out = [None if blob is None
+               else to_datasketches_state(bytes(blob)) for blob in states]
+        return pd.Series(out, dtype=object)
+
+    return conv(_c(col) if isinstance(col, str) else col)
+
+
 __all__ = [
+    "export_datasketches_state",
     "import_datasketches_state",
+    "to_datasketches_state",
     "WeightedSample",
     "decode_distinct",
     "decode_freqitems",

@@ -397,3 +397,118 @@ def to_engine_sketch(data: bytes, item_type: str = "auto"):
 def to_engine_state(data: bytes) -> bytes:
     """One-shot migration: DataSketches bytes -> engine wire format."""
     return to_engine_sketch(data).serialize()
+
+
+# ----------------------------------------------- export (engine -> wire)
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise NotImplementedError(msg)
+
+
+def encode_kll_floats(sk) -> bytes:
+    """Engine KLL float32 state (exact regime) -> DataSketches KLL-floats
+    compact image. Byte-identical to the Java library's output for the
+    same input stream: level-0 items are serialized in REVERSE insertion
+    order (the library fills the items array from the top down), at
+    absolute positions [k-n, k)."""
+    sk._consolidate()
+    _require(sk.is_exact(),
+             "only exact-regime (uncompacted) KLL states export to the "
+             "DataSketches wire format; estimate/combine them here instead")
+    lvl0 = np.asarray(sk._levels[0], dtype=np.float32)
+    n = int(sk.n)
+    _require(0 < n <= sk.k, "export needs 0 < n <= k retained items")
+    head = struct.pack("<BBBBHBB", 5, 1, _FAMILY_KLL, 0, sk.k, 8, 0)
+    head += struct.pack("<Q", n)
+    head += struct.pack("<HBB", sk.k, 1, 0)          # minK, numLevels, pad
+    head += struct.pack("<i", sk.k - n)              # levels[0]
+    head += struct.pack("<ff", float(lvl0.min()), float(lvl0.max()))
+    return head + lvl0[::-1].tobytes()
+
+
+def encode_doubles(sk) -> bytes:
+    """Engine MERGEABLE (KLL core, float64) exact state -> classic
+    DoublesSketch compact image (base buffer only, insertion order)."""
+    sk._consolidate()
+    _require(sk.is_exact(),
+             "only exact-regime states export to the DoublesSketch format")
+    items = np.asarray(sk._levels[0], dtype=np.float64)
+    n = int(sk.n)
+    k = min(sk.k, 32_768)  # DoublesSketch k is u16; engine k may exceed it
+    _require(0 < n < 2 * k, "export needs 0 < n < 2k (base-buffer regime)")
+    head = struct.pack("<BBBBHH", 2, 3, _FAMILY_QUANTILES, 0, k, 0)
+    head += struct.pack("<Q", n)
+    head += struct.pack("<dd", float(items.min()), float(items.max()))
+    return head + items.tobytes()
+
+
+def encode_req_floats(sk) -> bytes:
+    """Engine REQ exact state -> DataSketches REQ raw-items image
+    (insertion order; numRawItems is a u8, so n <= 255)."""
+    sk._consolidate()
+    _require(sk.is_exact(), "only exact-regime REQ states export")
+    items = np.asarray(sk._levels[0], dtype=np.float32)
+    n = int(sk.n)
+    _require(0 < n <= 255, "raw-items REQ export needs 0 < n <= 255")
+    head = struct.pack("<BBBBHBB", 2, 1, _FAMILY_REQ, 0x38, sk.k, 1, n)
+    return head + items.tobytes()
+
+
+def encode_freqitems(sk) -> bytes:
+    """Engine Misra-Gries state -> DataSketches frequent-items image.
+
+    DataSketches carries ONE global offset; the engine tracks per-item
+    error bounds. Exported counts are chosen so every item's ESTIMATE
+    survives the round trip (count_ds = estimate - max_err); per-item
+    lower bounds coarsen to the global-offset model. Item order is this
+    engine's map order — a valid image, not byte-identical to the Java
+    hash-map layout."""
+    from ..sketches.freq import ITEM_STR as _STR
+    items = list(sk._counts)
+    _require(bool(items), "empty frequent-items state has no export")
+    lg_max = max(int(np.log2(max(sk.max_map_size, 8))), 3)
+    need = max(len(items) / 0.75, 8.0)
+    lg_cur = max(int(np.ceil(np.log2(need))), 3)
+    head = struct.pack("<BBBBBBH", 4, 1, _FAMILY_FREQ, lg_max, lg_cur, 0, 0)
+    head += struct.pack("<QQQ", len(items), sk.n, sk._max_err)
+    counts = [sk.estimate(it) - sk._max_err for it in items]
+    _require(all(c >= 0 for c in counts),
+             "inconsistent per-item errors; cannot map to a global offset")
+    body = struct.pack(f"<{len(items)}Q", *counts)
+    parts = [head, body]
+    for it in items:
+        if sk.item_type == _STR:
+            b = str(it).encode("utf-8")
+            parts.append(struct.pack("<I", len(b)) + b)
+        else:
+            parts.append(struct.pack("<q", int(it)))
+    return b"".join(parts)
+
+
+def to_datasketches_state(engine_state: bytes) -> bytes:
+    """Engine wire bytes -> Apache DataSketches wire bytes (the EXPORT
+    direction), for exact-regime states. Quantiles map by value type
+    (float32 KLL -> KLL floats, float64 -> classic DoublesSketch, REQ ->
+    raw-items REQ); frequent items map with the global-offset model.
+    Theta/HLL/reservoir states raise: those formats are either
+    compressed or have no reference analogue."""
+    from ..sketches import deserialize_any
+    from ..sketches.freq import FreqItemsSketch
+    from ..sketches.kll import KllSketch
+    from ..sketches.req import ReqSketch
+
+    sk = deserialize_any(bytes(engine_state))
+    if isinstance(sk, ReqSketch):
+        return encode_req_floats(sk)
+    if isinstance(sk, KllSketch):
+        if sk.dtype == np.dtype("float64"):
+            return encode_doubles(sk)
+        return encode_kll_floats(sk)
+    if isinstance(sk, FreqItemsSketch):
+        return encode_freqitems(sk)
+    raise NotImplementedError(
+        f"{type(sk).__name__} states have no DataSketches export "
+        "(theta/KMV and the engine HLL/reservoir formats are engine-"
+        "specific; for distinct counts use Spark's native hll_sketch_agg, "
+        "whose states ARE DataSketches HLL bytes)")

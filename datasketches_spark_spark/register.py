@@ -301,3 +301,13 @@ def install(spark: SparkSession) -> None:
             dtype=object)
 
     spark.udf.register("import_datasketches_state", _sql_import_state)
+
+    @pandas_udf(BinaryType())
+    def _sql_export_state(states: pd.Series) -> pd.Series:
+        from .compat.datasketches import to_datasketches_state
+        return pd.Series(
+            [None if b is None
+             else to_datasketches_state(bytes(b)) for b in states],
+            dtype=object)
+
+    spark.udf.register("export_datasketches_state", _sql_export_state)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from datasketches_spark_spark.compat import (
     decode_freqitems,
@@ -252,3 +253,88 @@ class TestMultiLevelKll:
         blob = header + struct.pack("<4f", 0.0, 1.0, 2.0, 3.0)
         with pytest.raises(ValueError, match="retained weight"):
             decode_quantile(blob)
+
+
+class TestExport:
+    """The EXPORT direction: exact-regime engine states encode to
+    DataSketches wire bytes, byte-identical to the reference suite's
+    golden vectors for the same input streams."""
+
+    def test_kll_export_matches_golden_bytes(self):
+        from datasketches_spark_spark.compat.datasketches import (
+            encode_kll_floats)
+        sk = KllSketch(k=200, dtype=np.float32)
+        sk.update_batch(np.array([0, 1, 2, 10], np.float32))
+        assert encode_kll_floats(sk) == GOLDEN_KLL
+
+    def test_req_export_matches_golden_bytes(self):
+        from datasketches_spark_spark.compat.datasketches import (
+            encode_req_floats)
+        sk = ReqSketch(k=12)
+        sk.update_batch(np.array([0, 1, 2, 10], np.float32))
+        assert encode_req_floats(sk) == GOLDEN_REQ
+
+    def test_mergeable_export_matches_golden_bytes(self):
+        from datasketches_spark_spark.compat.datasketches import (
+            encode_doubles)
+        sk = KllSketch(k=128, dtype=np.float64)
+        sk.update_batch(np.array([0, 1, 2, 10], np.float64))
+        assert encode_doubles(sk) == GOLDEN_MERGEABLE
+
+    def test_export_import_roundtrip(self):
+        from datasketches_spark_spark.compat import to_datasketches_state
+        sk = KllSketch(k=64, dtype=np.float32)
+        sk.update_batch(np.arange(40, dtype=np.float32))
+        wire = to_datasketches_state(sk.serialize())
+        back = deserialize_quantile(wire)          # import path reads it
+        assert back.quantiles([0.0, 0.5, 1.0]) == [0.0, 19.0, 39.0]
+
+    def test_freq_export_preserves_estimates(self):
+        from datasketches_spark_spark.compat import to_datasketches_state
+        from datasketches_spark_spark.compat.datasketches import (
+            decode_freqitems)
+        sk = FreqItemsSketch(max_map_size=8)
+        sk.update_batch(list("aaabbc") * 10)
+        wire = to_datasketches_state(sk.serialize())
+        rows = dict(decode_freqitems(wire, "string"))
+        assert rows == {"a": 30, "b": 20, "c": 10}
+
+    def test_compacted_state_refuses_export(self):
+        sk = KllSketch(k=8, dtype=np.float32)
+        sk.update_batch(np.arange(10_000, dtype=np.float32))
+        assert not sk.is_exact()
+        with pytest.raises(NotImplementedError, match="exact-regime"):
+            from datasketches_spark_spark.compat import to_datasketches_state
+            to_datasketches_state(sk.serialize())
+
+    def test_theta_state_refuses_export_with_guidance(self):
+        from datasketches_spark_spark.compat import to_datasketches_state
+        from datasketches_spark_spark.sketches import ThetaSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        sk = ThetaSketch(k=64)
+        sk.update_hashes(hash_longs(np.arange(10, dtype=np.int64)))
+        with pytest.raises(NotImplementedError, match="hll_sketch_agg"):
+            to_datasketches_state(sk.serialize())
+
+    def test_sql_export_function(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        spark.range(0, 50, 1, 2).select(
+            F.col("id").cast("double").alias("v")
+        ).createOrReplaceTempView("exp_t")
+        spark.conf.set("spark.sql.dataSketches.quantiles.sketchImpl",
+                       "MERGEABLE")
+        spark.conf.set("spark.sql.dataSketches.quantiles.mergeable.k", "4096")
+        dss.install(spark)
+        try:
+            (row,) = spark.sql("""
+                SELECT export_datasketches_state(
+                         approx_percentile_accumulate(v)) AS wire
+                FROM exp_t""").collect()
+            wire = bytes(row["wire"])
+            assert wire[2] == 8  # classic DoublesSketch family id
+            assert deserialize_quantile(wire).quantiles([1.0]) == [49.0]
+        finally:
+            spark.conf.unset("spark.sql.dataSketches.quantiles.sketchImpl")
+            spark.conf.unset("spark.sql.dataSketches.quantiles.mergeable.k")
+            dss.install(spark)
