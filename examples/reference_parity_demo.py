@@ -92,6 +92,19 @@ def main():
                    import_datasketches_state(state), 0.95) AS p95_migrated
         FROM reference_states
     """).show()
+    # ...and the EXPORT direction: EXACT-REGIME engine states write
+    # DataSketches wire bytes (byte-identical to the reference's golden
+    # vectors on the same inputs), so summaries built here remain
+    # readable by DataSketches tooling elsewhere. Exact regime requires
+    # sketch capacity >= stream size (compacted states refuse to export).
+    spark.conf.set("spark.sql.dataSketches.quantiles.sketchImpl", "MERGEABLE")
+    spark.conf.set("spark.sql.dataSketches.quantiles.mergeable.k", "65536")
+    dss.install(spark)
+    spark.sql("""
+        SELECT export_datasketches_state(
+                 approx_percentile_accumulate(value)) AS ds_wire_state
+        FROM events
+    """).select(F.octet_length("ds_wire_state").alias("wire_bytes")).show()
 
     # --------------- extension: sampling (no reference analogue). Uniform
     # reservoir states ride the same combine; weighted states merge
