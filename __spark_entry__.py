@@ -585,6 +585,41 @@ def _q33_weighted_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         dss.install(spark)
 
 
+def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format interop under the oracle gate: accumulate (MERGEABLE,
+    exact regime) -> EXPORT to Apache DataSketches bytes (classic
+    DoublesSketch image) -> estimate reads the foreign bytes back through
+    the import fallback. The quantile must equal DuckDB's quantile_disc
+    bit-for-bit, proving the export/import cycle is lossless on real
+    data (compat/datasketches.py; golden-vector byte tests in pytest)."""
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark import conf as dconf
+    prev_impl = spark.conf.get(dconf.QUANTILE_IMPL_KEY, None)
+    prev_k = spark.conf.get(dconf.QUANTILE_MERGEABLE_K_KEY, None)
+    spark.conf.set(dconf.QUANTILE_IMPL_KEY, "MERGEABLE")
+    spark.conf.set(dconf.QUANTILE_MERGEABLE_K_KEY, "65536")
+    dss.install(spark)
+    try:
+        read_table(spark, sf_dir, "documents") \
+            .createOrReplaceTempView("documents")
+        return spark.sql("""
+            SELECT lang,
+                   approx_percentile_estimate(
+                     export_datasketches_state(
+                       approx_percentile_accumulate(
+                         CAST(n_chars AS DOUBLE))), 0.5) AS p50_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """)
+    finally:
+        for key, prev in ((dconf.QUANTILE_IMPL_KEY, prev_impl),
+                          (dconf.QUANTILE_MERGEABLE_K_KEY, prev_k)):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        dss.install(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -625,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_weighted_sample": _q31_weighted_sample,
         "q32_reservoir_sql": _q32_reservoir_sql,
         "q33_weighted_reservoir_sql": _q33_weighted_reservoir_sql,
+        "q34_wire_interop": _q34_wire_interop,
     }
 
 
@@ -889,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE list_sort(list(doc_id)) END AS doc_ids,
                    CASE WHEN lang = 'de' THEN NULL
                         ELSE count(*) END AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q34_wire_interop": """
+            SELECT lang,
+                   quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
     }
