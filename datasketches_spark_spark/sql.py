@@ -321,6 +321,13 @@ _ACC_FAMILY = {
     "approx_sample_accumulate": ("reservoir", {"item_type": "double"}),
     "approx_sample_accumulate_long": ("reservoir", {"item_type": "long"}),
     "approx_sample_accumulate_string": ("reservoir", {"item_type": "str"}),
+    # (value, weight) pair aggregates — two measure input columns
+    "approx_sample_weighted_accumulate":
+        ("wreservoir", {"item_type": "double"}),
+    "approx_sample_weighted_accumulate_long":
+        ("wreservoir", {"item_type": "long"}),
+    "approx_sample_weighted_accumulate_string":
+        ("wreservoir", {"item_type": "str"}),
 }
 
 _SKETCH_FUNCS = (set(_QUANTILE_DIRECT) | set(_FREQ_DIRECT)
@@ -429,9 +436,11 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
                 name, col, impl="theta"))
         return
     if fname in _ACC_FAMILY:
-        if len(args) != 1:
-            raise _Unsupported(f"{fname} expects (col)")
         family, params = _ACC_FAMILY[fname]
+        want_args = 2 if family == "wreservoir" else 1
+        if len(args) != want_args:
+            raise _Unsupported(
+                f"{fname} expects {'(col, weight)' if want_args == 2 else '(col)'}")
         if family is None:  # distinct accumulate follows the conf impl,
             # like the registered UDF (register.py)
             impl = conf.distinct_impl(spark)
@@ -441,10 +450,11 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
                 family, params = "hll", {"lgk": conf.distinct_hll_lgk(spark)}
             else:  # CPC name served by the engine HLL at CPC-class lgk
                 family, params = "hll", {"lgk": conf.distinct_cpc_lgk(spark)}
-        if family == "reservoir":
+        if family in ("reservoir", "wreservoir"):
             params = dict(params, k=conf.sample_reservoir_k(spark))
         item.kind = "sketch"
-        item.measure = (args[0], lambda col: Measure(
+        arg_cols = tuple(args) if want_args == 2 else args[0]
+        item.measure = (arg_cols, lambda col: Measure(
             name, col, family, lambda c: c, **params))
         return
     raise _Unsupported(f"unhandled sketch function {fname}")
@@ -533,12 +543,17 @@ def _rewrite(spark: SparkSession, query: str) -> DataFrame:
         if it.kind not in ("sketch", "jvm_col"):
             continue
         colexpr = it.measure[0]
-        ident = _as_ident(colexpr)
-        if ident is None:
-            cname = f"__m{mi}"
-            base = base.withColumn(cname, F.expr(colexpr))
-        else:
-            cname = ident
+        exprs = colexpr if isinstance(colexpr, tuple) else (colexpr,)
+        names = []
+        for ei, ce in enumerate(exprs):
+            ident = _as_ident(ce)
+            if ident is None:
+                cn = f"__m{mi}_{ei}" if len(exprs) > 1 else f"__m{mi}"
+                base = base.withColumn(cn, F.expr(ce))
+            else:
+                cn = ident
+            names.append(cn)
+        cname = tuple(names) if len(names) > 1 else names[0]
         if it.kind == "sketch":
             measures.append(it.measure[1](cname))
         else:

@@ -229,3 +229,29 @@ def test_distinct_accumulate_follows_conf_impl(spark):
         assert isinstance(deserialize_any(bytes(st2)), ThetaSketch)
     finally:
         spark.conf.unset("spark.sql.dataSketches.distinctCnt.sketchImpl")
+
+
+def test_weighted_sample_accumulate_two_arg_measure(spark):
+    from datasketches_spark_spark import functions as dsf
+    df = dss.sql(spark, (
+        "SELECT l_returnflag, count(*) AS n, "
+        "approx_sample_weighted_accumulate_long("
+        "  l_orderkey, CAST(l_quantity AS DOUBLE)) AS st "
+        "FROM lineitem GROUP BY l_returnflag"))
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    rows = df.select("l_returnflag", "n",
+                     dsf.approx_sample_stream_size("st").alias("seen")) \
+             .collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.seen == r.n  # all quantities positive -> all rows seen
+
+
+def test_weighted_sample_accumulate_expression_args(spark):
+    df = dss.sql(spark, (
+        "SELECT approx_sample_weighted_accumulate("
+        "  CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE) + 1.0"
+        ") AS st FROM lineitem"))
+    (row,) = df.collect()
+    assert row.st is not None
