@@ -528,16 +528,19 @@ def _q32_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         read_table(spark, sf_dir, "documents") \
             .createOrReplaceTempView("documents")
+        # accumulate stage through dss.sql -> two-phase (MapInPandas
+        # partials before the exchange; raw rows never shuffle)
+        dss.sql(spark, """
+            SELECT lang, source, approx_sample_accumulate_long(doc_id) AS st
+            FROM documents GROUP BY lang, source
+        """).createOrReplaceTempView("_q32_states")
         return spark.sql("""
             SELECT lang,
                    approx_sample_estimate_long(approx_sample_combine(st))
                      AS doc_ids,
                    approx_sample_stream_size(approx_sample_combine(st))
                      AS n_docs
-            FROM (SELECT lang, source,
-                         approx_sample_accumulate_long(doc_id) AS st
-                  FROM documents GROUP BY lang, source)
-            GROUP BY lang ORDER BY lang
+            FROM _q32_states GROUP BY lang ORDER BY lang
         """)
     finally:
         if prev is None:
@@ -563,19 +566,23 @@ def _q33_weighted_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         read_table(spark, sf_dir, "documents") \
             .createOrReplaceTempView("documents")
+        # two-arg (value, weight) measure through dss.sql: both argument
+        # expressions derive hidden columns, partials run map-side
+        dss.sql(spark, """
+            SELECT lang, source,
+                   approx_sample_weighted_accumulate_long(
+                       doc_id,
+                       CASE WHEN lang = 'de' THEN 0.0
+                            ELSE CAST(n_chars AS DOUBLE) END) AS st
+            FROM documents GROUP BY lang, source
+        """).createOrReplaceTempView("_q33_states")
         return spark.sql("""
             SELECT lang,
                    approx_sample_estimate_long(approx_sample_combine(st))
                      AS doc_ids,
                    approx_sample_stream_size(approx_sample_combine(st))
                      AS n_docs
-            FROM (SELECT lang, source,
-                         approx_sample_weighted_accumulate_long(
-                             doc_id,
-                             CASE WHEN lang = 'de' THEN 0.0
-                                  ELSE CAST(n_chars AS DOUBLE) END) AS st
-                  FROM documents GROUP BY lang, source)
-            GROUP BY lang ORDER BY lang
+            FROM _q33_states GROUP BY lang ORDER BY lang
         """)
     finally:
         if prev is None:

@@ -93,7 +93,10 @@ def sample_est_udf(item_type: str):
                 sk = deserialize_any(bytes(blob))
                 if not isinstance(sk, _SAMPLE_FAMILIES):
                     raise ValueError("not a reservoir sample state")
-                out.append(sk.items())
+                # empty aggregation -> null (family contract; an n=0 state
+                # can reach here via two-phase partials of an all-filtered
+                # group, e.g. every weight zero)
+                out.append(sk.items() if sk.n else None)
             except Exception as e:  # corrupt state -> null (family contract)
                 log.warning("approx_sample_estimate: corrupt state: %s", e)
                 out.append(None)
@@ -114,7 +117,7 @@ def sample_size_udf():
                 sk = deserialize_any(bytes(blob))
                 if not isinstance(sk, _SAMPLE_FAMILIES):
                     raise ValueError("not a reservoir sample state")
-                out.append(int(sk.n))
+                out.append(int(sk.n) if sk.n else None)
             except Exception as e:
                 log.warning("approx_sample_stream_size: corrupt state: %s", e)
                 out.append(None)

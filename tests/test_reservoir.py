@@ -302,3 +302,17 @@ class TestTwoPhaseWeighted:
             df, ["g"], weighted_sample_measure("s", "v", "w", k=16))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
+
+
+class TestEmptyAggregationContract:
+    def test_n_zero_state_estimates_null(self, spark):
+        # an all-zero-weight group reaches estimate as an n=0 state via
+        # two-phase partials; family contract: empty aggregation -> null
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.sketches import WeightedReservoirSketch
+        empty = WeightedReservoirSketch(k=8).serialize()
+        df = spark.createDataFrame([(bytearray(empty),)], "st binary")
+        (row,) = df.select(
+            dsf.approx_sample_estimate("st").alias("items"),
+            dsf.approx_sample_stream_size("st").alias("n")).collect()
+        assert row["items"] is None and row["n"] is None
