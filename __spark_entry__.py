@@ -627,6 +627,44 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         dss.install(spark)
 
 
+def _q35_rank_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/CDF estimation over persisted states (engine extension beyond
+    the reference's quantile+pmf estimate surface). Exact regime: rank =
+    exact-weight fraction with value <= x, so DuckDB reproduces it as
+    avg(CASE ...) — the same integer count divided by the same n."""
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark import conf as dconf
+    prev_impl = spark.conf.get(dconf.QUANTILE_IMPL_KEY, None)
+    prev_k = spark.conf.get(dconf.QUANTILE_MERGEABLE_K_KEY, None)
+    spark.conf.set(dconf.QUANTILE_IMPL_KEY, "MERGEABLE")
+    spark.conf.set(dconf.QUANTILE_MERGEABLE_K_KEY, "262144")
+    dss.install(spark)
+    try:
+        read_table(spark, sf_dir, "lineitem") \
+            .createOrReplaceTempView("lineitem")
+        dss.sql(spark, """
+            SELECT l_returnflag,
+                   approx_percentile_accumulate(CAST(l_quantity AS DOUBLE))
+                     AS st
+            FROM lineitem GROUP BY l_returnflag
+        """).createOrReplaceTempView("_q35_states")
+        return spark.sql("""
+            SELECT l_returnflag,
+                   approx_rank_estimate(st, 25.0D) AS rank_25,
+                   approx_cdf_estimate(st, array(10.0D, 30.0D, 40.0D))
+                     AS cdf_vals
+            FROM _q35_states ORDER BY l_returnflag
+        """)
+    finally:
+        for key, prev in ((dconf.QUANTILE_IMPL_KEY, prev_impl),
+                          (dconf.QUANTILE_MERGEABLE_K_KEY, prev_k)):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        dss.install(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -668,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_reservoir_sql": _q32_reservoir_sql,
         "q33_weighted_reservoir_sql": _q33_weighted_reservoir_sql,
         "q34_wire_interop": _q34_wire_interop,
+        "q35_rank_cdf": _q35_rank_cdf,
     }
 
 
@@ -938,5 +977,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q35_rank_cdf": """
+            SELECT l_returnflag,
+                   avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 25.0
+                            THEN 1.0 ELSE 0.0 END) AS rank_25,
+                   [avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 10.0
+                             THEN 1.0 ELSE 0.0 END),
+                    avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 30.0
+                             THEN 1.0 ELSE 0.0 END),
+                    avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 40.0
+                             THEN 1.0 ELSE 0.0 END),
+                    1.0] AS cdf_vals
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }
