@@ -281,7 +281,8 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
     key; the cost is only extra (still state-sized, not raw-sized) shuffle
     rows on pathological key distributions."""
     fam = _family(family, **params)
-    src = df.select(*keys, col)
+    in_cols = list(col) if isinstance(col, tuple) else [col]
+    src = df.select(*keys, *in_cols)
     fields = [src.schema[k] for k in keys]
     out_schema = StructType(fields + [StructField(state_col, BinaryType())])
 
@@ -302,11 +303,12 @@ def sketch_partial(df: DataFrame, keys: list[str], col: str,
                 if sk is None:
                     sk = sketches[()] = fam.make()
                     originals[()] = ()
-                fam.update_series(sk, pdf[col])
+                fam.update_series(sk, pdf[in_cols] if len(in_cols) > 1
+                                  else pdf[col])
                 continue
             # prep the whole batch column once (vectorized); per group only
             # a numpy position slice + one sketch call
-            ctx = fam.prep(pdf[col])
+            ctx = fam.prep(pdf[in_cols] if len(in_cols) > 1 else pdf[col])
             for hk, kv, idx in _iter_groups(pdf, keys):
                 sk = sketches.get(hk)
                 if sk is None:

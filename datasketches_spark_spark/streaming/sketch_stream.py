@@ -62,7 +62,8 @@ def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
     (``n`` = rows folded in so far). The state blob is the same wire format
     as batch accumulate — estimate/combine functions apply unchanged."""
     fam = _family(family, **params)
-    src = df.select(*keys, col)
+    in_cols = list(col) if isinstance(col, tuple) else [col]
+    src = df.select(*keys, *in_cols)
     key_fields = [src.schema[k] for k in keys]
     out_schema = StructType(key_fields + [
         StructField(state_col, BinaryType()),
@@ -78,7 +79,10 @@ def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
         else:
             sk, n = fam.make(), 0
         for pdf in pdfs:
-            vals = pdf[col].dropna()
+            if len(in_cols) > 1:  # (value, weight) family: sub-frame input
+                vals = pdf[in_cols].dropna(subset=in_cols[:1])
+            else:
+                vals = pdf[col].dropna()
             n += len(vals)
             fam.update_series(sk, vals)
         blob = sk.serialize()

@@ -316,3 +316,54 @@ class TestEmptyAggregationContract:
             dsf.approx_sample_estimate("st").alias("items"),
             dsf.approx_sample_stream_size("st").alias("n")).collect()
         assert row["items"] is None and row["n"] is None
+
+class TestPairColumnOperators:
+    """(value, weight) column pairs through the single-measure operators."""
+
+    def test_sketch_accumulate_weighted_pair_col(self, spark):
+        # single-measure operators accept (value, weight) column pairs too
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.operators import sketch_accumulate
+        df = spark.range(0, 200, 1, 4).select(
+            (F.col("id") % 2).alias("g"), F.col("id").alias("v"),
+            F.when(F.col("id") < 100, F.lit(0.0)).otherwise(F.lit(1.0))
+             .alias("w"))
+        out = sketch_accumulate(df, ["g"], ("v", "w"), family="wreservoir",
+                                k=1000, item_type="long")
+        rows = out.select("g", dsf.approx_sample_estimate(
+            "state", item_type="long").alias("kept")).collect()
+        got = {r["g"]: r["kept"] for r in rows}
+        for g in (0, 1):
+            assert got[g] == [x for x in range(100, 200) if x % 2 == g]
+
+    def test_streaming_weighted_pair_col(self, spark, tmp_path):
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream)
+        src = str(tmp_path / "wsrc")
+        ckpt = str(tmp_path / "wckpt")
+        df = spark.range(0, 100, 1, 4).select(
+            (F.col("id") % 2).alias("g"), F.col("id").alias("v"),
+            F.when(F.col("id") < 50, F.lit(0.0)).otherwise(F.lit(2.0))
+             .alias("w"))
+        df.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = sketch_accumulate_stream(stream, ["g"], ("v", "w"),
+                                       family="wreservoir", k=1000,
+                                       item_type="long")
+        q = (out.writeStream.format("memory").queryName("wresv_stream")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        final = spark.sql("""
+            SELECT g, state FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY g ORDER BY n DESC) rn FROM wresv_stream
+            ) WHERE rn = 1""")
+        rows = final.select("g", dsf.approx_sample_estimate(
+            "state", item_type="long").alias("kept")).collect()
+        got = {r["g"]: r["kept"] for r in rows}
+        for g in (0, 1):
+            assert got[g] == [x for x in range(50, 100) if x % 2 == g]
