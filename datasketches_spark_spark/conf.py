@@ -35,6 +35,7 @@ DISTINCT_IMPL_KEY = f"{_PREFIX}.distinctCnt.sketchImpl"
 DISTINCT_CPC_LGK_KEY = f"{_PREFIX}.distinctCnt.cpc.lgK"
 DISTINCT_HLL_LGK_KEY = f"{_PREFIX}.distinctCnt.hll.lgK"
 SAMPLE_RESERVOIR_K_KEY = f"{_PREFIX}.sampling.reservoir.k"
+QUANTILE_RANK_RULE_KEY = f"{_PREFIX}.quantiles.rankRule"
 
 DEFAULTS = {
     QUANTILE_IMPL_KEY: "REQ",          # DataSketchConf.scala:36-41
@@ -46,6 +47,12 @@ DEFAULTS = {
     DISTINCT_CPC_LGK_KEY: "11",        # :80-85
     DISTINCT_HLL_LGK_KEY: "12",        # :87-92
     SAMPLE_RESERVOIR_K_KEY: "1024",    # extension (no reference analogue)
+    # "disc" = SQL quantile_disc (engine contract, DuckDB-oracle-checked);
+    # "exclusive" = DataSketches v2 getQuantile rule the reference
+    # inherits (its suite pins p50 of {0,1,2,10} = 2,
+    # ApproximateQuerySuite.scala:32-49) — set it to reproduce reference
+    # answers bit-for-bit when migrating.
+    QUANTILE_RANK_RULE_KEY: "disc",
 }
 
 QUANTILE_IMPLS = ("KLL", "REQ", "MERGEABLE")
@@ -104,6 +111,14 @@ def distinct_theta_k(spark=None) -> int:
 
 def distinct_hll_lgk(spark=None) -> int:
     return int(get_conf(DISTINCT_HLL_LGK_KEY, spark))
+
+
+def quantile_rank_rule(spark=None) -> str:
+    v = get_conf(QUANTILE_RANK_RULE_KEY, spark).lower()
+    if v not in ("disc", "exclusive"):
+        raise ValueError(
+            f"{QUANTILE_RANK_RULE_KEY} must be 'disc' or 'exclusive', got {v}")
+    return v
 
 
 def sample_reservoir_k(spark=None) -> int:

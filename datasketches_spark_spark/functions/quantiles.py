@@ -53,7 +53,8 @@ def _direct(col, percentage, impl: str | None, k: int | None,
             output_type=None) -> Column:
     ps, multi = validate_percentage(percentage)
     impl, k, dtype = _resolve(impl, k)
-    udf = quantile_direct_udf(impl, k, dtype, ps, multi)
+    udf = quantile_direct_udf(impl, k, dtype, ps, multi,
+                              rule=conf.quantile_rank_rule())
     out = udf(_col(col).cast("double"))
     if output_type is not None:
         out = out.cast(output_type)
@@ -94,9 +95,11 @@ def approx_percentile_combine(col) -> Column:
 
 
 def approx_percentile_estimate(col, percentage) -> Column:
-    """Decode a state and return quantile(s); output is always double."""
+    """Decode a state and return quantile(s); output is always double.
+    Rank rule from conf ``quantiles.rankRule`` (disc | exclusive)."""
     ps, multi = validate_percentage(percentage)
-    return quantile_est_udf(ps, multi)(_col(col))
+    return quantile_est_udf(ps, multi,
+                            rule=conf.quantile_rank_rule())(_col(col))
 
 
 def approx_pmf_estimate(col, num_splits: int = 9) -> Column:

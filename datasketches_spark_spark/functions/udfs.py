@@ -60,6 +60,10 @@ def validate_percentage(percentage):
     rules (``quantileSketches.scala:176-194``). Returns (list[float], is_multi).
     """
     if isinstance(percentage, (list, tuple, np.ndarray)):
+        if any(p is None for p in percentage):
+            # reference: "Percentage value must not be null"
+            # (quantileSketches.scala:176-184)
+            raise ValueError("percentage value must not be null")
         ps = [float(p) for p in percentage]
         multi = True
     elif isinstance(percentage, (int, float)) and not isinstance(percentage, bool):
@@ -113,7 +117,7 @@ def quantile_acc_udf(impl: str, k: int, dtype):
 
 
 def quantile_direct_udf(impl: str, k: int, dtype, percentages: list[float],
-                        multi: bool):
+                        multi: bool, rule: str = "disc"):
     """GROUPED_AGG: numeric values -> quantile estimate(s) directly."""
     rt = ArrayType(DoubleType(), containsNull=False) if multi else DoubleType()
 
@@ -125,7 +129,7 @@ def quantile_direct_udf(impl: str, k: int, dtype, percentages: list[float],
                 return None
             sk = make_quantile_sketch(impl, k, dtype)
             sk.update_batch(arr)
-            return sk.quantiles(percentages)
+            return sk.quantiles(percentages, rule=rule)
     else:
         @pandas_udf(rt)
         def direct(v: pd.Series) -> float:
@@ -134,12 +138,13 @@ def quantile_direct_udf(impl: str, k: int, dtype, percentages: list[float],
                 return None
             sk = make_quantile_sketch(impl, k, dtype)
             sk.update_batch(arr)
-            return sk.quantile(percentages[0])
+            return sk.quantile(percentages[0], rule=rule)
 
     return direct
 
 
-def quantile_est_udf(percentages: list[float], multi: bool):
+def quantile_est_udf(percentages: list[float], multi: bool,
+                     rule: str = "disc"):
     """Scalar: binary state -> double (or array<double>). Always double-typed,
     matching the reference (``quantileSketches.scala:601-605``)."""
     rt = ArrayType(DoubleType(), containsNull=False) if multi else DoubleType()
@@ -153,7 +158,7 @@ def quantile_est_udf(percentages: list[float], multi: bool):
                 continue
             try:
                 sk = deserialize_quantile(bytes(blob))
-                qs = sk.quantiles(percentages)
+                qs = sk.quantiles(percentages, rule=rule)
                 out.append(None if qs is None else (qs if multi else qs[0]))
             except Exception as e:  # corrupt state -> null (reference parity)
                 log.warning("approx_percentile_estimate: corrupt state: %s", e)

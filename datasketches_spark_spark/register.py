@@ -76,21 +76,21 @@ def _named_validate(name: str, validator, arg):
         raise ValueError(f"{name}: {e}") from None
 
 
-def _sql_quantile_scalar(impl: str, k: int, dtype, name: str):
+def _sql_quantile_scalar(impl: str, k: int, dtype, name: str, rule: str):
     @pandas_udf(DoubleType())
     def f(v: pd.Series, p: pd.Series) -> float:
         ps, _ = _named_validate(name, validate_percentage, float(p.iloc[0]))
         sk = _build_sketch(v, impl, k, dtype)
-        return None if sk is None else sk.quantile(ps[0])
+        return None if sk is None else sk.quantile(ps[0], rule=rule)
     return f
 
 
-def _sql_quantile_array(impl: str, k: int, dtype, name: str):
+def _sql_quantile_array(impl: str, k: int, dtype, name: str, rule: str):
     @pandas_udf(ArrayType(DoubleType(), containsNull=False))
     def f(v: pd.Series, p: pd.Series) -> list:
         ps, _ = _named_validate(name, validate_percentage, list(p.iloc[0]))
         sk = _build_sketch(v, impl, k, dtype)
-        return None if sk is None else sk.quantiles(ps)
+        return None if sk is None else sk.quantiles(ps, rule=rule)
     return f
 
 
@@ -102,7 +102,7 @@ def _sql_quantile_acc(impl: str, k: int, dtype):
     return f
 
 
-def _sql_quantile_est():
+def _sql_quantile_est(rule: str):
     @pandas_udf(DoubleType())
     def f(states: pd.Series, p: pd.Series) -> pd.Series:
         out = []
@@ -113,14 +113,15 @@ def _sql_quantile_est():
             ps, _ = _named_validate("approx_percentile_estimate",
                                    validate_percentage, float(pct))
             try:
-                out.append(deserialize_quantile(bytes(blob)).quantile(ps[0]))
+                out.append(deserialize_quantile(bytes(blob))
+                           .quantile(ps[0], rule=rule))
             except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
     return f
 
 
-def _sql_quantile_est_array():
+def _sql_quantile_est_array(rule: str):
     @pandas_udf(ArrayType(DoubleType(), containsNull=False))
     def f(states: pd.Series, p: pd.Series) -> pd.Series:
         out = []
@@ -131,7 +132,8 @@ def _sql_quantile_est_array():
             ps, _ = _named_validate("approx_percentile_estimate_array",
                                    validate_percentage, list(pct))
             try:
-                out.append(deserialize_quantile(bytes(blob)).quantiles(ps))
+                out.append(deserialize_quantile(bytes(blob))
+                           .quantiles(ps, rule=rule))
             except Exception:  # corrupt state -> null (reference parity)
                 out.append(None)
         return pd.Series(out, dtype=object)
@@ -204,6 +206,7 @@ def _sql_hll_redirect():
 def install(spark: SparkSession) -> None:
     """Register all engine functions in the session's SQL registry."""
     q_impl = conf.quantile_impl(spark)
+    rule = conf.quantile_rank_rule(spark)
 
     impl_k = {i: conf.quantile_k(i, spark) for i in conf.QUANTILE_IMPLS}
     for name, impl in [("approx_percentile_ex", q_impl),
@@ -211,16 +214,19 @@ def install(spark: SparkSession) -> None:
                        ("approx_percentile_req", "REQ"),
                        ("approx_percentile_mergeable", "MERGEABLE")]:
         k, dt = impl_k[impl], _DTYPES[impl]
-        spark.udf.register(name, _sql_quantile_scalar(impl, k, dt, name))
+        spark.udf.register(name,
+                           _sql_quantile_scalar(impl, k, dt, name, rule))
         spark.udf.register(f"{name}_array",
-                           _sql_quantile_array(impl, k, dt, f"{name}_array"))
+                           _sql_quantile_array(impl, k, dt, f"{name}_array",
+                                               rule))
 
     k, dt = impl_k[q_impl], _DTYPES[q_impl]
     spark.udf.register("approx_percentile_accumulate",
                        _sql_quantile_acc(q_impl, k, dt))
     spark.udf.register("approx_percentile_combine", combine_udf())
-    spark.udf.register("approx_percentile_estimate", _sql_quantile_est())
-    spark.udf.register("approx_percentile_estimate_array", _sql_quantile_est_array())
+    spark.udf.register("approx_percentile_estimate", _sql_quantile_est(rule))
+    spark.udf.register("approx_percentile_estimate_array",
+                       _sql_quantile_est_array(rule))
     spark.udf.register("approx_pmf_estimate", _sql_pmf_est())
     spark.udf.register("approx_rank_estimate", _sql_rank_est())
     spark.udf.register("approx_cdf_estimate", _sql_cdf_est())

@@ -17,9 +17,20 @@ FOCS'16) keeps a hierarchy of levels; items at level ``h`` carry weight
 ``2**h``.  While only level 0 exists (n <= capacity) the sketch is EXACT —
 this engine's correctness queries exploit that regime.
 
-Quantile rank rule (chosen to match ``quantile_disc`` semantics used by the
-DuckDB oracle): ``quantile(p)`` returns the smallest retained value whose
-cumulative weight >= max(ceil(p * n), 1).
+Quantile rank rules (``rule`` parameter on quantile/quantiles):
+
+* ``"disc"`` (default) — SQL ``quantile_disc`` semantics: the smallest
+  retained value whose cumulative weight >= max(ceil(p * n), 1). This is
+  the engine contract and what the DuckDB oracle checks.
+* ``"exclusive"`` — the Apache DataSketches v2 getQuantile rule the
+  reference inherits (its own suite pins it:
+  ``ApproximateQuerySuite.scala:32-49`` expects p50 of {0,1,2,10} = 2):
+  the value at 0-based position floor(p * n), i.e. cumulative weight
+  >= floor(p * n) + 1. The two rules differ by at most one retained rank
+  and converge for large n; conf
+  ``spark.sql.dataSketches.quantiles.rankRule`` selects the default for
+  the function surfaces (reference-migrating users set ``exclusive`` to
+  reproduce their old answers bit-for-bit).
 """
 
 from __future__ import annotations
@@ -126,29 +137,32 @@ class KllSketch:
         order = np.argsort(v, kind="stable")
         return v[order], w[order]
 
-    def quantile(self, p: float) -> float | None:
-        if self.n == 0:
-            return None
+    def _rank_target(self, p: float, rule: str) -> int:
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentage must be in [0, 1], got {p}")
+        if rule == "exclusive":  # DataSketches v2 rule (see module docstring)
+            return int(math.floor(p * self.n)) + 1
+        return max(int(math.ceil(p * self.n)), 1)
+
+    def quantile(self, p: float, rule: str = "disc") -> float | None:
+        if self.n == 0:
+            return None
         v, w = self._weighted_items()
         cum = np.cumsum(w)
-        target = max(int(math.ceil(p * self.n)), 1)
-        idx = int(np.searchsorted(cum, target, side="left"))
+        idx = int(np.searchsorted(cum, self._rank_target(p, rule),
+                                  side="left"))
         idx = min(idx, v.size - 1)
         return float(v[idx])
 
-    def quantiles(self, ps) -> list[float] | None:
+    def quantiles(self, ps, rule: str = "disc") -> list[float] | None:
         if self.n == 0:
             return None
         v, w = self._weighted_items()
         cum = np.cumsum(w)
         out = []
         for p in ps:
-            if not (0.0 <= p <= 1.0):
-                raise ValueError(f"percentage must be in [0, 1], got {p}")
-            target = max(int(math.ceil(p * self.n)), 1)
-            idx = min(int(np.searchsorted(cum, target, side="left")), v.size - 1)
+            idx = min(int(np.searchsorted(cum, self._rank_target(p, rule),
+                                          side="left")), v.size - 1)
             out.append(float(v[idx]))
         return out
 
@@ -168,9 +182,14 @@ class KllSketch:
 
     def pmf(self, num_splits: int) -> list[float] | None:
         """Probability mass over ``num_splits`` equal-width bins spanning
-        [min, max], matching the reference's binning
-        (``quantileSketches.scala:100-104``: splitpoints at
-        ``min + i*(max-min)/numSplits``). Mass uses ``value < splitpoint``.
+        [min, max]: splitpoints at ``min + i*(max-min)/numSplits``, mass
+        uses ``value < splitpoint``. Documented divergence: the
+        reference's wrapper omits the min offset
+        (``quantileSketches.scala:100-103``:
+        ``(1 until numSplits).map(_ * splitSize)`` — bins anchored at 0,
+        which its own suite's ``[0.0, 1.0]`` expectation encodes); this
+        engine anchors at the min, the evident intent, and the q04
+        DuckDB oracle pins it.
         """
         if self.n == 0:
             return None
