@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Accuracy report — the engine vs the reference's published numbers.
+
+The reference README's accuracy story (``/root/reference/README.md``):
+on 2.63M true NDV, Spark's built-in ``approx_count_distinct`` was -7.9%
+off while its CPC sketch came within +0.56%; its quantile/freq-items
+sections show the same summary-accuracy shape. This script reproduces
+those experiments on synthetic data THROUGH THE SPARK SURFACE (the same
+functions a user calls) and prints one JSON line per experiment:
+
+* NDV sweep — built-in ``approx_count_distinct`` vs
+  ``approx_count_distinct_ex`` (CPC-class engine HLL) vs
+  ``approx_count_distinct_theta`` vs Spark's native HLL sketch, at the
+  reference-default configs. Pass = `ex` beats the built-in and stays
+  within CPC-class error (<1%).
+* Quantile rank error — KLL and REQ at reference-default k on a
+  lognormal stream: the true rank of each estimated quantile vs the
+  requested rank. Pass = REQ's high-rank (p99/p999) error ~0; KLL
+  uniform-rank error small.
+* Frequent items — a Zipf stream: every reported estimate must bracket
+  the true count within the Misra-Gries bound n/maxMapSize.
+
+Scale via ``SPARK_GRAFT_ACC_ROWS`` (default 2,000,000 — ~2 min on
+local[8]; the reference's BitcoinHeist experiment is ~2.9M rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark.sources import session_builder
+    from pyspark.sql import functions as F
+
+    rows = int(os.environ.get("SPARK_GRAFT_ACC_ROWS", 2_000_000))
+    spark = (session_builder(master="local[8]", shuffle_partitions=8)
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    dss.install(spark)
+    failures = []
+
+    # ---------------------------------------------------------------- NDV
+    # ~70% distinct ids (like address data: most appear once, some repeat)
+    ndv_df = spark.range(0, rows, 1, 8).select(
+        F.concat(F.lit("addr_"),
+                 F.conv(F.abs(F.xxhash64("id")) % int(rows * 0.7), 10, 16)
+                 ).alias("address"))
+    ndv_df.cache()
+    ndv_df.createOrReplaceTempView("acc_addresses")
+    # mixed JVM + sketch aggregates in one SQL text — the dss.sql split
+    # (plain spark.sql rejects this shape: INVALID_PANDAS_UDF_PLACEMENT)
+    (res,) = dss.sql(spark, """
+        SELECT count(DISTINCT address) AS true_ndv,
+               approx_count_distinct(address) AS builtin,
+               approx_count_distinct_ex(address) AS engine_ex,
+               approx_count_distinct_theta(address) AS engine_theta,
+               hll_sketch_estimate(hll_sketch_agg(address)) AS spark_hll
+        FROM acc_addresses
+    """).collect()
+    true_ndv = res["true_ndv"]
+    errs = {k: (res[k] - true_ndv) / true_ndv * 100
+            for k in ("builtin", "engine_ex", "engine_theta", "spark_hll")}
+    print(json.dumps({
+        "experiment": "ndv", "rows": rows, "true_ndv": true_ndv,
+        "estimates": {k: int(res[k]) for k in errs},
+        "pct_err": {k: round(v, 3) for k, v in errs.items()},
+        "reference_target_pct": 0.56,  # README.md CPC at 2.63M NDV
+    }))
+    # pass criterion is the engine's own CPC-class bound; the built-in
+    # comparison is reported data (a single draw of its ~2-3% RSE can get
+    # lucky — the reference's -7.9% example is one such draw on its side)
+    if abs(errs["engine_ex"]) > 1.0:
+        failures.append(f"engine_ex NDV error {errs['engine_ex']:.2f}% > 1%")
+    ndv_df.unpersist()
+
+    # ----------------------------------------------------- quantile ranks
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(mean=3.0, sigma=1.2, size=rows).astype("float64")
+    vals_sorted = np.sort(vals)
+    vdf = spark.createDataFrame(
+        [(float(x),) for x in vals[:0]], "v double")  # schema only
+    # Arrow-efficient load: via pandas in chunks
+    import pandas as pd
+    vdf = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(8)
+    vdf.cache().count()
+    out = {"experiment": "quantile_rank_error", "rows": rows, "impls": {}}
+    for impl, fn in (("KLL", "approx_percentile_kll"),
+                     ("REQ", "approx_percentile_req")):
+        ps = [0.5, 0.9, 0.99, 0.999]
+        (row,) = vdf.agg(F.expr(
+            f"{fn}_array(v, array({', '.join(map(str, ps))}))")
+            .alias("qs")).collect()
+        rank_errs = {}
+        for p, est in zip(ps, row["qs"]):
+            true_rank = np.searchsorted(vals_sorted, est, side="right") / rows
+            rank_errs[str(p)] = round(float(true_rank - p), 6)
+        out["impls"][impl] = rank_errs
+        worst = max(abs(v) for v in rank_errs.values())
+        if impl == "REQ":
+            hi = max(abs(rank_errs["0.99"]), abs(rank_errs["0.999"]))
+            if hi > 0.005:
+                failures.append(f"REQ high-rank error {hi} > 0.005")
+        elif worst > 0.02:
+            failures.append(f"KLL rank error {worst} > 0.02")
+    print(json.dumps(out))
+    vdf.unpersist()
+
+    # -------------------------------------------------------- freq items
+    zipf = np.minimum(rng.zipf(1.3, size=rows), 10_000).astype("int64")
+    fdf = spark.createDataFrame(pd.DataFrame({"item": zipf})).repartition(8)
+    fdf.cache()
+    true_counts = fdf.groupBy("item").count().orderBy(F.desc("count")) \
+                     .limit(20).collect()
+    true_map = {r["item"]: r["count"] for r in true_counts}
+    (row,) = fdf.agg(F.expr("approx_freqitems_long(item)").alias("top")) \
+                .collect()
+    max_map = 1024  # conf default
+    bound = rows / max_map
+    reported = {e["item"]: e["estimated"] for e in row["top"]}
+    worst_abs = 0
+    for item, est in reported.items():
+        true = true_map.get(item)
+        if true is None:
+            continue
+        worst_abs = max(worst_abs, abs(est - true))
+        if not (true <= est <= true + bound):
+            failures.append(
+                f"freq item {item}: est {est} outside [true, true+n/m] "
+                f"[{true}, {true + bound:.0f}]")
+    print(json.dumps({
+        "experiment": "freq_items", "rows": rows,
+        "reported_items": len(reported),
+        "worst_abs_overcount": int(worst_abs),
+        "mg_bound_n_over_m": int(bound),
+    }))
+
+    print(json.dumps({"experiment": "summary",
+                      "failures": failures or None}))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
