@@ -33,17 +33,19 @@ import sys
 import numpy as np
 
 
-def main() -> int:
+def main(spark=None, rows: int | None = None) -> int:
     import datasketches_spark_spark as dss
     from datasketches_spark_spark.sources import session_builder
     from pyspark.sql import functions as F
 
-    rows = int(os.environ.get("SPARK_GRAFT_ACC_ROWS", 2_000_000))
-    spark = (session_builder(master="local[8]", shuffle_partitions=8)
-             .config("spark.ui.enabled", "false")
-             .config("spark.driver.memory", "8g")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
+    rows = rows or int(os.environ.get("SPARK_GRAFT_ACC_ROWS", 2_000_000))
+    own_session = spark is None
+    if own_session:
+        spark = (session_builder(master="local[8]", shuffle_partitions=8)
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.driver.memory", "8g")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
     dss.install(spark)
     failures = []
 
@@ -144,7 +146,8 @@ def main() -> int:
 
     print(json.dumps({"experiment": "summary",
                       "failures": failures or None}))
-    spark.stop()
+    if own_session:
+        spark.stop()
     return 1 if failures else 0
 
 
