@@ -19,11 +19,16 @@ Quick start::
 
     from datasketches_spark_spark import functions as dsf
     df.agg(dsf.approx_percentile_kll("value", [0.5, 0.95]))
+
+    # Apache DataSketches wire-format interop (reference-state migration):
+    from datasketches_spark_spark import compat
+    df.select(compat.import_datasketches_state("state"))
 """
 
 __version__ = "0.1.0"
 
+from . import compat  # noqa: E402
 from .register import install  # noqa: E402
 from .sql import sql  # noqa: E402
 
-__all__ = ["install", "sql", "__version__"]
+__all__ = ["compat", "install", "sql", "__version__"]
