@@ -534,10 +534,14 @@ def _q32_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT lang, source, approx_sample_accumulate_long(doc_id) AS st
             FROM documents GROUP BY lang, source
         """).createOrReplaceTempView("_q32_states")
+        # doc_ids flattened to a csv string: the driver's canonicalizer
+        # sorts result columns through pandas, which cannot hash list
+        # cells (CORRECTNESS_r03 q32 err) — scalar columns only.
         return spark.sql("""
             SELECT lang,
-                   approx_sample_estimate_long(approx_sample_combine(st))
-                     AS doc_ids,
+                   array_join(transform(
+                       approx_sample_estimate_long(approx_sample_combine(st)),
+                       x -> CAST(x AS STRING)), ',') AS doc_ids,
                    approx_sample_stream_size(approx_sample_combine(st))
                      AS n_docs
             FROM _q32_states GROUP BY lang ORDER BY lang
@@ -576,10 +580,12 @@ def _q33_weighted_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ELSE CAST(n_chars AS DOUBLE) END) AS st
             FROM documents GROUP BY lang, source
         """).createOrReplaceTempView("_q33_states")
+        # flattened like q32 (null state -> null string for 'de')
         return spark.sql("""
             SELECT lang,
-                   approx_sample_estimate_long(approx_sample_combine(st))
-                     AS doc_ids,
+                   array_join(transform(
+                       approx_sample_estimate_long(approx_sample_combine(st)),
+                       x -> CAST(x AS STRING)), ',') AS doc_ids,
                    approx_sample_stream_size(approx_sample_combine(st))
                      AS n_docs
             FROM _q33_states GROUP BY lang ORDER BY lang
@@ -648,12 +654,21 @@ def _q35_rank_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS st
             FROM lineitem GROUP BY l_returnflag
         """).createOrReplaceTempView("_q35_states")
+        # CDF points surfaced as scalar columns (q04's element_at pattern)
+        # so the driver canonicalizer can hash them.
         return spark.sql("""
-            SELECT l_returnflag,
-                   approx_rank_estimate(st, 25.0D) AS rank_25,
-                   approx_cdf_estimate(st, array(10.0D, 30.0D, 40.0D))
-                     AS cdf_vals
-            FROM _q35_states ORDER BY l_returnflag
+            SELECT l_returnflag, rank_25,
+                   element_at(cdf, 1) AS cdf_10,
+                   element_at(cdf, 2) AS cdf_30,
+                   element_at(cdf, 3) AS cdf_40,
+                   element_at(cdf, 4) AS cdf_end
+            FROM (
+              SELECT l_returnflag,
+                     approx_rank_estimate(st, 25.0D) AS rank_25,
+                     approx_cdf_estimate(st, array(10.0D, 30.0D, 40.0D))
+                       AS cdf
+              FROM _q35_states
+            ) ORDER BY l_returnflag
         """)
     finally:
         for key, prev in ((dconf.QUANTILE_IMPL_KEY, prev_impl),
@@ -961,14 +976,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q32_reservoir_sql": """
             SELECT lang,
-                   list_sort(list(doc_id)) AS doc_ids,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
                    count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "q33_weighted_reservoir_sql": """
             SELECT lang,
                    CASE WHEN lang = 'de' THEN NULL
-                        ELSE list_sort(list(doc_id)) END AS doc_ids,
+                        ELSE array_to_string(list_sort(list(doc_id)), ',')
+                   END AS doc_ids,
                    CASE WHEN lang = 'de' THEN NULL
                         ELSE count(*) END AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
@@ -982,13 +998,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 25.0
                             THEN 1.0 ELSE 0.0 END) AS rank_25,
-                   [avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 10.0
-                             THEN 1.0 ELSE 0.0 END),
-                    avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 30.0
-                             THEN 1.0 ELSE 0.0 END),
-                    avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 40.0
-                             THEN 1.0 ELSE 0.0 END),
-                    1.0] AS cdf_vals
+                   avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 10.0
+                            THEN 1.0 ELSE 0.0 END) AS cdf_10,
+                   avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 30.0
+                            THEN 1.0 ELSE 0.0 END) AS cdf_30,
+                   avg(CASE WHEN CAST(l_quantity AS DOUBLE) <= 40.0
+                            THEN 1.0 ELSE 0.0 END) AS cdf_40,
+                   1.0 AS cdf_end
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -211,7 +211,14 @@ def decode_doubles(data: bytes) -> WeightedSample:
     k-item block per set bit j of n/(2k), weight 2^(j+1). COMPACT form:
     only valid levels are stored, in ascending bit order."""
     flags = data[3]
-    if flags & 0x01 or len(data) <= 8:  # EMPTY
+    # Classic-quantiles preamble flag bits differ from KLL's: bit 0 is
+    # BIG_ENDIAN, EMPTY is bit 2 (0x04). A big-endian image must not be
+    # struct-parsed little-endian (and must not decode "empty").
+    if flags & 0x01:
+        raise ValueError(
+            "big-endian DoublesSketch images are not supported (flags bit "
+            "0 set); re-serialize the state little-endian")
+    if flags & 0x04 or len(data) <= 8:  # EMPTY
         return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
     (k,) = struct.unpack_from("<H", data, 4)
     (n,) = struct.unpack_from("<Q", data, 8)

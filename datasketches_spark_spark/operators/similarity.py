@@ -182,16 +182,25 @@ def train_ivf_centroids(corpus: DataFrame, num_cells: int = 16,
     distributed (``ivf_assign``).
 
     ``max_train`` is an ABSOLUTE row cap on the driver-side collect,
-    enforced with ``limit()`` regardless of ``sample_fraction`` — the
-    default fraction of 1.0 must never mean "collect 100 TB to the
-    driver". Raising the cap is an explicit caller decision."""
+    enforced regardless of ``sample_fraction`` — the default fraction of
+    1.0 must never mean "collect 100 TB to the driver". When the cap
+    binds, the capped set is a UNIFORM sample: a bare ``limit()`` would
+    take the leading partitions (ingest-order / domain-sorted bias —
+    k-means centroids trained on one shard of the keyspace), so rows
+    above the cap go through a Bernoulli pre-pass sized ~1.05x the cap
+    and a random-order trim to exactly ``max_train``. Costs one extra
+    count() scan of the vector column; training is a one-off."""
     if max_train < num_cells:
         raise ValueError(
             f"max_train={max_train} must be >= num_cells={num_cells}")
     sample = corpus.select(vec_col)
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    sample = sample.limit(max_train)
+    n = sample.count()
+    if n > max_train:
+        frac = min(1.0, 1.05 * max_train / n)
+        sample = (sample.sample(fraction=frac, seed=seed)
+                  .orderBy(F.rand(seed)).limit(max_train))
     mat = _normalize(np.vstack([np.asarray(r[0]) for r in sample.collect()]))
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(mat.shape[0], size=num_cells, replace=False)]

@@ -25,7 +25,7 @@ import struct
 
 import numpy as np
 
-from .serde import FAMILY_HLL, pack, unpack
+from .serde import FAMILY_HLL, pack, unpack_versioned
 
 
 def _alpha(m: int) -> float:
@@ -118,6 +118,15 @@ class HllSketch:
     # ------------------------------------------------------------------ merge
 
     def merge(self, other: "HllSketch") -> "HllSketch":
+        if not isinstance(other, HllSketch):
+            raise ValueError(
+                f"cannot merge an HLL state with a {type(other).__name__} "
+                "state: distinct-count states accumulated under different "
+                "spark.sql.dataSketches.distinctCnt.sketchImpl settings are "
+                "not mergeable. Re-accumulate one side — use "
+                "approx_count_distinct_accumulate_theta for Theta states, "
+                "or the default approx_count_distinct_accumulate for the "
+                "conf-selected family.")
         if other.lgk != self.lgk:
             raise ValueError(
                 f"cannot merge HLL sketches of different lgk "
@@ -151,9 +160,13 @@ class HllSketch:
         return int(round(est))
 
     # ------------------------------------------------------------------ serde
-    # payload: lgk(u8) | mode(u8: 0=dense, 1=sparse)
-    #          | dense:  2^lgk register bytes
-    #          | sparse: count(u32) + count * u64 hashes
+    # v2 payload: lgk(u8) | mode(u8: 0=dense, 1=sparse)
+    #             | dense:  2^lgk register bytes
+    #             | sparse: count(u32) + count * u64 hashes
+    # v1 payload (pre-sparse-phase states): lgk(u8) | 2^lgk register bytes.
+    # v1 is still decoded: by version byte, plus a length fallback
+    # (len == 1 + 2^lgk) because early sparse-phase builds emitted the v2
+    # layout under version byte 1.
 
     def serialize(self) -> bytes:
         if self._coupons is not None:
@@ -167,9 +180,17 @@ class HllSketch:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "HllSketch":
-        family, payload = unpack(data)
+        family, payload, version = unpack_versioned(data)
         if family != FAMILY_HLL:
             raise ValueError(f"not an HLL state (family={family})")
+        lgk = payload[0]
+        if version == 1 and len(payload) == 1 + (1 << lgk):
+            # legacy dense layout: no mode byte, registers follow lgk
+            sk = cls(lgk=lgk)
+            sk._coupons = None
+            sk._regs = np.frombuffer(payload, dtype=np.uint8,
+                                     count=1 << lgk, offset=1).copy()
+            return sk
         lgk, mode = struct.unpack_from("<BB", payload, 0)
         sk = cls(lgk=lgk)
         if mode == 1:

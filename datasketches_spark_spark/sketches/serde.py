@@ -17,7 +17,12 @@ from __future__ import annotations
 import struct
 
 MAGIC = b"DSSS"
-VERSION = 1
+# v1: original layouts (HLL payload = lgk(u8) + 2^lgk dense registers).
+# v2: HLL payload gained a mode byte after lgk for the sparse coupon
+#     phase; every other family's payload is unchanged. Decoders accept
+#     both versions; writers emit the current VERSION.
+VERSION = 2
+_ACCEPTED_VERSIONS = frozenset({1, 2})
 
 FAMILY_KLL = 1
 FAMILY_FREQ_STR = 2
@@ -38,14 +43,20 @@ def pack(family: int, payload: bytes) -> bytes:
 
 def unpack(data: bytes) -> tuple[int, bytes]:
     """Return (family, payload). Raises ValueError on corrupt input."""
+    family, payload, _ = unpack_versioned(data)
+    return family, payload
+
+
+def unpack_versioned(data: bytes) -> tuple[int, bytes, int]:
+    """Return (family, payload, version) for format-evolution decoders."""
     if data is None or len(data) < _HEADER.size:
         raise ValueError("sketch state too short")
     magic, family, version = _HEADER.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError(f"bad sketch magic: {magic!r}")
-    if version != VERSION:
+    if version not in _ACCEPTED_VERSIONS:
         raise ValueError(f"unsupported sketch version: {version}")
-    return family, data[_HEADER.size:]
+    return family, data[_HEADER.size:], version
 
 
 def family_of(data: bytes) -> int:

@@ -125,6 +125,15 @@ class ThetaSketch:
     # ------------------------------------------------------------------ merge
 
     def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        if not isinstance(other, ThetaSketch):
+            raise ValueError(
+                f"cannot merge a Theta state with a {type(other).__name__} "
+                "state: distinct-count states accumulated under different "
+                "spark.sql.dataSketches.distinctCnt.sketchImpl settings are "
+                "not mergeable. Re-accumulate one side — use "
+                "approx_count_distinct_accumulate_theta for Theta states, "
+                "or the default approx_count_distinct_accumulate for the "
+                "conf-selected family.")
         self.k = min(self.k, other.k)
         self.update_hashes(other._hashes)
         self._hashes = self._hashes[: self.k]

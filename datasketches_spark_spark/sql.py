@@ -612,8 +612,24 @@ def _rewrite(spark: SparkSession, query: str) -> DataFrame:
     if clauses.get("having"):
         result = result.filter(F.expr(_aliased(clauses["having"])))
     if clauses.get("order"):
-        result = result.orderBy(
-            *[_order_col(_aliased(t)) for t in _split_top(clauses["order"])])
+        # ordinal ORDER BY ("ORDER BY 1"): spark.sql resolves it
+        # positionally (spark.sql.orderByOrdinal defaults true); a bare
+        # F.expr("1") would be a constant sort key, silently dropping the
+        # order — substitute the select item's alias, like GROUP BY above.
+        order_items = []
+        for t in _split_top(clauses["order"]):
+            m = _ORDER_ITEM_RE.match(t.strip())
+            head = m.group("expr").strip()
+            if re.fullmatch(r"\d+", head):
+                pos = int(head) - 1
+                if not (0 <= pos < len(items)):
+                    raise _Unsupported("ORDER BY position out of range")
+                tail = t.strip()[len(head):]
+                t = f"`{items[pos].alias}`{tail}"
+                order_items.append(_order_col(t))
+            else:
+                order_items.append(_order_col(_aliased(t)))
+        result = result.orderBy(*order_items)
     if clauses.get("limit"):
         if not re.fullmatch(r"\d+", clauses["limit"].strip()):
             raise _Unsupported("non-literal LIMIT")

@@ -136,6 +136,26 @@ class TestEngineIntegration:
             decode_quantile(bytes(fake))
 
 
+class TestDoublesFlags:
+    def test_empty_is_bit_two_not_bit_zero(self):
+        # Classic-quantiles preamble: bit 0 = BIG_ENDIAN, bit 2 = EMPTY
+        # (ADVICE r3). An empty image flagged 0x04 decodes empty...
+        import struct
+        empty = struct.pack("<BBBBHH", 1, 3, 8, 0x04, 128, 0)
+        ws = decode_quantile(empty + b"\x00" * 8)
+        assert ws.n == 0 and ws.values.size == 0
+
+    def test_big_endian_image_refused(self):
+        # ...and a big-endian-flagged NON-empty image must raise, not
+        # silently struct-parse little-endian (or decode "empty").
+        import struct
+        head = struct.pack("<BBBBHH", 2, 3, 8, 0x01, 2, 0)
+        body = struct.pack("<Q", 1) + struct.pack("<dd", 5.0, 5.0)
+        body += struct.pack("<d", 5.0)
+        with pytest.raises(ValueError, match="big-endian"):
+            decode_quantile(head + body)
+
+
 class TestMultiLevelDoubles:
     def test_two_level_bit_pattern(self):
         # Construct a compact DoublesSketch image: k=2, n=9 ->

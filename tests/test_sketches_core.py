@@ -456,6 +456,47 @@ class TestHllSketch:
         sk.update_hashes(hash_longs(np.arange(100, dtype=np.int64)))
         assert abs(sk.estimate() - 100) <= 3
 
+    def test_legacy_v1_dense_state_still_decodes(self):
+        """Round-2 HLL states (serde v1, payload = lgk + registers, no
+        mode byte) must keep deserializing after the sparse-phase layout
+        change — ADVICE r3: the mode byte landed without a version bump."""
+        import struct
+        import numpy as np
+        from datasketches_spark_spark.sketches import HllSketch
+        from datasketches_spark_spark.sketches.serde import MAGIC, FAMILY_HLL
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        sk = HllSketch(lgk=12)
+        sk.update_hashes(hash_longs(np.arange(50_000, dtype=np.int64)))
+        regs = sk.registers()
+        legacy = (struct.pack("<4sBB", MAGIC, FAMILY_HLL, 1)
+                  + struct.pack("<B", 12) + regs.tobytes())
+        back = HllSketch.deserialize(legacy)
+        assert not back.is_sparse
+        assert back.estimate() == sk.estimate()
+        assert (back.registers() == regs).all()
+        # early sparse-phase builds wrote the v2 layout under version
+        # byte 1 — the length fallback must not misread those either
+        v2_payload = sk.serialize()[6:]
+        mixed = struct.pack("<4sBB", MAGIC, FAMILY_HLL, 1) + v2_payload
+        assert HllSketch.deserialize(mixed).estimate() == sk.estimate()
+        # and current writes are v2
+        assert sk.serialize()[5] == 2
+
+    def test_cross_family_merge_names_migration_path(self):
+        import numpy as np
+        import pytest
+        from datasketches_spark_spark.sketches import HllSketch, ThetaSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        h, t = HllSketch(lgk=12), ThetaSketch(k=1024)
+        h.update_hashes(hash_longs(np.arange(10, dtype=np.int64)))
+        t.update_longs(np.arange(10, dtype=np.int64))
+        with pytest.raises(ValueError,
+                           match="approx_count_distinct_accumulate_theta"):
+            h.merge(t)
+        with pytest.raises(ValueError,
+                           match="approx_count_distinct_accumulate_theta"):
+            t.merge(h)
+
 
 class TestThetaSetOps:
     def test_integer_cut_no_float_roundtrip(self):

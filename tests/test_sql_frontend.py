@@ -114,6 +114,27 @@ def test_having_and_order_by_aggregate_text(spark):
     assert [r.n for r in rows] == sorted([r.n for r in rows], reverse=True)
 
 
+def test_order_by_ordinal(spark):
+    """ORDER BY 1 resolves positionally like spark.sql
+    (spark.sql.orderByOrdinal), not as a constant sort key (ADVICE r3)."""
+    q = ("SELECT l_returnflag, approx_percentile_ex(l_quantity, 0.5) AS p50 "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY 1 DESC")
+    rows = dss.sql(spark, q).collect()
+    flags = [r.l_returnflag for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    # ordinal on the aggregate column too
+    q2 = ("SELECT l_returnflag, count(*) AS n, "
+          "approx_percentile_ex(l_quantity, 0.5) AS p50 FROM lineitem "
+          "GROUP BY l_returnflag ORDER BY 2 DESC")
+    rows2 = dss.sql(spark, q2).collect()
+    assert [r.n for r in rows2] == sorted([r.n for r in rows2], reverse=True)
+    # out-of-range ordinal falls back to spark.sql, which raises its own
+    # analysis error — either way the user sees an error, never silence
+    with pytest.raises(Exception):
+        dss.sql(spark, ("SELECT l_returnflag FROM lineitem "
+                        "GROUP BY l_returnflag ORDER BY 9")).collect()
+
+
 def test_cte_where_and_expression_key(spark):
     q = ("WITH t AS (SELECT * FROM lineitem WHERE l_quantity > 10) "
          "SELECT upper(l_returnflag) AS flag, "

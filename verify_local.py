@@ -70,6 +70,16 @@ def main():
         if sql is None:
             print(f"rows-only {name}: {len(srows)} rows (no oracle)")
             continue
+        # The driver canonicalizes via pandas sort_values over all columns,
+        # which cannot factorize list/map/struct cells (CORRECTNESS_r03
+        # q32/q33/q35 err) — fail loudly here on any nested result type.
+        nested = [f.name for f in sdf.schema.fields
+                  if f.dataType.typeName() in ("array", "map", "struct")]
+        if nested:
+            print(f"FAIL {name}: nested result columns {nested} would break "
+                  "the driver's pandas canonicalizer — flatten them")
+            n_fail += 1
+            continue
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
