@@ -52,11 +52,18 @@ import struct
 
 import numpy as np
 
+_FAMILY_HLL = 7
 _FAMILY_QUANTILES = 8   # classic DoublesSketch
 _FAMILY_FREQ = 10
 _FAMILY_KLL = 15
 _FAMILY_CPC = 16
 _FAMILY_REQ = 17
+
+_HLL_GUIDANCE = (
+    "DataSketches HLL states need no conversion: Spark's native "
+    "hll_sketch_estimate / hll_union_agg read the DataSketches HLL wire "
+    "format (HLL_4/6/8) directly, and approx_count_distinct_estimate "
+    "auto-routes HLL-family bytes to them. Keep the states as-is.")
 
 
 class WeightedSample:
@@ -138,8 +145,8 @@ def is_datasketches(data: bytes) -> bool:
     """Cheap preamble sniff: could these bytes be a DataSketches state?"""
     try:
         return _family_of(bytes(data)) in (
-            _FAMILY_QUANTILES, _FAMILY_FREQ, _FAMILY_KLL, _FAMILY_CPC,
-            _FAMILY_REQ)
+            _FAMILY_HLL, _FAMILY_QUANTILES, _FAMILY_FREQ, _FAMILY_KLL,
+            _FAMILY_CPC, _FAMILY_REQ)
     except ValueError:
         return False
 
@@ -309,12 +316,17 @@ def decode_distinct(data: bytes):
     fam = _family_of(data)
     if fam == _FAMILY_CPC:
         raise NotImplementedError(
-            "CPC states are entropy-compressed (pair-table / sliding-window "
-            "coupon compression); decoding them is a re-implementation of "
-            "the CPC codec and is not supported. Migration paths: "
-            "re-accumulate with approx_count_distinct_accumulate, or export "
-            "HLL states from the reference side — Spark's native "
-            "hll_sketch_estimate reads DataSketches HLL bytes directly.")
+            "CPC states are entropy-compressed (the codec's length-limited "
+            "Huffman tables are library-derived constants, not re-derivable "
+            "from the public format spec); decoding them is a "
+            "re-implementation of the CPC codec and is not supported. "
+            "Migration paths: re-accumulate with "
+            "approx_count_distinct_accumulate, or re-export as HLL on the "
+            "reference side (set "
+            "spark.sql.dataSketches.distinctCnt.sketchImpl=HLL there) — "
+            + _HLL_GUIDANCE)
+    if fam == _FAMILY_HLL:
+        raise NotImplementedError(_HLL_GUIDANCE)
     raise ValueError(f"unsupported distinct-count family id {fam}")
 
 
@@ -396,8 +408,8 @@ def to_engine_sketch(data: bytes, item_type: str = "auto"):
             sk._max_err = int(err_off)
             sk.n = int(stream_len)
         return sk
-    if fam == _FAMILY_CPC:
-        return decode_distinct(data)  # raises NotImplementedError
+    if fam in (_FAMILY_CPC, _FAMILY_HLL):
+        return decode_distinct(data)  # raises NotImplementedError w/ guidance
     raise ValueError(f"unknown DataSketches family id {fam}")
 
 

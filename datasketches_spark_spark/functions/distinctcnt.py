@@ -99,11 +99,31 @@ def approx_count_distinct_combine(col, impl: str | None = None) -> Column:
     return combine_udf()(_col(col))
 
 
+def _is_ds_hll(c: Column) -> Column:
+    """Byte sniff: Apache DataSketches states carry their family id in
+    byte 3 (HLL = 7); the engine's own magic puts 0x53 there. Reference
+    HLL states (``distinctCntSketches.scala:106``,
+    ``toUpdatableByteArray``) and Spark's ``hll_sketch_agg`` output both
+    match."""
+    return F.substring(c, 3, 1) == F.lit(bytes([7]))
+
+
 def approx_count_distinct_estimate(col, impl: str | None = None) -> Column:
-    """Decode a state and return the NDV estimate (LongType)."""
+    """Decode a state and return the NDV estimate (LongType).
+
+    Engine states (Theta / engine-HLL) decode in the Arrow UDF; foreign
+    Apache DataSketches HLL states — a migrating reference user's
+    ``approx_count_distinct_accumulate`` output under
+    ``sketchImpl=HLL``, or any DataSketches HLL_4/6/8 image — route to
+    Spark's JVM ``hll_sketch_estimate``, which reads that wire format
+    natively (CaseWhen evaluates the JVM branch only on matching rows).
+    Combine foreign HLL states with ``impl="HLL"`` (JVM
+    ``hll_union_agg``)."""
     if _impl(impl) == "HLL":
         return F.hll_sketch_estimate(_col(col))
-    return theta_est_udf()(_col(col))
+    c = _col(col)
+    return (F.when(_is_ds_hll(c), F.hll_sketch_estimate(c))
+            .otherwise(theta_est_udf()(c)))
 
 
 def approx_set_jaccard(col_a, col_b) -> Column:

@@ -195,11 +195,14 @@ def _sql_hll_redirect():
     @pandas_udf(LongType())
     def f(v: pd.Series) -> int:
         raise ValueError(
-            "approx_count_distinct_hll is not served by a Python UDF: in SQL "
-            "use Spark's built-in hll_sketch_estimate(hll_sketch_agg(col)), "
-            "or the DataFrame API dsf.approx_count_distinct_hll which routes "
-            "to those built-ins; for the engine's Theta sketch in SQL use "
-            "approx_count_distinct_theta / approx_count_distinct_ex.")
+            "approx_count_distinct_hll is not served by a Python UDF. Run "
+            "the SAME SQL text through dss.sql(spark, query) — the "
+            "documented SQL entry point — which resolves this name to "
+            "Spark's JVM hll_sketch_agg/hll_sketch_estimate built-ins "
+            "(true HLL, partial aggregation). Alternatives: those built-ins "
+            "directly, the DataFrame API dsf.approx_count_distinct_hll, or "
+            "approx_count_distinct_theta / approx_count_distinct_ex for the "
+            "engine's Theta sketch.")
     return f
 
 

@@ -43,6 +43,7 @@ registered-UDF fallback cannot do (a pandas UDF has one fixed return type).
 from __future__ import annotations
 
 import re
+import warnings
 from functools import reduce
 from typing import Callable
 
@@ -650,14 +651,41 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     """
     try:
         return _rewrite(spark, query)
-    except _Unsupported:
+    except _Unsupported as e:
+        _warn_fallback(query, str(e))
         return spark.sql(query)
     except ValueError:
         raise
-    except Exception:
+    except Exception as e:
         # analysis failed under the rewrite (e.g. HAVING over a non-selected
         # aggregate) — let Spark's own path produce the answer or the error
+        _warn_fallback(query, f"rewrite analysis failed: {e}")
         return spark.sql(query)
 
 
-__all__ = ["sql"]
+def _warn_fallback(query: str, reason: str) -> None:
+    """A query carrying engine sketch aggregates that leaves the rewrite
+    grammar silently loses two-phase physics (raw rows shuffle to the
+    aggregating tasks — the registered-UDF path). Surface that: warn with
+    the unsupported clause named, so SQL users learn they left the scale
+    path. Queries without sketch aggregates lose nothing — no warning."""
+    try:
+        called = _called_functions(_strip_comments(query))
+    except _Unsupported:
+        called = _called_functions(query)
+    if not (called & _SKETCH_FUNCS):
+        return
+    warnings.warn(
+        f"dss.sql: query falls back to spark.sql ({reason}); its sketch "
+        "aggregates will run as registered UDFs, shuffling raw rows "
+        "instead of partial sketch states. Restructure to a single-block "
+        "SELECT to keep the two-phase plan.",
+        SketchSqlFallbackWarning, stacklevel=3)
+
+
+class SketchSqlFallbackWarning(UserWarning):
+    """Raised (as a warning) when a sketch-bearing query leaves dss.sql's
+    two-phase rewrite grammar and runs on the raw-shuffle fallback."""
+
+
+__all__ = ["sql", "SketchSqlFallbackWarning"]

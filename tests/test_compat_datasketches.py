@@ -240,6 +240,51 @@ class TestSparkSurface:
         assert sql_row["p95"] == 10.0
 
 
+class TestForeignHllRouting:
+    """Apache DataSketches HLL states (the reference's accumulate output
+    under sketchImpl=HLL; any HLL_4/6/8 image) need no conversion —
+    estimate auto-routes them to Spark's JVM hll_sketch_estimate and
+    combine(impl='HLL') merges them with hll_union_agg."""
+
+    def test_estimate_auto_routes_mixed_table(self, spark):
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.sketches import ThetaSketch
+        foreign = (spark.range(0, 1000)
+                   .agg(F.hll_sketch_agg("id").alias("s"))
+                   .collect()[0].s)
+        assert bytes(foreign)[2] == 7  # DataSketches HLL family id
+        th = ThetaSketch(k=4096)
+        th.update_longs(np.arange(500, dtype=np.int64))
+        df = spark.createDataFrame(
+            [("ds_hll", bytearray(foreign)),
+             ("engine", bytearray(th.serialize()))],
+            "kind string, state binary")
+        rows = {r.kind: r.ndv for r in df.select(
+            "kind",
+            dsf.approx_count_distinct_estimate("state").alias("ndv"))
+            .collect()}
+        assert rows["engine"] == 500            # theta exact regime
+        assert abs(rows["ds_hll"] - 1000) <= 30  # HLL at default lgk
+
+    def test_combine_foreign_states_jvm(self, spark):
+        from datasketches_spark_spark import functions as dsf
+        halves = [
+            spark.range(lo, hi).agg(F.hll_sketch_agg("id").alias("s"))
+            .collect()[0].s
+            for lo, hi in ((0, 600), (400, 1000))]
+        df = spark.createDataFrame([(bytearray(b),) for b in halves],
+                                   "state binary")
+        got = df.agg(dsf.approx_count_distinct_estimate(
+            dsf.approx_count_distinct_combine("state", impl="HLL"))
+            .alias("ndv")).collect()[0].ndv
+        assert abs(got - 1000) <= 30
+
+    def test_hll_family_conversion_raises_with_guidance(self):
+        fake = bytes([2, 1, 7, 12, 0, 0, 0, 0]) + b"\x00" * 8
+        with pytest.raises(NotImplementedError, match="hll_sketch_estimate"):
+            to_engine_sketch(fake)
+
+
 class TestMultiLevelKll:
     def test_two_level_layout(self):
         # Hand-built compact KLL-floats image: k=20, n=12, two levels.

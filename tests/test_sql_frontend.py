@@ -181,6 +181,29 @@ def test_fallback_verbatim(spark):
     assert df.collect()[0].v is None
 
 
+def test_fallback_warns_when_sketch_aggregates_lose_two_phase(spark):
+    """A sketch-bearing query outside the rewrite grammar must warn (it
+    silently moves to the raw-row-shuffle UDF path otherwise); rewritten
+    queries and sketch-free fallbacks must not."""
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    # multi-block (UNION) with a sketch aggregate -> fallback + warning
+    with pytest.warns(SketchSqlFallbackWarning):
+        dss.sql(spark, (
+            "SELECT approx_count_distinct_ex(l_partkey) AS ndv FROM lineitem "
+            "UNION ALL "
+            "SELECT approx_count_distinct_ex(l_suppkey) FROM lineitem"))
+    # rewritten single-block query -> no warning
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        dss.sql(spark, ("SELECT approx_count_distinct_ex(l_partkey) AS ndv "
+                        "FROM lineitem"))
+    # sketch-free fallback -> no warning either
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        dss.sql(spark, "SELECT 1 AS one UNION ALL SELECT 2")
+
+
 def test_eager_validation_before_any_job(spark):
     with pytest.raises(ValueError, match="approx_percentile_ex"):
         dss.sql(spark, ("SELECT approx_percentile_ex(l_quantity, 1.5) "
