@@ -274,13 +274,29 @@ def _q17_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs via the blocked self-join GEMM
-    (bounded executor memory; no driver collect). Output is integer ids
-    only — float cosines stay internal so summation order can't flip the
-    hash."""
+    """Embedding near-dup pairs via the RHP-LSH-prefiltered exact re-rank
+    (operators/similarity.py::cosine_pairs prefilter="rhp") — the 100-TB
+    path: banded signatures -> bucket-local candidate join -> exact JVM
+    cosine, never a block self-join over the corpus. The corpus is the
+    embeddings table plus a deterministic near-dup twin for every even
+    vec_id (component 0 scaled 1.02 in float64 -> cosine >= 0.9999 to its
+    original, while unrelated pairs stay <= ~0.52), so threshold 0.98
+    separates with huge margin on both sides; rhp_plan sizes the banding
+    for per-pair miss <= 1e-9 AT the threshold (~1e-80 for the actual
+    twins), so the LSH output equals the exact self-join oracle. Output
+    is integer ids only — cosines stay internal."""
     from datasketches_spark_spark.operators import cosine_pairs
-    emb = read_table(spark, sf_dir, "embeddings")
-    return (cosine_pairs(emb, threshold=0.45, block_size=4096)
+    emb = read_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    twins = (emb.where(F.col("vec_id") % 2 == 0)
+             .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                     F.transform(
+                         "embedding",
+                         lambda x, i: F.when(i == 0, x * 1.02).otherwise(x))
+                     .alias("embedding")))
+    corpus = emb.unionByName(twins)
+    return (cosine_pairs(corpus, threshold=0.98, prefilter="rhp")
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 
@@ -845,10 +861,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bg ORDER BY estimated DESC, item LIMIT 10
         """,
         "q18_embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            WITH c AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_prepend(CAST(embedding AS DOUBLE[])[1] * 1.02,
+                                  CAST(embedding AS DOUBLE[])[2:])
+              FROM embeddings WHERE vec_id % 2 = 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM c a JOIN c b ON a.id < b.id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.98
             ORDER BY id_a, id_b
         """,
         "q19_ann_topk": """

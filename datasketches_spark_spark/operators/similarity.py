@@ -105,11 +105,67 @@ def cosine_topk(corpus: DataFrame, queries: list[tuple], k: int = 5,
             .select("query_id", "rank", "neighbor_id"))
 
 
+def rhp_plan(threshold: float, per_pair_miss: float = 1e-9,
+             max_tables: int = 64, max_bits: int = 24) -> tuple[int, int]:
+    """Auto-tune RHP-LSH banding for an exact-recall-target prefilter.
+
+    For random-hyperplane signatures, a pair at cosine t agrees on one
+    bit with probability ``p = 1 - acos(t)/pi`` (Charikar, STOC'02), so
+    a b-bit table catches it w.p. ``p^b`` and T tables miss it w.p.
+    ``(1 - p^b)^T``. Returns the most selective ``(num_bits,
+    num_tables)`` whose miss probability at the CONTRACT threshold is
+    <= ``per_pair_miss`` within ``max_tables`` — pairs above the
+    threshold are caught with correspondingly higher probability.
+
+    Raises when no such plan exists: at low thresholds the bit-agreement
+    gap over background pairs (p = 0.5 at cosine 0) vanishes, the bits
+    budget collapses, and the "prefilter" degenerates to enumerating
+    all pairs through a join — strictly worse than the exact blocked
+    GEMM. That regime must use ``prefilter=None``."""
+    import math
+    t = min(max(float(threshold), -1.0), 1.0)
+    p_bit = 1.0 - math.acos(t) / math.pi
+    if 0.0 < per_pair_miss < 1.0 and p_bit < 1.0:
+        for bits in range(max_bits, 3, -1):
+            p_table = p_bit ** bits
+            tables = math.ceil(math.log(per_pair_miss)
+                               / math.log(1.0 - p_table))
+            if tables <= max_tables:
+                return bits, tables
+    if p_bit >= 1.0:
+        return max_bits, 1  # exact duplicates: any single table catches them
+    raise ValueError(
+        f"threshold {threshold} is too low for an RHP prefilter: reaching "
+        f"per-pair miss <= {per_pair_miss} needs more than {max_tables} "
+        "tables even at 4 bits, at which point background pairs collide "
+        "almost surely and the candidate set approaches all pairs. Use the "
+        "exact blocked path (prefilter=None) for low-threshold pair "
+        "enumeration.")
+
+
 def cosine_pairs(corpus: DataFrame, threshold: float,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 block_size: int = 4096) -> DataFrame:
-    """Exact pairs with cosine >= threshold via a blocked self-join
-    (id_a < id_b). Executor memory per task is two blocks of vectors."""
+                 block_size: int = 4096, prefilter: str | None = None,
+                 per_pair_miss: float = 1e-9, seed: int = 0xA11CE,
+                 max_bucket: int = 4096) -> DataFrame:
+    """Pairs with cosine >= threshold (id_a < id_b).
+
+    ``prefilter=None`` (default): exact blocked self-join — O(n²/2)
+    GEMM work distributed over block pairs, the right contract for LOW
+    thresholds where nothing prunes. ``prefilter="rhp"``: banded
+    random-hyperplane LSH candidates re-ranked exactly (JVM cosine) —
+    the 100-TB path for true near-dup thresholds; ``rhp_plan`` sizes the
+    banding so a pair at the contract threshold is missed w.p. <=
+    ``per_pair_miss`` (pairs above it far more rarely), and refuses
+    thresholds where LSH cannot prune. Candidate buckets larger than
+    ``max_bucket`` are dropped (star-expansion guard, as in the MinHash
+    dedup operator) — safe for near-dup use because a genuinely huge
+    near-identical cluster still pairs up through its other tables."""
+    if prefilter == "rhp":
+        return _rhp_prefiltered_pairs(corpus, threshold, id_col, vec_col,
+                                      per_pair_miss, seed, max_bucket)
+    if prefilter is not None:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
     blocked = (corpus.select(F.col(id_col).alias("_bid"),
                              F.col(vec_col).alias("_v"))
                .withColumn("block", (F.col("_bid") / block_size)
@@ -147,6 +203,52 @@ def cosine_pairs(corpus: DataFrame, threshold: float,
                                         "cosine": sims[ii, jj]})
 
     return pairs.mapInPandas(block_gemm, out_schema)
+
+
+def _rhp_prefiltered_pairs(corpus: DataFrame, threshold: float, id_col: str,
+                           vec_col: str, per_pair_miss: float, seed: int,
+                           max_bucket: int) -> DataFrame:
+    """RHP-banded candidates -> exact JVM-cosine re-rank. Same output
+    contract as the exact path up to ``per_pair_miss`` recall; work is
+    (n x tables) signature rows + bucket-local joins, never a block
+    self-join over the corpus."""
+    dim = None
+    first = corpus.select(vec_col).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"id_a {corpus.schema[id_col].dataType.simpleString()}, "
+                f"id_b {corpus.schema[id_col].dataType.simpleString()}, "
+                "cosine double")
+    dim = len(first[0])
+    bits, tables = rhp_plan(threshold, per_pair_miss=per_pair_miss)
+    sig = rhp_signatures(corpus, num_bits=bits, num_tables=tables, dim=dim,
+                         seed=seed, id_col=id_col, vec_col=vec_col)
+    # One shuffle: group each (table, bucket) and explode its i<j pairs
+    # with a pure-JVM nested transform — no self-join, so the signature
+    # UDF runs once, and the star-expansion guard is a free size() filter
+    # (an over-full near-identical cluster still pairs up via its other
+    # tables; max_bucket only bounds the quadratic blowup per bucket).
+    buckets = (sig.groupBy("table", "bucket")
+               .agg(F.collect_list("_id").alias("ids"))
+               .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket)))
+    pair_expr = F.flatten(F.expr(
+        "transform(ids, (x, i) -> "
+        "  transform(slice(ids, i + 2, size(ids)), y -> "
+        "    struct(least(x, y) AS id_a, greatest(x, y) AS id_b)))"))
+    cand = (buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
+    va = corpus.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).cast("array<double>").alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).cast("array<double>").alias("_vb"))
+    scored = cand.join(va, "id_a").join(vb, "id_b")
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("_vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (scored.select("id_a", "id_b",
+                          (dot / (na * nb)).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
 
 
 def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
@@ -268,6 +370,7 @@ def rhp_signatures(corpus: DataFrame, num_bits: int = 16, num_tables: int = 8,
         StructField("bucket", LongType()),
     ])
     weights = (1 << np.arange(num_bits, dtype=np.int64))
+    flat = planes.reshape(num_tables * num_bits, dim)  # one GEMM, all tables
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -275,13 +378,13 @@ def rhp_signatures(corpus: DataFrame, num_bits: int = 16, num_tables: int = 8,
                 continue
             ids = pdf["_id"].to_numpy()
             mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-            frames = []
-            for t in range(num_tables):
-                bits = (mat @ planes[t].T) > 0          # (n, num_bits)
-                buckets = bits.astype(np.int64) @ weights
-                frames.append(pd.DataFrame({
-                    "_id": ids, "table": t, "bucket": buckets}))
-            yield pd.concat(frames, ignore_index=True)
+            bits = ((mat @ flat.T) > 0).astype(np.int64)
+            buckets = bits.reshape(len(ids), num_tables, num_bits) @ weights
+            yield pd.DataFrame({
+                "_id": np.repeat(ids, num_tables),
+                "table": np.tile(np.arange(num_tables, dtype=np.int32),
+                                 len(ids)),
+                "bucket": buckets.reshape(-1)})
 
     return src.mapInPandas(build, out_schema)
 

@@ -148,6 +148,40 @@ class TestSimilarity:
                cosine_pairs(emb, 0.4, block_size=100_000).collect()}
         assert small == big
 
+    def test_rhp_plan_tuning(self):
+        import math
+        from datasketches_spark_spark.operators.similarity import rhp_plan
+        bits, tables = rhp_plan(0.98, per_pair_miss=1e-9)
+        p_bit = 1 - math.acos(0.98) / math.pi
+        assert (1 - p_bit ** bits) ** tables <= 1e-9   # contract holds
+        assert bits >= 12                              # selective banding
+        # low thresholds cannot prune: refuse with exact-path guidance
+        with pytest.raises(ValueError, match="prefilter=None"):
+            rhp_plan(0.45)
+        # exact duplicates need only one table
+        assert rhp_plan(1.0)[1] == 1
+
+    def test_cosine_pairs_prefiltered_equals_exact(self, spark):
+        """prefilter='rhp' must reproduce the exact blocked path on a
+        corpus with true near-dups (planted twins at cosine ~0.9998)."""
+        from datasketches_spark_spark.operators import cosine_pairs
+        rng = np.random.default_rng(42)
+        base = rng.standard_normal((120, 64))
+        twins = base[::2].copy()
+        twins[:, 0] *= 1.02
+        rows = ([(i, [float(x) for x in base[i]]) for i in range(120)]
+                + [(1000 + 2 * j, [float(x) for x in twins[j]])
+                   for j in range(60)])
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {(r.id_a, r.id_b)
+                 for r in cosine_pairs(df, 0.98).collect()}
+        pre = {(r.id_a, r.id_b)
+               for r in cosine_pairs(df, 0.98, prefilter="rhp").collect()}
+        assert exact == pre
+        assert len(exact) == 60  # exactly the planted twin pairs
+        with pytest.raises(ValueError, match="unknown prefilter"):
+            cosine_pairs(df, 0.98, prefilter="bogus")
+
     def test_rhp_ann_recall(self, spark, tables):
         from datasketches_spark_spark.operators import cosine_topk, rhp_ann_topk
         emb = tables["embeddings"]
