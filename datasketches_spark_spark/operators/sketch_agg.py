@@ -473,15 +473,20 @@ def sketch_partial_multi(df: DataFrame, keys: list[str],
 
 
 def sketch_grouped_agg(df: DataFrame, keys: list[str],
-                       *measures: Measure) -> DataFrame:
+                       *measures: Measure,
+                       max_groups: int = 100_000) -> DataFrame:
     """Grouped sketch aggregation with the scale-correct physics: map-side
     partial sketches (``mapInPandas``), a state-only shuffle, reduce-side
     merge, then estimate. This is what a bare ``GROUPED_AGG`` pandas UDF
     cannot do — it would shuffle every raw row to the aggregating task
     (the reference gets partial/final for free from
-    ``TypedImperativeAggregate``, ``quantileSketches.scala:234-273``)."""
+    ``TypedImperativeAggregate``, ``quantileSketches.scala:234-273``).
+
+    ``max_groups`` bounds the per-executor live-sketch dict for
+    high-cardinality keys (see :func:`sketch_partial`); flushing never
+    changes results, only the count of (still state-sized) shuffle rows."""
     ms = list(measures)
-    partial = sketch_partial_multi(df, keys, ms)
+    partial = sketch_partial_multi(df, keys, ms, max_groups=max_groups)
     combines = [combine_udf()(F.col(f"{m.name}__state"))
                 .alias(f"{m.name}__state") for m in ms]
     merged = (partial.groupBy(*keys).agg(*combines) if keys

@@ -343,3 +343,91 @@ class TestMultimodalTransforms:
         for r in out:
             by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
         assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+
+
+class TestManyGroupsSkewStress:
+    """The engine's central 100 TB claim, stress-tested: the two-phase
+    operator must hold >=1e5 distinct group keys plus one pathological hot
+    key with per-executor memory bounded by ``max_groups`` flushes
+    (``operators/sketch_agg.py::sketch_partial:318``), and the flushed
+    partials must re-merge to results identical to the unflushed path.
+    Reference physics being reproduced: ``quantileSketches.scala:234-273``
+    (TypedImperativeAggregate partial/final with serialize-at-shuffle)."""
+
+    N_GROUPS = 120_000
+    ROWS_PER_GROUP = 4
+    HOT_ROWS = 160_000
+    MAX_GROUPS = 20_000  # << N_GROUPS: forces repeated mid-partition flushes
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 120k tiny groups (4 rows each) + one hot key (-1) with 160k rows,
+        # round-robin partitioned so the hot key hits EVERY partition and
+        # tiny groups recur across Arrow batches (worst case for the
+        # live-sketch dict).
+        base = (spark.range(self.N_GROUPS * self.ROWS_PER_GROUP)
+                .select((F.col("id") % self.N_GROUPS).alias("g"),
+                        F.col("id").cast("double").alias("v")))
+        hot = (spark.range(self.HOT_ROWS)
+               .select(F.lit(-1).cast("long").alias("g"),
+                       (F.col("id") % 1000).cast("double").alias("v")))
+        df = base.unionAll(hot).repartition(8)
+        df = df.cache()
+        df.count()
+        yield df
+        df.unpersist()
+
+    def test_flushes_actually_happen(self, spark, skewed):
+        from datasketches_spark_spark.operators import sketch_partial
+        partial = sketch_partial(skewed, ["g"], "v", family="theta",
+                                 k=4096, max_groups=self.MAX_GROUPS)
+        counts = partial.groupBy("g").count()
+        # flush resets the dict mid-partition, so recurring keys emit
+        # multiple partial states; total rows must exceed the group count
+        # (no-flush lower bound) and the hot key must appear in >1 flush.
+        total = partial.count()
+        assert total > self.N_GROUPS + 1
+        hot_states = counts.where(F.col("g") == -1).collect()[0]["count"]
+        assert hot_states >= 2
+
+    def test_accumulate_parity_and_runtime(self, spark, skewed):
+        import time
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.operators import sketch_accumulate
+        t0 = time.monotonic()
+        accum = sketch_accumulate(skewed, ["g"], "v", family="theta",
+                                  k=4096, max_groups=self.MAX_GROUPS)
+        got = accum.select(
+            "g", dsf.approx_count_distinct_estimate("state").alias("ndv"))
+        exact = skewed.groupBy("g").agg(
+            F.countDistinct("v").alias("ndv"))
+        # distributed comparison; no 120k-row driver collect
+        assert got.exceptAll(exact).count() == 0
+        assert exact.exceptAll(got).count() == 0
+        elapsed = time.monotonic() - t0
+        assert elapsed < 60, f"accumulate stress took {elapsed:.1f}s"
+
+    def test_grouped_agg_flush_equals_noflush(self, spark, skewed):
+        import time
+        from datasketches_spark_spark.operators import (
+            distinct_measure, percentile_measure, sketch_grouped_agg)
+        t0 = time.monotonic()
+        measures = lambda: (  # noqa: E731
+            percentile_measure("p50", "v", 0.5, impl="KLL"),
+            distinct_measure("ndv", "v", k=4096))
+        flushed = sketch_grouped_agg(skewed, ["g"], *measures(),
+                                     max_groups=self.MAX_GROUPS).cache()
+        unflushed = sketch_grouped_agg(skewed, ["g"], *measures(),
+                                       max_groups=10**9).cache()
+        try:
+            assert flushed.count() == self.N_GROUPS + 1
+            # exact-regime sketches (<=1000 values/group, k=4096): the
+            # flushed partial->merge tree must reproduce the unflushed
+            # results exactly
+            assert flushed.exceptAll(unflushed).count() == 0
+            assert unflushed.exceptAll(flushed).count() == 0
+        finally:
+            flushed.unpersist()
+            unflushed.unpersist()
+        elapsed = time.monotonic() - t0
+        assert elapsed < 60, f"grouped-agg stress took {elapsed:.1f}s"
