@@ -4,7 +4,8 @@ from .sketch_stream import (
     await_or_fail,
     sketch_accumulate_stream,
     streaming_summary_sink,
+    with_event_time_watermark,
 )
 
 __all__ = ["await_or_fail", "sketch_accumulate_stream",
-           "streaming_summary_sink"]
+           "streaming_summary_sink", "with_event_time_watermark"]

@@ -40,6 +40,25 @@ from ..operators import sketch_accumulate
 from ..sketches import deserialize_any
 
 
+def with_event_time_watermark(df: DataFrame, ts_col: str,
+                              delay: str) -> DataFrame:
+    """``withWatermark`` that accepts TIMESTAMP_NTZ event-time columns.
+
+    Parquet written without timezone metadata (the common case — the
+    engine's own test fixtures included) is read back by Spark 4 as
+    ``TIMESTAMP_NTZ``, which ``withWatermark`` rejects with
+    ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``. Every streaming user of
+    real-world parquet hits this, so the engine casts NTZ wall-clock
+    times to the session-local ``TIMESTAMP`` before installing the
+    watermark; other types pass through untouched (and non-timestamp
+    columns still fail with Spark's own error, which names the column)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, delay)
+
+
 def await_or_fail(query, timeout_sec: float) -> None:
     """``awaitTermination`` that cannot silently time out: on timeout the
     query is stopped and a TimeoutError raised, so a caller can never read

@@ -361,34 +361,46 @@ class TestManyGroupsSkewStress:
 
     @pytest.fixture(scope="class")
     def skewed(self, spark):
-        # 120k tiny groups (4 rows each) + one hot key (-1) with 160k rows,
-        # round-robin partitioned so the hot key hits EVERY partition and
-        # tiny groups recur across Arrow batches (worst case for the
-        # live-sketch dict).
+        # 120k tiny groups (4 rows each) + one hot key (-1) with 160k rows.
+        # Round-robin repartition alone would CONCATENATE the union legs —
+        # all hot rows arriving in a partition's final Arrow batches, after
+        # the last max_groups flush — so sortWithinPartitions(hash(v))
+        # deterministically interleaves hot and tiny rows through every
+        # batch: the worst case for the live-sketch dict, and the shape
+        # that makes the hot key span multiple flush segments.
         base = (spark.range(self.N_GROUPS * self.ROWS_PER_GROUP)
                 .select((F.col("id") % self.N_GROUPS).alias("g"),
                         F.col("id").cast("double").alias("v")))
         hot = (spark.range(self.HOT_ROWS)
                .select(F.lit(-1).cast("long").alias("g"),
                        (F.col("id") % 1000).cast("double").alias("v")))
-        df = base.unionAll(hot).repartition(8)
+        df = (base.unionAll(hot).repartition(8)
+              .sortWithinPartitions(F.hash("v")))
         df = df.cache()
         df.count()
         yield df
         df.unpersist()
+
+    N_PARTITIONS = 8
 
     def test_flushes_actually_happen(self, spark, skewed):
         from datasketches_spark_spark.operators import sketch_partial
         partial = sketch_partial(skewed, ["g"], "v", family="theta",
                                  k=4096, max_groups=self.MAX_GROUPS)
         counts = partial.groupBy("g").count()
-        # flush resets the dict mid-partition, so recurring keys emit
-        # multiple partial states; total rows must exceed the group count
-        # (no-flush lower bound) and the hot key must appear in >1 flush.
-        total = partial.count()
-        assert total > self.N_GROUPS + 1
+        # Each partition holds far more distinct keys (~60k of the 120k tiny
+        # groups, 4-row groups spread round-robin) than max_groups=20k, so
+        # the live-sketch dict MUST flush at least twice per partition, and
+        # the hot key — interleaved through every flush segment of every
+        # partition — must emit more states than a no-flush run possibly
+        # could (<= 1 per partition = 8). One state per partition is exactly
+        # what a max_groups-ignoring implementation would produce; strictly
+        # more proves mid-partition flushes fired.
         hot_states = counts.where(F.col("g") == -1).collect()[0]["count"]
-        assert hot_states >= 2
+        assert hot_states > self.N_PARTITIONS, \
+            f"hot key emitted {hot_states} states <= {self.N_PARTITIONS} " \
+            "partitions: max_groups flushes did not fire"
+        assert partial.count() > self.N_GROUPS + 1
 
     def test_accumulate_parity_and_runtime(self, spark, skewed):
         import time
@@ -404,8 +416,10 @@ class TestManyGroupsSkewStress:
         # distributed comparison; no 120k-row driver collect
         assert got.exceptAll(exact).count() == 0
         assert exact.exceptAll(got).count() == 0
+        # runaway guard only — NOT a perf gate (machine-dependent; the
+        # benchmark owns timing)
         elapsed = time.monotonic() - t0
-        assert elapsed < 60, f"accumulate stress took {elapsed:.1f}s"
+        assert elapsed < 300, f"accumulate stress took {elapsed:.1f}s"
 
     def test_grouped_agg_flush_equals_noflush(self, spark, skewed):
         import time
@@ -421,13 +435,30 @@ class TestManyGroupsSkewStress:
                                        max_groups=10**9).cache()
         try:
             assert flushed.count() == self.N_GROUPS + 1
-            # exact-regime sketches (<=1000 values/group, k=4096): the
-            # flushed partial->merge tree must reproduce the unflushed
-            # results exactly
-            assert flushed.exceptAll(unflushed).count() == 0
-            assert unflushed.exceptAll(flushed).count() == 0
+            # Tiny groups (4 rows each) are genuinely exact-regime for BOTH
+            # measures — a 4-update default-k KLL never compacts and a
+            # k=4096 theta holds <=4 distinct hashes exactly — so any flush
+            # merge tree must reproduce the unflushed rows bit-for-bit.
+            tiny_f = flushed.where(F.col("g") != -1)
+            tiny_u = unflushed.where(F.col("g") != -1)
+            assert tiny_f.exceptAll(tiny_u).count() == 0
+            assert tiny_u.exceptAll(tiny_f).count() == 0
+            # The hot key's 160k updates are far past the exact regime at
+            # default KLL k, and KLL merge is NOT merge-order invariant —
+            # flushing changes the merge tree, so bit-equality is the wrong
+            # contract. The right one: both paths land within KLL's
+            # normalized rank-error bound of the true p50 (values are
+            # id % 1000 uniform, so true p50 = 499..500; k=200 rank error
+            # ~1.65%, assert 3x margin). ndv stays exact: 1000 < k=4096.
+            hot_f = flushed.where(F.col("g") == -1).collect()[0]
+            hot_u = unflushed.where(F.col("g") == -1).collect()[0]
+            for row in (hot_f, hot_u):
+                assert abs(row["p50"] - 499.5) <= 0.05 * 1000, row
+                assert row["ndv"] == 1000, row
         finally:
             flushed.unpersist()
             unflushed.unpersist()
+        # runaway guard only — NOT a perf gate (machine-dependent; the
+        # benchmark owns timing)
         elapsed = time.monotonic() - t0
-        assert elapsed < 60, f"grouped-agg stress took {elapsed:.1f}s"
+        assert elapsed < 300, f"grouped-agg stress took {elapsed:.1f}s"

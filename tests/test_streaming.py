@@ -88,16 +88,27 @@ class TestWindowedStreaming:
     def test_watermarked_window_sketch_agg(self, spark, tables, stream_dirs):
         """Event-time windowed sketch aggregation with a watermark — the
         late-data pattern: group by window(ts, 1 day) with a 2-day
-        watermark, one sketch state per (window) in the state store."""
+        watermark, one sketch state per (window) in the state store.
+
+        The fixture parquet's ``ts`` is timezone-less, so Spark 4 reads it
+        as TIMESTAMP_NTZ, which ``withWatermark`` rejects outright
+        (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the engine's
+        ``with_event_time_watermark`` must absorb that, so this test runs
+        the NTZ path on purpose and asserts the stream result still
+        matches batch."""
+        from pyspark.sql.types import TimestampNTZType
         from datasketches_spark_spark import functions as dsf
         from datasketches_spark_spark.streaming import (
-            await_or_fail, sketch_accumulate_stream)
+            await_or_fail, sketch_accumulate_stream,
+            with_event_time_watermark)
         src_dir, ckpt, _ = stream_dirs
         ev = tables["events"].select("ts", "value")
         ev.repartition(4).write.mode("overwrite").parquet(src_dir)
-        stream = (spark.readStream.schema(ev.schema)
-                  .option("maxFilesPerTrigger", 2).parquet(src_dir)
-                  .withWatermark("ts", "2 days"))
+        raw = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src_dir))
+        assert isinstance(raw.schema["ts"].dataType, TimestampNTZType), \
+            "fixture must exercise the NTZ event-time path"
+        stream = with_event_time_watermark(raw, "ts", "2 days")
         windowed = stream.select(F.window("ts", "1 day").alias("w"), "value")
         out = sketch_accumulate_stream(windowed, ["w"], "value",
                                        family="quantile", impl="MERGEABLE",
@@ -114,8 +125,11 @@ class TestWindowedStreaming:
         got = {r.w.start: r.p50 for r in final.select(
             "w", dsf.approx_percentile_estimate("state", 0.5).alias("p50")
         ).collect()}
+        # batch comparison over the SAME cast the engine applies, so window
+        # boundaries line up whatever the session timezone is
+        batch = ev.withColumn("ts", F.col("ts").cast("timestamp"))
         exact = {r.w.start: float(r.p) for r in
-                 ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+                 batch.groupBy(F.window("ts", "1 day").alias("w")).agg(
                      F.expr("percentile_disc(0.5) WITHIN GROUP "
                             "(ORDER BY value)").alias("p")).collect()}
         assert got == exact
