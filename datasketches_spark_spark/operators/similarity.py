@@ -211,18 +211,24 @@ def _rhp_prefiltered_pairs(corpus: DataFrame, threshold: float, id_col: str,
     """RHP-banded candidates -> exact JVM-cosine re-rank. Same output
     contract as the exact path up to ``per_pair_miss`` recall; work is
     (n x tables) signature rows + bucket-local joins, never a block
-    self-join over the corpus."""
-    dim = None
-    first = corpus.select(vec_col).first()
-    if first is None:
-        return corpus.sparkSession.createDataFrame(
-            [], f"id_a {corpus.schema[id_col].dataType.simpleString()}, "
-                f"id_b {corpus.schema[id_col].dataType.simpleString()}, "
-                "cosine double")
-    dim = len(first[0])
+    self-join over the corpus.
+
+    Plan notes (kept tight on purpose — this is the hottest similarity
+    path): hyperplanes are generated lazily inside the signature UDF from
+    the seed, so there is NO driver job to learn the vector dimension and
+    no extra corpus scan; the pair dedup is a two-phase aggregate (map-side
+    partials inside the explode stage, one exchange); and both re-rank
+    joins consume the SAME canonical ``(id, vec)`` projection, so Catalyst
+    reuses one corpus subtree instead of planning two differently-aliased
+    scans."""
     bits, tables = rhp_plan(threshold, per_pair_miss=per_pair_miss)
-    sig = rhp_signatures(corpus, num_bits=bits, num_tables=tables, dim=dim,
-                         seed=seed, id_col=id_col, vec_col=vec_col)
+    # one canonical corpus projection: the signature UDF and BOTH re-rank
+    # joins read it, so the (possibly expensive) upstream corpus plan is
+    # written once and exchange/scan reuse can kick in
+    vp = corpus.select(F.col(id_col).alias("_vid"),
+                       F.col(vec_col).cast("array<double>").alias("_vv"))
+    sig = rhp_signatures(vp, num_bits=bits, num_tables=tables,
+                         seed=seed, id_col="_vid", vec_col="_vv")
     # One shuffle: group each (table, bucket) and explode its i<j pairs
     # with a pure-JVM nested transform — no self-join, so the signature
     # UDF runs once, and the star-expansion guard is a free size() filter
@@ -235,13 +241,18 @@ def _rhp_prefiltered_pairs(corpus: DataFrame, threshold: float, id_col: str,
         "transform(ids, (x, i) -> "
         "  transform(slice(ids, i + 2, size(ids)), y -> "
         "    struct(least(x, y) AS id_a, greatest(x, y) AS id_b)))"))
+    # .distinct() here IS the fused dedup: Catalyst plans it as a partial
+    # HashAggregate in the SAME stage as the explode (each pair crosses the
+    # wire once per map partition, not once per colliding table) + one
+    # merge exchange — see docs/PLANS.md q18
     cand = (buckets.select(F.explode(pair_expr).alias("p"))
             .select("p.id_a", "p.id_b").distinct())
-    va = corpus.select(F.col(id_col).alias("id_a"),
-                       F.col(vec_col).cast("array<double>").alias("_va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"),
-                       F.col(vec_col).cast("array<double>").alias("_vb"))
-    scored = cand.join(va, "id_a").join(vb, "id_b")
+    scored = (cand
+              .join(vp.alias("va"), F.col("id_a") == F.col("va._vid"))
+              .join(vp.alias("vb"), F.col("id_b") == F.col("vb._vid"))
+              .select("id_a", "id_b",
+                      F.col("va._vv").alias("_va"),
+                      F.col("vb._vv").alias("_vb")))
     dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda acc, x: acc + x * x))
@@ -356,13 +367,16 @@ def ivf_ann_topk(corpus: DataFrame, queries: list[tuple],
 
 
 def rhp_signatures(corpus: DataFrame, num_bits: int = 16, num_tables: int = 8,
-                   dim: int = 64, seed: int = 0xA11CE,
+                   dim: int | None = None, seed: int = 0xA11CE,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH: per table, a ``num_bits``-bit signature whose
-    bit b is sign(<v, h_b>). Emits (id, table, bucket) rows."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables, num_bits, dim))
+    bit b is sign(<v, h_b>). Emits (id, table, bucket) rows.
+
+    ``dim=None`` (default) derives the hyperplanes lazily from the first
+    batch's vector width INSIDE the UDF — the seeded generator makes every
+    task derive identical planes, so no driver job (and no corpus scan) is
+    spent learning the dimension up front."""
     src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     out_schema = StructType([
         StructField("_id", src.schema["_id"].dataType),
@@ -370,14 +384,23 @@ def rhp_signatures(corpus: DataFrame, num_bits: int = 16, num_tables: int = 8,
         StructField("bucket", LongType()),
     ])
     weights = (1 << np.arange(num_bits, dtype=np.int64))
-    flat = planes.reshape(num_tables * num_bits, dim)  # one GEMM, all tables
+
+    def make_flat(d: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_tables, num_bits, d))
+        return planes.reshape(num_tables * num_bits, d)  # one GEMM, all
+
+    flat_fixed = make_flat(dim) if dim is not None else None
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        flat = flat_fixed
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf["_id"].to_numpy()
             mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            if flat is None:
+                flat = make_flat(mat.shape[1])
             bits = ((mat @ flat.T) > 0).astype(np.int64)
             buckets = bits.reshape(len(ids), num_tables, num_bits) @ weights
             yield pd.DataFrame({
