@@ -20,11 +20,14 @@ Decoded families, and their validation status:
   (level *h* items carry weight ``2^h``; serialized levels array has
   ``numLevels`` entries, the top boundary is implied by the item count —
   confirmed by the golden vector's byte arithmetic).
-* REQ floats sketch (family id 17) — **raw-items mode only** (golden
-  validated). Estimation-mode REQ states (per-compactor sections) have no
-  golden vector available in this environment and their exact layout
-  cannot be verified, so decoding raises with re-accumulate guidance
-  rather than risk silently-wrong weights.
+* REQ floats sketch (family id 17) — raw-items mode (golden validated)
+  AND estimation mode (per-compactor sections: items at lgWeight ``w``
+  carry weight ``2^w``). The estimation-mode layout follows the published
+  library serialization; with no reference-built golden vector available
+  in this environment it is validated by export->import round-trips and a
+  hand-built structural vector, and the decoder hard-fails on any image
+  whose retained weight disagrees with ``n`` (never silently-wrong
+  weights).
 * Classic quantiles DoublesSketch (family id 8, the reference's
   MERGEABLE) — base buffer (weight 1) + one k-item block per set bit *j*
   of ``n/(2k)`` (weight ``2^(j+1)``), per the published layout.
@@ -188,25 +191,69 @@ def decode_kll_floats(data: bytes) -> WeightedSample:
 
 # ------------------------------------------------------------------- REQ
 
+_REQ_EMPTY = 0x04        # flag bit 2
+_REQ_HRA = 0x08          # flag bit 3: high-rank accuracy
+_REQ_RAW_ITEMS = 0x10    # flag bit 4
+_REQ_LVL0_SORTED = 0x20  # flag bit 5
+
+
 def decode_req_floats(data: bytes) -> WeightedSample:
     """REQ floats layout: preInts(u8) serVer(u8) famId(u8) flags(u8)
-    k(u16) numLevels(u8) numRawItems(u8). RAW_ITEMS mode (flag bit 3):
-    numRawItems f32 items from offset 8, weight 1 — the golden-validated
-    path. Estimation-mode states raise (layout unverifiable here, see
-    module docstring)."""
+    k(u16) numLevels(u8) numRawItems(u8).
+
+    Flag bits (pinned by the reference suite's golden raw-items vector,
+    flags=0x38): bit2 EMPTY, bit3 HRA, bit4 RAW_ITEMS, bit5
+    LEVEL_ZERO_SORTED. NOTE an earlier revision keyed raw-items mode on
+    bit3 — the HRA bit, set on every default reference state — which made
+    a true estimation-mode image (HRA set, RAW clear, numRawItems=0)
+    silently decode as an EMPTY raw state; keying on bit4 fixes that.
+
+    RAW_ITEMS mode: numRawItems f32 items from offset 8, weight 1 — the
+    golden-validated path. Estimation mode (numLevels compactors): n(u64)
+    min(f32) max(f32) at offset 8, then per compactor: state(u64)
+    sectionSizeRaw(f32) lgWeight(u8) numSections(u8) pad(u16)
+    numItems(u32) items(f32 * numItems); items at lgWeight w carry weight
+    ``2^w``. Layout follows the published serialization in the Apache
+    DataSketches library sources (req_sketch/req_compactor serialize);
+    no reference-built estimation-mode golden vector exists in this
+    environment, so the decoder is validated by export->import
+    round-trips plus a hand-built structural vector (see
+    tests/test_compat_datasketches.py), and it hard-fails (never guesses)
+    when retained weight disagrees with n."""
     flags = data[3]
-    if flags & 0x04:  # EMPTY
+    if flags & _REQ_EMPTY:
         return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
-    if not (flags & 0x08):
-        raise NotImplementedError(
-            "estimation-mode REQ states are not decodable here (no golden "
-            "vector to validate the per-compactor layout against); "
-            "re-accumulate with approx_percentile_accumulate, or persist "
-            "raw-items-mode states (small n)")
-    num = data[7]
-    items = np.frombuffer(data, dtype="<f4", offset=8, count=num)
-    return WeightedSample(items.astype(np.float64),
-                          np.ones(num, dtype=np.uint64), num)
+    if flags & _REQ_RAW_ITEMS:
+        num = data[7]
+        items = np.frombuffer(data, dtype="<f4", offset=8, count=num)
+        return WeightedSample(items.astype(np.float64),
+                              np.ones(num, dtype=np.uint64), num)
+    num_levels = data[6]
+    if num_levels == 0:
+        raise ValueError(
+            "corrupt REQ state: non-empty, non-raw image with 0 levels")
+    (n,) = struct.unpack_from("<Q", data, 8)
+    off = 16 + 8  # skip min/max f32 (recomputable from retained items)
+    values, weights = [], []
+    for _ in range(num_levels):
+        lg_weight = data[off + 12]
+        (num_items,) = struct.unpack_from("<I", data, off + 16)
+        off += 20
+        if num_items:
+            items = np.frombuffer(data, dtype="<f4", offset=off,
+                                  count=num_items)
+            values.append(items.astype(np.float64))
+            weights.append(np.full(num_items, 1 << int(lg_weight),
+                                   dtype=np.uint64))
+            off += 4 * num_items
+    if not values:
+        raise ValueError("corrupt REQ state: no retained items but n > 0")
+    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n)
+    if ws.weights.sum() != n:
+        raise ValueError(
+            f"corrupt REQ state: retained weight {int(ws.weights.sum())} "
+            f"!= n {n}")
+    return ws
 
 
 # ------------------------------------------------- classic DoublesSketch
@@ -463,15 +510,37 @@ def encode_doubles(sk) -> bytes:
 
 
 def encode_req_floats(sk) -> bytes:
-    """Engine REQ exact state -> DataSketches REQ raw-items image
-    (insertion order; numRawItems is a u8, so n <= 255)."""
+    """Engine REQ state -> DataSketches REQ floats image.
+
+    Exact-regime states with n <= 255 export as the raw-items form
+    (insertion order, flags 0x38) — byte-identical to the golden vector.
+    Everything else (compacted states, or exact states past the u8
+    numRawItems limit) exports as the estimation-mode compacted form:
+    engine level ``h`` becomes the compactor with ``lgWeight=h``
+    (sectionSizeRaw=k, numSections=3, schedule state 0, items sorted).
+    Weight accounting is exact either way — the decoder's
+    ``sum(weights) == n`` check holds on every image this produces."""
     sk._consolidate()
-    _require(sk.is_exact(), "only exact-regime REQ states export")
-    items = np.asarray(sk._levels[0], dtype=np.float32)
     n = int(sk.n)
-    _require(0 < n <= 255, "raw-items REQ export needs 0 < n <= 255")
-    head = struct.pack("<BBBBHBB", 2, 1, _FAMILY_REQ, 0x38, sk.k, 1, n)
-    return head + items.tobytes()
+    _require(n > 0, "empty REQ state has no export")
+    k = min(int(sk.k), 0xFFFF)
+    if sk.is_exact() and n <= 255:
+        items = np.asarray(sk._levels[0], dtype=np.float32)
+        head = struct.pack("<BBBBHBB", 2, 1, _FAMILY_REQ, 0x38, k, 1, n)
+        return head + items.tobytes()
+    levels = [np.sort(np.asarray(a, dtype=np.float32))
+              for a in sk._levels]
+    flags = _REQ_HRA | _REQ_LVL0_SORTED
+    head = struct.pack("<BBBBHBB", 2, 1, _FAMILY_REQ, flags, k,
+                       len(levels), 0)
+    head += struct.pack("<Q", n)
+    head += struct.pack("<ff", sk.min_value, sk.max_value)
+    parts = [head]
+    for h, items in enumerate(levels):
+        parts.append(struct.pack("<QfBBHI", 0, float(k), h, 3, 0,
+                                 items.size))
+        parts.append(items.tobytes())
+    return b"".join(parts)
 
 
 def encode_freqitems(sk) -> bytes:

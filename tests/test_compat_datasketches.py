@@ -127,13 +127,53 @@ class TestEngineIntegration:
         with pytest.raises(Exception):
             decode_quantile(GOLDEN_KLL[:20])
 
-    def test_estimation_mode_req_refused(self):
-        # flags without the raw-items bit -> explicit NotImplementedError,
-        # never silently-wrong weights.
-        fake = bytearray(GOLDEN_REQ)
-        fake[3] = 0x30  # clear bit 3 (raw items), keep non-empty
-        with pytest.raises(NotImplementedError, match="estimation-mode"):
-            decode_quantile(bytes(fake))
+    def test_estimation_mode_req_structural_vector(self):
+        # Hand-built estimation-mode image per the published layout
+        # (independent of the engine encoder, so a symmetric encode/decode
+        # bug cannot hide): 2 compactors, level 0 = [1,2,3] weight 1,
+        # level 1 = [10,20] weight 2 -> n = 7. Flags 0x28 = HRA +
+        # LEVEL_ZERO_SORTED, RAW_ITEMS clear, numRawItems 0.
+        import struct
+        head = struct.pack("<BBBBHBB", 2, 1, 17, 0x28, 12, 2, 0)
+        head += struct.pack("<Q", 7)
+        head += struct.pack("<ff", 1.0, 20.0)
+        c0 = struct.pack("<QfBBHI", 0, 12.0, 0, 3, 0, 3) + \
+            struct.pack("<3f", 1.0, 2.0, 3.0)
+        c1 = struct.pack("<QfBBHI", 0, 12.0, 1, 3, 0, 2) + \
+            struct.pack("<2f", 10.0, 20.0)
+        ws = decode_quantile(head + c0 + c1)
+        assert ws.n == 7 and int(ws.weights.sum()) == 7
+        assert ws.values.tolist() == [1.0, 2.0, 3.0, 10.0, 20.0]
+        assert ws.weights.tolist() == [1, 1, 1, 2, 2]
+        assert ws.quantile(1.0) == 20.0
+        sk = to_engine_sketch(head + c0 + c1)
+        assert isinstance(sk, ReqSketch)
+        assert sk.n == 7 and sk.quantile(1.0) == 20.0
+
+    def test_estimation_mode_req_weight_mismatch_rejected(self):
+        import struct
+        head = struct.pack("<BBBBHBB", 2, 1, 17, 0x28, 12, 1, 0)
+        head += struct.pack("<Q", 99)                  # wrong n
+        head += struct.pack("<ff", 1.0, 3.0)
+        c0 = struct.pack("<QfBBHI", 0, 12.0, 0, 3, 0, 3) + \
+            struct.pack("<3f", 1.0, 2.0, 3.0)
+        with pytest.raises(ValueError, match="retained weight"):
+            decode_quantile(head + c0)
+
+    def test_hra_only_flags_are_not_raw_items(self):
+        # Regression for the flag-bit fix: bit 3 is HRA (set on every
+        # default reference state), NOT raw-items. An HRA estimation-mode
+        # image with numRawItems=0 must decode its compactors — the old
+        # bit-3 keying returned a silently EMPTY sample for exactly this
+        # shape.
+        import struct
+        head = struct.pack("<BBBBHBB", 2, 1, 17, 0x08, 12, 1, 0)
+        head += struct.pack("<Q", 2)
+        head += struct.pack("<ff", 4.0, 5.0)
+        c0 = struct.pack("<QfBBHI", 0, 12.0, 0, 3, 0, 2) + \
+            struct.pack("<2f", 4.0, 5.0)
+        ws = decode_quantile(head + c0)
+        assert ws.n == 2 and ws.values.tolist() == [4.0, 5.0]
 
 
 class TestDoublesFlags:
@@ -364,13 +404,58 @@ class TestExport:
         rows = dict(decode_freqitems(wire, "string"))
         assert rows == {"a": 30, "b": 20, "c": 10}
 
-    def test_compacted_state_refuses_export(self):
+    def test_compacted_kll_state_refuses_export(self):
+        from datasketches_spark_spark.compat import to_datasketches_state
         sk = KllSketch(k=8, dtype=np.float32)
         sk.update_batch(np.arange(10_000, dtype=np.float32))
         assert not sk.is_exact()
         with pytest.raises(NotImplementedError, match="exact-regime"):
-            from datasketches_spark_spark.compat import to_datasketches_state
             to_datasketches_state(sk.serialize())
+
+    def test_compacted_req_state_exports_estimation_image(self):
+        # REQ compacted states export as the estimation-mode image and
+        # round-trip: weights sum to n exactly, high-rank quantiles (where
+        # REQ concentrates accuracy) land within tight relative error, and
+        # the import path rebuilds a native ReqSketch.
+        from datasketches_spark_spark.compat import to_datasketches_state
+        from datasketches_spark_spark.compat.datasketches import (
+            decode_quantile)
+        rng = np.random.default_rng(3)
+        vals = rng.permutation(np.arange(20_000, dtype=np.float32))
+        sk = ReqSketch(k=12)
+        sk.update_batch(vals)
+        assert not sk.is_exact()
+        wire = to_datasketches_state(sk.serialize())
+        assert wire[2] == 17 and not (wire[3] & 0x10)  # REQ, not raw
+        ws = decode_quantile(wire)
+        assert ws.n == 20_000 and int(ws.weights.sum()) == 20_000
+        # decode must reproduce the engine sketch's own estimates exactly
+        # (same retained multiset), and those estimates must be near truth
+        # at high ranks
+        for p in (0.9, 0.99, 0.999, 1.0):
+            assert ws.quantile(p) == sk.quantile(p)
+            assert abs(ws.quantile(p) - p * 20_000) <= 0.02 * 20_000
+        back = deserialize_quantile(wire)
+        assert isinstance(back, ReqSketch)
+        assert back.n == 20_000
+        assert back.quantile(0.99) == sk.quantile(0.99)
+        # determinism: re-exporting the imported sketch is byte-identical
+        assert to_datasketches_state(back.serialize()) == wire
+
+    def test_exact_req_past_u8_limit_exports_estimation_image(self):
+        # 0 < n <= 255 is the raw-items ceiling (numRawItems is a u8);
+        # an exact-regime state past it must take the estimation-mode
+        # form, not fail.
+        from datasketches_spark_spark.compat.datasketches import (
+            decode_quantile, encode_req_floats)
+        sk = ReqSketch(k=100)      # per-level cap 600: exact at n=400
+        sk.update_batch(np.arange(400, dtype=np.float32))
+        assert sk.is_exact()
+        wire = encode_req_floats(sk)
+        assert not (wire[3] & 0x10)
+        ws = decode_quantile(wire)
+        assert ws.n == 400 and ws.weights.tolist() == [1] * 400
+        assert ws.quantile(0.5) == 199.0  # disc rule: rank ceil(0.5*400)
 
     def test_theta_state_refuses_export_with_guidance(self):
         from datasketches_spark_spark.compat import to_datasketches_state
