@@ -27,6 +27,11 @@ exactly like ``spark.sql``:
   ``groupBy().agg()`` and re-join the sketched half null-safely on the
   group keys — the same split/join plan the flagship pricing-summary query
   builds by hand;
+* CTEs whose bodies carry sketch aggregates are rewritten to two-phase
+  plans themselves and materialized as uniquely-named temp views for the
+  rest of the query (dropped before returning — analysis inlines them);
+  ``UNION ALL`` chains rewrite member-by-member (positional union, SQL
+  semantics for a trailing ORDER BY/LIMIT);
 * anything outside the supported shape falls back to ``spark.sql(query)``
   unchanged (the registered pandas-UDF path: correct, raw-row shuffle).
 
@@ -349,6 +354,12 @@ _EXACT_AGGS = {
 
 _FUNC_NAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
+# constant select items (string/number/bool/null literals): projectable
+# after aggregation without a matching group-by expression
+_LITERAL_RE = re.compile(
+    r"'(?:[^']|'')*'|[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[dDlL]?"
+    r"|TRUE|FALSE|NULL", re.I)
+
 
 def _called_functions(expr: str) -> set[str]:
     """Function names invoked anywhere in the expression. Quoted literals are
@@ -380,6 +391,9 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
             item.kind = "jvm"
             text = item.text
             item.jvm_col = lambda _=None: F.expr(text)
+            return
+        if _LITERAL_RE.fullmatch(item.text.strip()):
+            item.kind = "const"  # rides along after aggregation
             return
         item.kind = "key"       # must match a group-by expr, checked later
         return
@@ -478,7 +492,252 @@ def _order_col(item: str):
     return c.asc_nulls_last() if nulls == "LAST" else c.asc()
 
 
+def _match_paren(q: str, i: int) -> int:
+    """``q[i]`` is '('; return the index just past its matching ')'."""
+    depth, j, n = 0, i, len(q)
+    while j < n:
+        c = q[j]
+        if c in _QUOTES:
+            j = _skip_quoted(q, j)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    raise _Unsupported("unbalanced parentheses")
+
+
+_CTE_NAME_RE = re.compile(r"`([^`]+)`|[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _parse_with(q: str) -> tuple[list[tuple[str, str]], str]:
+    """Split ``WITH a AS (...), b AS (...) <rest>`` into CTE (name, body)
+    pairs plus the remainder. No WITH -> ([], q)."""
+    m = re.match(r"WITH\b", q, re.I)
+    if not m:
+        return [], q
+    if re.match(r"WITH\s+RECURSIVE\b", q, re.I):
+        raise _Unsupported("recursive CTE")
+    i, n, ctes = m.end(), len(q), []
+    while True:
+        while i < n and q[i].isspace():
+            i += 1
+        mm = _CTE_NAME_RE.match(q, i)
+        if not mm:
+            raise _Unsupported("malformed CTE name")
+        name = mm.group(1) or mm.group(0)
+        i = mm.end()
+        while i < n and q[i].isspace():
+            i += 1
+        if i < n and q[i] == "(":
+            raise _Unsupported("CTE column list")
+        ma = re.match(r"AS\b", q[i:], re.I)
+        if not ma:
+            raise _Unsupported("CTE missing AS")
+        i += ma.end()
+        while i < n and q[i].isspace():
+            i += 1
+        if i >= n or q[i] != "(":
+            raise _Unsupported("CTE body must be parenthesized")
+        j = _match_paren(q, i)
+        ctes.append((name, q[i + 1:j - 1].strip()))
+        i = j
+        while i < n and q[i].isspace():
+            i += 1
+        if i < n and q[i] == ",":
+            i += 1
+            continue
+        return ctes, q[i:]
+
+
+def _with_prefix(plain: list[tuple[str, str]]) -> str:
+    if not plain:
+        return ""
+    return "WITH " + ", ".join(f"{n} AS ({b})" for n, b in plain) + " "
+
+
+_FROM_JOIN_RE = re.compile(r"(?:FROM|JOIN)\b", re.I)
+_REF_IDENT_RE = re.compile(r"\s+(`([^`]+)`|[A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _sub_cte_refs(text: str, subs: dict[str, str]) -> str:
+    """Replace ``FROM <cte>`` / ``JOIN <cte>`` references with the
+    materialized temp-view name, preserving the original name as the
+    relation alias (``FROM v AS cte``) so qualified column references keep
+    resolving. Applies at every nesting depth; shapes it cannot rewrite
+    (comma joins, an explicit alias after the name) are left alone — the
+    resulting analysis error sends the query down the spark.sql fallback,
+    which is correct, just raw-shuffle."""
+    if not subs:
+        return text
+    out, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in _QUOTES:
+            j = _skip_quoted(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        m = (_FROM_JOIN_RE.match(text, i)
+             if _at_word_boundary(text, i) else None)
+        if m:
+            out.append(text[i:m.end()])
+            i = m.end()
+            mi = _REF_IDENT_RE.match(text, i)
+            if mi:
+                word = mi.group(2) or mi.group(1)
+                rep = subs.get(word.lower())
+                if rep and text[mi.end():mi.end() + 1] != ".":
+                    out.append(f" {rep} AS {word}")
+                    i = mi.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_UNION_ALL_RE = re.compile(r"UNION\s+ALL\b", re.I)
+_ORDER_BY_RE = re.compile(r"ORDER\s+BY\b", re.I)
+_LIMIT_RE = re.compile(r"LIMIT\b", re.I)
+
+
+def _split_union_all(q: str) -> list[str]:
+    cuts = []
+    for i in _top_level_positions(q):
+        if _at_word_boundary(q, i):
+            m = _UNION_ALL_RE.match(q, i)
+            if m:
+                cuts.append((i, m.end()))
+    parts, prev = [], 0
+    for s, e in cuts:
+        parts.append(q[prev:s].strip())
+        prev = e
+    parts.append(q[prev:].strip())
+    if any(not p for p in parts):
+        raise _Unsupported("empty UNION ALL member")
+    return parts
+
+
+def _cut_trailing_order_limit(text: str):
+    """Detach a trailing top-level ORDER BY / LIMIT (they bind to the whole
+    UNION in SQL, not to the last member)."""
+    order_at = limit_at = None
+    for i in _top_level_positions(text):
+        if not _at_word_boundary(text, i):
+            continue
+        m = _ORDER_BY_RE.match(text, i)
+        if m and order_at is None:
+            order_at = (i, m.end())
+        m = _LIMIT_RE.match(text, i)
+        if m and limit_at is None:
+            limit_at = (i, m.end())
+    if order_at and limit_at and limit_at[0] < order_at[0]:
+        raise _Unsupported("LIMIT before ORDER BY")
+    if order_at:
+        body = text[:order_at[0]]
+        if limit_at:
+            order = text[order_at[1]:limit_at[0]]
+            limit = text[limit_at[1]:]
+        else:
+            order, limit = text[order_at[1]:], None
+    elif limit_at:
+        body, order, limit = text[:limit_at[0]], None, text[limit_at[1]:]
+    else:
+        return text.strip(), None, None
+    return body.strip(), order and order.strip(), limit and limit.strip()
+
+
+def _has_sketch(text: str) -> bool:
+    return bool(_called_functions(text) & _SKETCH_FUNCS)
+
+
+def _rewrite_union(spark: SparkSession, prefix: str, body: str) -> DataFrame:
+    """Rewrite ``body`` (one SELECT block, or a chain of UNION ALL
+    blocks). Each sketch-bearing member gets the two-phase plan; plain
+    members run through spark.sql; the union is positional (names from the
+    first member), like SQL."""
+    parts = _split_union_all(body)
+    if len(parts) == 1:
+        return _rewrite_block(spark, prefix + parts[0])
+    parts[-1], order_text, limit_text = _cut_trailing_order_limit(parts[-1])
+    for p in parts[:-1]:
+        tail, o, li = _cut_trailing_order_limit(p)
+        if o or li:
+            raise _Unsupported(
+                "ORDER BY/LIMIT on a non-final UNION ALL member")
+    dfs = [(_rewrite_block(spark, prefix + p) if _has_sketch(p)
+            else spark.sql(prefix + p)) for p in parts]
+    ncols = len(dfs[0].columns)
+    if any(len(d.columns) != ncols for d in dfs[1:]):
+        raise _Unsupported("UNION ALL members have different column counts")
+    out = reduce(lambda a, b: a.union(b), dfs)
+    if order_text:
+        order_items = []
+        for t in _split_top(order_text):
+            m = _ORDER_ITEM_RE.match(t.strip())
+            head = m.group("expr").strip()
+            if re.fullmatch(r"\d+", head):
+                pos = int(head) - 1
+                if not (0 <= pos < ncols):
+                    raise _Unsupported("ORDER BY position out of range")
+                t = f"`{out.columns[pos]}`{t.strip()[len(head):]}"
+            order_items.append(_order_col(t))
+        out = out.orderBy(*order_items)
+    if limit_text:
+        if not re.fullmatch(r"\d+", limit_text.strip()):
+            raise _Unsupported("non-literal LIMIT")
+        out = out.limit(int(limit_text))
+    return out
+
+
 def _rewrite(spark: SparkSession, query: str) -> DataFrame:
+    """Full rewrite pipeline: CTEs whose bodies carry sketch aggregates are
+    rewritten to two-phase plans and materialized as uniquely-named temp
+    views (dropped again before returning — analysis inlines them); plain
+    CTEs stay SQL text; the remainder (a SELECT block or a UNION ALL
+    chain) is rewritten per member."""
+    import uuid
+
+    q = _strip_comments(query).strip().rstrip(";").strip()
+    ctes, rest = _parse_with(q)
+    plain: list[tuple[str, str]] = []
+    subs: dict[str, str] = {}
+    views: list[str] = []
+    try:
+        for name, body in ctes:
+            body = _sub_cte_refs(body, subs)
+            if _has_sketch(body):
+                df = _rewrite_union(spark, _with_prefix(plain), body)
+                vname = f"__dss_cte_{name}_{uuid.uuid4().hex[:8]}"
+                df.createOrReplaceTempView(vname)
+                views.append(vname)
+                subs[name.lower()] = vname
+            else:
+                plain.append((name, body))
+        rest = _sub_cte_refs(rest, subs)
+        prefix = _with_prefix(plain)
+        if _has_sketch(rest):
+            result = _rewrite_union(spark, prefix, rest)
+        elif views:
+            # the sketch work lives entirely inside CTEs; the remainder is
+            # ordinary SQL over their materialized views
+            result = spark.sql(prefix + rest)
+        else:
+            raise _Unsupported("no engine sketch aggregate in select list")
+        result.schema  # force analysis while the temp views still exist
+        return result
+    finally:
+        for v in views:
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+
+
+def _rewrite_block(spark: SparkSession, query: str) -> DataFrame:
     q = _strip_comments(query).strip().rstrip(";").strip()
 
     cte_prefix = ""
@@ -586,7 +845,9 @@ def _rewrite(spark: SparkSession, query: str) -> DataFrame:
 
     out_cols = []
     for it in items:
-        if it.kind == "key":
+        if it.kind == "const":
+            out_cols.append(F.expr(it.text).alias(it.alias))
+        elif it.kind == "key":
             out_cols.append(left[resolved_groups[it.gk_index]].alias(
                 it.alias if it.alias != it.text else _as_ident(it.text)
                 or it.alias))
@@ -643,11 +904,13 @@ def _rewrite(spark: SparkSession, query: str) -> DataFrame:
 def sql(spark: SparkSession, query: str) -> DataFrame:
     """Run ``query``; engine direct aggregates get two-phase physics.
 
-    Drop-in for ``spark.sql`` on single-block SELECTs. Queries outside the
-    rewrite grammar run through ``spark.sql`` unchanged (requires
-    ``dss.install(spark)`` for the engine's function names). Invalid literal
-    arguments (percentage out of [0,1], bad numSplits) raise eagerly here,
-    before any Spark job starts.
+    Drop-in for ``spark.sql`` on SELECT queries built from single blocks,
+    ``UNION ALL`` chains of blocks, and CTEs (including CTE bodies that
+    carry sketch aggregates). Queries outside the rewrite grammar run
+    through ``spark.sql`` unchanged (requires ``dss.install(spark)`` for
+    the engine's function names). Invalid literal arguments (percentage
+    out of [0,1], bad numSplits) raise eagerly here, before any Spark job
+    starts.
     """
     try:
         return _rewrite(spark, query)

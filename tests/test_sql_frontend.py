@@ -187,12 +187,12 @@ def test_fallback_warns_when_sketch_aggregates_lose_two_phase(spark):
     queries and sketch-free fallbacks must not."""
     import warnings as w
     from datasketches_spark_spark.sql import SketchSqlFallbackWarning
-    # multi-block (UNION) with a sketch aggregate -> fallback + warning
+    # set ops other than UNION ALL with a sketch agg -> fallback + warning
     with pytest.warns(SketchSqlFallbackWarning):
         dss.sql(spark, (
             "SELECT approx_count_distinct_ex(l_partkey) AS ndv FROM lineitem "
-            "UNION ALL "
-            "SELECT approx_count_distinct_ex(l_suppkey) FROM lineitem"))
+            "INTERSECT "
+            "SELECT approx_count_distinct_ex(l_partkey) FROM lineitem"))
     # rewritten single-block query -> no warning
     with w.catch_warnings():
         w.simplefilter("error", SketchSqlFallbackWarning)
@@ -202,6 +202,89 @@ def test_fallback_warns_when_sketch_aggregates_lose_two_phase(spark):
     with w.catch_warnings():
         w.simplefilter("error", SketchSqlFallbackWarning)
         dss.sql(spark, "SELECT 1 AS one UNION ALL SELECT 2")
+
+
+# ---------------------------------------------- CTE + UNION ALL rewrites
+
+def test_union_all_of_sketch_blocks_rewrites(spark):
+    """Both members get two-phase plans — no fallback warning — and the
+    union matches the registered-UDF path run via spark.sql."""
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    q = ("SELECT 'part' AS what, approx_count_distinct_ex(l_partkey) AS ndv "
+         "FROM lineitem "
+         "UNION ALL "
+         "SELECT 'supp' AS what, approx_count_distinct_ex(l_suppkey) "
+         "FROM lineitem "
+         "ORDER BY what LIMIT 10")
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        df = dss.sql(spark, q)
+    plan = _plan(df)
+    import re
+    assert len(re.findall(r"MapInPandas", plan)) >= 2, plan
+    got = {(r.what, r.ndv) for r in df.collect()}
+    ref = {(r.what, r.ndv) for r in spark.sql(q).collect()}
+    assert got == ref and len(got) == 2
+
+
+def test_union_all_mixed_sketch_and_plain_members(spark):
+    q = ("SELECT l_returnflag AS k, approx_count_distinct_ex(l_partkey) AS v "
+         "FROM lineitem GROUP BY l_returnflag "
+         "UNION ALL "
+         "SELECT 'total' AS k, count(*) AS v FROM lineitem")
+    rows = dss.sql(spark, q).collect()
+    assert len(rows) == 4
+    assert {r.k for r in rows} == {"A", "N", "R", "total"}
+
+
+def test_cte_with_sketch_aggregate_rewrites(spark):
+    """The sketch aggregate lives INSIDE the CTE body; the outer SELECT is
+    plain SQL over it. Must rewrite (no fallback warning), match the
+    registered-UDF answer, and leave no temp views behind."""
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    q = ("WITH s AS (SELECT l_returnflag, "
+         "approx_percentile_mergeable(l_quantity, 0.5) AS p50 "
+         "FROM lineitem GROUP BY l_returnflag) "
+         "SELECT l_returnflag, p50 FROM s WHERE p50 > 0 ORDER BY l_returnflag")
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        df = dss.sql(spark, q)
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    got = [(r.l_returnflag, r.p50) for r in df.collect()]
+    ref = [(r.l_returnflag, r.p50) for r in spark.sql(q).collect()]
+    assert [g[0] for g in got] == [r[0] for r in ref]
+    for g, r in zip(got, ref):
+        assert g[1] == pytest.approx(r[1], rel=1e-6)
+    # no view leak
+    leftover = [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("__dss_cte_")]
+    assert leftover == []
+
+
+def test_cte_qualified_refs_and_join(spark):
+    """Qualified column references (s.col) keep resolving because the
+    rewritten view is aliased back to the CTE name; plain CTEs coexist."""
+    q = ("WITH f AS (SELECT * FROM lineitem WHERE l_quantity > 5), "
+         "s AS (SELECT l_returnflag, "
+         "approx_count_distinct_ex(l_partkey) AS ndv "
+         "FROM f GROUP BY l_returnflag) "
+         "SELECT s.l_returnflag, s.ndv FROM s ORDER BY s.l_returnflag")
+    rows = dss.sql(spark, q).collect()
+    assert [r.l_returnflag for r in rows] == ["A", "N", "R"]
+    assert all(r.ndv > 0 for r in rows)
+
+
+def test_cte_sketch_body_plus_sketch_final(spark):
+    """Sketch aggregates in BOTH a CTE body and the final block."""
+    q = ("WITH s AS (SELECT l_returnflag, "
+         "approx_percentile_accumulate(l_quantity) AS st "
+         "FROM lineitem GROUP BY l_returnflag) "
+         "SELECT approx_count_distinct_ex(l_returnflag) AS flags FROM s")
+    (row,) = dss.sql(spark, q).collect()
+    assert row.flags == 3
 
 
 def test_eager_validation_before_any_job(spark):
