@@ -93,9 +93,15 @@ def approx_count_distinct_accumulate(col, impl: str | None = None,
 
 
 def approx_count_distinct_combine(col, impl: str | None = None) -> Column:
-    """Merge serialized distinct-count states."""
+    """Merge serialized distinct-count states.
+
+    HLL merges allow mixed ``lgConfigK`` images (the union downsamples to
+    the smallest, exactly what the DataSketches Union operator the
+    reference wraps does) — Spark's bare ``hll_union_agg`` default would
+    refuse them, which is wrong for a migration surface where persisted
+    states from different jobs rarely share one k."""
     if _impl(impl) == "HLL":
-        return F.hll_union_agg(_col(col))
+        return F.hll_union_agg(_col(col), allowDifferentLgConfigK=True)
     return combine_udf()(_col(col))
 
 

@@ -217,6 +217,100 @@ class TestMultiLevelDoubles:
         assert sk.quantiles([1.0]) == [7.0]
 
 
+# Apache DataSketches HLL wire images, generated ONCE by the DataSketches
+# Java library embedded in Spark (hll_sketch_agg) and committed as byte
+# literals — the same library the reference wraps
+# (distinctCntSketches.scala:57-66), pattern
+# SketchExpressionSuite.scala:75-85. They pin the foreign-state sniff
+# route (functions/distinctcnt.py::_is_ds_hll -> JVM hll_sketch_estimate):
+# if the byte-3 family sniff or Spark's HLL codec ever regresses, these
+# literals catch it without re-generating anything.
+#
+# SELECT hll_sketch_agg(CAST(id AS STRING), 12) FROM range(20)
+# -> sparse (LIST) mode image, estimate exactly 20
+GOLDEN_HLL_SPARSE = _b([
+    3, 1, 7, 12, 5, 0, 0, 9, 20, 0, 0, 0, -64, 127, 85, 6, 0, 0, 0, 0, 105,
+    -42, 43, 6, 0, 0, 0, 0, 0, 0, 0, 0, -123, 105, 27, 10, 0, 0, 0, 0, -57,
+    -124, -98, 20, 0, 0, 0, 0, -55, 73, 116, 12, -86, -90, 15, 6, 0, 0, 0,
+    0, -78, -9, -68, 23, 0, 0, 0, 0, -82, -42, 42, 15, -113, 44, -39, 14,
+    0, 0, 0, 0, 0, 0, 0, 0, 82, 73, -11, 7, -45, -15, -111, 5, 0, 0, 0, 0,
+    -42, -73, -22, 4, -1, 78, -88, 9, 0, 0, 0, 0, -40, 11, -3, 9, 57, -11,
+    -126, 9, 0, 0, 0, 0, -37, 2, 40, 5, -68, -35, -100, 11, 29, 119, 48, 6,
+    -2, 82, -110, 12, 31, 83, -78, 5])
+GOLDEN_HLL_SPARSE_EST = 20
+
+# SELECT hll_sketch_agg(CAST(id AS STRING), 8) FROM range(10000)
+# -> dense HLL_8 mode image, Java estimate 9876 (1.24% error at lgk=8)
+GOLDEN_HLL_DENSE = _b([
+    10, 1, 7, 8, 0, 0, 0, 10, -94, -43, -15, 36, 6, 74, -61, 64, 0, 0, 0,
+    0, 104, -90, 19, 64, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    8, 6, 8, 4, 12, 5, 5, 5, 5, 5, 7, 8, 5, 5, 4, 7, 5, 5, 15, 6, 5, 9, 8,
+    8, 4, 8, 6, 5, 4, 7, 5, 5, 6, 7, 7, 6, 4, 7, 9, 5, 10, 5, 6, 8, 6, 8,
+    6, 5, 10, 9, 6, 5, 4, 9, 5, 5, 7, 5, 13, 6, 6, 5, 6, 3, 7, 6, 5, 6, 6,
+    8, 6, 6, 8, 6, 9, 4, 10, 7, 12, 7, 4, 6, 5, 7, 7, 6, 5, 9, 11, 8, 7,
+    6, 6, 6, 5, 7, 9, 6, 8, 5, 13, 8, 5, 6, 4, 6, 6, 8, 6, 4, 6, 8, 6, 7,
+    7, 6, 10, 8, 5, 7, 7, 8, 7, 6, 6, 7, 6, 6, 5, 10, 6, 7, 4, 8, 5, 7, 7,
+    6, 7, 7, 6, 7, 7, 6, 6, 7, 5, 8, 6, 6, 11, 6, 6, 8, 10, 8, 8, 8, 5, 4,
+    5, 4, 8, 6, 5, 5, 5, 8, 7, 8, 6, 6, 7, 3, 6, 7, 5, 5, 5, 5, 7, 8, 10,
+    7, 5, 4, 7, 9, 4, 5, 8, 10, 5, 7, 8, 4, 6, 5, 6, 5, 5, 6, 5, 9, 6, 10,
+    5, 6, 4, 7, 6, 6, 10, 5, 5, 5, 7, 8, 6, 13, 7, 7, 7, 10, 7, 8, 7, 5,
+    8, 9, 5, 4, 7, 7, 4, 6, 6, 6, 4, 7, 5, 5, 5, 6, 6, 11, 7, 10, 6, 4, 7,
+    7, 6, 8, 4, 6])
+GOLDEN_HLL_DENSE_EST = 9876
+
+
+class TestHllGoldenVectors:
+    def test_family_sniff(self):
+        from datasketches_spark_spark.compat.datasketches import (
+            is_datasketches)
+        assert GOLDEN_HLL_SPARSE[2] == 7 and GOLDEN_HLL_DENSE[2] == 7
+        assert is_datasketches(GOLDEN_HLL_SPARSE)
+        assert is_datasketches(GOLDEN_HLL_DENSE)
+
+    def test_estimate_routes_literal_bytes_to_jvm(self, spark):
+        # the engine's estimate function, NOT hll-impl mode: the byte
+        # sniff must route these foreign images to the JVM decoder and
+        # return the Java estimates
+        from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                       StructType)
+        from datasketches_spark_spark.functions import distinctcnt as D
+        schema = StructType([StructField("name", StringType()),
+                             StructField("state", BinaryType())])
+        df = spark.createDataFrame(
+            [("sparse", bytearray(GOLDEN_HLL_SPARSE)),
+             ("dense", bytearray(GOLDEN_HLL_DENSE))], schema)
+        rows = df.select(
+            "name",
+            D.approx_count_distinct_estimate("state").alias("ndv")).collect()
+        got = {r.name: r.ndv for r in rows}
+        assert got == {"sparse": GOLDEN_HLL_SPARSE_EST,
+                       "dense": GOLDEN_HLL_DENSE_EST}
+
+    def test_combine_literal_bytes(self, spark):
+        # hll_union_agg merges mixed-lgk images (downsampling to the
+        # smaller); sparse's 20 strings ("0".."19") are a subset of
+        # dense's ("0".."9999"), so the union estimate stays the dense
+        # estimate's neighborhood
+        from pyspark.sql.types import (BinaryType, StructField, StructType)
+        from datasketches_spark_spark.functions import distinctcnt as D
+        schema = StructType([StructField("state", BinaryType())])
+        df = spark.createDataFrame(
+            [(bytearray(GOLDEN_HLL_SPARSE),),
+             (bytearray(GOLDEN_HLL_DENSE),)], schema)
+        (row,) = (df.agg(D.approx_count_distinct_combine(
+                      "state", impl="HLL").alias("m"))
+                  .select(D.approx_count_distinct_estimate(
+                      "m", impl="HLL").alias("ndv"))
+                  .collect())
+        assert abs(row.ndv - 10_000) <= 0.05 * 10_000
+
+    def test_engine_side_decode_still_refuses_with_guidance(self):
+        # driver-side decode of HLL bytes stays an explicit redirect to
+        # the JVM surface (no parallel python HLL codec)
+        with pytest.raises(NotImplementedError, match="hll_sketch_estimate"):
+            to_engine_sketch(GOLDEN_HLL_SPARSE)
+
+
 class TestSparkSurface:
     """Reference-persisted states through the engine's Spark estimate
     functions — the end-to-end migration path."""
