@@ -144,6 +144,65 @@ def main(spark=None, rows: int | None = None) -> int:
         "mg_bound_n_over_m": int(bound),
     }))
 
+    # ------------------------------------------------- sampling uniformity
+    # The reservoir family's central claim is that the DISTRIBUTED merge
+    # tree (per-group accumulate -> hypergeometric combine) is still a
+    # uniform sample — a biased merge (e.g. favoring the larger reservoir)
+    # would pass size checks but skew every downstream estimate. Test:
+    # sample ids 0..rows-1 through an 8-way accumulate -> combine tree,
+    # bin the merged sample into 16 equal-width bins, and chi-square the
+    # counts against uniform (dof 15, alpha 0.001 -> critical 37.697);
+    # also z-test the sample mean. The A-ES weighted family with equal
+    # weights must behave identically (weighted-uniform degenerates to
+    # uniform).
+    from datasketches_spark_spark import functions as dsf
+    # k below rows/16 keeps every per-group reservoir (rows/8 items) PAST
+    # the exact regime, so the positional accept/replace path and the
+    # hypergeometric merge both actually run
+    k_res = min(4096, max(512, rows // 16))
+    sdf = spark.range(0, rows, 1, 8).select(
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 8).alias("g"))
+    sdf.cache().count()
+    chi_crit, n_bins = 37.697, 16  # chi2 inv-cdf(0.999, dof=15)
+    samp_out = {"experiment": "sampling_uniformity", "rows": rows,
+                "k": k_res, "families": {}}
+    for fam_name, acc_col in (
+            ("reservoir", dsf.approx_sample_accumulate("v", k=k_res)),
+            ("weighted_equal_w",
+             dsf.approx_sample_weighted_accumulate("v", F.lit(1.0),
+                                                   k=k_res))):
+        per = sdf.groupBy("g").agg(acc_col.alias("st"))
+        (row,) = (per.agg(dsf.approx_sample_combine("st").alias("m"))
+                  .select(dsf.approx_sample_estimate("m").alias("sample"),
+                          dsf.approx_sample_stream_size("m").alias("n"))
+                  .collect())
+        if row["n"] != rows:
+            failures.append(
+                f"{fam_name} merged stream size {row['n']} != {rows}")
+        samp = np.asarray(row["sample"], dtype=np.float64)
+        k_eff = samp.size
+        obs, _ = np.histogram(samp, bins=n_bins, range=(0.0, float(rows)))
+        exp = k_eff / n_bins
+        chi2 = float(((obs - exp) ** 2 / exp).sum())
+        # mean of k uniform draws over [0, rows): sd = rows/sqrt(12k)
+        z = float((samp.mean() - rows / 2) / (rows / np.sqrt(12 * k_eff)))
+        samp_out["families"][fam_name] = {
+            "k_effective": int(k_eff), "chi2_16bins": round(chi2, 2),
+            "chi2_crit_p999": chi_crit, "mean_z": round(z, 3)}
+        if k_eff < min(k_res, rows):
+            failures.append(
+                f"{fam_name} retained {k_eff} < min(k, rows)")
+        if chi2 > chi_crit:
+            failures.append(
+                f"{fam_name} merge-tree sample not uniform: chi2 {chi2:.1f}"
+                f" > {chi_crit}")
+        if abs(z) > 4.0:
+            failures.append(
+                f"{fam_name} sample mean biased: z {z:.2f}")
+    print(json.dumps(samp_out))
+    sdf.unpersist()
+
     print(json.dumps({"experiment": "summary",
                       "failures": failures or None}))
     if own_session:

@@ -19,9 +19,16 @@ EXACT regime: while ``n <= k`` the reservoir retains everything, so
 estimate returns the complete multiset — the oracle-checkable contract
 (mirrors the other families' exact-below-capacity design).
 
-Determinism: draws come from a per-instance ``default_rng`` with a fixed
-seed, so a fixed input split reproduces the same sample run-to-run
-(same contract as KLL's compaction coin flips, ``kll.py:64-66``).
+Determinism AND decorrelation: the uniform reservoir's draws come from a
+per-instance rng seeded from the first items it sees (content-derived),
+and the weighted family derives its A-ES priority keys from a 64-bit mix
+of (item bits, stream position) with no rng at all. Both reproduce the
+same sample run-to-run for a fixed input split (same contract as KLL's
+compaction coin flips, ``kll.py:64-66``) — but, unlike a CONSTANT seed,
+sketches built on different partitions draw differently. A constant seed
+makes every partition's sketch accept the same stream positions, which
+clusters the merged sample (a distributed-sampling bias the accuracy
+report's chi-square uniformity experiment now guards).
 """
 
 from __future__ import annotations
@@ -37,6 +44,47 @@ ITEM_DOUBLE = "double"
 
 _ITEM_CODES = {ITEM_DOUBLE: 0, ITEM_LONG: 1, ITEM_STR: 2}
 _CODE_ITEMS = {v: k for k, v in _ITEM_CODES.items()}
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a bijective 64-bit mix (public constant
+    set, Steele et al. 'Fast Splittable PRNGs')."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _item_bits(arr: np.ndarray, item_type: str) -> np.ndarray:
+    """Stable 64-bit value bits per item (never Python's salted hash())."""
+    if item_type == ITEM_DOUBLE:
+        return np.asarray(arr, dtype=np.float64).view(np.uint64)
+    if item_type == ITEM_LONG:
+        return np.asarray(arr, dtype=np.int64).view(np.uint64)
+    import hashlib
+    return np.array([int.from_bytes(
+        hashlib.blake2b(str(s).encode("utf-8"), digest_size=8).digest(),
+        "little") for s in arr], dtype=np.uint64)
+
+
+def _priority_uniforms(bits: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    """u in (0, 1) per (item, stream-position) pair: mix(item_bits xor
+    mix(position)). Mixing the item VALUE in is what decorrelates sketches
+    built on different partitions — a shared-seed RNG gives every
+    partition the same draw sequence, so the same batch positions win in
+    every partition and the merged sample clusters (caught by the
+    accuracy report's chi-square uniformity check). Mixing the POSITION
+    in keeps duplicate values at different stream positions independent,
+    preserving occurrence sampling."""
+    u = (_mix64(bits ^ _mix64(positions.astype(np.uint64))) >> np.uint64(11)
+         ).astype(np.float64) * (2.0 ** -53)
+    u[u == 0.0] = np.nextafter(0.0, 1.0)  # log(0) guard
+    return u
 
 
 class ReservoirSketch:
@@ -55,7 +103,26 @@ class ReservoirSketch:
         self.item_type = item_type
         self.n = 0
         self._items: list = []
-        self._rng = np.random.default_rng(0xD5C0FFEE)
+        self._rng = None  # seeded lazily from content: _ensure_rng
+
+    def _ensure_rng(self, material=None) -> np.random.Generator:
+        """Deterministic CONTENT-DERIVED seeding. A constant seed would
+        give every partition's sketch the same draw sequence, so the same
+        stream positions would be accepted in every partition and the
+        merged sample would cluster (the bias the accuracy report's
+        uniformity check guards). Seeding from the first items keeps
+        run-to-run determinism for a fixed input split while decorrelating
+        sketches that hold different data."""
+        if self._rng is None:
+            entropy = 0xD5C0FFEE
+            if material is not None:
+                arr = np.asarray(material, dtype=object)[:16]
+                if arr.size:
+                    bits = _item_bits(arr, self.item_type)
+                    entropy = int(_mix64(bits ^ _GOLDEN).sum(
+                        dtype=np.uint64))
+            self._rng = np.random.default_rng((entropy, 0xD5C0FFEE))
+        return self._rng
 
     # ------------------------------------------------------------------ update
 
@@ -69,11 +136,12 @@ class ReservoirSketch:
             self._items.extend(arr[:fill].tolist())
         rest = arr[fill:]
         if rest.size:
+            rng = self._ensure_rng(arr)
             # stream position (1-based) of each remaining item
             pos = np.arange(rest.size, dtype=np.float64) + (self.n + fill + 1)
-            accept = self._rng.random(rest.size) < (self.k / pos)
+            accept = rng.random(rest.size) < (self.k / pos)
             hits = rest[accept]
-            slots = self._rng.integers(0, self.k, size=hits.size)
+            slots = rng.integers(0, self.k, size=hits.size)
             for item, s in zip(hits.tolist(), slots.tolist()):
                 self._items[s] = item
         self.n += int(m)
@@ -96,6 +164,10 @@ class ReservoirSketch:
             self._items.extend(other._items)
             self.n += other.n
             return self
+        # merge draws come from a rng seeded on BOTH sides' retained
+        # items, so different groups' merge trees draw independently
+        self._ensure_rng(np.asarray(self._items + other._items,
+                                    dtype=object))
         mine = self._subset(self._items, min(len(self._items), self.k))
         theirs = self._subset(other._items, min(len(other._items), self.k))
         # Exactly-uniform union: |from self| ~ Hypergeometric(n, other.n, k)
@@ -110,7 +182,8 @@ class ReservoirSketch:
     def _subset(self, items: list, size: int) -> list:
         if size >= len(items):
             return list(items)
-        idx = self._rng.choice(len(items), size=size, replace=False)
+        idx = self._ensure_rng(np.asarray(items, dtype=object)).choice(
+            len(items), size=size, replace=False)
         return [items[i] for i in idx]
 
     # ------------------------------------------------------------------ query
@@ -171,23 +244,29 @@ class ReservoirSketch:
 
 class WeightedReservoirSketch:
     """Weight-proportional k-sample without replacement (VarOpt-class
-    semantics via Efraimidis-Spirakis A-ES).
+    semantics via Efraimidis-Spirakis A-ES priority keys).
 
-    Each positive-weight item draws a key ``log(u)/w`` once, at update
-    time; the sketch retains the k LARGEST keys. Because the keys are
-    part of the serialized state, merging is a deterministic top-k over
-    the union — order- and tree-shape-independent with NO randomness at
-    merge, a strict monoid (stronger than the uniform reservoir, whose
-    merge must re-randomize). Inclusion probabilities follow A-ES
-    weighted sampling without replacement; zero/negative/NaN weights are
-    excluded (they can never be drawn). EXACT regime: n <= k retains
-    every positive-weight item.
+    Each positive-weight item gets a key ``log(u)/w`` once, at update
+    time; the sketch retains the k LARGEST keys. ``u`` is derived from a
+    64-bit mix of the item's value bits and its stream position
+    (:func:`_priority_uniforms`) rather than a per-instance RNG: a
+    shared-seed RNG repeats the same draw sequence in every partition's
+    sketch, which correlates the per-partition winners and makes the
+    MERGED sample cluster (a real bias, caught by the accuracy report's
+    chi-square uniformity check; Cohen & Kaplan's bottom-k/priority
+    sampling is the standard hash-derived construction). Because the keys
+    are part of the serialized state, merging is a deterministic top-k
+    over the union — order- and tree-shape-independent with NO randomness
+    at merge, a strict monoid (stronger than the uniform reservoir, whose
+    merge must re-randomize). Zero/negative/NaN weights are excluded
+    (they can never be drawn). EXACT regime: n <= k retains every
+    positive-weight item.
     """
 
     FAMILY = FAMILY_WRESERVOIR
 
     __slots__ = ("k", "item_type", "n", "total_weight",
-                 "_keys", "_items", "_rng")
+                 "_keys", "_items")
 
     def __init__(self, k: int = 1024, item_type: str = ITEM_DOUBLE):
         if k <= 0:
@@ -200,7 +279,6 @@ class WeightedReservoirSketch:
         self.total_weight = 0.0
         self._keys = np.empty(0, dtype=np.float64)
         self._items: list = []
-        self._rng = np.random.default_rng(0xD5C0FFEE)
 
     # ------------------------------------------------------------------ update
 
@@ -213,8 +291,8 @@ class WeightedReservoirSketch:
         arr, w = arr[ok], w[ok]
         if arr.size == 0:
             return
-        u = self._rng.random(arr.size)
-        u[u == 0.0] = np.nextafter(0.0, 1.0)  # log(0) guard
+        positions = np.arange(arr.size, dtype=np.uint64) + np.uint64(self.n)
+        u = _priority_uniforms(_item_bits(arr, self.item_type), positions)
         keys = np.log(u) / w                  # in (-inf, 0); larger wins
         self._insert(keys, arr.tolist())
         self.n += int(arr.size)

@@ -163,7 +163,6 @@ class TestReservoirProperties:
         states = []
         for i, idx in enumerate(chunks):
             sk = WeightedReservoirSketch(k=k)
-            sk._rng = np.random.default_rng(1000 + i)  # distinct draws
             sk.update_batch(arr[idx], w[idx])
             states.append(sk.serialize())
         # left fold vs right fold must agree item-for-item (strict monoid)

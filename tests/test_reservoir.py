@@ -207,7 +207,6 @@ class TestWeightedReservoir:
         a = WeightedReservoirSketch(k=16)
         a.update_batch(np.arange(100, dtype=np.float64), np.ones(100))
         b = WeightedReservoirSketch(k=16)
-        b._rng = np.random.default_rng(7)
         b.update_batch(np.arange(100, 200, dtype=np.float64), np.ones(100))
         ab = deserialize_any(a.serialize()).merge(deserialize_any(b.serialize()))
         ba = deserialize_any(b.serialize()).merge(deserialize_any(a.serialize()))
@@ -217,15 +216,17 @@ class TestWeightedReservoir:
 
     def test_weight_proportional_inclusion(self):
         from datasketches_spark_spark.sketches import WeightedReservoirSketch
-        # items 0..999 weight 1, 1000..1999 weight 9: E[fraction heavy]
-        # approaches 0.9 for k << effective N. 40 trials, allow 5 SE.
+        # items weight 1 vs weight 9: E[fraction heavy] approaches 0.9 for
+        # k << effective N. Keys are a deterministic function of the item
+        # VALUES, so independent trials come from disjoint value ranges
+        # (offsetting the items), not from reseeding. 40 trials, allow 5 SE.
         fracs = []
         for t in range(40):
             sk = WeightedReservoirSketch(k=50)
-            sk._rng = np.random.default_rng(t)
+            base = float(t) * 1e7
             w = np.concatenate([np.ones(1000), np.full(1000, 9.0)])
-            sk.update_batch(np.arange(2000, dtype=np.float64), w)
-            fracs.append(np.mean(np.array(sk.items()) >= 1000))
+            sk.update_batch(base + np.arange(2000, dtype=np.float64), w)
+            fracs.append(np.mean(np.array(sk.items()) >= base + 1000))
         se = np.sqrt(0.9 * 0.1 / 50) / np.sqrt(40)
         assert abs(np.mean(fracs) - 0.9) < 5 * se + 0.02
 
