@@ -198,15 +198,36 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     """End-to-end MinHash-LSH near-duplicate pairs over word-``shingle_n``-
     gram sets: shingle (JVM) -> xxhash64 per shingle (JVM) -> minhash bands
     (numpy) -> bucket self-join -> exact-Jaccard verify. Returns
-    ``(id_a, id_b, jaccard)`` with id_a < id_b."""
+    ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    Cost shape: the shingle projection (tokenize + n-gram + distinct per
+    document) is the dominant JVM expression, so it runs over the corpus
+    exactly ONCE — inside the signature pass. The verify stage joins the
+    candidate pairs against the RAW text (a cheap two-column relation that
+    Spark can re-scan freely) and evaluates the shingle expression only on
+    the joined pair rows: corpus-sized shingling x1 + pair-sized x2,
+    instead of the x3 corpus-sized passes a shingle-carrying verify
+    relation would cost (one per join side, Spark cannot reuse an
+    un-materialized subplan across join sides)."""
     sh = shingles(text_col, n=shingle_n)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    base = _spread(df).select(F.col(id_col), sh.alias("_sh"),
-                              hashed.alias("_shh"))
+    src = _spread(df).select(F.col(id_col), F.col(text_col))
+    base = src.select(F.col(id_col), hashed.alias("_shh"))
     bands_df = minhash_bands(base, id_col, F.col("_shh"),
                              num_hashes=num_hashes, bands=bands)
     cands = lsh_candidate_pairs(bands_df, max_bucket=max_bucket)
-    return jaccard_verify(cands, base, id_col, F.col("_sh"), threshold)
+    ta = src.select(F.col(id_col).alias("id_a"),
+                    F.col(text_col).alias("_ta"))
+    tb = src.select(F.col(id_col).alias("id_b"),
+                    F.col(text_col).alias("_tb"))
+    joined = cands.join(ta, "id_a").join(tb, "id_b")
+    sh_a = shingles(F.col("_ta"), n=shingle_n)
+    sh_b = shingles(F.col("_tb"), n=shingle_n)
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    jac = inter.cast("double") / union.cast("double")
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
 
 
 # ------------------------------------------------------------------ winnowing
