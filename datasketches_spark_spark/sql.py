@@ -693,14 +693,72 @@ def _rewrite_union(spark: SparkSession, prefix: str, body: str) -> DataFrame:
     return out
 
 
-def _rewrite(spark: SparkSession, query: str) -> DataFrame:
-    """Full rewrite pipeline: CTEs whose bodies carry sketch aggregates are
-    rewritten to two-phase plans and materialized as uniquely-named temp
-    views (dropped again before returning — analysis inlines them); plain
-    CTEs stay SQL text; the remainder (a SELECT block or a UNION ALL
-    chain) is rewritten per member."""
+def _materialize(spark: SparkSession, prefix: str, body: str,
+                 tag: str, views: list[str]) -> str:
+    """Rewrite ``body`` to a two-phase plan and register it as a
+    uniquely-named temp view; returns the view name (recorded in
+    ``views`` for cleanup)."""
     import uuid
+    df = _rewrite_union(spark, prefix, body)
+    vname = f"__dss_cte_{tag}_{uuid.uuid4().hex[:8]}"
+    df.createOrReplaceTempView(vname)
+    views.append(vname)
+    return vname
 
+
+def _extract_sketch_subqueries(spark: SparkSession, prefix: str, text: str,
+                               views: list[str]) -> str:
+    """Replace parenthesized ``(SELECT ... <sketch agg> ...)`` subqueries
+    (FROM-subqueries being the common shape) with materialized two-phase
+    temp views, at any nesting depth. A span that fails its own rewrite is
+    left untouched — the scan then descends into it, so a deeper sketch
+    subquery still extracts, and anything genuinely unsupported surfaces
+    through the ordinary fallback."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in _QUOTES:
+            j = _skip_quoted(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        if c == "(":
+            try:
+                j = _match_paren(text, i)
+            except _Unsupported:
+                out.append(c)
+                i += 1
+                continue
+            inner = text[i + 1:j - 1].strip()
+            if re.match(r"SELECT\b", inner, re.I) and _has_sketch(inner):
+                try:
+                    vname = _materialize(spark, prefix, inner, "sub", views)
+                except ValueError:
+                    raise       # eager literal validation stays eager
+                except (_Unsupported, Exception):
+                    # unsupported shape, or a correlated subquery whose
+                    # outer references cannot resolve in isolation —
+                    # descend: deeper subqueries may still extract
+                    out.append(c)
+                    i += 1
+                    continue
+                out.append(vname)
+                i = j
+                continue
+            out.append(c)           # not a sketch subquery: descend
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite(spark: SparkSession, query: str) -> DataFrame:
+    """Full rewrite pipeline: CTE bodies and FROM-subqueries carrying
+    sketch aggregates are rewritten to two-phase plans and materialized as
+    uniquely-named temp views (dropped again before returning — analysis
+    inlines them); plain CTEs stay SQL text; the remainder (a SELECT block
+    or a UNION ALL chain) is rewritten per member."""
     q = _strip_comments(query).strip().rstrip(";").strip()
     ctes, rest = _parse_with(q)
     plain: list[tuple[str, str]] = []
@@ -709,21 +767,22 @@ def _rewrite(spark: SparkSession, query: str) -> DataFrame:
     try:
         for name, body in ctes:
             body = _sub_cte_refs(body, subs)
+            body = _extract_sketch_subqueries(
+                spark, _with_prefix(plain), body, views)
             if _has_sketch(body):
-                df = _rewrite_union(spark, _with_prefix(plain), body)
-                vname = f"__dss_cte_{name}_{uuid.uuid4().hex[:8]}"
-                df.createOrReplaceTempView(vname)
-                views.append(vname)
+                vname = _materialize(spark, _with_prefix(plain), body,
+                                     name, views)
                 subs[name.lower()] = vname
             else:
                 plain.append((name, body))
         rest = _sub_cte_refs(rest, subs)
         prefix = _with_prefix(plain)
+        rest = _extract_sketch_subqueries(spark, prefix, rest, views)
         if _has_sketch(rest):
             result = _rewrite_union(spark, prefix, rest)
         elif views:
-            # the sketch work lives entirely inside CTEs; the remainder is
-            # ordinary SQL over their materialized views
+            # the sketch work lives entirely inside CTEs/subqueries; the
+            # remainder is ordinary SQL over their materialized views
             result = spark.sql(prefix + rest)
         else:
             raise _Unsupported("no engine sketch aggregate in select list")

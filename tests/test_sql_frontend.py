@@ -277,6 +277,48 @@ def test_cte_qualified_refs_and_join(spark):
     assert all(r.ndv > 0 for r in rows)
 
 
+def test_from_subquery_with_sketch_aggregate(spark):
+    """The sketch aggregate lives in a FROM-subquery; must rewrite to the
+    two-phase plan (no fallback warning) and match the registered path."""
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    q = ("SELECT l_returnflag, p50 FROM ("
+         "  SELECT l_returnflag, "
+         "  approx_percentile_mergeable(l_quantity, 0.5) AS p50 "
+         "  FROM lineitem GROUP BY l_returnflag"
+         ") s WHERE p50 > 0 ORDER BY l_returnflag")
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        df = dss.sql(spark, q)
+    assert "MapInPandas" in _plan(df)
+    got = [(r.l_returnflag, r.p50) for r in df.collect()]
+    ref = [(r.l_returnflag, r.p50) for r in spark.sql(q).collect()]
+    assert [g[0] for g in got] == [r[0] for r in ref]
+    for g, r in zip(got, ref):
+        assert g[1] == pytest.approx(r[1], rel=1e-6)
+    leftover = [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("__dss_cte_")]
+    assert leftover == []
+
+
+def test_from_subquery_join_with_plain_side(spark):
+    q = ("SELECT n.ndv, m.mx FROM "
+         "(SELECT approx_count_distinct_ex(l_partkey) AS ndv "
+         " FROM lineitem) n "
+         "JOIN (SELECT max(l_quantity) AS mx FROM lineitem) m")
+    (row,) = dss.sql(spark, q).collect()
+    exact = spark.sql("SELECT count(DISTINCT l_partkey) AS ndv, "
+                      "max(l_quantity) AS mx FROM lineitem").collect()[0]
+    assert row.ndv == exact.ndv and row.mx == exact.mx
+
+
+def test_subquery_eager_validation_still_eager(spark):
+    with pytest.raises(ValueError, match="approx_percentile_ex"):
+        dss.sql(spark, ("SELECT * FROM (SELECT "
+                        "approx_percentile_ex(l_quantity, 7.5) AS p "
+                        "FROM lineitem) t"))
+
+
 def test_cte_sketch_body_plus_sketch_final(spark):
     """Sketch aggregates in BOTH a CTE body and the final block."""
     q = ("WITH s AS (SELECT l_returnflag, "
