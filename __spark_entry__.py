@@ -407,6 +407,47 @@ def _q24_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q36_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (streaming/sketch_stream.py::streaming_dedup ->
+    dropDuplicatesWithinWatermark): the documents corpus is DUPLICATED
+    (written twice) and replayed as a file stream over several triggers;
+    dedup by content fingerprint (md5 of text) must emit each document
+    exactly once, so the per-lang counts of the deduped stream equal the
+    batch distinct counts — a fully SQL-expressible oracle even though
+    the mechanism is a stateful stream. Event time is synthesized
+    TIMESTAMP_NTZ on purpose (the engine's NTZ watermark cast is on the
+    path). Extension beyond the reference (no streaming there); the
+    training-pipeline shape: suppress re-crawled documents as they
+    arrive instead of re-deduping the corpus in batch."""
+    import tempfile
+    import uuid
+    from datasketches_spark_spark.streaming import (
+        await_or_fail, streaming_dedup)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("fp"),
+        (F.lit("2024-01-01").cast("timestamp_ntz")
+         + F.make_interval(secs=(F.col("doc_id") % 100).cast("double"))
+         ).alias("ts"))
+    src = tempfile.mkdtemp(prefix="dss_q36_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_q36_ckpt_")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    docs.repartition(2).write.mode("append").parquet(src)  # duplicate all
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = streaming_dedup(stream, ["fp"], event_time="ts",
+                              delay="1 day")
+    name = f"q36_dedup_sink_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    await_or_fail(q, 300)
+    return spark.sql(f"""
+        SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_unique
+        FROM {name} GROUP BY lang ORDER BY lang""")
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -738,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_weighted_reservoir_sql": _q33_weighted_reservoir_sql,
         "q34_wire_interop": _q34_wire_interop,
         "q35_rank_cdf": _q35_rank_cdf,
+        "q36_streaming_dedup": _q36_streaming_dedup,
     }
 
 
@@ -1030,5 +1072,14 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1.0 ELSE 0.0 END) AS cdf_40,
                    1.0 AS cdf_end
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # q36: the stream input is the corpus DUPLICATED; after
+        # within-watermark dedup the sink holds each fingerprint once, so
+        # per-lang counts equal the batch distinct-fingerprint counts.
+        "q36_streaming_dedup": """
+            SELECT lang,
+                   count(DISTINCT md5(text)) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -3,9 +3,10 @@
 from .sketch_stream import (
     await_or_fail,
     sketch_accumulate_stream,
+    streaming_dedup,
     streaming_summary_sink,
     with_event_time_watermark,
 )
 
-__all__ = ["await_or_fail", "sketch_accumulate_stream",
+__all__ = ["await_or_fail", "sketch_accumulate_stream", "streaming_dedup",
            "streaming_summary_sink", "with_event_time_watermark"]

@@ -59,6 +59,32 @@ def with_event_time_watermark(df: DataFrame, ts_col: str,
     return df.withWatermark(ts_col, delay)
 
 
+def streaming_dedup(df: DataFrame, cols: list[str],
+                    event_time: str | None = None,
+                    delay: str | None = None) -> DataFrame:
+    """Streaming exact deduplication — the training-data-pipeline shape
+    (suppress re-crawled / re-queued documents by content fingerprint as
+    they arrive, instead of re-deduping the whole corpus in batch).
+
+    With ``(event_time, delay)``: installs an NTZ-tolerant watermark
+    (:func:`with_event_time_watermark`) and applies Spark's
+    ``dropDuplicatesWithinWatermark`` — a key's seen-state is dropped
+    once the watermark passes its event time plus ``delay``, so state
+    stays BOUNDED on an unbounded stream. Duplicates arriving within the
+    delay window are suppressed; a re-arrival after the window counts as
+    new (the documented within-watermark contract — pick ``delay`` to
+    cover the pipeline's real duplicate-arrival spread).
+
+    Without event time: plain ``dropDuplicates`` — state grows with the
+    distinct-key count forever; only safe for bounded key domains."""
+    if (event_time is None) != (delay is None):
+        raise ValueError("event_time and delay must be provided together")
+    if event_time is not None:
+        return (with_event_time_watermark(df, event_time, delay)
+                .dropDuplicatesWithinWatermark(cols))
+    return df.dropDuplicates(cols)
+
+
 def await_or_fail(query, timeout_sec: float) -> None:
     """``awaitTermination`` that cannot silently time out: on timeout the
     query is stopped and a TimeoutError raised, so a caller can never read

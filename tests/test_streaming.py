@@ -84,6 +84,45 @@ class TestStreaming:
         assert got == exact
 
 
+class TestStreamingDedup:
+    def test_watermarked_dedup_suppresses_duplicates(self, spark, tables,
+                                                     stream_dirs):
+        """A duplicated corpus streamed in over several triggers must come
+        out exactly once per content fingerprint, with watermark-bounded
+        state (NTZ event time on purpose — the engine cast handles it)."""
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, streaming_dedup)
+        src_dir, ckpt, _ = stream_dirs
+        docs = tables["documents"].select(
+            "doc_id", "lang", F.md5("text").alias("fp"),
+            (F.lit("2024-01-01").cast("timestamp_ntz")
+             + F.make_interval(secs=(F.col("doc_id") % 100)
+                               .cast("double"))).alias("ts"))
+        # duplicate every document across two writes -> 2x input rows
+        docs.repartition(2).write.mode("overwrite").parquet(src_dir)
+        docs.repartition(2).write.mode("append").parquet(src_dir)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        deduped = streaming_dedup(stream, ["fp"], event_time="ts",
+                                  delay="1 day")
+        q = (deduped.writeStream.format("memory").queryName("dedup_stream")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT fp) AS d "
+            "FROM dedup_stream").collect()[0]
+        exact = docs.select("fp").distinct().count()
+        assert got.n == got.d == exact
+
+    def test_dedup_requires_paired_event_time_args(self, spark, tables):
+        from datasketches_spark_spark.streaming import streaming_dedup
+        with pytest.raises(ValueError, match="together"):
+            streaming_dedup(tables["documents"], ["doc_id"],
+                            event_time="ts")
+
+
 class TestWindowedStreaming:
     def test_watermarked_window_sketch_agg(self, spark, tables, stream_dirs):
         """Event-time windowed sketch aggregation with a watermark — the
