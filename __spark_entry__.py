@@ -391,11 +391,22 @@ def _q24_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    k=_QK)
     import uuid
     name = f"q24_stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("update")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    await_or_fail(q, 300)
+    # Size the state-store partition count to the STATE cardinality (a
+    # handful of event types), not the batch shuffle default: each state
+    # partition checkpoints its own store per micro-batch, so 32 stores
+    # for 5 keys is pure per-trigger overhead (~40% of this query's wall
+    # here). The count is pinned into the checkpoint at first start —
+    # exactly why it must be chosen for the state, not the cluster.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.sql(f"""
         SELECT event_type, state FROM (
           SELECT *, row_number() OVER (
@@ -438,11 +449,21 @@ def _q36_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(stream, ["fp"], event_time="ts",
                               delay="1 day")
     name = f"q36_dedup_sink_{uuid.uuid4().hex[:8]}"
-    q = (deduped.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    await_or_fail(q, 300)
+    # State partitions sized to the within-watermark fingerprint volume at
+    # THIS SF (tens of thousands of keys -> 8 stores is plenty; each state
+    # partition checkpoints per micro-batch, so over-partitioning is pure
+    # overhead). At 100 TB the within-watermark key volume is what should
+    # set this — the cluster default, or higher.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (deduped.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.sql(f"""
         SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_unique
         FROM {name} GROUP BY lang ORDER BY lang""")
