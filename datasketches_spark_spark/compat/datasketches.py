@@ -473,24 +473,53 @@ def _require(cond: bool, msg: str) -> None:
 
 
 def encode_kll_floats(sk) -> bytes:
-    """Engine KLL float32 state (exact regime) -> DataSketches KLL-floats
-    compact image. Byte-identical to the Java library's output for the
-    same input stream: level-0 items are serialized in REVERSE insertion
-    order (the library fills the items array from the top down), at
-    absolute positions [k-n, k)."""
+    """Engine KLL float32 state -> DataSketches KLL-floats compact image.
+
+    Exact-regime states (level 0 only, n <= k) keep the golden-validated
+    single-level form — byte-identical to the Java library's output for
+    the same input stream: level-0 items in REVERSE insertion order (the
+    library fills the items array from the top down), at absolute
+    positions [k-n, k).
+
+    Compacted states (or exact states past k retained items) export the
+    multi-level compact form: the levels array carries one absolute
+    start position per level (level sizes are their differences; the top
+    boundary is implied by the item count — the same arithmetic the
+    golden vector pins on the import side), items of level h carry
+    weight ``2^h``, level 0 in reverse insertion order and upper levels
+    sorted. Multi-level start positions anchor at 0 (the reader only
+    consumes differences plus the base; no reference-built multi-level
+    golden vector exists in this environment, so the multi-level form is
+    validated by export->import round-trips and the decoder's
+    ``sum(weights) == n`` hard check, like estimation-mode REQ)."""
     sk._consolidate()
-    _require(sk.is_exact(),
-             "only exact-regime (uncompacted) KLL states export to the "
-             "DataSketches wire format; estimate/combine them here instead")
-    lvl0 = np.asarray(sk._levels[0], dtype=np.float32)
     n = int(sk.n)
-    _require(0 < n <= sk.k, "export needs 0 < n <= k retained items")
-    head = struct.pack("<BBBBHBB", 5, 1, _FAMILY_KLL, 0, sk.k, 8, 0)
+    _require(n > 0, "empty KLL state has no export")
+    k = min(int(sk.k), 0xFFFF)
+    if sk.is_exact() and len(sk._levels[0]) <= k:
+        lvl0 = np.asarray(sk._levels[0], dtype=np.float32)
+        head = struct.pack("<BBBBHBB", 5, 1, _FAMILY_KLL, 0, k, 8, 0)
+        head += struct.pack("<Q", n)
+        head += struct.pack("<HBB", k, 1, 0)         # minK, numLevels, pad
+        head += struct.pack("<i", k - n)             # levels[0]
+        head += struct.pack("<ff", float(lvl0.min()), float(lvl0.max()))
+        return head + lvl0[::-1].tobytes()
+    levels = [np.asarray(a, dtype=np.float32) for a in sk._levels]
+    while len(levels) > 1 and levels[-1].size == 0:
+        levels.pop()
+    num_levels = len(levels)
+    sizes = [a.size for a in levels]
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    body = [levels[0][::-1]] + [np.sort(a) for a in levels[1:]]
+    items = np.concatenate(body) if body else np.empty(0, np.float32)
+    vals = np.concatenate([a for a in levels if a.size]) \
+        if any(sizes) else np.empty(0, np.float32)
+    head = struct.pack("<BBBBHBB", 5, 1, _FAMILY_KLL, 0, k, 8, 0)
     head += struct.pack("<Q", n)
-    head += struct.pack("<HBB", sk.k, 1, 0)          # minK, numLevels, pad
-    head += struct.pack("<i", sk.k - n)              # levels[0]
-    head += struct.pack("<ff", float(lvl0.min()), float(lvl0.max()))
-    return head + lvl0[::-1].tobytes()
+    head += struct.pack("<HBB", k, num_levels, 0)
+    head += struct.pack(f"<{num_levels}i", *starts.tolist())
+    head += struct.pack("<ff", float(vals.min()), float(vals.max()))
+    return head + items.astype("<f4").tobytes()
 
 
 def encode_doubles(sk) -> bytes:
@@ -576,9 +605,12 @@ def encode_freqitems(sk) -> bytes:
 
 def to_datasketches_state(engine_state: bytes) -> bytes:
     """Engine wire bytes -> Apache DataSketches wire bytes (the EXPORT
-    direction), for exact-regime states. Quantiles map by value type
-    (float32 KLL -> KLL floats, float64 -> classic DoublesSketch, REQ ->
-    raw-items REQ); frequent items map with the global-offset model.
+    direction). Quantiles map by value type: float32 KLL -> KLL floats
+    (single-level byte-exact to the golden vector; compacted states in
+    the multi-level compact form), REQ -> raw-items or estimation-mode
+    image, float64 -> classic DoublesSketch (base-buffer regime only —
+    its rigid k-item-block layout cannot express arbitrary engine level
+    sizes); frequent items map with the global-offset model.
     Theta/HLL/reservoir states raise: those formats are either
     compressed or have no reference analogue."""
     from ..sketches import deserialize_any

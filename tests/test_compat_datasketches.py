@@ -498,10 +498,38 @@ class TestExport:
         rows = dict(decode_freqitems(wire, "string"))
         assert rows == {"a": 30, "b": 20, "c": 10}
 
-    def test_compacted_kll_state_refuses_export(self):
+    def test_compacted_kll_state_exports_multilevel_image(self):
+        # compacted KLL float32 states export the multi-level compact
+        # form and round-trip: weights sum to n exactly, quantiles equal
+        # the engine sketch's own, import rebuilds a KllSketch, and
+        # re-export is byte-identical (deterministic)
         from datasketches_spark_spark.compat import to_datasketches_state
-        sk = KllSketch(k=8, dtype=np.float32)
-        sk.update_batch(np.arange(10_000, dtype=np.float32))
+        from datasketches_spark_spark.compat.datasketches import (
+            decode_quantile)
+        rng = np.random.default_rng(11)
+        vals = rng.permutation(np.arange(20_000, dtype=np.float32))
+        sk = KllSketch(k=200, dtype=np.float32)
+        sk.update_batch(vals)
+        assert not sk.is_exact()
+        wire = to_datasketches_state(sk.serialize())
+        assert wire[2] == 15 and wire[18] > 1      # KLL, multi-level
+        ws = decode_quantile(wire)
+        assert ws.n == 20_000 and int(ws.weights.sum()) == 20_000
+        for p in (0.01, 0.5, 0.99):
+            assert ws.quantile(p) == sk.quantile(p)
+            assert abs(ws.quantile(p) - p * 20_000) <= 0.03 * 20_000
+        back = deserialize_quantile(wire)
+        assert isinstance(back, KllSketch) and back.n == 20_000
+        assert back.quantile(0.5) == sk.quantile(0.5)
+        assert to_datasketches_state(back.serialize()) == wire
+
+    def test_compacted_doubles_state_still_refuses_export(self):
+        # the classic DoublesSketch layout is rigid (k-item blocks per
+        # set bit of n/2k) — engine float64 states past the base-buffer
+        # regime cannot be expressed in it, so the refusal stays
+        from datasketches_spark_spark.compat import to_datasketches_state
+        sk = KllSketch(k=128, dtype=np.float64)
+        sk.update_batch(np.arange(10_000, dtype=np.float64))
         assert not sk.is_exact()
         with pytest.raises(NotImplementedError, match="exact-regime"):
             to_datasketches_state(sk.serialize())
