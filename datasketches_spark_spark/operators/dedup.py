@@ -211,8 +211,11 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     un-materialized subplan across join sides)."""
     sh = shingles(text_col, n=shingle_n)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    src = _spread(df).select(F.col(id_col), F.col(text_col))
-    base = src.select(F.col(id_col), hashed.alias("_shh"))
+    src = df.select(F.col(id_col), F.col(text_col))
+    # spread ONLY the signature input (per-row numpy compute wants the
+    # cores); the verify text relations are join probes and must not pay
+    # a corpus-sized repartition for nothing
+    base = _spread(src).select(F.col(id_col), hashed.alias("_shh"))
     bands_df = minhash_bands(base, id_col, F.col("_shh"),
                              num_hashes=num_hashes, bands=bands)
     cands = lsh_candidate_pairs(bands_df, max_bucket=max_bucket)
