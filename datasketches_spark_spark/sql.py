@@ -27,11 +27,13 @@ exactly like ``spark.sql``:
   ``groupBy().agg()`` and re-join the sketched half null-safely on the
   group keys — the same split/join plan the flagship pricing-summary query
   builds by hand;
-* CTEs whose bodies carry sketch aggregates are rewritten to two-phase
-  plans themselves and materialized as uniquely-named temp views for the
-  rest of the query (dropped before returning — analysis inlines them);
-  ``UNION ALL`` chains rewrite member-by-member (positional union, SQL
-  semantics for a trailing ORDER BY/LIMIT);
+* CTE bodies and FROM-subqueries carrying sketch aggregates are rewritten
+  to two-phase plans themselves and materialized as uniquely-named temp
+  views for the rest of the query (dropped before returning — analysis
+  inlines them); set-operation chains (``UNION [ALL|DISTINCT]`` /
+  ``INTERSECT [ALL]`` / ``EXCEPT [ALL]`` / ``MINUS``) rewrite
+  member-by-member with SQL precedence (INTERSECT binds tighter) and SQL
+  semantics for a trailing ORDER BY/LIMIT;
 * anything outside the supported shape falls back to ``spark.sql(query)``
   unchanged (the registered pandas-UDF path: correct, raw-row shuffle).
 
@@ -599,26 +601,33 @@ def _sub_cte_refs(text: str, subs: dict[str, str]) -> str:
     return "".join(out)
 
 
-_UNION_ALL_RE = re.compile(r"UNION\s+ALL\b", re.I)
+_SETOP_RE = re.compile(
+    r"(UNION\s+ALL|UNION\s+DISTINCT|UNION|INTERSECT\s+ALL|INTERSECT"
+    r"|EXCEPT\s+ALL|EXCEPT|MINUS)\b", re.I)
 _ORDER_BY_RE = re.compile(r"ORDER\s+BY\b", re.I)
 _LIMIT_RE = re.compile(r"LIMIT\b", re.I)
 
 
-def _split_union_all(q: str) -> list[str]:
+def _split_setops(q: str) -> list[str]:
+    """Tokenize a set-operation chain: [block, OP, block, OP, block...].
+    OP tokens are canonicalized uppercase ('UNION ALL', 'INTERSECT', ...).
+    A single-element list means no top-level set operation."""
     cuts = []
     for i in _top_level_positions(q):
         if _at_word_boundary(q, i):
-            m = _UNION_ALL_RE.match(q, i)
+            m = _SETOP_RE.match(q, i)
             if m:
-                cuts.append((i, m.end()))
-    parts, prev = [], 0
-    for s, e in cuts:
-        parts.append(q[prev:s].strip())
+                cuts.append((i, m.end(),
+                             re.sub(r"\s+", " ", m.group(1).upper())))
+    toks, prev = [], 0
+    for s, e, op in cuts:
+        toks.append(q[prev:s].strip())
+        toks.append("EXCEPT" if op == "MINUS" else op)
         prev = e
-    parts.append(q[prev:].strip())
-    if any(not p for p in parts):
-        raise _Unsupported("empty UNION ALL member")
-    return parts
+    toks.append(q[prev:].strip())
+    if any(not t for t in toks[::2]):
+        raise _Unsupported("empty set-operation member")
+    return toks
 
 
 def _cut_trailing_order_limit(text: str):
@@ -654,26 +663,53 @@ def _has_sketch(text: str) -> bool:
     return bool(_called_functions(text) & _SKETCH_FUNCS)
 
 
+_SETOP_APPLY = {
+    "UNION ALL": lambda a, b: a.union(b),
+    "UNION": lambda a, b: a.union(b).distinct(),
+    "UNION DISTINCT": lambda a, b: a.union(b).distinct(),
+    "INTERSECT": lambda a, b: a.intersect(b),
+    "INTERSECT ALL": lambda a, b: a.intersectAll(b),
+    "EXCEPT": lambda a, b: a.subtract(b),   # SQL EXCEPT = distinct form
+    "EXCEPT ALL": lambda a, b: a.exceptAll(b),
+}
+
+
 def _rewrite_union(spark: SparkSession, prefix: str, body: str) -> DataFrame:
-    """Rewrite ``body`` (one SELECT block, or a chain of UNION ALL
-    blocks). Each sketch-bearing member gets the two-phase plan; plain
-    members run through spark.sql; the union is positional (names from the
-    first member), like SQL."""
-    parts = _split_union_all(body)
-    if len(parts) == 1:
-        return _rewrite_block(spark, prefix + parts[0])
+    """Rewrite ``body`` — one SELECT block, or a set-operation chain
+    (UNION [ALL|DISTINCT] / INTERSECT [ALL] / EXCEPT [ALL] / MINUS).
+    Each sketch-bearing member gets the two-phase plan; plain members run
+    through spark.sql; combination is positional (names from the first
+    member) with SQL precedence: INTERSECT binds tighter, the rest fold
+    left-associatively."""
+    toks = _split_setops(body)
+    if len(toks) == 1:
+        return _rewrite_block(spark, prefix + toks[0])
+    parts = toks[::2]
     parts[-1], order_text, limit_text = _cut_trailing_order_limit(parts[-1])
     for p in parts[:-1]:
-        tail, o, li = _cut_trailing_order_limit(p)
+        _, o, li = _cut_trailing_order_limit(p)
         if o or li:
             raise _Unsupported(
-                "ORDER BY/LIMIT on a non-final UNION ALL member")
+                "ORDER BY/LIMIT on a non-final set-operation member")
     dfs = [(_rewrite_block(spark, prefix + p) if _has_sketch(p)
             else spark.sql(prefix + p)) for p in parts]
     ncols = len(dfs[0].columns)
     if any(len(d.columns) != ncols for d in dfs[1:]):
-        raise _Unsupported("UNION ALL members have different column counts")
-    out = reduce(lambda a, b: a.union(b), dfs)
+        raise _Unsupported(
+            "set-operation members have different column counts")
+    ops = toks[1::2]
+    # SQL precedence: reduce INTERSECT [ALL] runs first, then fold the
+    # remaining UNION/EXCEPT chain left-associatively
+    vals, rest_ops = [dfs[0]], []
+    for op, d in zip(ops, dfs[1:]):
+        if op.startswith("INTERSECT"):
+            vals[-1] = _SETOP_APPLY[op](vals[-1], d)
+        else:
+            rest_ops.append(op)
+            vals.append(d)
+    out = vals[0]
+    for op, d in zip(rest_ops, vals[1:]):
+        out = _SETOP_APPLY[op](out, d)
     if order_text:
         order_items = []
         for t in _split_top(order_text):
@@ -1000,8 +1036,10 @@ def _warn_fallback(query: str, reason: str) -> None:
     warnings.warn(
         f"dss.sql: query falls back to spark.sql ({reason}); its sketch "
         "aggregates will run as registered UDFs, shuffling raw rows "
-        "instead of partial sketch states. Restructure to a single-block "
-        "SELECT to keep the two-phase plan.",
+        "instead of partial sketch states. Keep each sketch aggregate a "
+        "direct select item of a SELECT block (CTE bodies, "
+        "FROM-subqueries and set-operation members all qualify) to keep "
+        "the two-phase plan.",
         SketchSqlFallbackWarning, stacklevel=3)
 
 

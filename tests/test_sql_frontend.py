@@ -187,12 +187,12 @@ def test_fallback_warns_when_sketch_aggregates_lose_two_phase(spark):
     queries and sketch-free fallbacks must not."""
     import warnings as w
     from datasketches_spark_spark.sql import SketchSqlFallbackWarning
-    # set ops other than UNION ALL with a sketch agg -> fallback + warning
+    # a sketch aggregate nested inside a larger expression is outside the
+    # rewrite grammar -> fallback + warning
     with pytest.warns(SketchSqlFallbackWarning):
         dss.sql(spark, (
-            "SELECT approx_count_distinct_ex(l_partkey) AS ndv FROM lineitem "
-            "INTERSECT "
-            "SELECT approx_count_distinct_ex(l_partkey) FROM lineitem"))
+            "SELECT approx_count_distinct_ex(l_partkey) + 1 AS ndv1 "
+            "FROM lineitem"))
     # rewritten single-block query -> no warning
     with w.catch_warnings():
         w.simplefilter("error", SketchSqlFallbackWarning)
@@ -226,6 +226,37 @@ def test_union_all_of_sketch_blocks_rewrites(spark):
     got = {(r.what, r.ndv) for r in df.collect()}
     ref = {(r.what, r.ndv) for r in spark.sql(q).collect()}
     assert got == ref and len(got) == 2
+
+
+def test_setop_chain_intersect_precedence(spark):
+    """INTERSECT binds tighter than UNION ALL (SQL precedence); sketch
+    members still get the two-phase plan. A UNION ALL (B INTERSECT B)
+    == A UNION ALL B for identical deterministic members."""
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    member = ("SELECT l_returnflag AS k, "
+              "approx_count_distinct_ex(l_partkey) AS v "
+              "FROM lineitem GROUP BY l_returnflag")
+    q = f"{member} UNION ALL {member} INTERSECT {member}"
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        rows = dss.sql(spark, q).collect()
+    ref = spark.sql(q).collect()
+    assert sorted((r.k, r.v) for r in rows) == \
+        sorted((r.k, r.v) for r in ref)
+    assert len(rows) == 6  # 3 + (3 INTERSECT 3)
+
+
+def test_setop_union_distinct_and_except(spark):
+    member = ("SELECT l_returnflag AS k, "
+              "approx_count_distinct_ex(l_partkey) AS v "
+              "FROM lineitem GROUP BY l_returnflag")
+    # UNION (distinct) of two identical members collapses to one copy
+    rows = dss.sql(spark, f"{member} UNION {member}").collect()
+    assert len(rows) == 3
+    # EXCEPT of identical members is empty
+    rows = dss.sql(spark, f"{member} EXCEPT {member}").collect()
+    assert rows == []
 
 
 def test_union_all_mixed_sketch_and_plain_members(spark):
