@@ -750,6 +750,13 @@ def _extract_sketch_subqueries(spark: SparkSession, prefix: str, text: str,
     left untouched — the scan then descends into it, so a deeper sketch
     subquery still extracts, and anything genuinely unsupported surfaces
     through the ordinary fallback."""
+    def in_relation_position(upto: int) -> bool:
+        """True when the '(' sits where a relation may appear: right
+        after FROM or JOIN (a scalar/IN subquery in an expression must
+        NOT be replaced by a relation name)."""
+        m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", text[:upto])
+        return bool(m) and m.group(1).upper() in ("FROM", "JOIN")
+
     out, i, n = [], 0, len(text)
     while i < n:
         c = text[i]
@@ -766,7 +773,8 @@ def _extract_sketch_subqueries(spark: SparkSession, prefix: str, text: str,
                 i += 1
                 continue
             inner = text[i + 1:j - 1].strip()
-            if re.match(r"SELECT\b", inner, re.I) and _has_sketch(inner):
+            if (re.match(r"SELECT\b", inner, re.I) and _has_sketch(inner)
+                    and in_relation_position(i)):
                 try:
                     vname = _materialize(spark, prefix, inner, "sub", views)
                 except ValueError:

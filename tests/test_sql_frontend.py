@@ -343,6 +343,21 @@ def test_from_subquery_join_with_plain_side(spark):
     assert row.ndv == exact.ndv and row.mx == exact.mx
 
 
+def test_scalar_sketch_subquery_left_alone(spark):
+    """A scalar subquery in the select list must NOT be replaced by a
+    relation name; the query falls back (with a warning) and still
+    computes correctly through the registered-UDF path."""
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    q = ("SELECT (SELECT approx_count_distinct_ex(l_partkey) "
+         "FROM lineitem) AS ndv, 1 AS one")
+    with pytest.warns(SketchSqlFallbackWarning):
+        df = dss.sql(spark, q)
+    (row,) = df.collect()
+    exact = spark.sql(
+        "SELECT count(DISTINCT l_partkey) AS n FROM lineitem").collect()[0]
+    assert row.ndv == exact.n and row.one == 1
+
+
 def test_subquery_eager_validation_still_eager(spark):
     with pytest.raises(ValueError, match="approx_percentile_ex"):
         dss.sql(spark, ("SELECT * FROM (SELECT "
