@@ -469,6 +469,26 @@ def _q36_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {name} GROUP BY lang ORDER BY lang""")
 
 
+def _q37_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (functions/embeddings.py::quantize_int8) — pure JVM array-lambda
+    expressions, no Python, no shuffle; the 4x storage lever applied
+    before any ANN indexing. Rounding is explicit half-up
+    (floor(x/scale + 0.5)) so the DuckDB oracle reproduces the integer
+    codes bit-for-bit; codes flatten to csv because the driver's
+    canonicalizer hashes scalar cells only."""
+    from datasketches_spark_spark.functions import quantize_int8
+    emb = read_table(spark, sf_dir, "embeddings")
+    qz = quantize_int8("embedding")
+    return (emb.select(
+        "vec_id",
+        qz["scale"].alias("scale"),
+        F.array_join(F.transform(qz["q"],
+                                 lambda x: x.cast("string")), ",")
+         .alias("codes"))
+        .orderBy("vec_id"))
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -801,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_wire_interop": _q34_wire_interop,
         "q35_rank_cdf": _q35_rank_cdf,
         "q36_streaming_dedup": _q36_streaming_dedup,
+        "q37_embedding_quantize": _q37_embedding_quantize,
     }
 
 
@@ -1102,5 +1123,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(text)) AS n_docs,
                    count(DISTINCT md5(text)) AS n_unique
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # q37: same explicit half-up formula (floor(x/scale + 0.5)) in both
+        # engines -> bit-identical integer codes; float->double widening is
+        # identical, so the float64 scale hashes equal too.
+        "q37_embedding_quantize": """
+            WITH s AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                     list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            )
+            SELECT vec_id, scale,
+                   array_to_string(list_transform(v,
+                       x -> CAST(CASE WHEN scale = 0 THEN 0
+                                 ELSE floor(x / scale + 0.5) END
+                            AS BIGINT)), ',') AS codes
+            FROM s ORDER BY vec_id
         """,
     }

@@ -8,6 +8,11 @@ Import as::
 """
 
 from . import text
+from .embeddings import (
+    dequantize_int8,
+    l2_normalize,
+    quantize_int8,
+)
 from .distinctcnt import (
     approx_count_distinct_accumulate,
     approx_set_difference,
@@ -76,4 +81,8 @@ __all__ = [
     "approx_count_distinct_accumulate",
     "approx_count_distinct_combine",
     "approx_count_distinct_estimate",
+    # embedding preparation
+    "l2_normalize",
+    "quantize_int8",
+    "dequantize_int8",
 ]

@@ -345,6 +345,48 @@ class TestMultimodalTransforms:
         assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
 
 
+class TestEmbeddingPrep:
+    def test_quantize_roundtrip_within_half_step(self, spark, tables):
+        from datasketches_spark_spark.functions import (
+            dequantize_int8, quantize_int8)
+        emb = tables["embeddings"].limit(200)
+        qz = quantize_int8("embedding")
+        err = F.array_max(F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            dequantize_int8(F.col("_qz")),
+            lambda a, b: F.abs(a - b)))
+        rows = (emb.withColumn("_qz", qz)
+                .select("vec_id", F.col("_qz.scale").alias("scale"),
+                        err.alias("max_err"))
+                .collect())
+        assert rows
+        for r in rows:
+            # half-up rounding: each element within half a quantization
+            # step (tiny float slack for the fold ordering)
+            assert r.max_err <= r.scale / 2 + 1e-12, r
+
+    def test_quantize_codes_in_int8_range(self, spark, tables):
+        from datasketches_spark_spark.functions import quantize_int8
+        emb = tables["embeddings"].limit(200)
+        bad = (emb.select(quantize_int8("embedding").alias("s"))
+               .where(F.exists(
+                   "s.q", lambda x: (x > 127) | (x < -127)))
+               .count())
+        assert bad == 0
+
+    def test_l2_normalize_unit_norm_and_zero_passthrough(self, spark):
+        from datasketches_spark_spark.functions import l2_normalize
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>")
+        rows = {r.id: (r.n, r.norm) for r in df.select(
+            "id", l2_normalize("v").alias("n"),
+            F.sqrt(F.aggregate(l2_normalize("v"), F.lit(0.0),
+                               lambda a, x: a + x * x)).alias("norm"))
+            .collect()}
+        assert rows[1][0] == [0.6, 0.8] and abs(rows[1][1] - 1.0) < 1e-12
+        assert rows[2][0] == [0.0, 0.0] and rows[2][1] == 0.0  # no NaNs
+
+
 class TestManyGroupsSkewStress:
     """The engine's central 100 TB claim, stress-tested: the two-phase
     operator must hold >=1e5 distinct group keys plus one pathological hot
