@@ -515,9 +515,11 @@ def _match_paren(q: str, i: int) -> int:
 _CTE_NAME_RE = re.compile(r"`([^`]+)`|[A-Za-z_][A-Za-z0-9_]*")
 
 
-def _parse_with(q: str) -> tuple[list[tuple[str, str]], str]:
-    """Split ``WITH a AS (...), b AS (...) <rest>`` into CTE (name, body)
-    pairs plus the remainder. No WITH -> ([], q)."""
+def _parse_with(q: str) -> tuple[list[tuple[str, str, list[str] | None]],
+                                 str]:
+    """Split ``WITH a AS (...), b(c1, c2) AS (...) <rest>`` into CTE
+    (name, body, column_list_or_None) triples plus the remainder.
+    No WITH -> ([], q)."""
     m = re.match(r"WITH\b", q, re.I)
     if not m:
         return [], q
@@ -534,8 +536,16 @@ def _parse_with(q: str) -> tuple[list[tuple[str, str]], str]:
         i = mm.end()
         while i < n and q[i].isspace():
             i += 1
+        cols = None
         if i < n and q[i] == "(":
-            raise _Unsupported("CTE column list")
+            j = _match_paren(q, i)
+            cols = [c.strip().strip("`")
+                    for c in _split_top(q[i + 1:j - 1])]
+            if not all(_IDENT_RE.match(c) for c in cols):
+                raise _Unsupported("malformed CTE column list")
+            i = j
+            while i < n and q[i].isspace():
+                i += 1
         ma = re.match(r"AS\b", q[i:], re.I)
         if not ma:
             raise _Unsupported("CTE missing AS")
@@ -545,7 +555,7 @@ def _parse_with(q: str) -> tuple[list[tuple[str, str]], str]:
         if i >= n or q[i] != "(":
             raise _Unsupported("CTE body must be parenthesized")
         j = _match_paren(q, i)
-        ctes.append((name, q[i + 1:j - 1].strip()))
+        ctes.append((name, q[i + 1:j - 1].strip(), cols))
         i = j
         while i < n and q[i].isspace():
             i += 1
@@ -730,12 +740,18 @@ def _rewrite_union(spark: SparkSession, prefix: str, body: str) -> DataFrame:
 
 
 def _materialize(spark: SparkSession, prefix: str, body: str,
-                 tag: str, views: list[str]) -> str:
+                 tag: str, views: list[str],
+                 cols: list[str] | None = None) -> str:
     """Rewrite ``body`` to a two-phase plan and register it as a
     uniquely-named temp view; returns the view name (recorded in
-    ``views`` for cleanup)."""
+    ``views`` for cleanup). ``cols`` renames the output columns (the CTE
+    column-list form)."""
     import uuid
     df = _rewrite_union(spark, prefix, body)
+    if cols is not None:
+        if len(cols) != len(df.columns):
+            raise _Unsupported("CTE column list arity does not match body")
+        df = df.toDF(*cols)
     vname = f"__dss_cte_{tag}_{uuid.uuid4().hex[:8]}"
     df.createOrReplaceTempView(vname)
     views.append(vname)
@@ -809,16 +825,16 @@ def _rewrite(spark: SparkSession, query: str) -> DataFrame:
     subs: dict[str, str] = {}
     views: list[str] = []
     try:
-        for name, body in ctes:
+        for name, body, cols in ctes:
             body = _sub_cte_refs(body, subs)
             body = _extract_sketch_subqueries(
                 spark, _with_prefix(plain), body, views)
             if _has_sketch(body):
-                vname = _materialize(spark, _with_prefix(plain), body,
-                                     name, views)
-                subs[name.lower()] = vname
+                subs[name.lower()] = _materialize(
+                    spark, _with_prefix(plain), body, name, views, cols)
             else:
-                plain.append((name, body))
+                plain.append((name if cols is None
+                              else f"{name}({', '.join(cols)})", body))
         rest = _sub_cte_refs(rest, subs)
         prefix = _with_prefix(plain)
         rest = _extract_sketch_subqueries(spark, prefix, rest, views)

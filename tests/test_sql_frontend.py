@@ -295,6 +295,22 @@ def test_cte_with_sketch_aggregate_rewrites(spark):
     assert leftover == []
 
 
+def test_cte_column_list_renames_sketch_output(spark):
+    q = ("WITH s(flag, median_qty) AS ("
+         "  SELECT l_returnflag, "
+         "  approx_percentile_mergeable(l_quantity, 0.5) "
+         "  FROM lineitem GROUP BY l_returnflag) "
+         "SELECT flag, median_qty FROM s ORDER BY flag")
+    rows = dss.sql(spark, q).collect()
+    assert [r.flag for r in rows] == ["A", "N", "R"]
+    assert all(r.median_qty is not None for r in rows)
+    # arity mismatch -> clean fallback to spark.sql's own error
+    with pytest.raises(Exception):
+        dss.sql(spark, ("WITH s(one_col) AS (SELECT l_returnflag, "
+                        "approx_count_distinct_ex(l_partkey) FROM lineitem "
+                        "GROUP BY l_returnflag) SELECT * FROM s")).collect()
+
+
 def test_cte_qualified_refs_and_join(spark):
     """Qualified column references (s.col) keep resolving because the
     rewritten view is aliased back to the CTE name; plain CTEs coexist."""
