@@ -573,6 +573,13 @@ def _with_prefix(plain: list[tuple[str, str]]) -> str:
 
 _FROM_JOIN_RE = re.compile(r"(?:FROM|JOIN)\b", re.I)
 _REF_IDENT_RE = re.compile(r"\s+(`([^`]+)`|[A-Za-z_][A-Za-z0-9_]*)")
+# words that may follow a relation name and are NOT a user alias
+_NOT_ALIAS = {
+    "where", "group", "order", "limit", "having", "on", "join", "left",
+    "right", "full", "inner", "cross", "natural", "union", "intersect",
+    "except", "minus", "using", "lateral", "window", "qualify",
+}
+_NEXT_WORD_RE = re.compile(r"\s*(AS\b|[A-Za-z_][A-Za-z0-9_]*)", re.I)
 
 
 def _sub_cte_refs(text: str, subs: dict[str, str]) -> str:
@@ -603,7 +610,16 @@ def _sub_cte_refs(text: str, subs: dict[str, str]) -> str:
                 word = mi.group(2) or mi.group(1)
                 rep = subs.get(word.lower())
                 if rep and text[mi.end():mi.end() + 1] != ".":
-                    out.append(f" {rep} AS {word}")
+                    # when the user supplied their own alias ("FROM s x" /
+                    # "FROM s AS x"), keep it and emit only the view name;
+                    # otherwise alias the view back to the CTE name so
+                    # qualified references keep resolving
+                    nx = _NEXT_WORD_RE.match(text, mi.end())
+                    has_alias = bool(nx) and (
+                        nx.group(1).upper() == "AS"
+                        or nx.group(1).lower() not in _NOT_ALIAS)
+                    out.append(f" {rep}" if has_alias
+                               else f" {rep} AS {word}")
                     i = mi.end()
             continue
         out.append(c)

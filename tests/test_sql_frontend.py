@@ -295,6 +295,19 @@ def test_cte_with_sketch_aggregate_rewrites(spark):
     assert leftover == []
 
 
+def test_cte_reference_with_user_alias(spark):
+    """Explicit aliases on sketch-CTE references ('FROM s x', 'FROM s AS
+    y') must survive the view substitution."""
+    base = ("WITH s AS (SELECT l_returnflag, "
+            "approx_count_distinct_ex(l_partkey) AS ndv "
+            "FROM lineitem GROUP BY l_returnflag) ")
+    for ref in ("s x", "s AS x"):
+        rows = dss.sql(spark, base + (
+            f"SELECT x.l_returnflag, x.ndv FROM {ref} "
+            "ORDER BY x.l_returnflag")).collect()
+        assert [r.l_returnflag for r in rows] == ["A", "N", "R"], ref
+
+
 def test_cte_column_list_renames_sketch_output(spark):
     q = ("WITH s(flag, median_qty) AS ("
          "  SELECT l_returnflag, "
