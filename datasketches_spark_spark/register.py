@@ -320,3 +320,34 @@ def install(spark: SparkSession) -> None:
             dtype=object)
 
     spark.udf.register("export_datasketches_state", _sql_export_state)
+
+    # Embedding preparation for SQL users — Spark 4 SQL-defined functions
+    # (CREATE FUNCTION ... RETURN <expr>), so the SQL surface gets the
+    # same whole-stage-codegen expressions as the DataFrame API, NOT a
+    # Python UDF detour. Same half-up rounding contract as
+    # functions/embeddings.py (the two surfaces must hash-match).
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION l2_normalize(v ARRAY<DOUBLE>)
+        RETURNS ARRAY<DOUBLE>
+        RETURN CASE
+          WHEN aggregate(v, 0.0D, (a, x) -> a + x * x) = 0.0D THEN v
+          ELSE transform(v, x -> x / sqrt(
+               aggregate(v, 0.0D, (a, x) -> a + x * x))) END
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION quantize_int8(v ARRAY<DOUBLE>)
+        RETURNS STRUCT<scale: DOUBLE, q: ARRAY<TINYINT>>
+        RETURN named_struct(
+          'scale', array_max(transform(v, x -> abs(x))) / 127.0D,
+          'q', CASE WHEN array_max(transform(v, x -> abs(x))) = 0.0D
+               THEN transform(v, x -> CAST(0 AS TINYINT))
+               ELSE transform(v, x -> CAST(floor(
+                    x / (array_max(transform(v, y -> abs(y))) / 127.0D)
+                    + 0.5D) AS TINYINT)) END)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION dequantize_int8(
+            s STRUCT<scale: DOUBLE, q: ARRAY<TINYINT>>)
+        RETURNS ARRAY<DOUBLE>
+        RETURN transform(s.q, x -> CAST(x AS DOUBLE) * s.scale)
+    """)

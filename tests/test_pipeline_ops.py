@@ -387,6 +387,41 @@ class TestEmbeddingPrep:
         assert rows[2][0] == [0.0, 0.0] and rows[2][1] == 0.0  # no NaNs
 
 
+class TestEmbeddingSqlSurface:
+    def test_sql_functions_match_dataframe_api(self, spark, tables):
+        """The SQL-defined functions must agree bit-for-bit with the
+        Column builders (same codegen expressions, both surfaces)."""
+        import datasketches_spark_spark as dss
+        from datasketches_spark_spark.functions import quantize_int8
+        dss.install(spark)
+        tables["embeddings"].limit(50).createOrReplaceTempView("_emb50")
+        got = spark.sql("""
+            SELECT vec_id, q.scale AS scale, q.q AS codes,
+                   dequantize_int8(q) AS deq
+            FROM (SELECT vec_id,
+                         quantize_int8(CAST(embedding AS ARRAY<DOUBLE>)) AS q
+                  FROM _emb50)
+            ORDER BY vec_id""").collect()
+        ref = (tables["embeddings"].limit(50)
+               .select("vec_id", quantize_int8("embedding").alias("z"))
+               .select("vec_id", F.col("z.scale").alias("scale"),
+                       F.col("z.q").alias("codes"))
+               .orderBy("vec_id").collect())
+        assert len(got) == len(ref) == 50
+        for g, r in zip(got, ref):
+            assert g.vec_id == r.vec_id and g.scale == r.scale
+            assert list(g.codes) == list(r.codes)
+            assert len(g.deq) == len(g.codes)
+
+    def test_sql_l2_normalize(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        (row,) = spark.sql(
+            "SELECT l2_normalize(array(3.0D, 4.0D)) AS n, "
+            "l2_normalize(array(0.0D, 0.0D)) AS z").collect()
+        assert row.n == [0.6, 0.8] and row.z == [0.0, 0.0]
+
+
 class TestManyGroupsSkewStress:
     """The engine's central 100 TB claim, stress-tested: the two-phase
     operator must hold >=1e5 distinct group keys plus one pathological hot
