@@ -697,29 +697,72 @@ def _q33_weighted_reservoir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wire-format interop under the oracle gate: accumulate (MERGEABLE,
-    exact regime) -> EXPORT to Apache DataSketches bytes (classic
-    DoublesSketch image) -> estimate reads the foreign bytes back through
-    the import fallback. The quantile must equal DuckDB's quantile_disc
-    bit-for-bit, proving the export/import cycle is lossless on real
-    data (compat/datasketches.py; golden-vector byte tests in pytest)."""
+    """Wire-format interop under the oracle gate, two legs:
+
+    * quantiles: accumulate (MERGEABLE, exact regime) -> EXPORT to Apache
+      DataSketches bytes (classic DoublesSketch image) -> estimate reads
+      the foreign bytes back through the import fallback; p50 must equal
+      DuckDB's quantile_disc bit-for-bit (compat/datasketches.py).
+    * CPC: per-lang distinct-count states built by the REAL
+      datasketches-java CpcSketch (on Spark's driver classpath — exactly
+      the states the reference engine persists,
+      ``distinctCntSketches.scala:57-66``) are decoded by the engine's
+      pure-Python CPC decoder (``compat/cpc.py``): per-lang
+      decode->estimate of HIP images, and a decode->union->estimate
+      global leg through ``approx_count_distinct_combine`` (bit-matrix
+      union of all five langs). Source cardinalities (~20/lang) sit in
+      CPC's round-exact regime at lgK=11, so DuckDB's exact
+      count(DISTINCT) is the oracle.
+
+    The foreign-state GENERATION collects the distinct (lang, source)
+    pairs to the driver (~100 rows, bounded by the dimension sizes) —
+    that simulates the external reference system; the engine-side decode
+    / combine / estimate all run distributed."""
     import datasketches_spark_spark as dss
     from datasketches_spark_spark import conf as dconf
+    from pyspark.sql import functions as F
     prev_impl = spark.conf.get(dconf.QUANTILE_IMPL_KEY, None)
     prev_k = spark.conf.get(dconf.QUANTILE_MERGEABLE_K_KEY, None)
     spark.conf.set(dconf.QUANTILE_IMPL_KEY, "MERGEABLE")
     spark.conf.set(dconf.QUANTILE_MERGEABLE_K_KEY, "65536")
     dss.install(spark)
     try:
-        read_table(spark, sf_dir, "documents") \
-            .createOrReplaceTempView("documents")
+        docs = read_table(spark, sf_dir, "documents")
+        docs.createOrReplaceTempView("documents")
+        # foreign-system simulation: reference-style CPC states per lang
+        pairs = (docs.select("lang", "source").distinct().collect())
+        by_lang = {}
+        for r in pairs:
+            by_lang.setdefault(r.lang, []).append(r.source)
+        jcpc = spark._jvm.org.apache.datasketches.cpc.CpcSketch
+        states = []
+        for lang, sources in sorted(by_lang.items()):
+            sk = jcpc(11)
+            for s in sources:
+                sk.update(s)
+            states.append((lang, bytes(sk.toByteArray())))
+        cpc_df = spark.createDataFrame(states, "lang string, cpc_state binary")
+        cpc_df.createOrReplaceTempView("_q34_cpc_states")
         return spark.sql("""
-            SELECT lang,
-                   approx_percentile_estimate(
-                     export_datasketches_state(
-                       approx_percentile_accumulate(
-                         CAST(n_chars AS DOUBLE))), 0.5) AS p50_chars
-            FROM documents GROUP BY lang ORDER BY lang
+            SELECT q.lang, q.p50_chars,
+                   approx_count_distinct_estimate(c.cpc_state) AS ndv_src,
+                   g.ndv_src_all
+            FROM (
+              SELECT lang,
+                     approx_percentile_estimate(
+                       export_datasketches_state(
+                         approx_percentile_accumulate(
+                           CAST(n_chars AS DOUBLE))), 0.5) AS p50_chars
+              FROM documents GROUP BY lang
+            ) q
+            JOIN _q34_cpc_states c ON q.lang = c.lang
+            CROSS JOIN (
+              SELECT approx_count_distinct_estimate(
+                       approx_count_distinct_combine(cpc_state))
+                       AS ndv_src_all
+              FROM _q34_cpc_states
+            ) g
+            ORDER BY q.lang
         """)
     finally:
         for key, prev in ((dconf.QUANTILE_IMPL_KEY, prev_impl),
@@ -1097,9 +1140,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE count(*) END AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        # q34 CPC legs: source NDV per lang (~20) is far inside CPC's
+        # round-exact regime at lgK=11, so exact counts are the oracle for
+        # the engine's decode->estimate and decode->union->estimate paths.
         "q34_wire_interop": """
             SELECT lang,
-                   quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars
+                   quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+                   count(DISTINCT source) AS ndv_src,
+                   (SELECT count(DISTINCT source) FROM documents)
+                     AS ndv_src_all
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "q35_rank_cdf": """

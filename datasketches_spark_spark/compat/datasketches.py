@@ -33,12 +33,14 @@ Decoded families, and their validation status:
   of ``n/(2k)`` (weight ``2^(j+1)``), per the published layout.
 * Frequent items (family id 10), string and long item variants.
 
-NOT decoded: CPC (family id 16). CPC's payload is entropy-compressed
-(pair-table / sliding-window coupon compression); a correct decoder is a
-re-implementation of the CPC codec, out of proportion for an import
-shim. ``decode_distinct`` raises with the supported migration path
-(re-accumulate, or export HLL from the reference side — Spark's native
-``hll_sketch_estimate`` reads DataSketches HLL bytes directly).
+* CPC sketch (family id 16, the reference's DEFAULT distinct-count
+  state) — full decode of the compressed sparse/hybrid/pinned/sliding
+  formats in ``compat/cpc.py`` (static code tables baked in
+  ``_cpc_tables.py``); estimates via the stored HIP accumulator or the
+  ICON estimator, and CPC-to-CPC union via decoded bit matrices.
+  Validated against golden fixtures generated from datasketches-java
+  6.2.0 across all flavors (``tests/data/cpc_fixtures.json``) and the
+  reference suite's golden CPC vector.
 
 Integration: every decoded quantile weight is a power of two, exactly the
 engine KLL core's level representation (``kll.py``: level *h* holds
@@ -359,19 +361,18 @@ def decode_freqitems(data: bytes, item_type: str = "string") -> list[tuple]:
 
 
 def decode_distinct(data: bytes):
+    """Cardinality estimate of a foreign DataSketches distinct-count state.
+
+    CPC images (family 16, the reference's DEFAULT accumulate state —
+    ``distinctCntSketches.scala:57-66``) decode fully in pure Python
+    (``compat/cpc.py``): HIP images return their stored estimator, merged
+    images the ICON estimate of the preamble's coupon count. HLL images
+    need no Python decode — Spark's JVM built-ins read them natively."""
     data = bytes(data)
     fam = _family_of(data)
     if fam == _FAMILY_CPC:
-        raise NotImplementedError(
-            "CPC states are entropy-compressed (the codec's length-limited "
-            "Huffman tables are library-derived constants, not re-derivable "
-            "from the public format spec); decoding them is a "
-            "re-implementation of the CPC codec and is not supported. "
-            "Migration paths: re-accumulate with "
-            "approx_count_distinct_accumulate, or re-export as HLL on the "
-            "reference side (set "
-            "spark.sql.dataSketches.distinctCnt.sketchImpl=HLL there) — "
-            + _HLL_GUIDANCE)
+        from .cpc import estimate
+        return int(round(estimate(data)))
     if fam == _FAMILY_HLL:
         raise NotImplementedError(_HLL_GUIDANCE)
     raise ValueError(f"unsupported distinct-count family id {fam}")
@@ -455,7 +456,10 @@ def to_engine_sketch(data: bytes, item_type: str = "auto"):
             sk._max_err = int(err_off)
             sk.n = int(stream_len)
         return sk
-    if fam in (_FAMILY_CPC, _FAMILY_HLL):
+    if fam == _FAMILY_CPC:
+        from ..sketches.cpc_state import CpcUnionSketch
+        return CpcUnionSketch.from_datasketches(data)
+    if fam == _FAMILY_HLL:
         return decode_distinct(data)  # raises NotImplementedError w/ guidance
     raise ValueError(f"unknown DataSketches family id {fam}")
 

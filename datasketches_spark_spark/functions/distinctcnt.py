@@ -19,6 +19,16 @@ paths, selected by conf ``spark.sql.dataSketches.distinctCnt.sketchImpl``
 
 Unlike the reference, ``approx_count_distinct_hll`` really runs HLL (the
 reference mislabels it and runs CPC — ``distinctCntSketches.scala:249``).
+
+Foreign-state interop: reference-persisted states work on BOTH wire
+formats — DataSketches HLL images route to Spark's JVM decoder, and
+DataSketches CPC images (the reference's DEFAULT accumulate state,
+``distinctCntSketches.scala:57-66``) decode through the engine's
+pure-Python CPC decoder (``compat/cpc.py``): ``*_estimate`` reads HIP /
+ICON estimates and ``*_combine`` unions CPC states with each other via
+their coupon bit matrices. The engine does not EXPORT to CPC wire bytes
+(its own states use the engine envelope; re-accumulate on the reference
+side if CPC bytes are required there).
 """
 
 from __future__ import annotations

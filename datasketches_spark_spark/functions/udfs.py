@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 from ..sketches import (
     ITEM_LONG,
     ITEM_STR,
+    CpcUnionSketch,
     FreqItemsSketch,
     HllSketch,
     ThetaSketch,
@@ -418,7 +419,8 @@ def theta_est_udf():
                 continue
             try:
                 sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, (ThetaSketch, HllSketch)):
+                if not isinstance(sk, (ThetaSketch, HllSketch,
+                                       CpcUnionSketch)):
                     raise ValueError("not a distinct-count state")
                 out.append(sk.estimate())
             except Exception as e:

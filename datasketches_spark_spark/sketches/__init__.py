@@ -5,12 +5,14 @@ One class per family, all exposing the reference's four-verb lifecycle
 ``update* -> serialize -> deserialize -> merge -> estimate/quantile/...``.
 """
 
+from .cpc_state import CpcUnionSketch
 from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
 from .hll import HllSketch
 from .kll import KllSketch
 from .req import ReqSketch
 from .reservoir import ITEM_DOUBLE, ReservoirSketch, WeightedReservoirSketch
 from .serde import (
+    FAMILY_CPCUNION,
     FAMILY_FREQ_LONG,
     FAMILY_FREQ_STR,
     FAMILY_HLL,
@@ -64,6 +66,8 @@ def deserialize_any(data: bytes):
         return ReservoirSketch.deserialize(data)
     if fam == FAMILY_WRESERVOIR:
         return WeightedReservoirSketch.deserialize(data)
+    if fam == FAMILY_CPCUNION:
+        return CpcUnionSketch.deserialize(data)
     raise ValueError(f"unknown sketch family {fam}")
 
 
@@ -102,6 +106,7 @@ __all__ = [
     "ReservoirSketch",
     "WeightedReservoirSketch",
     "ThetaSketch",
+    "CpcUnionSketch",
     "ITEM_DOUBLE",
     "make_quantile_sketch",
     "deserialize_quantile",

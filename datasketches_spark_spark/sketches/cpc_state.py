@@ -1,0 +1,100 @@
+"""Engine wrapper for imported Apache DataSketches CPC states.
+
+The reference's DEFAULT ``approx_count_distinct_accumulate`` states are
+CPC bytes (``distinctCntSketches.scala:57-66, :106``). This class makes
+those states first-class citizens of the engine's distinct-count state
+surface: ``deserialize_any`` returns one for any family-16 image, so
+
+* ``approx_count_distinct_estimate`` decodes foreign CPC states (HIP
+  images read their stored estimator; merged images use the ICON
+  estimator on the decoded coupon count), and
+* ``approx_count_distinct_combine`` unions foreign CPC states with each
+  other — the union is the OR of the decoded coupon bit matrices with
+  row-folding across mixed lgK, ``CpcUnion``'s dense-path semantics
+  (``compat/cpc.py``) — without the Java library.
+
+A combined result serializes in the ENGINE envelope (family 10) as the
+packed bit matrix; it re-enters estimate/combine like any engine state.
+CPC cannot merge with Theta or engine-HLL states (different hash
+families), and the engine does not re-encode to CPC wire bytes (the
+export direction remains unsupported; accuracies: CPC RSE at the
+reference default lgK=11 is ~1.2%/sqrt? — see the decoder's fixture
+suite for measured parity with datasketches-java 6.2.0).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..compat import cpc as _cpc
+from .serde import FAMILY_CPCUNION, pack, unpack
+
+
+class CpcUnionSketch:
+    """A decoded CPC coupon bit matrix, mergeable across CPC states.
+
+    While the sketch holds exactly one un-merged image, ``estimate()``
+    returns that image's native estimate (HIP when present — matching
+    ``CpcSketch.getEstimate`` on the reference side); after any merge the
+    ICON estimator applies, which is what ``CpcUnion.getResult`` yields.
+    """
+
+    __slots__ = ("lgk", "matrix", "_single_est")
+
+    def __init__(self, lgk: int, matrix: np.ndarray | None = None,
+                 single_est: float | None = None):
+        self.lgk = lgk
+        self.matrix = (matrix if matrix is not None
+                       else np.zeros(1 << lgk, np.uint64))
+        self._single_est = single_est
+
+    # -------------------------------------------------------- construction
+
+    @classmethod
+    def from_datasketches(cls, data: bytes) -> "CpcUnionSketch":
+        img = _cpc.parse(data)
+        return cls(img.lgk, _cpc.bit_matrix(img),
+                   single_est=_cpc.estimate(img))
+
+    # ----------------------------------------------------------- lifecycle
+
+    def merge(self, other: "CpcUnionSketch") -> "CpcUnionSketch":
+        if not isinstance(other, CpcUnionSketch):
+            raise ValueError(
+                "CPC states only merge with other CPC states (Theta and "
+                "HLL states hash differently); re-accumulate instead")
+        lgk = min(self.lgk, other.lgk)
+        a = _cpc.downsample_matrix(self.matrix, self.lgk, lgk)
+        b = _cpc.downsample_matrix(other.matrix, other.lgk, lgk)
+        return CpcUnionSketch(lgk, a | b)
+
+    def num_coupons(self) -> int:
+        return int(np.unpackbits(self.matrix.view(np.uint8)).sum())
+
+    def estimate(self) -> int:
+        if self._single_est is not None:
+            return int(round(self._single_est))
+        return int(round(_cpc.icon_estimate(self.lgk, self.num_coupons())))
+
+    # ----------------------------------------------------------------- io
+
+    def serialize(self) -> bytes:
+        """ENGINE envelope: lgk(u8) + hip_flag/est + packed bit matrix.
+
+        The single-image native estimate survives a serialize round-trip
+        so estimate-after-identity-combine stays HIP-accurate.
+        """
+        est = -1.0 if self._single_est is None else float(self._single_est)
+        payload = struct.pack("<Bd", self.lgk, est) + self.matrix.tobytes()
+        return pack(FAMILY_CPCUNION, payload)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "CpcUnionSketch":
+        family, payload = unpack(data)
+        if family != FAMILY_CPCUNION:
+            raise ValueError(f"not a CPC-union state (family={family})")
+        lgk, est = struct.unpack_from("<Bd", payload, 0)
+        matrix = np.frombuffer(payload, np.uint64, 1 << lgk, 9).copy()
+        return cls(lgk, matrix, single_est=None if est < 0 else est)

@@ -33,6 +33,7 @@ FAMILY_MINHASH = 6
 FAMILY_HLL = 7
 FAMILY_RESERVOIR = 8
 FAMILY_WRESERVOIR = 9
+FAMILY_CPCUNION = 10
 
 _HEADER = struct.Struct("<4sBB")
 

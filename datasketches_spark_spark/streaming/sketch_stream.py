@@ -97,15 +97,75 @@ def await_or_fail(query, timeout_sec: float) -> None:
             f"within {timeout_sec}s; sink contents would be partial")
 
 
+_INTERVAL_UNITS_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+                      "hour": 3_600_000, "day": 86_400_000,
+                      "week": 7 * 86_400_000}
+
+
+def _interval_ms(value) -> int:
+    """Parse an eviction delay: a number (seconds) or a Spark-style
+    interval string like ``"10 minutes"`` / ``"1 day"``."""
+    if isinstance(value, (int, float)):
+        return int(value * 1000)
+    import re
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+?)s?\s*", str(value))
+    if m and m.group(2).lower() in _INTERVAL_UNITS_MS:
+        return int(float(m.group(1)) * _INTERVAL_UNITS_MS[m.group(2).lower()])
+    raise ValueError(f"cannot parse eviction interval {value!r}")
+
+
+def _window_key_index(key_fields) -> int | None:
+    """Index of an event-time window struct among the grouping keys (a
+    struct with ``start``/``end`` timestamp fields, as produced by
+    ``F.window``), or None."""
+    from pyspark.sql.types import StructType as ST, TimestampType, TimestampNTZType
+    for i, f in enumerate(key_fields):
+        dt = f.dataType
+        if (isinstance(dt, ST) and set(dt.fieldNames()) >= {"start", "end"}
+                and isinstance(dt["end"].dataType,
+                               (TimestampType, TimestampNTZType))):
+            return i
+    return None
+
+
+def _epoch_ms(ts, tz: str) -> int:
+    """Epoch millis of a (possibly tz-naive, session-local) timestamp."""
+    t = pd.Timestamp(ts)
+    if t.tzinfo is None:
+        t = t.tz_localize(tz)
+    return t.value // 1_000_000
+
+
 def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
                              family: str, state_col: str = "state",
-                             **params) -> DataFrame:
+                             evict_after=None, **params) -> DataFrame:
     """Stateful streaming accumulate: ``groupBy(keys)`` +
     ``applyInPandasWithState`` keeping one serialized sketch per group.
 
     Emits ``(keys..., state, n)`` every trigger for every updated group
     (``n`` = rows folded in so far). The state blob is the same wire format
-    as batch accumulate — estimate/combine functions apply unchanged."""
+    as batch accumulate — estimate/combine functions apply unchanged.
+
+    State eviction (``evict_after``): without it, state lives forever —
+    fine for bounded key domains (an event-type dimension), a scale-killer
+    for unbounded ones (event-time windows: every window ever seen would
+    stay in the state store). With ``evict_after`` (interval string or
+    seconds) the operator uses ``GroupStateTimeout.EventTimeTimeout`` —
+    the input stream must carry a watermark
+    (:func:`with_event_time_watermark`) — and drops a group's state once
+    the watermark passes its horizon:
+
+    * a ``F.window()`` struct key times out at ``window.end +
+      evict_after`` — the window is complete (modulo allowed lateness)
+      and its last emitted state is final;
+    * otherwise the group times out ``evict_after`` past the watermark at
+      its last update — idle-key eviction.
+
+    Rows arriving for an evicted group start a FRESH state (the
+    within-watermark contract, same as ``dropDuplicatesWithinWatermark``):
+    size ``evict_after`` to cover real event-time spread. State-store
+    growth is then bounded by the keys active within the horizon instead
+    of all keys ever seen."""
     fam = _family(family, **params)
     in_cols = list(col) if isinstance(col, tuple) else [col]
     src = df.select(*keys, *in_cols)
@@ -116,8 +176,14 @@ def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
     ])
     state_schema = StructType([StructField("blob", BinaryType()),
                                StructField("n", LongType())])
+    evict_ms = None if evict_after is None else _interval_ms(evict_after)
+    win_idx = _window_key_index(key_fields) if evict_ms is not None else None
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if evict_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             blob, n = state.get
             sk = deserialize_any(bytes(blob))
@@ -132,14 +198,30 @@ def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
             fam.update_series(sk, vals)
         blob = sk.serialize()
         state.update((blob, n))
+        if evict_ms is not None:
+            if win_idx is not None:
+                w = key[win_idx]
+                end = (w["end"] if isinstance(w, dict)
+                       else getattr(w, "end", None))
+                if end is None:  # plain tuple (start, end)
+                    end = w[1]
+                horizon = _epoch_ms(end, tz) + evict_ms
+            else:
+                horizon = max(state.getCurrentWatermarkMs(), 0) + evict_ms
+            # EventTimeTimeout requires a strictly-future timestamp; a
+            # window already past the watermark evicts on the next trigger.
+            horizon = max(horizon, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(horizon)
         row = {k: [v] for k, v in zip(keys, key)}
         row[state_col] = [blob]
         row["n"] = [n]
         yield pd.DataFrame(row)
 
+    timeout = (GroupStateTimeout.EventTimeTimeout if evict_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (src.groupBy(*keys)
             .applyInPandasWithState(fold, out_schema, state_schema,
-                                    "update", GroupStateTimeout.NoTimeout))
+                                    "update", timeout))
 
 
 def streaming_summary_sink(df: DataFrame, keys: list[str], col: str,

@@ -94,9 +94,18 @@ class TestGoldenVectors:
         assert sk.estimate("a") == 3
         assert dict(sk.frequent_items()) == {"a": 3, "b": 1, "c": 1}
 
-    def test_cpc_is_an_explicit_gap(self):
-        with pytest.raises(NotImplementedError, match="CPC"):
-            deserialize_any(GOLDEN_CPC)
+    def test_cpc_golden_decodes(self):
+        """The reference suite's golden CPC vector
+        (``SketchExpressionSuite.scala:75-85``: DistinctCntFromSketchState
+        -> 3L) must decode through the engine path. Full format coverage
+        lives in ``tests/test_compat_cpc.py``."""
+        sk = deserialize_any(GOLDEN_CPC)
+        from datasketches_spark_spark.sketches import CpcUnionSketch
+        assert isinstance(sk, CpcUnionSketch)
+        assert sk.estimate() == 3
+        assert sk.num_coupons() == 3
+        # engine-envelope round trip preserves the estimate
+        assert deserialize_any(sk.serialize()).estimate() == 3
 
 
 class TestEngineIntegration:

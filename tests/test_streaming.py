@@ -172,3 +172,66 @@ class TestWindowedStreaming:
                      F.expr("percentile_disc(0.5) WITHIN GROUP "
                             "(ORDER BY value)").alias("p")).collect()}
         assert got == exact
+
+    def test_windowed_state_eviction(self, spark, stream_dirs):
+        """``evict_after`` must actually DROP window states once the
+        watermark passes window.end + delay — the 100 TB-stream
+        requirement: state bounded by active windows, not all windows
+        ever seen. Three one-day windows arrive in event-time order (one
+        file per day, one file per trigger), so day 1's state times out
+        while day 3 streams; emitted states must still match batch, and
+        the state store's final row count must be smaller than the
+        number of windows seen."""
+        import json
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream,
+            with_event_time_watermark)
+        src_dir, ckpt, _ = stream_dirs
+        n_per_day = 400
+        base = 1_709_251_200  # 2024-03-01 00:00:00 UTC
+        ev = spark.range(3 * n_per_day).select(
+            F.timestamp_seconds(
+                F.lit(base) + (F.col("id") / n_per_day).cast("int") * 86400
+                + (F.col("id") % n_per_day) * (86400 // n_per_day)
+            ).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            (F.col("id") / n_per_day).cast("int").alias("day"))
+        for d in range(3):  # one file per day, written in day order
+            (ev.filter(F.col("day") == d).select("ts", "value")
+               .coalesce(1).write.mode("append").parquet(src_dir))
+        raw = (spark.readStream.schema("ts timestamp, value double")
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        stream = with_event_time_watermark(raw, "ts", "0 seconds")
+        windowed = stream.select(F.window("ts", "1 day").alias("w"), "value")
+        out = sketch_accumulate_stream(windowed, ["w"], "value",
+                                       family="quantile", impl="MERGEABLE",
+                                       k=262_144, evict_after="1 hour")
+        q = (out.writeStream.format("memory").queryName("evict_stream")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        final = spark.sql("""
+            SELECT w, state FROM (
+              SELECT *, row_number() OVER (PARTITION BY w ORDER BY n DESC) rn
+              FROM evict_stream) WHERE rn = 1""")
+        got = {r.w.start: r.p50 for r in final.select(
+            "w", dsf.approx_percentile_estimate("state", 0.5).alias("p50")
+        ).collect()}
+        exact = {r.w.start: float(r.p) for r in
+                 ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+                     F.expr("percentile_disc(0.5) WITHIN GROUP "
+                            "(ORDER BY value)").alias("p")).collect()}
+        assert got == exact
+        assert len(got) == 3
+        # state-store metrics: day 1 (at least) was evicted, so the final
+        # total is below the number of windows ever seen
+        ops = []
+        for pr in q.recentProgress:
+            d = json.loads(pr.json) if hasattr(pr, "json") else pr
+            ops.extend(d.get("stateOperators") or [])
+        assert ops, "no stateOperators progress reported"
+        removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+        assert removed >= 1, "eviction never removed state rows"
+        assert ops[-1]["numRowsTotal"] < 3
