@@ -489,6 +489,52 @@ def _q37_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id"))
 
 
+def _q38_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode without native libraries: every document gets a
+    solid-color 8x4 PPM payload (pixel = (doc_id%256, char_len%256, 7)),
+    then the pure-numpy codec runs END-TO-END — P6 decode ->
+    nearest-neighbor resize to 4x2 -> P6 re-encode -> decoded-pixel
+    features (operators/imagecodec.py) — and rolls up per source. Solid
+    colors survive nearest resampling exactly, so the DuckDB oracle
+    recomputes every feature from the relational columns alone. All
+    Python stages are single streaming Arrow passes; the only shuffle
+    carries the per-source rollup."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+    from datasketches_spark_spark.operators import (
+        encode_ppm, extract_image_features, resize_images)
+
+    def _make(r, g):
+        return pd.Series(
+            [encode_ppm(np.full((4, 8, 3), [int(rv), int(gv), 7],
+                                dtype=np.uint8))
+             for rv, gv in zip(r, g)], dtype=object)
+
+    # explicit annotations: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf cannot evaluate here
+    _make.__annotations__ = {"r": pd.Series, "g": pd.Series,
+                             "return": pd.Series}
+    make_ppm = F.pandas_udf(_make, BinaryType())
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_img = docs.select(
+        "doc_id",
+        make_ppm((F.col("doc_id") % 256).cast("int"),
+                 (F.length("text") % 256).cast("int")).alias("payload"))
+    resized = resize_images(with_img, "doc_id", width=4, height=2)
+    feats = extract_image_features(resized, "doc_id")
+    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
+    return (joined.groupBy("source")
+            .agg(F.count("*").alias("n_imgs"),
+                 F.max("width").alias("w"),
+                 F.max("height").alias("h"),
+                 F.avg("mean_r").alias("avg_r"),
+                 F.avg("mean_g").alias("avg_g"),
+                 F.avg("mean_b").alias("avg_b"))
+            .orderBy("source"))
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -865,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_rank_cdf": _q35_rank_cdf,
         "q36_streaming_dedup": _q36_streaming_dedup,
         "q37_embedding_quantize": _q37_embedding_quantize,
+        "q38_image_decode": _q38_image_decode,
     }
 
 
@@ -1191,5 +1238,17 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE floor(x / scale + 0.5) END
                             AS BIGINT)), ',') AS codes
             FROM s ORDER BY vec_id
+        """,
+        # q38: solid-color PPM payloads mean every decoded-pixel feature
+        # is recomputable from the relational columns (see _q38 docstring)
+        "q38_image_decode": """
+            SELECT source,
+                   count(*) AS n_imgs,
+                   CAST(4 AS BIGINT) AS w,
+                   CAST(2 AS BIGINT) AS h,
+                   avg(CAST(doc_id % 256 AS DOUBLE)) AS avg_r,
+                   avg(CAST(length(text) % 256 AS DOUBLE)) AS avg_g,
+                   CAST(7.0 AS DOUBLE) AS avg_b
+            FROM documents GROUP BY source ORDER BY source
         """,
     }

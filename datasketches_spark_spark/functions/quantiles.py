@@ -9,9 +9,13 @@ accumulate / combine / estimate / pmf lifecycle
 Value semantics: input numerics are sketched as float32 for KLL/REQ
 (reference down-cast, ``quantileSketches.scala:250-255``) and float64 for
 MERGEABLE (``:124-127``). Estimate-from-state is always double-typed
-(``:601-605``); the direct aggregate can preserve the input type via
-``output_type`` (reference does this through Catalyst,
-``quantileSketches.scala:196-211``).
+(``:601-605``); the direct aggregate preserves the input column type —
+incl. Decimal with the reference's precision check — like the reference
+does through Catalyst (``quantileSketches.scala:196-211``; type matrix
+``ApproximateQuerySuite.scala:52-65``). Python-side we infer the type
+from *bound* columns (``df["c"]`` or a bound ``.cast(...)``); an
+unresolvable input (a bare ``F.col`` / string name) keeps the double
+output, and ``output_type`` always wins when passed explicitly.
 """
 
 from __future__ import annotations
@@ -35,9 +39,64 @@ from .udfs import (
 
 _DTYPES = {"KLL": np.float32, "REQ": np.float32, "MERGEABLE": np.float64}
 
+# Input types the direct aggregate casts its estimate back to — the
+# reference's createOutputConvertFunc matrix (quantileSketches.scala:196-211).
+# DECIMAL(p,s) is handled separately (precision-checked).
+_PRESERVED_TYPES = {"TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE"}
+
 
 def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def infer_bound_type(col) -> str | None:
+    """Best-effort SQL type of ``col``, when it is *bound* to a DataFrame.
+
+    Classic PySpark resolves ``df["c"]`` eagerly (`Dataset.col`), so its
+    ColumnNode wraps a resolved AttributeReference we can read the dtype
+    from; a ``.cast(T)`` node carries T directly. Unresolved columns
+    (``F.col("c")``, string names) return None — callers fall back to
+    double output, which is also what the two-phase estimate path returns.
+    """
+    if isinstance(col, str):
+        return None
+    try:
+        node = col._jc.node()
+        cls = node.getClass().getName()
+        if cls.endswith("ExpressionColumnNode"):
+            expr = node.expression()
+            if expr.resolved():
+                return expr.dataType().sql()
+        elif cls.endswith(".Cast"):
+            return node.dataType().sql()
+    except Exception:
+        return None
+    return None
+
+
+def preserve_output_type(out: Column, sql_type: str, multi: bool) -> Column:
+    """Cast a double estimate back to the input type, reference-style.
+
+    Decimal follows the reference's precision-check semantics
+    (``quantileSketches.scala:203-210``): a value that cannot be
+    represented at (p, s) raises instead of silently nulling.
+    """
+    t = sql_type.strip().upper()
+    is_decimal = t.startswith("DECIMAL")
+    if not is_decimal and t not in _PRESERVED_TYPES:
+        return out  # non-numeric / exotic input: keep the double estimate
+    target = f"array<{sql_type}>" if multi else sql_type
+    casted = out.cast(target)
+    if not is_decimal:
+        return casted
+    err = F.raise_error(
+        F.lit(f"Cannot change precision to {sql_type}")).cast(target)
+    if multi:
+        nn = lambda c: F.size(F.filter(c, lambda x: x.isNotNull()))
+        bad = out.isNotNull() & (nn(casted) != nn(out))
+    else:
+        bad = out.isNotNull() & casted.isNull()
+    return F.when(bad, err).otherwise(casted)
 
 
 def _resolve(impl: str | None, k: int | None) -> tuple[str, int, type]:
@@ -57,7 +116,10 @@ def _direct(col, percentage, impl: str | None, k: int | None,
                               rule=conf.quantile_rank_rule())
     out = udf(_col(col).cast("double"))
     if output_type is not None:
-        out = out.cast(output_type)
+        return out.cast(output_type)
+    inferred = infer_bound_type(col)
+    if inferred is not None:
+        out = preserve_output_type(out, inferred, multi)
     return out
 
 

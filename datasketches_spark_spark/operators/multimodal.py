@@ -51,14 +51,21 @@ def with_payload(df: DataFrame, content_col: str, modality: str = "text",
 
 def decode_payload(payload: bytes, modality: str,
                    codec: Callable[[bytes], object] | None = None):
-    """Decode one payload. Real codecs (PIL / libav / soundfile) are not
-    available in this environment — inject one via ``codec`` or get
-    ``NotImplementedError`` (clearly-marked stub per the build contract)."""
+    """Decode one payload. Uncompressed image formats (PPM/PGM, BI_RGB
+    BMP) decode via the built-in pure-numpy codec
+    (``operators.imagecodec``); compressed formats (JPEG/PNG/video — no
+    entropy codecs in this environment) need an injected ``codec`` or
+    raise ``NotImplementedError`` (clearly-marked stub per the build
+    contract)."""
     if codec is not None:
         return codec(payload)
-    raise NotImplementedError(
-        f"no codec available for modality={modality!r}: install/inject a "
-        f"decoder (e.g. PIL for images) and pass it as `codec`")
+    from .imagecodec import decode_image
+    try:
+        return decode_image(payload)
+    except NotImplementedError as e:
+        raise NotImplementedError(
+            f"modality={modality!r}: {e}; install/inject a decoder "
+            "(e.g. PIL for images) and pass it as `codec`") from None
 
 
 FEATURE_SCHEMA_FIELDS = [
@@ -105,23 +112,55 @@ def resize_images(df: DataFrame, id_col: str, width: int, height: int,
                   codec: Callable[[bytes], object] | None = None,
                   resizer: Callable[[object, int, int], bytes] | None = None
                   ) -> DataFrame:
-    """Image resize over opaque payloads. Real decode/resize requires an
-    image library (absent here): without an injected ``codec``+``resizer``
-    this uses a deterministic fake — truncating/cycling the byte stream to
-    width*height bytes — so the Spark-side schema, batching and output
-    contract are real and testable end-to-end."""
+    """Image resize over opaque payloads. Uncompressed payloads (PPM/PGM,
+    BI_RGB BMP) take a REAL path: pure-numpy decode -> nearest-neighbor
+    resample -> re-encode in the same container. Compressed formats need
+    an injected ``codec``+``resizer`` (no image libraries here); without
+    one they fall back to a deterministic fake — truncating/cycling the
+    byte stream to width*height bytes — so the Spark-side schema,
+    batching and output contract stay testable end-to-end either way."""
+    from .imagecodec import (decode_image, encode_bmp, encode_ppm,
+                             resize_nearest, sniff_format)
 
-    def fake(raw: bytes) -> dict:
+    def one(raw: bytes) -> dict:
         if codec is not None and resizer is not None:
             out = resizer(decode_payload(raw, "image", codec), width, height)
         else:
-            need = width * height
-            reps = (need // max(len(raw), 1)) + 1
-            out = (raw * reps)[:need]
+            fmt = sniff_format(raw)
+            if fmt in ("ppm", "bmp"):
+                img = resize_nearest(decode_image(raw), width, height)
+                out = encode_ppm(img) if fmt == "ppm" else encode_bmp(img)
+            else:
+                need = width * height
+                reps = (need // max(len(raw), 1)) + 1
+                out = (raw * reps)[:need]
         return {"payload": out, "width": width, "height": height}
 
-    return transform_payloads(df, id_col, fake, RESIZE_FIELDS,
+    return transform_payloads(df, id_col, one, RESIZE_FIELDS,
                               payload_col=payload_col)
+
+
+IMAGE_FEATURE_FIELDS = [
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("channels", LongType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+]
+
+
+def extract_image_features(df: DataFrame, id_col: str,
+                           payload_col: str = "payload") -> DataFrame:
+    """Decoded-pixel features (dimensions + channel means) for
+    uncompressed image payloads, one streaming Arrow pass per partition.
+    Payloads the built-in codec cannot decode surface the error (don't
+    silently drop assets at 100 TB — filter upstream on
+    ``sniff_format``-able metadata instead)."""
+    from .imagecodec import decode_image, image_features
+    return transform_payloads(
+        df, id_col, lambda raw: image_features(decode_image(raw)),
+        IMAGE_FEATURE_FIELDS, payload_col=payload_col)
 
 
 def sample_frames(df: DataFrame, id_col: str, num_frames: int,

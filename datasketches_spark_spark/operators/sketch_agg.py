@@ -495,8 +495,9 @@ def sketch_grouped_agg(df: DataFrame, keys: list[str],
     for m in ms:
         out = m.estimator(F.col(f"{m.name}__state"))
         if m.preserve_type:
+            from ..functions.quantiles import preserve_output_type
             dt = df.schema[m.col].dataType
-            out = out.cast(ArrayType(dt) if m.multi else dt)
+            out = preserve_output_type(out, dt.simpleString(), m.multi)
         outs.append(out.alias(m.name))
     return merged.select(*keys, *outs)
 

@@ -15,12 +15,14 @@ SQL-path notes:
   ``datasketches_spark_spark.functions`` and the two-phase SQL front-end
   ``dss.sql()`` both validate eagerly before any job starts, matching the
   reference's AnalysisException timing.
-* ``approx_count_distinct_hll`` in SQL fails fast with a redirect message:
-  a Python UDF cannot wrap the JVM ``hll_sketch_agg`` aggregate, and
-  registering Theta under the HLL name (as round 1 did) would give SQL and
-  DataFrame users incompatible state formats behind one name. Native HLL in
-  SQL = Spark's built-in ``hll_sketch_agg`` / ``hll_sketch_estimate``; the
-  engine's Theta sketch in SQL = ``approx_count_distinct_theta``.
+* ``approx_count_distinct_hll`` works from bare ``spark.sql`` like the
+  reference's registration does (``shims.scala:32-56``; used in SQL by
+  ``ApproximateQuerySuite.scala``): it runs the engine's numpy HLL at
+  ``distinctCnt.hll.lgK`` as a GROUPED_AGG pandas UDAF. Accuracy matches
+  the JVM built-in; the *fast* HLL paths stay ``dss.sql`` and the
+  DataFrame API, which resolve the name to Spark's native
+  ``hll_sketch_agg`` / ``hll_sketch_estimate`` (TypedImperativeAggregate
+  — partial/final physics the Python UDAF cannot get).
 """
 
 from __future__ import annotations
@@ -191,21 +193,6 @@ def _sql_pmf_est():
     return f
 
 
-def _sql_hll_redirect():
-    @pandas_udf(LongType())
-    def f(v: pd.Series) -> int:
-        raise ValueError(
-            "approx_count_distinct_hll is not served by a Python UDF. Run "
-            "the SAME SQL text through dss.sql(spark, query) — the "
-            "documented SQL entry point — which resolves this name to "
-            "Spark's JVM hll_sketch_agg/hll_sketch_estimate built-ins "
-            "(true HLL, partial aggregation). Alternatives: those built-ins "
-            "directly, the DataFrame API dsf.approx_count_distinct_hll, or "
-            "approx_count_distinct_theta / approx_count_distinct_ex for the "
-            "engine's Theta sketch.")
-    return f
-
-
 def install(spark: SparkSession) -> None:
     """Register all engine functions in the session's SQL registry."""
     q_impl = conf.quantile_impl(spark)
@@ -253,12 +240,12 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_count_distinct_ex", ex_udf)
     spark.udf.register("approx_count_distinct_cpc", hll_direct_udf(clgk))
     spark.udf.register("approx_count_distinct_theta", theta_direct_udf(tk))
-    # Honest non-registration of HLL-under-a-Theta-hood: a Python UDF cannot
-    # wrap the JVM hll_sketch_agg aggregate, and silently running Theta under
-    # the HLL name would hand SQL and DataFrame users mutually un-mergeable
-    # states for the same function name. The SQL name fails fast with a
-    # pointer to the real HLL paths instead.
-    spark.udf.register("approx_count_distinct_hll", _sql_hll_redirect())
+    # Engine HLL under the reference's plain SQL name (shims.scala:32-56).
+    # GROUPED_AGG = no partial aggregation, so this is the compatibility
+    # path; dss.sql and the DataFrame API keep resolving the same name to
+    # the JVM hll_sketch_agg built-in for partial/final physics.
+    spark.udf.register("approx_count_distinct_hll",
+                       hll_direct_udf(conf.distinct_hll_lgk(spark)))
     acc_udf = (theta_acc_udf(tk) if dimpl == "THETA"
                else hll_acc_udf(conf.distinct_hll_lgk(spark))
                if dimpl == "HLL" else hll_acc_udf(clgk))

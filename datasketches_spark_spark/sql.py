@@ -373,11 +373,17 @@ def _called_functions(expr: str) -> set[str]:
 class _Item:
     """One select-list item, classified."""
 
-    __slots__ = ("text", "alias", "kind", "measure", "jvm_col", "gk_index")
+    __slots__ = ("text", "alias", "out_name", "kind", "measure", "jvm_col",
+                 "gk_index")
 
     def __init__(self, text: str, alias: str | None):
         self.text = text
+        # ``alias`` is the *internal* working name (a generated __dss_{i}
+        # sequence id when the user gave none — expression text makes a
+        # terrible identifier: dots and parens break quoted resolution);
+        # ``out_name`` is the user-visible output column name.
         self.alias = alias or text
+        self.out_name = alias or text
         self.kind = ""          # "sketch" | "jvm" | "key"
         self.measure: Measure | None = None
         self.jvm_col = None     # Callable[[str], Column] given resolved col
@@ -391,6 +397,8 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
     if not sketch_called:
         if called & _EXACT_AGGS:
             item.kind = "jvm"
+            if item.alias == item.text:
+                item.alias = f"__dss_{seq}"
             text = item.text
             item.jvm_col = lambda _=None: F.expr(text)
             return
@@ -406,6 +414,8 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
             f"sketch aggregate nested in a larger expression: {item.text!r}")
     fname, args_text = call
     args = _split_top(args_text)
+    if item.alias == item.text:
+        item.alias = f"__dss_{seq}"
     name = item.alias
 
     if fname in _QUANTILE_DIRECT:
@@ -978,26 +988,31 @@ def _rewrite_block(spark: SparkSession, query: str) -> DataFrame:
         joined = sketched if sketched is not None else exact
         left = joined
 
+    def _final_name(it: _Item) -> str:
+        if it.kind == "key" and it.out_name == it.text:
+            return _as_ident(it.text) or it.out_name
+        return it.out_name
+
     out_cols = []
     for it in items:
         if it.kind == "const":
-            out_cols.append(F.expr(it.text).alias(it.alias))
+            out_cols.append(F.expr(it.text).alias(it.out_name))
         elif it.kind == "key":
-            out_cols.append(left[resolved_groups[it.gk_index]].alias(
-                it.alias if it.alias != it.text else _as_ident(it.text)
-                or it.alias))
+            out_cols.append(
+                left[resolved_groups[it.gk_index]].alias(_final_name(it)))
         elif it.kind == "sketch":
-            out_cols.append(left[it.alias])
+            out_cols.append(left[it.alias].alias(it.out_name))
         else:
             src = exact if exact is not None else left
-            out_cols.append(src[it.alias])
+            out_cols.append(src[it.alias].alias(it.out_name))
     result = joined.select(*out_cols)
 
     # HAVING / ORDER BY may reference an aggregate by its expression text
     # (``HAVING count(*) > 5``); post-projection only the aliases exist, so
     # substitute each select item's normalized text with its alias.
-    subs = sorted(((_normalize(it.text), it.alias) for it in items
-                   if it.kind != "key" and _normalize(it.text) != it.alias),
+    subs = sorted(((_normalize(it.text), it.out_name) for it in items
+                   if it.kind != "key"
+                   and _normalize(it.text) != it.out_name),
                   key=lambda p: -len(p[0]))
 
     def _aliased(expr: str) -> str:
@@ -1022,7 +1037,7 @@ def _rewrite_block(spark: SparkSession, query: str) -> DataFrame:
                 if not (0 <= pos < len(items)):
                     raise _Unsupported("ORDER BY position out of range")
                 tail = t.strip()[len(head):]
-                t = f"`{items[pos].alias}`{tail}"
+                t = f"`{_final_name(items[pos])}`{tail}"
                 order_items.append(_order_col(t))
             else:
                 order_items.append(_order_col(_aliased(t)))

@@ -283,19 +283,26 @@ class TestTwoPhaseOperators:
                      .agg(F.count("*").alias("n")).collect())
         assert got == exact
 
-    def test_sql_hll_name_fails_fast(self, spark, tables):
-        import pytest
+    def test_sql_hll_name_works_bare(self, spark, tables):
+        """The reference registers approx_count_distinct_hll as a plain SQL
+        name (shims.scala:32-56) — so does the engine: a GROUPED_AGG UDAF
+        over the engine HLL at distinctCnt.hll.lgK, accuracy-equivalent to
+        the JVM hll_sketch_agg fast path used by dss.sql/DataFrame."""
         import datasketches_spark_spark as dss
+        from datasketches_spark_spark import functions as dsf
         dss.install(spark)
-        with pytest.raises(Exception, match="hll_sketch_agg"):
-            spark.sql(
-                "SELECT approx_count_distinct_hll(user_id) FROM events"
-            ).collect()
-        # the honest Theta name works
         n = spark.sql(
+            "SELECT approx_count_distinct_hll(user_id) AS n FROM events"
+        ).collect()[0].n
+        jvm = (spark.table("events")
+               .agg(dsf.approx_count_distinct_hll("user_id").alias("n"))
+               .collect()[0].n)
+        assert n > 0 and abs(n - jvm) <= max(3, 0.05 * jvm)
+        # the Theta name keeps working
+        t = spark.sql(
             "SELECT approx_count_distinct_theta(user_id) AS n FROM events"
         ).collect()[0].n
-        assert n > 0
+        assert t > 0
 
 
 class TestTypePreservation:

@@ -117,6 +117,41 @@ class TestDedup:
             simhash_dedup_pairs(tables["documents"], "doc_id", "text",
                                 max_distance=4)
 
+    @staticmethod
+    def _assert_partial_dedup_before_exchange(df, keys):
+        """The candidate-pair ``.distinct()`` must plan a map-side partial
+        HashAggregate BEFORE the pair-key Exchange — so the shuffle carries
+        per-partition-deduped pairs, not every raw collision (the contract
+        docs/PLANS.md documents for q18's fused pair-dedup). A Spark
+        upgrade that regressed this to a raw-pair shuffle would pass every
+        value test and silently lose the scale property; pin the shape."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        key0 = keys[0]
+        aggs = [i for i in range(len(plan))
+                if plan.startswith("HashAggregate(keys=[", i)
+                and key0 in plan[i:i + 120]]
+        exch = [i for i in range(len(plan))
+                if plan.startswith("Exchange hashpartitioning(", i)
+                and key0 in plan[i:i + 120]]
+        # tree prints top-down: the partial aggregate is the occurrence
+        # BELOW (after) the exchange in the text
+        assert exch and any(a > exch[0] for a in aggs), plan
+
+    def test_lsh_pair_dedup_plans_partial_aggregate(self, spark):
+        from datasketches_spark_spark.operators.dedup import (
+            lsh_candidate_pairs)
+        band_df = spark.createDataFrame(
+            [(i, b, i % 3) for i in range(12) for b in range(2)],
+            ["_id", "band", "bucket"])
+        self._assert_partial_dedup_before_exchange(
+            lsh_candidate_pairs(band_df), ["id_a", "id_b"])
+
+    def test_simhash_pair_dedup_plans_partial_aggregate(self, spark, tables):
+        from datasketches_spark_spark.operators import simhash_dedup_pairs
+        self._assert_partial_dedup_before_exchange(
+            simhash_dedup_pairs(tables["documents"], "doc_id", "text"),
+            ["id_a", "id_b"])
+
 
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, spark, tables):
@@ -539,3 +574,94 @@ class TestManyGroupsSkewStress:
         # benchmark owns timing)
         elapsed = time.monotonic() - t0
         assert elapsed < 300, f"grouped-agg stress took {elapsed:.1f}s"
+
+
+class TestImageCodec:
+    """Pure-numpy PPM/BMP codec: round-trips, header edge cases, the
+    resize->feature path, and honest stubs for compressed formats."""
+
+    def _img(self, h=5, w=7, seed=3):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_ppm_roundtrip(self):
+        from datasketches_spark_spark.operators import (decode_image,
+                                                        encode_ppm)
+        img = self._img()
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+    def test_pgm_grayscale_roundtrip(self):
+        from datasketches_spark_spark.operators import (decode_image,
+                                                        encode_ppm)
+        gray = self._img()[:, :, :1]
+        out = decode_image(encode_ppm(gray))
+        assert out.shape == gray.shape and np.array_equal(out, gray)
+
+    def test_ppm_comments_and_16bit(self):
+        from datasketches_spark_spark.operators.imagecodec import decode_ppm
+        img = np.array([[[0, 128, 255]]], dtype=np.uint8)
+        data = b"P6\n# a comment\n1 1\n# more\n255\n" + img.tobytes()
+        assert np.array_equal(decode_ppm(data), img)
+        # 16-bit maxval scales down to uint8
+        px16 = np.array([0, 32768, 65535], dtype=">u2").tobytes()
+        out = decode_ppm(b"P6\n1 1\n65535\n" + px16)
+        assert out.ravel().tolist() == [0, 128, 255]
+
+    def test_bmp_roundtrip_and_padding(self):
+        from datasketches_spark_spark.operators import (decode_image,
+                                                        encode_bmp)
+        # w=7 -> 21-byte rows padded to 24: exercises stride logic
+        img = self._img(h=3, w=7)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+
+    def test_bmp_32bit_and_topdown(self):
+        import struct
+        from datasketches_spark_spark.operators.imagecodec import decode_bmp
+        # hand-build a 2x1 top-down 32-bit BMP: pixels BGRA
+        px = bytes([10, 20, 30, 0, 40, 50, 60, 0])
+        data = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0,
+                              len(px), 0, 0, 0, 0) + px)
+        out = decode_bmp(data)
+        assert out.shape == (1, 2, 3)
+        assert out[0, 0].tolist() == [30, 20, 10]  # BGR -> RGB
+        assert out[0, 1].tolist() == [60, 50, 40]
+
+    def test_compressed_formats_stay_stubbed(self):
+        from datasketches_spark_spark.operators import decode_image
+        for magic in (b"\xff\xd8\xff\xe0" + b"\x00" * 16,
+                      b"\x89PNG\r\n\x1a\n" + b"\x00" * 16):
+            with pytest.raises(NotImplementedError):
+                decode_image(magic)
+
+    def test_resize_nearest_solid_and_shape(self):
+        from datasketches_spark_spark.operators import resize_nearest
+        solid = np.full((8, 4, 3), 77, dtype=np.uint8)
+        out = resize_nearest(solid, 2, 4)
+        assert out.shape == (4, 2, 3) and (out == 77).all()
+        # identity resize is exact
+        img = self._img(4, 4)
+        assert np.array_equal(resize_nearest(img, 4, 4), img)
+
+    def test_spark_resize_real_path_and_features(self, spark):
+        from datasketches_spark_spark.operators import (
+            encode_ppm, extract_image_features, resize_images)
+        import pandas as pd  # noqa: F401
+        rows = [(i, bytearray(encode_ppm(
+            np.full((4, 8, 3), [i, 2 * i, 7], dtype=np.uint8))))
+            for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id int, payload binary")
+        resized = resize_images(df, "doc_id", width=4, height=2)
+        feats = extract_image_features(resized, "doc_id")
+        got = {r.doc_id: r for r in feats.collect()}
+        assert len(got) == 6
+        for i, r in got.items():
+            assert (r.width, r.height, r.channels) == (4, 2, 3)
+            assert (r.mean_r, r.mean_g, r.mean_b) == (i, 2 * i, 7)
+
+    def test_decode_payload_builtin_codec(self):
+        from datasketches_spark_spark.operators import encode_ppm
+        from datasketches_spark_spark.operators.multimodal import (
+            decode_payload)
+        img = self._img(2, 2)
+        assert np.array_equal(decode_payload(encode_ppm(img), "image"), img)

@@ -165,3 +165,107 @@ class TestApproximateQuerySuiteReplay:
             "SELECT approx_percentile_ex(c, 0.5) AS q "
             "FROM VALUES (0), (1), (2), (null), (10) AS t(c)").collect()
         assert row["q"] == 1.0  # rank max(ceil(0.5*4),1)=2 -> sorted[2nd]
+
+
+class TestQuantileTypeMatrix:
+    """Reference type-preservation matrix (``ApproximateQuerySuite.scala:
+    52-65``): the direct percentile aggregate returns the *input* column
+    type, incl. Decimal via precision-checked convert
+    (``quantileSketches.scala:196-211``), while estimate-from-state stays
+    double (``:321-340`` asserts it ignores the input type)."""
+
+    TYPES = [("tinyint", "tinyint"), ("int", "int"), ("long", "bigint"),
+             ("float", "float"), ("double", "double"),
+             ("decimal(10,0)", "decimal(10,0)")]
+
+    def test_dataframe_api_keeps_input_type(self, spark):
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([(0,), (None,)], "c int")
+        for cast_to, expect in self.TYPES:
+            out = df.agg(dsf.approx_percentile_ex(
+                df["c"].cast(cast_to), 0.5).alias("q"))
+            assert out.schema["q"].dataType.simpleString() == expect, cast_to
+            (row,) = out.collect()
+            assert float(row["q"]) == 0.0, cast_to
+
+    def test_dataframe_api_array_keeps_input_type(self, spark):
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([(0,), (1,), (2,), (None,), (10,)],
+                                   "c int")
+        out = df.agg(dsf.approx_percentile_kll(
+            df["c"].cast("int"), [0.1, 0.5]).alias("q"))
+        assert out.schema["q"].dataType.simpleString() == "array<int>"
+        (row,) = out.collect()
+        assert all(isinstance(v, int) for v in row["q"])
+
+    def test_unbound_column_stays_double(self, spark):
+        # F.col / string names cannot be resolved Python-side: double out,
+        # which keeps every existing query's schema stable.
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([(1,)], "c int")
+        for col in ("c", F.col("c")):
+            out = df.agg(dsf.approx_percentile_ex(col, 0.5).alias("q"))
+            assert out.schema["q"].dataType.simpleString() == "double"
+
+    def test_dss_sql_keeps_input_type(self, spark):
+        import datasketches_spark_spark as dss
+        spark.createDataFrame([(0,), (None,)], "c int") \
+            .createOrReplaceTempView("tm_t")
+        for cast_to, expect in self.TYPES:
+            out = dss.sql(spark, (
+                f"SELECT approx_percentile_ex(CAST(c AS {cast_to}), 0.5) "
+                "AS q FROM tm_t"))
+            assert out.schema["q"].dataType.simpleString() == expect, cast_to
+            (row,) = out.collect()
+            assert float(row["q"]) == 0.0, cast_to
+
+    def test_decimal_precision_check_raises(self, spark):
+        # quantileSketches.scala:203-210: an estimate that cannot change
+        # precision to (p, s) raises instead of silently nulling.
+        import pytest
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.functions.quantiles import (
+            preserve_output_type)
+        df = spark.range(1)
+        ok = df.select(preserve_output_type(
+            F.lit(42.0), "decimal(4,1)", False).alias("v")).collect()
+        assert str(ok[0]["v"]) == "42.0"
+        # Under ANSI (Spark 4 default) the decimal cast itself throws
+        # NUMERIC_VALUE_OUT_OF_RANGE; under non-ANSI it nulls and the
+        # engine's explicit guard raises. Either way: an error, not NULL.
+        with pytest.raises(
+                Exception,
+                match="cannot change precision|cannot be represented"):
+            df.select(preserve_output_type(
+                F.lit(12345.0), "decimal(2,0)", False)).collect()
+
+    def test_estimate_from_state_ignores_input_type(self, spark):
+        # ApproximateQuerySuite.scala:321-340
+        dss_install(spark)
+        for cast_to, _ in self.TYPES:
+            out = spark.sql(
+                "SELECT approx_percentile_estimate(s, 0.5) AS q FROM ("
+                f"SELECT approx_percentile_accumulate(CAST(c AS {cast_to}))"
+                " AS s FROM VALUES (0), (null) AS t(c))")
+            assert out.schema["q"].dataType.simpleString() == "double"
+            (row,) = out.collect()
+            assert row["q"] == 0.0, cast_to
+
+
+def dss_install(spark):
+    import datasketches_spark_spark as dss
+    dss.install(spark)
+
+
+class TestBareSqlHllReplay:
+    """ApproximateQuerySuite runs approx_count_distinct_hll through plain
+    spark.sql; replay its GROUP BY shape on a literal VALUES table."""
+
+    def test_hll_group_by_values(self, spark):
+        dss_install(spark)
+        rows = spark.sql(
+            "SELECT g, approx_count_distinct_hll(v) AS ndv FROM VALUES "
+            "('a', 1), ('a', 2), ('a', 2), ('b', 1), ('b', 3), ('b', 4) "
+            "AS t(g, v) GROUP BY g ORDER BY g").collect()
+        assert [(r.g, r.ndv) for r in rows] == [("a", 2), ("b", 3)]

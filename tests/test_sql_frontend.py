@@ -309,12 +309,18 @@ def test_cte_reference_with_user_alias(spark):
 
 
 def test_cte_column_list_renames_sketch_output(spark):
+    # the unaliased sketch aggregate gets a generated __dss_{i} internal
+    # alias, so the rewrite must succeed — no two-phase fallback allowed
+    import warnings
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
     q = ("WITH s(flag, median_qty) AS ("
          "  SELECT l_returnflag, "
          "  approx_percentile_mergeable(l_quantity, 0.5) "
          "  FROM lineitem GROUP BY l_returnflag) "
          "SELECT flag, median_qty FROM s ORDER BY flag")
-    rows = dss.sql(spark, q).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", SketchSqlFallbackWarning)
+        rows = dss.sql(spark, q).collect()
     assert [r.flag for r in rows] == ["A", "N", "R"]
     assert all(r.median_qty is not None for r in rows)
     # arity mismatch -> clean fallback to spark.sql's own error
