@@ -535,6 +535,51 @@ def _q38_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _q39_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode without native libraries: every document gets a
+    square-wave PCM16 WAV payload (amplitude (doc_id%64+1)/128 — a dyadic
+    rational that survives int16 quantization bit-exactly — over
+    100+doc_id%50 frames at 8 kHz), then the pure-numpy RIFF/WAVE codec
+    runs end-to-end (operators/audiocodec.py) into decoded-sample
+    features, rolled up per source. RMS == amplitude and ZCR == 1.0
+    exactly for a square wave, so the DuckDB oracle recomputes everything
+    from relational columns; frames are SUMMED (exact integers) rather
+    than averaged so no float-summation-order term enters the hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+    from datasketches_spark_spark.operators import (
+        encode_wav, extract_audio_features)
+
+    def _make(amp_k, n):
+        out = []
+        for k, nf in zip(amp_k, n):
+            a = (int(k) + 1) / 128
+            x = np.where(np.arange(int(nf)) % 2 == 0, a, -a)
+            out.append(encode_wav(x, 8000))
+        return pd.Series(out, dtype=object)
+
+    _make.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
+                             "return": pd.Series}
+    make_wav = F.pandas_udf(_make, BinaryType())
+
+    docs = read_table(spark, sf_dir, "documents")
+    clips = docs.select(
+        "doc_id",
+        make_wav((F.col("doc_id") % 64).cast("int"),
+                 (F.lit(100) + F.col("doc_id") % 50).cast("int"))
+        .alias("payload"))
+    feats = extract_audio_features(clips, "doc_id")
+    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
+    return (joined.groupBy("source")
+            .agg(F.count("*").alias("n_clips"),
+                 F.sum("n_frames").alias("total_frames"),
+                 F.avg("rms").alias("avg_rms"),
+                 F.max("zero_cross_rate").alias("max_zcr"),
+                 F.max("sample_rate").alias("rate"))
+            .orderBy("source"))
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -912,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_streaming_dedup": _q36_streaming_dedup,
         "q37_embedding_quantize": _q37_embedding_quantize,
         "q38_image_decode": _q38_image_decode,
+        "q39_audio_decode": _q39_audio_decode,
     }
 
 
@@ -1249,6 +1295,18 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(doc_id % 256 AS DOUBLE)) AS avg_r,
                    avg(CAST(length(text) % 256 AS DOUBLE)) AS avg_g,
                    CAST(7.0 AS DOUBLE) AS avg_b
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # q39: dyadic square-wave WAVs make every audio feature exactly
+        # recomputable from relational columns (see _q39 docstring)
+        "q39_audio_decode": """
+            SELECT source,
+                   count(*) AS n_clips,
+                   CAST(sum(100 + doc_id % 50) AS BIGINT) AS total_frames,
+                   avg((CAST(doc_id % 64 AS DOUBLE) + 1) / 128.0)
+                       AS avg_rms,
+                   CAST(1.0 AS DOUBLE) AS max_zcr,
+                   CAST(8000 AS BIGINT) AS rate
             FROM documents GROUP BY source ORDER BY source
         """,
     }

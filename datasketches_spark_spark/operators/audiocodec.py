@@ -1,0 +1,142 @@
+"""Pure-numpy codec for *uncompressed* audio: RIFF/WAVE PCM (8/16/32-bit
+integer and 32/64-bit float, any channel count).
+
+Like ``imagecodec``, this gives the multimodal suite a REAL audio
+decode -> transform -> feature path without native libraries: WAV is a
+chunked header over raw sample frames, so numpy ``frombuffer`` is a
+complete decoder. Compressed audio (MP3/AAC/Opus/FLAC) stays honestly
+stubbed — ``decode_wav`` raises ``NotImplementedError`` for non-PCM
+format tags, and unknown containers fail in ``sniff_format``-aware
+callers.
+
+No counterpart in the reference (it has no multimodal surface).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "decode_wav",
+    "encode_wav",
+    "audio_features",
+    "resample_nearest",
+]
+
+_PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
+_FLOAT_DTYPES = {32: np.float32, 64: np.float64}
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload to ``(samples, sample_rate)``.
+
+    ``samples`` is ``(n_frames, n_channels) float64`` normalized to
+    [-1, 1] (8-bit PCM is unsigned-offset per the spec; 16/32-bit are
+    signed; float formats pass through). Chunk walk skips unknown chunks
+    (LIST/fact/cue), honoring the spec's word alignment.
+    """
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(data)
+    fmt = None
+    frames = None
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", data, body)
+        elif cid == b"data":
+            frames = data[body:body + size]
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _brate, _align, bits = fmt
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag in GUID
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE unsupported")
+    if audio_fmt == 1:
+        dt = _PCM_DTYPES.get(bits)
+        if dt is None:
+            raise NotImplementedError(f"PCM bit depth {bits} unsupported")
+    elif audio_fmt == 3:
+        dt = _FLOAT_DTYPES.get(bits)
+        if dt is None:
+            raise NotImplementedError(f"float bit depth {bits} unsupported")
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} is compressed/unsupported: only "
+            "PCM (1) and IEEE float (3) decode without native codecs")
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"bad WAV header: channels={n_ch} rate={rate}")
+    raw = np.frombuffer(frames, dtype=np.dtype(dt).newbyteorder("<"))
+    n = (raw.size // n_ch) * n_ch
+    x = raw[:n].reshape(-1, n_ch).astype(np.float64)
+    if audio_fmt == 1:
+        if bits == 8:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(2 ** (bits - 1))
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int,
+               bits: int = 16) -> bytes:
+    """Encode float samples in [-1, 1] (``(n,)`` or ``(n, ch)``) as
+    integer PCM WAV."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    dt = _PCM_DTYPES.get(bits)
+    if dt is None:
+        raise ValueError(f"PCM bit depth {bits} unsupported")
+    full = float(2 ** (bits - 1))
+    q = np.clip(np.round(x * full), -full, full - 1)
+    if bits == 8:
+        pcm = (q + 128.0).astype(np.uint8)
+    else:
+        pcm = q.astype(dt)
+    body = pcm.astype(np.dtype(dt).newbyteorder("<")).tobytes()
+    block = n_ch * bits // 8
+    hdr = (b"WAVE" + b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_ch, sample_rate, sample_rate * block,
+        block, bits) + b"data" + struct.pack("<I", len(body)))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdr) + len(body)) \
+        + hdr + body
+
+
+def resample_nearest(samples: np.ndarray, src_rate: int,
+                     dst_rate: int) -> np.ndarray:
+    """Nearest-sample resample (index math; no filtering — feature
+    extraction, not hi-fi)."""
+    x = np.asarray(samples)
+    n = x.shape[0]
+    m = max(int(round(n * dst_rate / src_rate)), 1)
+    idx = np.minimum(((np.arange(m) + 0.5) * n / m), n - 1).astype(np.intp)
+    return x[idx]
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
+    """Decoded-sample features: duration, RMS level, peak, zero-crossing
+    rate (on the channel mean)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    mono = x.mean(axis=1)
+    n = mono.size
+    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
+        if n > 1 else 0
+    return {
+        "n_frames": int(n),
+        "n_channels": int(x.shape[1]),
+        "sample_rate": int(sample_rate),
+        "duration_s": float(n / sample_rate),
+        "rms": float(np.sqrt((mono ** 2).mean())) if n else 0.0,
+        "peak": float(np.abs(x).max()) if n else 0.0,
+        "zero_cross_rate": float(zc / max(n - 1, 1)),
+    }

@@ -150,6 +150,32 @@ IMAGE_FEATURE_FIELDS = [
 ]
 
 
+AUDIO_FEATURE_FIELDS = [
+    StructField("n_frames", LongType()),
+    StructField("n_channels", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+    StructField("zero_cross_rate", DoubleType()),
+]
+
+
+def extract_audio_features(df: DataFrame, id_col: str,
+                           payload_col: str = "payload") -> DataFrame:
+    """Decoded-sample features (duration/RMS/peak/zero-cross rate) for
+    uncompressed RIFF/WAVE PCM payloads, one streaming Arrow pass per
+    partition (``operators.audiocodec``). Compressed audio raises —
+    filter upstream, don't silently drop assets."""
+    from .audiocodec import audio_features, decode_wav
+
+    def one(raw: bytes) -> dict:
+        return audio_features(*decode_wav(raw))
+
+    return transform_payloads(df, id_col, one, AUDIO_FEATURE_FIELDS,
+                              payload_col=payload_col)
+
+
 def extract_image_features(df: DataFrame, id_col: str,
                            payload_col: str = "payload") -> DataFrame:
     """Decoded-pixel features (dimensions + channel means) for

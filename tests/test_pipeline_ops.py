@@ -665,3 +665,94 @@ class TestImageCodec:
             decode_payload)
         img = self._img(2, 2)
         assert np.array_equal(decode_payload(encode_ppm(img), "image"), img)
+
+
+class TestAudioCodec:
+    """Pure-numpy RIFF/WAVE PCM codec: round-trips, chunk walking,
+    float formats, features, and honest stubs for compressed tags."""
+
+    def _sine(self, n=800, rate=8000, ch=1):
+        t = np.arange(n) / rate
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        return np.tile(x[:, None], (1, ch)), rate
+
+    def test_pcm16_roundtrip(self):
+        from datasketches_spark_spark.operators import decode_wav, encode_wav
+        x, rate = self._sine()
+        y, r2 = decode_wav(encode_wav(x, rate))
+        assert r2 == rate and y.shape == x.shape
+        assert np.abs(y - x).max() <= 1.0 / 32768  # 16-bit quantization
+
+    def test_pcm8_and_stereo(self):
+        from datasketches_spark_spark.operators import decode_wav, encode_wav
+        x, rate = self._sine(ch=2)
+        y, _ = decode_wav(encode_wav(x, rate, bits=8))
+        assert y.shape == x.shape
+        assert np.abs(y - x).max() <= 1.0 / 128
+
+    def test_float32_wav_and_unknown_chunks(self):
+        import struct
+        from datasketches_spark_spark.operators import decode_wav
+        x = np.array([0.0, 0.25, -0.5], dtype=np.float32)
+        body = x.tobytes()
+        # fmt tag 3 (IEEE float) + a LIST chunk the walker must skip
+        hdr = (b"WAVE"
+               + b"LIST" + struct.pack("<I", 4) + b"INFO"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 4000,
+                                       16000, 4, 32)
+               + b"data" + struct.pack("<I", len(body)) + body)
+        data = b"RIFF" + struct.pack("<I", 4 + len(hdr)) + hdr
+        y, rate = decode_wav(data)
+        assert rate == 4000 and y.ravel().tolist() == [0.0, 0.25, -0.5]
+
+    def test_compressed_tags_stay_stubbed(self):
+        import struct
+        from datasketches_spark_spark.operators import decode_wav
+        for tag in (2, 85, 0xFFFE):  # ADPCM, MP3, EXTENSIBLE
+            hdr = (b"WAVE" + b"fmt " + struct.pack(
+                "<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8)
+                + b"data" + struct.pack("<I", 0))
+            with pytest.raises(NotImplementedError):
+                decode_wav(b"RIFF" + struct.pack("<I", 4 + len(hdr)) + hdr)
+        with pytest.raises(ValueError):
+            decode_wav(b"not audio at all")
+
+    def test_features_square_wave_exact(self):
+        from datasketches_spark_spark.operators import (audio_features,
+                                                        decode_wav,
+                                                        encode_wav)
+        # dyadic amplitude k/128 survives int16 round-trip bit-exactly,
+        # so RMS == amplitude and ZCR == 1.0 exactly (the q39 oracle trick)
+        a = 5 / 128
+        n = 120
+        x = np.where(np.arange(n) % 2 == 0, a, -a)
+        y, rate = decode_wav(encode_wav(x, 8000))
+        f = audio_features(y, rate)
+        assert f["rms"] == a and f["peak"] == a
+        assert f["zero_cross_rate"] == 1.0
+        assert f["n_frames"] == n and f["duration_s"] == n / 8000
+
+    def test_resample_nearest(self):
+        from datasketches_spark_spark.operators import resample_nearest
+        x, rate = self._sine(n=800)
+        y = resample_nearest(x, rate, 4000)
+        assert y.shape[0] == 400
+
+    def test_spark_audio_features(self, spark):
+        from datasketches_spark_spark.operators import (
+            encode_wav, extract_audio_features)
+        rows = []
+        for i in range(5):
+            a = (i + 1) / 128
+            n = 100 + i
+            x = np.where(np.arange(n) % 2 == 0, a, -a)
+            rows.append((i, bytearray(encode_wav(x, 8000))))
+        df = spark.createDataFrame(rows, "doc_id int, payload binary")
+        got = {r.doc_id: r for r in
+               extract_audio_features(df, "doc_id").collect()}
+        assert len(got) == 5
+        for i, r in got.items():
+            assert r.rms == (i + 1) / 128
+            assert r.n_frames == 100 + i
+            assert r.zero_cross_rate == 1.0
+            assert r.sample_rate == 8000
