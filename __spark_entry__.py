@@ -799,11 +799,16 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
       the states the reference engine persists,
       ``distinctCntSketches.scala:57-66``) are decoded by the engine's
       pure-Python CPC decoder (``compat/cpc.py``): per-lang
-      decode->estimate of HIP images, and a decode->union->estimate
+      decode->estimate of HIP images, a decode->union->estimate
       global leg through ``approx_count_distinct_combine`` (bit-matrix
-      union of all five langs). Source cardinalities (~20/lang) sit in
-      CPC's round-exact regime at lgK=11, so DuckDB's exact
-      count(DISTINCT) is the oracle.
+      union of all five langs), and an EXPORT round trip: the combined
+      engine state re-encodes to merged CPC wire bytes
+      (``export_datasketches_state`` -> ``compat/cpc.py::
+      serialize_matrix``, byte-identical to ``CpcUnion.getResult().
+      toByteArray()``) and estimate byte-sniffs those foreign bytes
+      back in. Source cardinalities (~20/lang) sit in CPC's
+      round-exact regime at lgK=11, so DuckDB's exact count(DISTINCT)
+      is the oracle for every leg.
 
     The foreign-state GENERATION collects the distinct (lang, source)
     pairs to the driver (~100 rows, bounded by the dimension sizes) —
@@ -837,7 +842,7 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql("""
             SELECT q.lang, q.p50_chars,
                    approx_count_distinct_estimate(c.cpc_state) AS ndv_src,
-                   g.ndv_src_all
+                   g.ndv_src_all, g.ndv_src_roundtrip
             FROM (
               SELECT lang,
                      approx_percentile_estimate(
@@ -850,7 +855,11 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             CROSS JOIN (
               SELECT approx_count_distinct_estimate(
                        approx_count_distinct_combine(cpc_state))
-                       AS ndv_src_all
+                       AS ndv_src_all,
+                     approx_count_distinct_estimate(
+                       export_datasketches_state(
+                         approx_count_distinct_combine(cpc_state)))
+                       AS ndv_src_roundtrip
               FROM _q34_cpc_states
             ) g
             ORDER BY q.lang
@@ -1241,7 +1250,9 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
                    count(DISTINCT source) AS ndv_src,
                    (SELECT count(DISTINCT source) FROM documents)
-                     AS ndv_src_all
+                     AS ndv_src_all,
+                   (SELECT count(DISTINCT source) FROM documents)
+                     AS ndv_src_roundtrip
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "q35_rank_cdf": """

@@ -41,9 +41,11 @@ def import_datasketches_state(col, item_type: str = "auto"):
 
 def export_datasketches_state(col):
     """Column fn: engine state bytes -> Apache DataSketches wire bytes
-    (null -> null). Exact-regime quantile and frequent-items states only;
-    raises on compacted or non-exportable families so an export job never
-    silently drops states."""
+    (null -> null). Quantile and frequent-items states (exact regime,
+    plus estimation-mode KLL/REQ) and CPC-union states (re-encoded as
+    merged CPC images, byte-identical to ``CpcUnion.getResult()``);
+    raises on non-exportable families so an export job never silently
+    drops states."""
     import pandas as pd
     from pyspark.sql.functions import col as _c, pandas_udf
     from pyspark.sql.types import BinaryType

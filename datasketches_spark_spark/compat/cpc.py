@@ -440,3 +440,193 @@ class CpcUnionState:
         if self.matrix is None:
             return 0.0
         return icon_estimate(self.lgk, self.num_coupons())
+
+
+# ------------------------------------------------------------- bit writing
+
+class _BitWriter:
+    """LSB-first bit writer emitting little-endian 32-bit words — the
+    exact inverse of ``_BitReader``."""
+
+    __slots__ = ("words", "buf", "bits")
+
+    def __init__(self):
+        self.words: list[int] = []
+        self.buf = 0
+        self.bits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.buf |= (value & ((1 << nbits) - 1)) << self.bits
+        self.bits += nbits
+        while self.bits >= 32:
+            self.words.append(self.buf & 0xFFFFFFFF)
+            self.buf >>= 32
+            self.bits -= 32
+
+    def put_unary(self, v: int) -> None:
+        while v >= 32:
+            self.put(0, 32)
+            v -= 32
+        self.put(1 << v, v + 1)
+
+    def finish(self, padding: int) -> list[int]:
+        """Flush; ``padding`` zero bits are appended first — the format
+        pads each stream so the decoder's 12-bit peek cannot overrun
+        (window streams pad 11 bits; pair streams pad
+        ``max(0, 10 - base_bits)``, both pinned by the golden images)."""
+        self.bits += padding
+        while self.bits >= 32:
+            self.words.append(self.buf & 0xFFFFFFFF)
+            self.buf >>= 32
+            self.bits -= 32
+        if self.bits:
+            self.words.append(self.buf & 0xFFFFFFFF)
+            self.buf = 0
+            self.bits = 0
+        return self.words
+
+
+def _compress_pairs(pairs: list[int], base_bits: int) -> list[int]:
+    """Encode sorted (row << 6 | col) pairs — inverse of
+    ``_uncompress_pairs`` (column deltas in the 65-symbol length-limited
+    unary code, row deltas Golomb: unary high bits + ``base_bits`` low)."""
+    from ._cpc_tables import LENGTH_LIMITED_UNARY_ENCODING_65
+    w = _BitWriter()
+    pred_row = 0
+    pred_col = 0
+    for pair in pairs:
+        row, col = pair >> 6, pair & 63
+        y_delta = row - pred_row
+        if y_delta > 0:
+            pred_col = 0
+        x_delta = col - pred_col
+        info = LENGTH_LIMITED_UNARY_ENCODING_65[x_delta]
+        w.put(info & 0xFFF, info >> 12)
+        w.put_unary(y_delta >> base_bits)
+        w.put(y_delta, base_bits)
+        pred_row = row
+        pred_col = col + 1
+    return w.finish(max(0, 10 - base_bits))
+
+
+def _compress_window(window: bytes, enc_table) -> list[int]:
+    """Encode k window bytes with one static prefix code — inverse of
+    ``_uncompress_window``."""
+    w = _BitWriter()
+    for b in window:
+        info = enc_table[b]
+        w.put(info & 0xFFF, info >> 12)
+    return w.finish(11)
+
+
+# ------------------------------------------------------ encode (public)
+
+#: seed hash of the library's DEFAULT_UPDATE_SEED (9001) — the value every
+#: default-seeded DataSketches CPC image carries in its preamble
+DEFAULT_SEED_HASH = 0x93CC
+
+
+def serialize_matrix(matrix: np.ndarray, lgk: int,
+                     seed_hash: int = DEFAULT_SEED_HASH) -> bytes:
+    """Serialize a coupon bit matrix as a *merged* (non-HIP) CPC image.
+
+    This is the inverse of ``bit_matrix`` and the counterpart of
+    datasketches-java's ``CpcUnion.getResult().toByteArray()``: flavor,
+    window offset and pseudo-phase derive from (lgK, C) exactly as on the
+    read path, so the output is decodable by the Java library (and
+    byte-identical to it — pinned by the committed union/merged golden
+    fixtures). Merged images carry no HIP accumulator by design: union
+    results lose the per-update HIP history, and readers estimate them
+    with ICON (``estimate``).
+    """
+    k = 1 << lgk
+    if len(matrix) != k:
+        raise ValueError(f"matrix has {len(matrix)} rows, expected {k}")
+    c = _popcount(matrix)
+
+    def _pre(pre_ints: int, fi_col: int, flags: int) -> bytearray:
+        return bytearray(struct.pack(
+            "<6BH", pre_ints, _SER_VER, _FAMILY_CPC, lgk, fi_col,
+            flags | _FLAG_COMPRESSED, seed_hash))
+
+    # fiCol = number of low columns saturated across ALL rows (the
+    # sketch's "first interesting column"), NOT the window offset — the
+    # two coincide only sometimes (pinned by the golden union images)
+    fi_col = _trailing_ones(int(np.bitwise_and.reduce(matrix))) if c else 0
+
+    flavor = _determine_flavor(lgk, c)
+    if flavor == "EMPTY":
+        return bytes(_pre(2, 0, 0))
+
+    if flavor in ("SPARSE", "HYBRID"):
+        pairs = sorted((int(row) << 6) | col
+                       for row in range(k)
+                       for col in _iter_bits(int(matrix[row])))
+        base = _golomb_base_bits(k + c, c)
+        sv_words = _compress_pairs(pairs, base)
+        out = _pre(4, fi_col, _FLAG_HAS_TABLE)
+        out += struct.pack("<2I", c, len(sv_words))
+        out += struct.pack(f"<{len(sv_words)}I", *sv_words)
+        return bytes(out)
+
+    # PINNED (offset == 0) / SLIDING (offset >= 1)
+    offset = _determine_correct_offset(lgk, c)
+    phase = _determine_pseudo_phase(lgk, c)
+    window = ((matrix >> np.uint64(offset)) & np.uint64(0xFF)) \
+        .astype(np.uint8).tobytes()
+    expected = (np.frombuffer(window, np.uint8).astype(np.uint64)
+                << np.uint64(offset))
+    if offset > 0:
+        expected |= np.uint64((1 << offset) - 1)
+    sv = matrix ^ expected
+
+    from ._cpc_tables import (COLUMN_PERMUTATIONS_FOR_ENCODING,
+                              ENCODING_TABLES_FOR_HIGH_ENTROPY_BYTE)
+    pairs = []
+    for row in range(k):
+        bits = int(sv[row])
+        for col in _iter_bits(bits):
+            if offset == 0:
+                enc_col = col - 8  # window covers columns 0..7
+                if enc_col < 0:
+                    raise AssertionError(
+                        "pinned-flavor surprising bit inside the window")
+            else:
+                rot = (col - offset - 8) & 63
+                enc_col = COLUMN_PERMUTATIONS_FOR_ENCODING[phase][rot]
+            pairs.append((row << 6) | enc_col)
+    pairs.sort()
+    num_sv = len(pairs)
+
+    cw_words = _compress_window(
+        window, ENCODING_TABLES_FOR_HIGH_ENTROPY_BYTE[phase])
+    if num_sv == 0:
+        out = _pre(4, fi_col, _FLAG_HAS_WINDOW)
+        out += struct.pack("<2I", c, len(cw_words))
+    else:
+        base = _golomb_base_bits(k + num_sv, num_sv)
+        sv_words = _compress_pairs(pairs, base)
+        out = _pre(6, fi_col, _FLAG_HAS_WINDOW | _FLAG_HAS_TABLE)
+        out += struct.pack("<2I", c, num_sv)
+        out += struct.pack("<2I", len(sv_words), len(cw_words))
+    out += struct.pack(f"<{len(cw_words)}I", *cw_words)
+    if num_sv:
+        out += struct.pack(f"<{len(sv_words)}I", *sv_words)
+    return bytes(out)
+
+
+def _trailing_ones(x: int) -> int:
+    n = 0
+    while x & 1:
+        n += 1
+        x >>= 1
+    return n
+
+
+def _iter_bits(bits: int):
+    while bits:
+        low = bits & -bits
+        yield low.bit_length() - 1
+        bits ^= low

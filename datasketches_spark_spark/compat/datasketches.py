@@ -615,14 +615,21 @@ def to_datasketches_state(engine_state: bytes) -> bytes:
     image, float64 -> classic DoublesSketch (base-buffer regime only —
     its rigid k-item-block layout cannot express arbitrary engine level
     sizes); frequent items map with the global-offset model.
-    Theta/HLL/reservoir states raise: those formats are either
-    compressed or have no reference analogue."""
+    CPC-union states re-encode as merged CPC wire images (byte-identical
+    to ``CpcUnion.getResult().toByteArray()``). Theta/HLL/reservoir
+    states raise: those formats have no reference analogue (for HLL use
+    Spark's native ``hll_sketch_agg``, whose states ARE DataSketches
+    HLL bytes)."""
     from ..sketches import deserialize_any
     from ..sketches.freq import FreqItemsSketch
     from ..sketches.kll import KllSketch
     from ..sketches.req import ReqSketch
 
+    from ..sketches.cpc_state import CpcUnionSketch
+
     sk = deserialize_any(bytes(engine_state))
+    if isinstance(sk, CpcUnionSketch):
+        return sk.to_datasketches()
     if isinstance(sk, ReqSketch):
         return encode_req_floats(sk)
     if isinstance(sk, KllSketch):

@@ -26,9 +26,11 @@ DataSketches CPC images (the reference's DEFAULT accumulate state,
 ``distinctCntSketches.scala:57-66``) decode through the engine's
 pure-Python CPC decoder (``compat/cpc.py``): ``*_estimate`` reads HIP /
 ICON estimates and ``*_combine`` unions CPC states with each other via
-their coupon bit matrices. The engine does not EXPORT to CPC wire bytes
-(its own states use the engine envelope; re-accumulate on the reference
-side if CPC bytes are required there).
+their coupon bit matrices. Combined CPC states EXPORT back to merged
+CPC wire bytes via ``export_datasketches_state`` (byte-identical to
+``CpcUnion.getResult().toByteArray()``; java-cross-validated in
+``tests/test_compat_cpc.py``), closing the wire interop loop both
+directions.
 """
 
 from __future__ import annotations

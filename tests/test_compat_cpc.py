@@ -149,3 +149,132 @@ class TestUnion:
         sk = CpcUnionSketch(11)
         with pytest.raises(ValueError, match="CPC"):
             sk.merge(ThetaSketch(k=16))
+
+
+class TestEncode:
+    """CPC wire ENCODE (serialize_matrix / CpcUnionSketch.to_datasketches):
+    byte-exact against the datasketches-java golden images."""
+
+    def test_union_results_byte_exact(self, fx):
+        """The operation the encoder implements is
+        CpcUnion.getResult().toByteArray(): all committed Java union
+        results must reproduce bit-for-bit."""
+        from datasketches_spark_spark.compat import cpc
+        for u in fx["unions"]:
+            st = cpc.CpcUnionState()
+            st.update(bytes.fromhex(u["bytes_a"]))
+            st.update(bytes.fromhex(u["bytes_b"]))
+            assert cpc.serialize_matrix(st.matrix, st.lgk) == \
+                bytes.fromhex(u["union_bytes"])
+
+    def test_merged_images_byte_exact(self, fx):
+        """Merged live-sketch images re-encode byte-exactly except for the
+        fiCol preamble byte, which is PATH-DEPENDENT in a live Java sketch
+        (it lags column saturation depending on update order, so no
+        function of the final matrix can always reproduce it; the encoder
+        writes the saturated-column count, which Java's reader accepts —
+        fiCol never feeds decoding). Everything after byte 4 must match on
+        every merged fixture; the whole image on all but the known
+        saturation-lag cases."""
+        from datasketches_spark_spark.compat import cpc
+        whole = tail = total = 0
+        for s in fx["sketches"]:
+            if not s["merged"]:
+                continue
+            orig = bytes.fromhex(s["bytes"])
+            img = cpc.parse(orig)
+            enc = cpc.serialize_matrix(cpc.bit_matrix(img), img.lgk,
+                                       img.seed_hash)
+            total += 1
+            tail += (enc[:4] == orig[:4] and enc[5:] == orig[5:]
+                     and len(enc) == len(orig))
+            whole += enc == orig
+        assert total == 96 and tail == total
+        assert whole >= 93  # 3 known live-fiCol saturation-lag fixtures
+
+    def test_roundtrip_every_fixture(self, fx):
+        """decode -> encode -> decode preserves the coupon matrix and the
+        coupon count for ALL 192 images (HIP images re-encode as merged:
+        the union output format; their ICON estimate stays in family)."""
+        import numpy as np
+        from datasketches_spark_spark.compat import cpc
+        for s in fx["sketches"]:
+            img = cpc.parse(bytes.fromhex(s["bytes"]))
+            m = cpc.bit_matrix(img)
+            img2 = cpc.parse(cpc.serialize_matrix(m, img.lgk,
+                                                  img.seed_hash))
+            assert img2.num_coupons == img.num_coupons
+            assert np.array_equal(cpc.bit_matrix(img2), m)
+            assert not img2.has_hip  # merged by design
+
+    def test_engine_state_exports_cpc_wire(self, fx):
+        """Engine CPC-union states flow through to_datasketches_state into
+        Java-readable CPC bytes, seed hash preserved."""
+        from datasketches_spark_spark.compat import (cpc,
+                                                     to_datasketches_state)
+        from datasketches_spark_spark.sketches import CpcUnionSketch
+        u = fx["unions"][0]
+        a = CpcUnionSketch.from_datasketches(bytes.fromhex(u["bytes_a"]))
+        b = CpcUnionSketch.from_datasketches(bytes.fromhex(u["bytes_b"]))
+        merged = a.merge(b)
+        wire = to_datasketches_state(merged.serialize())
+        assert wire == bytes.fromhex(u["union_bytes"])
+        img = cpc.parse(wire)
+        assert img.seed_hash == cpc.DEFAULT_SEED_HASH
+
+    def test_cross_seed_union_refused(self, fx):
+        from datasketches_spark_spark.sketches import CpcUnionSketch
+        u = fx["unions"][0]
+        a = CpcUnionSketch.from_datasketches(bytes.fromhex(u["bytes_a"]))
+        b = CpcUnionSketch.from_datasketches(bytes.fromhex(u["bytes_b"]))
+        b.seed_hash ^= 0x1234
+        with pytest.raises(ValueError, match="seed hash"):
+            a.merge(b)
+
+    def test_envelope_roundtrip_keeps_seed_hash(self, fx):
+        from datasketches_spark_spark.sketches import CpcUnionSketch
+        s = next(s for s in fx["sketches"] if s["flavor"] == "PINNED")
+        sk = CpcUnionSketch.from_datasketches(bytes.fromhex(s["bytes"]))
+        sk.seed_hash = 0xBEEF
+        rt = CpcUnionSketch.deserialize(sk.serialize())
+        assert rt.seed_hash == 0xBEEF and rt.lgk == sk.lgk
+        assert rt.estimate() == sk.estimate()
+
+
+class TestJavaCrossValidation:
+    """The strongest encoder check available in-environment: the REAL
+    datasketches-java (on Spark's driver classpath) must heapify the
+    engine's encoded CPC bytes and agree on the estimate — no shared code
+    with the Python encoder."""
+
+    def _jcpc(self, spark):
+        return spark._jvm.org.apache.datasketches.cpc.CpcSketch
+
+    def test_java_heapifies_engine_union_bytes(self, spark, fx):
+        from datasketches_spark_spark.compat import cpc
+        jcpc = self._jcpc(spark)
+        for u in fx["unions"]:
+            st = cpc.CpcUnionState()
+            st.update(bytes.fromhex(u["bytes_a"]))
+            st.update(bytes.fromhex(u["bytes_b"]))
+            wire = cpc.serialize_matrix(st.matrix, st.lgk)
+            jsk = jcpc.heapify(bytearray(wire))
+            assert abs(jsk.getEstimate() - u["union_estimate"]) < 1e-9
+            assert jsk.toByteArray() is not None  # re-serializable there
+
+    def test_java_roundtrips_fresh_engine_encoding(self, spark):
+        """Build CPC states in Java, union them in the ENGINE, export,
+        and let Java read the result: estimates must be exact in the
+        sparse regime."""
+        from datasketches_spark_spark.sketches import CpcUnionSketch
+        jcpc = self._jcpc(spark)
+        a, b = jcpc(11), jcpc(11)
+        for i in range(40):
+            a.update(f"item-{i}")
+        for i in range(25, 70):
+            b.update(f"item-{i}")
+        ea = CpcUnionSketch.from_datasketches(bytes(a.toByteArray()))
+        eb = CpcUnionSketch.from_datasketches(bytes(b.toByteArray()))
+        wire = ea.merge(eb).to_datasketches()
+        jsk = jcpc.heapify(bytearray(wire))
+        assert round(jsk.getEstimate()) == 70  # exact regime at lgK=11
