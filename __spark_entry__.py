@@ -519,13 +519,15 @@ def _q38_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     with_img = docs.select(
-        "doc_id",
+        "doc_id", "source",
         make_ppm((F.col("doc_id") % 256).cast("int"),
                  (F.length("text") % 256).cast("int")).alias("payload"))
-    resized = resize_images(with_img, "doc_id", width=4, height=2)
-    feats = extract_image_features(resized, "doc_id")
-    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
-    return (joined.groupBy("source")
+    # `source` rides through both Python stages (keep_cols): one scan,
+    # no join-back shuffle — the 100 TB shape
+    resized = resize_images(with_img, "doc_id", width=4, height=2,
+                            keep_cols=["source"])
+    feats = extract_image_features(resized, "doc_id", keep_cols=["source"])
+    return (feats.groupBy("source")
             .agg(F.count("*").alias("n_imgs"),
                  F.max("width").alias("w"),
                  F.max("height").alias("h"),
@@ -565,13 +567,13 @@ def _q39_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     clips = docs.select(
-        "doc_id",
+        "doc_id", "source",
         make_wav((F.col("doc_id") % 64).cast("int"),
                  (F.lit(100) + F.col("doc_id") % 50).cast("int"))
         .alias("payload"))
-    feats = extract_audio_features(clips, "doc_id")
-    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
-    return (joined.groupBy("source")
+    # one scan, `source` carried through the Python stage (keep_cols)
+    feats = extract_audio_features(clips, "doc_id", keep_cols=["source"])
+    return (feats.groupBy("source")
             .agg(F.count("*").alias("n_clips"),
                  F.sum("n_frames").alias("total_frames"),
                  F.avg("rms").alias("avg_rms"),

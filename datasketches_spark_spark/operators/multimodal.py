@@ -6,12 +6,14 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` so each partition
 streams its payloads through Python once, and everything downstream of the
 extracted features is ordinary JVM-side relational work.
 
-The decode step is STUBBED here (this environment ships no image/audio
+Uncompressed formats decode for REAL via the pure-numpy codecs
+(``imagecodec``: PPM/PGM + BI_RGB BMP; ``audiocodec``: RIFF/WAVE PCM).
+Compressed formats stay STUBBED (this environment ships no entropy
 codecs): ``decode_payload`` raises ``NotImplementedError`` unless a codec
 callback is injected, and ``extract_features`` falls back to a
 deterministic byte-level featurizer (length, checksum, byte histogram
 stats) so the Spark-side plumbing — schema, batching, partitioning, UDF
-signature — is real and tested end-to-end.
+signature — is real and tested end-to-end for every format class.
 """
 
 from __future__ import annotations
@@ -78,22 +80,34 @@ FEATURE_SCHEMA_FIELDS = [
 
 def transform_payloads(df: DataFrame, id_col: str, transform,
                        out_fields: list[StructField],
-                       payload_col: str = "payload") -> DataFrame:
+                       payload_col: str = "payload",
+                       keep_cols: list[str] | None = None) -> DataFrame:
     """Generic streaming payload transform (one Arrow-batched pass per
     partition): ``transform(payload: bytes) -> dict`` matching
     ``out_fields``. The plumbing for decode/resize/frame-sample style
-    operators — swap in a real codec-backed transform at deploy time."""
-    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
-    out_schema = StructType([StructField("_id", src.schema["_id"].dataType)]
-                            + out_fields)
+    operators — swap in a real codec-backed transform at deploy time.
+
+    ``keep_cols`` carries narrow columns through the Python stage
+    unchanged — at scale that replaces a join-back-to-source (a second
+    scan plus a shuffle) with a few extra bytes per Arrow row."""
+    keep = list(keep_cols or [])
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(payload_col).alias("_p"), *keep)
+    out_schema = StructType(
+        [StructField("_id", src.schema["_id"].dataType)]
+        + [src.schema[c] for c in keep] + out_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _id, raw in zip(pdf["_id"], pdf["_p"]):
+            for i, raw in enumerate(pdf["_p"]):
                 if raw is None:
                     continue
-                rows.append({"_id": _id, **transform(bytes(raw))})
+                row = {"_id": pdf["_id"].iloc[i]}
+                for c in keep:
+                    row[c] = pdf[c].iloc[i]
+                row.update(transform(bytes(raw)))
+                rows.append(row)
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -110,8 +124,8 @@ RESIZE_FIELDS = [
 def resize_images(df: DataFrame, id_col: str, width: int, height: int,
                   payload_col: str = "payload",
                   codec: Callable[[bytes], object] | None = None,
-                  resizer: Callable[[object, int, int], bytes] | None = None
-                  ) -> DataFrame:
+                  resizer: Callable[[object, int, int], bytes] | None = None,
+                  keep_cols: list[str] | None = None) -> DataFrame:
     """Image resize over opaque payloads. Uncompressed payloads (PPM/PGM,
     BI_RGB BMP) take a REAL path: pure-numpy decode -> nearest-neighbor
     resample -> re-encode in the same container. Compressed formats need
@@ -137,7 +151,7 @@ def resize_images(df: DataFrame, id_col: str, width: int, height: int,
         return {"payload": out, "width": width, "height": height}
 
     return transform_payloads(df, id_col, one, RESIZE_FIELDS,
-                              payload_col=payload_col)
+                              payload_col=payload_col, keep_cols=keep_cols)
 
 
 IMAGE_FEATURE_FIELDS = [
@@ -162,7 +176,8 @@ AUDIO_FEATURE_FIELDS = [
 
 
 def extract_audio_features(df: DataFrame, id_col: str,
-                           payload_col: str = "payload") -> DataFrame:
+                           payload_col: str = "payload",
+                           keep_cols: list[str] | None = None) -> DataFrame:
     """Decoded-sample features (duration/RMS/peak/zero-cross rate) for
     uncompressed RIFF/WAVE PCM payloads, one streaming Arrow pass per
     partition (``operators.audiocodec``). Compressed audio raises —
@@ -173,11 +188,12 @@ def extract_audio_features(df: DataFrame, id_col: str,
         return audio_features(*decode_wav(raw))
 
     return transform_payloads(df, id_col, one, AUDIO_FEATURE_FIELDS,
-                              payload_col=payload_col)
+                              payload_col=payload_col, keep_cols=keep_cols)
 
 
 def extract_image_features(df: DataFrame, id_col: str,
-                           payload_col: str = "payload") -> DataFrame:
+                           payload_col: str = "payload",
+                           keep_cols: list[str] | None = None) -> DataFrame:
     """Decoded-pixel features (dimensions + channel means) for
     uncompressed image payloads, one streaming Arrow pass per partition.
     Payloads the built-in codec cannot decode surface the error (don't
@@ -186,7 +202,8 @@ def extract_image_features(df: DataFrame, id_col: str,
     from .imagecodec import decode_image, image_features
     return transform_payloads(
         df, id_col, lambda raw: image_features(decode_image(raw)),
-        IMAGE_FEATURE_FIELDS, payload_col=payload_col)
+        IMAGE_FEATURE_FIELDS, payload_col=payload_col,
+        keep_cols=keep_cols)
 
 
 def sample_frames(df: DataFrame, id_col: str, num_frames: int,

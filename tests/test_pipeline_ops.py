@@ -756,3 +756,20 @@ class TestAudioCodec:
             assert r.n_frames == 100 + i
             assert r.zero_cross_rate == 1.0
             assert r.sample_rate == 8000
+
+
+class TestPayloadKeepCols:
+    def test_keep_cols_rides_through_and_avoids_join(self, spark):
+        """keep_cols carries narrow columns through the Python stage; the
+        plan must contain NO join and only one scan of the source."""
+        from datasketches_spark_spark.operators import (
+            encode_ppm, extract_image_features)
+        rows = [(i, f"s{i % 2}", bytearray(encode_ppm(
+            np.full((2, 2, 3), i, dtype=np.uint8)))) for i in range(6)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id int, source string, payload binary")
+        feats = extract_image_features(df, "doc_id", keep_cols=["source"])
+        got = {(r.doc_id, r.source, r.mean_r) for r in feats.collect()}
+        assert got == {(i, f"s{i % 2}", float(i)) for i in range(6)}
+        plan = feats._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
