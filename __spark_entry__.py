@@ -582,6 +582,27 @@ def _q39_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine-CPC accumulate under the oracle gate: per-lang CPC states
+    built BY THE ENGINE from raw values (Apache DataSketches wire bytes
+    at lgK=16 — readable by datasketches-java and the reference; coupon
+    hashing bit-identical to CpcSketch.update, sketches/murmur3.py),
+    estimated per lang plus a combine->estimate global leg. Source
+    cardinalities sit far below the 2^22 coupon space, so DuckDB's exact
+    count(DISTINCT) gates bit-for-bit (hashing is deterministic: if the
+    item set is collision-free at this sf, it stays so)."""
+    docs = read_table(spark, sf_dir, "documents")
+    states = (docs.groupBy("lang")
+              .agg(dsf.approx_count_distinct_accumulate_cpc(
+                  "source", lgk=16).alias("st")))
+    per_lang = states.select(
+        "lang", dsf.approx_count_distinct_estimate("st").alias("ndv_src"))
+    overall = states.agg(
+        dsf.approx_count_distinct_estimate(
+            dsf.approx_count_distinct_combine("st")).alias("ndv_src_all"))
+    return per_lang.crossJoin(overall).orderBy("lang")
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -969,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_embedding_quantize": _q37_embedding_quantize,
         "q38_image_decode": _q38_image_decode,
         "q39_audio_decode": _q39_audio_decode,
+        "q40_cpc_native_accumulate": _q40_cpc_native_accumulate,
     }
 
 
@@ -1321,5 +1343,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1.0 AS DOUBLE) AS max_zcr,
                    CAST(8000 AS BIGINT) AS rate
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "q40_cpc_native_accumulate": """
+            SELECT lang, count(DISTINCT source) AS ndv_src,
+                   (SELECT count(DISTINCT source) FROM documents)
+                     AS ndv_src_all
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

@@ -128,6 +128,16 @@ def sample_reservoir_k(spark=None) -> int:
     return v
 
 
+def distinct_cpc_wire_lgk(spark=None) -> int:
+    """The RAW CPC lgK (reference conf ``distinctCnt.cpc.lgK``, default
+    11) for the genuine-CPC accumulate path — states in the Apache
+    DataSketches CPC wire format, byte-compatible with the reference."""
+    v = int(get_conf(DISTINCT_CPC_LGK_KEY, spark))
+    if not 4 <= v <= 26:
+        raise ValueError(f"{DISTINCT_CPC_LGK_KEY} must be in [4, 26]")
+    return v
+
+
 def distinct_cpc_lgk(spark=None) -> int:
     """lgk for the engine HLL that serves the CPC name: CPC at lgK has
     RSE ~ 0.59/sqrt(2^lgK); plain HLL needs ~4x the registers for the same

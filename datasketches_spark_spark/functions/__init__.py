@@ -22,6 +22,7 @@ from .distinctcnt import (
     approx_count_distinct_cpc,
     approx_count_distinct_estimate,
     approx_count_distinct_ex,
+    approx_count_distinct_accumulate_cpc,
     approx_count_distinct_hll,
     approx_count_distinct_theta,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "approx_count_distinct_ex",
     "approx_count_distinct_cpc",
     "approx_count_distinct_theta",
+    "approx_count_distinct_accumulate_cpc",
     "approx_count_distinct_hll",
     "approx_count_distinct_accumulate",
     "approx_count_distinct_combine",

@@ -104,6 +104,24 @@ def approx_count_distinct_accumulate(col, impl: str | None = None,
     return theta_acc_udf(k or conf.distinct_theta_k())(_col(col))
 
 
+def approx_count_distinct_accumulate_cpc(col, lgk: int | None = None,
+                                         item_type: str = "string") -> Column:
+    """Aggregate raw values into a GENUINE Apache DataSketches CPC state
+    (wire bytes at ``distinctCnt.cpc.lgK``, default 11) — byte-compatible
+    with the reference engine's default accumulate states and unionable
+    with sketches built by datasketches-java over overlapping data
+    (bit-identical MurmurHash3 coupons, ``sketches/murmur3.py``). Slower
+    than the default engine-HLL accumulate (strings hash per item in
+    Python); use when the states must be readable on the reference side
+    without an export step. Flows into ``approx_count_distinct_combine``
+    / ``_estimate`` like any CPC state."""
+    from ..sketches import ITEM_LONG, ITEM_STR
+    from .udfs import cpc_wire_acc_udf
+    it = ITEM_LONG if item_type in ("long", "int") else ITEM_STR
+    return cpc_wire_acc_udf(lgk or conf.distinct_cpc_wire_lgk(),
+                            it)(_col(col))
+
+
 def approx_count_distinct_combine(col, impl: str | None = None) -> Column:
     """Merge serialized distinct-count states.
 

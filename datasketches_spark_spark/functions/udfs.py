@@ -364,6 +364,31 @@ def hll_acc_udf(lgk: int):
     return acc
 
 
+def cpc_wire_acc_udf(lgk: int, item_type: str = ITEM_STR):
+    """Accumulate into a GENUINE Apache DataSketches CPC state (wire
+    bytes, family 16) — byte-compatible with the reference engine's
+    default accumulate states and with datasketches-java
+    (``sketches/cpc_state.py::CpcAccumulator``; hashes bit-identical to
+    ``CpcSketch.update``). The slower path vs the engine HLL (strings
+    hash per item in Python) — use when states must be readable by the
+    reference side without an export step."""
+    from ..sketches.cpc_state import CpcAccumulator
+
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = CpcAccumulator(lgk)
+        if item_type == ITEM_LONG:
+            sk.update_longs(pd.to_numeric(v).to_numpy(np.int64))
+        else:
+            sk.update_strings(v.astype(str))
+        return sk.serialize()
+
+    return acc
+
+
 def hll_direct_udf(lgk: int):
     """Direct NDV estimate via the engine's numpy HLL — exact while the
     sketch is in its sparse phase (NDV <= 2^(lgk-3)), CPC-class RSE past

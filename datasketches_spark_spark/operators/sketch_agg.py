@@ -146,6 +146,46 @@ def _hll_family(lgk: int | None) -> _Family:
     return _Family(lambda: HllSketch(lgk=lgk), _hashed_prep, _hashed_update)
 
 
+def _cpcwire_family(lgk: int | None, item_type: str) -> _Family:
+    """Genuine-CPC family: partials are CPC WIRE bytes (CpcAccumulator
+    serializes to the Apache DataSketches format), merged via the
+    family-16 byte-sniff like any foreign CPC state. Long columns hash
+    vectorized; strings hash per item once per Arrow batch."""
+    from ..sketches.cpc_state import CpcAccumulator
+    from ..sketches.murmur3 import hash128, hash128_longs
+    lgk = lgk or conf.distinct_cpc_wire_lgk()
+
+    if item_type == ITEM_LONG:
+        def prep(values: pd.Series):
+            mask = values.notna().to_numpy()
+            h1 = np.zeros(len(values), np.uint64)
+            h2 = np.zeros(len(values), np.uint64)
+            if mask.any():
+                arr = pd.to_numeric(values[mask]).to_numpy(np.int64)
+                h1[mask], h2[mask] = hash128_longs(arr)
+            return h1, h2, mask
+    else:
+        def prep(values: pd.Series):
+            mask = (values.notna() & (values != "")).to_numpy()
+            h1 = np.zeros(len(values), np.uint64)
+            h2 = np.zeros(len(values), np.uint64)
+            if mask.any():
+                pairs = [hash128(str(x).encode("utf-8"))
+                         for x in values[mask]]
+                h1[mask] = [p[0] for p in pairs]
+                h2[mask] = [p[1] for p in pairs]
+            return h1, h2, mask
+
+    def update(sk, ctx, idx):
+        h1, h2, mask = ctx
+        if idx is not None:
+            h1, h2, mask = h1[idx], h2[idx], mask[idx]
+        if mask.any():
+            sk.update_hashes128(h1[mask], h2[mask])
+
+    return _Family(lambda: CpcAccumulator(lgk), prep, update)
+
+
 def _reservoir_family(k: int | None, item_type: str) -> _Family:
     k = k or conf.sample_reservoir_k()
 
@@ -218,6 +258,9 @@ def _family(name: str, **params) -> _Family:
         return _theta_family(params.get("k"))
     if name == "hll":
         return _hll_family(params.get("lgk"))
+    if name == "cpcwire":
+        return _cpcwire_family(params.get("lgk"),
+                               params.get("item_type", ITEM_STR))
     if name in ("reservoir", "sample"):
         return _reservoir_family(params.get("k"),
                                  params.get("item_type", ITEM_DOUBLE))

@@ -41,6 +41,7 @@ from .functions.udfs import (
     freq_direct_udf,
     freq_est_udf,
     hll_acc_udf,
+    cpc_wire_acc_udf,
     hll_direct_udf,
     theta_acc_udf,
     theta_direct_udf,
@@ -252,6 +253,12 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_count_distinct_accumulate", acc_udf)
     spark.udf.register("approx_count_distinct_accumulate_theta",
                        theta_acc_udf(tk))
+    # genuine CPC wire states (reference-readable; sketches/cpc_state.py)
+    wlgk = conf.distinct_cpc_wire_lgk(spark)
+    spark.udf.register("approx_count_distinct_accumulate_cpc",
+                       cpc_wire_acc_udf(wlgk))
+    spark.udf.register("approx_count_distinct_accumulate_cpc_long",
+                       cpc_wire_acc_udf(wlgk, ITEM_LONG))
     spark.udf.register("approx_count_distinct_combine", combine_udf())
     spark.udf.register("approx_count_distinct_estimate", theta_est_udf())
     spark.udf.register("approx_set_jaccard", theta_setop_udf("jaccard"))

@@ -5,7 +5,7 @@ One class per family, all exposing the reference's four-verb lifecycle
 ``update* -> serialize -> deserialize -> merge -> estimate/quantile/...``.
 """
 
-from .cpc_state import CpcUnionSketch
+from .cpc_state import CpcAccumulator, CpcUnionSketch
 from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
 from .hll import HllSketch
 from .kll import KllSketch
@@ -106,6 +106,7 @@ __all__ = [
     "ReservoirSketch",
     "WeightedReservoirSketch",
     "ThetaSketch",
+    "CpcAccumulator",
     "CpcUnionSketch",
     "ITEM_DOUBLE",
     "make_quantile_sketch",

@@ -13,12 +13,12 @@ surface: ``deserialize_any`` returns one for any family-16 image, so
   row-folding across mixed lgK, ``CpcUnion``'s dense-path semantics
   (``compat/cpc.py``) — without the Java library.
 
-A combined result serializes in the ENGINE envelope (family 10) as the
-packed bit matrix; it re-enters estimate/combine like any engine state,
-and ``to_datasketches()`` re-encodes it as a *merged* CPC wire image —
+A combined result serializes DIRECTLY as a *merged* CPC wire image —
 byte-identical to ``CpcUnion.getResult().toByteArray()`` on the Java
-side (pinned by the committed union golden fixtures) — closing the
-export direction. CPC cannot merge with Theta or engine-HLL states
+side (pinned by the committed union golden fixtures) — so accumulate
+partials, combine outputs and exports all speak the reference's dialect;
+the engine envelope (family 10) survives only to carry a foreign HIP
+image's estimate through identity combines. CPC cannot merge with Theta or engine-HLL states
 (different hash families), and Java refuses cross-seed unions, so
 ``merge`` raises on mismatched seed hashes too.
 """
@@ -58,8 +58,13 @@ class CpcUnionSketch:
     @classmethod
     def from_datasketches(cls, data: bytes) -> "CpcUnionSketch":
         img = _cpc.parse(data)
+        # only HIP images need their native estimate preserved (ICON of
+        # the matrix IS a merged image's estimate) — keeping single_est
+        # None for merged images lets them serialize straight back to
+        # wire bytes, so combine chains stay in one format
+        est = _cpc.estimate(img) if img.has_hip else None
         return cls(img.lgk, _cpc.bit_matrix(img),
-                   single_est=_cpc.estimate(img), seed_hash=img.seed_hash)
+                   single_est=est, seed_hash=img.seed_hash)
 
     # ----------------------------------------------------------- lifecycle
 
@@ -89,16 +94,18 @@ class CpcUnionSketch:
     # ----------------------------------------------------------------- io
 
     def serialize(self) -> bytes:
-        """ENGINE envelope: lgk(u8) + est(f64) + seed_hash(u16) + packed
-        bit matrix.
-
-        The single-image native estimate survives a serialize round-trip
-        so estimate-after-identity-combine stays HIP-accurate; the seed
-        hash survives so a later ``to_datasketches()`` export carries the
-        original stream's seed.
+        """Merged CPC states serialize as GENUINE CPC wire bytes (family
+        16) — the engine's CPC state IS the Apache DataSketches format,
+        so accumulate partials, combine outputs and exports all speak
+        one dialect the reference reads directly. The ENGINE envelope
+        (family 10: lgk + est + seed_hash + packed bit matrix) survives
+        only to carry a foreign single image's HIP estimate through an
+        identity combine, which the merged wire format cannot express.
         """
-        est = -1.0 if self._single_est is None else float(self._single_est)
-        payload = struct.pack("<BdH", self.lgk, est, self.seed_hash)             + self.matrix.tobytes()
+        if self._single_est is None:
+            return self.to_datasketches()
+        payload = (struct.pack("<BdH", self.lgk, float(self._single_est),
+                               self.seed_hash) + self.matrix.tobytes())
         return pack(FAMILY_CPCUNION, payload)
 
     @classmethod
@@ -108,8 +115,7 @@ class CpcUnionSketch:
             raise ValueError(f"not a CPC-union state (family={family})")
         lgk, est, seed_hash = struct.unpack_from("<BdH", payload, 0)
         matrix = np.frombuffer(payload, np.uint64, 1 << lgk, 11).copy()
-        return cls(lgk, matrix, single_est=None if est < 0 else est,
-                   seed_hash=seed_hash)
+        return cls(lgk, matrix, single_est=est, seed_hash=seed_hash)
 
     def to_datasketches(self) -> bytes:
         """Export as a *merged* CPC wire image (what ``CpcUnion.getResult()
@@ -117,3 +123,57 @@ class CpcUnionSketch:
         the reference engine's estimate/combine functions."""
         return _cpc.serialize_matrix(self.matrix, self.lgk,
                                      seed_hash=self.seed_hash)
+
+
+def _nlz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized number-of-leading-zeros over uint64 (0 -> 64)."""
+    n = np.zeros(v.shape, np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        su = np.uint64(s)
+        big = (v >> su) != 0
+        n = np.where(big, n + su, n)
+        v = np.where(big, v >> su, v)
+    return (np.uint64(64) - (n + v)).astype(np.int64)
+
+
+class CpcAccumulator(CpcUnionSketch):
+    """An UPDATE-capable CPC sketch: raw values -> genuine Apache
+    DataSketches CPC coupons.
+
+    Coupon derivation is exactly ``CpcSketch.hashUpdate``: MurmurHash3
+    x64 128 (seed 9001), ``row = h0 & (k-1)``,
+    ``col = min(nlz(h1), 63)`` — verified by reproducing the coupon
+    matrix of every committed datasketches-java fixture from its raw
+    update stream (182/182, ``tests/test_compat_cpc.py``). The state is
+    matrix form (merged semantics, ICON estimator — what
+    ``CpcUnion.getResult`` yields); ``to_datasketches()`` emits wire
+    bytes datasketches-java reads, and sketches built HERE union
+    correctly with sketches built THERE over overlapping data because
+    the hashes are bit-identical.
+
+    Longs hash vectorized (numpy); strings hash per item (UTF-8, one
+    pass per Arrow batch). Nulls skip; empty strings skip (Java's
+    ``update(String)`` ignores null/empty).
+    """
+
+    def update_hashes128(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        k = 1 << self.lgk
+        rows = (h1 & np.uint64(k - 1)).astype(np.intp)
+        cols = np.minimum(_nlz64(h2), 63).astype(np.uint64)
+        np.bitwise_or.at(self.matrix, rows, np.uint64(1) << cols)
+        self._single_est = None
+
+    def update_longs(self, values: np.ndarray) -> None:
+        from .murmur3 import hash128_longs
+        if len(values) == 0:
+            return
+        self.update_hashes128(*hash128_longs(values))
+
+    def update_strings(self, values) -> None:
+        from .murmur3 import hash128
+        pairs = [hash128(s.encode("utf-8")) for s in values
+                 if s is not None and s != ""]
+        if not pairs:
+            return
+        self.update_hashes128(np.array([p[0] for p in pairs], np.uint64),
+                              np.array([p[1] for p in pairs], np.uint64))

@@ -326,6 +326,9 @@ _ACC_FAMILY = {
     # accumulate UDF, which follows distinctCnt.sketchImpl)
     "approx_count_distinct_accumulate": (None, {}),
     "approx_count_distinct_accumulate_theta": ("theta", {}),
+    "approx_count_distinct_accumulate_cpc": ("cpcwire", {}),
+    "approx_count_distinct_accumulate_cpc_long":
+        ("cpcwire", {"item_type": "long"}),
     "approx_sample_accumulate": ("reservoir", {"item_type": "double"}),
     "approx_sample_accumulate_long": ("reservoir", {"item_type": "long"}),
     "approx_sample_accumulate_string": ("reservoir", {"item_type": "str"}),
