@@ -152,7 +152,7 @@ def _cpcwire_family(lgk: int | None, item_type: str) -> _Family:
     family-16 byte-sniff like any foreign CPC state. Long columns hash
     vectorized; strings hash per item once per Arrow batch."""
     from ..sketches.cpc_state import CpcAccumulator
-    from ..sketches.murmur3 import hash128, hash128_longs
+    from ..sketches.murmur3 import hash128_bytes, hash128_longs
     lgk = lgk or conf.distinct_cpc_wire_lgk()
 
     if item_type == ITEM_LONG:
@@ -170,10 +170,8 @@ def _cpcwire_family(lgk: int | None, item_type: str) -> _Family:
             h1 = np.zeros(len(values), np.uint64)
             h2 = np.zeros(len(values), np.uint64)
             if mask.any():
-                pairs = [hash128(str(x).encode("utf-8"))
-                         for x in values[mask]]
-                h1[mask] = [p[0] for p in pairs]
-                h2[mask] = [p[1] for p in pairs]
+                enc = [str(x).encode("utf-8") for x in values[mask]]
+                h1[mask], h2[mask] = hash128_bytes(enc)
             return h1, h2, mask
 
     def update(sk, ctx, idx):

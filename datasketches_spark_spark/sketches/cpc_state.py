@@ -170,10 +170,9 @@ class CpcAccumulator(CpcUnionSketch):
         self.update_hashes128(*hash128_longs(values))
 
     def update_strings(self, values) -> None:
-        from .murmur3 import hash128
-        pairs = [hash128(s.encode("utf-8")) for s in values
-                 if s is not None and s != ""]
-        if not pairs:
+        from .murmur3 import hash128_bytes
+        enc = [s.encode("utf-8") for s in values
+               if s is not None and s != ""]
+        if not enc:
             return
-        self.update_hashes128(np.array([p[0] for p in pairs], np.uint64),
-                              np.array([p[1] for p in pairs], np.uint64))
+        self.update_hashes128(*hash128_bytes(enc))

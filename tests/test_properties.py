@@ -179,3 +179,23 @@ class TestReservoirProperties:
         assert lf.total_weight == pytest.approx(rf.total_weight, rel=1e-12)
         if arr.size <= k:
             assert lf.items() == sorted(arr.tolist())
+
+
+class TestMurmur3Vectorized:
+    def test_batch_matches_scalar(self):
+        """hash128_bytes must equal hash128 item-by-item for arbitrary
+        byte strings (length groups exercise block and tail paths)."""
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+        from datasketches_spark_spark.sketches.murmur3 import (
+            hash128, hash128_bytes)
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.binary(min_size=1, max_size=40),
+                        min_size=1, max_size=30))
+        def check(items):
+            h1, h2 = hash128_bytes(items)
+            for k, b in enumerate(items):
+                assert (int(h1[k]), int(h2[k])) == hash128(b)
+
+        check()
