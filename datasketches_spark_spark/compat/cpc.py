@@ -167,8 +167,11 @@ def parse(data: bytes) -> CpcImage:
 class _BitReader:
     """LSB-first bit reader over the little-endian 32-bit word stream.
 
-    Reads past the final word return zero bits; the encoder sizes its
-    buffers so trailing peeks land in padding, never in missing data.
+    Reads up to two words past the final word return zero bits (the
+    format pads streams so decode peeks land there); anything further
+    means the image lies about its symbol counts — raise instead of
+    synthesizing zeros forever (a corrupt Golomb unary run would
+    otherwise spin an executor thread indefinitely).
     """
 
     __slots__ = ("words", "idx", "buf", "bits")
@@ -181,6 +184,9 @@ class _BitReader:
 
     def _fill(self, need: int) -> None:
         while self.bits < need:
+            if self.idx >= len(self.words) + 2:
+                raise ValueError(
+                    "corrupt CPC stream: decode ran past the end")
             w = int(self.words[self.idx]) if self.idx < len(self.words) else 0
             self.idx += 1
             self.buf |= w << self.bits
@@ -410,17 +416,29 @@ class CpcUnionState:
     mod k. The result estimate is the ICON estimate of the OR'd matrix's
     coupon count (a merged sketch's estimator, which is what the Java
     union returns too).
+
+    This is the codec-local low-level helper; the ENGINE's canonical
+    union surface — with seed-hash enforcement and engine-state io — is
+    ``sketches.cpc_state.CpcUnionSketch`` (which layers on this module's
+    primitives). ``update`` enforces the same cross-seed refusal.
     """
 
-    __slots__ = ("lgk", "matrix")
+    __slots__ = ("lgk", "matrix", "seed_hash")
 
     def __init__(self, lgk: int | None = None):
         self.lgk = lgk
         self.matrix = None if lgk is None else np.zeros(1 << lgk, np.uint64)
+        self.seed_hash: int | None = None
 
     def update(self, data_or_img) -> "CpcUnionState":
         img = data_or_img if isinstance(data_or_img, CpcImage) else parse(data_or_img)
         m = bit_matrix(img)
+        if self.seed_hash is None:
+            self.seed_hash = img.seed_hash
+        elif img.seed_hash != self.seed_hash:
+            raise ValueError(
+                f"cannot union CPC states with different seed hashes "
+                f"({self.seed_hash:#x} vs {img.seed_hash:#x})")
         if self.lgk is None:
             self.lgk = img.lgk
             self.matrix = m.copy()

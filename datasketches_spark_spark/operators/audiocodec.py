@@ -106,8 +106,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int,
     hdr = (b"WAVE" + b"fmt " + struct.pack(
         "<IHHIIHH", 16, 1, n_ch, sample_rate, sample_rate * block,
         block, bits) + b"data" + struct.pack("<I", len(body)))
-    return b"RIFF" + struct.pack("<I", 4 + len(hdr) + len(body)) \
-        + hdr + body
+    return b"RIFF" + struct.pack("<I", len(hdr) + len(body)) + hdr + body
 
 
 def resample_nearest(samples: np.ndarray, src_rate: int,
@@ -116,6 +115,8 @@ def resample_nearest(samples: np.ndarray, src_rate: int,
     extraction, not hi-fi)."""
     x = np.asarray(samples)
     n = x.shape[0]
+    if n == 0:
+        return x
     m = max(int(round(n * dst_rate / src_rate)), 1)
     idx = np.minimum(((np.arange(m) + 0.5) * n / m), n - 1).astype(np.intp)
     return x[idx]

@@ -84,7 +84,7 @@ class CpcUnionSketch:
         return CpcUnionSketch(lgk, a | b, seed_hash=self.seed_hash)
 
     def num_coupons(self) -> int:
-        return int(np.unpackbits(self.matrix.view(np.uint8)).sum())
+        return _cpc._popcount(self.matrix)
 
     def estimate(self) -> int:
         if self._single_est is not None:
@@ -124,6 +124,24 @@ class CpcUnionSketch:
         return _cpc.serialize_matrix(self.matrix, self.lgk,
                                      seed_hash=self.seed_hash)
 
+    def update_hashes128(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Fold (h1, h2) MurmurHash3 pairs in as CPC coupons — exactly
+        ``CpcSketch.hashUpdate``: ``row = h0 & (k-1)``,
+        ``col = min(nlz(h1), 63)``, plus the reference's rowCol == -1
+        collision rule (at lgK=26 the all-ones pair folds onto row
+        2^26-2, the hash table's empty-marker dodge). Lives on the BASE
+        class so a state rehydrated from wire bytes (streaming resume,
+        combine chains) stays update-capable."""
+        k = 1 << self.lgk
+        rows = (h1 & np.uint64(k - 1)).astype(np.intp)
+        cols = np.minimum(_nlz64(h2), 63).astype(np.uint64)
+        if self.lgk == 26:
+            clash = (rows == k - 1) & (cols == np.uint64(63))
+            if clash.any():
+                rows = np.where(clash, rows ^ 1, rows)
+        np.bitwise_or.at(self.matrix, rows, np.uint64(1) << cols)
+        self._single_est = None
+
 
 def _nlz64(v: np.ndarray) -> np.ndarray:
     """Vectorized number-of-leading-zeros over uint64 (0 -> 64)."""
@@ -155,13 +173,6 @@ class CpcAccumulator(CpcUnionSketch):
     pass per Arrow batch). Nulls skip; empty strings skip (Java's
     ``update(String)`` ignores null/empty).
     """
-
-    def update_hashes128(self, h1: np.ndarray, h2: np.ndarray) -> None:
-        k = 1 << self.lgk
-        rows = (h1 & np.uint64(k - 1)).astype(np.intp)
-        cols = np.minimum(_nlz64(h2), 63).astype(np.uint64)
-        np.bitwise_or.at(self.matrix, rows, np.uint64(1) << cols)
-        self._single_est = None
 
     def update_longs(self, values: np.ndarray) -> None:
         from .murmur3 import hash128_longs

@@ -399,3 +399,75 @@ class TestCpcAccumulate:
             " AS ndv FROM VALUES (1), (2), (2), (null), (3) AS t(c)"
         ).collect()
         assert row.ndv == 3
+
+
+class TestReviewHardening:
+    """Round-7 review findings: corrupt-stream bounds, rehydrated-state
+    updatability, RIFF header size, lgK=26 collision rule."""
+
+    def test_corrupt_pair_stream_raises_not_hangs(self):
+        import struct as _struct
+        from datasketches_spark_spark.compat import cpc
+        # SPARSE_HYBRID_MERGED claiming 2 coupons with a pair stream that
+        # ends inside a Golomb unary run: must raise, never spin
+        pre = _struct.pack("<6BH", 4, 1, 16, 11, 0, 2 | 8, 0x93CC)
+        body = _struct.pack("<2I", 2, 1) + _struct.pack("<I", 0x1)
+        with pytest.raises(ValueError, match="corrupt CPC"):
+            cpc.bit_matrix(pre + body)
+
+    def test_valid_images_still_decode_with_bound(self, fx):
+        from datasketches_spark_spark.compat import cpc
+        for s in fx["sketches"][:40]:
+            cpc.bit_matrix(bytes.fromhex(s["bytes"]))  # must not raise
+
+    def test_rehydrated_wire_state_stays_updatable(self):
+        """Streaming resume path: a CPC state rehydrated from wire bytes
+        via deserialize_any must accept further update_hashes128 calls
+        (the cpcwire family folds into resumed states on trigger 2+)."""
+        import numpy as np
+        from datasketches_spark_spark.sketches import (CpcAccumulator,
+                                                       deserialize_any)
+        acc = CpcAccumulator(11)
+        acc.update_longs(np.arange(50, dtype=np.int64))
+        back = deserialize_any(acc.serialize())
+        from datasketches_spark_spark.sketches.murmur3 import hash128_longs
+        back.update_hashes128(*hash128_longs(
+            np.arange(25, 80, dtype=np.int64)))
+        ref = CpcAccumulator(11)
+        ref.update_longs(np.arange(80, dtype=np.int64))
+        assert np.array_equal(back.matrix, ref.matrix)
+        assert back.serialize() == ref.serialize()
+
+    def test_riff_size_field_is_spec_exact(self):
+        import struct as _struct
+        import numpy as np
+        from datasketches_spark_spark.operators import encode_wav
+        data = encode_wav(np.zeros(10), 8000)
+        assert _struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+
+    def test_resample_empty_is_empty(self):
+        import numpy as np
+        from datasketches_spark_spark.operators import resample_nearest
+        out = resample_nearest(np.zeros((0, 2)), 8000, 16000)
+        assert out.shape[0] == 0
+
+    def test_cross_seed_union_state_refused(self, fx):
+        from datasketches_spark_spark.compat import cpc
+        u = fx["unions"][0]
+        st = cpc.CpcUnionState()
+        st.update(bytes.fromhex(u["bytes_a"]))
+        other = bytearray(bytes.fromhex(u["bytes_b"]))
+        other[6] ^= 0x55  # flip seed hash bytes
+        with pytest.raises(ValueError, match="seed hash"):
+            st.update(bytes(other))
+
+    def test_lgk26_allones_coupon_folds(self):
+        import numpy as np
+        from datasketches_spark_spark.sketches import CpcAccumulator
+        acc = CpcAccumulator(26)
+        k = 1 << 26
+        # inject the all-ones hash pair directly: must land on row k-2
+        acc.update_hashes128(np.array([np.uint64(k - 1)], np.uint64),
+                             np.array([np.uint64(0)], np.uint64))
+        assert int(acc.matrix[k - 1]) == 0
+        assert int(acc.matrix[k - 2]) == 1 << 63
