@@ -81,6 +81,31 @@ def main(spark=None, rows: int | None = None) -> int:
     # lucky — the reference's -7.9% example is one such draw on its side)
     if abs(errs["engine_ex"]) > 1.0:
         failures.append(f"engine_ex NDV error {errs['engine_ex']:.2f}% > 1%")
+
+    # genuine-CPC accumulate (round 7): the engine's OWN CpcSketch-
+    # compatible states at the reference default lgK=11, estimated by
+    # ICON and cross-checked by datasketches-java reading the same bytes.
+    # CPC RSE at lgK=11 (merged/ICON) is ~1.06/sqrt(2^11) ~ 2.3%; use 3
+    # sigma as the gate.
+    (cpc_row,) = dss.sql(spark, """
+        SELECT approx_count_distinct_estimate(
+                 approx_count_distinct_accumulate_cpc(address)) AS engine,
+               approx_count_distinct_accumulate_cpc(address) AS state
+        FROM acc_addresses""").collect()
+    jcpc = spark._jvm.org.apache.datasketches.cpc.CpcSketch
+    java_est = jcpc.heapify(bytearray(bytes(cpc_row["state"]))).getEstimate()
+    cpc_err = (cpc_row["engine"] - true_ndv) / true_ndv * 100
+    print(json.dumps({
+        "experiment": "cpc_native_accumulate", "rows": rows,
+        "true_ndv": true_ndv, "engine_estimate": int(cpc_row["engine"]),
+        "java_reads_same_bytes": round(float(java_est), 1),
+        "pct_err": round(cpc_err, 3), "lgk": 11,
+        "gate_pct": 7.0,  # 3 x merged-CPC RSE at lgK=11
+    }))
+    if abs(cpc_err) > 7.0:
+        failures.append(f"CPC accumulate NDV error {cpc_err:.2f}% > 7%")
+    if abs(java_est - cpc_row["engine"]) > max(1.0, 0.001 * true_ndv):
+        failures.append("java disagrees with engine on the same CPC bytes")
     ndv_df.unpersist()
 
     # ----------------------------------------------------- quantile ranks

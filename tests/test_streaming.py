@@ -235,3 +235,48 @@ class TestWindowedStreaming:
         removed = sum(op.get("numRowsRemoved", 0) for op in ops)
         assert removed >= 1, "eviction never removed state rows"
         assert ops[-1]["numRowsTotal"] < 3
+
+
+class TestStreamingCpcWire:
+    def test_cpcwire_family_across_triggers(self, spark, tables,
+                                            stream_dirs):
+        """Genuine-CPC streaming accumulate over 4 micro-batches
+        (maxFilesPerTrigger=1 on 4 files): trigger 2+ folds new rows into
+        a state REHYDRATED from CPC wire bytes — the exact resume path
+        the round-7 review flagged. Final state must be a Java-readable
+        family-16 image whose estimate matches the batch exact NDV."""
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.compat import cpc
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream)
+        src_dir, ckpt, _ = stream_dirs
+        stream = _events_stream(spark, tables, src_dir)
+        out = sketch_accumulate_stream(stream, ["event_type"], "user_id",
+                                       family="cpcwire", lgk=16)
+        q = (out.writeStream.format("memory").queryName("cpc_stream")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        final = spark.sql("""
+            SELECT event_type, state, n FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC) rn
+              FROM cpc_stream) WHERE rn = 1""")
+        rows = final.collect()
+        exact = {r.event_type: r.ndv for r in
+                 tables["events"].groupBy("event_type").agg(
+                     F.countDistinct("user_id").alias("ndv")).collect()}
+        assert {r.event_type for r in rows} == set(exact)
+        total_rows = tables["events"].count()
+        assert sum(r.n for r in rows) == total_rows  # every row folded
+        for r in rows:
+            img = cpc.parse(bytes(r.state))  # genuine family-16 wire bytes
+            assert img.lgk == 16
+            assert round(cpc.estimate(img)) == exact[r.event_type]
+        # and the states flow through the batch estimate function
+        got = {x.event_type: x.ndv for x in final.select(
+            "event_type",
+            dsf.approx_count_distinct_estimate("state").alias("ndv")
+        ).collect()}
+        assert got == exact
