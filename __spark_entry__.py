@@ -603,6 +603,33 @@ def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.crossJoin(overall).orderBy("lang")
 
 
+def _q41_theta_wire_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches compact-Theta wire set algebra under the oracle gate:
+    per-lang source-sets accumulate into GENUINE family-3 Theta states
+    (compat/theta.py — byte-identical to datasketches-java in this exact
+    regime), then every lang pair's intersection and Jaccard come from
+    the sketch set operations. Cardinalities sit far below nominal k, so
+    every op is exact and DuckDB recomputes it relationally. The 5
+    per-lang states are collected to the driver (bounded by the lang
+    dimension) so the pair join does not re-execute the accumulate per
+    side."""
+    docs = read_table(spark, sf_dir, "documents")
+    states = (docs.groupBy("lang")
+              .agg(dsf.approx_count_distinct_accumulate_theta_wire("source")
+                   .alias("st")).collect())
+    pairs = [(a.lang, b.lang, a.st, b.st)
+             for a in states for b in states if a.lang < b.lang]
+    pdf = spark.createDataFrame(
+        pairs, "lang_a string, lang_b string, st_a binary, st_b binary")
+    return (pdf.select(
+        "lang_a", "lang_b",
+        dsf.approx_set_intersection("st_a", "st_b")
+           .alias("common_sources"),
+        dsf.approx_set_jaccard("st_a", "st_b").alias("jaccard"))
+        .where(F.col("common_sources") > 0)
+        .orderBy("lang_a", "lang_b"))
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -991,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_image_decode": _q38_image_decode,
         "q39_audio_decode": _q39_audio_decode,
         "q40_cpc_native_accumulate": _q40_cpc_native_accumulate,
+        "q41_theta_wire_setops": _q41_theta_wire_setops,
     }
 
 
@@ -1349,5 +1377,21 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT source) FROM documents)
                      AS ndv_src_all
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q41_theta_wire_setops": """
+            WITH ls AS (SELECT DISTINCT lang, source FROM documents),
+            cnt AS (SELECT lang, count(*) AS n FROM ls GROUP BY lang),
+            common AS (
+              SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS c
+              FROM ls a JOIN ls b
+                ON a.source = b.source AND a.lang < b.lang
+              GROUP BY a.lang, b.lang)
+            SELECT c.lang_a, c.lang_b,
+                   CAST(c.c AS BIGINT) AS common_sources,
+                   CAST(c.c AS DOUBLE) / (ca.n + cb.n - c.c) AS jaccard
+            FROM common c
+            JOIN cnt ca ON ca.lang = c.lang_a
+            JOIN cnt cb ON cb.lang = c.lang_b
+            ORDER BY lang_a, lang_b
         """,
     }

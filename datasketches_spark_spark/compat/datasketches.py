@@ -57,6 +57,7 @@ import struct
 
 import numpy as np
 
+_FAMILY_THETA_COMPACT = 3
 _FAMILY_HLL = 7
 _FAMILY_QUANTILES = 8   # classic DoublesSketch
 _FAMILY_FREQ = 10
@@ -150,8 +151,8 @@ def is_datasketches(data: bytes) -> bool:
     """Cheap preamble sniff: could these bytes be a DataSketches state?"""
     try:
         return _family_of(bytes(data)) in (
-            _FAMILY_HLL, _FAMILY_QUANTILES, _FAMILY_FREQ, _FAMILY_KLL,
-            _FAMILY_CPC, _FAMILY_REQ)
+            _FAMILY_THETA_COMPACT, _FAMILY_HLL, _FAMILY_QUANTILES,
+            _FAMILY_FREQ, _FAMILY_KLL, _FAMILY_CPC, _FAMILY_REQ)
     except ValueError:
         return False
 
@@ -312,6 +313,9 @@ def decode_quantile(data: bytes) -> WeightedSample:
     """Decode any DataSketches quantile-family state to a WeightedSample."""
     data = bytes(data)
     fam = _family_of(data)
+    if fam == _FAMILY_THETA_COMPACT:
+        from .theta import ThetaWireSketch
+        return ThetaWireSketch.parse(data)
     if fam == _FAMILY_KLL:
         return decode_kll_floats(data)
     if fam == _FAMILY_REQ:
@@ -418,6 +422,9 @@ def to_engine_sketch(data: bytes, item_type: str = "auto"):
 
     data = bytes(data)
     fam = _family_of(data)
+    if fam == _FAMILY_THETA_COMPACT:
+        from .theta import ThetaWireSketch
+        return ThetaWireSketch.parse(data)
     if fam == _FAMILY_KLL:
         (k,) = struct.unpack_from("<H", data, 4)
         return _sample_to_levels(
@@ -626,10 +633,13 @@ def to_datasketches_state(engine_state: bytes) -> bytes:
     from ..sketches.req import ReqSketch
 
     from ..sketches.cpc_state import CpcUnionSketch
+    from .theta import ThetaWireSketch
 
     sk = deserialize_any(bytes(engine_state))
     if isinstance(sk, CpcUnionSketch):
         return sk.to_datasketches()
+    if isinstance(sk, ThetaWireSketch):
+        return sk.serialize()  # already the wire format
     if isinstance(sk, ReqSketch):
         return encode_req_floats(sk)
     if isinstance(sk, KllSketch):

@@ -23,6 +23,7 @@ from .distinctcnt import (
     approx_count_distinct_estimate,
     approx_count_distinct_ex,
     approx_count_distinct_accumulate_cpc,
+    approx_count_distinct_accumulate_theta_wire,
     approx_count_distinct_hll,
     approx_count_distinct_theta,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "approx_count_distinct_cpc",
     "approx_count_distinct_theta",
     "approx_count_distinct_accumulate_cpc",
+    "approx_count_distinct_accumulate_theta_wire",
     "approx_count_distinct_hll",
     "approx_count_distinct_accumulate",
     "approx_count_distinct_combine",

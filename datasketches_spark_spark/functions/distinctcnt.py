@@ -122,6 +122,22 @@ def approx_count_distinct_accumulate_cpc(col, lgk: int | None = None,
                             it)(_col(col))
 
 
+def approx_count_distinct_accumulate_theta_wire(
+        col, k: int | None = None, item_type: str = "string") -> Column:
+    """Aggregate raw values into a GENUINE Apache DataSketches compact
+    Theta state (family-3 wire bytes) — set-operable with sketches built
+    by datasketches-java over overlapping data, byte-identical in the
+    exact regime (``compat/theta.py``). Use when set-algebra states must
+    cross into the DataSketches ecosystem; the engine's own
+    ``_accumulate_theta`` KMV stays the internal default. Flows into
+    ``approx_count_distinct_combine`` / ``_estimate`` and the
+    ``approx_set_*`` functions (foreign-with-foreign pairs)."""
+    from ..sketches import ITEM_LONG, ITEM_STR
+    from .udfs import theta_wire_acc_udf
+    it = ITEM_LONG if item_type in ("long", "int") else ITEM_STR
+    return theta_wire_acc_udf(k or conf.distinct_theta_k(), it)(_col(col))
+
+
 def approx_count_distinct_combine(col, impl: str | None = None) -> Column:
     """Merge serialized distinct-count states.
 

@@ -313,8 +313,15 @@ def freq_est_udf(item_type: str):
 # --------------------------------------------------------------------- set ops
 
 def _theta_pair(blob_a, blob_b):
+    from ..compat.theta import ThetaWireSketch
     a = deserialize_any(bytes(blob_a))
     b = deserialize_any(bytes(blob_b))
+    if isinstance(a, ThetaWireSketch) and isinstance(b, ThetaWireSketch):
+        return a, b  # foreign DataSketches Theta pair: same hash space
+    if isinstance(a, ThetaWireSketch) or isinstance(b, ThetaWireSketch):
+        raise ValueError(
+            "cannot mix a DataSketches Theta state with an engine KMV "
+            "state (different hash spaces); re-accumulate one side")
     if not isinstance(a, ThetaSketch) or not isinstance(b, ThetaSketch):
         raise ValueError("set operations need Theta sketch states")
     return a, b
@@ -389,6 +396,28 @@ def cpc_wire_acc_udf(lgk: int, item_type: str = ITEM_STR):
     return acc
 
 
+def theta_wire_acc_udf(k: int, item_type: str = ITEM_STR):
+    """Accumulate into a GENUINE Apache DataSketches compact Theta state
+    (wire bytes, family 3) — set-operable with sketches built by
+    datasketches-java over overlapping data (``compat/theta.py``;
+    byte-identical in the exact regime)."""
+    from ..compat.theta import ThetaWireAccumulator
+
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = ThetaWireAccumulator(k)
+        if item_type == ITEM_LONG:
+            sk.update_longs(pd.to_numeric(v).to_numpy(np.int64))
+        else:
+            sk.update_strings(v.astype(str))
+        return sk.serialize()
+
+    return acc
+
+
 def hll_direct_udf(lgk: int):
     """Direct NDV estimate via the engine's numpy HLL — exact while the
     sketch is in its sparse phase (NDV <= 2^(lgk-3)), CPC-class RSE past
@@ -443,9 +472,10 @@ def theta_est_udf():
                 out.append(None)
                 continue
             try:
+                from ..compat.theta import ThetaWireSketch
                 sk = deserialize_any(bytes(blob))
                 if not isinstance(sk, (ThetaSketch, HllSketch,
-                                       CpcUnionSketch)):
+                                       CpcUnionSketch, ThetaWireSketch)):
                     raise ValueError("not a distinct-count state")
                 out.append(sk.estimate())
             except Exception as e:

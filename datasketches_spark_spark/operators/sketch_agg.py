@@ -184,6 +184,40 @@ def _cpcwire_family(lgk: int | None, item_type: str) -> _Family:
     return _Family(lambda: CpcAccumulator(lgk), prep, update)
 
 
+def _thetawire_family(k: int | None, item_type: str) -> _Family:
+    """Genuine DataSketches compact-Theta family: partials are family-3
+    wire bytes, merged via the byte-sniff (``compat/theta.py``)."""
+    from ..compat.theta import ThetaWireAccumulator
+    from ..sketches.murmur3 import hash128_bytes, hash128_longs
+    k = k or conf.distinct_theta_k()
+
+    if item_type == ITEM_LONG:
+        def prep(values: pd.Series):
+            mask = values.notna().to_numpy()
+            h = np.zeros(len(values), np.uint64)
+            if mask.any():
+                arr = pd.to_numeric(values[mask]).to_numpy(np.int64)
+                h[mask] = hash128_longs(arr)[0]
+            return h, mask
+    else:
+        def prep(values: pd.Series):
+            mask = (values.notna() & (values != "")).to_numpy()
+            h = np.zeros(len(values), np.uint64)
+            if mask.any():
+                enc = [str(x).encode("utf-8") for x in values[mask]]
+                h[mask] = hash128_bytes(enc)[0]
+            return h, mask
+
+    def update(sk, ctx, idx):
+        h, mask = ctx
+        if idx is not None:
+            h, mask = h[idx], mask[idx]
+        if mask.any():
+            sk._fold(h[mask].copy())
+
+    return _Family(lambda: ThetaWireAccumulator(k), prep, update)
+
+
 def _reservoir_family(k: int | None, item_type: str) -> _Family:
     k = k or conf.sample_reservoir_k()
 
@@ -259,6 +293,9 @@ def _family(name: str, **params) -> _Family:
     if name == "cpcwire":
         return _cpcwire_family(params.get("lgk"),
                                params.get("item_type", ITEM_STR))
+    if name == "thetawire":
+        return _thetawire_family(params.get("k"),
+                                 params.get("item_type", ITEM_STR))
     if name in ("reservoir", "sample"):
         return _reservoir_family(params.get("k"),
                                  params.get("item_type", ITEM_DOUBLE))

@@ -42,6 +42,7 @@ from .functions.udfs import (
     freq_est_udf,
     hll_acc_udf,
     cpc_wire_acc_udf,
+    theta_wire_acc_udf,
     hll_direct_udf,
     theta_acc_udf,
     theta_direct_udf,
@@ -259,6 +260,11 @@ def install(spark: SparkSession) -> None:
                        cpc_wire_acc_udf(wlgk))
     spark.udf.register("approx_count_distinct_accumulate_cpc_long",
                        cpc_wire_acc_udf(wlgk, ITEM_LONG))
+    # genuine DataSketches compact-Theta wire states (compat/theta.py)
+    spark.udf.register("approx_count_distinct_accumulate_theta_wire",
+                       theta_wire_acc_udf(tk))
+    spark.udf.register("approx_count_distinct_accumulate_theta_wire_long",
+                       theta_wire_acc_udf(tk, ITEM_LONG))
     spark.udf.register("approx_count_distinct_combine", combine_udf())
     spark.udf.register("approx_count_distinct_estimate", theta_est_udf())
     spark.udf.register("approx_set_jaccard", theta_setop_udf("jaccard"))

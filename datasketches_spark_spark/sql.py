@@ -329,6 +329,9 @@ _ACC_FAMILY = {
     "approx_count_distinct_accumulate_cpc": ("cpcwire", {}),
     "approx_count_distinct_accumulate_cpc_long":
         ("cpcwire", {"item_type": "long"}),
+    "approx_count_distinct_accumulate_theta_wire": ("thetawire", {}),
+    "approx_count_distinct_accumulate_theta_wire_long":
+        ("thetawire", {"item_type": "long"}),
     "approx_sample_accumulate": ("reservoir", {"item_type": "double"}),
     "approx_sample_accumulate_long": ("reservoir", {"item_type": "long"}),
     "approx_sample_accumulate_string": ("reservoir", {"item_type": "str"}),
