@@ -630,6 +630,34 @@ def _q41_theta_wire_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang_a", "lang_b"))
 
 
+def _q42_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs via the prefix-filtered
+    set-similarity self-join (operators/dedup.py::ngram_jaccard_pairs) —
+    unlike q15's MinHash-LSH this carries no probabilistic recall
+    argument: the prefix-filter principle guarantees every qualifying
+    pair is emitted, so the exact all-pairs oracle must match
+    bit-for-bit. Shuffle keys are each doc's globally-rarest bigrams."""
+    from datasketches_spark_spark.operators import ngram_jaccard_pairs
+    docs = read_table(spark, sf_dir, "documents")
+    return (ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6,
+                                ngram_n=2)
+            .orderBy("id_a", "id_b"))
+
+
+def _q43_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS, not pairs: MinHash near-dup pairs (exact-Jaccard
+    verified, = the q15 edge set) fed into min-label-propagation
+    connected components with pointer jumping
+    (operators/dedup.py::connected_components). The keep-one-per-group
+    decision of a real dedup pipeline operates on these components; the
+    oracle recomputes them with a recursive transitive closure."""
+    from datasketches_spark_spark.operators import (
+        dedup_groups_from_pairs, minhash_dedup_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dedup_groups_from_pairs(pairs).orderBy("component_id")
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -1019,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_audio_decode": _q39_audio_decode,
         "q40_cpc_native_accumulate": _q40_cpc_native_accumulate,
         "q41_theta_wire_setops": _q41_theta_wire_setops,
+        "q42_ngram_jaccard_dedup": _q42_ngram_jaccard_dedup,
+        "q43_dedup_components": _q43_dedup_components,
     }
 
 
@@ -1393,5 +1423,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.lang = c.lang_a
             JOIN cnt cb ON cb.lang = c.lang_b
             ORDER BY lang_a, lang_b
+        """,
+        "q42_ngram_jaccard_dedup": """
+            WITH s AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i+1])) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS t
+                    FROM documents)
+              WHERE len(t) >= 2
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+            ORDER BY id_a, id_b
+        """,
+        "q43_dedup_components": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents)
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.v, reach.r FROM e JOIN reach ON reach.id = e.u
+            )
+            SELECT comp AS component_id, count(*) AS n_docs
+            FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+            GROUP BY comp ORDER BY component_id
         """,
     }

@@ -380,3 +380,134 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (pairs.select("id_a", "id_b", dist.alias("hamming"))
             .where(F.col("hamming") <= max_distance))
+
+
+# -------------------------------------------- exact n-gram Jaccard join
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.6,
+                        ngram_n: int = 2) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs via a prefix-filtered
+    set-similarity self-join — no LSH, no probability argument: every
+    ``(id_a < id_b, jaccard)`` with ``J >= threshold`` is returned, none
+    missed (prefix-filter principle, as in Vernica/Carey/Li, "Efficient
+    Parallel Set-Similarity Joins Using MapReduce", SIGMOD'10; AllPairs,
+    Bayardo et al., WWW'07).
+
+    Plan (all stock DataFrame ops, fully JVM-side):
+
+    1. distinct word-``ngram_n``-gram set per doc (JVM shingling);
+    2. global n-gram document frequency (one groupBy);
+    3. per doc, sort n-grams rarest-first by ``(df, gram)`` and keep the
+       PREFIX of length ``|x| - ceil(t*|x|) + 1`` — if ``J(x, y) >= t``
+       then ``|x & y| >= ceil(t*|x|)``, so two qualifying docs MUST share
+       a prefix token under any shared total order;
+    4. group the inverted prefix index by token + in-row pair expansion
+       (one aggregation, NOT a self-join — the upstream is executed once;
+       see ``lsh_candidate_pairs``), with the length filter
+       ``t*|x| <= |y| <= |x|/t`` applied before emitting a candidate;
+    5. exact Jaccard verify on the candidate pairs (``jaccard_verify``).
+
+    At 100 TB the shuffle keys are prefix tokens, which are by
+    construction the globally RAREST n-grams of each document — bucket
+    sizes stay small even on boilerplate-heavy corpora (common boilerplate
+    n-grams have high document frequency and are sorted OUT of prefixes).
+    Cost is proportional to true near-collisions, never n^2.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    sh_col = shingles(F.col(text_col), ngram_n)
+    docs = (_spread(df)
+            .select(F.col(id_col).alias("_id"), sh_col.alias("sh"))
+            .where(F.size("sh") > 0))
+    ex = docs.select("_id", F.explode("sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (ex.join(dfreq, "g")
+              .groupBy("_id")
+              .agg(F.array_sort(F.collect_list(F.struct("df", "g")))
+                    .alias("toks")))
+    sz = F.size("toks")
+    plen = (sz - F.ceil(F.lit(t) * sz).cast("int") + F.lit(1))
+    idx = (ranked
+           .select(F.col("_id"), sz.alias("sz"),
+                   F.explode(F.slice("toks", F.lit(1), plen)).alias("p"))
+           .select(F.col("p.g").alias("g"),
+                   F.struct("_id", "sz").alias("m")))
+    buckets = (idx.groupBy("g").agg(F.collect_list("m").alias("mem"))
+               .where(F.size("mem") > 1))
+    cand = (buckets
+            .select(F.explode("mem").alias("a"), "mem")
+            .select("a", F.explode("mem").alias("b"))
+            .where((F.col("a._id") < F.col("b._id"))
+                   & (F.lit(t) * F.col("a.sz") <= F.col("b.sz"))
+                   & (F.lit(t) * F.col("b.sz") <= F.col("a.sz")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+    return jaccard_verify(cand, df, id_col, sh_col, t)
+
+
+# ---------------------------------------------------- connected components
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components of the (undirected) duplicate-pair graph:
+    ``(id, component)`` where ``component`` is the minimum id reachable
+    from ``id``. This is the step a real dedup pipeline needs AFTER pair
+    generation — near-dup pairs are edges, and the keep-one-per-group
+    decision operates on components, not pairs.
+
+    Min-label propagation with pointer jumping (path halving), in the
+    spirit of Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (SoCC'14): each round (a) every node takes the min label over
+    itself and its neighbors (one shuffle join + groupBy), then (b) every
+    node jumps to its label's label (one self-join). Pointer jumping makes
+    convergence ~O(log diameter) rounds instead of O(diameter); duplicate
+    clusters are shallow in practice, so 2-4 rounds is typical. Each round
+    is ``localCheckpoint``-ed to truncate lineage (an iterative DataFrame
+    loop otherwise re-executes every prior round), and convergence is
+    detected by counting changed labels (one count action per round —
+    driver-side control flow, fully distributed data flow).
+    """
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .union(pairs.select(F.col(dst).alias("u"),
+                                 F.col(src).alias("v")))
+             .distinct()
+             .localCheckpoint())
+    labels = (edges.select("u").distinct()
+              .select(F.col("u").alias("id"), F.col("u").alias("comp"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbmin = (edges.join(labels.withColumnRenamed("id", "v")
+                                  .withColumnRenamed("comp", "nb_comp"), "v")
+                 .groupBy("u").agg(F.min("nb_comp").alias("nb_comp"))
+                 .withColumnRenamed("u", "id"))
+        stepped = (labels.join(nbmin, "id", "left")
+                   .select("id", F.least(
+                       "comp", F.coalesce("nb_comp", "comp")).alias("comp")))
+        jumped = (stepped.alias("x")
+                  .join(stepped.select(F.col("id").alias("comp"),
+                                       F.col("comp").alias("gcomp"))
+                               .alias("p"), "comp", "left")
+                  .select(F.col("id"),
+                          F.least(F.col("comp"),
+                                  F.coalesce("gcomp", "comp")).alias("comp"))
+                  .localCheckpoint())
+        changed = (jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+                   .where(F.col("comp") != F.col("old")).count())
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups_from_pairs(pairs: DataFrame, src: str = "id_a",
+                            dst: str = "id_b",
+                            max_iter: int = 25) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: one row per connected
+    component — ``(component_id = min member id, n_docs)``."""
+    labels = connected_components(pairs, src, dst, max_iter)
+    return (labels.groupBy(F.col("comp").alias("component_id"))
+            .agg(F.count("*").alias("n_docs")))

@@ -773,3 +773,99 @@ class TestPayloadKeepCols:
         assert got == {(i, f"s{i % 2}", float(i)) for i in range(6)}
         plan = feats._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
+
+
+class TestNgramJaccard:
+    """ngram_jaccard_pairs is EXACT: output must equal a brute-force
+    all-pairs Jaccard over distinct word n-gram sets."""
+
+    CORPUS = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different text with no overlap at all here"),
+        (5, "completely different text with no overlap at all there"),
+        (6, "short doc"),
+        (7, "short doc"),
+        (8, "a b c d e f g h i j k l m n o p q r s t"),
+        (9, "a b c d e f g h i j k l m n o p q r s t u v"),
+        (10, "the quick brown fox jumps over the lazy dog"),
+    ]
+
+    @staticmethod
+    def _brute(corpus, t, n):
+        def grams(text):
+            toks = text.split()
+            return {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+        out = []
+        for i, (ida, ta) in enumerate(corpus):
+            for idb, tb in corpus[i + 1:]:
+                sa, sb = grams(ta), grams(tb)
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= t:
+                    out.append((min(ida, idb), max(ida, idb), round(j, 9)))
+        return sorted(out)
+
+    @pytest.mark.parametrize("threshold,n", [(0.5, 2), (0.7, 2), (0.3, 3),
+                                             (1.0, 2)])
+    def test_matches_bruteforce(self, spark, threshold, n):
+        from datasketches_spark_spark.operators import ngram_jaccard_pairs
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        got = sorted((r.id_a, r.id_b, round(r.jaccard, 9))
+                     for r in ngram_jaccard_pairs(
+                         df, "doc_id", "text", threshold=threshold,
+                         ngram_n=n).collect())
+        assert got == self._brute(self.CORPUS, threshold, n)
+
+    def test_short_docs_never_pair(self, spark):
+        # docs with < n tokens have empty n-gram sets: excluded, not error
+        from datasketches_spark_spark.operators import ngram_jaccard_pairs
+        df = spark.createDataFrame(
+            [(1, "one"), (2, "one"), (3, "one two three")],
+            ["doc_id", "text"])
+        got = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1,
+                                  ngram_n=2).collect()
+        assert got == []
+
+    def test_bad_threshold_raises(self, spark):
+        from datasketches_spark_spark.operators import ngram_jaccard_pairs
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+        with pytest.raises(ValueError):
+            ngram_jaccard_pairs(df, "doc_id", "text", threshold=1.5)
+
+
+class TestConnectedComponents:
+    def _labels(self, spark, edges, **kw):
+        from datasketches_spark_spark.operators import connected_components
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        return {r.id: r.comp
+                for r in connected_components(df, **kw).collect()}
+
+    def test_chain_cycle_and_pair(self, spark):
+        got = self._labels(spark, [(1, 2), (2, 3), (3, 4),   # chain
+                                   (5, 6), (6, 7), (7, 5),   # cycle
+                                   (9, 8)])                  # reversed pair
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+    def test_long_path_converges(self, spark):
+        # 64-node path: worst case for naive propagation (diameter 63);
+        # pointer jumping must close it well inside max_iter
+        got = self._labels(spark, [(i, i + 1) for i in range(1, 64)],
+                           max_iter=12)
+        assert set(got.values()) == {1}
+        assert len(got) == 64
+
+    def test_groups_from_pairs(self, spark):
+        from datasketches_spark_spark.operators import dedup_groups_from_pairs
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+            ["id_a", "id_b"])
+        got = {(r.component_id, r.n_docs)
+               for r in dedup_groups_from_pairs(df).collect()}
+        assert got == {(1, 3), (10, 2), (20, 3)}
