@@ -636,11 +636,13 @@ def _q42_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike q15's MinHash-LSH this carries no probabilistic recall
     argument: the prefix-filter principle guarantees every qualifying
     pair is emitted, so the exact all-pairs oracle must match
-    bit-for-bit. Shuffle keys are each doc's globally-rarest bigrams."""
+    bit-for-bit. Shuffle keys are each doc's globally-rarest trigrams,
+    and the PPJoin positional filter prunes candidates before the
+    array-intersect verify."""
     from datasketches_spark_spark.operators import ngram_jaccard_pairs
     docs = read_table(spark, sf_dir, "documents")
     return (ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6,
-                                ngram_n=2)
+                                ngram_n=3)
             .orderBy("id_a", "id_b"))
 
 
@@ -656,6 +658,23 @@ def _q43_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
     return dedup_groups_from_pairs(pairs).orderBy("component_id")
+
+
+def _q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: every 7th document plays the 'incoming batch'
+    and is matched against the REST of the corpus with the R-S MinHash
+    join (operators/dedup.py::minhash_match) — band-bucket equi-join
+    between the two sides, exact-Jaccard verified, so the exact
+    cross-join oracle must match. The duplicate mass planted in the
+    fixture has J well above the 0.5 threshold, where the 32-band LSH
+    miss probability is ~1e-14 per pair."""
+    from datasketches_spark_spark.operators import minhash_match
+    docs = read_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return (minhash_match(queries, corpus, "doc_id", "text",
+                          threshold=0.5)
+            .orderBy("query_id", "corpus_id"))
 
 
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_theta_wire_setops": _q41_theta_wire_setops,
         "q42_ngram_jaccard_dedup": _q42_ngram_jaccard_dedup,
         "q43_dedup_components": _q43_dedup_components,
+        "q44_incremental_dedup": _q44_incremental_dedup,
     }
 
 
@@ -1426,13 +1446,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q42_ngram_jaccard_dedup": """
             WITH s AS (
-              SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
-                     i -> t[i] || ' ' || t[i+1])) AS sh
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
               FROM (SELECT doc_id,
                            list_filter(string_split(text, ' '),
                                        x -> x <> '') AS t
                     FROM documents)
-              WHERE len(t) >= 2
+              WHERE len(t) >= 3
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -1465,5 +1485,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp AS component_id, count(*) AS n_docs
             FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
             GROUP BY comp ORDER BY component_id
+        """,
+        "q44_incremental_dedup": """
+            WITH s AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents)
+            )
+            SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+                   len(list_intersect(q.sh, c.sh))::DOUBLE
+                     / len(list_distinct(list_concat(q.sh, c.sh))) AS jaccard
+            FROM s q JOIN s c
+              ON q.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+            WHERE len(list_intersect(q.sh, c.sh))::DOUBLE
+                    / len(list_distinct(list_concat(q.sh, c.sh))) >= 0.5
+            ORDER BY query_id, corpus_id
         """,
     }

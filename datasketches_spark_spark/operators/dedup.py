@@ -386,7 +386,7 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.6,
-                        ngram_n: int = 2) -> DataFrame:
+                        ngram_n: int = 3) -> DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs via a prefix-filtered
     set-similarity self-join — no LSH, no probability argument: every
     ``(id_a < id_b, jaccard)`` with ``J >= threshold`` is returned, none
@@ -418,8 +418,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("threshold must be in (0, 1]")
     t = float(threshold)
     sh_col = shingles(F.col(text_col), ngram_n)
-    docs = (_spread(df)
-            .select(F.col(id_col).alias("_id"), sh_col.alias("sh"))
+    # Index on xxhash64(n-gram), not the strings: shuffles carry
+    # (long, long) rows. Collisions only MERGE tokens, which can only
+    # raise the hashed-set Jaccard — so every pair with string-Jaccard
+    # >= t also clears the hashed prefix filter (recall preserved), and
+    # the string-array verify at the end restores exactness.
+    hsh = F.array_distinct(F.transform(sh_col, lambda g: F.xxhash64(g)))
+    base = _spread(df)   # also the verify side: shingling must parallelize
+    docs = (base
+            .select(F.col(id_col).alias("_id"), hsh.alias("sh"))
             .where(F.size("sh") > 0))
     ex = docs.select("_id", F.explode("sh").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
@@ -431,21 +438,52 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     plen = (sz - F.ceil(F.lit(t) * sz).cast("int") + F.lit(1))
     idx = (ranked
            .select(F.col("_id"), sz.alias("sz"),
-                   F.explode(F.slice("toks", F.lit(1), plen)).alias("p"))
+                   F.posexplode(F.slice("toks", F.lit(1), plen))
+                    .alias("pos", "p"))
            .select(F.col("p.g").alias("g"),
-                   F.struct("_id", "sz").alias("m")))
+                   F.struct("_id", "sz", "pos").alias("m")))
     buckets = (idx.groupBy("g").agg(F.collect_list("m").alias("mem"))
                .where(F.size("mem") > 1))
+    # PPJoin positional filter (Xiao et al., WWW'08): J >= t needs
+    # overlap alpha = ceil(t/(1+t) * (|x|+|y|)), and at the FIRST shared
+    # token (positions i, j in the rarest-first orders) the overlap is
+    # at most 1 + min(|x|-i-1, |y|-j-1). A pair's first shared token has
+    # the loosest such bound, so keeping pairs where ANY shared token
+    # passes never drops a qualifying pair — while pruning most spurious
+    # candidates with integer arithmetic BEFORE the distinct and the
+    # array-intersect verify.
+    alpha = F.ceil(F.lit(t / (1.0 + t))
+                   * (F.col("a.sz") + F.col("b.sz")))
+    suffix_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos") - F.lit(1),
+        F.col("b.sz") - F.col("b.pos") - F.lit(1))
     cand = (buckets
             .select(F.explode("mem").alias("a"), "mem")
             .select("a", F.explode("mem").alias("b"))
             .where((F.col("a._id") < F.col("b._id"))
                    & (F.lit(t) * F.col("a.sz") <= F.col("b.sz"))
-                   & (F.lit(t) * F.col("b.sz") <= F.col("a.sz")))
+                   & (F.lit(t) * F.col("b.sz") <= F.col("a.sz"))
+                   & (suffix_bound >= alpha))
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"))
             .distinct())
-    return jaccard_verify(cand, df, id_col, sh_col, t)
+    # Two-phase verify: a cheap hashed-set Jaccard pass first (long-array
+    # intersects are ~10x cheaper than string-array ones, and candidates
+    # outnumber survivors ~100:1), then the EXACT string-array verify on
+    # the survivors. J_hash >= J_string always (collisions only merge),
+    # so the prefilter never drops a qualifying pair and the final
+    # output stays bit-exact.
+    hdocs = docs.select(F.col("_id"), F.col("sh").alias("_hsh"))
+    prefiltered = (cand
+                   .join(hdocs.withColumnRenamed("_id", "id_a")
+                              .withColumnRenamed("_hsh", "ha"), "id_a")
+                   .join(hdocs.withColumnRenamed("_id", "id_b")
+                              .withColumnRenamed("_hsh", "hb"), "id_b")
+                   .where(F.size(F.array_intersect("ha", "hb"))
+                          >= F.ceil(F.lit(t / (1.0 + t))
+                                    * (F.size("ha") + F.size("hb"))))
+                   .select("id_a", "id_b"))
+    return jaccard_verify(prefiltered, base, id_col, sh_col, t)
 
 
 # ---------------------------------------------------- connected components
@@ -511,3 +549,69 @@ def dedup_groups_from_pairs(pairs: DataFrame, src: str = "id_a",
     labels = connected_components(pairs, src, dst, max_iter)
     return (labels.groupBy(F.col("comp").alias("component_id"))
             .agg(F.count("*").alias("n_docs")))
+
+
+# ------------------------------------------------------- R-S minhash join
+
+def minhash_match(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
+                  text_col: str, threshold: float = 0.5,
+                  shingle_n: int = 3, num_hashes: int = 128,
+                  bands: int = 32, max_bucket: int = 8192) -> DataFrame:
+    """Near-duplicate matches of QUERY documents against a CORPUS — the
+    R-S form of the MinHash join, i.e. incremental dedup: "which of the
+    incoming documents already (near-)exist in the corpus?". Returns
+    ``(query_id, corpus_id, jaccard)`` with ``J >= threshold``.
+
+    Same machinery as ``minhash_dedup_pairs`` (one signature pass per
+    side, identical hash seeds so buckets align), but candidate
+    generation is a band-bucket EQUI-JOIN between the two sides instead
+    of a self-join expansion: output volume is ``|Q & bucket| x
+    |C & bucket|`` summed over buckets — collision-proportional, never
+    ``|Q| x |C|``. Exact-Jaccard verify binds both sides' raw text.
+
+    ``max_bucket`` drops corpus band-buckets larger than the cap (a
+    boilerplate bucket matches every query doc in it with thousands of
+    corpus docs — the classic crawl pathology). With 32 bands a true
+    near-dup pair loses only one of its ~32 chances per dropped bucket,
+    and the drop count is reported via an ``observe`` metric
+    (``minhash_match_buckets``).
+
+    Streaming use: call inside ``foreachBatch`` with the micro-batch as
+    ``query_df`` against a persisted corpus signature table — the
+    signature pass for the corpus can be precomputed once with
+    ``minhash_bands`` and reused.
+    """
+    sh = shingles(text_col, n=shingle_n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def _bands(df: DataFrame, side: str) -> DataFrame:
+        src = df.select(F.col(id_col), F.col(text_col))
+        base = _spread(src).select(F.col(id_col), hashed.alias("_shh"))
+        return (minhash_bands(base, id_col, F.col("_shh"),
+                              num_hashes=num_hashes, bands=bands)
+                .withColumnRenamed("_id", side))
+
+    qb = _bands(query_df, "query_id")
+    cb = (_bands(corpus_df, "corpus_id")
+          .groupBy("band", "bucket")
+          .agg(F.collect_list("corpus_id").alias("cids"))
+          .observe("minhash_match_buckets",
+                   F.count(F.lit(1)).alias("n_buckets"),
+                   F.count(F.when(F.size("cids") > max_bucket, 1))
+                    .alias("dropped_buckets"))
+          .where(F.size("cids") <= max_bucket))
+    cands = (qb.join(cb, ["band", "bucket"])
+             .select("query_id", F.explode("cids").alias("corpus_id"))
+             .distinct())
+    ta = query_df.select(F.col(id_col).alias("query_id"),
+                         F.col(text_col).alias("_ta"))
+    tb = corpus_df.select(F.col(id_col).alias("corpus_id"),
+                          F.col(text_col).alias("_tb"))
+    joined = cands.join(ta, "query_id").join(tb, "corpus_id")
+    sh_a = shingles(F.col("_ta"), n=shingle_n)
+    sh_b = shingles(F.col("_tb"), n=shingle_n)
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    jac = inter.cast("double") / union.cast("double")
+    return (joined.select("query_id", "corpus_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

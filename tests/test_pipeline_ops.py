@@ -869,3 +869,37 @@ class TestConnectedComponents:
         got = {(r.component_id, r.n_docs)
                for r in dedup_groups_from_pairs(df).collect()}
         assert got == {(1, 3), (10, 2), (20, 3)}
+
+
+class TestMinhashMatch:
+    def test_query_vs_corpus_matches_exact(self, spark):
+        from datasketches_spark_spark.operators import minhash_match
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+        near = base.replace("pi rho", "pi zzz rho")
+        far = ("one two three four five six seven eight nine ten eleven "
+               "twelve thirteen fourteen")
+        corpus = spark.createDataFrame(
+            [(101, base), (102, far)], ["doc_id", "text"])
+        queries = spark.createDataFrame(
+            [(1, near), (2, "unrelated words entirely here and there and "
+                            "more of them to shingle properly")],
+            ["doc_id", "text"])
+        got = [(r.query_id, r.corpus_id, r.jaccard)
+               for r in minhash_match(queries, corpus, "doc_id", "text",
+                                      threshold=0.3).collect()]
+        assert [(q, c) for q, c, _ in got] == [(1, 101)]
+        assert 0.3 <= got[0][2] < 1.0
+
+    def test_mega_bucket_dropped(self, spark):
+        # 50 identical corpus docs = one mega bucket per band; cap at 10
+        # drops them all, so the query finds nothing (and does not blow up)
+        from datasketches_spark_spark.operators import minhash_match
+        text = ("the same boilerplate text repeated in every mirror copy "
+                "of this page across the whole crawl for a while longer")
+        corpus = spark.createDataFrame(
+            [(i, text) for i in range(50)], ["doc_id", "text"])
+        queries = spark.createDataFrame([(999, text)], ["doc_id", "text"])
+        got = minhash_match(queries, corpus, "doc_id", "text",
+                            threshold=0.5, max_bucket=10).collect()
+        assert got == []
