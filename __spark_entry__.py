@@ -677,6 +677,43 @@ def _q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "corpus_id"))
 
 
+def _q45_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per language, keep the largest documents
+    (n_chars desc, doc_id tiebreak) until each language contributes at
+    most 2000 whitespace tokens (operators/sampling.py::budget_select —
+    one exchange on lang + a running-sum window; the greedy-prefix mix
+    builder). Output is the per-lang document count and token mass of the
+    selected mix."""
+    from datasketches_spark_spark.functions.text import token_count
+    from datasketches_spark_spark.operators import budget_select
+    docs = (read_table(spark, sf_dir, "documents")
+            .withColumn("toks", token_count("text")))
+    sel = budget_select(docs, "toks", ["n_chars", "doc_id"], 2000,
+                        strata_col="lang")
+    return (sel.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("toks").alias("sum_tokens"))
+            .orderBy("lang"))
+
+
+def _q46_session_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity sessionization with per-session distinct users: native
+    ``session_window`` grouping (the only operator that can merge
+    partial sessions) + the JVM DataSketches HLL aggregate, through the
+    engine's batch/streaming-symmetric ``session_distinct`` helper
+    (streaming/sketch_stream.py). Exact at fixture NDV; the oracle
+    recomputes sessions relationally (gaps-and-islands)."""
+    from datasketches_spark_spark.streaming import session_distinct
+    ev = read_table(spark, sf_dir, "events")
+    out = session_distinct(ev, ["event_type"], "user_id", "ts", "1 hour")
+    return (out.select(
+        "event_type",
+        F.date_format(F.col("session.start"),
+                      "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("ndv"))
+        .orderBy("event_type", "session_start"))
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -1069,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_ngram_jaccard_dedup": _q42_ngram_jaccard_dedup,
         "q43_dedup_components": _q43_dedup_components,
         "q44_incremental_dedup": _q44_incremental_dedup,
+        "q45_token_budget_mix": _q45_token_budget_mix,
+        "q46_session_ndv": _q46_session_ndv,
     }
 
 
@@ -1501,5 +1540,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(q.sh, c.sh))::DOUBLE
                     / len(list_distinct(list_concat(q.sh, c.sh))) >= 0.5
             ORDER BY query_id, corpus_id
+        """,
+        "q45_token_budget_mix": """
+            WITH t AS (
+              SELECT lang, doc_id, n_chars,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS toks
+              FROM documents),
+            r AS (
+              SELECT lang, toks,
+                     sum(toks) OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS run
+              FROM t)
+            SELECT lang, count(*) AS n_docs, sum(toks) AS sum_tokens
+            FROM r WHERE run <= 2000
+            GROUP BY lang ORDER BY lang
+        """,
+        "q46_session_ndv": """
+            WITH m AS (
+              SELECT event_type, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type
+                                                  ORDER BY ts)
+                            > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT event_type,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(DISTINCT user_id) AS ndv
+            FROM s GROUP BY event_type, sid
+            ORDER BY event_type, session_start
         """,
     }

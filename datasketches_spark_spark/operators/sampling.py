@@ -151,3 +151,46 @@ def stratified_sample_exact(df: DataFrame, strata_col: str, k: int,
                 "prefilter_fraction thinned at least one stratum below k; "
                 "raise the fraction or skip prefiltering")
     return out
+
+
+def budget_select(df: DataFrame, budget_col: str, order_col,
+                  budget: int, strata_col: str | None = None,
+                  ascending: bool = False) -> DataFrame:
+    """Select rows best-first until a per-stratum BUDGET is filled — the
+    training-mix construction step: "take the highest-quality documents
+    per language until each language contributes <= N tokens".
+
+    Rows are ordered by ``order_col`` (descending by default: best
+    first; ties broken by the budget column then arbitrarily-but-
+    deterministically by the full row hash is NOT needed — callers who
+    need determinism order by a unique column) within each stratum, and
+    a row is kept while the running total of ``budget_col`` INCLUDING
+    the row stays within ``budget``. The first over-budget row and
+    everything after it are dropped: every kept prefix is the maximal
+    prefix whose sum is <= budget. Selection is greedy-prefix, not
+    knapsack — the industry-standard mix builder.
+
+    Plan shape: one hash exchange on the stratum + per-partition sort,
+    then a running-sum window and a filter — no self-joins, no driver
+    state. The window is the unavoidable per-stratum sequential scan;
+    skewed strata cost their own row count, nothing cross-stratum.
+    With ``strata_col=None`` the whole frame is one stratum (single
+    partition for the window — use strata at scale).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    cols = order_col if isinstance(order_col, (list, tuple)) else [order_col]
+    first = cols[0] if not isinstance(cols[0], str) else F.col(cols[0])
+    first = first.asc() if ascending else first.desc()
+    # trailing order columns are TIE-BREAKERS (always ascending): pass a
+    # unique one to make the kept prefix deterministic across runs
+    rest = [F.col(c).asc() if isinstance(c, str) else c.asc()
+            for c in cols[1:]]
+    part = Window.partitionBy(strata_col) if strata_col else \
+        Window.partitionBy()
+    w = (part.orderBy(first, *rest)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum(F.col(budget_col)).over(w)
+    return (df.withColumn("_dss_running", running)
+            .where(F.col("_dss_running") <= budget)
+            .drop("_dss_running"))

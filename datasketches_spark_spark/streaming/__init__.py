@@ -2,11 +2,13 @@
 
 from .sketch_stream import (
     await_or_fail,
+    session_distinct,
     sketch_accumulate_stream,
     streaming_dedup,
     streaming_summary_sink,
     with_event_time_watermark,
 )
 
-__all__ = ["await_or_fail", "sketch_accumulate_stream", "streaming_dedup",
-           "streaming_summary_sink", "with_event_time_watermark"]
+__all__ = ["await_or_fail", "session_distinct", "sketch_accumulate_stream",
+           "streaming_dedup", "streaming_summary_sink",
+           "with_event_time_watermark"]

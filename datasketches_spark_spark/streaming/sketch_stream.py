@@ -242,3 +242,50 @@ def streaming_summary_sink(df: DataFrame, keys: list[str], col: str,
 
     return (df.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint))
+
+
+def session_distinct(df: DataFrame, keys: list[str], col: str,
+                     event_time: str, gap: str,
+                     delay: str | None = None,
+                     lgk: int | None = None) -> DataFrame:
+    """Per-SESSION approximate distinct counts — activity sessionization
+    (events closer than ``gap`` chain into one session) with an NDV per
+    (key, session), batch or streaming from the same call.
+
+    Spark-first by necessity as well as taste: session windows MERGE as
+    rows arrive (a new event can fuse two open sessions), so partial
+    per-partition sketching keyed by a precomputed window — the engine's
+    two-phase operator shape — cannot work; only the native
+    ``session_window`` grouping knows how to merge partial sessions.
+    The NDV inside each session therefore uses the JVM DataSketches HLL
+    aggregate (``approx_count_distinct_hll``), which Spark unions
+    correctly through session merges — exact through HLL's sparse phase.
+
+    Streaming input: requires ``delay``; installs the NTZ-tolerant
+    watermark and the caller runs append mode — a session emits exactly
+    once, when the watermark passes its end (= last event + gap). State
+    is one HLL per OPEN session, dropped at emission: bounded by live
+    sessions, the right sessionization contract on an unbounded stream.
+
+    Batch input: same expression over the same cast, so stream emissions
+    match the batch result row-for-row (asserted in the test suite).
+
+    Returns ``(session struct(start, end), *keys, ndv)``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    from ..functions.distinctcnt import approx_count_distinct_hll
+    src = df
+    if df.isStreaming:
+        if delay is None:
+            raise ValueError("streaming session_distinct requires delay "
+                             "(the watermark bound that closes sessions)")
+        src = with_event_time_watermark(df, event_time, delay)
+    elif isinstance(src.schema[event_time].dataType, TimestampNTZType):
+        src = src.withColumn(event_time,
+                             F.col(event_time).cast("timestamp"))
+    sw = F.session_window(F.col(event_time), gap)
+    return (src.groupBy(sw.alias("session"),
+                        *[F.col(k) for k in keys])
+            .agg(approx_count_distinct_hll(col, lgk=lgk).alias("ndv")))

@@ -903,3 +903,26 @@ class TestMinhashMatch:
         got = minhash_match(queries, corpus, "doc_id", "text",
                             threshold=0.5, max_bucket=10).collect()
         assert got == []
+
+
+class TestNgramJaccardRandomized:
+    """Seeded random corpora (small vocab => dense overlap, the prefix
+    filter's worst case) must still match brute force exactly."""
+
+    @pytest.mark.parametrize("seed,threshold,n", [(7, 0.5, 2), (11, 0.7, 3),
+                                                  (13, 0.4, 2)])
+    def test_random_corpus_matches_bruteforce(self, spark, seed, threshold,
+                                              n):
+        import random
+        from datasketches_spark_spark.operators import ngram_jaccard_pairs
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        corpus = [(i, " ".join(rng.choice(vocab)
+                               for _ in range(rng.randint(1, 30))))
+                  for i in range(40)]
+        df = spark.createDataFrame(corpus, ["doc_id", "text"])
+        got = sorted((r.id_a, r.id_b, round(r.jaccard, 9))
+                     for r in ngram_jaccard_pairs(
+                         df, "doc_id", "text", threshold=threshold,
+                         ngram_n=n).collect())
+        assert got == TestNgramJaccard._brute(corpus, threshold, n)

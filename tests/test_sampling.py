@@ -146,3 +146,43 @@ class TestStratified:
             stratified_sample(pop, "stratum", {"a": -0.1})
         with pytest.raises(ValueError, match="empty"):
             stratified_sample(pop, "stratum", {})
+
+
+class TestBudgetSelect:
+    def test_greedy_prefix_per_stratum(self, spark):
+        from datasketches_spark_spark.operators import budget_select
+        rows = [
+            # lang, id, quality, tokens
+            ("en", 1, 9.0, 40), ("en", 2, 8.0, 50), ("en", 3, 7.0, 30),
+            ("en", 4, 6.0, 100),
+            ("fr", 5, 5.0, 80), ("fr", 6, 4.0, 10), ("fr", 7, 3.0, 20),
+        ]
+        df = spark.createDataFrame(rows, ["lang", "id", "q", "toks"])
+        got = sorted(r.id for r in budget_select(
+            df, "toks", ["q", "id"], 100, strata_col="lang").collect())
+        # en best-first: 40, +50=90 ok, +30=120 over -> stop at id 2
+        # fr: 80, +10=90 ok, +20=110 over -> ids 5,6
+        assert got == [1, 2, 5, 6]
+
+    def test_first_row_over_budget_drops_stratum(self, spark):
+        from datasketches_spark_spark.operators import budget_select
+        df = spark.createDataFrame([("en", 1, 1.0, 500)],
+                                   ["lang", "id", "q", "toks"])
+        assert budget_select(df, "toks", ["q", "id"], 100,
+                             strata_col="lang").collect() == []
+
+    def test_ascending_order_and_no_strata(self, spark):
+        from datasketches_spark_spark.operators import budget_select
+        df = spark.createDataFrame(
+            [(1, 10.0, 60), (2, 1.0, 60), (3, 5.0, 60)],
+            ["id", "cost", "toks"])
+        got = sorted(r.id for r in budget_select(
+            df, "toks", ["cost", "id"], 120, ascending=True).collect())
+        assert got == [2, 3]   # cheapest-first until 120 tokens
+
+    def test_bad_budget_raises(self, spark):
+        from datasketches_spark_spark.operators import budget_select
+        df = spark.createDataFrame([(1, 1)], ["id", "toks"])
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            budget_select(df, "toks", "id", 0)

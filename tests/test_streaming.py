@@ -280,3 +280,56 @@ class TestStreamingCpcWire:
             dsf.approx_count_distinct_estimate("state").alias("ndv")
         ).collect()}
         assert got == exact
+
+
+class TestSessionDistinct:
+    def test_batch_sessions_match_exact(self, spark, tables):
+        """Batch sessionization: per (event_type, session) distinct users
+        equals exact count(DISTINCT) — HLL is exact at fixture NDV."""
+        from datasketches_spark_spark.streaming import session_distinct
+        ev = tables["events"].select("event_type", "user_id", "ts")
+        got = {(r.event_type, r.session.start): r.ndv
+               for r in session_distinct(
+                   ev, ["event_type"], "user_id", "ts", "1 hour").collect()}
+        batch = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        exact = {(r.event_type, r.session.start): r.n
+                 for r in batch.groupBy(
+                     F.session_window("ts", "1 hour").alias("session"),
+                     "event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert got == exact
+        assert len(got) > 0
+
+    def test_streaming_append_emits_closed_sessions(self, spark, tables,
+                                                    stream_dirs):
+        """Streaming append mode: every emitted session matches its batch
+        twin, and the emitted set is exactly the sessions closed by the
+        final watermark (end <= max event time - delay)."""
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, session_distinct)
+        src_dir, ckpt, _ = stream_dirs
+        ev = tables["events"].select("event_type", "user_id", "ts")
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+        raw = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 2).parquet(src_dir))
+        out = session_distinct(raw, ["event_type"], "user_id", "ts",
+                               "1 hour", delay="30 minutes")
+        q = (out.writeStream.format("memory").queryName("sess_stream")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        got = {(r.event_type, r.session.start): r.ndv
+               for r in spark.sql("SELECT * FROM sess_stream").collect()}
+
+        batch_rows = session_distinct(ev, ["event_type"], "user_id",
+                                      "ts", "1 hour").collect()
+        import datetime
+        max_ts = max(r.ts for r in
+                     ev.withColumn("ts", F.col("ts").cast("timestamp"))
+                       .collect())
+        horizon = max_ts - datetime.timedelta(minutes=30)
+        closed = {(r.event_type, r.session.start): r.ndv
+                  for r in batch_rows if r.session.end <= horizon}
+        assert got == closed
+        assert len(got) > 0
