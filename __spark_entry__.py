@@ -714,6 +714,21 @@ def _q46_session_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "session_start"))
 
 
+def _q47_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: the ids to DROP. MinHash near-dup pairs
+    -> connected components -> keep the LONGEST document per component
+    (n_chars, ties to lowest id), drop the rest
+    (operators/dedup.py::dedup_drop_list). The oracle recomputes the
+    components with a recursive closure and the survivor with a window
+    rank."""
+    from datasketches_spark_spark.operators import (
+        dedup_drop_list, minhash_dedup_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return (dedup_drop_list(docs, pairs, "doc_id", prefer_col="n_chars")
+            .orderBy("doc_id"))
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -1108,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_incremental_dedup": _q44_incremental_dedup,
         "q45_token_budget_mix": _q45_token_budget_mix,
         "q46_session_ndv": _q46_session_ndv,
+        "q47_dedup_drop_list": _q47_dedup_drop_list,
     }
 
 
@@ -1573,5 +1589,33 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS ndv
             FROM s GROUP BY event_type, sid
             ORDER BY event_type, session_start
+        """,
+        "q47_dedup_drop_list": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents)
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.v, reach.r FROM e JOIN reach ON reach.id = e.u
+            ),
+            lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+            ranked AS (
+              SELECT lab.id, row_number() OVER (
+                       PARTITION BY comp
+                       ORDER BY d.n_chars DESC, lab.id) AS rn
+              FROM lab JOIN documents d ON d.doc_id = lab.id)
+            SELECT id AS doc_id FROM ranked WHERE rn > 1 ORDER BY doc_id
         """,
     }

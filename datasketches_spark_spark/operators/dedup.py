@@ -615,3 +615,33 @@ def minhash_match(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
     jac = inter.cast("double") / union.cast("double")
     return (joined.select("query_id", "corpus_id", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def dedup_drop_list(df: DataFrame, pairs: DataFrame, id_col: str,
+                    prefer_col: str | None = None, src: str = "id_a",
+                    dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """The KEEP-ONE policy that finishes a dedup pipeline: from near-dup
+    PAIRS, return the ids to DROP — every member of each connected
+    component except its canonical survivor.
+
+    Survivor choice: highest ``prefer_col`` (e.g. doc length or quality
+    score), ties broken by lowest id; with no ``prefer_col`` the lowest
+    id survives (which needs NO join back to the data — the component
+    label already IS the minimum member id).
+
+    An anti-join of the corpus against this list is the deduplicated
+    dataset; at 100 TB the list is pair-graph-sized (duplicates only),
+    so the anti-join broadcasts in the common case."""
+    from pyspark.sql import Window
+    labels = connected_components(pairs, src, dst, max_iter)
+    if prefer_col is None:
+        return (labels.where(F.col("id") != F.col("comp"))
+                .select(F.col("id").alias(id_col)))
+    pref = df.select(F.col(id_col).alias("id"),
+                     F.col(prefer_col).alias("_pref"))
+    lab = labels.join(pref, "id")
+    w = Window.partitionBy("comp").orderBy(F.col("_pref").desc(),
+                                           F.col("id").asc())
+    return (lab.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select(F.col("id").alias(id_col)))

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data curation pipeline on the fixture corpus.
+
+One pass through every curation stage the engine provides, in the order a
+real 100 TB pipeline runs them — each stage is a pure DataFrame transform,
+so the whole pipeline is ONE lazy plan family Catalyst can optimize:
+
+1. language ID + quality scoring (pure Column expressions);
+2. quality gate (drop low-quality docs before any expensive stage);
+3. exact dedup (content fingerprint groupBy);
+4. near-dup removal: MinHash-LSH pairs -> connected components ->
+   keep-longest drop list -> anti-join;
+5. token-budget mix construction per language (greedy-prefix window);
+6. corpus summary with sketch aggregates (NDV, percentiles, top sources).
+
+Run: python examples/llm_pipeline_demo.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+import datasketches_spark_spark as dss  # noqa: E402
+from datasketches_spark_spark import functions as dsf  # noqa: E402
+from datasketches_spark_spark.functions.text import (  # noqa: E402
+    doc_fingerprint, lang_id, quality_features, token_count)
+from datasketches_spark_spark.operators import (  # noqa: E402
+    budget_select, dedup_drop_list, minhash_dedup_pairs)
+from datasketches_spark_spark.sources import (  # noqa: E402
+    read_table, session_builder)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (session_builder(master="local[8]", shuffle_partitions=8)
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    dss.install(spark)
+
+    docs = read_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"[0] raw corpus: {n0} docs")
+
+    # 1-2. language ID + quality gate (everything stays JVM-side)
+    q = quality_features("text")
+    scored = docs.select(
+        "*", lang_id("text").alias("lang_pred"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+        token_count("text").alias("toks"))
+    gated = scored.where((F.col("toks") >= 5)
+                         & (F.col("mean_token_len") < 20))
+    n1 = gated.count()
+    print(f"[1] after quality gate: {n1} docs (-{n0 - n1})")
+
+    # 3. exact dedup: keep the first doc of every identical-content group
+    w_first = F.min("doc_id").over(Window.partitionBy("fp"))
+    exact = (gated.withColumn("fp", doc_fingerprint("text"))
+             .withColumn("keep", w_first)
+             .where(F.col("doc_id") == F.col("keep"))
+             .drop("fp", "keep"))
+    n2 = exact.count()
+    print(f"[2] after exact dedup: {n2} docs (-{n1 - n2})")
+
+    # 4. near-dup removal: pairs -> components -> keep-longest -> anti-join
+    pairs = minhash_dedup_pairs(exact, "doc_id", "text", threshold=0.5)
+    drops = dedup_drop_list(exact, pairs, "doc_id", prefer_col="n_chars")
+    deduped = exact.join(drops, "doc_id", "left_anti")
+    n3 = deduped.count()
+    print(f"[3] after near-dup removal: {n3} docs (-{n2 - n3})")
+
+    # 5. token-budget mix: largest docs per language, <= 5000 tokens each
+    mix = budget_select(deduped, "toks", ["n_chars", "doc_id"], 5000,
+                        strata_col="lang")
+    print("[4] training mix per language:")
+    for r in (mix.groupBy("lang")
+              .agg(F.count("*").alias("docs"),
+                   F.sum("toks").alias("tokens")).orderBy("lang").collect()):
+        print(f"      {r.lang}: {r.docs} docs, {r.tokens} tokens")
+
+    # 6. sketch summary of the final mix
+    summary = mix.agg(
+        dsf.approx_count_distinct_ex("source").alias("ndv_sources"),
+        dsf.approx_percentile_ex("toks", 0.5).alias("p50_tokens"),
+        dsf.approx_percentile_ex("toks", 0.95).alias("p95_tokens")).first()
+    print(f"[5] mix summary: {summary.ndv_sources} distinct sources, "
+          f"median {summary.p50_tokens:.0f} tokens, "
+          f"p95 {summary.p95_tokens:.0f} tokens")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -926,3 +926,28 @@ class TestNgramJaccardRandomized:
                          df, "doc_id", "text", threshold=threshold,
                          ngram_n=n).collect())
         assert got == TestNgramJaccard._brute(corpus, threshold, n)
+
+
+class TestDedupDropList:
+    def test_lowest_id_survives_without_preference(self, spark):
+        from datasketches_spark_spark.operators import dedup_drop_list
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+        df = spark.createDataFrame(
+            [(i, 0) for i in (1, 2, 3, 10, 11, 99)], ["doc_id", "x"])
+        got = sorted(r.doc_id for r in
+                     dedup_drop_list(df, pairs, "doc_id").collect())
+        assert got == [2, 3, 11]   # 1 and 10 survive; 99 untouched
+
+    def test_preference_picks_best_member(self, spark):
+        from datasketches_spark_spark.operators import dedup_drop_list
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 4.0), (99, 0.0)],
+            ["doc_id", "quality"])
+        got = sorted(r.doc_id for r in dedup_drop_list(
+            df, pairs, "doc_id", prefer_col="quality").collect())
+        # comp {1,2,3}: best quality 9.0 tie -> lowest id 2 survives
+        # comp {10,11}: 11 survives (4.0 > 1.0)
+        assert got == [1, 3, 10]
