@@ -70,7 +70,7 @@ def _build_sketch(v: pd.Series, impl: str, k: int, dtype):
 
 
 def _named_validate(name: str, validator, arg):
-    """First-row argument validation with the failing SQL function named —
+    """Runtime argument validation with the failing SQL function named —
     the closest a Python UDF registry can get to the reference's
     AnalysisException timing (``quantileSketches.scala:176-194``; the
     DataFrame API and dss.sql() both validate before any job starts)."""
@@ -80,10 +80,42 @@ def _named_validate(name: str, validator, arg):
         raise ValueError(f"{name}: {e}") from None
 
 
+def _is_null(v) -> bool:
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):  # arrays: pd.isna is elementwise
+        return False
+
+
+def _constant_arg(name: str, p: pd.Series, what: str = "percentage(s)"):
+    """Enforce the reference's constant-literal contract for aggregate
+    parameters (``quantileSketches.scala:176-184``: 'The percentage(s)
+    must be a constant literal' / 'Percentage value must not be null').
+    An aggregate that silently used the group's first row would return a
+    plausible-but-wrong answer for per-row parameters — raise instead."""
+    keys = p.map(lambda x: tuple(x)
+                 if isinstance(x, (list, tuple, np.ndarray)) else x)
+    if keys.nunique(dropna=False) > 1:
+        raise ValueError(
+            f"{name}: the {what} must be a constant literal")
+    v = p.iloc[0]
+    if _is_null(v):
+        raise ValueError(f"{name}: {what} value must not be null")
+    return v
+
+
 def _sql_quantile_scalar(impl: str, k: int, dtype, name: str, rule: str):
     @pandas_udf(DoubleType())
     def f(v: pd.Series, p: pd.Series) -> float:
-        ps, _ = _named_validate(name, validate_percentage, float(p.iloc[0]))
+        pct = _constant_arg(name, p)
+        if isinstance(pct, (list, tuple, np.ndarray)):
+            raise ValueError(
+                f"{name}: the percentage is an array — use {name}_array "
+                f"(a Python UDF registration cannot overload the scalar "
+                f"and array return types under one name)")
+        ps, _ = _named_validate(name, validate_percentage, float(pct))
         sk = _build_sketch(v, impl, k, dtype)
         return None if sk is None else sk.quantile(ps[0], rule=rule)
     return f
@@ -92,7 +124,8 @@ def _sql_quantile_scalar(impl: str, k: int, dtype, name: str, rule: str):
 def _sql_quantile_array(impl: str, k: int, dtype, name: str, rule: str):
     @pandas_udf(ArrayType(DoubleType(), containsNull=False))
     def f(v: pd.Series, p: pd.Series) -> list:
-        ps, _ = _named_validate(name, validate_percentage, list(p.iloc[0]))
+        pct = _constant_arg(name, p)
+        ps, _ = _named_validate(name, validate_percentage, list(pct))
         sk = _build_sketch(v, impl, k, dtype)
         return None if sk is None else sk.quantiles(ps, rule=rule)
     return f
@@ -114,6 +147,13 @@ def _sql_quantile_est(rule: str):
             if blob is None:
                 out.append(None)
                 continue
+            if _is_null(pct):
+                raise ValueError("approx_percentile_estimate: "
+                                 "percentage value must not be null")
+            if isinstance(pct, (list, tuple, np.ndarray)):
+                raise ValueError(
+                    "approx_percentile_estimate: the percentage is an "
+                    "array — use approx_percentile_estimate_array")
             ps, _ = _named_validate("approx_percentile_estimate",
                                    validate_percentage, float(pct))
             try:
@@ -133,6 +173,9 @@ def _sql_quantile_est_array(rule: str):
             if blob is None:
                 out.append(None)
                 continue
+            if _is_null(pct):
+                raise ValueError("approx_percentile_estimate_array: "
+                                 "percentage value must not be null")
             ps, _ = _named_validate("approx_percentile_estimate_array",
                                    validate_percentage, list(pct))
             try:
@@ -185,8 +228,8 @@ def _sql_pmf_est():
             if blob is None:
                 out.append(None)
                 continue
-            _named_validate("approx_pmf_estimate",
-                            validate_num_splits, int(splits))
+            _named_validate("approx_pmf_estimate", validate_num_splits,
+                            None if _is_null(splits) else int(splits))
             try:
                 out.append(deserialize_quantile(bytes(blob)).pmf(int(splits)))
             except Exception:  # corrupt state -> null (reference parity)

@@ -269,3 +269,62 @@ class TestBareSqlHllReplay:
             "('a', 1), ('a', 2), ('a', 2), ('b', 1), ('b', 3), ('b', 4) "
             "AS t(g, v) GROUP BY g ORDER BY g").collect()
         assert [(r.g, r.ndv) for r in rows] == [("a", 2), ("b", 3)]
+
+
+class TestErrorHandlingReplay:
+    """Replays of the reference's three error-handling suites
+    (ApproximateQuerySuite.scala:67-84, :149-178, :180-200). The engine
+    raises at EXECUTION time (a Python UDF registry has no analysis
+    hook — documented divergence, register.py::_named_validate) with
+    the reference's message substrings; the dangerous case the runtime
+    CAN catch that an analyzer can't even express — a percentage that
+    varies WITHIN an aggregation group, which the old first-row read
+    would have silently mis-answered — raises too."""
+
+    def _err(self, spark, sql):
+        with pytest.raises(Exception) as ei:
+            spark.sql(sql).collect()
+        return str(ei.value)
+
+    def test_percentile_ex_error_handling(self, spark):
+        dss_install(spark)
+        # reference errMsg1: non-constant percentage
+        assert "must be a constant literal" in self._err(
+            spark, "SELECT approx_percentile_ex(c, p) FROM VALUES "
+                   "(0, 0.95), (1, 0.5) AS t(c, p)")
+        # reference errMsg2: null percentage
+        assert "must not be null" in self._err(
+            spark, "SELECT approx_percentile_ex(c, null) "
+                   "FROM VALUES (0) AS t(c)")
+        # reference errMsg3: out-of-range percentage
+        assert "must be between 0.0 and 1.0" in self._err(
+            spark, "SELECT approx_percentile_ex(c, -1.0) "
+                   "FROM VALUES (0) AS t(c)")
+        assert "must be between 0.0 and 1.0" in self._err(
+            spark, "SELECT approx_percentile_ex_array(c, array(0.1, -1.0)) "
+                   "FROM VALUES (0) AS t(c)")
+        # engine-specific: array under the scalar name redirects instead
+        # of a raw TypeError (the reference overloads one name; a Python
+        # UDF registration cannot)
+        assert "use approx_percentile_ex_array" in self._err(
+            spark, "SELECT approx_percentile_ex(c, array(0.1, 0.9)) "
+                   "FROM VALUES (0) AS t(c)")
+
+    def test_percentile_estimate_error_handling(self, spark):
+        dss_install(spark)
+        assert "must not be null" in self._err(
+            spark, "SELECT approx_percentile_estimate(s, null) "
+                   "FROM VALUES (binary('abc')) AS t(s)")
+        assert "must be between 0.0 and 1.0" in self._err(
+            spark, "SELECT approx_percentile_estimate(s, -1.0) "
+                   "FROM VALUES (binary('abc')) AS t(s)")
+        assert "must be between 0.0 and 1.0" in self._err(
+            spark, "SELECT approx_percentile_estimate_array(s, "
+                   "array(0.1, -1.0)) FROM VALUES (binary('abc')) AS t(s)")
+
+    def test_pmf_estimate_error_handling(self, spark):
+        dss_install(spark)
+        for bad in ("null", "-1", "0", "1"):
+            assert "must be greater than 1" in self._err(
+                spark, f"SELECT approx_pmf_estimate(s, {bad}) "
+                       f"FROM VALUES (binary('abc')) AS t(s)"), bad
