@@ -18,14 +18,17 @@ Deliberately NOT replayed:
   at 0 rather than the min; its expected ``[0.0, 1.0]`` encodes that
   bug. This engine anchors bins at the min (the evident intent), and
   q04's DuckDB oracle pins that behavior;
-* the windowed ``where`` filters — their expected rows are timezone-
-  sensitive (session-local ``window()`` boundaries vs string timestamp
-  comparison).
+* the PERCENTILE summary's windowed ``where`` filter — its expected
+  rows are timezone-sensitive (session-local ``window()`` boundaries vs
+  string timestamp comparison); the freq-items twin of that test IS
+  replayed by pinning the session to the reference suite's
+  America/Los_Angeles default (``TestMergeableFreqItemsSummaryReplay``).
 """
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import datasketches_spark_spark as dss
 from datasketches_spark_spark import conf as dconf
@@ -328,3 +331,70 @@ class TestErrorHandlingReplay:
             assert "must be greater than 1" in self._err(
                 spark, f"SELECT approx_pmf_estimate(s, {bad}) "
                        f"FROM VALUES (binary('abc')) AS t(s)"), bad
+
+
+class TestMergeableFreqItemsSummaryReplay:
+    """ApproximateQuerySuite.scala:222-260 — per-day window accumulate,
+    range filter, combine, estimate. The reference pins bit_length of
+    its DataSketches states (360/464/568); engine states are a different
+    (versioned) format, so the structural assertions here are schema +
+    binary-typed states + the exact merged counts."""
+
+    def test_windowed_accumulate_combine_estimate(self, spark):
+        # The reference suite runs under Spark's test-default session
+        # timezone (America/Los_Angeles), where epoch-aligned 1-day
+        # windows start at 16:00 local — its where-filter expectations
+        # (a:2, not a:5) encode exactly that offset. Reproduce the
+        # environment, then assert its exact answer.
+        dss_install(spark)
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        try:
+            self._run(spark)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    def _run(self, spark):
+        spark.sql("""
+            CREATE OR REPLACE TEMPORARY VIEW t AS SELECT * FROM VALUES
+              (date('2021-01-01'), 'a'), (date('2021-01-01'), 'a'),
+              (date('2021-01-01'), 'a'), (date('2021-01-02'), 'b'),
+              (date('2021-01-02'), 'a'), (date('2021-01-02'), 'b'),
+              (date('2021-01-02'), null), (date('2021-01-03'), 'b'),
+              (date('2021-01-03'), 'a'), (date('2021-01-03'), 'c'),
+              (date('2021-01-04'), 'a')
+            AS t(date, v)""")
+        summaries = (spark.table("t")
+                     .groupBy(F.window("date", "1 day"))
+                     .agg(F.expr("approx_freqitems_accumulate(v)")
+                           .alias("summaries")))
+        ddl = summaries.schema.toDDL()
+        assert "window STRUCT<start: TIMESTAMP, end: TIMESTAMP>" in ddl
+        assert "summaries BINARY" in ddl
+        assert summaries.count() == 4
+        assert all(r.summaries is not None for r in summaries.collect())
+        merged = (summaries
+                  .where("window.start >= '2021-01-01' "
+                         "AND window.end <= '2021-01-04'")
+                  .selectExpr("approx_freqitems_combine(summaries) "
+                              "AS merged"))
+        (row,) = (merged.selectExpr("approx_freqitems_estimate(merged) "
+                                    "AS top").collect())
+        assert {(e["item"], e["estimated"]) for e in row["top"]} == {
+            ("b", 3), ("a", 2), ("c", 1)}
+
+    def test_integral_types_loop(self, spark):
+        # ApproximateQuerySuite.scala:211-220 runs the same name over
+        # TINYINT/SHORT/INT/LONG casts; the engine's bare-SQL surface
+        # splits string/long into two names (documented divergence), and
+        # _long coerces every integral width like the reference's
+        # ImplicitCastInputTypes
+        dss_install(spark)
+        for t in ("TINYINT", "SHORT", "INT", "LONG"):
+            (row,) = spark.sql(
+                f"SELECT approx_freqitems_long(CAST(c AS {t})) AS top "
+                f"FROM VALUES (1), (1), (2), (null), (3), (1) AS t(c)"
+            ).collect()
+            assert {(e["item"], e["estimated"]) for e in row["top"]} == {
+                (1, 3), (2, 1), (3, 1)}, t
