@@ -186,3 +186,17 @@ class TestBudgetSelect:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             budget_select(df, "toks", "id", 0)
+
+
+class TestBudgetSelectNulls:
+    def test_null_budget_rows_cost_zero(self, spark):
+        # SQL sum() skips nulls: a null-cost row is kept for free and
+        # does not poison the running total of later rows — pinned so a
+        # refactor to a different running-sum cannot change it silently
+        from datasketches_spark_spark.operators import budget_select
+        df = spark.createDataFrame(
+            [(1, 9.0, 60), (2, 8.0, None), (3, 7.0, 50), (4, 6.0, 20)],
+            "id long, q double, toks long")
+        got = sorted(r.id for r in budget_select(
+            df, "toks", ["q", "id"], 110).collect())
+        assert got == [1, 2, 3]   # 60, +0, +50=110, +20 over

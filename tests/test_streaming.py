@@ -333,3 +333,41 @@ class TestSessionDistinct:
                   for r in batch_rows if r.session.end <= horizon}
         assert got == closed
         assert len(got) > 0
+
+
+class TestStreamingMinhashMatch:
+    def test_foreachbatch_match_against_corpus(self, spark, tables,
+                                               stream_dirs):
+        """The minhash_match docstring's streaming claim, proven: incoming
+        micro-batches of documents matched against a FIXED corpus inside
+        foreachBatch, union of per-batch matches == the one-shot batch
+        answer (batching must not change an R-S join's result)."""
+        from datasketches_spark_spark.operators import minhash_match
+        from datasketches_spark_spark.streaming import await_or_fail
+        src_dir, ckpt, _ = stream_dirs
+        docs = tables["documents"].select("doc_id", "text")
+        corpus = docs.where("doc_id % 7 != 0")
+        queries = docs.where("doc_id % 7 = 0")
+        queries.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+        collected = []
+
+        def process(batch_df, batch_id):
+            rows = minhash_match(batch_df, corpus, "doc_id", "text",
+                                 threshold=0.5).collect()
+            collected.extend((r.query_id, r.corpus_id, round(r.jaccard, 9))
+                             for r in rows)
+
+        stream = (spark.readStream.schema(queries.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = (stream.writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 180)
+
+        want = sorted((r.query_id, r.corpus_id, round(r.jaccard, 9))
+                      for r in minhash_match(queries, corpus, "doc_id",
+                                             "text",
+                                             threshold=0.5).collect())
+        assert sorted(collected) == want
+        assert len(want) > 0
