@@ -729,6 +729,21 @@ def _q47_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 11th document plays the eval set;
+    corpus docs sharing any word-4-gram with it are flagged with their
+    exact distinct-collision count
+    (operators/dedup.py::ngram_overlap_flags — broadcast the benchmark
+    gram set, map-side probe, contamination-sized groupBy)."""
+    from datasketches_spark_spark.operators import ngram_overlap_flags
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+    return (ngram_overlap_flags(corpus, bench, "doc_id", "text",
+                                ngram_n=4)
+            .orderBy("doc_id"))
+
+
 def _q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-k-means coarse quantizer (trained on a driver-side
     sample — the standard IVF design), distributed cell assignment, probe +
@@ -1124,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_token_budget_mix": _q45_token_budget_mix,
         "q46_session_ndv": _q46_session_ndv,
         "q47_dedup_drop_list": _q47_dedup_drop_list,
+        "q48_decontamination": _q48_decontamination,
     }
 
 
@@ -1617,5 +1633,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY d.n_chars DESC, lab.id) AS rn
               FROM lab JOIN documents d ON d.doc_id = lab.id)
             SELECT id AS doc_id FROM ranked WHERE rn > 1 ORDER BY doc_id
+        """,
+        "q48_decontamination": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, len(t)-2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              || ' ' || t[i+3]))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents)),
+            bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 11 = 0)
+            SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+            FROM g JOIN bench USING (g)
+            WHERE g.doc_id % 11 <> 0
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
     }

@@ -645,3 +645,36 @@ def dedup_drop_list(df: DataFrame, pairs: DataFrame, id_col: str,
     return (lab.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") > 1)
             .select(F.col("id").alias(id_col)))
+
+
+# ------------------------------------------------------- decontamination
+
+def ngram_overlap_flags(corpus_df: DataFrame, benchmark_df: DataFrame,
+                        id_col: str, text_col: str, ngram_n: int = 13,
+                        min_hits: int = 1) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents sharing at least
+    ``min_hits`` distinct word n-grams with ANY benchmark document — the
+    standard pre-training hygiene step (exact n-gram collision against
+    the eval set; n = 8-13 in common practice). Returns
+    ``(id, n_hits)`` for flagged documents; anti-join the corpus
+    against it to decontaminate.
+
+    Plan shape for 100 TB: the benchmark side is an eval set — small by
+    definition — so its distinct n-gram set broadcasts and the corpus
+    pass is a map-side semi-join-style probe (explode -> broadcast hash
+    join) with one final groupBy on the flagged doc ids, which are
+    contamination-sized, not corpus-sized. Grams are compared by
+    xxhash64 (a benchmark gram colliding with a different corpus gram
+    would need a 64-bit collision inside the benchmark's gram set —
+    negligible, and it can only OVER-flag, never miss contamination).
+    """
+    g = F.explode(F.array_distinct(
+        F.transform(shingles(F.col(text_col), ngram_n),
+                    lambda s: F.xxhash64(s)))).alias("g")
+    cg = corpus_df.select(F.col(id_col).alias("_id"), g)
+    bg = benchmark_df.select(g).distinct()
+    return (cg.join(F.broadcast(bg), "g")
+            .groupBy("_id")
+            .agg(F.count_distinct("g").alias("n_hits"))
+            .where(F.col("n_hits") >= min_hits)
+            .select(F.col("_id").alias(id_col), "n_hits"))

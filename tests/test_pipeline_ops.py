@@ -951,3 +951,31 @@ class TestDedupDropList:
         # comp {1,2,3}: best quality 9.0 tie -> lowest id 2 survives
         # comp {10,11}: 11 survives (4.0 > 1.0)
         assert got == [1, 3, 10]
+
+
+class TestDecontamination:
+    def test_flags_match_bruteforce(self, spark):
+        from datasketches_spark_spark.operators import ngram_overlap_flags
+        corpus = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated content with no benchmark overlap"),
+            (3, "the quick brown fox naps all day long instead"),
+        ]
+        bench = [(100, "somebody saw the quick brown fox jumps high")]
+        c = spark.createDataFrame(corpus, ["doc_id", "text"])
+        b = spark.createDataFrame(bench, ["doc_id", "text"])
+        got = {(r.doc_id, r.n_hits) for r in ngram_overlap_flags(
+            c, b, "doc_id", "text", ngram_n=4).collect()}
+        # bench 4-grams include 'the quick brown fox' and
+        # 'quick brown fox jumps': doc 1 shares both, doc 3 shares one
+        assert got == {(1, 2), (3, 1)}
+        got2 = {r.doc_id for r in ngram_overlap_flags(
+            c, b, "doc_id", "text", ngram_n=4, min_hits=2).collect()}
+        assert got2 == {1}
+
+    def test_clean_corpus_flags_nothing(self, spark):
+        from datasketches_spark_spark.operators import ngram_overlap_flags
+        c = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+        b = spark.createDataFrame([(2, "g h i j k l")], ["doc_id", "text"])
+        assert ngram_overlap_flags(c, b, "doc_id", "text",
+                                   ngram_n=3).collect() == []
