@@ -1085,6 +1085,29 @@ def _q35_rank_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         dss.install(spark)
 
 
+def _q49_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join attribution: every click joined to the user's most recent
+    at-or-before signup (`operators/asof.py` — union + one hash exchange +
+    window scan; no Join node, no range explosion). DuckDB's native ASOF
+    LEFT JOIN is the oracle. Gap sums are integer microseconds, so the
+    hash compare is exact."""
+    from datasketches_spark_spark.operators.asof import asof_join
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    signups = ev.where(F.col("event_type") == "signup")
+    j = asof_join(clicks, signups, "user_id", left_ts="ts",
+                  right_cols=["event_id"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap = us("ts") - us("ts_matched")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.count("ts_matched").alias("n_matched"),
+                 F.sum(gap).alias("sum_gap_us"),
+                 F.count(F.when(gap <= 3_600_000_000, 1))
+                  .alias("n_within_1h"))
+            .orderBy("user_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1140,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_session_ndv": _q46_session_ndv,
         "q47_dedup_drop_list": _q47_dedup_drop_list,
         "q48_decontamination": _q48_decontamination,
+        "q49_asof_attribution": _q49_asof_attribution,
     }
 
 
@@ -1647,5 +1671,17 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN bench USING (g)
             WHERE g.doc_id % 11 <> 0
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "q49_asof_attribution": """
+            SELECT l.user_id, count(*) AS n_clicks,
+                   count(r.ts) AS n_matched,
+                   sum(epoch_us(l.ts) - epoch_us(r.ts)) AS sum_gap_us,
+                   count(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
+                                   <= 3600000000 THEN 1 END) AS n_within_1h
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            GROUP BY l.user_id ORDER BY l.user_id
         """,
     }

@@ -1,0 +1,133 @@
+"""As-of (nearest-event) join — the time-series join Spark lacks natively.
+
+For each left row, find the single right row with the greatest event time
+at-or-before it (``direction="backward"``, the default) or the least
+at-or-after it (``"forward"``), per join key. The classic use in a
+training-data pipeline is attribution: join every interaction event to the
+most recent prior signup / model-version rollout / config change.
+
+No reference implementation exists (the reference is sketch functions
+only; `/root/reference` contains no joins — SURVEY.md §2b). DuckDB's
+native ``ASOF JOIN`` provides the correctness oracle.
+
+Design — one shuffle, zero range explosion:
+
+    left  rows tagged side=1, right rows tagged side=0 and their payload
+    packed into one struct  ->  UNION  ->  window over (key) ordered by
+    (ts, side, payload)  ->  last(payload, ignorenulls=True) up to the
+    current row  ->  keep side=1 rows.
+
+This is the sort-merge formulation: a single hash partition on the join
+key plus an in-partition sort, exactly the cost of a regular sort-merge
+join, independent of how many right rows precede each left row. The naive
+alternative (range join + min/max over matches) explodes to |L|·|R| pairs
+per key before aggregating; this never materializes a pair at all. At
+100 TB the shuffle carries each input row once; skewed keys fall to AQE
+skew-split handling like any sort-merge join.
+
+Equal timestamps: a right row at exactly the left row's timestamp DOES
+match in backward mode (ties sort side=0 first) and in forward mode
+(ties sort side=1 first under the descending-side order) — matching
+DuckDB's inclusive ``l.ts >= r.ts`` / ``l.ts <= r.ts`` semantics. Among
+several right rows sharing (key, ts), the payload struct itself is the
+final sort key, so the winner is deterministic (the struct-greatest row
+in backward mode, struct-least in forward mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MATCH = "__asof_pay"
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+_LEFT = "__asof_left"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on,
+              left_ts: str = "ts", right_ts: str | None = None,
+              right_cols: list[str] | None = None,
+              direction: str = "backward",
+              tolerance_us: int | None = None,
+              suffix: str = "_matched") -> DataFrame:
+    """As-of join ``left`` to ``right`` on key columns ``on``.
+
+    Returns every left row plus, when a match exists, the matched right
+    row's ``right_ts`` (as ``{right_ts}{suffix}``) and ``right_cols``
+    (suffixed on name clash with a left column). Unmatched left rows keep
+    NULLs — LEFT OUTER semantics, like DuckDB's ``ASOF LEFT JOIN``.
+
+    ``tolerance_us`` (microseconds) drops matches farther than the bound
+    from the left timestamp, turning them back into NULLs.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in keys and c != right_ts]
+    for c in keys:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"join key {c!r} missing from an input")
+
+    matched_ts = right_ts + suffix
+    out_names = {c: (c + suffix if c in left.columns else c)
+                 for c in right_cols}
+
+    lhs = left.select(
+        *[F.col(c) for c in keys],
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.struct(*[F.col(c) for c in left.columns]).alias(_LEFT),
+        F.lit(None).cast(
+            right.select(
+                F.struct(F.col(right_ts).alias(matched_ts),
+                         *[F.col(c).alias(out_names[c])
+                           for c in right_cols]).alias(_MATCH)
+            ).schema[_MATCH].dataType).alias(_MATCH))
+    rhs = right.select(
+        *[F.col(c) for c in keys],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.lit(None).cast(lhs.schema[_LEFT].dataType).alias(_LEFT),
+        F.struct(F.col(right_ts).alias(matched_ts),
+                 *[F.col(c).alias(out_names[c])
+                   for c in right_cols]).alias(_MATCH))
+
+    both = lhs.unionByName(rhs)
+    if direction == "backward":
+        # right(0) sorts before left(1) at equal ts -> inclusive match;
+        # the window scans backward for the last non-null right payload.
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(),
+                      F.col(_MATCH).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pay = F.last(_MATCH, ignorenulls=True).over(w)
+    else:
+        # descending scan: left rows see right rows at >= their ts; side
+        # stays ASC so a right row at the exact left ts still precedes it
+        # in the scan (inclusive match, like backward).
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col(_TS).desc(), F.col(_SIDE).asc(),
+                      F.col(_MATCH).desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pay = F.last(_MATCH, ignorenulls=True).over(w)
+
+    res = (both.withColumn(_MATCH, pay)
+           .where(F.col(_SIDE) == 1))
+    if tolerance_us is not None:
+        # unix_micros rejects TIMESTAMP_NTZ; the NTZ->TZ cast shifts both
+        # sides by the same session-timezone offset, so the gap is exact.
+        gap = F.abs(
+            F.unix_micros(F.col(_TS).cast("timestamp")) -
+            F.unix_micros(F.col(_MATCH)[matched_ts].cast("timestamp")))
+        res = res.withColumn(
+            _MATCH, F.when(gap <= F.lit(int(tolerance_us)), F.col(_MATCH)))
+
+    return res.select(
+        *[F.col(f"{_LEFT}.{c}").alias(c) for c in left.columns],
+        F.col(f"{_MATCH}.{matched_ts}").alias(matched_ts),
+        *[F.col(f"{_MATCH}.{out_names[c]}").alias(out_names[c])
+          for c in right_cols])

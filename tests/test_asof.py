@@ -1,0 +1,119 @@
+"""As-of join: semantics, tie handling, tolerance, and plan shape.
+
+The operator has no reference analog (`/root/reference` contains no joins,
+SURVEY.md §2b); DuckDB's native ASOF JOIN is the oracle in
+``__spark_entry__`` (q49). These tests pin the contract on hand-built
+frames where every edge is explicit.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", ts=10, lv="L10"),
+         Row(k="a", ts=20, lv="L20"),
+         Row(k="a", ts=5, lv="L5"),
+         Row(k="b", ts=15, lv="B15"),
+         Row(k="c", ts=7, lv="C7")])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=8, rv="R8"),
+         Row(k="a", ts=20, rv="R20"),
+         Row(k="b", ts=30, rv="R30")])
+    return left, right
+
+
+def test_backward_basic(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", left_ts="ts", right_cols=["rv"])
+    got = {(r.k, r.ts): (r.ts_matched, r.rv) for r in out.collect()}
+    assert got[("a", 10)] == (8, "R8")
+    # equal timestamp matches (inclusive, like DuckDB l.ts >= r.ts)
+    assert got[("a", 20)] == (20, "R20")
+    assert got[("a", 5)] == (None, None)     # nothing at-or-before
+    assert got[("b", 15)] == (None, None)    # right exists only after
+    assert got[("c", 7)] == (None, None)     # key absent from right
+    assert out.count() == left.count()       # LEFT OUTER: no row loss
+
+
+def test_forward_basic(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", left_ts="ts", right_cols=["rv"],
+                    direction="forward")
+    got = {(r.k, r.ts): (r.ts_matched, r.rv) for r in out.collect()}
+    assert got[("a", 10)] == (20, "R20")
+    assert got[("a", 20)] == (20, "R20")     # inclusive at equal ts
+    assert got[("a", 5)] == (8, "R8")
+    assert got[("b", 15)] == (30, "R30")
+    assert got[("c", 7)] == (None, None)
+
+
+def test_right_ts_ties_deterministic(spark):
+    left = spark.createDataFrame([Row(k="a", ts=10)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=10, rv="x"), Row(k="a", ts=10, rv="z"),
+         Row(k="a", ts=10, rv="y")])
+    # backward picks the struct-greatest among tied right rows, every run
+    for _ in range(3):
+        out = asof_join(left, right, "k", left_ts="ts",
+                        right_cols=["rv"]).collect()
+        assert [(r.ts_matched, r.rv) for r in out] == [(10, "z")]
+
+
+def test_tolerance_nulls_out_far_matches(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", ts="2024-01-01 00:00:10", lv=1),
+         Row(k="a", ts="2024-01-01 01:00:00", lv=2)]
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [Row(k="a", ts="2024-01-01 00:00:00", rv="r")]
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "rv")
+    out = asof_join(left, right, "k", left_ts="ts", right_cols=["rv"],
+                    tolerance_us=60_000_000)  # 60 s
+    got = {r.lv: r.rv for r in out.collect()}
+    assert got[1] == "r"       # 10 s gap: inside tolerance
+    assert got[2] is None      # 1 h gap: nulled out
+
+
+def test_name_clash_suffixed(spark):
+    left, right = _frames(spark)
+    right = right.withColumnRenamed("rv", "lv")  # clash with left's lv
+    out = asof_join(left, right, "k", left_ts="ts", right_cols=["lv"])
+    assert "lv" in out.columns and "lv_matched" in out.columns
+
+
+def test_multi_key(spark):
+    left = spark.createDataFrame(
+        [Row(k1="a", k2=1, ts=10), Row(k1="a", k2=2, ts=10)])
+    right = spark.createDataFrame(
+        [Row(k1="a", k2=1, ts=9, rv="one"),
+         Row(k1="a", k2=2, ts=8, rv="two")])
+    out = asof_join(left, right, ["k1", "k2"], left_ts="ts",
+                    right_cols=["rv"])
+    got = {r.k2: r.rv for r in out.collect()}
+    assert got == {1: "one", 2: "two"}
+
+
+def test_bad_args(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", direction="nearest", left_ts="ts")
+    with pytest.raises(ValueError, match="join key"):
+        asof_join(left, right, "missing", left_ts="ts")
+
+
+def test_plan_single_shuffle_no_join(spark):
+    """The whole as-of is ONE hash exchange on the key + a window sort —
+    no Join node, no CartesianProduct, no range explosion."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", left_ts="ts", right_cols=["rv"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    n_exchange = plan.count("Arguments: hashpartitioning")
+    assert n_exchange == 1, plan
