@@ -1108,6 +1108,30 @@ def _q49_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (`functions/redact.py`): URL/email/IPv4/phone regex
+    chain, pure JVM, zero shuffle. The fixture corpus contains no PII, so
+    the text under test is built deterministically from events columns —
+    both engines construct the identical string, then redact; md5 of the
+    redacted text pins every replaced byte."""
+    from datasketches_spark_spark.functions.redact import (
+        pii_counts, redact_pii)
+    ev = read_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    txt = F.concat(
+        F.lit("contact user"), uid,
+        F.lit(" at user"), uid, F.lit("@example.com or http://ex.com/u/"),
+        uid, F.lit(" ip 10.1."), (F.col("user_id") % 200).cast("string"),
+        F.lit(".7 call +1-555-"), F.lpad(uid, 4, "0"),
+        F.lit(" ref "), F.col("props"))
+    d = ev.where(F.col("event_id") < 200).select("event_id", txt.alias("t"))
+    c = pii_counts(F.col("t"))
+    return (d.select("event_id", F.md5(redact_pii("t")).alias("h"),
+                     c["URL"].alias("n_url"), c["EMAIL"].alias("n_email"),
+                     c["IP"].alias("n_ip"), c["PHONE"].alias("n_phone"))
+            .orderBy("event_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1164,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_dedup_drop_list": _q47_dedup_drop_list,
         "q48_decontamination": _q48_decontamination,
         "q49_asof_attribution": _q49_asof_attribution,
+        "q50_pii_redaction": _q50_pii_redaction,
     }
 
 
@@ -1683,5 +1708,42 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT * FROM events WHERE event_type = 'signup') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             GROUP BY l.user_id ORDER BY l.user_id
+        """,
+        # Same regex chain as functions/redact.py::PII_PATTERNS, written in
+        # the Java-regex/RE2 common subset so both engines match byte-4-byte.
+        "q50_pii_redaction": r"""
+            WITH t0 AS (
+              SELECT event_id,
+                     'contact user' || user_id || ' at user' || user_id ||
+                     '@example.com or http://ex.com/u/' || user_id ||
+                     ' ip 10.1.' || (user_id % 200) || '.7 call +1-555-' ||
+                     lpad(CAST(user_id AS VARCHAR), 4, '0') || ' ref ' ||
+                     props AS t
+              FROM events WHERE event_id < 200),
+            s1 AS (SELECT event_id, t,
+                     len(regexp_extract_all(t, 'https?://[^\s]+'))
+                       AS n_url,
+                     regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g')
+                       AS t1 FROM t0),
+            s2 AS (SELECT *,
+                     len(regexp_extract_all(t1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     regexp_replace(t1,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT *,
+                     len(regexp_extract_all(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                     regexp_replace(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t3 FROM s2),
+            s4 AS (SELECT *,
+                     len(regexp_extract_all(t3, '\+?\d[\d\- ]{7,}\d'))
+                       AS n_phone,
+                     regexp_replace(t3, '\+?\d[\d\- ]{7,}\d',
+                       '<PHONE>', 'g') AS t4 FROM s3)
+            SELECT event_id, md5(t4) AS h, n_url, n_email, n_ip, n_phone
+            FROM s4 ORDER BY event_id
         """,
     }
