@@ -1132,6 +1132,24 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id"))
 
 
+def _q51_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (`functions/text.py::
+    repetition_features`): duplicate-token/bigram fractions and the
+    top-bigram share, all pure JVM array expressions, shuffle-free.
+    Fractions are single integer divisions — bit-identical in DuckDB."""
+    from datasketches_spark_spark.functions.text import repetition_features
+    docs = read_table(spark, sf_dir, "documents")
+    r = repetition_features("text")
+    return (docs.where(F.col("doc_id") < 300)
+            .select("doc_id", r["n_tokens"].alias("n_tokens"),
+                    r["n_distinct"].alias("n_distinct"),
+                    r["dup_token_frac"].alias("dup_token_frac"),
+                    r["dup_bigram_frac"].alias("dup_bigram_frac"),
+                    r["top_bigram_n"].alias("top_bigram_n"),
+                    r["top_bigram_frac"].alias("top_bigram_frac"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1189,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_decontamination": _q48_decontamination,
         "q49_asof_attribution": _q49_asof_attribution,
         "q50_pii_redaction": _q50_pii_redaction,
+        "q51_repetition_quality": _q51_repetition_quality,
     }
 
 
@@ -1745,5 +1764,33 @@ def oracle_sql() -> dict[str, str]:
                        '<PHONE>', 'g') AS t4 FROM s3)
             SELECT event_id, md5(t4) AS h, n_url, n_email, n_ip, n_phone
             FROM s4 ORDER BY event_id
+        """,
+        "q51_repetition_quality": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 300),
+            b AS (
+              SELECT doc_id, toks,
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1]) AS bg
+              FROM t),
+            c AS (
+              SELECT doc_id,
+                     len(toks) AS n, len(list_distinct(toks)) AS nd,
+                     len(bg) AS nb, len(list_distinct(bg)) AS nbd,
+                     CASE WHEN len(bg) > 0 THEN
+                       list_aggregate(list_transform(list_distinct(bg),
+                         g -> len(list_filter(bg, x -> x = g))), 'max')
+                     END AS top_bg
+              FROM b)
+            SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+                   CASE WHEN n > 0 THEN CAST(n - nd AS DOUBLE) / n END
+                     AS dup_token_frac,
+                   CASE WHEN nb > 0 THEN CAST(nb - nbd AS DOUBLE) / nb END
+                     AS dup_bigram_frac,
+                   top_bg AS top_bigram_n,
+                   CASE WHEN nb > 0 THEN CAST(top_bg AS DOUBLE) / nb END
+                     AS top_bigram_frac
+            FROM c ORDER BY doc_id
         """,
     }

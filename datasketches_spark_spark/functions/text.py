@@ -119,6 +119,45 @@ def lang_id(col, sep: str = " ") -> Column:
     return F.when(best > 0, result).otherwise(F.lit("und"))
 
 
+def repetition_features(col, sep: str = " ") -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", §A1.1 repetition filters) as pure Column
+    expressions:
+
+    * ``n_tokens`` / ``n_distinct`` — token totals.
+    * ``dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token, ``(n - distinct) / n``.
+    * ``dup_bigram_frac`` — same for adjacent word bigrams.
+    * ``top_bigram_n`` — occurrence count of the most frequent bigram.
+    * ``top_bigram_frac`` — that count over total bigrams (the "top n-gram
+      fraction" filter).
+
+    ``top_bigram_n`` scans the bigram array once per DISTINCT bigram —
+    O(d·m) per row, bounded by the document length, shuffle-free; at
+    100 TB this stays a per-row map stage. Fractions are one integer
+    division each, so they reproduce bit-identically in any IEEE engine.
+    Zero-denominator rows (empty / one-token docs) yield NULL fractions.
+    """
+    toks = tokenize(col, sep)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    bg = ngrams(toks, 2, sep)
+    nb = F.size(bg)
+    top_bg = F.when(nb > 0, F.array_max(
+        F.transform(F.array_distinct(bg),
+                    lambda g: F.size(F.filter(bg, lambda b: b == g)))))
+    frac = (lambda num, den:
+            F.when(den > 0, num.cast("double") / den.cast("double")))
+    return {
+        "n_tokens": n,
+        "n_distinct": nd,
+        "dup_token_frac": frac(n - nd, n),
+        "dup_bigram_frac": frac(nb - F.size(F.array_distinct(bg)), nb),
+        "top_bigram_n": top_bg,
+        "top_bigram_frac": frac(top_bg, nb),
+    }
+
+
 def quality_features(col, sep: str = " ") -> dict[str, Column]:
     """Quality-scoring components as named Column expressions: token count,
     distinct-token ratio, stopword ratio (en), mean token length. All exact
