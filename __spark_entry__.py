@@ -1150,6 +1150,43 @@ def _q51_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q52_rollup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sketch rollup: accumulate per-day quantile + Theta
+    states, PERSIST them to parquet, then answer two window queries by
+    merging the persisted states — the raw table is never rescanned. This
+    is the 100 TB serving pattern: the rollup is O(days) rows regardless
+    of raw volume, and each query merges a handful of kilobyte states.
+    Exact regime at fixture scale, so DuckDB reproduces both windows."""
+    import hashlib
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    qs = sketch_accumulate(ev.select(day, "value"), ["day"], "value",
+                           family="quantile", impl="MERGEABLE", k=_QK)
+    th = (sketch_accumulate(ev.select(day, "user_id"), ["day"], "user_id",
+                            family="theta", k=_TK)
+          .withColumnRenamed("state", "ustate"))
+    path = ("/tmp/dss_rollup_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    qs.join(th, "day").write.mode("overwrite").parquet(path)
+
+    roll = spark.read.parquet(path)
+
+    def window(label, lo, hi):
+        m = (roll.where((F.col("day") >= lo) & (F.col("day") < hi))
+             .agg(dsf.approx_percentile_combine("state").alias("q"),
+                  dsf.approx_count_distinct_combine("ustate").alias("u")))
+        est = dsf.approx_percentile_estimate("q", [0.5, 0.95])
+        return m.select(F.lit(label).alias("win"),
+                        F.element_at(est, 1).alias("p50"),
+                        F.element_at(est, 2).alias("p95"),
+                        dsf.approx_count_distinct_estimate("u")
+                        .alias("ndv_users"))
+
+    return (window("w1", "2024-01-03", "2024-01-10")
+            .unionByName(window("w2", "2024-01-15", "2024-01-29"))
+            .orderBy("win"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1208,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_asof_attribution": _q49_asof_attribution,
         "q50_pii_redaction": _q50_pii_redaction,
         "q51_repetition_quality": _q51_repetition_quality,
+        "q52_rollup_roundtrip": _q52_rollup_roundtrip,
     }
 
 
@@ -1792,5 +1830,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nb > 0 THEN CAST(top_bg AS DOUBLE) / nb END
                      AS top_bigram_frac
             FROM c ORDER BY doc_id
+        """,
+        "q52_rollup_roundtrip": """
+            SELECT 'w1' AS win,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.95) AS p95,
+                   count(DISTINCT user_id) AS ndv_users
+            FROM events
+            WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-03'
+              AND date_trunc('day', ts) <  TIMESTAMP '2024-01-10'
+            UNION ALL
+            SELECT 'w2' AS win,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.95) AS p95,
+                   count(DISTINCT user_id) AS ndv_users
+            FROM events
+            WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
+              AND date_trunc('day', ts) <  TIMESTAMP '2024-01-29'
+            ORDER BY win
         """,
     }
