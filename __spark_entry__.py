@@ -1187,6 +1187,54 @@ def _q52_rollup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("win"))
 
 
+def _q53_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: every document gets a two-tone 8x8 PPM
+    payload (left half gray a = (doc_id%16)*16, right half
+    b = ((doc_id*3)%16)*16) with a one-pixel noise bump on odd doc_ids —
+    so payload BYTES differ within a visual class, but the aHash
+    (`operators/imagecodec.py::average_hash`, real decode -> integer luma
+    -> block means -> threshold) collapses each class to one hash.
+    Grouping on the hash is the image near-dup operator: one narrow
+    shuffle, no pairwise comparisons. The construction makes the hash
+    closed-form (a>b -> f0f0... rows, a<b -> 0f0f..., a=b -> all zero),
+    so DuckDB reproduces it from the relational columns alone;
+    n_variants counts genuinely distinct payload bytes via md5."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+    from datasketches_spark_spark.operators import (
+        encode_ppm, perceptual_hash_images)
+
+    def _make(a, b, noise):
+        out = []
+        for av, bv, nv in zip(a, b, noise):
+            img = np.zeros((8, 8, 3), np.uint8)
+            img[:, :4] = int(av)
+            img[:, 4:] = int(bv)
+            if av != bv and nv:
+                img[0, 0] = int(av) + 1
+            out.append(encode_ppm(img))
+        return pd.Series(out, dtype=object)
+
+    _make.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                             "noise": pd.Series, "return": pd.Series}
+    make_ppm = F.pandas_udf(_make, BinaryType())
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_img = docs.select(
+        "doc_id",
+        make_ppm((F.col("doc_id") % 16) * 16,
+                 ((F.col("doc_id") * 3) % 16) * 16,
+                 F.col("doc_id") % 2).alias("payload"))
+    with_img = with_img.withColumn("pm", F.md5("payload"))
+    hashed = perceptual_hash_images(with_img, "doc_id", keep_cols=["pm"])
+    return (hashed.groupBy("phash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("pm").alias("n_variants"),
+                 F.min("doc_id").alias("min_doc"))
+            .orderBy("phash"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1246,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_pii_redaction": _q50_pii_redaction,
         "q51_repetition_quality": _q51_repetition_quality,
         "q52_rollup_roundtrip": _q52_rollup_roundtrip,
+        "q53_phash_dedup": _q53_phash_dedup,
     }
 
 
@@ -1848,5 +1897,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
               AND date_trunc('day', ts) <  TIMESTAMP '2024-01-29'
             ORDER BY win
+        """,
+        # Closed-form aHash of the two-tone construction (see the query
+        # docstring); n_variants counts the distinct (a, b, noise) byte
+        # variants the md5 distinguishes on the Spark side.
+        "q53_phash_dedup": """
+            WITH t AS (
+              SELECT doc_id, (doc_id % 16) * 16 AS a,
+                     ((doc_id * 3) % 16) * 16 AS b,
+                     CASE WHEN (doc_id % 16) <> ((doc_id * 3) % 16)
+                          THEN doc_id % 2 ELSE 0 END AS noise
+              FROM documents)
+            SELECT CASE WHEN a > b THEN 'f0f0f0f0f0f0f0f0'
+                        WHEN a < b THEN '0f0f0f0f0f0f0f0f'
+                        ELSE '0000000000000000' END AS phash,
+                   count(*) AS n_docs,
+                   count(DISTINCT a * 1000 + b * 10 + noise) AS n_variants,
+                   min(doc_id) AS min_doc
+            FROM t GROUP BY 1 ORDER BY 1
         """,
     }

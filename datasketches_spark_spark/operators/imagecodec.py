@@ -186,6 +186,44 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+def average_hash(img: np.ndarray, grid: int = 8) -> str:
+    """Perceptual average-hash (aHash): integer luma -> ``grid``x``grid``
+    block means -> threshold at the global mean -> bit string packed
+    row-major MSB-first, returned as fixed-width lowercase hex.
+
+    All arithmetic is integer (luma = (299r+587g+114b)//1000, means are
+    floor divisions), so the hash is bit-reproducible on any platform.
+    Visually identical images hash equal even when their bytes differ —
+    the basis for near-dup detection over image corpora. When the image
+    dimensions don't divide ``grid``, a nearest resample to
+    (``grid``, ``grid``) runs first (same pure index math as
+    :func:`resize_nearest`).
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    px = img.astype(np.int64)
+    if c >= 3:
+        gray = (px[:, :, 0] * 299 + px[:, :, 1] * 587
+                + px[:, :, 2] * 114) // 1000
+    else:
+        gray = px[:, :, 0]
+    if h % grid or w % grid:
+        gray = resize_nearest(gray, grid, grid)
+        bh = bw = 1
+    else:
+        bh, bw = h // grid, w // grid
+    blocks = (gray.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+              // (bh * bw))
+    mean = int(blocks.sum()) // (grid * grid)
+    bits = (blocks > mean).astype(np.uint64).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, f"0{grid * grid // 4}x")
+
+
 def image_features(img: np.ndarray) -> dict:
     """Decoded-pixel features: dimensions + per-channel means (grayscale
     reports its single mean on all three channels)."""

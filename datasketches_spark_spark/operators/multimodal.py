@@ -206,6 +206,28 @@ def extract_image_features(df: DataFrame, id_col: str,
         keep_cols=keep_cols)
 
 
+PHASH_FIELDS = [StructField("phash", StringType())]
+
+
+def perceptual_hash_images(df: DataFrame, id_col: str,
+                           payload_col: str = "payload",
+                           grid: int = 8,
+                           keep_cols: list[str] | None = None) -> DataFrame:
+    """Perceptual average-hash per image payload
+    (`imagecodec.average_hash`): decode -> integer luma -> grid block
+    means -> threshold bits, emitted as a fixed-width hex string column
+    ``phash``. Visually identical images collide even when their encoded
+    bytes differ, so an exact groupBy/join on ``phash`` IS the image
+    near-dup operator — one narrow hash shuffle at any corpus scale, no
+    pairwise comparisons. Hamming-tolerant matching can reuse the SimHash
+    pigeonhole buckets (`operators/dedup.py`) on the same bits."""
+    from .imagecodec import average_hash, decode_image
+    return transform_payloads(
+        df, id_col,
+        lambda raw: {"phash": average_hash(decode_image(raw), grid)},
+        PHASH_FIELDS, payload_col=payload_col, keep_cols=keep_cols)
+
+
 def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                   payload_col: str = "payload",
                   decoder: Callable[[bytes, int], list] | None = None
