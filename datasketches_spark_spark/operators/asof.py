@@ -126,8 +126,13 @@ def asof_join(left: DataFrame, right: DataFrame, on,
         res = res.withColumn(
             _MATCH, F.when(gap <= F.lit(int(tolerance_us)), F.col(_MATCH)))
 
+    # key columns come from the union-level attributes (equal to the left
+    # struct's fields on side=1 rows) so downstream groupBy/join on the
+    # same keys reuses the window's hash partitioning instead of
+    # re-shuffling.
     return res.select(
-        *[F.col(f"{_LEFT}.{c}").alias(c) for c in left.columns],
+        *[F.col(c) if c in keys else F.col(f"{_LEFT}.{c}").alias(c)
+          for c in left.columns],
         F.col(f"{_MATCH}.{matched_ts}").alias(matched_ts),
         *[F.col(f"{_MATCH}.{out_names[c]}").alias(out_names[c])
           for c in right_cols])
