@@ -1134,19 +1134,24 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q51_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (`functions/text.py::
-    repetition_features`): duplicate-token/bigram fractions and the
+    repetition_struct`): duplicate-token/bigram fractions and the
     top-bigram share, all pure JVM array expressions, shuffle-free.
-    Fractions are single integer divisions — bit-identical in DuckDB."""
-    from datasketches_spark_spark.functions.text import repetition_features
+    The struct lands in a named column first so it evaluates ONCE per
+    row (see the repetition_struct docstring); fractions are single
+    integer divisions — bit-identical in DuckDB."""
+    from datasketches_spark_spark.functions.text import (
+        repetition_fractions, repetition_struct)
     docs = read_table(spark, sf_dir, "documents")
-    r = repetition_features("text")
-    return (docs.where(F.col("doc_id") < 300)
-            .select("doc_id", r["n_tokens"].alias("n_tokens"),
-                    r["n_distinct"].alias("n_distinct"),
-                    r["dup_token_frac"].alias("dup_token_frac"),
-                    r["dup_bigram_frac"].alias("dup_bigram_frac"),
-                    r["top_bigram_n"].alias("top_bigram_n"),
-                    r["top_bigram_frac"].alias("top_bigram_frac"))
+    base = (docs.where(F.col("doc_id") < 300)
+            .select("doc_id", repetition_struct("text").alias("r")))
+    fr = repetition_fractions(F.col("r"))
+    return (base.select("doc_id",
+                        F.col("r.n_tokens").alias("n_tokens"),
+                        F.col("r.n_distinct").alias("n_distinct"),
+                        fr["dup_token_frac"].alias("dup_token_frac"),
+                        fr["dup_bigram_frac"].alias("dup_bigram_frac"),
+                        F.col("r.top_bigram_n").alias("top_bigram_n"),
+                        fr["top_bigram_frac"].alias("top_bigram_frac"))
             .orderBy("doc_id"))
 
 

@@ -117,3 +117,52 @@ def test_plan_single_shuffle_no_join(spark):
     assert "CartesianProduct" not in plan
     n_exchange = plan.count("Arguments: hashpartitioning")
     assert n_exchange == 1, plan
+
+
+class TestAsofProperty:
+    """Randomized equivalence with a brute-force reference: tiny key/ts
+    domains force key collisions, timestamp ties, and unmatched rows."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6),
+                  st.integers(0, 99)),
+        min_size=1, max_size=25)
+
+    @given(lrows=rows, rrows=rows)
+    @settings(max_examples=10, deadline=None)
+    def test_matches_bruteforce(self, spark, lrows, rrows):
+        from pyspark.sql import Row
+        left = spark.createDataFrame(
+            [Row(k=k, ts=ts, lid=i) for i, (k, ts, _) in enumerate(lrows)])
+        right = spark.createDataFrame(
+            [Row(k=k, ts=ts, rv=v) for k, ts, v in rrows])
+        out = asof_join(left, right, "k", left_ts="ts", right_cols=["rv"])
+        got = {r.lid: (r.ts_matched, r.rv) for r in out.collect()}
+
+        for i, (k, ts, _) in enumerate(lrows):
+            cands = [(rts, rv) for rk, rts, rv in rrows
+                     if rk == k and rts <= ts]
+            want = max(cands) if cands else (None, None)
+            assert got[i] == want, (i, k, ts)
+
+    @given(lrows=rows, rrows=rows)
+    @settings(max_examples=5, deadline=None)
+    def test_forward_matches_bruteforce(self, spark, lrows, rrows):
+        from pyspark.sql import Row
+        left = spark.createDataFrame(
+            [Row(k=k, ts=ts, lid=i) for i, (k, ts, _) in enumerate(lrows)])
+        right = spark.createDataFrame(
+            [Row(k=k, ts=ts, rv=v) for k, ts, v in rrows])
+        out = asof_join(left, right, "k", left_ts="ts", right_cols=["rv"],
+                        direction="forward")
+        got = {r.lid: (r.ts_matched, r.rv) for r in out.collect()}
+
+        for i, (k, ts, _) in enumerate(lrows):
+            cands = [(rts, rv) for rk, rts, rv in rrows
+                     if rk == k and rts >= ts]
+            # least ts wins; ties resolve to the struct-least payload
+            want = min(cands) if cands else (None, None)
+            assert got[i] == want, (i, k, ts)
