@@ -87,7 +87,12 @@ def asof_join(left: DataFrame, right: DataFrame, on,
                          *[F.col(c).alias(out_names[c])
                            for c in right_cols]).alias(_MATCH)
             ).schema[_MATCH].dataType).alias(_MATCH))
-    rhs = right.select(
+    # NULL-timestamp right rows can never satisfy ts <= / >= (SQL
+    # comparison semantics, matching DuckDB ASOF) — but they would sort
+    # to the partition edge and get picked up by the window scan, so drop
+    # them here. NULL-timestamp LEFT rows also sort to the edge, where
+    # their frame holds no (remaining) right rows: they emit unmatched.
+    rhs = right.where(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in keys],
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
@@ -109,8 +114,10 @@ def asof_join(left: DataFrame, right: DataFrame, on,
         # descending scan: left rows see right rows at >= their ts; side
         # stays ASC so a right row at the exact left ts still precedes it
         # in the scan (inclusive match, like backward).
+        # desc_nulls_first keeps NULL-ts left rows at the partition edge
+        # (empty frame -> unmatched), mirroring the ascending default.
         w = (Window.partitionBy(*keys)
-             .orderBy(F.col(_TS).desc(), F.col(_SIDE).asc(),
+             .orderBy(F.col(_TS).desc_nulls_first(), F.col(_SIDE).asc(),
                       F.col(_MATCH).desc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         pay = F.last(_MATCH, ignorenulls=True).over(w)

@@ -166,3 +166,21 @@ class TestAsofProperty:
             # least ts wins; ties resolve to the struct-least payload
             want = min(cands) if cands else (None, None)
             assert got[i] == want, (i, k, ts)
+
+
+def test_null_timestamps_never_match(spark):
+    """SQL comparison semantics: a NULL timestamp satisfies neither
+    ts <= nor ts >= — null-ts right rows are never matches and null-ts
+    left rows emit unmatched, in BOTH directions."""
+    left = spark.createDataFrame(
+        [Row(k="a", ts=10, lid=1), Row(k="a", ts=None, lid=2)],
+        "k string, ts long, lid long")
+    right = spark.createDataFrame(
+        [Row(k="a", ts=None, rv="bad"), Row(k="a", ts=8, rv="ok")],
+        "k string, ts long, rv string")
+    for direction, want in (("backward", "ok"), ("forward", None)):
+        out = asof_join(left, right, "k", left_ts="ts",
+                        right_cols=["rv"], direction=direction)
+        got = {r.lid: r.rv for r in out.collect()}
+        assert got[1] == want, direction    # never the null-ts "bad" row
+        assert got[2] is None, direction    # null-ts left: unmatched
