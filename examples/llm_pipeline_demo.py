@@ -5,13 +5,16 @@ One pass through every curation stage the engine provides, in the order a
 real 100 TB pipeline runs them — each stage is a pure DataFrame transform,
 so the whole pipeline is ONE lazy plan family Catalyst can optimize:
 
-1. language ID + quality scoring (pure Column expressions);
-2. quality gate (drop low-quality docs before any expensive stage);
-3. exact dedup (content fingerprint groupBy);
-4. near-dup removal: MinHash-LSH pairs -> connected components ->
+1. PII redaction (regex chain, per-row);
+2. language ID + quality scoring incl. Gopher repetition filters
+   (pure Column expressions);
+3. quality gate (drop low-quality / repetitive docs before any
+   expensive stage);
+4. exact dedup (content fingerprint groupBy);
+5. near-dup removal: MinHash-LSH pairs -> connected components ->
    keep-longest drop list -> anti-join;
-5. token-budget mix construction per language (greedy-prefix window);
-6. corpus summary with sketch aggregates (NDV, percentiles, top sources).
+6. token-budget mix construction per language (greedy-prefix window);
+7. corpus summary with sketch aggregates (NDV, percentiles, top sources).
 
 Run: python examples/llm_pipeline_demo.py [sf_dir]
 """
@@ -26,8 +29,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import datasketches_spark_spark as dss  # noqa: E402
 from datasketches_spark_spark import functions as dsf  # noqa: E402
+from datasketches_spark_spark.functions.redact import (  # noqa: E402
+    redact_pii)
 from datasketches_spark_spark.functions.text import (  # noqa: E402
-    doc_fingerprint, lang_id, quality_features, token_count)
+    doc_fingerprint, lang_id, quality_features, repetition_fractions,
+    repetition_struct, token_count)
 from datasketches_spark_spark.operators import (  # noqa: E402
     budget_select, dedup_drop_list, minhash_dedup_pairs)
 from datasketches_spark_spark.sources import (  # noqa: E402
@@ -45,17 +51,29 @@ def main() -> None:
     n0 = docs.count()
     print(f"[0] raw corpus: {n0} docs")
 
-    # 1-2. language ID + quality gate (everything stays JVM-side)
+    # 1. PII scrub first, so nothing downstream (dedup shingles, the mix,
+    # the stored corpus) ever sees a raw address
+    docs = docs.withColumn("text", redact_pii("text"))
+
+    # 2-3. language ID + quality/repetition gate (everything JVM-side;
+    # the repetition struct lands in a column so it evaluates once)
     q = quality_features("text")
     scored = docs.select(
         "*", lang_id("text").alias("lang_pred"),
         q["stopword_ratio"].alias("stopword_ratio"),
         q["mean_token_len"].alias("mean_token_len"),
-        token_count("text").alias("toks"))
-    gated = scored.where((F.col("toks") >= 5)
-                         & (F.col("mean_token_len") < 20))
+        token_count("text").alias("toks"),
+        repetition_struct("text").alias("rep"))
+    rep = repetition_fractions(F.col("rep"))
+    gated = (scored
+             .withColumn("top_bigram_frac", rep["top_bigram_frac"])
+             .where((F.col("toks") >= 5)
+                    & (F.col("mean_token_len") < 20)
+                    & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+                       < 0.5))
+             .drop("rep"))
     n1 = gated.count()
-    print(f"[1] after quality gate: {n1} docs (-{n0 - n1})")
+    print(f"[1] after quality+repetition gate: {n1} docs (-{n0 - n1})")
 
     # 3. exact dedup: keep the first doc of every identical-content group
     w_first = F.min("doc_id").over(Window.partitionBy("fp"))
