@@ -1240,6 +1240,26 @@ def _q53_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("phash"))
 
 
+def _q54_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index (`operators/similarity.py::build_ivf_index`):
+    the corpus is assigned to cells ONCE and written partitioned by cell;
+    queries load only the tiny centroid table plus the probed cells'
+    files (static partition pruning). Probing all 8 cells makes the
+    result exactly brute-force top-k, so the oracle hash-checks the full
+    build -> persist -> load -> probe machinery; partial-probe pruning
+    and recall are pytest-covered."""
+    import hashlib
+    from datasketches_spark_spark.operators import (
+        build_ivf_index, query_ivf_index)
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = ("/tmp/dss_ivf_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    build_ivf_index(emb, path, num_cells=8, iters=5)
+    qs = [(r.vec_id, r.embedding) for r in emb.where("vec_id < 10").collect()]
+    return (query_ivf_index(spark, path, qs, k=5, nprobe=8)
+            .orderBy("query_id", "rank"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1300,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_repetition_quality": _q51_repetition_quality,
         "q52_rollup_roundtrip": _q52_rollup_roundtrip,
         "q53_phash_dedup": _q53_phash_dedup,
+        "q54_ivf_index_query": _q54_ivf_index_query,
     }
 
 
@@ -1920,5 +1941,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT a * 1000 + b * 10 + noise) AS n_variants,
                    min(doc_id) AS min_doc
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "q54_ivf_index_query": """
+            SELECT q AS query_id, r AS rank, nb AS neighbor_id FROM (
+              SELECT a.vec_id q, b.vec_id nb,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) r
+              FROM embeddings a
+              JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+            ) WHERE r <= 5 ORDER BY query_id, rank
         """,
     }

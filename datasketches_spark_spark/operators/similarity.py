@@ -327,18 +327,10 @@ def train_ivf_centroids(corpus: DataFrame, num_cells: int = 16,
     return cents
 
 
-def ivf_ann_topk(corpus: DataFrame, queries: list[tuple],
-                 centroids: np.ndarray, k: int = 5, nprobe: int = 4,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
-    """IVF approximate top-k: each query probes its ``nprobe`` nearest
-    cells and scores only vectors assigned there — the candidate scan is
-    n * (nprobe / num_cells) instead of n. Exact re-rank inside the probed
-    cells; ties break on neighbor id."""
-    cmat = _normalize(np.asarray(centroids, dtype=np.float64))
-    cells = ivf_assign(corpus, cmat, id_col=id_col, vec_col=vec_col)
-    tagged = corpus.join(cells.withColumnRenamed("_id", id_col), id_col)
-
+def _probe_rows(queries: list[tuple], cmat: np.ndarray,
+                nprobe: int) -> list[tuple]:
+    """(query_id, cell, normalized qvec) rows for each query's ``nprobe``
+    nearest centroid cells."""
     q_rows = []
     for qid, vec in queries:
         v = np.asarray(vec, dtype=np.float64)
@@ -346,10 +338,16 @@ def ivf_ann_topk(corpus: DataFrame, queries: list[tuple],
         probes = np.argsort(-(cmat @ v))[:nprobe]
         for c in probes:
             q_rows.append((int(qid), int(c), [float(x) for x in v]))
-    spark = corpus.sparkSession
+    return q_rows
+
+
+def _probe_and_rank(tagged: DataFrame, q_rows: list[tuple], k: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """Score cell-tagged corpus vectors against broadcast probe rows and
+    keep each query's exact top-k within the probed cells."""
+    spark = tagged.sparkSession
     qdf = spark.createDataFrame(
         q_rows, "query_id long, cell int, qvec array<double>")
-
     cands = (tagged.join(F.broadcast(qdf), "cell")
              .where(F.col(id_col) != F.col("query_id")))
     dot = F.aggregate(
@@ -364,6 +362,72 @@ def ivf_ann_topk(corpus: DataFrame, queries: list[tuple],
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: list[tuple],
+                 centroids: np.ndarray, k: int = 5, nprobe: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells and scores only vectors assigned there — the candidate scan is
+    n * (nprobe / num_cells) instead of n. Exact re-rank inside the probed
+    cells; ties break on neighbor id."""
+    cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+    cells = ivf_assign(corpus, cmat, id_col=id_col, vec_col=vec_col)
+    tagged = corpus.join(cells.withColumnRenamed("_id", id_col), id_col)
+    return _probe_and_rank(tagged, _probe_rows(queries, cmat, nprobe),
+                           k, id_col, vec_col)
+
+
+def build_ivf_index(corpus: DataFrame, path: str, num_cells: int = 16,
+                    iters: int = 10, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    **train_kw) -> np.ndarray:
+    """Materialize an IVF index on disk: train the coarse quantizer, tag
+    every vector with its cell, and persist
+
+    * ``<path>/vectors`` — the corpus partitioned BY CELL, so a probe
+      reads only its cells' files (static partition pruning), and
+    * ``<path>/centroids`` — the tiny (cell, centroid) table.
+
+    Build once, query forever: at 100 TB the corpus assignment pass runs
+    a single time, and every later query touches `nprobe/num_cells` of
+    the data by FILE layout, not by filter luck. Returns the centroids."""
+    cents = train_ivf_centroids(corpus, num_cells=num_cells, iters=iters,
+                                seed=seed, vec_col=vec_col, **train_kw)
+    cells = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    tagged = corpus.join(cells.withColumnRenamed("_id", id_col), id_col)
+    tagged.write.mode("overwrite").partitionBy("cell") \
+        .parquet(path + "/vectors")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix of a persisted index, ordered by cell id."""
+    rows = (spark.read.parquet(path + "/centroids")
+            .orderBy("cell").collect())
+    return np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+
+def query_ivf_index(spark, path: str, queries: list[tuple], k: int = 5,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k against a persisted IVF index WITHOUT re-assigning the
+    corpus: load the centroids, compute each query's probe cells, and
+    scan only those cells' files (``cell IN (...)`` static partition
+    pruning on the partitioned layout). Same exact re-rank and tie-break
+    as `ivf_ann_topk`."""
+    cmat = load_ivf_centroids(spark, path)
+    q_rows = _probe_rows(queries, cmat, nprobe)
+    needed = sorted({c for _, c, _ in q_rows})
+    tagged = (spark.read.parquet(path + "/vectors")
+              .where(F.col("cell").isin(needed)))
+    return _probe_and_rank(tagged, q_rows, k, id_col, vec_col)
 
 
 def rhp_signatures(corpus: DataFrame, num_bits: int = 16, num_tables: int = 8,
