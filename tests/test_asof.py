@@ -184,3 +184,26 @@ def test_null_timestamps_never_match(spark):
         got = {r.lid: r.rv for r in out.collect()}
         assert got[1] == want, direction    # never the null-ts "bad" row
         assert got[2] is None, direction    # null-ts left: unmatched
+
+
+def test_hot_key_skew_correctness(spark):
+    """One key holds 50k left rows and 5k right rows (the skew shape a
+    1000-executor cluster sees as a straggler partition): results stay
+    exact — the window scan is O(n) per partition, never pairwise."""
+    left = (spark.range(50_000)
+            .select(F.lit("hot").alias("k"), (F.col("id") * 2).alias("ts"),
+                    F.col("id").alias("lid")))
+    right = (spark.range(5_000)
+             .select(F.lit("hot").alias("k"),
+                     (F.col("id") * 20 + 1).alias("ts"),
+                     F.col("id").alias("rid")))
+    out = asof_join(left, right, "k", left_ts="ts", right_cols=["rid"])
+    # right ts for rid r is 20r+1; left ts 2i matches rid floor((2i-1)/20)
+    check = out.select(
+        F.count("*").alias("n"),
+        F.sum(F.when(
+            (F.col("ts") < 1) & F.col("rid").isNull(), 1
+        ).otherwise(F.when(
+            F.col("rid") == F.floor((F.col("ts") - 1) / 20), 1)
+        )).alias("ok")).collect()[0]
+    assert check.n == 50_000 and check.ok == 50_000
