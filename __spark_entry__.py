@@ -1260,6 +1260,28 @@ def _q54_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def _q55_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (`functions/freqitems.py::
+    approx_join_size`): per-event-type frequency states over user_id,
+    then every type pair's equi-join output cardinality estimated from
+    the STATES alone — sum_k f_A(k)*f_B(k), the classic join-planner
+    input, without running any join on raw rows. Exact regime (map size
+    > user NDV), so DuckDB reproduces the exact pair counts."""
+    ev = read_table(spark, sf_dir, "events")
+    st = (ev.groupBy("event_type")
+          .agg(dsf.approx_freqitems_accumulate(
+              "user_id", item_type="long",
+              max_map_size=8192).alias("state")))
+    a, b = st.alias("a"), st.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+    return (pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        dsf.approx_join_size(F.col("a.state"), F.col("b.state"))
+        .alias("est_pairs"))
+        .orderBy("type_a", "type_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1321,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_rollup_roundtrip": _q52_rollup_roundtrip,
         "q53_phash_dedup": _q53_phash_dedup,
         "q54_ivf_index_query": _q54_ivf_index_query,
+        "q55_join_size_estimate": _q55_join_size_estimate,
     }
 
 
@@ -1953,5 +1976,20 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a
               JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
             ) WHERE r <= 5 ORDER BY query_id, rank
+        """,
+        "q55_join_size_estimate": """
+            WITH t AS (SELECT DISTINCT event_type FROM events),
+            c AS (SELECT event_type, user_id, count(*) n
+                  FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type ta, b.event_type tb,
+                         sum(a.n * b.n) s
+                  FROM c a JOIN c b ON a.user_id = b.user_id
+                                    AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   COALESCE(p.s, 0) AS est_pairs
+            FROM t x JOIN t y ON x.event_type < y.event_type
+            LEFT JOIN p ON p.ta = x.event_type AND p.tb = y.event_type
+            ORDER BY type_a, type_b
         """,
     }

@@ -32,6 +32,7 @@ from .freqitems import (
     approx_freqitems_accumulate,
     approx_freqitems_combine,
     approx_freqitems_estimate,
+    approx_join_size,
 )
 from .sampling import (
     approx_sample_accumulate,
@@ -75,6 +76,7 @@ __all__ = [
     "approx_freqitems_accumulate",
     "approx_freqitems_combine",
     "approx_freqitems_estimate",
+    "approx_join_size",
     # distinct count (#13-#18)
     "approx_count_distinct_ex",
     "approx_count_distinct_cpc",

@@ -57,3 +57,14 @@ def approx_freqitems_combine(col) -> Column:
 
 def approx_freqitems_estimate(col, item_type: str = "string") -> Column:
     return freq_est_udf(_item_type(item_type))(_col(col))
+
+
+def approx_join_size(col_a, col_b) -> Column:
+    """Estimated equi-join output cardinality from two persisted
+    frequent-items states over the join key: ``sum_k est_A(k)*est_B(k)``.
+    Exact when both states are exact-regime; heavy-hitter-dominated
+    approximation otherwise (see `udfs.freq_join_size_udf`). Engine
+    extension — the reference has no cross-state estimator; the pattern
+    is the classic sketch-based join planner input."""
+    from .udfs import freq_join_size_udf
+    return freq_join_size_udf()(_col(col_a), _col(col_b))

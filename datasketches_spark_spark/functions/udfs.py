@@ -310,6 +310,44 @@ def freq_est_udf(item_type: str):
     return est
 
 
+def freq_join_size_udf():
+    """Scalar: two frequent-items states -> estimated equi-join output
+    cardinality on the sketched key, ``sum_k est_A(k) * est_B(k)`` over
+    the smaller sketch's item map.
+
+    EXACT when both states are in the exact regime (no purge yet) — the
+    sum is then literally |A JOIN B| on that key. In estimation mode it
+    is a heavy-hitter approximation: retained items contribute their
+    upper-bound estimates, purged (low-frequency) items contribute 0.
+    Join size is dominated by heavy keys (the terms are products), which
+    is exactly what the sketch retains — the standard use of frequency
+    sketches in join planning."""
+
+    @pandas_udf(LongType())
+    def jsize(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            try:
+                sa = deserialize_any(bytes(ba))
+                sb = deserialize_any(bytes(bb))
+                if not (isinstance(sa, FreqItemsSketch)
+                        and isinstance(sb, FreqItemsSketch)):
+                    raise ValueError("not frequent-items states")
+                if len(sa._counts) > len(sb._counts):
+                    sa, sb = sb, sa
+                out.append(sum(sa.estimate(i) * sb.estimate(i)
+                               for i in sa._counts))
+            except Exception as e:
+                log.warning("approx_join_size: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return jsize
+
+
 # --------------------------------------------------------------------- set ops
 
 def _theta_pair(blob_a, blob_b):

@@ -558,3 +558,65 @@ class TestThetaSetOps:
         assert a.jaccard_estimate(b) == 0.0
         assert a.jaccard_estimate(a) == 1.0
         assert a.a_not_b_estimate(a) == 0
+
+
+class TestJoinSizeEstimate:
+    """approx_join_size: exact-regime equality with the true join count,
+    estimation-mode heavy-hitter behavior, null/corrupt handling."""
+
+    def _states(self, spark, rows_a, rows_b, m=64):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        from pyspark.sql import functions as F
+        dfa = spark.createDataFrame([Row(k=x) for x in rows_a])
+        dfb = spark.createDataFrame([Row(k=x) for x in rows_b])
+        sa = dfa.agg(dsf.approx_freqitems_accumulate(
+            "k", item_type="long", max_map_size=m).alias("s")).collect()[0].s
+        sb = dfb.agg(dsf.approx_freqitems_accumulate(
+            "k", item_type="long", max_map_size=m).alias("s")).collect()[0].s
+        return sa, sb
+
+    def _jsize(self, spark, sa, sb):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame(
+            [Row(a=bytearray(sa), b=bytearray(sb))])
+        return df.select(
+            dsf.approx_join_size("a", "b").alias("j")).collect()[0].j
+
+    def test_exact_regime_matches_true_join(self, spark):
+        import collections
+        rows_a = [1, 1, 1, 2, 2, 3, 7]
+        rows_b = [1, 2, 2, 2, 4]
+        ca, cb = collections.Counter(rows_a), collections.Counter(rows_b)
+        want = sum(ca[k] * cb[k] for k in ca)   # 3*1 + 2*3 = 9
+        sa, sb = self._states(spark, rows_a, rows_b)
+        assert self._jsize(spark, sa, sb) == want
+
+    def test_disjoint_keys_zero(self, spark):
+        sa, sb = self._states(spark, [1, 2, 3], [4, 5, 6])
+        assert self._jsize(spark, sa, sb) == 0
+
+    def test_estimation_mode_keeps_heavy_terms(self, spark):
+        # tiny map forces purge; the two heavy keys dominate the true
+        # join size and must keep the estimate within the sketch's
+        # error envelope: est(k) in [true, true + maxErr] per side
+        rows_a = [0] * 500 + [1] * 300 + list(range(100, 160))
+        rows_b = [0] * 400 + [1] * 200 + list(range(130, 190))
+        sa, sb = self._states(spark, rows_a, rows_b, m=8)
+        est = self._jsize(spark, sa, sb)
+        true_heavy = 500 * 400 + 300 * 200
+        assert est >= true_heavy            # upper-bound estimates
+        assert est <= true_heavy * 1.5      # errors stay sketch-bounded
+
+    def test_null_and_corrupt(self, spark):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        sa, _ = self._states(spark, [1], [1])
+        df = spark.createDataFrame(
+            [Row(a=bytearray(sa), b=None),
+             Row(a=bytearray(sa), b=bytearray(b"junkjunk"))],
+            "a binary, b binary")
+        out = [r.j for r in df.select(
+            dsf.approx_join_size("a", "b").alias("j")).collect()]
+        assert out == [None, None]
