@@ -460,3 +460,25 @@ class TestRankCdf:
                       ).collect()[0].q
         r = st.select(dsf.approx_rank_estimate("s", q).alias("r")).collect()[0].r
         assert r >= 0.5  # rank of the p50 value covers at least half the mass
+
+
+def test_sql_approx_join_size(spark, tables):
+    """The bare-SQL name computes the exact pair count in exact regime."""
+    import datasketches_spark_spark as dss
+    dss.install(spark)
+    got = spark.sql("""
+      WITH st AS (SELECT event_type,
+           approx_freqitems_accumulate(CAST(user_id AS STRING)) AS s
+           FROM events GROUP BY event_type)
+      SELECT approx_join_size(a.s, b.s) AS j
+      FROM st a JOIN st b
+      ON a.event_type = 'click' AND b.event_type = 'view'
+    """).collect()[0].j
+    want = spark.sql("""
+      WITH c AS (SELECT event_type, user_id, count(*) n
+                 FROM events GROUP BY 1, 2)
+      SELECT sum(a.n * b.n) AS j FROM c a JOIN c b
+      ON a.user_id = b.user_id
+      AND a.event_type = 'click' AND b.event_type = 'view'
+    """).collect()[0].j
+    assert got == want
