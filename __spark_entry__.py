@@ -1282,6 +1282,32 @@ def _q55_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("type_a", "type_b"))
 
 
+def _q56_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection from states alone
+    (`functions/quantiles.py::approx_ks_distance`): per-event-type
+    quantile states of two date windows, then the two-sample
+    Kolmogorov-Smirnov distance computed from the persisted states —
+    no raw re-scan at comparison time. Exact regime (float64 MERGEABLE,
+    k > window rows), so the value equals the true KS statistic, which
+    DuckDB reproduces via cumulative window counts over the union of
+    values."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+
+    def states(lo, hi, alias):
+        return (ev.where((day >= lo) & (day < hi))
+                .groupBy("event_type")
+                .agg(dsf.approx_percentile_accumulate(
+                    "value", impl="MERGEABLE", k=_QK).alias(alias)))
+
+    sa = states("2024-01-01", "2024-01-15", "sa")
+    sb = states("2024-01-15", "2024-01-29", "sb")
+    return (sa.join(sb, "event_type")
+            .select("event_type",
+                    dsf.approx_ks_distance("sa", "sb").alias("ks"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1344,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_phash_dedup": _q53_phash_dedup,
         "q54_ivf_index_query": _q54_ivf_index_query,
         "q55_join_size_estimate": _q55_join_size_estimate,
+        "q56_ks_drift": _q56_ks_drift,
     }
 
 
@@ -1991,5 +2018,33 @@ def oracle_sql() -> dict[str, str]:
             FROM t x JOIN t y ON x.event_type < y.event_type
             LEFT JOIN p ON p.ta = x.event_type AND p.tb = y.event_type
             ORDER BY type_a, type_b
+        """,
+        # Two-sample KS via cumulative counts: DuckDB's default window
+        # frame with ORDER BY is RANGE ... CURRENT ROW, so ties are
+        # included — F(v) is the right-inclusive ECDF, evaluated at every
+        # jump point of either sample (where the sup of two step
+        # functions is attained).
+        "q56_ks_drift": """
+            WITH u AS (
+              SELECT event_type, value,
+                     CASE WHEN date_trunc('day', ts) <
+                               TIMESTAMP '2024-01-15' THEN 1 ELSE 0
+                     END AS ia
+              FROM events
+              WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-01'
+                AND date_trunc('day', ts) <  TIMESTAMP '2024-01-29'),
+            n AS (SELECT event_type, sum(ia) na, sum(1 - ia) nb
+                  FROM u GROUP BY 1),
+            s AS (SELECT event_type, value,
+                         sum(ia) OVER (PARTITION BY event_type
+                                       ORDER BY value) ca,
+                         sum(1 - ia) OVER (PARTITION BY event_type
+                                           ORDER BY value) cb
+                  FROM u)
+            SELECT s.event_type,
+                   max(abs(CAST(ca AS DOUBLE) / na
+                           - CAST(cb AS DOUBLE) / nb)) AS ks
+            FROM s JOIN n ON s.event_type = n.event_type
+            GROUP BY s.event_type ORDER BY s.event_type
         """,
     }

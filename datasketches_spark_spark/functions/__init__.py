@@ -42,6 +42,7 @@ from .sampling import (
     approx_sample_weighted_accumulate,
 )
 from .quantiles import (
+    approx_ks_distance,
     approx_cdf_estimate,
     approx_percentile_accumulate,
     approx_rank_estimate,
@@ -77,6 +78,7 @@ __all__ = [
     "approx_freqitems_combine",
     "approx_freqitems_estimate",
     "approx_join_size",
+    "approx_ks_distance",
     # distinct count (#13-#18)
     "approx_count_distinct_ex",
     "approx_count_distinct_cpc",

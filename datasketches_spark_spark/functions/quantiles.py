@@ -184,3 +184,14 @@ def approx_cdf_estimate(col, split_points) -> Column:
     if not sps:
         raise ValueError("split_points must be non-empty")
     return cdf_est_udf(sps)(_col(col))
+
+
+def approx_ks_distance(col_a, col_b) -> Column:
+    """Two-sample Kolmogorov-Smirnov distance between two persisted
+    quantile states — exact in the exact regime, rank-error-bounded
+    otherwise (`udfs.ks_distance_udf`). Drift detection across windows
+    from states alone; the DataSketches library's kolmogorov_smirnov
+    test is the same primitive over its quantile sketches."""
+    from .udfs import ks_distance_udf
+    c = lambda x: F.col(x) if isinstance(x, str) else x
+    return ks_distance_udf()(c(col_a), c(col_b))

@@ -310,6 +310,59 @@ def freq_est_udf(item_type: str):
     return est
 
 
+def ks_distance_udf():
+    """Scalar: two quantile (KLL-family) states -> two-sample
+    Kolmogorov-Smirnov distance, ``sup_x |F_A(x) - F_B(x)|`` over the
+    union of retained items (the sup of two step functions is attained
+    at a jump point, so evaluating at every retained value is exact for
+    the sketched distributions).
+
+    Exact-regime states retain every raw value at weight 1, so the
+    result IS the exact two-sample KS statistic; in estimation mode it
+    is the KS distance between the sketch-approximated ECDFs, with error
+    bounded by the two sketches' rank-error envelopes. The DataSketches
+    library ships the same capability for its quantile sketches
+    (kolmogorov_smirnov_test); this engine computes the distance from
+    any two persisted states — the drift-detection primitive for
+    comparing two time windows without raw rescans."""
+    from ..sketches.kll import KllSketch
+
+    @pandas_udf(DoubleType())
+    def ks(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            try:
+                sa = deserialize_any(bytes(ba))
+                sb = deserialize_any(bytes(bb))
+                if not (isinstance(sa, KllSketch)
+                        and isinstance(sb, KllSketch)):
+                    raise ValueError("not quantile (KLL-family) states")
+                if sa.n == 0 or sb.n == 0:
+                    out.append(None)
+                    continue
+                va, wa = sa._weighted_items()
+                vb, wb = sb._weighted_items()
+                xs = np.union1d(va, vb)
+
+                def ecdf(v, w):
+                    cum = np.cumsum(w)
+                    idx = np.searchsorted(v, xs, side="right")
+                    return np.where(idx > 0, cum[np.maximum(idx - 1, 0)],
+                                    0) / float(cum[-1])
+
+                out.append(float(np.max(np.abs(ecdf(va, wa)
+                                               - ecdf(vb, wb)))))
+            except Exception as e:
+                log.warning("approx_ks_distance: corrupt state: %s", e)
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return ks
+
+
 def freq_join_size_udf():
     """Scalar: two frequent-items states -> estimated equi-join output
     cardinality on the sketched key, ``sum_k est_A(k) * est_B(k)`` over

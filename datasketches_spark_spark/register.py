@@ -314,8 +314,9 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_set_intersection",
                        theta_setop_udf("intersection"))
     spark.udf.register("approx_set_difference", theta_setop_udf("a_not_b"))
-    from .functions.udfs import freq_join_size_udf
+    from .functions.udfs import freq_join_size_udf, ks_distance_udf
     spark.udf.register("approx_join_size", freq_join_size_udf())
+    spark.udf.register("approx_ks_distance", ks_distance_udf())
 
     # Reservoir sampling family (extension): per-group uniform samples
     # with the same accumulate/combine/estimate lifecycle; combine is the

@@ -620,3 +620,66 @@ class TestJoinSizeEstimate:
         out = [r.j for r in df.select(
             dsf.approx_join_size("a", "b").alias("j")).collect()]
         assert out == [None, None]
+
+
+class TestKsDistance:
+    """approx_ks_distance: exact-regime equality with brute-force KS."""
+
+    def _state(self, spark, vals, k=262_144):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([Row(v=float(x)) for x in vals])
+        return df.agg(dsf.approx_percentile_accumulate(
+            "v", impl="MERGEABLE", k=k).alias("s")).collect()[0].s
+
+    def _ks(self, spark, sa, sb):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([Row(a=bytearray(sa), b=bytearray(sb))])
+        return df.select(
+            dsf.approx_ks_distance("a", "b").alias("k")).collect()[0].k
+
+    @staticmethod
+    def _brute(a, b):
+        xs = sorted(set(a) | set(b))
+        fa = [sum(1 for v in a if v <= x) / len(a) for x in xs]
+        fb = [sum(1 for v in b if v <= x) / len(b) for x in xs]
+        return max(abs(p - q) for p, q in zip(fa, fb))
+
+    def test_exact_matches_bruteforce(self, spark):
+        import random
+        rng = random.Random(11)
+        a = [rng.randint(0, 40) for _ in range(200)]
+        b = [rng.randint(10, 60) for _ in range(150)]
+        sa, sb = self._state(spark, a), self._state(spark, b)
+        assert self._ks(spark, sa, sb) == self._brute(a, b)
+
+    def test_identical_zero_disjoint_one(self, spark):
+        a = [1.0, 2.0, 3.0, 3.0]
+        sa = self._state(spark, a)
+        assert self._ks(spark, sa, sa) == 0.0
+        sb = self._state(spark, [10.0, 11.0])
+        assert self._ks(spark, sa, sb) == 1.0
+
+    def test_estimation_mode_bounded(self, spark):
+        # same distribution through two small-k sketches: the measured
+        # distance must stay inside the summed rank-error envelopes
+        # (KLL k=128 normalized rank error ~1.7%; generous 10% bound)
+        import random
+        rng = random.Random(5)
+        vals = [rng.gauss(0, 1) for _ in range(20_000)]
+        sa = self._state(spark, vals[:10_000], k=128)
+        sb = self._state(spark, vals[10_000:], k=128)
+        assert self._ks(spark, sa, sb) < 0.10
+
+    def test_null_and_corrupt(self, spark):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        sa = self._state(spark, [1.0])
+        df = spark.createDataFrame(
+            [Row(a=bytearray(sa), b=None),
+             Row(a=bytearray(sa), b=bytearray(b"nope"))],
+            "a binary, b binary")
+        out = [r.k for r in df.select(
+            dsf.approx_ks_distance("a", "b").alias("k")).collect()]
+        assert out == [None, None]
