@@ -397,8 +397,13 @@ def build_ivf_index(corpus: DataFrame, path: str, num_cells: int = 16,
                                 seed=seed, vec_col=vec_col, **train_kw)
     cells = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     tagged = corpus.join(cells.withColumnRenamed("_id", id_col), id_col)
-    tagged.write.mode("overwrite").partitionBy("cell") \
-        .parquet(path + "/vectors")
+    # co-locate rows by cell before the partitioned write: without this,
+    # every shuffle partition writes a file into every cell directory
+    # (tasks x cells small files); with it, each cell's rows land in a
+    # handful of right-sized files — the layout that makes the probe-side
+    # file pruning worth having at 100 TB.
+    tagged.repartition("cell").write.mode("overwrite") \
+        .partitionBy("cell").parquet(path + "/vectors")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
