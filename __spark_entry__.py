@@ -1308,6 +1308,25 @@ def _q56_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q57_embedding_decontamination(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (`operators/similarity.py::
+    nearest_reference`): every corpus vector's nearest benchmark vector
+    via one broadcast-GEMM mapInPandas pass — no shuffle, no self-join;
+    the benchmark set (vec_id % 13 == 0, the q48 convention) is small by
+    definition. Output is (vec_id, nearest bench id) per corpus vector
+    with id tie-breaks, so only the cosine ORDERING must agree with the
+    oracle — the same contract q19/q25 pin."""
+    from datasketches_spark_spark.operators import nearest_reference
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 13 == 0)
+    corpus = emb.where((F.col("vec_id") % 13 != 0)
+                       & (F.col("vec_id") < 400))
+    return (nearest_reference(corpus, bench)
+            .select("vec_id", F.col("ref_id").alias("bench_id"))
+            .orderBy("vec_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1371,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_ivf_index_query": _q54_ivf_index_query,
         "q55_join_size_estimate": _q55_join_size_estimate,
         "q56_ks_drift": _q56_ks_drift,
+        "q57_embedding_decontamination": _q57_embedding_decontamination,
     }
 
 
@@ -2046,5 +2066,19 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(cb AS DOUBLE) / nb)) AS ks
             FROM s JOIN n ON s.event_type = n.event_type
             GROUP BY s.event_type ORDER BY s.event_type
+        """,
+        "q57_embedding_decontamination": """
+            SELECT vec_id, bench_id FROM (
+              SELECT a.vec_id, b.vec_id AS bench_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                       b.vec_id) AS rn
+              FROM embeddings a
+              JOIN embeddings b ON b.vec_id % 13 = 0
+              WHERE a.vec_id % 13 <> 0 AND a.vec_id < 400
+            ) WHERE rn = 1 ORDER BY vec_id
         """,
     }

@@ -105,6 +105,55 @@ def cosine_topk(corpus: DataFrame, queries: list[tuple], k: int = 5,
             .select("query_id", "rank", "neighbor_id"))
 
 
+def nearest_reference(corpus: DataFrame, reference: DataFrame,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      ref_id_col: str | None = None,
+                      max_reference: int = 100_000) -> DataFrame:
+    """Top-1 cosine neighbor in a SMALL reference set for EVERY corpus
+    row — the embedding-decontamination shape: the benchmark/eval set is
+    bounded by definition, so it broadcasts into one mapInPandas GEMM
+    pass over the (arbitrarily large) corpus. No shuffle, no self-join;
+    corpus cost is one scan regardless of reference size. Returns
+    ``(id, ref_id)``; ties break on the smallest reference id.
+
+    ``max_reference`` guards the driver-side collect — decontamination
+    against a reference set that doesn't fit one broadcast wants the
+    exact n-gram path (`ngram_overlap_flags`) or RHP blocking instead."""
+    ref_id_col = ref_id_col or id_col
+    rows = reference.select(ref_id_col, vec_col).limit(max_reference + 1) \
+        .collect()
+    if not rows:
+        raise ValueError("reference set is empty")
+    if len(rows) > max_reference:
+        raise ValueError(
+            f"reference set exceeds max_reference={max_reference}; use a "
+            "blocked strategy for references this large")
+    order = np.argsort(np.array([r[0] for r in rows]))
+    rids = np.array([rows[i][0] for i in order])
+    rmat = _normalize(np.asarray(
+        [np.asarray(rows[i][1], dtype=np.float64) for i in order]))
+
+    src = corpus.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).alias("_v"))
+    out_schema = StructType([
+        StructField("_id", src.schema["_id"].dataType),
+        StructField("ref_id", src.schema["_id"].dataType),
+    ])
+
+    def nearest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.vstack(pdf["_v"].to_numpy()))
+            # argmax returns the FIRST max -> smallest ref id on ties
+            best = (mat @ rmat.T).argmax(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(),
+                                "ref_id": rids[best]})
+
+    return (src.mapInPandas(nearest, out_schema)
+            .withColumnRenamed("_id", id_col))
+
+
 def rhp_plan(threshold: float, per_pair_miss: float = 1e-9,
              max_tables: int = 64, max_bits: int = 24) -> tuple[int, int]:
     """Auto-tune RHP-LSH banding for an exact-recall-target prefilter.

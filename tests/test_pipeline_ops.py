@@ -979,3 +979,47 @@ class TestDecontamination:
         b = spark.createDataFrame([(2, "g h i j k l")], ["doc_id", "text"])
         assert ngram_overlap_flags(c, b, "doc_id", "text",
                                    ngram_n=3).collect() == []
+
+
+class TestNearestReference:
+    def test_matches_bruteforce_and_tie_break(self, spark):
+        import numpy as np
+        from pyspark.sql import Row
+        from datasketches_spark_spark.operators import nearest_reference
+        ref = spark.createDataFrame(
+            [Row(vec_id=10, embedding=[1.0, 0.0]),
+             Row(vec_id=20, embedding=[0.0, 1.0]),
+             # same direction as vec 10 -> exact tie; smaller id wins
+             Row(vec_id=5, embedding=[2.0, 0.0])])
+        corpus = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[3.0, 0.1]),   # nearest: x-axis
+             Row(vec_id=2, embedding=[0.1, 9.0]),   # nearest: y-axis
+             Row(vec_id=3, embedding=[1.0, 0.0])])  # exact tie 5 vs 10
+        got = {r.vec_id: r.ref_id
+               for r in nearest_reference(corpus, ref).collect()}
+        assert got == {1: 5, 2: 20, 3: 5}
+
+    def test_no_shuffle_plan(self, spark):
+        from pyspark.sql import Row
+        from datasketches_spark_spark.operators import nearest_reference
+        ref = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+        corpus = spark.createDataFrame([Row(vec_id=2, embedding=[1.0, 1.0])])
+        out = nearest_reference(corpus, ref)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan
+
+    def test_empty_and_oversized_reference(self, spark):
+        import pytest
+        from pyspark.sql import Row
+        from datasketches_spark_spark.operators import nearest_reference
+        corpus = spark.createDataFrame([Row(vec_id=1, embedding=[1.0])])
+        empty = corpus.where("vec_id < 0")
+        with pytest.raises(ValueError, match="empty"):
+            nearest_reference(corpus, empty)
+        from pyspark.sql import functions as F
+        big = spark.range(5).select(
+            (25 - F.col("id")).alias("vec_id"),
+            F.array(F.lit(1.0)).alias("embedding"))
+        with pytest.raises(ValueError, match="max_reference"):
+            nearest_reference(corpus, big, max_reference=3)
