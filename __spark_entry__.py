@@ -1327,6 +1327,59 @@ def _q57_embedding_decontamination(spark: SparkSession,
             .orderBy("vec_id"))
 
 
+def _q58_streaming_windowed_evict(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Windowed streaming sketch accumulate WITH state eviction — the
+    round-6 'weak at scale' gap, oracle-gated: daily event-time windows
+    + 1-day watermark + `evict_after='2 days'`
+    (`streaming/sketch_stream.py::sketch_accumulate_stream`,
+    GroupStateTimeout.EventTimeTimeout), so closed windows LEAVE the
+    state store instead of accumulating forever. The replay is written
+    time-ordered in two chunks (watermark advances between triggers
+    without any row going late), so every window's final state is
+    complete and the per-day median matches DuckDB exactly."""
+    import tempfile
+    import uuid
+    from datasketches_spark_spark.streaming import (
+        await_or_fail, sketch_accumulate_stream, with_event_time_watermark)
+    ev = read_table(spark, sf_dir, "events").select("ts", "value")
+    src = tempfile.mkdtemp(prefix="dss_q58_src_")
+    # two time-ordered chunks -> two triggers; the watermark set by
+    # chunk 1 is behind every chunk-2 timestamp, so nothing drops late
+    ev.where(F.col("ts") < "2024-01-15").coalesce(1) \
+        .write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= "2024-01-15").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    marked = with_event_time_watermark(stream, "ts", "1 day")
+    keyed = marked.select(F.window("ts", "1 day").alias("win"), "value")
+    out = sketch_accumulate_stream(keyed, ["win"], "value",
+                                   family="quantile", impl="MERGEABLE",
+                                   k=_QK, evict_after="2 days")
+    name = f"q58_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dss_q58_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.sql(f"""
+        SELECT win, state FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY win ORDER BY n DESC) rn FROM {name}
+        ) WHERE rn = 1""")
+    return (final.select(
+        F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+        dsf.approx_percentile_estimate("state", 0.5).alias("p50_value"))
+        .orderBy("day"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1391,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_join_size_estimate": _q55_join_size_estimate,
         "q56_ks_drift": _q56_ks_drift,
         "q57_embedding_decontamination": _q57_embedding_decontamination,
+        "q58_streaming_windowed_evict": _q58_streaming_windowed_evict,
     }
 
 
@@ -2080,5 +2134,10 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id % 13 = 0
               WHERE a.vec_id % 13 <> 0 AND a.vec_id < 400
             ) WHERE rn = 1 ORDER BY vec_id
+        """,
+        "q58_streaming_windowed_evict": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   quantile_disc(value, 0.5) AS p50_value
+            FROM events GROUP BY 1 ORDER BY day
         """,
     }
