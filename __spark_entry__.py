@@ -1380,6 +1380,35 @@ def _q58_streaming_windowed_evict(spark: SparkSession,
         .orderBy("day"))
 
 
+def _q59_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed rollup lifecycle (`operators/rollup.py::SketchRollup`):
+    BUILD a (day, event_type) rollup from the first half of events,
+    REFRESH it incrementally with the second half (append-only partial
+    states — old raws never reprocessed), then ESTIMATE per event_type
+    over a day window SPANNING the refresh boundary, re-grouping
+    day-level states at query time. Exact regime, so the answers equal
+    DuckDB on the full raw table."""
+    import hashlib
+    from datasketches_spark_spark.operators import SketchRollup
+    from datasketches_spark_spark.operators.sketch_agg import (
+        distinct_measure, percentile_measure)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type", "value", "user_id")
+    path = ("/tmp/dss_rollup_mgr_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    roll = SketchRollup(
+        path, ["day", "event_type"],
+        [percentile_measure("p50_value", "value", 0.5,
+                            impl="MERGEABLE", k=_QK),
+         distinct_measure("ndv_users", "user_id", k=_TK)])
+    roll.build(ev.where(F.col("day") < "2024-01-15"))
+    roll.refresh(ev.where(F.col("day") >= "2024-01-15"))
+    win = ((F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-22"))
+    return (roll.estimate(spark, where=win, group_by=["event_type"])
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1445,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_ks_drift": _q56_ks_drift,
         "q57_embedding_decontamination": _q57_embedding_decontamination,
         "q58_streaming_windowed_evict": _q58_streaming_windowed_evict,
+        "q59_rollup_refresh": _q59_rollup_refresh,
     }
 
 
@@ -2139,5 +2169,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    quantile_disc(value, 0.5) AS p50_value
             FROM events GROUP BY 1 ORDER BY day
+        """,
+        "q59_rollup_refresh": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50_value,
+                   count(DISTINCT user_id) AS ndv_users
+            FROM events
+            WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-08'
+              AND date_trunc('day', ts) <  TIMESTAMP '2024-01-22'
+            GROUP BY event_type ORDER BY event_type
         """,
     }
