@@ -79,3 +79,46 @@ def test_bad_group_by_and_empty_keys(tmp_path):
     roll = _rollup(tmp_path)
     with pytest.raises(ValueError, match="group_by"):
         roll.query(None, group_by=["nope"])
+
+
+def test_streaming_states_merge_into_batch_rollup(spark, sf_dir, tmp_path):
+    """One wire format everywhere: states written by the STREAMING
+    summary sink append into a batch-built SketchRollup and merge to the
+    same answer as batch-accumulating all the data."""
+    import shutil
+    from datasketches_spark_spark.streaming import (
+        await_or_fail, streaming_summary_sink)
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    first = ev.where(F.col("value") < 100)
+    rest = ev.where(F.col("value") >= 100)
+
+    roll = SketchRollup(
+        str(tmp_path / "roll"), ["event_type"],
+        [percentile_measure("p50", "value", 0.5,
+                            impl="MERGEABLE", k=262_144)])
+    roll.build(first)
+
+    # stream the remainder through the foreachBatch summary sink
+    src = str(tmp_path / "src")
+    rest.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    sink_path = str(tmp_path / "sink")
+    writer = streaming_summary_sink(
+        stream, ["event_type"], "value", family="quantile",
+        impl="MERGEABLE", k=262_144,
+        path=sink_path, checkpoint=str(tmp_path / "ckpt"))
+    await_or_fail(writer.trigger(availableNow=True).start(), 300)
+
+    # streaming states append into the rollup table verbatim (same wire
+    # format; only the column naming differs)
+    (spark.read.parquet(sink_path)
+     .select("event_type", F.col("state").alias("p50__state"))
+     .write.mode("append").parquet(roll.path))
+
+    got = {r.event_type: r.p50 for r in roll.estimate(spark).collect()}
+    full = SketchRollup(str(tmp_path / "full"), ["event_type"],
+                        roll.measures)
+    full.build(ev)
+    want = {r.event_type: r.p50 for r in full.estimate(spark).collect()}
+    assert got == want
