@@ -56,3 +56,14 @@ def test_shuffle_free_plan(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan
+
+
+def test_null_text_propagates_null(spark):
+    from datasketches_spark_spark.functions.text import (
+        repetition_fractions, repetition_struct)
+    df = spark.createDataFrame([Row(t=None)], "t string")
+    base = df.select(repetition_struct("t").alias("r"))
+    row = base.collect()[0].r
+    assert row.n_tokens is None and row.top_bigram_n is None
+    fr = repetition_fractions(F.col("r"))
+    assert base.select(fr["dup_token_frac"].alias("d")).collect()[0].d is None
