@@ -1409,6 +1409,95 @@ def _q59_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q60_rollup_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ACROSS rollup windows: the (day, event_type) rollup's
+    Theta states are re-grouped into two week windows per type, then
+    user-set overlap (intersection size, Jaccard) is computed purely
+    from the persisted states — audience-overlap analytics with zero raw
+    re-scans (`SketchRollup.query` + `approx_set_*`). Exact regime, so
+    DuckDB reproduces the integer overlap and the single-division
+    Jaccard."""
+    import hashlib
+    from datasketches_spark_spark.operators import SketchRollup
+    from datasketches_spark_spark.operators.sketch_agg import (
+        distinct_measure)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type", "user_id")
+    path = ("/tmp/dss_rollup_setops_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    roll = SketchRollup(path, ["day", "event_type"],
+                        [distinct_measure("ndv", "user_id", k=_TK)])
+    roll.build(ev)
+
+    def week(lo, hi):
+        return roll.query(
+            spark, where=(F.col("day") >= lo) & (F.col("day") < hi),
+            group_by=["event_type"])
+
+    w1 = week("2024-01-01", "2024-01-08").withColumnRenamed(
+        "ndv__state", "s1")
+    w2 = week("2024-01-08", "2024-01-15").withColumnRenamed(
+        "ndv__state", "s2")
+    return (w1.join(w2, "event_type")
+            .select("event_type",
+                    dsf.approx_set_intersection("s1", "s2")
+                    .alias("common_users"),
+                    dsf.approx_set_jaccard("s1", "s2").alias("jaccard"))
+            .orderBy("event_type"))
+
+
+def _q61_streaming_multi_measure(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Multi-measure streaming accumulate (`streaming/sketch_stream.py::
+    sketch_accumulate_stream_multi`): ONE state store pass maintains a
+    quantile sketch AND a Theta user-set per event_type — the streaming
+    twin of sketch_partial_multi (one checkpoint lineage instead of N
+    stateful operators). Final states estimated like any batch result;
+    exact regime, so medians and NDVs match DuckDB."""
+    import tempfile
+    import uuid
+    from datasketches_spark_spark.operators.sketch_agg import (
+        distinct_measure, percentile_measure)
+    from datasketches_spark_spark.streaming import (
+        await_or_fail, sketch_accumulate_stream_multi)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "value", "user_id")
+    src = tempfile.mkdtemp(prefix="dss_q61_src_")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sketch_accumulate_stream_multi(
+        stream, ["event_type"],
+        [percentile_measure("p50_value", "value", 0.5,
+                            impl="MERGEABLE", k=_QK),
+         distinct_measure("ndv_users", "user_id", k=_TK)])
+    name = f"q61_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dss_q61_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.sql(f"""
+        SELECT event_type, p50_value__state, ndv_users__state FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC) rn FROM {name}
+        ) WHERE rn = 1""")
+    return (final.select(
+        "event_type",
+        dsf.approx_percentile_estimate("p50_value__state", 0.5)
+        .alias("p50_value"),
+        dsf.approx_count_distinct_estimate("ndv_users__state")
+        .alias("ndv_users"))
+        .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1475,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_embedding_decontamination": _q57_embedding_decontamination,
         "q58_streaming_windowed_evict": _q58_streaming_windowed_evict,
         "q59_rollup_refresh": _q59_rollup_refresh,
+        "q60_rollup_set_algebra": _q60_rollup_set_algebra,
+        "q61_streaming_multi_measure": _q61_streaming_multi_measure,
     }
 
 
@@ -2178,5 +2269,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-08'
               AND date_trunc('day', ts) <  TIMESTAMP '2024-01-22'
             GROUP BY event_type ORDER BY event_type
+        """,
+        "q60_rollup_set_algebra": """
+            WITH w1 AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-01'
+                AND date_trunc('day', ts) <  TIMESTAMP '2024-01-08'),
+            w2 AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-08'
+                AND date_trunc('day', ts) <  TIMESTAMP '2024-01-15'),
+            i AS (SELECT w1.event_type, count(*) c
+                  FROM w1 JOIN w2 USING (event_type, user_id)
+                  GROUP BY 1),
+            n1 AS (SELECT event_type, count(*) c FROM w1 GROUP BY 1),
+            n2 AS (SELECT event_type, count(*) c FROM w2 GROUP BY 1)
+            SELECT n1.event_type,
+                   COALESCE(i.c, 0) AS common_users,
+                   CAST(COALESCE(i.c, 0) AS DOUBLE)
+                     / (n1.c + n2.c - COALESCE(i.c, 0)) AS jaccard
+            FROM n1 JOIN n2 USING (event_type)
+            LEFT JOIN i USING (event_type)
+            ORDER BY event_type
+        """,
+        "q61_streaming_multi_measure": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50_value,
+                   count(DISTINCT user_id) AS ndv_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -4,11 +4,13 @@ from .sketch_stream import (
     await_or_fail,
     session_distinct,
     sketch_accumulate_stream,
+    sketch_accumulate_stream_multi,
     streaming_dedup,
     streaming_summary_sink,
     with_event_time_watermark,
 )
 
 __all__ = ["await_or_fail", "session_distinct", "sketch_accumulate_stream",
+           "sketch_accumulate_stream_multi",
            "streaming_dedup", "streaming_summary_sink",
            "with_event_time_watermark"]

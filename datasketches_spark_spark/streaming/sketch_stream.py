@@ -224,6 +224,81 @@ def sketch_accumulate_stream(df: DataFrame, keys: list[str], col: str,
                                     "update", timeout))
 
 
+def sketch_accumulate_stream_multi(df: DataFrame, keys: list[str],
+                                   measures, evict_after=None) -> DataFrame:
+    """Stateful streaming accumulate over SEVERAL measures in one state
+    store pass: one state row per group holding one serialized sketch
+    per measure (the streaming twin of
+    ``sketch_agg.sketch_partial_multi``). Emits
+    ``(keys..., <name>__state ..., n)`` every trigger for updated
+    groups; eviction semantics are identical to
+    :func:`sketch_accumulate_stream` (``EventTimeTimeout`` horizon from
+    a window key's end, idle-key eviction otherwise).
+
+    Compared with running one single-measure stream per metric this
+    keeps ONE state store, one shuffle of the input, and one checkpoint
+    lineage — at scale the difference between N stateful operators and
+    one. States merge interchangeably with batch-built ones (same wire
+    format), so the outputs can feed a ``SketchRollup`` directly."""
+    from ..operators.sketch_agg import _measure_input
+    ms = list(measures)
+    fams = [(m, _family(m.family, **m.params)) for m in ms]
+    cols = list(dict.fromkeys(
+        [*keys, *(c for m in ms
+                  for c in (m.col if isinstance(m.col, tuple) else (m.col,)))]))
+    src = df.select(*cols)
+    key_fields = [src.schema[k] for k in keys]
+    state_cols = [f"{m.name}__state" for m in ms]
+    out_schema = StructType(
+        key_fields + [StructField(c, BinaryType()) for c in state_cols]
+        + [StructField("n", LongType())])
+    state_schema = StructType(
+        [StructField(c, BinaryType()) for c in state_cols]
+        + [StructField("n", LongType())])
+    evict_ms = None if evict_after is None else _interval_ms(evict_after)
+    win_idx = _window_key_index(key_fields) if evict_ms is not None else None
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if evict_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            *blobs, n = state.get
+            sks = [deserialize_any(bytes(b)) for b in blobs]
+        else:
+            sks, n = [fam.make() for _, fam in fams], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for j, (m, fam) in enumerate(fams):
+                fam.update_series(sks[j], _measure_input(pdf, m))
+        blobs = [sk.serialize() for sk in sks]
+        state.update((*blobs, n))
+        if evict_ms is not None:
+            if win_idx is not None:
+                w = key[win_idx]
+                end = (w["end"] if isinstance(w, dict)
+                       else getattr(w, "end", None))
+                if end is None:
+                    end = w[1]
+                horizon = _epoch_ms(end, tz) + evict_ms
+            else:
+                horizon = max(state.getCurrentWatermarkMs(), 0) + evict_ms
+            horizon = max(horizon, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(horizon)
+        row = {k: [v] for k, v in zip(keys, key)}
+        for c, b in zip(state_cols, blobs):
+            row[c] = [b]
+        row["n"] = [n]
+        yield pd.DataFrame(row)
+
+    timeout = (GroupStateTimeout.EventTimeTimeout if evict_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return (src.groupBy(*keys)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "update", timeout))
+
+
 def streaming_summary_sink(df: DataFrame, keys: list[str], col: str,
                            family: str, path: str, checkpoint: str,
                            state_col: str = "state", **params):

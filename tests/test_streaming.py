@@ -371,3 +371,51 @@ class TestStreamingMinhashMatch:
                                              threshold=0.5).collect())
         assert sorted(collected) == want
         assert len(want) > 0
+
+
+class TestMultiMeasureStream:
+    def test_multi_matches_two_singles_and_evicts(self, spark, sf_dir,
+                                                  tmp_path):
+        """One multi-measure state pass == the per-measure batch
+        truth. (Eviction shares the single-measure code path, covered
+        by the evict_after test above.)"""
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.operators.sketch_agg import (
+            distinct_measure, percentile_measure)
+        from datasketches_spark_spark.sources import read_table
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream_multi)
+
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_type", "value", "user_id")
+        src = str(tmp_path / "src")
+        ev.repartition(2).write.parquet(src)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = sketch_accumulate_stream_multi(
+            stream, ["event_type"],
+            [percentile_measure("p50", "value", 0.5,
+                                impl="MERGEABLE", k=262_144),
+             distinct_measure("ndv", "user_id", k=16_384)])
+        q = (out.writeStream.format("memory").queryName("mm_sink")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 300)
+        final = spark.sql("""
+            SELECT event_type, p50__state, ndv__state FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC) rn FROM mm_sink
+            ) WHERE rn = 1""")
+        got = {r.event_type: (r.p50, r.ndv) for r in final.select(
+            "event_type",
+            dsf.approx_percentile_estimate("p50__state", 0.5).alias("p50"),
+            dsf.approx_count_distinct_estimate("ndv__state").alias("ndv")
+        ).collect()}
+        want = {r.event_type: (r.p50, r.ndv) for r in ev.groupBy(
+            "event_type").agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+            .alias("p50"),
+            F.countDistinct("user_id").cast("long").alias("ndv")).collect()}
+        assert got == want
