@@ -1498,6 +1498,28 @@ def _q61_streaming_multi_measure(spark: SparkSession,
         .orderBy("event_type"))
 
 
+def _q62_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile confidence intervals from states
+    (`functions/quantiles.py::approx_percentile_bounds`, the
+    DataSketches getQuantileLowerBound/UpperBound surface): p95 of
+    l_extendedprice per return flag with an explicit rank tolerance —
+    bounds are the values at ranks p±eps, which DuckDB reproduces as
+    quantile_disc at the shifted ranks. Also pins the exact-regime
+    default: eps omitted collapses the interval to the point
+    estimate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    summ = sketch_accumulate(li, ["l_returnflag"], "l_extendedprice",
+                             family="quantile", impl="MERGEABLE", k=_QK)
+    b = dsf.approx_percentile_bounds("state", 0.95, eps=0.02)
+    b0 = dsf.approx_percentile_bounds("state", 0.95)
+    return (summ.select(
+        "l_returnflag",
+        F.element_at(b, 1).alias("p95_lower"),
+        F.element_at(b, 2).alias("p95_upper"),
+        (F.element_at(b0, 1) == F.element_at(b0, 2)).alias("exact_collapses"))
+        .orderBy("l_returnflag"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1566,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_rollup_refresh": _q59_rollup_refresh,
         "q60_rollup_set_algebra": _q60_rollup_set_algebra,
         "q61_streaming_multi_measure": _q61_streaming_multi_measure,
+        "q62_percentile_bounds": _q62_percentile_bounds,
     }
 
 
@@ -2297,5 +2320,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS p50_value,
                    count(DISTINCT user_id) AS ndv_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q62_percentile_bounds": """
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.93) AS p95_lower,
+                   quantile_disc(l_extendedprice, 0.97) AS p95_upper,
+                   true AS exact_collapses
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -43,6 +43,7 @@ from .sampling import (
 )
 from .quantiles import (
     approx_ks_distance,
+    approx_percentile_bounds,
     approx_cdf_estimate,
     approx_percentile_accumulate,
     approx_rank_estimate,
@@ -79,6 +80,7 @@ __all__ = [
     "approx_freqitems_estimate",
     "approx_join_size",
     "approx_ks_distance",
+    "approx_percentile_bounds",
     # distinct count (#13-#18)
     "approx_count_distinct_ex",
     "approx_count_distinct_cpc",

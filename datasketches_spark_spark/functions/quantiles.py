@@ -186,6 +186,20 @@ def approx_cdf_estimate(col, split_points) -> Column:
     return cdf_est_udf(sps)(_col(col))
 
 
+def approx_percentile_bounds(col, percentage, eps=None) -> Column:
+    """Quantile confidence interval from a persisted state:
+    ``[lower, upper]`` = the values at ranks ``p -/+ eps``. With ``eps``
+    omitted the sketch's own normalized rank-error bound applies (zero
+    in the exact regime — the interval collapses to the point estimate).
+    Mirrors the DataSketches quantile API's
+    getQuantileLowerBound/getQuantileUpperBound surface. Rank rule from
+    conf ``quantiles.rankRule``."""
+    from .udfs import quantile_bounds_udf
+    return quantile_bounds_udf(conf.quantile_rank_rule())(
+        _col(col), F.lit(float(percentage)),
+        F.lit(eps).cast("double"))
+
+
 def approx_ks_distance(col_a, col_b) -> Column:
     """Two-sample Kolmogorov-Smirnov distance between two persisted
     quantile states — exact in the exact regime, rank-error-bounded

@@ -310,6 +310,55 @@ def freq_est_udf(item_type: str):
     return est
 
 
+def quantile_bounds_udf(rule: str):
+    """Scalar: (state, p, eps) -> [lower, upper] quantile confidence
+    bounds — the values at ranks ``p - eps`` and ``p + eps`` (clamped to
+    [0, 1]). With ``eps`` NULL, the sketch's normalized rank-error bound
+    is used: 0 in the exact regime (bounds collapse to the point
+    estimate), else the published KLL envelope ``2.296 / k^0.9``
+    (Apache DataSketches' KLL getNormalizedRankError constant; the
+    DataSketches quantile API exposes the same capability as
+    getQuantileLowerBound/getQuantileUpperBound). The true quantile lies
+    inside the interval with ~99% probability per the KLL PAC bound."""
+    from ..sketches.kll import KllSketch
+
+    @pandas_udf(ArrayType(DoubleType(), containsNull=False))
+    def bounds(states: pd.Series, p: pd.Series, eps: pd.Series) -> pd.Series:
+        out = []
+        for blob, pct, e in zip(states, p, eps):
+            if blob is None or _is_nullish(pct):
+                out.append(None)
+                continue
+            # argument validation raises (reference AnalysisException
+            # semantics); state decode problems degrade to NULL below
+            ps, _ = validate_percentage(float(pct))
+            pct = ps[0]
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, KllSketch):
+                    raise TypeError("not a quantile (KLL-family) state")
+                if _is_nullish(e):
+                    e = 0.0 if sk.is_exact() else 2.296 / (sk.k ** 0.9)
+                lo = sk.quantile(max(0.0, pct - float(e)), rule=rule)
+                hi = sk.quantile(min(1.0, pct + float(e)), rule=rule)
+                out.append(None if lo is None else [lo, hi])
+            except Exception as ex:
+                log.warning("approx_percentile_bounds: corrupt state: %s", ex)
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return bounds
+
+
+def _is_nullish(v) -> bool:
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
 def ks_distance_udf():
     """Scalar: two quantile (KLL-family) states -> two-sample
     Kolmogorov-Smirnov distance, ``sup_x |F_A(x) - F_B(x)|`` over the

@@ -80,7 +80,10 @@ class SketchRollup:
         format — Iceberg/Delta — would make this an atomic commit; plain
         parquet gets the local-rename equivalent)."""
         merged = self._merge(self.states(spark), self.keys)
-        tmp = tempfile.mkdtemp(prefix="dss_rollup_compact_")
+        # temp dir SIBLING to the table so the final rename never crosses
+        # a filesystem boundary (os.rename raises EXDEV across mounts)
+        tmp = tempfile.mkdtemp(
+            prefix=".compact_", dir=os.path.dirname(self.path.rstrip("/")))
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self.path)
         os.rename(tmp, self.path)

@@ -314,9 +314,12 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_set_intersection",
                        theta_setop_udf("intersection"))
     spark.udf.register("approx_set_difference", theta_setop_udf("a_not_b"))
-    from .functions.udfs import freq_join_size_udf, ks_distance_udf
+    from .functions.udfs import (freq_join_size_udf, ks_distance_udf,
+                                 quantile_bounds_udf)
     spark.udf.register("approx_join_size", freq_join_size_udf())
     spark.udf.register("approx_ks_distance", ks_distance_udf())
+    spark.udf.register("approx_percentile_bounds",
+                       quantile_bounds_udf(conf.quantile_rank_rule(spark)))
 
     # Reservoir sampling family (extension): per-group uniform samples
     # with the same accumulate/combine/estimate lifecycle; combine is the

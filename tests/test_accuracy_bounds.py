@@ -146,3 +146,53 @@ class TestSkewedGroups:
             F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
             .alias("p")).collect()}
         assert out == exact  # exact regime even for the hot key
+
+
+class TestPercentileBounds:
+    """approx_percentile_bounds: exact collapse, explicit eps, and the
+    default-envelope bracket property in estimation mode."""
+
+    def _state(self, spark, vals, k):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([Row(v=float(x)) for x in vals])
+        return df.agg(dsf.approx_percentile_accumulate(
+            "v", impl="MERGEABLE", k=k).alias("s")).collect()[0].s
+
+    def _bounds(self, spark, st, p, eps=None):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([Row(s=bytearray(st))])
+        return df.select(dsf.approx_percentile_bounds(
+            "s", p, eps=eps).alias("b")).collect()[0].b
+
+    def test_exact_regime_collapses_to_point(self, spark):
+        vals = list(range(100))
+        st = self._state(spark, vals, k=262_144)
+        lo, hi = self._bounds(spark, st, 0.5)
+        assert lo == hi  # eps defaults to 0 when the sketch is exact
+
+    def test_explicit_eps_shifts_ranks(self, spark):
+        vals = list(range(1, 101))  # value == rank percentile * 100
+        st = self._state(spark, vals, k=262_144)
+        lo, hi = self._bounds(spark, st, 0.5, eps=0.1)
+        assert (lo, hi) == (40.0, 60.0)
+
+    def test_estimation_mode_brackets_truth(self, spark):
+        import random
+        rng = random.Random(3)
+        vals = [rng.gauss(0, 1) for _ in range(50_000)]
+        st = self._state(spark, vals, k=128)  # estimation mode
+        true_p95 = sorted(vals)[int(0.95 * len(vals)) - 1]
+        lo, hi = self._bounds(spark, st, 0.95)  # default KLL envelope
+        assert lo <= true_p95 <= hi
+        assert lo < hi
+
+    def test_null_state_and_corrupt(self, spark):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame(
+            [Row(s=None), Row(s=bytearray(b"garbage!"))], "s binary")
+        out = [r.b for r in df.select(dsf.approx_percentile_bounds(
+            "s", 0.5).alias("b")).collect()]
+        assert out == [None, None]
