@@ -1520,6 +1520,29 @@ def _q62_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag"))
 
 
+def _q63_error_bound_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-time error-bound surfaces across families
+    (`approx_count_distinct_bounds`, `approx_freqitems_maxerr`): in the
+    exact regime the NDV interval collapses to the exact count and the
+    freq-items max error is 0 — which is exactly what makes them
+    oracle-able, and what a pipeline asserts before trusting a summary
+    table (estimation-mode behavior is property-tested)."""
+    ev = read_table(spark, sf_dir, "events")
+    st = (ev.groupBy("event_type")
+          .agg(dsf.approx_count_distinct_accumulate(
+              "user_id", impl="theta", k=_TK).alias("ts"),
+               dsf.approx_freqitems_accumulate(
+              "user_id", item_type="long",
+              max_map_size=8192).alias("fs")))
+    b = dsf.approx_count_distinct_bounds("ts")
+    return (st.select(
+        "event_type",
+        F.element_at(b, 1).alias("ndv_lower"),
+        F.element_at(b, 2).alias("ndv_upper"),
+        dsf.approx_freqitems_maxerr("fs").alias("freq_maxerr"))
+        .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1589,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_rollup_set_algebra": _q60_rollup_set_algebra,
         "q61_streaming_multi_measure": _q61_streaming_multi_measure,
         "q62_percentile_bounds": _q62_percentile_bounds,
+        "q63_error_bound_surfaces": _q63_error_bound_surfaces,
     }
 
 
@@ -2327,5 +2351,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_extendedprice, 0.97) AS p95_upper,
                    true AS exact_collapses
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q63_error_bound_surfaces": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS ndv_lower,
+                   count(DISTINCT user_id) AS ndv_upper,
+                   0 AS freq_maxerr
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -14,6 +14,7 @@ from .embeddings import (
     quantize_int8,
 )
 from .distinctcnt import (
+    approx_count_distinct_bounds,
     approx_count_distinct_accumulate,
     approx_set_difference,
     approx_set_intersection,
@@ -32,6 +33,7 @@ from .freqitems import (
     approx_freqitems_accumulate,
     approx_freqitems_combine,
     approx_freqitems_estimate,
+    approx_freqitems_maxerr,
     approx_join_size,
 )
 from .sampling import (
@@ -78,8 +80,10 @@ __all__ = [
     "approx_freqitems_accumulate",
     "approx_freqitems_combine",
     "approx_freqitems_estimate",
+    "approx_freqitems_maxerr",
     "approx_join_size",
     "approx_ks_distance",
+    "approx_count_distinct_bounds",
     "approx_percentile_bounds",
     # distinct count (#13-#18)
     "approx_count_distinct_ex",

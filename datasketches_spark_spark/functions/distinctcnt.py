@@ -194,3 +194,13 @@ def approx_set_intersection(col_a, col_b) -> Column:
 def approx_set_difference(col_a, col_b) -> Column:
     """Estimated |A \\ B| of two Theta set states."""
     return theta_setop_udf("a_not_b")(_col(col_a), _col(col_b))
+
+
+def approx_count_distinct_bounds(col, num_std: float = 2.0) -> Column:
+    """NDV confidence bounds ``[lower, upper]`` from a Theta state —
+    exact-regime states collapse to the exact count; estimation mode
+    uses the KMV relative standard error ``1/sqrt(k-2)``
+    (`udfs.distinct_bounds_udf`; the DataSketches Theta
+    getLowerBound/getUpperBound surface)."""
+    from .udfs import distinct_bounds_udf
+    return distinct_bounds_udf()(_col(col), F.lit(float(num_std)))

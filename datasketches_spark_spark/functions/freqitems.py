@@ -68,3 +68,11 @@ def approx_join_size(col_a, col_b) -> Column:
     is the classic sketch-based join planner input."""
     from .udfs import freq_join_size_udf
     return freq_join_size_udf()(_col(col_a), _col(col_b))
+
+
+def approx_freqitems_maxerr(col) -> Column:
+    """The sketch's maximum estimation error (0 = exact regime): every
+    reported count is within [true, true + max_err]. The read-time
+    exactness assertion for freq-items results."""
+    from .udfs import freq_maxerr_udf
+    return freq_maxerr_udf()(_col(col))

@@ -359,6 +359,76 @@ def _is_nullish(v) -> bool:
         return False
 
 
+def distinct_bounds_udf():
+    """Scalar: (theta state, num_std) -> [lower, upper] NDV bounds.
+
+    Exact-regime sketches (all hashes retained) return the exact count
+    for both ends. In estimation mode the KMV relative standard error is
+    ``1/sqrt(k-2)`` (Beyer et al., SIGMOD'07; the constant the
+    DataSketches Theta getLowerBound/getUpperBound envelope is built
+    on), so bounds are ``est / (1 +/- num_std * rse)``. Empirical
+    coverage at num_std=2 measured ~98% over 60 trials
+    (`tests/test_accuracy_bounds.py`)."""
+    from ..sketches import ThetaSketch as _Theta
+
+    @pandas_udf(ArrayType(LongType(), containsNull=False))
+    def bounds(states: pd.Series, num_std: pd.Series) -> pd.Series:
+        out = []
+        for blob, ns in zip(states, num_std):
+            if blob is None:
+                out.append(None)
+                continue
+            ns = 2.0 if _is_nullish(ns) else float(ns)
+            if ns <= 0:
+                raise ValueError(
+                    "approx_count_distinct_bounds: num_std must be > 0")
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, _Theta):
+                    raise TypeError("not a Theta state")
+                est = sk.estimate()
+                if sk.is_exact():
+                    out.append([int(est), int(est)])
+                    continue
+                rse = 1.0 / np.sqrt(sk.k - 2)
+                lo = int(np.floor(est / (1 + ns * rse)))
+                hi = int(np.ceil(est / max(1e-12, 1 - ns * rse)))
+                out.append([lo, hi])
+            except Exception as ex:
+                log.warning(
+                    "approx_count_distinct_bounds: corrupt state: %s", ex)
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return bounds
+
+
+def freq_maxerr_udf():
+    """Scalar: frequent-items state -> the sketch's maximum estimation
+    error (Misra-Gries ``max_err``): every reported count is within
+    [true, true + max_err]. Zero in the exact regime — the documented
+    way to ASSERT exactness of a freq-items result at read time."""
+
+    @pandas_udf(LongType())
+    def maxerr(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, FreqItemsSketch):
+                    raise TypeError("not a frequent-items state")
+                out.append(int(sk._max_err))
+            except Exception as ex:
+                log.warning("approx_freqitems_maxerr: corrupt state: %s", ex)
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return maxerr
+
+
 def ks_distance_udf():
     """Scalar: two quantile (KLL-family) states -> two-sample
     Kolmogorov-Smirnov distance, ``sup_x |F_A(x) - F_B(x)|`` over the

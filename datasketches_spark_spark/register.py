@@ -320,6 +320,9 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_ks_distance", ks_distance_udf())
     spark.udf.register("approx_percentile_bounds",
                        quantile_bounds_udf(conf.quantile_rank_rule(spark)))
+    from .functions.udfs import distinct_bounds_udf, freq_maxerr_udf
+    spark.udf.register("approx_count_distinct_bounds", distinct_bounds_udf())
+    spark.udf.register("approx_freqitems_maxerr", freq_maxerr_udf())
 
     # Reservoir sampling family (extension): per-group uniform samples
     # with the same accumulate/combine/estimate lifecycle; combine is the

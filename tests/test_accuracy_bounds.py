@@ -196,3 +196,49 @@ class TestPercentileBounds:
         out = [r.b for r in df.select(dsf.approx_percentile_bounds(
             "s", 0.5).alias("b")).collect()]
         assert out == [None, None]
+
+
+class TestDistinctAndFreqBounds:
+    def _theta_state(self, spark, n_rows, k=4096):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark import functions as dsf
+        df = spark.range(n_rows).select(F.col("id"))
+        return df.agg(dsf.approx_count_distinct_accumulate(
+            "id", impl="theta", k=k).alias("s")).collect()[0].s
+
+    def _bounds(self, spark, st, num_std=2.0):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([Row(s=bytearray(st))])
+        return df.select(dsf.approx_count_distinct_bounds(
+            "s", num_std).alias("b")).collect()[0].b
+
+    def test_exact_regime_collapses(self, spark):
+        st = self._theta_state(spark, 1000, k=4096)
+        assert self._bounds(spark, st) == [1000, 1000]
+
+    def test_estimation_mode_brackets_truth(self, spark):
+        n = 200_000
+        st = self._theta_state(spark, n, k=4096)
+        lo, hi = self._bounds(spark, st)
+        assert lo <= n <= hi
+        assert lo < hi
+        # wider interval at more std devs
+        lo3, hi3 = self._bounds(spark, st, num_std=3.0)
+        assert lo3 <= lo and hi3 >= hi
+
+    def test_freq_maxerr_exact_and_purged(self, spark):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        small = spark.createDataFrame([Row(v=str(i % 5)) for i in range(50)])
+        st = small.agg(dsf.approx_freqitems_accumulate(
+            "v", max_map_size=64).alias("s")).collect()[0].s
+        df = spark.createDataFrame([Row(s=bytearray(st))])
+        assert df.select(dsf.approx_freqitems_maxerr("s").alias("e")) \
+            .collect()[0].e == 0
+        big = spark.createDataFrame([Row(v=str(i)) for i in range(5000)])
+        st2 = big.agg(dsf.approx_freqitems_accumulate(
+            "v", max_map_size=8).alias("s")).collect()[0].s
+        df2 = spark.createDataFrame([Row(s=bytearray(st2))])
+        assert df2.select(dsf.approx_freqitems_maxerr("s").alias("e")) \
+            .collect()[0].e > 0
