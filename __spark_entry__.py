@@ -1543,6 +1543,33 @@ def _q63_error_bound_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type"))
 
 
+def _q64_rollup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group samples INSIDE a rollup (`sample_measure` in a
+    `SketchRollup`): per-(day, event_type) reservoirs merged over a week
+    window per type at read time. The hypergeometric merge keeps the
+    combined sample exactly-uniform; with k above the window row count
+    it is the COMPLETE multiset, so the window's event_ids reproduce
+    bit-exactly — the oracle for the whole rollup+sample composition."""
+    import hashlib
+    from datasketches_spark_spark.operators import SketchRollup
+    from datasketches_spark_spark.operators.sketch_agg import sample_measure
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type", "event_id")
+    path = ("/tmp/dss_rollup_sample_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    roll = SketchRollup(path, ["day", "event_type"],
+                        [sample_measure("ids", "event_id", k=262_144,
+                                        item_type="long")])
+    roll.build(ev)
+    win = (F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-15")
+    return (roll.estimate(spark, where=win, group_by=["event_type"])
+            .select("event_type",
+                    F.array_join(F.array_sort("ids"), ",").alias("ids"),
+                    F.size("ids").alias("n"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1613,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_streaming_multi_measure": _q61_streaming_multi_measure,
         "q62_percentile_bounds": _q62_percentile_bounds,
         "q63_error_bound_surfaces": _q63_error_bound_surfaces,
+        "q64_rollup_sample": _q64_rollup_sample,
     }
 
 
@@ -2358,5 +2386,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS ndv_upper,
                    0 AS freq_maxerr
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q64_rollup_sample": """
+            SELECT event_type,
+                   array_to_string(list_sort(list(event_id)), ',') AS ids,
+                   count(*) AS n
+            FROM events
+            WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-08'
+              AND date_trunc('day', ts) <  TIMESTAMP '2024-01-15'
+            GROUP BY event_type ORDER BY event_type
         """,
     }
