@@ -461,6 +461,24 @@ def build_ivf_index(corpus: DataFrame, path: str, num_cells: int = 16,
     return cents
 
 
+def refresh_ivf_index(new_vectors: DataFrame, path: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Incremental index update: assign ONLY the new vectors against the
+    persisted centroids and append them into the cell-partitioned
+    layout. The quantizer is not retrained and existing files are not
+    touched — the IVF analog of a rollup refresh. Periodic rebuild
+    (`build_ivf_index`) re-balances cells when the data distribution
+    drifts; until then queries see old and new vectors identically."""
+    spark = new_vectors.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    cells = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    tagged = new_vectors.join(cells.withColumnRenamed("_id", id_col),
+                              id_col)
+    tagged.repartition("cell").write.mode("append") \
+        .partitionBy("cell").parquet(path + "/vectors")
+
+
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
     """Centroid matrix of a persisted index, ordered by cell id."""
     rows = (spark.read.parquet(path + "/centroids")

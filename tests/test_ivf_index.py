@@ -67,3 +67,20 @@ def test_query_without_rebuild_uses_no_assign_stage(spark, sf_dir,
     plan = idx._sc._jvm.PythonSQLUtils.explainString(
         idx._jdf.queryExecution(), "formatted")
     assert "MapInPandas" not in plan
+
+
+def test_incremental_refresh(spark, sf_dir, tmp_path):
+    """Vectors appended via refresh_ivf_index are found by later queries
+    exactly as if they had been in the original build."""
+    from datasketches_spark_spark.operators import refresh_ivf_index
+    emb = read_table(spark, sf_dir, "embeddings")
+    first = emb.where("vec_id % 2 = 0")
+    rest = emb.where("vec_id % 2 = 1")
+    inc_path = str(tmp_path / "inc")
+    build_ivf_index(first, inc_path, num_cells=4, iters=4)
+    refresh_ivf_index(rest, inc_path)
+
+    qs = [(r.vec_id, r.embedding) for r in emb.where("vec_id < 5").collect()]
+    got = _key(query_ivf_index(spark, inc_path, qs, k=3, nprobe=4))
+    brute = _key(cosine_topk(emb, qs, k=3))
+    assert got == brute  # full probe over build+refresh == brute force
