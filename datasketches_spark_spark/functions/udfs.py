@@ -362,13 +362,16 @@ def _is_nullish(v) -> bool:
 def distinct_bounds_udf():
     """Scalar: (theta state, num_std) -> [lower, upper] NDV bounds.
 
-    Exact-regime sketches (all hashes retained) return the exact count
-    for both ends. In estimation mode the KMV relative standard error is
-    ``1/sqrt(k-2)`` (Beyer et al., SIGMOD'07; the constant the
-    DataSketches Theta getLowerBound/getUpperBound envelope is built
-    on), so bounds are ``est / (1 +/- num_std * rse)``. Empirical
-    coverage at num_std=2 measured ~98% over 60 trials
+    Exact-regime sketches (Theta with all hashes retained; HLL still in
+    its sparse coupon phase) return the exact count for both ends. In
+    estimation mode the relative standard error is ``1/sqrt(k-2)`` for
+    Theta/KMV (Beyer et al., SIGMOD'07; the constant the DataSketches
+    Theta getLowerBound/getUpperBound envelope is built on) and
+    ``1.04/sqrt(2^lgk)`` for dense HLL (Flajolet et al., 2007), so
+    bounds are ``est / (1 +/- num_std * rse)``. Empirical coverage at
+    num_std=2 measured ~98% over 60 trials per family
     (`tests/test_accuracy_bounds.py`)."""
+    from ..sketches import HllSketch as _Hll
     from ..sketches import ThetaSketch as _Theta
 
     @pandas_udf(ArrayType(LongType(), containsNull=False))
@@ -384,13 +387,17 @@ def distinct_bounds_udf():
                     "approx_count_distinct_bounds: num_std must be > 0")
             try:
                 sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, _Theta):
-                    raise TypeError("not a Theta state")
+                if isinstance(sk, _Theta):
+                    exact, rse = sk.is_exact(), 1.0 / np.sqrt(sk.k - 2)
+                elif isinstance(sk, _Hll):
+                    exact = sk.is_sparse
+                    rse = 1.04 / np.sqrt(1 << sk.lgk)
+                else:
+                    raise TypeError("not a Theta or HLL state")
                 est = sk.estimate()
-                if sk.is_exact():
+                if exact:
                     out.append([int(est), int(est)])
                     continue
-                rse = 1.0 / np.sqrt(sk.k - 2)
                 lo = int(np.floor(est / (1 + ns * rse)))
                 hi = int(np.ceil(est / max(1e-12, 1 - ns * rse)))
                 out.append([lo, hi])

@@ -242,3 +242,32 @@ class TestDistinctAndFreqBounds:
         df2 = spark.createDataFrame([Row(s=bytearray(st2))])
         assert df2.select(dsf.approx_freqitems_maxerr("s").alias("e")) \
             .collect()[0].e > 0
+
+
+class TestHllBounds:
+    def _hll_state(self, spark, n_rows, lgk=15):
+        # engine numpy HLL (the CPC-accuracy family), built directly -
+        # the SQL surface routes its lgk through conf
+        import numpy as np
+        from datasketches_spark_spark.sketches.hll import HllSketch
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        sk = HllSketch(lgk=lgk)
+        sk.update_hashes(hash_longs(np.arange(n_rows, dtype=np.int64)))
+        return sk.serialize()
+
+    def _bounds(self, spark, st, num_std=2.0):
+        from pyspark.sql import Row
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame([Row(s=bytearray(st))])
+        return df.select(dsf.approx_count_distinct_bounds(
+            "s", num_std).alias("b")).collect()[0].b
+
+    def test_sparse_phase_collapses(self, spark):
+        st = self._hll_state(spark, 500)
+        assert self._bounds(spark, st) == [500, 500]
+
+    def test_dense_brackets_truth(self, spark):
+        n = 150_000
+        st = self._hll_state(spark, n, lgk=15)
+        lo, hi = self._bounds(spark, st)
+        assert lo <= n <= hi and lo < hi
