@@ -49,6 +49,8 @@ def _q01_percentile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q02_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four percentiles per (returnflag, linestatus) from ONE sketch per
+    group (multi-percentage estimate) — one scan, one state shuffle."""
     li = read_table(spark, sf_dir, "lineitem")
     agg = sketch_grouped_agg(
         li, ["l_returnflag", "l_linestatus"],
@@ -83,6 +85,9 @@ def _q03_percentile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q04_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_pmf_estimate over per-flag accumulate states: equal-width
+    histogram mass from the sketch (min-anchored bins; the reference's
+    0-anchor bug is documented and replayed in tests)."""
     li = read_table(spark, sf_dir, "lineitem")
     summ = sketch_accumulate(li, ["l_returnflag"], "l_quantity",
                              family="quantile", impl="MERGEABLE", k=_QK)
@@ -96,6 +101,8 @@ def _q04_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q05_ndv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped NDV via the Theta family through sketch_grouped_agg —
+    map-side partial sketches, state-only exchange."""
     ev = read_table(spark, sf_dir, "events")
     return (sketch_grouped_agg(ev, ["event_type"],
                                distinct_measure("ndv_users", "user_id", k=_TK))
@@ -103,6 +110,8 @@ def _q05_ndv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q06_ndv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count accumulate -> window filter -> combine -> estimate:
+    the reference's summary-table pipeline on the Theta family."""
     ev = read_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
     summaries = sketch_accumulate(ev.select(day, "user_id"), ["day"], "user_id",
@@ -121,6 +130,9 @@ def _q07_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q08_freqitems_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a dimension join (part brands): freq-items
+    aggregate with NO_FALSE_POSITIVES and estimate-desc ordering, broadcast
+    dimension join before the sketch."""
     li = read_table(spark, sf_dir, "lineitem")
     pt = read_table(spark, sf_dir, "part")
     # broadcast the small dim: lineitem ⋈ part is a broadcast-hash join
@@ -133,6 +145,8 @@ def _q08_freqitems_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q09_freqitems_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freq-items accumulate -> combine -> estimate lifecycle with the
+    merged heavy-hitter list exploded to rows (inline pattern)."""
     od = read_table(spark, sf_dir, "orders")
     summ = sketch_accumulate(od, ["o_orderstatus"], "o_orderpriority",
                              family="freq")
@@ -142,6 +156,8 @@ def _q09_freqitems_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q10_freqitems_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-typed freq-items (ItemsSketch<Long> analog): top user_ids by
+    event volume, exact in the NO_FALSE_POSITIVES regime."""
     li = read_table(spark, sf_dir, "lineitem")
     fi = sketch_grouped_agg(li, [],
                             freqitems_measure("fi", "l_suppkey",
