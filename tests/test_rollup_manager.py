@@ -122,3 +122,29 @@ def test_streaming_states_merge_into_batch_rollup(spark, sf_dir, tmp_path):
     full.build(ev)
     want = {r.event_type: r.p50 for r in full.estimate(spark).collect()}
     assert got == want
+
+
+def test_sql_over_rollup_states(spark, sf_dir, tmp_path):
+    """A rollup table registered as a view is queryable from plain
+    spark.sql with the installed estimate/combine functions — the SQL
+    serving surface over materialized states."""
+    import datasketches_spark_spark as dss
+    dss.install(spark)
+    ev = _events(spark, sf_dir)
+    roll = _rollup(tmp_path)
+    roll.build(ev)
+    roll.states(spark).createOrReplaceTempView("rollup_states")
+    got = {r.event_type: (r.p50, r.ndv) for r in spark.sql("""
+        SELECT event_type,
+               approx_percentile_estimate(
+                 approx_percentile_combine(p50__state), 0.5) AS p50,
+               approx_count_distinct_estimate(
+                 approx_count_distinct_combine(ndv__state)) AS ndv
+        FROM rollup_states
+        WHERE day >= '2024-01-08' AND day < '2024-01-22'
+        GROUP BY event_type
+    """).collect()}
+    win = (F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-22")
+    want = {r.event_type: (r.p50, r.ndv) for r in roll.estimate(
+        spark, where=win, group_by=["event_type"]).collect()}
+    assert got == want and len(got) == 5
