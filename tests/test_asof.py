@@ -207,3 +207,35 @@ def test_hot_key_skew_correctness(spark):
             F.col("rid") == F.floor((F.col("ts") - 1) / 20), 1)
         )).alias("ok")).collect()[0]
     assert check.n == 50_000 and check.ok == 50_000
+
+
+def test_tolerance_matches_bruteforce(spark):
+    """Randomized check of tolerance semantics: matches farther than
+    tolerance_us become NULL, nearer ones survive unchanged."""
+    import random
+    rng = random.Random(17)
+    for trial in range(3):
+        lrows = [(rng.randint(0, 1), rng.randint(0, 50_000_000), i)
+                 for i in range(12)]
+        rrows = [(rng.randint(0, 1), rng.randint(0, 50_000_000), v)
+                 for v in range(8)]
+        tol = 10_000_000  # 10 s in microseconds
+        left = spark.createDataFrame(
+            [Row(k=k, ts=ts, lid=i) for k, ts, i in lrows],
+            "k long, ts long, lid long"
+        ).select("k", F.timestamp_micros("ts").alias("ts"), "lid")
+        right = spark.createDataFrame(
+            [Row(k=k, ts=ts, rv=v) for k, ts, v in rrows],
+            "k long, ts long, rv long"
+        ).select("k", F.timestamp_micros("ts").alias("ts"), "rv")
+        out = asof_join(left, right, "k", left_ts="ts",
+                        right_cols=["rv"], tolerance_us=tol)
+        got = {r.lid: r.rv for r in out.collect()}
+        for k, ts, i in lrows:
+            cands = [(rts, rv) for rk, rts, rv in rrows
+                     if rk == k and rts <= ts]
+            want = None
+            if cands:
+                rts, rv = max(cands)
+                want = rv if ts - rts <= tol else None
+            assert got[i] == want, (trial, i)
