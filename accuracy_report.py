@@ -228,6 +228,86 @@ def main(spark=None, rows: int | None = None) -> int:
     print(json.dumps(samp_out))
     sdf.unpersist()
 
+    # --------------------------------------------- bounds coverage (r7)
+    # NDV interval coverage at 2 std devs for Theta (KMV RSE 1/sqrt(k-2))
+    # and the engine HLL (1.04/sqrt(2^lgk)); expected ~95%+ per the
+    # normal envelope. Pure-python trials through the sketch layer (the
+    # Spark UDF applies the identical formulas — pinned by pytest).
+    from datasketches_spark_spark.sketches.hll import HllSketch
+    from datasketches_spark_spark.sketches.theta import (ThetaSketch,
+                                                         hash_longs)
+    rng = np.random.default_rng(7)
+    trials = 40
+    cov = {"theta": 0, "hll": 0}
+    for t in range(trials):
+        n = 120_000 + 4_000 * t
+        vals = rng.integers(0, 2**62, size=n)
+        true = len(np.unique(vals))
+        th = ThetaSketch(k=4096)
+        th.update_hashes(hash_longs(vals))
+        rse = 1.0 / np.sqrt(th.k - 2)
+        est = th.estimate()
+        cov["theta"] += int(est / (1 + 2 * rse) <= true
+                            <= est / (1 - 2 * rse))
+        hl = HllSketch(lgk=15)
+        hl.update_hashes(hash_longs(vals))
+        rse = 1.04 / np.sqrt(1 << hl.lgk)
+        est = hl.estimate()
+        cov["hll"] += int(est / (1 + 2 * rse) <= true
+                          <= est / (1 - 2 * rse))
+    print(json.dumps({"experiment": "ndv_bounds_coverage",
+                      "trials": trials, "num_std": 2,
+                      "covered": cov}))
+    for fam, c in cov.items():
+        if c / trials < 0.9:
+            failures.append(
+                f"{fam} 2-sigma NDV bounds covered only {c}/{trials}")
+
+    # ------------------------------------------------- KS error (r7)
+    # |KS(sketch states) - KS(raw)| at small k tracks the KLL rank-error
+    # envelope regardless of the true drift magnitude.
+    from datasketches_spark_spark.sketches import make_quantile_sketch
+
+    def ks_true(a, b):
+        xs = np.union1d(a, b)
+        fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        return float(np.max(np.abs(fa - fb)))
+
+    def ks_est(a, b, k):
+        sks = []
+        for arr in (a, b):
+            sk = make_quantile_sketch("MERGEABLE", k, np.float64)
+            sk.update_batch(arr)
+            sks.append(sk)
+        va, wa = sks[0]._weighted_items()
+        vb, wb = sks[1]._weighted_items()
+        xs = np.union1d(va, vb)
+
+        def ecdf(v, w):
+            cum = np.cumsum(w)
+            idx = np.searchsorted(v, xs, side="right")
+            return np.where(idx > 0, cum[np.maximum(idx - 1, 0)],
+                            0) / float(cum[-1])
+
+        return float(np.max(np.abs(ecdf(va, wa) - ecdf(vb, wb))))
+
+    ks_out = {}
+    n = 100_000
+    for shift in (0.0, 0.3):
+        errs = []
+        for _ in range(3):
+            a = rng.normal(0, 1, n)
+            b = rng.normal(shift, 1, n)
+            errs.append(abs(ks_est(a, b, 128) - ks_true(a, b)))
+        ks_out[f"shift_{shift}"] = round(float(np.max(errs)), 5)
+        if max(errs) > 0.08:
+            failures.append(
+                f"KS estimation error {max(errs):.4f} at shift {shift}"
+                " exceeds the k=128 envelope")
+    print(json.dumps({"experiment": "ks_distance_error", "k": 128,
+                      "max_abs_err_vs_true": ks_out}))
+
     print(json.dumps({"experiment": "summary",
                       "failures": failures or None}))
     if own_session:
