@@ -1,8 +1,10 @@
 """As-of (nearest-event) join — the time-series join Spark lacks natively.
 
 For each left row, find the single right row with the greatest event time
-at-or-before it (``direction="backward"``, the default) or the least
-at-or-after it (``"forward"``), per join key. The classic use in a
+at-or-before it (``direction="backward"``, the default), the least
+at-or-after it (``"forward"``), or the smallest absolute gap
+(``"nearest"``, backward winning ties — pandas ``merge_asof`` parity),
+per join key. The classic use in a
 training-data pipeline is attribution: join every interaction event to the
 most recent prior signup / model-version rollout / config change.
 
@@ -61,8 +63,9 @@ def asof_join(left: DataFrame, right: DataFrame, on,
     ``tolerance_us`` (microseconds) drops matches farther than the bound
     from the left timestamp, turning them back into NULLs.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     if right_cols is None:
@@ -102,6 +105,46 @@ def asof_join(left: DataFrame, right: DataFrame, on,
                    for c in right_cols]).alias(_MATCH))
 
     both = lhs.unionByName(rhs)
+    if direction == "nearest":
+        # ONE ascending sort serves both scans: backward = last payload
+        # up to the current row; forward = first payload after it. A
+        # right row at the exact left timestamp sorts before the left
+        # row (side asc), so it arrives through the BACKWARD leg with
+        # gap 0 — which is also the tie-break (backward wins equal
+        # gaps, like pandas merge_asof nearest).
+        order = [F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_MATCH).asc()]
+        wb = (Window.partitionBy(*keys).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.partitionBy(*keys).orderBy(*order)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        back = F.last(_MATCH, ignorenulls=True).over(wb)
+        fwd = F.first(_MATCH, ignorenulls=True).over(wf)
+
+        def gap_us(pay):
+            return F.abs(
+                F.unix_micros(F.col(_TS).cast("timestamp"))
+                - F.unix_micros(pay[matched_ts].cast("timestamp")))
+
+        nearer_fwd = (back.isNull()
+                      | (fwd.isNotNull() & (gap_us(fwd) < gap_us(back))))
+        # NULL-ts left rows sort to the partition start where the forward
+        # scan sees every right row — they must stay unmatched (SQL
+        # comparison semantics, as in the other directions).
+        pay = F.when(F.col(_TS).isNotNull(),
+                     F.when(nearer_fwd, fwd).otherwise(back))
+        res = (both.withColumn(_MATCH, pay)
+               .where(F.col(_SIDE) == 1))
+        if tolerance_us is not None:
+            res = res.withColumn(
+                _MATCH,
+                F.when(gap_us(F.col(_MATCH)) <= F.lit(int(tolerance_us)),
+                       F.col(_MATCH)))
+        return res.select(
+            *[F.col(c) if c in keys else F.col(f"{_LEFT}.{c}").alias(c)
+              for c in left.columns],
+            F.col(f"{_MATCH}.{matched_ts}").alias(matched_ts),
+            *[F.col(f"{_MATCH}.{out_names[c]}").alias(out_names[c])
+              for c in right_cols])
     if direction == "backward":
         # right(0) sorts before left(1) at equal ts -> inclusive match;
         # the window scans backward for the last non-null right payload.

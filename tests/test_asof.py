@@ -101,7 +101,7 @@ def test_multi_key(spark):
 def test_bad_args(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, "k", direction="nearest", left_ts="ts")
+        asof_join(left, right, "k", direction="sideways", left_ts="ts")
     with pytest.raises(ValueError, match="join key"):
         asof_join(left, right, "missing", left_ts="ts")
 
@@ -239,3 +239,64 @@ def test_tolerance_matches_bruteforce(spark):
                 rts, rv = max(cands)
                 want = rv if ts - rts <= tol else None
             assert got[i] == want, (trial, i)
+
+
+class TestAsofNearest:
+    def test_basic_and_ties(self, spark):
+        left = spark.createDataFrame(
+            [Row(k="a", ts=10, lid=1),   # 8 (gap 2) vs 20 (gap 10) -> 8
+             Row(k="a", ts=19, lid=2),   # 8 (11) vs 20 (1) -> 20
+             Row(k="a", ts=14, lid=3),   # 8 (6) vs 20 (6): backward wins
+             Row(k="a", ts=20, lid=4),   # exact: gap 0 backward
+             Row(k="b", ts=5, lid=5)])   # no right rows for key
+        right = spark.createDataFrame(
+            [Row(k="a", ts=8, rv="r8"), Row(k="a", ts=20, rv="r20")])
+        out = asof_join(left, right, "k", left_ts="ts",
+                        right_cols=["rv"], direction="nearest")
+        got = {r.lid: r.rv for r in out.collect()}
+        assert got == {1: "r8", 2: "r20", 3: "r8", 4: "r20", 5: None}
+
+    def test_tolerance_and_null_ts(self, spark):
+        left = spark.createDataFrame(
+            [Row(k="a", ts=100, lid=1), Row(k="a", ts=None, lid=2)],
+            "k string, ts long, lid long")
+        right = spark.createDataFrame([Row(k="a", ts=5, rv="far")],
+                                      "k string, ts long, rv string")
+        out = asof_join(left, right, "k", left_ts="ts",
+                        right_cols=["rv"], direction="nearest",
+                        tolerance_us=10)
+        got = {r.lid: r.rv for r in out.collect()}
+        assert got == {1: None, 2: None}  # 95s gap > 10us; null ts never
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6),
+                  st.integers(0, 99)),
+        min_size=1, max_size=20)
+
+    @given(lrows=rows, rrows=rows)
+    @settings(max_examples=8, deadline=None)
+    def test_matches_bruteforce(self, spark, lrows, rrows):
+        left = spark.createDataFrame(
+            [Row(k=k, ts=ts, lid=i) for i, (k, ts, _) in enumerate(lrows)])
+        right = spark.createDataFrame(
+            [Row(k=k, ts=ts, rv=v) for k, ts, v in rrows])
+        out = asof_join(left, right, "k", left_ts="ts",
+                        right_cols=["rv"], direction="nearest")
+        got = {r.lid: (r.ts_matched, r.rv) for r in out.collect()}
+        for i, (k, ts, _) in enumerate(lrows):
+            cands = [(rts, rv) for rk, rts, rv in rrows if rk == k]
+            if not cands:
+                assert got[i] == (None, None)
+                continue
+            best_gap = min(abs(rts - ts) for rts, _ in cands)
+            back = [c for c in cands if c[0] <= ts
+                    and ts - c[0] == best_gap]
+            fwd = [c for c in cands if c[0] > ts and c[0] - ts == best_gap]
+            # backward wins gap ties; among same-ts candidates the
+            # struct order decides (max on the backward side, min on
+            # the forward side)
+            want = max(back) if back else min(fwd)
+            assert got[i] == want, (i, k, ts)
