@@ -1586,6 +1586,27 @@ def _q64_rollup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _q65_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof parity,
+    `operators/asof.py`): each click resolves to the signup with the
+    smallest absolute gap, backward winning ties — one sort, two window
+    scans, still a single key exchange. Gap sums are integer
+    microseconds; the oracle ranks the full candidate set per click."""
+    from datasketches_spark_spark.operators.asof import asof_join
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    signups = ev.where(F.col("event_type") == "signup")
+    j = asof_join(clicks, signups, "user_id", left_ts="ts",
+                  right_cols=["event_id"], direction="nearest")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gap = F.abs(us("ts") - us("ts_matched"))
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.count("ts_matched").alias("n_matched"),
+                 F.sum(gap).alias("sum_abs_gap_us"))
+            .orderBy("user_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1657,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_percentile_bounds": _q62_percentile_bounds,
         "q63_error_bound_surfaces": _q63_error_bound_surfaces,
         "q64_rollup_sample": _q64_rollup_sample,
+        "q65_asof_nearest": _q65_asof_nearest,
     }
 
 
@@ -2360,6 +2382,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-08'
               AND date_trunc('day', ts) <  TIMESTAMP '2024-01-22'
             GROUP BY event_type ORDER BY event_type
+        """,
+        "q65_asof_nearest": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+            r AS (SELECT * FROM events WHERE event_type = 'signup'),
+            cand AS (
+              SELECT l.event_id AS lid, l.user_id,
+                     abs(epoch_us(l.ts) - epoch_us(r.ts)) AS gap,
+                     row_number() OVER (PARTITION BY l.event_id
+                       ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)),
+                                CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END
+                     ) AS rn
+              FROM l JOIN r ON l.user_id = r.user_id),
+            best AS (SELECT lid, gap FROM cand WHERE rn = 1)
+            SELECT l.user_id, count(*) AS n_clicks,
+                   count(best.gap) AS n_matched,
+                   sum(best.gap) AS sum_abs_gap_us
+            FROM l LEFT JOIN best ON l.event_id = best.lid
+            GROUP BY l.user_id ORDER BY l.user_id
         """,
         "q60_rollup_set_algebra": """
             WITH w1 AS (
