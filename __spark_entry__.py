@@ -1607,6 +1607,40 @@ def _q65_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _q66_streaming_summary_sink(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The second streaming shape (`streaming/sketch_stream.py::
+    streaming_summary_sink`): every micro-batch runs the batch two-phase
+    accumulate and APPENDS per-batch states to a parquet summary table —
+    no state store at all; the table IS the state. Query-time combine
+    over all batches equals the batch answer (exact regime). This is the
+    continuously-maintained version of the reference's accumulate ->
+    combine -> estimate pipeline."""
+    import shutil
+    import tempfile
+    from datasketches_spark_spark.streaming import (
+        await_or_fail, streaming_summary_sink)
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="dss_q66_src_")
+    sink = tempfile.mkdtemp(prefix="dss_q66_sink_")
+    shutil.rmtree(sink)  # the sink must create it
+    ckpt = tempfile.mkdtemp(prefix="dss_q66_ckpt_")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    writer = streaming_summary_sink(
+        stream, ["event_type"], "value", family="quantile",
+        impl="MERGEABLE", k=_QK, path=sink, checkpoint=ckpt)
+    await_or_fail(writer.trigger(availableNow=True).start(), 300)
+    summary = spark.read.parquet(sink)
+    return (summary.groupBy("event_type")
+            .agg(dsf.approx_percentile_combine("state").alias("m"))
+            .select("event_type",
+                    dsf.approx_percentile_estimate("m", 0.5)
+                    .alias("p50_value"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1679,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_error_bound_surfaces": _q63_error_bound_surfaces,
         "q64_rollup_sample": _q64_rollup_sample,
         "q65_asof_nearest": _q65_asof_nearest,
+        "q66_streaming_summary_sink": _q66_streaming_summary_sink,
     }
 
 
@@ -2400,6 +2435,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(best.gap) AS sum_abs_gap_us
             FROM l LEFT JOIN best ON l.event_id = best.lid
             GROUP BY l.user_id ORDER BY l.user_id
+        """,
+        "q66_streaming_summary_sink": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q60_rollup_set_algebra": """
             WITH w1 AS (
