@@ -1641,6 +1641,23 @@ def _q66_streaming_summary_sink(spark: SparkSession,
             .orderBy("event_type"))
 
 
+def _q67_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding pipelines
+    (`functions/text.py::chunk_tokens`): 32-token chunks with 8-token
+    overlap, pure JVM expression (tokenize once per row, no shuffle),
+    exploded to one row per chunk with the chunk text pinned by md5."""
+    from datasketches_spark_spark.functions.text import chunk_tokens
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = (docs.where(F.col("doc_id") < 200)
+              .select("doc_id",
+                      F.posexplode(chunk_tokens("text", 32, overlap=8))
+                      .alias("chunk_idx", "chunk")))
+    return (chunks.select(
+        "doc_id", "chunk_idx", F.md5("chunk").alias("h"),
+        F.size(F.split("chunk", " ")).alias("n_toks"))
+        .orderBy("doc_id", "chunk_idx"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1714,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_rollup_sample": _q64_rollup_sample,
         "q65_asof_nearest": _q65_asof_nearest,
         "q66_streaming_summary_sink": _q66_streaming_summary_sink,
+        "q67_chunking": _q67_chunking,
     }
 
 
@@ -2440,6 +2458,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    quantile_disc(value, 0.5) AS p50_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q67_chunking": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 200),
+            n AS (SELECT doc_id, toks,
+                         greatest(CAST(ceil((len(toks) - 8) / 24.0)
+                                       AS INT), 1) AS n_chunks
+                  FROM t),
+            c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+                         array_to_string(
+                           toks[(u.i * 24 + 1):(u.i * 24 + 32)], ' '
+                         ) AS chunk
+                  FROM n, unnest(range(0, n_chunks)) AS u(i))
+            SELECT doc_id, chunk_idx, md5(chunk) AS h,
+                   len(string_split(chunk, ' ')) AS n_toks
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         "q60_rollup_set_algebra": """
             WITH w1 AS (

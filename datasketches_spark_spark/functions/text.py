@@ -119,6 +119,42 @@ def lang_id(col, sep: str = " ") -> Column:
     return F.when(best > 0, result).otherwise(F.lit("und"))
 
 
+def chunk_tokens(col, size: int, overlap: int = 0,
+                 sep: str = " ") -> Column:
+    """Split a document into token chunks of ``size`` with ``overlap``
+    tokens shared between consecutive chunks — the chunking stage of an
+    embedding pipeline, as a pure Column expression (per-row, no
+    shuffle, no Python).
+
+    Chunk ``i`` covers tokens ``[i*(size-overlap), i*(size-overlap)+size)``;
+    the last chunk may be shorter; documents with <= ``size`` tokens yield
+    one chunk; empty documents yield an empty array. The token array is
+    bound as a lambda variable (see `repetition_struct`'s evaluation-cost
+    note), so tokenization runs once per row regardless of chunk count.
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    if not (0 <= overlap < size):
+        raise ValueError("overlap must satisfy 0 <= overlap < size")
+    step = size - overlap
+
+    def build(t):
+        n = F.size(t)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"),
+            F.lit(1))
+        # sequence(0, -1) would produce a DESCENDING range, so the empty
+        # document is special-cased to an empty array
+        return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(sep, F.slice(t, i * step + 1, size))))
+
+    return F.when(
+        _col(col).isNotNull(),
+        F.element_at(F.transform(F.array(tokenize(col, sep)), build), 1))
+
+
 def _max_run(sorted_arr: Column) -> Column:
     """Longest run of equal adjacent elements in a SORTED array — i.e. the
     max multiplicity of any element — in one aggregate pass."""
