@@ -1658,6 +1658,24 @@ def _q67_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "chunk_idx"))
 
 
+def _q68_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints with a PORTABLE md5-prefix gram hash
+    (`functions/text.py::winnow_fingerprints_expr`) — the winnowing
+    SEMANTICS (k-gram hash, sliding-window min, distinct set) fully
+    hash-gated against DuckDB, complementing q27's faster engine-hash
+    path whose values are engine-defined (rows-only by design)."""
+    from datasketches_spark_spark.functions.text import (
+        winnow_fingerprints_expr)
+    docs = read_table(spark, sf_dir, "documents")
+    f = winnow_fingerprints_expr("text", k=16, window=4)
+    return (docs.where(F.col("doc_id") < 150)
+            .select("doc_id", F.size(f).alias("n_fps"),
+                    F.md5(F.array_join(
+                        F.transform(f, lambda x: x.cast("string")), ","))
+                    .alias("h"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1732,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_asof_nearest": _q65_asof_nearest,
         "q66_streaming_summary_sink": _q66_streaming_summary_sink,
         "q67_chunking": _q67_chunking,
+        "q68_winnow_portable": _q68_winnow_portable,
     }
 
 
@@ -2475,6 +2494,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_idx, md5(chunk) AS h,
                    len(string_split(chunk, ' ')) AS n_toks
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "q68_winnow_portable": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(text) - 15, 0) + 1),
+                       i -> ('0x' || substr(md5(substr(text,
+                              CAST(i AS INT), 16)), 1, 15))::BIGINT
+                     ) AS hs
+              FROM documents WHERE doc_id < 150),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) = 0 THEN []
+                          WHEN len(hs) < 4 THEN [list_min(hs)]
+                          ELSE list_sort(list_distinct(list_transform(
+                            range(0, len(hs) - 3),
+                            j -> list_min(hs[(j+1):(j+4)])))) END AS fps
+              FROM g)
+            SELECT doc_id, len(fps) AS n_fps,
+                   md5(array_to_string(fps, ',')) AS h
+            FROM f ORDER BY doc_id
         """,
         "q60_rollup_set_algebra": """
             WITH w1 AS (

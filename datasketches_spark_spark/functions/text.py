@@ -119,6 +119,45 @@ def lang_id(col, sep: str = " ") -> Column:
     return F.when(best > 0, result).otherwise(F.lit("und"))
 
 
+def winnow_fingerprints_expr(col, k: int = 16, window: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) as a pure
+    Column expression with a PORTABLE gram hash — the first 15 hex chars
+    of md5, so any SQL engine reproduces the fingerprint set exactly
+    (the DuckDB oracle for the winnowing SEMANTICS; the numpy
+    `operators/dedup.py::winnow_fingerprints` path keeps its faster
+    engine hash and a rows-only gate).
+
+    Character ``k``-grams -> 60-bit md5-prefix hash -> min per sliding
+    ``window`` -> sorted distinct array. O(n·window) per row, JVM-side,
+    shuffle-free; documents shorter than ``k`` yield an empty array,
+    NULL propagates. Hash and min arrays are bound as lambda variables
+    (see `repetition_struct`'s evaluation-cost note)."""
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+
+    def build(t):
+        n_grams = F.length(t) - (k - 1)
+        hs_expr = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))),
+                                         1, 15), 16, 10).cast("long"))
+
+        def mins(hs):
+            few = F.array(F.array_min(hs))
+            many = F.transform(
+                F.sequence(F.lit(0), F.size(hs) - window),
+                lambda j: F.array_min(F.slice(hs, j + 1, window)))
+            return F.when(F.size(hs) < window, few).otherwise(many)
+
+        return F.when(n_grams < 1, F.array().cast("array<bigint>")) \
+            .otherwise(F.array_sort(F.array_distinct(F.element_at(
+                F.transform(F.array(hs_expr), mins), 1))))
+
+    return F.element_at(
+        F.transform(F.array(_col(col)),
+                    lambda t: F.when(t.isNotNull(), build(t))), 1)
+
+
 def chunk_tokens(col, size: int, overlap: int = 0,
                  sep: str = " ") -> Column:
     """Split a document into token chunks of ``size`` with ``overlap``

@@ -52,3 +52,34 @@ def test_shuffle_free(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan
+
+
+class TestWinnowPortable:
+    """Portable-hash winnowing expr vs a python reference."""
+
+    @staticmethod
+    def _ref(text, k, window):
+        import hashlib
+        if len(text) < k:
+            return []
+        hs = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:15], 16)
+              for i in range(len(text) - k + 1)]
+        if len(hs) < window:
+            return sorted({min(hs)})
+        return sorted({min(hs[j:j + window])
+                       for j in range(len(hs) - window + 1)})
+
+    def test_matches_reference_and_shift_invariant(self, spark):
+        from datasketches_spark_spark.functions.text import (
+            winnow_fingerprints_expr)
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        texts = [base, "XY " + base, "tiny", ""]
+        df = spark.createDataFrame([Row(t=x) for x in texts], "t string")
+        out = [r.f for r in df.select(
+            winnow_fingerprints_expr("t", k=8, window=3).alias("f"))
+            .collect()]
+        for got, text in zip(out, texts):
+            assert got == self._ref(text, 8, 3), text[:20]
+        # winnowing guarantees shared fingerprints under prefix shifts
+        shared = set(out[0]) & set(out[1])
+        assert len(shared) >= 0.7 * len(out[0])
