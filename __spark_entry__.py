@@ -1676,6 +1676,24 @@ def _q68_winnow_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q69_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5-prefix token hash
+    (`functions/text.py::simhash_expr`): the per-bit majority-vote
+    signature emitted as a 60-char bit string, hash-gated bit-for-bit
+    against a relational DuckDB oracle (explode tokens x bits ->
+    grouped vote sums -> ordered string_agg). Complements q17's
+    engine-hash SimHash dedup path (rows-only by design)."""
+    from datasketches_spark_spark.functions.text import simhash_expr
+    docs = read_table(spark, sf_dir, "documents")
+    sig = simhash_expr("text")
+    return (docs.where(F.col("doc_id") < 150)
+            .select("doc_id", sig.alias("sig"),
+                    (F.length(sig)
+                     - F.length(F.replace(sig, F.lit("1"), F.lit(""))))
+                    .alias("n_ones"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1751,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_streaming_summary_sink": _q66_streaming_summary_sink,
         "q67_chunking": _q67_chunking,
         "q68_winnow_portable": _q68_winnow_portable,
+        "q69_simhash_portable": _q69_simhash_portable,
     }
 
 
@@ -2515,6 +2534,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(fps) AS n_fps,
                    md5(array_to_string(fps, ',')) AS h
             FROM f ORDER BY doc_id
+        """,
+        "q69_simhash_portable": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS t
+              FROM documents WHERE doc_id < 150),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+                  FROM tok),
+            bitsum AS (
+              SELECT doc_id, CAST(b.b AS INT) AS b,
+                     sum(CASE WHEN (hv >> CAST(b.b AS INT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS s
+              FROM h, unnest(range(0, 60)) AS b(b)
+              GROUP BY doc_id, b.b),
+            sig AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY b DESC) AS sig
+              FROM bitsum GROUP BY doc_id)
+            SELECT doc_id, sig,
+                   length(replace(sig, '0', '')) AS n_ones
+            FROM sig ORDER BY doc_id
         """,
         "q60_rollup_set_algebra": """
             WITH w1 AS (

@@ -158,6 +158,43 @@ def winnow_fingerprints_expr(col, k: int = 16, window: int = 4) -> Column:
                     lambda t: F.when(t.isNotNull(), build(t))), 1)
 
 
+def simhash_expr(col, sep: str = " ", bits: int = 60) -> Column:
+    """SimHash signature (Charikar, STOC'02) as a pure Column expression
+    with the PORTABLE md5-prefix token hash: per token, each of ``bits``
+    hash bits votes +1/-1; the signature bit is 1 where the sum is
+    positive. Returned as a ``bits``-char '0'/'1' string (MSB first) —
+    a bit string, not an integer, so no engine hits bigint/double
+    precision edges and any SQL engine reproduces it exactly (q69's
+    DuckDB oracle). The numpy `operators/dedup.py` SimHash keeps the
+    faster engine hash for the dedup path; THIS form is the
+    cross-engine-verifiable semantics.
+
+    Duplicate tokens vote once per occurrence; ties (even token counts)
+    resolve to 0. NULL text propagates; empty text is all zeros."""
+    if not (1 <= bits <= 60):
+        raise ValueError("bits must be in [1, 60] (15 hex chars of md5)")
+
+    def hv_of(x):
+        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+    def votes_of(x):
+        return F.element_at(
+            F.transform(F.array(hv_of(x)), lambda hv: F.array(
+                *[F.when(hv.bitwiseAND(F.lit(1 << b)) != 0,
+                         F.lit(1)).otherwise(F.lit(-1))
+                  for b in range(bits)])), 1)
+
+    counts = F.aggregate(
+        tokenize(col, sep), F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(acc, votes_of(x), lambda a, c: a + c))
+    sig = F.element_at(
+        F.transform(F.array(counts), lambda cnt: F.concat(
+            *[F.when(F.element_at(cnt, bits - j) > 0,
+                     F.lit("1")).otherwise(F.lit("0"))
+              for j in range(bits)])), 1)
+    return F.when(_col(col).isNotNull(), sig)
+
+
 def chunk_tokens(col, size: int, overlap: int = 0,
                  sep: str = " ") -> Column:
     """Split a document into token chunks of ``size`` with ``overlap``

@@ -83,3 +83,36 @@ class TestWinnowPortable:
         # winnowing guarantees shared fingerprints under prefix shifts
         shared = set(out[0]) & set(out[1])
         assert len(shared) >= 0.7 * len(out[0])
+
+
+class TestSimhashPortable:
+    def test_matches_reference_and_near_dup_property(self, spark):
+        import hashlib
+        from datasketches_spark_spark.functions.text import simhash_expr
+
+        def ref(text, bits=60):
+            toks = [t for t in text.split(" ") if t]
+            cnt = [0] * bits
+            for t in toks:
+                hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for b in range(bits):
+                    cnt[b] += 1 if (hv >> b) & 1 else -1
+            return "".join("1" if cnt[bits - 1 - j] > 0 else "0"
+                           for j in range(bits))
+
+        base = " ".join(f"tok{i}" for i in range(60))
+        near = base.replace("tok7", "DIFFERENT")          # 1-token edit
+        far = " ".join(f"other{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [Row(t=x) for x in (base, near, far)], "t string")
+        sigs = [r.s for r in df.select(
+            simhash_expr("t").alias("s")).collect()]
+        assert sigs == [ref(base), ref(near), ref(far)]
+        ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+        assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+
+    def test_bad_bits(self):
+        import pytest
+        from datasketches_spark_spark.functions.text import simhash_expr
+        with pytest.raises(ValueError, match="bits"):
+            simhash_expr("t", bits=64)
