@@ -1694,6 +1694,31 @@ def _q69_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q70_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-invariant exact dedup
+    (`functions/text.py::normalize_text` + `doc_fingerprint`): the
+    corpus is roughed up deterministically (odd doc_ids uppercased,
+    doc_id%3==0 gets doubled spacing), then normalized fingerprints
+    collapse every variant of the same underlying text into one group —
+    raw fingerprints see distinct bytes, normalized ones see the
+    duplicates the pipeline actually cares about."""
+    from datasketches_spark_spark.functions.text import (
+        doc_fingerprint, normalize_text)
+    docs = read_table(spark, sf_dir, "documents")
+    roughed = F.when(F.col("doc_id") % 2 == 1,
+                     F.upper(F.col("text"))) \
+        .when(F.col("doc_id") % 3 == 0,
+              F.replace(F.col("text"), F.lit(" "), F.lit("  "))) \
+        .otherwise(F.col("text"))
+    d = docs.select("doc_id", roughed.alias("t"))
+    return (d.groupBy(doc_fingerprint(normalize_text("t")).alias("nfp"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5("t")).alias("n_raw_variants"),
+                 F.min("doc_id").alias("min_doc"))
+            .where(F.col("n_docs") > 1)
+            .orderBy("nfp"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q03_percentile_pipeline(spark, "/root/testdata/sf0.001")
@@ -1770,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_chunking": _q67_chunking,
         "q68_winnow_portable": _q68_winnow_portable,
         "q69_simhash_portable": _q69_simhash_portable,
+        "q70_normalized_dedup": _q70_normalized_dedup,
     }
 
 
@@ -2558,6 +2584,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sig,
                    length(replace(sig, '0', '')) AS n_ones
             FROM sig ORDER BY doc_id
+        """,
+        # The fixture text is already lowercase/single-spaced, so
+        # normalize(roughed) == original text and the normalized
+        # fingerprint is md5(text) exactly.
+        "q70_normalized_dedup": """
+            WITH r AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 2 = 1 THEN upper(text)
+                          WHEN doc_id % 3 = 0 THEN replace(text, ' ', '  ')
+                          ELSE text END AS t
+              FROM documents)
+            SELECT md5(text) AS nfp, count(*) AS n_docs,
+                   count(DISTINCT md5(t)) AS n_raw_variants,
+                   min(doc_id) AS min_doc
+            FROM r GROUP BY 1 HAVING count(*) > 1 ORDER BY nfp
         """,
         "q60_rollup_set_algebra": """
             WITH w1 AS (

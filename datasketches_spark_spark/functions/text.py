@@ -158,6 +158,24 @@ def winnow_fingerprints_expr(col, k: int = 16, window: int = 4) -> Column:
                     lambda t: F.when(t.isNotNull(), build(t))), 1)
 
 
+def normalize_text(col, case: bool = True, collapse_ws: bool = True,
+                   strip_punct: bool = False) -> Column:
+    """Canonical text form for normalization-invariant dedup: lowercase
+    (``case``), whitespace runs collapsed to single spaces + trimmed
+    (``collapse_ws``), optional ASCII punctuation removal
+    (``strip_punct``). Pure ``lower``/``regexp_replace``/``trim``
+    chain — per-row, codegen, zero shuffle. Compose with
+    `doc_fingerprint` for dedup that ignores case/spacing variants."""
+    out = _col(col)
+    if case:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[!-/:-@\[-`{-~]", "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
 def simhash_expr(col, sep: str = " ", bits: int = 60) -> Column:
     """SimHash signature (Charikar, STOC'02) as a pure Column expression
     with the PORTABLE md5-prefix token hash: per token, each of ``bits``

@@ -116,3 +116,19 @@ class TestSimhashPortable:
         from datasketches_spark_spark.functions.text import simhash_expr
         with pytest.raises(ValueError, match="bits"):
             simhash_expr("t", bits=64)
+
+
+class TestNormalizeText:
+    def test_components(self, spark):
+        from datasketches_spark_spark.functions.text import normalize_text
+
+        def one(text, **kw):
+            df = spark.createDataFrame([Row(t=text)], "t string")
+            return df.select(
+                normalize_text("t", **kw).alias("n")).collect()[0].n
+
+        assert one("  Hello   WORLD  ") == "hello world"
+        assert one("MiXeD", case=False) == "MiXeD"
+        assert one("a,b.c!", strip_punct=True) == "abc"
+        assert one("a \t b\n c") == "a b c"
+        assert one(None) is None
