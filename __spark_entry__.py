@@ -2241,7 +2241,7 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY n_chars DESC, doc_id
                                      ROWS UNBOUNDED PRECEDING) AS run
               FROM t)
-            SELECT lang, count(*) AS n_docs, sum(toks) AS sum_tokens
+            SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
             FROM r WHERE run <= 2000
             GROUP BY lang ORDER BY lang
         """,
@@ -2307,7 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "q49_asof_attribution": """
             SELECT l.user_id, count(*) AS n_clicks,
                    count(r.ts) AS n_matched,
-                   sum(epoch_us(l.ts) - epoch_us(r.ts)) AS sum_gap_us,
+                   CAST(sum(epoch_us(l.ts) - epoch_us(r.ts)) AS BIGINT) AS sum_gap_us,
                    count(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
                                    <= 3600000000 THEN 1 END) AS n_within_1h
             FROM (SELECT * FROM events WHERE event_type = 'click') l
