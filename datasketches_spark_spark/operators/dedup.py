@@ -292,8 +292,26 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     of documents is boilerplate, not evidence of duplication (true near-dup
     pairs always also share rare fingerprints from their unique content)."""
     fp = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
-    sized = fp.select("_id", F.size("fingerprints").alias("n_fp"),
-                      F.explode("fingerprints").alias("fp"))
+    return (winnow_pairs_from_fingerprints(fp, "_id", "fingerprints",
+                                           min_overlap=min_overlap,
+                                           max_bucket=max_bucket)
+            .select("id_a", "id_b", "overlap"))
+
+
+def winnow_pairs_from_fingerprints(fp_df: DataFrame, id_col: str,
+                                   fp_col: str, min_overlap: float = 0.5,
+                                   max_bucket: int = 64) -> DataFrame:
+    """The bucket-join half of winnowing dedup over a PRECOMPUTED
+    fingerprint-set column (``array<long>`` of distinct fingerprints) —
+    hash-agnostic, so a portable fingerprint the oracle can reproduce
+    (``functions.text.winnow_fingerprints_expr``) exercises the same
+    candidate-generation plan as the engine-hash path. Emits
+    ``(id_a, id_b, shared, n_a, n_b, overlap)`` for pairs whose
+    containment (shared / min set size) >= min_overlap; fingerprints in
+    buckets larger than ``max_bucket`` are boilerplate and dropped."""
+    sized = fp_df.select(F.col(id_col).alias("_id"),
+                         F.size(fp_col).alias("n_fp"),
+                         F.explode(fp_col).alias("fp"))
     buckets = (sized.groupBy("fp")
                .agg(F.collect_list(F.struct("_id", "n_fp")).alias("ids"))
                .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
@@ -308,7 +326,8 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.first("b.n_fp").alias("n_b")))
     overlap = (F.col("shared").cast("double")
                / F.least("n_a", "n_b").cast("double"))
-    return (counted.select("id_a", "id_b", overlap.alias("overlap"))
+    return (counted.select("id_a", "id_b", "shared", "n_a", "n_b",
+                           overlap.alias("overlap"))
             .where(F.col("overlap") >= min_overlap))
 
 
@@ -349,15 +368,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     return src.mapInPandas(build, out_schema)
 
 
-def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
-                        max_distance: int = 3) -> DataFrame:
-    """Near-duplicate pairs at Hamming distance <= max_distance (must be
-    <= 3 for the 4-chunk pigeonhole to guarantee perfect recall): bucket on
-    each 16-bit chunk, self-join per chunk, verify with bit_count(xor)."""
+def simhash_pairs_from_sigs(sig_df: DataFrame, id_col: str = "_id",
+                            sig_col: str = "simhash",
+                            max_distance: int = 3) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= max_distance from a
+    PRECOMPUTED signature column — the pigeonhole bucket + popcount-verify
+    machinery, hash-agnostic: any <= 64-bit signature works (the engine's
+    xxhash64 SimHash via :func:`simhash`, or a portable hash the oracle
+    can reproduce, e.g. ``functions.text.simhash_expr``). max_distance
+    must be <= 3 for the 4x16-bit-chunk pigeonhole to guarantee perfect
+    recall (a pair differing in <= 3 bits must agree on >= 1 of 4
+    chunks)."""
     if max_distance > 3:
         raise ValueError("max_distance > 3 breaks the 4x16-bit pigeonhole "
                          "recall guarantee; add more chunks instead")
-    sig = simhash(df, id_col, text_col)
+    sig = sig_df.select(F.col(id_col).alias("_id"),
+                        F.col(sig_col).alias("simhash"))
     chunks = sig.select(
         F.struct(F.col("_id").alias("id"), F.col("simhash").alias("sig"))
          .alias("doc"),
@@ -380,6 +406,16 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (pairs.select("id_a", "id_b", dist.alias("hamming"))
             .where(F.col("hamming") <= max_distance))
+
+
+def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        max_distance: int = 3) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= max_distance over the
+    engine's 64-bit xxhash64 SimHash: :func:`simhash` ->
+    :func:`simhash_pairs_from_sigs` (pigeonhole bucket, popcount
+    verify)."""
+    return simhash_pairs_from_sigs(simhash(df, id_col, text_col),
+                                   "_id", "simhash", max_distance)
 
 
 # -------------------------------------------- exact n-gram Jaccard join
@@ -619,7 +655,8 @@ def minhash_match(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
 
 def dedup_drop_list(df: DataFrame, pairs: DataFrame, id_col: str,
                     prefer_col: str | None = None, src: str = "id_a",
-                    dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+                    dst: str = "id_b", max_iter: int = 25,
+                    labels: DataFrame | None = None) -> DataFrame:
     """The KEEP-ONE policy that finishes a dedup pipeline: from near-dup
     PAIRS, return the ids to DROP — every member of each connected
     component except its canonical survivor.
@@ -633,7 +670,8 @@ def dedup_drop_list(df: DataFrame, pairs: DataFrame, id_col: str,
     dataset; at 100 TB the list is pair-graph-sized (duplicates only),
     so the anti-join broadcasts in the common case."""
     from pyspark.sql import Window
-    labels = connected_components(pairs, src, dst, max_iter)
+    if labels is None:
+        labels = connected_components(pairs, src, dst, max_iter)
     if prefer_col is None:
         return (labels.where(F.col("id") != F.col("comp"))
                 .select(F.col("id").alias(id_col)))

@@ -782,7 +782,17 @@ def _materialize(spark: SparkSession, prefix: str, body: str,
     df = _rewrite_union(spark, prefix, body)
     if cols is not None:
         if len(cols) != len(df.columns):
-            raise _Unsupported("CTE column list arity does not match body")
+            # Hard error, not a fallback: a sketch-bearing CTE that left
+            # the rewrite here would silently run its aggregates as
+            # raw-row UDF shuffles at 100x scale. ValueError propagates
+            # through sql()'s except chain by design.
+            raise ValueError(
+                f"dss.sql: CTE column list has {len(cols)} names "
+                f"({', '.join(cols)}) but its body produces "
+                f"{len(df.columns)} columns ({', '.join(df.columns)}). "
+                "Make the arities match — alias each select item in the "
+                "CTE body (or drop the column list) so the two-phase "
+                "sketch plan is preserved.")
         df = df.toDF(*cols)
     vname = f"__dss_cte_{tag}_{uuid.uuid4().hex[:8]}"
     df.createOrReplaceTempView(vname)

@@ -323,8 +323,9 @@ def test_cte_column_list_renames_sketch_output(spark):
         rows = dss.sql(spark, q).collect()
     assert [r.flag for r in rows] == ["A", "N", "R"]
     assert all(r.median_qty is not None for r in rows)
-    # arity mismatch -> clean fallback to spark.sql's own error
-    with pytest.raises(Exception):
+    # arity mismatch -> actionable HARD error (never a silent raw-row
+    # fallback: at scale that would quietly lose the two-phase plan)
+    with pytest.raises(ValueError, match="CTE column list has 1 names"):
         dss.sql(spark, ("WITH s(one_col) AS (SELECT l_returnflag, "
                         "approx_count_distinct_ex(l_partkey) FROM lineitem "
                         "GROUP BY l_returnflag) SELECT * FROM s")).collect()
