@@ -321,8 +321,13 @@ def _q17_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark_spark.functions.text import simhash_expr
     from datasketches_spark_spark.operators import simhash_pairs_from_sigs
     docs = read_table(spark, sf_dir, "documents")
+    # localCheckpoint = evaluation barrier: the signature expression is a
+    # deep HOF chain, and without the barrier projection collapse would
+    # re-inline it into every downstream reference (sig leg, n_ones,
+    # chunk explosion) — the ngrams re-evaluation lesson (BASELINE.md r7)
     base = (docs.where(F.col("doc_id") < 150)
-            .select("doc_id", simhash_expr("text").alias("sig")))
+            .select("doc_id", simhash_expr("text").alias("sig"))
+            .localCheckpoint())
     sigleg = base.select(
         F.lit("sig").alias("leg"), F.col("doc_id").alias("a"),
         (F.length("sig")
@@ -899,8 +904,12 @@ def _q27_winnow_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_pairs_from_fingerprints)
     docs = read_table(spark, sf_dir, "documents")
     f = winnow_fingerprints_expr("text", k=16, window=4)
+    # localCheckpoint barrier: same HOF re-evaluation hazard as q17 — the
+    # fingerprint array feeds size/md5 AND the explode in the pair
+    # machinery, which projection collapse would otherwise re-compute
     base = (docs.where(F.col("doc_id") < 150)
-            .select("doc_id", f.alias("fps")))
+            .select("doc_id", f.alias("fps"))
+            .localCheckpoint())
     fpleg = base.select(
         F.lit("fp").alias("leg"), F.col("doc_id").alias("a"),
         F.size("fps").cast("long").alias("b"),

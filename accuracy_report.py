@@ -263,6 +263,56 @@ def main(spark=None, rows: int | None = None) -> int:
             failures.append(
                 f"{fam} 2-sigma NDV bounds covered only {c}/{trials}")
 
+    # ------------------------------------- join-size estimation error (r8)
+    # q55's exact-regime oracle proves correctness; THIS is the
+    # estimation-regime contract: with map size << key NDV, the
+    # heavy-hitter approximation sum_k est_A(k)*est_B(k) must stay inside
+    # the derivable Misra-Gries envelope
+    #   |est - true| <= errA*nB + errB*nA
+    # (overcount: each retained estimate exceeds truth by <= err, summed
+    # against the other stream's total mass; undercount: every purged key
+    # has true count <= err, so the missed cross terms are bounded the
+    # same way), with err read back from the sketch itself
+    # (approx_freqitems_maxerr's value). Zipf streams make join size
+    # heavy-hitter-dominated — the planner use case — so the relative
+    # error lands far inside that loose bound; both are reported.
+    from datasketches_spark_spark.sketches import FreqItemsSketch
+
+    js_out = {}
+    for zipf_s, tag in ((1.3, "zipf1.3"), (1.1, "zipf1.1")):
+        n_js = max(rows, 1_000_000)
+        keys_a = rng.zipf(zipf_s, size=n_js) % 500_000
+        keys_b = (rng.zipf(zipf_s, size=n_js) + 17) % 500_000
+        ka, ca = np.unique(keys_a, return_counts=True)
+        kb, cb = np.unique(keys_b, return_counts=True)
+        common, ia, ib = np.intersect1d(ka, kb, return_indices=True)
+        true_js = int(np.dot(ca[ia].astype(np.float64),
+                             cb[ib].astype(np.float64)))
+        sks = []
+        for keys in (keys_a, keys_b):
+            # two-chunk build + merge so the MERGE error path is in scope
+            halves = []
+            for chunk in np.array_split(keys, 2):
+                sk = FreqItemsSketch(max_map_size=1024, item_type="long")
+                sk.update_batch(chunk)
+                halves.append(sk)
+            halves[0].merge(halves[1])
+            sks.append(halves[0])
+        sa, sb = sks
+        assert sa._max_err > 0, "not in estimation regime - raise NDV"
+        est = sum(sa.estimate(i) * sb.estimate(i) for i in sa._counts)
+        bound = sa._max_err * n_js + sb._max_err * n_js
+        abs_err = abs(est - true_js)
+        js_out[tag] = {"true": true_js, "est": int(est),
+                       "rel_err_pct": round(abs_err / true_js * 100, 3),
+                       "bound_used_pct": round(abs_err / bound * 100, 2)}
+        if abs_err > bound:
+            failures.append(
+                f"join-size error {abs_err} exceeds MG envelope {bound}"
+                f" at {tag}")
+    print(json.dumps({"experiment": "join_size_estimation",
+                      "map_size": 1024, "results": js_out}))
+
     # ------------------------------------------------- KS error (r7)
     # |KS(sketch states) - KS(raw)| at small k tracks the KLL rank-error
     # envelope regardless of the true drift magnitude.

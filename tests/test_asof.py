@@ -209,6 +209,39 @@ def test_hot_key_skew_correctness(spark):
     assert check.n == 50_000 and check.ok == 50_000
 
 
+def test_hot_key_1m_wall_guard(spark):
+    """Skew kill-switch probe (round-8 stretch): ONE key carrying 1M left
+    rows + 10k right rows through the union-window path. A window
+    partition cannot be AQE-split (all rows of the key must sort in one
+    task), so the scale story is the per-task cost: one O(n log n) sort +
+    one O(n) scan, never a pairwise expansion — 1M rows in a single task
+    must finish in seconds, and the wall guard pins that. (Per-KEY volume
+    is what bounds the task at 100 TB; total volume distributes across
+    keys.)"""
+    import time
+    left = (spark.range(1_000_000)
+            .select(F.lit("hot").alias("k"), (F.col("id") * 2).alias("ts"),
+                    F.col("id").alias("lid")))
+    right = (spark.range(10_000)
+             .select(F.lit("hot").alias("k"),
+                     (F.col("id") * 200 + 1).alias("ts"),
+                     F.col("id").alias("rid")))
+    t0 = time.time()
+    out = asof_join(left, right, "k", left_ts="ts", right_cols=["rid"])
+    check = out.select(
+        F.count("*").alias("n"),
+        F.sum(F.when(
+            (F.col("ts") < 1) & F.col("rid").isNull(), 1
+        ).otherwise(F.when(
+            F.col("rid") == F.floor((F.col("ts") - 1) / 200), 1)
+        )).alias("ok")).collect()[0]
+    wall = time.time() - t0
+    assert check.n == 1_000_000 and check.ok == 1_000_000
+    # generous CI guard: a pairwise plan would be ~10^10 comparisons and
+    # blow far past this; the window plan runs in a few seconds
+    assert wall < 60, f"hot-key as-of took {wall:.1f}s - plan regressed?"
+
+
 def test_tolerance_matches_bruteforce(spark):
     """Randomized check of tolerance semantics: matches farther than
     tolerance_us become NULL, nearer ones survive unchanged."""
