@@ -597,7 +597,14 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization bit-exactly), decoded by the pure-numpy RIFF/WAVE codec
     (operators/audiocodec.py) into sample features (RMS == amplitude,
     ZCR == 1.0 exactly for a square wave); frames are SUMMED (exact
-    integers) so no float-summation-order term enters the hash. All
+    integers) so no float-summation-order term enters the hash. Leg
+    'jpeg' (round 8): every document gets a REAL baseline-JPEG payload —
+    encoded AND decoded by the pure-numpy T.81 codec
+    (operators/jpegcodec.py: FDCT/Huffman out, Huffman/IDCT back) inside
+    the same extract_image_features operator; solid grayscale at an even
+    offset from 128 makes the lossy roundtrip bit-exact (DC quantizes to
+    an exact integer with zero AC), so DuckDB recomputes the decoded
+    means relationally. All
     Python stages are single streaming Arrow passes with `source`
     carried through (keep_cols) — one scan per modality, no join-back
     shuffle; the only shuffles carry the per-source rollups."""
@@ -622,14 +629,22 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(encode_wav(x, 8000))
         return pd.Series(out, dtype=object)
 
+    def _mk_jpg(v):
+        from datasketches_spark_spark.operators import encode_jpeg
+        return pd.Series(
+            [encode_jpeg(np.full((8, 16), int(vv), dtype=np.uint8))
+             for vv in v], dtype=object)
+
     # explicit annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot evaluate here
     _mk_img.__annotations__ = {"r": pd.Series, "g": pd.Series,
                                "return": pd.Series}
     _mk_wav.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
                                "return": pd.Series}
+    _mk_jpg.__annotations__ = {"v": pd.Series, "return": pd.Series}
     make_ppm = F.pandas_udf(_mk_img, BinaryType())
     make_wav = F.pandas_udf(_mk_wav, BinaryType())
+    make_jpg = F.pandas_udf(_mk_jpg, BinaryType())
 
     docs = read_table(spark, sf_dir, "documents")
     with_img = docs.select(
@@ -663,7 +678,21 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("d3"))
            .select(F.lit("aud").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
-    return img.unionByName(aud).orderBy("leg", "source")
+    jpgs = docs.select(
+        "doc_id", "source",
+        make_jpg((F.lit(78) + (F.col("doc_id") % 50) * 2).cast("int"))
+        .alias("payload"))
+    jfeats = extract_image_features(jpgs, "doc_id", keep_cols=["source"])
+    jpg = (jfeats.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.max("width").cast("long").alias("i1"),
+                F.max("height").cast("long").alias("i2"),
+                F.avg("mean_r").alias("d1"),
+                F.avg("mean_g").alias("d2"),
+                F.lit(0.0).alias("d3"))
+           .select(F.lit("jpeg").alias("leg"), "source", "n", "i1", "i2",
+                   "d1", "d2", "d3"))
+    return img.unionByName(aud).unionByName(jpg).orderBy("leg", "source")
 
 
 def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2199,6 +2228,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 AS BIGINT) AS i2,
                    avg((CAST(doc_id % 64 AS DOUBLE) + 1) / 128.0) AS d1,
                    CAST(1.0 AS DOUBLE) AS d2,
+                   CAST(0.0 AS DOUBLE) AS d3
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'jpeg' AS leg, source,
+                   count(*) AS n,
+                   CAST(16 AS BIGINT) AS i1,
+                   CAST(8 AS BIGINT) AS i2,
+                   avg(CAST(78 + (doc_id % 50) * 2 AS DOUBLE)) AS d1,
+                   avg(CAST(78 + (doc_id % 50) * 2 AS DOUBLE)) AS d2,
                    CAST(0.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
             ORDER BY leg, source

@@ -4,10 +4,12 @@
 These give the multimodal suite one REAL decode -> transform -> encode
 path end-to-end without native image libraries: the formats are plain
 headers over raw pixel bytes, so numpy slicing is a complete decoder.
-Compressed formats stay honestly stubbed — ``decode_image`` raises
-``NotImplementedError`` naming the sniffed format for JPEG/PNG/GIF/WebP
-payloads (entropy codecs are out of scope for this environment; inject a
-real codec via the ``codec=`` hooks in ``operators.multimodal``).
+Baseline-sequential JPEG decodes through the pure-numpy
+`jpegcodec` module (round 8); the remaining compressed formats stay
+honestly stubbed — ``decode_image`` raises ``NotImplementedError``
+naming the sniffed format for PNG/GIF/WebP/progressive-JPEG payloads
+(inject a real codec via the ``codec=`` hooks in
+``operators.multimodal``).
 
 No counterpart in the reference (it has no multimodal surface); this
 backs the LLM-pipeline components the build plan adds beyond it.
@@ -31,7 +33,6 @@ __all__ = [
 ]
 
 _STUB_MAGICS = [
-    (b"\xff\xd8\xff", "jpeg"),
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"GIF8", "gif"),
     (b"RIFF", "riff (webp/avi/wav container)"),
@@ -43,6 +44,8 @@ def sniff_format(data: bytes) -> str | None:
     """Best-effort container sniff from magic bytes; None = unknown."""
     if data[:2] in (b"P6", b"P5") and (len(data) > 2 and data[2:3].isspace()):
         return "ppm"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:2] == b"BM":
         return "bmp"
     for magic, name in _STUB_MAGICS:
@@ -60,10 +63,14 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"no built-in codec for format {fmt or 'unknown'!r}: only "
-        "uncompressed PPM/PGM (P6/P5) and BMP (BI_RGB) decode without "
-        "native image libraries; inject a codec for compressed formats")
+        f"no built-in codec for format {fmt or 'unknown'!r}: "
+        "PPM/PGM (P6/P5), BMP (BI_RGB) and baseline-sequential JPEG "
+        "decode without native image libraries; inject a codec for "
+        "other compressed formats")
 
 
 # ------------------------------------------------------------ PPM / PGM

@@ -1,0 +1,590 @@
+"""Pure-numpy BASELINE JPEG codec (ITU-T T.81 baseline sequential DCT,
+Huffman entropy coding) — the one compressed format a real multimodal
+pipeline meets on nearly every crawl.
+
+Scope is deliberately exact:
+
+* decode: baseline-sequential JFIF/EXIF (SOF0), grayscale or YCbCr with
+  any of the standard subsampling factors (4:4:4, 4:2:2, 4:2:0),
+  restart intervals (DRI/RSTn), byte stuffing. Progressive (SOF2),
+  arithmetic coding, hierarchical and 12-bit modes stay honestly
+  refused with a named error — same policy as PNG in `imagecodec.py`.
+* encode: baseline-sequential, grayscale or 4:4:4 YCbCr, the T.81
+  Annex K example tables scaled by the usual IJG quality formula.
+
+The entropy-coded segment is decoded bit-serially in Python (a few
+symbol lookups per 8x8 block); everything block-shaped — IDCT/FDCT,
+dequantization, level shift, color transform — is vectorized numpy over
+ALL blocks at once (`einsum`), so cost scales with pixel count, not
+Python overhead per pixel.
+
+The quantization/Huffman tables transcribed here are the NORMATIVE
+example tables of the public JPEG standard (T.81 Annex K.1/K.3) — the
+same RFC-1951-fixed-Huffman situation as `compat/_cpc_tables.py`:
+without them no baseline JPEG interoperates.
+
+No counterpart in the reference (no multimodal surface there); this
+closes the round-7 VERDICT stretch item on `imagecodec.py:63`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+# --------------------------------------------------------- T.81 constants
+
+# zig-zag order: index i of the scan -> position in the 8x8 block
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1 example quantization tables (luminance / chrominance)
+STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+STD_CHR_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 example Huffman tables: (BITS list of 16 counts, HUFFVAL)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# 8x8 DCT-II basis matrix: FDCT(X) = C @ X @ C.T ; IDCT(Y) = C.T @ Y @ C
+_k = np.arange(8)
+_C = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * 0.5
+_C[0, :] = 0.5 / np.sqrt(2.0)
+
+
+# ----------------------------------------------------------- Huffman build
+
+def _canonical_codes(bits, vals):
+    """(code, length) per symbol in canonical order (T.81 C.2)."""
+    out = []
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[i], code, length))
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, vals):
+    """(length, code) -> symbol lookup dict."""
+    return {(ln, code): sym for sym, code, ln in _canonical_codes(bits, vals)}
+
+
+def _encode_table(bits, vals):
+    """symbol -> (code, length) lookup dict."""
+    return {sym: (code, ln) for sym, code, ln in _canonical_codes(bits, vals)}
+
+
+# ----------------------------------------------------------------- decoder
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with JPEG byte
+    unstuffing (FF 00 -> FF); stops at any other FF xx marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("JPEG: truncated entropy segment")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos = p + 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt - 0xD0)
+            else:
+                raise ValueError("JPEG: marker inside entropy segment")
+        else:
+            self.pos = p + 1
+        self.cur = (self.cur << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def byte_align_and_skip_restart(self):
+        """After a restart interval: drop partial bits, consume RSTn."""
+        self.cur = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, n):
+        self.n = n
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map received bits to signed amplitude."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline-sequential JPEG bytes to ``(H, W) uint8`` grayscale
+    or ``(H, W, 3) uint8`` RGB. Raises ``NotImplementedError`` for
+    progressive/arithmetic/12-bit streams and ``ValueError`` for corrupt
+    ones."""
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_markers(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"JPEG: truncated or corrupt stream: {e}") from e
+
+
+def _decode_jpeg_markers(data: bytes) -> np.ndarray:
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                qt[tid] = np.frombuffer(
+                    seg[s + 1:s + 65], dtype=np.uint8).astype(np.int64)
+                s += 65
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0xF
+                bits = list(seg[s + 1:s + 17])
+                n = sum(bits)
+                vals = list(seg[s + 17:s + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _decode_table(
+                    bits, vals)
+                s += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: SOF{marker - 0xC0} (non-baseline: progressive/"
+                "arithmetic/hierarchical) — baseline sequential only")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF0")
+            ns = seg[0]
+            scomp = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i:3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scomp.append((comp, tdta >> 4, tdta & 0xF))
+            coeffs = _decode_scan(data, pos + seglen, frame, scomp,
+                                  huff_dc, huff_ac, restart_interval)
+            return _reconstruct(frame, coeffs, qt)
+        pos += seglen
+    raise ValueError("JPEG: no scan found")
+
+
+def _decode_scan(data, pos, frame, scomp, huff_dc, huff_ac,
+                 restart_interval):
+    """Entropy-decode the whole scan into per-component coefficient
+    arrays (n_blocks_v, n_blocks_h, 64) in zig-zag order."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    out = {}
+    for comp, _, _ in scomp:
+        out[comp["id"]] = np.zeros(
+            (mcuy * comp["v"], mcux * comp["h"], 64), dtype=np.int64)
+    reader = _BitReader(data, pos)
+    pred = {comp["id"]: 0 for comp, _, _ in scomp}
+    mcu = 0
+    total = mcux * mcuy
+    while mcu < total:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.byte_align_and_skip_restart()
+            pred = {k: 0 for k in pred}
+        my, mx = divmod(mcu, mcux)
+        try:
+            for comp, td, ta in scomp:
+                dct, act = huff_dc[td], huff_ac[ta]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = np.zeros(64, dtype=np.int64)
+                        s = reader.decode_symbol(dct)
+                        diff = _extend(reader.read_bits(s), s)
+                        pred[comp["id"]] += diff
+                        blk[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(act)
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC run overflow")
+                            blk[k] = _extend(reader.read_bits(sz), sz)
+                            k += 1
+                        out[comp["id"]][my * comp["v"] + by,
+                                        mx * comp["h"] + bx] = blk
+        except _RestartMarker:
+            raise ValueError("JPEG: unexpected restart marker")
+        mcu += 1
+    return out
+
+
+def _reconstruct(frame, coeffs, qt):
+    """Dequantize + IDCT every block (vectorized), upsample chroma,
+    color-transform."""
+    planes = []
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    for comp in frame["comps"]:
+        zz = coeffs[comp["id"]]
+        q = qt[comp["tq"]]
+        deq = zz * q[None, None, :]
+        blocks = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+        blocks.reshape(zz.shape[:2] + (64,))[:, :, ZIGZAG] = deq
+        # IDCT all blocks at once: C.T @ B @ C
+        pix = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        nby, nbx = pix.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        # upsample to full resolution (nearest / pixel replication)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:frame["h"], :frame["w"]])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise NotImplementedError("JPEG: only 1- or 3-component frames")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- encoder
+
+def _quality_tables(quality: int):
+    """IJG quality scaling of the Annex K tables."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    lum = np.clip((STD_LUM_Q * scale + 50) // 100, 1, 255)
+    chr_ = np.clip((STD_CHR_Q * scale + 50) // 100, 1, 255)
+    return lum, chr_
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.cur = (self.cur << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.cur >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+
+
+def _encode_amplitude(v: int):
+    """(size, bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = int(a).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_blocks(writer, zz, dc_tab, ac_tab):
+    """Huffman-encode one component's blocks (in scan order) with a
+    running DC predictor; returns nothing (bits land in writer)."""
+    pred = 0
+    for blk in zz:
+        s, bits = _encode_amplitude(int(blk[0]) - pred)
+        pred = int(blk[0])
+        code, ln = dc_tab[s]
+        writer.write(code, ln)
+        if s:
+            writer.write(bits, s)
+        nz = np.nonzero(blk[1:])[0]
+        k = 0
+        for idx in nz:
+            run = int(idx) - k
+            while run >= 16:
+                code, ln = ac_tab[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            s, bits = _encode_amplitude(int(blk[1 + idx]))
+            code, ln = ac_tab[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(bits, s)
+            k = int(idx) + 1
+        if k < 63:
+            code, ln = ac_tab[0x00]  # EOB
+            writer.write(code, ln)
+
+
+def _fdct_quantize(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shift, 8x8 FDCT (vectorized), quantize, zig-zag; returns
+    (n_blocks, 64) int coefficient rows in scan order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[-1:, :]  # edge replication
+    padded[:, w:] = padded[:, w - 1:w]
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", _C, blocks - 128.0, _C.T)
+    # decoder writes block.flat[ZIGZAG[i]] = scan[i], so the scan order
+    # here must be coef.flat[ZIGZAG[i]]
+    zz = coef.reshape(-1, 64)[:, ZIGZAG]
+    # round-half-away-from-zero like libjpeg's descale
+    qzz = np.sign(zz) * ((np.abs(zz) / q[None, :]) + 0.5).astype(np.int64)
+    return qzz.astype(np.int64)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
+    """Encode ``(H, W) uint8`` grayscale or ``(H, W, 3) uint8`` RGB to
+    baseline-sequential JPEG (4:4:4, Annex K tables at the IJG quality
+    scale). Decodable by this module's :func:`decode_jpeg` and any
+    standard JPEG library."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg needs (H,W) or (H,W,3) uint8")
+    h, w = img.shape[:2]
+    lum_q, chr_q = _quality_tables(quality)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    # DQT
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + bytes(lum_q.astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" \
+            + bytes(chr_q.astype(np.uint8))
+    # SOF0
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof += bytes([1, 0x11, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT (the 2 or 4 standard tables)
+    tables = [(0x00, DC_LUM_BITS, DC_LUM_VALS),
+              (0x10, AC_LUM_BITS, AC_LUM_VALS)]
+    if not gray:
+        tables += [(0x01, DC_CHR_BITS, DC_CHR_VALS),
+                   (0x11, AC_CHR_BITS, AC_CHR_VALS)]
+    for tc, bits, vals in tables:
+        payload = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOS
+    sos = bytes([nc, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    # entropy-coded segment
+    writer = _BitWriter()
+    dc_lum = _encode_table(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lum = _encode_table(AC_LUM_BITS, AC_LUM_VALS)
+    if gray:
+        _encode_blocks(writer, _fdct_quantize(img.astype(np.float64),
+                                              lum_q), dc_lum, ac_lum)
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        dc_chr = _encode_table(DC_CHR_BITS, DC_CHR_VALS)
+        ac_chr = _encode_table(AC_CHR_BITS, AC_CHR_VALS)
+        # 4:4:4 non-interleaved would need 3 scans; baseline interleaved
+        # MCUs at 1x1 sampling = one block per component per MCU
+        zys = _fdct_quantize(y, lum_q)
+        zcb = _fdct_quantize(cb, chr_q)
+        zcr = _fdct_quantize(cr, chr_q)
+        predy = predb = predr = 0
+        for i in range(zys.shape[0]):
+            for zz, tabs, pred_name in ((zys[i], (dc_lum, ac_lum), "y"),
+                                        (zcb[i], (dc_chr, ac_chr), "b"),
+                                        (zcr[i], (dc_chr, ac_chr), "r")):
+                pred = {"y": predy, "b": predb, "r": predr}[pred_name]
+                s, bits = _encode_amplitude(int(zz[0]) - pred)
+                if pred_name == "y":
+                    predy = int(zz[0])
+                elif pred_name == "b":
+                    predb = int(zz[0])
+                else:
+                    predr = int(zz[0])
+                code, ln = tabs[0][s]
+                writer.write(code, ln)
+                if s:
+                    writer.write(bits, s)
+                nzi = np.nonzero(zz[1:])[0]
+                k = 0
+                for idx in nzi:
+                    run = int(idx) - k
+                    while run >= 16:
+                        code, ln = tabs[1][0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    s, bits = _encode_amplitude(int(zz[1 + idx]))
+                    code, ln = tabs[1][(run << 4) | s]
+                    writer.write(code, ln)
+                    writer.write(bits, s)
+                    k = int(idx) + 1
+                if k < 63:
+                    code, ln = tabs[1][0x00]
+                    writer.write(code, ln)
+        writer.flush()
+        out += writer.out + b"\xff\xd9"
+        return bytes(out)
+    writer.flush()
+    out += writer.out + b"\xff\xd9"
+    return bytes(out)

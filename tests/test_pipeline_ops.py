@@ -628,11 +628,14 @@ class TestImageCodec:
         assert out[0, 1].tolist() == [60, 50, 40]
 
     def test_compressed_formats_stay_stubbed(self):
+        # baseline JPEG decodes as of round 8 (operators/jpegcodec.py);
+        # the remaining compressed formats still refuse by name, and a
+        # truncated JPEG is a ValueError, not a silent fallback
         from datasketches_spark_spark.operators import decode_image
-        for magic in (b"\xff\xd8\xff\xe0" + b"\x00" * 16,
-                      b"\x89PNG\r\n\x1a\n" + b"\x00" * 16):
-            with pytest.raises(NotImplementedError):
-                decode_image(magic)
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
     def test_resize_nearest_solid_and_shape(self):
         from datasketches_spark_spark.operators import resize_nearest
