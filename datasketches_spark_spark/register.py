@@ -403,3 +403,8 @@ def install(spark: SparkSession) -> None:
         RETURNS ARRAY<DOUBLE>
         RETURN transform(s.q, x -> CAST(x AS DOUBLE) * s.scale)
     """)
+
+    # DESCRIBE FUNCTION metadata (reference parity with shims.scala's
+    # ExpressionInfo usage strings) — best-effort over internal API.
+    from .funcdocs import install_function_docs
+    install_function_docs(spark)
