@@ -604,7 +604,10 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same extract_image_features operator; solid grayscale at an even
     offset from 128 makes the lossy roundtrip bit-exact (DC quantizes to
     an exact integer with zero AC), so DuckDB recomputes the decoded
-    means relationally. All
+    means relationally. Leg 'png' (round 8): RGB payloads through the
+    pure-Python PNG codec (operators/pngcodec.py — zlib DEFLATE +
+    scanline filters), which is LOSSLESS, so the decoded channel means
+    equal the encoded constants exactly. All
     Python stages are single streaming Arrow passes with `source`
     carried through (keep_cols) — one scan per modality, no join-back
     shuffle; the only shuffles carry the per-source rollups."""
@@ -635,6 +638,13 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             [encode_jpeg(np.full((8, 16), int(vv), dtype=np.uint8))
              for vv in v], dtype=object)
 
+    def _mk_png(r, g):
+        from datasketches_spark_spark.operators import encode_png
+        return pd.Series(
+            [encode_png(np.full((4, 8, 3), [int(rv), int(gv), 7],
+                                dtype=np.uint8))
+             for rv, gv in zip(r, g)], dtype=object)
+
     # explicit annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot evaluate here
     _mk_img.__annotations__ = {"r": pd.Series, "g": pd.Series,
@@ -642,9 +652,12 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk_wav.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
                                "return": pd.Series}
     _mk_jpg.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _mk_png.__annotations__ = {"r": pd.Series, "g": pd.Series,
+                               "return": pd.Series}
     make_ppm = F.pandas_udf(_mk_img, BinaryType())
     make_wav = F.pandas_udf(_mk_wav, BinaryType())
     make_jpg = F.pandas_udf(_mk_jpg, BinaryType())
+    make_png = F.pandas_udf(_mk_png, BinaryType())
 
     docs = read_table(spark, sf_dir, "documents")
     with_img = docs.select(
@@ -692,7 +705,22 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("d3"))
            .select(F.lit("jpeg").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
-    return img.unionByName(aud).unionByName(jpg).orderBy("leg", "source")
+    pngs = docs.select(
+        "doc_id", "source",
+        make_png((F.col("doc_id") % 256).cast("int"),
+                 (F.length("text") % 256).cast("int")).alias("payload"))
+    pfeats = extract_image_features(pngs, "doc_id", keep_cols=["source"])
+    png = (pfeats.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.max("width").cast("long").alias("i1"),
+                F.max("height").cast("long").alias("i2"),
+                F.avg("mean_r").alias("d1"),
+                F.avg("mean_g").alias("d2"),
+                F.avg("mean_b").alias("d3"))
+           .select(F.lit("png").alias("leg"), "source", "n", "i1", "i2",
+                   "d1", "d2", "d3"))
+    return (img.unionByName(aud).unionByName(jpg).unionByName(png)
+            .orderBy("leg", "source"))
 
 
 def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,6 +2266,15 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(78 + (doc_id % 50) * 2 AS DOUBLE)) AS d1,
                    avg(CAST(78 + (doc_id % 50) * 2 AS DOUBLE)) AS d2,
                    CAST(0.0 AS DOUBLE) AS d3
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'png' AS leg, source,
+                   count(*) AS n,
+                   CAST(8 AS BIGINT) AS i1,
+                   CAST(4 AS BIGINT) AS i2,
+                   avg(CAST(doc_id % 256 AS DOUBLE)) AS d1,
+                   avg(CAST(length(text) % 256 AS DOUBLE)) AS d2,
+                   CAST(7.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
             ORDER BY leg, source
         """,

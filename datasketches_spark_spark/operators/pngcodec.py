@@ -1,0 +1,188 @@
+"""Pure-Python/numpy PNG codec (RFC 2083 / ISO 15948).
+
+PNG's entropy layer is DEFLATE, which the Python standard library ships
+(`zlib`) — so unlike JPEG there is no entropy coder to build: a complete
+decoder is chunk parsing + `zlib.decompress` + scanline unfiltering.
+
+Scope:
+
+* decode: 8-bit greyscale (color type 0), truecolor (2), palette (3),
+  grey+alpha (4), truecolor+alpha (6); all five scanline filters
+  (None/Sub/Up/Average/Paeth); tRNS palette transparency folded into an
+  alpha channel. 16-bit depths, sub-8-bit depths and Adam7 interlace
+  are honestly refused by name.
+* encode: 8-bit greyscale / RGB / RGBA, Up-filtered scanlines (good
+  compression on natural images, trivially reversible), one IDAT.
+
+Unfiltering cost: Up/None rows are whole-row numpy ops; Sub rows are a
+per-residue-class ``cumsum`` (mod 256); only Average/Paeth rows walk
+pixels in Python, and real encoders emit them a minority of the time.
+Everything else (palette lookup, channel stacking) is vectorized.
+
+No counterpart in the reference (no multimodal surface); closes the
+PNG refusal in `imagecodec.py` the same way `jpegcodec.py` closed
+JPEG's.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["decode_png", "encode_png"]
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (before palette expansion)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to ``(H, W) uint8`` grayscale or ``(H, W, C)
+    uint8`` with C in {2 (grey+alpha), 3 (RGB), 4 (RGBA)}. Raises
+    ``NotImplementedError`` for 16-bit / sub-8-bit / interlaced streams
+    and ``ValueError`` for corrupt ones."""
+    data = bytes(data)
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    trns = None
+    try:
+        while pos < len(data):
+            (length,) = struct.unpack(">I", data[pos:pos + 4])
+            ctype = data[pos + 4:pos + 8]
+            chunk = data[pos + 8:pos + 8 + length]
+            pos += 12 + length  # length + type + data + CRC
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", chunk)
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"PNG: bit depth {depth} (8-bit only)")
+                if interlace != 0:
+                    raise NotImplementedError(
+                        "PNG: Adam7 interlace not supported")
+                if color not in _CHANNELS:
+                    raise ValueError(f"PNG: invalid color type {color}")
+                if comp != 0 or filt != 0:
+                    raise ValueError("PNG: unknown compression/filter")
+                ihdr = (w, h, color)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS":
+                trns = np.frombuffer(chunk, np.uint8)
+            elif ctype == b"IDAT":
+                idat += chunk
+            elif ctype == b"IEND":
+                break
+    except struct.error as e:
+        raise ValueError(f"PNG: truncated stream: {e}") from e
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR")
+    if not idat:
+        raise ValueError("PNG: missing IDAT")
+    w, h, color = ihdr
+    ch = _CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: bad DEFLATE stream: {e}") from e
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG: scanline data truncated")
+    img = _unfilter(raw, h, stride, ch)
+    img = img.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        idx = img[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[:len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if ch == 1:
+        return img[:, :, 0]
+    return img
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (RFC 2083 §6). Returns (h*stride,)
+    uint8."""
+    buf = np.frombuffer(raw, np.uint8)
+    out = np.zeros((h, stride), np.uint16)  # uint16 workspace, mod 256 math
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        ftype = int(buf[y * (stride + 1)])
+        line = buf[y * (stride + 1) + 1:(y + 1) * (stride + 1)] \
+            .astype(np.uint16)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: per-residue-class cumsum mod 256
+            rec = line.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, np.uint16)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, np.uint16)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                rec[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(-1)
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode ``(H, W) uint8`` grayscale or ``(H, W, {3,4}) uint8``
+    RGB/RGBA to PNG (8-bit, Up-filtered, one IDAT). Decodable by this
+    module's :func:`decode_png` and any standard PNG library."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, arr = 0, img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, arr = 2, img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, arr = 6, img
+    else:
+        raise ValueError("encode_png needs (H,W), (H,W,3) or (H,W,4)")
+    h, w, ch = arr.shape
+    flat = arr.reshape(h, w * ch).astype(np.int16)
+    up = flat.copy()
+    up[1:] = (flat[1:] - flat[:-1]) % 256
+    scan = np.concatenate(
+        [np.full((h, 1), 2, np.uint8), up.astype(np.uint8)], axis=1)
+    raw = zlib.compress(scan.tobytes(), level)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body \
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b""))

@@ -1,0 +1,107 @@
+"""Pure-Python PNG codec (operators/pngcodec.py): lossless roundtrips,
+per-spec filter decoding, palette/transparency, refusals."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datasketches_spark_spark.operators.pngcodec import (
+    decode_png, encode_png)
+
+
+def _chunk(ctype, payload):
+    body = ctype + payload
+    return struct.pack(">I", len(payload)) + body \
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def _gray_png(filters, rows, color=0):
+    h, w = len(rows), len(rows[0])
+    scan = b"".join(bytes([f]) + bytes(r) for f, r in zip(filters, rows))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b""))
+
+
+def _ref_unfilter(filters, rows, bpp=1):
+    """Per-spec scalar unfilter (RFC 2083 §6) to cross-check the
+    vectorized decoder."""
+    h, w = len(rows), len(rows[0])
+    out = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for i in range(w):
+            x = rows[y][i]
+            a = out[y][i - bpp] if i >= bpp else 0
+            b = out[y - 1][i] if y > 0 else 0
+            c = out[y - 1][i - bpp] if (y > 0 and i >= bpp) else 0
+            f = filters[y]
+            if f == 0:
+                r = x
+            elif f == 1:
+                r = (x + a) & 0xFF
+            elif f == 2:
+                r = (x + b) & 0xFF
+            elif f == 3:
+                r = (x + ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                r = (x + pr) & 0xFF
+            out[y][i] = r
+    return np.array(out, np.uint8)
+
+
+def test_lossless_roundtrips_all_shapes():
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (13, 7), (20, 32, 3), (9, 5, 4), (1, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_png(encode_png(img))
+        assert dec.shape == img.shape and np.array_equal(dec, img), shape
+
+
+def test_all_five_filters_match_spec():
+    rng = np.random.default_rng(5)
+    filters = [0, 1, 2, 3, 4, 4, 3, 1, 2, 0]
+    rows = [list(rng.integers(0, 256, 17)) for _ in filters]
+    dec = decode_png(_gray_png(filters, rows))
+    assert np.array_equal(dec, _ref_unfilter(filters, rows))
+
+
+def test_palette_with_transparency():
+    scan = b"".join(b"\x00" + bytes(r) for r in [[0, 1], [1, 0]])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+           + _chunk(b"tRNS", bytes([128]))
+           + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert dec.shape == (2, 2, 4)
+    assert list(dec[0, 0]) == [255, 0, 0, 128]
+    assert list(dec[0, 1]) == [0, 255, 0, 255]
+
+
+def test_refusals_by_name():
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16))
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_i))
+
+
+def test_corrupt_raises_valueerror():
+    with pytest.raises(ValueError):
+        decode_png(b"\x00" * 16)
+    good = encode_png(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(good[:30])
+
+
+def test_decode_image_dispatches_png():
+    from datasketches_spark_spark.operators import decode_image
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_image(encode_png(img)), img)
