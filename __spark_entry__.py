@@ -1466,36 +1466,43 @@ def _q55_cross_state_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     input. Leg 'ks' (functions/quantiles.py::approx_ks_distance):
     per-event-type quantile states of two date windows, then the
     two-sample Kolmogorov-Smirnov distance from the states — drift
-    detection without raw re-scans. Exact regime for both, so DuckDB
-    reproduces the values relationally."""
+    detection without raw re-scans. ONE accumulate scan per family:
+    both KS windows are tagged in a single pass, and the handful of
+    per-type states is collected to the driver (bounded by the
+    event-type dimension — the q41 pattern) for pair assembly, because
+    a naive self-join of the state DataFrame re-executes the accumulate
+    scan per side (found in the round-8 plan audit). Exact regime for
+    both, so DuckDB reproduces the values relationally."""
     ev = read_table(spark, sf_dir, "events")
-    st = (ev.groupBy("event_type")
-          .agg(dsf.approx_freqitems_accumulate(
-              "user_id", item_type="long",
-              max_map_size=8192).alias("state")))
-    a, b = st.alias("a"), st.alias("b")
-    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type"))
-    joinsize = (pairs.select(
-        F.lit("joinsize").alias("leg"),
-        F.col("a.event_type").alias("ka"),
-        F.col("b.event_type").alias("kb"),
-        dsf.approx_join_size(F.col("a.state"), F.col("b.state"))
-        .cast("double").alias("v")))
+    fstates = (ev.groupBy("event_type")
+               .agg(dsf.approx_freqitems_accumulate(
+                   "user_id", item_type="long",
+                   max_map_size=8192).alias("state")).collect())
+    fpairs = [(a.event_type, b.event_type, a.state, b.state)
+              for a in fstates for b in fstates
+              if a.event_type < b.event_type]
+    fdf = spark.createDataFrame(
+        fpairs, "ka string, kb string, st_a binary, st_b binary")
+    joinsize = fdf.select(
+        F.lit("joinsize").alias("leg"), "ka", "kb",
+        dsf.approx_join_size("st_a", "st_b").cast("double").alias("v"))
     day = F.date_trunc("day", F.col("ts"))
-
-    def states(lo, hi, alias):
-        return (ev.where((day >= lo) & (day < hi))
-                .groupBy("event_type")
-                .agg(dsf.approx_percentile_accumulate(
-                    "value", impl="MERGEABLE", k=_QK).alias(alias)))
-
-    sa = states("2024-01-01", "2024-01-15", "sa")
-    sb = states("2024-01-15", "2024-01-29", "sb")
-    ks = (sa.join(sb, "event_type")
-          .select(F.lit("ks").alias("leg"),
-                  F.col("event_type").alias("ka"),
-                  F.lit("").alias("kb"),
-                  dsf.approx_ks_distance("sa", "sb").alias("v")))
+    w = (F.when((day >= "2024-01-01") & (day < "2024-01-15"), "a")
+         .when((day >= "2024-01-15") & (day < "2024-01-29"), "b"))
+    qstates = (ev.withColumn("w", w).where(F.col("w").isNotNull())
+               .groupBy("event_type", "w")
+               .agg(dsf.approx_percentile_accumulate(
+                   "value", impl="MERGEABLE", k=_QK).alias("st"))
+               .collect())
+    by_key = {(r.event_type, r.w): r.st for r in qstates}
+    kpairs = [(t, by_key[(t, "a")], by_key[(t, "b")])
+              for t in sorted({r.event_type for r in qstates})
+              if (t, "a") in by_key and (t, "b") in by_key]
+    kdf = spark.createDataFrame(
+        kpairs, "ka string, st_a binary, st_b binary")
+    ks = kdf.select(F.lit("ks").alias("leg"), "ka",
+                    F.lit("").alias("kb"),
+                    dsf.approx_ks_distance("st_a", "st_b").alias("v"))
     return joinsize.unionByName(ks).orderBy("leg", "ka", "kb")
 
 
