@@ -5,11 +5,11 @@ These give the multimodal suite one REAL decode -> transform -> encode
 path end-to-end without native image libraries: the formats are plain
 headers over raw pixel bytes, so numpy slicing is a complete decoder.
 Baseline-sequential JPEG decodes through the pure-numpy
-`jpegcodec` module and 8-bit PNG through `pngcodec` (round 8); the
-remaining compressed formats stay honestly stubbed — ``decode_image``
-raises ``NotImplementedError`` naming the sniffed format for
-GIF/WebP/progressive-JPEG/16-bit-PNG payloads (inject a real codec via
-the ``codec=`` hooks in ``operators.multimodal``).
+`jpegcodec` module, 8-bit PNG through `pngcodec`, and GIF through
+`gifcodec` (round 8); the remaining compressed formats stay honestly
+stubbed — ``decode_image`` raises ``NotImplementedError`` naming the
+sniffed format for WebP/progressive-JPEG/16-bit-PNG payloads (inject a
+real codec via the ``codec=`` hooks in ``operators.multimodal``).
 
 No counterpart in the reference (it has no multimodal surface); this
 backs the LLM-pipeline components the build plan adds beyond it.
@@ -33,7 +33,6 @@ __all__ = [
 ]
 
 _STUB_MAGICS = [
-    (b"GIF8", "gif"),
     (b"RIFF", "riff (webp/avi/wav container)"),
     (b"\x00\x00\x00", "mp4/iso-bmff"),
 ]
@@ -47,6 +46,8 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:4] == b"GIF8":
+        return "gif"
     if data[:2] == b"BM":
         return "bmp"
     for magic, name in _STUB_MAGICS:
@@ -70,11 +71,14 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "png":
         from .pngcodec import decode_png
         return decode_png(data)
+    if fmt == "gif":
+        from .gifcodec import decode_gif
+        return decode_gif(data)
     raise NotImplementedError(
         f"no built-in codec for format {fmt or 'unknown'!r}: "
-        "PPM/PGM (P6/P5), BMP (BI_RGB), baseline-sequential JPEG and "
-        "8-bit PNG decode without native image libraries; inject a "
-        "codec for other compressed formats")
+        "PPM/PGM (P6/P5), BMP (BI_RGB), baseline-sequential JPEG, "
+        "8-bit PNG and GIF decode without native image libraries; "
+        "inject a codec for other compressed formats")
 
 
 # ------------------------------------------------------------ PPM / PGM
