@@ -1755,11 +1755,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_error_bounds": _q62_error_bounds,
         "q66_streaming_summary_sink": _q66_streaming_summary_sink,
         # ---- redundant-coverage variants (components gated above) ----
-        "q02_percentile_multi": _q02_percentile_multi,
-        "q10_freqitems_long": _q10_freqitems_long,
-        "q11_pricing_summary": _q11_pricing_summary,
-        "q23_multimodal": _q23_multimodal,
-        "q28_set_overlap": _q28_set_overlap,
+        "q67_percentile_multi": _q02_percentile_multi,
+        "q68_freqitems_long": _q10_freqitems_long,
+        "q69_pricing_summary": _q11_pricing_summary,
+        "q70_multimodal": _q23_multimodal,
+        "q71_set_overlap": _q28_set_overlap,
     }
 
 
@@ -1771,7 +1771,7 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_extendedprice, 0.95) AS p95_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
-        "q02_percentile_multi": """
+        "q67_percentile_multi": """
             SELECT l_returnflag, l_linestatus,
                    quantile_disc(l_extendedprice, 0.25) AS p25,
                    quantile_disc(l_extendedprice, 0.50) AS p50,
@@ -1823,12 +1823,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority AS item, count(*) AS estimated
             FROM orders GROUP BY o_orderpriority ORDER BY estimated DESC, item
         """,
-        "q10_freqitems_long": """
+        "q68_freqitems_long": """
             SELECT l_suppkey AS item, count(*) AS estimated
             FROM lineitem GROUP BY l_suppkey
             ORDER BY estimated DESC, item LIMIT 10
         """,
-        "q11_pricing_summary": """
+        "q69_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
@@ -2092,7 +2092,7 @@ def oracle_sql() -> dict[str, str]:
               ELSE 'zh' END AS pred_lang, count(*) AS n
             FROM s GROUP BY pred_lang ORDER BY pred_lang
         """,
-        "q23_multimodal": """
+        "q70_multimodal": """
             SELECT source, count(*) AS n_assets,
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    max(octet_length(encode(text))) AS max_bytes
@@ -2139,7 +2139,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM fp UNION ALL SELECT * FROM ch
             ORDER BY leg, doc_id, idx
         """,
-        "q28_set_overlap": """
+        "q71_set_overlap": """
             WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
             cnt AS (SELECT event_type, count(*) n FROM s GROUP BY 1),
             com AS (SELECT a.event_type ta, b.event_type tb, count(*) c
