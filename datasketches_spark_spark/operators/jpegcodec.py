@@ -4,11 +4,12 @@ pipeline meets on nearly every crawl.
 
 Scope is deliberately exact:
 
-* decode: baseline-sequential JFIF/EXIF (SOF0), grayscale or YCbCr with
-  any of the standard subsampling factors (4:4:4, 4:2:2, 4:2:0),
-  restart intervals (DRI/RSTn), byte stuffing. Progressive (SOF2),
-  arithmetic coding, hierarchical and 12-bit modes stay honestly
-  refused with a named error — same policy as PNG in `imagecodec.py`.
+* decode: baseline-sequential (SOF0) AND progressive (SOF2, T.81
+  Annex G: spectral selection + successive approximation with DC/AC
+  refinement scans and EOB runs) JFIF/EXIF, grayscale or YCbCr with any
+  of the standard subsampling factors (4:4:4, 4:2:2, 4:2:0), restart
+  intervals (DRI/RSTn), byte stuffing. Arithmetic coding, hierarchical
+  and 12-bit modes stay honestly refused with a named error.
 * encode: baseline-sequential, grayscale or 4:4:4 YCbCr, the T.81
   Annex K example tables scaled by the usual IJG quality formula.
 
@@ -226,10 +227,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline-sequential JPEG bytes to ``(H, W) uint8`` grayscale
-    or ``(H, W, 3) uint8`` RGB. Raises ``NotImplementedError`` for
-    progressive/arithmetic/12-bit streams and ``ValueError`` for corrupt
-    ones."""
+    """Decode baseline-sequential (SOF0) or progressive (SOF2) JPEG
+    bytes to ``(H, W) uint8`` grayscale or ``(H, W, 3) uint8`` RGB.
+    Raises ``NotImplementedError`` for arithmetic/12-bit/hierarchical
+    streams and ``ValueError`` for corrupt ones."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -245,6 +246,7 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    prog_coeffs = None
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -286,26 +288,50 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2 progressive
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF{marker - 0xC0} (non-baseline: progressive/"
-                "arithmetic/hierarchical) — baseline sequential only")
+                f"JPEG: SOF{marker - 0xC0} (extended/arithmetic/"
+                "hierarchical) — baseline sequential and progressive "
+                "(SOF0/SOF2) only")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG: SOS before SOF0")
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             scomp = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scomp.append((comp, tdta >> 4, tdta & 0xF))
-            coeffs = _decode_scan(data, pos + seglen, frame, scomp,
-                                  huff_dc, huff_ac, restart_interval)
-            return _reconstruct(frame, coeffs, qt)
+            if not frame.get("progressive"):
+                coeffs = _decode_scan(data, pos + seglen, frame, scomp,
+                                      huff_dc, huff_ac, restart_interval)
+                return _reconstruct(frame, coeffs, qt)
+            if prog_coeffs is None:
+                prog_coeffs = _alloc_coeffs(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            end = _decode_scan_progressive(
+                data, pos + seglen, frame, scomp, ss, se,
+                ahal >> 4, ahal & 0xF, huff_dc, huff_ac,
+                restart_interval, prog_coeffs)
+            pos = end
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and             prog_coeffs is not None:
+        return _reconstruct(frame, prog_coeffs, qt)
     raise ValueError("JPEG: no scan found")
 
 
@@ -360,6 +386,183 @@ def _decode_scan(data, pos, frame, scomp, huff_dc, huff_ac,
             raise ValueError("JPEG: unexpected restart marker")
         mcu += 1
     return out
+
+
+def _alloc_coeffs(frame):
+    """Zig-zag coefficient buffers for every frame component, sized to
+    the MCU grid (interleaved DC scans address the padded grid;
+    non-interleaved scans stay inside the component's true block
+    grid)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int64)
+            for c in frame["comps"]}
+
+
+def _comp_block_grid(frame, comp):
+    """(blocks_high, blocks_wide) of a component's own sample grid —
+    the iteration space of a NON-interleaved progressive scan."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan_progressive(data, pos, frame, scomp, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval, coeffs):
+    """One progressive scan (T.81 Annex G): DC first/refinement
+    (interleaved when the scan lists several components), AC
+    first/refinement with EOB runs (always single-component). Updates
+    ``coeffs`` in place; returns the stream position of the next
+    marker."""
+    reader = _BitReader(data, pos)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    state = {"eobrun": 0}
+
+    def dc_first_block(comp, td, blk):
+        s = reader.decode_symbol(huff_dc[td])
+        diff = _extend(reader.read_bits(s), s)
+        state["pred"][comp["id"]] += diff
+        blk[0] = state["pred"][comp["id"]] << al
+
+    def dc_refine_block(blk):
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+    def ac_first(blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << r) - 1 + reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC run past spectral end")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def _refine_nonzero(blk, k):
+        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    def ac_refine(blk):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(act)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = (1 << r) + reader.read_bits(r)
+                        break
+                    # r == 15: run of 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG: invalid AC refinement size")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        _refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def reset_state():
+        state["pred"] = {comp["id"]: 0 for comp, _, _ in scomp}
+        state["eobrun"] = 0
+
+    reset_state()
+    if ss == 0:  # DC scan (interleaved over all scan components)
+        if se != 0:
+            raise ValueError("JPEG: DC scan must have Se == 0")
+        total = mcux * mcuy
+        # T.81 A.2: any scan with a single component is non-interleaved
+        # and iterates that component's own block grid
+        single = len(scomp) == 1
+        if single:
+            nby, nbx = _comp_block_grid(frame, scomp[0][0])
+            total = nbx * nby
+        mcu = 0
+        while mcu < total:
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.byte_align_and_skip_restart()
+                reset_state()
+            if single:
+                comp, td, _ = scomp[0]
+                my, mx = divmod(mcu, nbx)
+                blk = coeffs[comp["id"]][my, mx]
+                if ah == 0:
+                    dc_first_block(comp, td, blk)
+                else:
+                    dc_refine_block(blk)
+            else:
+                my, mx = divmod(mcu, mcux)
+                for comp, td, _ in scomp:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = coeffs[comp["id"]][
+                                my * comp["v"] + by, mx * comp["h"] + bx]
+                            if ah == 0:
+                                dc_first_block(comp, td, blk)
+                            else:
+                                dc_refine_block(blk)
+            mcu += 1
+    else:  # AC scan: exactly one component, its own block raster
+        if len(scomp) != 1:
+            raise ValueError("JPEG: AC scan must be single-component")
+        comp, _, ta = scomp[0]
+        act = huff_ac[ta]
+        nby, nbx = _comp_block_grid(frame, comp)
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.byte_align_and_skip_restart()
+                    reset_state()
+                blk = coeffs[comp["id"]][by, bx]
+                if ah == 0:
+                    ac_first(blk)
+                else:
+                    ac_refine(blk)
+                n += 1
+    # position of the next marker after this entropy segment
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and                 not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
 
 
 def _reconstruct(frame, coeffs, qt):

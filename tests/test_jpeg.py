@@ -147,12 +147,14 @@ def test_decode_restart_intervals():
         assert np.abs(got - expect).max() <= 1, (i, expect)
 
 
-def test_progressive_refused_by_name():
+def test_nonbaseline_sof_refused_by_name():
+    # progressive (SOF2) decodes as of round 8 — see
+    # tests/test_jpeg_progressive.py; arithmetic/hierarchical refuse
     img = np.full((8, 8), 100, np.uint8)
     data = bytearray(encode_jpeg(img))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC2  # pretend SOF2 progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[idx + 1] = 0xCB  # SOF11 arithmetic lossless
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(data))
 
 
