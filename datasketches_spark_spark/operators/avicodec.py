@@ -1,0 +1,165 @@
+"""Pure-Python AVI (RIFF) container codec for Motion-JPEG video.
+
+A real video path without native libraries: AVI is a plain RIFF chunk
+tree, and Motion-JPEG stores every frame as an independent baseline
+JPEG — which `jpegcodec.py` already decodes. Parsing the container is
+bookkeeping, so frame EXTRACTION (the Spark-side operator's job) is
+exact and cheap; per-frame pixel decode reuses the JPEG codec.
+
+Scope:
+
+* parse: RIFF/AVI chunk tree; video stream chunks ``NNdc``/``NNdb`` of
+  the first video stream in ``movi`` order; ``avih`` header metadata
+  (frame count, dimensions, microseconds per frame). Audio streams and
+  non-MJPG codecs are carried opaquely — `avi_info` reports the FourCC
+  so callers can refuse or route; `decode_avi_frame` refuses non-JPEG
+  frame payloads by name.
+* encode: minimal single-video-stream MJPG AVI (avih + strh/strf +
+  movi + idx1) whose frames are this engine's `encode_jpeg` output —
+  self-contained roundtrip tests, and readable by standard players.
+
+No counterpart in the reference (no multimodal surface); makes
+`operators.multimodal.sample_frames` REAL for AVI payloads instead of
+the documented byte-slice fake.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["avi_info", "avi_frame_payloads", "decode_avi_frame",
+           "encode_avi_mjpeg", "mjpeg_frame_sampler", "is_avi"]
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size, list_type) within a
+    RIFF span; list_type is set for LIST/RIFF chunks."""
+    pos = start
+    while pos + 8 <= end:
+        fcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if fcc in (b"RIFF", b"LIST"):
+            yield fcc, pos + 12, size - 4, data[pos + 8:pos + 12]
+        else:
+            yield fcc, pos + 8, size, None
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _find_list(data: bytes, start: int, end: int, ltype: bytes):
+    for fcc, ps, sz, lt in _chunks(data, start, end):
+        if fcc == b"LIST" and lt == ltype:
+            return ps, ps + sz
+    return None
+
+
+def avi_info(data: bytes) -> dict:
+    """Header metadata: total_frames, width, height, usec_per_frame,
+    and the first video stream's codec FourCC (e.g. 'MJPG')."""
+    data = bytes(data)
+    if not is_avi(data):
+        raise ValueError("not an AVI (RIFF/AVI signature missing)")
+    hdrl = _find_list(data, 12, len(data), b"hdrl")
+    if hdrl is None:
+        raise ValueError("AVI: missing hdrl")
+    info = {"codec": None}
+    for fcc, ps, sz, lt in _chunks(data, hdrl[0], hdrl[1]):
+        if fcc == b"avih":
+            us, _, _, _, frames = struct.unpack("<IIIII",
+                                                data[ps:ps + 20])
+            w, h = struct.unpack("<II", data[ps + 32:ps + 40])
+            info.update({"usec_per_frame": us, "total_frames": frames,
+                         "width": w, "height": h})
+        elif fcc == b"LIST" and lt == b"strl" and info["codec"] is None:
+            for f2, p2, s2, _ in _chunks(data, ps, ps + sz):
+                if f2 == b"strh" and data[p2:p2 + 4] == b"vids":
+                    info["codec"] = data[p2 + 4:p2 + 8].decode(
+                        "ascii", "replace")
+    if "total_frames" not in info:
+        raise ValueError("AVI: missing avih header")
+    return info
+
+
+def avi_frame_payloads(data: bytes) -> list[bytes]:
+    """The video frame payloads (compressed ``NNdc`` / uncompressed
+    ``NNdb`` chunks of stream 0) in movi order."""
+    data = bytes(data)
+    if not is_avi(data):
+        raise ValueError("not an AVI (RIFF/AVI signature missing)")
+    movi = _find_list(data, 12, len(data), b"movi")
+    if movi is None:
+        raise ValueError("AVI: missing movi list")
+    out = []
+    for fcc, ps, sz, _ in _chunks(data, movi[0], movi[1]):
+        if fcc[2:4] in (b"dc", b"db") and fcc[:2].isdigit():
+            out.append(data[ps:ps + sz])
+    return out
+
+
+def decode_avi_frame(payload: bytes) -> np.ndarray:
+    """Decode one frame payload to pixels. MJPG frames are JPEGs
+    (decoded by `jpegcodec`); anything else refuses by name."""
+    payload = bytes(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
+    raise NotImplementedError(
+        "AVI frame is not Motion-JPEG; only MJPG streams decode "
+        "without native codecs")
+
+
+def mjpeg_frame_sampler(raw: bytes, num_frames: int) -> list[bytes]:
+    """``sample_frames``-compatible decoder: `num_frames` evenly spaced
+    REAL frame payloads (each an independent JPEG) from an MJPEG AVI."""
+    frames = avi_frame_payloads(raw)
+    if not frames:
+        return []
+    if num_frames >= len(frames):
+        return frames
+    idx = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
+    return [frames[i] for i in idx]
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Encode a list of ``(H, W[, 3]) uint8`` arrays as a Motion-JPEG
+    AVI (each frame an `encode_jpeg` baseline JPEG)."""
+    from .jpegcodec import encode_jpeg
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    jpegs = [encode_jpeg(np.asarray(f)) for f in frames]
+    h, w = np.asarray(frames[0]).shape[:2]
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    usec = 1_000_000 // fps
+    max_size = max(len(j) for j in jpegs)
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       usec, max_size * fps, 0, 0x10,  # HASINDEX
+                       len(jpegs), 0, 1, max_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII",
+            0, 0, 0, 0, 1, fps, 0, len(jpegs), max_size, 0, 0, 0))
+    # BITMAPINFOHEADER with biCompression = 'MJPG'
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+    # idx1: one entry per frame (offset relative to movi list start)
+    idx = bytearray()
+    off = 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body

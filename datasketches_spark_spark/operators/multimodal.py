@@ -233,9 +233,13 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                   decoder: Callable[[bytes, int], list] | None = None
                   ) -> DataFrame:
     """Frame sampling for video-like payloads: emits one row per sampled
-    frame ``(id, frame_idx, frame: binary)``. Without an injected
-    ``decoder`` the payload is split into ``num_frames`` evenly-spaced
-    byte slices (deterministic fake; the row-explosion plumbing is real)."""
+    frame ``(id, frame_idx, frame: binary)``. AVI payloads are REAL as
+    of round 8: the RIFF container is parsed and ``num_frames`` evenly
+    spaced video-stream frames are emitted (each an independent JPEG for
+    Motion-JPEG files, decodable downstream by ``decode_image`` —
+    `operators/avicodec.py`). An injected ``decoder`` overrides; any
+    other payload falls back to ``num_frames`` evenly-spaced byte
+    slices (deterministic fake; the row-explosion plumbing is real)."""
     src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
     out_schema = StructType([
         StructField("_id", src.schema["_id"].dataType),
@@ -244,6 +248,7 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avicodec import is_avi, mjpeg_frame_sampler
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for _id, raw in zip(pdf["_id"], pdf["_p"]):
@@ -252,6 +257,8 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                 raw = bytes(raw)
                 if decoder is not None:
                     fs = decoder(raw, num_frames)
+                elif is_avi(raw):
+                    fs = mjpeg_frame_sampler(raw, num_frames)
                 else:
                     step = max(len(raw) // num_frames, 1)
                     fs = [raw[i * step:(i + 1) * step]

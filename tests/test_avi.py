@@ -1,0 +1,75 @@
+"""MJPEG-AVI container codec (operators/avicodec.py) and the now-real
+sample_frames path for video payloads."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from datasketches_spark_spark.operators.avicodec import (
+    avi_frame_payloads, avi_info, decode_avi_frame, encode_avi_mjpeg,
+    is_avi, mjpeg_frame_sampler)
+
+
+def _solid_frames(n=10, w=16, h=8):
+    # gray values at even offsets from 128 -> exact JPEG roundtrip
+    return [np.full((h, w), 128 + 2 * k, np.uint8) for k in range(n)]
+
+
+def test_roundtrip_all_frames_exact():
+    frames = _solid_frames()
+    avi = encode_avi_mjpeg(frames, fps=5)
+    assert is_avi(avi)
+    payloads = avi_frame_payloads(avi)
+    assert len(payloads) == len(frames)
+    for p, f in zip(payloads, frames):
+        assert np.array_equal(decode_avi_frame(p), f)
+
+
+def test_header_metadata():
+    info = avi_info(encode_avi_mjpeg(_solid_frames(), fps=5))
+    assert info["total_frames"] == 10
+    assert (info["width"], info["height"]) == (16, 8)
+    assert info["usec_per_frame"] == 200_000
+    assert info["codec"] == "MJPG"
+
+
+def test_sampler_even_spacing():
+    avi = encode_avi_mjpeg(_solid_frames(10))
+    picks = mjpeg_frame_sampler(avi, 4)
+    vals = [int(decode_avi_frame(p)[0, 0]) for p in picks]
+    assert vals == [128, 134, 140, 146]  # frames 0, 3, 6, 9
+    # asking for more frames than exist returns them all
+    assert len(mjpeg_frame_sampler(avi, 99)) == 10
+
+
+def test_non_mjpeg_frame_refused():
+    with pytest.raises(NotImplementedError, match="Motion-JPEG"):
+        decode_avi_frame(b"\x00\x01\x02\x03")
+
+
+def test_corrupt_raises():
+    with pytest.raises(ValueError):
+        avi_info(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        avi_frame_payloads(b"not avi at all")
+
+
+def test_sample_frames_real_for_avi(spark):
+    """The Spark operator emits REAL decodable JPEG frames for AVI
+    payloads (no injected decoder), and still byte-slices other
+    payloads."""
+    from datasketches_spark_spark.operators import sample_frames
+    avi = encode_avi_mjpeg(_solid_frames(8))
+    df = spark.createDataFrame([
+        Row(id=1, payload=bytearray(avi)),
+        Row(id=2, payload=bytearray(b"\x00" * 64)),
+    ])
+    out = {(r.id, r.frame_idx): bytes(r.frame)
+           for r in sample_frames(df, "id", 4).collect()}
+    vids = sorted(k for k in out if k[0] == 1)
+    assert len(vids) == 4
+    first = decode_avi_frame(out[(1, 0)])
+    assert np.array_equal(first, np.full((8, 16), 128, np.uint8))
+    # non-AVI payload keeps the documented byte-slice behavior
+    assert len([k for k in out if k[0] == 2]) == 4
+    assert out[(2, 0)] == b"\x00" * 16
