@@ -607,7 +607,13 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     means relationally. Leg 'png' (round 8): RGB payloads through the
     pure-Python PNG codec (operators/pngcodec.py — zlib DEFLATE +
     scanline filters), which is LOSSLESS, so the decoded channel means
-    equal the encoded constants exactly. All
+    equal the encoded constants exactly. Leg 'vid' (round 8): every
+    document gets a 4-frame Motion-JPEG AVI (operators/avicodec.py);
+    sample_frames auto-detects the container and emits 2 evenly spaced
+    REAL frames (0 and 3), each an independent JPEG decoded by
+    extract_image_features — frame grays are even offsets from 128, so
+    the whole container->sample->decode chain is bit-exact and DuckDB
+    recomputes the sampled-frame means from doc_id alone. All
     Python stages are single streaming Arrow passes with `source`
     carried through (keep_cols) — one scan per modality, no join-back
     shuffle; the only shuffles carry the per-source rollups."""
@@ -645,6 +651,14 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 dtype=np.uint8))
              for rv, gv in zip(r, g)], dtype=object)
 
+    def _mk_avi(v):
+        from datasketches_spark_spark.operators import encode_avi_mjpeg
+        return pd.Series(
+            [encode_avi_mjpeg(
+                [np.full((8, 8), int(vv) + 2 * k, dtype=np.uint8)
+                 for k in range(4)])
+             for vv in v], dtype=object)
+
     # explicit annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot evaluate here
     _mk_img.__annotations__ = {"r": pd.Series, "g": pd.Series,
@@ -654,10 +668,12 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk_jpg.__annotations__ = {"v": pd.Series, "return": pd.Series}
     _mk_png.__annotations__ = {"r": pd.Series, "g": pd.Series,
                                "return": pd.Series}
+    _mk_avi.__annotations__ = {"v": pd.Series, "return": pd.Series}
     make_ppm = F.pandas_udf(_mk_img, BinaryType())
     make_wav = F.pandas_udf(_mk_wav, BinaryType())
     make_jpg = F.pandas_udf(_mk_jpg, BinaryType())
     make_png = F.pandas_udf(_mk_png, BinaryType())
+    make_avi = F.pandas_udf(_mk_avi, BinaryType())
 
     docs = read_table(spark, sf_dir, "documents")
     with_img = docs.select(
@@ -719,8 +735,27 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg("mean_b").alias("d3"))
            .select(F.lit("png").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
+    from datasketches_spark_spark.operators import sample_frames
+    vids = docs.where(F.col("doc_id") < 2000).select(
+        "doc_id", "source",
+        make_avi((F.lit(100) + (F.col("doc_id") % 60) * 2).cast("int"))
+        .alias("payload"))
+    frames = sample_frames(vids, "doc_id", 2).join(
+        docs.select("doc_id", "source"), "doc_id")
+    vfeats = extract_image_features(
+        frames.withColumnRenamed("frame", "payload"), "doc_id",
+        keep_cols=["source", "frame_idx"])
+    vid = (vfeats.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.max("width").cast("long").alias("i1"),
+                F.max("height").cast("long").alias("i2"),
+                F.avg("mean_r").alias("d1"),
+                F.avg(F.col("frame_idx").cast("double")).alias("d2"),
+                F.lit(0.0).alias("d3"))
+           .select(F.lit("vid").alias("leg"), "source", "n", "i1", "i2",
+                   "d1", "d2", "d3"))
     return (img.unionByName(aud).unionByName(jpg).unionByName(png)
-            .orderBy("leg", "source"))
+            .unionByName(vid).orderBy("leg", "source"))
 
 
 def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2283,6 +2318,21 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(length(text) % 256 AS DOUBLE)) AS d2,
                    CAST(7.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
+            UNION ALL
+            -- 'vid': 2 sampled frames per doc — source frames 0 and 3
+            -- of 4 (gray = 100 + (doc_id%60)*2 + 2k -> mean is doc gray
+            -- + avg(0,6) = +3, which PINS that the sampler picked the
+            -- evenly spaced endpoints); frame_idx is the sample ordinal
+            -- (0,1), so its mean is 0.5
+            SELECT 'vid' AS leg, source,
+                   CAST(count(*) * 2 AS BIGINT) AS n,
+                   CAST(8 AS BIGINT) AS i1,
+                   CAST(8 AS BIGINT) AS i2,
+                   avg(CAST(100 + (doc_id % 60) * 2 AS DOUBLE)) + 3.0
+                     AS d1,
+                   CAST(0.5 AS DOUBLE) AS d2,
+                   CAST(0.0 AS DOUBLE) AS d3
+            FROM documents WHERE doc_id < 2000 GROUP BY source
             ORDER BY leg, source
         """,
         # q39: dyadic square-wave WAVs make every audio feature exactly
