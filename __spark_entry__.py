@@ -613,7 +613,11 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL frames (0 and 3), each an independent JPEG decoded by
     extract_image_features — frame grays are even offsets from 128, so
     the whole container->sample->decode chain is bit-exact and DuckDB
-    recomputes the sampled-frame means from doc_id alone. All
+    recomputes the sampled-frame means from doc_id alone. Leg 'flac'
+    (round 8): the same square wave through the pure-Python FLAC codec
+    (operators/flaccodec.py — Rice-coded fixed-predictor residuals,
+    LOSSLESS) and decode_audio's sniffing dispatcher, so the decoded
+    features equal the WAV leg's construction exactly. All
     Python stages are single streaming Arrow passes with `source`
     carried through (keep_cols) — one scan per modality, no join-back
     shuffle; the only shuffles carry the per-source rollups."""
@@ -659,6 +663,15 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  for k in range(4)])
              for vv in v], dtype=object)
 
+    def _mk_flac(amp_k, n):
+        from datasketches_spark_spark.operators import encode_flac
+        out = []
+        for k, nf in zip(amp_k, n):
+            a = (int(k) + 1) / 128
+            x = np.where(np.arange(int(nf)) % 2 == 0, a, -a)
+            out.append(encode_flac(x, 8000))
+        return pd.Series(out, dtype=object)
+
     # explicit annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot evaluate here
     _mk_img.__annotations__ = {"r": pd.Series, "g": pd.Series,
@@ -669,11 +682,14 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk_png.__annotations__ = {"r": pd.Series, "g": pd.Series,
                                "return": pd.Series}
     _mk_avi.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _mk_flac.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
+                                "return": pd.Series}
     make_ppm = F.pandas_udf(_mk_img, BinaryType())
     make_wav = F.pandas_udf(_mk_wav, BinaryType())
     make_jpg = F.pandas_udf(_mk_jpg, BinaryType())
     make_png = F.pandas_udf(_mk_png, BinaryType())
     make_avi = F.pandas_udf(_mk_avi, BinaryType())
+    make_flac = F.pandas_udf(_mk_flac, BinaryType())
 
     docs = read_table(spark, sf_dir, "documents")
     with_img = docs.select(
@@ -754,8 +770,24 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("d3"))
            .select(F.lit("vid").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
+    fclips = docs.where(F.col("doc_id") < 2000).select(
+        "doc_id", "source",
+        make_flac((F.col("doc_id") % 64).cast("int"),
+                  (F.lit(100) + F.col("doc_id") % 50).cast("int"))
+        .alias("payload"))
+    ffeats = extract_audio_features(fclips, "doc_id", keep_cols=["source"])
+    flac = (ffeats.groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_frames").cast("long").alias("i1"),
+                 F.max("sample_rate").cast("long").alias("i2"),
+                 F.avg("rms").alias("d1"),
+                 F.max("zero_cross_rate").alias("d2"),
+                 F.lit(0.0).alias("d3"))
+            .select(F.lit("flac").alias("leg"), "source", "n", "i1",
+                    "i2", "d1", "d2", "d3"))
     return (img.unionByName(aud).unionByName(jpg).unionByName(png)
-            .unionByName(vid).orderBy("leg", "source"))
+            .unionByName(vid).unionByName(flac)
+            .orderBy("leg", "source"))
 
 
 def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2318,6 +2350,15 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(length(text) % 256 AS DOUBLE)) AS d2,
                    CAST(7.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'flac' AS leg, source,
+                   count(*) AS n,
+                   CAST(sum(100 + doc_id % 50) AS BIGINT) AS i1,
+                   CAST(8000 AS BIGINT) AS i2,
+                   avg((CAST(doc_id % 64 AS DOUBLE) + 1) / 128.0) AS d1,
+                   CAST(1.0 AS DOUBLE) AS d2,
+                   CAST(0.0 AS DOUBLE) AS d3
+            FROM documents WHERE doc_id < 2000 GROUP BY source
             UNION ALL
             -- 'vid': 2 sampled frames per doc — source frames 0 and 3
             -- of 4 (gray = 100 + (doc_id%60)*2 + 2k -> mean is doc gray

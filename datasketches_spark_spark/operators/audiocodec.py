@@ -84,6 +84,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode any supported audio payload to ``(samples: float64
+    (n, channels) in [-1, 1], sample_rate)``: RIFF/WAVE PCM and IEEE
+    float here, FLAC through the pure-Python `flaccodec` (round 8).
+    Unknown containers raise with the sniffed magic named."""
+    data = bytes(data)
+    if data[:4] == b"fLaC":
+        from .flaccodec import decode_flac
+        return decode_flac(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    raise NotImplementedError(
+        f"no built-in audio codec for magic {data[:4]!r}: RIFF/WAVE "
+        "(PCM + IEEE float) and FLAC decode without native libraries")
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int,
                bits: int = 16) -> bytes:
     """Encode float samples in [-1, 1] (``(n,)`` or ``(n, ch)``) as

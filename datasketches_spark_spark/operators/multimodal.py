@@ -6,10 +6,12 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` so each partition
 streams its payloads through Python once, and everything downstream of the
 extracted features is ordinary JVM-side relational work.
 
-Uncompressed formats decode for REAL via the pure-numpy codecs
-(``imagecodec``: PPM/PGM + BI_RGB BMP; ``audiocodec``: RIFF/WAVE PCM).
-Compressed formats stay STUBBED (this environment ships no entropy
-codecs): ``decode_payload`` raises ``NotImplementedError`` unless a codec
+Decode is REAL via the pure-Python/numpy codecs: images through
+``imagecodec`` (PPM/PGM, BI_RGB BMP, baseline+progressive JPEG, 8-bit
+PNG, GIF), audio through ``audiocodec`` (RIFF/WAVE PCM/float, FLAC),
+video frames through ``avicodec`` (Motion-JPEG AVI). Formats beyond
+those (WebP, MP3, non-MJPG video, ...) stay honestly stubbed:
+``decode_payload`` raises ``NotImplementedError`` unless a codec
 callback is injected, and ``extract_features`` falls back to a
 deterministic byte-level featurizer (length, checksum, byte histogram
 stats) so the Spark-side plumbing — schema, batching, partitioning, UDF
@@ -53,12 +55,11 @@ def with_payload(df: DataFrame, content_col: str, modality: str = "text",
 
 def decode_payload(payload: bytes, modality: str,
                    codec: Callable[[bytes], object] | None = None):
-    """Decode one payload. Uncompressed image formats (PPM/PGM, BI_RGB
-    BMP) decode via the built-in pure-numpy codec
-    (``operators.imagecodec``); compressed formats (JPEG/PNG/video — no
-    entropy codecs in this environment) need an injected ``codec`` or
-    raise ``NotImplementedError`` (clearly-marked stub per the build
-    contract)."""
+    """Decode one payload. Image formats with a built-in codec
+    (PPM/PGM, BMP, JPEG incl. progressive, 8-bit PNG, GIF) decode via
+    ``operators.imagecodec``; anything else needs an injected ``codec``
+    or raises ``NotImplementedError`` (clearly-marked stub per the
+    build contract)."""
     if codec is not None:
         return codec(payload)
     from .imagecodec import decode_image
@@ -179,13 +180,14 @@ def extract_audio_features(df: DataFrame, id_col: str,
                            payload_col: str = "payload",
                            keep_cols: list[str] | None = None) -> DataFrame:
     """Decoded-sample features (duration/RMS/peak/zero-cross rate) for
-    uncompressed RIFF/WAVE PCM payloads, one streaming Arrow pass per
-    partition (``operators.audiocodec``). Compressed audio raises —
-    filter upstream, don't silently drop assets."""
-    from .audiocodec import audio_features, decode_wav
+    audio payloads, one streaming Arrow pass per partition
+    (``operators.audiocodec``): RIFF/WAVE PCM/float and FLAC decode for
+    real; other compressed audio raises — filter upstream, don't
+    silently drop assets."""
+    from .audiocodec import audio_features, decode_audio
 
     def one(raw: bytes) -> dict:
-        return audio_features(*decode_wav(raw))
+        return audio_features(*decode_audio(raw))
 
     return transform_payloads(df, id_col, one, AUDIO_FEATURE_FIELDS,
                               payload_col=payload_col, keep_cols=keep_cols)
