@@ -5,7 +5,8 @@ Like ``imagecodec``, this gives the multimodal suite a REAL audio
 decode -> transform -> feature path without native libraries: WAV is a
 chunked header over raw sample frames, so numpy ``frombuffer`` is a
 complete decoder. Compressed audio (MP3/AAC/Opus/FLAC) stays honestly
-stubbed — ``decode_wav`` raises ``NotImplementedError`` for non-PCM
+stubbed — ``decode_wav`` resolves WAVE_FORMAT_EXTENSIBLE through its
+SubFormat GUID and raises ``NotImplementedError`` for non-PCM/non-float
 format tags, and unknown containers fail in ``sniff_format``-aware
 callers.
 
@@ -51,14 +52,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if size < 16:
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", data, body)
+            if fmt[0] == 0xFFFE and size >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: the real format tag is the
+                # first two bytes of the 16-byte SubFormat GUID at
+                # offset 24 (after cbSize=22, wValidBitsPerSample,
+                # dwChannelMask)
+                (sub_tag,) = struct.unpack_from("<H", data, body + 24)
+                fmt = (sub_tag,) + fmt[1:]
         elif cid == b"data":
             frames = data[body:body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_fmt, n_ch, rate, _brate, _align, bits = fmt
-    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag in GUID
-        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE unsupported")
+    if audio_fmt == 0xFFFE:  # EXTENSIBLE with a truncated fmt chunk
+        raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short "
+                         "for its SubFormat GUID")
     if audio_fmt == 1:
         dt = _PCM_DTYPES.get(bits)
         if dt is None:

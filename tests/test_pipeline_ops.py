@@ -628,14 +628,17 @@ class TestImageCodec:
         assert out[0, 1].tolist() == [60, 50, 40]
 
     def test_compressed_formats_stay_stubbed(self):
-        # baseline JPEG decodes as of round 8 (operators/jpegcodec.py);
-        # the remaining compressed formats still refuse by name, and a
-        # truncated JPEG is a ValueError, not a silent fallback
+        # JPEG/PNG/GIF decode as of round 8 (jpegcodec/pngcodec/
+        # gifcodec); formats without a codec (WebP) still refuse by
+        # name, and truncated decodable formats are ValueErrors, never
+        # silent fallbacks
         from datasketches_spark_spark.operators import decode_image
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-        with pytest.raises(ValueError):
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+            decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
+        for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0",
+                      b"GIF89a"):
+            with pytest.raises(ValueError):
+                decode_image(magic + b"\x00" * 16)
 
     def test_resize_nearest_solid_and_shape(self):
         from datasketches_spark_spark.operators import resize_nearest
@@ -711,14 +714,49 @@ class TestAudioCodec:
     def test_compressed_tags_stay_stubbed(self):
         import struct
         from datasketches_spark_spark.operators import decode_wav
-        for tag in (2, 85, 0xFFFE):  # ADPCM, MP3, EXTENSIBLE
+        for tag in (2, 85):  # ADPCM, MP3
             hdr = (b"WAVE" + b"fmt " + struct.pack(
                 "<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8)
                 + b"data" + struct.pack("<I", 0))
             with pytest.raises(NotImplementedError):
                 decode_wav(b"RIFF" + struct.pack("<I", 4 + len(hdr)) + hdr)
+        # EXTENSIBLE with a fmt chunk too short for its GUID is corrupt
+        hdr = (b"WAVE" + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 0xFFFE, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 0))
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF" + struct.pack("<I", 4 + len(hdr)) + hdr)
         with pytest.raises(ValueError):
             decode_wav(b"not audio at all")
+
+    def test_extensible_resolves_subformat(self):
+        """WAVE_FORMAT_EXTENSIBLE (round 8): PCM SubFormat GUID decodes
+        like plain PCM; a compressed SubFormat still refuses by name."""
+        import struct
+        import numpy as np
+        from datasketches_spark_spark.operators import decode_wav, encode_wav
+        x = np.round(np.sin(np.arange(300) * 0.2) * 16384) / 32768
+        wav = bytearray(encode_wav(x, 8000))
+        i = bytes(wav).index(b"fmt ")
+        (old_size,) = struct.unpack_from("<I", wav, i + 4)
+        fmt = struct.unpack_from("<HHIIHH", wav, i + 8)
+
+        def extensible(sub_tag):
+            ext = (struct.pack("<HHIIHH", 0xFFFE, *fmt[1:])
+                   + struct.pack("<HHI", 22, fmt[5], 0x4)
+                   + struct.pack("<H", sub_tag) + b"\x00\x00"
+                   + bytes.fromhex("00001000800000aa00389b71"))
+            out = bytearray(bytes(wav[:i]) + b"fmt "
+                            + struct.pack("<I", len(ext)) + ext
+                            + bytes(wav[i + 8 + old_size:]))
+            struct.pack_into("<I", out, 4, len(out) - 8)
+            return bytes(out)
+
+        dec, rate = decode_wav(extensible(1))  # PCM GUID
+        assert rate == 8000
+        assert float(np.abs(dec[:, 0] - x).max()) == 0.0
+        with pytest.raises(NotImplementedError):
+            decode_wav(extensible(2))  # ADPCM GUID
 
     def test_features_square_wave_exact(self):
         from datasketches_spark_spark.operators import (audio_features,
