@@ -6,11 +6,14 @@ decoder is chunk parsing + `zlib.decompress` + scanline unfiltering.
 
 Scope:
 
-* decode: 8-bit greyscale (color type 0), truecolor (2), palette (3),
-  grey+alpha (4), truecolor+alpha (6); all five scanline filters
+* decode: greyscale (color type 0), truecolor (2), palette (3),
+  grey+alpha (4), truecolor+alpha (6) at 8-bit depth, plus 16-bit for
+  the non-palette types (scaled to 8-bit output — the decode_image
+  contract is uint8; filters run byte-wise per the spec either way);
+  Adam7 interlace (all 7 passes, each unfiltered independently and
+  scattered into place); all five scanline filters
   (None/Sub/Up/Average/Paeth); tRNS palette transparency folded into an
-  alpha channel. 16-bit depths, sub-8-bit depths and Adam7 interlace
-  are honestly refused by name.
+  alpha channel. Sub-8-bit depths are honestly refused by name.
 * encode: 8-bit greyscale / RGB / RGBA, Up-filtered scanlines (good
   compression on natural images, trivially reversible), one IDAT.
 
@@ -41,9 +44,10 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to ``(H, W) uint8`` grayscale or ``(H, W, C)
-    uint8`` with C in {2 (grey+alpha), 3 (RGB), 4 (RGBA)}. Raises
-    ``NotImplementedError`` for 16-bit / sub-8-bit / interlaced streams
-    and ``ValueError`` for corrupt ones."""
+    uint8`` with C in {2 (grey+alpha), 3 (RGB), 4 (RGBA)}; 8- and
+    16-bit depths (16-bit scales to 8-bit output), interlaced or not.
+    Raises ``NotImplementedError`` for sub-8-bit depths and
+    ``ValueError`` for corrupt streams."""
     data = bytes(data)
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
@@ -61,17 +65,16 @@ def decode_png(data: bytes) -> np.ndarray:
             if ctype == b"IHDR":
                 w, h, depth, color, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", chunk)
-                if depth != 8:
+                if depth not in (8, 16):
                     raise NotImplementedError(
-                        f"PNG: bit depth {depth} (8-bit only)")
-                if interlace != 0:
-                    raise NotImplementedError(
-                        "PNG: Adam7 interlace not supported")
+                        f"PNG: bit depth {depth} (8/16-bit only)")
+                if depth == 16 and color == 3:
+                    raise ValueError("PNG: 16-bit palette is invalid")
                 if color not in _CHANNELS:
                     raise ValueError(f"PNG: invalid color type {color}")
                 if comp != 0 or filt != 0:
                     raise ValueError("PNG: unknown compression/filter")
-                ihdr = (w, h, color)
+                ihdr = (w, h, color, depth, interlace)
             elif ctype == b"PLTE":
                 plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
             elif ctype == b"tRNS":
@@ -86,17 +89,28 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG: missing IHDR")
     if not idat:
         raise ValueError("PNG: missing IDAT")
-    w, h, color = ihdr
+    w, h, color, depth, interlace = ihdr
     ch = _CHANNELS[color]
+    bpsample = depth // 8
+    bpp = ch * bpsample
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG: bad DEFLATE stream: {e}") from e
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG: scanline data truncated")
-    img = _unfilter(raw, h, stride, ch)
-    img = img.reshape(h, w, ch)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) < h * (stride + 1):
+            raise ValueError("PNG: scanline data truncated")
+        flat = _unfilter(raw, h, stride, bpp)
+    elif interlace == 1:
+        flat = _deinterlace_adam7(raw, w, h, bpp)
+    else:
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
+    if depth == 16:
+        # high byte = standard 16->8 downscale; keeps decode_image's
+        # uint8 contract
+        flat = flat.reshape(-1, 2)[:, 0].copy()
+    img = flat.reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")
@@ -155,6 +169,33 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
         out[y] = rec
         prev = rec
     return out.astype(np.uint8).reshape(-1)
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images scattered into the
+    full raster (RFC 2083 §8.2); returns (h*w*bpp,) uint8."""
+    out = np.zeros((h, w * bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if len(raw) - pos < need:
+            raise ValueError("PNG: interlaced scanline data truncated")
+        sub = _unfilter(raw[pos:pos + need], ph, stride, bpp)             .reshape(ph, pw, bpp)
+        pos += need
+        rows = np.arange(y0, h, dy)[:ph]
+        cols = np.arange(x0, w, dx)[:pw]
+        full = out.reshape(h, w, bpp)
+        full[np.ix_(rows, cols)] = sub
+    return out.reshape(-1)
 
 
 def encode_png(img: np.ndarray, level: int = 6) -> bytes:

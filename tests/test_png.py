@@ -84,13 +84,52 @@ def test_palette_with_transparency():
     assert list(dec[0, 1]) == [0, 255, 0, 255]
 
 
+def test_16bit_decodes_scaled():
+    """16-bit samples (big-endian) decode to their high bytes; filters
+    run byte-wise with bpp doubled."""
+    rng = np.random.default_rng(11)
+    hi = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    lo = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    samples = np.dstack([hi, lo]).reshape(6, 10)  # interleave hi/lo
+    scan = b"".join(  # Up filter per row
+        b"\x02" + (((samples[y].astype(int)
+                     - (samples[y - 1] if y else 0)) % 256)
+                    .astype(np.uint8).tobytes())
+        for y in range(6))
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 16, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), hi)
+
+
+def test_adam7_interlace_decodes():
+    """All 7 Adam7 passes, each None-filtered, reassemble to the
+    original 9x10 grayscale image."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (9, 10), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + bytes(row)
+    ihdr = struct.pack(">IIBBBBB", 10, 9, 8, 0, 0, 0, 1)
+    png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
 def test_refusals_by_name():
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16))
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_i))
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr4))
+    ihdr_p16 = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_p16))
 
 
 def test_corrupt_raises_valueerror():
