@@ -49,6 +49,7 @@ from ..sketches import (
     ReservoirSketch,
     ThetaSketch,
     WeightedReservoirSketch,
+    deserialize_any,
     hash_series,
     make_quantile_sketch,
 )
@@ -279,6 +280,42 @@ def _wreservoir_family(k: int | None, item_type: str) -> _Family:
                    prep, update)
 
 
+class _StateMerger:
+    """Folds pre-serialized sketch states — the ``*_combine`` verb as a
+    partial-capable kernel. Family-agnostic like :func:`combine_udf`
+    (byte-sniff dispatch), so one kernel serves every state the engine or a
+    foreign DataSketches writer produces. Exists so dss.sql can re-plan
+    ``*_estimate(*_combine(state))`` as map-side partial merges + a
+    state-only shuffle instead of the raw-row GROUPED_AGG fallback."""
+
+    __slots__ = ("sk",)
+
+    def __init__(self):
+        self.sk = None
+
+    def merge_blob(self, blob) -> None:
+        sk = deserialize_any(bytes(blob))  # raises on corrupt input
+        self.sk = sk if self.sk is None else self.sk.merge(sk)
+
+    def serialize(self):
+        return None if self.sk is None else self.sk.serialize()
+
+
+def _states_family() -> _Family:
+    def prep(values: pd.Series):
+        mask = values.notna().to_numpy()
+        return values.to_numpy(object), mask
+
+    def update(sk, ctx, idx):
+        vals, mask = ctx
+        if idx is not None:
+            vals, mask = vals[idx], mask[idx]
+        for blob in vals[mask]:
+            sk.merge_blob(blob)
+
+    return _Family(_StateMerger, prep, update)
+
+
 def _family(name: str, **params) -> _Family:
     if name in ("quantile", "kll", "req", "mergeable"):
         impl = None if name == "quantile" else name.upper()
@@ -302,6 +339,8 @@ def _family(name: str, **params) -> _Family:
     if name in ("wreservoir", "weighted_sample"):
         return _wreservoir_family(params.get("k"),
                                   params.get("item_type", ITEM_DOUBLE))
+    if name == "states":
+        return _states_family()
     raise ValueError(f"unknown sketch family {name!r}")
 
 

@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import conf
-from .functions.udfs import validate_percentage
+from .functions.udfs import validate_num_splits, validate_percentage
 from .operators.sketch_agg import (
     Measure,
     distinct_measure,
@@ -344,9 +344,31 @@ _ACC_FAMILY = {
         ("wreservoir", {"item_type": "str"}),
 }
 
+# *_combine functions: merge pre-serialized states (family-agnostic wire).
+# Re-planned onto the "states" measure family — map-side partial merges,
+# then a state-only shuffle (the GROUPED_AGG fallback ships every input
+# state row to the aggregating task instead).
+_COMBINE_FNS = {
+    "approx_percentile_combine", "approx_freqitems_combine",
+    "approx_count_distinct_combine", "approx_sample_combine",
+}
+
 _SKETCH_FUNCS = (set(_QUANTILE_DIRECT) | set(_FREQ_DIRECT)
-                 | set(_DISTINCT_DIRECT) | set(_ACC_FAMILY)
+                 | set(_DISTINCT_DIRECT) | set(_ACC_FAMILY) | _COMBINE_FNS
                  | {"approx_count_distinct_hll"})
+
+# *_estimate scalar functions that may wrap an accumulate/combine aggregate
+# directly in a select item: estimate(accumulate(col)) IS the direct
+# aggregate shape (partial sketches -> state shuffle -> merge -> decode), so
+# dss.sql re-plans the nesting instead of warning it onto the raw-row path.
+_ESTIMATE_FNS = {
+    "approx_percentile_estimate", "approx_percentile_estimate_array",
+    "approx_pmf_estimate", "approx_rank_estimate", "approx_cdf_estimate",
+    "approx_freqitems_estimate", "approx_freqitems_estimate_long",
+    "approx_count_distinct_estimate",
+    "approx_sample_estimate", "approx_sample_estimate_long",
+    "approx_sample_estimate_string",
+}
 
 # native aggregates that may appear anywhere inside an exact select item
 _EXACT_AGGS = {
@@ -415,6 +437,9 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
         return
 
     call = _parse_call(item.text)
+    if (call is not None and call[0] in _ESTIMATE_FNS
+            and _classify_nested_estimate(item, call, spark, seq)):
+        return
     if call is None or call[0] not in _SKETCH_FUNCS:
         raise _Unsupported(
             f"sketch aggregate nested in a larger expression: {item.text!r}")
@@ -469,28 +494,159 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
                 name, col, impl="theta"))
         return
     if fname in _ACC_FAMILY:
-        family, params = _ACC_FAMILY[fname]
+        family, params = _resolve_acc_family(fname, spark)
         want_args = 2 if family == "wreservoir" else 1
         if len(args) != want_args:
             raise _Unsupported(
                 f"{fname} expects {'(col, weight)' if want_args == 2 else '(col)'}")
-        if family is None:  # distinct accumulate follows the conf impl,
-            # like the registered UDF (register.py)
-            impl = conf.distinct_impl(spark)
-            if impl == "THETA":
-                family, params = "theta", {}
-            elif impl == "HLL":
-                family, params = "hll", {"lgk": conf.distinct_hll_lgk(spark)}
-            else:  # CPC name served by the engine HLL at CPC-class lgk
-                family, params = "hll", {"lgk": conf.distinct_cpc_lgk(spark)}
-        if family in ("reservoir", "wreservoir"):
-            params = dict(params, k=conf.sample_reservoir_k(spark))
         item.kind = "sketch"
         arg_cols = tuple(args) if want_args == 2 else args[0]
         item.measure = (arg_cols, lambda col: Measure(
             name, col, family, lambda c: c, **params))
         return
+    if fname in _COMBINE_FNS:
+        if len(args) != 1:
+            raise _Unsupported(f"{fname} expects (state)")
+        item.kind = "sketch"
+        item.measure = (args[0], lambda col: Measure(
+            name, col, "states", lambda c: c))
+        return
     raise _Unsupported(f"unhandled sketch function {fname}")
+
+
+def _resolve_acc_family(fname: str, spark: SparkSession):
+    """(family, params) for an accumulate function, resolving the
+    conf-dependent distinct name and reservoir k like the registered UDFs
+    (register.py)."""
+    family, params = _ACC_FAMILY[fname]
+    if family is None:  # distinct accumulate follows the conf impl
+        impl = conf.distinct_impl(spark)
+        if impl == "THETA":
+            family, params = "theta", {}
+        elif impl == "HLL":
+            family, params = "hll", {"lgk": conf.distinct_hll_lgk(spark)}
+        else:  # CPC name served by the engine HLL at CPC-class lgk
+            family, params = "hll", {"lgk": conf.distinct_cpc_lgk(spark)}
+    if family in ("reservoir", "wreservoir"):
+        params = dict(params, k=conf.sample_reservoir_k(spark))
+    return family, params
+
+
+def _nested_estimator(fname: str, extra: list[str]):
+    """Column-builder for estimate function ``fname`` applied to a merged
+    state, with SQL-literal extra args. Returns None when the arg shape is
+    outside the rewrite (the caller falls through to the ordinary
+    unsupported-nesting path). Invalid literals raise eagerly (ValueError),
+    matching direct-aggregate validation timing."""
+    from .functions import distinctcnt as _dc
+    from .functions import freqitems as _fi
+    from .functions import quantiles as _qt
+    from .functions import sampling as _sp
+
+    if fname in ("approx_percentile_estimate",
+                 "approx_percentile_estimate_array"):
+        if len(extra) != 1:
+            return None
+        pct = _parse_percentage_literal(extra[0])
+        # the SQL surface splits scalar vs array by name (register.py):
+        # mirror it, eagerly
+        if fname.endswith("_array"):
+            if not isinstance(pct, list):
+                raise ValueError(
+                    "approx_percentile_estimate_array: the percentage is a "
+                    "scalar — use approx_percentile_estimate")
+        elif isinstance(pct, list):
+            raise ValueError(
+                "approx_percentile_estimate: the percentage is an "
+                "array — use approx_percentile_estimate_array")
+        try:
+            validate_percentage(pct)
+        except ValueError as e:
+            raise ValueError(f"{fname}: {e}") from None
+        return lambda c: _qt.approx_percentile_estimate(c, pct)
+    if fname == "approx_pmf_estimate":
+        if len(extra) > 1:
+            return None
+        ns = int(_parse_literal_number(extra[0])) if extra else 9
+        try:
+            validate_num_splits(ns)
+        except ValueError as e:
+            raise ValueError(f"{fname}: {e}") from None
+        return lambda c: _qt.approx_pmf_estimate(c, ns)
+    if fname == "approx_rank_estimate":
+        if len(extra) != 1:
+            return None
+        value = _parse_literal_number(extra[0])
+        return lambda c: _qt.approx_rank_estimate(c, value)
+    if fname == "approx_cdf_estimate":
+        if len(extra) != 1:
+            return None
+        call = _parse_call(extra[0])
+        if not call or call[0] != "array":
+            return None
+        pts = [_parse_literal_number(a) for a in _split_top(call[1])]
+        return lambda c: _qt.approx_cdf_estimate(c, pts)
+    if fname in ("approx_freqitems_estimate", "approx_freqitems_estimate_long"):
+        if extra:
+            return None
+        it = "long" if fname.endswith("_long") else "string"
+        return lambda c: _fi.approx_freqitems_estimate(c, item_type=it)
+    if fname == "approx_count_distinct_estimate":
+        if extra:
+            return None
+        return lambda c: _dc.approx_count_distinct_estimate(c)
+    if fname in ("approx_sample_estimate", "approx_sample_estimate_long",
+                 "approx_sample_estimate_string"):
+        if extra:
+            return None
+        it = ("long" if fname.endswith("_long")
+              else "string" if fname.endswith("_string") else "double")
+        return lambda c: _sp.approx_sample_estimate(c, item_type=it)
+    return None
+
+
+def _classify_nested_estimate(item: "_Item", call: tuple[str, str],
+                              spark: SparkSession, seq: int) -> bool:
+    """Re-plan ``*_estimate(*_accumulate(col), lits...)`` /
+    ``*_estimate(*_combine(state), lits...)`` select items onto the
+    two-phase measure machinery: the nesting IS the direct-aggregate
+    pattern (map-side partial sketches or partial state merges -> state-only
+    shuffle -> merge -> scalar decode). Returns False for shapes outside
+    the rewrite; the caller then raises the usual unsupported-nesting
+    error and the query falls back (correct, raw-shuffle)."""
+    fname, args_text = call
+    args = _split_top(args_text)
+    if not args:
+        return False
+    inner = _parse_call(args[0])
+    if inner is None:
+        return False
+    ifn, iargs_text = inner
+    if ifn in _COMBINE_FNS:
+        iargs = _split_top(iargs_text)
+        if len(iargs) != 1:
+            return False
+        family, params = "states", {}
+        arg_cols = iargs[0]
+    elif ifn in _ACC_FAMILY:
+        family, params = _resolve_acc_family(ifn, spark)
+        want = 2 if family == "wreservoir" else 1
+        iargs = _split_top(iargs_text)
+        if len(iargs) != want:
+            return False
+        arg_cols = tuple(iargs) if want == 2 else iargs[0]
+    else:
+        return False
+    est = _nested_estimator(fname, args[1:])
+    if est is None:
+        return False
+    if item.alias == item.text:
+        item.alias = f"__dss_{seq}"
+    name = item.alias
+    item.kind = "sketch"
+    item.measure = (arg_cols, lambda col: Measure(
+        name, col, family, est, **params))
+    return True
 
 
 # ----------------------------------------------------------------- execution

@@ -165,6 +165,85 @@ def test_accumulate_states_compatible_with_estimate(spark):
     assert len(rows) == 3 and all(r.p50 is not None for r in rows)
 
 
+def test_nested_estimate_accumulate_replans_two_phase(spark):
+    """estimate(accumulate(col)) IS the direct-aggregate shape plus a
+    scalar decode — it must re-plan (MapInPandas below the exchange), not
+    warn onto the raw-row UDF fallback, and match that fallback's values
+    bit-for-bit (same sketch kernel both sides)."""
+    import re
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    q = ("SELECT l_returnflag, approx_count_distinct_estimate("
+         "approx_count_distinct_accumulate_cpc(l_partkey)) AS ndv "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        df = dss.sql(spark, q)
+    plan = _plan(df)
+    mp = [int(m) for m in re.findall(r"MapInPandas \((\d+)\)", plan)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert mp and ex and min(mp) < min(ex), plan
+    assert [tuple(r) for r in df.collect()] \
+        == [tuple(r) for r in spark.sql(q).collect()]
+
+
+def test_nested_estimate_accumulate_with_literal_args(spark):
+    """Percentile nesting carries the estimate's literal percentage; bad
+    literals still raise eagerly, before any job."""
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    q = ("SELECT l_returnflag, approx_percentile_estimate("
+         "approx_percentile_accumulate(l_quantity), 0.5) AS p50 "
+         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        got = dss.sql(spark, q).collect()
+    ref = spark.sql(q).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    with pytest.raises(ValueError, match="percentage"):
+        dss.sql(spark, (
+            "SELECT approx_percentile_estimate("
+            "approx_percentile_accumulate(l_quantity), 1.5) AS p "
+            "FROM lineitem"))
+
+
+def test_nested_estimate_combine_replans_two_phase(spark):
+    """estimate(combine(state)) over a summary table: partial state merges
+    map-side (the 'states' family), state-only shuffle, scalar decode —
+    and a bare combine select item re-plans the same way."""
+    import re
+    import warnings as w
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    dss.sql(spark, (
+        "SELECT l_returnflag, l_linestatus, "
+        "approx_percentile_accumulate(l_quantity) AS st "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")) \
+        .createOrReplaceTempView("_nested_states")
+    q = ("SELECT l_returnflag, approx_percentile_estimate_array("
+         "approx_percentile_combine(st), array(0.25, 0.75)) AS qs "
+         "FROM _nested_states GROUP BY l_returnflag ORDER BY l_returnflag")
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        df = dss.sql(spark, q)
+    plan = _plan(df)
+    mp = [int(m) for m in re.findall(r"MapInPandas \((\d+)\)", plan)]
+    ex = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert mp and ex and min(mp) < min(ex), plan
+    got = df.collect()
+    ref = spark.sql(q).collect()
+    assert [r.l_returnflag for r in got] == [r.l_returnflag for r in ref]
+    for g, r in zip(got, ref):
+        assert list(g.qs) == pytest.approx(list(r.qs), rel=1e-9)
+    # bare combine as a select item re-plans too (returns merged state)
+    with w.catch_warnings():
+        w.simplefilter("error", SketchSqlFallbackWarning)
+        rows = dss.sql(spark, (
+            "SELECT approx_percentile_combine(st) AS st "
+            "FROM _nested_states")).collect()
+    assert len(rows) == 1 and rows[0].st is not None
+    spark.catalog.dropTempView("_nested_states")
+
+
 def test_hll_name_runs_native_jvm(spark):
     df = dss.sql(spark, (
         "SELECT l_returnflag, approx_count_distinct_hll(l_partkey) AS ndv "
