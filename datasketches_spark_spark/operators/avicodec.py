@@ -85,19 +85,47 @@ def avi_info(data: bytes) -> dict:
     return info
 
 
+def _first_video_stream_id(data: bytes) -> bytes | None:
+    """The two-digit chunk-id prefix of the first ``vids`` stream.
+    AVI stream numbers are assigned by ``strl`` order in ``hdrl``, so in
+    a multi-stream file (audio first is common) the video chunks may be
+    ``01dc``, not ``00dc``."""
+    hdrl = _find_list(data, 12, len(data), b"hdrl")
+    if hdrl is None:
+        return None
+    idx = 0
+    for fcc, ps, sz, lt in _chunks(data, hdrl[0], hdrl[1]):
+        if fcc == b"LIST" and lt == b"strl":
+            for f2, p2, _s2, _ in _chunks(data, ps, ps + sz):
+                if f2 == b"strh":
+                    if data[p2:p2 + 4] == b"vids":
+                        return b"%02d" % idx
+                    break
+            idx += 1
+    return None
+
+
 def avi_frame_payloads(data: bytes) -> list[bytes]:
     """The video frame payloads (compressed ``NNdc`` / uncompressed
-    ``NNdb`` chunks of stream 0) in movi order."""
+    ``NNdb`` chunks of the first ``vids`` stream) in movi order,
+    descending into interleave ``LIST 'rec '`` groupings."""
     data = bytes(data)
     if not is_avi(data):
         raise ValueError("not an AVI (RIFF/AVI signature missing)")
     movi = _find_list(data, 12, len(data), b"movi")
     if movi is None:
         raise ValueError("AVI: missing movi list")
-    out = []
-    for fcc, ps, sz, _ in _chunks(data, movi[0], movi[1]):
-        if fcc[2:4] in (b"dc", b"db") and fcc[:2].isdigit():
-            out.append(data[ps:ps + sz])
+    sid = _first_video_stream_id(data) or b"00"
+    out: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        for fcc, ps, sz, lt in _chunks(data, start, end):
+            if fcc == b"LIST" and lt == b"rec ":
+                walk(ps, ps + sz)
+            elif fcc[:2] == sid and fcc[2:4] in (b"dc", b"db"):
+                out.append(data[ps:ps + sz])
+
+    walk(movi[0], movi[1])
     return out
 
 

@@ -11,12 +11,15 @@ Scope:
   (orders 0-4) / LPC (orders 1-32) subframes; partitioned Rice
   residuals (both 4- and 5-bit parameter variants, incl. escape codes);
   mono and stereo with all four channel assignments (independent,
-  left/side, right/side, mid/side); 8/16/24-bit samples; wasted bits.
-  Variable-blocksize streams and >2 channels refuse by name.
+  left/side, right/side, mid/side); 8/16/24-bit samples; wasted bits;
+  frame-header CRC-8 and frame CRC-16 verified; unknown-length streams
+  (STREAMINFO total_samples 0) end at the first non-sync byte-aligned
+  tail. Variable-blocksize streams and >2 channels refuse by name.
 * encode: FLAC streams with CONSTANT, VERBATIM, or FIXED-predictor
-  subframes and single-partition Rice residuals — a valid, compact,
-  losslessly-roundtripping encoder (LPC modeling is a quality lever,
-  not a correctness one, and is left out).
+  subframes and single-partition Rice residuals, real header CRC-8 /
+  frame CRC-16 and all UTF-8 frame-number forms — spec-compliant
+  decoders (libFLAC, ffmpeg) accept the output (LPC modeling is a
+  quality lever, not a correctness one, and is left out).
 
 Per-sample Rice decode runs in Python; cost is a few bit operations per
 sample on payloads that arrive pre-partitioned through Arrow batches —
@@ -32,7 +35,41 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_flac", "encode_flac", "flac_info", "is_flac"]
+__all__ = ["crc8", "crc16", "decode_flac", "encode_flac", "flac_info",
+           "is_flac"]
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    top, mask = 1 << (width - 1), (1 << width) - 1
+    table = []
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if r & top else (r << 1)
+        table.append(r & mask)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)       # x^8+x^2+x+1, init 0
+_CRC16_TABLE = _crc_table(0x8005, 16)   # x^16+x^15+x^2+1, init 0
+
+
+def crc8(data: bytes) -> int:
+    """FLAC frame-header CRC-8 (poly 0x07, init 0) — spec-compliant
+    decoders use it for sync validation."""
+    r = 0
+    for b in data:
+        r = _CRC8_TABLE[r ^ b]
+    return r
+
+
+def crc16(data: bytes) -> int:
+    """FLAC frame CRC-16 (poly 0x8005, init 0) over the whole frame up to
+    the CRC field."""
+    r = 0
+    for b in data:
+        r = _CRC16_TABLE[((r >> 8) ^ b) & 0xFF] ^ ((r << 8) & 0xFFFF)
+    return r
 
 _FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
                  4: [4, -6, 4, -1]}
@@ -237,8 +274,14 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     total = 0
     want = info["total_samples"]
     while (want == 0 or total < want) and bits.pos < len(data) * 8 - 16:
+        frame_start = bits.pos >> 3
         sync = bits.read(14)
         if sync != 0x3FFE:
+            if want == 0 and (bits.pos - 14) % 8 == 0:
+                # STREAMINFO total_samples 0 is the legal "unknown" value:
+                # a non-sync byte-aligned tail (padding, ID3v1, ...) after
+                # the last frame is end-of-stream, not corruption
+                break
             raise ValueError("FLAC: lost frame sync")
         bits.read(1)  # reserved
         blocking = bits.read(1)
@@ -267,7 +310,9 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
                  if depth_code else info["bits_per_sample"])
         if depth == 0:
             raise ValueError("FLAC: reserved sample-depth code")
-        bits.read(8)  # header CRC-8 (not verified)
+        hdr_end = bits.pos >> 3  # header fields are whole bytes
+        if bits.read(8) != crc8(data[frame_start:hdr_end]):
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
         if ch_code < 8:
             nch = ch_code + 1
             if nch != info["channels"]:
@@ -290,7 +335,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         else:
             raise ValueError("FLAC: reserved channel assignment")
         bits.align()
-        bits.read(16)  # frame CRC-16 (not verified)
+        if bits.read(16) != crc16(data[frame_start:(bits.pos - 16) >> 3]):
+            raise ValueError("FLAC: frame CRC-16 mismatch")
         for c, s in zip(chans, subs):
             c.append(s)
         total += blocksize
@@ -389,19 +435,10 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
         w.write(nch - 1, 4)
         w.write({8: 1, 16: 4, 24: 6}.get(bits_per_sample, 0), 3)
         w.write(0, 1)
-        # frame number, UTF-8 coded
-        fn = frame_no
-        if fn < 0x80:
-            w.write(fn, 8)
-        elif fn < 0x800:
-            w.write(0xC0 | (fn >> 6), 8)
-            w.write(0x80 | (fn & 0x3F), 8)
-        else:
-            w.write(0xE0 | (fn >> 12), 8)
-            w.write(0x80 | ((fn >> 6) & 0x3F), 8)
-            w.write(0x80 | (fn & 0x3F), 8)
+        _write_utf8_number(w, frame_no)
         w.write(bs - 1, 16)
-        w.write(0, 8)  # header CRC-8: unverified by this decoder
+        # header fields are whole bytes, so w.out holds exactly the header
+        w.write(crc8(bytes(w.out)), 8)
         for c in range(nch):
             ch = blk[:, c]
             # pick the cheapest of constant / fixed 0-2
@@ -434,7 +471,21 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
             for v in res:
                 _rice_write(w, int(v), param)
         w.align()
-        w.write(0, 16)  # frame CRC-16: unverified by this decoder
+        w.write(crc16(bytes(w.out)), 16)
         out += w.out
         frame_no += 1
     return bytes(out)
+
+
+def _write_utf8_number(w: _BitW, fn: int) -> None:
+    """FLAC frame-header UTF-8-style coded number, all 1-7 byte forms
+    (frame index capacity 36 bits)."""
+    if fn < 0x80:
+        w.write(fn, 8)
+        return
+    if fn >= 1 << 36:
+        raise ValueError("FLAC encoder: frame number exceeds 36 bits")
+    k = next(k for k in range(1, 7) if fn < 1 << (5 * k + 6))
+    w.write((0x100 - (1 << (7 - k))) | (fn >> (6 * k)), 8)
+    for i in range(k - 1, -1, -1):
+        w.write(0x80 | ((fn >> (6 * i)) & 0x3F), 8)

@@ -238,6 +238,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg_markers(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"JPEG: truncated or corrupt stream: {e}") from e
+    except _RestartMarker:
+        # a restart marker where the restart interval says none belongs:
+        # corrupt stream, surfaced as the public error type
+        raise ValueError("JPEG: unexpected restart marker") from None
 
 
 def _decode_jpeg_markers(data: bytes) -> np.ndarray:
@@ -247,6 +251,8 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     prog_coeffs = None
+    base_coeffs = None
+    base_seen: set[int] = set()
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -316,9 +322,15 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scomp.append((comp, tdta >> 4, tdta & 0xF))
             if not frame.get("progressive"):
-                coeffs = _decode_scan(data, pos + seglen, frame, scomp,
-                                      huff_dc, huff_ac, restart_interval)
-                return _reconstruct(frame, coeffs, qt)
+                # baseline may carry several scans (one per component is
+                # legal, T.81 A.2): accumulate until EOI
+                if base_coeffs is None:
+                    base_coeffs = _alloc_coeffs(frame)
+                pos = _decode_scan(data, pos + seglen, frame, scomp,
+                                   huff_dc, huff_ac, restart_interval,
+                                   base_coeffs)
+                base_seen.update(c["id"] for c, _, _ in scomp)
+                continue
             if prog_coeffs is None:
                 prog_coeffs = _alloc_coeffs(frame)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -332,60 +344,94 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
         pos += seglen
     if frame is not None and frame.get("progressive") and             prog_coeffs is not None:
         return _reconstruct(frame, prog_coeffs, qt)
+    if frame is not None and base_coeffs is not None:
+        missing = [c["id"] for c in frame["comps"]
+                   if c["id"] not in base_seen]
+        if missing:
+            raise ValueError(
+                f"JPEG: stream ended before scans covered component "
+                f"ids {missing}")
+        return _reconstruct(frame, base_coeffs, qt)
     raise ValueError("JPEG: no scan found")
 
 
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next non-stuffing, non-restart marker at/after
+    ``p`` (the end of an entropy-coded segment)."""
+    while p + 1 < len(data):
+        if (data[p] == 0xFF and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)):
+            return p
+        p += 1
+    return len(data)
+
+
 def _decode_scan(data, pos, frame, scomp, huff_dc, huff_ac,
-                 restart_interval):
-    """Entropy-decode the whole scan into per-component coefficient
-    arrays (n_blocks_v, n_blocks_h, 64) in zig-zag order."""
+                 restart_interval, out):
+    """Entropy-decode one baseline scan into ``out`` (per-component
+    zig-zag coefficient arrays, written in place); returns the position
+    of the next marker. A multi-component scan is MCU-interleaved; a
+    single-component scan is non-interleaved and iterates that
+    component's own block grid (T.81 A.2)."""
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
-    out = {}
-    for comp, _, _ in scomp:
-        out[comp["id"]] = np.zeros(
-            (mcuy * comp["v"], mcux * comp["h"], 64), dtype=np.int64)
     reader = _BitReader(data, pos)
     pred = {comp["id"]: 0 for comp, _, _ in scomp}
+    single = len(scomp) == 1
+    if single:
+        nby, nbx = _comp_block_grid(frame, scomp[0][0])
+        total = nby * nbx
+    else:
+        total = mcux * mcuy
+
+    def decode_block(comp, td, ta) -> np.ndarray:
+        dct, act = huff_dc[td], huff_ac[ta]
+        blk = np.zeros(64, dtype=np.int64)
+        s = reader.decode_symbol(dct)
+        diff = _extend(reader.read_bits(s), s)
+        pred[comp["id"]] += diff
+        blk[0] = pred[comp["id"]]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(act)
+            r, sz = rs >> 4, rs & 0xF
+            if sz == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG: AC run overflow")
+            blk[k] = _extend(reader.read_bits(sz), sz)
+            k += 1
+        return blk
+
     mcu = 0
-    total = mcux * mcuy
     while mcu < total:
         if restart_interval and mcu and mcu % restart_interval == 0:
             reader.byte_align_and_skip_restart()
-            pred = {k: 0 for k in pred}
-        my, mx = divmod(mcu, mcux)
+            for k in pred:
+                pred[k] = 0
         try:
-            for comp, td, ta in scomp:
-                dct, act = huff_dc[td], huff_ac[ta]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        s = reader.decode_symbol(dct)
-                        diff = _extend(reader.read_bits(s), s)
-                        pred[comp["id"]] += diff
-                        blk[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, sz = rs >> 4, rs & 0xF
-                            if sz == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG: AC run overflow")
-                            blk[k] = _extend(reader.read_bits(sz), sz)
-                            k += 1
-                        out[comp["id"]][my * comp["v"] + by,
-                                        mx * comp["h"] + bx] = blk
+            if single:
+                comp, td, ta = scomp[0]
+                my, mx = divmod(mcu, nbx)
+                out[comp["id"]][my, mx] = decode_block(comp, td, ta)
+            else:
+                my, mx = divmod(mcu, mcux)
+                for comp, td, ta in scomp:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            out[comp["id"]][my * comp["v"] + by,
+                                            mx * comp["h"] + bx] = \
+                                decode_block(comp, td, ta)
         except _RestartMarker:
             raise ValueError("JPEG: unexpected restart marker")
         mcu += 1
-    return out
+    return _next_marker(data, reader.pos)
 
 
 def _alloc_coeffs(frame):
@@ -556,13 +602,7 @@ def _decode_scan_progressive(data, pos, frame, scomp, ss, se, ah, al,
                 else:
                     ac_refine(blk)
                 n += 1
-    # position of the next marker after this entropy segment
-    p = reader.pos
-    while p + 1 < len(data):
-        if data[p] == 0xFF and data[p + 1] not in (0x00,) and                 not (0xD0 <= data[p + 1] <= 0xD7):
-            return p
-        p += 1
-    return len(data)
+    return _next_marker(data, reader.pos)
 
 
 def _reconstruct(frame, coeffs, qt):

@@ -73,3 +73,52 @@ def test_sample_frames_real_for_avi(spark):
     # non-AVI payload keeps the documented byte-slice behavior
     assert len([k for k in out if k[0] == 2]) == 4
     assert out[(2, 0)] == b"\x00" * 16
+
+
+def test_multistream_rec_grouped_avi():
+    """Audio-first multi-stream AVI with 'rec ' interleave groups: frame
+    extraction must follow the first vids stream's id (01 here, not 00)
+    and descend into the rec groupings."""
+    import struct
+    import numpy as np
+    from datasketches_spark_spark.operators.avicodec import (
+        avi_frame_payloads, decode_avi_frame)
+    from datasketches_spark_spark.operators.jpegcodec import encode_jpeg
+
+    def chunk(fcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    jpg = encode_jpeg(img)
+    avih = struct.pack("<IIIIIIIIIIIIII", 100000, 0, 0, 0x10, 2, 0, 2,
+                       len(jpg), 8, 8, 0, 0, 0, 0)
+    strh_a = (b"auds" + b"\x00" * 4 + struct.pack("<IHHIIIIIIIII",
+              0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 0, 0))
+    strh_v = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII",
+              0, 0, 0, 0, 1, 10, 0, 2, len(jpg), 0, 0, 0))
+    strf_v = struct.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG",
+                         8 * 8 * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh_a)
+                     + chunk(b"strf", b"\x00" * 16))
+               + lst(b"strl", chunk(b"strh", strh_v)
+                     + chunk(b"strf", strf_v)))
+    # movi: two rec groups, each audio (00wb) + video (01dc); plus a stray
+    # top-level 00dc (audio-stream compressed chunk) that must NOT match
+    movi = lst(b"movi",
+               lst(b"rec ", chunk(b"00wb", b"\x01\x02")
+                   + chunk(b"01dc", jpg))
+               + chunk(b"00dc", b"\xde\xad")
+               + lst(b"rec ", chunk(b"00wb", b"\x03\x04")
+                     + chunk(b"01dc", jpg)))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    frames = avi_frame_payloads(data)
+    assert len(frames) == 2
+    assert all(f == jpg for f in frames)
+    assert decode_avi_frame(frames[0]).shape == (8, 8, 3)

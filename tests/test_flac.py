@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from datasketches_spark_spark.operators.flaccodec import (
-    _BitW, _rice_write, decode_flac, encode_flac, flac_info, is_flac)
+    _BitW, _rice_write, crc8, crc16, decode_flac, encode_flac, flac_info,
+    is_flac)
 
 
 def _q16(x):
@@ -85,7 +86,7 @@ def test_lpc_subframe_decodes():
     w.write(0, 1)
     w.write(0, 8)        # frame number 0
     w.write(bs - 1, 16)
-    w.write(0, 8)        # header CRC (unverified)
+    w.write(crc8(bytes(w.out)), 8)
     # subframe: LPC order 2 => type 32 + (2-1) = 33
     w.write(0, 1)
     w.write(33, 6)
@@ -102,7 +103,7 @@ def test_lpc_subframe_decodes():
     for r in res:
         _rice_write(w, r, 3)
     w.align()
-    w.write(0, 16)       # frame CRC
+    w.write(crc16(bytes(w.out)), 16)
     data = _streaminfo(8000, 1, 16, bs, bs) + bytes(w.out)
     dec, rate = decode_flac(data)
     got = np.round(dec[:, 0] * 32768).astype(int)
@@ -124,7 +125,7 @@ def test_stereo_decorrelation_modes(mode):
     w.write(0, 1)
     w.write(0, 8)
     w.write(bs - 1, 16)
-    w.write(0, 8)
+    w.write(crc8(bytes(w.out)), 8)
 
     def const(v, depth):
         w.write(0, 1)
@@ -143,7 +144,7 @@ def test_stereo_decorrelation_modes(mode):
         const(mid, 16)
         const(side, 17)
     w.align()
-    w.write(0, 16)
+    w.write(crc16(bytes(w.out)), 16)
     data = _streaminfo(8000, 2, 16, bs, bs) + bytes(w.out)
     dec, _ = decode_flac(data)
     got = np.round(dec * 32768).astype(int)
@@ -172,3 +173,42 @@ def test_decode_audio_dispatches_flac():
     assert np.abs(dw[:, 0] - x).max() == 0.0
     with pytest.raises(NotImplementedError, match="audio codec"):
         decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3
+
+
+def test_crc_values_and_corruption_detected():
+    """Encoder writes real header CRC-8 (poly 0x07) and frame CRC-16
+    (poly 0x8005); the decoder verifies both, so one flipped payload bit
+    is a hard error, not silent corruption."""
+    assert crc8(b"123456789") == 0xF4          # CRC-8/SMBUS check value
+    assert crc16(b"123456789") == 0xFEE8       # CRC-16/UMTS (poly 0x8005, init 0)
+    x = _q16(np.sin(np.arange(3000) * 0.05) * 0.6)
+    data = bytearray(encode_flac(x, 8000, block_size=1024))
+    decode_flac(bytes(data))
+    data[-40] ^= 0x10                          # flip a bit mid-payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(data))
+
+
+def test_frame_number_utf8_four_byte_form():
+    """Frame 65536+ needs the 4-byte UTF-8 form; the old encoder silently
+    masked the lead byte. block_size=1 drives the frame counter past
+    0x10000 cheaply."""
+    n = 0x10000 + 40
+    x = np.round(np.sin(np.arange(n) * 0.3) * 100) / 32768
+    data = encode_flac(x, 8000, block_size=1)
+    dec, _ = decode_flac(data)
+    assert dec.shape == (n, 1)
+    assert np.abs(dec[:, 0] - x).max() == 0.0
+
+
+def test_unknown_total_samples_with_trailing_bytes():
+    """STREAMINFO total_samples=0 is the legal 'unknown' value: decode
+    must stop cleanly at a byte-aligned non-sync tail instead of raising
+    'lost frame sync'."""
+    x = _q16(np.sin(np.arange(2048) * 0.1) * 0.5)
+    enc = encode_flac(x, 8000, block_size=1024)
+    frames = enc[42:]  # 4 sig + 4 block hdr + 34 STREAMINFO
+    data = _streaminfo(8000, 1, 16, 0, 1024) + frames + b"APETAGEX" * 4
+    dec, rate = decode_flac(data)
+    assert rate == 8000 and dec.shape == (2048, 1)
+    assert np.abs(dec[:, 0] - x).max() == 0.0

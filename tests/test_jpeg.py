@@ -171,3 +171,50 @@ def test_decode_image_dispatches_jpeg():
     from datasketches_spark_spark.operators import decode_image
     img = np.full((8, 8), 130, np.uint8)
     assert np.array_equal(decode_image(encode_jpeg(img)), img)
+
+
+def test_multiscan_baseline_noninterleaved():
+    """T.81 A.2 allows baseline SOF0 with one scan per component
+    (non-interleaved). Built from the encoder's own pieces, it must
+    decode identically to the interleaved single-scan encoding of the
+    same image — and a stream that ends before all components have a
+    scan must raise a named ValueError, not a KeyError."""
+    import struct
+    from datasketches_spark_spark.operators.jpegcodec import (
+        AC_CHR_BITS, AC_CHR_VALS, AC_LUM_BITS, AC_LUM_VALS,
+        DC_CHR_BITS, DC_CHR_VALS, DC_LUM_BITS, DC_LUM_VALS,
+        _BitWriter, _encode_blocks, _encode_table, _fdct_quantize,
+        _quality_tables, decode_jpeg, encode_jpeg)
+    rng = np.random.default_rng(5)
+    img = (rng.random((24, 17, 3)) * 255).astype(np.uint8)
+    single = encode_jpeg(img)
+    head = single[:single.find(b"\xff\xda")]  # SOI..DHT, shared
+
+    lum_q, chr_q = _quality_tables(50)
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        (1, 0.299 * r + 0.587 * g + 0.114 * b, lum_q,
+         (DC_LUM_BITS, DC_LUM_VALS, AC_LUM_BITS, AC_LUM_VALS), 0x00),
+        (2, -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0, chr_q,
+         (DC_CHR_BITS, DC_CHR_VALS, AC_CHR_BITS, AC_CHR_VALS), 0x11),
+        (3, 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0, chr_q,
+         (DC_CHR_BITS, DC_CHR_VALS, AC_CHR_BITS, AC_CHR_VALS), 0x11),
+    ]
+    out = bytearray(head)
+    for cid, plane, q, (db, dv, ab, av), tsel in planes:
+        sos = bytes([1, cid, tsel, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        w = _BitWriter()
+        _encode_blocks(w, _fdct_quantize(plane, q),
+                       _encode_table(db, dv), _encode_table(ab, av))
+        w.flush()
+        out += w.out
+    multiscan = bytes(out) + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(multiscan), decode_jpeg(single))
+
+    # only the first scan present -> named error, not KeyError
+    first_scan_end = multiscan.find(b"\xff\xda", len(head) + 2)
+    partial = multiscan[:first_scan_end] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="covered"):
+        decode_jpeg(partial)
