@@ -607,7 +607,10 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     means relationally. Leg 'png' (round 8): RGB payloads through the
     pure-Python PNG codec (operators/pngcodec.py — zlib DEFLATE +
     scanline filters), which is LOSSLESS, so the decoded channel means
-    equal the encoded constants exactly. Leg 'vid' (round 8): every
+    equal the encoded constants exactly; round 9: odd doc_ids carry a
+    4-BIT PALETTE payload (packed scanlines, varying indices, constant
+    palette color) so sub-8-bit bit-unpacking is under the same hash
+    gate. Leg 'vid' (round 8): every
     document gets a 4-frame Motion-JPEG AVI (operators/avicodec.py);
     sample_frames auto-detects the container and emits 2 evenly spaced
     REAL frames (0 and 3), each an independent JPEG decoded by
@@ -649,11 +652,22 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
              for vv in v], dtype=object)
 
     def _mk_png(r, g):
-        from datasketches_spark_spark.operators import encode_png
-        return pd.Series(
-            [encode_png(np.full((4, 8, 3), [int(rv), int(gv), 7],
-                                dtype=np.uint8))
-             for rv, gv in zip(r, g)], dtype=object)
+        # even docs: 8-bit RGB; odd docs: 4-BIT PALETTE (round 9) with
+        # varying indices that all map to the same solid color, so the
+        # packed-scanline bit-unpacking path is hash-gated while the
+        # decoded features stay identical to the RGB construction
+        from datasketches_spark_spark.operators import (
+            encode_png, encode_png_palette)
+        idx4 = (np.arange(4 * 8, dtype=np.uint8) % 16).reshape(4, 8)
+        out = []
+        for rv, gv in zip(r, g):
+            if int(rv) % 2:
+                pal = np.tile([[int(rv), int(gv), 7]], (16, 1))
+                out.append(encode_png_palette(idx4, pal, depth=4))
+            else:
+                out.append(encode_png(np.full(
+                    (4, 8, 3), [int(rv), int(gv), 7], dtype=np.uint8)))
+        return pd.Series(out, dtype=object)
 
     def _mk_avi(v):
         from datasketches_spark_spark.operators import encode_avi_mjpeg

@@ -7,13 +7,15 @@ decoder is chunk parsing + `zlib.decompress` + scanline unfiltering.
 Scope:
 
 * decode: greyscale (color type 0), truecolor (2), palette (3),
-  grey+alpha (4), truecolor+alpha (6) at 8-bit depth, plus 16-bit for
-  the non-palette types (scaled to 8-bit output — the decode_image
+  grey+alpha (4), truecolor+alpha (6) at 8-bit depth; 16-bit for the
+  non-palette types (scaled to 8-bit output — the decode_image
   contract is uint8; filters run byte-wise per the spec either way);
+  1/2/4-bit greyscale and palette (packed scanlines bit-unpacked after
+  byte-wise unfiltering, greyscale scaled to the full 8-bit range);
   Adam7 interlace (all 7 passes, each unfiltered independently and
   scattered into place); all five scanline filters
   (None/Sub/Up/Average/Paeth); tRNS palette transparency folded into an
-  alpha channel. Sub-8-bit depths are honestly refused by name.
+  alpha channel. Every legal IHDR depth/color combination decodes.
 * encode: 8-bit greyscale / RGB / RGBA, Up-filtered scanlines (good
   compression on natural images, trivially reversible), one IDAT.
 
@@ -34,7 +36,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["decode_png", "encode_png"]
+__all__ = ["decode_png", "encode_png", "encode_png_palette"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -44,9 +46,9 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to ``(H, W) uint8`` grayscale or ``(H, W, C)
-    uint8`` with C in {2 (grey+alpha), 3 (RGB), 4 (RGBA)}; 8- and
-    16-bit depths (16-bit scales to 8-bit output), interlaced or not.
-    Raises ``NotImplementedError`` for sub-8-bit depths and
+    uint8`` with C in {2 (grey+alpha), 3 (RGB), 4 (RGBA)}; every legal
+    bit depth (1/2/4/8/16 — 16-bit scales to 8-bit output, sub-8-bit
+    greyscale scales to the full range), interlaced or not. Raises
     ``ValueError`` for corrupt streams."""
     data = bytes(data)
     if data[:8] != _SIG:
@@ -65,11 +67,14 @@ def decode_png(data: bytes) -> np.ndarray:
             if ctype == b"IHDR":
                 w, h, depth, color, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", chunk)
-                if depth not in (8, 16):
-                    raise NotImplementedError(
-                        f"PNG: bit depth {depth} (8/16-bit only)")
+                if depth not in (1, 2, 4, 8, 16):
+                    raise ValueError(f"PNG: invalid bit depth {depth}")
                 if depth == 16 and color == 3:
                     raise ValueError("PNG: 16-bit palette is invalid")
+                if depth < 8 and color not in (0, 3):
+                    raise ValueError(
+                        f"PNG: {depth}-bit depth is only valid for "
+                        "grayscale/palette color types")
                 if color not in _CHANNELS:
                     raise ValueError(f"PNG: invalid color type {color}")
                 if comp != 0 or filt != 0:
@@ -97,15 +102,55 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG: bad DEFLATE stream: {e}") from e
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
+    if depth < 8:
+        # filters operate on the packed BYTES with bpp=1 (RFC 2083 §6.2);
+        # unpack to one sample per pixel after unfiltering
+        if interlace == 0:
+            stride = (w * depth + 7) // 8
+            if len(raw) < h * (stride + 1):
+                raise ValueError("PNG: scanline data truncated")
+            packed = _unfilter(raw, h, stride, 1).reshape(h, stride)
+            idx = _unpack_bits(packed, w, depth)
+        else:
+            idx = np.zeros((h, w), np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                need = ph * (stride + 1)
+                if len(raw) - pos < need:
+                    raise ValueError(
+                        "PNG: interlaced scanline data truncated")
+                sub = _unpack_bits(
+                    _unfilter(raw[pos:pos + need], ph, stride, 1)
+                    .reshape(ph, stride), pw, depth)
+                pos += need
+                rows = np.arange(y0, h, dy)[:ph]
+                cols = np.arange(x0, w, dx)[:pw]
+                idx[np.ix_(rows, cols)] = sub
+        if color == 3:
+            if plte is None:
+                raise ValueError("PNG: palette image without PLTE")
+            rgb = plte[idx]
+            if trns is not None:
+                alpha = np.full(256, 255, np.uint8)
+                alpha[:len(trns)] = trns
+                return np.dstack([rgb, alpha[idx]])
+            return rgb
+        # grayscale: scale to the full 8-bit range (255/85/17 for 1/2/4)
+        return (idx * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if interlace == 0:
         stride = w * bpp
         if len(raw) < h * (stride + 1):
             raise ValueError("PNG: scanline data truncated")
         flat = _unfilter(raw, h, stride, bpp)
-    elif interlace == 1:
-        flat = _deinterlace_adam7(raw, w, h, bpp)
     else:
-        raise ValueError(f"PNG: unknown interlace method {interlace}")
+        flat = _deinterlace_adam7(raw, w, h, bpp)
     if depth == 16:
         # high byte = standard 16->8 downscale; keeps decode_image's
         # uint8 contract
@@ -124,6 +169,16 @@ def decode_png(data: bytes) -> np.ndarray:
     if ch == 1:
         return img[:, :, 0]
     return img
+
+
+def _unpack_bits(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(h, stride) packed scanline bytes -> (h, width) samples; leftmost
+    pixel lives in the high-order bits (RFC 2083 §2.3)."""
+    n = 8 // depth
+    shifts = (np.arange(n - 1, -1, -1) * depth)[None, None, :]
+    mask = (1 << depth) - 1
+    expanded = (rows[:, :, None] >> shifts) & mask
+    return expanded.reshape(rows.shape[0], -1)[:, :width].astype(np.uint8)
 
 
 def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -196,6 +251,48 @@ def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
         full = out.reshape(h, w, bpp)
         full[np.ix_(rows, cols)] = sub
     return out.reshape(-1)
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
+                       depth: int = 8, level: int = 6) -> bytes:
+    """Encode ``(H, W)`` palette indices plus an ``(N, 3) uint8`` palette
+    to a color-type-3 PNG at depth 1/2/4/8 (packed big-endian-bit
+    scanlines, None filter, one IDAT). Decodable by this module's
+    :func:`decode_png` and any standard PNG library."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("encode_png_palette: depth must be 1/2/4/8")
+    if idx.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError(
+            "encode_png_palette needs (H,W) indices and (N,3) palette")
+    if len(palette) > (1 << depth) or int(idx.max(initial=0)) >= (1 << depth):
+        raise ValueError(
+            f"encode_png_palette: indices/palette exceed {depth}-bit range")
+    h, w = idx.shape
+    if depth == 8:
+        packed = idx
+    else:
+        n = 8 // depth
+        pw = -(-w // n) * n
+        padded = np.zeros((h, pw), np.uint8)
+        padded[:, :w] = idx
+        shifts = (np.arange(n - 1, -1, -1) * depth)[None, None, :]
+        packed = (padded.reshape(h, pw // n, n) << shifts) \
+            .sum(axis=2).astype(np.uint8)
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), packed], axis=1)
+    raw = zlib.compress(scan.tobytes(), level)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body \
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette.tobytes())
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
 
 
 def encode_png(img: np.ndarray, level: int = 6) -> bytes:

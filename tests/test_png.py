@@ -124,12 +124,93 @@ def test_adam7_interlace_decodes():
 
 
 def test_refusals_by_name():
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
-        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr4))
     ihdr_p16 = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     with pytest.raises(ValueError, match="16-bit palette"):
         decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_p16))
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="invalid bit depth"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_bad))
+    ihdr_rgb4 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="only valid for"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_rgb4))
+
+
+def _pack_bits(img, depth):
+    """Pack (H, W) samples into big-endian-bit scanline bytes."""
+    h, w = img.shape
+    n = 8 // depth
+    pw = -(-w // n) * n
+    padded = np.zeros((h, pw), np.uint8)
+    padded[:, :w] = img
+    grouped = padded.reshape(h, pw // n, n)
+    shifts = (np.arange(n - 1, -1, -1) * depth)[None, None, :]
+    return (grouped << shifts).sum(axis=2).astype(np.uint8)
+
+
+def _sub8_png(img, depth, color, plte=None, interlace=0, filters=None):
+    h, w = img.shape
+    raw = bytearray()
+    passes = ([(0, 0, 1, 1)] if interlace == 0 else
+              [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)])
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        packed = _pack_bits(sub, depth)
+        for y, row in enumerate(packed):
+            f = filters[y] if (filters and interlace == 0) else 0
+            if f == 1:      # forward Sub on the packed bytes (bpp=1)
+                enc = np.empty_like(row)
+                enc[0] = row[0]
+                enc[1:] = (row[1:].astype(int) - row[:-1].astype(int)) % 256
+            elif f == 2:    # forward Up
+                prevrow = packed[y - 1] if y else np.zeros_like(row)
+                enc = ((row.astype(int) - prevrow.astype(int)) % 256) \
+                    .astype(np.uint8)
+            else:
+                enc = row
+            raw += bytes([f]) + bytes(enc)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", bytes(np.asarray(plte, np.uint8).ravel()))
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub8_grayscale_decodes_scaled(depth):
+    """1/2/4-bit grayscale: packed scanlines (width not a multiple of the
+    pixels-per-byte count exercises the partial last byte) decode to
+    full-range 8-bit, through None/Sub/Up filters on the packed bytes."""
+    rng = np.random.default_rng(depth)
+    img = rng.integers(0, 1 << depth, (7, 11), dtype=np.uint8)
+    filters = [0, 1, 2, 1, 0, 2, 1]
+    png = _sub8_png(img, depth, color=0, filters=filters)
+    got = decode_png(png)
+    scale = 255 // ((1 << depth) - 1)
+    assert got.shape == (7, 11)
+    assert np.array_equal(got, img * scale)
+
+
+def test_4bit_palette_decodes():
+    """The crawl-common case: GIF-era 4-bit palette images re-encoded as
+    PNG. Indices map through PLTE to RGB."""
+    rng = np.random.default_rng(44)
+    img = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    got = decode_png(_sub8_png(img, 4, color=3, plte=plte))
+    assert got.shape == (9, 13, 3)
+    assert np.array_equal(got, plte[img])
+
+
+def test_1bit_interlaced_grayscale():
+    """Adam7 + 1-bit packing: each pass packs its own scanlines."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 2, (10, 9), dtype=np.uint8)
+    got = decode_png(_sub8_png(img, 1, color=0, interlace=1))
+    assert np.array_equal(got, img * 255)
 
 
 def test_corrupt_raises_valueerror():
