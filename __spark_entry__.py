@@ -1736,7 +1736,54 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(nb, 1).cast("double").alias("lo"),
         F.element_at(nb, 2).cast("double").alias("hi"),
         dsf.approx_freqitems_maxerr("fs").cast("long").alias("extra")))
-    return quant.unionByName(ndv).orderBy("leg", "k")
+    # ---- estimation-regime legs (round 9): the sketches run PAST their
+    # exact phase and the gate hashes DERIVED columns both sides compute.
+    # 'ndv_est': engine HLL at lgk=12 over event_id (NDV ~2000/group at
+    # sf0.01 > the 2^(lgk-3)=512 sparse cap -> DENSE registers). lo =
+    # the exact NDV (computed relationally in Spark; DuckDB recomputes),
+    # hi = 1.0 iff the sketch left the exact regime (bounds interval is
+    # non-degenerate; DuckDB recomputes as NDV > 512), extra = 1 iff the
+    # exact NDV lies inside the engine's published 3-sigma envelope
+    # est/(1 +/- 3*1.04/sqrt(2^12)) (DuckDB emits literal 1 — the hash
+    # gate fails if the dense-mode estimate ever leaves its bound).
+    hll_summ = sketch_accumulate(ev, ["event_type"], "event_id",
+                                 family="hll", lgk=12, state_col="hs")
+    exact_ndv = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("nd"))
+    nb3 = dsf.approx_count_distinct_bounds("hs", num_std=3.0)
+    ndv_est = (hll_summ.join(F.broadcast(exact_ndv), "event_type")
+               .select(
+        F.lit("ndv_est").alias("leg"),
+        F.col("event_type").alias("k"),
+        F.col("nd").cast("double").alias("lo"),
+        (F.element_at(nb3, 1) != F.element_at(nb3, 2))
+        .cast("double").alias("hi"),
+        ((F.element_at(nb3, 1) <= F.col("nd"))
+         & (F.col("nd") <= F.element_at(nb3, 2)))
+        .cast("long").alias("extra")))
+    # 'quantile_est': KLL at k=200 vs ~20k rows/group -> compaction
+    # (estimation mode). lo/hi = the EXACT values at ranks 0.95 +/- 0.02
+    # (Spark percentile_disc, relational; DuckDB quantile_disc), extra =
+    # 1 iff the sketch's p95 estimate lies inside that exact rank window.
+    q_est = sketch_accumulate(li, ["l_returnflag"], "l_extendedprice",
+                              family="quantile", impl="KLL", k=200,
+                              state_col="qs")
+    exact_win = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.93) WITHIN GROUP "
+               "(ORDER BY l_extendedprice)").cast("double").alias("wlo"),
+        F.expr("percentile_disc(0.97) WITHIN GROUP "
+               "(ORDER BY l_extendedprice)").cast("double").alias("whi"))
+    est95 = dsf.approx_percentile_estimate("qs", 0.95)
+    quant_est = (q_est.join(F.broadcast(exact_win), "l_returnflag")
+                 .select(
+        F.lit("quantile_est").alias("leg"),
+        F.col("l_returnflag").alias("k"),
+        F.col("wlo").alias("lo"),
+        F.col("whi").alias("hi"),
+        ((F.col("wlo") <= est95) & (est95 <= F.col("whi")))
+        .cast("long").alias("extra")))
+    return (quant.unionByName(ndv).unionByName(ndv_est)
+            .unionByName(quant_est).orderBy("leg", "k"))
 
 
 def _q66_streaming_summary_sink(spark: SparkSession,
@@ -2791,6 +2838,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS DOUBLE) AS hi,
                    CAST(0 AS BIGINT) AS extra
             FROM events GROUP BY event_type
+            UNION ALL
+            -- estimation-regime NDV: lo = exact NDV; hi = 1 iff the
+            -- engine HLL (lgk=12) must have densified (NDV > 2^(lgk-3));
+            -- extra = the engine's own 3-sigma coverage boolean, pinned
+            SELECT 'ndv_est' AS leg, event_type AS k,
+                   CAST(count(DISTINCT event_id) AS DOUBLE) AS lo,
+                   CASE WHEN count(DISTINCT event_id) > 512
+                        THEN 1.0 ELSE 0.0 END AS hi,
+                   CAST(1 AS BIGINT) AS extra
+            FROM events GROUP BY event_type
+            UNION ALL
+            -- estimation-regime quantile: exact values at ranks .93/.97;
+            -- extra = engine KLL(k=200) p95 estimate inside that window
+            SELECT 'quantile_est' AS leg, l_returnflag AS k,
+                   CAST(quantile_disc(l_extendedprice, 0.93) AS DOUBLE)
+                     AS lo,
+                   CAST(quantile_disc(l_extendedprice, 0.97) AS DOUBLE)
+                     AS hi,
+                   CAST(1 AS BIGINT) AS extra
+            FROM lineitem GROUP BY l_returnflag
             ORDER BY leg, k
         """,
                     }
