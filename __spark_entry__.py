@@ -1584,7 +1584,31 @@ def _q55_cross_state_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = kdf.select(F.lit("ks").alias("leg"), "ka",
                     F.lit("").alias("kb"),
                     dsf.approx_ks_distance("st_a", "st_b").alias("v"))
-    return joinsize.unionByName(ks).orderBy("leg", "ka", "kb")
+    # Leg 'tuple' (round 9, functions/tuplesketch.py): the per-key-summary
+    # family — ONE tuple state per event type (two-phase accumulate over
+    # (user_id, floor(value*100)): key sample + exact per-key count/sum)
+    # answers NDV, total rows, total value AND the per-key-predicate
+    # segment "users with >= 20 events and their value" without touching
+    # raw data again. floor(value*100) keeps every sum integer-valued in
+    # float64, so summation order cannot enter the hash. Exact regime
+    # (NDV per type << k=4096); estimation-mode coverage is gated by
+    # accuracy_report.py.
+    tstates = sketch_accumulate(
+        ev.withColumn("vi", F.floor(F.col("value") * 100).cast("double")),
+        ["event_type"], ("user_id", "vi"), family="tuple", state_col="st")
+    te = dsf.approx_tuple_estimate("st")
+    tseg = dsf.approx_tuple_segment_estimate("st", 20)
+    tup = tstates.select(
+        F.col("event_type").alias("ka"), te.alias("e"), tseg.alias("s")) \
+        .selectExpr("ka",
+                    "stack(5, 'ndv', CAST(e.ndv AS DOUBLE), "
+                    "'rows', CAST(e.rows AS DOUBLE), "
+                    "'vsum', e.value_sum, "
+                    "'seg_keys', CAST(s.keys AS DOUBLE), "
+                    "'seg_sum', s.value_sum) AS (kb, v)") \
+        .select(F.lit("tuple").alias("leg"), "ka", "kb", "v")
+    return (joinsize.unionByName(ks).unionByName(tup)
+            .orderBy("leg", "ka", "kb"))
 
 
 def _q58_streaming_windowed_evict(spark: SparkSession,
@@ -2768,8 +2792,35 @@ def oracle_sql() -> dict[str, str]:
                      max(abs(CAST(ca AS DOUBLE) / na
                              - CAST(cb AS DOUBLE) / nb)) AS v
               FROM s2 JOIN n ON s2.event_type = n.event_type
-              GROUP BY s2.event_type)
+              GROUP BY s2.event_type),
+            -- tuple leg: per-key summaries recomputed relationally
+            -- (exact regime: every key retained)
+            pk AS (SELECT event_type, user_id, count(*) AS c,
+                          COALESCE(sum(floor(value * 100)), 0) AS s
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY 1, 2),
+            ta AS (SELECT event_type,
+                          CAST(count(*) AS DOUBLE) AS ndv,
+                          CAST(sum(c) AS DOUBLE) AS rws,
+                          CAST(sum(s) AS DOUBLE) AS vsum,
+                          CAST(count(CASE WHEN c >= 20 THEN 1 END)
+                               AS DOUBLE) AS seg_keys,
+                          CAST(COALESCE(sum(CASE WHEN c >= 20 THEN s END),
+                                        0) AS DOUBLE) AS seg_sum
+                   FROM pk GROUP BY event_type),
+            tp AS (
+              SELECT 'tuple' AS leg, event_type AS ka, 'ndv' AS kb,
+                     ndv AS v FROM ta
+              UNION ALL
+              SELECT 'tuple', event_type, 'rows', rws FROM ta
+              UNION ALL
+              SELECT 'tuple', event_type, 'vsum', vsum FROM ta
+              UNION ALL
+              SELECT 'tuple', event_type, 'seg_keys', seg_keys FROM ta
+              UNION ALL
+              SELECT 'tuple', event_type, 'seg_sum', seg_sum FROM ta)
             SELECT * FROM js UNION ALL SELECT * FROM ks
+            UNION ALL SELECT * FROM tp
             ORDER BY leg, ka, kb
         """,
         # Two-sample KS via cumulative counts: DuckDB's default window

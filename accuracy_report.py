@@ -358,6 +358,50 @@ def main(spark=None, rows: int | None = None) -> int:
     print(json.dumps({"experiment": "ks_distance_error", "k": 128,
                       "max_abs_err_vs_true": ks_out}))
 
+    # ---------------------------------------------- tuple per-key segment
+    # the tuple family's ESTIMATION regime (NDV >> k=4096): one state
+    # over (address, 1.0) answers NDV, total rows, and the per-key
+    # predicate "addresses seen >= 2 times (and their row mass)" — each
+    # a Horvitz-Thompson estimate over the KMV key sample, so all gates
+    # derive from the KMV RSE 1/sqrt(k-2) ~ 1.56%; 3 sigma < 5%, with a
+    # point of slack on the segment legs for per-key-count variance.
+    (tup_row,) = dss.sql(spark, """
+        SELECT approx_tuple_estimate(
+                 approx_tuple_accumulate(address, 1.0)) AS e,
+               approx_tuple_segment_estimate(
+                 approx_tuple_accumulate(address, 1.0), 2) AS s
+        FROM acc_addresses""").collect()
+    (tup_truth,) = spark.sql("""
+        WITH pk AS (SELECT address, count(*) AS c FROM acc_addresses
+                    GROUP BY 1)
+        SELECT count(*) AS ndv, sum(c) AS n_rows,
+               count(CASE WHEN c >= 2 THEN 1 END) AS rep_keys,
+               COALESCE(sum(CASE WHEN c >= 2 THEN c END), 0) AS rep_rows
+        FROM pk""").collect()
+    tup_errs = {
+        "ndv": (tup_row.e.ndv - tup_truth.ndv) / tup_truth.ndv * 100,
+        "rows": (tup_row.e.rows - tup_truth.n_rows)
+        / tup_truth.n_rows * 100,
+        "seg_keys": (tup_row.s.keys - tup_truth.rep_keys)
+        / tup_truth.rep_keys * 100,
+        "seg_rows": (tup_row.s.value_sum - tup_truth.rep_rows)
+        / tup_truth.rep_rows * 100,
+    }
+    print(json.dumps({
+        "experiment": "tuple_segment_estimation", "rows": rows, "k": 4096,
+        "true": {"ndv": int(tup_truth.ndv), "rep_keys":
+                 int(tup_truth.rep_keys)},
+        "estimates": {"ndv": int(tup_row.e.ndv),
+                      "seg_keys": int(tup_row.s.keys)},
+        "pct_err": {k: round(v, 3) for k, v in tup_errs.items()},
+    }))
+    if abs(tup_errs["ndv"]) > 5.0:
+        failures.append(f"tuple NDV error {tup_errs['ndv']:.2f}% > 5%")
+    for leg in ("rows", "seg_keys", "seg_rows"):
+        if abs(tup_errs[leg]) > 6.0:
+            failures.append(
+                f"tuple {leg} error {tup_errs[leg]:.2f}% > 6%")
+
     print(json.dumps({"experiment": "summary",
                       "failures": failures or None}))
     if own_session:

@@ -36,6 +36,7 @@ DISTINCT_CPC_LGK_KEY = f"{_PREFIX}.distinctCnt.cpc.lgK"
 DISTINCT_HLL_LGK_KEY = f"{_PREFIX}.distinctCnt.hll.lgK"
 SAMPLE_RESERVOIR_K_KEY = f"{_PREFIX}.sampling.reservoir.k"
 QUANTILE_RANK_RULE_KEY = f"{_PREFIX}.quantiles.rankRule"
+TUPLE_K_KEY = f"{_PREFIX}.tuple.k"
 
 DEFAULTS = {
     QUANTILE_IMPL_KEY: "REQ",          # DataSketchConf.scala:36-41
@@ -47,6 +48,7 @@ DEFAULTS = {
     DISTINCT_CPC_LGK_KEY: "11",        # :80-85
     DISTINCT_HLL_LGK_KEY: "12",        # :87-92
     SAMPLE_RESERVOIR_K_KEY: "1024",    # extension (no reference analogue)
+    TUPLE_K_KEY: "4096",               # extension: tuple-sketch entries
     # "disc" = SQL quantile_disc (engine contract, DuckDB-oracle-checked);
     # "exclusive" = DataSketches v2 getQuantile rule the reference
     # inherits (its suite pins p50 of {0,1,2,10} = 2,
@@ -125,6 +127,15 @@ def sample_reservoir_k(spark=None) -> int:
     v = int(get_conf(SAMPLE_RESERVOIR_K_KEY, spark))
     if v <= 0:
         raise ValueError(f"{SAMPLE_RESERVOIR_K_KEY} must be positive")
+    return v
+
+
+def tuple_k(spark=None) -> int:
+    """Retained distinct-key entries of the tuple (per-key summary)
+    sketch — same KMV accuracy class as Theta at the same k."""
+    v = int(get_conf(TUPLE_K_KEY, spark))
+    if v < 16:
+        raise ValueError(f"{TUPLE_K_KEY} must be >= 16")
     return v
 
 

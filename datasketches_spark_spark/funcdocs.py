@@ -187,6 +187,30 @@ FUNCTION_DOCS: dict[str, tuple[str, str]] = {
         "state.",
         "> SELECT _FUNC_(approx_sample_accumulate(col)) FROM VALUES "
         "(1.0) AS tab(col);\n   1"),
+    "approx_tuple_accumulate": (
+        "_FUNC_(key, value) - Aggregates (key, value) rows into a tuple "
+        "(per-key summary) sketch state: a Theta-style sample of the "
+        "distinct-key space where every retained key carries exact row "
+        "count and value sum (k set by spark.sql.dataSketches.tuple.k).",
+        "> SELECT approx_tuple_estimate(_FUNC_(k, v)).ndv FROM VALUES "
+        "(1, 1.0), (1, 2.0), (2, 5.0) AS tab(k, v);\n   2"),
+    "approx_tuple_combine": (
+        "_FUNC_(state) - Merges tuple sketch states (per-key summaries "
+        "add; the key sample re-cuts to the smallest k).",
+        "> SELECT approx_tuple_estimate(_FUNC_(st)).rows FROM (SELECT "
+        "approx_tuple_accumulate(k, v) AS st FROM t GROUP BY p);\n   42"),
+    "approx_tuple_estimate": (
+        "_FUNC_(state) - Decodes a tuple state to struct(ndv, rows, "
+        "value_sum): distinct keys, total rows, total value. Exact while "
+        "observed NDV < k.",
+        "> SELECT _FUNC_(approx_tuple_accumulate(k, v)).value_sum FROM "
+        "VALUES (1, 1.5), (2, 2.5) AS tab(k, v);\n   4.0"),
+    "approx_tuple_segment_estimate": (
+        "_FUNC_(state, minCount) - struct(keys, value_sum) for the "
+        "segment of distinct keys with per-key row count >= minCount — "
+        "per-key-predicate analytics from the state alone.",
+        "> SELECT _FUNC_(approx_tuple_accumulate(k, v), 2).keys FROM "
+        "VALUES (1, 1.0), (1, 2.0), (2, 5.0) AS tab(k, v);\n   1"),
     "import_datasketches_state": (
         "_FUNC_(bytes) - Converts an Apache DataSketches wire state "
         "(KLL/REQ/Doubles/frequent-items/HLL/CPC/Theta) into the "

@@ -43,6 +43,12 @@ from .sampling import (
     approx_sample_stream_size,
     approx_sample_weighted_accumulate,
 )
+from .tuplesketch import (
+    approx_tuple_accumulate,
+    approx_tuple_combine,
+    approx_tuple_estimate,
+    approx_tuple_segment_estimate,
+)
 from .quantiles import (
     approx_ks_distance,
     approx_percentile_bounds,
@@ -66,6 +72,11 @@ __all__ = [
     "approx_sample_estimate",
     "approx_sample_stream_size",
     "approx_sample_weighted_accumulate",
+    # tuple / per-key summary sketch (extension; DataSketches Tuple family)
+    "approx_tuple_accumulate",
+    "approx_tuple_combine",
+    "approx_tuple_estimate",
+    "approx_tuple_segment_estimate",
     # quantiles (reference #1-#8)
     "approx_percentile_ex",
     "approx_percentile_kll",

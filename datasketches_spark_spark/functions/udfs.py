@@ -701,3 +701,90 @@ def theta_est_udf():
         return pd.Series(out, dtype=object)
 
     return est
+
+
+# --------------------------------------------------------------------- tuple
+
+def tuple_acc_udf(k: int):
+    """GROUPED_AGG: (key, value) -> serialized tuple state. Null-key rows
+    are dropped (a null key is no key); a null value counts the row with
+    a 0.0 contribution (count(*)/sum(value) SQL semantics)."""
+    from ..sketches import TupleSketch
+
+    @pandas_udf(BinaryType())
+    def acc(key: pd.Series, value: pd.Series) -> bytes:
+        mask = key.notna()
+        if not mask.any():
+            return None
+        key = key[mask]
+        v = pd.to_numeric(value[mask], errors="coerce") \
+            .fillna(0.0).to_numpy(np.float64)
+        sk = TupleSketch(k=k)
+        sk.update_batch(hash_series(key), v)
+        return sk.serialize()
+
+    return acc
+
+
+TUPLE_EST_TYPE = StructType([
+    StructField("ndv", LongType()),
+    StructField("rows", LongType()),
+    StructField("value_sum", DoubleType()),
+])
+
+TUPLE_SEGMENT_TYPE = StructType([
+    StructField("keys", LongType()),
+    StructField("value_sum", DoubleType()),
+])
+
+
+def tuple_est_udf():
+    """Scalar: tuple state -> struct(ndv, rows, value_sum)."""
+    from ..sketches import TupleSketch
+
+    @pandas_udf(TUPLE_EST_TYPE)
+    def est(states: pd.Series) -> pd.DataFrame:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append((None, None, None))
+                continue
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, TupleSketch):
+                    raise ValueError("not a tuple state")
+                out.append((sk.estimate(), sk.rows_estimate(),
+                            sk.sum_estimate()))
+            except Exception as e:
+                log.warning("approx_tuple_estimate: corrupt state: %s", e)
+                out.append((None, None, None))
+        return pd.DataFrame(out, columns=["ndv", "rows", "value_sum"])
+
+    return est
+
+
+def tuple_segment_udf():
+    """Scalar: (tuple state, min_count) -> struct(keys, value_sum) for
+    the segment of keys with per-key row count >= min_count."""
+    from ..sketches import TupleSketch
+
+    @pandas_udf(TUPLE_SEGMENT_TYPE)
+    def seg(states: pd.Series, min_count: pd.Series) -> pd.DataFrame:
+        out = []
+        for blob, mc in zip(states, min_count):
+            if blob is None:
+                out.append((None, None))
+                continue
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, TupleSketch):
+                    raise ValueError("not a tuple state")
+                mc = 1 if _is_nullish(mc) else int(mc)
+                out.append(sk.segment_estimate(min_count=mc))
+            except Exception as e:
+                log.warning(
+                    "approx_tuple_segment_estimate: corrupt state: %s", e)
+                out.append((None, None))
+        return pd.DataFrame(out, columns=["keys", "value_sum"])
+
+    return seg

@@ -48,6 +48,7 @@ from ..sketches import (
     HllSketch,
     ReservoirSketch,
     ThetaSketch,
+    TupleSketch,
     WeightedReservoirSketch,
     deserialize_any,
     hash_series,
@@ -280,6 +281,32 @@ def _wreservoir_family(k: int | None, item_type: str) -> _Family:
                    prep, update)
 
 
+def _tuple_family(k: int | None) -> _Family:
+    """Two-column family: measure col is (key_col, value_col). Null-key
+    rows drop; null values count their row with 0.0 (tuple_acc_udf
+    semantics). Hashing is the theta dispatch, whole-batch vectorized."""
+    k = k or conf.tuple_k()
+
+    def prep(pdf: pd.DataFrame):
+        kcol, vcol = pdf.columns[0], pdf.columns[1]
+        mask = pdf[kcol].notna().to_numpy()
+        hashes = np.zeros(len(pdf), np.uint64)
+        if mask.any():
+            hashes[mask] = hash_series(pdf[kcol][mask])
+        vals = pd.to_numeric(pdf[vcol], errors="coerce") \
+            .fillna(0.0).to_numpy(np.float64)
+        return hashes, vals, mask
+
+    def update(sk, ctx, idx):
+        h, v, mask = ctx
+        if idx is not None:
+            h, v, mask = h[idx], v[idx], mask[idx]
+        if mask.any():
+            sk.update_batch(h[mask], v[mask])
+
+    return _Family(lambda: TupleSketch(k=k), prep, update)
+
+
 class _StateMerger:
     """Folds pre-serialized sketch states — the ``*_combine`` verb as a
     partial-capable kernel. Family-agnostic like :func:`combine_udf`
@@ -341,6 +368,8 @@ def _family(name: str, **params) -> _Family:
                                   params.get("item_type", ITEM_DOUBLE))
     if name == "states":
         return _states_family()
+    if name == "tuple":
+        return _tuple_family(params.get("k"))
     raise ValueError(f"unknown sketch family {name!r}")
 
 

@@ -350,6 +350,15 @@ def install(spark: SparkSession) -> None:
                        sample_est_udf(ITEM_STR))
     spark.udf.register("approx_sample_stream_size", sample_size_udf())
 
+    # tuple / per-key summary sketch (extension; DataSketches Tuple
+    # family analog — NDV + per-distinct-key aggregates from one state)
+    from .functions.udfs import tuple_acc_udf, tuple_est_udf, tuple_segment_udf
+    spark.udf.register("approx_tuple_accumulate",
+                       tuple_acc_udf(conf.tuple_k(spark)))
+    spark.udf.register("approx_tuple_combine", combine_udf())
+    spark.udf.register("approx_tuple_estimate", tuple_est_udf())
+    spark.udf.register("approx_tuple_segment_estimate", tuple_segment_udf())
+
     # Apache DataSketches wire-format import (reference-state migration;
     # estimate fns also read foreign states directly via the deserializer
     # fallback — this converts once for merge-heavy pipelines).

@@ -13,6 +13,8 @@ from .req import ReqSketch
 from .reservoir import ITEM_DOUBLE, ReservoirSketch, WeightedReservoirSketch
 from .serde import (
     FAMILY_CPCUNION,
+    FAMILY_TUPLE,
+    FAMILY_TUPLE,
     FAMILY_FREQ_LONG,
     FAMILY_FREQ_STR,
     FAMILY_HLL,
@@ -24,6 +26,8 @@ from .serde import (
     MAGIC,
     family_of,
 )
+from .tuple import TupleSketch
+from .tuple import TupleSketch
 from .theta import (
     ThetaSketch,
     hash_doubles,
@@ -68,6 +72,10 @@ def deserialize_any(data: bytes):
         return WeightedReservoirSketch.deserialize(data)
     if fam == FAMILY_CPCUNION:
         return CpcUnionSketch.deserialize(data)
+    if fam == FAMILY_TUPLE:
+        return TupleSketch.deserialize(data)
+    if fam == FAMILY_TUPLE:
+        return TupleSketch.deserialize(data)
     raise ValueError(f"unknown sketch family {fam}")
 
 

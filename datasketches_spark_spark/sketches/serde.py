@@ -34,6 +34,7 @@ FAMILY_HLL = 7
 FAMILY_RESERVOIR = 8
 FAMILY_WRESERVOIR = 9
 FAMILY_CPCUNION = 10
+FAMILY_TUPLE = 11
 
 _HEADER = struct.Struct("<4sBB")
 

@@ -342,6 +342,8 @@ _ACC_FAMILY = {
         ("wreservoir", {"item_type": "long"}),
     "approx_sample_weighted_accumulate_string":
         ("wreservoir", {"item_type": "str"}),
+    # (key, value) per-key-summary aggregate — two measure input columns
+    "approx_tuple_accumulate": ("tuple", {}),
 }
 
 # *_combine functions: merge pre-serialized states (family-agnostic wire).
@@ -351,6 +353,7 @@ _ACC_FAMILY = {
 _COMBINE_FNS = {
     "approx_percentile_combine", "approx_freqitems_combine",
     "approx_count_distinct_combine", "approx_sample_combine",
+    "approx_tuple_combine",
 }
 
 _SKETCH_FUNCS = (set(_QUANTILE_DIRECT) | set(_FREQ_DIRECT)
@@ -368,6 +371,7 @@ _ESTIMATE_FNS = {
     "approx_count_distinct_estimate",
     "approx_sample_estimate", "approx_sample_estimate_long",
     "approx_sample_estimate_string",
+    "approx_tuple_estimate", "approx_tuple_segment_estimate",
 }
 
 # native aggregates that may appear anywhere inside an exact select item
@@ -495,7 +499,7 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
         return
     if fname in _ACC_FAMILY:
         family, params = _resolve_acc_family(fname, spark)
-        want_args = 2 if family == "wreservoir" else 1
+        want_args = 2 if family in ("wreservoir", "tuple") else 1
         if len(args) != want_args:
             raise _Unsupported(
                 f"{fname} expects {'(col, weight)' if want_args == 2 else '(col)'}")
@@ -529,6 +533,8 @@ def _resolve_acc_family(fname: str, spark: SparkSession):
             family, params = "hll", {"lgk": conf.distinct_cpc_lgk(spark)}
     if family in ("reservoir", "wreservoir"):
         params = dict(params, k=conf.sample_reservoir_k(spark))
+    if family == "tuple":
+        params = dict(params, k=conf.tuple_k(spark))
     return family, params
 
 
@@ -602,6 +608,17 @@ def _nested_estimator(fname: str, extra: list[str]):
         it = ("long" if fname.endswith("_long")
               else "string" if fname.endswith("_string") else "double")
         return lambda c: _sp.approx_sample_estimate(c, item_type=it)
+    if fname == "approx_tuple_estimate":
+        if extra:
+            return None
+        from .functions import tuplesketch as _tp
+        return lambda c: _tp.approx_tuple_estimate(c)
+    if fname == "approx_tuple_segment_estimate":
+        if len(extra) > 1:
+            return None
+        mc = int(_parse_literal_number(extra[0])) if extra else 1
+        from .functions import tuplesketch as _tp
+        return lambda c: _tp.approx_tuple_segment_estimate(c, mc)
     return None
 
 
@@ -630,7 +647,7 @@ def _classify_nested_estimate(item: "_Item", call: tuple[str, str],
         arg_cols = iargs[0]
     elif ifn in _ACC_FAMILY:
         family, params = _resolve_acc_family(ifn, spark)
-        want = 2 if family == "wreservoir" else 1
+        want = 2 if family in ("wreservoir", "tuple") else 1
         iargs = _split_top(iargs_text)
         if len(iargs) != want:
             return False
