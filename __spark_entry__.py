@@ -1851,11 +1851,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ---- first 50 entries: the driver's correctness window covers
-        # ---- 50 queries (CORRECTNESS_r07 stopped at exactly 50 of 70),
-        # ---- so every distinct engine component is gated inside it;
-        # ---- entries 51+ are redundant-coverage variants whose
-        # ---- components are all hash-gated by in-window queries.
+        # ---- exactly 50 entries (round 9): the driver's correctness
+        # ---- window records 50 queries, so the board IS the window —
+        # ---- every body shipped here gets a hash-gated entry. The five
+        # ---- redundant-coverage variants that used to sit at positions
+        # ---- 51-55 live in demo_queries(), pytest-gated.
         "q01_percentile_by_flag": _q01_percentile_by_flag,
         "q03_percentile_pipeline": _q03_percentile_pipeline,
         "q04_pmf": _q04_pmf,
@@ -1906,12 +1906,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_rollup_algebra_sample": _q60_rollup_algebra_sample,
         "q62_error_bounds": _q62_error_bounds,
         "q66_streaming_summary_sink": _q66_streaming_summary_sink,
-        # ---- redundant-coverage variants (components gated above) ----
-        "q67_percentile_multi": _q02_percentile_multi,
-        "q68_freqitems_long": _q10_freqitems_long,
-        "q69_pricing_summary": _q11_pricing_summary,
-        "q70_multimodal": _q23_multimodal,
-        "q71_set_overlap": _q28_set_overlap,
+    }
+
+
+def demo_queries() -> dict[str, str]:
+    """Redundant-coverage variants OUTSIDE the driver's 50-slot
+    correctness window (round 9: the board is exactly the 50 recorded
+    queries — no unrecorded body ships in ``queries()``). Every
+    component these touch is hash-gated by an in-window query; the
+    bodies themselves stay verified by ``tests/test_demo_queries.py``,
+    which runs each against its DuckDB oracle with the driver's own
+    compare. Returns name -> callable like ``queries()``."""
+    return {
+        "demo_percentile_multi": _q02_percentile_multi,
+        "demo_freqitems_long": _q10_freqitems_long,
+        "demo_pricing_summary": _q11_pricing_summary,
+        "demo_multimodal": _q23_multimodal,
+        "demo_set_overlap": _q28_set_overlap,
     }
 
 
@@ -1922,15 +1933,6 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(l_quantity, 0.5) AS p50_qty,
                    quantile_disc(l_extendedprice, 0.95) AS p95_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-        """,
-        "q67_percentile_multi": """
-            SELECT l_returnflag, l_linestatus,
-                   quantile_disc(l_extendedprice, 0.25) AS p25,
-                   quantile_disc(l_extendedprice, 0.50) AS p50,
-                   quantile_disc(l_extendedprice, 0.75) AS p75,
-                   quantile_disc(l_extendedprice, 0.95) AS p95
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
         """,
         "q03_percentile_pipeline": """
             SELECT quantile_disc(value, 0.5) AS p50,
@@ -1974,21 +1976,6 @@ def oracle_sql() -> dict[str, str]:
         "q09_freqitems_pipeline": """
             SELECT o_orderpriority AS item, count(*) AS estimated
             FROM orders GROUP BY o_orderpriority ORDER BY estimated DESC, item
-        """,
-        "q68_freqitems_long": """
-            SELECT l_suppkey AS item, count(*) AS estimated
-            FROM lineitem GROUP BY l_suppkey
-            ORDER BY estimated DESC, item LIMIT 10
-        """,
-        "q69_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
-                   count(*) AS count_order,
-                   quantile_disc(l_quantity, 0.9) AS p90_qty
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
         """,
         "q12_percentile_impls": """
             SELECT l_returnflag,
@@ -2244,12 +2231,6 @@ def oracle_sql() -> dict[str, str]:
               ELSE 'zh' END AS pred_lang, count(*) AS n
             FROM s GROUP BY pred_lang ORDER BY pred_lang
         """,
-        "q70_multimodal": """
-            SELECT source, count(*) AS n_assets,
-                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-                   max(octet_length(encode(text))) AS max_bytes
-            FROM documents GROUP BY source ORDER BY source
-        """,
         "q24_streaming_multi": """
             SELECT event_type,
                    quantile_disc(value, 0.5) AS p50_value,
@@ -2290,21 +2271,6 @@ def oracle_sql() -> dict[str, str]:
                    FROM c)
             SELECT * FROM fp UNION ALL SELECT * FROM ch
             ORDER BY leg, doc_id, idx
-        """,
-        "q71_set_overlap": """
-            WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
-            cnt AS (SELECT event_type, count(*) n FROM s GROUP BY 1),
-            com AS (SELECT a.event_type ta, b.event_type tb, count(*) c
-                    FROM s a JOIN s b ON a.user_id = b.user_id
-                                      AND a.event_type < b.event_type
-                    GROUP BY 1, 2)
-            SELECT ca.event_type AS type_a, cb.event_type AS type_b,
-                   COALESCE(com.c, 0) AS common_users,
-                   COALESCE(com.c, 0)::DOUBLE
-                     / (ca.n + cb.n - COALESCE(com.c, 0)) AS jaccard
-            FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
-            LEFT JOIN com ON com.ta = ca.event_type AND com.tb = cb.event_type
-            ORDER BY type_a, type_b
         """,
         "q29_mixed_sql": """
             SELECT o_orderpriority,
@@ -2912,3 +2878,54 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY leg, k
         """,
                     }
+
+
+def demo_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for demo_queries() (pytest-gated; see there)."""
+    return {
+        "demo_percentile_multi": """
+            SELECT l_returnflag, l_linestatus,
+                   quantile_disc(l_extendedprice, 0.25) AS p25,
+                   quantile_disc(l_extendedprice, 0.50) AS p50,
+                   quantile_disc(l_extendedprice, 0.75) AS p75,
+                   quantile_disc(l_extendedprice, 0.95) AS p95
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "demo_freqitems_long": """
+            SELECT l_suppkey AS item, count(*) AS estimated
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY estimated DESC, item LIMIT 10
+        """,
+        "demo_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   count(*) AS count_order,
+                   quantile_disc(l_quantity, 0.9) AS p90_qty
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "demo_multimodal": """
+            SELECT source, count(*) AS n_assets,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   max(octet_length(encode(text))) AS max_bytes
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "demo_set_overlap": """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+            cnt AS (SELECT event_type, count(*) n FROM s GROUP BY 1),
+            com AS (SELECT a.event_type ta, b.event_type tb, count(*) c
+                    FROM s a JOIN s b ON a.user_id = b.user_id
+                                      AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+            SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+                   COALESCE(com.c, 0) AS common_users,
+                   COALESCE(com.c, 0)::DOUBLE
+                     / (ca.n + cb.n - COALESCE(com.c, 0)) AS jaccard
+            FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+            LEFT JOIN com ON com.ta = ca.event_type AND com.tb = cb.event_type
+            ORDER BY type_a, type_b
+        """,
+    }
