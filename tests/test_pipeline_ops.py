@@ -1064,3 +1064,30 @@ class TestNearestReference:
             F.array(F.lit(1.0)).alias("embedding"))
         with pytest.raises(ValueError, match="max_reference"):
             nearest_reference(corpus, big, max_reference=3)
+
+
+def test_connected_components_giant_star_1m(spark):
+    """Skewed-graph stress (round-9 stretch): ONE star component — node 0
+    joined to 1M spokes, the boilerplate-duplicate worst case a real
+    crawl produces. Diameter 2, so min-label propagation + pointer
+    jumping must converge within max_iter=3 (one propagate round labels
+    every spoke 0, one more proves quiescence) — O(log d), never O(d) —
+    and the hot vertex (1M edges on one key) must flow through map-side
+    partial min aggregation, not a single-task pairwise blowup. The wall
+    guard pins the non-quadratic plan."""
+    import time
+    from datasketches_spark_spark.operators import connected_components
+    edges = (spark.range(1, 1_000_001)
+             .select(F.lit(0).alias("id_a"), F.col("id").alias("id_b")))
+    t0 = time.time()
+    labels = connected_components(edges, max_iter=3)
+    agg = labels.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("comp").alias("ncomp"),
+        F.max("comp").alias("mx")).collect()[0]
+    wall = time.time() - t0
+    assert agg.n == 1_000_001         # hub + 1M spokes
+    assert agg.ncomp == 1 and agg.mx == 0
+    # a per-round O(E) plan does ~3 shuffle joins over 2M directed edges;
+    # anything pairwise or O(d)-round would blow far past this
+    assert wall < 120, f"giant-star components took {wall:.1f}s"
