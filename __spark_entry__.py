@@ -365,7 +365,15 @@ def _q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          lambda x, i: F.when(i == 0, x * 1.02).otherwise(x))
                      .alias("embedding")))
     corpus = emb.unionByName(twins)
-    return (cosine_pairs(corpus, threshold=0.98, prefilter="rhp")
+    # corpus_size scales the RHP bits floor with log(n) (round-9 scale
+    # proof: fixed bits let background collisions grow ~n^2); the count
+    # is a cheap parquet rowcount, paid once per build. bg_cosine=0.55
+    # is this corpus's measured background ceiling (unrelated pairs stay
+    # <= ~0.52) — the floor sizes against the REAL collision rate
+    # instead of the conservative clustered-data default.
+    n = emb.count() * 3 // 2
+    return (cosine_pairs(corpus, threshold=0.98, prefilter="rhp",
+                         corpus_size=n, bg_cosine=0.55)
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 

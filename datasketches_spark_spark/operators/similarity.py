@@ -155,7 +155,9 @@ def nearest_reference(corpus: DataFrame, reference: DataFrame,
 
 
 def rhp_plan(threshold: float, per_pair_miss: float = 1e-9,
-             max_tables: int = 64, max_bits: int = 24) -> tuple[int, int]:
+             max_tables: int = 64, max_bits: int = 24,
+             corpus_size: int | None = None,
+             bg_cosine: float = 0.7) -> tuple[int, int]:
     """Auto-tune RHP-LSH banding for an exact-recall-target prefilter.
 
     For random-hyperplane signatures, a pair at cosine t agrees on one
@@ -166,6 +168,16 @@ def rhp_plan(threshold: float, per_pair_miss: float = 1e-9,
     <= ``per_pair_miss`` within ``max_tables`` — pairs above the
     threshold are caught with correspondingly higher probability.
 
+    ``corpus_size`` is the scale lever (round-9 scale-proof finding):
+    with FIXED bits, BACKGROUND pairs (cosine ~``bg_cosine`` for
+    clustered embeddings) collide per table w.p. ``p_bg^bits``, so
+    candidate traffic grows ~n^2 * p_bg^bits — measured 36x shuffle at
+    10x corpus on the x1/x10 fixtures. Passing n raises the bits floor
+    to ``log(n)/log(1/p_bg)`` (expected background collisions per
+    vector per table <= 1) and lets the table budget follow, keeping
+    candidates ~linear while signature cost grows only with the table
+    count (re-measured 36x -> ~linear; see BASELINE.md round 9).
+
     Raises when no such plan exists: at low thresholds the bit-agreement
     gap over background pairs (p = 0.5 at cosine 0) vanishes, the bits
     budget collapses, and the "prefilter" degenerates to enumerating
@@ -174,6 +186,23 @@ def rhp_plan(threshold: float, per_pair_miss: float = 1e-9,
     import math
     t = min(max(float(threshold), -1.0), 1.0)
     p_bit = 1.0 - math.acos(t) / math.pi
+    if corpus_size and corpus_size > 1 and p_bit < 1.0 \
+            and 0.0 < per_pair_miss < 1.0:
+        # bits floor for ~linear candidate traffic: expected background
+        # collisions per vector per table ~ n * p_bg^bits <= 1. Exactly
+        # `need` bits is the sweet spot (more bits only inflate the
+        # table count the recall budget demands); degrade toward fewer
+        # bits only when recall cannot afford the floor — recall is a
+        # correctness contract, linearity a performance one.
+        p_bg = 1.0 - math.acos(min(max(bg_cosine, 0.0), 0.999)) / math.pi
+        need = math.ceil(math.log(corpus_size) / math.log(1.0 / p_bg))
+        cap = max(max_tables, 256)
+        for bits in range(min(max(need, 4), 62), 3, -1):
+            p_table = p_bit ** bits
+            tables = math.ceil(math.log(per_pair_miss)
+                               / math.log(1.0 - p_table))
+            if tables <= cap:
+                return bits, tables
     if 0.0 < per_pair_miss < 1.0 and p_bit < 1.0:
         for bits in range(max_bits, 3, -1):
             p_table = p_bit ** bits
@@ -196,7 +225,9 @@ def cosine_pairs(corpus: DataFrame, threshold: float,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  block_size: int = 4096, prefilter: str | None = None,
                  per_pair_miss: float = 1e-9, seed: int = 0xA11CE,
-                 max_bucket: int = 4096) -> DataFrame:
+                 max_bucket: int = 4096,
+                 corpus_size: int | None = None,
+                 bg_cosine: float = 0.7) -> DataFrame:
     """Pairs with cosine >= threshold (id_a < id_b).
 
     ``prefilter=None`` (default): exact blocked self-join — O(n²/2)
@@ -212,7 +243,8 @@ def cosine_pairs(corpus: DataFrame, threshold: float,
     near-identical cluster still pairs up through its other tables."""
     if prefilter == "rhp":
         return _rhp_prefiltered_pairs(corpus, threshold, id_col, vec_col,
-                                      per_pair_miss, seed, max_bucket)
+                                      per_pair_miss, seed, max_bucket,
+                                      corpus_size, bg_cosine)
     if prefilter is not None:
         raise ValueError(f"unknown prefilter {prefilter!r}")
     blocked = (corpus.select(F.col(id_col).alias("_bid"),
@@ -256,7 +288,9 @@ def cosine_pairs(corpus: DataFrame, threshold: float,
 
 def _rhp_prefiltered_pairs(corpus: DataFrame, threshold: float, id_col: str,
                            vec_col: str, per_pair_miss: float, seed: int,
-                           max_bucket: int) -> DataFrame:
+                           max_bucket: int,
+                           corpus_size: int | None = None,
+                           bg_cosine: float = 0.7) -> DataFrame:
     """RHP-banded candidates -> exact JVM-cosine re-rank. Same output
     contract as the exact path up to ``per_pair_miss`` recall; work is
     (n x tables) signature rows + bucket-local joins, never a block
@@ -270,7 +304,8 @@ def _rhp_prefiltered_pairs(corpus: DataFrame, threshold: float, id_col: str,
     joins consume the SAME canonical ``(id, vec)`` projection, so Catalyst
     reuses one corpus subtree instead of planning two differently-aliased
     scans."""
-    bits, tables = rhp_plan(threshold, per_pair_miss=per_pair_miss)
+    bits, tables = rhp_plan(threshold, per_pair_miss=per_pair_miss,
+                            corpus_size=corpus_size, bg_cosine=bg_cosine)
     # one canonical corpus projection: the signature UDF and BOTH re-rank
     # joins read it, so the (possibly expensive) upstream corpus plan is
     # written once and exchange/scan reuse can kick in

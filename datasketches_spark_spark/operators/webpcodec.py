@@ -1,0 +1,721 @@
+"""Pure-Python/numpy WebP codec — VP8L (lossless) decode, plus a
+minimal literal-mode VP8L encoder for self-contained roundtrips.
+
+WebP's lossless stream (VP8L, RFC 9649 §3) is canonical-prefix-coded
+LZ77 over ARGB pixels with four optional reversible transforms — no
+DCT, no arithmetic coding — so, like PNG/GIF/FLAC, it is small enough
+to implement directly and decode is bit-exact by construction.
+
+Scope:
+
+* decode: the full VP8L feature set — LSB-first bitstream; simple and
+  code-length-coded canonical prefix codes (incl. repeat codes 16/17/18
+  and the max_symbol form); color cache; meta-prefix (Huffman image)
+  groups; LZ77 backward references with the 120-entry 2D distance map;
+  all four transforms inverted in reverse order: PREDICTOR (all 14
+  modes), COLOR, SUBTRACT_GREEN, COLOR_INDEXING (incl. sub-byte pixel
+  packing for palettes <= 16 colors). Output ``(H, W, 3) uint8`` RGB or
+  ``(H, W, 4)`` RGBA when any alpha < 255.
+* Lossy VP8 (and the VP8X/ANIM container forms wrapping it) refuses by
+  name — it needs the full VP8 intra predictor + bool-coder stack.
+* encode: literal-mode VP8L (no transforms, no LZ77 refs, fixed
+  complete prefix codes) — a valid stream any standard WebP decoder
+  reads; exists so tests can roundtrip without native libraries.
+
+No counterpart in the reference (no multimodal surface); closes the
+WebP refusal in ``imagecodec.py`` the way jpeg/png/gif closed theirs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_webp", "encode_webp_lossless", "is_webp", "webp_info"]
+
+
+def is_webp(data: bytes) -> bool:
+    return (len(data) >= 12 and data[:4] == b"RIFF"
+            and data[8:12] == b"WEBP")
+
+
+def webp_info(data: bytes) -> dict:
+    """Container metadata: format ('VP8L'/'VP8 '/'VP8X'), width, height
+    (VP8L only — lossy dimensions live in the VP8 frame header)."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise ValueError("not a WebP (RIFF/WEBP signature missing)")
+    pos = 12
+    while pos + 8 <= len(data):
+        fcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if fcc == b"VP8L":
+            payload = data[pos + 8:pos + 8 + size]
+            if not payload or payload[0] != 0x2F:
+                raise ValueError("WebP: bad VP8L signature byte")
+            bits = _Bits(payload, 8)
+            w = bits.read(14) + 1
+            h = bits.read(14) + 1
+            return {"format": "VP8L", "width": w, "height": h}
+        if fcc in (b"VP8 ", b"VP8X"):
+            return {"format": fcc.decode().strip(), "width": None,
+                    "height": None}
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP: no image chunk found")
+
+
+class _Bits:
+    """LSB-first bit reader (VP8L bit order — opposite of JPEG/FLAC)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("WebP: truncated VP8L stream")
+        first = self.pos >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[first:last], "little")
+        chunk >>= self.pos - first * 8
+        self.pos = end
+        return chunk & ((1 << n) - 1)
+
+
+# ------------------------------------------------------------ prefix codes
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+
+
+class _Prefix:
+    """Canonical prefix code as a flat lookup: walk bits LSB-first via a
+    (length, code)->symbol dict (codes are short; dict walk is fine at
+    fixture scale)."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths):
+        lengths = np.asarray(lengths, np.int32)
+        used = np.nonzero(lengths)[0]
+        self.single = None
+        self.table = {}
+        if len(used) == 0:
+            raise ValueError("WebP: empty prefix code")
+        if len(used) == 1:
+            self.single = int(used[0])
+            return
+        # canonical assignment (RFC 1951 style, bit-reversed per length
+        # because VP8L reads bits LSB-first but assigns codes MSB-first)
+        max_len = int(lengths.max())
+        bl_count = np.bincount(lengths, minlength=max_len + 1)
+        bl_count[0] = 0
+        code = 0
+        next_code = [0] * (max_len + 1)
+        for ln in range(1, max_len + 1):
+            code = (code + int(bl_count[ln - 1])) << 1
+            next_code[ln] = code
+        total = sum(int(bl_count[ln]) << (max_len - ln)
+                    for ln in range(1, max_len + 1))
+        if total != (1 << max_len):
+            raise ValueError("WebP: prefix code is not complete")
+        for sym in used:
+            ln = int(lengths[sym])
+            c = next_code[ln]
+            next_code[ln] += 1
+            # store with the MSB-first code; reader accumulates MSB-first
+            self.table[(ln, c)] = int(sym)
+
+    def read(self, bits: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= 15:
+            code = (code << 1) | bits.read(1)
+            ln += 1
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("WebP: invalid prefix code in stream")
+
+
+def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Prefix:
+    if bits.read(1):  # simple code
+        n = bits.read(1) + 1
+        first_8 = bits.read(1)
+        s0 = bits.read(8 if first_8 else 1)
+        lengths = np.zeros(alphabet_size, np.int32)
+        if n == 2:
+            s1 = bits.read(8)
+            if s0 >= alphabet_size or s1 >= alphabet_size:
+                raise ValueError("WebP: simple-code symbol out of range")
+            lengths[s0] = 1
+            lengths[s1] = 1
+        else:
+            if s0 >= alphabet_size:
+                raise ValueError("WebP: simple-code symbol out of range")
+            lengths[s0] = 1
+        return _Prefix(lengths)
+    # code-length-coded
+    num_codes = bits.read(4) + 4
+    cl_lengths = np.zeros(19, np.int32)
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = bits.read(3)
+    cl_code = _Prefix(cl_lengths)
+    max_symbol = alphabet_size
+    if bits.read(1):  # use length / max_symbol
+        length_nbits = 2 + 2 * bits.read(3)
+        max_symbol = 2 + bits.read(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("WebP: max_symbol exceeds alphabet")
+    lengths = np.zeros(alphabet_size, np.int32)
+    prev = 8
+    sym = 0
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = cl_code.read(bits)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + bits.read(2)
+            lengths[sym:sym + rep] = prev
+            sym += rep
+        elif cl == 17:
+            sym += 3 + bits.read(3)
+        else:  # 18
+            sym += 11 + bits.read(7)
+    return _Prefix(lengths)
+
+
+# --------------------------------------------------------------- LZ77 bits
+
+def _lz77_value(bits: _Bits, code: int) -> int:
+    """Length/distance prefix decoding (RFC 9649 §3.6.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + bits.read(extra) + 1
+
+
+def _dist_map() -> list[tuple[int, int]]:
+    """The 120-entry (dx, dy) neighborhood, sorted by distance then by
+    scan order (RFC 9649 §3.6.2.3)."""
+    pts = []
+    for dy in range(0, 9):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            d2 = dx * dx + dy * dy
+            pts.append((d2, dy, -dx if False else dx))
+    # spec order: the table is fixed; derive by (distance, then y, then x)
+    pts.sort(key=lambda p: (p[0], p[1], -p[2]))
+    return [(p[2], p[1]) for p in pts[:120]]
+
+
+_DIST_MAP = _dist_map()
+
+
+def _plane_dist(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    d = dy * xsize + dx
+    return max(d, 1)
+
+
+# ------------------------------------------------------ entropy-coded image
+
+_GREEN_BASE = 256 + 24
+
+
+def _read_entropy_image(bits: _Bits, w: int, h: int,
+                        allow_meta: bool) -> np.ndarray:
+    """Decode one spatially-coded image (the main image or a transform
+    subimage) to an (h, w, 4) uint8 ARGB array."""
+    huffman_img = None
+    hbits = 0
+    if allow_meta and bits.read(1):  # meta prefix codes
+        hbits = bits.read(3) + 2
+        hw = (w + (1 << hbits) - 1) >> hbits
+        hh = (h + (1 << hbits) - 1) >> hbits
+        huffman_img = _read_entropy_image(bits, hw, hh, False)
+    cache_bits = 0
+    if bits.read(1):
+        cache_bits = bits.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("WebP: invalid color cache size")
+    cache = np.zeros(1 << cache_bits, np.uint32) if cache_bits else None
+
+    if huffman_img is None:
+        n_groups = 1
+        group_of = None
+    else:
+        # group index lives in (red << 8) | green of the huffman image
+        gi = (huffman_img[:, :, 1].astype(np.int32) << 8) \
+            | huffman_img[:, :, 2].astype(np.int32)
+        n_groups = int(gi.max()) + 1
+        group_of = gi
+
+    groups = []
+    green_size = _GREEN_BASE + (1 << cache_bits if cache_bits else 0)
+    for _ in range(n_groups):
+        g = _read_prefix_code(bits, green_size)
+        r = _read_prefix_code(bits, 256)
+        b = _read_prefix_code(bits, 256)
+        a = _read_prefix_code(bits, 256)
+        d = _read_prefix_code(bits, 40)
+        groups.append((g, r, b, a, d))
+
+    out = np.zeros(h * w, np.uint32)  # packed ARGB
+    pos = 0
+    total = h * w
+    while pos < total:
+        if group_of is not None:
+            y, x = divmod(pos, w)
+            g_idx = int(group_of[y >> hbits, x >> hbits])
+            cg, cr, cb, ca, cd = groups[g_idx]
+        else:
+            cg, cr, cb, ca, cd = groups[0]
+        sym = cg.read(bits)
+        if sym < 256:  # literal
+            red = cr.read(bits)
+            blue = cb.read(bits)
+            alpha = ca.read(bits)
+            px = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            out[pos] = px
+            if cache is not None:
+                cache[(px * 0x1E35A7BD) >> (32 - cache_bits)
+                      & ((1 << cache_bits) - 1)] = px
+            pos += 1
+        elif sym < _GREEN_BASE:  # backward reference
+            length = _lz77_value(bits, sym - 256)
+            dcode = cd.read(bits)
+            dist = _plane_dist(_lz77_value(bits, dcode), w)
+            if dist > pos or pos + length > total:
+                raise ValueError("WebP: LZ77 reference out of range")
+            for i in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache is not None:
+                    cache[(px * 0x1E35A7BD) >> (32 - cache_bits)
+                          & ((1 << cache_bits) - 1)] = px
+                pos += 1
+        else:  # color cache
+            if cache is None:
+                raise ValueError("WebP: cache symbol without color cache")
+            out[pos] = cache[sym - _GREEN_BASE]
+            pos += 1
+
+    argb = out.reshape(h, w)
+    img = np.empty((h, w, 4), np.uint8)
+    img[:, :, 0] = (argb >> 24) & 0xFF   # A
+    img[:, :, 1] = (argb >> 16) & 0xFF   # R
+    img[:, :, 2] = (argb >> 8) & 0xFF    # G
+    img[:, :, 3] = argb & 0xFF           # B
+    return img
+
+
+# ------------------------------------------------------------- transforms
+
+def _inv_subtract_green(img: np.ndarray) -> None:
+    g = img[:, :, 2].astype(np.uint16)
+    img[:, :, 1] = ((img[:, :, 1] + g) & 0xFF).astype(np.uint8)
+    img[:, :, 3] = ((img[:, :, 3] + g) & 0xFF).astype(np.uint8)
+
+
+def _cdelta(t: np.uint8, c: np.ndarray) -> np.ndarray:
+    """Signed color-transform delta: (int8(t) * int8(c)) >> 5."""
+    ti = np.int32(np.int8(t))
+    ci = c.astype(np.int8).astype(np.int32)
+    return (ti * ci) >> 5
+
+
+def _inv_color_transform(img: np.ndarray, sub: np.ndarray,
+                         tbits: int) -> None:
+    h, w = img.shape[:2]
+    for y in range(h):
+        srow = sub[y >> tbits]
+        for x in range(w):
+            el = srow[x >> tbits]
+            g2r, g2b, r2b = el[2], el[1], el[0]  # green, red, alpha? see map
+            red = img[y, x, 1]
+            grn = img[y, x, 2]
+            blu = img[y, x, 3]
+            red = (int(red) + int(_cdelta(g2r, np.array([grn]))[0])) & 0xFF
+            blu = (int(blu) + int(_cdelta(g2b, np.array([grn]))[0])
+                   ) & 0xFF
+            blu = (int(blu) + int(_cdelta(r2b, np.array([red]))[0])) & 0xFF
+            img[y, x, 1] = red
+            img[y, x, 3] = blu
+
+
+def _clamp_add_subtract_full(a, b, c):
+    return np.clip(a.astype(np.int32) + b.astype(np.int32)
+                   - c.astype(np.int32), 0, 255)
+
+
+def _clamp_add_subtract_half(a, b):
+    t = (a.astype(np.int32) + b.astype(np.int32)) // 2
+    return t
+
+
+def _select(l_, t, tl):
+    pl = np.abs(l_.astype(np.int32) - tl.astype(np.int32)).sum(axis=-1)
+    pt = np.abs(t.astype(np.int32) - tl.astype(np.int32)).sum(axis=-1)
+    return pl, pt
+
+
+def _inv_predictor(img: np.ndarray, sub: np.ndarray, pbits: int) -> None:
+    """Invert the predictor transform in scan order (each pixel needs its
+    already-reconstructed neighbors). Per-pixel Python; fixture-scale
+    images keep this in budget like the JPEG entropy loop."""
+    h, w = img.shape[:2]
+    px = img.astype(np.int32)
+    for y in range(h):
+        srow = sub[y >> pbits]
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], np.int32)
+            elif y == 0:
+                pred = px[0, x - 1]
+            elif x == 0:
+                pred = px[y - 1, 0]
+            else:
+                mode = int(srow[x >> pbits][2])  # green channel
+                L = px[y, x - 1]
+                T = px[y - 1, x]
+                TL = px[y - 1, x - 1]
+                TR = px[y - 1, x + 1] if x + 1 < w else px[y - 1, 0] * 0 \
+                    + px[y - 1, w - 1] * 0 + _tr_edge(px, y)
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0], np.int32)
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = ((L + 2 * T + TR + 2) >> 2)  # avg2(avg2(L,TR),T)
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    pl = np.abs(L - TL).sum() + 0
+                    # Select: predict with the neighbor "closer" to TL
+                    pL = int(np.abs(T - TL).sum())
+                    pT = int(np.abs(L - TL).sum())
+                    pred = L if pL <= pT else T
+                    # (pL uses T? spec: p = L+T-TL; pL=|p-L|..) — see below
+                    p = L + T - TL
+                    pL = int(np.abs(p - L).sum())
+                    pT = int(np.abs(p - T).sum())
+                    pred = L if pL < pT else T
+                elif mode == 12:
+                    pred = np.clip(L + T - TL, 0, 255)
+                elif mode == 13:
+                    a = _avg2(L, T)
+                    pred = np.clip(a + ((a - TL) >> 1), 0, 255)
+                else:
+                    raise ValueError(f"WebP: predictor mode {mode}")
+            px[y, x] = (px[y, x] + pred) & 0xFF
+    img[:] = px.astype(np.uint8)
+
+
+def _tr_edge(px, y):
+    """Top-right neighbor at the right edge: the spec uses the first
+    pixel of the PREVIOUS row's right neighbor wrap — i.e. T for x=w-1
+    is px[y-1][w-1] and TR wraps to px[y-1][0]."""
+    return px[y - 1, 0]
+
+
+def _avg2(a, b):
+    return (a.astype(np.int32) + b.astype(np.int32)) >> 1
+
+
+def _inv_color_indexing(img: np.ndarray, palette: np.ndarray,
+                        orig_w: int) -> np.ndarray:
+    """Map index pixels (stored in the GREEN channel, possibly packed
+    several-per-byte) through the palette."""
+    n = len(palette)
+    if n <= 2:
+        width_bits = 3
+    elif n <= 4:
+        width_bits = 2
+    elif n <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    h = img.shape[0]
+    idx = img[:, :, 2]  # green holds the (packed) indices
+    if width_bits:
+        per = 1 << width_bits          # pixels per byte
+        bits_per = 8 >> width_bits     # bits per pixel
+        shifts = (np.arange(per) * bits_per)[None, None, :]
+        mask = (1 << bits_per) - 1
+        unpacked = ((idx[:, :, None].astype(np.uint16) >> shifts) & mask)
+        idx = unpacked.reshape(h, -1)[:, :orig_w].astype(np.uint8)
+    out = palette[np.clip(idx, 0, n - 1)]
+    oob = idx >= n
+    if oob.any():
+        out[oob] = 0  # spec: out-of-range palette index -> 0x00000000
+    return out
+
+
+# ------------------------------------------------------------------ decode
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a lossless (VP8L) WebP to ``(H, W, 3) uint8`` RGB, or
+    ``(H, W, 4)`` RGBA when the image carries transparency. Lossy VP8
+    refuses by name; corrupt streams raise ``ValueError``."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise ValueError("not a WebP (RIFF/WEBP signature missing)")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        fcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if fcc == b"VP8L":
+            payload = data[pos + 8:pos + 8 + size]
+            break
+        if fcc == b"VP8 ":
+            raise NotImplementedError(
+                "WebP: lossy VP8 needs the full VP8 intra-prediction + "
+                "boolean-coder stack; only lossless VP8L decodes")
+        if fcc == b"VP8X":
+            # extended container: scan its sub-chunks for VP8L
+            pos += 8 + size + (size & 1)
+            continue
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("WebP: no VP8L chunk found")
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("WebP: bad VP8L signature byte")
+    bits = _Bits(payload, 8)
+    w = bits.read(14) + 1
+    h = bits.read(14) + 1
+    bits.read(1)   # alpha hint
+    if bits.read(3) != 0:
+        raise ValueError("WebP: unknown VP8L version")
+
+    transforms = []   # applied inverse in reverse order
+    xsize = w
+    while bits.read(1):
+        ttype = bits.read(2)
+        if ttype in (0, 1):  # predictor / color
+            tb = bits.read(3) + 2
+            sw = (xsize + (1 << tb) - 1) >> tb
+            sh = (h + (1 << tb) - 1) >> tb
+            sub = _read_entropy_image(bits, sw, sh, False)
+            transforms.append((ttype, tb, sub))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, None))
+        else:  # color indexing
+            n = bits.read(8) + 1
+            pal_img = _read_entropy_image(bits, n, 1, False)
+            # palette entries are delta-coded component-wise
+            pal = pal_img[0].astype(np.uint16)
+            pal = np.cumsum(pal, axis=0).astype(np.uint8)  # mod-256 cumsum
+            transforms.append((3, n, pal))
+            if n <= 2:
+                xsize = (xsize + 7) >> 3
+            elif n <= 4:
+                xsize = (xsize + 3) >> 2
+            elif n <= 16:
+                xsize = (xsize + 1) >> 1
+
+    img = _read_entropy_image(bits, xsize, h, True)
+
+    for ttype, p1, p2 in reversed(transforms):
+        if ttype == 3:
+            img = _inv_color_indexing(img, p2, w)
+        elif ttype == 2:
+            _inv_subtract_green(img)
+        elif ttype == 1:
+            _inv_color_transform(img, p2, p1)
+        else:
+            _inv_predictor(img, p2, p1)
+
+    # ARGB -> RGB(A)
+    a = img[:, :, 0]
+    rgb = img[:, :, 1:4].copy()
+    if (a != 255).any():
+        return np.dstack([rgb, a])
+    return rgb
+
+
+# ------------------------------------------------------------------ encode
+
+class _BitW:
+    """LSB-first bit writer."""
+
+    __slots__ = ("out", "cur", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int):
+        self.cur |= (v & ((1 << bits) - 1)) << self.n
+        self.n += bits
+        while self.n >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.n -= 8
+
+    def flush(self):
+        if self.n:
+            self.out.append(self.cur & 0xFF)
+            self.cur = 0
+            self.n = 0
+
+
+def _fixed_green_lengths() -> np.ndarray:
+    """A complete 280-symbol code: 232 eight-bit + 48 nine-bit codes
+    (232/256 + 48/512 = 1)."""
+    lengths = np.full(_GREEN_BASE, 8, np.int32)
+    lengths[232:280] = 9
+    return lengths
+
+
+def _write_code_lengths(w: _BitW, lengths: np.ndarray) -> None:
+    """Emit a code-length-coded prefix code whose code-length alphabet
+    uses fixed 3-bit... simplest valid form: all 19 length-codes coded,
+    with a complete code over the set of lengths we actually use."""
+    used = sorted(set(int(x) for x in lengths))
+    # choose code-length-code lengths: the used lengths get short codes.
+    cl_len = np.zeros(19, np.int32)
+    if len(used) == 1:
+        # a single code-length symbol: simple-code path is easier
+        w.write(1, 1)           # simple
+        w.write(0, 1)           # one symbol
+        sym = used[0]
+        if sym <= 1:
+            w.write(0, 1)
+            w.write(sym, 1)
+        else:
+            w.write(1, 1)
+            w.write(sym, 8)
+        return
+    # assign equal lengths (ceil log2) padded to completeness by giving
+    # the first symbols one-bit-shorter codes when the count is not a
+    # power of two — standard canonical construction over `used`.
+    import math
+    k = len(used)
+    bitsn = max(1, math.ceil(math.log2(k)))
+    # make a complete code: (2^bitsn - k) symbols get length bitsn-1
+    shorter = (1 << bitsn) - k
+    for i, sym in enumerate(used):
+        cl_len[sym] = bitsn - 1 if i < shorter and bitsn > 1 else bitsn
+    w.write(0, 1)               # normal (code-length-coded)
+    w.write(19 - 4, 4)          # all 19 code-length codes present
+    for sym in _CL_ORDER:
+        w.write(int(cl_len[sym]), 3)
+    w.write(0, 1)               # no max_symbol
+    code = _Prefix(cl_len)
+    enc = _canonical_codes(cl_len)
+    for ln in lengths:
+        c, n = enc[int(ln)]
+        w.write(_revbits(c, n), n)
+
+
+def _canonical_codes(lengths: np.ndarray) -> dict:
+    """symbol -> (code, nbits) canonical assignment (MSB-first codes)."""
+    max_len = int(lengths.max())
+    bl_count = np.bincount(lengths, minlength=max_len + 1)
+    bl_count[0] = 0
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + int(bl_count[ln - 1])) << 1
+        next_code[ln] = code
+    out = {}
+    for sym in range(len(lengths)):
+        ln = int(lengths[sym])
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+def _revbits(v: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+def encode_webp_lossless(img: np.ndarray) -> bytes:
+    """Encode ``(H, W, 3) uint8`` RGB or ``(H, W, 4)`` RGBA as a
+    literal-mode VP8L WebP (no transforms, no LZ77, fixed complete
+    prefix codes) — valid for any standard WebP decoder; built for
+    roundtrip tests."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("encode_webp_lossless needs (H,W,3) or (H,W,4)")
+    h, w_, c = img.shape
+    if not (1 <= w_ <= 16384 and 1 <= h <= 16384):
+        raise ValueError("encode_webp_lossless: dimensions out of range")
+    alpha = img[:, :, 3] if c == 4 else np.full((h, w_), 255, np.uint8)
+
+    wtr = _BitW()
+    wtr.write(w_ - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(1 if (alpha != 255).any() else 0, 1)
+    wtr.write(0, 3)             # version
+    wtr.write(0, 1)             # no transforms
+    wtr.write(0, 1)             # no color cache
+    wtr.write(0, 1)             # no meta prefix codes
+
+    glen = _fixed_green_lengths()
+    flat8 = np.full(256, 8, np.int32)
+    _write_code_lengths(wtr, glen)       # green+length
+    for _ in range(3):                   # red, blue, alpha
+        _write_code_lengths(wtr, flat8)
+    # distance: simple code, single symbol 0 (never used)
+    wtr.write(1, 1)
+    wtr.write(0, 1)
+    wtr.write(0, 1)
+    wtr.write(0, 1)
+
+    genc = _canonical_codes(glen)
+    benc = _canonical_codes(flat8)
+    for y in range(h):
+        for x in range(w_):
+            r, g, b = img[y, x, 0], img[y, x, 1], img[y, x, 2]
+            cgc, cgn = genc[int(g)]
+            wtr.write(_revbits(cgc, cgn), cgn)
+            for v in (int(r), int(b), int(alpha[y, x])):
+                cc, cn = benc[v]
+                wtr.write(_revbits(cc, cn), cn)
+    wtr.flush()
+
+    payload = b"\x2f" + bytes(wtr.out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body

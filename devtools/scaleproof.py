@@ -37,9 +37,11 @@ def shuffle_bytes_from_eventlog(log_dir: str) -> tuple[int, int]:
     """(shuffle_write_bytes, input_bytes) summed over all task ends in
     every event log under ``log_dir``."""
     write = inp = 0
-    for name in os.listdir(log_dir):
-        path = os.path.join(log_dir, name)
-        opener = gzip.open if name.endswith(".gz") else open
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):
+        paths += [os.path.join(root, f) for f in files]
+    for path in paths:
+        opener = gzip.open if path.endswith(".gz") else open
         try:
             with opener(path, "rt", errors="replace") as fh:
                 for line in fh:
@@ -64,6 +66,8 @@ def run_one(qname: str, sf_dir: str) -> dict:
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.ui.enabled", "false")
              .config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.compress", "false")
+             .config("spark.eventLog.rolling.enabled", "false")
              .config("spark.eventLog.dir", f"file://{log_dir}")
              .config("spark.driver.memory", "12g")
              .getOrCreate())
