@@ -618,7 +618,9 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the encoded constants exactly; round 9: odd doc_ids carry a
     4-BIT PALETTE payload (packed scanlines, varying indices, constant
     palette color) so sub-8-bit bit-unpacking is under the same hash
-    gate. Leg 'vid' (round 8): every
+    gate. Leg 'webp' (round 9): VP8L lossless payloads through the
+    pure-Python prefix-code/LZ77 decoder (operators/webpcodec.py) —
+    lossless, so decoded channel means equal the encoded constants. Leg 'vid' (round 8): every
     document gets a 4-frame Motion-JPEG AVI (operators/avicodec.py);
     sample_frames auto-detects the container and emits 2 evenly spaced
     REAL frames (0 and 3), each an independent JPEG decoded by
@@ -677,6 +679,13 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (4, 8, 3), [int(rv), int(gv), 7], dtype=np.uint8)))
         return pd.Series(out, dtype=object)
 
+    def _mk_webp(r, g):
+        from datasketches_spark_spark.operators import encode_webp_lossless
+        return pd.Series(
+            [encode_webp_lossless(np.full((4, 8, 3), [int(rv), int(gv), 9],
+                                          dtype=np.uint8))
+             for rv, gv in zip(r, g)], dtype=object)
+
     def _mk_avi(v):
         from datasketches_spark_spark.operators import encode_avi_mjpeg
         return pd.Series(
@@ -703,6 +712,8 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk_jpg.__annotations__ = {"v": pd.Series, "return": pd.Series}
     _mk_png.__annotations__ = {"r": pd.Series, "g": pd.Series,
                                "return": pd.Series}
+    _mk_webp.__annotations__ = {"r": pd.Series, "g": pd.Series,
+                                "return": pd.Series}
     _mk_avi.__annotations__ = {"v": pd.Series, "return": pd.Series}
     _mk_flac.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
                                 "return": pd.Series}
@@ -710,6 +721,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     make_wav = F.pandas_udf(_mk_wav, BinaryType())
     make_jpg = F.pandas_udf(_mk_jpg, BinaryType())
     make_png = F.pandas_udf(_mk_png, BinaryType())
+    make_webp = F.pandas_udf(_mk_webp, BinaryType())
     make_avi = F.pandas_udf(_mk_avi, BinaryType())
     make_flac = F.pandas_udf(_mk_flac, BinaryType())
 
@@ -773,6 +785,23 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg("mean_b").alias("d3"))
            .select(F.lit("png").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
+    # webp leg (round 9): VP8L lossless — prefix-coded ARGB through the
+    # pure-Python decoder (operators/webpcodec.py); subset like vid/flac
+    # (literal-mode encode is per-pixel Python)
+    webps = docs.where(F.col("doc_id") < 2000).select(
+        "doc_id", "source",
+        make_webp((F.col("doc_id") % 256).cast("int"),
+                  (F.length("text") % 256).cast("int")).alias("payload"))
+    wfeats = extract_image_features(webps, "doc_id", keep_cols=["source"])
+    webp = (wfeats.groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.max("width").cast("long").alias("i1"),
+                 F.max("height").cast("long").alias("i2"),
+                 F.avg("mean_r").alias("d1"),
+                 F.avg("mean_g").alias("d2"),
+                 F.avg("mean_b").alias("d3"))
+            .select(F.lit("webp").alias("leg"), "source", "n", "i1", "i2",
+                    "d1", "d2", "d3"))
     from datasketches_spark_spark.operators import sample_frames
     vids = docs.where(F.col("doc_id") < 2000).select(
         "doc_id", "source",
@@ -808,7 +837,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("flac").alias("leg"), "source", "n", "i1",
                     "i2", "d1", "d2", "d3"))
     return (img.unionByName(aud).unionByName(jpg).unionByName(png)
-            .unionByName(vid).unionByName(flac)
+            .unionByName(webp).unionByName(vid).unionByName(flac)
             .orderBy("leg", "source"))
 
 
@@ -2409,6 +2438,15 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(length(text) % 256 AS DOUBLE)) AS d2,
                    CAST(7.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'webp' AS leg, source,
+                   count(*) AS n,
+                   CAST(8 AS BIGINT) AS i1,
+                   CAST(4 AS BIGINT) AS i2,
+                   avg(CAST(doc_id % 256 AS DOUBLE)) AS d1,
+                   avg(CAST(length(text) % 256 AS DOUBLE)) AS d2,
+                   CAST(9.0 AS DOUBLE) AS d3
+            FROM documents WHERE doc_id < 2000 GROUP BY source
             UNION ALL
             SELECT 'flac' AS leg, source,
                    count(*) AS n,

@@ -48,6 +48,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:4] == b"GIF8":
         return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     if data[:2] == b"BM":
         return "bmp"
     for magic, name in _STUB_MAGICS:
@@ -74,11 +76,15 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "gif":
         from .gifcodec import decode_gif
         return decode_gif(data)
+    if fmt == "webp":
+        from .webpcodec import decode_webp
+        return decode_webp(data)
     raise NotImplementedError(
         f"no built-in codec for format {fmt or 'unknown'!r}: "
-        "PPM/PGM (P6/P5), BMP (BI_RGB), baseline-sequential JPEG, "
-        "8-bit PNG and GIF decode without native image libraries; "
-        "inject a codec for other compressed formats")
+        "PPM/PGM (P6/P5), BMP (BI_RGB), baseline+progressive JPEG, "
+        "PNG (all legal depths), GIF and lossless WebP (VP8L) decode "
+        "without native image libraries; inject a codec for other "
+        "compressed formats")
 
 
 # ------------------------------------------------------------ PPM / PGM

@@ -208,18 +208,19 @@ def _lz77_value(bits: _Bits, code: int) -> int:
 
 
 def _dist_map() -> list[tuple[int, int]]:
-    """The 120-entry (dx, dy) neighborhood, sorted by distance then by
-    scan order (RFC 9649 §3.6.2.3)."""
+    """The 120-entry (dx, dy) close-neighborhood map (RFC 9649
+    §3.6.2.3). Derived from the table's ordering rule — squared distance
+    ascending, then dy descending, then dx descending — which reproduces
+    the spec's listed prefix ((0,1),(1,0),(1,1),(-1,1),(0,2),(2,0),
+    (1,2),(-1,2),(2,1),(-2,1),...) exactly."""
     pts = []
     for dy in range(0, 9):
         for dx in range(-8, 9):
             if dy == 0 and dx <= 0:
                 continue
-            d2 = dx * dx + dy * dy
-            pts.append((d2, dy, -dx if False else dx))
-    # spec order: the table is fixed; derive by (distance, then y, then x)
-    pts.sort(key=lambda p: (p[0], p[1], -p[2]))
-    return [(p[2], p[1]) for p in pts[:120]]
+            pts.append((dx * dx + dy * dy, -dy, -dx))
+    pts.sort()
+    return [(-p[2], -p[1]) for p in pts[:120]]
 
 
 _DIST_MAP = _dist_map()
@@ -294,8 +295,8 @@ def _read_entropy_image(bits: _Bits, w: int, h: int,
             px = (alpha << 24) | (red << 16) | (sym << 8) | blue
             out[pos] = px
             if cache is not None:
-                cache[(px * 0x1E35A7BD) >> (32 - cache_bits)
-                      & ((1 << cache_bits) - 1)] = px
+                cache[((px * 0x1E35A7BD) & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = px
             pos += 1
         elif sym < _GREEN_BASE:  # backward reference
             length = _lz77_value(bits, sym - 256)
@@ -303,12 +304,12 @@ def _read_entropy_image(bits: _Bits, w: int, h: int,
             dist = _plane_dist(_lz77_value(bits, dcode), w)
             if dist > pos or pos + length > total:
                 raise ValueError("WebP: LZ77 reference out of range")
-            for i in range(length):
+            for _ in range(length):
                 px = int(out[pos - dist])
                 out[pos] = px
                 if cache is not None:
-                    cache[(px * 0x1E35A7BD) >> (32 - cache_bits)
-                          & ((1 << cache_bits) - 1)] = px
+                    cache[((px * 0x1E35A7BD) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
                 pos += 1
         else:  # color cache
             if cache is None:
@@ -333,59 +334,55 @@ def _inv_subtract_green(img: np.ndarray) -> None:
     img[:, :, 3] = ((img[:, :, 3] + g) & 0xFF).astype(np.uint8)
 
 
-def _cdelta(t: np.uint8, c: np.ndarray) -> np.ndarray:
-    """Signed color-transform delta: (int8(t) * int8(c)) >> 5."""
-    ti = np.int32(np.int8(t))
-    ci = c.astype(np.int8).astype(np.int32)
+def _cdelta(t: int, c: int) -> int:
+    """Signed color-transform delta: (int8(t) * int8(c)) >> 5
+    (arithmetic shift, RFC 9649 §3.5.2)."""
+    ti = t - 256 if t >= 128 else t
+    ci = c - 256 if c >= 128 else c
     return (ti * ci) >> 5
 
 
 def _inv_color_transform(img: np.ndarray, sub: np.ndarray,
                          tbits: int) -> None:
+    """Invert the color transform. Transform-element channel map (the
+    libwebp ColorCodeToMultipliers layout): blue = green_to_red,
+    green = green_to_blue, red = red_to_blue. Inverse order: red first
+    (from green), then blue (from green and the NEW red)."""
     h, w = img.shape[:2]
     for y in range(h):
         srow = sub[y >> tbits]
         for x in range(w):
             el = srow[x >> tbits]
-            g2r, g2b, r2b = el[2], el[1], el[0]  # green, red, alpha? see map
-            red = img[y, x, 1]
-            grn = img[y, x, 2]
-            blu = img[y, x, 3]
-            red = (int(red) + int(_cdelta(g2r, np.array([grn]))[0])) & 0xFF
-            blu = (int(blu) + int(_cdelta(g2b, np.array([grn]))[0])
-                   ) & 0xFF
-            blu = (int(blu) + int(_cdelta(r2b, np.array([red]))[0])) & 0xFF
+            g2r = int(el[3])   # blue channel of the element
+            g2b = int(el[2])   # green channel
+            r2b = int(el[1])   # red channel
+            g = int(img[y, x, 2])
+            red = (int(img[y, x, 1]) + _cdelta(g2r, g)) & 0xFF
+            blue = (int(img[y, x, 3]) + _cdelta(g2b, g)
+                    + _cdelta(r2b, red)) & 0xFF
             img[y, x, 1] = red
-            img[y, x, 3] = blu
+            img[y, x, 3] = blue
 
 
-def _clamp_add_subtract_full(a, b, c):
-    return np.clip(a.astype(np.int32) + b.astype(np.int32)
-                   - c.astype(np.int32), 0, 255)
-
-
-def _clamp_add_subtract_half(a, b):
-    t = (a.astype(np.int32) + b.astype(np.int32)) // 2
-    return t
-
-
-def _select(l_, t, tl):
-    pl = np.abs(l_.astype(np.int32) - tl.astype(np.int32)).sum(axis=-1)
-    pt = np.abs(t.astype(np.int32) - tl.astype(np.int32)).sum(axis=-1)
-    return pl, pt
+def _avg2(a, b):
+    return (a.astype(np.int32) + b.astype(np.int32)) >> 1
 
 
 def _inv_predictor(img: np.ndarray, sub: np.ndarray, pbits: int) -> None:
     """Invert the predictor transform in scan order (each pixel needs its
-    already-reconstructed neighbors). Per-pixel Python; fixture-scale
-    images keep this in budget like the JPEG entropy loop."""
+    already-reconstructed neighbors; RFC 9649 §3.5.1). Edge rules: (0,0)
+    predicts 0xFF000000; the rest of row 0 predicts L; column 0 predicts
+    T; TR at the right edge wraps to the current row's FIRST pixel (the
+    contiguous-scan neighbor, already reconstructed). Per-pixel Python —
+    fixture-scale budget, like the JPEG entropy loop."""
     h, w = img.shape[:2]
     px = img.astype(np.int32)
+    black = np.array([255, 0, 0, 0], np.int32)
     for y in range(h):
         srow = sub[y >> pbits]
         for x in range(w):
             if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], np.int32)
+                pred = black
             elif y == 0:
                 pred = px[0, x - 1]
             elif x == 0:
@@ -395,10 +392,9 @@ def _inv_predictor(img: np.ndarray, sub: np.ndarray, pbits: int) -> None:
                 L = px[y, x - 1]
                 T = px[y - 1, x]
                 TL = px[y - 1, x - 1]
-                TR = px[y - 1, x + 1] if x + 1 < w else px[y - 1, 0] * 0 \
-                    + px[y - 1, w - 1] * 0 + _tr_edge(px, y)
+                TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
                 if mode == 0:
-                    pred = np.array([255, 0, 0, 0], np.int32)
+                    pred = black
                 elif mode == 1:
                     pred = L
                 elif mode == 2:
@@ -408,7 +404,6 @@ def _inv_predictor(img: np.ndarray, sub: np.ndarray, pbits: int) -> None:
                 elif mode == 4:
                     pred = TL
                 elif mode == 5:
-                    pred = ((L + 2 * T + TR + 2) >> 2)  # avg2(avg2(L,TR),T)
                     pred = _avg2(_avg2(L, TR), T)
                 elif mode == 6:
                     pred = _avg2(L, TL)
@@ -421,36 +416,24 @@ def _inv_predictor(img: np.ndarray, sub: np.ndarray, pbits: int) -> None:
                 elif mode == 10:
                     pred = _avg2(_avg2(L, TL), _avg2(T, TR))
                 elif mode == 11:
-                    pl = np.abs(L - TL).sum() + 0
-                    # Select: predict with the neighbor "closer" to TL
-                    pL = int(np.abs(T - TL).sum())
+                    # Select: p = L+T-TL; pick T when sum|p-T| <= sum|p-L|
+                    # (|p-T| = |L-TL|, |p-L| = |T-TL|)
                     pT = int(np.abs(L - TL).sum())
-                    pred = L if pL <= pT else T
-                    # (pL uses T? spec: p = L+T-TL; pL=|p-L|..) — see below
-                    p = L + T - TL
-                    pL = int(np.abs(p - L).sum())
-                    pT = int(np.abs(p - T).sum())
-                    pred = L if pL < pT else T
+                    pL = int(np.abs(T - TL).sum())
+                    pred = T if pT <= pL else L
                 elif mode == 12:
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:
+                    # ClampAddSubtractHalf(avg2(L,T), TL) per channel,
+                    # with C-style truncation toward zero on the halving
                     a = _avg2(L, T)
-                    pred = np.clip(a + ((a - TL) >> 1), 0, 255)
+                    d = a - TL
+                    half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+                    pred = np.clip(a + half, 0, 255)
                 else:
                     raise ValueError(f"WebP: predictor mode {mode}")
             px[y, x] = (px[y, x] + pred) & 0xFF
     img[:] = px.astype(np.uint8)
-
-
-def _tr_edge(px, y):
-    """Top-right neighbor at the right edge: the spec uses the first
-    pixel of the PREVIOUS row's right neighbor wrap — i.e. T for x=w-1
-    is px[y-1][w-1] and TR wraps to px[y-1][0]."""
-    return px[y - 1, 0]
-
-
-def _avg2(a, b):
-    return (a.astype(np.int32) + b.astype(np.int32)) >> 1
 
 
 def _inv_color_indexing(img: np.ndarray, palette: np.ndarray,
@@ -605,19 +588,17 @@ def _write_code_lengths(w: _BitW, lengths: np.ndarray) -> None:
     uses fixed 3-bit... simplest valid form: all 19 length-codes coded,
     with a complete code over the set of lengths we actually use."""
     used = sorted(set(int(x) for x in lengths))
-    # choose code-length-code lengths: the used lengths get short codes.
     cl_len = np.zeros(19, np.int32)
+    w.write(0, 1)               # normal (code-length-coded)
+    w.write(19 - 4, 4)          # all 19 code-length codes present
     if len(used) == 1:
-        # a single code-length symbol: simple-code path is easier
-        w.write(1, 1)           # simple
-        w.write(0, 1)           # one symbol
-        sym = used[0]
-        if sym <= 1:
-            w.write(0, 1)
-            w.write(sym, 1)
-        else:
-            w.write(1, 1)
-            w.write(sym, 8)
+        # single distinct length: a one-symbol code-length code — the
+        # reader consumes ZERO bits per entry and fills the whole
+        # alphabet with this length (complete by construction)
+        cl_len[used[0]] = 1
+        for sym in _CL_ORDER:
+            w.write(int(cl_len[sym]), 3)
+        w.write(0, 1)           # no max_symbol
         return
     # assign equal lengths (ceil log2) padded to completeness by giving
     # the first symbols one-bit-shorter codes when the count is not a
@@ -629,12 +610,9 @@ def _write_code_lengths(w: _BitW, lengths: np.ndarray) -> None:
     shorter = (1 << bitsn) - k
     for i, sym in enumerate(used):
         cl_len[sym] = bitsn - 1 if i < shorter and bitsn > 1 else bitsn
-    w.write(0, 1)               # normal (code-length-coded)
-    w.write(19 - 4, 4)          # all 19 code-length codes present
     for sym in _CL_ORDER:
         w.write(int(cl_len[sym]), 3)
     w.write(0, 1)               # no max_symbol
-    code = _Prefix(cl_len)
     enc = _canonical_codes(cl_len)
     for ln in lengths:
         c, n = enc[int(ln)]
