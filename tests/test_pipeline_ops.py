@@ -628,15 +628,19 @@ class TestImageCodec:
         assert out[0, 1].tolist() == [60, 50, 40]
 
     def test_compressed_formats_stay_stubbed(self):
-        # JPEG/PNG/GIF decode as of round 8 (jpegcodec/pngcodec/
-        # gifcodec); formats without a codec (WebP) still refuse by
-        # name, and truncated decodable formats are ValueErrors, never
-        # silent fallbacks
+        # JPEG/PNG/GIF decode since round 8, lossless WebP since round 9
+        # (jpegcodec/pngcodec/gifcodec/webpcodec); formats without a
+        # codec (mp4, lossy VP8) still refuse by name, and truncated
+        # decodable formats are ValueErrors, never silent fallbacks
+        import struct
         from datasketches_spark_spark.operators import decode_image
         with pytest.raises(NotImplementedError):
-            decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
+            decode_image(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8)
+        lossy = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+        with pytest.raises(NotImplementedError, match="lossy VP8"):
+            decode_image(b"RIFF" + struct.pack("<I", len(lossy)) + lossy)
         for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0",
-                      b"GIF89a"):
+                      b"GIF89a", b"RIFF\x10\x00\x00\x00WEBP"):
             with pytest.raises(ValueError):
                 decode_image(magic + b"\x00" * 16)
 
@@ -1091,3 +1095,32 @@ def test_connected_components_giant_star_1m(spark):
     # a per-round O(E) plan does ~3 shuffle joins over 2M directed edges;
     # anything pairwise or O(d)-round would blow far past this
     assert wall < 120, f"giant-star components took {wall:.1f}s"
+
+
+def test_rhp_plan_scales_bits_with_corpus_size():
+    """Round-9 scale fix: the bits floor must grow ~log(n) so background
+    collisions stay ~constant per vector per table, while the recall
+    contract (per-pair miss) is preserved at every scale — and the
+    recall budget must win (bits degrade) when the table cap binds."""
+    import math
+    from datasketches_spark_spark.operators.similarity import rhp_plan
+    t, miss = 0.98, 1e-9
+    p_bit = 1.0 - math.acos(t) / math.pi
+    prev_bits = 0
+    for n in (2_000, 20_000, 200_000):
+        bits, tables = rhp_plan(t, per_pair_miss=miss, corpus_size=n,
+                                bg_cosine=0.55)
+        assert bits >= prev_bits          # floor grows with n
+        prev_bits = bits
+        # recall contract holds: miss probability <= budget
+        p_table = p_bit ** bits
+        assert (1 - p_table) ** tables <= miss * 1.0001
+        # background collisions per vector per table stay bounded
+        p_bg = 1.0 - math.acos(0.55) / math.pi
+        assert n * (p_bg ** bits) < 2.0
+    # without corpus_size the legacy plan is unchanged
+    assert rhp_plan(t, per_pair_miss=miss) == rhp_plan(t)
+    # giant n: the table cap binds and bits degrade, but recall holds
+    bits, tables = rhp_plan(t, per_pair_miss=miss, corpus_size=10**9)
+    assert tables <= 256
+    assert (1 - p_bit ** bits) ** tables <= miss * 1.0001
