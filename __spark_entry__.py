@@ -1057,7 +1057,26 @@ def _q26_fingerprint_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("chunk_idx").cast("long").alias("idx"),
                        F.md5("chunk").alias("h"),
                        F.size(F.split("chunk", " ")).cast("long").alias("n"))
-    return fp.unionByName(ch).orderBy("leg", "doc_id", "idx")
+    # Leg 'pack' (round 9, operators/packing.py::pack_sequences): the
+    # concat-and-chunk training layout — every document's (sequence,
+    # in-doc span, in-seq offset) assignment from a DISTRIBUTED prefix
+    # sum (range partition -> per-partition totals -> broadcast offsets
+    # -> vectorized overlap expansion), never a single-partition global
+    # window. Deterministic by corpus order, so DuckDB recomputes it
+    # with a window cumsum at oracle scale.
+    from datasketches_spark_spark.functions.text import token_count
+    from datasketches_spark_spark.operators import pack_sequences
+    sized = docs.where(F.col("doc_id") < 500).select(
+        "doc_id", token_count("text").alias("n_tokens"))
+    packed = pack_sequences(sized, 256, num_partitions=8)
+    pk = packed.select(
+        F.lit("pack").alias("leg"), "doc_id",
+        F.col("seq_id").alias("idx"),
+        F.concat_ws(":", "piece_start", "piece_end", "seq_offset")
+        .alias("h"),
+        (F.col("piece_end") - F.col("piece_start")).alias("n"))
+    return fp.unionByName(ch).unionByName(pk) \
+        .orderBy("leg", "doc_id", "idx")
 
 
 def _q27_winnow_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2305,8 +2324,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM nn, unnest(range(0, n_chunks)) AS u(i)),
             ch AS (SELECT 'chunk' AS leg, doc_id, idx, md5(chunk) AS h,
                           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n
-                   FROM c)
+                   FROM c),
+            -- pack leg: concat-and-chunk assignment via a window cumsum
+            -- (oracle scale; the engine runs the distributed prefix sum)
+            pt AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                          COALESCE(sum(CAST(len(string_split(text, ' '))
+                                            AS BIGINT))
+                                   OVER (ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS g
+                   FROM documents WHERE doc_id < 500),
+            pr AS (SELECT doc_id, n, g,
+                          CAST(u.sq AS BIGINT) AS seq_id
+                   FROM pt, unnest(range(CAST(g // 256 AS BIGINT),
+                                         CAST((g + n - 1) // 256 + 1
+                                              AS BIGINT))) AS u(sq)
+                   WHERE n > 0),
+            pk AS (SELECT 'pack' AS leg, doc_id, seq_id AS idx,
+                          concat_ws(':',
+                            greatest(0, seq_id * 256 - g),
+                            least(n, (seq_id + 1) * 256 - g),
+                            greatest(0, g - seq_id * 256)) AS h,
+                          least(n, (seq_id + 1) * 256 - g)
+                            - greatest(0, seq_id * 256 - g) AS n
+                   FROM pr)
             SELECT * FROM fp UNION ALL SELECT * FROM ch
+            UNION ALL SELECT * FROM pk
             ORDER BY leg, doc_id, idx
         """,
         "q29_mixed_sql": """

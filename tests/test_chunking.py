@@ -132,3 +132,40 @@ class TestNormalizeText:
         assert one("a,b.c!", strip_punct=True) == "abc"
         assert one("a \t b\n c") == "a b c"
         assert one(None) is None
+
+
+def test_pack_sequences_matches_scalar_reference(spark):
+    """Distributed prefix-sum packing == the sequential scalar pack, at
+    any partition count; giant docs span many sequences; zero-token
+    docs drop; every sequence except the tail is exactly full."""
+    from pyspark.sql import functions as F
+    from datasketches_spark_spark.operators import pack_sequences
+    S = 100
+    docs = spark.range(0, 400).selectExpr(
+        "id AS doc_id",
+        # mix: empty docs, tiny docs, and a few spanning >3 sequences
+        "CAST(CASE WHEN id % 50 = 0 THEN 0 "
+        "WHEN id % 7 = 0 THEN 350 ELSE 1 + id % 23 END AS long)"
+        " AS n_tokens")
+    rows = [(r.doc_id, r.n_tokens) for r in docs.orderBy("doc_id").collect()]
+    g, exp = 0, []
+    for i, n in rows:
+        if n == 0:
+            continue
+        for sq in range(g // S, (g + n - 1) // S + 1):
+            exp.append((i, sq, max(0, sq * S - g), min(n, (sq + 1) * S - g),
+                        max(0, g - sq * S)))
+        g += n
+    for parts in (1, 3, 11):
+        got = [(r.doc_id, r.seq_id, r.piece_start, r.piece_end,
+                r.seq_offset)
+               for r in pack_sequences(docs, S, num_partitions=parts)
+               .orderBy("doc_id", "seq_id").collect()]
+        assert got == exp, f"partitions={parts}"
+    out = pack_sequences(docs, S, num_partitions=5)
+    full = (out.groupBy("seq_id")
+            .agg(F.sum(F.col("piece_end") - F.col("piece_start")).alias("t"))
+            .orderBy("seq_id").collect())
+    assert all(r.t == S for r in full[:-1]) and full[-1].t <= S
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
