@@ -419,3 +419,54 @@ class TestMultiMeasureStream:
             .alias("p50"),
             F.countDistinct("user_id").cast("long").alias("ndv")).collect()}
         assert got == want
+
+
+class TestStreamingTuple:
+    def test_tuple_family_rides_stateful_accumulate(self, spark, tables,
+                                                    stream_dirs):
+        """The round-9 tuple family through the streaming state store:
+        'NDV + per-key count/sum + repeat-key segment per group' from
+        one continuously-maintained state, equal to the batch answer
+        (exact regime). The streaming operator is family-generic — the
+        two-column (key, value) input rides the same path as the
+        weighted-reservoir family."""
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream)
+        src_dir, ckpt, _ = stream_dirs
+        stream = _events_stream(spark, tables, src_dir)
+        stream = stream.withColumn(
+            "vi", F.floor(F.col("value") * 100).cast("double"))
+        states = sketch_accumulate_stream(
+            stream, ["event_type"], ("user_id", "vi"), family="tuple")
+        q = (states.writeStream.format("memory")
+             .queryName("tuple_states").outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        # update-mode memory sink appends per trigger; the row with the
+        # largest fold count per key carries the final state
+        final = spark.sql("""
+            SELECT event_type, state FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC) rn
+              FROM tuple_states
+            ) WHERE rn = 1""")
+        got = (final.select(
+            "event_type",
+            dsf.approx_tuple_estimate("state").alias("e"),
+            dsf.approx_tuple_segment_estimate("state", 15).alias("s"))
+            .orderBy("event_type").collect())
+        truth = spark.sql("""
+            WITH pk AS (SELECT event_type, user_id, count(*) c,
+                               sum(floor(value * 100)) s
+                        FROM events GROUP BY 1, 2)
+            SELECT event_type, count(*) ndv, sum(c) n_rows, sum(s) vsum,
+                   count(CASE WHEN c >= 15 THEN 1 END) seg
+            FROM pk GROUP BY event_type ORDER BY event_type""").collect()
+        assert len(got) == len(truth)
+        for g, t in zip(got, truth):
+            assert g.event_type == t.event_type
+            assert (g.e.ndv, g.e.rows, g.e.value_sum) == \
+                (t.ndv, t.n_rows, float(t.vsum))
+            assert g.s.keys == t.seg
