@@ -104,6 +104,12 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         return decode_flac(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    from .mp3codec import is_mp3
+    if is_mp3(data):
+        raise NotImplementedError(
+            "MPEG audio (MP3) sample decode needs the Layer III Huffman"
+            "/IMDCT/filterbank stack; frame metadata (duration, bitrate,"
+            " sample rate, channels) is available via operators.mp3_info")
     raise NotImplementedError(
         f"no built-in audio codec for magic {data[:4]!r}: RIFF/WAVE "
         "(PCM + IEEE float) and FLAC decode without native libraries")

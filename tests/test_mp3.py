@@ -1,0 +1,95 @@
+"""MPEG audio (MP3) frame-metadata parsing (operators/mp3codec.py):
+synthetic frame chains (CBR/VBR, ID3 tags, Xing header), exact duration
+math, and the decode refusal routing."""
+
+import numpy as np
+import pytest
+
+from datasketches_spark_spark.operators.mp3codec import (
+    _parse_header,
+    is_mp3,
+    mp3_info,
+)
+
+
+def _frame(version=3, layer=3, br_idx=9, sr_idx=0, padding=0,
+           mode=0) -> bytes:
+    """One MPEG frame with a zero payload. Defaults: MPEG1 Layer III
+    128 kbps 44100 Hz stereo."""
+    b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = mode << 6
+    hdr = bytes([0xFF, b1, b2, b3])
+    info = _parse_header(hdr, 0)
+    assert info is not None
+    return hdr + b"\x00" * (info["frame_len"] - 4)
+
+
+def _id3v2(size=100) -> bytes:
+    body = b"\x00" * size
+    return (b"ID3\x04\x00\x00"
+            + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                     (size >> 7) & 0x7F, size & 0x7F]) + body)
+
+
+def test_cbr_chain_duration_and_rates():
+    n = 38
+    data = _id3v2() + _frame() * n + b"TAG" + b"\x00" * 125
+    assert is_mp3(data)
+    info = mp3_info(data)
+    assert info["version"] == "1" and info["layer"] == 3
+    assert info["sample_rate"] == 44100 and info["channels"] == 2
+    assert info["n_frames"] == n and info["vbr"] is False
+    assert info["duration_s"] == round(n * 1152 / 44100, 3)
+    assert info["bitrate_kbps"] == pytest.approx(128, rel=0.02)
+
+
+def test_vbr_chain_and_padding():
+    frames = [_frame(br_idx=i % 3 + 8, padding=i % 2) for i in range(20)]
+    info = mp3_info(b"".join(frames))
+    assert info["vbr"] is True and info["n_frames"] == 20
+    # byte-weighted average sits between the min and max nominal rates
+    assert 112 <= info["bitrate_kbps"] <= 160
+
+
+def test_xing_frame_count_wins():
+    """A Xing header in the first frame carries the authoritative frame
+    count (the common LAME VBR layout): duration uses it."""
+    first = bytearray(_frame())
+    off = 36  # MPEG1 stereo side-info offset
+    first[off:off + 4] = b"Xing"
+    first[off + 4:off + 8] = (1).to_bytes(4, "big")       # FRAMES flag
+    first[off + 8:off + 12] = (500).to_bytes(4, "big")    # frame count
+    data = bytes(first) + _frame() * 4
+    info = mp3_info(data)
+    assert info["n_frames"] == 500 and info["vbr"] is True
+    assert info["duration_s"] == round(500 * 1152 / 44100, 3)
+
+
+def test_mpeg2_layer3_and_mono():
+    data = _frame(version=2, sr_idx=0, mode=3) * 10
+    info = mp3_info(data)
+    assert info["version"] == "2" and info["sample_rate"] == 22050
+    assert info["channels"] == 1 and info["mode"] == "mono"
+    assert info["duration_s"] == round(10 * 576 / 22050, 3)
+
+
+def test_corrupt_and_refusals():
+    with pytest.raises(ValueError, match="no frame sync"):
+        mp3_info(b"\x00" * 64)
+    good = _frame() * 6
+    broken = good[: len(_frame()) * 2] + b"\x12\x34" \
+        + good[len(_frame()) * 2:]
+    with pytest.raises(ValueError, match="lost frame sync"):
+        mp3_info(broken)
+    mixed = _frame() + _frame(sr_idx=1)
+    with pytest.raises(ValueError, match="mixed"):
+        mp3_info(mixed)
+    from datasketches_spark_spark.operators import decode_audio
+    with pytest.raises(NotImplementedError, match="mp3_info"):
+        decode_audio(_id3v2() + _frame() * 3)
+
+
+def test_trailing_garbage_tolerated_at_tail_only():
+    data = _frame() * 5 + b"\x01\x02\x03"  # short, non-frame tail
+    assert mp3_info(data)["n_frames"] == 5

@@ -199,3 +199,55 @@ class TestMurmur3Vectorized:
                 assert (int(h1[k]), int(h2[k])) == hash128(b)
 
         check()
+
+
+class TestTupleProperties:
+    @given(pairs=st.lists(st.tuples(st.integers(0, 400),
+                                    st.integers(-1000, 1000)),
+                          min_size=1, max_size=400),
+           splits=st.integers(1, 5))
+    @settings(max_examples=60, deadline=None)
+    def test_exact_below_k_merge_split_invariant(self, pairs, splits):
+        """For ANY (key, value) multiset below k: NDV/rows/sum/segment
+        are exact, independent of how the stream is split and merged,
+        and survive serde."""
+        from datasketches_spark_spark.sketches import TupleSketch
+        keys = np.asarray([p[0] for p in pairs], dtype=np.int64)
+        vals = np.asarray([p[1] for p in pairs], dtype=np.float64)
+        parts = []
+        for idx in np.array_split(np.arange(len(keys)), splits):
+            sk = TupleSketch(k=1024)
+            if idx.size:
+                sk.update_batch(hash_longs(keys[idx]), vals[idx])
+            parts.append(sk)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.merge(p)
+        uniq, counts = np.unique(keys, return_counts=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, np.searchsorted(uniq, keys), vals)
+        assert merged.estimate() == len(uniq)
+        assert merged.rows_estimate() == len(keys)
+        assert merged.sum_estimate() == pytest.approx(float(vals.sum()))
+        m = counts >= 2
+        back = deserialize_any(merged.serialize())
+        got_keys, got_sum = back.segment_estimate(2)
+        assert got_keys == int(m.sum())
+        assert got_sum == pytest.approx(float(sums[m].sum()))
+
+    @given(n=st.integers(5_000, 40_000), k=st.sampled_from([256, 1024]))
+    @settings(max_examples=10, deadline=None)
+    def test_saturated_segment_consistency(self, n, k):
+        """At saturation: segment(1) == (estimate, sum_estimate) by
+        construction (one shared HT sample), and the NDV estimate stays
+        inside a 6-sigma KMV envelope."""
+        from datasketches_spark_spark.sketches import TupleSketch
+        sk = TupleSketch(k=k)
+        sk.update_batch(hash_longs(np.arange(n, dtype=np.int64)),
+                        np.ones(n))
+        assert not sk.is_exact()
+        keys, total = sk.segment_estimate(1)
+        assert keys == sk.estimate()
+        assert total == pytest.approx(sk.sum_estimate())
+        rse = 1.0 / np.sqrt(k - 2)
+        assert abs(sk.estimate() - n) / n < 6 * rse
