@@ -620,7 +620,11 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     palette color) so sub-8-bit bit-unpacking is under the same hash
     gate. Leg 'webp' (round 9): VP8L lossless payloads through the
     pure-Python prefix-code/LZ77 decoder (operators/webpcodec.py) —
-    lossless, so decoded channel means equal the encoded constants. Leg 'vid' (round 8): every
+    lossless, so decoded channel means equal the encoded constants.
+    Leg 'mp3' (round 9): the metadata-only modality — synthetic MPEG1
+    Layer III CBR chains through mp3_info's exact frame walk
+    (operators/mp3codec.py); frame counts and integer-ms durations are
+    integer math both engines recompute from doc_id. Leg 'vid' (round 8): every
     document gets a 4-frame Motion-JPEG AVI (operators/avicodec.py);
     sample_frames auto-detects the container and emits 2 evenly spaced
     REAL frames (0 and 3), each an independent JPEG decoded by
@@ -686,6 +690,27 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           dtype=np.uint8))
              for rv, gv in zip(r, g)], dtype=object)
 
+    def _mk_mp3(k):
+        # synthetic MPEG1 Layer III CBR chains (zero payloads): the
+        # metadata walk is the codec under test, and every reported
+        # number is integer math on (doc_id-derived) frame counts
+        from datasketches_spark_spark.operators.mp3codec import _parse_header
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3 128k 44100
+        flen = _parse_header(hdr, 0)["frame_len"]
+        frame = hdr + b"\x00" * (flen - 4)
+        return pd.Series([frame * (int(kv) + 5) for kv in k],
+                         dtype=object)
+
+    def _mp3_meta(p):
+        from datasketches_spark_spark.operators import mp3_info
+        out_f, out_ms = [], []
+        for blob in p:
+            info = mp3_info(bytes(blob))
+            out_f.append(info["n_frames"])
+            out_ms.append(info["n_frames"] * 1152 * 1000
+                          // info["sample_rate"])
+        return pd.DataFrame({"n_frames": out_f, "dur_ms": out_ms})
+
     def _mk_avi(v):
         from datasketches_spark_spark.operators import encode_avi_mjpeg
         return pd.Series(
@@ -714,6 +739,8 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "return": pd.Series}
     _mk_webp.__annotations__ = {"r": pd.Series, "g": pd.Series,
                                 "return": pd.Series}
+    _mk_mp3.__annotations__ = {"k": pd.Series, "return": pd.Series}
+    _mp3_meta.__annotations__ = {"p": pd.Series, "return": pd.DataFrame}
     _mk_avi.__annotations__ = {"v": pd.Series, "return": pd.Series}
     _mk_flac.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
                                 "return": pd.Series}
@@ -722,6 +749,9 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     make_jpg = F.pandas_udf(_mk_jpg, BinaryType())
     make_png = F.pandas_udf(_mk_png, BinaryType())
     make_webp = F.pandas_udf(_mk_webp, BinaryType())
+    make_mp3 = F.pandas_udf(_mk_mp3, BinaryType())
+    mp3_meta = F.pandas_udf(
+        _mp3_meta, "n_frames long, dur_ms long")
     make_avi = F.pandas_udf(_mk_avi, BinaryType())
     make_flac = F.pandas_udf(_mk_flac, BinaryType())
 
@@ -785,6 +815,23 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg("mean_b").alias("d3"))
            .select(F.lit("png").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
+    # mp3 leg (round 9): metadata-only modality — synthetic CBR frame
+    # chains through mp3_info's exact frame walk; frame counts and
+    # integer-ms durations are pure integer math both engines compute
+    mp3s = docs.where(F.col("doc_id") < 2000).select(
+        "doc_id", "source",
+        make_mp3((F.col("doc_id") % 64).cast("int")).alias("payload"))
+    mfeats = mp3s.select("doc_id", "source",
+                         mp3_meta("payload").alias("m"))
+    mp3 = (mfeats.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.sum("m.n_frames").cast("long").alias("i1"),
+                F.sum("m.dur_ms").cast("long").alias("i2"),
+                F.lit(44100.0).alias("d1"),
+                F.lit(0.0).alias("d2"),
+                F.lit(0.0).alias("d3"))
+           .select(F.lit("mp3").alias("leg"), "source", "n", "i1", "i2",
+                   "d1", "d2", "d3"))
     # webp leg (round 9): VP8L lossless — prefix-coded ARGB through the
     # pure-Python decoder (operators/webpcodec.py); subset like vid/flac
     # (literal-mode encode is per-pixel Python)
@@ -837,8 +884,8 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("flac").alias("leg"), "source", "n", "i1",
                     "i2", "d1", "d2", "d3"))
     return (img.unionByName(aud).unionByName(jpg).unionByName(png)
-            .unionByName(webp).unionByName(vid).unionByName(flac)
-            .orderBy("leg", "source"))
+            .unionByName(webp).unionByName(mp3).unionByName(vid)
+            .unionByName(flac).orderBy("leg", "source"))
 
 
 def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2482,6 +2529,16 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(length(text) % 256 AS DOUBLE)) AS d2,
                    CAST(7.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'mp3' AS leg, source,
+                   count(*) AS n,
+                   CAST(sum(doc_id % 64 + 5) AS BIGINT) AS i1,
+                   CAST(sum((doc_id % 64 + 5) * 1152000 // 44100)
+                        AS BIGINT) AS i2,
+                   CAST(44100.0 AS DOUBLE) AS d1,
+                   CAST(0.0 AS DOUBLE) AS d2,
+                   CAST(0.0 AS DOUBLE) AS d3
+            FROM documents WHERE doc_id < 2000 GROUP BY source
             UNION ALL
             SELECT 'webp' AS leg, source,
                    count(*) AS n,
