@@ -171,8 +171,11 @@ def test_decode_audio_dispatches_flac():
     assert rf == rw == 8000
     assert np.abs(df[:, 0] - x).max() == 0.0
     assert np.abs(dw[:, 0] - x).max() == 0.0
+    # ID3-tagged payloads now route to the mp3 metadata path's refusal
+    with pytest.raises(NotImplementedError, match="mp3_info"):
+        decode_audio(b"ID3\x04" + b"\x00" * 32)
     with pytest.raises(NotImplementedError, match="audio codec"):
-        decode_audio(b"ID3\x04" + b"\x00" * 32)  # mp3
+        decode_audio(b"OggS" + b"\x00" * 32)  # ogg: still unnamed
 
 
 def test_crc_values_and_corruption_detected():
