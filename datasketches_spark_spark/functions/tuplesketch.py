@@ -22,7 +22,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .. import conf
-from .udfs import combine_udf, tuple_acc_udf, tuple_est_udf, tuple_segment_udf
+from .udfs import (
+    combine_udf,
+    tuple_acc_udf,
+    tuple_est_udf,
+    tuple_segment_sum_udf,
+    tuple_segment_udf,
+)
 
 
 def _col(c) -> Column:
@@ -50,9 +56,14 @@ def approx_tuple_estimate(col) -> Column:
     return tuple_est_udf()(_col(col))
 
 
-def approx_tuple_segment_estimate(col, min_count: int = 1) -> Column:
+def approx_tuple_segment_estimate(col, min_count: int = 1,
+                                  min_sum: float | None = None) -> Column:
     """``struct(keys: long, value_sum: double)`` for the segment of keys
-    whose per-key row count >= ``min_count`` — the per-key-predicate
+    whose per-key row count >= ``min_count`` (and, when ``min_sum`` is
+    given, per-key value sum >= ``min_sum``) — the per-key-predicate
     estimator (exact while the state is exact; Horvitz-Thompson scaled
     at saturation)."""
-    return tuple_segment_udf()(_col(col), F.lit(int(min_count)))
+    if min_sum is None:
+        return tuple_segment_udf()(_col(col), F.lit(int(min_count)))
+    return tuple_segment_sum_udf()(_col(col), F.lit(int(min_count)),
+                                   F.lit(float(min_sum)))

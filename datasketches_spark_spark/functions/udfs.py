@@ -788,3 +788,33 @@ def tuple_segment_udf():
         return pd.DataFrame(out, columns=["keys", "value_sum"])
 
     return seg
+
+
+def tuple_segment_sum_udf():
+    """Scalar: (tuple state, min_count, min_sum) -> struct(keys,
+    value_sum) for keys with per-key count >= min_count AND per-key sum
+    >= min_sum (the value-weighted segment form)."""
+    from ..sketches import TupleSketch
+
+    @pandas_udf(TUPLE_SEGMENT_TYPE)
+    def seg(states: pd.Series, min_count: pd.Series,
+            min_sum: pd.Series) -> pd.DataFrame:
+        out = []
+        for blob, mc, ms in zip(states, min_count, min_sum):
+            if blob is None:
+                out.append((None, None))
+                continue
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, TupleSketch):
+                    raise ValueError("not a tuple state")
+                mc = 1 if _is_nullish(mc) else int(mc)
+                ms = float("-inf") if _is_nullish(ms) else float(ms)
+                out.append(sk.segment_estimate(min_count=mc, min_sum=ms))
+            except Exception as ex:
+                log.warning(
+                    "approx_tuple_segment_estimate: corrupt state: %s", ex)
+                out.append((None, None))
+        return pd.DataFrame(out, columns=["keys", "value_sum"])
+
+    return seg

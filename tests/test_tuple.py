@@ -175,3 +175,25 @@ def test_null_semantics(spark):
     (r,) = df.agg(dsf.approx_tuple_estimate(
         dsf.approx_tuple_accumulate("k", "v")).alias("e")).collect()
     assert r.e.ndv == 2 and r.e.rows == 3 and r.e.value_sum == 3.0
+
+
+def test_segment_min_sum_filter(spark):
+    """The value-weighted segment form: per-key sum threshold composes
+    with the count threshold, exactly in the exact regime."""
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark import functions as dsf
+    dss.install(spark)
+    df = spark.range(0, 3000).selectExpr(
+        "id % 30 AS u", "CAST(id % 11 AS DOUBLE) AS v")
+    (r,) = df.agg(dsf.approx_tuple_segment_estimate(
+        dsf.approx_tuple_accumulate("u", "v"), 90, 500.0).alias("s")) \
+        .collect()
+    truth = spark.sql("""
+        WITH pk AS (SELECT id % 30 u, count(*) c, sum(CAST(id % 11 AS
+                    DOUBLE)) s FROM range(0, 3000) GROUP BY 1)
+        SELECT count(CASE WHEN c >= 90 AND s >= 500.0 THEN 1 END) k,
+               COALESCE(sum(CASE WHEN c >= 90 AND s >= 500.0 THEN s END),
+                        0) t
+        FROM pk""").collect()[0]
+    assert (r.s.keys, r.s.value_sum) == (truth.k, float(truth.t))
+    assert 0 < truth.k < 30  # the threshold genuinely splits the keys
