@@ -34,7 +34,8 @@ from datasketches_spark_spark.functions.redact import (  # noqa: E402
 from datasketches_spark_spark.functions.text import (  # noqa: E402
     doc_fingerprint, lang_id, quality_features, repetition_fractions,
     repetition_struct, token_count)
-from datasketches_spark_spark.operators import (  # noqa: E402
+from datasketches_spark_spark.operators import (
+    pack_sequences,  # noqa: E402
     budget_select, dedup_drop_list, minhash_dedup_pairs)
 from datasketches_spark_spark.sources import (  # noqa: E402
     read_table, session_builder)
@@ -100,14 +101,35 @@ def main() -> None:
                    F.sum("toks").alias("tokens")).orderBy("lang").collect()):
         print(f"      {r.lang}: {r.docs} docs, {r.tokens} tokens")
 
-    # 6. sketch summary of the final mix
+    # 6. sketch summary of the final mix — incl. the round-9 tuple
+    # sketch: source-level NDV + per-source row/token predicates from
+    # ONE state (no re-scan for the segment question)
     summary = mix.agg(
         dsf.approx_count_distinct_ex("source").alias("ndv_sources"),
         dsf.approx_percentile_ex("toks", 0.5).alias("p50_tokens"),
-        dsf.approx_percentile_ex("toks", 0.95).alias("p95_tokens")).first()
+        dsf.approx_percentile_ex("toks", 0.95).alias("p95_tokens"),
+        dsf.approx_tuple_segment_estimate(
+            dsf.approx_tuple_accumulate("source", "toks"), 2)
+        .alias("seg")).first()
     print(f"[5] mix summary: {summary.ndv_sources} distinct sources, "
           f"median {summary.p50_tokens:.0f} tokens, "
-          f"p95 {summary.p95_tokens:.0f} tokens")
+          f"p95 {summary.p95_tokens:.0f} tokens; "
+          f"{summary.seg.keys} sources contribute >= 2 docs "
+          f"({summary.seg.value_sum:.0f} tokens)")
+
+    # 7. pack the mix into fixed 512-token training sequences (round 9:
+    # distributed concat-and-chunk plan — each doc knows its sequence,
+    # span and offset; the tokenize-and-write stage can now run
+    # embarrassingly parallel)
+    plan = pack_sequences(
+        mix.select("doc_id", F.col("toks").alias("n_tokens")), 512)
+    stats = plan.agg(
+        F.countDistinct("seq_id").alias("seqs"),
+        F.count("*").alias("pieces"),
+        F.sum(F.col("piece_end") - F.col("piece_start")).alias("toks")
+    ).first()
+    print(f"[6] packed into {stats.seqs} sequences of 512 tokens "
+          f"({stats.pieces} doc pieces, {stats.toks} tokens)")
     spark.stop()
 
 
