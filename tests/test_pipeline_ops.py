@@ -1124,3 +1124,53 @@ def test_rhp_plan_scales_bits_with_corpus_size():
     bits, tables = rhp_plan(t, per_pair_miss=miss, corpus_size=10**9)
     assert tables <= 256
     assert (1 - p_bit ** bits) ** tables <= miss * 1.0001
+
+
+def test_ngram_jaccard_max_gram_df_drops_boilerplate(spark):
+    """The opt-in df cutoff (round-9 scale lever): pairs whose only
+    overlap is corpus-wide boilerplate disappear by definition, true
+    near-dups on distinctive content survive, and the capped result
+    equals a scalar reference computing exact Jaccard over the sub-cap
+    shingle sets."""
+    from datasketches_spark_spark.operators import ngram_jaccard_pairs
+    boiler = " ".join(f"boiler{i}" for i in range(20))
+    rows = []
+    # 12 docs sharing ONLY boilerplate + distinct bodies
+    for i in range(12):
+        body = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append((i, f"{boiler} {body}"))
+    # one true near-dup pair on distinctive content (ids 100, 101)
+    core = " ".join(f"core{j}" for j in range(30))
+    rows.append((100, f"{boiler} {core} tailA"))
+    rows.append((101, f"{boiler} {core} tailB"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # default contract: the shared boilerplate makes MANY pairs
+    dflt = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    assert dflt.count() > 1
+
+    # capped contract: grams in >= half the corpus drop -> only the
+    # distinctive near-dup pair remains
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3,
+                                 max_gram_df=5).collect()
+    assert [(r.id_a, r.id_b) for r in capped] == [(100, 101)]
+
+    # scalar reference on the sub-cap shingle sets
+    import itertools
+    from collections import Counter
+    def shingle(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    sets = {i: shingle(t) for i, t in rows}
+    df_count = Counter(g for s in sets.values() for g in s)
+    fsets = {i: {g for g in s if df_count[g] <= 5}
+             for i, s in sets.items()}
+    ref = []
+    for a, b in itertools.combinations(sorted(fsets), 2):
+        sa, sb = fsets[a], fsets[b]
+        if sa and sb:
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.3:
+                ref.append((a, b, j))
+    assert [(r.id_a, r.id_b) for r in capped] == [(a, b) for a, b, _ in ref]
+    assert capped[0].jaccard == pytest.approx(ref[0][2])
