@@ -67,6 +67,18 @@ def pack_sequences(docs: DataFrame, tokens_per_seq: int,
         src = src.repartitionByRange("_id")
     src = src.sortWithinPartitions("_id").withColumn(
         "_pid", F.spark_partition_id())
+    # Pin the partitioning: the totals collect (job 1) and the expand
+    # mapInPandas (job 2) MUST see the SAME range boundaries. Without
+    # this, each job re-executes repartitionByRange, whose
+    # RangePartitioner re-samples per job (reservoir seeded from the
+    # fresh RDD id) — when an upstream partition holds more rows than
+    # sampleSizePerPartition the two jobs can draw different boundaries,
+    # shifting boundary docs across partitions and corrupting every
+    # downstream offset while preserving row counts. localCheckpoint
+    # materializes the partitioned frame once; both jobs read it. The
+    # checkpointed frame is O(rows × 24 B) — the (id, n, pid) plan rows,
+    # never tokens — so this holds at corpus scale.
+    src = src.localCheckpoint(eager=True)
 
     # phase 1: per-partition totals; driver state is O(partitions)
     totals = (src.groupBy("_pid")

@@ -169,3 +169,50 @@ def test_pack_sequences_matches_scalar_reference(spark):
     assert all(r.t == S for r in full[:-1]) and full[-1].t <= S
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_pack_sequences_deterministic_under_range_sampling(spark):
+    """Regression for the round-9 driver hash mismatch (q26 'pack'): the
+    offsets collect and the expand mapInPandas are separate jobs, and
+    RangePartitioner RE-SAMPLES per job — with a fat input partition
+    (rows >> sampleSizePerPartition) the two jobs could draw different
+    boundaries, shifting boundary docs across partitions so
+    offsets[pid] was wrong for the expand pass. pack_sequences now
+    localCheckpoints the partitioned frame so both jobs read the SAME
+    layout. This test forces sampling to engage (one fat partition,
+    tiny sample size) and pins: repeated runs identical AND equal to
+    the sequential scalar pack."""
+    from datasketches_spark_spark.operators import pack_sequences
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "10")
+    try:
+        S = 64
+        # one fat partition, 5000 rows, irregular sizes near chunk
+        # boundaries so a one-doc shift corrupts every later span
+        docs = (spark.range(0, 5000).coalesce(1)
+                .selectExpr("id AS doc_id",
+                            "CAST(1 + (id * 2654435761) % 97 AS long)"
+                            " AS n_tokens"))
+        rows = [(r.doc_id, r.n_tokens)
+                for r in docs.orderBy("doc_id").collect()]
+        g, exp = 0, []
+        for i, n in rows:
+            for sq in range(g // S, (g + n - 1) // S + 1):
+                exp.append((i, sq, max(0, sq * S - g),
+                            min(n, (sq + 1) * S - g), max(0, g - sq * S)))
+            g += n
+        runs = []
+        for _ in range(2):
+            got = [(r.doc_id, r.seq_id, r.piece_start, r.piece_end,
+                    r.seq_offset)
+                   for r in pack_sequences(docs, S, num_partitions=16)
+                   .orderBy("doc_id", "seq_id").collect()]
+            runs.append(got)
+        assert runs[0] == exp
+        assert runs[1] == exp
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -7,6 +7,17 @@ row count, column names, and order-insensitive values (columns sorted by
 name, rows sorted by string repr — approximating the driver's value-hash).
 
 Usage: python verify_local.py [sf_dir] [query_name ...]
+       python verify_local.py --repeat [sf_dir] [query_name ...]
+
+``--repeat`` is the hash-STABILITY audit (round-10 verdict item #2):
+every query runs twice in one session, then once more in a FRESH
+session configured with a different partition layout (different
+shuffle-partition count and a tiny
+``rangeExchange.sampleSizePerPartition`` so RangePartitioner sampling
+engages). The three normalized value sets must be identical — any
+operator whose output depends on partition layout, RNG seeding, or
+float summation order fails here before the driver's gate sees it
+(the round-9 q26 class).
 """
 
 from __future__ import annotations
@@ -39,9 +50,74 @@ def _normalize(cols, rows):
     return cols_sorted, data
 
 
+def _repeat_audit(sf_dir, only):
+    """Run every query 2× in session A + 1× in a differently-laid-out
+    session B; fail any query whose normalized values differ."""
+    queries = entrymod.queries()
+    names = [n for n in queries if not only or n in only]
+
+    def run_all(spark):
+        out = {}
+        for name in names:
+            try:
+                sdf = queries[name](spark, sf_dir)
+                out[name] = _normalize(sdf.columns, sdf.collect())
+            except Exception as e:  # noqa: BLE001 — audit must keep going
+                out[name] = ("ERR", str(e)[:200])
+        return out
+
+    def session(shuffle, sample):
+        b = (session_builder(master="local[8]", shuffle_partitions=shuffle)
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.execution.rangeExchange."
+                     "sampleSizePerPartition", str(sample)))
+        spark = b.getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        # getOrCreate reuses a stopped-then-rebuilt context but configs
+        # passed above are session-level; force the sample size live
+        spark.conf.set("spark.sql.execution.rangeExchange."
+                       "sampleSizePerPartition", str(sample))
+        return spark
+
+    spark = session(8, 20)
+    run1 = run_all(spark)
+    run2 = run_all(spark)
+    spark.stop()
+    spark = session(13, 15)
+    run3 = run_all(spark)
+    spark.stop()
+
+    n_pass = n_fail = 0
+    for name in names:
+        trio = [run1[name], run2[name], run3[name]]
+        errs = [t for t in trio if t and t[0] == "ERR"]
+        if errs:
+            print(f"FAIL {name}: error during audit: {errs[0][1]}")
+            n_fail += 1
+        elif trio[0] == trio[1] == trio[2]:
+            print(f"STABLE {name}: {len(trio[0][1])} rows × 3 runs identical")
+            n_pass += 1
+        else:
+            which = ("run1!=run2 (in-session)" if trio[0] != trio[1]
+                     else "run1!=run3 (cross-session layout)")
+            a, b = (trio[0], trio[1]) if trio[0] != trio[1] else (
+                trio[0], trio[2])
+            diffs = [(x, y) for x, y in zip(a[1], b[1]) if x != y][:2]
+            print(f"FLAKY {name}: {which}; first diffs: {diffs}")
+            n_fail += 1
+    print(f"\nstability: {n_pass} stable, {n_fail} flaky/error")
+    sys.exit(1 if n_fail else 0)
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    repeat = "--repeat" in argv
+    argv = [a for a in argv if a != "--repeat"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if repeat:
+        _repeat_audit(sf_dir, only)
+        return
 
     spark = (session_builder(master="local[8]", shuffle_partitions=8)
              .config("spark.ui.enabled", "false").getOrCreate())
