@@ -15,29 +15,33 @@ document is a prefix sum over the corpus order. A bare Spark window
 SINGLE-partition sort — the classic scale trap. This operator runs the
 canonical two-phase distributed prefix sum instead:
 
-  1. range-repartition by id and sort within partitions (the shuffle a
-     global order needs anyway — Spark's own orderBy physics);
-  2. per-partition token totals -> one driver collect BOUNDED BY THE
-     PARTITION COUNT (not the data) -> cumulative partition offsets;
-  3. one ``mapInPandas`` pass: local cumsum + broadcast offset gives
-     every document its global [start, end) span; the chunk overlap
-     expansion is vectorized numpy (repeat/cumsum), emitting
-     ~n_docs + n_cut_crossings rows.
+  1. split the id domain into explicit range buckets whose boundary
+     VALUES are computed once on the driver (``approxQuantile``) and
+     embedded as literals — bucket assignment is therefore a PURE
+     FUNCTION of the id, so every job and every re-execution of the
+     plan agrees on it by construction (no reliance on Spark's
+     RangePartitioner, whose per-job boundary re-sampling corrupted
+     cross-job offsets in an earlier design);
+  2. per-bucket token totals -> one driver collect BOUNDED BY THE
+     BUCKET COUNT (not the data) -> cumulative bucket offsets joined
+     back via ``F.broadcast``;
+  3. within-bucket exclusive prefix sum with a PARTITIONED window
+     (each bucket is one window partition — parallel, never global),
+     then the chunk-overlap expansion as pure JVM ``sequence`` +
+     ``explode`` — zero Python in the row path, whole-stage codegen
+     end to end.
 
-Deterministic by construction (the id order IS the corpus order), so
-the output is exactly reproducible — and exactly recomputable by a SQL
-oracle with a window cumsum at test scale.
+Deterministic by construction (the id order IS the corpus order, and
+no step depends on physical layout), so the output is exactly
+reproducible — and exactly recomputable by a SQL oracle with a window
+cumsum at test scale. Boundary quality only affects load balance,
+never values.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 __all__ = ["pack_sequences"]
 
@@ -54,81 +58,78 @@ def pack_sequences(docs: DataFrame, tokens_per_seq: int,
     where ``[piece_start, piece_end)`` is the in-document token span of
     the piece and ``seq_offset`` is where the piece begins inside the
     sequence. Zero-token documents are dropped (they occupy no span).
+    Ids must be unique (they define the corpus order). ``num_partitions``
+    sets the bucket count for the distributed prefix sum (default: the
+    session's shuffle parallelism); it affects balance only — the
+    output is invariant to it.
     """
     if tokens_per_seq <= 0:
         raise ValueError("tokens_per_seq must be positive")
     s = int(tokens_per_seq)
+    spark = docs.sparkSession
     src = (docs.select(F.col(id_col).alias("_id"),
                        F.col(count_col).cast("long").alias("_n"))
            .where(F.col("_n") > 0))
+
+    # phase 1: explicit, literal bucket boundaries — computed ONCE on
+    # the driver, then a pure function of _id. approxQuantile is itself
+    # sampled, but it runs exactly once per call; whatever boundaries it
+    # returns are frozen as literals, so the totals job and the expand
+    # job can never disagree (the failure mode of per-job
+    # RangePartitioner re-sampling). Non-numeric ids fall back to a
+    # single bucket (correct, serial prefix — numeric ids are the
+    # corpus-scale contract).
     if num_partitions:
-        src = src.repartitionByRange(num_partitions, "_id")
+        nb = int(num_partitions)
     else:
-        src = src.repartitionByRange("_id")
-    src = src.sortWithinPartitions("_id").withColumn(
-        "_pid", F.spark_partition_id())
-    # Pin the partitioning: the totals collect (job 1) and the expand
-    # mapInPandas (job 2) MUST see the SAME range boundaries. Without
-    # this, each job re-executes repartitionByRange, whose
-    # RangePartitioner re-samples per job (reservoir seeded from the
-    # fresh RDD id) — when an upstream partition holds more rows than
-    # sampleSizePerPartition the two jobs can draw different boundaries,
-    # shifting boundary docs across partitions and corrupting every
-    # downstream offset while preserving row counts. localCheckpoint
-    # materializes the partitioned frame once; both jobs read it. The
-    # checkpointed frame is O(rows × 24 B) — the (id, n, pid) plan rows,
-    # never tokens — so this holds at corpus scale.
-    src = src.localCheckpoint(eager=True)
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bounds: list[float] = []
+    if nb > 1:
+        try:
+            qs = src.stat.approxQuantile(
+                "_id", [i / nb for i in range(1, nb)], 1.0 / (4 * nb))
+            bounds = sorted(set(float(b) for b in qs))
+        except Exception:
+            bounds = []
+    if bounds:
+        bucket = F.aggregate(
+            F.lit(bounds), F.lit(0),
+            lambda acc, b: acc + F.when(F.col("_id") > b, 1).otherwise(0))
+    else:
+        bucket = F.lit(0)
+    src = src.withColumn("_b", bucket)
 
-    # phase 1: per-partition totals; driver state is O(partitions)
-    totals = (src.groupBy("_pid")
-              .agg(F.sum("_n").alias("tot"), F.min("_id").alias("lo"))
-              .collect())
-    offsets = {}
+    # phase 2: per-bucket totals; driver state is O(buckets)
+    totals = src.groupBy("_b").agg(F.sum("_n").alias("tot")).collect()
     acc = 0
-    for r in sorted(totals, key=lambda r: r.lo):
-        offsets[r._pid] = acc
-        acc += r.tot
+    off_rows = []
+    for r in sorted(totals, key=lambda r: r._b):
+        off_rows.append((int(r._b), acc))
+        acc += int(r.tot)
+    if not off_rows:
+        off_rows = [(0, 0)]
+    off = spark.createDataFrame(off_rows, "_b int, _off long")
 
-    id_type = src.schema["_id"].dataType
-    out_schema = StructType([
-        StructField("doc_id", id_type),
-        StructField("seq_id", LongType()),
-        StructField("piece_start", LongType()),
-        StructField("piece_end", LongType()),
-        StructField("seq_offset", LongType()),
-    ])
-
-    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one partition = one contiguous id range; batches arrive sorted
-        carry = None  # running local token offset across Arrow batches
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if carry is None:
-                carry = int(offsets.get(int(pdf["_pid"].iloc[0]), 0))
-            n = pdf["_n"].to_numpy(np.int64)
-            ends = np.cumsum(n) + carry
-            g = ends - n                     # global start per doc
-            carry = int(ends[-1])
-            first = g // s
-            last = (ends - 1) // s
-            cnt = (last - first + 1).astype(np.int64)
-            rep = np.repeat(np.arange(len(n)), cnt)
-            # position of each emitted row within its doc's chunk run
-            run0 = np.cumsum(cnt) - cnt
-            pos = np.arange(int(cnt.sum()), dtype=np.int64) - run0[rep]
-            seq = first[rep] + pos
-            gdoc = g[rep]
-            ndoc = n[rep]
-            p_start = np.maximum(0, seq * s - gdoc)
-            p_end = np.minimum(ndoc, (seq + 1) * s - gdoc)
-            yield pd.DataFrame({
-                "doc_id": pdf["_id"].to_numpy()[rep],
-                "seq_id": seq,
-                "piece_start": p_start,
-                "piece_end": p_end,
-                "seq_offset": np.maximum(0, gdoc - seq * s),
-            })
-
-    return src.mapInPandas(expand, out_schema)
+    # phase 3: within-bucket exclusive prefix sum (partitioned window —
+    # one bucket per window partition, parallel) + broadcast offset
+    # gives every document its global start _g; the overlap expansion
+    # is JVM sequence/explode with exact integer DIV arithmetic.
+    w = (Window.partitionBy("_b").orderBy("_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    g = (F.coalesce(F.sum("_n").over(w), F.lit(0)) + F.col("_off"))
+    expanded = (src.join(F.broadcast(off), "_b")
+                .withColumn("_g", g)
+                .withColumn("seq_id", F.explode(F.sequence(
+                    F.expr(f"_g DIV {s}"),
+                    F.expr(f"(_g + _n - 1) DIV {s}")))))
+    return expanded.select(
+        F.col("_id").alias("doc_id"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("seq_id") * s - F.col("_g"))
+        .cast("long").alias("piece_start"),
+        F.least(F.col("_n"), (F.col("seq_id") + 1) * s - F.col("_g"))
+        .cast("long").alias("piece_end"),
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("_g") - F.col("seq_id") * s)
+        .cast("long").alias("seq_offset"))

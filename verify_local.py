@@ -102,7 +102,13 @@ def _repeat_audit(sf_dir, only):
                      else "run1!=run3 (cross-session layout)")
             a, b = (trio[0], trio[1]) if trio[0] != trio[1] else (
                 trio[0], trio[2])
-            diffs = [(x, y) for x, y in zip(a[1], b[1]) if x != y][:2]
+            if len(a[1]) != len(b[1]):
+                sa, sb = set(a[1]), set(b[1])
+                diffs = (f"row counts {len(a[1])} vs {len(b[1])}; "
+                         f"only-in-first: {sorted(sa - sb)[:2]}; "
+                         f"only-in-second: {sorted(sb - sa)[:2]}")
+            else:
+                diffs = [(x, y) for x, y in zip(a[1], b[1]) if x != y][:2]
             print(f"FLAKY {name}: {which}; first diffs: {diffs}")
             n_fail += 1
     print(f"\nstability: {n_pass} stable, {n_fail} flaky/error")
