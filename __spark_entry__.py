@@ -1374,11 +1374,25 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
       back in. Source cardinalities (~20/lang) sit in CPC's
       round-exact regime at lgK=11, so DuckDB's exact count(DISTINCT)
       is the oracle for every leg.
+    * tuple/ArrayOfDoubles (round 11, ``compat/aod.py``): a MIXED-ORIGIN
+      corpus split — odd langs are summarized by the REAL
+      datasketches-java ``ArrayOfDoublesUpdatableSketch`` (key=source,
+      values=[1, n_chars]), even langs by the engine's
+      ``approx_tuple_accumulate_wire`` (same wire family 9, same
+      MurmurHash3 key space) — then per-lang decode
+      (``approx_tuple_estimate`` reads BOTH origins: tup_rows, tup_sum)
+      and ONE ``approx_tuple_combine`` union across the ten states
+      yields global distinct-source / row / n_chars totals
+      (tup_*_all). Exact regime (sources << k), so DuckDB recomputes
+      everything relationally. Restricted to doc_id < 1000 so the
+      foreign-system simulation's driver collect is bounded by a
+      constant, not the corpus.
 
     The foreign-state GENERATION collects the distinct (lang, source)
-    pairs to the driver (~100 rows, bounded by the dimension sizes) —
-    that simulates the external reference system; the engine-side decode
-    / combine / estimate all run distributed."""
+    pairs (~100 rows) and the doc_id<1000 rows of the Java-side langs
+    (<= 1000 rows) to the driver — both bounded by constants; that
+    simulates the external reference system. The engine-side decode /
+    combine / estimate all run distributed."""
     import datasketches_spark_spark as dss
     from datasketches_spark_spark import conf as dconf
     from pyspark.sql import functions as F
@@ -1404,7 +1418,48 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             states.append((lang, bytes(sk.toByteArray())))
         cpc_df = spark.createDataFrame(states, "lang string, cpc_state binary")
         cpc_df.createOrReplaceTempView("_q34_cpc_states")
-        return spark.sql("""
+        # --- tuple/AoD mixed-origin split (round 11) ---
+        langs = sorted(by_lang)
+        java_langs = langs[0::2]
+        eng_langs = langs[1::2]
+        gw = spark.sparkContext._gateway
+        aod_builder = (spark._jvm.org.apache.datasketches.tuple
+                       .arrayofdoubles.ArrayOfDoublesUpdatableSketchBuilder)
+        jrows = (docs.where(F.col("doc_id") < 1000)
+                 .where(F.col("lang").isin(java_langs))
+                 .select("lang", "source", "n_chars").collect())
+        jstates = {}
+        for r in jrows:
+            sk = jstates.get(r.lang)
+            if sk is None:
+                b = aod_builder()
+                b.setNumberOfValues(2)
+                jstates[r.lang] = sk = b.build()
+            arr = gw.new_array(spark._jvm.double, 2)
+            arr[0] = 1.0
+            arr[1] = float(r.n_chars)
+            sk.update(r.source, arr)
+        java_df = spark.createDataFrame(
+            [(lang, bytes(sk.compact().toByteArray()))
+             for lang, sk in sorted(jstates.items())],
+            "lang string, st binary")
+        eng_df = (docs.where(F.col("doc_id") < 1000)
+                  .where(F.col("lang").isin(eng_langs))
+                  .groupBy("lang")
+                  .agg(dsf.approx_tuple_accumulate_wire("source", "n_chars")
+                       .alias("st")))
+        states_df = java_df.unionByName(eng_df)
+        per_lang = states_df.select(
+            "lang", dsf.approx_tuple_estimate("st").alias("e")).select(
+            "lang", F.col("e.rows").alias("tup_rows"),
+            F.col("e.value_sum").alias("tup_sum"))
+        glob = (states_df
+                .agg(dsf.approx_tuple_combine("st").alias("u"))
+                .select(dsf.approx_tuple_estimate("u").alias("e"))
+                .select(F.col("e.ndv").alias("tup_ndv_all"),
+                        F.col("e.rows").alias("tup_rows_all"),
+                        F.col("e.value_sum").alias("tup_sum_all")))
+        base = spark.sql("""
             SELECT q.lang, q.p50_chars,
                    approx_count_distinct_estimate(c.cpc_state) AS ndv_src,
                    g.ndv_src_all, g.ndv_src_roundtrip
@@ -1429,6 +1484,8 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) g
             ORDER BY q.lang
         """)
+        return (base.join(per_lang, "lang").crossJoin(F.broadcast(glob))
+                .orderBy("lang"))
     finally:
         for key, prev in ((dconf.QUANTILE_IMPL_KEY, prev_impl),
                           (dconf.QUANTILE_MERGEABLE_K_KEY, prev_k)):
@@ -1948,8 +2005,85 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("whi").alias("hi"),
         ((F.col("wlo") <= est95) & (est95 <= F.col("whi")))
         .cast("long").alias("extra")))
+    # 'freq_est' (round 11): Misra-Gries PAST exact — max_map_size=64
+    # over user_id (NDV 150/group) forces purges. lo = the exact NDV
+    # (relational both sides), hi = 1.0 iff maxerr > 0 (DuckDB
+    # recomputes as NDV > 64 — a purge is certain past capacity), extra
+    # = 1 iff EVERY reported item's estimate sits inside the MG
+    # guarantee [true, true + maxerr] (functions/freqitems.py:73;
+    # DuckDB emits literal 1 — the gate fails if the envelope is ever
+    # violated). All three are update-order-independent booleans, so
+    # the leg is layout-proof even though a purged MG state itself is
+    # order-dependent.
+    # item = user_id with every 10th user collapsed onto {0,1,2}: a
+    # deterministic relational mapping that plants 3 heavy hitters
+    # (~65 rows each) over a ~138-distinct tail, so MG both purges
+    # (NDV > 64) AND reports items (the fixture's raw columns are
+    # uniform — nothing would clear the NO_FALSE_POSITIVES threshold).
+    item = F.when(F.col("user_id") % 10 == 0, F.col("user_id") % 3) \
+        .otherwise(F.col("user_id"))
+    evm = ev.select("event_type", item.alias("item"))
+    exact_users = evm.groupBy("event_type").agg(
+        F.countDistinct("item").alias("nu"))
+    fr = evm.groupBy("event_type").agg(
+        dsf.approx_freqitems_accumulate(
+            "item", item_type="long", max_map_size=64).alias("fst"))
+    per_item = evm.groupBy("event_type", "item").agg(
+        F.count("*").alias("tc"))
+    fx = fr.select(
+        "event_type", dsf.approx_freqitems_maxerr("fst").alias("me"),
+        F.explode_outer(
+            dsf.approx_freqitems_estimate("fst", item_type="long"))
+        .alias("it"))
+    freq_est = (fx.join(per_item,
+                        (fx.event_type == per_item.event_type)
+                        & (fx.it.item == per_item.item), "left")
+                .groupBy(fx.event_type)
+                .agg(F.max("me").alias("me"),
+                     F.min(F.coalesce(
+                         ((F.col("it.estimated") >= F.col("tc"))
+                          & (F.col("it.estimated")
+                             <= F.col("tc") + F.col("me")))
+                         .cast("long"), F.lit(1))).alias("env"),
+                     F.count("it").alias("n_rep"))
+                .join(F.broadcast(exact_users), "event_type")
+                .select(F.lit("freq_est").alias("leg"),
+                        F.col("event_type").alias("k"),
+                        F.col("nu").cast("double").alias("lo"),
+                        (F.col("me") > 0).cast("double").alias("hi"),
+                        # env AND at least one reported item (the
+                        # planted heavy hitters make emptiness a bug)
+                        (F.col("env").cast("boolean")
+                         & (F.col("n_rep") > 0)).cast("long")
+                        .alias("extra")))
+    # 'tuple_est' (round 11): the tuple/KMV family PAST exact — k=64
+    # over (user_id, value) saturates at NDV 150. lo = exact NDV, hi =
+    # 1.0 iff the approx_tuple_bounds interval is non-degenerate
+    # (saturation; DuckDB: NDV > 64), extra = 1 iff the exact NDV lies
+    # inside the 3-sigma KMV envelope AND segment_estimate(1) equals
+    # estimate() (the one-sample invariant; accuracy_report proves the
+    # envelope at 2M rows — this pins it at the driver gate).
+    exact_raw_users = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nu"))
+    tst = ev.groupBy("event_type").agg(
+        dsf.approx_tuple_accumulate("user_id", "value", k=64).alias("ts"))
+    tb = dsf.approx_tuple_bounds("ts", num_std=3.0)
+    te = dsf.approx_tuple_estimate("ts")
+    seg = dsf.approx_tuple_segment_estimate("ts", 1)
+    tuple_est = (tst.join(F.broadcast(exact_raw_users), "event_type")
+                 .select(
+        F.lit("tuple_est").alias("leg"),
+        F.col("event_type").alias("k"),
+        F.col("nu").cast("double").alias("lo"),
+        (F.element_at(tb, 1) != F.element_at(tb, 2))
+        .cast("double").alias("hi"),
+        ((F.element_at(tb, 1) <= F.col("nu"))
+         & (F.col("nu") <= F.element_at(tb, 2))
+         & (seg["keys"] == te["ndv"]))
+        .cast("long").alias("extra")))
     return (quant.unionByName(ndv).unionByName(ndv_est)
-            .unionByName(quant_est).orderBy("leg", "k"))
+            .unionByName(quant_est).unionByName(freq_est)
+            .unionByName(tuple_est).orderBy("leg", "k"))
 
 
 def _q66_streaming_summary_sink(spark: SparkSession,
@@ -2480,14 +2614,31 @@ def oracle_sql() -> dict[str, str]:
         # round-exact regime at lgK=11, so exact counts are the oracle for
         # the engine's decode->estimate and decode->union->estimate paths.
         "q34_wire_interop": """
-            SELECT lang,
-                   quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
-                   count(DISTINCT source) AS ndv_src,
+            WITH t AS (
+              SELECT lang, count(*) AS r,
+                     CAST(sum(n_chars) AS DOUBLE) AS s
+              FROM documents WHERE doc_id < 1000 GROUP BY lang
+            ), g AS (
+              SELECT count(DISTINCT source) AS n, count(*) AS r,
+                     CAST(sum(n_chars) AS DOUBLE) AS s
+              FROM documents WHERE doc_id < 1000
+            )
+            SELECT d.lang,
+                   quantile_disc(CAST(d.n_chars AS DOUBLE), 0.5)
+                     AS p50_chars,
+                   count(DISTINCT d.source) AS ndv_src,
                    (SELECT count(DISTINCT source) FROM documents)
                      AS ndv_src_all,
                    (SELECT count(DISTINCT source) FROM documents)
-                     AS ndv_src_roundtrip
-            FROM documents GROUP BY lang ORDER BY lang
+                     AS ndv_src_roundtrip,
+                   any_value(t.r) AS tup_rows,
+                   any_value(t.s) AS tup_sum,
+                   any_value(g.n) AS tup_ndv_all,
+                   any_value(g.r) AS tup_rows_all,
+                   any_value(g.s) AS tup_sum_all
+            FROM documents d
+            JOIN t ON t.lang = d.lang CROSS JOIN g
+            GROUP BY d.lang ORDER BY d.lang
         """,
         "q35_rank_cdf": """
             SELECT l_returnflag,
@@ -3061,6 +3212,29 @@ def oracle_sql() -> dict[str, str]:
                      AS hi,
                    CAST(1 AS BIGINT) AS extra
             FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            -- estimation-regime freq-items (Misra-Gries past exact,
+            -- max_map_size=64 < NDV): hi = a purge certainly happened;
+            -- extra = every reported estimate in [true, true+maxerr]
+            SELECT 'freq_est' AS leg, event_type AS k,
+                   CAST(count(DISTINCT CASE WHEN user_id % 10 = 0
+                              THEN user_id % 3 ELSE user_id END)
+                        AS DOUBLE) AS lo,
+                   CASE WHEN count(DISTINCT CASE WHEN user_id % 10 = 0
+                                   THEN user_id % 3 ELSE user_id END) > 64
+                        THEN 1.0 ELSE 0.0 END AS hi,
+                   CAST(1 AS BIGINT) AS extra
+            FROM events GROUP BY event_type
+            UNION ALL
+            -- estimation-regime tuple/KMV (k=64 < NDV): hi = bounds
+            -- interval non-degenerate at saturation; extra = exact NDV
+            -- inside the 3-sigma KMV envelope AND segment(1)==estimate
+            SELECT 'tuple_est' AS leg, event_type AS k,
+                   CAST(count(DISTINCT user_id) AS DOUBLE) AS lo,
+                   CASE WHEN count(DISTINCT user_id) > 64
+                        THEN 1.0 ELSE 0.0 END AS hi,
+                   CAST(1 AS BIGINT) AS extra
+            FROM events GROUP BY event_type
             ORDER BY leg, k
         """,
                     }

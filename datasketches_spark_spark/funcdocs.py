@@ -211,6 +211,21 @@ FUNCTION_DOCS: dict[str, tuple[str, str]] = {
         "per-key-predicate analytics from the state alone.",
         "> SELECT _FUNC_(approx_tuple_accumulate(k, v), 2).keys FROM "
         "VALUES (1, 1.0), (1, 2.0), (2, 5.0) AS tab(k, v);\n   1"),
+    "approx_tuple_bounds": (
+        "_FUNC_(state, numStd) - [lower, upper] distinct-key confidence "
+        "bounds from a tuple state (collapses to the exact count while "
+        "the state is exact; KMV 1/sqrt(k-2) envelope at saturation).",
+        "> SELECT _FUNC_(approx_tuple_accumulate(k, v), 2.0) FROM "
+        "VALUES (1, 1.0), (2, 5.0) AS tab(k, v);\n   [2,2]"),
+    "approx_tuple_accumulate_wire": (
+        "_FUNC_(key, value) - Aggregates (key, value) rows into a "
+        "GENUINE Apache DataSketches Tuple/ArrayOfDoubles compact state "
+        "(wire family 9; values [1, value] so summaries are per-key row "
+        "count and value sum) — readable by datasketches-java and by "
+        "approx_tuple_estimate. _wire_long variant hashes integral keys "
+        "like Java's update(long).",
+        "> SELECT approx_tuple_estimate(_FUNC_(k, v)).ndv FROM VALUES "
+        "('a', 1.0), ('b', 2.0) AS tab(k, v);\n   2"),
     "import_datasketches_state": (
         "_FUNC_(bytes) - Converts an Apache DataSketches wire state "
         "(KLL/REQ/Doubles/frequent-items/HLL/CPC/Theta) into the "

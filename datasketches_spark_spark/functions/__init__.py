@@ -45,6 +45,8 @@ from .sampling import (
 )
 from .tuplesketch import (
     approx_tuple_accumulate,
+    approx_tuple_accumulate_wire,
+    approx_tuple_bounds,
     approx_tuple_combine,
     approx_tuple_estimate,
     approx_tuple_segment_estimate,
@@ -74,6 +76,8 @@ __all__ = [
     "approx_sample_weighted_accumulate",
     # tuple / per-key summary sketch (extension; DataSketches Tuple family)
     "approx_tuple_accumulate",
+    "approx_tuple_accumulate_wire",
+    "approx_tuple_bounds",
     "approx_tuple_combine",
     "approx_tuple_estimate",
     "approx_tuple_segment_estimate",

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from .. import conf
 from .udfs import (
+    ITEM_LONG,
+    aod_wire_acc_udf,
     combine_udf,
     tuple_acc_udf,
     tuple_est_udf,
@@ -44,6 +46,25 @@ def approx_tuple_accumulate(key_col, value_col, k: int | None = None) -> Column:
     return tuple_acc_udf(k)(_col(key_col), _col(value_col).cast("double"))
 
 
+def approx_tuple_accumulate_wire(key_col, value_col,
+                                 k: int | None = None,
+                                 item_type: str | None = None) -> Column:
+    """Aggregate ``(key, value)`` rows into a GENUINE Apache DataSketches
+    Tuple/ArrayOfDoubles compact state (wire family 9, ``compat/aod.py``)
+    — readable by datasketches-java and union-able with its sketches
+    over overlapping data (same MurmurHash3 seed-9001 key space).
+    Summaries use the two-value ``[1.0, x]`` convention, so every
+    retained key carries (row count, value sum) and the state decodes
+    through ``approx_tuple_estimate`` / ``approx_tuple_segment_estimate``
+    like an engine tuple state. ``item_type`` picks the key hash layout
+    ("string" default, "long" for integral keys — matching Java's
+    ``update(long, ...)``)."""
+    k = k or conf.tuple_k()
+    it = item_type or "string"
+    return aod_wire_acc_udf(k, ITEM_LONG if it == "long" else it)(
+        _col(key_col), _col(value_col).cast("double"))
+
+
 def approx_tuple_combine(col) -> Column:
     """Merge serialized tuple states (family-agnostic byte-sniff kernel,
     like every other ``*_combine``)."""
@@ -54,6 +75,16 @@ def approx_tuple_estimate(col) -> Column:
     """Decode a tuple state: ``struct(ndv: long, rows: long,
     value_sum: double)`` — distinct keys, total rows, total value."""
     return tuple_est_udf()(_col(col))
+
+
+def approx_tuple_bounds(col, num_std: float = 2.0) -> Column:
+    """Distinct-key confidence bounds ``[lower, upper]`` from a tuple
+    state — exact-regime states collapse to the exact count; at
+    saturation the KMV relative standard error ``1/sqrt(k-2)`` applies
+    (the same Beyer et al. envelope as the Theta family; one shared
+    ``udfs.distinct_bounds_udf`` kernel serves both)."""
+    from .udfs import distinct_bounds_udf
+    return distinct_bounds_udf()(_col(col), F.lit(float(num_std)))
 
 
 def approx_tuple_segment_estimate(col, min_count: int = 1,

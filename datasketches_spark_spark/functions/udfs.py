@@ -373,6 +373,7 @@ def distinct_bounds_udf():
     (`tests/test_accuracy_bounds.py`)."""
     from ..sketches import HllSketch as _Hll
     from ..sketches import ThetaSketch as _Theta
+    from ..sketches import TupleSketch as _Tuple
 
     @pandas_udf(ArrayType(LongType(), containsNull=False))
     def bounds(states: pd.Series, num_std: pd.Series) -> pd.Series:
@@ -387,13 +388,14 @@ def distinct_bounds_udf():
                     "approx_count_distinct_bounds: num_std must be > 0")
             try:
                 sk = deserialize_any(bytes(blob))
-                if isinstance(sk, _Theta):
+                if isinstance(sk, (_Theta, _Tuple)):
+                    # same KMV bottom-k sample -> same Beyer RSE class
                     exact, rse = sk.is_exact(), 1.0 / np.sqrt(sk.k - 2)
                 elif isinstance(sk, _Hll):
                     exact = sk.is_sparse
                     rse = 1.04 / np.sqrt(1 << sk.lgk)
                 else:
-                    raise TypeError("not a Theta or HLL state")
+                    raise TypeError("not a Theta, HLL or tuple state")
                 est = sk.estimate()
                 if exact:
                     out.append([int(est), int(est)])
@@ -705,6 +707,34 @@ def theta_est_udf():
 
 # --------------------------------------------------------------------- tuple
 
+def aod_wire_acc_udf(k: int, item_type: str = ITEM_STR):
+    """GROUPED_AGG: (key, value) -> a GENUINE Apache DataSketches
+    Tuple/ArrayOfDoubles compact state (wire bytes, family 9) — readable
+    by ``ArrayOfDoublesSketches.heapifySketch`` and union-able with
+    states built by datasketches-java over overlapping data
+    (``compat/aod.py``; same retained keys in the exact regime). Values
+    follow the [1.0, x] convention, so summaries are per-key (row count,
+    value sum) and the engine tuple estimators read foreign copies."""
+    from ..compat.aod import AodWireAccumulator
+
+    @pandas_udf(BinaryType())
+    def acc(key: pd.Series, value: pd.Series) -> bytes:
+        mask = key.notna()
+        if not mask.any():
+            return None
+        key = key[mask]
+        v = pd.to_numeric(value[mask], errors="coerce") \
+            .fillna(0.0).to_numpy(np.float64)
+        sk = AodWireAccumulator(k)
+        if item_type == ITEM_LONG:
+            sk.update_longs(pd.to_numeric(key).to_numpy(np.int64), v)
+        else:
+            sk.update_strings(key.astype(str), v)
+        return sk.serialize()
+
+    return acc
+
+
 def tuple_acc_udf(k: int):
     """GROUPED_AGG: (key, value) -> serialized tuple state. Null-key rows
     are dropped (a null key is no key); a null value counts the row with
@@ -739,7 +769,11 @@ TUPLE_SEGMENT_TYPE = StructType([
 
 
 def tuple_est_udf():
-    """Scalar: tuple state -> struct(ndv, rows, value_sum)."""
+    """Scalar: tuple state -> struct(ndv, rows, value_sum). Foreign
+    ArrayOfDoubles (DataSketches Tuple wire, family 9) states decode too
+    when they carry the two-value (count, sum) convention
+    (``compat/aod.py``)."""
+    from ..compat.aod import AodWireSketch
     from ..sketches import TupleSketch
 
     @pandas_udf(TUPLE_EST_TYPE)
@@ -751,7 +785,7 @@ def tuple_est_udf():
                 continue
             try:
                 sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, TupleSketch):
+                if not isinstance(sk, (TupleSketch, AodWireSketch)):
                     raise ValueError("not a tuple state")
                 out.append((sk.estimate(), sk.rows_estimate(),
                             sk.sum_estimate()))
@@ -766,6 +800,7 @@ def tuple_est_udf():
 def tuple_segment_udf():
     """Scalar: (tuple state, min_count) -> struct(keys, value_sum) for
     the segment of keys with per-key row count >= min_count."""
+    from ..compat.aod import AodWireSketch
     from ..sketches import TupleSketch
 
     @pandas_udf(TUPLE_SEGMENT_TYPE)
@@ -777,7 +812,7 @@ def tuple_segment_udf():
                 continue
             try:
                 sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, TupleSketch):
+                if not isinstance(sk, (TupleSketch, AodWireSketch)):
                     raise ValueError("not a tuple state")
                 mc = 1 if _is_nullish(mc) else int(mc)
                 out.append(sk.segment_estimate(min_count=mc))
@@ -794,6 +829,7 @@ def tuple_segment_sum_udf():
     """Scalar: (tuple state, min_count, min_sum) -> struct(keys,
     value_sum) for keys with per-key count >= min_count AND per-key sum
     >= min_sum (the value-weighted segment form)."""
+    from ..compat.aod import AodWireSketch
     from ..sketches import TupleSketch
 
     @pandas_udf(TUPLE_SEGMENT_TYPE)
@@ -806,7 +842,7 @@ def tuple_segment_sum_udf():
                 continue
             try:
                 sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, TupleSketch):
+                if not isinstance(sk, (TupleSketch, AodWireSketch)):
                     raise ValueError("not a tuple state")
                 mc = 1 if _is_nullish(mc) else int(mc)
                 ms = float("-inf") if _is_nullish(ms) else float(ms)

@@ -646,6 +646,11 @@ def _revbits(v: int, n: int) -> int:
     return r
 
 
+# pixels per packing band (~35 MB scratch at <=33 bits/pixel); module
+# constant so tests can shrink it to pin band-boundary byte-identity
+_PACK_CHUNK = 1 << 20
+
+
 def encode_webp_lossless(img: np.ndarray) -> bytes:
     """Encode ``(H, W, 3) uint8`` RGB or ``(H, W, 4)`` RGBA as a
     literal-mode VP8L WebP (no transforms, no LZ77, fixed complete
@@ -705,28 +710,37 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
            | (bcode[alpha.ravel()] << (gn + np.uint64(16))))
     nb = gn + np.uint64(24)
 
-    pend_bits, pend_val = wtr.n, wtr.cur
-    starts = np.empty(len(nb), np.int64)
-    starts[0] = pend_bits
-    np.cumsum(nb[:-1].astype(np.int64), out=starts[1:])
-    starts[1:] += pend_bits
-    total_bits = int(starts[-1] + int(nb[-1])) if len(nb) else pend_bits
-    bits = np.zeros(((total_bits + 7) // 8) * 8, np.uint8)
-    for j in range(pend_bits):
-        bits[j] = (pend_val >> j) & 1
+    # Pack in pixel bands of _PACK_CHUNK, carrying the partial-byte
+    # writer state between bands: the scratch bit array is one byte per
+    # OUTPUT BIT (~33 B/pixel), so a whole-stream pack of a 16384^2
+    # image would transiently need ~9 GB — banding bounds it at ~35 MB
+    # while staying byte-identical (each band flushes whole bytes and
+    # hands its tail bits to the next, exactly like the scalar writer).
     one = np.uint64(1)
-    for j in range(int(nb.max()) if len(nb) else 0):
-        ju = np.uint64(j)
-        if j < 24:
-            bits[starts + j] = ((val >> ju) & one).astype(np.uint8)
-        else:
-            m = nb > ju
-            bits[starts[m] + j] = ((val[m] >> ju) & one).astype(np.uint8)
-    packed = np.packbits(bits, bitorder="little")
-    full = total_bits // 8
-    wtr.out.extend(packed[:full].tobytes())
-    wtr.n = total_bits % 8
-    wtr.cur = int(packed[full]) if wtr.n else 0
+    for lo in range(0, len(nb), _PACK_CHUNK):
+        v = val[lo:lo + _PACK_CHUNK]
+        b = nb[lo:lo + _PACK_CHUNK]
+        pend_bits, pend_val = wtr.n, wtr.cur
+        starts = np.empty(len(b), np.int64)
+        starts[0] = pend_bits
+        np.cumsum(b[:-1].astype(np.int64), out=starts[1:])
+        starts[1:] += pend_bits
+        total_bits = int(starts[-1] + int(b[-1]))
+        bits = np.zeros(((total_bits + 7) // 8) * 8, np.uint8)
+        for j in range(pend_bits):
+            bits[j] = (pend_val >> j) & 1
+        for j in range(int(b.max())):
+            ju = np.uint64(j)
+            if j < 24:
+                bits[starts + j] = ((v >> ju) & one).astype(np.uint8)
+            else:
+                m = b > ju
+                bits[starts[m] + j] = ((v[m] >> ju) & one).astype(np.uint8)
+        packed = np.packbits(bits, bitorder="little")
+        full = total_bits // 8
+        wtr.out.extend(packed[:full].tobytes())
+        wtr.n = total_bits % 8
+        wtr.cur = int(packed[full]) if wtr.n else 0
     wtr.flush()
 
     payload = b"\x2f" + bytes(wtr.out)

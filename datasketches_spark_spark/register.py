@@ -352,12 +352,19 @@ def install(spark: SparkSession) -> None:
 
     # tuple / per-key summary sketch (extension; DataSketches Tuple
     # family analog — NDV + per-distinct-key aggregates from one state)
-    from .functions.udfs import tuple_acc_udf, tuple_est_udf, tuple_segment_udf
+    from .functions.udfs import (aod_wire_acc_udf, tuple_acc_udf,
+                                 tuple_est_udf, tuple_segment_udf)
     spark.udf.register("approx_tuple_accumulate",
                        tuple_acc_udf(conf.tuple_k(spark)))
+    # genuine DataSketches ArrayOfDoubles wire states (compat/aod.py)
+    spark.udf.register("approx_tuple_accumulate_wire",
+                       aod_wire_acc_udf(conf.tuple_k(spark)))
+    spark.udf.register("approx_tuple_accumulate_wire_long",
+                       aod_wire_acc_udf(conf.tuple_k(spark), ITEM_LONG))
     spark.udf.register("approx_tuple_combine", combine_udf())
     spark.udf.register("approx_tuple_estimate", tuple_est_udf())
     spark.udf.register("approx_tuple_segment_estimate", tuple_segment_udf())
+    spark.udf.register("approx_tuple_bounds", distinct_bounds_udf())
 
     # Apache DataSketches wire-format import (reference-state migration;
     # estimate fns also read foreign states directly via the deserializer

@@ -197,3 +197,32 @@ def test_segment_min_sum_filter(spark):
         FROM pk""").collect()[0]
     assert (r.s.keys, r.s.value_sum) == (truth.k, float(truth.t))
     assert 0 < truth.k < 30  # the threshold genuinely splits the keys
+
+
+def test_tuple_bounds_exact_and_saturated(spark):
+    """approx_tuple_bounds: exact-regime interval collapses to the exact
+    NDV; at saturation it is non-degenerate, contains the true NDV at
+    3 sigma (KMV envelope on a fixed seed-free hash — deterministic),
+    and shares the Theta family's kernel semantics."""
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark import functions as dsf
+    dss.install(spark)
+    df = spark.range(0, 5000).selectExpr(
+        "concat('k', id % 40) AS u", "1.0 AS v")
+    (b,) = df.agg(dsf.approx_tuple_bounds(
+        dsf.approx_tuple_accumulate("u", "v")).alias("b")).collect()
+    assert list(b.b) == [40, 40]
+    big = spark.range(0, 20000).selectExpr(
+        "concat('k', id) AS u", "1.0 AS v")
+    (b3,) = big.agg(dsf.approx_tuple_bounds(
+        dsf.approx_tuple_accumulate("u", "v", 256), 3.0)
+        .alias("b")).collect()
+    lo, hi = b3.b
+    assert lo < hi
+    assert lo <= 20000 <= hi
+    # SQL name registered, same kernel
+    df.createOrReplaceTempView("tb_t")
+    row = spark.sql("""
+        SELECT approx_tuple_bounds(approx_tuple_accumulate(u, v), 2.0)
+          AS b FROM tb_t""").collect()[0]
+    assert list(row.b) == [40, 40]

@@ -263,3 +263,20 @@ def test_refusals_and_corrupt():
         decode_webp(good[:24])
     with pytest.raises(ValueError):
         webp_info(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_encoder_band_boundary_byte_identity(monkeypatch):
+    """The banded bit-packer (bounded scratch) is byte-identical to a
+    one-shot pack: shrink the band to force many partial-byte carries
+    mid-stream and compare whole files."""
+    import numpy as np
+    from datasketches_spark_spark.operators import webpcodec as wc
+    from datasketches_spark_spark.operators import decode_webp
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(23, 31, 3), dtype=np.uint8)
+    one_shot = wc.encode_webp_lossless(img)
+    monkeypatch.setattr(wc, "_PACK_CHUNK", 17)
+    banded = wc.encode_webp_lossless(img)
+    assert banded == one_shot
+    assert np.array_equal(decode_webp(banded), img)
