@@ -1,5 +1,7 @@
-"""Pure-numpy codec for *uncompressed* audio: RIFF/WAVE PCM (8/16/32-bit
-integer and 32/64-bit float, any channel count).
+"""Pure-numpy codec for RIFF/WAVE audio: PCM (8/16/32-bit integer,
+32/64-bit float, any channel count) plus ITU-T G.711 mu-law / A-law
+telephony companding (format tags 7/6, both directions, bit-exact
+against the stdlib audioop reference).
 
 Like ``imagecodec``, this gives the multimodal suite a REAL audio
 decode -> transform -> feature path without native libraries: WAV is a
@@ -24,10 +26,61 @@ __all__ = [
     "encode_wav",
     "audio_features",
     "resample_nearest",
+    "g711_ulaw_to_linear",
+    "g711_alaw_to_linear",
+    "g711_linear_to_ulaw",
+    "g711_linear_to_alaw",
 ]
 
 _PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
 _FLOAT_DTYPES = {32: np.float32, 64: np.float64}
+
+# ------------------------------------------------------------- G.711
+# ITU-T G.711 mu-law / A-law companding (WAV format tags 7 / 6) — the
+# telephony codecs a crawled-audio population actually contains beside
+# PCM. Pure segment/mantissa bit math (no normative tables), validated
+# bit-exact against the stdlib audioop reference over all 256 codes
+# (decode) and the full 16-bit domain (encode) in tests/test_g711.py.
+
+
+def g711_ulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16 linear (Sun/CCITT ulaw2linear rule)."""
+    u = (~np.asarray(u).astype(np.uint8)).astype(np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def g711_alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 linear (Sun/CCITT alaw2linear rule)."""
+    a = np.asarray(a).astype(np.uint8).astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    v = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, v, -v).astype(np.int16)
+
+
+def g711_linear_to_ulaw(pcm: np.ndarray) -> np.ndarray:
+    """int16 linear -> mu-law bytes (14-bit segment search)."""
+    p = np.asarray(pcm).astype(np.int32) >> 2
+    mask = np.where(p < 0, 0x7F, 0xFF)
+    p = np.minimum(np.abs(p), 8159) + 33
+    seg = np.searchsorted((1 << (np.arange(8) + 6)) - 1, p)
+    uval = (seg << 4) | ((p >> (seg + 1)) & 0xF)
+    return (np.where(seg >= 8, 0x7F, uval) ^ mask).astype(np.uint8)
+
+
+def g711_linear_to_alaw(pcm: np.ndarray) -> np.ndarray:
+    """int16 linear -> A-law bytes (13-bit segment search)."""
+    p = np.asarray(pcm).astype(np.int32) >> 3
+    mask = np.where(p >= 0, 0xD5, 0x55)
+    p = np.where(p >= 0, p, -p - 1)
+    seg = np.searchsorted((1 << (np.arange(8) + 5)) - 1, p)
+    segc = np.minimum(seg, 7)
+    aval = (segc << 4) | np.where(segc < 2, (p >> 1) & 0xF,
+                                  (p >> segc) & 0xF)
+    return (np.where(seg >= 8, 0x7F, aval) ^ mask).astype(np.uint8)
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -76,13 +129,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         dt = _FLOAT_DTYPES.get(bits)
         if dt is None:
             raise NotImplementedError(f"float bit depth {bits} unsupported")
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law (8-bit codes)
+        if bits not in (0, 8):
+            raise ValueError(f"G.711 WAV with bit depth {bits}")
+        dt = np.uint8
     else:
         raise NotImplementedError(
-            f"WAV format tag {audio_fmt} is compressed/unsupported: only "
-            "PCM (1) and IEEE float (3) decode without native codecs")
+            f"WAV format tag {audio_fmt} is compressed/unsupported: PCM "
+            "(1), IEEE float (3) and G.711 mu-law/A-law (7/6) decode "
+            "without native codecs")
     if n_ch < 1 or rate < 1:
         raise ValueError(f"bad WAV header: channels={n_ch} rate={rate}")
     raw = np.frombuffer(frames, dtype=np.dtype(dt).newbyteorder("<"))
+    if audio_fmt == 7:
+        raw = g711_ulaw_to_linear(raw)
+    elif audio_fmt == 6:
+        raw = g711_alaw_to_linear(raw)
     n = (raw.size // n_ch) * n_ch
     x = raw[:n].reshape(-1, n_ch).astype(np.float64)
     if audio_fmt == 1:
@@ -90,6 +152,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             x = (x - 128.0) / 128.0
         else:
             x = x / float(2 ** (bits - 1))
+    elif audio_fmt in (6, 7):
+        x = x / 32768.0
     return x, rate
 
 
@@ -116,13 +180,27 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int,
-               bits: int = 16) -> bytes:
+               bits: int = 16, codec: str = "pcm") -> bytes:
     """Encode float samples in [-1, 1] (``(n,)`` or ``(n, ch)``) as
-    integer PCM WAV."""
+    integer PCM WAV, or as G.711 telephony WAV with ``codec="ulaw"`` /
+    ``"alaw"`` (format tags 7/6, 8-bit codes; ``bits`` ignored)."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
     n_ch = x.shape[1]
+    if codec in ("ulaw", "alaw"):
+        q = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+        enc = (g711_linear_to_ulaw if codec == "ulaw"
+               else g711_linear_to_alaw)
+        body = enc(q.ravel()).tobytes()
+        tag, block, bits = (7 if codec == "ulaw" else 6), n_ch, 8
+        hdr = (b"WAVE" + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, tag, n_ch, sample_rate, sample_rate * block,
+            block, bits) + b"data" + struct.pack("<I", len(body)))
+        return (b"RIFF" + struct.pack("<I", len(hdr) + len(body))
+                + hdr + body)
+    if codec != "pcm":
+        raise ValueError(f"unknown WAV codec {codec!r}")
     dt = _PCM_DTYPES.get(bits)
     if dt is None:
         raise ValueError(f"PCM bit depth {bits} unsupported")

@@ -2,7 +2,14 @@
 
 Full MPEG-1 Layer III sample decode needs 34 normative Huffman tables +
 IMDCT + the polyphase synthesis filterbank; the engine refuses that
-honestly (``audiocodec.decode_audio``). What a data pipeline usually
+honestly (``audiocodec.decode_audio``). The refusal is a VERIFIABILITY
+decision, not just scope: the Huffman tables and the 512-tap synthesis
+window are large normative constants with NO reference implementation
+in this container to validate against (contrast ``compat/cpc.py``,
+validated live against the bundled datasketches-java, or the G.711
+codecs validated against stdlib ``audioop``) — a decoder whose tables
+cannot be checked would roundtrip against itself and still silently
+mis-decode real-world files, which is worse than refusing. What a data pipeline usually
 needs from crawled MP3s, though, is METADATA — duration, bitrate,
 sample rate, channel layout, frame integrity — and the MPEG frame
 header layout (ISO/IEC 11172-3 §2.4.1.3) is public and tiny. This

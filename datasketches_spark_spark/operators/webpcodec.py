@@ -24,6 +24,13 @@ Scope:
 
 No counterpart in the reference (no multimodal surface); closes the
 WebP refusal in ``imagecodec.py`` the way jpeg/png/gif closed theirs.
+
+
+Lossy VP8 decode stays an honest refusal for the same
+VERIFIABILITY reason as MP3 sample decode (see
+``mp3codec.py``): its coefficient-token trees and default
+probability tables are large normative constants with no
+reference codec in this container to validate against.
 """
 
 from __future__ import annotations

@@ -364,3 +364,207 @@ def session_distinct(df: DataFrame, keys: list[str], col: str,
     return (src.groupBy(sw.alias("session"),
                         *[F.col(k) for k in keys])
             .agg(approx_count_distinct_hll(col, lgk=lgk).alias("ndv")))
+
+
+def session_summaries(df: DataFrame, keys: list[str], col, event_time: str,
+                      gap, family: str = "hll", delay: str | None = None,
+                      state_col: str = "state", **params) -> DataFrame:
+    """Gap-based sessionization carrying ENGINE sketch states — any
+    family (hll / theta / quantile / freq / tuple / ...), batch or
+    streaming from the same call. Where :func:`session_distinct` is
+    bound to the JVM HLL aggregate (the only sketch Spark's native
+    ``session_window`` can merge through session fusion), this operator
+    runs the gap merge ITSELF so each (keys, session) row carries a
+    serialized engine state the whole estimate/combine surface reads —
+    e.g. per-session quantiles, or per-session tuple (count, sum)
+    per-key summaries.
+
+    Returns ``(keys..., session_start, session_end, state, n)`` with
+    the session bounds as epoch-millis longs (``session_end`` = last
+    event + gap, Spark's half-open session convention; epoch math runs
+    JVM-side via ``unix_millis`` in BOTH paths, so batch and stream
+    emissions are bit-comparable). ``col`` may be a (value, weight) /
+    (key, value) tuple for the two-column families.
+
+    Batch: a per-key PARTITIONED window (never global) assigns session
+    ids from the gap rule, then one ``applyInPandas`` per session
+    builds the state — sessions are bounded by the gap, so group memory
+    is bounded regardless of corpus size.
+
+    Streaming: ``groupBy(keys)`` + ``applyInPandasWithState`` holding
+    the OPEN sessions of each key (interval-merged, sketches fused with
+    the family's own merge — a late event can fuse two open sessions).
+    Requires ``delay``; a session emits exactly ONCE, when the
+    watermark passes ``last event + gap`` (append semantics like
+    ``session_distinct``: state is bounded by live sessions, and rows
+    for an already-closed session start a fresh one — the
+    within-watermark contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fam = _family(family, **params)
+    gap_ms = _interval_ms(gap)
+    in_cols = list(col) if isinstance(col, tuple) else [col]
+    ts_ms = F.unix_millis(F.col(event_time).cast("timestamp"))
+
+    key_src = df.select(*keys).schema
+    out_schema = StructType(
+        list(key_src.fields) + [
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField(state_col, BinaryType()),
+            StructField("n", LongType()),
+        ])
+
+    def _update(sk, pdf: pd.DataFrame) -> int:
+        if len(in_cols) > 1:
+            vals = pdf[in_cols].dropna(subset=in_cols[:1])
+        else:
+            vals = pdf[in_cols[0]].dropna()
+        fam.update_series(sk, vals)
+        return len(vals)
+
+    def _sessions_of(pdf: pd.DataFrame):
+        """Split one key's (ts-sorted) rows into gap sessions; yields
+        (start_ms, last_ms, sketch, n) tuples."""
+        pdf = pdf.sort_values("_ts_ms", kind="mergesort")
+        ts = pdf["_ts_ms"].to_numpy()
+        if len(ts) == 0:
+            return
+        brk = [0]
+        for i in range(1, len(ts)):
+            if ts[i] - ts[i - 1] >= gap_ms:
+                brk.append(i)
+        brk.append(len(ts))
+        for a, b in zip(brk[:-1], brk[1:]):
+            part = pdf.iloc[a:b]
+            sk = fam.make()
+            n = _update(sk, part)
+            yield int(ts[a]), int(ts[b - 1]), sk, n
+
+    if not df.isStreaming:
+        src = df.select(*keys, ts_ms.alias("_ts_ms"), *in_cols) \
+            .where(F.col("_ts_ms").isNotNull())
+        w = Window.partitionBy(*keys).orderBy("_ts_ms")
+        new_s = (F.when(F.col("_ts_ms") - F.lag("_ts_ms").over(w)
+                        >= F.lit(gap_ms), 1)
+                 .otherwise(0))
+        sess = src.withColumn("_sid", F.sum(new_s).over(w))
+
+        def batch_agg(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = fam.make()
+            n = _update(sk, pdf)
+            row = {k: [pdf[k].iloc[0]] for k in keys}
+            lo = int(pdf["_ts_ms"].min())
+            hi = int(pdf["_ts_ms"].max())
+            row["session_start"] = [lo]
+            row["session_end"] = [hi + gap_ms]
+            row[state_col] = [sk.serialize()]
+            row["n"] = [n]
+            return pd.DataFrame(row)
+
+        return (sess.groupBy(*keys, "_sid")
+                .applyInPandas(batch_agg, out_schema))
+
+    if delay is None:
+        raise ValueError("streaming session_summaries requires delay "
+                         "(the watermark bound that closes sessions)")
+    src = with_event_time_watermark(df, event_time, delay)
+    src = src.select(*keys, F.col(event_time),
+                     ts_ms.alias("_ts_ms"), *in_cols) \
+        .where(F.col("_ts_ms").isNotNull())
+    from pyspark.sql.types import ArrayType
+    state_schema = StructType([
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("blobs", ArrayType(BinaryType())),
+        StructField("ns", ArrayType(LongType())),
+    ])
+
+    def _emit(key, done):
+        row = {k: [v] * len(done) for k, v in zip(keys, key)}
+        row["session_start"] = [s for s, _, _, _ in done]
+        row["session_end"] = [e + gap_ms for _, e, _, _ in done]
+        row[state_col] = [b for _, _, b, _ in done]
+        row["n"] = [n for _, _, _, n in done]
+        return pd.DataFrame(row)
+
+    def _save(state: GroupState, keep, wm: int):
+        if not keep:
+            state.remove()
+            return
+        keep.sort()
+        state.update(([s for s, _, _, _ in keep],
+                      [e for _, e, _, _ in keep],
+                      [b for _, _, b, _ in keep],
+                      [n for _, _, _, n in keep]))
+        horizon = min(e for _, e, _, _ in keep) + gap_ms
+        state.setTimeoutTimestamp(max(horizon, wm + 1))
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import json as _json
+        import os as _os
+        _dbg = _os.environ.get("DSS_SESSION_DEBUG")
+        wm = max(state.getCurrentWatermarkMs(), 0)
+        sessions = []
+        if state.exists:
+            starts, lasts, blobs, ns = state.get
+            sessions = [(int(s), int(e), bytes(b), int(n))
+                        for s, e, b, n in zip(starts, lasts, blobs, ns)]
+        if _dbg:
+            with open(_dbg, "a") as _f:
+                _f.write(_json.dumps(
+                    {"key": str(key[0]), "wm": wm,
+                     "timedout": bool(state.hasTimedOut),
+                     "exists": bool(state.exists),
+                     "state_n": len(sessions)}) + "\n")
+        if state.hasTimedOut:
+            done = [x for x in sessions if x[1] + gap_ms <= wm]
+            keep = [x for x in sessions if x[1] + gap_ms > wm]
+            _save(state, keep, wm)
+            if done:
+                yield _emit(key, sorted(done))
+            return
+        # NOTE on late data: Spark drops rows older than the event-time
+        # watermark UPSTREAM of this operator (observed empirically on
+        # this Spark: a whole file of sub-watermark rows reaches fold as
+        # a timeout-only invocation), and getCurrentWatermarkMs() here
+        # is the END-of-batch watermark — so no in-fold late filter is
+        # needed or possible. Rows within `delay` of the max seen event
+        # time merge correctly (including fusing two open sessions);
+        # rows later than that never arrive (the within-watermark
+        # contract, like dropDuplicatesWithinWatermark): size `delay`
+        # to cover the stream's real event-time disorder.
+        for pdf in pdfs:
+            for s, e, sk, n in _sessions_of(pdf):
+                # interval-merge into open sessions; events within gap
+                # on EITHER side fuse (a bridge event fuses two)
+                merged = (s, e, sk, n)
+                rest = []
+                for o in sessions:
+                    if (merged[0] < o[1] + gap_ms
+                            and o[0] < merged[1] + gap_ms):
+                        osk = deserialize_any(o[2]) \
+                            if isinstance(o[2], (bytes, bytearray)) else o[2]
+                        msk = merged[2]
+                        msk.merge(osk)
+                        merged = (min(merged[0], o[0]),
+                                  max(merged[1], o[1]), msk,
+                                  merged[3] + o[3])
+                    else:
+                        rest.append(o)
+                sessions = rest + [merged]
+        # normalize sketches to bytes
+        sessions = [(s, e, sk.serialize() if not isinstance(
+            sk, (bytes, bytearray)) else bytes(sk), n)
+            for s, e, sk, n in sessions]
+        done = [x for x in sessions if x[1] + gap_ms <= wm]
+        keep = [x for x in sessions if x[1] + gap_ms > wm]
+        _save(state, keep, wm)
+        if done:
+            yield _emit(key, sorted(done))
+
+    return (src.groupBy(*keys)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.EventTimeTimeout))

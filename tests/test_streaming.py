@@ -470,3 +470,99 @@ class TestStreamingTuple:
             assert (g.e.ndv, g.e.rows, g.e.value_sum) == \
                 (t.ndv, t.n_rows, float(t.vsum))
             assert g.s.keys == t.seg
+
+
+class TestSessionSummaries:
+    def test_batch_bounds_match_native_session_window(self, spark, tables):
+        """The operator's own gap merge reproduces Spark's native
+        session_window bounds exactly, and the per-session engine-HLL
+        NDV equals exact count(DISTINCT) (fixture NDV << sparse cap)."""
+        from datasketches_spark_spark.streaming import session_summaries
+        from datasketches_spark_spark import functions as dsf
+        ev = tables["events"].select("event_type", "user_id", "ts")
+        out = session_summaries(ev, ["event_type"], "user_id", "ts",
+                                "1 hour", family="hll")
+        got = {(r.event_type, r.session_start, r.session_end): r.ndv
+               for r in out.select(
+                   "event_type", "session_start", "session_end",
+                   dsf.approx_count_distinct_estimate("state")
+                   .alias("ndv")).collect()}
+        batch = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        exact = {(r.event_type, r.s, r.e): r.n
+                 for r in batch.groupBy(
+                     F.session_window("ts", "1 hour").alias("w"),
+                     "event_type")
+                 .agg(F.countDistinct("user_id").alias("n"))
+                 .select("event_type",
+                         F.unix_millis("w.start").alias("s"),
+                         F.unix_millis("w.end").alias("e"), "n")
+                 .collect()}
+        assert got == exact and len(got) > 0
+
+    def test_streaming_tuple_sessions_match_batch(self, spark, tables,
+                                                  stream_dirs):
+        """Verdict #8: gap sessionization with ENGINE states through the
+        state store — streaming emissions (tuple family, per-session
+        (user, value) summaries) equal the batch operator row-for-row on
+        the sessions the final watermark closes; a session emits exactly
+        once. Arrival is EVENT-TIME-ORDERED (each quartile slice written
+        as its own append, increasing mtimes) so the watermark advances
+        through several closing rounds — Spark drops sub-watermark rows
+        upstream of applyInPandasWithState, so out-of-order file arrival
+        beyond `delay` is out of contract (documented)."""
+        import datetime
+        import time
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, session_summaries)
+        from datasketches_spark_spark import functions as dsf
+        src_dir, ckpt, _ = stream_dirs
+        ev = tables["events"].select("event_type", "user_id", "value", "ts")
+        ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        b = ev.select(ms.alias("m")).selectExpr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY m) q1",
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY m) q2",
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY m) q3"
+        ).collect()[0]
+        for s in [ev.where(ms <= b.q1),
+                  ev.where((ms > b.q1) & (ms <= b.q2)),
+                  ev.where((ms > b.q2) & (ms <= b.q3)),
+                  ev.where(ms > b.q3)]:
+            s.coalesce(1).write.mode("append").parquet(src_dir)
+            time.sleep(1.1)
+        raw = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+        def summarize(df):
+            return {(r.event_type, r.session_start, r.session_end):
+                    (r.e.ndv, r.e.rows, round(float(r.e.value_sum), 6),
+                     r.n)
+                    for r in df.select(
+                        "event_type", "session_start", "session_end", "n",
+                        dsf.approx_tuple_estimate("state").alias("e"))
+                    .collect()}
+
+        out = session_summaries(raw, ["event_type"],
+                                ("user_id", "value"), "ts", "1 hour",
+                                family="tuple", delay="30 minutes")
+        q = (out.writeStream.format("memory").queryName("sess_sum")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 180)
+        got = summarize(spark.table("sess_sum"))
+        # exactly-once: no (key, session) emitted twice
+        assert len(spark.table("sess_sum").collect()) == len(got)
+
+        batch = session_summaries(ev, ["event_type"],
+                                  ("user_id", "value"), "ts", "1 hour",
+                                  family="tuple")
+        max_ts = max(r.ts for r in
+                     ev.withColumn("ts", F.col("ts").cast("timestamp"))
+                     .collect())
+        horizon_ms = int((max_ts - datetime.timedelta(minutes=30))
+                         .timestamp() * 1000)
+        all_batch = summarize(batch)
+        closed = {k: v for k, v in all_batch.items()
+                  if k[2] <= horizon_ms}
+        assert got == closed
+        assert 0 < len(got) < len(all_batch)
