@@ -1023,16 +1023,36 @@ def _q46_session_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sessions) + the JVM DataSketches HLL aggregate, through the
     engine's batch/streaming-symmetric ``session_distinct`` helper
     (streaming/sketch_stream.py). Exact at fixture NDV; the oracle
-    recomputes sessions relationally (gaps-and-islands)."""
-    from datasketches_spark_spark.streaming import session_distinct
+    recomputes sessions relationally (gaps-and-islands). Round 11: the
+    same sessions ALSO carry ENGINE tuple states via
+    ``session_summaries`` (the state-store-capable gap sessionizer —
+    its own gap merge, no native session_window) — per-session rows /
+    value sum / distinct users decode from one tuple state per session
+    (t_rows, t_sum, t_ndv), and the two independent sessionizers MUST
+    agree on session identity for the join to line up, which the hash
+    gate now pins. Streaming == batch for session_summaries is pinned
+    in tests/test_streaming.py::TestSessionSummaries."""
+    from datasketches_spark_spark.streaming import (session_distinct,
+                                                    session_summaries)
     ev = read_table(spark, sf_dir, "events")
     out = session_distinct(ev, ["event_type"], "user_id", "ts", "1 hour")
-    return (out.select(
+    hll = out.select(
         "event_type",
         F.date_format(F.col("session.start"),
                       "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.col("ndv"))
-        .orderBy("event_type", "session_start"))
+    tup = session_summaries(ev, ["event_type"], ("user_id", "value"),
+                            "ts", "1 hour", family="tuple")
+    e = dsf.approx_tuple_estimate("state")
+    tleg = tup.select(
+        "event_type",
+        F.date_format(F.timestamp_millis(F.col("session_start")),
+                      "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        e["rows"].alias("t_rows"),
+        F.round(e["value_sum"], 6).alias("t_sum"),
+        e["ndv"].alias("t_ndv"))
+    return (hll.join(tleg, ["event_type", "session_start"])
+            .orderBy("event_type", "session_start"))
 
 
 def _q48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2875,10 +2895,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q46_session_ndv": """
             WITH m AS (
-              SELECT event_type, user_id, ts,
+              SELECT event_type, user_id, value, ts,
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type
                                                   ORDER BY ts)
-                            > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+                            >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
               FROM events),
             s AS (
               SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
@@ -2886,7 +2906,10 @@ def oracle_sql() -> dict[str, str]:
               FROM m)
             SELECT event_type,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-                   count(DISTINCT user_id) AS ndv
+                   count(DISTINCT user_id) AS ndv,
+                   count(*) AS t_rows,
+                   round(sum(value), 6) AS t_sum,
+                   count(DISTINCT user_id) AS t_ndv
             FROM s GROUP BY event_type, sid
             ORDER BY event_type, session_start
         """,

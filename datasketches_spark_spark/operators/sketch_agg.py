@@ -281,6 +281,39 @@ def _wreservoir_family(k: int | None, item_type: str) -> _Family:
                    prep, update)
 
 
+def _aodwire_family(k: int | None, item_type: str) -> _Family:
+    """Genuine DataSketches Tuple/ArrayOfDoubles family (two-column:
+    measure col is (key_col, value_col)): partials are family-9 wire
+    bytes with [1, x] summaries -> per-key (count, sum), readable by
+    datasketches-java; merged via the byte-sniff union
+    (``compat/aod.py``)."""
+    from ..compat.aod import AodWireAccumulator
+    k = k or conf.tuple_k()
+
+    def prep(pdf: pd.DataFrame):
+        kcol, vcol = pdf.columns[0], pdf.columns[1]
+        mask = pdf[kcol].notna().to_numpy()
+        keys = pdf[kcol].to_numpy()
+        vals = pd.to_numeric(pdf[vcol], errors="coerce") \
+            .fillna(0.0).to_numpy(np.float64)
+        return keys, vals, mask
+
+    def update(sk, ctx, idx):
+        keys, vals, mask = ctx
+        if idx is not None:
+            keys, vals, mask = keys[idx], vals[idx], mask[idx]
+        if not mask.any():
+            return
+        kv, vv = keys[mask], vals[mask]
+        if item_type == ITEM_LONG:
+            sk.update_longs(pd.to_numeric(pd.Series(kv))
+                            .to_numpy(np.int64), vv)
+        else:
+            sk.update_strings([str(x) for x in kv], vv)
+
+    return _Family(lambda: AodWireAccumulator(k), prep, update)
+
+
 def _tuple_family(k: int | None) -> _Family:
     """Two-column family: measure col is (key_col, value_col). Null-key
     rows drop; null values count their row with 0.0 (tuple_acc_udf
@@ -370,6 +403,9 @@ def _family(name: str, **params) -> _Family:
         return _states_family()
     if name == "tuple":
         return _tuple_family(params.get("k"))
+    if name in ("aodwire", "tuplewire"):
+        return _aodwire_family(params.get("k"),
+                               params.get("item_type", ITEM_STR))
     raise ValueError(f"unknown sketch family {name!r}")
 
 

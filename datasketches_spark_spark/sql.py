@@ -344,6 +344,8 @@ _ACC_FAMILY = {
         ("wreservoir", {"item_type": "str"}),
     # (key, value) per-key-summary aggregate — two measure input columns
     "approx_tuple_accumulate": ("tuple", {}),
+    "approx_tuple_accumulate_wire": ("aodwire", {}),
+    "approx_tuple_accumulate_wire_long": ("aodwire", {"item_type": "long"}),
 }
 
 # *_combine functions: merge pre-serialized states (family-agnostic wire).
@@ -499,7 +501,8 @@ def _classify_item(item: _Item, spark: SparkSession, seq: int) -> None:
         return
     if fname in _ACC_FAMILY:
         family, params = _resolve_acc_family(fname, spark)
-        want_args = 2 if family in ("wreservoir", "tuple") else 1
+        want_args = 2 if family in ("wreservoir", "tuple",
+                                    "aodwire") else 1
         if len(args) != want_args:
             raise _Unsupported(
                 f"{fname} expects {'(col, weight)' if want_args == 2 else '(col)'}")
@@ -533,7 +536,7 @@ def _resolve_acc_family(fname: str, spark: SparkSession):
             family, params = "hll", {"lgk": conf.distinct_cpc_lgk(spark)}
     if family in ("reservoir", "wreservoir"):
         params = dict(params, k=conf.sample_reservoir_k(spark))
-    if family == "tuple":
+    if family in ("tuple", "aodwire"):
         params = dict(params, k=conf.tuple_k(spark))
     return family, params
 
@@ -647,7 +650,7 @@ def _classify_nested_estimate(item: "_Item", call: tuple[str, str],
         arg_cols = iargs[0]
     elif ifn in _ACC_FAMILY:
         family, params = _resolve_acc_family(ifn, spark)
-        want = 2 if family in ("wreservoir", "tuple") else 1
+        want = 2 if family in ("wreservoir", "tuple", "aodwire") else 1
         iargs = _split_top(iargs_text)
         if len(iargs) != want:
             return False

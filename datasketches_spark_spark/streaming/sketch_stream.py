@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -431,11 +432,8 @@ def session_summaries(df: DataFrame, keys: list[str], col, event_time: str,
         ts = pdf["_ts_ms"].to_numpy()
         if len(ts) == 0:
             return
-        brk = [0]
-        for i in range(1, len(ts)):
-            if ts[i] - ts[i - 1] >= gap_ms:
-                brk.append(i)
-        brk.append(len(ts))
+        brk = ([0] + (np.flatnonzero(np.diff(ts) >= gap_ms) + 1).tolist()
+               + [len(ts)])
         for a, b in zip(brk[:-1], brk[1:]):
             part = pdf.iloc[a:b]
             sk = fam.make()
@@ -502,22 +500,12 @@ def session_summaries(df: DataFrame, keys: list[str], col, event_time: str,
         state.setTimeoutTimestamp(max(horizon, wm + 1))
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        import json as _json
-        import os as _os
-        _dbg = _os.environ.get("DSS_SESSION_DEBUG")
         wm = max(state.getCurrentWatermarkMs(), 0)
         sessions = []
         if state.exists:
             starts, lasts, blobs, ns = state.get
             sessions = [(int(s), int(e), bytes(b), int(n))
                         for s, e, b, n in zip(starts, lasts, blobs, ns)]
-        if _dbg:
-            with open(_dbg, "a") as _f:
-                _f.write(_json.dumps(
-                    {"key": str(key[0]), "wm": wm,
-                     "timedout": bool(state.hasTimedOut),
-                     "exists": bool(state.exists),
-                     "state_n": len(sessions)}) + "\n")
         if state.hasTimedOut:
             done = [x for x in sessions if x[1] + gap_ms <= wm]
             keep = [x for x in sessions if x[1] + gap_ms > wm]

@@ -585,3 +585,33 @@ def test_weighted_sample_accumulate_expression_args(spark):
         ") AS st FROM lineitem"))
     (row,) = df.collect()
     assert row.st is not None
+
+
+def test_aodwire_accumulate_two_phase_and_estimate(spark, tables):
+    """approx_tuple_accumulate_wire re-plans onto the two-phase path
+    (no fallback warning) as the 'aodwire' family, and the resulting
+    states are genuine family-9 ArrayOfDoubles images the estimate
+    decodes to exact (ndv, rows, sum) in this regime."""
+    import warnings
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark.compat.aod import is_aod
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    tables["documents"].createOrReplaceTempView("documents")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", SketchSqlFallbackWarning)
+        df = dss.sql(spark, """
+            WITH s AS (
+              SELECT lang, approx_tuple_accumulate_wire(source,
+                       CAST(n_chars AS DOUBLE)) AS st
+              FROM documents GROUP BY lang
+            )
+            SELECT lang, approx_tuple_estimate(st) AS e, st
+            FROM s ORDER BY lang""")
+        rows = df.collect()
+    exact = {r.lang: (r.n, r.c, float(r.s)) for r in spark.sql("""
+        SELECT lang, count(DISTINCT source) n, count(*) c,
+               sum(n_chars) s FROM documents GROUP BY lang""").collect()}
+    assert rows
+    for r in rows:
+        assert (r.e.ndv, r.e.rows, float(r.e.value_sum)) == exact[r.lang]
+        assert is_aod(bytes(r.st))
