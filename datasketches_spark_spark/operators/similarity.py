@@ -311,6 +311,15 @@ def _rhp_prefiltered_pairs(corpus: DataFrame, threshold: float, id_col: str,
     # written once and exchange/scan reuse can kick in
     vp = corpus.select(F.col(id_col).alias("_vid"),
                        F.col(vec_col).cast("array<double>").alias("_vv"))
+    # The signature UDF is the compute-heavy stage (tables x bits GEMM
+    # per vector) and mapInPandas inherits the SOURCE partitioning — a
+    # small-file scan would run it on 1-2 cores while the rest of the
+    # cluster idles. Spread it when the upstream is under-partitioned;
+    # at real corpus scale the scan already has >= cores partitions and
+    # this is a no-op (no exchange added).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if vp.rdd.getNumPartitions() < max(par // 2, 1):
+        vp = vp.repartition(par)
     sig = rhp_signatures(vp, num_bits=bits, num_tables=tables,
                          seed=seed, id_col="_vid", vec_col="_vv")
     # One shuffle: group each (table, bucket) and explode its i<j pairs
