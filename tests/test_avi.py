@@ -122,3 +122,50 @@ def test_multistream_rec_grouped_avi():
     assert len(frames) == 2
     assert all(f == jpg for f in frames)
     assert decode_avi_frame(frames[0]).shape == (8, 8, 3)
+
+
+class TestUncompressedRgb:
+    def test_rgb_roundtrip_lossless(self):
+        """encode_avi_rgb -> frame payloads -> BI_RGB decode recovers
+        every frame bit-exactly (BI_RGB is lossless)."""
+        import numpy as np
+        from datasketches_spark_spark.operators.avicodec import (
+            avi_frame_payloads, avi_video_format, decode_avi_frame,
+            encode_avi_rgb)
+        rng = np.random.default_rng(11)
+        frames = [rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        raw = encode_avi_rgb(frames)
+        fmt = avi_video_format(raw)
+        assert (fmt["width"], fmt["height"], fmt["bit_count"]) == (7, 5, 24)
+        assert fmt["compression"] == b"\x00\x00\x00\x00"
+        payloads = avi_frame_payloads(raw)
+        assert len(payloads) == 3
+        for p, orig in zip(payloads, frames):
+            assert np.array_equal(decode_avi_frame(p, fmt), orig)
+
+    def test_sampler_wraps_dib_as_standalone_bmp(self):
+        """mjpeg_frame_sampler on a BI_RGB AVI emits self-describing BMP
+        blobs that decode_image reads without any AVI context."""
+        import numpy as np
+        from datasketches_spark_spark.operators.avicodec import (
+            encode_avi_rgb, mjpeg_frame_sampler)
+        from datasketches_spark_spark.operators.imagecodec import decode_image
+        frames = [np.full((4, 6, 3), [10 * k, 20, 30], dtype=np.uint8)
+                  for k in range(5)]
+        raw = encode_avi_rgb(frames)
+        sampled = mjpeg_frame_sampler(raw, 2)
+        assert len(sampled) == 2
+        assert all(bytes(f[:2]) == b"BM" for f in sampled)
+        assert np.array_equal(decode_image(sampled[0]), frames[0])
+        assert np.array_equal(decode_image(sampled[1]), frames[4])
+
+    def test_payload_without_format_refuses(self):
+        import numpy as np
+        import pytest
+        from datasketches_spark_spark.operators.avicodec import (
+            avi_frame_payloads, decode_avi_frame, encode_avi_rgb)
+        raw = encode_avi_rgb([np.zeros((2, 2, 3), np.uint8)])
+        (p,) = avi_frame_payloads(raw)
+        with pytest.raises(NotImplementedError, match="BI_RGB"):
+            decode_avi_frame(p)
