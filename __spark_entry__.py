@@ -630,8 +630,14 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL frames (0 and 3), each an independent JPEG decoded by
     extract_image_features — frame grays are even offsets from 128, so
     the whole container->sample->decode chain is bit-exact and DuckDB
-    recomputes the sampled-frame means from doc_id alone. Leg 'flac'
-    (round 8): the same square wave through the pure-Python FLAC codec
+    recomputes the sampled-frame means from doc_id alone. Leg 'rgbv'
+    (round 11): the UNCOMPRESSED video sibling — 3-frame solid-color
+    BI_RGB AVIs (operators/avicodec.py::encode_avi_rgb) through the
+    same sample_frames machinery, each sampled DIB frame re-wrapped as
+    a standalone BMP and decoded by the imagecodec raster path;
+    lossless, so channel means are the exact planted constants and the
+    red channel pins the endpoint sampling (frames 0 and 2 of 3). Leg
+    'flac' (round 8): the same square wave through the pure-Python FLAC codec
     (operators/flaccodec.py — Rice-coded fixed-predictor residuals,
     LOSSLESS) and decode_audio's sniffing dispatcher, so the decoded
     features equal the WAV leg's construction exactly. All
@@ -719,6 +725,18 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  for k in range(4)])
              for vv in v], dtype=object)
 
+    def _mk_rgbv(v):
+        # round 11: UNCOMPRESSED BI_RGB AVI — 3 solid-color frames whose
+        # red channel encodes both the doc color and the frame ordinal,
+        # so the sampled-frame means pin the DIB raster decode AND that
+        # the sampler picked the evenly spaced endpoints (0 and 2)
+        from datasketches_spark_spark.operators import encode_avi_rgb
+        return pd.Series(
+            [encode_avi_rgb(
+                [np.full((6, 10, 3), [int(vv) + 5 * k, 90, 9],
+                         dtype=np.uint8) for k in range(3)])
+             for vv in v], dtype=object)
+
     def _mk_flac(amp_k, n):
         from datasketches_spark_spark.operators import encode_flac
         out = []
@@ -742,6 +760,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk_mp3.__annotations__ = {"k": pd.Series, "return": pd.Series}
     _mp3_meta.__annotations__ = {"p": pd.Series, "return": pd.DataFrame}
     _mk_avi.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _mk_rgbv.__annotations__ = {"v": pd.Series, "return": pd.Series}
     _mk_flac.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
                                 "return": pd.Series}
     make_ppm = F.pandas_udf(_mk_img, BinaryType())
@@ -753,6 +772,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp3_meta = F.pandas_udf(
         _mp3_meta, "n_frames long, dur_ms long")
     make_avi = F.pandas_udf(_mk_avi, BinaryType())
+    make_rgbv = F.pandas_udf(_mk_rgbv, BinaryType())
     make_flac = F.pandas_udf(_mk_flac, BinaryType())
 
     docs = read_table(spark, sf_dir, "documents")
@@ -854,8 +874,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         make_avi((F.lit(100) + (F.col("doc_id") % 60) * 2).cast("int"))
         .alias("payload"))
-    frames = sample_frames(vids, "doc_id", 2).join(
-        docs.select("doc_id", "source"), "doc_id")
+    frames = sample_frames(vids, "doc_id", 2, keep_cols=["source"])
     vfeats = extract_image_features(
         frames.withColumnRenamed("frame", "payload"), "doc_id",
         keep_cols=["source", "frame_idx"])
@@ -868,6 +887,23 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("d3"))
            .select(F.lit("vid").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
+    rvids = docs.where(F.col("doc_id") < 2000).select(
+        "doc_id", "source",
+        make_rgbv(((F.col("doc_id") % 50) * 4).cast("int"))
+        .alias("payload"))
+    rframes = sample_frames(rvids, "doc_id", 2, keep_cols=["source"])
+    rfeats = extract_image_features(
+        rframes.withColumnRenamed("frame", "payload"), "doc_id",
+        keep_cols=["source", "frame_idx"])
+    rgbv = (rfeats.groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.max("width").cast("long").alias("i1"),
+                 F.max("height").cast("long").alias("i2"),
+                 F.avg("mean_r").alias("d1"),
+                 F.avg("mean_g").alias("d2"),
+                 F.avg("mean_b").alias("d3"))
+            .select(F.lit("rgbv").alias("leg"), "source", "n", "i1",
+                    "i2", "d1", "d2", "d3"))
     fclips = docs.where(F.col("doc_id") < 2000).select(
         "doc_id", "source",
         make_flac((F.col("doc_id") % 64).cast("int"),
@@ -885,7 +921,8 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "i2", "d1", "d2", "d3"))
     return (img.unionByName(aud).unionByName(jpg).unionByName(png)
             .unionByName(webp).unionByName(mp3).unionByName(vid)
-            .unionByName(flac).orderBy("leg", "source"))
+            .unionByName(rgbv).unionByName(flac)
+            .orderBy("leg", "source"))
 
 
 def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2781,6 +2818,19 @@ def oracle_sql() -> dict[str, str]:
                      AS d1,
                    CAST(0.5 AS DOUBLE) AS d2,
                    CAST(0.0 AS DOUBLE) AS d3
+            FROM documents WHERE doc_id < 2000 GROUP BY source
+            UNION ALL
+            -- 'rgbv' (round 11): uncompressed BI_RGB AVI, 2 of 3 solid
+            -- frames sampled (red = (doc%50)*4 + 5k, endpoints k=0,2 ->
+            -- mean red = doc red + 5; BI_RGB is lossless so greens/blues
+            -- are the exact constants)
+            SELECT 'rgbv' AS leg, source,
+                   CAST(count(*) * 2 AS BIGINT) AS n,
+                   CAST(10 AS BIGINT) AS i1,
+                   CAST(6 AS BIGINT) AS i2,
+                   avg(CAST((doc_id % 50) * 4 AS DOUBLE)) + 5.0 AS d1,
+                   CAST(90.0 AS DOUBLE) AS d2,
+                   CAST(9.0 AS DOUBLE) AS d3
             FROM documents WHERE doc_id < 2000 GROUP BY source
             ORDER BY leg, source
         """,

@@ -232,8 +232,8 @@ def perceptual_hash_images(df: DataFrame, id_col: str,
 
 def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                   payload_col: str = "payload",
-                  decoder: Callable[[bytes, int], list] | None = None
-                  ) -> DataFrame:
+                  decoder: Callable[[bytes, int], list] | None = None,
+                  keep_cols: list[str] | None = None) -> DataFrame:
     """Frame sampling for video-like payloads: emits one row per sampled
     frame ``(id, frame_idx, frame: binary)``. AVI payloads are REAL as
     of round 8: the RIFF container is parsed and ``num_frames`` evenly
@@ -241,19 +241,24 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
     Motion-JPEG files, decodable downstream by ``decode_image`` —
     `operators/avicodec.py`). An injected ``decoder`` overrides; any
     other payload falls back to ``num_frames`` evenly-spaced byte
-    slices (deterministic fake; the row-explosion plumbing is real)."""
-    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
-    out_schema = StructType([
-        StructField("_id", src.schema["_id"].dataType),
-        StructField("frame_idx", LongType()),
-        StructField("frame", BinaryType()),
-    ])
+    slices (deterministic fake; the row-explosion plumbing is real).
+    ``keep_cols`` ride through the explosion (round 11) so downstream
+    feature rollups need no join back to the source table — at corpus
+    scale that join is a full shuffle of the frame rows."""
+    keep = keep_cols or []
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(payload_col).alias("_p"), *keep)
+    out_schema = StructType(
+        [StructField("_id", src.schema["_id"].dataType)]
+        + [src.schema[c] for c in keep]
+        + [StructField("frame_idx", LongType()),
+           StructField("frame", BinaryType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avicodec import is_avi, mjpeg_frame_sampler
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for _id, raw in zip(pdf["_id"], pdf["_p"]):
+            rows = []
+            for j, raw in enumerate(pdf["_p"]):
                 if raw is None:
                     continue
                 raw = bytes(raw)
@@ -265,13 +270,12 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                     step = max(len(raw) // num_frames, 1)
                     fs = [raw[i * step:(i + 1) * step]
                           for i in range(num_frames)]
+                base = [pdf["_id"].iloc[j]] + [pdf[c].iloc[j] for c in keep]
                 for i, f in enumerate(fs):
-                    ids.append(_id)
-                    idxs.append(i)
-                    frames.append(f)
-            if ids:
-                yield pd.DataFrame({"_id": ids, "frame_idx": idxs,
-                                    "frame": frames})
+                    rows.append(base + [i, f])
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["_id", *keep, "frame_idx", "frame"])
 
     return src.mapInPandas(run, out_schema).withColumnRenamed("_id", id_col)
 
