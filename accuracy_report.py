@@ -402,6 +402,38 @@ def main(spark=None, rows: int | None = None) -> int:
             failures.append(
                 f"tuple {leg} error {tup_errs[leg]:.2f}% > 6%")
 
+    # ----------------------------------------- AoD wire at saturation
+    # the DataSketches ArrayOfDoubles wire family (round 11,
+    # compat/aod.py) past nominal k: the engine's estimate of its OWN
+    # wire state sits in the same KMV envelope, and — the interop
+    # claim — datasketches-java's estimate of the SAME bytes agrees
+    # with the engine's to the rounding unit (proving the saturated
+    # state is a VALID AoD image, not just a parseable one).
+    (aod_row,) = dss.sql(spark, """
+        SELECT approx_tuple_estimate(
+                 approx_tuple_accumulate_wire(address, 1.0)) AS e,
+               approx_tuple_accumulate_wire(address, 1.0) AS st
+        FROM acc_addresses""").collect()
+    aod_err = (aod_row.e.ndv - tup_truth.ndv) / tup_truth.ndv * 100
+    jsk = (spark._jvm.org.apache.datasketches.tuple.arrayofdoubles
+           .ArrayOfDoublesSketches.heapifySketch(
+               spark._jvm.org.apache.datasketches.memory.Memory.wrap(
+                   bytes(aod_row.st))))
+    java_est = float(jsk.getEstimate())
+    print(json.dumps({
+        "experiment": "aod_wire_estimation", "rows": rows, "k": 4096,
+        "true_ndv": int(tup_truth.ndv),
+        "engine_est": int(aod_row.e.ndv),
+        "java_est_of_same_bytes": round(java_est, 2),
+        "pct_err": round(aod_err, 3),
+    }))
+    if abs(aod_err) > 5.0:
+        failures.append(f"AoD wire NDV error {aod_err:.2f}% > 5%")
+    if abs(java_est - aod_row.e.ndv) > 1.0:
+        failures.append(
+            f"datasketches-java disagrees with the engine on the same "
+            f"AoD bytes: {java_est} vs {aod_row.e.ndv}")
+
     print(json.dumps({"experiment": "summary",
                       "failures": failures or None}))
     if own_session:
