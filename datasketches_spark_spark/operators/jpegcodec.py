@@ -4,14 +4,22 @@ pipeline meets on nearly every crawl.
 
 Scope is deliberately exact:
 
-* decode: baseline-sequential (SOF0) AND progressive (SOF2, T.81
+* decode: baseline-sequential (SOF0), EXTENDED sequential (SOF1 —
+  round 11: 8- or 12-bit samples, 16-bit DQT entries, 2^(P-1) level
+  shift, uint16 output at 12 bits) AND progressive (SOF2, T.81
   Annex G: spectral selection + successive approximation with DC/AC
-  refinement scans and EOB runs) JFIF/EXIF, grayscale or YCbCr with any
-  of the standard subsampling factors (4:4:4, 4:2:2, 4:2:0), restart
-  intervals (DRI/RSTn), byte stuffing. Arithmetic coding, hierarchical
-  and 12-bit modes stay honestly refused with a named error.
-* encode: baseline-sequential, grayscale or 4:4:4 YCbCr, the T.81
-  Annex K example tables scaled by the usual IJG quality formula.
+  refinement scans and EOB runs; 8- or 12-bit) JFIF/EXIF, grayscale or
+  YCbCr with any of the standard subsampling factors (4:4:4, 4:2:2,
+  4:2:0), restart intervals (DRI/RSTn), byte stuffing. Arithmetic
+  coding (the QM-coder's normative state machine has no in-container
+  reference to validate against — the lossy-VP8/MP3 verifiability
+  rule), hierarchical and lossless modes stay refused with a named
+  error.
+* encode: baseline-sequential (grayscale or 4:4:4 YCbCr, the T.81
+  Annex K example tables scaled by the usual IJG quality formula) and
+  12-bit extended sequential (``bits=12``: Annex K x16 quant tables as
+  16-bit DQT, flat file-carried Huffman tables sized for the wider
+  DC/AC categories Annex K cannot express).
 
 The entropy-coded segment is decoded bit-serially in Python (a few
 symbol lookups per 8x8 block); everything block-shaped — IDCT/FDCT,
@@ -269,11 +277,16 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
             s = 0
             while s < len(seg):
                 prec, tid = seg[s] >> 4, seg[s] & 0xF
-                if prec != 0:
-                    raise NotImplementedError("JPEG: 16-bit quant tables")
-                qt[tid] = np.frombuffer(
-                    seg[s + 1:s + 65], dtype=np.uint8).astype(np.int64)
-                s += 65
+                if prec not in (0, 1):
+                    raise ValueError(f"JPEG: bad DQT precision {prec}")
+                if prec:   # 16-bit entries (12-bit-sample streams)
+                    qt[tid] = np.frombuffer(
+                        seg[s + 1:s + 129], dtype=">u2").astype(np.int64)
+                    s += 129
+                else:
+                    qt[tid] = np.frombuffer(
+                        seg[s + 1:s + 65], dtype=np.uint8).astype(np.int64)
+                    s += 65
         elif marker == 0xC4:  # DHT
             s = 0
             while s < len(seg):
@@ -284,32 +297,40 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 (huff_dc if cls == 0 else huff_ac)[tid] = _decode_table(
                     bits, vals)
                 s += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision")
+            # baseline is 8-bit by definition; extended sequential
+            # (SOF1, round 11) carries 8- or 12-bit samples — the same
+            # Huffman machinery with file-carried tables, wider
+            # categories and a 2^(P-1) level shift
+            if (marker == 0xC0 and prec != 8) or prec not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG: SOF{marker - 0xC0} with {prec}-bit precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
         elif marker == 0xC2:  # SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("JPEG: only 8-bit precision")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG: progressive with {prec}-bit precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True,
+                     "prec": prec}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF{marker - 0xC0} (extended/arithmetic/"
-                "hierarchical) — baseline sequential and progressive "
-                "(SOF0/SOF2) only")
+                f"JPEG: SOF{marker - 0xC0} (lossless/arithmetic/"
+                "hierarchical) — sequential (SOF0/SOF1) and progressive "
+                "(SOF2) only; the arithmetic QM-coder stays a refusal "
+                "for the same verifiability reason as lossy VP8")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -618,7 +639,8 @@ def _reconstruct(frame, coeffs, qt):
         blocks = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
         blocks.reshape(zz.shape[:2] + (64,))[:, :, ZIGZAG] = deq
         # IDCT all blocks at once: C.T @ B @ C
-        pix = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        half = float(1 << (frame.get("prec", 8) - 1))
+        pix = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + half
         nby, nbx = pix.shape[:2]
         plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         # upsample to full resolution (nearest / pixel replication)
@@ -626,16 +648,20 @@ def _reconstruct(frame, coeffs, qt):
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:frame["h"], :frame["w"]])
+    prec = frame.get("prec", 8)
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dt = np.uint8 if prec == 8 else np.uint16
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, maxv).astype(dt)
     if len(planes) != 3:
         raise NotImplementedError("JPEG: only 1- or 3-component frames")
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
-                   0, 255).astype(np.uint8)
+                   0, maxv).astype(dt)
 
 
 # ----------------------------------------------------------------- encoder
@@ -710,7 +736,29 @@ def _encode_blocks(writer, zz, dc_tab, ac_tab):
             writer.write(code, ln)
 
 
-def _fdct_quantize(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _flat_tables(prec: int):
+    """Huffman tables for the {prec}-bit encoder. 8-bit uses the Annex K
+    tables; 12-bit needs DC categories to 15 and AC sizes to 14, which
+    Annex K (an 8-bit design) cannot express — so the encoder writes
+    FLAT canonical tables into the DHT instead (DC: 16 symbols at 5
+    bits; AC: EOB+ZRL+16x14 run/size symbols at 8 bits). JPEG tables
+    ride in the file, so any conforming decoder reads them."""
+    if prec == 8:
+        return ((DC_LUM_BITS, DC_LUM_VALS), (AC_LUM_BITS, AC_LUM_VALS),
+                (DC_CHR_BITS, DC_CHR_VALS), (AC_CHR_BITS, AC_CHR_VALS))
+    dc_bits = [0] * 16
+    dc_bits[4] = 16          # 16 codes of length 5 (bits[] is 1-based)
+    dc_vals = list(range(16))
+    ac_bits = [0] * 16
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 15)]
+    ac_bits[7] = len(ac_vals)  # all codes at length 8 (226 <= 256)
+    t = ((dc_bits, dc_vals), (ac_bits, ac_vals))
+    return t + t
+
+
+def _fdct_quantize(plane: np.ndarray, q: np.ndarray,
+                   half: float = 128.0) -> np.ndarray:
     """Level-shift, 8x8 FDCT (vectorized), quantize, zig-zag; returns
     (n_blocks, 64) int coefficient rows in scan order."""
     h, w = plane.shape
@@ -720,7 +768,7 @@ def _fdct_quantize(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     padded[h:, :w] = plane[-1:, :]  # edge replication
     padded[:, w:] = padded[:, w - 1:w]
     blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,abjk,kl->abil", _C, blocks - 128.0, _C.T)
+    coef = np.einsum("ij,abjk,kl->abil", _C, blocks - half, _C.T)
     # decoder writes block.flat[ZIGZAG[i]] = scan[i], so the scan order
     # here must be coef.flat[ZIGZAG[i]]
     zz = coef.reshape(-1, 64)[:, ZIGZAG]
@@ -729,40 +777,59 @@ def _fdct_quantize(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return qzz.astype(np.int64)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
-    """Encode ``(H, W) uint8`` grayscale or ``(H, W, 3) uint8`` RGB to
-    baseline-sequential JPEG (4:4:4, Annex K tables at the IJG quality
-    scale). Decodable by this module's :func:`decode_jpeg` and any
-    standard JPEG library."""
+def encode_jpeg(img: np.ndarray, quality: int = 50,
+                bits: int = 8) -> bytes:
+    """Encode ``(H, W)`` grayscale or ``(H, W, 3)`` RGB to sequential
+    JPEG (4:4:4, IJG quality scale). ``bits=8`` (uint8 input) writes
+    baseline SOF0 with Annex K tables; ``bits=12`` (round 11; uint16
+    input, values < 4096) writes EXTENDED sequential SOF1 with 16-bit
+    quant tables (Annex K x16) and flat file-carried Huffman tables
+    (``_flat_tables``). Decodable by this module's :func:`decode_jpeg`
+    and any standard JPEG library built with 12-bit support."""
     img = np.asarray(img)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
-        raise ValueError("encode_jpeg needs (H,W) or (H,W,3) uint8")
+        raise ValueError("encode_jpeg needs (H,W) or (H,W,3)")
+    if bits not in (8, 12):
+        raise ValueError(f"encode_jpeg bits must be 8 or 12, got {bits}")
+    if bits == 12 and int(img.max(initial=0)) > 4095:
+        raise ValueError("12-bit encode needs sample values < 4096")
     h, w = img.shape[:2]
     lum_q, chr_q = _quality_tables(quality)
+    if bits == 12:
+        lum_q = np.minimum(lum_q * 16, 32767)
+        chr_q = np.minimum(chr_q * 16, 32767)
+    half = float(1 << (bits - 1))
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
         + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    # DQT
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
-        + bytes(lum_q.astype(np.uint8))
-    if not gray:
-        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" \
-            + bytes(chr_q.astype(np.uint8))
-    # SOF0
+    # DQT (8-bit entries for baseline, 16-bit for 12-bit samples)
+    if bits == 12:
+        out += b"\xff\xdb" + struct.pack(">H", 131) + b"\x10" \
+            + lum_q.astype(">u2").tobytes()
+        if not gray:
+            out += b"\xff\xdb" + struct.pack(">H", 131) + b"\x11" \
+                + chr_q.astype(">u2").tobytes()
+    else:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+            + bytes(lum_q.astype(np.uint8))
+        if not gray:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" \
+                + bytes(chr_q.astype(np.uint8))
+    # SOF0 (baseline) / SOF1 (extended, 12-bit)
     nc = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", bits, h, w, nc)
     sof += bytes([1, 0x11, 0])
     if not gray:
         sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT (the 2 or 4 standard tables)
-    tables = [(0x00, DC_LUM_BITS, DC_LUM_VALS),
-              (0x10, AC_LUM_BITS, AC_LUM_VALS)]
+    out += (b"\xff\xc1" if bits == 12 else b"\xff\xc0") \
+        + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT (Annex K for 8-bit; flat extended tables for 12-bit)
+    (dlb, dlv), (alb, alv), (dcb, dcv), (acb, acv) = _flat_tables(bits)
+    tables = [(0x00, dlb, dlv), (0x10, alb, alv)]
     if not gray:
-        tables += [(0x01, DC_CHR_BITS, DC_CHR_VALS),
-                   (0x11, AC_CHR_BITS, AC_CHR_VALS)]
+        tables += [(0x01, dcb, dcv), (0x11, acb, acv)]
     for tc, bits, vals in tables:
         payload = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
@@ -774,24 +841,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 50) -> bytes:
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     # entropy-coded segment
     writer = _BitWriter()
-    dc_lum = _encode_table(DC_LUM_BITS, DC_LUM_VALS)
-    ac_lum = _encode_table(AC_LUM_BITS, AC_LUM_VALS)
+    dc_lum = _encode_table(dlb, dlv)
+    ac_lum = _encode_table(alb, alv)
     if gray:
         _encode_blocks(writer, _fdct_quantize(img.astype(np.float64),
-                                              lum_q), dc_lum, ac_lum)
+                                              lum_q, half),
+                       dc_lum, ac_lum)
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        dc_chr = _encode_table(DC_CHR_BITS, DC_CHR_VALS)
-        ac_chr = _encode_table(AC_CHR_BITS, AC_CHR_VALS)
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
+        dc_chr = _encode_table(dcb, dcv)
+        ac_chr = _encode_table(acb, acv)
         # 4:4:4 non-interleaved would need 3 scans; baseline interleaved
         # MCUs at 1x1 sampling = one block per component per MCU
-        zys = _fdct_quantize(y, lum_q)
-        zcb = _fdct_quantize(cb, chr_q)
-        zcr = _fdct_quantize(cr, chr_q)
+        zys = _fdct_quantize(y, lum_q, half)
+        zcb = _fdct_quantize(cb, chr_q, half)
+        zcr = _fdct_quantize(cr, chr_q, half)
         predy = predb = predr = 0
         for i in range(zys.shape[0]):
             for zz, tabs, pred_name in ((zys[i], (dc_lum, ac_lum), "y"),

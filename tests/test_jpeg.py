@@ -218,3 +218,63 @@ def test_multiscan_baseline_noninterleaved():
     partial = multiscan[:first_scan_end] + b"\xff\xd9"
     with pytest.raises(ValueError, match="covered"):
         decode_jpeg(partial)
+
+
+class TestExtended12Bit:
+    """Round 11: SOF1 extended-sequential 12-bit samples. No normative
+    tables are involved beyond the already-validated 8-bit machinery —
+    Huffman tables ride in the file (the 12-bit encoder writes flat
+    canonical tables), quant tables are 16-bit DQT entries, and the
+    only sample-depth deltas are the 2^(P-1) level shift and wider
+    categories — so encoder/decoder roundtrips genuinely exercise the
+    format, unlike self-consistent-only codecs."""
+
+    def test_gray_gradient_roundtrip(self):
+        import numpy as np
+        from datasketches_spark_spark.operators.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+        x = np.linspace(0, 4095, 24 * 32).reshape(24, 32).astype(np.uint16)
+        dec = decode_jpeg(encode_jpeg(x, quality=95, bits=12))
+        assert dec.dtype == np.uint16 and dec.shape == x.shape
+        assert np.abs(dec.astype(int) - x.astype(int)).max() < 64
+
+    def test_solid_dc_exact(self):
+        import numpy as np
+        from datasketches_spark_spark.operators.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+        s = np.full((16, 16), 2080, np.uint16)
+        assert (decode_jpeg(encode_jpeg(s, quality=50, bits=12))
+                == 2080).all()
+
+    def test_rgb_roundtrip_and_header(self):
+        import numpy as np
+        from datasketches_spark_spark.operators.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+        rng = np.random.default_rng(5)
+        rgb = (rng.integers(0, 64, (8, 8, 3)) * 64).astype(np.uint16)
+        enc = encode_jpeg(rgb, quality=95, bits=12)
+        assert b"\xff\xc1" in enc      # SOF1, not SOF0
+        dec = decode_jpeg(enc)
+        assert dec.dtype == np.uint16
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() < 400
+
+    def test_wide_dc_categories(self):
+        """Full-range DC swings need categories Annex K cannot express —
+        the flat tables must carry them."""
+        import numpy as np
+        from datasketches_spark_spark.operators.jpegcodec import (
+            decode_jpeg, encode_jpeg)
+        x = np.zeros((8, 32), np.uint16)
+        x[:, 8:16] = 4095
+        x[:, 24:] = 4095
+        dec = decode_jpeg(encode_jpeg(x, quality=97, bits=12))
+        assert np.abs(dec.astype(int) - x.astype(int)).max() < 256
+
+    def test_range_and_bits_validation(self):
+        import numpy as np
+        import pytest
+        from datasketches_spark_spark.operators.jpegcodec import encode_jpeg
+        with pytest.raises(ValueError, match="4096"):
+            encode_jpeg(np.full((4, 4), 5000, np.uint16), bits=12)
+        with pytest.raises(ValueError, match="8 or 12"):
+            encode_jpeg(np.zeros((4, 4), np.uint8), bits=10)
