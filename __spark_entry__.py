@@ -665,11 +665,25 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(encode_wav(x, 8000))
         return pd.Series(out, dtype=object)
 
-    def _mk_jpg(v):
+    def _mk_jpg(v, p):
+        # even docs: 8-bit baseline SOF0; odd docs (round 11): the SAME
+        # solid gray as 12-BIT extended-sequential SOF1 (value x16 — the
+        # gray is always even, so (16v-2048)/32 stays integral and the
+        # DC quantizes exactly in BOTH precisions) — the decoded 12-bit
+        # mean is exactly 16x the 8-bit one, so one relational CASE on
+        # doc parity covers both variants and the hash gate pins the
+        # 16-bit-DQT/flat-table/uint16 decode path
         from datasketches_spark_spark.operators import encode_jpeg
-        return pd.Series(
-            [encode_jpeg(np.full((8, 16), int(vv), dtype=np.uint8))
-             for vv in v], dtype=object)
+        out = []
+        for vv, pp in zip(v, p):
+            if int(pp) % 2:
+                out.append(encode_jpeg(
+                    np.full((8, 16), int(vv) * 16, dtype=np.uint16),
+                    bits=12))
+            else:
+                out.append(encode_jpeg(
+                    np.full((8, 16), int(vv), dtype=np.uint8)))
+        return pd.Series(out, dtype=object)
 
     def _mk_png(r, g):
         # even docs: 8-bit RGB; odd docs: 4-BIT PALETTE (round 9) with
@@ -752,7 +766,8 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "return": pd.Series}
     _mk_wav.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
                                "return": pd.Series}
-    _mk_jpg.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _mk_jpg.__annotations__ = {"v": pd.Series, "p": pd.Series,
+                               "return": pd.Series}
     _mk_png.__annotations__ = {"r": pd.Series, "g": pd.Series,
                                "return": pd.Series}
     _mk_webp.__annotations__ = {"r": pd.Series, "g": pd.Series,
@@ -809,7 +824,8 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "d1", "d2", "d3"))
     jpgs = docs.select(
         "doc_id", "source",
-        make_jpg((F.lit(78) + (F.col("doc_id") % 50) * 2).cast("int"))
+        make_jpg((F.lit(78) + (F.col("doc_id") % 50) * 2).cast("int"),
+                 (F.col("doc_id") % 2).cast("int"))
         .alias("payload"))
     jfeats = extract_image_features(jpgs, "doc_id", keep_cols=["source"])
     jpg = (jfeats.groupBy("source")
@@ -2759,12 +2775,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
             UNION ALL
+            -- jpeg: even grays ride 8-bit SOF0; odd grays ride 12-bit
+            -- SOF1 at value x16 (round 11) — both DC-exact solids
             SELECT 'jpeg' AS leg, source,
                    count(*) AS n,
                    CAST(16 AS BIGINT) AS i1,
                    CAST(8 AS BIGINT) AS i2,
-                   avg(CAST(78 + (doc_id % 50) * 2 AS DOUBLE)) AS d1,
-                   avg(CAST(78 + (doc_id % 50) * 2 AS DOUBLE)) AS d2,
+                   avg(CAST((78 + (doc_id % 50) * 2)
+                       * (CASE WHEN doc_id % 2 = 1
+                          THEN 16 ELSE 1 END) AS DOUBLE)) AS d1,
+                   avg(CAST((78 + (doc_id % 50) * 2)
+                       * (CASE WHEN doc_id % 2 = 1
+                          THEN 16 ELSE 1 END) AS DOUBLE)) AS d2,
                    CAST(0.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
             UNION ALL
