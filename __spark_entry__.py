@@ -33,6 +33,13 @@ _QK = 262_144        # quantile sketch k (l_returnflag group ~20k rows at sf0.01
 _TK = 16_384         # theta k (user_id NDV 1.5k at sf0.1)
 
 
+# Probe queries for the q16 BM25 leg: fixed terms from the corpus
+# vocabulary, a user-supplied dimension (bounded by construction).
+_BM25_QUERIES = [("q1", "spark window merge"),
+                 ("q2", "customer order join"),
+                 ("q3", "stream filter vector hash")]
+
+
 # --------------------------------------------------------------------- queries
 
 def _q01_percentile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,16 +301,37 @@ def _q15_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 word bigrams via the frequent-items sketch (exact regime:
-    distinct bigrams < maxMapSize), two-phase map-side sketching."""
+    """Text mining, two legs. Leg 'gram': top-10 word bigrams via the
+    frequent-items sketch (exact regime: distinct bigrams < maxMapSize),
+    two-phase map-side sketching. Leg 'bm25' (round 11): Okapi BM25
+    top-10 documents per probe query (operators/retrieval.py::bm25_topk
+    — broadcast query-term prune inside the scan stage, match-bounded
+    shuffles only, window-df instead of a rescan branch, WindowGroupLimit
+    top-k; scores rounded to 6 decimals BEFORE ranking so independent
+    engines rank identically)."""
+    from pyspark.sql import Window
     from datasketches_spark_spark.functions.text import ngrams, tokenize
+    from datasketches_spark_spark.operators import bm25_topk
     docs = read_table(spark, sf_dir, "documents")
     grams = docs.select(F.explode(ngrams(tokenize("text"), 2)).alias("bigram"))
     fi = sketch_grouped_agg(grams, [],
                             freqitems_measure("fi", "bigram",
                                               max_map_size=65_536))
-    return (fi.select(F.inline("fi"))
-            .orderBy(F.desc("estimated"), "item").limit(10))
+    gw = Window.partitionBy(F.lit(0)).orderBy(F.desc("estimated"), "item")
+    gram = (fi.select(F.inline("fi"))
+            .withColumn("rk", F.row_number().over(gw))
+            .where(F.col("rk") <= 10)
+            .select(F.lit("gram").alias("leg"), F.lit("").alias("qid"),
+                    F.col("rk").cast("long").alias("rk"),
+                    F.col("item"),
+                    F.col("estimated").cast("double").alias("v")))
+    bm = bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)
+    bm25 = bm.select(F.lit("bm25").alias("leg"),
+                     F.col("query_id").alias("qid"),
+                     F.col("rank").cast("long").alias("rk"),
+                     F.col("doc_id").cast("string").alias("item"),
+                     F.col("score").alias("v"))
+    return gram.unionByName(bm25).orderBy("leg", "qid", "rk")
 
 
 def _q17_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2390,11 +2418,54 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "q16_ngram_topk": """
-            SELECT bg AS item, count(*) AS estimated
-            FROM (SELECT unnest(list_transform(range(1, len(t)),
-                         i -> t[i] || ' ' || t[i+1])) AS bg
-                  FROM (SELECT string_split(text, ' ') AS t FROM documents))
-            GROUP BY bg ORDER BY estimated DESC, item LIMIT 10
+            WITH gramtop AS (
+              SELECT 'gram' AS leg, '' AS qid,
+                     row_number() OVER (ORDER BY estimated DESC, item)
+                       AS rk,
+                     item, CAST(estimated AS DOUBLE) AS v
+              FROM (
+                SELECT bg AS item, count(*) AS estimated
+                FROM (SELECT unnest(list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1])) AS bg
+                      FROM (SELECT string_split(text, ' ') AS t
+                            FROM documents))
+                GROUP BY bg)
+              QUALIFY rk <= 10),
+            q(qid, term) AS (VALUES
+              ('q1','spark'), ('q1','window'), ('q1','merge'),
+              ('q2','customer'), ('q2','order'), ('q2','join'),
+              ('q3','stream'), ('q3','filter'), ('q3','vector'),
+              ('q3','hash')),
+            lens AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS t
+                     FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl
+                      FROM lens),
+            tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                   FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                         FROM lens)
+                   JOIN (SELECT DISTINCT term FROM q) USING (term)
+                   GROUP BY doc_id, dl, term),
+            dfq AS (SELECT doc_id, dl, term, tf,
+                           count(*) OVER (PARTITION BY term) AS df
+                    FROM tf),
+            sc AS (SELECT q.qid, dfq.doc_id,
+                          round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                                    * tf * 2.2
+                                    / (tf + 1.2 * (0.25
+                                                   + 0.75 * dl / avgdl))),
+                                6) AS score
+                   FROM dfq JOIN q USING (term) CROSS JOIN stats
+                   GROUP BY 1, 2),
+            bm AS (SELECT 'bm25' AS leg, qid,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score DESC, doc_id)
+                            AS rk,
+                          CAST(doc_id AS VARCHAR) AS item, score AS v
+                   FROM sc QUALIFY rk <= 10)
+            SELECT * FROM gramtop UNION ALL SELECT * FROM bm
+            ORDER BY leg, qid, rk
         """,
         "q17_simhash_portable_pairs": r"""
             WITH d AS (SELECT doc_id, text FROM documents

@@ -1,0 +1,88 @@
+"""BM25 retrieval operator: exactness vs a pure-Python reference, plan
+shape, and tie determinism."""
+
+import math
+
+import pytest
+
+
+def _bm25_reference(corpus, queries, k1=1.2, b=0.75, k=10):
+    """Scalar BM25 over {doc_id: text}; mirrors operators/retrieval.py."""
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        terms = list(dict.fromkeys(t for t in qtext.split(" ") if t))
+        scores = {}
+        for d, ts in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = ts.count(term)
+                if not tf:
+                    continue
+                df = sum(1 for other in toks.values() if term in other)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(ts) / avgdl))
+            if s:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(d, r + 1, s) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+class TestBM25:
+    CORPUS = {
+        1: "spark window merge spark table",
+        2: "window window window scan",
+        3: "merge join order customer",
+        4: "the a the a the a the a the a the a the a",
+        5: "spark",
+    }
+    QUERIES = [("qa", "spark window"), ("qb", "merge customer")]
+
+    def _run(self, spark, **kw):
+        from datasketches_spark_spark.operators import bm25_topk
+        df = spark.createDataFrame(
+            [(d, t) for d, t in self.CORPUS.items()], ["doc_id", "text"])
+        return bm25_topk(df, "doc_id", "text", self.QUERIES, **kw)
+
+    def test_matches_scalar_reference(self, spark):
+        got = {}
+        for r in self._run(spark).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.doc_id, r.rank, r.score))
+        for qid in got:
+            got[qid].sort(key=lambda t: t[1])
+        assert got == _bm25_reference(self.CORPUS, self.QUERIES)
+
+    def test_k_truncates_and_ranks_dense(self, spark):
+        out = self._run(spark, k=1).collect()
+        by_q = {r.query_id: r for r in out}
+        assert set(by_q) == {"qa", "qb"}
+        assert all(r.rank == 1 for r in out)
+
+    def test_tie_breaks_on_doc_id(self, spark):
+        from datasketches_spark_spark.operators import bm25_topk
+        # identical docs -> identical scores -> rank order must follow id
+        df = spark.createDataFrame(
+            [(9, "x y"), (3, "x y"), (7, "x y")], ["doc_id", "text"])
+        got = [(r.doc_id, r.rank)
+               for r in bm25_topk(df, "doc_id", "text", [("q", "x")], k=3)
+               .orderBy("rank").collect()]
+        assert got == [(3, 1), (7, 2), (9, 3)]
+
+    def test_plan_shape(self, spark):
+        plan = self._run(spark)._jdf.queryExecution().executedPlan().toString()
+        # query-term prune and query attach are broadcast, never shuffled
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+        # per-query top-k compiles to the partial-limit window form
+        assert "WindowGroupLimit" in plan
+
+    def test_empty_queries_raise(self, spark):
+        from datasketches_spark_spark.operators import bm25_topk
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            bm25_topk(df, "doc_id", "text", [])
