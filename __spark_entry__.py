@@ -286,7 +286,24 @@ def _q14_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n") > 1)
             .select(F.lit("norm").alias("leg"), "grp", "n",
                     F.col("n_var").cast("long").alias("n_var"), "min_doc"))
-    return exact.unionByName(norm).orderBy("leg", "grp")
+    # Leg 'span' (round 11, operators/dedup.py::duplicated_spans): the
+    # fixed-window form of suffix-array substring dedup (Lee et al.
+    # 2021) — cross-document 8-token windows merged into maximal
+    # per-doc spans; one corpus scan, stacked window functions on the
+    # gram key (no rescan branch), gaps-and-islands span merge. Per doc:
+    # n = duplicated windows, n_var = span count, min_doc = tokens
+    # covered by spans.
+    from datasketches_spark_spark.operators import duplicated_spans
+    span = (duplicated_spans(docs, "doc_id", "text", k=8)
+            .groupBy("doc_id")
+            .agg(F.sum("n_windows").alias("n"),
+                 F.count("*").alias("n_var"),
+                 F.sum(F.col("span_end") - F.col("span_start"))
+                 .alias("min_doc"))
+            .select(F.lit("span").alias("leg"),
+                    F.col("doc_id").cast("string").alias("grp"),
+                    "n", "n_var", "min_doc"))
+    return exact.unionByName(norm).unionByName(span).orderBy("leg", "grp")
 
 
 def _q15_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2392,7 +2409,40 @@ def oracle_sql() -> dict[str, str]:
                        AS grp,
                      count(*) AS n, count(DISTINCT md5(t)) AS n_var,
                      min(doc_id) AS min_doc
-              FROM r GROUP BY 1 HAVING count(*) > 1)
+              FROM r GROUP BY 1 HAVING count(*) > 1),
+            toks AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS toks
+                     FROM documents),
+            win AS (SELECT doc_id, i - 1 AS pos,
+                           toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||
+                           toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||
+                           toks[i+6]||' '||toks[i+7] AS g
+                    FROM toks, unnest(range(1, len(toks) - 6)) AS r(i)),
+            ndw AS (SELECT doc_id, pos,
+                           count(DISTINCT doc_id) OVER (PARTITION BY g)
+                             AS ndocs
+                    FROM win),
+            hits AS (SELECT doc_id, pos FROM ndw WHERE ndocs >= 2),
+            mrk AS (SELECT doc_id, pos,
+                           max(pos + 8) OVER (PARTITION BY doc_id
+                                              ORDER BY pos
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING)
+                             AS run_end
+                    FROM hits),
+            isl AS (SELECT doc_id, pos,
+                           sum(CASE WHEN run_end IS NULL OR pos > run_end
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_idx
+                    FROM mrk),
+            sp AS (SELECT doc_id, span_idx, min(pos) AS s,
+                          max(pos) + 8 AS e, count(*) AS nw
+                   FROM isl GROUP BY doc_id, span_idx),
+            spd AS (SELECT doc_id, sum(nw) AS n, count(*) AS n_var,
+                           sum(e - s) AS dup_tokens
+                    FROM sp GROUP BY doc_id)
             SELECT 'exact' AS leg, CAST(group_id AS VARCHAR) AS grp,
                    n_dups AS n, CAST(0 AS BIGINT) AS n_var,
                    group_id AS min_doc
@@ -2401,6 +2451,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'norm' AS leg, grp, n, CAST(n_var AS BIGINT) AS n_var,
                    min_doc
             FROM ng
+            UNION ALL
+            SELECT 'span' AS leg, CAST(doc_id AS VARCHAR) AS grp,
+                   CAST(n AS BIGINT) AS n, CAST(n_var AS BIGINT) AS n_var,
+                   CAST(dup_tokens AS BIGINT) AS min_doc
+            FROM spd
             ORDER BY leg, grp
         """,
         "q15_dedup_minhash": """

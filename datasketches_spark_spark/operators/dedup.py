@@ -748,3 +748,67 @@ def ngram_overlap_flags(corpus_df: DataFrame, benchmark_df: DataFrame,
             .agg(F.count_distinct("g").alias("n_hits"))
             .where(F.col("n_hits") >= min_hits)
             .select(F.col("_id").alias(id_col), "n_hits"))
+
+
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                     k: int = 8, hash64: bool = False) -> DataFrame:
+    """Span-level EXACT duplicate detection — the fixed-window form of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every k-token window
+    that occurs in MORE THAN ONE document is a duplicated window, and
+    per document, overlapping-or-adjacent duplicated windows merge into
+    maximal spans (the regions a span-removal pass would cut).
+
+    Returns one row per (document, span):
+    ``(id, span_idx, span_start, span_end, n_windows)`` with token
+    offsets, ``span_end`` exclusive, ``span_idx`` dense from 1 in
+    document order. Documents with no cross-document window emit no row.
+
+    Plan shape for 100 TB — ONE corpus scan, two keyed exchanges:
+    tokenize -> posexplode of k-gram windows (map-side), one exchange on
+    the window key where TWO stacked window functions compute the
+    distinct-document count (``max(dense_rank)`` over the key — no
+    collect_set materialization, no second aggregate branch rescanning
+    the corpus), filter to cross-document windows (dup-bounded from here
+    on), then one exchange on the document id where a gaps-and-islands
+    running-max merges windows into spans; the final per-span aggregate
+    reuses that partitioning (no extra exchange). With ``hash64`` the
+    shuffle key is ``xxhash64(window)`` (16 B instead of the window
+    text; a collision can only over-flag, never miss a duplicate) — off
+    by default so independent engines can replay the operator exactly.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(F.col(id_col).alias("_id"),
+                  F.posexplode(_ngrams_arr(F.col(text_col), k))
+                  .alias("pos", "gram"))
+    key = F.xxhash64("gram") if hash64 else F.col("gram")
+    wh = w.select("_id", "pos", key.alias("g"))
+
+    wg_ord = Window.partitionBy("g").orderBy("_id")
+    wg_all = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    hits = (wh.withColumn("_dr", F.dense_rank().over(wg_ord))
+            .withColumn("_nd", F.max("_dr").over(wg_all))
+            .where(F.col("_nd") >= 2)
+            .select("_id", "pos"))
+
+    wd = Window.partitionBy("_id").orderBy("pos")
+    run_end = F.max(F.col("pos") + k).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(run_end.isNull()
+                 | (F.col("pos") > run_end), 1).otherwise(0)
+    spans = (hits.withColumn("_brk", brk)
+             .withColumn("span_idx", F.sum("_brk").over(
+                 wd.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("_id", "span_idx")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") + k).alias("span_end"),
+                  F.count("*").alias("n_windows")))
+    return spans.select(F.col("_id").alias(id_col), "span_idx",
+                        "span_start", "span_end", "n_windows")
+
+
+def _ngrams_arr(col: Column, n: int) -> Column:
+    from ..functions.text import ngrams, tokenize
+    return ngrams(tokenize(col), n)

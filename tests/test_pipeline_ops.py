@@ -1174,3 +1174,76 @@ def test_ngram_jaccard_max_gram_df_drops_boilerplate(spark):
                 ref.append((a, b, j))
     assert [(r.id_a, r.id_b) for r in capped] == [(a, b) for a, b, _ in ref]
     assert capped[0].jaccard == pytest.approx(ref[0][2])
+
+
+class TestDuplicatedSpans:
+    """Span-level exact substring dedup (fixed k-token windows)."""
+
+    def _docs(self, spark):
+        # docs 1 and 2 share tokens 0..9 ("w0..w9"); doc 3 is disjoint;
+        # doc 4 repeats a window of doc 1's tail
+        shared = " ".join(f"w{i}" for i in range(10))
+        t1 = shared + " a b c d e f g h"
+        t2 = shared + " p q r s t u v x"
+        t3 = " ".join(f"z{i}" for i in range(20))
+        t4 = "a b c d e f g h " + " ".join(f"y{i}" for i in range(8))
+        return spark.createDataFrame(
+            [(1, t1), (2, t2), (3, t3), (4, t4)], ["doc_id", "text"])
+
+    def test_spans_match_bruteforce(self, spark):
+        from datasketches_spark_spark.operators import duplicated_spans
+        docs = self._docs(spark)
+        k = 4
+        rows = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+                for r in duplicated_spans(docs, "doc_id", "text", k=k)
+                .collect()}
+        # brute force in python
+        corpus = {r.doc_id: r.text.split() for r in docs.collect()}
+        wins = {}
+        for d, ts in corpus.items():
+            for i in range(len(ts) - k + 1):
+                wins.setdefault(tuple(ts[i:i + k]), set()).add(d)
+        expect = set()
+        for d, ts in corpus.items():
+            pos = sorted(i for i in range(len(ts) - k + 1)
+                         if len(wins[tuple(ts[i:i + k])]) >= 2)
+            spans = []
+            for p in pos:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + k)
+                    spans[-1][2] += 1
+                else:
+                    spans.append([p, p + k, 1])
+            expect |= {(d, s, e, n) for s, e, n in spans}
+        assert rows == expect
+        assert rows  # non-degenerate: shared prefixes must show up
+
+    def test_adjacent_windows_merge(self, spark):
+        from datasketches_spark_spark.operators import duplicated_spans
+        # identical docs: every window duplicated -> exactly one span
+        # covering the whole doc
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"])
+        got = duplicated_spans(df, "doc_id", "text", k=3).collect()
+        assert {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+                for r in got} == {(1, 0, 6, 4), (2, 0, 6, 4)}
+
+    def test_hash64_same_spans(self, spark):
+        from datasketches_spark_spark.operators import duplicated_spans
+        docs = self._docs(spark)
+        a = {tuple(r) for r in
+             duplicated_spans(docs, "doc_id", "text", k=4).collect()}
+        b = {tuple(r) for r in
+             duplicated_spans(docs, "doc_id", "text", k=4,
+                              hash64=True).collect()}
+        assert a == b
+
+    def test_single_scan_two_exchanges(self, spark):
+        from datasketches_spark_spark.operators import duplicated_spans
+        docs = self._docs(spark)
+        plan = (duplicated_spans(docs, "doc_id", "text", k=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        # stacked gram-key windows share ONE exchange; span merge adds
+        # the doc-id exchange; the span aggregate reuses it
+        assert plan.count("Exchange") == 2
+        assert "Join" not in plan
