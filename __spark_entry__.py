@@ -1109,10 +1109,25 @@ def _q45_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("toks", token_count("text")))
     sel = budget_select(docs, "toks", ["n_chars", "doc_id"], 2000,
                         strata_col="lang")
-    return (sel.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("toks").alias("sum_tokens"))
-            .orderBy("lang"))
+    budget = (sel.groupBy("lang")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("toks").alias("sum_tokens"))
+              .select(F.lit("budget").alias("leg"), "lang", "n_docs",
+                      "sum_tokens", F.lit(0.0).alias("sh"),
+                      F.lit(0.0).alias("w"), F.lit(0.0).alias("ep")))
+    # Leg 'mix' (round 11, operators/sampling.py::mixture_weights):
+    # temperature-scaled sampling weights over the per-language token
+    # mass (p_i^0.3 renormalization) and the repetition factor each
+    # language sustains under a 10k-token budget — one map-side-combined
+    # aggregate, windows over the 5 language rows.
+    from datasketches_spark_spark.operators import mixture_weights
+    mix = (mixture_weights(docs, "lang", "toks", alpha=0.3, budget=10_000)
+           .select(F.lit("mix").alias("leg"), "lang",
+                   F.lit(0).cast("long").alias("n_docs"),
+                   F.col("mass").alias("sum_tokens"),
+                   F.col("share").alias("sh"), F.col("weight").alias("w"),
+                   F.col("epochs").alias("ep")))
+    return budget.unionByName(mix).orderBy("leg", "lang")
 
 
 def _q46_session_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3087,9 +3102,23 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY n_chars DESC, doc_id
                                      ROWS UNBOUNDED PRECEDING) AS run
               FROM t)
-            SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_tokens
+            SELECT 'budget' AS leg, lang, count(*) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS sum_tokens,
+                   0.0 AS sh, 0.0 AS w, 0.0 AS ep
             FROM r WHERE run <= 2000
-            GROUP BY lang ORDER BY lang
+            GROUP BY lang
+            UNION ALL
+            SELECT 'mix' AS leg, lang, CAST(0 AS BIGINT) AS n_docs,
+                   mass AS sum_tokens, sh, w,
+                   round(10000 * w / mass, 6) AS ep
+            FROM (
+              SELECT lang, CAST(sum(toks) AS BIGINT) AS mass,
+                     round(sum(toks) / sum(sum(toks)) OVER (), 6) AS sh,
+                     round(pow(CAST(sum(toks) AS DOUBLE), 0.3)
+                           / sum(pow(CAST(sum(toks) AS DOUBLE), 0.3))
+                               OVER (), 6) AS w
+              FROM t GROUP BY lang)
+            ORDER BY leg, lang
         """,
         "q46_session_ndv": """
             WITH m AS (

@@ -194,3 +194,47 @@ def budget_select(df: DataFrame, budget_col: str, order_col,
     return (df.withColumn("_dss_running", running)
             .where(F.col("_dss_running") <= budget)
             .drop("_dss_running"))
+
+
+def mixture_weights(df: DataFrame, strata_col: str, mass_col,
+                    alpha: float = 0.3, budget: float | None = None,
+                    round_digits: int = 6) -> DataFrame:
+    """Temperature-scaled training-mixture weights per stratum — the
+    standard multilingual/multi-domain rebalancing rule (sampling
+    probability proportional to ``mass ** alpha``; alpha=1 keeps the
+    natural distribution, alpha->0 approaches uniform — the p_i^alpha
+    renormalization of the multilingual-pretraining literature, also the
+    shape DoReMi-style reweighting plugs into).
+
+    Per stratum, from the total ``mass_col`` (e.g. token count):
+
+    - ``share``  — natural mass fraction p_i
+    - ``weight`` — temperature-scaled sampling weight
+      p_i^alpha / sum_j p_j^alpha
+    - ``epochs`` — with a token ``budget`` B: B * weight / mass, the
+      repetition factor each stratum sustains under the mix (how many
+      passes over stratum i the budget implies; omitted as 0.0 when no
+      budget is given)
+
+    Plan shape: one partial+final aggregate on the stratum (map-side
+    combine), then window sums over the STRATUM-dimension rows (a
+    handful — languages, sources), so the post-aggregate windows are
+    free at any corpus scale. Values round to ``round_digits`` so
+    independent engines agree bit-for-bit.
+    """
+    mass = F.col(mass_col) if isinstance(mass_col, str) else mass_col
+    agg = df.groupBy(strata_col).agg(F.sum(mass).alias("mass"))
+    wall = Window.partitionBy()
+    powed = F.pow(F.col("mass").cast("double"), F.lit(float(alpha)))
+    share = F.col("mass") / F.sum("mass").over(wall)
+    weight = powed / F.sum(powed).over(wall)
+    out = agg.select(
+        F.col(strata_col), F.col("mass").cast("long").alias("mass"),
+        F.round(share, round_digits).alias("share"),
+        F.round(weight, round_digits).alias("weight"))
+    if budget is not None:
+        ep = F.round(F.lit(float(budget)) * F.col("weight")
+                     / F.col("mass"), round_digits)
+    else:
+        ep = F.lit(0.0)
+    return out.withColumn("epochs", ep)

@@ -200,3 +200,37 @@ class TestBudgetSelectNulls:
         got = sorted(r.id for r in budget_select(
             df, "toks", ["q", "id"], 110).collect())
         assert got == [1, 2, 3]   # 60, +0, +50=110, +20 over
+
+
+class TestMixtureWeights:
+    def test_matches_scalar_formula(self, spark):
+        from datasketches_spark_spark.operators import mixture_weights
+        rows = [("en", 100), ("de", 50), ("fr", 10)]
+        df = spark.createDataFrame(
+            [(l, 1) for l, n in rows for _ in range(n)], ["lang", "one"])
+        got = {r.lang: (r.mass, r.share, r.weight, r.epochs)
+               for r in mixture_weights(df, "lang", "one", alpha=0.5,
+                                        budget=1000).collect()}
+        tot = sum(n for _, n in rows)
+        ptot = sum(n ** 0.5 for _, n in rows)
+        for lang, n in rows:
+            m, sh, w, ep = got[lang]
+            assert m == n
+            assert sh == round(n / tot, 6)
+            assert w == round(n ** 0.5 / ptot, 6)
+            assert ep == round(1000 * w / n, 6)
+
+    def test_alpha_one_keeps_natural_shares(self, spark):
+        from datasketches_spark_spark.operators import mixture_weights
+        df = spark.createDataFrame(
+            [("a", 30), ("b", 70)], ["s", "mass"])
+        got = {r.s: (r.share, r.weight)
+               for r in mixture_weights(df, "s", "mass",
+                                        alpha=1.0).collect()}
+        assert got["a"] == (0.3, 0.3)
+        assert got["b"] == (0.7, 0.7)
+
+    def test_no_budget_zero_epochs(self, spark):
+        from datasketches_spark_spark.operators import mixture_weights
+        df = spark.createDataFrame([("a", 5)], ["s", "m"])
+        assert mixture_weights(df, "s", "m").collect()[0].epochs == 0.0
