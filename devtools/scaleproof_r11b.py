@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Round-11 continuation scale proof: ``bm25_topk`` and
+``duplicated_spans`` at x1 and x10 corpus scale (the ``.scaleproof``
+fixtures; same methodology as scaleproof_r11.py — one SparkSession per
+measurement, shuffle-write bytes from the event log; a linear operator
+grows ~10x between the points)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from devtools.scaleproof_r11 import run_op  # noqa: E402
+
+
+def op_bm25(spark, d):
+    from datasketches_spark_spark.operators import bm25_topk
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    qs = [("q1", "spark window merge"), ("q2", "customer order join"),
+          ("q3", "stream filter vector hash")]
+    return bm25_topk(docs, "doc_id", "text", qs, k=10).count()
+
+
+def op_spans(spark, d):
+    from datasketches_spark_spark.operators import duplicated_spans
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    # hash64: the production shuffle key (16 B); the exact-string form
+    # is the oracle-gate variant and only changes key WIDTH, not row
+    # counts or plan shape
+    return duplicated_spans(docs, "doc_id", "text", k=8,
+                            hash64=True).count()
+
+
+def main():
+    for op, fn in [("bm25_topk", op_bm25),
+                   ("duplicated_spans", op_spans)]:
+        for scale in ("x1", "x10"):
+            run_op(op, fn, os.path.join(HERE, ".scaleproof", scale))
+
+
+if __name__ == "__main__":
+    main()
