@@ -483,7 +483,25 @@ def _q21_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                       fr["dup_token_frac"].alias("m1"),
                       fr["dup_bigram_frac"].alias("m2"),
                       fr["top_bigram_frac"].alias("m3"))
-    return quality.unionByName(rep).orderBy("leg", "doc_id")
+    # Leg 'ppl' (round 11, operators/lm.py): the CCNet-style statistical
+    # quality filter — an add-k bigram LM trained on the FULL corpus
+    # (map-side-combined count tables), then per-doc NLL/perplexity for
+    # the scored slice via vocabulary joins. n2 carries the OOV-term
+    # count; scores round before surfacing so the oracle is exact.
+    from datasketches_spark_spark.operators import (perplexity_score,
+                                                    train_bigram_lm)
+    uni, bi = train_bigram_lm(docs, "text")
+    ppl = (perplexity_score(docs.where(F.col("doc_id") < 200),
+                            "doc_id", "text", uni, bi, k=0.5)
+           .select(F.lit("ppl").alias("leg"), "doc_id",
+                   F.col("n_tokens").cast("long").alias("n_tokens"),
+                   F.col("n_oov_terms").alias("n2"),
+                   F.lit(0).cast("long").alias("n3"),
+                   F.col("avg_nll").alias("m1"),
+                   F.col("ppl").alias("m2"),
+                   F.lit(0.0).alias("m3")))
+    return quality.unionByName(rep).unionByName(ppl) \
+        .orderBy("leg", "doc_id")
 
 
 def _q22_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,8 +2710,54 @@ def oracle_sql() -> dict[str, str]:
                        AS m2,
                      CASE WHEN nb > 0 THEN CAST(top_bg AS DOUBLE) / nb END
                        AS m3
-              FROM cr)
+              FROM cr),
+            tall AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS toks
+                     FROM documents),
+            lmuni AS (SELECT w, count(*) AS c1
+                      FROM (SELECT unnest(toks) AS w FROM tall)
+                      GROUP BY w),
+            lmbi AS (SELECT bg, count(*) AS c2
+                     FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                           FROM tall)
+                     GROUP BY bg),
+            lmstats AS (SELECT count(*) AS v, sum(c1) AS tot FROM lmuni),
+            sc AS (SELECT doc_id, toks FROM tall WHERE doc_id < 200),
+            pfirst AS (SELECT doc_id,
+                              -ln((COALESCE(c1, 0) + 0.5)
+                                  / (tot + 0.5 * v)) AS nll,
+                              COALESCE(c1, 0) AS c
+                       FROM (SELECT doc_id, toks[1] AS w FROM sc
+                             WHERE len(toks) >= 1)
+                       LEFT JOIN lmuni USING (w) CROSS JOIN lmstats),
+            prest AS (SELECT doc_id,
+                             -ln((COALESCE(c2, 0) + 0.5)
+                                 / (COALESCE(c1, 0) + 0.5 * v)) AS nll,
+                             COALESCE(c2, 0) AS c
+                      FROM (SELECT doc_id, bg,
+                                   string_split(bg, ' ')[1] AS w
+                            FROM (SELECT doc_id,
+                                         unnest(list_transform(
+                                           range(1, len(toks)),
+                                           i -> toks[i] || ' '
+                                                || toks[i+1])) AS bg
+                                  FROM sc))
+                      LEFT JOIN lmbi USING (bg)
+                      LEFT JOIN lmuni USING (w) CROSS JOIN lmstats),
+            pterms AS (SELECT * FROM pfirst
+                       UNION ALL SELECT * FROM prest),
+            ppl AS (SELECT 'ppl' AS leg, doc_id,
+                           count(*) AS n_tokens,
+                           sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n2,
+                           CAST(0 AS BIGINT) AS n3,
+                           round(sum(nll) / count(*), 6) AS m1,
+                           round(exp(sum(nll) / count(*)), 6) AS m2,
+                           0.0 AS m3
+                    FROM pterms GROUP BY doc_id)
             SELECT * FROM qual UNION ALL SELECT * FROM rep
+            UNION ALL SELECT * FROM ppl
             ORDER BY leg, doc_id
         """,
         "q22_langid": """

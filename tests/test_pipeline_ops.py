@@ -1247,3 +1247,85 @@ class TestDuplicatedSpans:
         # the doc-id exchange; the span aggregate reuses it
         assert plan.count("Exchange") == 2
         assert "Join" not in plan
+
+
+class TestBigramLM:
+    """Add-k bigram LM perplexity (the CCNet-style quality filter)."""
+
+    CORPUS = [(1, "the cat sat on the mat"),
+              (2, "the dog sat on the rug"),
+              (3, "qq zz qq zz qq")]
+
+    def _score(self, spark, score_ids=None, k=0.5):
+        from datasketches_spark_spark.operators import (perplexity_score,
+                                                        train_bigram_lm)
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        uni, bi = train_bigram_lm(df, "text")
+        target = df if score_ids is None else \
+            df.where(df.doc_id.isin(score_ids))
+        return perplexity_score(target, "doc_id", "text", uni, bi, k=k)
+
+    def test_matches_scalar_reference(self, spark):
+        import math
+        got = {r.doc_id: (r.n_tokens, r.n_oov_terms, r.avg_nll, r.ppl)
+               for r in self._score(spark).collect()}
+        toks = {d: t.split() for d, t in self.CORPUS}
+        uni, bi = {}, {}
+        for ts in toks.values():
+            for w in ts:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        v, tot, k = len(uni), sum(uni.values()), 0.5
+        for d, ts in toks.items():
+            nll = [-math.log((uni.get(ts[0], 0) + k) / (tot + k * v))]
+            oov = 1 if uni.get(ts[0], 0) == 0 else 0
+            for a, b in zip(ts, ts[1:]):
+                c2 = bi.get((a, b), 0)
+                nll.append(-math.log((c2 + k) / (uni.get(a, 0) + k * v)))
+                oov += 1 if c2 == 0 else 0
+            avg = sum(nll) / len(ts)
+            assert got[d] == (len(ts), oov,
+                              round(avg, 6), round(math.exp(avg), 6))
+
+    def test_fluent_beats_gibberish(self, spark):
+        # doc 3's bigrams repeat so IT is predictable to the LM; score
+        # an unseen permutation instead: unseen bigrams of seen words
+        from datasketches_spark_spark.operators import (perplexity_score,
+                                                        train_bigram_lm)
+        train = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        uni, bi = train_bigram_lm(train, "text")
+        probe = spark.createDataFrame(
+            [(10, "the cat sat on the mat"),      # in-distribution
+             (11, "mat the on sat cat the")],     # shuffled: unseen bigrams
+            ["doc_id", "text"])
+        got = {r.doc_id: r.ppl for r in perplexity_score(
+            probe, "doc_id", "text", uni, bi).collect()}
+        assert got[10] < got[11]
+
+    def test_oov_counts(self, spark):
+        from datasketches_spark_spark.operators import (perplexity_score,
+                                                        train_bigram_lm)
+        train = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        uni, bi = train_bigram_lm(train, "text")
+        probe = spark.createDataFrame([(20, "xx yy")], ["doc_id", "text"])
+        r = perplexity_score(probe, "doc_id", "text", uni, bi).collect()[0]
+        # first term: unseen word; second term: unseen bigram
+        assert (r.n_tokens, r.n_oov_terms) == (2, 2)
+
+    def test_single_token_doc(self, spark):
+        from datasketches_spark_spark.operators import (perplexity_score,
+                                                        train_bigram_lm)
+        train = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        uni, bi = train_bigram_lm(train, "text")
+        probe = spark.createDataFrame([(30, "the")], ["doc_id", "text"])
+        r = perplexity_score(probe, "doc_id", "text", uni, bi).collect()[0]
+        assert r.n_tokens == 1 and r.n_oov_terms == 0
+
+    def test_train_counts_map_side_combined(self, spark):
+        from datasketches_spark_spark.operators import train_bigram_lm
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        uni, _ = train_bigram_lm(df, "text")
+        plan = uni._jdf.queryExecution().executedPlan().toString()
+        # partial aggregate before the exchange: shuffles carry counts
+        assert plan.index("HashAggregate") < plan.index("Exchange")
