@@ -348,7 +348,26 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("rank").cast("long").alias("rk"),
                      F.col("doc_id").cast("string").alias("item"),
                      F.col("score").alias("v"))
-    return gram.unionByName(bm25).orderBy("leg", "qid", "rk")
+    # Leg 'bm25x' (round 11): the SAME queries served from a persisted
+    # inverted index (build_text_index -> query_text_index — postings
+    # parquet partitioned by term-hash bucket, df precomputed at build,
+    # probes read only the matched buckets via PartitionFilters). Must
+    # be row-identical to the direct leg: the gate pins the whole
+    # build -> persist -> prune -> score path against the same oracle.
+    import hashlib
+    from datasketches_spark_spark.operators import (build_text_index,
+                                                    query_text_index)
+    path = ("/tmp/dss_txtidx_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    build_text_index(docs, "doc_id", "text", path, num_buckets=16)
+    bmx = (query_text_index(spark, path, _BM25_QUERIES, k=10)
+           .select(F.lit("bm25x").alias("leg"),
+                   F.col("query_id").alias("qid"),
+                   F.col("rank").cast("long").alias("rk"),
+                   F.col("doc_id").cast("string").alias("item"),
+                   F.col("score").alias("v")))
+    return gram.unionByName(bm25).unionByName(bmx) \
+        .orderBy("leg", "qid", "rk")
 
 
 def _q17_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2553,6 +2572,8 @@ def oracle_sql() -> dict[str, str]:
                           CAST(doc_id AS VARCHAR) AS item, score AS v
                    FROM sc QUALIFY rk <= 10)
             SELECT * FROM gramtop UNION ALL SELECT * FROM bm
+            UNION ALL
+            SELECT 'bm25x' AS leg, qid, rk, item, v FROM bm
             ORDER BY leg, qid, rk
         """,
         "q17_simhash_portable_pairs": r"""

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "build_text_index", "query_text_index"]
 
 
 def _query_terms(queries: Sequence[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -131,3 +131,113 @@ def bm25_topk(
             .withColumn("rank", F.row_number().over(rw))
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "rank", "score"))
+
+
+def build_text_index(docs: DataFrame, id_col: str, text_col: str,
+                     path: str, num_buckets: int = 64) -> None:
+    """Persist an inverted index for BM25 serving — the text analogue of
+    the IVF index lifecycle (build once, partition-pruned probes, the
+    corpus never rescans at query time).
+
+    Layout under ``path``:
+
+    - ``postings/`` — ``(term, doc_id, tf, dl)`` parquet partitioned by
+      ``bucket = pmod(xxhash64(term), num_buckets)``, so a probe reads
+      only the bucket directories its query terms hash into (static
+      partition pruning, file-level).
+    - ``df/`` — per-term document frequencies, same bucketing: df is
+      PRECOMPUTED at build time (query time does no window/aggregate
+      over postings beyond the matched terms).
+    - ``stats/`` — one row: corpus size and average document length.
+
+    At 100 TB the build is one corpus scan + one (doc, term) aggregate —
+    the same shuffle ``bm25_topk`` pays per query, paid once.
+    """
+    toks = tokenize(text_col)
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.size(toks).alias("dl"),
+                      F.explode(tokenize(text_col)).alias("term"))
+          .groupBy("term", "doc_id", "dl")
+          .agg(F.count("*").alias("tf"))
+          .withColumn("bucket",
+                      F.pmod(F.xxhash64("term"), F.lit(num_buckets))))
+    # repartition on the bucket before writing: each bucket directory
+    # gets co-located, right-sized files (the q54 IVF layout) instead of
+    # shuffle-partitions x buckets file fragments
+    tf.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path + "/postings")
+    # df derives from the postings JUST WRITTEN (column-pruned read of
+    # term+bucket) — recomputing it from `tf` would re-execute the whole
+    # corpus explode+aggregate a second time
+    dfreq = (docs.sparkSession.read.parquet(path + "/postings")
+             .groupBy("term", "bucket")
+             .agg(F.count("*").alias("df")))
+    dfreq.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path + "/df")
+    (docs.select(F.count("*").alias("n_docs"),
+                 F.avg(F.size(tokenize(text_col))).alias("avgdl"),
+                 F.lit(num_buckets).alias("num_buckets"))
+     .write.mode("overwrite").parquet(path + "/stats"))
+
+
+def query_text_index(spark, path: str,
+                     queries: Sequence[tuple[str, str]],
+                     k: int = 10, k1: float = 1.2, b: float = 0.75,
+                     round_digits: int = 6) -> DataFrame:
+    """BM25 top-k against a :func:`build_text_index` index — identical
+    scores/ranks to :func:`bm25_topk` on the same corpus (same formula,
+    same rounding), but the probe reads ONLY the postings buckets the
+    query terms hash into: ``PartitionFilters`` prune every other
+    bucket directory, so query cost scales with the matched postings,
+    not the corpus. No window/aggregate runs over the postings beyond
+    the matched terms (df is precomputed at build time)."""
+    qrows = _query_terms(queries)
+    qt = spark.createDataFrame(qrows, "query_id string, term string")
+    # bucket ids for the probe terms: computed with the SAME hash and
+    # modulus Spark used at build time (num_buckets is recorded in the
+    # stats table — bucket DIRECTORIES can't be counted because empty
+    # buckets leave none), via a terms-sized job (bounded by the query
+    # vocabulary)
+    terms = sorted({t for _, t in qrows})
+    st = spark.read.parquet(path + "/stats").collect()[0]
+    nb = st.num_buckets
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = [r.bucket for r in tdf.select(
+        F.pmod(F.xxhash64("term"), F.lit(nb)).alias("bucket"))
+        .distinct().collect()]
+
+    # stats enter the plan as LITERALS (already on the driver from the
+    # num_buckets read — one tiny row, the q54 centroid pattern), so the
+    # scoring job carries no extra broadcast
+    n_docs, avgdl = F.lit(st.n_docs), F.lit(st.avgdl)
+    post = (spark.read.parquet(path + "/postings")
+            .where(F.col("bucket").isin(buckets)
+                   & F.col("term").isin(terms)))
+    dfreq = (spark.read.parquet(path + "/df")
+             .where(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms))
+             .select("term", "df"))
+    scored = (post
+              .join(F.broadcast(qt), "term")
+              .join(F.broadcast(dfreq), "term")
+              .withColumn(
+                  "idf",
+                  F.log(F.lit(1.0)
+                        + (n_docs - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))))
+              .withColumn(
+                  "contrib",
+                  F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                  / (F.col("tf")
+                     + F.lit(k1) * (F.lit(1.0 - b)
+                                    + F.lit(b) * F.col("dl")
+                                    / avgdl)))
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum("contrib"), round_digits).alias("score")))
+    rw = (Window.partitionBy("query_id")
+          .orderBy(F.desc("score"), F.asc("doc_id")))
+    return (scored
+            .withColumn("rank", F.row_number().over(rw))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score"))
+

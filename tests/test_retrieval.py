@@ -86,3 +86,52 @@ class TestBM25:
         df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             bm25_topk(df, "doc_id", "text", [])
+
+
+class TestTextIndex:
+    """Persisted inverted index: build once, partition-pruned probes."""
+
+    def _build(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import build_text_index
+        df = spark.createDataFrame(
+            [(d, t) for d, t in TestBM25.CORPUS.items()],
+            ["doc_id", "text"])
+        path = str(tmp_path / "txtidx")
+        build_text_index(df, "doc_id", "text", path, num_buckets=8)
+        return df, path
+
+    def test_served_equals_direct(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import (bm25_topk,
+                                                        query_text_index)
+        df, path = self._build(spark, tmp_path)
+        direct = sorted(tuple(r) for r in bm25_topk(
+            df, "doc_id", "text", TestBM25.QUERIES, k=10).collect())
+        served = sorted(tuple(r) for r in query_text_index(
+            spark, path, TestBM25.QUERIES, k=10).collect())
+        assert direct == served and served
+
+    def test_probe_prunes_partitions(self, spark, tmp_path):
+        import contextlib
+        import io
+        from datasketches_spark_spark.operators import query_text_index
+        _, path = self._build(spark, tmp_path)
+        q = query_text_index(spark, path, [("q", "spark")], k=5)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        # every postings/df scan prunes on the bucket partition column
+        # (single-bucket probes render as `bucket = N`, multi as `IN`)
+        pf = [seg.split("]")[0] for seg in
+              plan.split("PartitionFilters: [")[1:]]
+        assert any("bucket" in p for p in pf), plan
+        # the corpus never appears at query time: only the 3 index
+        # reads (postings, df, stats; formatted explain lists each scan
+        # twice — once in the tree, once in the detail section)
+        assert plan.count("Scan parquet") <= 6
+
+    def test_unseen_term_returns_empty(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import query_text_index
+        _, path = self._build(spark, tmp_path)
+        assert query_text_index(
+            spark, path, [("q", "zzzznotaword")], k=5).count() == 0
