@@ -36,10 +36,31 @@ def op_spans(spark, d):
 
 def main():
     for op, fn in [("bm25_topk", op_bm25),
-                   ("duplicated_spans", op_spans)]:
+                   ("duplicated_spans", op_spans),
+                   ("bigram_lm_score", op_lm),
+                   ("text_index_build_query", op_text_index)]:
         for scale in ("x1", "x10"):
             run_op(op, fn, os.path.join(HERE, ".scaleproof", scale))
 
 
 if __name__ == "__main__":
     main()
+
+
+def op_lm(spark, d):
+    from datasketches_spark_spark.operators import (perplexity_score,
+                                                    train_bigram_lm)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    uni, bi = train_bigram_lm(docs, "text")
+    return perplexity_score(docs, "doc_id", "text", uni, bi).count()
+
+
+def op_text_index(spark, d):
+    import tempfile
+    from datasketches_spark_spark.operators import (build_text_index,
+                                                    query_text_index)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    path = tempfile.mkdtemp() + "/idx"
+    build_text_index(docs, "doc_id", "text", path, num_buckets=16)
+    qs = [("q1", "spark window merge"), ("q2", "customer order join")]
+    return query_text_index(spark, path, qs, k=10).count()
