@@ -92,6 +92,28 @@ def main() -> None:
     n3 = deduped.count()
     print(f"[3] after near-dup removal: {n3} docs (-{n2 - n3})")
 
+    # 4b. span-level duplication audit (round 11): how much text
+    # survives doc-level dedup yet is still verbatim-duplicated across
+    # documents (the Lee-et-al signal a span-removal pass would cut)
+    from datasketches_spark_spark.operators import duplicated_spans
+    sp = (duplicated_spans(deduped, "doc_id", "text", k=8, hash64=True)
+          .agg(F.count("*").alias("spans"),
+               F.sum(F.col("span_end") - F.col("span_start"))
+               .alias("dup_toks")).first())
+    print(f"[3b] residual duplicated spans: {sp.spans} spans, "
+          f"{sp.dup_toks or 0} tokens")
+
+    # 4c. LM quality scores (round 11): add-k bigram perplexity — the
+    # CCNet-style filter; here just the distribution tails
+    from datasketches_spark_spark.operators import (perplexity_score,
+                                                    train_bigram_lm)
+    uni, bi = train_bigram_lm(deduped, "text")
+    ppl = perplexity_score(deduped, "doc_id", "text", uni, bi)
+    pq = ppl.agg(dsf.approx_percentile_ex("ppl", 0.5).alias("p50"),
+                 dsf.approx_percentile_ex("ppl", 0.95).alias("p95")).first()
+    print(f"[3c] perplexity p50 {pq.p50:.1f} / p95 {pq.p95:.1f} "
+          f"(filter threshold would sit between)")
+
     # 5. token-budget mix: largest docs per language, <= 5000 tokens each
     mix = budget_select(deduped, "toks", ["n_chars", "doc_id"], 5000,
                         strata_col="lang")
@@ -100,6 +122,16 @@ def main() -> None:
               .agg(F.count("*").alias("docs"),
                    F.sum("toks").alias("tokens")).orderBy("lang").collect()):
         print(f"      {r.lang}: {r.docs} docs, {r.tokens} tokens")
+
+    # 5b. temperature rebalancing (round 11): what a p^0.3 mixture
+    # implies for sampling weights and per-language epochs at a 100k
+    # token budget
+    from datasketches_spark_spark.operators import mixture_weights
+    print("[4b] p^0.3 mixture weights (100k-token budget):")
+    for r in (mixture_weights(deduped, "lang", "toks", alpha=0.3,
+                              budget=100_000).orderBy("lang").collect()):
+        print(f"      {r.lang}: share {r.share:.3f} -> weight "
+              f"{r.weight:.3f}, {r.epochs:.2f} epochs")
 
     # 6. sketch summary of the final mix — incl. the round-9 tuple
     # sketch: source-level NDV + per-source row/token predicates from
