@@ -1329,3 +1329,39 @@ class TestBigramLM:
         plan = uni._jdf.queryExecution().executedPlan().toString()
         # partial aggregate before the exchange: shuffles carry counts
         assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_duplicated_spans_random_corpus_vs_bruteforce(spark, seed):
+    """Randomized corpora (tiny vocab -> dense window collisions, the
+    adversarial regime for island merging) against a scalar model."""
+    import random
+    rng = random.Random(seed)
+    k = rng.choice([2, 3, 4])
+    vocab = [f"w{i}" for i in range(rng.choice([3, 5, 8]))]
+    corpus = {d: " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(0, 25)))
+              for d in range(12)}
+    from datasketches_spark_spark.operators import duplicated_spans
+    df = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], ["doc_id", "text"])
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in duplicated_spans(df, "doc_id", "text", k=k).collect()}
+    toks = {d: t.split() for d, t in corpus.items()}
+    wins = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            wins.setdefault(tuple(ts[i:i + k]), set()).add(d)
+    expect = set()
+    for d, ts in toks.items():
+        pos = [i for i in range(len(ts) - k + 1)
+               if len(wins[tuple(ts[i:i + k])]) >= 2]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p + k, 1])
+        expect |= {(d, s, e, n) for s, e, n in spans}
+    assert got == expect
