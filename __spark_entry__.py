@@ -436,9 +436,24 @@ def _q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= ~0.52) — the floor sizes against the REAL collision rate
     # instead of the conservative clustered-data default.
     n = emb.count() * 3 // 2
-    return (cosine_pairs(corpus, threshold=0.98, prefilter="rhp",
-                         corpus_size=n, bg_cosine=0.55)
-            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+    rhp = (cosine_pairs(corpus, threshold=0.98, prefilter="rhp",
+                        corpus_size=n, bg_cosine=0.55)
+           .select(F.lit("rhp").alias("leg"),
+                   F.lit(0).cast("long").alias("c"), "id_a", "id_b"))
+    # Leg 'sem' (round 11, operators/similarity.py::semantic_dedup_drops):
+    # SemDeDup cluster-then-dedup over the same twin corpus — nearest of
+    # 8 deterministic seed centroids (lowest vec_ids), then the
+    # within-cluster farthest-from-centroid keep rule at eps=0.98. Every
+    # twin pair lands in one cluster and yields exactly one drop row, so
+    # the leg pins assignment + priority + blocker selection end to end.
+    from datasketches_spark_spark.operators import semantic_dedup_drops
+    cents = emb.where("vec_id < 8")
+    sem = (semantic_dedup_drops(corpus, cents, eps=0.98)
+           .select(F.lit("sem").alias("leg"),
+                   F.col("cluster").alias("c"),
+                   F.col("id_kept").alias("id_a"),
+                   F.col("id_dropped").alias("id_b")))
+    return rhp.unionByName(sem).orderBy("leg", "c", "id_a", "id_b")
 
 
 def _q19_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,11 +2679,44 @@ def oracle_sql() -> dict[str, str]:
                      list_prepend(CAST(embedding AS DOUBLE[])[1] * 1.02,
                                   CAST(embedding AS DOUBLE[])[2:])
               FROM embeddings WHERE vec_id % 2 = 0
-            )
-            SELECT a.id AS id_a, b.id AS id_b
-            FROM c a JOIN c b ON a.id < b.id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.98
-            ORDER BY id_a, id_b
+            ),
+            rhp AS (
+              SELECT 'rhp' AS leg, CAST(0 AS BIGINT) AS c,
+                     a.id AS id_a, b.id AS id_b
+              FROM c a JOIN c b ON a.id < b.id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.98),
+            cents AS (SELECT id AS cid, v AS cv FROM c WHERE id < 8),
+            sims AS (SELECT c.id, cents.cid,
+                            round(list_cosine_similarity(c.v, cents.cv),
+                                  6) AS s
+                     FROM c CROSS JOIN cents),
+            asg AS (SELECT id, cid, s AS pcos
+                    FROM (SELECT *,
+                                 row_number() OVER (PARTITION BY id
+                                                    ORDER BY s DESC, cid)
+                                   AS rn
+                          FROM sims)
+                    WHERE rn = 1),
+            av AS (SELECT a.id, a.cid, a.pcos, c.v
+                   FROM asg a JOIN c USING (id)),
+            hits AS (SELECT a.cid, a.id AS a_id, a.pcos AS a_pcos,
+                            b.id AS b_id
+                     FROM av a JOIN av b
+                       ON a.cid = b.cid AND a.id <> b.id
+                     WHERE (a.pcos < b.pcos
+                            OR (a.pcos = b.pcos AND a.id < b.id))
+                       AND round(list_cosine_similarity(a.v, b.v), 6)
+                           > 0.98),
+            sem AS (SELECT 'sem' AS leg, cid AS c, a_id AS id_a,
+                           b_id AS id_b
+                    FROM (SELECT *,
+                                 row_number() OVER (PARTITION BY cid, b_id
+                                                    ORDER BY a_pcos, a_id)
+                                   AS rn
+                          FROM hits)
+                    WHERE rn = 1)
+            SELECT * FROM rhp UNION ALL SELECT * FROM sem
+            ORDER BY leg, c, id_a, id_b
         """,
         "q19_ann_topk": """
             SELECT q AS query_id, r AS rank, nb AS neighbor_id FROM (

@@ -636,3 +636,95 @@ def rhp_ann_topk(corpus: DataFrame, queries: list[tuple], k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
+
+
+def semantic_dedup_drops(corpus: DataFrame, centroids: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         eps: float = 0.98, round_digits: int = 6,
+                         max_centroids: int = 100_000) -> DataFrame:
+    """SemDeDup-style cluster-then-dedup (Abbas et al. 2023,
+    arXiv:2303.09540) as a DETERMINISTIC relational rule: assign every
+    vector to its nearest centroid, then within each cluster drop any
+    vector that has an above-``eps`` cosine neighbor of higher keep
+    priority. Priority follows the paper's best-performing "keep the
+    point farthest from the centroid" rule, made total and
+    engine-replayable: ``u`` outranks ``v`` iff ``u``'s (rounded)
+    centroid-cosine is lower, ties on smaller id. Returns one row per
+    dropped vector: ``(cluster, id_kept, id_dropped)`` with ``id_kept``
+    the highest-priority blocker.
+
+    The caller supplies the centroid table (the paper uses k-means;
+    deterministic seeds or `train_ivf_centroids` both work) — it is a
+    model input, so the rule itself stays exactly replayable by an
+    independent engine: every comparison (assignment argmax, the
+    ``eps`` test, priority) happens on cosines ROUNDED to
+    ``round_digits``, ties break on ids.
+
+    Scale shape: one broadcast-GEMM mapInPandas pass assigns the corpus
+    (no shuffle, the `nearest_reference` machinery); the thin
+    assignment frame is localCheckpointed so the within-cluster
+    self-join reads one materialization instead of re-running the
+    corpus scan per side (persist the assignment to a table instead at
+    real scale). The self-join is keyed on the cluster id — pair volume
+    is sum of cluster sizes squared, the SemDeDup cost the paper bounds
+    by picking k ~ sqrt(n); AQE skew-splits oversized clusters.
+    """
+    rows = centroids.select(id_col, vec_col).limit(max_centroids + 1) \
+        .collect()
+    if not rows:
+        raise ValueError("centroid set is empty")
+    if len(rows) > max_centroids:
+        raise ValueError("centroid set exceeds max_centroids")
+    order = np.argsort(np.array([r[0] for r in rows]))
+    cids = np.array([rows[i][0] for i in order])
+    cmat = _normalize(np.asarray(
+        [np.asarray(rows[i][1], dtype=np.float64) for i in order]))
+    rd = round_digits
+
+    src = corpus.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).cast("array<double>").alias("_v"))
+    out_schema = StructType([
+        StructField("_id", src.schema["_id"].dataType),
+        StructField("cid", src.schema["_id"].dataType),
+        StructField("pcos", DoubleType()),
+        StructField("_v", src.schema["_v"].dataType),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.vstack(pdf["_v"].to_numpy()))
+            sims = np.round(mat @ cmat.T, rd)
+            best = sims.argmax(axis=1)  # first max -> smallest cid on tie
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "cid": cids[best],
+                "pcos": sims[np.arange(len(best)), best],
+                "_v": pdf["_v"],
+            })
+
+    asg = src.mapInPandas(assign, out_schema).localCheckpoint()
+
+    a = asg.select(F.col("_id").alias("a_id"), F.col("cid"),
+                   F.col("pcos").alias("a_pcos"), F.col("_v").alias("_va"))
+    b = asg.select(F.col("_id").alias("b_id"), F.col("cid"),
+                   F.col("pcos").alias("b_pcos"), F.col("_v").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("_vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    paircos = F.round(dot / (na * nb), rd)
+    higher = (F.col("a_pcos") < F.col("b_pcos")) | \
+        ((F.col("a_pcos") == F.col("b_pcos"))
+         & (F.col("a_id") < F.col("b_id")))
+    hits = (a.join(b, "cid")
+            .where(F.col("a_id") != F.col("b_id"))
+            .where(higher)
+            .where(paircos > F.lit(float(eps))))
+    return (hits.groupBy("cid", "b_id")
+            .agg(F.min(F.struct("a_pcos", "a_id")).alias("_best"))
+            .select(F.col("cid").alias("cluster"),
+                    F.col("_best.a_id").alias("id_kept"),
+                    F.col("b_id").alias("id_dropped")))

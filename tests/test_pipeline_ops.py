@@ -1365,3 +1365,67 @@ def test_duplicated_spans_random_corpus_vs_bruteforce(spark, seed):
                 spans.append([p, p + k, 1])
         expect |= {(d, s, e, n) for s, e, n in spans}
     assert got == expect
+
+
+class TestSemanticDedup:
+    """SemDeDup cluster-then-dedup (deterministic relational rule)."""
+
+    def _corpus(self, spark):
+        # two well-separated clusters on axes 0 and 1; ids 0/1 are the
+        # centroid seeds; 10/11 near-dup each other in cluster 0 (11
+        # slightly farther from the centroid), 20 is alone in cluster 1
+        rows = [
+            (0, [1.0, 0.0, 0.0]),          # seed / centroid 0
+            (1, [0.0, 1.0, 0.0]),          # seed / centroid 1
+            (10, [0.7, 0.3, 0.0]),         # cos to seed 0 = 0.919 < eps
+            (11, [0.7, 0.3, 0.001]),       # ~dup of 10 (cos ~ 0.9999)
+            (20, [0.3, 0.7, 0.0]),         # cos to seed 1 = 0.919 < eps
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_drops_near_dup_keeps_farthest(self, spark):
+        from datasketches_spark_spark.operators import semantic_dedup_drops
+        df = self._corpus(spark)
+        cents = df.where("vec_id < 2")
+        got = [(r.cluster, r.id_kept, r.id_dropped)
+               for r in semantic_dedup_drops(df, cents, eps=0.99)
+               .collect()]
+        # 10 and 11 exceed eps; whichever has LOWER centroid-cosine is
+        # kept (farthest-from-centroid rule). 0 vs 10/11 and 20 vs 1
+        # are below eps; seeds themselves survive.
+        assert len(got) == 1
+        (cl, kept, dropped) = got[0]
+        assert cl == 0 and {kept, dropped} == {10, 11}
+        # verify the priority direction explicitly
+        import numpy as np
+        def cos(a, b):
+            a, b = np.array(a, float), np.array(b, float)
+            return round(float(a @ b / np.linalg.norm(a)
+                               / np.linalg.norm(b)), 6)
+        rows = {r.vec_id: r.embedding for r in df.collect()}
+        c0 = rows[0]
+        lower = 10 if cos(rows[10], c0) < cos(rows[11], c0) else 11
+        assert kept == lower
+
+    def test_eps_one_drops_nothing(self, spark):
+        from datasketches_spark_spark.operators import semantic_dedup_drops
+        df = self._corpus(spark)
+        assert semantic_dedup_drops(df, df.where("vec_id < 2"),
+                                    eps=1.0).count() == 0
+
+    def test_empty_centroids_raise(self, spark):
+        import pytest as _pt
+        from datasketches_spark_spark.operators import semantic_dedup_drops
+        df = self._corpus(spark)
+        with _pt.raises(ValueError):
+            semantic_dedup_drops(df, df.where("vec_id < 0"))
+
+    def test_identical_vectors_tie_keeps_smaller_id(self, spark):
+        from datasketches_spark_spark.operators import semantic_dedup_drops
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (5, [0.8, 0.2]), (7, [0.8, 0.2])],
+            ["vec_id", "embedding"])
+        got = [(r.id_kept, r.id_dropped)
+               for r in semantic_dedup_drops(
+                   df, df.where("vec_id = 0"), eps=0.99).collect()]
+        assert got == [(5, 7)]
