@@ -38,7 +38,8 @@ def main():
     for op, fn in [("bm25_topk", op_bm25),
                    ("duplicated_spans", op_spans),
                    ("bigram_lm_score", op_lm),
-                   ("text_index_build_query", op_text_index)]:
+                   ("text_index_build_query", op_text_index),
+                   ("semantic_dedup", op_semdedup)]:
         for scale in ("x1", "x10"):
             run_op(op, fn, os.path.join(HERE, ".scaleproof", scale))
 
@@ -64,3 +65,16 @@ def op_text_index(spark, d):
     build_text_index(docs, "doc_id", "text", path, num_buckets=16)
     qs = [("q1", "spark window merge"), ("q2", "customer order join")]
     return query_text_index(spark, path, qs, k=10).count()
+
+
+def op_semdedup(spark, d):
+    from pyspark.sql import functions as F
+    from datasketches_spark_spark.operators import semantic_dedup_drops
+    emb = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # k scales with sqrt(n) (the paper's cost model) so cluster sizes —
+    # and the quadratic-in-cluster pair volume — stay bounded
+    n = emb.count()
+    k = max(8, int(n ** 0.5 / 2))
+    cents = emb.orderBy("vec_id").limit(k)
+    return semantic_dedup_drops(emb, cents, eps=0.95).count()
