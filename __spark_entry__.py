@@ -252,7 +252,7 @@ def _q13_percentile_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- LLM-pipeline queries
 
 def _q14_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint dedup, two hash-gated legs. Leg 'exact': duplicate
+    """Fingerprint dedup, three hash-gated legs. Leg 'exact': duplicate
     groups under the distinct-token-set fingerprint — one JVM hash
     shuffle on 16-B fingerprints (operators/dedup.py::exact_dedup_groups).
     Leg 'norm': normalization-invariant dedup (functions/text.py::
@@ -318,7 +318,7 @@ def _q15_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text mining, two legs. Leg 'gram': top-10 word bigrams via the
+    """Text mining, three legs. Leg 'gram': top-10 word bigrams via the
     frequent-items sketch (exact regime: distinct bigrams < maxMapSize),
     two-phase map-side sketching. Leg 'bm25' (round 11): Okapi BM25
     top-10 documents per probe query (operators/retrieval.py::bm25_topk
@@ -407,7 +407,7 @@ def _q17_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q18_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via the RHP-LSH-prefiltered exact re-rank
+    """Embedding near-dup, two legs. Leg 'rhp': pairs via the RHP-LSH-prefiltered exact re-rank
     (operators/similarity.py::cosine_pairs prefilter="rhp") — the 100-TB
     path: banded signatures -> bucket-local candidate join -> exact JVM
     cosine, never a block self-join over the corpus. The corpus is the
@@ -487,7 +487,7 @@ def _q20_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q21_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features, two legs sharing one scan shape.
+    """Per-document quality features, three legs sharing one scan shape.
     Leg 'quality': token stats, stopword/distinct ratios
     (functions/text.py::quality_features). Leg 'repetition': Gopher-style
     duplicate-token/bigram fractions and top-bigram share
@@ -1149,7 +1149,7 @@ def _q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q45_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mix construction: per language, keep the largest documents
+    """Training-mix construction, two legs: per language, keep the largest documents
     (n_chars desc, doc_id tiebreak) until each language contributes at
     most 2000 whitespace tokens (operators/sampling.py::budget_select —
     one exchange on lang + a running-sum window; the greedy-prefix mix
