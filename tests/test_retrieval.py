@@ -135,3 +135,26 @@ class TestTextIndex:
         _, path = self._build(spark, tmp_path)
         assert query_text_index(
             spark, path, [("q", "zzzznotaword")], k=5).count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bm25_random_corpus_vs_scalar(spark, seed):
+    """Randomized small-vocab corpora against the scalar model — dense
+    term collisions, heavy score ties (the tiebreak regime)."""
+    import random
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(6)]
+    corpus = {d: " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 30)))
+              for d in range(15)}
+    queries = [("qa", " ".join(rng.sample(vocab, 2))),
+               ("qb", " ".join(rng.sample(vocab, 3)))]
+    from datasketches_spark_spark.operators import bm25_topk
+    df = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], ["doc_id", "text"])
+    got = {}
+    for r in bm25_topk(df, "doc_id", "text", queries, k=7).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.rank, r.score))
+    for q in got:
+        got[q].sort(key=lambda t: t[1])
+    assert got == _bm25_reference(corpus, queries, k=7)

@@ -234,3 +234,21 @@ class TestMixtureWeights:
         from datasketches_spark_spark.operators import mixture_weights
         df = spark.createDataFrame([("a", 5)], ["s", "m"])
         assert mixture_weights(df, "s", "m").collect()[0].epochs == 0.0
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.3, 0.7, 1.0])
+def test_mixture_weights_invariants(spark, alpha):
+    """Weights are a distribution at every temperature; alpha=0 is
+    uniform, alpha=1 the natural shares."""
+    from datasketches_spark_spark.operators import mixture_weights
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 90), ("c", 400)], ["s", "m"])
+    rows = mixture_weights(df, "s", "m", alpha=alpha).collect()
+    ws = {r.s: r.weight for r in rows}
+    assert abs(sum(ws.values()) - 1.0) < 1e-5
+    if alpha == 0.0:
+        assert all(abs(w - 1 / 3) < 1e-5 for w in ws.values())
+    if alpha == 1.0:
+        assert abs(ws["c"] - 0.8) < 1e-5
+    # monotone: more mass never gets a smaller weight
+    assert ws["a"] <= ws["b"] <= ws["c"]
