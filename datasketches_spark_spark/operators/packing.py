@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "read_training_shards", "write_training_shards"]
 
 
 def pack_sequences(docs: DataFrame, tokens_per_seq: int,
@@ -133,3 +133,60 @@ def pack_sequences(docs: DataFrame, tokens_per_seq: int,
         F.greatest(F.lit(0).cast("long"),
                    F.col("_g") - F.col("seq_id") * s)
         .cast("long").alias("seq_offset"))
+
+
+def write_training_shards(docs: DataFrame, path: str,
+                          tokens_per_seq: int, seqs_per_shard: int,
+                          id_col: str = "doc_id",
+                          count_col: str = "n_tokens",
+                          num_partitions: int | None = None) -> None:
+    """The training-data SINK: pack the corpus into fixed-length
+    sequences (`pack_sequences`), assign sequences to shards of
+    ``seqs_per_shard`` (shard = ``seq_id DIV seqs_per_shard`` — pure
+    arithmetic on the layout-proof packing, so the shard layout is as
+    deterministic as the packing itself), and write:
+
+    - ``shards/`` — the piece table parquet partitioned by ``shard_id``
+      (one co-located, right-sized file set per shard directory: the
+      downstream tokenize-and-train reader consumes shards
+      embarrassingly parallel, each knowing exactly which doc spans at
+      which sequence offsets it needs);
+    - ``manifest/`` — one row per shard (sequence/piece/token counts,
+      doc-id range) — the bookkeeping a training launcher reads
+      INSTEAD of listing data files.
+
+    Scale shape: everything is the `pack_sequences` plan plus one
+    arithmetic column and a bucket repartition before the write; the
+    manifest is a shard-dimension aggregate of the piece table.
+    """
+    if seqs_per_shard <= 0:
+        raise ValueError("seqs_per_shard must be positive")
+    packed = pack_sequences(docs, tokens_per_seq, id_col=id_col,
+                            count_col=count_col,
+                            num_partitions=num_partitions)
+    sh = packed.withColumn(
+        "shard_id", (F.col("seq_id") / seqs_per_shard)
+        .cast("long"))
+    sh.repartition("shard_id").write.mode("overwrite") \
+        .partitionBy("shard_id").parquet(path + "/shards")
+    man = (docs.sparkSession.read.parquet(path + "/shards")
+           .groupBy("shard_id")
+           .agg(F.countDistinct("seq_id").alias("n_seqs"),
+                F.count("*").alias("n_pieces"),
+                F.sum(F.col("piece_end") - F.col("piece_start"))
+                .alias("n_tokens"),
+                F.min(id_col).alias("min_doc"),
+                F.max(id_col).alias("max_doc")))
+    man.repartition(1).write.mode("overwrite") \
+        .parquet(path + "/manifest")
+
+
+def read_training_shards(spark, path: str,
+                         shard_ids=None) -> DataFrame:
+    """Read back shard piece tables; with ``shard_ids`` the scan prunes
+    to those shard directories (PartitionFilters — a resumed or
+    distributed-across-jobs training run reads only its assignment)."""
+    df = spark.read.parquet(path + "/shards")
+    if shard_ids is not None:
+        df = df.where(F.col("shard_id").isin(list(shard_ids)))
+    return df

@@ -216,3 +216,64 @@ def test_pack_sequences_deterministic_under_range_sampling(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+class TestTrainingShards:
+    """The shard sink: deterministic layout, faithful manifest, pruned
+    read-back."""
+
+    def _write(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import write_training_shards
+        docs = spark.createDataFrame(
+            [(i, 10 + (i * 7) % 23) for i in range(60)],
+            ["doc_id", "n_tokens"])
+        path = str(tmp_path / "shards")
+        write_training_shards(docs, path, tokens_per_seq=64,
+                              seqs_per_shard=3)
+        return docs, path
+
+    def test_manifest_matches_recomputation(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        docs, path = self._write(spark, tmp_path)
+        man = {r.shard_id: (r.n_seqs, r.n_pieces, r.n_tokens)
+               for r in spark.read.parquet(path + "/manifest").collect()}
+        sh = spark.read.parquet(path + "/shards")
+        re = {r.shard_id: (r.ns, r.np, r.nt) for r in
+              sh.groupBy("shard_id")
+              .agg(F.countDistinct("seq_id").alias("ns"),
+                   F.count("*").alias("np"),
+                   F.sum(F.col("piece_end") - F.col("piece_start"))
+                   .alias("nt")).collect()}
+        assert man == re and man
+        # token conservation: every input token lands in exactly one piece
+        total = sum(v[2] for v in man.values())
+        want = sum(r.n_tokens for r in docs.collect())
+        assert total == want
+
+    def test_shard_assignment_is_seq_div(self, spark, tmp_path):
+        _, path = self._write(spark, tmp_path)
+        rows = spark.read.parquet(path + "/shards") \
+            .select("shard_id", "seq_id").distinct().collect()
+        assert all(r.shard_id == r.seq_id // 3 for r in rows)
+
+    def test_read_back_prunes(self, spark, tmp_path):
+        import contextlib
+        import io
+        from datasketches_spark_spark.operators import read_training_shards
+        _, path = self._write(spark, tmp_path)
+        sub = read_training_shards(spark, path, shard_ids=[0, 2])
+        assert set(r.shard_id for r in sub.collect()) == {0, 2}
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sub.explain("formatted")
+        plan = buf.getvalue()
+        pf = [seg.split("]")[0] for seg in
+              plan.split("PartitionFilters: [")[1:]]
+        assert any("shard_id" in p for p in pf), plan
+
+    def test_rejects_bad_shard_size(self, spark, tmp_path):
+        import pytest as _pt
+        from datasketches_spark_spark.operators import write_training_shards
+        docs = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
+        with _pt.raises(ValueError):
+            write_training_shards(docs, str(tmp_path / "x"), 64, 0)
