@@ -2370,6 +2370,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _demo_bm25_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 at a different operating point (k1=2.0, b=0.5, k=5) — same
+    machinery as q16's leg, different saturation/length-normalization
+    constants, gated by the same oracle recipe."""
+    from datasketches_spark_spark.operators import bm25_topk
+    docs = read_table(spark, sf_dir, "documents")
+    return (bm25_topk(docs, "doc_id", "text",
+                      [("qa", "table data group"), ("qb", "big small line")],
+                      k=5, k1=2.0, b=0.5)
+            .orderBy("query_id", "rank"))
+
+
+def _demo_spans_k12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicated_spans at k=12 (longer windows, sparser hits) emitting
+    the raw span rows q14's leg aggregates away."""
+    from datasketches_spark_spark.operators import duplicated_spans
+    docs = read_table(spark, sf_dir, "documents")
+    return (duplicated_spans(docs, "doc_id", "text", k=12)
+            .orderBy("doc_id", "span_idx"))
+
+
+def _demo_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_weights over the 20-source dimension at alpha=0.7 — the
+    flatter-temperature, finer-strata variant of q45's leg."""
+    from datasketches_spark_spark.functions.text import token_count
+    from datasketches_spark_spark.operators import mixture_weights
+    docs = (read_table(spark, sf_dir, "documents")
+            .withColumn("toks", token_count("text")))
+    return (mixture_weights(docs, "source", "toks", alpha=0.7,
+                            budget=50_000)
+            .orderBy("source"))
+
+
+def _demo_semdedup_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_drops with 16 seed centroids (twice q18's leg) —
+    smaller clusters, same deterministic rule."""
+    from datasketches_spark_spark.operators import semantic_dedup_drops
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    twins = (emb.where(F.col("vec_id") % 2 == 0)
+             .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                     F.transform(
+                         "embedding",
+                         lambda x, i: F.when(i == 0, x * 1.02).otherwise(x))
+                     .alias("embedding")))
+    corpus = emb.unionByName(twins)
+    return (semantic_dedup_drops(corpus, emb.where("vec_id < 16"),
+                                 eps=0.98)
+            .orderBy("cluster", "id_dropped"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2384,6 +2436,10 @@ def demo_queries() -> dict[str, str]:
         "demo_pricing_summary": _q11_pricing_summary,
         "demo_multimodal": _q23_multimodal,
         "demo_set_overlap": _q28_set_overlap,
+        "demo_bm25_tuned": _demo_bm25_tuned,
+        "demo_spans_k12": _demo_spans_k12,
+        "demo_mixture_sources": _demo_mixture_sources,
+        "demo_semdedup_16": _demo_semdedup_16,
     }
 
 
@@ -3670,5 +3726,123 @@ def demo_oracle_sql() -> dict[str, str]:
             FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
             LEFT JOIN com ON com.ta = ca.event_type AND com.tb = cb.event_type
             ORDER BY type_a, type_b
+        """,
+        "demo_bm25_tuned": """
+            WITH q(query_id, term) AS (VALUES
+              ('qa','table'), ('qa','data'), ('qa','group'),
+              ('qb','big'), ('qb','small'), ('qb','line')),
+            lens AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS t
+                     FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl
+                      FROM lens),
+            tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                   FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                         FROM lens)
+                   JOIN (SELECT DISTINCT term FROM q) USING (term)
+                   GROUP BY doc_id, dl, term),
+            dfq AS (SELECT doc_id, dl, term, tf,
+                           count(*) OVER (PARTITION BY term) AS df
+                    FROM tf),
+            sc AS (SELECT q.query_id, dfq.doc_id,
+                          round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                                    * tf * 3.0
+                                    / (tf + 2.0 * (0.5
+                                                   + 0.5 * dl / avgdl))),
+                                6) AS score
+                   FROM dfq JOIN q USING (term) CROSS JOIN stats
+                   GROUP BY 1, 2)
+            SELECT query_id, doc_id, rank, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score DESC,
+                                                        doc_id) AS rank
+                  FROM sc)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "demo_spans_k12": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, i - 1 AS pos,
+                         array_to_string(toks[i:i+11], ' ') AS g
+                  FROM t, unnest(range(1, len(toks) - 10)) AS r(i)),
+            nd AS (SELECT doc_id, pos,
+                          count(DISTINCT doc_id) OVER (PARTITION BY g)
+                            AS ndocs
+                   FROM w),
+            hits AS (SELECT doc_id, pos FROM nd WHERE ndocs >= 2),
+            m AS (SELECT doc_id, pos,
+                         max(pos + 12) OVER (PARTITION BY doc_id
+                                             ORDER BY pos
+                                             ROWS BETWEEN UNBOUNDED
+                                             PRECEDING AND 1 PRECEDING)
+                           AS run_end
+                  FROM hits),
+            s AS (SELECT doc_id, pos,
+                         sum(CASE WHEN run_end IS NULL OR pos > run_end
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_idx
+                  FROM m)
+            SELECT doc_id, span_idx, min(pos) AS span_start,
+                   max(pos) + 12 AS span_end, count(*) AS n_windows
+            FROM s GROUP BY doc_id, span_idx
+            ORDER BY doc_id, span_idx
+        """,
+        "demo_mixture_sources": """
+            SELECT source, mass, sh AS share, w AS weight,
+                   round(50000 * w / mass, 6) AS epochs
+            FROM (
+              SELECT source, CAST(sum(toks) AS BIGINT) AS mass,
+                     round(sum(toks) / sum(sum(toks)) OVER (), 6) AS sh,
+                     round(pow(CAST(sum(toks) AS DOUBLE), 0.7)
+                           / sum(pow(CAST(sum(toks) AS DOUBLE), 0.7))
+                               OVER (), 6) AS w
+              FROM (SELECT source,
+                           len(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS toks
+                    FROM documents)
+              GROUP BY source)
+            ORDER BY source
+        """,
+        "demo_semdedup_16": """
+            WITH c AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_prepend(CAST(embedding AS DOUBLE[])[1] * 1.02,
+                                  CAST(embedding AS DOUBLE[])[2:])
+              FROM embeddings WHERE vec_id % 2 = 0),
+            cents AS (SELECT id AS cid, v AS cv FROM c WHERE id < 16),
+            sims AS (SELECT c.id, cents.cid,
+                            round(list_cosine_similarity(c.v, cents.cv),
+                                  6) AS s
+                     FROM c CROSS JOIN cents),
+            asg AS (SELECT id, cid, s AS pcos
+                    FROM (SELECT *,
+                                 row_number() OVER (PARTITION BY id
+                                                    ORDER BY s DESC, cid)
+                                   AS rn
+                          FROM sims)
+                    WHERE rn = 1),
+            av AS (SELECT a.id, a.cid, a.pcos, c.v
+                   FROM asg a JOIN c USING (id)),
+            hits AS (SELECT a.cid, a.id AS a_id, a.pcos AS a_pcos,
+                            b.id AS b_id
+                     FROM av a JOIN av b
+                       ON a.cid = b.cid AND a.id <> b.id
+                     WHERE (a.pcos < b.pcos
+                            OR (a.pcos = b.pcos AND a.id < b.id))
+                       AND round(list_cosine_similarity(a.v, b.v), 6)
+                           > 0.98)
+            SELECT cid AS cluster, a_id AS id_kept, b_id AS id_dropped
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY cid, b_id
+                                            ORDER BY a_pcos, a_id) AS rn
+                  FROM hits)
+            WHERE rn = 1 ORDER BY cluster, id_dropped
         """,
     }
