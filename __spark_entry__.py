@@ -2422,6 +2422,17 @@ def _demo_semdedup_16(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster", "id_dropped"))
 
 
+def _demo_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop table profile (operators/profile.py::profile_table) of
+    four events columns — rows/nulls/ndv/min/max/p50/top-k from exactly
+    two column-pruned scans (one JVM aggregate + one multi-measure
+    sketch pass), exact in the exact regime."""
+    from datasketches_spark_spark.operators import profile_table
+    ev = read_table(spark, sf_dir, "events")
+    return profile_table(ev, columns=["event_id", "user_id",
+                                      "event_type", "value"])
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2440,6 +2451,7 @@ def demo_queries() -> dict[str, str]:
         "demo_spans_k12": _demo_spans_k12,
         "demo_mixture_sources": _demo_mixture_sources,
         "demo_semdedup_16": _demo_semdedup_16,
+        "demo_profile_events": _demo_profile_events,
     }
 
 
@@ -3844,5 +3856,82 @@ def demo_oracle_sql() -> dict[str, str]:
                                             ORDER BY a_pcos, a_id) AS rn
                   FROM hits)
             WHERE rn = 1 ORDER BY cluster, id_dropped
+        """,
+        "demo_profile_events": """
+            WITH topv AS (
+              SELECT event_type AS val, count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC,
+                                        event_type) AS rn
+              FROM events GROUP BY event_type)
+            SELECT * FROM (
+              SELECT '_table' AS "column", 'rows' AS metric,
+                     CAST(count(*) AS DOUBLE) AS num,
+                     CAST(NULL AS VARCHAR) AS str FROM events
+              UNION ALL
+              SELECT 'event_id', 'nulls',
+                     CAST(sum(CASE WHEN event_id IS NULL THEN 1
+                              ELSE 0 END) AS DOUBLE), NULL FROM events
+              UNION ALL
+              SELECT 'event_id', 'ndv',
+                     CAST(count(DISTINCT event_id) AS DOUBLE), NULL
+              FROM events
+              UNION ALL
+              SELECT 'event_id', 'min', CAST(min(event_id) AS DOUBLE),
+                     NULL FROM events
+              UNION ALL
+              SELECT 'event_id', 'max', CAST(max(event_id) AS DOUBLE),
+                     NULL FROM events
+              UNION ALL
+              SELECT 'event_id', 'p50',
+                     CAST(quantile_disc(CAST(event_id AS DOUBLE), 0.5)
+                          AS DOUBLE), NULL FROM events
+              UNION ALL
+              SELECT 'user_id', 'nulls',
+                     CAST(sum(CASE WHEN user_id IS NULL THEN 1
+                              ELSE 0 END) AS DOUBLE), NULL FROM events
+              UNION ALL
+              SELECT 'user_id', 'ndv',
+                     CAST(count(DISTINCT user_id) AS DOUBLE), NULL
+              FROM events
+              UNION ALL
+              SELECT 'user_id', 'min', CAST(min(user_id) AS DOUBLE),
+                     NULL FROM events
+              UNION ALL
+              SELECT 'user_id', 'max', CAST(max(user_id) AS DOUBLE),
+                     NULL FROM events
+              UNION ALL
+              SELECT 'user_id', 'p50',
+                     CAST(quantile_disc(CAST(user_id AS DOUBLE), 0.5)
+                          AS DOUBLE), NULL FROM events
+              UNION ALL
+              SELECT 'value', 'nulls',
+                     CAST(sum(CASE WHEN value IS NULL THEN 1
+                              ELSE 0 END) AS DOUBLE), NULL FROM events
+              UNION ALL
+              SELECT 'value', 'ndv',
+                     CAST(count(DISTINCT value) AS DOUBLE), NULL
+              FROM events
+              UNION ALL
+              SELECT 'value', 'min', CAST(min(value) AS DOUBLE), NULL
+              FROM events
+              UNION ALL
+              SELECT 'value', 'max', CAST(max(value) AS DOUBLE), NULL
+              FROM events
+              UNION ALL
+              SELECT 'value', 'p50',
+                     CAST(quantile_disc(value, 0.5) AS DOUBLE), NULL
+              FROM events
+              UNION ALL
+              SELECT 'event_type', 'nulls',
+                     CAST(sum(CASE WHEN event_type IS NULL THEN 1
+                              ELSE 0 END) AS DOUBLE), NULL FROM events
+              UNION ALL
+              SELECT 'event_type', 'ndv',
+                     CAST(count(DISTINCT event_type) AS DOUBLE), NULL
+              FROM events
+              UNION ALL
+              SELECT 'event_type', 'top' || rn, CAST(cnt AS DOUBLE), val
+              FROM topv WHERE rn <= 3)
+            ORDER BY "column", metric, str
         """,
     }

@@ -1429,3 +1429,37 @@ class TestSemanticDedup:
                for r in semantic_dedup_drops(
                    df, df.where("vec_id = 0"), eps=0.99).collect()]
         assert got == [(5, 7)]
+
+
+class TestProfileTable:
+    def test_metrics_exact(self, spark):
+        from datasketches_spark_spark.operators import profile_table
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (None, "b"), (4, None)],
+            "x int, s string")
+        got = {(r.column, r.metric): (r.num, r.str)
+               for r in profile_table(df, percentiles=(0.5,),
+                                      top_k=2).collect()}
+        assert got[("_table", "rows")] == (4.0, None)
+        assert got[("x", "nulls")] == (1.0, None)
+        assert got[("x", "ndv")] == (3.0, None)
+        assert got[("x", "min")] == (1.0, None)
+        assert got[("x", "max")] == (4.0, None)
+        assert got[("s", "nulls")] == (1.0, None)
+        assert got[("s", "ndv")] == (2.0, None)
+        assert got[("s", "top1")] == (2.0, "a")
+        assert got[("s", "top2")] == (1.0, "b")
+
+    def test_top_k_truncates_to_observed(self, spark):
+        from datasketches_spark_spark.operators import profile_table
+        df = spark.createDataFrame([("only",)], "s string")
+        tops = [r for r in profile_table(df, top_k=5).collect()
+                if r.metric.startswith("top")]
+        assert len(tops) == 1 and tops[0].str == "only"
+
+    def test_no_profilable_columns_raises(self, spark):
+        import pytest as _pt
+        from datasketches_spark_spark.operators import profile_table
+        df = spark.createDataFrame([([1],)], "arr array<int>")
+        with _pt.raises(ValueError):
+            profile_table(df)
