@@ -2433,6 +2433,20 @@ def _demo_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       "event_type", "value"])
 
 
+def _demo_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-then-cut: duplicated_spans(k=8) applied with remove_spans
+    — every document's cleaned text (md5-pinned) and removed-token
+    count; the removal half of the Lee et al. pipeline."""
+    from datasketches_spark_spark.operators import (duplicated_spans,
+                                                    remove_spans)
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, "doc_id", "text", k=8)
+    out = remove_spans(docs, spans, "doc_id", "text")
+    return (out.select("doc_id", F.md5("text").alias("h"),
+                       "n_removed_tokens")
+            .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2452,6 +2466,7 @@ def demo_queries() -> dict[str, str]:
         "demo_mixture_sources": _demo_mixture_sources,
         "demo_semdedup_16": _demo_semdedup_16,
         "demo_profile_events": _demo_profile_events,
+        "demo_span_removal": _demo_span_removal,
     }
 
 
@@ -3933,5 +3948,55 @@ def demo_oracle_sql() -> dict[str, str]:
               SELECT 'event_type', 'top' || rn, CAST(cnt AS DOUBLE), val
               FROM topv WHERE rn <= 3)
             ORDER BY "column", metric, str
+        """,
+        "demo_span_removal": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, i - 1 AS pos,
+                         array_to_string(toks[i:i+7], ' ') AS g
+                  FROM t, unnest(range(1, len(toks) - 6)) AS r(i)),
+            nd AS (SELECT doc_id, pos,
+                          count(DISTINCT doc_id) OVER (PARTITION BY g)
+                            AS ndocs
+                   FROM w),
+            hits AS (SELECT doc_id, pos FROM nd WHERE ndocs >= 2),
+            m AS (SELECT doc_id, pos,
+                         max(pos + 8) OVER (PARTITION BY doc_id
+                                            ORDER BY pos
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND 1 PRECEDING)
+                           AS run_end
+                  FROM hits),
+            s AS (SELECT doc_id, pos,
+                         sum(CASE WHEN run_end IS NULL OR pos > run_end
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_idx
+                  FROM m),
+            sp AS (SELECT doc_id, min(pos) AS st, max(pos) + 8 AS en
+                   FROM s GROUP BY doc_id, span_idx),
+            posn AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+                     FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+            cutpos AS (SELECT p.doc_id, p.pos
+                       FROM posn p JOIN sp
+                         ON sp.doc_id = p.doc_id
+                        AND p.pos >= sp.st AND p.pos < sp.en),
+            kept AS (SELECT p.doc_id, p.pos, p.tok
+                     FROM posn p LEFT JOIN cutpos c
+                       ON c.doc_id = p.doc_id AND c.pos = p.pos
+                     WHERE c.pos IS NULL),
+            rebuilt AS (SELECT doc_id,
+                               COALESCE(string_agg(tok, ' '
+                                                   ORDER BY pos), '')
+                                 AS text,
+                               count(*) AS n_kept
+                        FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, md5(COALESCE(r.text, '')) AS h,
+                   CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT)
+                     AS n_removed_tokens
+            FROM t LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY t.doc_id
         """,
     }

@@ -812,3 +812,40 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
 def _ngrams_arr(col: Column, n: int) -> Column:
     from ..functions.text import ngrams, tokenize
     return ngrams(tokenize(col), n)
+
+
+def remove_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                 text_col: str) -> DataFrame:
+    """Apply :func:`duplicated_spans` (or any ``(id, span_start,
+    span_end)`` table, token offsets, end exclusive) as a TRANSFORM:
+    rebuild each document's text with the spanned tokens cut — the
+    removal half of the Lee et al. pipeline (detect cross-document
+    spans, then cut them corpus-wide).
+
+    Returns ``(id, text, n_removed_tokens)`` for EVERY input document
+    (documents without spans pass through, ``n_removed_tokens`` 0).
+
+    Plan shape: the span table (dup-bounded) aggregates to one
+    interval-array row per affected doc and joins the corpus on the id
+    — broadcast when small, hash join at scale — then the cut is a
+    pure JVM filter over the token positions (no Python row path).
+    """
+    iv = (spans.groupBy(F.col(id_col).alias("_id"))
+          .agg(F.collect_list(
+              F.struct(F.col("span_start").alias("s"),
+                       F.col("span_end").alias("e"))).alias("_iv")))
+    toks = tokenize(text_col)
+    src = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    joined = src.join(iv, "_id", "left")
+    ivs = F.coalesce(F.col("_iv"), F.array())
+    keep = F.filter(
+        F.transform(F.col("_toks"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(ivs, lambda sp: (s["i"] >= sp["s"])
+                            & (s["i"] < sp["e"])))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(F.transform(keep, lambda s: s["t"]), " ")
+        .alias(text_col),
+        (F.size("_toks") - F.size(keep)).cast("long")
+        .alias("n_removed_tokens"))

@@ -1463,3 +1463,42 @@ class TestProfileTable:
         df = spark.createDataFrame([([1],)], "arr array<int>")
         with _pt.raises(ValueError):
             profile_table(df)
+
+
+class TestRemoveSpans:
+    def test_cut_matches_scalar(self, spark):
+        from datasketches_spark_spark.operators import (duplicated_spans,
+                                                        remove_spans)
+        shared = " ".join(f"w{i}" for i in range(10))
+        corpus = {1: shared + " a b c", 2: shared + " x y z",
+                  3: "p q r s t u v"}
+        df = spark.createDataFrame(
+            [(d, t) for d, t in corpus.items()], ["doc_id", "text"])
+        spans = duplicated_spans(df, "doc_id", "text", k=4)
+        got = {r.doc_id: (r.text, r.n_removed_tokens)
+               for r in remove_spans(df, spans, "doc_id", "text")
+               .collect()}
+        # docs 1/2 lose the shared 10-token prefix; doc 3 untouched
+        assert got[1] == ("a b c", 10)
+        assert got[2] == ("x y z", 10)
+        assert got[3] == ("p q r s t u v", 0)
+
+    def test_detect_then_cut_leaves_no_spans(self, spark):
+        from datasketches_spark_spark.operators import (duplicated_spans,
+                                                        remove_spans)
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e z z z"),
+             (3, "q w e r t y u i")], ["doc_id", "text"])
+        spans = duplicated_spans(df, "doc_id", "text", k=3)
+        cleaned = remove_spans(df, spans, "doc_id", "text")
+        again = duplicated_spans(cleaned, "doc_id", "text", k=3)
+        assert again.count() == 0  # the fixed point of the pipeline
+
+    def test_empty_span_table_passthrough(self, spark):
+        from datasketches_spark_spark.operators import remove_spans
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        spans = spark.createDataFrame(
+            [], "doc_id long, span_idx long, span_start long, "
+                "span_end long, n_windows long")
+        r = remove_spans(df, spans, "doc_id", "text").collect()[0]
+        assert (r.text, r.n_removed_tokens) == ("a b", 0)
