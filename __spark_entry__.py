@@ -1149,7 +1149,7 @@ def _q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q45_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mix construction, two legs: per language, keep the largest documents
+    """Training-mix construction, three legs: per language, keep the largest documents
     (n_chars desc, doc_id tiebreak) until each language contributes at
     most 2000 whitespace tokens (operators/sampling.py::budget_select —
     one exchange on lang + a running-sum window; the greedy-prefix mix
@@ -1179,7 +1179,29 @@ def _q45_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("mass").alias("sum_tokens"),
                    F.col("share").alias("sh"), F.col("weight").alias("w"),
                    F.col("epochs").alias("ep")))
-    return budget.unionByName(mix).orderBy("leg", "lang")
+    # Leg 'dsir' (round 11, operators/sampling.py::dsir_weights): DSIR
+    # hashed n-gram importance weights (Xie et al. 2023) with lang='en'
+    # as the target domain — 64 md5-portable buckets, add-0.5 smoothed
+    # log-likelihood ratios, per-doc sums rounded AFTER all arithmetic.
+    # Per language: docs with positive evidence, positive-term mass,
+    # and the max/avg/min per-doc score (every doc's float must agree).
+    from datasketches_spark_spark.operators import dsir_weights
+    dw = dsir_weights(docs, "doc_id", "text", F.col("lang") == "en",
+                      buckets=64)
+    dsir = (dw.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+                 .alias("n_docs"),
+                 F.sum("n_pos").alias("sum_tokens"),
+                 F.round(F.max("score"), 6).alias("sh"),
+                 F.round(F.avg("score"), 6).alias("w"),
+                 F.round(F.min("score"), 6).alias("ep"))
+            .select(F.lit("dsir").alias("leg"), "lang",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("sum_tokens").cast("long").alias("sum_tokens"),
+                    "sh", "w", "ep"))
+    return (budget.unionByName(mix).unionByName(dsir)
+            .orderBy("leg", "lang"))
 
 
 def _q46_session_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3334,6 +3356,43 @@ def oracle_sql() -> dict[str, str]:
                            / sum(pow(CAST(sum(toks) AS DOUBLE), 0.3))
                                OVER (), 6) AS w
               FROM t GROUP BY lang)
+            UNION ALL
+            SELECT 'dsir' AS leg, lang,
+                   CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs,
+                   CAST(sum(n_pos) AS BIGINT) AS sum_tokens,
+                   round(max(score), 6) AS sh,
+                   round(avg(score), 6) AS w,
+                   round(min(score), 6) AS ep
+            FROM (
+              WITH tt AS (SELECT doc_id, lang,
+                                 list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS toks
+                          FROM documents),
+              f AS (SELECT doc_id, lang, unnest(list_concat(toks,
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' '
+                                               || toks[i+1]))) AS f
+                    FROM tt),
+              fb AS (SELECT doc_id, lang,
+                            ('0x' || substr(md5(f), 1, 15))::BIGINT % 64
+                              AS b
+                     FROM f),
+              bt AS (SELECT b, count(*) AS cr,
+                            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                              AS ct
+                     FROM fb GROUP BY b),
+              r AS (SELECT b,
+                           ln((ct + 0.5) / (sum(ct) OVER () + 0.5 * 64))
+                           - ln((cr + 0.5) / (sum(cr) OVER () + 0.5 * 64))
+                             AS llr
+                    FROM bt)
+              SELECT doc_id, any_value(lang) AS lang,
+                     sum(CASE WHEN llr > 0 THEN 1 ELSE 0 END) AS n_pos,
+                     round(sum(llr) / count(*), 6) AS score
+              FROM fb JOIN r USING (b)
+              GROUP BY doc_id)
+            GROUP BY lang
             ORDER BY leg, lang
         """,
         "q46_session_ndv": """

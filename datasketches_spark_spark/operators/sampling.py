@@ -31,6 +31,12 @@ wrap), built so the heavy path never shuffles the corpus:
 Determinism: every operator takes ``seed``; ``F.rand(seed)`` is
 deterministic per (row, partition) for a fixed input partitioning, so
 reruns on the same data+layout reproduce the same sample.
+
+Data SELECTION (deciding which documents deserve the budget, not just
+how to draw them) lives here too: :func:`budget_select` (greedy
+quota-prefix mix), :func:`mixture_weights` (p_i^alpha temperature
+rebalancing), and :func:`dsir_weights` (DSIR hashed n-gram importance
+weights — rank raw documents by target-domain likelihood ratio).
 """
 
 from __future__ import annotations
@@ -39,6 +45,8 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.text import ngrams, tokenize
 
 _RAND = "_dss_rand"
 
@@ -238,3 +246,84 @@ def mixture_weights(df: DataFrame, strata_col: str, mass_col,
     else:
         ep = F.lit(0.0)
     return out.withColumn("epochs", ep)
+
+
+def dsir_weights(df: DataFrame, id_col: str, text_col: str,
+                 target_col, buckets: int = 256, smoothing: float = 0.5,
+                 round_digits: int = 6) -> DataFrame:
+    """DSIR hashed n-gram importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling",
+    NeurIPS 2023) — the data-selection rule that scores every raw
+    document by how target-domain-like it is, so a pretraining mix can
+    resample raw web text toward a curated target (Wikipedia, books, a
+    domain corpus) WITHOUT training a classifier.
+
+    Features are unigrams + adjacent word bigrams hashed into
+    ``buckets`` cells with the PORTABLE md5-prefix hash (the
+    ``simhash_expr`` convention — any SQL engine reproduces the
+    bucketing exactly). Two bag-of-buckets multinomials are fit with
+    add-``smoothing`` over the hashed vocabulary:
+
+    - ``p_t`` from the rows where ``target_col`` is true (the target
+      domain sample),
+    - ``p_r`` from ALL rows (the raw pool).
+
+    Each document scores ``log w(x) = sum_f ln p_t[h(f)] / p_r[h(f)]``
+    over its feature OCCURRENCES (repeats count, per the paper's
+    bag-of-ngrams likelihood), plus the length-normalized
+    ``score = log_w / n_feats`` for length-robust ranking.
+
+    Scale design (the 100 TB shape): one explode scan fits BOTH
+    distributions in a single map-side-combined aggregate (conditional
+    sums), producing a ``buckets``-row table — bounded by the hash
+    width, not the corpus; a second explode scan broadcast-joins that
+    table and reduces per document (map-side-combinable sum). The
+    corpus itself never shuffles; the only exchanged volumes are the
+    bucket table and the per-document partial sums.
+
+    Float determinism: the log-likelihood-ratio expression tree is
+    plain ``ln((c+s)/(T+s*B))`` differences — an independent engine
+    replaying the identical tree agrees bit-for-bit after the final
+    ``round(.., round_digits)`` (applied AFTER the per-document sum).
+
+    Returns ``(id, n_feats, n_pos, log_w, score)``: ``n_pos`` counts
+    the feature occurrences with a positive log-ratio (target-evidence
+    tokens — an order-independent integer gate on every term's sign).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    tgt = F.col(target_col) if isinstance(target_col, str) else target_col
+    toks = tokenize(text_col)
+    feats = F.concat(toks, ngrams(tokenize(text_col), 2))
+    s = F.lit(float(smoothing))
+    nb = F.lit(float(buckets))
+
+    exploded = df.select(F.col(id_col).alias("_id"), tgt.alias("_t"),
+                         F.explode(feats).alias("f"))
+    exploded = exploded.withColumn(
+        "b", F.pmod(F.conv(F.substring(F.md5("f"), 1, 15), 16, 10)
+                    .cast("long"), F.lit(buckets)))
+
+    wall = Window.partitionBy()
+    bt = (exploded.groupBy("b")
+          .agg(F.count("*").alias("cr"),
+               F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"))
+          .select("b",
+                  (F.log((F.col("ct") + s)
+                         / (F.sum("ct").over(wall) + s * nb))
+                   - F.log((F.col("cr") + s)
+                           / (F.sum("cr").over(wall) + s * nb)))
+                  .alias("llr")))
+
+    return (exploded.join(F.broadcast(bt), "b")
+            .groupBy("_id")
+            .agg(F.count("*").alias("n_feats"),
+                 F.sum(F.when(F.col("llr") > 0, 1).otherwise(0))
+                 .alias("n_pos"),
+                 F.sum("llr").alias("_lw"))
+            .select(F.col("_id").alias(id_col),
+                    F.col("n_feats"),
+                    F.col("n_pos").cast("long").alias("n_pos"),
+                    F.round(F.col("_lw"), round_digits).alias("log_w"),
+                    F.round(F.col("_lw") / F.col("n_feats"),
+                            round_digits).alias("score")))

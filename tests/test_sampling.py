@@ -252,3 +252,97 @@ def test_mixture_weights_invariants(spark, alpha):
         assert abs(ws["c"] - 0.8) < 1e-5
     # monotone: more mass never gets a smaller weight
     assert ws["a"] <= ws["b"] <= ws["c"]
+
+
+class TestDsirWeights:
+    """DSIR hashed n-gram importance weights (sampling.py::dsir_weights)
+    pinned against a pure-Python scalar model on randomized corpora —
+    the same feature hashing, smoothing, and log-ratio arithmetic
+    computed row-at-a-time, so any distributed-plan mistake (lost
+    occurrences, wrong distribution totals, order-dependent rounding)
+    shows up as a float mismatch."""
+
+    @staticmethod
+    def _scalar(rows, target_langs, buckets, s=0.5):
+        import collections
+        import hashlib
+        import math
+
+        def bucket(f):
+            return int(hashlib.md5(f.encode()).hexdigest()[:15],
+                       16) % buckets
+
+        cr = collections.Counter()
+        ct = collections.Counter()
+        featmap = {}
+        for did, lang, text in rows:
+            toks = [t for t in text.split(" ") if t]
+            feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            bs = [bucket(f) for f in feats]
+            featmap[did] = bs
+            for b in bs:
+                cr[b] += 1
+                if lang in target_langs:
+                    ct[b] += 1
+        tr, tt = sum(cr.values()), sum(ct.values())
+        out = {}
+        for did, bs in featmap.items():
+            if not bs:
+                continue
+            lw = npos = 0
+            for b in bs:
+                v = (math.log((ct[b] + s) / (tt + s * buckets))
+                     - math.log((cr[b] + s) / (tr + s * buckets)))
+                lw += v
+                npos += v > 0
+            out[did] = (len(bs), npos, round(lw, 6),
+                        round(lw / len(bs), 6))
+        return out
+
+    def test_matches_scalar_model_randomized(self, spark):
+        import random
+        rnd = random.Random(1107)
+        vocab_t = ["alpha", "beta", "gamma", "delta"]
+        vocab_r = ["zap", "qux", "mog", "fizz", "alpha"]
+        rows = []
+        for i in range(120):
+            tgt = i % 3 == 0
+            vocab = vocab_t if tgt else vocab_r
+            n = rnd.randint(0, 30)
+            text = " ".join(rnd.choice(vocab) for _ in range(n))
+            rows.append((i, "en" if tgt else "xx", text))
+        from datasketches_spark_spark.operators import dsir_weights
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        got = {r.doc_id: (r.n_feats, r.n_pos, r.log_w, r.score)
+               for r in dsir_weights(df, "doc_id", "text",
+                                     F.col("lang") == "en",
+                                     buckets=32).collect()}
+        exp = self._scalar(rows, {"en"}, 32)
+        assert got == exp
+        # empty documents produce no features and no row
+        assert all(rows[d][2] != "" for d in got)
+
+    def test_target_docs_score_higher(self, spark):
+        """Separated vocabularies: every target doc must outscore every
+        raw-only doc (the selection property the operator exists for)."""
+        import random
+        rnd = random.Random(7)
+        rows = [(i, "en" if i < 20 else "xx",
+                 " ".join(rnd.choice(
+                     ["wiki", "book", "prose"] if i < 20 else
+                     ["spam", "junk", "ads"]) for _ in range(25)))
+                for i in range(40)]
+        from datasketches_spark_spark.operators import dsir_weights
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        sc = {r.doc_id: r.score
+              for r in dsir_weights(df, "doc_id", "text",
+                                    F.col("lang") == "en",
+                                    buckets=64).collect()}
+        assert min(sc[i] for i in range(20)) \
+            > max(sc[i] for i in range(20, 40))
+
+    def test_bad_buckets_raises(self, spark):
+        from datasketches_spark_spark.operators import dsir_weights
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            dsir_weights(df, "doc_id", "text", F.lit(True), buckets=1)
