@@ -2469,6 +2469,33 @@ def _demo_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (operators/dedup.py::
+    dedup_lines): the corpus is given a synthetic line structure
+    (12-token segments joined by newlines) and odd doc_ids are
+    UPPERCASED — the normalization (lower/trim/collapse) must still
+    collapse case variants into one fingerprint, so any line whose
+    normalized form appears in >= 2 distinct documents is cut from
+    every document that carries it. Per doc: cleaned-text md5 (pins
+    line order and reassembly), line counts, chars removed."""
+    from datasketches_spark_spark.operators import dedup_lines
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "))
+    seg = docs.select("doc_id", F.array_join(lines, "\n").alias("t"))
+    seg = seg.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1, F.upper("t"))
+        .otherwise(F.col("t")).alias("t"))
+    out = dedup_lines(seg, "doc_id", "t", min_doc_freq=2)
+    return (out.select("doc_id", F.md5("text_clean").alias("h"),
+                       "n_lines", "n_removed", "chars_removed")
+            .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2489,6 +2516,7 @@ def demo_queries() -> dict[str, str]:
         "demo_semdedup_16": _demo_semdedup_16,
         "demo_profile_events": _demo_profile_events,
         "demo_span_removal": _demo_span_removal,
+        "demo_line_dedup": _demo_line_dedup,
     }
 
 
@@ -4057,5 +4085,51 @@ def demo_oracle_sql() -> dict[str, str]:
                      AS n_removed_tokens
             FROM t LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "demo_line_dedup": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents),
+            seg AS (SELECT doc_id,
+                           array_to_string(list_transform(
+                             range(0, CAST(ceil(len(toks) / 12.0)
+                                           AS INT)),
+                             i -> array_to_string(
+                                    toks[(i*12+1):(i*12+12)], ' ')),
+                             chr(10)) AS t
+                    FROM base),
+            r AS (SELECT doc_id,
+                         CASE WHEN doc_id % 2 = 1 THEN upper(t)
+                              ELSE t END AS t
+                  FROM seg),
+            l AS (SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+                         string_split(t, chr(10))[CAST(u.i AS INT)]
+                           AS line
+                  FROM r, unnest(range(1,
+                         len(string_split(t, chr(10))) + 1)) AS u(i)),
+            lf AS (SELECT doc_id, idx, line,
+                          md5(regexp_replace(trim(lower(line)),
+                                             ' +', ' ', 'g')) AS fp
+                   FROM l),
+            dup AS (SELECT fp FROM lf GROUP BY fp
+                    HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (SELECT doc_id,
+                            count(*) AS n_kept,
+                            sum(len(line)) AS kept_chars,
+                            string_agg(line, chr(10) ORDER BY idx)
+                              AS text_clean
+                     FROM lf WHERE fp NOT IN (SELECT fp FROM dup)
+                     GROUP BY doc_id),
+            stats AS (SELECT doc_id, count(*) AS n_lines,
+                             sum(len(line)) AS chars
+                      FROM lf GROUP BY doc_id)
+            SELECT s.doc_id,
+                   md5(COALESCE(k.text_clean, '')) AS h,
+                   CAST(s.n_lines AS BIGINT) AS n_lines,
+                   CAST(s.n_lines - COALESCE(k.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   CAST(s.chars - COALESCE(k.kept_chars, 0) AS BIGINT)
+                     AS chars_removed
+            FROM stats s LEFT JOIN kept k USING (doc_id)
+            ORDER BY s.doc_id
         """,
     }

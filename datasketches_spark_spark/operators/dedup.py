@@ -849,3 +849,78 @@ def remove_spans(df: DataFrame, spans: DataFrame, id_col: str,
         .alias(text_col),
         (F.size("_toks") - F.size(keep)).cast("long")
         .alias("n_removed_tokens"))
+
+
+def dedup_lines(df: DataFrame, id_col: str, text_col: str,
+                sep: str = "\n", min_doc_freq: int = 2,
+                normalize: bool = True) -> DataFrame:
+    """Line-level corpus deduplication — the CCNet/RefinedWeb rule:
+    drop every line whose NORMALIZED form appears in at least
+    ``min_doc_freq`` DISTINCT documents (navigation chrome, cookie
+    banners, boilerplate headers — the line-granular complement of
+    document near-dup removal).
+
+    Normalization (``normalize=True``): lowercase, trim, collapse
+    space runs — the cheap canonicalization CCNet applies before
+    hashing lines. Matching is on the md5 of the normalized line (the
+    PORTABLE fingerprint, so an independent SQL engine replays the
+    decision exactly).
+
+    Returns one row per input document:
+    ``(id, text_clean, n_lines, n_removed, chars_removed)`` with
+    ``text_clean`` the surviving lines re-joined by ``sep`` in their
+    original order (documents whose every line is boilerplate come
+    back with an empty string, preserving the row for downstream
+    accounting).
+
+    Scale design (the 100 TB shape): one explode produces the line
+    stream; the duplicated-fingerprint set is ONE map-side-combined
+    aggregate (``count(distinct doc)`` per fingerprint — partial
+    distinct on the line key) FILTERED to ``>= min_doc_freq`` before
+    it ever joins back, so the join's build side is only the
+    boilerplate set, not the corpus; survivors reassemble with a
+    single per-document aggregate (``sort_array(collect_list)`` on the
+    line index). Nothing is quadratic and the corpus text crosses the
+    wire twice (line stream out, cleaned docs back) — the floor for
+    any corpus rewrite.
+    """
+    if min_doc_freq < 2:
+        raise ValueError("min_doc_freq must be >= 2")
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_idx", "_line"))
+    norm = F.col("_line")
+    if normalize:
+        norm = F.regexp_replace(F.trim(F.lower(norm)), " +", " ")
+    lines = lines.withColumn("_fp", F.md5(norm))
+
+    dup = (lines.groupBy("_fp")
+           .agg(F.countDistinct("_id").alias("_df"))
+           .where(F.col("_df") >= min_doc_freq)
+           .select("_fp"))
+
+    kept = (lines.join(dup, "_fp", "left_anti")
+            .groupBy("_id")
+            .agg(F.count("*").alias("_n_kept"),
+                 F.sum(F.length("_line")).alias("_kept_chars"),
+                 F.concat_ws(sep, F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("_idx", "_line"))),
+                     lambda s: s["_line"])).alias("text_clean")))
+
+    stats = (lines.groupBy("_id")
+             .agg(F.count("*").alias("n_lines"),
+                  F.sum(F.length("_line")).alias("_chars")))
+
+    return (stats.join(kept, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.col("text_clean"), F.lit(""))
+                    .alias("text_clean"),
+                    F.col("n_lines"),
+                    (F.col("n_lines")
+                     - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    (F.col("_chars")
+                     - F.coalesce(F.col("_kept_chars"), F.lit(0)))
+                    .cast("long").alias("chars_removed")))

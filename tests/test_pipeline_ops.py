@@ -1502,3 +1502,62 @@ class TestRemoveSpans:
                 "span_end long, n_windows long")
         r = remove_spans(df, spans, "doc_id", "text").collect()[0]
         assert (r.text, r.n_removed_tokens) == ("a b", 0)
+
+
+class TestDedupLines:
+    """dedup_lines (CCNet line-level boilerplate rule): lines are cut
+    only when their NORMALIZED form spans >= min_doc_freq DISTINCT
+    documents; reassembly preserves order; within-document repeats
+    alone never trigger removal."""
+
+    def _run(self, spark, rows, **kw):
+        from datasketches_spark_spark.operators import dedup_lines
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r.doc_id: r for r in
+                dedup_lines(df, "doc_id", "text", **kw).collect()}
+
+    def test_cross_doc_line_removed_order_kept(self, spark):
+        out = self._run(spark, [
+            (1, "keep me\nCOOKIE BANNER\nalso keep"),
+            (2, "cookie banner\nunique line"),
+            (3, "totally different"),
+        ])
+        assert out[1].text_clean == "keep me\nalso keep"
+        assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+        assert out[1].chars_removed == len("COOKIE BANNER")
+        assert out[2].text_clean == "unique line"
+        assert out[3].n_removed == 0
+
+    def test_within_doc_repeat_not_removed(self, spark):
+        out = self._run(spark, [(1, "same\nsame\nother"),
+                                (2, "nothing shared")])
+        assert out[1].n_removed == 0
+        assert out[1].text_clean == "same\nsame\nother"
+
+    def test_all_lines_removed_keeps_row(self, spark):
+        out = self._run(spark, [(1, "a\nb"), (2, "a\nb")])
+        assert out[1].text_clean == "" and out[1].n_removed == 2
+        assert out[2].chars_removed == 2
+
+    def test_normalization_collapses_case_and_spaces(self, spark):
+        out = self._run(spark, [(1, "Cookie  Banner "),
+                                (2, "cookie banner")])
+        assert out[1].n_removed == 1 and out[2].n_removed == 1
+        # normalize=False: raw bytes differ, nothing removed
+        raw = self._run(spark, [(1, "Cookie  Banner "),
+                                (2, "cookie banner")], normalize=False)
+        assert raw[1].n_removed == 0 and raw[2].n_removed == 0
+
+    def test_min_doc_freq_threshold(self, spark):
+        rows = [(i, "shared line\nuniq %d" % i) for i in range(3)]
+        strict = self._run(spark, rows, min_doc_freq=4)
+        assert all(r.n_removed == 0 for r in strict.values())
+        loose = self._run(spark, rows, min_doc_freq=3)
+        assert all(r.n_removed == 1 for r in loose.values())
+
+    def test_bad_min_doc_freq_raises(self, spark):
+        from datasketches_spark_spark.operators import dedup_lines
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            dedup_lines(df, "doc_id", "text", min_doc_freq=1)
