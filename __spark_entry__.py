@@ -2496,6 +2496,30 @@ def _demo_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/retrieval.py::
+    mine_hard_negatives): per probe query, the top-8 BM25 documents
+    AFTER excluding that query's labeled positives (q1 excludes
+    doc_id%3==0, q2 %3==1, q3 %3==2 — a third of the corpus each, so
+    the exclusion genuinely reshuffles the ranking). Default depth is
+    the exact bound k + max positives, so the gate pins the
+    no-recall-loss property, the anti-join, and the re-rank."""
+    from datasketches_spark_spark.operators import mine_hard_negatives
+    docs = read_table(spark, sf_dir, "documents")
+    pos = None
+    for i, (qid, _) in enumerate(_BM25_QUERIES):
+        p = (docs.where(F.col("doc_id") % 3 == i)
+             .select(F.lit(qid).alias("query_id"), "doc_id"))
+        pos = p if pos is None else pos.unionByName(p)
+    out = mine_hard_negatives(docs, "doc_id", "text", _BM25_QUERIES,
+                              pos, k=8)
+    return (out.select("query_id",
+                       F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("rank").cast("long").alias("rank"),
+                       F.col("score"))
+            .orderBy("query_id", "rank"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2517,6 +2541,7 @@ def demo_queries() -> dict[str, str]:
         "demo_profile_events": _demo_profile_events,
         "demo_span_removal": _demo_span_removal,
         "demo_line_dedup": _demo_line_dedup,
+        "demo_hard_negatives": _demo_hard_negatives,
     }
 
 
@@ -4131,5 +4156,44 @@ def demo_oracle_sql() -> dict[str, str]:
                      AS chars_removed
             FROM stats s LEFT JOIN kept k USING (doc_id)
             ORDER BY s.doc_id
+        """,
+        "demo_hard_negatives": """
+            WITH q(qid, term, qslot) AS (VALUES
+              ('q1','spark',0), ('q1','window',0), ('q1','merge',0),
+              ('q2','customer',1), ('q2','order',1), ('q2','join',1),
+              ('q3','stream',2), ('q3','filter',2), ('q3','vector',2),
+              ('q3','hash',2)),
+            lens AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '),
+                                        x -> x <> '') AS t
+                     FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl
+                      FROM lens),
+            tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                   FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term
+                         FROM lens)
+                   JOIN (SELECT DISTINCT term FROM q) USING (term)
+                   GROUP BY doc_id, dl, term),
+            dfq AS (SELECT doc_id, dl, term, tf,
+                           count(*) OVER (PARTITION BY term) AS df
+                    FROM tf),
+            sc AS (SELECT q.qid, any_value(q.qslot) AS qslot,
+                          dfq.doc_id,
+                          round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                                    * tf * 2.2
+                                    / (tf + 1.2 * (0.25
+                                                   + 0.75 * dl / avgdl))),
+                                6) AS score
+                   FROM dfq JOIN q USING (term) CROSS JOIN stats
+                   GROUP BY q.qid, dfq.doc_id)
+            SELECT qid AS query_id, doc_id, rank, score FROM (
+              SELECT qid, doc_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, doc_id)
+                       AS rank,
+                     score
+              FROM sc WHERE doc_id % 3 <> qslot)
+            WHERE rank <= 8
+            ORDER BY query_id, rank
         """,
     }

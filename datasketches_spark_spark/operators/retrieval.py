@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["bm25_topk", "build_text_index", "query_text_index"]
+__all__ = ["bm25_topk", "build_text_index", "mine_hard_negatives",
+           "query_text_index"]
 
 
 def _query_terms(queries: Sequence[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -241,3 +242,46 @@ def query_text_index(spark, path: str,
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "rank", "score"))
 
+
+
+def mine_hard_negatives(docs: DataFrame, id_col: str, text_col: str,
+                        queries: Sequence[tuple[str, str]],
+                        positives: DataFrame, k: int = 5,
+                        depth: int | None = None,
+                        k1: float = 1.2, b: float = 0.75,
+                        round_digits: int = 6) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training — per
+    query, the top-``k`` BM25 documents that are NOT labeled positives
+    (the DPR/sentence-transformers recipe: lexically similar but
+    unlabeled documents make the hardest contrastive negatives).
+
+    ``positives`` is a DataFrame with columns ``(query_id, doc_id)``
+    (the labeled pairs to exclude). Retrieval runs to ``depth``
+    candidates per query BEFORE exclusion; the default
+    ``k + max(positives per query)`` is the smallest depth that is
+    EXACT — after dropping every positive a query can still fill all
+    ``k`` negative slots, so the result equals what an unbounded
+    retrieval would give (no silent recall loss; the max-positives
+    lookup is one aggregate over the labeled pairs, which are
+    training-label-sized, not corpus-sized).
+
+    Returns ``(query_id, doc_id, rank, score)`` — ``rank`` re-numbered
+    dense from 1 over the surviving negatives, BM25 ordering preserved
+    (rounded score desc, doc id tiebreak — the ``bm25_topk``
+    convention).
+    """
+    if depth is None:
+        mx = (positives.groupBy("query_id").count()
+              .agg(F.max("count")).first()[0])
+        depth = k + int(mx or 0)
+    if depth < k:
+        raise ValueError("depth must be >= k")
+    cand = bm25_topk(docs, id_col, text_col, queries, k=depth,
+                     k1=k1, b=b, round_digits=round_digits)
+    neg = cand.join(positives.select("query_id", "doc_id").distinct(),
+                    ["query_id", "doc_id"], "left_anti")
+    rw = (Window.partitionBy("query_id")
+          .orderBy(F.desc("score"), F.asc("doc_id")))
+    return (neg.withColumn("rank", F.row_number().over(rw))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score"))

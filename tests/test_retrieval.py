@@ -158,3 +158,59 @@ def test_bm25_random_corpus_vs_scalar(spark, seed):
     for q in got:
         got[q].sort(key=lambda t: t[1])
     assert got == _bm25_reference(corpus, queries, k=7)
+
+
+class TestHardNegatives:
+    """mine_hard_negatives: the anti-join drops exactly the labeled
+    positives, the exact depth default loses no recall, and the
+    re-rank stays dense in BM25 order."""
+
+    CORPUS = {
+        1: "spark window merge spark table",
+        2: "window window window scan",
+        3: "merge join order customer",
+        4: "spark window merge",
+        5: "spark merge",
+        6: "window merge scan",
+    }
+    QUERIES = [("qa", "spark window merge")]
+
+    def _mine(self, spark, positives, **kw):
+        from datasketches_spark_spark.operators import mine_hard_negatives
+        docs = spark.createDataFrame(
+            [(d, t) for d, t in self.CORPUS.items()], ["doc_id", "text"])
+        pos = spark.createDataFrame(positives, ["query_id", "doc_id"])
+        return mine_hard_negatives(docs, "doc_id", "text", self.QUERIES,
+                                   pos, **kw)
+
+    def test_equals_full_ranking_minus_positives(self, spark):
+        from datasketches_spark_spark.operators import bm25_topk
+        docs = spark.createDataFrame(
+            [(d, t) for d, t in self.CORPUS.items()], ["doc_id", "text"])
+        full = [(r.doc_id, r.score) for r in
+                bm25_topk(docs, "doc_id", "text", self.QUERIES, k=10)
+                .orderBy("rank").collect()]
+        pos = [("qa", 1), ("qa", 4)]
+        got = [(r.doc_id, r.rank, r.score) for r in
+               self._mine(spark, pos, k=3).orderBy("rank").collect()]
+        exp = [(d, i + 1, s) for i, (d, s) in
+               enumerate([t for t in full if t[0] not in (1, 4)][:3])]
+        assert got == exp
+        assert [r[1] for r in got] == [1, 2, 3]  # dense re-rank
+
+    def test_positives_for_other_query_not_excluded(self, spark):
+        got = {r.doc_id for r in
+               self._mine(spark, [("other", 1), ("other", 4)],
+                          k=10).collect()}
+        assert {1, 4} <= got
+
+    def test_default_depth_is_exact(self, spark):
+        # exclude the entire top of the ranking; k slots must still fill
+        pos = [("qa", 1), ("qa", 4), ("qa", 5)]
+        got = [r.doc_id for r in
+               self._mine(spark, pos, k=3).orderBy("rank").collect()]
+        assert len(got) == 3 and not ({1, 4, 5} & set(got))
+
+    def test_bad_depth_raises(self, spark):
+        with pytest.raises(ValueError):
+            self._mine(spark, [("qa", 1)], k=5, depth=2)
