@@ -2977,7 +2977,8 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT * FROM prest),
             ppl AS (SELECT 'ppl' AS leg, doc_id,
                            count(*) AS n_tokens,
-                           sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n2,
+                           CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n2,
                            CAST(0 AS BIGINT) AS n3,
                            round(sum(nll) / count(*), 6) AS m1,
                            round(exp(sum(nll) / count(*)), 6) AS m2,
@@ -3054,11 +3055,13 @@ def oracle_sql() -> dict[str, str]:
             -- (oracle scale; the engine runs the distributed prefix sum)
             pt AS (SELECT doc_id,
                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-                          COALESCE(sum(CAST(len(string_split(text, ' '))
+                          CAST(COALESCE(
+                                   sum(CAST(len(string_split(text, ' '))
                                             AS BIGINT))
                                    OVER (ORDER BY doc_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND 1 PRECEDING), 0) AS g
+                                         AND 1 PRECEDING), 0)
+                               AS BIGINT) AS g
                    FROM documents WHERE doc_id < 500),
             pr AS (SELECT doc_id, n, g,
                           CAST(u.sq AS BIGINT) AS seq_id

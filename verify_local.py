@@ -170,6 +170,39 @@ def main():
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
             continue
+        # Driver-parity dtype check (round-12 root cause of the q26/q21
+        # reds): the driver compares AFTER pandas conversion, where
+        # DuckDB HUGEINT (any sum over integers) becomes float64 while
+        # Spark's non-null bigint stays int64 — "89" vs "89.0" hash
+        # mismatch with identical values. Model Spark's toPandas kind
+        # from schema + observed nulls; re-run the oracle through .df().
+        try:
+            okinds = {c: con.execute(sql).df()[c].dtype.kind
+                      for c in ocols}
+            skinds = {}
+            for i, f in enumerate(sdf.schema.fields):
+                t = f.dataType.typeName()
+                has_null = any(r[i] is None for r in srows)
+                if t in ("byte", "short", "integer", "long"):
+                    skinds[f.name] = "f" if has_null else "i"
+                elif t in ("float", "double", "decimal"):
+                    skinds[f.name] = "f"
+                elif t == "boolean":
+                    skinds[f.name] = "O" if has_null else "b"
+                else:
+                    skinds[f.name] = "O"
+            kind_bad = [c for c in skinds
+                        if okinds.get(c) is not None
+                        and skinds[c] != okinds[c]]
+            if kind_bad:
+                print(f"FAIL {name}: pandas-dtype divergence (driver "
+                      f"compares post-pandas): "
+                      + "; ".join(f"{c}: spark {skinds[c]} vs oracle "
+                                  f"{okinds[c]}" for c in kind_bad))
+                n_fail += 1
+                continue
+        except Exception as e:  # noqa: BLE001 — dtype check best-effort
+            print(f"WARN {name}: dtype check errored: {str(e)[:120]}")
         sc, sv = _normalize(scols, srows)
         oc, ov = _normalize(ocols, orows)
         if sc != oc:
