@@ -354,11 +354,12 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes read only the matched buckets via PartitionFilters). Must
     # be row-identical to the direct leg: the gate pins the whole
     # build -> persist -> prune -> score path against the same oracle.
-    import hashlib
+    import tempfile
     from datasketches_spark_spark.operators import (build_text_index,
                                                     query_text_index)
-    path = ("/tmp/dss_txtidx_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    # per-call private dir: a world-shared fixed /tmp path races when
+    # two sessions rebuild/probe the same fixture concurrently
+    path = tempfile.mkdtemp(prefix="dss_txtidx_") + "/idx"
     build_text_index(docs, "doc_id", "text", path, num_buckets=16)
     bmx = (query_text_index(spark, path, _BM25_QUERIES, k=10)
            .select(F.lit("bm25x").alias("leg"),

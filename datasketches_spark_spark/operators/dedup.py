@@ -886,9 +886,13 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
     """
     if min_doc_freq < 2:
         raise ValueError("min_doc_freq must be >= 2")
+    # F.split takes a Java regex while concat_ws below joins with the
+    # LITERAL separator — quote it (\\Q..\\E) so metacharacter
+    # separators ('.', '|', ...) split exactly where they will rejoin.
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep))
+        F.posexplode(F.split(F.col(text_col),
+                             "\\Q" + sep + "\\E"))
         .alias("_idx", "_line"))
     norm = F.col("_line")
     if normalize:

@@ -164,6 +164,10 @@ def write_training_shards(docs: DataFrame, path: str,
     packed = pack_sequences(docs, tokens_per_seq, id_col=id_col,
                             count_col=count_col,
                             num_partitions=num_partitions)
+    # pack_sequences always emits the id as 'doc_id'; carry the caller's
+    # name through the shard files and the manifest aggregate below.
+    if id_col != "doc_id":
+        packed = packed.withColumnRenamed("doc_id", id_col)
     sh = packed.withColumn(
         "shard_id", (F.col("seq_id") / seqs_per_shard)
         .cast("long"))

@@ -34,20 +34,6 @@ def op_spans(spark, d):
                             hash64=True).count()
 
 
-def main():
-    for op, fn in [("bm25_topk", op_bm25),
-                   ("duplicated_spans", op_spans),
-                   ("bigram_lm_score", op_lm),
-                   ("text_index_build_query", op_text_index),
-                   ("semantic_dedup", op_semdedup)]:
-        for scale in ("x1", "x10"):
-            run_op(op, fn, os.path.join(HERE, ".scaleproof", scale))
-
-
-if __name__ == "__main__":
-    main()
-
-
 def op_lm(spark, d):
     from datasketches_spark_spark.operators import (perplexity_score,
                                                     train_bigram_lm)
@@ -78,3 +64,17 @@ def op_semdedup(spark, d):
     k = max(8, int(n ** 0.5 / 2))
     cents = emb.orderBy("vec_id").limit(k)
     return semantic_dedup_drops(emb, cents, eps=0.95).count()
+
+
+def main():
+    for op, fn in [("bm25_topk", op_bm25),
+                   ("duplicated_spans", op_spans),
+                   ("bigram_lm_score", op_lm),
+                   ("text_index_build_query", op_text_index),
+                   ("semantic_dedup", op_semdedup)]:
+        for scale in ("x1", "x10"):
+            run_op(op, fn, os.path.join(HERE, ".scaleproof", scale))
+
+
+if __name__ == "__main__":
+    main()

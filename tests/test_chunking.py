@@ -271,6 +271,21 @@ class TestTrainingShards:
               plan.split("PartitionFilters: [")[1:]]
         assert any("shard_id" in p for p in pf), plan
 
+    def test_custom_id_col_manifest(self, spark, tmp_path):
+        # pack_sequences emits 'doc_id' internally; the shard files and
+        # the manifest min/max must carry the caller's id column name
+        from datasketches_spark_spark.operators import write_training_shards
+        docs = spark.createDataFrame(
+            [(i, 10 + (i * 7) % 23) for i in range(40)],
+            ["item_id", "n_tokens"])
+        path = str(tmp_path / "custom")
+        write_training_shards(docs, path, tokens_per_seq=64,
+                              seqs_per_shard=3, id_col="item_id")
+        sh = spark.read.parquet(path + "/shards")
+        assert "item_id" in sh.columns and "doc_id" not in sh.columns
+        man = spark.read.parquet(path + "/manifest").collect()
+        assert man and all(r.min_doc <= r.max_doc for r in man)
+
     def test_rejects_bad_shard_size(self, spark, tmp_path):
         import pytest as _pt
         from datasketches_spark_spark.operators import write_training_shards

@@ -1555,6 +1555,16 @@ class TestDedupLines:
         loose = self._run(spark, rows, min_doc_freq=3)
         assert all(r.n_removed == 1 for r in loose.values())
 
+    def test_regex_metachar_separator(self, spark):
+        # sep is joined literally on reassembly, so the split side must
+        # treat it literally too ('.' and '|' are regex metachars)
+        out = self._run(spark, [(1, "keep me.SHARED.also keep"),
+                                (2, "shared.unique line")], sep=".")
+        assert out[1].text_clean == "keep me.also keep"
+        assert out[1].n_removed == 1
+        out = self._run(spark, [(1, "a|DUP|b"), (2, "dup|c")], sep="|")
+        assert out[1].text_clean == "a|b" and out[1].n_removed == 1
+
     def test_bad_min_doc_freq_raises(self, spark):
         from datasketches_spark_spark.operators import dedup_lines
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
