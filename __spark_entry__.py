@@ -535,7 +535,47 @@ def _q21_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("avg_nll").alias("m1"),
                    F.col("ppl").alias("m2"),
                    F.lit(0.0).alias("m3")))
+    # Leg 'filter' (round 12, functions/quality_rules.py): the
+    # Gopher/C4 heuristic rule suite — word-count bounds, mean word
+    # length, symbol ratio, alpha-word fraction, stopword floor, bullet/
+    # ellipsis line fractions, C4 blocklist — all counting in ONE bound
+    # struct, every ratio a single integer division (exact across
+    # engines). n2 = passes, n3 = rules failed.
+    from datasketches_spark_spark.functions.quality_rules import (
+        gopher_flags, gopher_metrics, gopher_struct)
+    gb = (docs.where(F.col("doc_id") < 100)
+          .withColumn("g", gopher_struct(F.col("text"))))
+    gm = gopher_metrics(F.col("g"))
+    gf = gopher_flags(F.col("g"))
+    filt = gb.select(F.lit("filter").alias("leg"), "doc_id",
+                     gm["n_words"].cast("long").alias("n_tokens"),
+                     gf["passes"].cast("int").cast("long").alias("n2"),
+                     gf["n_failed"].alias("n3"),
+                     gm["mean_word_len"].alias("m1"),
+                     gm["alpha_word_frac"].alias("m2"),
+                     gm["bullet_line_frac"].alias("m3"))
+    # Leg 'nb' (round 12, operators/classify.py): the fasttext-class
+    # statistical quality/language classifier as closed-form Naive
+    # Bayes — trained on the FULL corpus (label: lang='en'), scored on
+    # the gated slice. Weights are integer micro-units, so the
+    # document score is an ORDER-INDEPENDENT integer sum (no float-
+    # summation caveat at all); the oracle refits the same model in
+    # SQL, ln-term tree mirrored four-term for bit parity.
+    from datasketches_spark_spark.operators import (
+        score_token_classifier, train_token_classifier)
+    wts, model = train_token_classifier(docs, "text",
+                                        F.col("lang") == "en")
+    nb = (score_token_classifier(docs.where(F.col("doc_id") < 200),
+                                 "doc_id", "text", wts, model)
+          .select(F.lit("nb").alias("leg"), "doc_id",
+                  F.col("n_tokens"),
+                  F.col("pred").cast("int").cast("long").alias("n2"),
+                  F.col("n_oov").alias("n3"),
+                  F.col("score").alias("m1"),
+                  F.lit(0.0).alias("m2"),
+                  F.lit(0.0).alias("m3")))
     return quality.unionByName(rep).unionByName(ppl) \
+        .unionByName(filt).unionByName(nb) \
         .orderBy("leg", "doc_id")
 
 
@@ -2984,9 +3024,122 @@ def oracle_sql() -> dict[str, str]:
                            round(sum(nll) / count(*), 6) AS m1,
                            round(exp(sum(nll) / count(*)), 6) AS m2,
                            0.0 AS m3
-                    FROM pterms GROUP BY doc_id)
+                    FROM pterms GROUP BY doc_id),
+            -- leg 'filter': Gopher/C4 heuristic rules, every ratio one
+            -- integer division (engine runs the same expressions JVM-side)
+            gt AS (SELECT doc_id, text,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents WHERE doc_id < 100),
+            gs AS (SELECT doc_id, len(toks) AS nw,
+                          list_sum(list_transform(toks, x -> len(x)))
+                            AS twl,
+                          len(list_filter(
+                            ['the','a','and','of','to','in','is','it',
+                             'for','on'],
+                            w -> list_contains(toks, w))) AS swh,
+                          len(list_filter(toks,
+                            x -> regexp_matches(x, '[a-zA-Z]'))) AS naw,
+                          CAST((len(text) - len(replace(text, '#', '')))
+                               + (len(text)
+                                  - len(replace(text, '...', ''))) / 3
+                               AS BIGINT) AS nsym,
+                          len(string_split(text, chr(10))) AS nl,
+                          len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(l, '^\\s*[-*•]')))
+                            AS nbl,
+                          len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+                            AS nel,
+                          CASE WHEN contains(lower(text), '{')
+                                 OR contains(lower(text), 'lorem ipsum')
+                                 OR contains(lower(text), 'javascript')
+                               THEN 1 ELSE 0 END AS c4
+                   FROM gt),
+            gflag AS (SELECT doc_id, nw, twl, swh, naw, nbl, nl,
+                        (CASE WHEN nw < 50 OR nw > 100000
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN twl::DOUBLE / nw < 3.0
+                                OR twl::DOUBLE / nw > 10.0
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN nsym::DOUBLE / nw > 0.1
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN naw::DOUBLE / nw < 0.80
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN swh < 2 THEN 1 ELSE 0 END
+                       + CASE WHEN nbl::DOUBLE / nl > 0.90
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN nel::DOUBLE / nl > 0.30
+                              THEN 1 ELSE 0 END
+                       + c4) AS nf
+                      FROM gs),
+            filt AS (SELECT 'filter' AS leg, doc_id,
+                            CAST(nw AS BIGINT) AS n_tokens,
+                            CAST(CASE WHEN nf = 0 THEN 1 ELSE 0 END
+                                 AS BIGINT) AS n2,
+                            CAST(nf AS BIGINT) AS n3,
+                            twl::DOUBLE / nw AS m1,
+                            naw::DOUBLE / nw AS m2,
+                            nbl::DOUBLE / nl AS m3
+                     FROM gflag),
+            -- leg 'nb': closed-form Naive Bayes refit in SQL — integer
+            -- micro-unit weights make the doc score an order-independent
+            -- integer sum; ln terms kept four-way to mirror the engine
+            nbtok AS (SELECT doc_id, lang = 'en' AS pos,
+                             unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS w
+                      FROM documents),
+            nbcnt AS (SELECT w,
+                             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                                  AS BIGINT) AS c1,
+                             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0
+                                      END) AS BIGINT) AS c0
+                      FROM nbtok GROUP BY w),
+            nbtot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                             CAST(sum(c0) AS BIGINT) AS n0,
+                             count(*) AS v
+                      FROM nbcnt),
+            nbdc AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1
+                                     ELSE 0 END) AS BIGINT) AS d1,
+                            CAST(sum(CASE WHEN lang <> 'en' THEN 1
+                                     ELSE 0 END) AS BIGINT) AS d0
+                     FROM documents),
+            nbwt AS (SELECT w,
+                            CAST(round((ln(CAST(c1 + 1 AS DOUBLE))
+                                        - ln(CAST(n1 + v AS DOUBLE))
+                                        - ln(CAST(c0 + 1 AS DOUBLE))
+                                        + ln(CAST(n0 + v AS DOUBLE)))
+                                       * 1000000) AS BIGINT) AS wm
+                     FROM nbcnt CROSS JOIN nbtot),
+            nbconst AS (SELECT
+                          CAST(round((ln(CAST(d1 AS DOUBLE))
+                                      - ln(CAST(d0 AS DOUBLE)))
+                                     * 1000000) AS BIGINT) AS prior,
+                          CAST(round((ln(CAST(n0 + v AS DOUBLE))
+                                      - ln(CAST(n1 + v AS DOUBLE)))
+                                     * 1000000) AS BIGINT) AS dflt
+                        FROM nbdc CROSS JOIN nbtot),
+            nbsc AS (SELECT t.doc_id, count(*) AS nt,
+                            CAST(sum(CASE WHEN wt.wm IS NULL THEN 1
+                                     ELSE 0 END) AS BIGINT) AS noov,
+                            CAST(sum(COALESCE(wt.wm, c.dflt)) + c.prior
+                                 AS BIGINT) AS sm
+                     FROM nbtok t LEFT JOIN nbwt wt ON t.w = wt.w
+                     CROSS JOIN nbconst c
+                     WHERE t.doc_id < 200
+                     GROUP BY t.doc_id, c.prior),
+            nb AS (SELECT 'nb' AS leg, doc_id,
+                          CAST(nt AS BIGINT) AS n_tokens,
+                          CAST(CASE WHEN sm > 0 THEN 1 ELSE 0 END
+                               AS BIGINT) AS n2,
+                          noov AS n3,
+                          sm::DOUBLE / 1000000 AS m1,
+                          0.0 AS m2, 0.0 AS m3
+                   FROM nbsc)
             SELECT * FROM qual UNION ALL SELECT * FROM rep
             UNION ALL SELECT * FROM ppl
+            UNION ALL SELECT * FROM filt
+            UNION ALL SELECT * FROM nb
             ORDER BY leg, doc_id
         """,
         "q22_langid": """

@@ -7,7 +7,7 @@ Import as::
     df.groupBy("g").agg(dsf.approx_percentile_ex("v", 0.95).alias("p95"))
 """
 
-from . import text
+from . import quality_rules, text
 from .embeddings import (
     dequantize_int8,
     l2_normalize,
