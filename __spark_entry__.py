@@ -2329,9 +2329,44 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("nu") <= F.element_at(tb, 2))
          & (seg["keys"] == te["ndv"]))
         .cast("long").alias("extra")))
+    # 'bloom' (round 12): the Bloom membership family's guarantees as
+    # order-independent booleans (functions/membership.py; the family
+    # bloom_prefilter_match builds its exactness on). Per event_type
+    # over user_id, expected_items=32768 (covers sf1 under-full):
+    # lo = 1.0 iff EVERY inserted key tests positive (no false
+    # negatives); hi = 1.0 iff the observed FP rate on a provably
+    # disjoint probe set (user_id + 10^9) is <= 2x the design fpp;
+    # extra = 1 iff the fill-ratio NDV estimate (Swamidass-Baldi) is
+    # within 10% of the exact NDV. DuckDB emits the literals — the
+    # hash gate fails if any guarantee is ever violated.
+    bst = ev.groupBy("event_type").agg(
+        dsf.approx_membership_accumulate(
+            "user_id", expected_items=32_768, fpp=0.01).alias("bs"))
+    uids = ev.select("event_type", "user_id").distinct()
+    bprobe = (uids.join(F.broadcast(bst), "event_type")
+              .select("event_type",
+                      dsf.approx_membership_contains(
+                          F.col("bs"), F.col("user_id")).alias("hit"),
+                      dsf.approx_membership_contains(
+                          F.col("bs"),
+                          F.col("user_id") + F.lit(10**9)).alias("fp")))
+    bloom_leg = (bprobe.groupBy("event_type")
+                 .agg(F.min(F.col("hit").cast("int")).alias("all_in"),
+                      F.avg(F.col("fp").cast("int")).alias("fp_rate"),
+                      F.count("*").alias("nd"))
+                 .join(F.broadcast(bst), "event_type")
+                 .select(
+        F.lit("bloom").alias("leg"),
+        F.col("event_type").alias("k"),
+        F.col("all_in").cast("double").alias("lo"),
+        (F.col("fp_rate") <= 0.02).cast("double").alias("hi"),
+        ((F.abs(dsf.approx_membership_estimate("bs").cast("double")
+                - F.col("nd")) <= 0.1 * F.col("nd")))
+        .cast("long").alias("extra")))
     return (quant.unionByName(ndv).unionByName(ndv_est)
             .unionByName(quant_est).unionByName(freq_est)
-            .unionByName(tuple_est).orderBy("leg", "k"))
+            .unionByName(tuple_est).unionByName(bloom_leg)
+            .orderBy("leg", "k"))
 
 
 def _q66_streaming_summary_sink(spark: SparkSession,
@@ -2561,6 +2596,33 @@ def _demo_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def _demo_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup via the Bloom prefilter (operators/
+    dedup.py::bloom_prefilter_match; round 12). The incoming batch
+    PLANTS the snapshot-carry-over shape the operator targets: 200
+    byte-identical copies of corpus docs (re-keyed +100000) mixed with
+    100 mutated definite-new docs (+200000, ' UNIQ' suffix). The
+    operator must return EXACTLY the carry-over rows: Bloom's
+    no-false-negative guarantee means the prefilter drops only
+    definite-new docs, and the exact verify join removes the ~fpp false
+    positives — so the full-value oracle is the plain fingerprint
+    semi-join. One dropped duplicate or surviving false positive
+    hash-fails the gate."""
+    from datasketches_spark_spark.operators import bloom_prefilter_match
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 100)
+    carry = (corpus.where(F.col("doc_id") < 300)
+             .select((F.col("doc_id") + 100_000).alias("doc_id"), "text"))
+    fresh = (docs.where(F.col("doc_id") < 100)
+             .select((F.col("doc_id") + 200_000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" UNIQ"))
+                     .alias("text")))
+    incoming = carry.unionByName(fresh)
+    out = bloom_prefilter_match(incoming, corpus, "doc_id",
+                                text_col="text", fpp=0.001)
+    return out.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2583,6 +2645,7 @@ def demo_queries() -> dict[str, str]:
         "demo_span_removal": _demo_span_removal,
         "demo_line_dedup": _demo_line_dedup,
         "demo_hard_negatives": _demo_hard_negatives,
+        "demo_bloom_prefilter": _demo_bloom_prefilter,
     }
 
 
@@ -3970,6 +4033,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 ELSE 0.0 END AS hi,
                    CAST(1 AS BIGINT) AS extra
             FROM events GROUP BY event_type
+            UNION ALL
+            -- Bloom membership guarantees: no false negatives, FP rate
+            -- on a disjoint probe set inside the design envelope,
+            -- fill-ratio NDV estimate within 10% of exact
+            SELECT 'bloom' AS leg, event_type AS k,
+                   1.0 AS lo, 1.0 AS hi, CAST(1 AS BIGINT) AS extra
+            FROM events GROUP BY event_type
             ORDER BY leg, k
         """,
                     }
@@ -4352,5 +4422,22 @@ def demo_oracle_sql() -> dict[str, str]:
               FROM sc WHERE doc_id % 3 <> qslot)
             WHERE rank <= 8
             ORDER BY query_id, rank
+        """,
+        # planted carry-over batch: the Bloom prefilter + exact verify
+        # must return exactly the fingerprint semi-join
+        "demo_bloom_prefilter": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id >= 100),
+                 carry AS (SELECT doc_id + 100000 AS doc_id, text
+                           FROM corpus WHERE doc_id < 300),
+                 fresh AS (SELECT doc_id + 200000 AS doc_id,
+                                  text || ' UNIQ' AS text
+                           FROM documents WHERE doc_id < 100),
+                 inc AS (SELECT * FROM carry
+                         UNION ALL SELECT * FROM fresh)
+            SELECT i.doc_id, md5(i.text) AS fingerprint
+            FROM inc i
+            WHERE md5(i.text) IN (SELECT md5(text) FROM corpus)
+            ORDER BY doc_id
         """,
     }

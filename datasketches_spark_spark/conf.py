@@ -37,6 +37,8 @@ DISTINCT_HLL_LGK_KEY = f"{_PREFIX}.distinctCnt.hll.lgK"
 SAMPLE_RESERVOIR_K_KEY = f"{_PREFIX}.sampling.reservoir.k"
 QUANTILE_RANK_RULE_KEY = f"{_PREFIX}.quantiles.rankRule"
 TUPLE_K_KEY = f"{_PREFIX}.tuple.k"
+MEMBERSHIP_EXPECTED_KEY = f"{_PREFIX}.membership.expectedItems"
+MEMBERSHIP_FPP_KEY = f"{_PREFIX}.membership.fpp"
 
 DEFAULTS = {
     QUANTILE_IMPL_KEY: "REQ",          # DataSketchConf.scala:36-41
@@ -49,6 +51,10 @@ DEFAULTS = {
     DISTINCT_HLL_LGK_KEY: "12",        # :87-92
     SAMPLE_RESERVOIR_K_KEY: "1024",    # extension (no reference analogue)
     TUPLE_K_KEY: "4096",               # extension: tuple-sketch entries
+    # extension: Bloom membership design point — geometry is derived
+    # from (expectedItems, fpp) at accumulate time, so partials merge
+    MEMBERSHIP_EXPECTED_KEY: "1000000",
+    MEMBERSHIP_FPP_KEY: "0.01",
     # "disc" = SQL quantile_disc (engine contract, DuckDB-oracle-checked);
     # "exclusive" = DataSketches v2 getQuantile rule the reference
     # inherits (its suite pins p50 of {0,1,2,10} = 2,
@@ -136,6 +142,22 @@ def tuple_k(spark=None) -> int:
     v = int(get_conf(TUPLE_K_KEY, spark))
     if v < 16:
         raise ValueError(f"{TUPLE_K_KEY} must be >= 16")
+    return v
+
+
+def membership_expected(spark=None) -> int:
+    """Design distinct-key capacity of the Bloom membership filter."""
+    v = int(get_conf(MEMBERSHIP_EXPECTED_KEY, spark))
+    if v < 1:
+        raise ValueError(f"{MEMBERSHIP_EXPECTED_KEY} must be >= 1")
+    return v
+
+
+def membership_fpp(spark=None) -> float:
+    """Design false-positive probability of the Bloom membership filter."""
+    v = float(get_conf(MEMBERSHIP_FPP_KEY, spark))
+    if not 0.0 < v < 1.0:
+        raise ValueError(f"{MEMBERSHIP_FPP_KEY} must be in (0, 1)")
     return v
 
 

@@ -187,6 +187,37 @@ FUNCTION_DOCS: dict[str, tuple[str, str]] = {
         "state.",
         "> SELECT _FUNC_(approx_sample_accumulate(col)) FROM VALUES "
         "(1.0) AS tab(col);\n   1"),
+    "approx_membership_accumulate": (
+        "_FUNC_(key) - Aggregates key values into a Bloom membership "
+        "filter state (no false negatives; geometry sized by conf "
+        "spark.sql.dataSketches.membership.expectedItems / .fpp so "
+        "partials merge bit-exactly).",
+        "> SELECT approx_membership_contains(_FUNC_(k), 'a') FROM "
+        "VALUES ('a'), ('b') AS tab(k);\n   true"),
+    "approx_membership_combine": (
+        "_FUNC_(state) - Merges Bloom membership states (bitwise OR — "
+        "a union homomorphism; geometry mismatch raises).",
+        "> SELECT approx_membership_contains(_FUNC_(st), 'a') FROM "
+        "(SELECT approx_membership_accumulate(k) AS st FROM t "
+        "GROUP BY p);\n   true"),
+    "approx_membership_contains": (
+        "_FUNC_(state, key) - Tests key membership against a Bloom "
+        "state: true for EVERY accumulated key (no false negatives); "
+        "a never-seen key tests positive with probability "
+        "approx_membership_fpp(state).",
+        "> SELECT _FUNC_(approx_membership_accumulate(k), 'zzz') FROM "
+        "VALUES ('a'), ('b') AS tab(k);\n   false"),
+    "approx_membership_estimate": (
+        "_FUNC_(state) - Distinct-key estimate decoded from a Bloom "
+        "state's fill ratio (Swamidass-Baldi); NULL if saturated.",
+        "> SELECT _FUNC_(approx_membership_accumulate(k)) FROM VALUES "
+        "('a'), ('b'), ('a') AS tab(k);\n   2"),
+    "approx_membership_fpp": (
+        "_FUNC_(state) - The CURRENT false-positive probability of a "
+        "Bloom membership state at its observed fill — the membership "
+        "family's read-time error surface.",
+        "> SELECT _FUNC_(approx_membership_accumulate(k)) < 0.01 FROM "
+        "VALUES ('a') AS tab(k);\n   true"),
     "approx_tuple_accumulate": (
         "_FUNC_(key, value) - Aggregates (key, value) rows into a tuple "
         "(per-key summary) sketch state: a Theta-style sample of the "

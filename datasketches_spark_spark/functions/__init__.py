@@ -43,6 +43,13 @@ from .sampling import (
     approx_sample_stream_size,
     approx_sample_weighted_accumulate,
 )
+from .membership import (
+    approx_membership_accumulate,
+    approx_membership_combine,
+    approx_membership_contains,
+    approx_membership_estimate,
+    approx_membership_fpp,
+)
 from .tuplesketch import (
     approx_tuple_accumulate,
     approx_tuple_accumulate_wire,
@@ -74,6 +81,12 @@ __all__ = [
     "approx_sample_estimate",
     "approx_sample_stream_size",
     "approx_sample_weighted_accumulate",
+    # Bloom membership (extension; DataSketches BloomFilter analog)
+    "approx_membership_accumulate",
+    "approx_membership_combine",
+    "approx_membership_contains",
+    "approx_membership_estimate",
+    "approx_membership_fpp",
     # tuple / per-key summary sketch (extension; DataSketches Tuple family)
     "approx_tuple_accumulate",
     "approx_tuple_accumulate_wire",

@@ -1,0 +1,89 @@
+"""Approximate set-membership functions (Bloom filter family).
+
+The engine's fifth aggregate family, on the same accumulate / combine /
+estimate lifecycle as quantiles, freq-items, distinct-count, and tuple
+(reference model: ``README.md:68-100`` — the reference itself stops at
+three families; membership is an extension component).
+
+What it is for at 100 TB: "is this key one of the N I have already
+seen?" answered from a broadcastable state instead of a shuffle against
+the historical key set. The canonical use is the prefilter-then-verify
+incremental dedup in ``operators/dedup.py::bloom_prefilter_match`` —
+no false negatives means the prefilter drops only definite-new rows,
+so the exact verify join sees a candidate set of (true matches +
+fpp·|incoming|) rows and the END-TO-END result is exact.
+
+Typical composition::
+
+    from datasketches_spark_spark import functions as dsf
+
+    seen = corpus.agg(dsf.approx_membership_accumulate(
+        "fingerprint", expected_items=10_000_000).alias("bf"))
+    state = seen.collect()[0].bf            # ~12 MB at fpp=0.01
+    hits = incoming.where(dsf.approx_membership_contains(
+        F.lit(state), F.col("fingerprint")))
+
+SQL surface (after ``install(spark)``): ``approx_membership_accumulate``
+/ ``_combine`` / ``_contains`` / ``_estimate`` / ``_fpp`` with conf keys
+``spark.sql.dataSketches.membership.expectedItems`` / ``.fpp``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import conf
+from .udfs import (
+    bloom_acc_udf,
+    bloom_contains_udf,
+    bloom_estimate_udf,
+    bloom_fpp_udf,
+    combine_udf,
+)
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def approx_membership_accumulate(col, expected_items: int | None = None,
+                                 fpp: float | None = None) -> Column:
+    """Aggregate raw key values into a serialized Bloom membership state.
+
+    Geometry is fixed by the design point (conf defaults
+    ``membership.expectedItems`` = 1M, ``membership.fpp`` = 0.01), so
+    every partial built in one aggregation merges bit-exactly. State
+    size is constant ``m/8`` bytes regardless of fill (~1.2 MB per
+    million designed keys at 1%)."""
+    return bloom_acc_udf(expected_items or conf.membership_expected(),
+                         fpp if fpp is not None
+                         else conf.membership_fpp())(_col(col))
+
+
+def approx_membership_combine(state) -> Column:
+    """Merge Bloom states (bitwise OR — a union homomorphism, so any
+    merge tree gives identical bytes). Geometry mismatch raises, like
+    the reference's combine on corrupt state."""
+    return combine_udf()(_col(state))
+
+
+def approx_membership_contains(state, col) -> Column:
+    """Per-row membership test of ``col`` against a Bloom state column
+    (usually one literal/broadcast state). True for every accumulated
+    key — NO false negatives; never-seen keys test positive with
+    probability ``approx_membership_fpp(state)``."""
+    return bloom_contains_udf()(_col(state), _col(col))
+
+
+def approx_membership_estimate(state) -> Column:
+    """Distinct-key estimate decoded from the state's fill ratio
+    (Swamidass & Baldi 2007); null for a saturated filter."""
+    return bloom_estimate_udf()(_col(state))
+
+
+def approx_membership_fpp(state) -> Column:
+    """CURRENT false-positive probability at the state's observed fill
+    — the membership family's read-time error surface (analogue of
+    ``approx_count_distinct_bounds``)."""
+    return bloom_fpp_udf()(_col(state))

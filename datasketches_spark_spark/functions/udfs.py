@@ -31,6 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -854,3 +855,127 @@ def tuple_segment_sum_udf():
         return pd.DataFrame(out, columns=["keys", "value_sum"])
 
     return seg
+
+
+# --------------------------------------------------------------------- bloom
+
+def bloom_acc_udf(expected_items: int, fpp: float):
+    """GROUPED_AGG: raw values -> serialized Bloom membership state.
+    Geometry is fixed by the (expected_items, fpp) design so every
+    partial in one aggregation merges (same rule as grouped theta k)."""
+    from ..sketches import BloomFilter
+
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = BloomFilter.design(expected_items, fpp)
+        sk.update_hashes(hash_series(v))
+        return sk.serialize()
+
+    return acc
+
+
+def bloom_contains_udf():
+    """Scalar: (bloom state, value) -> boolean membership test. The
+    state column is usually one broadcast literal repeated per row, so
+    the deserialized filter is cached per distinct byte payload within
+    the Arrow batch (one decode per batch in the common case)."""
+    from ..sketches import BloomFilter
+
+    @pandas_udf(BooleanType())
+    def contains(states: pd.Series, v: pd.Series) -> pd.Series:
+        out = np.full(len(v), None, dtype=object)
+        cache: dict[bytes, BloomFilter] = {}
+        # group rows by state payload; vectorize the probe per group
+        for blob, idx in _bloom_state_groups(states):
+            if blob is None:
+                continue
+            try:
+                sk = cache.get(blob)
+                if sk is None:
+                    sk = deserialize_any(blob)
+                    if not isinstance(sk, BloomFilter):
+                        raise ValueError("not a bloom state")
+                    cache[blob] = sk
+            except Exception as ex:
+                log.warning(
+                    "approx_membership_contains: corrupt state: %s", ex)
+                continue
+            vals = v.iloc[idx]
+            ok = vals.notna().to_numpy()
+            res = np.full(len(vals), None, dtype=object)
+            if ok.any():
+                hits = sk.contains_hashes(hash_series(vals[ok.tolist()]))
+                res[ok] = [bool(b) for b in hits]
+            out[idx] = res
+        return pd.Series(out, dtype=object)
+
+    return contains
+
+
+def _bloom_state_groups(states: pd.Series):
+    """Yield (state_bytes_or_None, positional_index_array) per distinct
+    state payload in the batch — bytes aren't hashable-groupable through
+    pandas groupby on all versions, so group positionally."""
+    groups: dict[bytes | None, list[int]] = {}
+    for i, blob in enumerate(states):
+        key = None if blob is None else bytes(blob)
+        groups.setdefault(key, []).append(i)
+    for key, idx in groups.items():
+        yield key, np.asarray(idx, dtype=np.int64)
+
+
+def bloom_estimate_udf():
+    """Scalar: bloom state -> distinct-key estimate (fill-ratio based,
+    Swamidass & Baldi 2007). Saturated filter -> null."""
+    from ..sketches import BloomFilter
+
+    @pandas_udf(LongType())
+    def est(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, BloomFilter):
+                    raise ValueError("not a bloom state")
+                n = sk.estimate()
+                out.append(None if n < 0 else n)
+            except Exception as ex:
+                log.warning(
+                    "approx_membership_estimate: corrupt state: %s", ex)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return est
+
+
+def bloom_fpp_udf():
+    """Scalar: bloom state -> CURRENT false-positive probability
+    (fill_fraction ** n_hashes) — the read-time error surface of the
+    membership family, like approx_count_distinct_bounds for NDV."""
+    from ..sketches import BloomFilter
+
+    @pandas_udf(DoubleType())
+    def fpp(states: pd.Series) -> pd.Series:
+        out = []
+        for blob in states:
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, BloomFilter):
+                    raise ValueError("not a bloom state")
+                out.append(sk.current_fpp())
+            except Exception as ex:
+                log.warning(
+                    "approx_membership_fpp: corrupt state: %s", ex)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return fpp

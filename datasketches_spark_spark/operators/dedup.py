@@ -928,3 +928,70 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
                     (F.col("_chars")
                      - F.coalesce(F.col("_kept_chars"), F.lit(0)))
                     .cast("long").alias("chars_removed")))
+
+
+# ------------------------------------------------------------- bloom prefilter
+
+def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
+                          id_col: str, text_col: str | None = None,
+                          fingerprint_col: str | None = None,
+                          expected_items: int | None = None,
+                          fpp: float = 0.001) -> DataFrame:
+    """EXACT incremental membership dedup with a Bloom prefilter:
+    "which incoming documents' fingerprints already exist in the
+    corpus?" — answered without shuffling the corpus key set against
+    the incoming batch.
+
+    Pipeline physics (the 100 TB design):
+
+    1. corpus fingerprints fold into ONE Bloom state via the two-phase
+       map-side accumulate (``sketch_accumulate`` family ``bloom``):
+       the shuffle carries ``m/8``-byte states, never corpus rows;
+    2. the single merged state (constant-size: ~1.8 MB per million
+       designed keys at fpp=1e-3) broadcasts to the incoming side,
+       which filters AT THE SCAN — Bloom's no-false-negative guarantee
+       means only definite-new rows are dropped;
+    3. survivors (true matches + ~fpp·|incoming| false positives) are
+       verified by an exact broadcast-friendly semi-join against the
+       corpus fingerprint set, so the RESULT is exact — the Bloom
+       filter only shrinks the join's probe side.
+
+    Returns the incoming rows (id, fingerprint) confirmed present in
+    the corpus. ``expected_items=None`` sizes the filter from a corpus
+    ``count()`` (one extra cheap job; pass the expected NDV to skip it).
+
+    Contrast with ``minhash_match`` (NEAR-duplicate incremental match):
+    this operator is the EXACT-fingerprint fast path — at a typical
+    snapshot-over-snapshot crawl where >90% of content is byte-identical
+    carry-over, it answers most of the dedup question for the price of
+    a broadcast, leaving the near-dup machinery a far smaller input.
+    """
+    from ..functions.membership import (approx_membership_accumulate,
+                                        approx_membership_contains)
+    from ..functions.text import doc_fingerprint
+    from .sketch_agg import sketch_accumulate
+
+    if fingerprint_col is None:
+        if text_col is None:
+            raise ValueError("need text_col or fingerprint_col")
+        fp = doc_fingerprint(F.col(text_col))
+        cfp = corpus.select(F.col(id_col), fp.alias("fingerprint"))
+        ifp = incoming.select(F.col(id_col), fp.alias("fingerprint"))
+    else:
+        cfp = corpus.select(F.col(id_col),
+                            F.col(fingerprint_col).alias("fingerprint"))
+        ifp = incoming.select(F.col(id_col),
+                              F.col(fingerprint_col).alias("fingerprint"))
+
+    if expected_items is None:
+        expected_items = max(64, cfp.count())
+
+    state_df = sketch_accumulate(cfp, [], "fingerprint", family="bloom",
+                                 expected_items=expected_items, fpp=fpp,
+                                 state_col="_bf")
+    candidates = (ifp.crossJoin(F.broadcast(state_df))
+                  .where(approx_membership_contains(
+                      F.col("_bf"), F.col("fingerprint")))
+                  .drop("_bf"))
+    return candidates.join(cfp.select("fingerprint").distinct(),
+                           "fingerprint", "leftsemi")

@@ -148,6 +148,17 @@ def _hll_family(lgk: int | None) -> _Family:
     return _Family(lambda: HllSketch(lgk=lgk), _hashed_prep, _hashed_update)
 
 
+def _bloom_family(expected: int | None, fpp: float | None) -> _Family:
+    """Bloom membership family — same hashed kernel as theta/hll (the
+    shared 64-bit hash space); geometry fixed by the design point so
+    every partial in one aggregation merges bit-exactly."""
+    from ..sketches import BloomFilter
+    expected = expected or conf.membership_expected()
+    fpp = fpp if fpp is not None else conf.membership_fpp()
+    return _Family(lambda: BloomFilter.design(expected, fpp),
+                   _hashed_prep, _hashed_update)
+
+
 def _cpcwire_family(lgk: int | None, item_type: str) -> _Family:
     """Genuine-CPC family: partials are CPC WIRE bytes (CpcAccumulator
     serializes to the Apache DataSketches format), merged via the
@@ -406,6 +417,9 @@ def _family(name: str, **params) -> _Family:
     if name in ("aodwire", "tuplewire"):
         return _aodwire_family(params.get("k"),
                                params.get("item_type", ITEM_STR))
+    if name in ("bloom", "membership"):
+        return _bloom_family(params.get("expected_items"),
+                             params.get("fpp"))
     raise ValueError(f"unknown sketch family {name!r}")
 
 

@@ -366,6 +366,19 @@ def install(spark: SparkSession) -> None:
     spark.udf.register("approx_tuple_segment_estimate", tuple_segment_udf())
     spark.udf.register("approx_tuple_bounds", distinct_bounds_udf())
 
+    # Bloom membership filter (extension; DataSketches BloomFilter
+    # analog — broadcastable "have I seen this key?" state)
+    from .functions.udfs import (bloom_acc_udf, bloom_contains_udf,
+                                 bloom_estimate_udf, bloom_fpp_udf)
+    spark.udf.register(
+        "approx_membership_accumulate",
+        bloom_acc_udf(conf.membership_expected(spark),
+                      conf.membership_fpp(spark)))
+    spark.udf.register("approx_membership_combine", combine_udf())
+    spark.udf.register("approx_membership_contains", bloom_contains_udf())
+    spark.udf.register("approx_membership_estimate", bloom_estimate_udf())
+    spark.udf.register("approx_membership_fpp", bloom_fpp_udf())
+
     # Apache DataSketches wire-format import (reference-state migration;
     # estimate fns also read foreign states directly via the deserializer
     # fallback — this converts once for merge-heavy pipelines).

@@ -5,6 +5,7 @@ One class per family, all exposing the reference's four-verb lifecycle
 ``update* -> serialize -> deserialize -> merge -> estimate/quantile/...``.
 """
 
+from .bloom import BloomFilter
 from .cpc_state import CpcAccumulator, CpcUnionSketch
 from .freq import ITEM_LONG, ITEM_STR, FreqItemsSketch
 from .hll import HllSketch
@@ -12,8 +13,8 @@ from .kll import KllSketch
 from .req import ReqSketch
 from .reservoir import ITEM_DOUBLE, ReservoirSketch, WeightedReservoirSketch
 from .serde import (
+    FAMILY_BLOOM,
     FAMILY_CPCUNION,
-    FAMILY_TUPLE,
     FAMILY_TUPLE,
     FAMILY_FREQ_LONG,
     FAMILY_FREQ_STR,
@@ -26,7 +27,6 @@ from .serde import (
     MAGIC,
     family_of,
 )
-from .tuple import TupleSketch
 from .tuple import TupleSketch
 from .theta import (
     ThetaSketch,
@@ -74,8 +74,8 @@ def deserialize_any(data: bytes):
         return CpcUnionSketch.deserialize(data)
     if fam == FAMILY_TUPLE:
         return TupleSketch.deserialize(data)
-    if fam == FAMILY_TUPLE:
-        return TupleSketch.deserialize(data)
+    if fam == FAMILY_BLOOM:
+        return BloomFilter.deserialize(data)
     raise ValueError(f"unknown sketch family {fam}")
 
 

@@ -35,6 +35,7 @@ FAMILY_RESERVOIR = 8
 FAMILY_WRESERVOIR = 9
 FAMILY_CPCUNION = 10
 FAMILY_TUPLE = 11
+FAMILY_BLOOM = 12
 
 _HEADER = struct.Struct("<4sBB")
 
