@@ -2623,6 +2623,41 @@ def _demo_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def _demo_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation (operators/domains.py; round 12): the
+    C4/RefinedWeb stage that scores and filters at the SOURCE level.
+    The corpus plants a mirror (re-keyed byte-identical copies of
+    src1's own docs, driving src1's dup_frac to 0.5); the pipeline is
+    stats -> drop list (blocklist src2 + dup rule) -> filter -> per-
+    domain cap (3 largest docs by n_chars). Output: one row per
+    surviving domain with its stats, plus kept count under the cap —
+    every ratio a single integer division, fully replayed by the
+    DuckDB oracle."""
+    from datasketches_spark_spark.operators import (
+        cap_per_domain, domain_drop_list, domain_stats, filter_by_domain)
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source", "n_chars")
+    mirror = (docs.where(F.col("source") == "src1")
+              .select((F.col("doc_id") + 100_000).alias("doc_id"),
+                      "text", "source", "n_chars"))
+    corpus = docs.unionByName(mirror)
+    stats = domain_stats(corpus, "source", "doc_id", "text")
+    drops = domain_drop_list(stats, blocklist=("src2",),
+                             max_dup_frac=0.25)
+    kept = filter_by_domain(corpus, "source", drops)
+    capped = cap_per_domain(kept, "source", 3,
+                            [F.col("n_chars").desc(), F.col("doc_id")])
+    n_kept = capped.groupBy(F.col("source").alias("domain")).agg(
+        F.count("*").cast("long").alias("n_capped"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"))
+    return (stats.join(n_kept, "domain", "inner")
+            .select("domain", "n_docs", "n_unique",
+                    F.round("dup_frac", 6).alias("dup_frac"),
+                    "n_tokens", F.round("pass_frac", 6).alias("pass_frac"),
+                    "n_capped", "kept_id_sum")
+            .orderBy("domain"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2646,6 +2681,7 @@ def demo_queries() -> dict[str, str]:
         "demo_line_dedup": _demo_line_dedup,
         "demo_hard_negatives": _demo_hard_negatives,
         "demo_bloom_prefilter": _demo_bloom_prefilter,
+        "demo_domain_curation": _demo_domain_curation,
     }
 
 
@@ -4439,5 +4475,59 @@ def demo_oracle_sql() -> dict[str, str]:
             FROM inc i
             WHERE md5(i.text) IN (SELECT md5(text) FROM corpus)
             ORDER BY doc_id
+        """,
+        # domain-level curation: stats -> drop rules -> filter -> cap,
+        # every ratio one integer division, rounds AFTER the division
+        "demo_domain_curation": """
+            WITH corpus AS (
+                SELECT doc_id, text, source, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text, source, n_chars
+                FROM documents WHERE source = 'src1'),
+            tok AS (
+                SELECT doc_id, source, n_chars, md5(text) AS fp,
+                       len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS nt,
+                       len(list_filter(string_split(text, ' '),
+                           x -> x <> ''
+                                AND regexp_matches(x, '[a-zA-Z]')))
+                         AS na
+                FROM corpus),
+            stats AS (
+                SELECT source AS domain,
+                       count(*) AS n_docs,
+                       count(DISTINCT fp) AS n_unique,
+                       CAST(sum(nt) AS BIGINT) AS n_tokens,
+                       sum(CASE WHEN nt >= 40 AND nt <= 100000
+                                 AND CAST(na AS DOUBLE) / nt >= 0.8
+                                THEN 1 ELSE 0 END) AS n_ok
+                FROM tok GROUP BY source),
+            drops AS (
+                SELECT domain FROM stats
+                WHERE domain = 'src2'
+                   OR (1.0 - CAST(n_unique AS DOUBLE) / n_docs) > 0.25),
+            capped AS (
+                SELECT source, doc_id FROM (
+                    SELECT source, doc_id,
+                           row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+                    FROM corpus
+                    WHERE source NOT IN (SELECT domain FROM drops))
+                WHERE rn <= 3),
+            kc AS (SELECT source AS domain,
+                          CAST(count(*) AS BIGINT) AS n_capped,
+                          CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+                   FROM capped GROUP BY source)
+            SELECT s.domain,
+                   CAST(s.n_docs AS BIGINT) AS n_docs,
+                   CAST(s.n_unique AS BIGINT) AS n_unique,
+                   round(1.0 - CAST(s.n_unique AS DOUBLE) / s.n_docs, 6)
+                     AS dup_frac,
+                   s.n_tokens,
+                   round(CAST(s.n_ok AS DOUBLE) / s.n_docs, 6)
+                     AS pass_frac,
+                   kc.n_capped, kc.kept_id_sum
+            FROM stats s JOIN kc USING (domain)
+            ORDER BY domain
         """,
     }
