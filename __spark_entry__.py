@@ -2658,6 +2658,25 @@ def _demo_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("domain"))
 
 
+def _demo_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM perplexity (operators/lm.py::
+    perplexity_score_trigram; round 12): Jelinek-Mercer mixture
+    l3*P3 + l2*P2 + l1*P1 with add-k components, trained on the full
+    corpus, scored on doc_id < 150. The oracle refits the same model in
+    SQL with the identical IEEE expression tree (component probability,
+    then weighted sum, then one ln; interpolation weights written as
+    the exact Python-float reprs, e.g. l3+l2 = 0.7999999999999999),
+    rounds applied AFTER all arithmetic — every per-document float must
+    agree to 6 digits."""
+    from datasketches_spark_spark.operators import (
+        perplexity_score_trigram, train_trigram_lm)
+    docs = read_table(spark, sf_dir, "documents")
+    uni, bi, tri = train_trigram_lm(docs, "text")
+    out = perplexity_score_trigram(docs.where(F.col("doc_id") < 150),
+                                   "doc_id", "text", uni, bi, tri)
+    return out.orderBy("doc_id")
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2682,6 +2701,7 @@ def demo_queries() -> dict[str, str]:
         "demo_hard_negatives": _demo_hard_negatives,
         "demo_bloom_prefilter": _demo_bloom_prefilter,
         "demo_domain_curation": _demo_domain_curation,
+        "demo_trigram_ppl": _demo_trigram_ppl,
     }
 
 
@@ -4529,5 +4549,72 @@ def demo_oracle_sql() -> dict[str, str]:
                    kc.n_capped, kc.kept_id_sum
             FROM stats s JOIN kc USING (domain)
             ORDER BY domain
+        """,
+        # interpolated trigram LM: identical IEEE trees, weights as
+        # exact Python-float reprs, round(6) AFTER all arithmetic
+        "demo_trigram_ppl": """
+            WITH tok AS (SELECT doc_id,
+                                list_filter(string_split(text, ' '),
+                                            x -> x <> '') AS ts
+                         FROM documents),
+            term AS (SELECT doc_id,
+                            unnest(generate_series(1, len(ts))) AS i, ts
+                     FROM tok),
+            pos AS (SELECT doc_id, i, ts[i] AS w,
+                           CASE WHEN i >= 2 THEN ts[i-1] END AS pw,
+                           CASE WHEN i >= 2
+                                THEN ts[i-1] || ' ' || ts[i] END AS bg,
+                           CASE WHEN i >= 3
+                                THEN ts[i-2] || ' ' || ts[i-1] END AS ab,
+                           CASE WHEN i >= 3
+                                THEN ts[i-2] || ' ' || ts[i-1] || ' '
+                                     || ts[i] END AS tg
+                    FROM term),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                    FROM pos GROUP BY w),
+            bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+                   FROM pos WHERE bg IS NOT NULL GROUP BY bg),
+            tri AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3
+                    FROM pos WHERE tg IS NOT NULL GROUP BY tg),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                          CAST(sum(c1) AS BIGINT) AS tot
+                   FROM uni),
+            sc AS (SELECT p.doc_id,
+                     CASE
+                       WHEN p.i = 1 THEN
+                         -ln((COALESCE(u1.c1, 0) + 0.5)
+                             / (s.tot + 0.5 * s.v))
+                       WHEN p.i = 2 THEN
+                         -ln(0.7999999999999999
+                               * ((COALESCE(b2.c2, 0) + 0.5)
+                                  / (COALESCE(up.c1, 0) + 0.5 * s.v))
+                             + 0.2 * ((COALESCE(u1.c1, 0) + 0.5)
+                                      / (s.tot + 0.5 * s.v)))
+                       ELSE
+                         -ln(0.5 * ((COALESCE(t3.c3, 0) + 0.5)
+                                    / (COALESCE(bab.c2, 0) + 0.5 * s.v))
+                             + 0.3 * ((COALESCE(b2.c2, 0) + 0.5)
+                                      / (COALESCE(up.c1, 0) + 0.5 * s.v))
+                             + 0.2 * ((COALESCE(u1.c1, 0) + 0.5)
+                                      / (s.tot + 0.5 * s.v)))
+                     END AS nll,
+                     CASE WHEN p.i = 1 THEN COALESCE(u1.c1, 0)
+                          WHEN p.i = 2 THEN COALESCE(b2.c2, 0)
+                          ELSE COALESCE(t3.c3, 0) END AS hc
+                   FROM pos p
+                   LEFT JOIN uni u1 ON p.w = u1.w
+                   LEFT JOIN uni up ON p.pw = up.w
+                   LEFT JOIN bi b2 ON p.bg = b2.bg
+                   LEFT JOIN bi bab ON p.ab = bab.bg
+                   LEFT JOIN tri t3 ON p.tg = t3.tg
+                   CROSS JOIN st s
+                   WHERE p.doc_id < 150)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN hc = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov_terms,
+                   round(sum(nll) / count(*), 6) AS avg_nll,
+                   round(exp(sum(nll) / count(*)), 6) AS ppl
+            FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -1571,3 +1571,84 @@ class TestDedupLines:
         import pytest as _pt
         with _pt.raises(ValueError):
             dedup_lines(df, "doc_id", "text", min_doc_freq=1)
+
+
+class TestTrigramLM:
+    """Interpolated (Jelinek-Mercer) trigram LM perplexity."""
+
+    CORPUS = [(1, "the cat sat on the mat"),
+              (2, "the dog sat on the rug"),
+              (3, "qq zz qq zz qq")]
+
+    def _fit_score(self, spark, target=None):
+        from datasketches_spark_spark.operators import (
+            perplexity_score_trigram, train_trigram_lm)
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        uni, bi, tri = train_trigram_lm(df, "text")
+        return perplexity_score_trigram(target or df, "doc_id", "text",
+                                        uni, bi, tri)
+
+    def test_matches_scalar_reference(self, spark):
+        import math
+        got = {r.doc_id: r for r in self._fit_score(spark).collect()}
+        toks = {d: t.split() for d, t in self.CORPUS}
+        uni, bi, tri = {}, {}, {}
+        for ts in toks.values():
+            for w in ts:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+            for a, b, c in zip(ts, ts[1:], ts[2:]):
+                tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+        v, tot, k = len(uni), sum(uni.values()), 0.5
+        l3, l2, l1 = 0.5, 0.3, 0.2
+        for d, ts in toks.items():
+            nll, oov = 0.0, 0
+            for i, w in enumerate(ts):
+                p1 = (uni.get(w, 0) + k) / (tot + k * v)
+                if i == 0:
+                    p, hc = p1, uni.get(w, 0)
+                elif i == 1:
+                    c2 = bi.get((ts[0], w), 0)
+                    p2 = (c2 + k) / (uni.get(ts[0], 0) + k * v)
+                    p, hc = (l3 + l2) * p2 + l1 * p1, c2
+                else:
+                    a, b = ts[i - 2], ts[i - 1]
+                    c3 = tri.get((a, b, w), 0)
+                    p3 = (c3 + k) / (bi.get((a, b), 0) + k * v)
+                    p2 = (bi.get((b, w), 0) + k) / (uni.get(b, 0) + k * v)
+                    p, hc = l3 * p3 + l2 * p2 + l1 * p1, c3
+                nll -= math.log(p)
+                oov += hc == 0
+            r = got[d]
+            assert r.n_tokens == len(ts) and r.n_oov_terms == oov
+            assert abs(r.avg_nll - nll / len(ts)) < 1e-6
+            assert abs(r.ppl - math.exp(nll / len(ts))) < 1e-4
+
+    def test_gibberish_scores_worse_than_fluent(self, spark):
+        got = {r.doc_id: r.ppl for r in self._fit_score(spark).collect()}
+        # docs 1/2 share trigram mass; doc 3's grams are self-repeating
+        # but its unigrams are rare -> trained english-ish beats nothing,
+        # and an unseen-word probe is worst of all
+        probe = spark.createDataFrame([(9, "xx yy zz ww vv uu")],
+                                      ["doc_id", "text"])
+        pp = self._fit_score(spark, target=probe).collect()[0].ppl
+        assert pp > max(got.values())
+
+    def test_short_docs_defined(self, spark):
+        probe = spark.createDataFrame([(7, "the"), (8, "the cat")],
+                                      ["doc_id", "text"])
+        rows = {r.doc_id: r for r in
+                self._fit_score(spark, target=probe).collect()}
+        assert rows[7].n_tokens == 1 and rows[8].n_tokens == 2
+        assert rows[7].ppl > 0 and rows[8].ppl > 0
+
+    def test_lambdas_validated(self, spark):
+        from datasketches_spark_spark.operators import (
+            perplexity_score_trigram, train_trigram_lm)
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        uni, bi, tri = train_trigram_lm(df, "text")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            perplexity_score_trigram(df, "doc_id", "text", uni, bi, tri,
+                                     lambdas=(0.5, 0.3, 0.3))
