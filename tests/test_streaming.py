@@ -566,3 +566,48 @@ class TestSessionSummaries:
                   if k[2] <= horizon_ms}
         assert got == closed
         assert 0 < len(got) < len(all_batch)
+
+
+class TestStreamingBloom:
+    def test_bloom_family_rides_stateful_accumulate(self, spark, tables,
+                                                    stream_dirs):
+        """Round-12 Bloom membership through the streaming state store:
+        a continuously-maintained seen-key filter per group. The family
+        registry makes this free — the final state must behave exactly
+        like the batch-built filter: every user_id ever streamed tests
+        positive (no false negatives across ANY trigger boundary) and
+        the state equals the batch state BIT-FOR-BIT (union
+        homomorphism: fold order across micro-batches is irrelevant)."""
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.operators import sketch_accumulate
+        from datasketches_spark_spark.streaming import (
+            await_or_fail, sketch_accumulate_stream)
+        src_dir, ckpt, _ = stream_dirs
+        stream = _events_stream(spark, tables, src_dir)
+        states = sketch_accumulate_stream(
+            stream, ["event_type"], "user_id", family="bloom",
+            expected_items=4096, fpp=0.01)
+        q = (states.writeStream.format("memory")
+             .queryName("bloom_states").outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        await_or_fail(q, 120)
+        final = spark.sql("""
+            SELECT event_type, state FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC) rn
+              FROM bloom_states
+            ) WHERE rn = 1""")
+        batch = sketch_accumulate(
+            tables["events"], ["event_type"], "user_id", family="bloom",
+            expected_items=4096, fpp=0.01, state_col="bstate")
+        # bit-identical to the batch state
+        sb = {r.event_type: bytes(r.state) for r in final.collect()}
+        bb = {r.event_type: bytes(r.bstate) for r in batch.collect()}
+        assert sb == bb
+        # and no false negatives through the SQL surface
+        misses = (tables["events"].select("event_type", "user_id")
+                  .join(final, "event_type")
+                  .where(~dsf.approx_membership_contains(
+                      F.col("state"), F.col("user_id"))).count())
+        assert misses == 0
