@@ -2342,14 +2342,20 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     bst = ev.groupBy("event_type").agg(
         dsf.approx_membership_accumulate(
             "user_id", expected_items=32_768, fpp=0.01).alias("bs"))
+    # bounded collect (|event types| rows of 39 KB states): probes run
+    # through the keyed-broadcast UDF so the state never rides a column
+    # past Arrow once per probe row (functions/udfs.py rationale)
+    from datasketches_spark_spark.functions.udfs import (
+        bloom_contains_keyed_udf)
+    bmap = {r.event_type: bytes(r.bs) for r in bst.collect()}
+    bbc = spark.sparkContext.broadcast(bmap)
+    probe = bloom_contains_keyed_udf(bbc)
     uids = ev.select("event_type", "user_id").distinct()
-    bprobe = (uids.join(F.broadcast(bst), "event_type")
-              .select("event_type",
-                      dsf.approx_membership_contains(
-                          F.col("bs"), F.col("user_id")).alias("hit"),
-                      dsf.approx_membership_contains(
-                          F.col("bs"),
-                          F.col("user_id") + F.lit(10**9)).alias("fp")))
+    bprobe = uids.select(
+        "event_type",
+        probe(F.col("event_type"), F.col("user_id")).alias("hit"),
+        probe(F.col("event_type"),
+              F.col("user_id") + F.lit(10**9)).alias("fp"))
     bloom_leg = (bprobe.groupBy("event_type")
                  .agg(F.min(F.col("hit").cast("int")).alias("all_in"),
                       F.avg(F.col("fp").cast("int")).alias("fp_rate"),

@@ -434,6 +434,47 @@ def main(spark=None, rows: int | None = None) -> int:
             f"datasketches-java disagrees with the engine on the same "
             f"AoD bytes: {java_est} vs {aod_row.e.ndv}")
 
+    # ------------------------------------------- bloom membership (r12)
+    # the membership family at its DESIGN point: accumulate ~expected_n
+    # distinct keys, then (a) every inserted key tests positive (the
+    # no-false-negative contract, checked exhaustively), (b) the
+    # observed FP rate on an equal-size disjoint probe set sits within
+    # 3x the design fpp, (c) the fill-ratio NDV estimate lands within
+    # 2% — the three read-time claims docs/SCALE.md makes.
+    n_keys = min(rows, 1_000_000)
+    keys = spark.range(n_keys).selectExpr("id AS k")
+    keys.createOrReplaceTempView("acc_bloom_keys")
+    (b_row,) = dss.sql(spark, """
+        SELECT approx_membership_accumulate(k) AS st,
+               approx_membership_estimate(
+                 approx_membership_accumulate(k)) AS est,
+               approx_membership_fpp(
+                 approx_membership_accumulate(k)) AS fpp
+        FROM acc_bloom_keys""").collect()
+    from datasketches_spark_spark.functions.udfs import (
+        bloom_contains_broadcast_udf)
+    bc = spark.sparkContext.broadcast(bytes(b_row.st))
+    probe = bloom_contains_broadcast_udf(bc)
+    fn = keys.where(~probe(F.col("k"))).count()
+    fp = keys.where(probe(F.col("k") + 2 * n_keys)).count()
+    design_fpp = 0.01  # conf default sizes for 1M expected keys
+    fp_rate = fp / n_keys
+    ndv_err = (b_row.est - n_keys) / n_keys * 100
+    print(json.dumps({
+        "experiment": "bloom_membership", "keys": n_keys,
+        "false_negatives": int(fn),
+        "fp_rate_observed": round(fp_rate, 6),
+        "fpp_decoded": round(float(b_row.fpp), 6),
+        "ndv_pct_err": round(ndv_err, 3),
+    }))
+    if fn:
+        failures.append(f"bloom false negatives: {fn}")
+    if fp_rate > 3 * design_fpp:
+        failures.append(
+            f"bloom FP rate {fp_rate:.4f} > 3x design {design_fpp}")
+    if abs(ndv_err) > 2.0:
+        failures.append(f"bloom NDV error {ndv_err:.2f}% > 2%")
+
     print(json.dumps({"experiment": "summary",
                       "failures": failures or None}))
     if own_session:

@@ -979,3 +979,80 @@ def bloom_fpp_udf():
         return pd.Series(out, dtype=object)
 
     return fpp
+
+
+def bloom_contains_broadcast_udf(bc):
+    """Scalar membership probe against ONE driver-collected state
+    shipped as a SparkContext broadcast — the big-probe path. The
+    two-argument ``bloom_contains_udf`` carries the state as a COLUMN,
+    which Arrow re-serializes per row (an MB-scale state times a
+    million-row probe is terabytes of transfer); this variant moves the
+    state once per executor and deserializes once per python worker.
+    ``bc`` is ``sc.broadcast(state_bytes)``."""
+    from ..sketches import BloomFilter
+
+    holder: dict[int, BloomFilter] = {}
+
+    @pandas_udf(BooleanType())
+    def contains(v: pd.Series) -> pd.Series:
+        sk = holder.get(0)
+        if sk is None:
+            sk = deserialize_any(bytes(bc.value))
+            if not isinstance(sk, BloomFilter):
+                raise ValueError("not a bloom state")
+            holder[0] = sk
+        out = np.full(len(v), None, dtype=object)
+        ok = v.notna().to_numpy()
+        if ok.any():
+            hits = sk.contains_hashes(hash_series(v[ok.tolist()]))
+            out[ok] = [bool(b) for b in hits]
+        return pd.Series(out, dtype=object)
+
+    return contains
+
+
+def bloom_contains_keyed_udf(bc):
+    """Scalar membership probe against a PER-GROUP state map shipped as
+    one broadcast: ``bc`` is ``sc.broadcast({group_key: state_bytes})``
+    (group cardinality is dimension-bounded, so the map is small).
+    Args: (group_key, value) -> boolean; unknown group or null -> null.
+    Same rationale as :func:`bloom_contains_broadcast_udf` — the state
+    must not ride a column past Arrow once per probe row."""
+    from ..sketches import BloomFilter
+
+    cache: dict[object, BloomFilter] = {}
+
+    @pandas_udf(BooleanType())
+    def contains(key: pd.Series, v: pd.Series) -> pd.Series:
+        out = np.full(len(v), None, dtype=object)
+        states = bc.value
+        for kval, idx in _bloom_probe_groups(key):
+            blob = states.get(kval)
+            if blob is None:
+                continue
+            sk = cache.get(kval)
+            if sk is None:
+                sk = deserialize_any(bytes(blob))
+                if not isinstance(sk, BloomFilter):
+                    raise ValueError("not a bloom state")
+                cache[kval] = sk
+            vals = v.iloc[idx]
+            ok = vals.notna().to_numpy()
+            res = np.full(len(vals), None, dtype=object)
+            if ok.any():
+                hits = sk.contains_hashes(hash_series(vals[ok.tolist()]))
+                res[ok] = [bool(b) for b in hits]
+            out[idx] = res
+        return pd.Series(out, dtype=object)
+
+    return contains
+
+
+def _bloom_probe_groups(key: pd.Series):
+    groups: dict[object, list[int]] = {}
+    for i, kv in enumerate(key):
+        if kv is None:
+            continue
+        groups.setdefault(kv, []).append(i)
+    for kv, idx in groups.items():
+        yield kv, np.asarray(idx, dtype=np.int64)

@@ -966,8 +966,6 @@ def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
     carry-over, it answers most of the dedup question for the price of
     a broadcast, leaving the near-dup machinery a far smaller input.
     """
-    from ..functions.membership import (approx_membership_accumulate,
-                                        approx_membership_contains)
     from ..functions.text import doc_fingerprint
     from .sketch_agg import sketch_accumulate
 
@@ -989,9 +987,15 @@ def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
     state_df = sketch_accumulate(cfp, [], "fingerprint", family="bloom",
                                  expected_items=expected_items, fpp=fpp,
                                  state_col="_bf")
-    candidates = (ifp.crossJoin(F.broadcast(state_df))
-                  .where(approx_membership_contains(
-                      F.col("_bf"), F.col("fingerprint")))
-                  .drop("_bf"))
+    # bounded collect: ONE row of m/8 bytes (filter geometry, not data
+    # volume — ~1.8 MB per million designed keys at fpp=1e-3), shipped
+    # to executors as a SparkContext broadcast. Carrying the state as a
+    # literal/cross-joined COLUMN instead would make Arrow re-serialize
+    # the whole state once PER PROBE ROW.
+    state = bytes(state_df.collect()[0]["_bf"])
+    bc = incoming.sparkSession.sparkContext.broadcast(state)
+    from ..functions.udfs import bloom_contains_broadcast_udf
+    candidates = ifp.where(
+        bloom_contains_broadcast_udf(bc)(F.col("fingerprint")))
     return candidates.join(cfp.select("fingerprint").distinct(),
                            "fingerprint", "leftsemi")

@@ -346,6 +346,8 @@ _ACC_FAMILY = {
     "approx_tuple_accumulate": ("tuple", {}),
     "approx_tuple_accumulate_wire": ("aodwire", {}),
     "approx_tuple_accumulate_wire_long": ("aodwire", {"item_type": "long"}),
+    # Bloom membership (round 12): geometry from conf at plan time
+    "approx_membership_accumulate": ("bloom", {}),
 }
 
 # *_combine functions: merge pre-serialized states (family-agnostic wire).
@@ -355,7 +357,7 @@ _ACC_FAMILY = {
 _COMBINE_FNS = {
     "approx_percentile_combine", "approx_freqitems_combine",
     "approx_count_distinct_combine", "approx_sample_combine",
-    "approx_tuple_combine",
+    "approx_tuple_combine", "approx_membership_combine",
 }
 
 _SKETCH_FUNCS = (set(_QUANTILE_DIRECT) | set(_FREQ_DIRECT)
@@ -374,6 +376,7 @@ _ESTIMATE_FNS = {
     "approx_sample_estimate", "approx_sample_estimate_long",
     "approx_sample_estimate_string",
     "approx_tuple_estimate", "approx_tuple_segment_estimate",
+    "approx_membership_estimate", "approx_membership_fpp",
 }
 
 # native aggregates that may appear anywhere inside an exact select item
@@ -538,6 +541,9 @@ def _resolve_acc_family(fname: str, spark: SparkSession):
         params = dict(params, k=conf.sample_reservoir_k(spark))
     if family in ("tuple", "aodwire"):
         params = dict(params, k=conf.tuple_k(spark))
+    if family == "bloom":
+        params = dict(params, expected_items=conf.membership_expected(spark),
+                      fpp=conf.membership_fpp(spark))
     return family, params
 
 
@@ -622,6 +628,13 @@ def _nested_estimator(fname: str, extra: list[str]):
         mc = int(_parse_literal_number(extra[0])) if extra else 1
         from .functions import tuplesketch as _tp
         return lambda c: _tp.approx_tuple_segment_estimate(c, mc)
+    if fname in ("approx_membership_estimate", "approx_membership_fpp"):
+        if extra:
+            return None
+        from .functions import membership as _mb
+        return (lambda c: _mb.approx_membership_estimate(c)) \
+            if fname == "approx_membership_estimate" \
+            else (lambda c: _mb.approx_membership_fpp(c))
     return None
 
 

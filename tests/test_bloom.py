@@ -199,10 +199,16 @@ class TestBloomPrefilter:
                       corpus.where(F.col("doc_id") < 200).collect())
         assert got == want and len(want) == 100
 
-    def test_prefilter_broadcasts_state(self, spark, tables):
+    def test_prefilter_plan_shape(self, spark, tables):
+        """The probe side must NOT carry the state as a column (Arrow
+        would re-serialize the MB-scale state per row): the prefilter is
+        a plain scan-stage Filter over the broadcast-closure UDF, and
+        the only join is the exact verify semi-join."""
         from datasketches_spark_spark.operators import bloom_prefilter_match
         docs = tables["documents"]
         out = bloom_prefilter_match(docs.limit(50), docs, "doc_id",
                                     text_col="text")
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "LeftSemi" in plan
+        assert plan.count("Join") == 1  # verify only

@@ -615,3 +615,47 @@ def test_aodwire_accumulate_two_phase_and_estimate(spark, tables):
     for r in rows:
         assert (r.e.ndv, r.e.rows, float(r.e.value_sum)) == exact[r.lang]
         assert is_aod(bytes(r.st))
+
+
+def test_membership_accumulate_two_phase_and_probes(spark, tables):
+    """approx_membership_accumulate re-plans onto the two-phase path
+    (no fallback warning) as the 'bloom' family; the merged state
+    answers contains/estimate/fpp in the same statement, and the
+    nested estimate(accumulate(col)) shape re-plans too."""
+    import warnings
+    import datasketches_spark_spark as dss
+    from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+    tables["events"].createOrReplaceTempView("events")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", SketchSqlFallbackWarning)
+        df = dss.sql(spark, """
+            WITH s AS (
+              SELECT event_type, approx_membership_accumulate(user_id)
+                       AS st
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   approx_membership_contains(st, event_type) AS has_key,
+                   approx_membership_estimate(st) AS est,
+                   approx_membership_fpp(st) < 0.01 AS tight
+            FROM s ORDER BY event_type""")
+        rows = df.collect()
+    exact = {r.event_type: r.n for r in spark.sql(
+        "SELECT event_type, count(DISTINCT user_id) n FROM events "
+        "GROUP BY event_type").collect()}
+    assert rows and all(not r.has_key for r in rows)  # strings never fed
+    for r in rows:
+        assert abs(r.est - exact[r.event_type]) <= \
+            max(1, 0.1 * exact[r.event_type])
+        assert r.tight is True
+    # nested shape: estimate(accumulate(...)) as a direct aggregate
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", SketchSqlFallbackWarning)
+        nested = dss.sql(spark, """
+            SELECT event_type,
+                   approx_membership_estimate(
+                     approx_membership_accumulate(user_id)) AS est
+            FROM events GROUP BY event_type ORDER BY event_type""")
+        for r in nested.collect():
+            assert abs(r.est - exact[r.event_type]) <= \
+                max(1, 0.1 * exact[r.event_type])
