@@ -2683,6 +2683,45 @@ def _demo_trigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _demo_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions/urls.py; round
+    12): four deterministic URL variants per doc_id group — scheme-case
+    + www + default-port + tracking-params + fragment + trailing-slash
+    noise, a param-order permutation, a co.uk subdomain, and a
+    gclid-polluted copy — canonicalize so the three same-page variants
+    COLLAPSE to one key and the co.uk page keys its registrable domain.
+    Output: (registered_domain, canonical_url, n, min_id) — the oracle
+    replays every regexp/split step verbatim, so one mis-normalized
+    byte hash-fails."""
+    from datasketches_spark_spark.functions.urls import (
+        canonicalize_url, url_registered_domain)
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 400).select("doc_id")
+    k = F.floor(F.col("doc_id") / 4).cast("long")
+    m = F.col("doc_id") % 4
+    h = F.concat(F.lit("h"), (k % 10).cast("string"))
+    ks = k.cast("string")
+    url = (F.when(m == 0, F.concat(
+                F.lit("https://WWW."), h, F.lit(".Example.com:443/a/"),
+                ks, F.lit("/?utm_source=x&b=2&a=1#frag")))
+           .when(m == 1, F.concat(
+                F.lit("https://"), h, F.lit(".example.com/a/"), ks,
+                F.lit("?a=1&b=2")))
+           .when(m == 2, F.concat(
+                F.lit("https://Sub."), h, F.lit(".co.uk/q/"), ks))
+           .otherwise(F.concat(
+                F.lit("https://"), h, F.lit(".example.com/a/"), ks,
+                F.lit("?gclid=9&b=2&a=1"))))
+    u = docs.select("doc_id", url.alias("url"))
+    return (u.select("doc_id",
+                     url_registered_domain("url").alias("rd"),
+                     canonicalize_url("url").alias("cu"))
+            .groupBy("rd", "cu")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("doc_id").alias("min_id"))
+            .orderBy("rd", "cu"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2708,6 +2747,7 @@ def demo_queries() -> dict[str, str]:
         "demo_bloom_prefilter": _demo_bloom_prefilter,
         "demo_domain_curation": _demo_domain_curation,
         "demo_trigram_ppl": _demo_trigram_ppl,
+        "demo_url_dedup_groups": _demo_url_dedup_groups,
     }
 
 
@@ -4622,5 +4662,67 @@ def demo_oracle_sql() -> dict[str, str]:
                    round(sum(nll) / count(*), 6) AS avg_nll,
                    round(exp(sum(nll) / count(*)), 6) AS ppl
             FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        # URL canonicalization replayed step-by-step (functions/urls.py
+        # module docstring order); RE2 backrefs are \1
+        "demo_url_dedup_groups": r"""
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+            u AS (SELECT doc_id,
+                    CASE CAST(doc_id % 4 AS INT)
+                      WHEN 0 THEN 'https://WWW.h' || (doc_id//4 % 10)
+                        || '.Example.com:443/a/' || (doc_id//4)
+                        || '/?utm_source=x&b=2&a=1#frag'
+                      WHEN 1 THEN 'https://h' || (doc_id//4 % 10)
+                        || '.example.com/a/' || (doc_id//4) || '?a=1&b=2'
+                      WHEN 2 THEN 'https://Sub.h' || (doc_id//4 % 10)
+                        || '.co.uk/q/' || (doc_id//4)
+                      ELSE 'https://h' || (doc_id//4 % 10)
+                        || '.example.com/a/' || (doc_id//4)
+                        || '?gclid=9&b=2&a=1'
+                    END AS url FROM ids),
+            c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '')
+                     AS nofrag FROM u),
+            c2 AS (SELECT doc_id, nofrag,
+                     regexp_extract(nofrag,
+                       '^([^:/?#]+://(?:[^@/?#]*@)?[^/?#]*)', 1) AS prefix
+                   FROM c1),
+            c3 AS (SELECT doc_id,
+                     substr(nofrag, length(prefix) + 1) AS rest,
+                     regexp_replace(regexp_replace(regexp_replace(
+                         lower(prefix),
+                         '^(https?://)www\.', '\1'),
+                         '^(http://[^/:?#]*):80$', '\1'),
+                         '^(https://[^/:?#]*):443$', '\1') AS auth,
+                     lower(regexp_extract(nofrag,
+                       '^[^:/?#]+://(?:[^@/?#]*@)?([^/:?#]*)', 1)) AS host
+                   FROM c2),
+            c4 AS (SELECT doc_id, auth, host,
+                     regexp_replace(regexp_replace(rest, '\?.*$', ''),
+                                    '/+$', '') AS path,
+                     CASE WHEN contains(rest, '?')
+                          THEN regexp_replace(rest, '^[^?]*\?', '')
+                          ELSE '' END AS qs
+                   FROM c3),
+            c5 AS (SELECT doc_id, host,
+                     auth || path
+                       || CASE WHEN q = '' THEN '' ELSE '?' || q END AS cu
+                   FROM (SELECT *, COALESCE(array_to_string(list_sort(
+                           list_filter(string_split(qs, '&'),
+                           p -> p <> '' AND NOT regexp_matches(p,
+                             '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$')
+                           )), '&'), '') AS q
+                         FROM c4)),
+            rdom AS (SELECT doc_id, cu,
+                       CASE WHEN len(ls) >= 3 AND
+                                 array_to_string(ls[-2:], '.') = 'co.uk'
+                            THEN array_to_string(ls[-3:], '.')
+                            WHEN len(ls) >= 2
+                            THEN array_to_string(ls[-2:], '.')
+                            ELSE host END AS rd
+                     FROM (SELECT doc_id, cu, host,
+                                  string_split(host, '.') AS ls FROM c5))
+            SELECT rd, cu, CAST(count(*) AS BIGINT) AS n,
+                   min(doc_id) AS min_id
+            FROM rdom GROUP BY rd, cu ORDER BY rd, cu
         """,
     }

@@ -7,7 +7,8 @@ Import as::
     df.groupBy("g").agg(dsf.approx_percentile_ex("v", 0.95).alias("p95"))
 """
 
-from . import quality_rules, text
+from . import quality_rules, text, urls
+from .urls import canonicalize_url, url_host, url_registered_domain
 from .embeddings import (
     dequantize_int8,
     l2_normalize,
@@ -75,6 +76,10 @@ from .quantiles import (
 
 __all__ = [
     "text",
+    # URL canonicalization (extension; crawl-pipeline normalization)
+    "canonicalize_url",
+    "url_host",
+    "url_registered_domain",
     # reservoir sampling (extension; DataSketches sampling family)
     "approx_sample_accumulate",
     "approx_sample_combine",
