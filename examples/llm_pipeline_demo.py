@@ -76,6 +76,27 @@ def main() -> None:
     n1 = gated.count()
     print(f"[1] after quality+repetition gate: {n1} docs (-{n0 - n1})")
 
+    # 2b. rule-suite audit + domain curation (round 12): the published
+    # Gopher/C4 thresholds per doc, then source-level stats -> drop
+    # rules -> per-source cap (the C4/RefinedWeb stage)
+    from datasketches_spark_spark.functions.quality_rules import (
+        gopher_flags, gopher_struct)
+    gs = gated.withColumn("_g", gopher_struct(F.col("text")))
+    gf = gopher_flags(F.col("_g"))
+    n_pass = gs.where(gf["passes"]).count()
+    print(f"[1b] Gopher/C4 rule suite: {n_pass}/{n1} docs pass all "
+          f"8 published rules (audit only at this corpus size)")
+    from datasketches_spark_spark.operators import (
+        cap_per_domain, domain_drop_list, domain_stats, filter_by_domain)
+    stats = domain_stats(gated, "source", "doc_id", "text")
+    drops = domain_drop_list(stats, max_dup_frac=0.5, min_docs=2)
+    gated = cap_per_domain(
+        filter_by_domain(gated, "source", drops), "source", 1000,
+        [F.col("n_chars").desc(), F.col("doc_id")])
+    n1b = gated.count()
+    print(f"[1c] after domain curation (dup/min-size rules, 1000-doc "
+          f"source cap): {n1b} docs (-{n1 - n1b})")
+
     # 3. exact dedup: keep the first doc of every identical-content group
     w_first = F.min("doc_id").over(Window.partitionBy("fp"))
     exact = (gated.withColumn("fp", doc_fingerprint("text"))
@@ -91,6 +112,19 @@ def main() -> None:
     deduped = exact.join(drops, "doc_id", "left_anti")
     n3 = deduped.count()
     print(f"[3] after near-dup removal: {n3} docs (-{n2 - n3})")
+
+    # 4a'. incremental recrawl (round 12): simulate the NEXT snapshot
+    # arriving — the whole raw corpus again. The Bloom prefilter answers
+    # "which incoming docs did we already keep?" from one broadcastable
+    # constant-size state (no shuffle of the kept corpus), exactly.
+    from datasketches_spark_spark.operators import bloom_prefilter_match
+    recrawl = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          "text")
+    carried = bloom_prefilter_match(recrawl, deduped, "doc_id",
+                                    text_col="text", fpp=0.001).count()
+    print(f"[3a] recrawl simulation: {carried}/{n0} incoming docs are "
+          f"exact carry-over (Bloom prefilter + exact verify; the "
+          f"near-dup machinery only sees the remainder)")
 
     # 4b. span-level duplication audit (round 11): how much text
     # survives doc-level dedup yet is still verbatim-duplicated across
@@ -113,6 +147,17 @@ def main() -> None:
                  dsf.approx_percentile_ex("ppl", 0.95).alias("p95")).first()
     print(f"[3c] perplexity p50 {pq.p50:.1f} / p95 {pq.p95:.1f} "
           f"(filter threshold would sit between)")
+
+    # 4d. interpolated trigram LM (round 12): the higher-order scorer;
+    # its tails tighten vs the bigram on in-domain text
+    from datasketches_spark_spark.operators import (
+        perplexity_score_trigram, train_trigram_lm)
+    u3, b3, t3 = train_trigram_lm(deduped, "text")
+    p3 = (perplexity_score_trigram(deduped, "doc_id", "text", u3, b3, t3)
+          .agg(dsf.approx_percentile_ex("ppl", 0.5).alias("p50"),
+               dsf.approx_percentile_ex("ppl", 0.95).alias("p95")).first())
+    print(f"[3d] trigram (JM-interpolated) perplexity p50 {p3.p50:.1f} "
+          f"/ p95 {p3.p95:.1f}")
 
     # 5. token-budget mix: largest docs per language, <= 5000 tokens each
     mix = budget_select(deduped, "toks", ["n_chars", "doc_id"], 5000,
