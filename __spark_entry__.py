@@ -1701,6 +1701,64 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", dsf.approx_tuple_estimate("st").alias("e")).select(
             "lang", F.col("e.rows").alias("tup_rows"),
             F.col("e.value_sum").alias("tup_sum"))
+        # --- BloomFilter mixed-origin split (round 12, compat/
+        # bloomwire.py): odd langs' source-membership filters built by
+        # the REAL datasketches-java BloomFilter, even langs by the
+        # engine's approx_membership_accumulate_wire — SAME family-21
+        # geometry (createByAccuracy(4096, 0.01) == the engine design
+        # rule) and seed 7, so the two origins union. Gated booleans
+        # (oracle literals): bm_self = every (lang, source) pair tests
+        # positive against its own lang's filter (no false negatives);
+        # bm_union = the cross-origin union of all five states contains
+        # every source in the corpus; bm_absent = a never-inserted
+        # probe set ('<source>#none') tests all-negative (at ~20 keys
+        # in a 39k-bit filter the FP chance is ~1e-17 per probe).
+        bloom_builder = (spark._jvm.org.apache.datasketches.filters
+                         .bloomfilter.BloomFilterBuilder)
+        pair_rows = (docs.select("lang", "source").distinct()
+                     .collect())  # bounded: |langs| x |sources| ~ 100
+        jbf = {}
+        for r in pair_rows:
+            if r.lang not in java_langs:
+                continue
+            sk = jbf.get(r.lang)
+            if sk is None:
+                jbf[r.lang] = sk = bloom_builder.createByAccuracy(
+                    4096, 0.01, 7)
+            sk.update(r.source)
+        bj_df = spark.createDataFrame(
+            [(lang, bytes(sk.toByteArray()))
+             for lang, sk in sorted(jbf.items())],
+            "lang string, bs binary")
+        be_df = (docs.where(F.col("lang").isin(eng_langs))
+                 .groupBy("lang")
+                 .agg(dsf.approx_membership_accumulate_wire(
+                     "source", expected_items=4096, fpp=0.01,
+                     seed=7).alias("bs")))
+        bstates = bj_df.unionByName(be_df)
+        pairs_df = docs.select("lang", "source").distinct()
+        bm_per_lang = (pairs_df.join(bstates, "lang")
+                       .select("lang",
+                               dsf.approx_membership_contains(
+                                   F.col("bs"), F.col("source"))
+                               .alias("hit"),
+                               dsf.approx_membership_contains(
+                                   F.col("bs"),
+                                   F.concat(F.col("source"),
+                                            F.lit("#none")))
+                               .alias("fp"))
+                       .groupBy("lang")
+                       .agg(F.min(F.col("hit").cast("int")).cast("long")
+                            .alias("bm_self"),
+                            F.max(F.col("fp").cast("int")).cast("long")
+                            .alias("bm_absent")))
+        bm_union = (pairs_df.crossJoin(F.broadcast(
+                        bstates.agg(dsf.approx_membership_combine("bs")
+                                    .alias("bu"))))
+                    .select(dsf.approx_membership_contains(
+                        F.col("bu"), F.col("source")).alias("hit"))
+                    .agg(F.min(F.col("hit").cast("int")).cast("long")
+                         .alias("bm_union")))
         glob = (states_df
                 .agg(dsf.approx_tuple_combine("st").alias("u"))
                 .select(dsf.approx_tuple_estimate("u").alias("e"))
@@ -1732,7 +1790,9 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) g
             ORDER BY q.lang
         """)
-        return (base.join(per_lang, "lang").crossJoin(F.broadcast(glob))
+        return (base.join(per_lang, "lang").join(bm_per_lang, "lang")
+                .crossJoin(F.broadcast(glob))
+                .crossJoin(F.broadcast(bm_union))
                 .orderBy("lang"))
     finally:
         for key, prev in ((dconf.QUANTILE_IMPL_KEY, prev_impl),
@@ -3462,7 +3522,13 @@ def oracle_sql() -> dict[str, str]:
                    any_value(t.s) AS tup_sum,
                    any_value(g.n) AS tup_ndv_all,
                    any_value(g.r) AS tup_rows_all,
-                   any_value(g.s) AS tup_sum_all
+                   any_value(g.s) AS tup_sum_all,
+                   -- BloomFilter mixed-origin guarantees: members all
+                   -- positive, never-inserted probes all negative,
+                   -- cross-origin union contains every source
+                   CAST(1 AS BIGINT) AS bm_self,
+                   CAST(0 AS BIGINT) AS bm_absent,
+                   CAST(1 AS BIGINT) AS bm_union
             FROM documents d
             JOIN t ON t.lang = d.lang CROSS JOIN g
             GROUP BY d.lang ORDER BY d.lang

@@ -65,6 +65,7 @@ _FAMILY_KLL = 15
 _FAMILY_CPC = 16
 _FAMILY_REQ = 17
 _FAMILY_AOD_TUPLE = 9   # Tuple / ArrayOfDoubles (compat/aod.py)
+_FAMILY_BLOOMFILTER = 21  # filters/BloomFilter (compat/bloomwire.py)
 
 _HLL_GUIDANCE = (
     "DataSketches HLL states need no conversion: Spark's native "
@@ -154,7 +155,7 @@ def is_datasketches(data: bytes) -> bool:
         return _family_of(bytes(data)) in (
             _FAMILY_THETA_COMPACT, _FAMILY_HLL, _FAMILY_QUANTILES,
             _FAMILY_FREQ, _FAMILY_KLL, _FAMILY_CPC, _FAMILY_REQ,
-            _FAMILY_AOD_TUPLE)
+            _FAMILY_AOD_TUPLE, _FAMILY_BLOOMFILTER)
     except ValueError:
         return False
 
@@ -430,6 +431,9 @@ def to_engine_sketch(data: bytes, item_type: str = "auto"):
     if fam == _FAMILY_AOD_TUPLE:
         from .aod import AodWireSketch
         return AodWireSketch.parse(data)
+    if fam == _FAMILY_BLOOMFILTER:
+        from .bloomwire import DsBloomFilter
+        return DsBloomFilter.deserialize(data)
     if fam == _FAMILY_KLL:
         (k,) = struct.unpack_from("<H", data, 4)
         return _sample_to_levels(

@@ -194,6 +194,17 @@ FUNCTION_DOCS: dict[str, tuple[str, str]] = {
         "partials merge bit-exactly).",
         "> SELECT approx_membership_contains(_FUNC_(k), 'a') FROM "
         "VALUES ('a'), ('b') AS tab(k);\n   true"),
+    "approx_membership_accumulate_wire": (
+        "_FUNC_(key) - Aggregates key values into a GENUINE Apache "
+        "DataSketches BloomFilter wire image (family 21; byte-identical "
+        "to datasketches-java's toByteArray for the same stream; "
+        "geometry from conf membership.expectedItems/.fpp, seed 0). "
+        "_wire_long hashes integral keys as 8-byte longs. All "
+        "approx_membership_* read surfaces accept wire states; they "
+        "cannot union with engine-native states (different hash "
+        "spaces).",
+        "> SELECT approx_membership_contains(_FUNC_(k), 'a') FROM "
+        "VALUES ('a'), ('b') AS tab(k);\n   true"),
     "approx_membership_combine": (
         "_FUNC_(state) - Merges Bloom membership states (bitwise OR — "
         "a union homomorphism; geometry mismatch raises).",

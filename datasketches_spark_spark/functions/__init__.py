@@ -46,6 +46,7 @@ from .sampling import (
 )
 from .membership import (
     approx_membership_accumulate,
+    approx_membership_accumulate_wire,
     approx_membership_combine,
     approx_membership_contains,
     approx_membership_estimate,
@@ -88,6 +89,7 @@ __all__ = [
     "approx_sample_weighted_accumulate",
     # Bloom membership (extension; DataSketches BloomFilter analog)
     "approx_membership_accumulate",
+    "approx_membership_accumulate_wire",
     "approx_membership_combine",
     "approx_membership_contains",
     "approx_membership_estimate",

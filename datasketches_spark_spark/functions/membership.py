@@ -87,3 +87,25 @@ def approx_membership_fpp(state) -> Column:
     — the membership family's read-time error surface (analogue of
     ``approx_count_distinct_bounds``)."""
     return bloom_fpp_udf()(_col(state))
+
+
+def approx_membership_accumulate_wire(col, expected_items: int | None = None,
+                                      fpp: float | None = None,
+                                      seed: int = 0,
+                                      item_type: str = "string") -> Column:
+    """Aggregate raw key values into a GENUINE Apache DataSketches
+    BloomFilter wire image (family 21, ``compat/bloomwire.py``) —
+    byte-identical to ``BloomFilter.toByteArray()`` of a
+    datasketches-java instance fed the same stream, so the state crosses
+    the system boundary in both directions. All membership read surfaces
+    (``_contains`` / ``_estimate`` / ``_fpp`` / ``_combine``) accept
+    wire states transparently; engine-native and wire states cannot
+    union with each other (different hash spaces — the combine raises
+    with migration guidance). ``item_type='long'`` hashes integral keys
+    as 8-byte longs (the Java ``update(long)`` overload); the default
+    hashes UTF-8 strings."""
+    from .udfs import bloomwire_acc_udf
+    return bloomwire_acc_udf(
+        expected_items or conf.membership_expected(),
+        fpp if fpp is not None else conf.membership_fpp(),
+        seed, item_type)(_col(col))

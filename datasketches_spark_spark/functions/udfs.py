@@ -859,6 +859,30 @@ def tuple_segment_sum_udf():
 
 # --------------------------------------------------------------------- bloom
 
+
+def _bloom_state(blob):
+    """Deserialize either membership dialect: the engine family or a
+    DataSketches family-21 wire image."""
+    from ..compat.bloomwire import DsBloomFilter
+    from ..sketches import BloomFilter
+    sk = deserialize_any(bytes(blob))
+    if not isinstance(sk, (BloomFilter, DsBloomFilter)):
+        raise ValueError("not a bloom state")
+    return sk
+
+
+def _bloom_probe(sk, vals: pd.Series) -> np.ndarray:
+    """Membership test dispatch: engine filters probe the shared
+    MurmurHash3 space; wire filters probe XxHash64 (longs as 8-byte LE,
+    everything else as UTF-8 strings — the datasketches-java rule)."""
+    from ..sketches import BloomFilter
+    if isinstance(sk, BloomFilter):
+        return sk.contains_hashes(hash_series(vals))
+    if pd.api.types.is_integer_dtype(vals):
+        return sk.contains_longs(vals.to_numpy(dtype=np.int64))
+    return sk.contains_strings(vals.astype(str).tolist())
+
+
 def bloom_acc_udf(expected_items: int, fpp: float):
     """GROUPED_AGG: raw values -> serialized Bloom membership state.
     Geometry is fixed by the (expected_items, fpp) design so every
@@ -895,9 +919,7 @@ def bloom_contains_udf():
             try:
                 sk = cache.get(blob)
                 if sk is None:
-                    sk = deserialize_any(blob)
-                    if not isinstance(sk, BloomFilter):
-                        raise ValueError("not a bloom state")
+                    sk = _bloom_state(blob)
                     cache[blob] = sk
             except Exception as ex:
                 log.warning(
@@ -907,7 +929,7 @@ def bloom_contains_udf():
             ok = vals.notna().to_numpy()
             res = np.full(len(vals), None, dtype=object)
             if ok.any():
-                hits = sk.contains_hashes(hash_series(vals[ok.tolist()]))
+                hits = _bloom_probe(sk, vals[ok.tolist()])
                 res[ok] = [bool(b) for b in hits]
             out[idx] = res
         return pd.Series(out, dtype=object)
@@ -940,9 +962,7 @@ def bloom_estimate_udf():
                 out.append(None)
                 continue
             try:
-                sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, BloomFilter):
-                    raise ValueError("not a bloom state")
+                sk = _bloom_state(blob)
                 n = sk.estimate()
                 out.append(None if n < 0 else n)
             except Exception as ex:
@@ -968,9 +988,7 @@ def bloom_fpp_udf():
                 out.append(None)
                 continue
             try:
-                sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, BloomFilter):
-                    raise ValueError("not a bloom state")
+                sk = _bloom_state(blob)
                 out.append(sk.current_fpp())
             except Exception as ex:
                 log.warning(
@@ -997,14 +1015,12 @@ def bloom_contains_broadcast_udf(bc):
     def contains(v: pd.Series) -> pd.Series:
         sk = holder.get(0)
         if sk is None:
-            sk = deserialize_any(bytes(bc.value))
-            if not isinstance(sk, BloomFilter):
-                raise ValueError("not a bloom state")
+            sk = _bloom_state(bc.value)
             holder[0] = sk
         out = np.full(len(v), None, dtype=object)
         ok = v.notna().to_numpy()
         if ok.any():
-            hits = sk.contains_hashes(hash_series(v[ok.tolist()]))
+            hits = _bloom_probe(sk, v[ok.tolist()])
             out[ok] = [bool(b) for b in hits]
         return pd.Series(out, dtype=object)
 
@@ -1032,15 +1048,13 @@ def bloom_contains_keyed_udf(bc):
                 continue
             sk = cache.get(kval)
             if sk is None:
-                sk = deserialize_any(bytes(blob))
-                if not isinstance(sk, BloomFilter):
-                    raise ValueError("not a bloom state")
+                sk = _bloom_state(blob)
                 cache[kval] = sk
             vals = v.iloc[idx]
             ok = vals.notna().to_numpy()
             res = np.full(len(vals), None, dtype=object)
             if ok.any():
-                hits = sk.contains_hashes(hash_series(vals[ok.tolist()]))
+                hits = _bloom_probe(sk, vals[ok.tolist()])
                 res[ok] = [bool(b) for b in hits]
             out[idx] = res
         return pd.Series(out, dtype=object)
@@ -1056,3 +1070,26 @@ def _bloom_probe_groups(key: pd.Series):
         groups.setdefault(kv, []).append(i)
     for kv, idx in groups.items():
         yield kv, np.asarray(idx, dtype=np.int64)
+
+
+def bloomwire_acc_udf(expected_items: int, fpp: float, seed: int,
+                      item_type: str = ITEM_STR):
+    """GROUPED_AGG: raw values -> a GENUINE DataSketches BloomFilter
+    wire image (family 21; byte-identical to datasketches-java for the
+    same update stream). Integral columns hash as longs, everything
+    else as UTF-8 strings — the Java update() overload rule."""
+    from ..compat.bloomwire import DsBloomFilter
+
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series) -> bytes:
+        v = v.dropna()
+        if v.empty:
+            return None
+        sk = DsBloomFilter.design(expected_items, fpp, seed)
+        if item_type == ITEM_LONG or pd.api.types.is_integer_dtype(v):
+            sk.update_longs(v.to_numpy(dtype=np.int64))
+        else:
+            sk.update_strings(v.astype(str).tolist())
+        return sk.serialize()
+
+    return acc

@@ -148,6 +148,45 @@ def _hll_family(lgk: int | None) -> _Family:
     return _Family(lambda: HllSketch(lgk=lgk), _hashed_prep, _hashed_update)
 
 
+def _bloomwire_family(expected: int | None, fpp: float | None,
+                      seed: int, item_type: str) -> _Family:
+    """DataSketches BloomFilter WIRE family (compat/bloomwire.py):
+    partials are genuine family-21 images; integral columns hash as
+    longs, strings as UTF-8 — the Java update() overload rule."""
+    from ..compat.bloomwire import DsBloomFilter
+    expected = expected or conf.membership_expected()
+    fpp = fpp if fpp is not None else conf.membership_fpp()
+
+    if item_type == ITEM_LONG:
+        def prep(values: pd.Series):
+            arr = pd.to_numeric(values, errors="coerce")
+            mask = arr.notna().to_numpy()
+            return arr.fillna(0).to_numpy(np.int64), mask
+
+        def update(sk, ctx, idx):
+            vals, mask = ctx
+            if idx is not None:
+                vals, mask = vals[idx], mask[idx]
+            items = vals[mask]
+            if items.size:
+                sk.update_longs(items)
+    else:
+        def prep(values: pd.Series):
+            mask = values.notna().to_numpy()
+            return values.astype(str).to_numpy(object), mask
+
+        def update(sk, ctx, idx):
+            vals, mask = ctx
+            if idx is not None:
+                vals, mask = vals[idx], mask[idx]
+            items = vals[mask]
+            if items.size:
+                sk.update_strings(items.tolist())
+
+    return _Family(lambda: DsBloomFilter.design(expected, fpp, seed),
+                   prep, update)
+
+
 def _bloom_family(expected: int | None, fpp: float | None) -> _Family:
     """Bloom membership family — same hashed kernel as theta/hll (the
     shared 64-bit hash space); geometry fixed by the design point so
@@ -420,6 +459,11 @@ def _family(name: str, **params) -> _Family:
     if name in ("bloom", "membership"):
         return _bloom_family(params.get("expected_items"),
                              params.get("fpp"))
+    if name == "bloomwire":
+        return _bloomwire_family(params.get("expected_items"),
+                                 params.get("fpp"),
+                                 params.get("seed", 0),
+                                 params.get("item_type", ITEM_STR))
     raise ValueError(f"unknown sketch family {name!r}")
 
 

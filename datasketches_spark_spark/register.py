@@ -374,6 +374,15 @@ def install(spark: SparkSession) -> None:
         "approx_membership_accumulate",
         bloom_acc_udf(conf.membership_expected(spark),
                       conf.membership_fpp(spark)))
+    from .functions.udfs import bloomwire_acc_udf
+    spark.udf.register(
+        "approx_membership_accumulate_wire",
+        bloomwire_acc_udf(conf.membership_expected(spark),
+                          conf.membership_fpp(spark), 0))
+    spark.udf.register(
+        "approx_membership_accumulate_wire_long",
+        bloomwire_acc_udf(conf.membership_expected(spark),
+                          conf.membership_fpp(spark), 0, ITEM_LONG))
     spark.udf.register("approx_membership_combine", combine_udf())
     spark.udf.register("approx_membership_contains", bloom_contains_udf())
     spark.udf.register("approx_membership_estimate", bloom_estimate_udf())

@@ -348,6 +348,9 @@ _ACC_FAMILY = {
     "approx_tuple_accumulate_wire_long": ("aodwire", {"item_type": "long"}),
     # Bloom membership (round 12): geometry from conf at plan time
     "approx_membership_accumulate": ("bloom", {}),
+    "approx_membership_accumulate_wire": ("bloomwire", {}),
+    "approx_membership_accumulate_wire_long":
+        ("bloomwire", {"item_type": "long"}),
 }
 
 # *_combine functions: merge pre-serialized states (family-agnostic wire).
@@ -541,7 +544,7 @@ def _resolve_acc_family(fname: str, spark: SparkSession):
         params = dict(params, k=conf.sample_reservoir_k(spark))
     if family in ("tuple", "aodwire"):
         params = dict(params, k=conf.tuple_k(spark))
-    if family == "bloom":
+    if family in ("bloom", "bloomwire"):
         params = dict(params, expected_items=conf.membership_expected(spark),
                       fpp=conf.membership_fpp(spark))
     return family, params

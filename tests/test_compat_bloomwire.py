@@ -1,0 +1,193 @@
+"""DataSketches BloomFilter wire interop (compat/bloomwire.py) —
+validated LIVE against the datasketches-java bundled with PySpark
+(the q41/AoD validation pattern)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import datasketches_spark_spark as dss
+from datasketches_spark_spark import functions as dsf
+from datasketches_spark_spark.compat.bloomwire import (
+    DsBloomFilter,
+    is_dsbloom,
+    xxhash64_bytes,
+    xxhash64_longs,
+)
+
+
+@pytest.fixture(scope="module")
+def jbuilder(spark):
+    dss.install(spark)
+    return spark._jvm.org.apache.datasketches.filters.bloomfilter \
+        .BloomFilterBuilder
+
+
+def _jheapify(spark, data: bytes):
+    jvm = spark._jvm
+    return jvm.org.apache.datasketches.filters.bloomfilter.BloomFilter \
+        .heapify(jvm.org.apache.datasketches.memory.Memory.wrap(
+            bytearray(data)))
+
+
+class TestXxHash:
+    def test_longs_match_spark_jvm(self, spark):
+        vals = np.array([0, 1, -7, 12345, 2**62, -2**62], dtype=np.int64)
+        df = spark.createDataFrame([(int(v),) for v in vals], ["v"])
+        jvm = {r.v: r.h & ((1 << 64) - 1) for r in
+               df.select("v", F.xxhash64("v").alias("h")).collect()}
+        mine = xxhash64_longs(vals, 42)
+        for v, h in zip(vals, mine):
+            assert jvm[int(v)] == int(h)
+
+    def test_bytes_path_consistent_with_longs(self):
+        import struct
+        for v in (0, 99, 2**40):
+            assert xxhash64_bytes(struct.pack("<q", v), 7) == \
+                int(xxhash64_longs(np.array([v], np.int64), 7)[0])
+
+
+def _same_modulo_count(jbytes: bytes, ebytes: bytes) -> bool:
+    """Java dumps numBitsSet = -1 after raw updates (lazy); the engine
+    always writes the computed count (canonical, layout-proof). Bit
+    arrays and every other header byte must be identical."""
+    return (len(jbytes) == len(ebytes)
+            and jbytes[:24] == ebytes[:24]
+            and jbytes[32:] == ebytes[32:]
+            and jbytes[24:32] == b"\xff" * 8)
+
+
+class TestWireByteIdentity:
+    def test_longs_stream_identical_modulo_lazy_count(self, spark,
+                                                      jbuilder):
+        jf = jbuilder.createBySize(2048, 6, 31337)
+        mine = DsBloomFilter(2048, 6, 31337)
+        vals = list(range(0, 500, 7))
+        for v in vals:
+            jf.update(v)
+        mine.update_longs(np.array(vals, dtype=np.int64))
+        assert _same_modulo_count(bytes(jf.toByteArray()),
+                                  mine.serialize())
+        # engine count field is the true popcount
+        import struct
+        (cnt,) = struct.unpack_from("<q", mine.serialize(), 24)
+        assert cnt == mine.bits_set()
+
+    def test_string_stream_identical_modulo_lazy_count(self, spark,
+                                                       jbuilder):
+        jf = jbuilder.createBySize(512, 4, 7)
+        mine = DsBloomFilter(512, 4, 7)
+        words = [f"tok{i}" for i in range(60)] + ["héllo wörld", "x" * 100]
+        for w in words:
+            jf.update(w)
+        mine.update_strings(words)
+        assert _same_modulo_count(bytes(jf.toByteArray()),
+                                  mine.serialize())
+
+    def test_empty_byte_identical_and_java_heapifies(self, spark, jbuilder):
+        je = jbuilder.createBySize(128, 3, 0)
+        ee = DsBloomFilter(128, 3, 0)
+        assert bytes(je.toByteArray()) == ee.serialize()
+        assert _jheapify(spark, ee.serialize()).isEmpty()
+
+    def test_union_byte_identical(self, spark, jbuilder):
+        ja = jbuilder.createBySize(1024, 5, 99)
+        jb = jbuilder.createBySize(1024, 5, 99)
+        for v in range(100):
+            ja.update(v)
+        for v in range(100, 200):
+            jb.update(v)
+        ea = DsBloomFilter.deserialize(bytes(ja.toByteArray()))
+        eb = DsBloomFilter.deserialize(bytes(jb.toByteArray()))
+        ja.union(jb)  # java recounts on union -> full byte identity
+        assert bytes(ja.toByteArray()) == ea.merge(eb).serialize()
+
+
+class TestCrossReads:
+    def test_java_reads_engine_members(self, spark, jbuilder):
+        mine = DsBloomFilter.design(1000, 0.01, seed=5)
+        mine.update_longs(np.arange(1000, dtype=np.int64))
+        heap = _jheapify(spark, mine.serialize())
+        assert all(heap.query(v) for v in range(0, 1000, 13))
+        fp = sum(heap.query(v) for v in range(10**6, 10**6 + 1000))
+        assert fp <= 30  # design 1%
+
+    def test_engine_reads_java_members(self, spark, jbuilder):
+        jf = jbuilder.createByAccuracy(1000, 0.01, 11)
+        for v in range(500):
+            jf.update(v)
+        back = DsBloomFilter.deserialize(bytes(jf.toByteArray()))
+        assert back.contains_longs(
+            np.arange(500, dtype=np.int64)).all()
+        assert is_dsbloom(bytes(jf.toByteArray()))
+        assert abs(back.estimate() - 500) <= 25
+
+
+class TestSparkSurface:
+    def test_wire_accumulate_reads_through_membership_fns(self, spark,
+                                                          tables):
+        ev = tables["events"]
+        st = ev.groupBy("event_type").agg(
+            dsf.approx_membership_accumulate_wire(
+                "user_id", expected_items=4096, fpp=0.01,
+                item_type="long").alias("ws"))
+        probe = st.select(
+            "event_type",
+            dsf.approx_membership_contains(
+                F.col("ws"), F.col("event_type")).alias("s_miss"),
+            dsf.approx_membership_estimate("ws").alias("est"),
+            dsf.approx_membership_fpp("ws").alias("fpp"))
+        exact = {r.event_type: r.n for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")).collect()}
+        for r in probe.collect():
+            assert r.s_miss is False  # event_type strings never fed
+            assert abs(r.est - exact[r.event_type]) <= \
+                max(1, 0.1 * exact[r.event_type])
+            assert r.fpp < 0.01
+
+    def test_java_validates_spark_built_state(self, spark, tables, jbuilder):
+        ev = tables["events"]
+        (row,) = (ev.agg(dsf.approx_membership_accumulate_wire(
+            "user_id", expected_items=4096, item_type="long")
+            .alias("ws")).collect())
+        heap = _jheapify(spark, bytes(row.ws))
+        uids = [r.user_id for r in
+                ev.select("user_id").distinct().collect()]
+        assert all(heap.query(u) for u in uids)
+
+    def test_partition_layout_invariant(self, spark):
+        from datasketches_spark_spark.operators import sketch_accumulate
+        df = spark.range(0, 4000).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+        one = sketch_accumulate(df.coalesce(1), ["g"], "v",
+                                family="bloomwire", expected_items=2000,
+                                fpp=0.01, item_type="long")
+        many = sketch_accumulate(df.repartition(64), ["g"], "v",
+                                 family="bloomwire", expected_items=2000,
+                                 fpp=0.01, item_type="long")
+        assert {r.g: bytes(r.state) for r in one.collect()} == \
+            {r.g: bytes(r.state) for r in many.collect()}
+
+    def test_cross_family_merge_raises(self, spark):
+        from datasketches_spark_spark.sketches import BloomFilter
+        from datasketches_spark_spark.sketches.theta import hash_longs
+        wire = DsBloomFilter(128, 3, 0)
+        native = BloomFilter(128, 3)
+        native.update_hashes(hash_longs(np.arange(5, dtype=np.int64)))
+        with pytest.raises(ValueError, match="hash spaces"):
+            wire.merge(native)
+
+    def test_sql_two_phase_wire(self, spark, tables):
+        import warnings
+        from datasketches_spark_spark.sql import SketchSqlFallbackWarning
+        tables["events"].createOrReplaceTempView("events")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", SketchSqlFallbackWarning)
+            df = dss.sql(spark, """
+                SELECT approx_membership_estimate(
+                         approx_membership_accumulate_wire_long(user_id))
+                         AS est
+                FROM events""")
+            (r,) = df.collect()
+        exact = tables["events"].select("user_id").distinct().count()
+        assert abs(r.est - exact) <= max(1, 0.1 * exact)
