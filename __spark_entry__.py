@@ -2782,6 +2782,23 @@ def _demo_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rd", "cu"))
 
 
+def _demo_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (operators/ordering.py; round 12):
+    epoch-1 training order of the corpus under seed epoch_seed(42, 1) —
+    a reproducible pseudo-random permutation computed WITHOUT a global
+    window (256 hash buckets + driver-side O(buckets) offsets +
+    partitioned rank). The oracle replays the entire permutation with
+    one row_number() over the portable md5 key, so a single misplaced
+    position hash-fails. Output restricted to doc_id < 300 AFTER the
+    full-corpus position assignment."""
+    from datasketches_spark_spark.operators import (epoch_seed,
+                                                    global_shuffle)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = global_shuffle(docs, "doc_id", seed=epoch_seed(42, 1))
+    return (out.where(F.col("doc_id") < 300)
+            .select("doc_id", "shuffle_pos").orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2808,6 +2825,7 @@ def demo_queries() -> dict[str, str]:
         "demo_domain_curation": _demo_domain_curation,
         "demo_trigram_ppl": _demo_trigram_ppl,
         "demo_url_dedup_groups": _demo_url_dedup_groups,
+        "demo_epoch_order": _demo_epoch_order,
     }
 
 
@@ -4790,5 +4808,15 @@ def demo_oracle_sql() -> dict[str, str]:
             SELECT rd, cu, CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id
             FROM rdom GROUP BY rd, cu ORDER BY rd, cu
+        """,
+        # epoch_seed(42, 1) = 42 * 1000003 + 1 = 42000127
+        "demo_epoch_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42000127'),
+                              doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+            QUALIFY doc_id < 300
+            ORDER BY doc_id
         """,
     }
