@@ -73,12 +73,35 @@ def op_nb_classifier(spark, d):
                                   wts, model).count()
 
 
+def op_global_shuffle(spark, d):
+    # sum(shuffle_pos) forces every position through the plan — a bare
+    # count() lets Catalyst prune the window/join entirely
+    from pyspark.sql import functions as F
+    from datasketches_spark_spark.operators import global_shuffle
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    out = global_shuffle(docs.select("doc_id"), "doc_id", seed=1)
+    n = out.count()
+    assert out.agg(F.sum("shuffle_pos")).collect()[0][0] == \
+        n * (n - 1) // 2
+    return n
+
+
+def op_bloomwire_agg(spark, d):
+    from datasketches_spark_spark.operators import sketch_accumulate
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    return sketch_accumulate(docs, ["lang"], "doc_id",
+                             family="bloomwire", expected_items=100_000,
+                             fpp=0.01, item_type="long").count()
+
+
 def main():
     for op, fn in [("bloom_prefilter_match", op_bloom_prefilter),
                    ("domain_curation", op_domain_curation),
                    ("trigram_lm_score", op_trigram),
                    ("gopher_filter", op_gopher),
-                   ("nb_classifier", op_nb_classifier)]:
+                   ("nb_classifier", op_nb_classifier),
+                   ("global_shuffle", op_global_shuffle),
+                   ("bloomwire_grouped_agg", op_bloomwire_agg)]:
         for scale in ("x1", "x10"):
             run_op(op, fn, os.path.join(HERE, ".scaleproof", scale))
 

@@ -194,6 +194,16 @@ def main() -> None:
           f"{summary.seg.keys} sources contribute >= 2 docs "
           f"({summary.seg.value_sum:.0f} tokens)")
 
+    # 6b. epoch-1 training order (round 12): deterministic global
+    # shuffle — reproducible across runs/engines, no global sort
+    from datasketches_spark_spark.operators import (epoch_seed,
+                                                    global_shuffle)
+    ordered = global_shuffle(mix, "doc_id", seed=epoch_seed(42, 1))
+    head = (ordered.orderBy("shuffle_pos").limit(3)
+            .select("doc_id", "shuffle_pos").collect())
+    print("[5b] epoch-1 order head:",
+          [(r.doc_id, r.shuffle_pos) for r in head])
+
     # 7. pack the mix into fixed 512-token training sequences (round 9:
     # distributed concat-and-chunk plan — each doc knows its sequence,
     # span and offset; the tokenize-and-write stage can now run
