@@ -960,6 +960,15 @@ def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
     the corpus. ``expected_items=None`` sizes the filter from a corpus
     ``count()`` (one extra cheap job; pass the expected NDV to skip it).
 
+    Corpus scan budget: the corpus is read twice (state build + verify
+    build side) — three times if ``expected_items`` is left to the
+    count. A standing deployment persists the corpus FINGERPRINT table
+    once and passes it as ``fingerprint_col`` with an explicit
+    ``expected_items``, making every later batch one corpus-fingerprint
+    read + one incoming scan. Catalyst additionally pushes the Bloom
+    predicate onto the verify build side (constraint propagation — see
+    docs/PLANS.md), so the broadcast is candidate-bounded either way.
+
     Contrast with ``minhash_match`` (NEAR-duplicate incremental match):
     this operator is the EXACT-fingerprint fast path — at a typical
     snapshot-over-snapshot crawl where >90% of content is byte-identical

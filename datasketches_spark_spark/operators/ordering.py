@@ -60,7 +60,7 @@ def global_shuffle(df: DataFrame, id_col: str,
         offsets.append((bk, acc))
         acc += n
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, ["_bk", "_off"])
+    off_df = spark.createDataFrame(offsets, "_bk string, _off long")
     w = Window.partitionBy("_bk").orderBy(F.col("_sk"), F.col(id_col))
     return (base.join(F.broadcast(off_df), "_bk")
             .withColumn(pos_col,

@@ -61,3 +61,7 @@ class TestGlobalShuffle:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert "rangepartitioning" not in plan.lower()
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "doc_id long")
+        assert global_shuffle(df, "doc_id").count() == 0
