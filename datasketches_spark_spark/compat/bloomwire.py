@@ -172,10 +172,19 @@ class DsBloomFilter:
         if not 0.0 < fpp < 1.0:
             raise ValueError("fpp must be in (0, 1)")
         ln2 = math.log(2.0)
-        m = max(64, int(math.ceil(-expected_items * math.log(fpp)
-                                  / (ln2 * ln2))))
-        h = max(1, int(round((m / expected_items) * ln2)))
-        return cls(m_bits=m, n_hashes=h, seed=seed)
+        raw_m = int(math.ceil(-expected_items * math.log(fpp)
+                              / (ln2 * ln2)))
+        # Java's BloomFilterBuilder.suggestNumHashes CEILs (verified
+        # live against datasketches-java: (1000, 0.1) -> 4, (100, 0.5)
+        # -> 2); round() would under-pick at those points and the
+        # mixed-origin union would raise on geometry mismatch. The
+        # engine-native BloomFilter.design keeps round() — it never
+        # needs Java parity. numHashes derives from the RAW suggested
+        # bit count, BEFORE any 64-bit floor/rounding, matching
+        # createByAccuracy's call order (verified live: (1, 0.5) ->
+        # java k=2 from raw_m=2, not k from the 64-bit minimum).
+        h = max(1, int(math.ceil((raw_m / expected_items) * ln2)))
+        return cls(m_bits=max(64, raw_m), n_hashes=h, seed=seed)
 
     # ------------------------------------------------------------ update
 

@@ -68,12 +68,35 @@ def approx_membership_combine(state) -> Column:
     return combine_udf()(_col(state))
 
 
-def approx_membership_contains(state, col) -> Column:
+def approx_membership_contains(state, col,
+                               item_type: str | None = None) -> Column:
     """Per-row membership test of ``col`` against a Bloom state column
     (usually one literal/broadcast state). True for every accumulated
     key — NO false negatives; never-seen keys test positive with
-    probability ``approx_membership_fpp(state)``."""
-    return bloom_contains_udf()(_col(state), _col(col))
+    probability ``approx_membership_fpp(state)``.
+
+    ``item_type`` ('long' | 'string') pins the hash path for WIRE
+    (DataSketches family-21) states at plan time — pass the same value
+    the state was accumulated with. Left as None, the probe dispatches
+    on the Arrow batch dtype, which treats integral-valued float
+    batches as longs (a nullable bigint column arrives as float64
+    whenever a batch holds a null). Engine-native states ignore it —
+    they probe one shared hash space for every input type.
+    ``item_type='long'`` ships the probe keys as cast-to-string so
+    values above 2^53 survive Arrow exactly."""
+    probe = _col(col)
+    it = None
+    if item_type in ("long", "int"):
+        from ..sketches import ITEM_LONG
+        it = ITEM_LONG
+        probe = probe.cast("long").cast("string")
+    elif item_type in ("str", "string"):
+        from ..sketches import ITEM_STR
+        it = ITEM_STR
+        probe = probe.cast("string")
+    elif item_type is not None:
+        raise ValueError(f"unknown item_type: {item_type!r}")
+    return bloom_contains_udf(it)(_col(state), probe)
 
 
 def approx_membership_estimate(state) -> Column:
@@ -103,9 +126,22 @@ def approx_membership_accumulate_wire(col, expected_items: int | None = None,
     union with each other (different hash spaces — the combine raises
     with migration guidance). ``item_type='long'`` hashes integral keys
     as 8-byte longs (the Java ``update(long)`` overload); the default
-    hashes UTF-8 strings."""
+    hashes UTF-8 strings. The item type binds at PLAN time and the key
+    column is normalized JVM-side (long keys ship as cast-to-string and
+    re-parse exactly in the worker), so the state bytes are independent
+    of which Arrow batch a null lands in and exact above 2^53."""
+    from ..sketches import ITEM_LONG, ITEM_STR
     from .udfs import bloomwire_acc_udf
+    keys = _col(col)
+    if item_type in ("long", "int", ITEM_LONG):
+        it = ITEM_LONG
+        keys = keys.cast("long").cast("string")
+    elif item_type in ("str", "string", ITEM_STR):
+        it = ITEM_STR
+        keys = keys.cast("string")
+    else:
+        raise ValueError(f"unknown item_type: {item_type!r}")
     return bloomwire_acc_udf(
         expected_items or conf.membership_expected(),
         fpp if fpp is not None else conf.membership_fpp(),
-        seed, item_type)(_col(col))
+        seed, it)(keys)

@@ -871,16 +871,68 @@ def _bloom_state(blob):
     return sk
 
 
-def _bloom_probe(sk, vals: pd.Series) -> np.ndarray:
+def _wire_longs(vals: pd.Series) -> np.ndarray:
+    """Null-free series -> int64 keys for a wire-filter long path.
+
+    Integer dtypes convert directly (lossless, incl. pandas ``Int64``).
+    Object dtypes (decimal strings / python ints) parse per element —
+    exact at any magnitude. Float dtypes convert via round-to-int64:
+    a nullable bigint column crosses Arrow as float64 whenever the
+    batch holds a null, so this is usually an int column in disguise
+    (keys above 2^53 were already degraded by that Arrow conversion —
+    plan-time ``item_type='long'`` in the membership API routes around
+    it by shipping the keys as cast-to-string)."""
+    if pd.api.types.is_integer_dtype(vals):
+        return vals.to_numpy(dtype=np.int64)
+    if pd.api.types.is_float_dtype(vals):
+        return np.rint(vals.to_numpy(dtype=np.float64)).astype(np.int64)
+    return np.fromiter((int(x) for x in vals), dtype=np.int64,
+                       count=len(vals))
+
+
+def _wire_strings(vals: pd.Series) -> list:
+    """Null-free series -> string keys for a wire-filter string path.
+    Integral-valued float batches render through int64 first so a
+    nullable bigint column yields '17', not '17.0' — the same logical
+    value must hash identically whether or not its Arrow batch happened
+    to contain a null."""
+    if pd.api.types.is_float_dtype(vals):
+        arr = vals.to_numpy(dtype=np.float64)
+        if arr.size and np.all(np.isfinite(arr)) \
+                and np.all(arr == np.floor(arr)):
+            return [str(x) for x in arr.astype(np.int64)]
+    elif pd.api.types.is_integer_dtype(vals):
+        return [str(x) for x in vals.to_numpy(dtype=np.int64)]
+    return vals.astype(str).tolist()
+
+
+def _bloom_probe(sk, vals: pd.Series,
+                 item_type: str | None = None) -> np.ndarray:
     """Membership test dispatch: engine filters probe the shared
     MurmurHash3 space; wire filters probe XxHash64 (longs as 8-byte LE,
-    everything else as UTF-8 strings — the datasketches-java rule)."""
+    everything else as UTF-8 strings — the datasketches-java rule).
+
+    ``item_type`` is the plan-time declaration (``ITEM_LONG`` /
+    ``ITEM_STR``); when absent the wire path falls back to dtype
+    sniffing, treating integral-valued float batches as longs — a
+    nullable bigint probe column arrives from Arrow as float64 whenever
+    the batch holds a null, and hashing those rows as '1.0'-style
+    strings would silently break the family's no-false-negative
+    guarantee against a long-built filter."""
     from ..sketches import BloomFilter
     if isinstance(sk, BloomFilter):
         return sk.contains_hashes(hash_series(vals))
-    if pd.api.types.is_integer_dtype(vals):
-        return sk.contains_longs(vals.to_numpy(dtype=np.int64))
-    return sk.contains_strings(vals.astype(str).tolist())
+    if item_type == ITEM_LONG:
+        return sk.contains_longs(_wire_longs(vals))
+    if item_type is None:
+        if pd.api.types.is_integer_dtype(vals):
+            return sk.contains_longs(_wire_longs(vals))
+        if pd.api.types.is_float_dtype(vals):
+            arr = vals.to_numpy(dtype=np.float64)
+            if arr.size and np.all(np.isfinite(arr)) \
+                    and np.all(arr == np.floor(arr)):
+                return sk.contains_longs(arr.astype(np.int64))
+    return sk.contains_strings(_wire_strings(vals))
 
 
 def bloom_acc_udf(expected_items: int, fpp: float):
@@ -901,11 +953,13 @@ def bloom_acc_udf(expected_items: int, fpp: float):
     return acc
 
 
-def bloom_contains_udf():
+def bloom_contains_udf(item_type: str | None = None):
     """Scalar: (bloom state, value) -> boolean membership test. The
     state column is usually one broadcast literal repeated per row, so
     the deserialized filter is cached per distinct byte payload within
-    the Arrow batch (one decode per batch in the common case)."""
+    the Arrow batch (one decode per batch in the common case).
+    ``item_type`` pins the wire-filter hash path at plan time (see
+    :func:`_bloom_probe`); None keeps the dtype heuristic."""
     from ..sketches import BloomFilter
 
     @pandas_udf(BooleanType())
@@ -929,7 +983,7 @@ def bloom_contains_udf():
             ok = vals.notna().to_numpy()
             res = np.full(len(vals), None, dtype=object)
             if ok.any():
-                hits = _bloom_probe(sk, vals[ok.tolist()])
+                hits = _bloom_probe(sk, vals[ok.tolist()], item_type)
                 res[ok] = [bool(b) for b in hits]
             out[idx] = res
         return pd.Series(out, dtype=object)
@@ -999,14 +1053,15 @@ def bloom_fpp_udf():
     return fpp
 
 
-def bloom_contains_broadcast_udf(bc):
+def bloom_contains_broadcast_udf(bc, item_type: str | None = None):
     """Scalar membership probe against ONE driver-collected state
     shipped as a SparkContext broadcast — the big-probe path. The
     two-argument ``bloom_contains_udf`` carries the state as a COLUMN,
     which Arrow re-serializes per row (an MB-scale state times a
     million-row probe is terabytes of transfer); this variant moves the
     state once per executor and deserializes once per python worker.
-    ``bc`` is ``sc.broadcast(state_bytes)``."""
+    ``bc`` is ``sc.broadcast(state_bytes)``. ``item_type`` pins the
+    wire-filter hash path at plan time (see :func:`_bloom_probe`)."""
     from ..sketches import BloomFilter
 
     holder: dict[int, BloomFilter] = {}
@@ -1020,14 +1075,14 @@ def bloom_contains_broadcast_udf(bc):
         out = np.full(len(v), None, dtype=object)
         ok = v.notna().to_numpy()
         if ok.any():
-            hits = _bloom_probe(sk, v[ok.tolist()])
+            hits = _bloom_probe(sk, v[ok.tolist()], item_type)
             out[ok] = [bool(b) for b in hits]
         return pd.Series(out, dtype=object)
 
     return contains
 
 
-def bloom_contains_keyed_udf(bc):
+def bloom_contains_keyed_udf(bc, item_type: str | None = None):
     """Scalar membership probe against a PER-GROUP state map shipped as
     one broadcast: ``bc`` is ``sc.broadcast({group_key: state_bytes})``
     (group cardinality is dimension-bounded, so the map is small).
@@ -1054,7 +1109,7 @@ def bloom_contains_keyed_udf(bc):
             ok = vals.notna().to_numpy()
             res = np.full(len(vals), None, dtype=object)
             if ok.any():
-                hits = _bloom_probe(sk, vals[ok.tolist()])
+                hits = _bloom_probe(sk, vals[ok.tolist()], item_type)
                 res[ok] = [bool(b) for b in hits]
             out[idx] = res
         return pd.Series(out, dtype=object)
@@ -1076,8 +1131,16 @@ def bloomwire_acc_udf(expected_items: int, fpp: float, seed: int,
                       item_type: str = ITEM_STR):
     """GROUPED_AGG: raw values -> a GENUINE DataSketches BloomFilter
     wire image (family 21; byte-identical to datasketches-java for the
-    same update stream). Integral columns hash as longs, everything
-    else as UTF-8 strings — the Java update() overload rule."""
+    same update stream). ``item_type`` is resolved ONCE at plan time —
+    the Java update() overload rule is static, and dispatching on the
+    observed pandas dtype would make state content null-dependent (a
+    nullable bigint group crosses Arrow as float64 exactly when the
+    group holds a null, so the same logical data would hash as longs in
+    one group and as '1.0'-style strings in another). ``ITEM_LONG``
+    hashes 8-byte LE longs (integral float batches convert losslessly
+    below 2^53; the membership API's plan-time cast-to-string routes
+    larger keys exactly); the default hashes UTF-8 strings with
+    integral floats rendered as ints for the same null-independence."""
     from ..compat.bloomwire import DsBloomFilter
 
     @pandas_udf(BinaryType())
@@ -1086,10 +1149,10 @@ def bloomwire_acc_udf(expected_items: int, fpp: float, seed: int,
         if v.empty:
             return None
         sk = DsBloomFilter.design(expected_items, fpp, seed)
-        if item_type == ITEM_LONG or pd.api.types.is_integer_dtype(v):
-            sk.update_longs(v.to_numpy(dtype=np.int64))
+        if item_type == ITEM_LONG:
+            sk.update_longs(_wire_longs(v))
         else:
-            sk.update_strings(v.astype(str).tolist())
+            sk.update_strings(_wire_strings(v))
         return sk.serialize()
 
     return acc

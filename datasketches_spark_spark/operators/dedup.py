@@ -1001,7 +1001,14 @@ def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
     # to executors as a SparkContext broadcast. Carrying the state as a
     # literal/cross-joined COLUMN instead would make Arrow re-serialize
     # the whole state once PER PROBE ROW.
-    state = bytes(state_df.collect()[0]["_bf"])
+    state_rows = state_df.collect()
+    if not state_rows or state_rows[0]["_bf"] is None:
+        # empty corpus: the accumulate yields a null state (reference
+        # null-for-empty-input convention) — nothing can match, so
+        # return the empty match set with the output schema intact
+        # instead of crashing on bytes(None).
+        return ifp.limit(0)
+    state = bytes(state_rows[0]["_bf"])
     bc = incoming.sparkSession.sparkContext.broadcast(state)
     from ..functions.udfs import bloom_contains_broadcast_udf
     candidates = ifp.where(

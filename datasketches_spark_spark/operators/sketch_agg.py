@@ -151,17 +151,23 @@ def _hll_family(lgk: int | None) -> _Family:
 def _bloomwire_family(expected: int | None, fpp: float | None,
                       seed: int, item_type: str) -> _Family:
     """DataSketches BloomFilter WIRE family (compat/bloomwire.py):
-    partials are genuine family-21 images; integral columns hash as
-    longs, strings as UTF-8 — the Java update() overload rule."""
+    partials are genuine family-21 images; the declared ``item_type``
+    picks the hash path (longs as 8-byte LE / strings as UTF-8 — the
+    Java update() overload rule). Rendering goes through the shared
+    wire helpers so state content is independent of which Arrow batch
+    a null lands in (a nullable bigint batch crosses as float64)."""
     from ..compat.bloomwire import DsBloomFilter
+    from ..functions.udfs import _wire_longs, _wire_strings
     expected = expected or conf.membership_expected()
     fpp = fpp if fpp is not None else conf.membership_fpp()
 
     if item_type == ITEM_LONG:
         def prep(values: pd.Series):
-            arr = pd.to_numeric(values, errors="coerce")
-            mask = arr.notna().to_numpy()
-            return arr.fillna(0).to_numpy(np.int64), mask
+            mask = values.notna().to_numpy()
+            out = np.zeros(len(values), np.int64)
+            if mask.any():
+                out[mask] = _wire_longs(values[mask])
+            return out, mask
 
         def update(sk, ctx, idx):
             vals, mask = ctx
@@ -173,7 +179,11 @@ def _bloomwire_family(expected: int | None, fpp: float | None,
     else:
         def prep(values: pd.Series):
             mask = values.notna().to_numpy()
-            return values.astype(str).to_numpy(object), mask
+            out = np.empty(len(values), object)
+            if mask.any():
+                out[mask] = np.asarray(_wire_strings(values[mask]),
+                                       dtype=object)
+            return out, mask
 
         def update(sk, ctx, idx):
             vals, mask = ctx

@@ -191,3 +191,138 @@ class TestSparkSurface:
             (r,) = df.collect()
         exact = tables["events"].select("user_id").distinct().count()
         assert abs(r.est - exact) <= max(1, 0.1 * exact)
+
+
+class TestDesignJavaParity:
+    def test_numhashes_ceils_like_builder(self, spark, jbuilder):
+        # round() under-picks at these points (ADVICE r12): (1000, 0.1)
+        # -> java 4 (round gives 3), (100, 0.5) -> java 2 (round 1).
+        # Sweep a grid live against BloomFilterBuilder.createByAccuracy
+        # so engine-designed and java-designed filters always share
+        # geometry (merge requires it).
+        for n, fpp in [(1000, 0.1), (100, 0.5), (100, 0.01), (4096, 0.01),
+                       (1, 0.5), (7, 0.3), (50_000, 0.001), (12, 0.9),
+                       (333, 0.05), (2**20, 0.01)]:
+            jf = jbuilder.createByAccuracy(n, float(fpp))
+            ef = DsBloomFilter.design(n, fpp)
+            assert ef.n_hashes == jf.getNumHashes(), (n, fpp)
+            assert ef.m_bits == jf.getCapacity(), (n, fpp)
+
+    def test_mixed_origin_union_at_advice_points(self, spark, jbuilder):
+        # the exact parameters the r12 round()-rule broke on must union
+        for n, fpp in [(1000, 0.1), (100, 0.5)]:
+            jf = jbuilder.createByAccuracy(n, float(fpp), 7)
+            for i in range(20):
+                jf.update(f"k{i}")
+            ef = DsBloomFilter.design(n, fpp, seed=7)
+            ef.update_strings([f"e{i}" for i in range(20)])
+            u = ef.merge(DsBloomFilter.deserialize(bytes(jf.toByteArray())))
+            got = u.contains_strings([f"k{i}" for i in range(20)]
+                                     + [f"e{i}" for i in range(20)])
+            assert got.all()
+
+
+class TestNullableDtypeDispatch:
+    """ADVICE r12: nullable bigint columns cross Arrow as float64 when
+    a batch holds a null; both the accumulate and the probe must hash
+    them as longs (state content and probe results may not depend on
+    which batch a null lands in)."""
+
+    def test_long_state_probed_by_nullable_long_column(self, spark):
+        keys = spark.createDataFrame(
+            [(int(i),) for i in range(200)], "v long")
+        (row,) = keys.agg(dsf.approx_membership_accumulate_wire(
+            "v", expected_items=1024, item_type="long")
+            .alias("bf")).collect()
+        # probe column: same keys + nulls -> float64 Arrow batches
+        probe = spark.createDataFrame(
+            [(int(i), int(i)) for i in range(200)]
+            + [(1000 + j, None) for j in range(5)], "id long, v long")
+        hits = (probe.crossJoin(
+                    spark.createDataFrame([(bytes(row.bf),)], "bf binary"))
+                .select("v", dsf.approx_membership_contains(
+                    F.col("bf"), F.col("v")).alias("hit"))
+                .collect())
+        by_v = {r.v: r.hit for r in hits}
+        assert all(by_v[i] for i in range(200)), "false negatives"
+        assert by_v[None] is None
+
+    def test_long_state_probe_item_type_pinned(self, spark):
+        keys = spark.createDataFrame(
+            [(int(i),) for i in range(100)], "v long")
+        (row,) = keys.agg(dsf.approx_membership_accumulate_wire(
+            "v", expected_items=1024, item_type="long")
+            .alias("bf")).collect()
+        probe = spark.createDataFrame(
+            [(int(i),) for i in range(100)] + [(None,)], "v long")
+        got = (probe.crossJoin(
+                   spark.createDataFrame([(bytes(row.bf),)], "bf binary"))
+               .select(dsf.approx_membership_contains(
+                   F.col("bf"), F.col("v"), item_type="long")
+                   .alias("hit"))
+               .where(F.col("hit").isNotNull()))
+        assert got.count() == 100
+        assert got.where(~F.col("hit")).count() == 0
+
+    def test_acc_state_null_independent(self, spark):
+        """Same logical keys with and without a null row in the group
+        must produce byte-identical wire states (both item types)."""
+        clean = spark.createDataFrame(
+            [(int(i),) for i in range(50)], "v long").coalesce(1)
+        dirty = spark.createDataFrame(
+            [(int(i),) for i in range(50)] + [(None,)],
+            "v long").coalesce(1)
+        for it in ("long", "string"):
+            a = bytes(clean.agg(dsf.approx_membership_accumulate_wire(
+                "v", expected_items=256, item_type=it).alias("s"))
+                .collect()[0].s)
+            b = bytes(dirty.agg(dsf.approx_membership_accumulate_wire(
+                "v", expected_items=256, item_type=it).alias("s"))
+                .collect()[0].s)
+            assert a == b, it
+
+    def test_sql_registered_acc_null_independent(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        clean = spark.createDataFrame(
+            [(int(i),) for i in range(50)], "v long").coalesce(1)
+        dirty = spark.createDataFrame(
+            [(int(i),) for i in range(50)] + [(None,)],
+            "v long").coalesce(1)
+        for fn in ("approx_membership_accumulate_wire",
+                   "approx_membership_accumulate_wire_long"):
+            clean.createOrReplaceTempView("t_bw_clean")
+            dirty.createOrReplaceTempView("t_bw_dirty")
+            a = bytes(spark.sql(
+                f"SELECT {fn}(v) AS s FROM t_bw_clean").collect()[0].s)
+            b = bytes(spark.sql(
+                f"SELECT {fn}(v) AS s FROM t_bw_dirty").collect()[0].s)
+            assert a == b, fn
+
+    def test_sketch_agg_bloomwire_string_mode_null_independent(self, spark):
+        from datasketches_spark_spark.operators import sketch_accumulate
+        clean = spark.createDataFrame(
+            [(0, int(i)) for i in range(50)], "g int, v long").coalesce(1)
+        dirty = spark.createDataFrame(
+            [(0, int(i)) for i in range(50)] + [(0, None)],
+            "g int, v long").coalesce(1)
+        outs = []
+        for df in (clean, dirty):
+            (r,) = sketch_accumulate(df, ["g"], "v", family="bloomwire",
+                                     expected_items=256, fpp=0.01,
+                                     item_type="string").collect()
+            outs.append(bytes(r.state))
+        assert outs[0] == outs[1]
+
+
+class TestEmptyCorpusPrefilter:
+    def test_bloom_prefilter_empty_corpus(self, spark):
+        from datasketches_spark_spark.operators import bloom_prefilter_match
+        incoming = spark.createDataFrame(
+            [(1, "aaa"), (2, "bbb")], "doc_id long, fp string")
+        corpus = incoming.limit(0)
+        out = bloom_prefilter_match(incoming, corpus, "doc_id",
+                                    fingerprint_col="fp",
+                                    expected_items=64)
+        assert out.columns == ["doc_id", "fingerprint"]
+        assert out.count() == 0
