@@ -2780,11 +2780,19 @@ def _demo_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise, a param-order permutation, a co.uk subdomain, and a
     gclid-polluted copy — canonicalize so the three same-page variants
     COLLAPSE to one key and the co.uk page keys its registrable domain.
-    Output: (registered_domain, canonical_url, n, min_id) — the oracle
-    replays every regexp/split step verbatim, so one mis-normalized
-    byte hash-fails."""
+    Round 13 adds ``rd_psl``: the same hosts resolved through a LOADED
+    Public Suffix List fixture exercising plain + wildcard + exception
+    rules (``*.co.uk`` makes every ``h<k>.co.uk`` a public suffix, so
+    the registrable domain grows a label; ``!h3.co.uk`` carves the
+    exception back out). Output: (registered_domain, rd_psl,
+    canonical_url, n, min_id) — the oracle replays every regexp/split
+    step AND the PSL decision chain verbatim, so one mis-normalized
+    byte or a wrong rule precedence hash-fails."""
     from datasketches_spark_spark.functions.urls import (
-        canonicalize_url, url_registered_domain)
+        PublicSuffixList, canonicalize_url, url_registered_domain)
+    psl = PublicSuffixList.parse([
+        "// demo fixture: plain + wildcard + exception",
+        "com", "uk", "co.uk", "*.co.uk", "!h3.co.uk"])
     docs = read_table(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 400).select("doc_id")
     k = F.floor(F.col("doc_id") / 4).cast("long")
@@ -2805,11 +2813,12 @@ def _demo_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = docs.select("doc_id", url.alias("url"))
     return (u.select("doc_id",
                      url_registered_domain("url").alias("rd"),
+                     url_registered_domain("url", psl=psl).alias("rd_psl"),
                      canonicalize_url("url").alias("cu"))
-            .groupBy("rd", "cu")
+            .groupBy("rd", "rd_psl", "cu")
             .agg(F.count("*").cast("long").alias("n"),
                  F.min("doc_id").alias("min_id"))
-            .orderBy("rd", "cu"))
+            .orderBy("rd", "rd_psl", "cu"))
 
 
 def _demo_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4832,12 +4841,26 @@ def demo_oracle_sql() -> dict[str, str]:
                             THEN array_to_string(ls[-3:], '.')
                             WHEN len(ls) >= 2
                             THEN array_to_string(ls[-2:], '.')
-                            ELSE host END AS rd
+                            ELSE host END AS rd,
+                       -- PSL fixture replay (rules: com, uk, co.uk,
+                       -- *.co.uk, !h3.co.uk): exception first, then the
+                       -- wildcard (ps = 3 labels -> rd = 4), then plain
+                       -- rules / the implicit default '*' (rd = 2)
+                       CASE WHEN len(ls) >= 3 AND
+                                 array_to_string(ls[-3:], '.') = 'h3.co.uk'
+                            THEN 'h3.co.uk'
+                            WHEN array_to_string(ls[-2:], '.') = 'co.uk'
+                            THEN CASE WHEN len(ls) >= 4
+                                      THEN array_to_string(ls[-4:], '.')
+                                      ELSE NULL END
+                            WHEN len(ls) >= 2
+                            THEN array_to_string(ls[-2:], '.')
+                            ELSE NULL END AS rd_psl
                      FROM (SELECT doc_id, cu, host,
                                   string_split(host, '.') AS ls FROM c5))
-            SELECT rd, cu, CAST(count(*) AS BIGINT) AS n,
+            SELECT rd, rd_psl, cu, CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id
-            FROM rdom GROUP BY rd, cu ORDER BY rd, cu
+            FROM rdom GROUP BY rd, rd_psl, cu ORDER BY rd, rd_psl, cu
         """,
         # epoch_seed(42, 1) = 42 * 1000003 + 1 = 42000127
         "demo_epoch_order": """

@@ -83,3 +83,103 @@ class TestHostAndDomain:
         out = df.select(canonicalize_url("u"), url_registered_domain("u"))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "pythonUDF" not in plan.lower()
+
+
+PSL_FIXTURE = """\
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+// comment line
+jp
+kawasaki.jp
+*.kawasaki.jp
+!city.kawasaki.jp
+ck
+*.ck
+!www.ck
+
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+s3.amazonaws.com
+// ===END PRIVATE DOMAINS===
+"""
+
+
+class TestPublicSuffixList:
+    def _psl(self):
+        from datasketches_spark_spark.functions.urls import PublicSuffixList
+        return PublicSuffixList.parse(PSL_FIXTURE.splitlines())
+
+    def test_parse(self):
+        p = self._psl()
+        assert "co.uk" in p.plain and "github.io" in p.plain
+        assert "kawasaki.jp" in p.wildcard_bases and "ck" in p.wildcard_bases
+        assert "city.kawasaki.jp" in p.exceptions and "www.ck" in p.exceptions
+        # max RULE length: wildcard *.kawasaki.jp yields a 3-label
+        # public suffix (the registered domain adds one label via a
+        # dynamic slice, so rules drive the loop bound, not outputs)
+        assert p.max_labels == 3
+
+    @pytest.mark.parametrize("url,rd", [
+        # plain rules, longest wins
+        ("https://a.b.example.com/x", "example.com"),
+        ("https://sub.shop.co.uk/", "shop.co.uk"),
+        ("https://shop.co.uk/", "shop.co.uk"),
+        ("https://co.uk/", None),                  # host IS a public suffix
+        ("https://example.uk/", "example.uk"),     # 'uk' plain rule
+        # wildcard rules: any label under the base is a public suffix
+        ("https://foo.bar.ck/", "foo.bar.ck"),
+        ("https://x.foo.bar.ck/", "foo.bar.ck"),
+        ("https://bar.ck/", None),                 # bar.ck is a PS (*.ck)
+        # exception beats the wildcard: www.ck is itself registrable
+        ("https://www.ck/", "www.ck"),
+        ("https://a.www.ck/", "www.ck"),
+        # 4-label wildcard chain: *.kawasaki.jp
+        ("https://x.city2.kawasaki.jp/", "x.city2.kawasaki.jp"),
+        ("https://deep.x.city2.kawasaki.jp/", "x.city2.kawasaki.jp"),
+        ("https://city2.kawasaki.jp/", None),      # PS via *.kawasaki.jp
+        # exception !city.kawasaki.jp
+        ("https://city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("https://a.city.kawasaki.jp/", "city.kawasaki.jp"),
+        # private-section rules
+        ("https://me.github.io/page", "me.github.io"),
+        ("https://bucket.s3.amazonaws.com/k", "bucket.s3.amazonaws.com"),
+        # implicit default rule '*': unlisted TLD is itself a PS
+        ("https://foo.zz/", "foo.zz"),
+        ("https://a.foo.zz/", "foo.zz"),
+        ("https://zz/", None),
+    ])
+    def test_psl_algorithm(self, spark, url, rd):
+        p = self._psl()
+        assert _one(spark, url, url_registered_domain("u", psl=p)) == rd
+
+    def test_load_from_file(self, spark, tmp_path):
+        from datasketches_spark_spark.functions.urls import PublicSuffixList
+        f = tmp_path / "psl.dat"
+        f.write_text(PSL_FIXTURE, encoding="utf-8")
+        p = PublicSuffixList.load(str(f))
+        assert _one(spark, "https://a.b.co.uk/x",
+                    url_registered_domain("u", psl=p)) == "b.co.uk"
+
+    def test_from_dataframe(self, spark):
+        from datasketches_spark_spark.functions.urls import PublicSuffixList
+        df = spark.createDataFrame(
+            [(line,) for line in PSL_FIXTURE.splitlines()], ["rule"])
+        p = PublicSuffixList.from_dataframe(df)
+        assert _one(spark, "https://a.www.ck/",
+                    url_registered_domain("u", psl=p)) == "www.ck"
+
+    def test_psl_mode_scan_stage_only(self, spark):
+        df = spark.createDataFrame([("https://a.example.com/x",)], ["u"])
+        out = df.select(url_registered_domain("u", psl=self._psl()))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "pythonUDF" not in plan.lower()
+
+    def test_default_mode_unchanged(self, spark):
+        # back-compat: psl=None keeps the documented subset semantics
+        assert _one(spark, "http://sub.shop.co.uk/",
+                    url_registered_domain("u")) == "shop.co.uk"
+        assert _one(spark, "http://co.uk/",
+                    url_registered_domain("u")) == "co.uk"
