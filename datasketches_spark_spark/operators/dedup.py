@@ -932,11 +932,51 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------------- bloom prefilter
 
+def build_prefilter_state(corpus: DataFrame, id_col: str,
+                          text_col: str | None = None,
+                          fingerprint_col: str | None = None,
+                          expected_items: int | None = None,
+                          fpp: float = 0.001) -> bytes:
+    """Build the corpus membership state ONCE for a standing
+    :func:`bloom_prefilter_match` deployment: returns the serialized
+    Bloom state (constant-size, ~1.8 MB per million designed keys at
+    fpp=1e-3) to persist alongside the fingerprint table and pass back
+    as ``state=`` on every later batch — which then costs ONE
+    corpus-fingerprint read (the exact-verify join) + one incoming
+    scan, with no per-batch state rebuild. Refresh it when the corpus
+    grows past ``expected_items`` (fpp degrades smoothly, never the
+    no-false-negative guarantee)."""
+    from ..functions.text import doc_fingerprint
+    from .sketch_agg import sketch_accumulate
+
+    if fingerprint_col is None:
+        if text_col is None:
+            raise ValueError("need text_col or fingerprint_col")
+        cfp = corpus.select(
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    else:
+        cfp = corpus.select(F.col(fingerprint_col).alias("fingerprint"))
+    if expected_items is None:
+        expected_items = max(64, cfp.count())
+    state_df = sketch_accumulate(cfp, [], "fingerprint", family="bloom",
+                                 expected_items=expected_items, fpp=fpp,
+                                 state_col="_bf")
+    rows = state_df.collect()
+    if not rows or rows[0]["_bf"] is None:
+        # empty corpus: a minimal always-empty filter (valid state;
+        # every probe misses, so the match set is empty — consistent
+        # with bloom_prefilter_match's empty-corpus result)
+        from ..sketches import BloomFilter
+        return BloomFilter.design(64, fpp).serialize()
+    return bytes(rows[0]["_bf"])
+
+
 def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
                           id_col: str, text_col: str | None = None,
                           fingerprint_col: str | None = None,
                           expected_items: int | None = None,
-                          fpp: float = 0.001) -> DataFrame:
+                          fpp: float = 0.001,
+                          state: bytes | None = None) -> DataFrame:
     """EXACT incremental membership dedup with a Bloom prefilter:
     "which incoming documents' fingerprints already exist in the
     corpus?" — answered without shuffling the corpus key set against
@@ -963,11 +1003,20 @@ def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
     Corpus scan budget: the corpus is read twice (state build + verify
     build side) — three times if ``expected_items`` is left to the
     count. A standing deployment persists the corpus FINGERPRINT table
-    once and passes it as ``fingerprint_col`` with an explicit
-    ``expected_items``, making every later batch one corpus-fingerprint
-    read + one incoming scan. Catalyst additionally pushes the Bloom
-    predicate onto the verify build side (constraint propagation — see
-    docs/PLANS.md), so the broadcast is candidate-bounded either way.
+    AND the built state (:func:`build_prefilter_state`, passed back as
+    ``state=`` so the per-batch rebuild is skipped entirely): every
+    later batch is then ONE corpus-fingerprint read (the exact-verify
+    join) + one incoming scan — plan-pinned by
+    ``tests/test_bloom.py::test_standing_deployment_single_corpus_scan``.
+    Caveat: if the incoming batch is a UNION, Catalyst's
+    PushdownLeftSemiAntiJoin duplicates the verify join under each
+    branch and the broadcast-closure UDF (non-deterministic resultId)
+    blocks exchange reuse — coalesce multi-source batches to one
+    relation (e.g. write/read or localCheckpoint) to keep the
+    single-read budget.
+    Catalyst additionally pushes the Bloom predicate onto the verify
+    build side (constraint propagation — see docs/PLANS.md), so the
+    broadcast is candidate-bounded either way.
 
     Contrast with ``minhash_match`` (NEAR-duplicate incremental match):
     this operator is the EXACT-fingerprint fast path — at a typical
@@ -990,26 +1039,27 @@ def bloom_prefilter_match(incoming: DataFrame, corpus: DataFrame,
         ifp = incoming.select(F.col(id_col),
                               F.col(fingerprint_col).alias("fingerprint"))
 
-    if expected_items is None:
-        expected_items = max(64, cfp.count())
-
-    state_df = sketch_accumulate(cfp, [], "fingerprint", family="bloom",
-                                 expected_items=expected_items, fpp=fpp,
-                                 state_col="_bf")
-    # bounded collect: ONE row of m/8 bytes (filter geometry, not data
-    # volume — ~1.8 MB per million designed keys at fpp=1e-3), shipped
-    # to executors as a SparkContext broadcast. Carrying the state as a
-    # literal/cross-joined COLUMN instead would make Arrow re-serialize
-    # the whole state once PER PROBE ROW.
-    state_rows = state_df.collect()
-    if not state_rows or state_rows[0]["_bf"] is None:
-        # empty corpus: the accumulate yields a null state (reference
-        # null-for-empty-input convention) — nothing can match, so
-        # return the empty match set with the output schema intact
-        # instead of crashing on bytes(None).
-        return ifp.limit(0)
-    state = bytes(state_rows[0]["_bf"])
-    bc = incoming.sparkSession.sparkContext.broadcast(state)
+    if state is None:
+        if expected_items is None:
+            expected_items = max(64, cfp.count())
+        state_df = sketch_accumulate(cfp, [], "fingerprint",
+                                     family="bloom",
+                                     expected_items=expected_items,
+                                     fpp=fpp, state_col="_bf")
+        # bounded collect: ONE row of m/8 bytes (filter geometry, not
+        # data volume — ~1.8 MB per million designed keys at fpp=1e-3),
+        # shipped to executors as a SparkContext broadcast. Carrying the
+        # state as a literal/cross-joined COLUMN instead would make
+        # Arrow re-serialize the whole state once PER PROBE ROW.
+        state_rows = state_df.collect()
+        if not state_rows or state_rows[0]["_bf"] is None:
+            # empty corpus: the accumulate yields a null state
+            # (reference null-for-empty-input convention) — nothing can
+            # match, so return the empty match set with the output
+            # schema intact instead of crashing on bytes(None).
+            return ifp.limit(0)
+        state = bytes(state_rows[0]["_bf"])
+    bc = incoming.sparkSession.sparkContext.broadcast(bytes(state))
     from ..functions.udfs import bloom_contains_broadcast_udf
     candidates = ifp.where(
         bloom_contains_broadcast_udf(bc)(F.col("fingerprint")))

@@ -212,3 +212,73 @@ class TestBloomPrefilter:
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
         assert "LeftSemi" in plan
         assert plan.count("Join") == 1  # verify only
+
+    def test_standing_deployment_single_corpus_scan(self, spark, tables,
+                                                    tmp_path):
+        """The persisted-fingerprint path (dedup.py scan-budget note):
+        persist the corpus fingerprint table + a prebuilt state once;
+        every later batch is then ONE corpus-fingerprint scan (the
+        exact-verify join) + one incoming scan. Pinned three ways:
+        construction with state= runs no Spark job, the executed plan
+        scans the fingerprint parquet exactly once, and results equal
+        the rebuild-every-batch path."""
+        from datasketches_spark_spark.functions.text import doc_fingerprint
+        from datasketches_spark_spark.operators import (
+            bloom_prefilter_match, build_prefilter_state)
+        docs = tables["documents"]
+        corpus = docs.where(F.col("doc_id") >= 100)
+        fp_path = str(tmp_path / "corpus_fps")
+        (corpus.select("doc_id",
+                       doc_fingerprint(F.col("text")).alias("fingerprint"))
+         .write.mode("overwrite").parquet(fp_path))
+        fps = spark.read.parquet(fp_path)
+        state = build_prefilter_state(fps, "doc_id",
+                                      fingerprint_col="fingerprint",
+                                      expected_items=2000)
+        # single-relation batch (the typical crawl-batch shape; a UNION
+        # probe makes PushdownLeftSemiAntiJoin duplicate the verify
+        # build under each branch -- see the operator docstring)
+        incoming = (docs.where(F.col("doc_id") < 200)
+                    .select(
+                        F.when(F.col("doc_id") < 100,
+                               F.col("doc_id") + 200_000)
+                        .otherwise(F.col("doc_id") + 100_000)
+                        .alias("doc_id"),
+                        doc_fingerprint(
+                            F.when(F.col("doc_id") < 100,
+                                   F.concat(F.col("text"),
+                                            F.lit(" UNIQ")))
+                            .otherwise(F.col("text")))
+                        .alias("fingerprint")))
+        before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        out = bloom_prefilter_match(incoming, fps, "doc_id",
+                                    fingerprint_col="fingerprint",
+                                    state=state)
+        after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        assert after == before, "state= must not trigger a per-batch job"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one scan of the persisted fingerprint table (the
+        # verify-join build side reads only the single fingerprint
+        # column; the plan renderer truncates paths, so pin on the
+        # one-column read schema) and one incoming scan
+        import re
+        fp_scans = re.findall(r"FileScan parquet \[fingerprint#\d+\]",
+                              plan)
+        assert len(fp_scans) == 1, plan
+        assert plan.count("documents.parquet") == 1, plan
+        got = sorted(r.doc_id for r in out.collect())
+        want = sorted(r.doc_id + 100_000 for r in
+                      corpus.where(F.col("doc_id") < 200).collect())
+        assert got == want and len(want) == 100
+
+    def test_build_prefilter_state_empty_corpus(self, spark):
+        from datasketches_spark_spark.operators import (
+            bloom_prefilter_match, build_prefilter_state)
+        empty = spark.createDataFrame([], "doc_id long, fp string")
+        state = build_prefilter_state(empty, "doc_id",
+                                      fingerprint_col="fp")
+        incoming = spark.createDataFrame([(1, "aaa")],
+                                         "doc_id long, fp string")
+        out = bloom_prefilter_match(incoming, empty, "doc_id",
+                                    fingerprint_col="fp", state=state)
+        assert out.count() == 0
