@@ -1784,6 +1784,44 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("e.ndv").alias("tup_ndv_all"),
                         F.col("e.rows").alias("tup_rows_all"),
                         F.col("e.value_sum").alias("tup_sum_all")))
+        # --- estimation-regime KLL wire EXPORT (round 13, compat/
+        # datasketches.py): one engine KLL state at k=16 over every
+        # doc's n_chars is deep in estimation mode at any gate SF;
+        # export it as the DataSketches multi-level compact image and
+        # heapify it in the REAL datasketches-java. Gated booleans
+        # (oracle literals): kllx_heapify = java accepts the image,
+        # sees the same n AND the identical retained min/max (exact
+        # float equality — same items); kllx_quantile = java's
+        # p25/p50/p90 fall inside the engine's +-0.05 rank window
+        # (rule-agnostic, deterministic); kllx_roundtrip = java's
+        # re-serialization re-imports into the engine with IDENTICAL
+        # quantiles (same items, weights, and rank rule). Bounded
+        # driver work: one state, one py4j heapify.
+        from datasketches_spark_spark.compat.datasketches import (
+            to_datasketches_state, to_engine_sketch)
+        from datasketches_spark_spark.operators import sketch_accumulate
+        from datasketches_spark_spark.sketches import deserialize_any
+        (kst,) = sketch_accumulate(
+            docs.select(F.col("n_chars").cast("double").alias("v")),
+            [], "v", family="kll", k=16, state_col="st").collect()
+        eng = deserialize_any(bytes(kst.st))
+        exported = to_datasketches_state(bytes(kst.st))
+        jkll = spark._jvm.org.apache.datasketches.kll.KllFloatsSketch \
+            .heapify(spark._jvm.org.apache.datasketches.memory.Memory
+                     .wrap(bytearray(exported)))
+        ps = [0.25, 0.5, 0.9]
+        eq = eng.quantiles(ps)
+        jq = [jkll.getQuantile(p) for p in ps]
+        lo = eng.quantiles([max(0.0, p - 0.05) for p in ps])
+        hi = eng.quantiles([min(1.0, p + 0.05) for p in ps])
+        back = to_engine_sketch(bytes(jkll.toByteArray()))
+        kllx_heapify = int(jkll.getN() == eng.n and not eng.is_exact()
+                           and jkll.getMinItem() == eng.min_value
+                           and jkll.getMaxItem() == eng.max_value)
+        kllx_quantile = int(all(a <= j <= b
+                                for a, j, b in zip(lo, jq, hi)))
+        kllx_roundtrip = int(back.n == eng.n
+                             and back.quantiles(ps) == eq)
         base = spark.sql("""
             SELECT q.lang, q.p50_chars,
                    approx_count_distinct_estimate(c.cpc_state) AS ndv_src,
@@ -1812,6 +1850,12 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (base.join(per_lang, "lang").join(bm_per_lang, "lang")
                 .crossJoin(F.broadcast(glob))
                 .crossJoin(F.broadcast(bm_union))
+                .withColumn("kllx_heapify",
+                            F.lit(kllx_heapify).cast("long"))
+                .withColumn("kllx_quantile",
+                            F.lit(kllx_quantile).cast("long"))
+                .withColumn("kllx_roundtrip",
+                            F.lit(kllx_roundtrip).cast("long"))
                 .orderBy("lang"))
     finally:
         for key, prev in ((dconf.QUANTILE_IMPL_KEY, prev_impl),
@@ -3585,7 +3629,15 @@ def oracle_sql() -> dict[str, str]:
                    -- cross-origin union contains every source
                    CAST(1 AS BIGINT) AS bm_self,
                    CAST(0 AS BIGINT) AS bm_absent,
-                   CAST(1 AS BIGINT) AS bm_union
+                   CAST(1 AS BIGINT) AS bm_union,
+                   -- estimation-regime KLL export guarantees: java
+                   -- heapifies the image (same n, identical retained
+                   -- min/max), its quantiles sit in the engine's rank
+                   -- window, and its re-serialization re-imports with
+                   -- identical engine answers
+                   CAST(1 AS BIGINT) AS kllx_heapify,
+                   CAST(1 AS BIGINT) AS kllx_quantile,
+                   CAST(1 AS BIGINT) AS kllx_roundtrip
             FROM documents d
             JOIN t ON t.lang = d.lang CROSS JOIN g
             GROUP BY d.lang ORDER BY d.lang

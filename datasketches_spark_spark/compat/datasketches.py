@@ -502,16 +502,21 @@ def encode_kll_floats(sk) -> bytes:
     positions [k-n, k).
 
     Compacted states (or exact states past k retained items) export the
-    multi-level compact form: the levels array carries one absolute
-    start position per level (level sizes are their differences; the top
-    boundary is implied by the item count — the same arithmetic the
-    golden vector pins on the import side), items of level h carry
-    weight ``2^h``, level 0 in reverse insertion order and upper levels
-    sorted. Multi-level start positions anchor at 0 (the reader only
-    consumes differences plus the base; no reference-built multi-level
-    golden vector exists in this environment, so the multi-level form is
-    validated by export->import round-trips and the decoder's
-    ``sum(weights) == n`` hard check, like estimation-mode REQ)."""
+    multi-level compact form exactly as datasketches-java writes it
+    (KllHeapFloatsSketch.toByteArray, validated LIVE against the
+    bundled jar — ``tests/test_compat_datasketches.py``): the levels
+    array carries one ABSOLUTE start position per level within the
+    library's items array of ``computeTotalItemCapacity(k, 8,
+    numLevels)`` slots, filled from the top down — so level 0 starts at
+    ``capacity - retained`` and the serialized items are the retained
+    region only. Items of level h carry weight ``2^h``, level 0 in
+    reverse insertion order and upper levels sorted (the library
+    invariant its merge path relies on). A 0-anchored levels array (the
+    r12 form) makes Java heapify read ``capacity`` items from a
+    ``retained``-item buffer and throw — the live validation caught it.
+    min/max are the engine's retained extrema (the engine does not
+    carry dropped stream extrema; its own rank-0/1 answers round-trip
+    unchanged)."""
     sk._consolidate()
     n = int(sk.n)
     _require(n > 0, "empty KLL state has no export")
@@ -528,8 +533,17 @@ def encode_kll_floats(sk) -> bytes:
     while len(levels) > 1 and levels[-1].size == 0:
         levels.pop()
     num_levels = len(levels)
-    sizes = [a.size for a in levels]
-    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    sizes = [int(a.size) for a in levels]
+    retained = sum(sizes)
+    capacity = _kll_total_capacity(k, 8, num_levels)
+    _require(retained <= capacity,
+             f"engine state retains {retained} items, above the "
+             f"DataSketches capacity {capacity} for (k={k}, "
+             f"numLevels={num_levels}); re-accumulate with the library "
+             "k or merge down before exporting")
+    base = capacity - retained
+    starts = base + np.concatenate(
+        [[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
     body = [levels[0][::-1]] + [np.sort(a) for a in levels[1:]]
     items = np.concatenate(body) if body else np.empty(0, np.float32)
     vals = np.concatenate([a for a in levels if a.size]) \
@@ -540,6 +554,20 @@ def encode_kll_floats(sk) -> bytes:
     head += struct.pack(f"<{num_levels}i", *starts.tolist())
     head += struct.pack("<ff", float(vals.min()), float(vals.max()))
     return head + items.astype("<f4").tobytes()
+
+
+def _kll_total_capacity(k: int, m: int, num_levels: int) -> int:
+    """datasketches-java ``KllHelper.computeTotalItemCapacity``: the
+    size of the library's items array for a given level count. Level
+    ``level`` holds ``max(m, round(k * (2/3)^depth))`` slots with
+    ``depth = numLevels - level - 1``, computed in the library's exact
+    integer form ``((2k << depth) / 3^depth + 1) >> 1``."""
+    total = 0
+    for level in range(num_levels):
+        depth = num_levels - level - 1
+        cap = ((2 * k << depth) // (3 ** depth) + 1) >> 1
+        total += max(m, cap)
+    return total
 
 
 def encode_doubles(sk) -> bytes:

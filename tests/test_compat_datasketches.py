@@ -619,3 +619,85 @@ class TestExport:
             spark.conf.unset("spark.sql.dataSketches.quantiles.sketchImpl")
             spark.conf.unset("spark.sql.dataSketches.quantiles.mergeable.k")
             dss.install(spark)
+
+
+class TestEstimationRegimeExportLive:
+    """Round 13: estimation-mode wire EXPORT validated LIVE against the
+    datasketches-java bundled with PySpark (the bloomwire.py pattern).
+    The r12 multi-level KLL image anchored its levels array at 0; the
+    library expects ABSOLUTE positions inside its
+    computeTotalItemCapacity(k, m, numLevels) items array (filled top-
+    down), so Java heapify read past the buffer — caught and fixed by
+    these tests."""
+
+    @staticmethod
+    def _jmem(spark, data: bytes):
+        return spark._jvm.org.apache.datasketches.memory.Memory.wrap(
+            bytearray(data))
+
+    @pytest.mark.parametrize("k,n", [(200, 500), (200, 5000),
+                                     (200, 100_000), (128, 3000),
+                                     (256, 20_000), (200, 201),
+                                     (16, 1000)])
+    def test_kll_multilevel_heapifies_in_java(self, spark, k, n):
+        import numpy as np
+
+        from datasketches_spark_spark.compat.datasketches import (
+            to_datasketches_state, to_engine_sketch)
+        from datasketches_spark_spark.sketches.kll import KllSketch
+        sk = KllSketch(k=k)
+        vals = np.random.RandomState(7).normal(0, 1, n).astype(np.float32)
+        sk.update_batch(vals.astype(np.float64))
+        assert not sk.is_exact()  # the regime under test
+        exported = to_datasketches_state(sk.serialize())
+        jsk = spark._jvm.org.apache.datasketches.kll.KllFloatsSketch \
+            .heapify(self._jmem(spark, exported))
+        assert jsk.getN() == n
+        for p in (0.01, 0.1, 0.5, 0.9, 0.99):
+            assert abs(jsk.getQuantile(p) - sk.quantiles([p])[0]) < 1e-6
+        # full circle: java re-serializes, the engine re-imports
+        back = to_engine_sketch(bytes(jsk.toByteArray()))
+        assert back.n == n
+        for p in (0.1, 0.5, 0.9):
+            assert abs(back.quantiles([p])[0] - sk.quantiles([p])[0]) \
+                < 1e-6
+
+    @pytest.mark.parametrize("k,n", [(12, 300), (12, 5000), (24, 50_000)])
+    def test_req_estimation_heapifies_in_java(self, spark, k, n):
+        import numpy as np
+
+        from datasketches_spark_spark.compat.datasketches import (
+            to_datasketches_state)
+        from datasketches_spark_spark.sketches.req import ReqSketch
+        sk = ReqSketch(k=k)
+        vals = np.random.RandomState(11).normal(0, 1, n).astype(np.float32)
+        sk.update_batch(vals.astype(np.float64))
+        exported = to_datasketches_state(sk.serialize())
+        jsk = spark._jvm.org.apache.datasketches.req.ReqSketch \
+            .heapify(self._jmem(spark, exported))
+        assert jsk.getN() == n
+        for p in (0.1, 0.5, 0.9, 0.99):
+            assert abs(jsk.getQuantile(p) - sk.quantiles([p])[0]) < 1e-6
+
+    def test_kll_capacity_matches_java_layout(self, spark):
+        """Pin _kll_total_capacity against the library's own byte
+        layout: for a Java-built sketch, the serialized retained region
+        plus levels[0] must equal the computed capacity."""
+        import struct
+
+        from datasketches_spark_spark.compat.datasketches import (
+            _kll_total_capacity)
+        jvm = spark._jvm
+        for k, n in [(200, 5000), (128, 3000), (64, 100_000)]:
+            jsk = jvm.org.apache.datasketches.kll.KllFloatsSketch \
+                .newHeapInstance(k)
+            rnd = 1234567
+            for i in range(n):
+                rnd = (rnd * 1103515245 + 12345) % (1 << 31)
+                jsk.update(float(rnd % 100_000))
+            blob = bytes(jsk.toByteArray())
+            num_levels = blob[18]
+            lvl0 = struct.unpack("<i", blob[20:24])[0]
+            retained = (len(blob) - (20 + 4 * num_levels + 8)) // 4
+            assert _kll_total_capacity(k, 8, num_levels) == \
+                lvl0 + retained, (k, n)
