@@ -2882,6 +2882,53 @@ def _demo_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "shuffle_pos").orderBy("doc_id"))
 
 
+def _demo_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy VP8 WebP decode (round 13, operators/webpnative.py): the
+    committed real-VP8 fixtures (encoded once with the system libwebp,
+    frozen in tests/data/) decode inside an Arrow mapInPandas pass —
+    the q38 'img' leg shape — to (name, h, w, px_md5). VP8 decoding is
+    exactly specified (RFC 6386): every compliant decoder produces
+    bit-identical pixels for these streams, so the oracle pins the
+    decoded-pixel md5s as literals, stable across libwebp versions."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "data")
+    rows = []
+    for name in ("lossy_gradient_q80.webp", "lossy_photo_q60.webp",
+                 "lossy_solid_q50.webp"):
+        with open(os.path.join(data_dir, name), "rb") as fh:
+            rows.append((name, bytearray(fh.read())))
+    df = spark.createDataFrame(rows, "name string, payload binary") \
+        .repartition(2)
+    schema = StructType([
+        StructField("name", StringType()),
+        StructField("h", LongType()),
+        StructField("w", LongType()),
+        StructField("px_md5", StringType()),
+    ])
+
+    def run(batches):
+        from datasketches_spark_spark.operators import decode_image
+        for pdf in batches:
+            out = []
+            for name, payload in zip(pdf["name"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                out.append((name, img.shape[0], img.shape[1],
+                            hashlib.md5(img.tobytes()).hexdigest()))
+            yield pd.DataFrame(out, columns=["name", "h", "w", "px_md5"])
+
+    return df.mapInPandas(run, schema).orderBy("name")
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -2909,6 +2956,7 @@ def demo_queries() -> dict[str, str]:
         "demo_trigram_ppl": _demo_trigram_ppl,
         "demo_url_dedup_groups": _demo_url_dedup_groups,
         "demo_epoch_order": _demo_epoch_order,
+        "demo_webp_lossy": _demo_webp_lossy,
     }
 
 
@@ -4923,5 +4971,18 @@ def demo_oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY doc_id < 300
             ORDER BY doc_id
+        """,
+        # demo_webp_lossy: VP8 decode is exactly specified, so the
+        # decoded-pixel md5s of the committed fixtures are literals
+        # (pinned at fixture-generation time; see the demo docstring)
+        "demo_webp_lossy": """
+            SELECT * FROM (VALUES
+              ('lossy_gradient_q80.webp', CAST(48 AS BIGINT),
+               CAST(64 AS BIGINT), '1f4490ee50c16fc18d0013b43eabc8f1'),
+              ('lossy_photo_q60.webp', CAST(40 AS BIGINT),
+               CAST(56 AS BIGINT), '2d8b975dc41a877d0f9b0305bf1a55ac'),
+              ('lossy_solid_q50.webp', CAST(32 AS BIGINT),
+               CAST(32 AS BIGINT), '743ed107a3825f56d95a43f899f56b5f')
+            ) AS t(name, h, w, px_md5) ORDER BY name
         """,
     }

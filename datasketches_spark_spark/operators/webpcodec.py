@@ -475,9 +475,14 @@ def _inv_color_indexing(img: np.ndarray, palette: np.ndarray,
 # ------------------------------------------------------------------ decode
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a lossless (VP8L) WebP to ``(H, W, 3) uint8`` RGB, or
-    ``(H, W, 4)`` RGBA when the image carries transparency. Lossy VP8
-    refuses by name; corrupt streams raise ``ValueError``."""
+    """Decode a WebP to ``(H, W, 3) uint8`` RGB, or ``(H, W, 4)`` RGBA
+    when the image carries transparency. Lossless VP8L decodes in pure
+    numpy (this module); lossy VP8 decodes through the SYSTEM libwebp
+    when present (``webpnative.py`` — a spec-correct numpy VP8 decoder
+    would need ~2k normative RFC 6386 constants that can only be
+    transcribed, and production pipelines use the native codec anyway)
+    and keeps the honest refusal with guidance otherwise. Corrupt
+    streams raise ``ValueError``."""
     data = bytes(data)
     if not is_webp(data):
         raise ValueError("not a WebP (RIFF/WEBP signature missing)")
@@ -490,9 +495,14 @@ def decode_webp(data: bytes) -> np.ndarray:
             payload = data[pos + 8:pos + 8 + size]
             break
         if fcc == b"VP8 ":
+            from .webpnative import libwebp_available, webp_decode_rgb
+            if libwebp_available():
+                return webp_decode_rgb(data)
             raise NotImplementedError(
                 "WebP: lossy VP8 needs the full VP8 intra-prediction + "
-                "boolean-coder stack; only lossless VP8L decodes")
+                "boolean-coder stack; only lossless VP8L decodes in "
+                "pure numpy. Install the system libwebp to enable the "
+                "native lossy path (operators/webpnative.py)")
         if fcc == b"VP8X":
             # extended container: scan its sub-chunks for VP8L
             pos += 8 + size + (size & 1)

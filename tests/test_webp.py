@@ -254,8 +254,17 @@ def test_color_indexing_packed():
 def test_refusals_and_corrupt():
     body = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
     lossy = b"RIFF" + struct.pack("<I", len(body)) + body
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
-        decode_webp(lossy)
+    # with the system libwebp present the VP8 branch decodes natively
+    # (a 4-byte stream is corrupt -> ValueError); without it the branch
+    # refuses by name
+    from datasketches_spark_spark.operators.webpnative import (
+        libwebp_available)
+    if libwebp_available():
+        with pytest.raises(ValueError):
+            decode_webp(lossy)
+    else:
+        with pytest.raises(NotImplementedError, match="lossy VP8"):
+            decode_webp(lossy)
     with pytest.raises(ValueError):
         decode_webp(b"not a webp at all")
     good = encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
@@ -280,3 +289,151 @@ def test_encoder_band_boundary_byte_identity(monkeypatch):
     banded = wc.encode_webp_lossless(img)
     assert banded == one_shot
     assert np.array_equal(decode_webp(banded), img)
+
+
+# -------------------------------------------------- lossy VP8 (round 13)
+
+import hashlib
+import os
+
+import pytest
+
+from datasketches_spark_spark.operators.webpnative import (
+    libwebp_available,
+    webp_decode_rgb,
+    webp_encode_lossless_rgb,
+    webp_encode_rgb,
+)
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+# VP8 decoding is exactly specified (RFC 6386): every compliant decoder
+# produces bit-identical pixels for these committed streams, so the
+# hashes are stable across libwebp versions (and would also pin any
+# future from-scratch decoder).
+_LOSSY_FIXTURES = {
+    "lossy_gradient_q80.webp": ((48, 64, 3),
+                                "1f4490ee50c16fc18d0013b43eabc8f1"),
+    "lossy_solid_q50.webp": ((32, 32, 3),
+                             "743ed107a3825f56d95a43f899f56b5f"),
+    "lossy_photo_q60.webp": ((40, 56, 3),
+                             "2d8b975dc41a877d0f9b0305bf1a55ac"),
+}
+
+needs_libwebp = pytest.mark.skipif(
+    not libwebp_available(), reason="system libwebp not present")
+
+
+@needs_libwebp
+class TestLossyVp8Native:
+    @pytest.mark.parametrize("name", sorted(_LOSSY_FIXTURES))
+    def test_committed_fixture_decodes_bit_exact(self, name):
+        from datasketches_spark_spark.operators import decode_webp
+        with open(os.path.join(_DATA, name), "rb") as fh:
+            blob = fh.read()
+        assert blob[12:16] == b"VP8 "  # genuinely lossy streams
+        img = decode_webp(blob)  # the engine entry point, VP8 branch
+        shape, md5 = _LOSSY_FIXTURES[name]
+        assert img.shape == shape
+        assert hashlib.md5(img.tobytes()).hexdigest() == md5
+
+    def test_sniff_and_decode_image_dispatch(self):
+        from datasketches_spark_spark.operators import decode_image
+        from datasketches_spark_spark.operators.imagecodec import (
+            sniff_format)
+        with open(os.path.join(_DATA, "lossy_solid_q50.webp"), "rb") as fh:
+            blob = fh.read()
+        assert sniff_format(blob) == "webp"
+        img = decode_image(blob)
+        assert img.shape == (32, 32, 3)
+
+    def test_lossy_roundtrip_tolerance(self):
+        img = np.zeros((24, 40, 3), np.uint8)
+        img[:, :, 0] = np.linspace(10, 240, 40, dtype=np.uint8)[None, :]
+        img[:, :, 1] = 99
+        img[:, :, 2] = np.linspace(240, 10, 24, dtype=np.uint8)[:, None]
+        dec = webp_decode_rgb(webp_encode_rgb(img, 90.0))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+    def test_corrupt_stream_raises_valueerror(self):
+        # truncation mid-header is detectable corruption (an arithmetic
+        # payload of zeros is not -- the bool decoder happily reads it)
+        with open(os.path.join(_DATA, "lossy_photo_q60.webp"), "rb") as fh:
+            blob = fh.read()
+        with pytest.raises(ValueError):
+            webp_decode_rgb(blob[:20])
+
+
+@needs_libwebp
+class TestVp8lCrossValidation:
+    """The pure-numpy VP8L codec against the REAL library — the same
+    live-foreign-system pattern as the datasketches-java wire checks.
+    Until round 13 the numpy VP8L path was validated only by its own
+    round-trips."""
+
+    def _imgs(self):
+        rng = np.random.RandomState(5)
+        grad = np.zeros((16, 21, 3), np.uint8)
+        grad[:, :, 0] = np.linspace(0, 255, 21, dtype=np.uint8)[None, :]
+        grad[:, :, 1] = np.linspace(255, 0, 16, dtype=np.uint8)[:, None]
+        grad[:, :, 2] = 128
+        yield grad
+        yield np.full((8, 8, 3), [7, 200, 13], np.uint8)
+        yield rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+        pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 0]], np.uint8)
+        yield pal[rng.randint(0, 3, (12, 29))]
+
+    def test_numpy_encoder_decodes_in_libwebp(self):
+        from datasketches_spark_spark.operators import encode_webp_lossless
+        for img in self._imgs():
+            blob = encode_webp_lossless(img)
+            dec = webp_decode_rgb(blob)
+            assert (dec == img).all(), "libwebp disagrees with numpy VP8L"
+
+    def test_libwebp_encoder_decodes_in_numpy(self):
+        from datasketches_spark_spark.operators import decode_webp
+        for img in self._imgs():
+            blob = webp_encode_lossless_rgb(img)
+            dec = decode_webp(blob)
+            assert (dec[:, :, :3] == img).all(), \
+                "numpy VP8L decoder disagrees with libwebp encoder"
+
+
+@needs_libwebp
+class TestLossyVp8Spark:
+    def test_mapinpandas_batch_decode(self, spark):
+        """The Spark-side plumbing: lossy payloads decode inside an
+        Arrow batch pass (the q38 'img' leg shape) with real pixels."""
+        import pandas as pd
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType)
+        rows = []
+        for name in sorted(_LOSSY_FIXTURES):
+            with open(os.path.join(_DATA, name), "rb") as fh:
+                rows.append((name, bytearray(fh.read())))
+        df = spark.createDataFrame(rows, "name string, payload binary") \
+            .repartition(2)
+
+        schema = StructType([
+            StructField("name", StringType()),
+            StructField("h", LongType()),
+            StructField("w", LongType()),
+            StructField("px_md5", StringType()),
+        ])
+
+        def run(batches):
+            from datasketches_spark_spark.operators import decode_image
+            for pdf in batches:
+                out = []
+                for name, payload in zip(pdf["name"], pdf["payload"]):
+                    img = decode_image(bytes(payload))
+                    out.append((name, img.shape[0], img.shape[1],
+                                hashlib.md5(img.tobytes()).hexdigest()))
+                yield pd.DataFrame(
+                    out, columns=["name", "h", "w", "px_md5"])
+
+        got = {r.name: (r.h, r.w, r.px_md5)
+               for r in df.mapInPandas(run, schema).collect()}
+        for name, (shape, md5) in _LOSSY_FIXTURES.items():
+            assert got[name] == (shape[0], shape[1], md5)
