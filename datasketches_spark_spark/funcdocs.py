@@ -218,6 +218,15 @@ FUNCTION_DOCS: dict[str, tuple[str, str]] = {
         "approx_membership_fpp(state).",
         "> SELECT _FUNC_(approx_membership_accumulate(k), 'zzz') FROM "
         "VALUES ('a'), ('b') AS tab(k);\n   false"),
+    "approx_membership_contains_long": (
+        "_FUNC_(state, key) - approx_membership_contains with the hash "
+        "path PINNED to 8-byte longs (the twin of "
+        "approx_membership_accumulate_wire_long): use it to probe "
+        "long-built DataSketches wire filters with bigint keys — the "
+        "2-arg form dispatches on the Arrow batch dtype, which is "
+        "null-dependent for nullable bigint columns.",
+        "> SELECT _FUNC_(approx_membership_accumulate_wire_long(k), 7) "
+        "FROM VALUES (7), (9) AS tab(k);\n   true"),
     "approx_membership_estimate": (
         "_FUNC_(state) - Distinct-key estimate decoded from a Bloom "
         "state's fill ratio (Swamidass-Baldi); NULL if saturated.",

@@ -385,6 +385,11 @@ def install(spark: SparkSession) -> None:
                           conf.membership_fpp(spark), 0, ITEM_LONG))
     spark.udf.register("approx_membership_combine", combine_udf())
     spark.udf.register("approx_membership_contains", bloom_contains_udf())
+    # plan-time-pinned long probe: the SQL twin of accumulate_wire_long
+    # (the 2-arg contains dispatches on the Arrow batch dtype, which is
+    # null-dependent for bigint columns — see udfs._bloom_probe)
+    spark.udf.register("approx_membership_contains_long",
+                       bloom_contains_udf(ITEM_LONG))
     spark.udf.register("approx_membership_estimate", bloom_estimate_udf())
     spark.udf.register("approx_membership_fpp", bloom_fpp_udf())
 

@@ -326,3 +326,46 @@ class TestEmptyCorpusPrefilter:
                                     expected_items=64)
         assert out.columns == ["doc_id", "fingerprint"]
         assert out.count() == 0
+
+
+class TestContainsLongSql:
+    def test_sql_pinned_long_probe(self, spark):
+        import datasketches_spark_spark as dss
+        dss.install(spark)
+        spark.createDataFrame([(int(i),) for i in range(100)], "k long") \
+            .createOrReplaceTempView("t_cl_keys")
+        probe = spark.createDataFrame(
+            [(int(i),) for i in range(100)] + [(None,)], "k long")
+        probe.createOrReplaceTempView("t_cl_probe")
+        got = spark.sql("""
+            SELECT p.k,
+                   approx_membership_contains_long(s.bf, p.k) AS hit
+            FROM t_cl_probe p CROSS JOIN (
+              SELECT approx_membership_accumulate_wire_long(k) AS bf
+              FROM t_cl_keys) s
+        """).collect()
+        by = {r.k: r.hit for r in got}
+        assert all(by[i] for i in range(100))
+        assert by[None] is None
+
+    def test_broadcast_and_keyed_udfs_honor_item_type(self, spark):
+        import numpy as np
+
+        from datasketches_spark_spark.functions.udfs import (
+            bloom_contains_broadcast_udf, bloom_contains_keyed_udf)
+        from datasketches_spark_spark.sketches import ITEM_LONG
+        sk = DsBloomFilter.design(1024, 0.01)
+        sk.update_longs(np.arange(50, dtype=np.int64))
+        bc = spark.sparkContext.broadcast(sk.serialize())
+        probe = spark.createDataFrame(
+            [(int(i),) for i in range(50)] + [(None,)], "v long")
+        hits = (probe.select(
+            bloom_contains_broadcast_udf(bc, ITEM_LONG)(F.col("v"))
+            .alias("hit")).where(F.col("hit").isNotNull()))
+        assert hits.count() == 50 and hits.where("NOT hit").count() == 0
+        kbc = spark.sparkContext.broadcast({"g": sk.serialize()})
+        khits = (probe.select(
+            bloom_contains_keyed_udf(kbc, ITEM_LONG)(
+                F.lit("g"), F.col("v")).alias("hit"))
+            .where(F.col("hit").isNotNull()))
+        assert khits.count() == 50 and khits.where("NOT hit").count() == 0
