@@ -95,10 +95,14 @@ def _clean_numeric(v: pd.Series) -> np.ndarray:
 
 
 def _clean_items(v: pd.Series, item_type: str):
+    """Null-free item list for the freq family. String mode renders
+    integral float batches as ints (``_wire_strings``) so a nullable
+    bigint column — float64 through Arrow when a batch holds a null —
+    yields the same items batch-independently ('17', never '17.0')."""
     v = v.dropna()
     if item_type == ITEM_LONG:
-        return v.astype(np.int64).tolist()
-    return v.astype(str).tolist()
+        return _wire_longs(v).tolist()
+    return _wire_strings(v)
 
 
 # --------------------------------------------------------------------- quantile
@@ -608,9 +612,9 @@ def cpc_wire_acc_udf(lgk: int, item_type: str = ITEM_STR):
             return None
         sk = CpcAccumulator(lgk)
         if item_type == ITEM_LONG:
-            sk.update_longs(pd.to_numeric(v).to_numpy(np.int64))
+            sk.update_longs(_wire_longs(v))
         else:
-            sk.update_strings(v.astype(str))
+            sk.update_strings(_wire_strings(v))
         return sk.serialize()
 
     return acc
@@ -630,9 +634,9 @@ def theta_wire_acc_udf(k: int, item_type: str = ITEM_STR):
             return None
         sk = ThetaWireAccumulator(k)
         if item_type == ITEM_LONG:
-            sk.update_longs(pd.to_numeric(v).to_numpy(np.int64))
+            sk.update_longs(_wire_longs(v))
         else:
-            sk.update_strings(v.astype(str))
+            sk.update_strings(_wire_strings(v))
         return sk.serialize()
 
     return acc
@@ -728,9 +732,9 @@ def aod_wire_acc_udf(k: int, item_type: str = ITEM_STR):
             .fillna(0.0).to_numpy(np.float64)
         sk = AodWireAccumulator(k)
         if item_type == ITEM_LONG:
-            sk.update_longs(pd.to_numeric(key).to_numpy(np.int64), v)
+            sk.update_longs(_wire_longs(key), v)
         else:
-            sk.update_strings(key.astype(str), v)
+            sk.update_strings(_wire_strings(key), v)
         return sk.serialize()
 
     return acc

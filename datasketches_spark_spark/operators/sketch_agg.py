@@ -105,8 +105,16 @@ def _freq_family(item_type: str, max_map_size: int | None) -> _Family:
             return ints, mask
     else:
         def prep(values: pd.Series):
+            # null-independent string rendering: a nullable bigint
+            # batch crosses Arrow as float64, and str() would emit
+            # '1.0'-style items in exactly the batches holding a null
+            from ..functions.udfs import _wire_strings
             mask = values.notna().to_numpy()
-            return values.astype(str).to_numpy(object), mask
+            out = np.empty(len(values), object)
+            if mask.any():
+                out[mask] = np.asarray(_wire_strings(values[mask]),
+                                       dtype=object)
+            return out, mask
 
     def update(sk, ctx, idx):
         vals, mask = ctx
@@ -228,11 +236,13 @@ def _cpcwire_family(lgk: int | None, item_type: str) -> _Family:
             return h1, h2, mask
     else:
         def prep(values: pd.Series):
+            from ..functions.udfs import _wire_strings
             mask = (values.notna() & (values != "")).to_numpy()
             h1 = np.zeros(len(values), np.uint64)
             h2 = np.zeros(len(values), np.uint64)
             if mask.any():
-                enc = [str(x).encode("utf-8") for x in values[mask]]
+                enc = [s.encode("utf-8")
+                       for s in _wire_strings(values[mask])]
                 h1[mask], h2[mask] = hash128_bytes(enc)
             return h1, h2, mask
 
@@ -263,10 +273,12 @@ def _thetawire_family(k: int | None, item_type: str) -> _Family:
             return h, mask
     else:
         def prep(values: pd.Series):
+            from ..functions.udfs import _wire_strings
             mask = (values.notna() & (values != "")).to_numpy()
             h = np.zeros(len(values), np.uint64)
             if mask.any():
-                enc = [str(x).encode("utf-8") for x in values[mask]]
+                enc = [s.encode("utf-8")
+                       for s in _wire_strings(values[mask])]
                 h[mask] = hash128_bytes(enc)[0]
             return h, mask
 
@@ -285,8 +297,13 @@ def _reservoir_family(k: int | None, item_type: str) -> _Family:
 
     if item_type == ITEM_STR:
         def prep(values: pd.Series):
+            from ..functions.udfs import _wire_strings
             mask = values.notna().to_numpy()
-            return values.astype(str).to_numpy(object), mask
+            out = np.empty(len(values), object)
+            if mask.any():
+                out[mask] = np.asarray(_wire_strings(values[mask]),
+                                       dtype=object)
+            return out, mask
     elif item_type == ITEM_LONG:
         def prep(values: pd.Series):
             arr = pd.to_numeric(values, errors="coerce")
@@ -318,8 +335,12 @@ def _wreservoir_family(k: int | None, item_type: str) -> _Family:
         vcol, wcol = pdf.columns[0], pdf.columns[1]
         w = pd.to_numeric(pdf[wcol], errors="coerce").to_numpy(np.float64)
         if item_type == ITEM_STR:
-            vals = pdf[vcol].astype(str).to_numpy(object)
+            from ..functions.udfs import _wire_strings
             mask = pdf[vcol].notna().to_numpy()
+            vals = np.empty(len(pdf), object)
+            if mask.any():
+                vals[mask] = np.asarray(_wire_strings(pdf[vcol][mask]),
+                                        dtype=object)
         elif item_type == ITEM_LONG:
             arr = pd.to_numeric(pdf[vcol], errors="coerce")
             mask = arr.notna().to_numpy()
@@ -365,11 +386,11 @@ def _aodwire_family(k: int | None, item_type: str) -> _Family:
         if not mask.any():
             return
         kv, vv = keys[mask], vals[mask]
+        from ..functions.udfs import _wire_longs, _wire_strings
         if item_type == ITEM_LONG:
-            sk.update_longs(pd.to_numeric(pd.Series(kv))
-                            .to_numpy(np.int64), vv)
+            sk.update_longs(_wire_longs(pd.Series(kv)), vv)
         else:
-            sk.update_strings([str(x) for x in kv], vv)
+            sk.update_strings(_wire_strings(pd.Series(kv)), vv)
 
     return _Family(lambda: AodWireAccumulator(k), prep, update)
 

@@ -369,3 +369,44 @@ class TestContainsLongSql:
                 F.lit("g"), F.col("v")).alias("hit"))
             .where(F.col("hit").isNotNull()))
         assert khits.count() == 50 and khits.where("NOT hit").count() == 0
+
+
+class TestNullIndependenceAllWireFamilies:
+    """The _wire_strings rendering applies across every string-path
+    accumulate: the same logical bigint keys must produce identical
+    state bytes whether or not a batch carries a null (ADVICE r12
+    generalized beyond the Bloom family)."""
+
+    @pytest.mark.parametrize("family,params", [
+        ("cpcwire", {"lgk": 11}),
+        ("thetawire", {"k": 4096}),
+        ("freq", {"max_map_size": 64}),
+        ("bloomwire", {"expected_items": 256, "fpp": 0.01}),
+    ])
+    def test_sketch_agg_families(self, spark, family, params):
+        from datasketches_spark_spark.operators import sketch_accumulate
+        clean = spark.createDataFrame(
+            [(0, int(i)) for i in range(40)], "g int, v long").coalesce(1)
+        dirty = spark.createDataFrame(
+            [(0, int(i)) for i in range(40)] + [(0, None)],
+            "g int, v long").coalesce(1)
+        outs = []
+        for df in (clean, dirty):
+            (r,) = sketch_accumulate(df, ["g"], "v", family=family,
+                                     item_type="str", **params).collect()
+            outs.append(bytes(r.state))
+        assert outs[0] == outs[1], family
+
+    def test_wire_acc_udfs(self, spark):
+        from datasketches_spark_spark.functions.udfs import (
+            cpc_wire_acc_udf, theta_wire_acc_udf)
+        clean = spark.createDataFrame(
+            [(int(i),) for i in range(40)], "v long").coalesce(1)
+        dirty = spark.createDataFrame(
+            [(int(i),) for i in range(40)] + [(None,)],
+            "v long").coalesce(1)
+        for mk in (lambda: cpc_wire_acc_udf(11),
+                   lambda: theta_wire_acc_udf(4096)):
+            a = bytes(clean.agg(mk()("v").alias("s")).collect()[0].s)
+            b = bytes(dirty.agg(mk()("v").alias("s")).collect()[0].s)
+            assert a == b
