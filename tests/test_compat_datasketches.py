@@ -701,3 +701,57 @@ class TestEstimationRegimeExportLive:
             retained = (len(blob) - (20 + 4 * num_levels + 8)) // 4
             assert _kll_total_capacity(k, 8, num_levels) == \
                 lvl0 + retained, (k, n)
+
+
+class TestExportLiveDoublesAndFreq:
+    """Live-Java validation for the remaining export encoders (round
+    13): classic DoublesSketch and frequent-items (strings + longs)
+    images produced by to_datasketches_state must heapify in the
+    bundled datasketches-java with the engine's answers."""
+
+    def test_doubles_export_heapifies(self, spark):
+        import numpy as np
+
+        from datasketches_spark_spark.compat.datasketches import (
+            to_datasketches_state)
+        from datasketches_spark_spark.sketches.kll import KllSketch
+        jvm = spark._jvm
+        # base-buffer regime only: estimation-mode DoublesSketch export
+        # remains a documented refusal (its rigid k-item block layout
+        # cannot express engine level sizes); the estimation-regime
+        # target is the KLL-floats image above
+        for k, n in [(128, 100), (128, 127), (32_768, 50)]:
+            sk = KllSketch(k=k, dtype=np.float64)
+            sk.update_batch(np.arange(n, dtype=np.float64) * 1.5)
+            blob = to_datasketches_state(sk.serialize())
+            jd = jvm.org.apache.datasketches.quantiles.DoublesSketch \
+                .heapify(jvm.org.apache.datasketches.memory.Memory
+                         .wrap(bytearray(blob)))
+            assert jd.getN() == n
+            for p in (0.1, 0.5, 0.9):
+                assert jd.getQuantile(p) == sk.quantiles([p])[0]
+
+    def test_freq_exports_heapify(self, spark):
+        from datasketches_spark_spark.compat.datasketches import (
+            to_datasketches_state)
+        from datasketches_spark_spark.sketches.freq import (
+            ITEM_LONG, ITEM_STR, FreqItemsSketch)
+        jvm = spark._jvm
+        mem = jvm.org.apache.datasketches.memory.Memory
+        fs = FreqItemsSketch(max_map_size=64, item_type=ITEM_STR)
+        fs.update_batch([f"k{i % 7}" for i in range(1000)])
+        jf = jvm.org.apache.datasketches.frequencies.ItemsSketch \
+            .getInstance(
+                mem.wrap(bytearray(to_datasketches_state(fs.serialize()))),
+                jvm.org.apache.datasketches.common.ArrayOfStringsSerDe())
+        for i in range(7):
+            # exact regime (7 items in a 64-slot map): estimates equal
+            # true counts on both sides
+            assert jf.getEstimate(f"k{i}") == fs.estimate(f"k{i}")
+        fl = FreqItemsSketch(max_map_size=64, item_type=ITEM_LONG)
+        fl.update_batch([i % 5 for i in range(500)])
+        jl = jvm.org.apache.datasketches.frequencies.LongsSketch \
+            .getInstance(
+                mem.wrap(bytearray(to_datasketches_state(fl.serialize()))))
+        for i in range(5):
+            assert jl.getEstimate(i) == fl.estimate(i) == 100
