@@ -2772,7 +2772,11 @@ def _demo_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain cap (3 largest docs by n_chars). Output: one row per
     surviving domain with its stats, plus kept count under the cap —
     every ratio a single integer division, fully replayed by the
-    DuckDB oracle."""
+    DuckDB oracle. Round 13 adds ``n_unique_theta``: the sketch-NDV
+    mode (state-carrying exchange — the 100 TB path; see SCALE.md) in
+    its exact regime, where theta retains every hash below k and the
+    estimate IS the distinct count, so the oracle is the same
+    ``count(DISTINCT ...)``."""
     from datasketches_spark_spark.operators import (
         cap_per_domain, domain_drop_list, domain_stats, filter_by_domain)
     docs = read_table(spark, sf_dir, "documents") \
@@ -2790,8 +2794,13 @@ def _demo_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_kept = capped.groupBy(F.col("source").alias("domain")).agg(
         F.count("*").cast("long").alias("n_capped"),
         F.sum("doc_id").cast("long").alias("kept_id_sum"))
+    theta = (domain_stats(corpus, "source", "doc_id", "text",
+                          ndv="theta")
+             .select("domain",
+                     F.col("n_unique").alias("n_unique_theta")))
     return (stats.join(n_kept, "domain", "inner")
-            .select("domain", "n_docs", "n_unique",
+            .join(theta, "domain", "inner")
+            .select("domain", "n_docs", "n_unique", "n_unique_theta",
                     F.round("dup_frac", 6).alias("dup_frac"),
                     "n_tokens", F.round("pass_frac", 6).alias("pass_frac"),
                     "n_capped", "kept_id_sum")
@@ -4810,6 +4819,9 @@ def demo_oracle_sql() -> dict[str, str]:
             SELECT s.domain,
                    CAST(s.n_docs AS BIGINT) AS n_docs,
                    CAST(s.n_unique AS BIGINT) AS n_unique,
+                   -- theta NDV in its exact regime (per-domain NDV <<
+                   -- k=4096: every hash retained) IS the distinct count
+                   CAST(s.n_unique AS BIGINT) AS n_unique_theta,
                    round(1.0 - CAST(s.n_unique AS DOUBLE) / s.n_docs, 6)
                      AS dup_frac,
                    s.n_tokens,
