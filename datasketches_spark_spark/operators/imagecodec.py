@@ -52,6 +52,8 @@ def sniff_format(data: bytes) -> str | None:
         return "webp"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     for magic, name in _STUB_MAGICS:
         if data.startswith(magic):
             return name
@@ -79,12 +81,15 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "webp":
         from .webpcodec import decode_webp
         return decode_webp(data)
+    if fmt == "tiff":
+        from .tiffcodec import decode_tiff
+        return decode_tiff(data)
     raise NotImplementedError(
         f"no built-in codec for format {fmt or 'unknown'!r}: "
         "PPM/PGM (P6/P5), BMP (BI_RGB), baseline+progressive JPEG, "
-        "PNG (all legal depths), GIF and lossless WebP (VP8L) decode "
-        "without native image libraries; inject a codec for other "
-        "compressed formats")
+        "PNG (all legal depths), GIF, lossless WebP (VP8L) and "
+        "baseline TIFF (none/LZW/PackBits) decode without native "
+        "image libraries; inject a codec for other compressed formats")
 
 
 # ------------------------------------------------------------ PPM / PGM
