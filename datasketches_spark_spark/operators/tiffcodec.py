@@ -9,7 +9,9 @@ share of real-world TIFFs (decoder):
   change and horizontal-differencing predictor 2) and 32773 (PackBits);
 * photometric 0/1 (grayscale, MinIsWhite inverted to intensity),
   2 (RGB/RGBA chunky) and 3 (palette, 16-bit colormap scaled);
-* 8 bits per sample, planar configuration 1 (chunky).
+* 8 or 16 bits per sample (16-bit scales to 8-bit output — the PNG
+  codec's convention — with the predictor applied at sample width),
+  planar configuration 1 (chunky).
 
 Encoder: uncompressed chunky grayscale/RGB, little-endian, strip per
 image (the interchange form every TIFF reader accepts).
@@ -205,9 +207,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration 2 "
                                   "(separate planes) not supported")
-    if any(b != 8 for b in bits):
+    bps = bits[0]
+    if any(b != bps for b in bits) or bps not in (8, 16):
         raise NotImplementedError(
-            f"TIFF: only 8 bits/sample supported (got {bits})")
+            f"TIFF: only uniform 8/16 bits/sample supported (got {bits})")
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF: compression {comp} not supported (baseline: none, "
@@ -217,7 +220,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if not offs or not cnts:
         raise ValueError("TIFF: missing strip offsets/byte counts")
     rps = t.get(_T_ROWS_PER_STRIP, (h,))[0] or h
-    row_bytes = w * spp
+    row_bytes = w * spp * (bps // 8)
     raw = bytearray()
     rows_left = h
     for off, cnt in zip(offs, cnts):
@@ -234,12 +237,25 @@ def decode_tiff(data: bytes) -> np.ndarray:
         else:
             raw += _lzw_decode(strip, need)
         rows_left -= min(rps, rows_left)
-    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:
-        img = np.cumsum(img.astype(np.uint32), axis=1).astype(
-            np.uint8).reshape(h, w, spp)
-    elif predictor != 1:
-        raise NotImplementedError(f"TIFF: predictor {predictor}")
+    if bps == 16:
+        # PNG-convention output: 16-bit samples scale to 8-bit (high
+        # byte), AFTER the predictor runs at the 16-bit sample width
+        wide = np.frombuffer(bytes(raw), dtype=order + "u2") \
+            .reshape(h, w, spp)
+        if predictor == 2:
+            wide = np.cumsum(wide.astype(np.uint32),
+                             axis=1).astype(np.uint16)
+        elif predictor != 1:
+            raise NotImplementedError(f"TIFF: predictor {predictor}")
+        img = (wide >> 8).astype(np.uint8)
+    else:
+        img = np.frombuffer(bytes(raw), dtype=np.uint8) \
+            .reshape(h, w, spp)
+        if predictor == 2:
+            img = np.cumsum(img.astype(np.uint32), axis=1).astype(
+                np.uint8).reshape(h, w, spp)
+        elif predictor != 1:
+            raise NotImplementedError(f"TIFF: predictor {predictor}")
     if photo == 3:
         cmap = t.get(_T_COLORMAP)
         if not cmap:

@@ -80,9 +80,10 @@ def _oracle_read_rgba(data: bytes) -> np.ndarray:
         os.unlink(path)
 
 
-def _oracle_write(img: np.ndarray, comp: int, predictor: int = 1) -> bytes:
-    """Encode (H, W, 3|1) uint8 with libtiff at the given compression."""
-    img = np.ascontiguousarray(img, np.uint8)
+def _oracle_write(img: np.ndarray, comp: int, predictor: int = 1,
+                  bits: int = 8) -> bytes:
+    """Encode (H, W, 3|1) uint8/uint16 with libtiff."""
+    img = np.ascontiguousarray(img, np.uint8 if bits == 8 else "<u2")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
@@ -97,7 +98,7 @@ def _oracle_write(img: np.ndarray, comp: int, predictor: int = 1) -> bytes:
 
     setf(_TAG["width"], w)
     setf(_TAG["height"], h)
-    setf(_TAG["bits"], 8)
+    setf(_TAG["bits"], bits)
     setf(_TAG["spp"], spp)
     setf(_TAG["photo"], 2 if spp == 3 else 1)
     setf(_TAG["planar"], 1)
@@ -182,6 +183,24 @@ class TestLibtiffCrossValidation:
         img = np.linspace(0, 255, 64, dtype=np.uint8).reshape(8, 8)
         blob = _oracle_write(img, _COMP_LZW)
         assert (decode_tiff(blob) == img).all()
+
+    @pytest.mark.parametrize("comp,predictor", [
+        (_COMP_NONE, 1), (_COMP_LZW, 1), (_COMP_LZW, 2),
+    ])
+    def test_libtiff_16bit_scales_like_rgba(self, comp, predictor):
+        # 16-bit samples v*257 have v as their high byte, so the numpy
+        # decoder's PNG-convention downscale must reproduce v exactly
+        # (predictor runs at the 16-bit sample width)
+        rng = np.random.RandomState(4)
+        v8 = rng.randint(0, 256, (11, 13, 3)).astype(np.uint16)
+        img16 = (v8 * 257).astype(np.uint16)
+        blob = _oracle_write(img16, comp, predictor, bits=16)
+        info = tiff_info(blob)
+        assert info["bits_per_sample"] == (16, 16, 16)
+        got = decode_tiff(blob)
+        assert (got == v8.astype(np.uint8)).all()
+        rgba = _oracle_read_rgba(blob)
+        assert (rgba[:, :, :3] == got).all()
 
 
 class TestDispatch:
