@@ -3,7 +3,16 @@
 lifecycle, ``dedup_lines`` and ``mine_hard_negatives`` at x1 and x10
 corpus scale (the ``.scaleproof`` fixtures; scaleproof_r11.py
 methodology — one SparkSession per measurement, shuffle-write bytes
-from the event log; a linear operator grows ~10x between the points)."""
+from the event log; a linear operator grows ~10x between the points).
+
+HISTORICAL NOTE (round 13): several ops here end in a bare
+.count(), which lets Catalyst prune computed columns and measure
+the wrong plan (the r12 domain_curation FLAT artifact). The
+hazard-class ops were re-measured with consumed outputs in
+devtools/scaleproof_r13.py, whose runner REFUSES bare counts —
+use that file for new proofs; this one is kept as the original
+record.
+"""
 
 from __future__ import annotations
 

@@ -4,7 +4,16 @@ trigram LM scoring, the Gopher rule filter, and the NB classifier at
 x1 and x10 corpus scale (the ``.scaleproof`` fixtures; methodology of
 ``devtools/scaleproof.py`` — one SparkSession per measurement,
 shuffle-write bytes from the event log; a linear operator grows ~10x
-between the points, a broadcast/scan-stage operator stays flat)."""
+between the points, a broadcast/scan-stage operator stays flat).
+
+HISTORICAL NOTE (round 13): several ops here end in a bare
+.count(), which lets Catalyst prune computed columns and measure
+the wrong plan (the r12 domain_curation FLAT artifact). The
+hazard-class ops were re-measured with consumed outputs in
+devtools/scaleproof_r13.py, whose runner REFUSES bare counts —
+use that file for new proofs; this one is kept as the original
+record.
+"""
 
 from __future__ import annotations
 
