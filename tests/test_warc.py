@@ -1,0 +1,137 @@
+"""WARC source (operators/warc.py): framing parser, concatenated-gzip
+members, the binaryFile -> mapInPandas Spark path, and strict-framing
+failures."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.operators.warc import (
+    is_gzip,
+    is_warc,
+    parse_warc,
+    read_warc,
+)
+
+
+def _record(warc_type: str, uri: str | None, payload: bytes,
+            content_type: str = "text/plain",
+            rid: str = "urn:uuid:0000") -> bytes:
+    h = [f"WARC/1.0",
+         f"WARC-Type: {warc_type}",
+         f"WARC-Date: 2026-08-15T00:00:00Z",
+         f"WARC-Record-ID: <{rid}>",
+         f"Content-Type: {content_type}",
+         f"Content-Length: {len(payload)}"]
+    if uri:
+        h.insert(2, f"WARC-Target-URI: <{uri}>")
+    head = ("\r\n".join(h)).encode() + b"\r\n\r\n"
+    return head + payload + b"\r\n\r\n"
+
+
+def _corpus(n: int = 5) -> bytes:
+    recs = [_record("warcinfo", None, b"software: test\r\n",
+                    "application/warc-fields")]
+    for i in range(n):
+        recs.append(_record(
+            "response", f"https://h{i}.example.com/p/{i}",
+            b"HTTP/1.1 200 OK\r\n\r\nbody-" + str(i).encode(),
+            "application/http; msgtype=response", rid=f"urn:uuid:r{i}"))
+        recs.append(_record(
+            "conversion", f"https://h{i}.example.com/p/{i}",
+            f"extracted text {i} lorem ipsum".encode(),
+            "text/plain", rid=f"urn:uuid:c{i}"))
+    return b"".join(recs)
+
+
+class TestParser:
+    def test_plain_roundtrip(self):
+        recs = list(parse_warc(_corpus(3)))
+        assert len(recs) == 7  # warcinfo + 3x(response+conversion)
+        assert recs[0]["warc_type"] == "warcinfo"
+        conv = [r for r in recs if r["warc_type"] == "conversion"]
+        assert [r["payload"].decode() for r in conv] == \
+            [f"extracted text {i} lorem ipsum" for i in range(3)]
+        assert conv[0]["target_uri"] == "https://h0.example.com/p/0"
+        assert conv[0]["record_id"] == "urn:uuid:c0"
+        assert conv[0]["content_length"] == len(conv[0]["payload"])
+
+    def test_gzip_members_roundtrip(self):
+        # the WARC.gz convention: ONE gzip member per record
+        raw = _corpus(4)
+        members = b"".join(
+            gzip.compress(_record("conversion", f"u{i}",
+                                  f"text {i}".encode()))
+            for i in range(4))
+        assert is_gzip(members) and is_warc(members)
+        got = list(parse_warc(members))
+        assert [r["payload"].decode() for r in got] == \
+            [f"text {i}" for i in range(4)]
+        # whole-file single-member gzip also decodes
+        assert len(list(parse_warc(gzip.compress(raw)))) == 9
+
+    def test_sniff(self):
+        assert is_warc(_corpus(1))
+        assert not is_warc(b"HTTP/1.1 200 OK\r\n")
+        assert not is_warc(gzip.compress(b"not a warc"))
+
+    def test_strict_framing_raises(self):
+        rec = _record("conversion", "u", b"abc")
+        with pytest.raises(ValueError, match="version line"):
+            list(parse_warc(b"JUNK" + rec))
+        with pytest.raises(ValueError, match="truncated"):
+            list(parse_warc(rec[:-5]))   # cuts into the payload
+        with pytest.raises(ValueError, match="unterminated"):
+            list(parse_warc(rec[:-8]))   # cuts into the header block
+        bad = rec.replace(b"Content-Length: 3", b"Content-Length: x")
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(parse_warc(bad))
+
+
+class TestSparkSource:
+    def test_read_warc_binaryfile_path(self, spark, tmp_path):
+        d = str(tmp_path / "warcs")
+        os.makedirs(d)
+        with open(os.path.join(d, "a.warc"), "wb") as fh:
+            fh.write(_corpus(3))
+        with gzip.open(os.path.join(d, "b.warc.gz"), "wb") as fh:
+            fh.write(_corpus(2))
+        df = read_warc(spark, d)
+        rows = df.collect()
+        assert len(rows) == 7 + 5
+        conv = read_warc(spark, d, types=("conversion",))
+        got = (conv.select("target_uri",
+                           F.decode("payload", "utf-8").alias("text"))
+               .collect())
+        assert len(got) == 5
+        assert all(r.text.startswith("extracted text") for r in got)
+        # scan-stage: one mapInPandas over binaryFile, no shuffle
+        plan = conv._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+
+    def test_feeds_the_pipeline(self, spark, tmp_path):
+        """The ingestion handshake: WARC conversion records flow into
+        the engine's own text operators (fingerprint + domain key)."""
+        from datasketches_spark_spark.functions.text import doc_fingerprint
+        from datasketches_spark_spark.functions.urls import (
+            url_registered_domain)
+        d = str(tmp_path / "w2")
+        os.makedirs(d)
+        with open(os.path.join(d, "c.warc"), "wb") as fh:
+            fh.write(_corpus(4))
+        docs = (read_warc(spark, d, types=("conversion",))
+                .select(F.col("record_id").alias("doc_id"),
+                        F.decode("payload", "utf-8").alias("text"),
+                        url_registered_domain("target_uri")
+                        .alias("domain")))
+        rows = {r.doc_id: (r.domain,
+                           doc_fingerprint(F.lit(r.text)))  # type check
+                for r in docs.collect()}
+        assert len(rows) == 4
+        got = docs.select("domain").distinct().collect()
+        assert sorted(r.domain for r in got) == ["example.com"]
