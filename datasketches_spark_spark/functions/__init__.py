@@ -8,6 +8,7 @@ Import as::
 """
 
 from . import quality_rules, text, urls
+from .http import http_body, http_header, http_status, http_text
 from .urls import canonicalize_url, url_host, url_registered_domain
 from .embeddings import (
     dequantize_int8,
@@ -79,6 +80,10 @@ __all__ = [
     "text",
     # URL canonicalization (extension; crawl-pipeline normalization)
     "canonicalize_url",
+    "http_body",
+    "http_header",
+    "http_status",
+    "http_text",
     "url_host",
     "url_registered_domain",
     # reservoir sampling (extension; DataSketches sampling family)

@@ -135,3 +135,68 @@ class TestSparkSource:
         assert len(rows) == 4
         got = docs.select("domain").distinct().collect()
         assert sorted(r.domain for r in got) == ["example.com"]
+
+
+class TestHttpHelpers:
+    """functions/http.py: scan-stage HTTP-message splitting for WARC
+    response payloads (status / headers / body), incl. the lossless
+    ISO-8859-1 byte<->char convention and non-HTTP nulls."""
+
+    def _df(self, spark):
+        body = "<html>é café</html>".encode("utf-8")
+        msg = (b"HTTP/1.1 200 OK\r\n"
+               b"Content-Type: text/html; charset=utf-8\r\n"
+               b"X-Weird:   spaced value\r\n"
+               b"\r\n" + body)
+        rows = [(1, bytearray(msg)),
+                (2, bytearray(b"HTTP/1.0 404 Not Found\r\n\r\n")),
+                (3, bytearray(b"not http at all"))]
+        return spark.createDataFrame(rows, "id long, payload binary")
+
+    def test_status_header_body(self, spark):
+        from datasketches_spark_spark.functions import (
+            http_body, http_header, http_status, http_text)
+        df = self._df(spark).select(
+            "id",
+            http_status(http_text("payload")).alias("code"),
+            http_header(http_text("payload"), "content-type").alias("ct"),
+            http_header(http_text("payload"), "X-Weird").alias("xw"),
+            http_body(http_text("payload")).alias("body"))
+        by = {r.id: r for r in df.collect()}
+        assert by[1].code == 200
+        assert by[1].ct == "text/html; charset=utf-8"
+        assert by[1].xw == "spaced value"
+        # lossless: re-encoding the ISO-8859-1 body returns the exact
+        # UTF-8 bytes, which then decode to the original text
+        body_bytes = by[1].body.encode("ISO-8859-1")
+        assert body_bytes.decode("utf-8") == "<html>é café</html>"
+        assert by[2].code == 404 and by[2].body == ""
+        assert by[3].code is None and by[3].body is None
+        assert by[3].ct is None
+
+    def test_scan_stage_only(self, spark):
+        from datasketches_spark_spark.functions import (
+            http_body, http_status, http_text)
+        df = self._df(spark).select(
+            http_status(http_text("payload")),
+            http_body(http_text("payload")))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "pythonUDF" not in plan.lower()
+
+    def test_warc_response_flow(self, spark, tmp_path):
+        """response records -> status filter -> body into text ops."""
+        import gzip as _g
+        from datasketches_spark_spark.functions import (
+            http_body, http_status, http_text)
+        from datasketches_spark_spark.operators.warc import read_warc
+        d = str(tmp_path / "w3")
+        os.makedirs(d)
+        with open(os.path.join(d, "r.warc"), "wb") as fh:
+            fh.write(_corpus(3))
+        resp = (read_warc(spark, d, types=("response",))
+                .select(http_text("payload").alias("m")))
+        out = (resp.where(http_status("m") == 200)
+               .select(http_body("m").alias("body")).collect())
+        assert sorted(r.body for r in out) == \
+            [f"body-{i}" for i in range(3)]
+        assert _g is not None  # keep the import local-use explicit
