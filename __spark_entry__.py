@@ -3060,6 +3060,34 @@ def _demo_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _demo_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (round 13, functions/html.py): each doc
+    wraps itself in an HTML page (head + title + script junk + two
+    body paragraphs), then html_to_text/html_title recover the visible
+    content. Docs are pre-filtered to markup-free text (no <>&, tabs,
+    newlines, double spaces, edge spaces) so the extracted value is an
+    exact string expression over the relational columns — the oracle
+    rebuilds it with concatenation, no regexp replay needed."""
+    from datasketches_spark_spark.functions import (html_title,
+                                                    html_to_text)
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 400) \
+        .where(~F.col("text").rlike("[<>&\t\n\r]")
+               & ~F.col("text").contains("  ")
+               & (F.col("text") == F.trim(F.col("text"))))
+    html = F.concat(
+        F.lit("<html><head><title>T"), F.col("doc_id"),
+        F.lit("</title><script>junk('<p>no</p>')</script></head>"
+              "<body><!-- c --><p>"), F.col("text"),
+        F.lit("</p><p>tail "), F.col("doc_id"),
+        F.lit("</p></body></html>"))
+    return (docs.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        html_to_text(html).alias("text_out"))
+        .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -3090,6 +3118,7 @@ def demo_queries() -> dict[str, str]:
         "demo_webp_lossy": _demo_webp_lossy,
         "demo_tiff_roundtrip": _demo_tiff_roundtrip,
         "demo_warc_ingest": _demo_warc_ingest,
+        "demo_html_extract": _demo_html_extract,
     }
 
 
@@ -5134,6 +5163,21 @@ def demo_oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS chars
             FROM documents WHERE doc_id < 300
             GROUP BY doc_id % 3 ORDER BY domain
+        """,
+        # demo_html_extract: markup-free input text means the visible
+        # text is pure concatenation over relational columns (the same
+        # filters applied on both sides)
+        "demo_html_extract": """
+            SELECT doc_id,
+                   'T' || CAST(doc_id AS VARCHAR) AS title,
+                   text || chr(10) || 'tail '
+                        || CAST(doc_id AS VARCHAR) AS text_out
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[<>&\t\n\r]')
+              AND NOT contains(text, '  ')
+              AND text = trim(text)
+            ORDER BY doc_id
         """,
         # demo_tiff_roundtrip: lossless roundtrip of solid-color 6x9
         # payloads -> every decoded feature is integer math on the

@@ -8,6 +8,7 @@ Import as::
 """
 
 from . import quality_rules, text, urls
+from .html import html_title, html_to_text
 from .http import http_body, http_header, http_status, http_text
 from .urls import canonicalize_url, url_host, url_registered_domain
 from .embeddings import (
@@ -80,6 +81,8 @@ __all__ = [
     "text",
     # URL canonicalization (extension; crawl-pipeline normalization)
     "canonicalize_url",
+    "html_title",
+    "html_to_text",
     "http_body",
     "http_header",
     "http_status",

@@ -1,0 +1,94 @@
+"""HTML -> text extraction (functions/html.py): the documented
+contract case-by-case, the end-to-end WARC -> http_body -> html_to_text
+chain, and the scan-stage plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.functions import html_title, html_to_text
+
+
+def _one(spark, html: str, col) -> str | None:
+    df = spark.createDataFrame([(html,)], ["h"])
+    return df.select(col.alias("v")).collect()[0].v
+
+
+CASES = [
+    # tags strip; block boundaries become newlines; inline tags spaces
+    ("<html><body><p>Hello <b>world</b></p><p>Second</p></body></html>",
+     "Hello world\nSecond"),
+    # scripts/styles/comments/head vanish WITH their content
+    ("<head><title>T</title><style>p{color:red}</style></head>"
+     "<body><script>var x = '<p>not text</p>';</script>Visible</body>",
+     "Visible"),
+    ("<body>a<!-- hidden <b>bold</b> -->b</body>", "a b"),
+    ("<body><noscript>enable js</noscript>ok</body>", "ok"),
+    # entities, incl. the &amp;lt; double-escape ordering rule
+    ("<p>Tom &amp; Jerry &lt;3 &quot;cheese&quot; &apos;n&apos; "
+     "crackers&nbsp;here</p>", "Tom & Jerry <3 \"cheese\" 'n' "
+     "crackers here"),
+    ("<p>&amp;lt;literal&amp;gt;</p>", "&lt;literal&gt;"),
+    # line breaks and whitespace collapse
+    ("<div>one</div>\n\n\n<div>two<br>three</div>", "one\ntwo\nthree"),
+    ("<p>  spaced \t out  </p>", "spaced out"),
+    # self-closing and attribute-heavy tags
+    ('<p class="x" data-y="1>2">attr</p>', "2\">attr"),
+    ('<img src="a.png"/>after', "after"),
+]
+
+
+class TestHtmlToText:
+    @pytest.mark.parametrize("html,want", CASES)
+    def test_contract(self, spark, html, want):
+        assert _one(spark, html, html_to_text("h")) == want
+
+    def test_title(self, spark):
+        assert _one(spark, "<head><title> A &amp; B </title></head>",
+                    html_title("h")) == "A & B"
+        assert _one(spark, "<body>no title</body>",
+                    html_title("h")) is None
+
+    def test_scan_stage_only(self, spark):
+        df = spark.createDataFrame([("<p>x</p>",)], ["h"])
+        out = df.select(html_to_text("h"), html_title("h"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "pythonUDF" not in plan.lower()
+
+
+class TestWarcChain:
+    def test_warc_response_to_text(self, spark, tmp_path):
+        """The full ingestion chain: WARC response record -> HTTP body
+        -> visible text -> the engine's fingerprint."""
+        import os
+
+        from datasketches_spark_spark.functions import (
+            http_body, http_status, http_text)
+        from datasketches_spark_spark.functions.text import doc_fingerprint
+        from datasketches_spark_spark.operators.warc import read_warc
+        html = ("<html><head><title>Page</title></head><body>"
+                "<p>alpha beta</p><p>gamma</p></body></html>")
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                   + html.encode())
+        rec = ("WARC/1.0\r\nWARC-Type: response\r\n"
+               "WARC-Target-URI: <https://ex.com/a>\r\n"
+               "WARC-Date: 2026-08-15T00:00:00Z\r\n"
+               "WARC-Record-ID: <urn:uuid:1>\r\n"
+               "Content-Type: application/http; msgtype=response\r\n"
+               f"Content-Length: {len(payload)}\r\n\r\n"
+               ).encode() + payload + b"\r\n\r\n"
+        d = str(tmp_path / "w")
+        os.makedirs(d)
+        with open(os.path.join(d, "x.warc"), "wb") as fh:
+            fh.write(rec)
+        out = (read_warc(spark, d, types=("response",))
+               .select(http_text("payload").alias("m"))
+               .where(http_status("m") == 200)
+               .select(html_to_text(http_body("m")).alias("text"))
+               .select("text", doc_fingerprint(F.col("text"))
+                       .alias("fp"))
+               .collect())
+        assert len(out) == 1
+        assert out[0].text == "alpha beta\ngamma"
+        assert out[0].fp is not None and len(out[0].fp) == 32
