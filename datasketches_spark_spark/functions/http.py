@@ -40,10 +40,14 @@ def http_status(msg) -> Column:
 def http_header(msg, name: str) -> Column:
     """First value of header ``name`` (case-insensitive; null when
     absent). ``name`` is a literal python string, escaped into the
-    pattern at plan time."""
+    pattern at plan time. The match is restricted to the HEADER block
+    (everything before the first CRLF CRLF): a ``Name: value``-shaped
+    line inside the body — common in HTML/text payloads quoting
+    headers — must not produce a false value."""
     s = _col(msg)
+    head = F.substring_index(s, "\r\n\r\n", 1)
     pat = r"(?i)(?:^|\r\n)" + re.escape(name) + r":[ \t]*([^\r\n]*)"
-    v = F.regexp_extract(s, pat, 1)
+    v = F.regexp_extract(head, pat, 1)
     return F.when(v == "", None).otherwise(v)
 
 

@@ -77,10 +77,13 @@ def approx_membership_contains(state, col,
 
     ``item_type`` ('long' | 'string') pins the hash path for WIRE
     (DataSketches family-21) states at plan time — pass the same value
-    the state was accumulated with. Left as None, the probe dispatches
-    on the Arrow batch dtype, which treats integral-valued float
-    batches as longs (a nullable bigint column arrives as float64
-    whenever a batch holds a null). Engine-native states ignore it —
+    the state was accumulated with. Left as None, an integer probe
+    column (including integral-valued float batches — a nullable
+    bigint column arrives as float64 whenever a batch holds a null)
+    tests BOTH wire hash spaces and ORs the results, so no false
+    negatives whichever ``item_type`` default built the state, at the
+    cost of at most doubling the false-positive rate — pin both sides
+    for the designed fpp. Engine-native states ignore it —
     they probe one shared hash space for every input type.
     ``item_type='long'`` ships the probe keys as cast-to-string so
     values above 2^53 survive Arrow exactly."""

@@ -880,16 +880,27 @@ def _wire_longs(vals: pd.Series) -> np.ndarray:
 
     Integer dtypes convert directly (lossless, incl. pandas ``Int64``).
     Object dtypes (decimal strings / python ints) parse per element —
-    exact at any magnitude. Float dtypes convert via round-to-int64:
+    exact at any magnitude. Float dtypes must be integral-valued:
     a nullable bigint column crosses Arrow as float64 whenever the
-    batch holds a null, so this is usually an int column in disguise
-    (keys above 2^53 were already degraded by that Arrow conversion —
-    plan-time ``item_type='long'`` in the membership API routes around
-    it by shipping the keys as cast-to-string)."""
+    batch holds a null, so an integral float batch is an int column in
+    disguise and converts losslessly (keys above 2^53 were already
+    degraded by that Arrow conversion — plan-time ``item_type='long'``
+    in the membership API routes around it by shipping the keys as
+    cast-to-string). A genuinely fractional value under
+    ``item_type='long'`` is a caller error: silently rounding would
+    produce wrong keys with no signal, so it raises instead."""
     if pd.api.types.is_integer_dtype(vals):
         return vals.to_numpy(dtype=np.int64)
     if pd.api.types.is_float_dtype(vals):
-        return np.rint(vals.to_numpy(dtype=np.float64)).astype(np.int64)
+        arr = vals.to_numpy(dtype=np.float64)
+        if arr.size and not (np.all(np.isfinite(arr))
+                             and np.all(arr == np.floor(arr))):
+            bad = arr[~(np.isfinite(arr) & (arr == np.floor(arr)))][0]
+            raise ValueError(
+                "item_type='long' requires integral keys; got a "
+                f"non-integral double value {bad!r} — cast the column "
+                "to BIGINT explicitly, or use item_type='string'")
+        return arr.astype(np.int64)
     return np.fromiter((int(x) for x in vals), dtype=np.int64,
                        count=len(vals))
 
@@ -917,25 +928,35 @@ def _bloom_probe(sk, vals: pd.Series,
     everything else as UTF-8 strings — the datasketches-java rule).
 
     ``item_type`` is the plan-time declaration (``ITEM_LONG`` /
-    ``ITEM_STR``); when absent the wire path falls back to dtype
-    sniffing, treating integral-valued float batches as longs — a
-    nullable bigint probe column arrives from Arrow as float64 whenever
-    the batch holds a null, and hashing those rows as '1.0'-style
-    strings would silently break the family's no-false-negative
-    guarantee against a long-built filter."""
+    ``ITEM_STR``); when absent, an integer (or integral-float — a
+    nullable bigint column arrives from Arrow as float64 whenever the
+    batch holds a null) probe against a wire filter tests BOTH hash
+    spaces and ORs the results: the state may have been built by either
+    Java overload — ``update(long)`` (8-byte-LE keys) or the
+    engine's default-``item_type`` accumulate, which renders integer
+    keys as UTF-8 strings — and probing only one space silently
+    breaks the family's no-false-negative guarantee against the other.
+    The OR at most doubles the false-positive rate; pin ``item_type``
+    on both sides for the designed fpp."""
     from ..sketches import BloomFilter
     if isinstance(sk, BloomFilter):
         return sk.contains_hashes(hash_series(vals))
     if item_type == ITEM_LONG:
         return sk.contains_longs(_wire_longs(vals))
     if item_type is None:
+        longs = None
         if pd.api.types.is_integer_dtype(vals):
-            return sk.contains_longs(_wire_longs(vals))
-        if pd.api.types.is_float_dtype(vals):
+            longs = vals.to_numpy(dtype=np.int64)
+        elif pd.api.types.is_float_dtype(vals):
             arr = vals.to_numpy(dtype=np.float64)
             if arr.size and np.all(np.isfinite(arr)) \
                     and np.all(arr == np.floor(arr)):
-                return sk.contains_longs(arr.astype(np.int64))
+                longs = arr.astype(np.int64)
+        if longs is not None:
+            in_longs = np.asarray(sk.contains_longs(longs))
+            in_strs = np.asarray(
+                sk.contains_strings([str(x) for x in longs]))
+            return in_longs | in_strs
     return sk.contains_strings(_wire_strings(vals))
 
 

@@ -410,3 +410,68 @@ class TestNullIndependenceAllWireFamilies:
             a = bytes(clean.agg(mk()("v").alias("s")).collect()[0].s)
             b = bytes(dirty.agg(mk()("v").alias("s")).collect()[0].s)
             assert a == b
+
+
+class TestDefaultPairingNoFalseNegatives:
+    """ADVICE r13 (high): a bigint column accumulated with the DEFAULT
+    item_type (string rendering) and probed with the DEFAULT 2-arg
+    contains (dtype-sniffed) must still hit every key. The unpinned
+    integer probe now tests BOTH wire hash spaces and ORs — no false
+    negatives whichever default built the state."""
+
+    def _state(self, spark, item_type=None):
+        keys = spark.createDataFrame(
+            [(int(i),) for i in range(300)], "v long")
+        kw = {} if item_type is None else {"item_type": item_type}
+        (row,) = keys.agg(dsf.approx_membership_accumulate_wire(
+            "v", expected_items=2048, **kw).alias("bf")).collect()
+        return bytes(row.bf)
+
+    @pytest.mark.parametrize("acc_item_type", [None, "long", "string"])
+    def test_default_probe_hits_all(self, spark, acc_item_type):
+        bf = self._state(spark, acc_item_type)
+        probe = spark.createDataFrame(
+            [(int(i),) for i in range(300)], "v long")
+        got = (probe.crossJoin(
+                   spark.createDataFrame([(bf,)], "bf binary"))
+               .select(dsf.approx_membership_contains(
+                   F.col("bf"), F.col("v")).alias("hit")))
+        assert got.where(~F.col("hit")).count() == 0, \
+            f"false negatives (acc item_type={acc_item_type})"
+        assert got.where(F.col("hit")).count() == 300
+
+    def test_sql_default_default_pairing(self, spark):
+        dss.install(spark)
+        spark.createDataFrame([(int(i),) for i in range(200)], "v long") \
+            .createOrReplaceTempView("t_bw_dd_keys")
+        spark.sql("""
+            SELECT approx_membership_accumulate_wire(v) AS bf
+            FROM t_bw_dd_keys""").createOrReplaceTempView("t_bw_dd_state")
+        misses = spark.sql("""
+            SELECT count(*) AS n FROM t_bw_dd_keys k, t_bw_dd_state s
+            WHERE NOT approx_membership_contains(s.bf, k.v)
+        """).collect()[0].n
+        assert misses == 0
+
+    def test_unpinned_probe_fpp_still_bounded(self, spark):
+        # OR-of-two-spaces at most doubles the design fpp; never-seen
+        # keys must still overwhelmingly test negative.
+        bf = self._state(spark)  # default (string-rendered) state
+        probe = spark.createDataFrame(
+            [(int(i),) for i in range(100_000, 102_000)], "v long")
+        fp = (probe.crossJoin(
+                  spark.createDataFrame([(bf,)], "bf binary"))
+              .select(dsf.approx_membership_contains(
+                  F.col("bf"), F.col("v")).alias("hit"))
+              .where(F.col("hit")).count())
+        assert fp <= 2000 * 0.05  # design 1% -> OR bound 2%, slack 5%
+
+    def test_wire_longs_fractional_raises(self):
+        # ADVICE r13 (low): silent np.rint of non-integral doubles
+        # under item_type='long' is a wrong-key factory — raise.
+        import pandas as pd
+        from datasketches_spark_spark.functions.udfs import _wire_longs
+        with pytest.raises(ValueError, match="non-integral"):
+            _wire_longs(pd.Series([1.0, 2.5, 3.0]))
+        got = _wire_longs(pd.Series([1.0, 2.0, 3.0]))
+        assert list(got) == [1, 2, 3]
