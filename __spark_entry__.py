@@ -3067,7 +3067,11 @@ def _demo_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     content. Docs are pre-filtered to markup-free text (no <>&, tabs,
     newlines, double spaces, edge spaces) so the extracted value is an
     exact string expression over the relational columns — the oracle
-    rebuilds it with concatenation, no regexp replay needed."""
+    rebuilds it with concatenation, no regexp replay needed. r14 leg:
+    the tail paragraph carries NUMERIC character references (decimal
+    + hex, doc_id-derived code points) that html_to_text now decodes
+    (functions/html.py::html_decode_numeric_refs) and the oracle
+    replays with chr()."""
     from datasketches_spark_spark.functions import (html_title,
                                                     html_to_text)
     docs = read_table(spark, sf_dir, "documents") \
@@ -3075,17 +3079,104 @@ def _demo_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("text").rlike("[<>&\t\n\r]")
                & ~F.col("text").contains("  ")
                & (F.col("text") == F.trim(F.col("text"))))
+    dec_ref = F.concat(F.lit("&#"),
+                       (F.col("doc_id") % 26 + 65).cast("int")
+                       .cast("string"), F.lit(";"))
+    hex_ref = F.concat(F.lit("&#x"),
+                       F.lower(F.hex((F.col("doc_id") % 2 + 0x2018)
+                                     .cast("int"))), F.lit(";"))
     html = F.concat(
         F.lit("<html><head><title>T"), F.col("doc_id"),
         F.lit("</title><script>junk('<p>no</p>')</script></head>"
               "<body><!-- c --><p>"), F.col("text"),
-        F.lit("</p><p>tail "), F.col("doc_id"),
+        F.lit("</p><p>tail "), dec_ref, hex_ref, F.lit(" "),
+        F.col("doc_id"),
         F.lit("</p></body></html>"))
     return (docs.select(
         "doc_id",
         html_title(html).alias("title"),
         html_to_text(html).alias("text_out"))
         .orderBy("doc_id"))
+
+
+def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked + gzipped HTTP response bodies decode end-to-end (round
+    14, functions/http.py): docs re-frame as WARC *response* records
+    whose HTML body is gzip-compressed AND chunk-framed (built per
+    partition in an Arrow pass — the bounded foreign-side simulation,
+    like demo_warc_ingest), then ``read_warc -> http_decode_body ->
+    html_to_text`` recovers the visible text. The ``guarded`` column
+    pins the companion fix: the as-captured ``http_body`` slice is
+    null (loud) on encoded messages, never silent framing garbage.
+    Docs are pre-filtered markup-free so the oracle is concatenation."""
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from datasketches_spark_spark.functions import (http_body,
+                                                    http_decode_body,
+                                                    html_to_text)
+    from datasketches_spark_spark.functions.http import http_text
+    from datasketches_spark_spark.operators import read_warc
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300)
+            .where(~F.col("text").rlike("[<>&\t\n\r]")
+                   & ~F.col("text").contains("  ")
+                   & (F.col("text") == F.trim(F.col("text"))))
+            .select("doc_id", "text").repartition(2))
+
+    def _chunked(b: bytes, size: int = 37) -> bytes:
+        out = [b"%x\r\n%s\r\n" % (len(b[i:i + size]), b[i:i + size])
+               for i in range(0, len(b), size)]
+        return b"".join(out) + b"0\r\n\r\n"
+
+    def _mk_warc(pdf_iter):
+        for pdf in pdf_iter:
+            recs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                html = (f"<html><head><title>T{int(did)}</title></head>"
+                        f"<body><p>{text}</p><p>end {int(did)}</p>"
+                        "</body></html>")
+                body = _chunked(gzip.compress(html.encode("utf-8")))
+                msg = (b"HTTP/1.1 200 OK\r\n"
+                       b"Content-Type: text/html; charset=utf-8\r\n"
+                       b"Transfer-Encoding: chunked\r\n"
+                       b"Content-Encoding: gzip\r\n\r\n" + body)
+                head = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    f"WARC-Target-URI: <https://h{int(did) % 10}"
+                    f".example{int(did) % 3}.com/p/{int(did)}>\r\n"
+                    "WARC-Date: 2026-08-15T00:00:00Z\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{int(did)}>\r\n"
+                    "Content-Type: application/http; "
+                    "msgtype=response\r\n"
+                    f"Content-Length: {len(msg)}\r\n\r\n").encode()
+                recs.append(gzip.compress(head + msg + b"\r\n\r\n"))
+            yield pd.DataFrame({"blob": [b"".join(recs)]})
+
+    files = docs.mapInPandas(_mk_warc, "blob binary").collect()
+    d = tempfile.mkdtemp(prefix="dss_httpdec_demo_")
+    try:
+        for i, row in enumerate(files):
+            with open(os.path.join(d, f"part{i}.warc.gz"), "wb") as fh:
+                fh.write(bytes(row.blob))
+        out = (read_warc(spark, d, types=("response",))
+               .select(
+                   F.regexp_extract("record_id", r"(\d+)$", 1)
+                   .cast("long").alias("doc_id"),
+                   html_to_text(http_decode_body("payload"))
+                   .alias("text_out"),
+                   http_body(http_text("payload")).isNull()
+                   .alias("guarded"))
+               .orderBy("doc_id")
+               .localCheckpoint())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def demo_queries() -> dict[str, str]:
@@ -3119,6 +3210,7 @@ def demo_queries() -> dict[str, str]:
         "demo_tiff_roundtrip": _demo_tiff_roundtrip,
         "demo_warc_ingest": _demo_warc_ingest,
         "demo_html_extract": _demo_html_extract,
+        "demo_http_decode": _demo_http_decode,
     }
 
 
@@ -5171,9 +5263,26 @@ def demo_oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'T' || CAST(doc_id AS VARCHAR) AS title,
                    text || chr(10) || 'tail '
+                        || chr(65 + CAST(doc_id % 26 AS INT))
+                        || chr(8216 + CAST(doc_id % 2 AS INT)) || ' '
                         || CAST(doc_id AS VARCHAR) AS text_out
             FROM documents
             WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[<>&\t\n\r]')
+              AND NOT contains(text, '  ')
+              AND text = trim(text)
+            ORDER BY doc_id
+        """,
+        # r14: chunked+gzipped response bodies decode end-to-end; the
+        # guard column proves the as-captured http_body slice is now
+        # loudly null on encoded messages
+        "demo_http_decode": """
+            SELECT doc_id,
+                   text || chr(10) || 'end '
+                        || CAST(doc_id AS VARCHAR) AS text_out,
+                   TRUE AS guarded
+            FROM documents
+            WHERE doc_id < 300
               AND NOT regexp_matches(text, '[<>&\t\n\r]')
               AND NOT contains(text, '  ')
               AND text = trim(text)

@@ -8,8 +8,10 @@ Import as::
 """
 
 from . import quality_rules, text, urls
-from .html import html_title, html_to_text
-from .http import http_body, http_header, http_status, http_text
+from .html import html_decode_numeric_refs, html_title, html_to_text
+from .http import (http_body, http_charset, http_decode_body,
+                   http_decode_body_bytes, http_header,
+                   http_status, http_text)
 from .urls import canonicalize_url, url_host, url_registered_domain
 from .embeddings import (
     dequantize_int8,
@@ -81,9 +83,13 @@ __all__ = [
     "text",
     # URL canonicalization (extension; crawl-pipeline normalization)
     "canonicalize_url",
+    "html_decode_numeric_refs",
     "html_title",
     "html_to_text",
     "http_body",
+    "http_charset",
+    "http_decode_body",
+    "http_decode_body_bytes",
     "http_header",
     "http_status",
     "http_text",

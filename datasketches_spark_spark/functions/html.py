@@ -16,12 +16,15 @@ expression):
 2. turn block-level closers/openers (``p, div, li, tr, table, h1-h6,
    br, section, article``) into newlines;
 3. strip every remaining tag;
-4. decode the named entities crawl text actually contains
-   (``lt gt quot apos nbsp`` then ``amp`` LAST, so ``&amp;lt;`` decodes
-   to the literal ``&lt;`` — one pass, spec order) plus decimal
-   ``&#NN;`` for the ASCII range via the same rule every engine
-   reproduces: ``&#60;`` -> ``<`` etc. is NOT attempted (needs
-   computed chars); documented gap;
+4. decode entities in one spec-ordered pass: NUMERIC character
+   references first (``&#NN;`` / ``&#xHH;`` — full code-point range
+   incl. the HTML5 windows-1252 remap of 0x80-0x9F, via
+   ``html_decode_numeric_refs``, still pure Column exprs: split /
+   ``conv`` / ``decode UTF-32`` / zip — r14, closing the r13 gap),
+   then the named entities crawl text actually contains
+   (``lt gt quot apos nbsp`` then ``amp`` LAST, so ``&amp;lt;``
+   decodes to the literal ``&lt;`` and ``&amp;#60;`` to the literal
+   ``&#60;``);
 5. collapse runs of spaces/tabs to one space, newline runs to one
    newline (block boundaries become single separators), and strip
    leading/trailing whitespace.
@@ -29,10 +32,12 @@ expression):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["html_to_text", "html_title"]
+__all__ = ["html_to_text", "html_title", "html_decode_numeric_refs"]
 
 _BLOCK_TAGS = ("p|div|li|ul|ol|tr|td|th|table|h[1-6]|br|hr|section|"
                "article|header|footer|blockquote|pre")
@@ -42,7 +47,66 @@ def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# HTML5 §13.2.5.80: numeric references in 0x80-0x9F are windows-1252
+# code points, not C1 controls — crawl HTML leans on this constantly
+# (&#146; is an apostrophe). Self-mapping holes (81 8D 8F 90 9D) omitted.
+_C1_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E,
+    0x85: 0x2026, 0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6,
+    0x89: 0x2030, 0x8A: 0x0160, 0x8B: 0x2039, 0x8C: 0x0152,
+    0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019, 0x93: 0x201C,
+    0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A,
+    0x9C: 0x0153, 0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+_NCR_BODY = r"[0-9]{1,7}|[xX][0-9a-fA-F]{1,6}"
+
+
+def html_decode_numeric_refs(col) -> Column:
+    """Decode numeric character references — ``&#NN;`` (decimal) and
+    ``&#xHH;`` (hex) — as PURE Column expressions: split the string on
+    the reference pattern, turn each captured code into its character
+    (``conv`` for hex, ``hex -> unhex -> decode UTF-32`` for the
+    code point — full astral range, no surrogate arithmetic), and
+    zip the literal segments back together. No Python row path, fully
+    replayable by an independent engine (``chr`` in DuckDB).
+
+    Spec-faithful edges: 0x80-0x9F remap through windows-1252
+    (HTML5 rule — ``&#146;`` is ``'``, not a C1 control); NUL,
+    surrogates, and out-of-range codes keep their LITERAL ``&#...;``
+    text (never a silent drop — dedup/LM fingerprints prefer a stable
+    token over a vanished one)."""
+    s = _col(col)
+    parts = F.split(s, rf"&#(?:{_NCR_BODY});", -1)
+    toks = F.regexp_extract_all(s, F.lit(rf"&#({_NCR_BODY});"), 1)
+
+    def _char(tok: Column) -> Column:
+        is_hex = tok.rlike("^[xX]")
+        cp = F.when(
+            is_hex,
+            F.conv(F.substring(tok, 2, 16), 16, 10).cast("long")) \
+            .otherwise(tok.cast("long"))
+        cp = reduce(lambda acc, kv: acc.when(cp == kv[0], kv[1]),
+                    _C1_REMAP.items(),
+                    F.when(cp.isNull(), None)).otherwise(cp)
+        valid = cp.isNotNull() & (cp >= 1) & (cp <= 0x10FFFF) & \
+            ~cp.between(0xD800, 0xDFFF)
+        ch = F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "UTF-32")
+        return F.when(valid, ch) \
+            .otherwise(F.concat(F.lit("&#"), tok, F.lit(";")))
+
+    return F.array_join(
+        F.zip_with(parts, F.transform(toks, _char),
+                   lambda p, d: F.concat(p, F.coalesce(d, F.lit("")))),
+        "")
+
+
 def _decode_entities(s: Column) -> Column:
+    # numeric refs FIRST: at this point `&amp;` is still undecoded, so
+    # `&amp;#60;` cannot match `&#...;` — the one-pass spec order that
+    # keeps `&amp;lt;` -> literal `&lt;` holds for numerics too
+    s = html_decode_numeric_refs(s)
     s = F.regexp_replace(s, r"(?i)&nbsp;", " ")
     s = F.regexp_replace(s, r"(?i)&lt;", "<")
     s = F.regexp_replace(s, r"(?i)&gt;", ">")

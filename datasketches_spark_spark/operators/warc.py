@@ -12,13 +12,34 @@ parallel unit is the FILE — exactly how Common Crawl shards its dumps
 (~1 GB per file, tens of thousands of files per crawl: file-level
 parallelism saturates any cluster). ``read_warc`` therefore goes
 ``spark.read.format("binaryFile")`` -> one ``mapInPandas`` pass that
-stream-decodes each file's members and yields one row per record —
-scan-stage, no shuffle, columns pruned by Catalyst downstream.
+decodes each file member-at-a-time and yields records in CHUNKED
+DataFrames — scan-stage, no shuffle, columns pruned by Catalyst
+downstream.
+
+Memory posture (the part that decides whether this survives real
+Common Crawl files): ``binaryFile`` hands the task the COMPRESSED file
+as one value (Spark caps this at 2 GiB per file — document your shard
+size accordingly; Common Crawl's ~1 GB convention fits), and
+everything after that is incremental. Decompression feeds a bounded
+window of the compressed buffer through ``zlib.decompressobj`` with an
+output cap per call, records frame out of a rolling buffer that is
+trimmed as records complete, and ``read_warc`` yields a DataFrame
+every ``yield_mb`` of payload. Per-task memory is therefore
+**O(compressed file + largest single record + chunk)** — NOT
+O(uncompressed file): a ~1 GB .warc.gz that expands to ~4-5 GB
+decodes in ~1 GB + a few MB of working set.
+
+``read_warc(..., with_offsets=True)`` additionally emits the CDX-style
+side index — for each record the ``(offset, length)`` byte slice of
+the ORIGINAL file that re-parses to exactly that record (the gzip
+member span when the file follows the member-per-record convention;
+the record's own span for uncompressed files; null when a member holds
+more than one record). ``read_warc_slices`` accepts that index back
+for record-level parallelism over oversized files.
 
 Parsing is strict to the framing spec (version line, CRLF header
 block, Content-Length payload, CRLF CRLF trailer) — corrupt framing
-raises, never resyncs silently. Gzip handling uses stdlib zlib with
-multi-member continuation. Pure python/stdlib; no reference
+raises, never resyncs silently. Pure python/stdlib; no reference
 counterpart (maropu/datasketches-spark has no sources), extension
 component.
 """
@@ -28,14 +49,16 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
-__all__ = ["is_warc", "is_gzip", "parse_warc", "warc_records",
-           "read_warc"]
+__all__ = ["is_warc", "is_gzip", "parse_warc", "stream_warc_records",
+           "warc_records", "read_warc", "read_warc_slices"]
 
-_MAX_HEADER = 1 << 20  # spec headers are tiny; 1 MB guards corrupt sizes
+_MAX_HEADER = 1 << 20   # spec headers are tiny; 1 MB guards corrupt sizes
+_CHUNK = 1 << 18        # compressed bytes fed per decompress call
+_MAX_OUT = 4 << 20      # decompressed bytes emitted per call (bomb guard)
 
 
 def is_gzip(data: bytes) -> bool:
-    return data[:2] == b"\x1f\x8b"
+    return bytes(data[:2]) == b"\x1f\x8b"
 
 
 def is_warc(data: bytes) -> bool:
@@ -48,20 +71,204 @@ def is_warc(data: bytes) -> bool:
     return head.startswith(b"WARC/0.") or head.startswith(b"WARC/1.")
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the WARC.gz convention:
-    one member per record) into one byte stream."""
+def _gunzip_members(data: bytes, chunk: int = _MAX_OUT) -> bytes:
+    """Whole-buffer decode of concatenated gzip members (small inputs /
+    tests only — the source path streams via ``stream_warc_records``).
+    ``gzip.GzipFile`` walks concatenated members incrementally, so this
+    is linear, not the O(members x size) tail-copy loop it once was."""
+    import gzip
+    import io
     out = []
-    view = memoryview(data)
-    while len(view):
-        d = zlib.decompressobj(31)
-        out.append(d.decompress(bytes(view)))
-        out.append(d.flush())
-        tail = d.unused_data
-        if not tail:
-            break
-        view = memoryview(tail)
+    with gzip.GzipFile(fileobj=io.BytesIO(bytes(data))) as fh:
+        while True:
+            b = fh.read(chunk)
+            if not b:
+                break
+            out.append(b)
     return b"".join(out)
+
+
+class _Framer:
+    """Incremental ISO 28500 record framer over a rolling decompressed
+    buffer: ``feed`` bytes, pull complete records with ``next_record``.
+    The buffer is trimmed as records complete, so residency is the
+    unparsed tail — O(largest record), never O(stream)."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._base = 0   # stream offset of _buf[0]
+
+    def feed(self, b) -> None:
+        if b:
+            self._buf += b
+
+    def _trim(self, n: int) -> None:
+        del self._buf[:n]
+        self._base += n
+
+    def next_record(self, eof: bool):
+        """One record off the front as ``(fields_dict, start, end)``
+        stream offsets (end includes the CRLF CRLF trailer), or None
+        when more bytes are needed. Framing violations raise
+        ``ValueError`` — strict, never a silent resync."""
+        buf = self._buf
+        # tolerate stray blank lines between records (some writers pad)
+        skip = 0
+        while bytes(buf[skip:skip + 2]) in (b"\r\n", b"\n\n"):
+            skip += 2
+        if skip:
+            self._trim(skip)
+            buf = self._buf
+        n = len(buf)
+        if n == 0:
+            return None
+        if n < 5 and not eof:
+            return None
+        if not buf.startswith(b"WARC/"):
+            raise ValueError(
+                f"WARC: expected version line at offset {self._base}, "
+                f"got {bytes(buf[:16])!r}")
+        hdr_end = buf.find(b"\r\n\r\n", 0, _MAX_HEADER + 4)
+        if hdr_end < 0:
+            if eof or n > _MAX_HEADER:
+                raise ValueError("WARC: unterminated header block")
+            return None
+        header = bytes(buf[:hdr_end]).decode("utf-8", "replace")
+        fields = {}
+        for line in header.split("\r\n")[1:]:
+            k, sep, v = line.partition(":")
+            if sep:
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC: missing/invalid Content-Length in "
+                             f"record at offset {self._base}") from None
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            if eof:
+                raise ValueError("WARC: truncated record payload")
+            return None
+        trailer = bytes(buf[body_end:body_end + 4])
+        if len(trailer) < 4 and not eof:
+            return None
+        if trailer not in (b"\r\n\r\n", b""):
+            raise ValueError("WARC: missing record trailer (CRLF CRLF)")
+        rec = {
+            "warc_type": fields.get("warc-type"),
+            "target_uri": (fields.get("warc-target-uri") or "")
+            .strip("<>") or None,
+            "warc_date": fields.get("warc-date"),
+            "record_id": fields.get("warc-record-id", "").strip("<>")
+            or None,
+            "content_type": fields.get("content-type"),
+            "content_length": clen,
+            "payload": bytes(buf[body_start:body_end]),
+        }
+        end = body_end + len(trailer)
+        span = (self._base, self._base + end)
+        self._trim(end)
+        return rec, span[0], span[1]
+
+
+def stream_warc_records(data, chunk: int = _CHUNK,
+                        max_out: int = _MAX_OUT) -> Iterator[tuple]:
+    """Yield ``(record_dict, offset, length)`` from raw or gzipped WARC
+    bytes, decoding member-at-a-time with bounded buffering — working
+    memory is O(largest record + chunk), never O(decompressed file).
+
+    ``(offset, length)`` is the byte slice of the ORIGINAL input that
+    re-parses to exactly this record (the CDX side-index convention):
+    the gzip member span when the record is member-aligned (the WARC.gz
+    one-member-per-record convention), the record's own span for
+    uncompressed input, and ``(None, None)`` when a member holds more
+    than one record (whole-file single-member gzip still decodes — it
+    just is not range-addressable)."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        data = bytes(data)
+    view = memoryview(data)
+    n = len(view)
+    if n == 0:
+        return
+
+    fr = _Framer()
+
+    if not is_gzip(view[:2]):
+        pos = 0
+        while pos < n:
+            take = min(chunk, n - pos)
+            fr.feed(view[pos:pos + take])
+            pos += take
+            while (got := fr.next_record(pos >= n)) is not None:
+                rec, s, e = got
+                yield rec, s, e - s
+        return
+
+    # gzip: decompress one member at a time, tracking compressed spans
+    # so member-aligned records carry their range-read address.
+    members = []    # (decomp_start, decomp_end, comp_start, comp_end)
+    deferred = None  # parsed record whose end == current decomp_total:
+    #                  member alignment is unknowable until the member
+    #                  closes, so it waits (at most one record deep)
+    decomp_total = 0
+    pos = 0
+    carry = b""     # post-member bytes from the last decompress input
+
+    def _resolve(rs: int, re_: int):
+        while members and members[0][1] < re_:
+            members.pop(0)
+        for ds, de, cs, ce in members:
+            if ds == rs and de == re_:
+                return cs, ce - cs
+        return None, None
+
+    while pos < n or carry:
+        comp_start = pos - len(carry)
+        decomp_start = decomp_total
+        d = zlib.decompressobj(31)
+        buf_in = carry
+        carry = b""
+        while not d.eof:
+            if not buf_in:
+                if pos >= n:
+                    raise ValueError("WARC: truncated gzip member")
+                take = min(chunk, n - pos)
+                buf_in = bytes(view[pos:pos + take])
+                pos += take
+            out = d.decompress(buf_in, max_out)
+            buf_in = d.unconsumed_tail
+            if not out:
+                continue
+            decomp_total += len(out)
+            fr.feed(out)
+            if deferred is not None:
+                # bytes arrived past its end within the same member —
+                # it cannot be member-aligned
+                rec, s, e = deferred
+                deferred = None
+                yield (rec, *_resolve(s, e))
+            while (got := fr.next_record(False)) is not None:
+                rec, s, e = got
+                if deferred is not None:
+                    r0, s0, e0 = deferred
+                    deferred = None
+                    yield (r0, *_resolve(s0, e0))
+                if e == decomp_total:
+                    deferred = (rec, s, e)
+                else:
+                    yield (rec, *_resolve(s, e))
+        carry = d.unused_data
+        comp_end = pos - len(carry)
+        members.append((decomp_start, decomp_total, comp_start, comp_end))
+        final = pos >= n and not carry
+        if deferred is not None:
+            rec, s, e = deferred
+            deferred = None
+            yield (rec, *_resolve(s, e))
+        while (got := fr.next_record(final)) is not None:
+            rec, s, e = got
+            yield (rec, *_resolve(s, e))
 
 
 def parse_warc(data: bytes) -> Iterator[dict]:
@@ -73,98 +280,141 @@ def parse_warc(data: bytes) -> Iterator[dict]:
     Framing per ISO 28500: ``WARC/x.y CRLF`` version line, header
     lines until a blank line, exactly Content-Length payload bytes,
     then CRLF CRLF. Unknown header keys are ignored (forward-compat);
-    broken framing raises ``ValueError``."""
-    data = bytes(data)
-    if is_gzip(data):
-        data = _gunzip_members(data)
-    pos, n = 0, len(data)
-    while pos < n:
-        # tolerate stray blank lines between records (some writers pad)
-        while pos < n and data[pos:pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
-        if pos >= n:
-            return
-        if not data.startswith(b"WARC/", pos):
-            raise ValueError(
-                f"WARC: expected version line at offset {pos}, got "
-                f"{data[pos:pos + 16]!r}")
-        hdr_end = data.find(b"\r\n\r\n", pos, pos + _MAX_HEADER)
-        if hdr_end < 0:
-            raise ValueError("WARC: unterminated header block")
-        header = data[pos:hdr_end].decode("utf-8", "replace")
-        lines = header.split("\r\n")
-        fields = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            if _:
-                fields[k.strip().lower()] = v.strip()
-        try:
-            clen = int(fields["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("WARC: missing/invalid Content-Length "
-                             f"in record at offset {pos}") from None
-        body_start = hdr_end + 4
-        body_end = body_start + clen
-        if body_end > n:
-            raise ValueError("WARC: truncated record payload")
-        if data[body_end:body_end + 4] not in (b"\r\n\r\n", b""):
-            raise ValueError("WARC: missing record trailer (CRLF CRLF)")
-        yield {
-            "warc_type": fields.get("warc-type"),
-            "target_uri": (fields.get("warc-target-uri") or "")
-            .strip("<>") or None,
-            "warc_date": fields.get("warc-date"),
-            "record_id": fields.get("warc-record-id", "").strip("<>")
-            or None,
-            "content_type": fields.get("content-type"),
-            "content_length": clen,
-            "payload": data[body_start:body_end],
-        }
-        pos = body_end + 4
+    broken framing raises ``ValueError``. Streams via
+    :func:`stream_warc_records` — bounded memory."""
+    for rec, _off, _ln in stream_warc_records(data):
+        yield rec
 
 
 def warc_records(name: str, data: bytes) -> Iterator[tuple]:
     """Flattened (file, record) tuples for the Arrow pass (see
-    ``read_warc`` for the schema order)."""
-    for i, rec in enumerate(parse_warc(data)):
+    ``read_warc`` for the schema order; offsets appended last)."""
+    for i, (rec, off, ln) in enumerate(stream_warc_records(data)):
         yield (name, i, rec["warc_type"], rec["target_uri"],
                rec["warc_date"], rec["record_id"], rec["content_type"],
-               rec["content_length"], rec["payload"])
+               rec["content_length"], rec["payload"], off, ln)
 
 
+_COLS = ["path", "record_index", "warc_type", "target_uri", "warc_date",
+         "record_id", "content_type", "content_length", "payload"]
 _SCHEMA = ("path string, record_index long, warc_type string, "
            "target_uri string, warc_date string, record_id string, "
            "content_type string, content_length long, payload binary")
+_OFFSET_SCHEMA = _SCHEMA + ", offset long, length long"
 
 
-def read_warc(spark, path: str, types: tuple | None = None):
+def read_warc(spark, path: str, types: tuple | None = None,
+              with_offsets: bool = False, yield_mb: int = 64):
     """Read WARC / WARC.gz files into one row per record::
 
         (path, record_index, warc_type, target_uri, warc_date,
-         record_id, content_type, content_length, payload)
+         record_id, content_type, content_length, payload
+         [, offset, length])
 
     ``types`` keeps only the named WARC-Types at the parser (e.g.
     ``("response", "conversion")`` — conversion = WET text records);
-    None keeps everything. File-level parallelism (binaryFile source);
-    the per-file decode streams inside one Arrow pass. For text
-    pipelines follow with ``F.decode(payload, 'utf-8')`` on conversion
-    records — response records still carry their HTTP block."""
+    None keeps everything. ``with_offsets=True`` appends the CDX-style
+    ``(offset, length)`` byte slice addressing each record in its file
+    (null when not range-addressable) — feed that back through
+    :func:`read_warc_slices` for record-level splits of oversized
+    files. File-level parallelism (binaryFile source; note Spark caps
+    binaryFile at 2 GiB per file); the per-file decode is member-at-
+    a-time and rows flush every ``yield_mb`` MB of payload, so task
+    memory is O(compressed file + largest record), not O(uncompressed
+    file) — see the module docstring. For text pipelines follow with
+    ``F.decode(payload, 'utf-8')`` on conversion records — response
+    records still carry their HTTP block (``functions/http.py``)."""
     import pandas as pd
 
     keep = tuple(types) if types else None
     df = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
+    cols = _COLS + (["offset", "length"] if with_offsets else [])
+    limit = int(yield_mb) << 20
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["path", "record_index", "warc_type", "target_uri",
-                "warc_date", "record_id", "content_type",
-                "content_length", "payload"]
+        rows, acc = [], 0
         for pdf in batches:
-            rows = []
             for name, blob in zip(pdf["path"], pdf["content"]):
-                for tup in warc_records(name, bytes(blob)):
-                    if keep is None or tup[2] in keep:
-                        rows.append(tup)
+                for i, (rec, off, ln) in enumerate(
+                        stream_warc_records(blob)):
+                    if keep is not None and rec["warc_type"] not in keep:
+                        continue
+                    row = (name, i, rec["warc_type"], rec["target_uri"],
+                           rec["warc_date"], rec["record_id"],
+                           rec["content_type"], rec["content_length"],
+                           rec["payload"])
+                    if with_offsets:
+                        row += (off, ln)
+                    rows.append(row)
+                    acc += rec["content_length"]
+                    if acc >= limit:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, acc = [], 0
+        if rows:
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, _SCHEMA)
+    return df.mapInPandas(run, _OFFSET_SCHEMA if with_offsets else _SCHEMA)
+
+
+def _local_path(uri: str) -> str:
+    """binaryFile emits file URIs; map them back to OS paths. Only the
+    local scheme is rangeable in this container — on a real cluster
+    swap this for the HDFS/S3 range-read client."""
+    from urllib.parse import unquote, urlparse
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return unquote(p.path) or uri
+    raise NotImplementedError(
+        f"read_warc_slices: no range-read client for scheme "
+        f"{p.scheme!r} in this environment (local files only); at "
+        "cluster scale plug the filesystem's positioned-read API in "
+        "here")
+
+
+def read_warc_slices(spark, index, types: tuple | None = None):
+    """Record-level re-read via a ``(path, offset, length)`` side index
+    (the CDX pattern — the output of ``read_warc(with_offsets=True)``
+    or an external cdx file lifted to a DataFrame).
+
+    Each task range-reads exactly ``[offset, offset+length)`` of its
+    file and parses the slice standalone, so parallelism is per RECORD
+    — ``index.repartition(k)`` spreads one oversized .warc.gz over k
+    tasks, removing the file-level ceiling. Rows with a null offset
+    (non-range-addressable records) raise: silently dropping them would
+    corrupt a re-read, and the caller can filter them out explicitly.
+    Output schema matches :func:`read_warc` (record_index is the index
+    row's when present, else 0)."""
+    import pandas as pd
+
+    keep = tuple(types) if types else None
+    has_idx = "record_index" in index.columns
+    sel = ["path", "offset", "length"] + \
+        (["record_index"] if has_idx else [])
+    src = index.select(*sel)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                if t.offset is None or t.length is None or \
+                        pd.isna(t.offset) or pd.isna(t.length):
+                    raise ValueError(
+                        "read_warc_slices: null offset/length — this "
+                        "record is not range-addressable; filter "
+                        "`offset IS NOT NULL` upstream")
+                with open(_local_path(t.path), "rb") as fh:
+                    fh.seek(int(t.offset))
+                    blob = fh.read(int(t.length))
+                ridx = int(t.record_index) if has_idx else 0
+                for rec, _o, _l in stream_warc_records(blob):
+                    if keep is not None and rec["warc_type"] not in keep:
+                        continue
+                    rows.append(
+                        (t.path, ridx, rec["warc_type"],
+                         rec["target_uri"], rec["warc_date"],
+                         rec["record_id"], rec["content_type"],
+                         rec["content_length"], rec["payload"]))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return src.mapInPandas(run, _SCHEMA)

@@ -92,3 +92,71 @@ class TestWarcChain:
         assert len(out) == 1
         assert out[0].text == "alpha beta\ngamma"
         assert out[0].fp is not None and len(out[0].fp) == 32
+
+
+class TestNumericRefs:
+    """r14: &#NN; / &#xHH; decode as pure Column exprs (VERDICT r13
+    'Next round' #3). Oracle: python's html.unescape (full HTML5
+    semantics) on the numeric-ref subset."""
+
+    NUMERIC_CASES = [
+        "a &#60;tag&#62; and &#8217;quote&#8217;",
+        "hex &#x2019; upper &#X201C; astral &#x1F600;",
+        "w1252 remap &#146;s &#150; dash &#128; euro &#153;tm",
+        "runs &#65;&#66;&#67; tail &#33;",
+        "&#160;leading nbsp-as-numeric",
+        "mixed &#x48;&#101;llo &#119;orld",
+    ]
+
+    @pytest.mark.parametrize("s", NUMERIC_CASES)
+    def test_matches_html_unescape(self, spark, s):
+        import html as pyhtml
+        from datasketches_spark_spark.functions import (
+            html_decode_numeric_refs)
+        got = _one(spark, s, html_decode_numeric_refs("h"))
+        assert got == pyhtml.unescape(s)
+
+    def test_invalid_codes_keep_literal(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_decode_numeric_refs)
+        s = "keep &#0; &#xD800; &#1114112; literal"
+        assert _one(spark, s, html_decode_numeric_refs("h")) == s
+
+    def test_amp_escape_ordering_holds(self, spark):
+        # &amp;#60; must surface as the literal text "&#60;", never "<"
+        assert _one(spark, "<p>&amp;#60;</p>", html_to_text("h")) == \
+            "&#60;"
+        assert _one(spark, "<p>It&#8217;s &#x263A;</p>",
+                    html_to_text("h")) == "It’s ☺"
+
+    def test_null_and_refless_passthrough(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_decode_numeric_refs)
+        df = spark.createDataFrame([(None,), ("plain",)], "h string")
+        got = [r.v for r in df.select(
+            html_decode_numeric_refs("h").alias("v")).collect()]
+        assert got == [None, "plain"]
+
+    def test_still_pure_expressions(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_decode_numeric_refs)
+        df = spark.createDataFrame([("x &#65;",)], ["h"])
+        plan = df.select(html_decode_numeric_refs("h")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "pythonUDF" not in plan.lower()
+
+    def test_duckdb_replays_the_decode(self, spark):
+        """The oracle-gate recipe: an independent engine reproduces the
+        decode with chr() — full-value comparison."""
+        import duckdb
+        rows = [(i, f"v&#{65 + i};w&#x{0x2018 + i:x};") for i in range(8)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        from datasketches_spark_spark.functions import (
+            html_decode_numeric_refs)
+        got = {r.id: r.v for r in df.select(
+            "id", html_decode_numeric_refs("s").alias("v")).collect()}
+        want = {i: duckdb.sql(
+            f"SELECT 'v' || chr(65 + {i}) || 'w' || chr({0x2018} + {i})"
+        ).fetchone()[0] for i in range(8)}
+        assert got == want
