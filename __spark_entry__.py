@@ -2846,6 +2846,11 @@ def _demo_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     psl = PublicSuffixList.parse([
         "// demo fixture: plain + wildcard + exception",
         "com", "uk", "co.uk", "*.co.uk", "!h3.co.uk"])
+    # r14: the committed snapshot (data/psl_snapshot.dat) resolves a
+    # SECOND host family chosen to hit bundled-only rule kinds —
+    # private-section suffix, *.ck wildcard, !city.kawasaki.jp
+    # exception, implicit-* fallback; the oracle replays each decision
+    psl_b = PublicSuffixList.bundled()
     docs = read_table(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 400).select("doc_id")
     k = F.floor(F.col("doc_id") / 4).cast("long")
@@ -2863,15 +2868,25 @@ def _demo_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise(F.concat(
                 F.lit("https://"), h, F.lit(".example.com/a/"), ks,
                 F.lit("?gclid=9&b=2&a=1"))))
-    u = docs.select("doc_id", url.alias("url"))
+    url2 = (F.when(m == 0, F.concat(
+                F.lit("https://user"), ks, F.lit(".github.io/p")))
+            .when(m == 1, F.concat(
+                F.lit("https://x.shop.city.kawasaki.jp/"), ks))
+            .when(m == 2, F.concat(
+                F.lit("https://foo."), h, F.lit(".bar.ck/"), ks))
+            .otherwise(F.concat(
+                F.lit("https://www.ex"), ks, F.lit(".unknowntld/q"))))
+    u = docs.select("doc_id", url.alias("url"), url2.alias("url2"))
     return (u.select("doc_id",
                      url_registered_domain("url").alias("rd"),
                      url_registered_domain("url", psl=psl).alias("rd_psl"),
+                     url_registered_domain("url2", psl=psl_b)
+                     .alias("rd_b"),
                      canonicalize_url("url").alias("cu"))
-            .groupBy("rd", "rd_psl", "cu")
+            .groupBy("rd", "rd_psl", "rd_b", "cu")
             .agg(F.count("*").cast("long").alias("n"),
                  F.min("doc_id").alias("min_id"))
-            .orderBy("rd", "rd_psl", "cu"))
+            .orderBy("rd", "rd_psl", "rd_b", "cu"))
 
 
 def _demo_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5212,12 +5227,23 @@ def demo_oracle_sql() -> dict[str, str]:
                                       ELSE NULL END
                             WHEN len(ls) >= 2
                             THEN array_to_string(ls[-2:], '.')
-                            ELSE NULL END AS rd_psl
+                            ELSE NULL END AS rd_psl,
+                       -- r14 bundled-snapshot replay over the url2
+                       -- family: private suffix (github.io), city
+                       -- exception (!city.kawasaki.jp), wildcard
+                       -- (*.ck -> bar.ck is public), implicit '*'
+                       CASE CAST(doc_id % 4 AS INT)
+                         WHEN 0 THEN 'user' || (doc_id//4) || '.github.io'
+                         WHEN 1 THEN 'city.kawasaki.jp'
+                         WHEN 2 THEN 'h' || (doc_id//4 % 10) || '.bar.ck'
+                         ELSE 'ex' || (doc_id//4) || '.unknowntld'
+                       END AS rd_b
                      FROM (SELECT doc_id, cu, host,
                                   string_split(host, '.') AS ls FROM c5))
-            SELECT rd, rd_psl, cu, CAST(count(*) AS BIGINT) AS n,
+            SELECT rd, rd_psl, rd_b, cu, CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id
-            FROM rdom GROUP BY rd, rd_psl, cu ORDER BY rd, rd_psl, cu
+            FROM rdom GROUP BY rd, rd_psl, rd_b, cu
+            ORDER BY rd, rd_psl, rd_b, cu
         """,
         # epoch_seed(42, 1) = 42 * 1000003 + 1 = 42000127
         "demo_epoch_order": """

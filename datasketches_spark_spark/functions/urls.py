@@ -101,6 +101,24 @@ class PublicSuffixList:
             return cls.parse(fh)
 
     @classmethod
+    def bundled(cls) -> "PublicSuffixList":
+        """The snapshot committed at ``data/psl_snapshot.dat`` — a
+        curated OFFLINE snapshot in the real PSL file format (every
+        ccTLD, classic + common gTLDs, the major second-level
+        registries, the documented wildcard/exception families like
+        ``*.ck`` / ``!www.ck`` and the ``*.<city>.jp`` pairs, and the
+        common private-section suffixes). It is deliberately NOT the
+        full ~10k-rule Mozilla list (this build environment has no
+        network) — the file header documents exactly what is and is
+        not covered; production deployments should fetch the current
+        list out-of-band and use :meth:`load` (identical format and
+        code path)."""
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "psl_snapshot.dat")
+        return cls.load(path)
+
+    @classmethod
     def from_dataframe(cls, df, rule_col: str = "rule"
                        ) -> "PublicSuffixList":
         # bounded collect: the PSL is a dimension table (~10k rules)

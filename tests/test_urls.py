@@ -183,3 +183,56 @@ class TestPublicSuffixList:
                     url_registered_domain("u")) == "shop.co.uk"
         assert _one(spark, "http://co.uk/",
                     url_registered_domain("u")) == "co.uk"
+
+
+class TestBundledPsl:
+    """r14: the committed PSL snapshot (data/psl_snapshot.dat) is
+    loadable turnkey and exercises every rule kind through the real
+    algorithm — wildcard (*.ck), exception (!www.ck), the jp city
+    pairs, second-level registries, private suffixes, and the
+    implicit-* fallback."""
+
+    def _rd(self, spark, urls, psl):
+        from datasketches_spark_spark.functions.urls import (
+            url_registered_domain)
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r.v for r in df.select(
+            url_registered_domain("url", psl=psl).alias("v")).collect()]
+
+    def test_rule_kinds(self, spark):
+        from datasketches_spark_spark.functions.urls import (
+            PublicSuffixList)
+        psl = PublicSuffixList.bundled()
+        got = self._rd(spark, [
+            "https://a.b.example.co.uk/x",     # second-level registry
+            "https://example.com/x",           # plain gTLD
+            "https://deep.sub.example.com/x",  # plain gTLD, deep host
+            "https://foo.bar.ck/x",            # *.ck: bar.ck is public
+            "https://www.ck/x",                # !www.ck: registrable
+            "https://shop.city.kawasaki.jp/x",  # !city.kawasaki.jp
+            "https://x.other.kawasaki.jp/x",   # *.kawasaki.jp
+            "https://user.github.io/x",        # private section
+            "https://example.unknowntld/x",    # implicit * fallback
+            "https://co.uk/x",                 # host IS a suffix
+        ], psl)
+        assert got == [
+            "example.co.uk", "example.com", "example.com",
+            "foo.bar.ck", "www.ck", "city.kawasaki.jp",
+            "x.other.kawasaki.jp", "user.github.io",
+            "example.unknowntld", None]
+
+    def test_snapshot_shape_and_honest_header(self):
+        import os
+        from datasketches_spark_spark.functions.urls import (
+            PublicSuffixList)
+        psl = PublicSuffixList.bundled()
+        assert len(psl.plain) > 500
+        assert {"ck", "bd", "er", "kawasaki.jp"} <= psl.wildcard_bases
+        assert "www.ck" in psl.exceptions
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "datasketches_spark_spark",
+            "data", "psl_snapshot.dat")
+        head = open(path).read(2000)
+        # provenance honesty is part of the contract
+        assert "NOT the complete" in head
+        assert "PublicSuffixList.load" in head
