@@ -3114,6 +3114,56 @@ def _demo_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _demo_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG decode (round 14, operators/jpegarith.py):
+    the committed SOF9 fixtures (encoded once with the system libjpeg's
+    QM-coder, frozen in tests/data/) decode inside an Arrow mapInPandas
+    pass to (name, h, w, px_md5). The T.81 QM decode is exactly
+    specified and the engine IDCT is deterministic, so the oracle pins
+    the decoded-pixel md5s as literals (the demo_webp_lossy pattern);
+    entropy exactness vs jpeg_read_coefficients is separately pinned by
+    tests/test_jpeg_arith.py."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "data")
+    rows = []
+    for name in ("arith_color_grad_q85.jpg",
+                 "arith_color_noise_q60_rst2.jpg",
+                 "arith_gray_noise_q95.jpg",
+                 "arith_gray_photo_q90_rst3.jpg"):
+        with open(os.path.join(data_dir, name), "rb") as fh:
+            rows.append((name, bytearray(fh.read())))
+    df = spark.createDataFrame(rows, "name string, payload binary") \
+        .repartition(2)
+    schema = StructType([
+        StructField("name", StringType()),
+        StructField("h", LongType()),
+        StructField("w", LongType()),
+        StructField("px_md5", StringType()),
+    ])
+
+    def run(batches):
+        from datasketches_spark_spark.operators import decode_image
+        for pdf in batches:
+            out = []
+            for name, payload in zip(pdf["name"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                out.append((name, img.shape[0], img.shape[1],
+                            hashlib.md5(img.tobytes()).hexdigest()))
+            yield pd.DataFrame(out, columns=["name", "h", "w", "px_md5"])
+
+    return df.mapInPandas(run, schema).orderBy("name")
+
+
 def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked + gzipped HTTP response bodies decode end-to-end (round
     14, functions/http.py): docs re-frame as WARC *response* records
@@ -3226,6 +3276,7 @@ def demo_queries() -> dict[str, str]:
         "demo_warc_ingest": _demo_warc_ingest,
         "demo_html_extract": _demo_html_extract,
         "demo_http_decode": _demo_http_decode,
+        "demo_jpeg_arith": _demo_jpeg_arith,
     }
 
 
@@ -5313,6 +5364,23 @@ def demo_oracle_sql() -> dict[str, str]:
               AND NOT contains(text, '  ')
               AND text = trim(text)
             ORDER BY doc_id
+        """,
+        # demo_jpeg_arith: T.81 QM decode is exactly specified and the
+        # engine IDCT deterministic -> decoded-pixel md5s are literals
+        # (pinned at fixture-generation time by
+        # devtools/gen_jpegarith_fixtures.py; coefficient-exactness vs
+        # libjpeg is pinned in tests/test_jpeg_arith.py)
+        "demo_jpeg_arith": """
+            SELECT * FROM (VALUES
+              ('arith_color_grad_q85.jpg', CAST(24 AS BIGINT),
+               CAST(17 AS BIGINT), '0fa55c7c9f74aae430f009367eb758b9'),
+              ('arith_color_noise_q60_rst2.jpg', CAST(32 AS BIGINT),
+               CAST(48 AS BIGINT), 'a345b7c2a7485631439285d08ddff83d'),
+              ('arith_gray_noise_q95.jpg', CAST(16 AS BIGINT),
+               CAST(16 AS BIGINT), 'dd4991743cb524bcdbae41fc0bf361de'),
+              ('arith_gray_photo_q90_rst3.jpg', CAST(40 AS BIGINT),
+               CAST(56 AS BIGINT), '3c18c652bdc9fe8ca9a4774f3e2d849a')
+            ) AS t(name, h, w, px_md5) ORDER BY name
         """,
         # demo_tiff_roundtrip: lossless roundtrip of solid-color 6x9
         # payloads -> every decoded feature is integer math on the

@@ -256,6 +256,8 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    arith_dc_cond: dict[int, tuple] = {}
+    arith_ac_cond: dict[int, int] = {}
     frame = None
     restart_interval = 0
     prog_coeffs = None
@@ -324,13 +326,38 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "progressive": True,
                      "prec": prec}
+        elif marker == 0xC9:  # SOF9 sequential arithmetic (r14)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG: SOF9 with {prec}-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
+                     "arith": True}
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            s = 0
+            while s + 1 < len(seg):
+                tc, tb = seg[s] >> 4, seg[s] & 0xF
+                cs = seg[s + 1]
+                if tc == 0:
+                    arith_dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    arith_ac_cond[tb] = cs                    # Kx
+                s += 2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF{marker - 0xC0} (lossless/arithmetic/"
-                "hierarchical) — sequential (SOF0/SOF1) and progressive "
-                "(SOF2) only; the arithmetic QM-coder stays a refusal "
-                "for the same verifiability reason as lossy VP8")
+                f"JPEG: SOF{marker - 0xC0} (lossless/progressive-"
+                "arithmetic/hierarchical) — sequential Huffman "
+                "(SOF0/SOF1), progressive Huffman (SOF2) and sequential "
+                "arithmetic (SOF9, r14 — T.81 Annex D QM-coder, "
+                "libjpeg-cross-validated) decode; the "
+                "successive-approximation arithmetic models of SOF10 "
+                "are the remaining gap")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -347,9 +374,16 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 # legal, T.81 A.2): accumulate until EOI
                 if base_coeffs is None:
                     base_coeffs = _alloc_coeffs(frame)
-                pos = _decode_scan(data, pos + seglen, frame, scomp,
-                                   huff_dc, huff_ac, restart_interval,
-                                   base_coeffs)
+                if frame.get("arith"):
+                    from .jpegarith import decode_scan_arith
+                    pos = decode_scan_arith(
+                        data, pos + seglen, frame, scomp,
+                        arith_dc_cond, arith_ac_cond,
+                        restart_interval, base_coeffs)
+                else:
+                    pos = _decode_scan(data, pos + seglen, frame, scomp,
+                                       huff_dc, huff_ac,
+                                       restart_interval, base_coeffs)
                 base_seen.update(c["id"] for c, _, _ in scomp)
                 continue
             if prog_coeffs is None:
