@@ -3139,7 +3139,9 @@ def _demo_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("arith_color_grad_q85.jpg",
                  "arith_color_noise_q60_rst2.jpg",
                  "arith_gray_noise_q95.jpg",
-                 "arith_gray_photo_q90_rst3.jpg"):
+                 "arith_gray_photo_q90_rst3.jpg",
+                 "arith_prog_color_q80.jpg",
+                 "arith_prog_gray_q88.jpg"):
         with open(os.path.join(data_dir, name), "rb") as fh:
             rows.append((name, bytearray(fh.read())))
     df = spark.createDataFrame(rows, "name string, payload binary") \
@@ -5379,7 +5381,11 @@ def demo_oracle_sql() -> dict[str, str]:
               ('arith_gray_noise_q95.jpg', CAST(16 AS BIGINT),
                CAST(16 AS BIGINT), 'dd4991743cb524bcdbae41fc0bf361de'),
               ('arith_gray_photo_q90_rst3.jpg', CAST(40 AS BIGINT),
-               CAST(56 AS BIGINT), '3c18c652bdc9fe8ca9a4774f3e2d849a')
+               CAST(56 AS BIGINT), '3c18c652bdc9fe8ca9a4774f3e2d849a'),
+              ('arith_prog_color_q80.jpg', CAST(32 AS BIGINT),
+               CAST(48 AS BIGINT), '79263265fcc8d9c43c32079ca88d4e4a'),
+              ('arith_prog_gray_q88.jpg', CAST(40 AS BIGINT),
+               CAST(56 AS BIGINT), '4063cf0f4ab920d31e3266b452700ee4')
             ) AS t(name, h, w, px_md5) ORDER BY name
         """,
         # demo_tiff_roundtrip: lossless roundtrip of solid-color 6x9

@@ -1,12 +1,14 @@
 """Arithmetic-coded JPEG entropy decoding (ITU-T T.81 Annexes D & F).
 
-Closes the engine's last verifiable codec refusal: sequential JPEG
-scans coded with the adaptive binary arithmetic coder (QM-coder,
-SOF9) now decode, cross-validated live against the system
+Closes the engine's last verifiable codec refusal: JPEG scans coded
+with the adaptive binary arithmetic coder (QM-coder) — BOTH
+sequential (SOF9) and progressive (SOF10, successive approximation)
+— now decode, cross-validated live against the system
 libjpeg(-turbo) the same way VP8 is validated against libwebp and TIFF
 against libtiff (``devtools/jpegarith_tool.c`` is the oracle harness;
 ``tests/test_jpeg_arith.py`` pins fixture pixels to libjpeg's own
-decode of the same files).
+decode of the same files and requires coefficient-for-coefficient
+equality with ``jpeg_read_coefficients``).
 
 What is implemented, all per T.81:
 - the QM-coder binary decoder (Annex D): 16-bit interval register with
@@ -19,12 +21,10 @@ What is implemented, all per T.81:
   the fixed (non-adapting) sign bin, and full statistics reset at
   restart markers;
 - DAC (0xCC) conditioning: DC ``(L, U)`` and AC ``Kx`` per table id
-  (defaults 0/1/5 per T.81).
-
-Progressive arithmetic (SOF10) remains a refusal in ``jpegcodec`` —
-successive-approximation arithmetic models are a further Annex G-sized
-surface; sequential covers the arithmetic files produced by
-``cjpeg -arithmetic`` and typical transcoders.
+  (defaults 0/1/5 per T.81);
+- the progressive successive-approximation models (Annex G.2):
+  DC-first/-refine, AC-first/-refine with the EOBx history rule —
+  ``decode_scan_progressive_arith``.
 
 The state-transition table below is the NORMATIVE constant set of
 T.81 Table D.3 (Qe value, Next-Index-LPS, Next-Index-MPS, Switch-MPS
@@ -357,3 +357,213 @@ def decode_scan_arith(data, pos, frame, scomp, dc_cond, ac_cond,
             return p
         p += 1
     return n
+
+
+def decode_scan_progressive_arith(data, pos, frame, scomp, ss, se,
+                                  ah, al, dc_cond, ac_cond,
+                                  restart_interval, coeffs):
+    """Entropy-decode one PROGRESSIVE arithmetic scan (SOF10) into the
+    zig-zag coefficient buffers — the T.81 Annex G.2 successive-
+    approximation models over the same QM decoder:
+
+    - DC first (Ss=0, Ah=0): the sequential DC model; stored value is
+      the accumulated prediction shifted left by Al.
+    - DC refine (Ah>0): ONE fixed-probability bit per block ORed into
+      bit Al (G.2.2 — no adaptive statistics).
+    - AC first (Ss>0, Ah=0): the sequential AC model over Ss..Se with
+      values shifted left by Al.
+    - AC refine: per coefficient index, history-dependent bins — a
+      correction bit (bin 3(k-1)+2) for previously-nonzero
+      coefficients, the newly-nonzero decision (bin 3(k-1)+1) with a
+      fixed-probability sign, and the end-of-block decision (bin
+      3(k-1)) only ABOVE the previous stage's last nonzero index
+      (EOBx), per G.2.3.
+
+    Statistics areas are freshly zeroed per scan and at every restart
+    marker (the same rule as the sequential path). Same contract as
+    ``jpegcodec._decode_scan_progressive``."""
+    import numpy as np  # noqa: F401  (kept for parity with callers)
+
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    for _, td, ta in scomp:
+        dc_stats.setdefault(td, bytearray(64))
+        ac_stats.setdefault(ta, bytearray(256))
+    fixed = bytearray([113])
+
+    def fresh_contexts():
+        for st in dc_stats.values():
+            st[:] = bytes(len(st))
+        for st in ac_stats.values():
+            st[:] = bytes(len(st))
+        fixed[0] = 113
+        return ([0] * len(scomp),
+                {comp["id"]: 0 for comp, _, _ in scomp})
+
+    dc_ctx, last_dc = fresh_contexts()
+    dec = QmDecoder(data, pos)
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def dc_first_block(ci, comp, td, blk):
+        L, U = dc_cond.get(td, ARITH_DC_DEFAULT)
+        last_dc[comp["id"]] = _decode_dc(
+            dec, dc_stats[td], dc_ctx[ci], dc_ctx, ci,
+            last_dc[comp["id"]], L, U)
+        blk[0] = last_dc[comp["id"]] << al
+
+    def dc_refine_block(blk):
+        if dec.decode(fixed, 0):
+            blk[0] = int(blk[0]) | p1
+
+    def ac_first_block(ta, blk):
+        st = ac_stats[ta]
+        kx = ac_cond.get(ta, ARITH_AC_DEFAULT)
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if dec.decode(st, base):            # EOB
+                return
+            while dec.decode(st, base + 1) == 0:
+                k += 1
+                base += 3
+                if k > se:
+                    raise ValueError(
+                        "JPEG: arithmetic AC run past spectral end")
+            sign = dec.decode(fixed, 0)
+            ppos = base + 2
+            m = dec.decode(st, ppos)
+            if m:
+                if dec.decode(st, ppos):
+                    m = 2
+                    ppos = 189 if k <= kx else 217
+                    while dec.decode(st, ppos):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError(
+                                "JPEG: arithmetic AC magnitude overflow")
+                        ppos += 1
+            v = m
+            ppos += 14
+            while True:
+                m >>= 1
+                if not m:
+                    break
+                if dec.decode(st, ppos):
+                    v |= m
+            v += 1
+            if sign:
+                v = -v
+            blk[k] = v << al
+            k += 1
+
+    def ac_refine_block(ta, blk):
+        st = ac_stats[ta]
+        kex = se
+        while kex > 0 and blk[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(st, base):    # EOB flag
+                return
+            while True:
+                cur = int(blk[k])
+                if cur:                              # history: nonzero
+                    if dec.decode(st, base + 2):
+                        blk[k] = cur + (m1 if cur < 0 else p1)
+                    break
+                if dec.decode(st, base + 1):         # newly nonzero
+                    blk[k] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                base += 3
+                k += 1
+                if k > se:
+                    raise ValueError(
+                        "JPEG: arithmetic AC refinement overflow")
+            k += 1
+
+    single = len(scomp) == 1
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: DC scan must have Se == 0")
+        if single:
+            from .jpegcodec import _comp_block_grid
+            nby, nbx = _comp_block_grid(frame, scomp[0][0])
+            total = nby * nbx
+        else:
+            total = mcux * mcuy
+        mcu = 0
+        while mcu < total:
+            if restart_interval and mcu \
+                    and mcu % restart_interval == 0:
+                dec = _restart(data, dec)
+                dc_ctx, last_dc = fresh_contexts()
+            if single:
+                comp, td, _ = scomp[0]
+                my, mx = divmod(mcu, nbx)
+                blk = coeffs[comp["id"]][my, mx]
+                if ah == 0:
+                    dc_first_block(0, comp, td, blk)
+                else:
+                    dc_refine_block(blk)
+            else:
+                my, mx = divmod(mcu, mcux)
+                for ci, (comp, td, _) in enumerate(scomp):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = coeffs[comp["id"]][
+                                my * comp["v"] + by,
+                                mx * comp["h"] + bx]
+                            if ah == 0:
+                                dc_first_block(ci, comp, td, blk)
+                            else:
+                                dc_refine_block(blk)
+            mcu += 1
+    else:
+        if not single:
+            raise ValueError("JPEG: AC scan must be single-component")
+        from .jpegcodec import _comp_block_grid
+        comp, _, ta = scomp[0]
+        nby, nbx = _comp_block_grid(frame, comp)
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n \
+                        and n % restart_interval == 0:
+                    dec = _restart(data, dec)
+                    dc_ctx, last_dc = fresh_contexts()
+                blk = coeffs[comp["id"]][by, bx]
+                if ah == 0:
+                    ac_first_block(ta, blk)
+                else:
+                    ac_refine_block(ta, blk)
+                n += 1
+    p = dec.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 \
+                and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return n
+
+
+def _restart(data, dec):
+    """Skip to the RSTn marker at the current segment end and return a
+    fresh decoder positioned after it."""
+    p = dec.pos
+    n = len(data)
+    while p + 1 < n and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    while p + 1 < n and data[p + 1] == 0xFF:
+        p += 1
+    if p + 1 >= n or not (0xD0 <= data[p + 1] <= 0xD7):
+        raise ValueError(
+            "JPEG: missing restart marker in arithmetic scan")
+    return QmDecoder(data, p + 2)

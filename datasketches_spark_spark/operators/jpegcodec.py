@@ -314,8 +314,11 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "prec": prec}
-        elif marker == 0xC2:  # SOF2 progressive
+        elif marker in (0xC2, 0xCA):  # SOF2 / SOF10 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if marker == 0xCA and prec != 8:
+                raise NotImplementedError(
+                    f"JPEG: SOF10 with {prec}-bit precision")
             if prec not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG: progressive with {prec}-bit precision")
@@ -325,7 +328,7 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "progressive": True,
-                     "prec": prec}
+                     "prec": prec, "arith": marker == 0xCA}
         elif marker == 0xC9:  # SOF9 sequential arithmetic (r14)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -349,15 +352,15 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                     arith_ac_cond[tb] = cs                    # Kx
                 s += 2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF{marker - 0xC0} (lossless/progressive-"
-                "arithmetic/hierarchical) — sequential Huffman "
-                "(SOF0/SOF1), progressive Huffman (SOF2) and sequential "
-                "arithmetic (SOF9, r14 — T.81 Annex D QM-coder, "
-                "libjpeg-cross-validated) decode; the "
-                "successive-approximation arithmetic models of SOF10 "
-                "are the remaining gap")
+                f"JPEG: SOF{marker - 0xC0} (lossless/hierarchical) — "
+                "sequential (SOF0/SOF1) and progressive (SOF2) Huffman "
+                "plus sequential (SOF9) and progressive (SOF10) "
+                "arithmetic decode (r14 — T.81 Annex D QM-coder + "
+                "Annex G.2 successive-approximation models, "
+                "libjpeg-cross-validated); lossless and hierarchical "
+                "modes remain out of scope")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -390,10 +393,17 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 prog_coeffs = _alloc_coeffs(frame)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
-            end = _decode_scan_progressive(
-                data, pos + seglen, frame, scomp, ss, se,
-                ahal >> 4, ahal & 0xF, huff_dc, huff_ac,
-                restart_interval, prog_coeffs)
+            if frame.get("arith"):
+                from .jpegarith import decode_scan_progressive_arith
+                end = decode_scan_progressive_arith(
+                    data, pos + seglen, frame, scomp, ss, se,
+                    ahal >> 4, ahal & 0xF, arith_dc_cond,
+                    arith_ac_cond, restart_interval, prog_coeffs)
+            else:
+                end = _decode_scan_progressive(
+                    data, pos + seglen, frame, scomp, ss, se,
+                    ahal >> 4, ahal & 0xF, huff_dc, huff_ac,
+                    restart_interval, prog_coeffs)
             pos = end
             continue
         pos += seglen

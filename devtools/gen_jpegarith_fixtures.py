@@ -47,10 +47,12 @@ def fixtures():
     noise = rng.randint(0, 256, (16, 16)).astype(np.uint8)
     colorn = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
     return [
-        ("arith_gray_photo_q90_rst3.jpg", photo, 90, 3),
-        ("arith_color_grad_q85.jpg", grad, 85, 0),
-        ("arith_gray_noise_q95.jpg", noise, 95, 0),
-        ("arith_color_noise_q60_rst2.jpg", colorn, 60, 2),
+        ("arith_gray_photo_q90_rst3.jpg", photo, 90, 3, False),
+        ("arith_color_grad_q85.jpg", grad, 85, 0, False),
+        ("arith_gray_noise_q95.jpg", noise, 95, 0, False),
+        ("arith_color_noise_q60_rst2.jpg", colorn, 60, 2, False),
+        ("arith_prog_color_q80.jpg", colorn, 80, 0, True),
+        ("arith_prog_gray_q88.jpg", photo, 88, 0, True),
     ]
 
 
@@ -90,7 +92,7 @@ def main():
     pins = {}
     with tempfile.TemporaryDirectory() as tmp:
         exe = build_tool(tmp)
-        for name, arr, q, rst in fixtures():
+        for name, arr, q, rst, prog in fixtures():
             nc = 1 if arr.ndim == 2 else 3
             pnm = os.path.join(tmp, "in.pnm")
             with open(pnm, "wb") as fh:
@@ -98,8 +100,10 @@ def main():
                          + f"{arr.shape[1]} {arr.shape[0]}\n255\n"
                          .encode() + arr.tobytes())
             jpg = os.path.join(DATA, name)
-            subprocess.run([exe, "enc", pnm, jpg, str(q), str(rst)],
-                           check=True)
+            cmd = [exe, "enc", pnm, jpg, str(q), str(rst)]
+            if prog:
+                cmd.append("progressive")
+            subprocess.run(cmd, check=True)
             ref_pnm = os.path.join(tmp, "ref.pnm")
             subprocess.run([exe, "dec", jpg, ref_pnm], check=True)
             body = open(ref_pnm, "rb").read().split(b"255\n", 1)[1]

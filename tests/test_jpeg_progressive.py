@@ -138,15 +138,15 @@ def test_ac_refinement_with_nonzero_history():
     assert np.array_equal(dec, exp)
 
 
-def test_progressive_arithmetic_still_refused():
-    # r14: SOF9 (sequential arithmetic) now DECODES
-    # (tests/test_jpeg_arith.py); SOF10's successive-approximation
-    # arithmetic models remain the documented refusal
+def test_differential_modes_still_refused():
+    # r14: SOF9 AND SOF10 arithmetic now DECODE
+    # (tests/test_jpeg_arith.py); the differential/hierarchical modes
+    # remain the documented refusal
     img = np.full((8, 8), 100, np.uint8)
     data = bytearray(encode_jpeg(img))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xCA  # SOF10 progressive arithmetic
-    with pytest.raises(NotImplementedError, match="SOF10"):
+    data[idx + 1] = 0xCE  # SOF14 differential progressive arithmetic
+    with pytest.raises(NotImplementedError, match="SOF14"):
         decode_jpeg(bytes(data))
 
 
