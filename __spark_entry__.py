@@ -917,6 +917,18 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(encode_flac(x, 8000))
         return pd.Series(out, dtype=object)
 
+    def _mk_arj(v):
+        # round 14: SEQUENTIAL ARITHMETIC (SOF9) — the T.81 QM-coder
+        # encode+decode pair (operators/jpegarith.py) under the hash
+        # gate; solid EVEN gray -> DC quantizes exactly at quality 50,
+        # so the decoded mean is the planted value relationally
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg_arith)
+        return pd.Series(
+            [encode_jpeg_arith(np.full((8, 16), int(vv),
+                                       dtype=np.uint8), quality=50)
+             for vv in v], dtype=object)
+
     # explicit annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot evaluate here
     _mk_img.__annotations__ = {"r": pd.Series, "g": pd.Series,
@@ -935,6 +947,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk_rgbv.__annotations__ = {"v": pd.Series, "return": pd.Series}
     _mk_flac.__annotations__ = {"amp_k": pd.Series, "n": pd.Series,
                                 "return": pd.Series}
+    _mk_arj.__annotations__ = {"v": pd.Series, "return": pd.Series}
     make_ppm = F.pandas_udf(_mk_img, BinaryType())
     make_wav = F.pandas_udf(_mk_wav, BinaryType())
     make_jpg = F.pandas_udf(_mk_jpg, BinaryType())
@@ -946,6 +959,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     make_avi = F.pandas_udf(_mk_avi, BinaryType())
     make_rgbv = F.pandas_udf(_mk_rgbv, BinaryType())
     make_flac = F.pandas_udf(_mk_flac, BinaryType())
+    make_arj = F.pandas_udf(_mk_arj, BinaryType())
 
     docs = read_table(spark, sf_dir, "documents")
     with_img = docs.select(
@@ -1092,9 +1106,24 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(0.0).alias("d3"))
             .select(F.lit("flac").alias("leg"), "source", "n", "i1",
                     "i2", "d1", "d2", "d3"))
+    arjs = docs.where(F.col("doc_id") < 2000).select(
+        "doc_id", "source",
+        make_arj((F.lit(80) + (F.col("doc_id") % 50) * 2).cast("int"))
+        .alias("payload"))
+    ajfeats = extract_image_features(arjs, "doc_id",
+                                     keep_cols=["source"])
+    arj = (ajfeats.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.max("width").cast("long").alias("i1"),
+                F.max("height").cast("long").alias("i2"),
+                F.avg("mean_r").alias("d1"),
+                F.avg("mean_g").alias("d2"),
+                F.lit(0.0).alias("d3"))
+           .select(F.lit("arj").alias("leg"), "source", "n", "i1",
+                   "i2", "d1", "d2", "d3"))
     return (img.unionByName(aud).unionByName(jpg).unionByName(png)
             .unionByName(webp).unionByName(mp3).unionByName(vid)
-            .unionByName(rgbv).unionByName(flac)
+            .unionByName(rgbv).unionByName(flac).unionByName(arj)
             .orderBy("leg", "source"))
 
 
@@ -4064,6 +4093,19 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(length(text) % 256 AS DOUBLE)) AS d2,
                    CAST(7.0 AS DOUBLE) AS d3
             FROM documents GROUP BY source
+            UNION ALL
+            -- 'arj' (round 14): sequential ARITHMETIC JPEG (SOF9, the
+            -- T.81 QM-coder encode+decode pair) — solid EVEN gray, so
+            -- the DC quantizes exactly at quality 50 and the decoded
+            -- mean is the planted value
+            SELECT 'arj' AS leg, source,
+                   count(*) AS n,
+                   CAST(16 AS BIGINT) AS i1,
+                   CAST(8 AS BIGINT) AS i2,
+                   avg(CAST(80 + (doc_id % 50) * 2 AS DOUBLE)) AS d1,
+                   avg(CAST(80 + (doc_id % 50) * 2 AS DOUBLE)) AS d2,
+                   CAST(0.0 AS DOUBLE) AS d3
+            FROM documents WHERE doc_id < 2000 GROUP BY source
             UNION ALL
             SELECT 'aud' AS leg, source,
                    count(*) AS n,

@@ -567,3 +567,210 @@ def _restart(data, dec):
         raise ValueError(
             "JPEG: missing restart marker in arithmetic scan")
     return QmDecoder(data, p + 2)
+
+
+class QmEncoder:
+    """T.81 Annex D binary arithmetic ENCODER — the exact inverse of
+    :class:`QmDecoder`'s code-space interpretation (LPS subinterval on
+    top, conditional exchange, renorm below 0x8000, one bitstream bit
+    per renormalization). Emission is bit-level with direct carry
+    propagation into already-emitted bits (a carry cannot ripple past
+    the stream start: that would mean a code value of 1.0, outside
+    every nested interval), then packed MSB-first with JPEG 0xFF00
+    byte stuffing. Output need not be byte-identical to libjpeg's —
+    any valid arithmetic representation of the same decision sequence
+    decodes identically everywhere — and the tests hold exactly that:
+    libjpeg must read back bit-identical COEFFICIENTS."""
+
+    __slots__ = ("a", "low", "bits")
+
+    def __init__(self):
+        self.a = 0x10000
+        self.low = 0
+        self.bits: list[int] = []
+
+    def _add(self, x: int) -> None:
+        self.low += x
+        if self.low >= 0x10000:
+            self.low &= 0xFFFF
+            i = len(self.bits) - 1
+            while i >= 0 and self.bits[i]:
+                self.bits[i] = 0
+                i -= 1
+            if i < 0:
+                raise RuntimeError("QM encoder carry past stream start")
+            self.bits[i] = 1
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        idx = sv & 0x7F
+        qe = _QE[idx]
+        a = self.a - qe
+        if bit == (sv >> 7):            # MPS
+            if a >= 0x8000:             # fast path: no renorm/update
+                self.a = a
+                return
+            if a < qe:                  # conditional exchange: top
+                self._add(a)
+                self.a = qe
+            else:
+                self.a = a
+            st[i] = (sv & 0x80) | _NEXT_MPS[idx]
+        else:                           # LPS
+            if a >= qe:                 # normal: LPS on top
+                self._add(a)
+                self.a = qe
+            else:                       # exchange: LPS keeps bottom
+                self.a = a
+            if _SWITCH[idx]:
+                sv ^= 0x80
+            st[i] = (sv & 0x80) | _NEXT_LPS[idx]
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.low <<= 1
+            self.bits.append(self.low >> 16)
+            self.low &= 0xFFFF
+
+    def finish(self) -> bytes:
+        """Flush the remaining window (code value = interval base —
+        trailing zero-fill on the decode side lands inside the final
+        interval) and pack with 0xFF00 stuffing."""
+        for _ in range(16):
+            self.low <<= 1
+            self.bits.append(self.low >> 16)
+            self.low &= 0xFFFF
+        out = bytearray()
+        cur = n = 0
+        for b in self.bits:
+            cur = (cur << 1) | b
+            n += 1
+            if n == 8:
+                out.append(cur)
+                if cur == 0xFF:
+                    out.append(0x00)
+                cur = n = 0
+        if n:
+            cur <<= 8 - n
+            out.append(cur)
+            if cur == 0xFF:
+                out.append(0x00)
+        # trailing zero bytes are decoder-implied; drop them
+        while out and out[-1] == 0x00 and (len(out) < 2
+                                           or out[-2] != 0xFF):
+            out.pop()
+        return bytes(out)
+
+
+def _encode_dc_arith(enc, st, ctx, dc_ctx, ci, diff, L, U):
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        dc_ctx[ci] = 0
+        return
+    enc.encode(st, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    sz = (-diff if sign else diff) - 1
+    m = 0
+    if sz:
+        enc.encode(st, ctx + 2 + sign, 1)
+        m = 1
+        pos = 20
+        while (m << 1) <= sz:
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+        enc.encode(st, pos, 0)
+    else:
+        enc.encode(st, ctx + 2 + sign, 0)
+        pos = ctx + 2 + sign
+    if m < ((1 << L) >> 1):
+        dc_ctx[ci] = 0
+    elif m > ((1 << U) >> 1):
+        dc_ctx[ci] = 12 + (sign << 2)
+    else:
+        dc_ctx[ci] = 4 + (sign << 2)
+    pos += 14
+    mm = m
+    while True:
+        mm >>= 1
+        if not mm:
+            break
+        enc.encode(st, pos, 1 if (sz & mm) else 0)
+
+
+def _encode_ac_arith(enc, st, fixed, blk, kx):
+    last = 0
+    for k in range(63, 0, -1):
+        if blk[k]:
+            last = k
+            break
+    k = 1
+    while k <= last:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)          # not end-of-block yet
+        while blk[k] == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base += 3
+        enc.encode(st, base + 1, 1)
+        v = int(blk[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        sz = (-v if sign else v) - 1
+        pos = base + 2
+        if sz == 0:
+            enc.encode(st, pos, 0)
+            m = 0
+        elif sz == 1:
+            enc.encode(st, pos, 1)
+            enc.encode(st, pos, 0)
+            m = 1
+        else:
+            enc.encode(st, pos, 1)
+            enc.encode(st, pos, 1)
+            m = 2
+            pos = 189 if k <= kx else 217
+            while (m << 1) <= sz:
+                enc.encode(st, pos, 1)
+                m <<= 1
+                pos += 1
+            enc.encode(st, pos, 0)
+        pos += 14
+        mm = m
+        while True:
+            mm >>= 1
+            if not mm:
+                break
+            enc.encode(st, pos, 1 if (sz & mm) else 0)
+        k += 1
+    if last < 63:
+        enc.encode(st, 3 * (k - 1), 1)   # end-of-block
+
+
+def encode_scan_arith(mcus, comp_tables, n_components,
+                      dc_cond=None, ac_cond=None) -> bytes:
+    """Encode one sequential arithmetic scan. ``mcus`` iterates MCUs,
+    each a list of ``(ci, zigzag_block)``; ``comp_tables[ci] =
+    (td, ta)``. Returns stuffed entropy bytes (no markers)."""
+    dc_cond = dc_cond or {}
+    ac_cond = ac_cond or {}
+    enc = QmEncoder()
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    for td, ta in comp_tables:
+        dc_stats.setdefault(td, bytearray(64))
+        ac_stats.setdefault(ta, bytearray(256))
+    fixed = bytearray([113])
+    dc_ctx = [0] * n_components
+    pred = [0] * n_components
+    for mcu in mcus:
+        for ci, blk in mcu:
+            td, ta = comp_tables[ci]
+            L, U = dc_cond.get(td, ARITH_DC_DEFAULT)
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            _encode_dc_arith(enc, dc_stats[td], dc_ctx[ci], dc_ctx,
+                             ci, diff, L, U)
+            _encode_ac_arith(enc, ac_stats[ta], fixed, blk,
+                             ac_cond.get(ta, ARITH_AC_DEFAULT))
+    return enc.finish()

@@ -42,7 +42,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_arith"]
 
 # --------------------------------------------------------- T.81 constants
 
@@ -942,4 +942,64 @@ def encode_jpeg(img: np.ndarray, quality: int = 50,
         return bytes(out)
     writer.flush()
     out += writer.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith(img: np.ndarray, quality: int = 50) -> bytes:
+    """Encode ``(H, W)`` grayscale or ``(H, W, 3)`` RGB to SEQUENTIAL
+    ARITHMETIC JPEG (SOF9, 4:4:4, IJG quality scale) — the QM-coder
+    encode side of ``operators/jpegarith.py`` (r14). No Huffman
+    tables; a DAC segment spells out the default conditioning
+    explicitly. Decodable by this module's :func:`decode_jpeg` and by
+    any arithmetic-capable JPEG library (tests cross-validate
+    coefficients against the system libjpeg)."""
+    from .jpegarith import encode_scan_arith
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg_arith needs (H,W) or (H,W,3)")
+    h, w = img.shape[:2]
+    lum_q, chr_q = _quality_tables(quality)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + bytes(lum_q.astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" \
+            + bytes(chr_q.astype(np.uint8))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof += bytes([1, 0x11, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
+    # DAC: defaults made explicit — DC (L=0, U=1) -> Cs = 0x10;
+    # AC Kx = 5 (T.81 B.2.4.3)
+    dac = bytes([0x00, 0x10, 0x10, 0x05])
+    if not gray:
+        dac += bytes([0x01, 0x10, 0x11, 0x05])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    sos = bytes([nc, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if gray:
+        z = _fdct_quantize(img.astype(np.float64), lum_q)
+        mcus = ([(0, z[i])] for i in range(z.shape[0]))
+        data = encode_scan_arith(mcus, [(0, 0)], 1)
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        zys = _fdct_quantize(y, lum_q)
+        zcb = _fdct_quantize(cb, chr_q)
+        zcr = _fdct_quantize(cr, chr_q)
+        mcus = ([(0, zys[i]), (1, zcb[i]), (2, zcr[i])]
+                for i in range(zys.shape[0]))
+        data = encode_scan_arith(mcus, [(0, 0), (1, 1), (2, 1)], 3)
+    out += data + b"\xff\xd9"
     return bytes(out)
