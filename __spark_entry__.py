@@ -3143,6 +3143,44 @@ def _demo_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _demo_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL filtering (round 14, functions/robots.py): ten
+    synthetic hosts carry deterministic robots files (even hosts:
+    ``Allow: /p`` + ``Disallow: /`` — the RFC 9309 longest-match +
+    Allow-tie case; odd hosts: ``Disallow: /private/``), the corpus
+    derives one URL per doc, and ``parse_robots -> robots_allowed``
+    produces per-host allow/block counts. Rules are wildcard-free, so
+    every verdict is a prefix predicate the oracle recomputes
+    relationally from doc_id alone."""
+    from datasketches_spark_spark.functions import (parse_robots,
+                                                    robots_allowed)
+    hosts = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.com"))
+        .alias("host"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit("User-agent: *\nAllow: /p\nDisallow: /\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /private/\n"))
+        .alias("text"))
+    rules = parse_robots(hosts, "host", "text")
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 500).select("doc_id")
+    m = F.col("doc_id") % 3
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 10), F.lit(".example.com"),
+        F.when(m == 0, F.concat(F.lit("/p/"), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("/private/x"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/q"), F.col("doc_id"))))
+    urls = docs.select("doc_id", url.alias("url"))
+    out = robots_allowed(urls, rules)
+    return (out.groupBy(
+                F.regexp_extract("url", r"https://([^/]*)", 1)
+                .alias("host"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.col("allowed").cast("long")).cast("long")
+                 .alias("n_allowed"))
+            .orderBy("host"))
+
+
 def _demo_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arithmetic-coded JPEG decode (round 14, operators/jpegarith.py):
     the committed SOF9 fixtures (encoded once with the system libjpeg's
@@ -3308,6 +3346,7 @@ def demo_queries() -> dict[str, str]:
         "demo_html_extract": _demo_html_extract,
         "demo_http_decode": _demo_http_decode,
         "demo_jpeg_arith": _demo_jpeg_arith,
+        "demo_robots_filter": _demo_robots_filter,
     }
 
 
@@ -5408,6 +5447,25 @@ def demo_oracle_sql() -> dict[str, str]:
               AND NOT contains(text, '  ')
               AND text = trim(text)
             ORDER BY doc_id
+        """,
+        # demo_robots_filter: wildcard-free rules make every verdict a
+        # prefix predicate. Even hosts (Allow /p + Disallow /): the /p
+        # PREFIX also matches /private/... (longest-match is on raw
+        # prefixes, not path segments — RFC 9309 semantics), so m=0
+        # (/p/...) AND m=1 (/private/...) are allowed, m=2 (/q...)
+        # hits only Disallow /. Odd hosts block exactly /private/...
+        "demo_robots_filter": """
+            SELECT 'h' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.example.com' AS host,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE
+                     WHEN (doc_id % 10) % 2 = 0
+                       THEN CASE WHEN doc_id % 3 IN (0, 1)
+                                 THEN 1 ELSE 0 END
+                     ELSE CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END
+                   END) AS BIGINT) AS n_allowed
+            FROM documents WHERE doc_id < 500
+            GROUP BY doc_id % 10 ORDER BY host
         """,
         # demo_jpeg_arith: T.81 QM decode is exactly specified and the
         # engine IDCT deterministic -> decoded-pixel md5s are literals

@@ -8,11 +8,15 @@ Import as::
 """
 
 from . import quality_rules, text, urls
-from .html import html_decode_numeric_refs, html_title, html_to_text
+from .html import (html_decode_numeric_refs, html_meta_charset,
+                   html_title, html_to_text)
+from .robots import (parse_robots, parse_robots_text,
+                     robots_allowed, robots_sitemaps)
 from .http import (http_body, http_charset, http_decode_body,
                    http_decode_body_bytes, http_header,
                    http_status, http_text)
-from .urls import canonicalize_url, url_host, url_registered_domain
+from .urls import (canonicalize_url, sitemap_locs, url_host,
+                   url_registered_domain)
 from .embeddings import (
     dequantize_int8,
     l2_normalize,
@@ -84,9 +88,15 @@ __all__ = [
     # URL canonicalization (extension; crawl-pipeline normalization)
     "canonicalize_url",
     "html_decode_numeric_refs",
+    "html_meta_charset",
     "html_title",
     "html_to_text",
     "http_body",
+    "parse_robots",
+    "parse_robots_text",
+    "robots_allowed",
+    "robots_sitemaps",
+    "sitemap_locs",
     "http_charset",
     "http_decode_body",
     "http_decode_body_bytes",

@@ -37,7 +37,8 @@ from functools import reduce
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["html_to_text", "html_title", "html_decode_numeric_refs"]
+__all__ = ["html_to_text", "html_title", "html_decode_numeric_refs",
+           "html_meta_charset"]
 
 _BLOCK_TAGS = ("p|div|li|ul|ol|tr|td|th|table|h[1-6]|br|hr|section|"
                "article|header|footer|blockquote|pre")
@@ -132,6 +133,26 @@ def html_to_text(col) -> Column:
     s = F.regexp_replace(s, r"\n{2,}", "\n")
     # NOT F.trim: Spark's trim strips spaces only, not newlines
     return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+def html_meta_charset(col) -> Column:
+    """Charset declared INSIDE an HTML document (lowercased) — either
+    ``<meta charset=...>`` or the legacy ``<meta http-equiv=
+    "Content-Type" content="...; charset=...">`` form; null when
+    absent. The fallback step of the crawl decode chain: real
+    responses often omit the charset from the Content-Type header
+    (``http_charset`` null) and declare it only in markup — probe the
+    body bytes decoded as latin-1, then re-decode with the winner."""
+    s = _col(col)
+    # `charset` must sit directly after whitespace or ';' — an own
+    # attribute (<meta charset=...>) or the charset parameter of a
+    # Content-Type value ("text/html; charset=..."); a quote before it
+    # (content='charset=junk') disqualifies the match
+    direct = F.regexp_extract(
+        s, r"(?is)<meta\s(?:[^>]*?[\s;])?charset\s*=\s*[\"']?"
+           r"([\w.:-]+)", 1)
+    cs = F.lower(direct)
+    return F.when(cs == "", None).otherwise(cs)
 
 
 def html_title(col) -> Column:

@@ -222,3 +222,24 @@ def canonicalize_url(col, tracking_re: str = TRACKING_PARAM_RE) -> Column:
     return F.concat(auth, path,
                     F.when(query == "", F.lit(""))
                     .otherwise(F.concat(F.lit("?"), query)))
+
+
+def sitemap_locs(col) -> Column:
+    """``<loc>`` URLs of an XML sitemap / sitemap-index document as an
+    array column — pure Column exprs (``regexp_extract_all`` + a
+    per-element XML entity decode: sitemaps are required to
+    entity-escape ``& < > ' "`` in URLs). Pair with
+    ``functions.robots.robots_sitemaps`` for the robots-declared
+    listing; explode the result into the crawl frontier."""
+    s = _col(col)
+    locs = F.regexp_extract_all(
+        s, F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1)
+
+    def _dec(u: Column) -> Column:
+        u = F.regexp_replace(u, r"(?i)&lt;", "<")
+        u = F.regexp_replace(u, r"(?i)&gt;", ">")
+        u = F.regexp_replace(u, r"(?i)&quot;", "\"")
+        u = F.regexp_replace(u, r"(?i)&(apos|#39);", "'")
+        return F.regexp_replace(u, r"(?i)&amp;", "&")
+
+    return F.transform(locs, _dec)

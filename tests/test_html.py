@@ -160,3 +160,28 @@ class TestNumericRefs:
             f"SELECT 'v' || chr(65 + {i}) || 'w' || chr({0x2018} + {i})"
         ).fetchone()[0] for i in range(8)}
         assert got == want
+
+
+class TestMetaCharset:
+    """r14: in-markup charset declarations — the fallback when the
+    Content-Type header omits the charset."""
+
+    @pytest.mark.parametrize("html,want", [
+        ('<head><meta charset="UTF-8"></head>', "utf-8"),
+        ("<meta charset=windows-1252>", "windows-1252"),
+        ("<META CHARSET='ISO-8859-1'/>", "iso-8859-1"),
+        ('<meta http-equiv="Content-Type" '
+         'content="text/html; charset=Shift_JIS">', "shift_jis"),
+        ("<meta name='x' content='charset=not-this'>", None),
+        ("<p>no meta</p>", None),
+    ])
+    def test_cases(self, spark, html, want):
+        from datasketches_spark_spark.functions import html_meta_charset
+        assert _one(spark, html, html_meta_charset("h")) == want
+
+    def test_pure_expressions(self, spark):
+        from datasketches_spark_spark.functions import html_meta_charset
+        df = spark.createDataFrame([("<meta charset=utf-8>",)], ["h"])
+        plan = df.select(html_meta_charset("h")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()

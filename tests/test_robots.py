@@ -1,0 +1,174 @@
+"""robots.txt evaluation (functions/robots.py, r14): RFC 9309 group
+selection, longest-match precedence, wildcard/$ anchoring, the
+broadcast verdict plan, and sitemap listing (robots + XML)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.functions import (
+    parse_robots,
+    parse_robots_text,
+    robots_allowed,
+    robots_sitemaps,
+    sitemap_locs,
+)
+
+ROBOTS = """
+# example file
+User-agent: googlebot
+Disallow: /nogoogle/
+
+User-agent: *
+Allow: /p
+Disallow: /
+Sitemap: https://ex.com/sitemap.xml
+
+User-agent: foobot
+Disallow: /foo*bar$
+Allow: /foo
+"""
+
+
+class TestKernel:
+    def test_group_selection(self):
+        rules, sm = parse_robots_text(ROBOTS, "mybot")
+        assert rules == [("/p", True), ("/", False)]
+        assert sm == ["https://ex.com/sitemap.xml"]
+        assert parse_robots_text(ROBOTS, "GoogleBot")[0] == \
+            [("/nogoogle/", False)]
+        assert parse_robots_text(ROBOTS, "foobot")[0] == \
+            [("/foo*bar$", False), ("/foo", True)]
+
+    def test_shared_ua_lines_one_group(self):
+        txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots_text(txt, "b")[0] == [("/x", False)]
+        assert parse_robots_text(txt, "a")[0] == [("/x", False)]
+
+    def test_orphan_rules_and_empty_disallow(self):
+        # rules before any User-agent belong to no group; an empty
+        # Disallow value is a no-op (allow everything)
+        txt = "Disallow: /x\nUser-agent: *\nDisallow:\n"
+        assert parse_robots_text(txt)[0] == []
+
+    def test_new_group_after_rules(self):
+        txt = ("User-agent: *\nDisallow: /a\n"
+               "User-agent: z\nDisallow: /z\n")
+        assert parse_robots_text(txt)[0] == [("/a", False)]
+        assert parse_robots_text(txt, "z")[0] == [("/z", False)]
+
+
+class TestVerdicts:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [("ex.com", ROBOTS),
+             ("open.com", "User-agent: x\nDisallow: /")],
+            "host string, text string")
+
+    def test_rfc_precedence(self, spark, docs):
+        rules = parse_robots(docs, "host", "text", user_agent="mybot")
+        urls = spark.createDataFrame([
+            (1, "https://ex.com/p/page"),   # Allow /p beats Disallow /
+            (2, "https://ex.com/q"),        # Disallow /
+            (3, "https://ex.com/"),         # Disallow /
+            (4, "https://open.com/a"),      # no group for mybot
+            (5, "https://nohost.com/a"),    # host absent
+            (6, "https://ex.com/p"),        # exact Allow
+        ], "id long, url string")
+        got = {r.id: r.allowed
+               for r in robots_allowed(urls, rules).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: True, 5: True,
+                       6: True}
+
+    def test_wildcard_and_anchor(self, spark, docs):
+        rules = parse_robots(docs, "host", "text", user_agent="foobot")
+        urls = spark.createDataFrame([
+            (1, "https://ex.com/foo/x/bar"),      # /foo*bar$ blocks
+            (2, "https://ex.com/foo/x/bar?y=1"),  # $ anchor misses
+            (3, "https://ex.com/foobar"),         # longer rule blocks
+            (4, "https://ex.com/foo"),            # Allow /foo
+            (5, "https://ex.com/other"),          # no match
+        ], "id long, url string")
+        got = {r.id: r.allowed
+               for r in robots_allowed(urls, rules).collect()}
+        assert got == {1: False, 2: True, 3: False, 4: True, 5: True}
+
+    def test_allow_beats_disallow_on_tie(self, spark):
+        docs = spark.createDataFrame(
+            [("t.com", "User-agent: *\nAllow: /page\nDisallow: /page")],
+            "host string, text string")
+        rules = parse_robots(docs, "host", "text")
+        urls = spark.createDataFrame([(1, "https://t.com/page")],
+                                     "id long, url string")
+        assert robots_allowed(urls, rules).collect()[0].allowed is True
+
+    def test_multiplicity_preserved(self, spark, docs):
+        rules = parse_robots(docs, "host", "text")
+        urls = spark.createDataFrame(
+            [(1, "https://ex.com/q")] * 3, "id long, url string")
+        out = robots_allowed(urls, rules).collect()
+        assert len(out) == 3 and all(not r.allowed for r in out)
+
+    def test_plan_broadcasts_rules(self, spark, docs):
+        rules = parse_robots(docs, "host", "text")
+        urls = spark.createDataFrame([(1, "https://ex.com/q")],
+                                     "id long, url string")
+        plan = robots_allowed(urls, rules) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+
+    def test_duckdb_replays_prefix_rules(self, spark, docs):
+        """Oracle recipe: wildcard-free rules are prefix predicates —
+        DuckDB recomputes every verdict with starts_with + argmax."""
+        import duckdb
+        rules = parse_robots(docs, "host", "text", user_agent="mybot")
+        urls = spark.createDataFrame(
+            [(i, f"https://ex.com/{p}") for i, p in enumerate(
+                ["p/a", "p", "q", "", "pp", "x/y?z=1"])],
+            "id long, url string")
+        got = {(r.id,): r.allowed
+               for r in robots_allowed(urls, rules).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE rules AS SELECT * FROM (VALUES "
+                    + ",".join(f"('{p}', {a})" for p, a in
+                               [("/p", True), ("/", False)])
+                    + ") t(rule_path, allow)")
+        con.execute("CREATE TABLE urls AS SELECT * FROM (VALUES "
+                    + ",".join(
+                        f"({i}, '/{p.split('?')[0] and p or ''}')"
+                        for i, p in enumerate(
+                            ["p/a", "p", "q", "", "pp", "x/y?z=1"]))
+                    + ") t(id, path)")
+        want = {tuple(r[:1]): r[1] for r in con.execute("""
+            SELECT id, coalesce(arg_max(allow,
+                     length(rule_path) * 2 + CAST(allow AS INT))
+                   FILTER (starts_with(path, rule_path)), TRUE)
+            FROM urls LEFT JOIN rules ON TRUE
+            GROUP BY id""").fetchall()}
+        assert {k[0]: v for k, v in got.items()} == \
+            {k[0]: v for k, v in want.items()}
+
+
+class TestSitemaps:
+    def test_robots_sitemaps(self, spark):
+        docs = spark.createDataFrame(
+            [("ex.com", ROBOTS), ("n.com", "User-agent: *\n")],
+            "host string, text string")
+        got = [(r.host, r.sitemap_url)
+               for r in robots_sitemaps(docs, "host", "text").collect()]
+        assert got == [("ex.com", "https://ex.com/sitemap.xml")]
+
+    def test_sitemap_locs_column(self, spark):
+        xml = ("<?xml version='1.0'?><urlset>"
+               "<url><loc> https://a.com/p?x=1&amp;y=2 </loc></url>"
+               "<url><LOC>https://b.com/&lt;odd&gt;</LOC></url>"
+               "</urlset>")
+        df = spark.createDataFrame([(xml,)], "x string")
+        (row,) = df.select(sitemap_locs("x").alias("u")).collect()
+        assert list(row.u) == ["https://a.com/p?x=1&y=2",
+                               "https://b.com/<odd>"]
+        plan = df.select(sitemap_locs("x")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
