@@ -205,8 +205,18 @@ def _decode_http_payload(blob: bytes, as_text: bool,
             return body
         ct = hdrs.get(b"content-type", b"").decode("latin-1").lower()
         m = _re.search(r"charset=[\"']?([a-z0-9._+:-]+)", ct)
-        return _decode_entity(body, m.group(1) if m else None,
-                              default_charset)
+        charset = m.group(1) if m else None
+        if charset is None:
+            # header silent -> sniff the in-markup declaration from a
+            # lossless latin-1 probe of the body head (the
+            # html_meta_charset rule; real responses routinely declare
+            # the charset only in <meta>)
+            probe = body[:2048].decode("latin-1", "replace").lower()
+            m = _re.search(
+                r"<meta\s(?:[^>]*?[\s;])?charset\s*=\s*[\"']?"
+                r"([\w.:-]+)", probe, _re.S)
+            charset = m.group(1) if m else None
+        return _decode_entity(body, charset, default_charset)
     except (ValueError, OverflowError):
         return None
 

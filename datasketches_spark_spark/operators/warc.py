@@ -236,7 +236,12 @@ def stream_warc_records(data, chunk: int = _CHUNK,
                 take = min(chunk, n - pos)
                 buf_in = bytes(view[pos:pos + take])
                 pos += take
-            out = d.decompress(buf_in, max_out)
+            try:
+                out = d.decompress(buf_in, max_out)
+            except zlib.error as ex:
+                raise ValueError(
+                    f"WARC: corrupt gzip member at compressed offset "
+                    f"{comp_start}: {ex}") from None
             buf_in = d.unconsumed_tail
             if not out:
                 continue

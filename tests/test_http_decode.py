@@ -213,3 +213,34 @@ class TestChainPlanPin:
         assert "Exchange" not in plan
         assert "MapInPandas" in plan
         assert out.collect()[0].text == "x"
+
+
+class TestMetaCharsetFallback:
+    def test_meta_declared_charset_wins_when_header_silent(self):
+        # body is windows-1252; ONLY the markup declares it
+        html = ('<html><head><meta charset="windows-1252"></head>'
+                '<body>café – résumé</body></html>')
+        blob = _msg(html.encode("windows-1252"),
+                    ["Content-Type: text/html"])
+        got = _decode_http_payload(blob, True, "utf-8")
+        assert "café – résumé" in got
+
+    def test_header_charset_beats_meta(self):
+        # header says utf-8 and the bytes ARE utf-8; a (stale) meta
+        # claims latin-1 — the header wins per RFC 9110 precedence
+        html = ('<meta charset="iso-8859-1"><p>naïve</p>')
+        blob = _msg(html.encode("utf-8"),
+                    ["Content-Type: text/html; charset=utf-8"])
+        got = _decode_http_payload(blob, True, "windows-1252")
+        assert "naïve" in got
+
+    def test_warc_trailing_garbage_is_loud(self):
+        import gzip as _g
+        from datasketches_spark_spark.operators.warc import parse_warc
+        rec = ("WARC/1.0\r\nWARC-Type: conversion\r\n"
+               "WARC-Record-ID: <urn:uuid:g>\r\n"
+               "Content-Type: text/plain\r\nContent-Length: 2\r\n\r\n"
+               ).encode() + b"ok" + b"\r\n\r\n"
+        blob = _g.compress(rec) + b"\x1f\x8bGARBAGE-NOT-GZIP"
+        with pytest.raises(ValueError, match="corrupt gzip member"):
+            list(parse_warc(blob))
