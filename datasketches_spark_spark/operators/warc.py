@@ -50,7 +50,7 @@ import zlib
 from collections.abc import Iterator
 
 __all__ = ["is_warc", "is_gzip", "parse_warc", "stream_warc_records",
-           "warc_records", "read_warc", "read_warc_slices"]
+           "warc_records", "read_warc", "read_warc_slices", "read_cdxj"]
 
 _MAX_HEADER = 1 << 20   # spec headers are tiny; 1 MB guards corrupt sizes
 _CHUNK = 1 << 18        # compressed bytes fed per decompress call
@@ -423,3 +423,43 @@ def read_warc_slices(spark, index, types: tuple | None = None):
             yield pd.DataFrame(rows, columns=_COLS)
 
     return src.mapInPandas(run, _SCHEMA)
+
+
+def read_cdxj(spark, path: str):
+    """Read CDXJ index files (the Common Crawl / pywb side-index
+    format: ``<urlkey> <timestamp14> <json>`` per line) into columns::
+
+        (urlkey, timestamp, url, mime, status, digest,
+         filename, offset, length)
+
+    Entirely JVM expressions — ``spark.read.text`` + one regexp split
+    + ``from_json`` (numeric fields arrive as JSON strings per the
+    format and are cast here), so index scans are line-splittable and
+    pushdown-friendly at any index size. Malformed lines yield null
+    parsed fields rather than failing the scan (filter
+    ``url IS NOT NULL`` for the strict view). Rows whose
+    (filename, offset, length) point at LOCAL .warc.gz files feed
+    :func:`read_warc_slices` directly for record-level fetches."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    m = F.regexp_extract("value", r"^(\S+)\s+(\d{14})\s+(\{.*\})\s*$", 0)
+    urlkey = F.regexp_extract("value", r"^(\S+)", 1)
+    ts = F.regexp_extract("value", r"^\S+\s+(\d{14})", 1)
+    js = F.regexp_extract("value", r"^\S+\s+\d{14}\s+(\{.*\})\s*$", 1)
+    schema = ("url string, mime string, status string, digest string, "
+              "filename string, offset string, length string")
+    parsed = F.from_json(js, schema)
+    df = lines.select(
+        F.when(m == "", None).otherwise(urlkey).alias("urlkey"),
+        F.when(ts == "", None).otherwise(ts).alias("timestamp"),
+        parsed.alias("__p"))
+    return df.select(
+        "urlkey", "timestamp",
+        F.col("__p.url").alias("url"),
+        F.col("__p.mime").alias("mime"),
+        F.col("__p.status").cast("int").alias("status"),
+        F.col("__p.digest").alias("digest"),
+        F.col("__p.filename").alias("filename"),
+        F.col("__p.offset").cast("long").alias("offset"),
+        F.col("__p.length").cast("long").alias("length"))

@@ -351,3 +351,74 @@ class TestOffsetsIndex:
             "payload"]
         assert read_warc(spark, d, with_offsets=True).columns[-2:] == \
             ["offset", "length"]
+
+
+class TestCdxj:
+    """r14: CDXJ side-index reader (pure JVM parse) + composition with
+    read_warc_slices for record-level fetches."""
+
+    def test_parse_and_cast(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import read_cdxj
+        p = str(tmp_path / "idx.cdxj")
+        lines = [
+            'com,example)/p 20240101000000 {"url": "https://example.com/p",'
+            ' "mime": "text/html", "status": "200", "digest": "sha1:AAA",'
+            ' "filename": "crawl/a.warc.gz", "offset": "123",'
+            ' "length": "456"}',
+            'com,example)/q 20240102000000 {"url": "https://example.com/q",'
+            ' "status": "404", "filename": "crawl/b.warc.gz",'
+            ' "offset": "0", "length": "9"}',
+            'this line is malformed',
+        ]
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        rows = {r.urlkey: r for r in read_cdxj(spark, p).collect()}
+        a = rows["com,example)/p"]
+        assert (a.timestamp, a.url, a.mime, a.status, a.offset,
+                a.length, a.filename) == (
+            "20240101000000", "https://example.com/p", "text/html",
+            200, 123, 456, "crawl/a.warc.gz")
+        b = rows["com,example)/q"]
+        assert b.status == 404 and b.mime is None
+        # malformed line -> null row, scan does not fail
+        assert None in rows and rows[None].url is None
+
+    def test_composes_with_slices(self, spark, tmp_path):
+        import json
+        from datasketches_spark_spark.operators import (
+            read_cdxj, read_warc, read_warc_slices)
+        d = str(tmp_path / "w")
+        os.makedirs(d)
+        members = b"".join(
+            gzip.compress(_record("conversion", f"u{i}",
+                                  f"cdx text {i}".encode(),
+                                  rid=f"urn:uuid:c{i}"))
+            for i in range(5))
+        fp = os.path.join(d, "c.warc.gz")
+        with open(fp, "wb") as fh:
+            fh.write(members)
+        # build a CDXJ index FROM the engine's own offsets
+        idx = read_warc(spark, d, with_offsets=True).collect()
+        cdxj = str(tmp_path / "own.cdxj")
+        with open(cdxj, "w") as fh:
+            for r in idx:
+                fh.write(
+                    f"x)/{r.record_index} 20240101000000 "
+                    + json.dumps({
+                        "url": r.target_uri, "status": "200",
+                        "filename": r.path, "offset": str(r.offset),
+                        "length": str(r.length)}) + "\n")
+        back = read_cdxj(spark, cdxj).select(
+            F.col("filename").alias("path"), "offset", "length")
+        again = read_warc_slices(spark, back).collect()
+        assert sorted(bytes(r.payload) for r in again) == \
+            sorted(f"cdx text {i}".encode() for i in range(5))
+
+    def test_jvm_only_plan(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import read_cdxj
+        p = str(tmp_path / "e.cdxj")
+        open(p, "w").write("a 20240101000000 {\"url\": \"u\"}\n")
+        plan = read_cdxj(spark, p) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
+        assert "Exchange" not in plan
