@@ -3143,6 +3143,51 @@ def _demo_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _demo_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC SINK roundtrip (round 14, operators/warc.py::write_warc):
+    the corpus exports itself through the PUBLIC sink (one gzip member
+    per record, deterministic ids/dates) and ``read_warc`` ingests the
+    shards back — ids, domains and text bytes survive, so the oracle
+    recomputes every value from the documents table (the
+    demo_warc_ingest pattern, now through the production write path)."""
+    import shutil
+    import tempfile
+
+    from datasketches_spark_spark.operators import read_warc, write_warc
+    from datasketches_spark_spark.functions.urls import (
+        url_registered_domain)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300)
+            .select(
+                F.concat(F.lit("https://h"), F.col("doc_id") % 10,
+                         F.lit(".example"), F.col("doc_id") % 3,
+                         F.lit(".com/p/"), F.col("doc_id"))
+                .alias("target_uri"),
+                F.col("text").alias("payload"))
+            .repartition(2))
+    d = tempfile.mkdtemp(prefix="dss_warc_sink_demo_")
+    try:
+        manifest = write_warc(docs, d)
+        assert sum(m.n_records for m in manifest) > 0
+        out = (read_warc(spark, d, types=("conversion",))
+               .select(
+                   F.regexp_extract("target_uri", r"/p/(\d+)$", 1)
+                   .cast("long").alias("doc_id"),
+                   url_registered_domain("target_uri").alias("domain"),
+                   F.decode("payload", "utf-8").alias("text"))
+               .groupBy("domain")
+               .agg(F.count("*").cast("long").alias("n"),
+                    F.min("doc_id").alias("min_id"),
+                    F.max("doc_id").alias("max_id"),
+                    F.sum(F.length("text")).cast("long").alias("chars"))
+               .orderBy("domain")
+               .localCheckpoint())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _demo_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt URL filtering (round 14, functions/robots.py): ten
     synthetic hosts carry deterministic robots files (even hosts:
@@ -3347,6 +3392,7 @@ def demo_queries() -> dict[str, str]:
         "demo_http_decode": _demo_http_decode,
         "demo_jpeg_arith": _demo_jpeg_arith,
         "demo_robots_filter": _demo_robots_filter,
+        "demo_warc_roundtrip": _demo_warc_roundtrip,
     }
 
 
@@ -5447,6 +5493,19 @@ def demo_oracle_sql() -> dict[str, str]:
               AND NOT contains(text, '  ')
               AND text = trim(text)
             ORDER BY doc_id
+        """,
+        # demo_warc_roundtrip: the public sink preserves ids/domains/
+        # text bytes, so everything recomputes from documents (same
+        # shape as demo_warc_ingest, through write_warc)
+        "demo_warc_roundtrip": """
+            SELECT 'example' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+                     AS domain,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(doc_id) AS min_id,
+                   max(doc_id) AS max_id,
+                   CAST(sum(length(text)) AS BIGINT) AS chars
+            FROM documents WHERE doc_id < 300
+            GROUP BY doc_id % 3 ORDER BY domain
         """,
         # demo_robots_filter: wildcard-free rules make every verdict a
         # prefix predicate. Even hosts (Allow /p + Disallow /): the /p

@@ -50,7 +50,7 @@ import zlib
 from collections.abc import Iterator
 
 __all__ = ["is_warc", "is_gzip", "parse_warc", "stream_warc_records",
-           "warc_records", "read_warc", "read_warc_slices", "read_cdxj"]
+           "warc_records", "read_warc", "read_warc_slices", "read_cdxj", "write_warc"]
 
 _MAX_HEADER = 1 << 20   # spec headers are tiny; 1 MB guards corrupt sizes
 _CHUNK = 1 << 18        # compressed bytes fed per decompress call
@@ -463,3 +463,83 @@ def read_cdxj(spark, path: str):
         F.col("__p.filename").alias("filename"),
         F.col("__p.offset").cast("long").alias("offset"),
         F.col("__p.length").cast("long").alias("length"))
+
+
+def write_warc(df, path: str, uri_col: str = "target_uri",
+               payload_col: str = "payload",
+               warc_type: str = "conversion",
+               content_type: str = "text/plain",
+               warc_date: str = "2026-01-01T00:00:00Z",
+               compress: bool = True):
+    """WARC SINK — the write half of the ingestion symmetry: emit a
+    filtered/transformed corpus back out in the ecosystem format so
+    downstream consumers (or this engine's own :func:`read_warc`) can
+    pick it up. One FILE per partition (repartition upstream to set
+    the shard size — the Common Crawl ~1 GB convention keeps files
+    under binaryFile's 2 GiB cap), one gzip MEMBER per record (the
+    convention that keeps outputs range-addressable and re-splittable
+    via ``with_offsets``/``read_warc_slices``).
+
+    DETERMINISTIC by construction, so written shards are
+    oracle-comparable: ``WARC-Date`` is the caller's literal (never
+    wall-clock), ``WARC-Record-ID`` derives from the md5 of
+    (uri, payload), and gzip members use mtime=0. Payload column may
+    be binary or string (utf-8 encoded). Executes eagerly; returns
+    the manifest as a list of ``(file_path, n_records, n_bytes)``
+    rows (driver-bounded: one row per partition). Local filesystem in
+    this container; the file-open seam is the same ``_local_path``
+    one as the slices reader."""
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        fp = os.path.join(path, f"part-{pid:05d}{ext}")
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                for uri, payload in zip(pdf[uri_col], pdf[payload_col]):
+                    if payload is None:
+                        continue
+                    body = (payload.encode("utf-8")
+                            if isinstance(payload, str)
+                            else bytes(payload))
+                    u = "" if uri is None else str(uri)
+                    rid = hashlib.md5(
+                        u.encode() + b"\x00" + body).hexdigest()
+                    head = (
+                        "WARC/1.0\r\n"
+                        f"WARC-Type: {warc_type}\r\n"
+                        + (f"WARC-Target-URI: <{u}>\r\n" if u else "")
+                        + f"WARC-Date: {warc_date}\r\n"
+                        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+                        f"Content-Type: {content_type}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    rec = head + body + b"\r\n\r\n"
+                    if fh is None:
+                        fh = open(fp, "wb")
+                    fh.write(_gzip.compress(rec, 9, mtime=0)
+                             if compress else rec)
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n == 0:
+            yield pd.DataFrame({"file_path": [], "n_records": [],
+                                "n_bytes": []})
+            return
+        yield pd.DataFrame({"file_path": [fp], "n_records": [n],
+                            "n_bytes": [os.path.getsize(fp)]})
+
+    manifest = df.select(uri_col, payload_col).mapInPandas(
+        run, "file_path string, n_records long, n_bytes long")
+    return manifest.collect()

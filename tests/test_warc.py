@@ -422,3 +422,55 @@ class TestCdxj:
             ._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()
         assert "Exchange" not in plan
+
+
+class TestWriteWarc:
+    """r14: the WARC sink — read/write symmetry, member-per-record
+    convention, determinism."""
+
+    def test_roundtrip_through_read_warc(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        df = spark.createDataFrame(
+            [(f"https://h{i}.example.com/p/{i}", f"text {i}")
+             for i in range(20)],
+            "target_uri string, payload string").repartition(3)
+        out = str(tmp_path / "sink")
+        manifest = write_warc(df, out)
+        assert sum(m.n_records for m in manifest) == 20
+        assert all(m.file_path.endswith(".warc.gz") for m in manifest)
+        back = read_warc(spark, out, with_offsets=True).collect()
+        assert sorted(bytes(r.payload).decode() for r in back) == \
+            sorted(f"text {i}" for i in range(20))
+        assert sorted(r.target_uri for r in back) == \
+            sorted(f"https://h{i}.example.com/p/{i}" for i in range(20))
+        # member-per-record: every record is range-addressable
+        assert all(r.offset is not None for r in back)
+        assert all(r.warc_type == "conversion" for r in back)
+
+    def test_deterministic_bytes(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import write_warc
+        df = spark.createDataFrame(
+            [("u1", "abc"), ("u2", "def")],
+            "target_uri string, payload string").coalesce(1)
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_warc(df, a)
+        write_warc(df, b)
+        fa = os.path.join(a, os.listdir(a)[0])
+        fb = os.path.join(b, os.listdir(b)[0])
+        assert open(fa, "rb").read() == open(fb, "rb").read()
+
+    def test_binary_payloads_and_plain_mode(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        df = spark.createDataFrame(
+            [("u", bytearray(b"\x00\x01\xffbin"))],
+            "target_uri string, payload binary").coalesce(1)
+        out = str(tmp_path / "bin")
+        write_warc(df, out, warc_type="resource",
+                   content_type="application/octet-stream",
+                   compress=False)
+        (r,) = read_warc(spark, out).collect()
+        assert bytes(r.payload) == b"\x00\x01\xffbin"
+        assert r.warc_type == "resource"
+        assert r.content_type == "application/octet-stream"
