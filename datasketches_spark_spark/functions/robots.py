@@ -160,15 +160,25 @@ def robots_allowed(urls, rules, url_col: str = "url",
     (output of :func:`parse_robots`; columns host/rule_path/allow)
     per RFC 9309: longest matching ``rule_path`` wins, Allow beats
     Disallow on equal length, no match (or no rules for the host) ->
-    allowed. One corpus scan: the rules side is an explicit
-    ``broadcast`` (host-bounded dimension), matching is a
-    column-pattern ``rlike`` (JVM, no Python row path), and
-    precedence is one aggregate over the match rank — row
-    multiplicity of ``urls`` is preserved via a per-plan row id."""
+    allowed.
+
+    100 TB shape — the corpus NEVER shuffles: rules pre-aggregate to
+    one array row per host (the only exchange, rules-table-sized),
+    that dimension broadcasts into a left join, and the verdict is a
+    per-row higher-order expression (``filter`` by ``regexp_like``
+    with the precompiled per-rule regex, then ``array_max`` over
+    ``(2*length + allow)`` ranks). One corpus scan, no Python row
+    path, no row-id bookkeeping — multiplicity is trivially
+    preserved because no aggregate ever touches the URL side."""
     from .urls import url_host
 
+    rule_arr = (rules.groupBy(F.col("host").alias("__host"))
+                .agg(F.collect_list(F.struct(
+                    F.length("rule_path").alias("len"),
+                    F.col("allow").alias("a"),
+                    _rule_regex(F.col("rule_path")).alias("re")))
+                    .alias("__rules")))
     u = (urls
-         .withColumn("__rid", F.monotonically_increasing_id())
          .withColumn("__host", url_host(F.col(url_col)))
          .withColumn(
              "__path",
@@ -177,22 +187,15 @@ def robots_allowed(urls, rules, url_col: str = "url",
                      F.col(url_col),
                      r"^[^:/?#]+://[^/?#]*([^#]*)", 1), F.lit("")),
                  F.lit("/"))))
-    r = (rules.select(F.col("host").alias("__host"),
-                      "rule_path", "allow")
-         .withColumn("__re", _rule_regex(F.col("rule_path"))))
-    j = u.join(F.broadcast(r), "__host", "left")
-    rank = F.when(
-        F.col("__re").isNotNull() & F.expr("__path rlike __re"),
-        F.length("rule_path") * 2 + F.col("allow").cast("int")) \
-        .otherwise(F.lit(-1))
-    best = (j.withColumn("__rank", rank)
-            .groupBy("__rid", *urls.columns)
-            .agg(F.max(F.struct(
-                F.col("__rank").alias("r"),
-                F.coalesce(F.col("allow"), F.lit(True)).alias("a")))
-                .alias("__b")))
-    return (best.withColumn(
-                out_col,
-                F.when(F.col("__b.r") < 0, F.lit(True))
-                .otherwise(F.col("__b.a")))
-            .drop("__b", "__rid"))
+    j = u.join(F.broadcast(rule_arr), "__host", "left")
+    matched = F.filter(
+        F.col("__rules"),
+        lambda r: F.regexp_like(F.col("__path"), r["re"]))
+    best = F.array_max(F.transform(
+        matched,
+        lambda r: F.struct(
+            (r["len"] * 2 + r["a"].cast("int")).alias("rank"),
+            r["a"].alias("a"))))
+    verdict = F.when(best.isNull(), F.lit(True)).otherwise(best["a"])
+    return (j.withColumn(out_col, verdict)
+            .drop("__rules", "__host", "__path"))

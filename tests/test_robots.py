@@ -111,13 +111,19 @@ class TestVerdicts:
         out = robots_allowed(urls, rules).collect()
         assert len(out) == 3 and all(not r.allowed for r in out)
 
-    def test_plan_broadcasts_rules(self, spark, docs):
+    def test_plan_broadcasts_rules_corpus_never_shuffles(self, spark,
+                                                         docs):
         rules = parse_robots(docs, "host", "text")
         urls = spark.createDataFrame([(1, "https://ex.com/q")],
                                      "id long, url string")
         plan = robots_allowed(urls, rules) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan
+        # the ONLY hash exchange is the rules-side per-host array
+        # aggregation (dimension-sized); the URL side is scan -> join
+        # -> per-row HOF verdict with no shuffle and no aggregate
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "__rid" not in plan
 
     def test_duckdb_replays_prefix_rules(self, spark, docs):
         """Oracle recipe: wildcard-free rules are prefix predicates —
