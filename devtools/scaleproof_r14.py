@@ -111,8 +111,32 @@ def op_offsets_slices(spark, d):
     return consume(again, "record_id", "content_length")
 
 
+def op_robots(spark, d):
+    # corpus = x1/x10 WARC fixture records lifted to URLs; rules =
+    # a fixed 13-host dimension. Claim: the only hash exchange is the
+    # rules-side per-host array aggregation, so shuffle bytes stay
+    # FLAT while the corpus grows 10x.
+    from pyspark.sql import functions as F
+    from datasketches_spark_spark.functions import (parse_robots,
+                                                    robots_allowed)
+    from datasketches_spark_spark.operators import read_warc
+    hosts = spark.range(13).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.com"))
+        .alias("host"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit("User-agent: *\nAllow: /p\nDisallow: /\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /p/1*\n"))
+        .alias("text"))
+    rules = parse_robots(hosts, "host", "text")
+    urls = read_warc(spark, d, types=("response",)) \
+        .select(F.col("target_uri").alias("url"))
+    out = robots_allowed(urls, rules)
+    return consume(out, "url", "allowed")
+
+
 OPS = [("warc_http_html_chain", op_chain),
-       ("warc_offsets_slices", op_offsets_slices)]
+       ("warc_offsets_slices", op_offsets_slices),
+       ("robots_allowed", op_robots)]
 
 
 def run_op(name, fn, scale_dir):
