@@ -16,7 +16,7 @@ from .http import (http_body, http_charset, http_decode_body,
                    http_decode_body_bytes, http_header,
                    http_status, http_text)
 from .urls import (canonicalize_url, sitemap_locs, url_host,
-                   url_registered_domain)
+                   url_registered_domain, url_surt_key)
 from .embeddings import (
     dequantize_int8,
     l2_normalize,
@@ -97,6 +97,7 @@ __all__ = [
     "robots_allowed",
     "robots_sitemaps",
     "sitemap_locs",
+    "url_surt_key",
     "http_charset",
     "http_decode_body",
     "http_decode_body_bytes",

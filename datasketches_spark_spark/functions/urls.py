@@ -243,3 +243,36 @@ def sitemap_locs(col) -> Column:
         return F.regexp_replace(u, r"(?i)&amp;", "&")
 
     return F.transform(locs, _dec)
+
+
+def url_surt_key(col) -> Column:
+    """SURT-form url key (the CDX index join key: ``read_cdxj``'s
+    ``urlkey`` column) as pure Column exprs: host labels reversed and
+    comma-joined, ``)/`` separator, then the lowercased path+query
+    with tracking params dropped, params sorted, and trailing slashes
+    stripped (the canonicalize_url treatment applied inside the key).
+    ``https://WWW.Example.COM:443/A/b?b=2&a=1#f`` ->
+    ``com,example)/a/b?a=1&b=2``. A leading ``www.`` label is dropped
+    (the pywb convention). Simplified SURT: no percent-decoding or
+    session-id stripping — the same string-level stance as
+    ``canonicalize_url``, documented so the key is replayable by an
+    independent engine."""
+    c = _col(col)
+    host = url_host(c)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.lower(F.regexp_extract(c, r"^[^:/?#]+://[^/?#]*([^#]*)", 1))
+    path = F.regexp_replace(F.regexp_replace(rest, r"\?.*$", ""),
+                            "/+$", "")
+    qs = F.when(rest.contains("?"),
+                F.regexp_replace(rest, r"^[^?]*\?", "")) \
+        .otherwise(F.lit(""))
+    kept = F.array_join(F.array_sort(F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))), "&")
+    tail = F.concat(path,
+                    F.when(kept == "", F.lit(""))
+                    .otherwise(F.concat(F.lit("?"), kept)))
+    return F.when(host.isNull(), None) \
+        .otherwise(F.concat(rev, F.lit(")"), F.lit("/"),
+                            F.regexp_replace(tail, r"^/", "")))

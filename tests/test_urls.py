@@ -236,3 +236,47 @@ class TestBundledPsl:
         # provenance honesty is part of the contract
         assert "NOT the complete" in head
         assert "PublicSuffixList.load" in head
+
+
+class TestSurtKey:
+    """r14: SURT url keys — the CDX join key (read_cdxj.urlkey)."""
+
+    @pytest.mark.parametrize("url,want", [
+        ("https://WWW.Example.COM:443/A/b?b=2&a=1#f",
+         "com,example)/a/b?a=1&b=2"),
+        ("http://sub.site.co.uk/x/", "uk,co,site,sub)/x"),
+        ("https://example.com/", "com,example)/"),
+        ("https://example.com/p?utm_source=x", "com,example)/p"),
+        ("not a url", None),
+    ])
+    def test_cases(self, spark, url, want):
+        from datasketches_spark_spark.functions import url_surt_key
+        df = spark.createDataFrame([(url,)], "u string")
+        assert df.select(url_surt_key("u").alias("k")) \
+            .collect()[0].k == want
+
+    def test_joins_against_cdxj(self, spark, tmp_path):
+        """The point of the key: corpus URLs join CDX index rows."""
+        import os
+        from datasketches_spark_spark.functions import url_surt_key
+        from datasketches_spark_spark.operators import read_cdxj
+        p = str(tmp_path / "i.cdxj")
+        with open(p, "w") as fh:
+            fh.write('com,example)/a/b 20240101000000 '
+                     '{"url": "https://example.com/A/b", '
+                     '"offset": "1", "length": "2", '
+                     '"filename": "f.warc.gz"}\n')
+        idx = read_cdxj(spark, p)
+        corpus = spark.createDataFrame(
+            [("https://www.example.com/a/b",),
+             ("https://example.com/other",)], "url string")
+        hit = corpus.join(
+            idx, url_surt_key(corpus.url) == idx.urlkey, "inner")
+        assert hit.count() == 1
+
+    def test_pure_expressions(self, spark):
+        from datasketches_spark_spark.functions import url_surt_key
+        df = spark.createDataFrame([("https://a.com/x",)], "u string")
+        plan = df.select(url_surt_key("u")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
