@@ -3279,15 +3279,18 @@ def _demo_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunked + gzipped HTTP response bodies decode end-to-end (round
-    14, functions/http.py): docs re-frame as WARC *response* records
-    whose HTML body is gzip-compressed AND chunk-framed (built per
-    partition in an Arrow pass — the bounded foreign-side simulation,
-    like demo_warc_ingest), then ``read_warc -> http_decode_body ->
-    html_to_text`` recovers the visible text. The ``guarded`` column
-    pins the companion fix: the as-captured ``http_body`` slice is
-    null (loud) on encoded messages, never silent framing garbage.
-    Docs are pre-filtered markup-free so the oracle is concatenation."""
+    """Encoded HTTP response bodies decode end-to-end (r14, extended
+    r15 — functions/http.py): docs re-frame as WARC *response* records
+    across THREE encoding legs by doc_id % 3 — (0) gzip-compressed AND
+    chunk-framed, (1) brotli (``Content-Encoding: br`` via the system
+    libbrotlidec, r15), (2) brotli + a UTF-16LE body carrying a BOM
+    while the header falsely claims iso-8859-1 (the BOM must win —
+    WHATWG sniffing order, r15). Then ``read_warc -> http_decode_body
+    -> html_to_text`` recovers the identical visible text on every
+    leg. The ``guarded`` column pins the companion fix: the
+    as-captured ``http_body`` slice is null (loud) on encoded
+    messages, never silent framing garbage. Docs are pre-filtered
+    markup-free so the oracle is concatenation."""
     import gzip
     import os
     import shutil
@@ -3299,6 +3302,8 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     html_to_text)
     from datasketches_spark_spark.functions.http import http_text
     from datasketches_spark_spark.operators import read_warc
+    from datasketches_spark_spark.operators.brotlinative import \
+        brotli_encode
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 300)
@@ -3319,11 +3324,26 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 html = (f"<html><head><title>T{int(did)}</title></head>"
                         f"<body><p>{text}</p><p>end {int(did)}</p>"
                         "</body></html>")
-                body = _chunked(gzip.compress(html.encode("utf-8")))
-                msg = (b"HTTP/1.1 200 OK\r\n"
-                       b"Content-Type: text/html; charset=utf-8\r\n"
-                       b"Transfer-Encoding: chunked\r\n"
-                       b"Content-Encoding: gzip\r\n\r\n" + body)
+                leg = int(did) % 3
+                if leg == 0:
+                    body = _chunked(gzip.compress(html.encode("utf-8")))
+                    msg = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html; charset=utf-8\r\n"
+                           b"Transfer-Encoding: chunked\r\n"
+                           b"Content-Encoding: gzip\r\n\r\n" + body)
+                elif leg == 1:
+                    body = brotli_encode(html.encode("utf-8"))
+                    msg = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html; charset=utf-8\r\n"
+                           b"Content-Encoding: br\r\n\r\n" + body)
+                else:
+                    # BOM > header: UTF-16LE body, header lies
+                    body = brotli_encode(
+                        b"\xff\xfe" + html.encode("utf-16-le"))
+                    msg = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html; "
+                           b"charset=iso-8859-1\r\n"
+                           b"Content-Encoding: br\r\n\r\n" + body)
                 head = (
                     "WARC/1.0\r\n"
                     "WARC-Type: response\r\n"
@@ -3343,12 +3363,15 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, row in enumerate(files):
             with open(os.path.join(d, f"part{i}.warc.gz"), "wb") as fh:
                 fh.write(bytes(row.blob))
+        from datasketches_spark_spark.functions.http import http_header
         out = (read_warc(spark, d, types=("response",))
                .select(
                    F.regexp_extract("record_id", r"(\d+)$", 1)
                    .cast("long").alias("doc_id"),
                    html_to_text(http_decode_body("payload"))
                    .alias("text_out"),
+                   http_header(http_text("payload"), "Content-Encoding")
+                   .alias("enc"),
                    http_body(http_text("payload")).isNull()
                    .alias("guarded"))
                .orderBy("doc_id")
@@ -5479,13 +5502,16 @@ def demo_oracle_sql() -> dict[str, str]:
               AND text = trim(text)
             ORDER BY doc_id
         """,
-        # r14: chunked+gzipped response bodies decode end-to-end; the
-        # guard column proves the as-captured http_body slice is now
-        # loudly null on encoded messages
+        # r14 (extended r15): chunked+gzip, brotli, and brotli+UTF-16-
+        # BOM-overrides-header response bodies all decode to identical
+        # text; the guard column proves the as-captured http_body
+        # slice is loudly null on encoded messages
         "demo_http_decode": """
             SELECT doc_id,
                    text || chr(10) || 'end '
                         || CAST(doc_id AS VARCHAR) AS text_out,
+                   CASE WHEN doc_id % 3 = 0 THEN 'gzip'
+                        ELSE 'br' END AS enc,
                    TRUE AS guarded
             FROM documents
             WHERE doc_id < 300

@@ -16,15 +16,14 @@ expression):
 2. turn block-level closers/openers (``p, div, li, tr, table, h1-h6,
    br, section, article``) into newlines;
 3. strip every remaining tag;
-4. decode entities in one spec-ordered pass: NUMERIC character
-   references first (``&#NN;`` / ``&#xHH;`` — full code-point range
-   incl. the HTML5 windows-1252 remap of 0x80-0x9F, via
-   ``html_decode_numeric_refs``, still pure Column exprs: split /
-   ``conv`` / ``decode UTF-32`` / zip — r14, closing the r13 gap),
-   then the named entities crawl text actually contains
-   (``lt gt quot apos nbsp`` then ``amp`` LAST, so ``&amp;lt;``
-   decodes to the literal ``&lt;`` and ``&amp;#60;`` to the literal
-   ``&#60;``);
+4. decode entities in ONE split pass over the union pattern (r15):
+   numeric character references (``&#NN;`` / ``&#xHH;`` — full
+   code-point range incl. the HTML5 windows-1252 remap of 0x80-0x9F)
+   and the named entities crawl text actually contains
+   (``lt gt quot apos nbsp amp``), each decoded TERMINALLY against
+   the original text (HTML5 §13.2.5: replacement text never
+   re-parses — ``&amp;lt;`` and ``&#38;lt;`` BOTH decode to the
+   literal ``&lt;``, ``&amp;#60;`` to the literal ``&#60;``);
 5. collapse runs of spaces/tabs to one space, newline runs to one
    newline (block boundaries become single separators), and strip
    leading/trailing whitespace.
@@ -64,6 +63,24 @@ _C1_REMAP = {
 _NCR_BODY = r"[0-9]{1,7}|[xX][0-9a-fA-F]{1,6}"
 
 
+def _ncr_char(tok: Column) -> Column:
+    """NCR body (``NN`` / ``xHH`` — no ``&#``/`;`) -> its character;
+    invalid codes keep their LITERAL ``&#tok;`` text."""
+    is_hex = tok.rlike("^[xX]")
+    cp = F.when(
+        is_hex,
+        F.conv(F.substring(tok, 2, 16), 16, 10).cast("long")) \
+        .otherwise(tok.cast("long"))
+    cp = reduce(lambda acc, kv: acc.when(cp == kv[0], kv[1]),
+                _C1_REMAP.items(),
+                F.when(cp.isNull(), None)).otherwise(cp)
+    valid = cp.isNotNull() & (cp >= 1) & (cp <= 0x10FFFF) & \
+        ~cp.between(0xD800, 0xDFFF)
+    ch = F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "UTF-32")
+    return F.when(valid, ch) \
+        .otherwise(F.concat(F.lit("&#"), tok, F.lit(";")))
+
+
 def html_decode_numeric_refs(col) -> Column:
     """Decode numeric character references — ``&#NN;`` (decimal) and
     ``&#xHH;`` (hex) — as PURE Column expressions: split the string on
@@ -81,40 +98,47 @@ def html_decode_numeric_refs(col) -> Column:
     s = _col(col)
     parts = F.split(s, rf"&#(?:{_NCR_BODY});", -1)
     toks = F.regexp_extract_all(s, F.lit(rf"&#({_NCR_BODY});"), 1)
-
-    def _char(tok: Column) -> Column:
-        is_hex = tok.rlike("^[xX]")
-        cp = F.when(
-            is_hex,
-            F.conv(F.substring(tok, 2, 16), 16, 10).cast("long")) \
-            .otherwise(tok.cast("long"))
-        cp = reduce(lambda acc, kv: acc.when(cp == kv[0], kv[1]),
-                    _C1_REMAP.items(),
-                    F.when(cp.isNull(), None)).otherwise(cp)
-        valid = cp.isNotNull() & (cp >= 1) & (cp <= 0x10FFFF) & \
-            ~cp.between(0xD800, 0xDFFF)
-        ch = F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "UTF-32")
-        return F.when(valid, ch) \
-            .otherwise(F.concat(F.lit("&#"), tok, F.lit(";")))
-
     return F.array_join(
-        F.zip_with(parts, F.transform(toks, _char),
+        F.zip_with(parts, F.transform(toks, _ncr_char),
                    lambda p, d: F.concat(p, F.coalesce(d, F.lit("")))),
         "")
 
 
+# the one split pattern of the combined entity pass: a numeric
+# reference body OR one of the named entities crawl text actually
+# contains (named matching case-insensitive, as before)
+_ENT_BODY = rf"#(?:{_NCR_BODY})|(?i:lt|gt|quot|apos|nbsp|amp)"
+
+
 def _decode_entities(s: Column) -> Column:
-    # numeric refs FIRST: at this point `&amp;` is still undecoded, so
-    # `&amp;#60;` cannot match `&#...;` — the one-pass spec order that
-    # keeps `&amp;lt;` -> literal `&lt;` holds for numerics too
-    s = html_decode_numeric_refs(s)
-    s = F.regexp_replace(s, r"(?i)&nbsp;", " ")
-    s = F.regexp_replace(s, r"(?i)&lt;", "<")
-    s = F.regexp_replace(s, r"(?i)&gt;", ">")
-    s = F.regexp_replace(s, r"(?i)&quot;", "\"")
-    s = F.regexp_replace(s, r"(?i)&(apos|#39);", "'")
-    s = F.regexp_replace(s, r"(?i)&amp;", "&")  # last: &amp;lt; -> &lt;
-    return s
+    """ONE split pass over the union pattern (numeric refs + named
+    entities), each token decoded TERMINALLY — HTML5 character
+    references never re-parse (§13.2.5: the replacement text is
+    plain text). Sequential-replace orderings get some mirror case
+    wrong: numeric-first turned ``&#38;lt;`` into ``<`` (the decoded
+    ``&`` re-parsed by the later named pass); named-first would do
+    the same to ``&amp;#60;``. Splitting once decodes each reference
+    against the ORIGINAL text only: ``&#38;lt;`` -> literal ``&lt;``,
+    ``&amp;#60;`` -> literal ``&#60;``."""
+
+    def _ent(tok: Column) -> Column:
+        low = F.lower(tok)
+        named = (F.when(low == "lt", "<")
+                  .when(low == "gt", ">")
+                  .when(low == "quot", "\"")
+                  .when(low == "apos", "'")
+                  .when(low == "nbsp", " ")
+                  .when(low == "amp", "&"))
+        return F.when(tok.startswith("#"),
+                      _ncr_char(F.substring(tok, 2, 2_147_483_647))) \
+            .otherwise(named)
+
+    parts = F.split(s, rf"&(?:{_ENT_BODY});", -1)
+    toks = F.regexp_extract_all(s, F.lit(rf"&({_ENT_BODY});"), 1)
+    return F.array_join(
+        F.zip_with(parts, F.transform(toks, _ent),
+                   lambda p, d: F.concat(p, F.coalesce(d, F.lit("")))),
+        "")
 
 
 def html_to_text(col) -> Column:

@@ -6,7 +6,8 @@ captured: an HTTP/1.x status line + header block + body. The splitters
 are pure JVM string expressions (scan-stage, no Python row path); the
 BODY DECODERS (``http_decode_body`` / ``http_decode_body_bytes``, r14)
 reverse ``Transfer-Encoding: chunked`` + ``Content-Encoding:
-gzip/deflate`` and apply the Content-Type charset in one Arrow-batched
+gzip/deflate/br`` (r15: brotli via the system libbrotlidec) and apply
+the charset (WHATWG order: BOM > header > meta) in one Arrow-batched
 pass — real Common Crawl response records routinely carry both, and
 the as-captured slice must NOT feed regexp text extraction
 (``http_body`` now nulls those rows instead of leaking framing bytes).
@@ -112,7 +113,12 @@ def _dechunk(b: bytes) -> bytes:
         if nl < 0:
             break                       # truncated before a size line
         line = b[pos:nl].split(b";", 1)[0].strip()
-        size = int(line, 16)            # ValueError -> caller nulls
+        # strict hex validation BEFORE int(): python's int(x, 16) also
+        # accepts '-5', '+5', '0x3', '1_0' — a negative/underscored
+        # size line would silently mix framing bytes into the body
+        if not re.fullmatch(rb"[0-9a-fA-F]{1,16}", line):
+            raise ValueError(f"malformed chunk-size line: {line[:32]!r}")
+        size = int(line, 16)
         pos = nl + 2
         if size == 0:
             break                       # terminal chunk (trailers ignored)
@@ -127,37 +133,63 @@ def _dechunk(b: bytes) -> bytes:
 def _inflate(b: bytes, encoding: str) -> bytes:
     """Reverse one Content-Encoding token. gzip/x-gzip/deflate via
     zlib (deflate tries zlib-wrapped then raw — servers ship both);
-    lenient on truncated streams (decoded prefix). Unsupported codings
-    (e.g. br — no brotli in this environment) raise -> null row."""
+    ``br`` via the system libbrotlidec (``operators/brotlinative.py``
+    — streaming, bomb-guarded; raises -> null row only where the
+    shared object is genuinely absent). Lenient on truncated streams
+    (decoded prefix); genuinely unsupported codings raise -> null."""
     import zlib
     enc = encoding.strip().lower()
     if enc in ("", "identity"):
         return b
+    if enc == "br":
+        from ..operators.brotlinative import brotli_decode
+        try:
+            return brotli_decode(b)
+        except NotImplementedError as ex:
+            raise ValueError(str(ex)) from ex
     if enc in ("gzip", "x-gzip"):
         wbits_try = (47,)
     elif enc == "deflate":
         wbits_try = (15, -15)
     else:
         raise ValueError(f"unsupported Content-Encoding: {enc!r}")
+    if not b:
+        return b""
     last_err = None
     for wbits in wbits_try:
-        out, data = [], b
+        out, data, ok = [], b, False
         try:
             while data:
                 d = zlib.decompressobj(wbits)
                 out.append(d.decompress(data))
                 out.append(d.flush())
                 if not d.eof:
-                    break               # truncated member: keep prefix
-                data = d.unused_data    # concatenated members
-            if out and any(out):
-                return b"".join(out)
-            if not b:
-                return b""
+                    # truncated member: keep the prefix — but ONLY if
+                    # this member actually produced bytes (a zero-byte
+                    # "member" under the wrong wbits is not success)
+                    ok = ok or any(out)
+                    break
+                ok = True               # a COMPLETE member (may be
+                data = d.unused_data    # a valid encoding of b'')
         except zlib.error as ex:
             last_err = ex
             continue
+        if ok:
+            return b"".join(out)
     raise ValueError(f"undecodable {enc} body: {last_err}")
+
+
+def _bom_charset(body: bytes) -> str | None:
+    """WHATWG encoding-sniffing step 1 (Encoding Standard §4.2, "BOM
+    sniffing"): a UTF-8 / UTF-16LE / UTF-16BE byte-order mark on the
+    decoded entity body OUTRANKS the Content-Type header charset (the
+    header in turn outranks ``<meta>``). Returns the python codec name
+    (each strips the BOM itself) or None when no BOM is present."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"                 # codec reads the BOM for LE/BE
+    return None
 
 
 def _decode_entity(b: bytes, charset: str | None, default: str) -> str:
@@ -192,8 +224,14 @@ def _decode_http_payload(blob: bytes, as_text: bool,
         hdrs = {}
         for line in head.split(b"\r\n")[1:]:
             k, sep, v = line.partition(b":")
-            if sep:
-                hdrs[k.strip().lower()] = v.strip()
+            if not sep:
+                continue
+            key = k.strip().lower()
+            # repeated field lines are RFC 9110 list members — joining
+            # with ',' keeps every Transfer-/Content-Encoding token
+            # (last-value-wins dropped earlier codings)
+            hdrs[key] = (hdrs[key] + b"," + v.strip()) if key in hdrs \
+                else v.strip()
         te = hdrs.get(b"transfer-encoding", b"").decode("latin-1").lower()
         if "chunked" in te:
             body = _dechunk(body)
@@ -203,6 +241,14 @@ def _decode_http_payload(blob: bytes, as_text: bool,
             body = _inflate(body, token)
         if not as_text:
             return body
+        bom = _bom_charset(body)
+        if bom is not None:
+            # BOM > header > meta (WHATWG order); the BOM is
+            # authoritative, so decode errors replace, never fall back
+            try:
+                return body.decode(bom)
+            except UnicodeDecodeError:
+                return body.decode(bom, "replace")
         ct = hdrs.get(b"content-type", b"").decode("latin-1").lower()
         m = _re.search(r"charset=[\"']?([a-z0-9._+:-]+)", ct)
         charset = m.group(1) if m else None
@@ -224,11 +270,12 @@ def _decode_http_payload(blob: bytes, as_text: bool,
 def http_decode_body_bytes(payload) -> Column:
     """BINARY HTTP message -> decoded entity-body BYTES: reverses
     ``Transfer-Encoding: chunked`` and ``Content-Encoding:
-    gzip/x-gzip/deflate`` (applied in reverse header order), leaving
+    gzip/x-gzip/deflate/br`` (applied in reverse header order; br via
+    the system libbrotlidec — ``operators/brotlinative.py``), leaving
     the charset question to the caller — the right form for binary
     entities (images fetched from response records feed the codec
     operators from here). Null for non-HTTP payloads and undecodable
-    bodies (unsupported codings like br, malformed chunk framing);
+    bodies (genuinely unsupported codings, malformed chunk framing);
     truncated captures decode to their recoverable prefix. One
     Arrow-batched pass (computed lengths — not expressible as regexp);
     scan-stage, no shuffle."""
@@ -249,9 +296,11 @@ def http_decode_body_bytes(payload) -> Column:
 
 def http_decode_body(payload, default_charset: str = "utf-8") -> Column:
     """BINARY HTTP message -> decoded entity-body TEXT: de-chunk,
-    inflate, then charset-decode — the declared Content-Type charset
-    strictly, else ``default_charset`` strictly, else windows-1252
-    with replacement (total). This is the function that makes the
+    inflate (gzip/deflate/br), then charset-decode — a UTF-8/UTF-16
+    BOM first (WHATWG sniffing order), else the declared Content-Type
+    charset strictly, else the in-markup ``<meta>`` charset, else
+    ``default_charset`` strictly, else windows-1252 with replacement
+    (total). This is the function that makes the
     crawl chain correct on REAL Common Crawl response records, which
     routinely carry chunked framing and gzip bodies that the as-
     captured :func:`http_body` slice must not feed into

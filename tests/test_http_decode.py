@@ -70,8 +70,65 @@ class TestPureDecode:
         raw = zlib.compressobj(wbits=-15)
         assert _inflate(raw.compress(body) + raw.flush(),
                         "deflate") == body                            # raw deflate
-        with pytest.raises(ValueError, match="br"):
-            _inflate(b"\x00", "br")
+        with pytest.raises(ValueError, match="zstd"):
+            _inflate(b"\x00", "zstd")   # genuinely unsupported coding
+
+    def test_inflate_empty_entity_bodies(self):
+        """A valid encoding of an EMPTY body (redirects/204s) decodes
+        to b'' — not a raised/nulled row (r15, ADVICE fix)."""
+        assert _inflate(gzip.compress(b""), "gzip") == b""
+        assert _inflate(zlib.compress(b""), "deflate") == b""
+        raw = zlib.compressobj(wbits=-15)
+        assert _inflate(raw.compress(b"") + raw.flush(), "deflate") == b""
+        with pytest.raises(ValueError):
+            _inflate(b"garbage-not-gzip", "gzip")  # garbage still loud
+
+    def test_inflate_brotli(self):
+        """Content-Encoding: br decodes via the system libbrotlidec
+        (r15 — the library IS in this container)."""
+        from datasketches_spark_spark.operators.brotlinative import (
+            brotli_available, brotli_encode)
+        if not brotli_available():
+            pytest.skip("no system libbrotlidec")
+        body = b"brotli inflate me " * 50
+        assert _inflate(brotli_encode(body), "br") == body
+        assert _inflate(brotli_encode(b""), "br") == b""
+
+    def test_dechunk_malformed_size_tokens_raise(self):
+        """int(x, 16) looseness is closed (r15, ADVICE fix): '-5',
+        '+5', '0x3', '1_0' size lines raise instead of silently
+        decoding framing bytes into the body."""
+        for bad in (b"-5\r\nAAAAAAAAAA\r\n0\r\n\r\n",
+                    b"+5\r\nAAAAA\r\n0\r\n\r\n",
+                    b"0x3\r\nAAA\r\n0\r\n\r\n",
+                    b"1_0\r\n" + b"A" * 16 + b"\r\n0\r\n\r\n"):
+            with pytest.raises(ValueError):
+                _dechunk(bad)
+
+    def test_repeated_coding_headers_join(self):
+        """Two Content-Encoding field lines are one RFC 9110 list —
+        both codings are undone, in reverse order (r15, ADVICE fix)."""
+        from datasketches_spark_spark.operators.brotlinative import (
+            brotli_available, brotli_encode)
+        if not brotli_available():
+            pytest.skip("no system libbrotlidec")
+        inner = gzip.compress(b"<p>double coded</p>")
+        blob = _msg(brotli_encode(inner), [
+            "Content-Type: text/html; charset=utf-8",
+            "Content-Encoding: gzip",
+            "Content-Encoding: br"])
+        assert _decode_http_payload(blob, True, "utf-8") == \
+            "<p>double coded</p>"
+
+    def test_bom_overrides_header_charset(self):
+        """WHATWG sniffing order: a UTF-8/UTF-16 BOM on the entity
+        body outranks the Content-Type charset (r15)."""
+        text = "Björk Guðmundsdóttir"
+        for enc in ("utf-16-le", "utf-16-be", "utf-8"):
+            body = "﻿".encode(enc) + text.encode(enc)
+            blob = _msg(body, [
+                "Content-Type: text/plain; charset=iso-8859-1"])
+            assert _decode_http_payload(blob, True, "utf-8") == text
 
     def test_full_decode_chunked_gzip_charset(self):
         text = "café résumé – naïve"
@@ -103,11 +160,18 @@ class TestSparkColumns:
             "Content-Type: text/html; charset=utf-8",
             "Transfer-Encoding: chunked",
             "Content-Encoding: gzip"])
-        bad = _msg(b"\x00\x01", ["Content-Encoding: br"])
+        bad = _msg(b"\x00\x01", ["Content-Encoding: zstd"])
         rows = [(1, bytearray(plain), "plain body"),
                 (2, bytearray(enc), text),
                 (3, bytearray(bad), None),
                 (4, bytearray(b"junk"), None)]
+        from datasketches_spark_spark.operators.brotlinative import (
+            brotli_available, brotli_encode)
+        if brotli_available():
+            br = _msg(brotli_encode("brotli €µ".encode("utf-8")), [
+                "Content-Type: text/plain; charset=utf-8",
+                "Content-Encoding: br"])
+            rows.append((5, bytearray(br), "brotli €µ"))
         return spark.createDataFrame(
             rows, "id long, payload binary, want string")
 
@@ -121,6 +185,8 @@ class TestSparkColumns:
         assert by[2].got == by[2].want and by[2].cs == "utf-8"
         assert by[3].got is None     # unsupported coding -> loud null
         assert by[4].got is None
+        if 5 in by:
+            assert by[5].got == by[5].want   # br decodes (r15)
 
     def test_decode_body_bytes_column(self, spark):
         df = self._df(spark).select(
