@@ -470,7 +470,11 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
                warc_type: str = "conversion",
                content_type: str = "text/plain",
                warc_date: str = "2026-01-01T00:00:00Z",
-               compress: bool = True):
+               compress: bool = True,
+               type_col: str | None = None,
+               date_col: str | None = None,
+               id_col: str | None = None,
+               ctype_col: str | None = None):
     """WARC SINK — the write half of the ingestion symmetry: emit a
     filtered/transformed corpus back out in the ecosystem format so
     downstream consumers (or this engine's own :func:`read_warc`) can
@@ -479,6 +483,26 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
     under binaryFile's 2 GiB cap), one gzip MEMBER per record (the
     convention that keeps outputs range-addressable and re-splittable
     via ``with_offsets``/``read_warc_slices``).
+
+    TASK-COMMIT PROTOCOL (r15): each attempt writes to a dot-prefixed
+    temp name unique to the attempt
+    (``.part-{pid}-attempt{N}{ext}.inprogress``) and ``os.replace``\\ s
+    it to ``part-{pid}{ext}`` only on success — so a failed attempt
+    leaves no visible partial file (Spark's file readers skip
+    dot-prefixed names), concurrent speculative attempts never
+    interleave bytes within one file, and whichever attempt commits
+    last wins atomically with byte-identical content (the records are
+    deterministic functions of the partition's rows). The directory is
+    created inside the task (executors need not share a driver mkdir).
+
+    PER-RECORD FIDELITY (r15): ``type_col`` / ``date_col`` / ``id_col``
+    / ``ctype_col`` name columns carrying each record's WARC-Type,
+    WARC-Date, WARC-Record-ID and Content-Type — pass the columns
+    :func:`read_warc` produced and a read -> filter -> write -> read
+    roundtrip preserves RESPONSE records losslessly (the stored HTTP
+    message is the payload; its headers re-emit byte-identically).
+    Null cells fall back to the corresponding literal default
+    (``WARC-Record-ID`` to the md5 rule below).
 
     DETERMINISTIC by construction, so written shards are
     oracle-comparable: ``WARC-Date`` is the caller's literal (never
@@ -496,50 +520,74 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
     import pandas as pd
     from pyspark import TaskContext
 
-    os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
+    cols = [uri_col, payload_col]
+    per_rec = {"type": type_col, "date": date_col,
+               "id": id_col, "ctype": ctype_col}
+    cols += [c for c in per_rec.values() if c is not None]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        attempt = tc.taskAttemptId()
+        os.makedirs(path, exist_ok=True)
         fp = os.path.join(path, f"part-{pid:05d}{ext}")
+        tmp = os.path.join(
+            path, f".part-{pid:05d}-attempt{attempt}{ext}.inprogress")
         n = 0
         fh = None
+
+        def cell(pdf, key, row_i, default):
+            col = per_rec[key]
+            if col is None:
+                return default
+            v = pdf[col].iloc[row_i]
+            return default if v is None or (isinstance(v, float)
+                                            and pd.isna(v)) else str(v)
+
         try:
             for pdf in batches:
-                for uri, payload in zip(pdf[uri_col], pdf[payload_col]):
+                for i, (uri, payload) in enumerate(
+                        zip(pdf[uri_col], pdf[payload_col])):
                     if payload is None:
                         continue
                     body = (payload.encode("utf-8")
                             if isinstance(payload, str)
                             else bytes(payload))
                     u = "" if uri is None else str(uri)
-                    rid = hashlib.md5(
-                        u.encode() + b"\x00" + body).hexdigest()
+                    rid = cell(pdf, "id", i, None) or \
+                        "urn:uuid:" + hashlib.md5(
+                            u.encode() + b"\x00" + body).hexdigest()
                     head = (
                         "WARC/1.0\r\n"
-                        f"WARC-Type: {warc_type}\r\n"
+                        f"WARC-Type: {cell(pdf, 'type', i, warc_type)}\r\n"
                         + (f"WARC-Target-URI: <{u}>\r\n" if u else "")
-                        + f"WARC-Date: {warc_date}\r\n"
-                        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
-                        f"Content-Type: {content_type}\r\n"
+                        + f"WARC-Date: {cell(pdf, 'date', i, warc_date)}\r\n"
+                        f"WARC-Record-ID: <{rid}>\r\n"
+                        f"Content-Type: {cell(pdf, 'ctype', i, content_type)}\r\n"
                         f"Content-Length: {len(body)}\r\n\r\n"
                     ).encode()
                     rec = head + body + b"\r\n\r\n"
                     if fh is None:
-                        fh = open(fp, "wb")
+                        fh = open(tmp, "wb")
                     fh.write(_gzip.compress(rec, 9, mtime=0)
                              if compress else rec)
                     n += 1
-        finally:
+        except BaseException:
             if fh is not None:
                 fh.close()
+                os.unlink(tmp)          # failed attempt: no debris
+            raise
+        if fh is not None:
+            fh.close()
         if n == 0:
             yield pd.DataFrame({"file_path": [], "n_records": [],
                                 "n_bytes": []})
             return
+        os.replace(tmp, fp)             # atomic commit of this attempt
         yield pd.DataFrame({"file_path": [fp], "n_records": [n],
                             "n_bytes": [os.path.getsize(fp)]})
 
-    manifest = df.select(uri_col, payload_col).mapInPandas(
+    manifest = df.select(*cols).mapInPandas(
         run, "file_path string, n_records long, n_bytes long")
     return manifest.collect()

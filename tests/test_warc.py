@@ -474,3 +474,96 @@ class TestWriteWarc:
         assert bytes(r.payload) == b"\x00\x01\xffbin"
         assert r.warc_type == "resource"
         assert r.content_type == "application/octet-stream"
+
+    def test_response_record_lossless_roundtrip(self, spark, tmp_path):
+        """r15: per-record fidelity columns — read -> filter -> write
+        -> read preserves RESPONSE records losslessly (type, date,
+        record id, content type, and the stored HTTP message bytes
+        with their headers)."""
+        import gzip as _g
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        msgs = {}
+        recs = []
+        for i in range(8):
+            msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                   b"charset=utf-8\r\nX-Seq: %d\r\n\r\n"
+                   b"<html>doc %d</html>" % (i, i))
+            msgs[f"https://ex.com/{i}"] = msg
+            head = ("WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: <https://ex.com/{i}>\r\n"
+                    f"WARC-Date: 2025-03-0{i % 9 + 1}T12:00:00Z\r\n"
+                    f"WARC-Record-ID: <urn:uuid:src-{i}>\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(msg)}\r\n\r\n").encode()
+            recs.append(_g.compress(head + msg + b"\r\n\r\n", mtime=0))
+        with open(os.path.join(src, "s.warc.gz"), "wb") as fh:
+            fh.write(b"".join(recs))
+
+        first = read_warc(spark, src, types=("response",))
+        out = str(tmp_path / "resink")
+        write_warc(first, out, type_col="warc_type",
+                   date_col="warc_date", id_col="record_id",
+                   ctype_col="content_type")
+        back = {r.target_uri: r
+                for r in read_warc(spark, out).collect()}
+        assert len(back) == 8
+        for i in range(8):
+            r = back[f"https://ex.com/{i}"]
+            assert r.warc_type == "response"
+            assert r.warc_date == f"2025-03-0{i % 9 + 1}T12:00:00Z"
+            assert r.record_id == f"urn:uuid:src-{i}"
+            assert r.content_type == "application/http; msgtype=response"
+            assert bytes(r.payload) == msgs[r.target_uri]
+
+    def test_failed_attempt_leaves_no_visible_file(self, spark,
+                                                   tmp_path):
+        """r15 commit protocol: an attempt that dies mid-write must not
+        leave a file that a later read_warc over the directory picks
+        up (ADVICE: the old path opened part-{pid} directly)."""
+        import pytest
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        rows = [(f"u{i}", f"body {i}") for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "target_uri string, payload string").coalesce(1)
+        boom = df.selectExpr(
+            "target_uri",
+            "CASE WHEN payload = 'body 4' THEN "
+            "CAST(raise_error('simulated mid-write failure') AS STRING) "
+            "ELSE payload END AS payload")
+        out = str(tmp_path / "crash")
+        with pytest.raises(Exception, match="simulated"):
+            write_warc(boom, out)
+        visible = [f for f in os.listdir(out)
+                   if not f.startswith(".")] if os.path.isdir(out) else []
+        assert visible == []            # nothing committed
+        # a subsequent read over the directory sees ZERO records
+        # (dot-prefixed leftovers are invisible to Spark file readers)
+        if os.path.isdir(out) and os.listdir(out):
+            assert read_warc(spark, out).count() == 0
+        # and a clean retry commits atomically with the full content
+        write_warc(df, out)
+        assert read_warc(spark, out).count() == 6
+
+    def test_attempt_temp_names_are_attempt_unique(self, spark,
+                                                   tmp_path):
+        """Two attempts of one partition write DISTINCT temp names
+        (taskAttemptId in the name), so concurrent speculative
+        attempts can never interleave within one file; both commits
+        land byte-identical content."""
+        from datasketches_spark_spark.operators import write_warc
+        df = spark.createDataFrame(
+            [("u1", "abc"), ("u2", "def")],
+            "target_uri string, payload string").coalesce(1)
+        out = str(tmp_path / "twice")
+        write_warc(df, out)
+        first = open(os.path.join(out, "part-00000.warc.gz"),
+                     "rb").read()
+        write_warc(df, out)             # re-run = a second attempt
+        second = open(os.path.join(out, "part-00000.warc.gz"),
+                      "rb").read()
+        assert first == second
+        assert [f for f in os.listdir(out) if f.startswith(".")] == []
