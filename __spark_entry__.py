@@ -1986,9 +1986,31 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain, pure JVM, zero shuffle. The fixture corpus contains no PII, so
     the text under test is built deterministically from events columns —
     both engines construct the identical string, then redact; md5 of the
-    redacted text pins every replaced byte."""
+    redacted text pins every replaced byte.
+
+    Leg 'warc' (r15 — the flagship crawl chain promoted onto the
+    hash-gated board): the markup-free subset of the same texts
+    re-frames as WARC *response* records whose HTML bodies rotate
+    through the three production encodings (chunked+gzip / brotli /
+    brotli+UTF-16-BOM-overriding-a-lying-header), then ``read_warc ->
+    http_decode_body -> html_to_text -> redact_pii`` must land on
+    byte-identical redacted text — the whole ingestion chain under
+    the per-round value-hash gate. q50 re-locked for this leg (see
+    BASELINE.md r15)."""
+    import gzip as _gzip
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from datasketches_spark_spark.functions import (html_to_text,
+                                                    http_decode_body)
     from datasketches_spark_spark.functions.redact import (
         pii_counts, redact_pii)
+    from datasketches_spark_spark.operators import read_warc
+    from datasketches_spark_spark.operators.brotlinative import \
+        brotli_encode
+
     ev = read_table(spark, sf_dir, "events")
     uid = F.col("user_id").cast("string")
     txt = F.concat(
@@ -1998,11 +2020,78 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".7 call +1-555-"), F.lpad(uid, 4, "0"),
         F.lit(" ref "), F.col("props"))
     d = ev.where(F.col("event_id") < 200).select("event_id", txt.alias("t"))
-    c = pii_counts(F.col("t"))
-    return (d.select("event_id", F.md5(redact_pii("t")).alias("h"),
-                     c["URL"].alias("n_url"), c["EMAIL"].alias("n_email"),
-                     c["IP"].alias("n_ip"), c["PHONE"].alias("n_phone"))
-            .orderBy("event_id"))
+
+    def _stats(df: DataFrame, leg: str) -> DataFrame:
+        c = pii_counts(F.col("t"))
+        return df.select(
+            F.lit(leg).alias("leg"), "event_id",
+            F.md5(redact_pii("t")).alias("h"),
+            c["URL"].alias("n_url"), c["EMAIL"].alias("n_email"),
+            c["IP"].alias("n_ip"), c["PHONE"].alias("n_phone"))
+
+    direct = _stats(d, "direct")
+
+    # ---- leg 'warc': html_to_text is identity exactly on markup-free
+    # single-spaced trimmed text, so the crawl chain must reproduce t
+    clean = d.where(~F.col("t").rlike("[<>&\t\n\r]")
+                    & ~F.col("t").contains("  ")
+                    & (F.col("t") == F.trim(F.col("t"))))
+
+    def _mk_warc(pdf_iter):
+        for pdf in pdf_iter:
+            recs = []
+            for eid, t in zip(pdf["event_id"], pdf["t"]):
+                html = f"<html><body><p>{t}</p></body></html>"
+                leg = int(eid) % 3
+                if leg == 0:
+                    body = _gzip.compress(html.encode("utf-8"))
+                    body = b"".join(
+                        b"%x\r\n%s\r\n" % (len(body[i:i + 48]),
+                                           body[i:i + 48])
+                        for i in range(0, len(body), 48)) + b"0\r\n\r\n"
+                    hdr = (b"Content-Type: text/html; charset=utf-8\r\n"
+                           b"Transfer-Encoding: chunked\r\n"
+                           b"Content-Encoding: gzip")
+                elif leg == 1:
+                    body = brotli_encode(html.encode("utf-8"))
+                    hdr = (b"Content-Type: text/html; charset=utf-8\r\n"
+                           b"Content-Encoding: br")
+                else:
+                    body = brotli_encode(
+                        b"\xff\xfe" + html.encode("utf-16-le"))
+                    hdr = (b"Content-Type: text/html; "
+                           b"charset=iso-8859-1\r\n"
+                           b"Content-Encoding: br")
+                msg = b"HTTP/1.1 200 OK\r\n" + hdr + b"\r\n\r\n" + body
+                head = (
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: <https://ev.example.com/"
+                    f"{int(eid)}>\r\n"
+                    "WARC-Date: 2026-08-15T00:00:00Z\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{int(eid)}>\r\n"
+                    "Content-Type: application/http; "
+                    "msgtype=response\r\n"
+                    f"Content-Length: {len(msg)}\r\n\r\n").encode()
+                recs.append(_gzip.compress(head + msg + b"\r\n\r\n"))
+            yield pd.DataFrame({"blob": [b"".join(recs)]})
+
+    files = clean.repartition(2).mapInPandas(
+        _mk_warc, "blob binary").collect()
+    tmpd = tempfile.mkdtemp(prefix="dss_q50_warc_")
+    try:
+        for i, row in enumerate(files):
+            with open(os.path.join(tmpd, f"p{i}.warc.gz"), "wb") as fh:
+                fh.write(bytes(row.blob))
+        via_warc = (read_warc(spark, tmpd, types=("response",))
+                    .select(
+                        F.regexp_extract("record_id", r"(\d+)$", 1)
+                        .cast("long").alias("event_id"),
+                        html_to_text(http_decode_body("payload"))
+                        .alias("t")))
+        warc = _stats(via_warc, "warc").localCheckpoint()
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+    return direct.unionByName(warc).orderBy("leg", "event_id")
 
 
 def _q52_rollup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3381,6 +3470,65 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _demo_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured sitemap parsing (r15, functions/urls.py): documents
+    rows become ``<url>`` entries of five per-site ``<urlset>``
+    sitemaps (loc carries an entity-escaped query, lastmod a derived
+    date); sites 0-1 ship GZIPPED (``sitemap_text`` inflates them),
+    sites 2-4 plain; one ``<sitemapindex>`` lists the five sitemaps.
+    ``sitemap_entries`` explodes every document to (loc, lastmod,
+    is_index) — DuckDB recomputes the whole frontier table
+    relationally from the same documents columns."""
+    from datasketches_spark_spark.functions import (sitemap_entries,
+                                                    sitemap_text)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .select("doc_id", (F.col("doc_id") % 5).alias("g")))
+    entry = F.concat(
+        F.lit("<url><loc>https://site"), F.col("g"),
+        F.lit(".example.com/d/"), F.col("doc_id"),
+        F.lit("?a=1&amp;b=2</loc><lastmod>2025-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"))
+    maps = (docs.groupBy("g")
+            .agg(F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.array_sort(F.collect_list(entry)), ""),
+                F.lit("</urlset>")).alias("xml")))
+
+    def _gz(pdf_iter):
+        import gzip as _g
+
+        import pandas as pd
+        for pdf in pdf_iter:
+            yield pd.DataFrame({
+                "g": pdf["g"],
+                "payload": [_g.compress(x.encode("utf-8"), 6, mtime=0)
+                            if g < 2 else x.encode("utf-8")
+                            for g, x in zip(pdf["g"], pdf["xml"])]})
+
+    # sitemap_text is a Python UDF: materialize its column in its own
+    # projection first — Spark cannot reference a UDF result inside a
+    # higher-order-function lambda (sitemap_entries' transform)
+    payloads = (maps.mapInPandas(_gz, "g int, payload binary")
+                .select(sitemap_text("payload").alias("xml_text")))
+    site_entries = payloads.select(
+        F.explode(sitemap_entries("xml_text")).alias("e"))
+
+    idx_xml = ("<sitemapindex>" + "".join(
+        f"<sitemap><loc>https://site{g}.example.com/sitemap.xml"
+        f"{'.gz' if g < 2 else ''}</loc>"
+        f"<lastmod>2025-02-0{g + 1}</lastmod></sitemap>"
+        for g in range(5)) + "</sitemapindex>")
+    idx = spark.createDataFrame([(idx_xml,)], "x string").select(
+        F.explode(sitemap_entries("x")).alias("e"))
+
+    return (site_entries.unionByName(idx)
+            .select("e.loc", "e.lastmod", "e.is_index")
+            .orderBy("loc"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -3416,6 +3564,7 @@ def demo_queries() -> dict[str, str]:
         "demo_jpeg_arith": _demo_jpeg_arith,
         "demo_robots_filter": _demo_robots_filter,
         "demo_warc_roundtrip": _demo_warc_roundtrip,
+        "demo_sitemap_frontier": _demo_sitemap_frontier,
     }
 
 
@@ -4594,8 +4743,19 @@ def oracle_sql() -> dict[str, str]:
                        AS n_phone,
                      regexp_replace(t3, '\+?\d[\d\- ]{7,}\d',
                        '<PHONE>', 'g') AS t4 FROM s3)
-            SELECT event_id, md5(t4) AS h, n_url, n_email, n_ip, n_phone
-            FROM s4 ORDER BY event_id
+            SELECT 'direct' AS leg, event_id, md5(t4) AS h,
+                   n_url, n_email, n_ip, n_phone
+            FROM s4
+            UNION ALL
+            -- r15 'warc' leg: the crawl chain must reproduce the
+            -- markup-free texts byte-identically, so the oracle is the
+            -- SAME redaction over the SAME subset
+            SELECT 'warc' AS leg, event_id, md5(t4) AS h,
+                   n_url, n_email, n_ip, n_phone
+            FROM s4
+            WHERE NOT regexp_matches(t, '[<>&\t\n\r]')
+              AND NOT contains(t, '  ') AND t = trim(t)
+            ORDER BY leg, event_id
         """,
                 "q52_rollup_lifecycle": """
             SELECT 'window' AS leg, 'w1' AS k,
@@ -5572,6 +5732,27 @@ def demo_oracle_sql() -> dict[str, str]:
               ('arith_prog_gray_q88.jpg', CAST(40 AS BIGINT),
                CAST(56 AS BIGINT), '4063cf0f4ab920d31e3266b452700ee4')
             ) AS t(name, h, w, px_md5) ORDER BY name
+        """,
+        # demo_sitemap_frontier (r15): every structured-sitemap value
+        # recomputes relationally — urlset entries from documents
+        # columns (gzip transport for sites 0-1 is invisible after
+        # sitemap_text), index entries from range(5)
+        "demo_sitemap_frontier": """
+            SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+                     || '?a=1&b=2' AS loc,
+                   '2025-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                      2, '0') AS lastmod,
+                   FALSE AS is_index
+            FROM documents WHERE doc_id < 400
+            UNION ALL
+            SELECT 'https://site' || CAST(g AS VARCHAR)
+                     || '.example.com/sitemap.xml'
+                     || CASE WHEN g < 2 THEN '.gz' ELSE '' END AS loc,
+                   '2025-02-0' || CAST(g + 1 AS VARCHAR) AS lastmod,
+                   TRUE AS is_index
+            FROM range(5) t(g)
+            ORDER BY loc
         """,
         # demo_tiff_roundtrip: lossless roundtrip of solid-color 6x9
         # payloads -> every decoded feature is integer math on the

@@ -15,7 +15,8 @@ from .robots import (parse_robots, parse_robots_text,
 from .http import (http_body, http_charset, http_decode_body,
                    http_decode_body_bytes, http_header,
                    http_status, http_text)
-from .urls import (canonicalize_url, sitemap_locs, url_host,
+from .urls import (canonicalize_url, sitemap_entries, sitemap_is_index,
+                   sitemap_locs, sitemap_text, url_host,
                    url_registered_domain, url_surt_key)
 from .embeddings import (
     dequantize_int8,
@@ -96,7 +97,10 @@ __all__ = [
     "parse_robots_text",
     "robots_allowed",
     "robots_sitemaps",
+    "sitemap_entries",
+    "sitemap_is_index",
     "sitemap_locs",
+    "sitemap_text",
     "url_surt_key",
     "http_charset",
     "http_decode_body",

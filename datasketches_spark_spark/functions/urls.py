@@ -224,25 +224,108 @@ def canonicalize_url(col, tracking_re: str = TRACKING_PARAM_RE) -> Column:
                     .otherwise(F.concat(F.lit("?"), query)))
 
 
+def _xml_unescape(u: Column) -> Column:
+    """The five XML predefined entities (sitemaps are required to
+    entity-escape ``& < > ' "`` inside URLs), ``&amp;`` last."""
+    u = F.regexp_replace(u, r"(?i)&lt;", "<")
+    u = F.regexp_replace(u, r"(?i)&gt;", ">")
+    u = F.regexp_replace(u, r"(?i)&quot;", "\"")
+    u = F.regexp_replace(u, r"(?i)&(apos|#39);", "'")
+    return F.regexp_replace(u, r"(?i)&amp;", "&")
+
+
 def sitemap_locs(col) -> Column:
     """``<loc>`` URLs of an XML sitemap / sitemap-index document as an
     array column — pure Column exprs (``regexp_extract_all`` + a
-    per-element XML entity decode: sitemaps are required to
-    entity-escape ``& < > ' "`` in URLs). Pair with
+    per-element XML entity decode). Pair with
     ``functions.robots.robots_sitemaps`` for the robots-declared
-    listing; explode the result into the crawl frontier."""
+    listing; explode the result into the crawl frontier. For the
+    structured per-entry view (``lastmod``, index-vs-urlset), use
+    :func:`sitemap_entries`."""
     s = _col(col)
     locs = F.regexp_extract_all(
         s, F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1)
+    return F.transform(locs, _xml_unescape)
 
-    def _dec(u: Column) -> Column:
-        u = F.regexp_replace(u, r"(?i)&lt;", "<")
-        u = F.regexp_replace(u, r"(?i)&gt;", ">")
-        u = F.regexp_replace(u, r"(?i)&quot;", "\"")
-        u = F.regexp_replace(u, r"(?i)&(apos|#39);", "'")
-        return F.regexp_replace(u, r"(?i)&amp;", "&")
 
-    return F.transform(locs, _dec)
+def sitemap_is_index(col) -> Column:
+    """True when the document's root element is ``<sitemapindex>``
+    (its ``<loc>`` entries are MORE SITEMAPS to fetch, not pages),
+    False for ``<urlset>`` and any other/missing root — the
+    distinction that drives frontier recursion (sitemaps.org protocol:
+    the two roots share the ``<loc>``/``<lastmod>`` child shape)."""
+    return _col(col).rlike(r"(?is)<\s*sitemapindex[\s>]")
+
+
+def sitemap_entries(col) -> Column:
+    """Structured sitemap parse (r15) — the per-entry view frontier
+    construction needs: an ``array<struct<loc, lastmod, is_index>>``
+    over the document's ``<url>`` (urlset) or ``<sitemap>``
+    (sitemapindex) blocks. Pure Column exprs: one
+    ``regexp_extract_all`` per block, per-block ``<loc>``/``<lastmod>``
+    extraction (entity-decoded loc; lastmod kept verbatim — the
+    protocol allows both W3C date and datetime forms, and the caller
+    casts), ``is_index`` from the document root via
+    :func:`sitemap_is_index`. Blocks without a ``<loc>`` are dropped
+    (a loc-less entry addresses nothing). Gzipped ``.xml.gz`` payloads
+    decode first through :func:`sitemap_text`.
+
+    Frontier recipe: explode; ``is_index`` rows go back to the fetch
+    queue, the rest join the crawl frontier keyed by
+    :func:`url_surt_key`, with ``lastmod`` driving re-crawl
+    scheduling."""
+    s = _col(col)
+    blocks = F.regexp_extract_all(
+        s, F.lit(r"(?is)<(?:url|sitemap)\b[^>]*>(.*?)"
+                 r"</(?:url|sitemap)\s*>"), 1)
+    is_idx = sitemap_is_index(s)
+
+    def _entry(b: Column) -> Column:
+        loc = _xml_unescape(F.regexp_extract(
+            b, r"(?is)<loc>\s*(.*?)\s*</loc>", 1))
+        lastmod = F.regexp_extract(
+            b, r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+        return F.struct(
+            F.when(loc == "", None).otherwise(loc).alias("loc"),
+            F.when(lastmod == "", None).otherwise(lastmod)
+            .alias("lastmod"),
+            is_idx.alias("is_index"))
+
+    return F.filter(F.transform(blocks, _entry),
+                    lambda e: e["loc"].isNotNull())
+
+
+def sitemap_text(col) -> Column:
+    """BINARY sitemap payload -> document text: gzipped payloads
+    (``.xml.gz`` — magic-sniffed ``1f 8b``, inflated via the same
+    helper the HTTP decode chain uses) and plain XML both decode
+    UTF-8-with-replacement (the protocol requires UTF-8). Null for
+    undecodable gzip streams (loud). One Arrow-batched pass,
+    scan-stage; feed the result to :func:`sitemap_entries`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from .http import _inflate
+
+    def dec(p):
+        out = []
+        for b in p:
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            if b[:2] == b"\x1f\x8b":
+                try:
+                    b = _inflate(b, "gzip")
+                except ValueError:
+                    out.append(None)
+                    continue
+            out.append(b.decode("utf-8", "replace"))
+        return pd.Series(out, dtype=object)
+
+    dec.__annotations__ = {"p": pd.Series, "return": pd.Series}
+    return pandas_udf(dec, StringType())(_col(col))
 
 
 def url_surt_key(col) -> Column:

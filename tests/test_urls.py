@@ -280,3 +280,84 @@ class TestSurtKey:
         plan = df.select(url_surt_key("u")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()
+
+
+class TestSitemapStructured:
+    """r15: sitemap_entries / sitemap_is_index / sitemap_text — the
+    structured view frontier construction needs (sitemapindex vs
+    urlset, lastmod, gzipped .xml.gz payloads)."""
+
+    URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+      <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        <url><loc>https://ex.com/a?x=1&amp;y=2</loc>
+             <lastmod>2025-01-15</lastmod><priority>0.8</priority></url>
+        <url><loc> https://ex.com/b </loc></url>
+        <url><priority>0.1</priority></url>
+        <url><lastmod>2025-02-02</lastmod>
+             <loc>https://ex.com/c</loc></url>
+      </urlset>"""
+
+    INDEX = """<sitemapindex>
+        <sitemap><loc>https://ex.com/maps/part1.xml.gz</loc>
+                 <lastmod>2025-03-01T12:30:00Z</lastmod></sitemap>
+        <sitemap><loc>https://ex.com/maps/part2.xml</loc></sitemap>
+      </sitemapindex>"""
+
+    def _entries(self, spark, xml):
+        from datasketches_spark_spark.functions import sitemap_entries
+        df = spark.createDataFrame([(xml,)], "x string")
+        return df.select(F.explode(sitemap_entries("x")).alias("e")) \
+            .select("e.loc", "e.lastmod", "e.is_index").collect()
+
+    def test_urlset(self, spark):
+        rows = self._entries(spark, self.URLSET)
+        assert [(r.loc, r.lastmod, r.is_index) for r in rows] == [
+            ("https://ex.com/a?x=1&y=2", "2025-01-15", False),
+            ("https://ex.com/b", None, False),          # loc-less row dropped
+            ("https://ex.com/c", "2025-02-02", False),  # lastmod-before-loc
+        ]
+
+    def test_sitemapindex(self, spark):
+        rows = self._entries(spark, self.INDEX)
+        assert [(r.loc, r.lastmod, r.is_index) for r in rows] == [
+            ("https://ex.com/maps/part1.xml.gz",
+             "2025-03-01T12:30:00Z", True),
+            ("https://ex.com/maps/part2.xml", None, True),
+        ]
+
+    def test_is_index_flag(self, spark):
+        from datasketches_spark_spark.functions import sitemap_is_index
+        df = spark.createDataFrame(
+            [(self.URLSET,), (self.INDEX,), ("<html>no</html>",)],
+            "x string")
+        assert [r[0] for r in df.select(sitemap_is_index("x"))
+                .collect()] == [False, True, False]
+
+    def test_gzipped_payload(self, spark):
+        import gzip
+        from datasketches_spark_spark.functions import (sitemap_entries,
+                                                        sitemap_text)
+        rows = [(bytearray(gzip.compress(self.URLSET.encode())),),
+                (bytearray(self.INDEX.encode()),),       # plain passthrough
+                (bytearray(b"\x1f\x8bgarbage-not-gzip"),)]
+        df = spark.createDataFrame(rows, "b binary")
+        got = df.select(sitemap_text("b").alias("t")) \
+            .select(F.size(F.coalesce(
+                sitemap_entries("t"), F.array())).alias("n"),
+                F.col("t").isNull().alias("bad")).collect()
+        assert [(r.n, r.bad) for r in got] == \
+            [(3, False), (2, False), (0, True)]
+
+    def test_locs_still_flat(self, spark):
+        from datasketches_spark_spark.functions import sitemap_locs
+        df = spark.createDataFrame([(self.INDEX,)], "x string")
+        assert df.select(sitemap_locs("x")).collect()[0][0] == [
+            "https://ex.com/maps/part1.xml.gz",
+            "https://ex.com/maps/part2.xml"]
+
+    def test_entries_pure_expressions(self, spark):
+        from datasketches_spark_spark.functions import sitemap_entries
+        df = spark.createDataFrame([("<urlset/>",)], "x string")
+        plan = df.select(sitemap_entries("x")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
