@@ -328,31 +328,97 @@ def sitemap_text(col) -> Column:
     return pandas_udf(dec, StringType())(_col(col))
 
 
-def url_surt_key(col) -> Column:
+# query params that carry a session id, never content (the IA/pywb
+# canonicalizer's strip set) — matched case-insensitively
+SESSION_PARAM_RE = (r"(?i)^(jsessionid|phpsessid|sid|aspsessionid\w*|"
+                    r"cfid|cftoken)(=.*)?$")
+
+
+def _pct_decode_unreserved(s: Column) -> Column:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization, lowercased-
+    world variant: a ``%XX`` escape of an UNRESERVED character
+    (letter / digit / ``.-_~``) decodes to the (lowercased) character;
+    every other escape keeps its literal (lowercase-hex) ``%xx`` text.
+    Real CDX urlkeys normalize exactly these (``%7E`` -> ``~``,
+    ``%41`` -> ``a``) while keeping reserved escapes — the same
+    split / conv / unhex-decode machinery as the HTML NCR pass, pure
+    Column exprs."""
+    parts = F.split(s, r"%[0-9a-fA-F]{2}", -1)
+    toks = F.regexp_extract_all(s, F.lit(r"%([0-9a-fA-F]{2})"), 1)
+
+    def _chr(tok: Column) -> Column:
+        cp = F.conv(tok, 16, 10).cast("int")
+        ch = F.lower(F.decode(F.unhex(F.lpad(F.hex(cp), 2, "0")),
+                              "UTF-8"))
+        unreserved = ch.rlike(r"^[a-z0-9._~-]$")
+        return F.when(unreserved, ch) \
+            .otherwise(F.concat(F.lit("%"), F.lower(tok)))
+
+    return F.array_join(
+        F.zip_with(parts, F.transform(toks, _chr),
+                   lambda p, d: F.concat(p, F.coalesce(d, F.lit("")))),
+        "")
+
+
+def url_surt_key(col, tracking_re: str | None = TRACKING_PARAM_RE
+                 ) -> Column:
     """SURT-form url key (the CDX index join key: ``read_cdxj``'s
     ``urlkey`` column) as pure Column exprs: host labels reversed and
     comma-joined, ``)/`` separator, then the lowercased path+query
-    with tracking params dropped, params sorted, and trailing slashes
-    stripped (the canonicalize_url treatment applied inside the key).
+    with params sorted and trailing slashes stripped.
     ``https://WWW.Example.COM:443/A/b?b=2&a=1#f`` ->
-    ``com,example)/a/b?a=1&b=2``. A leading ``www.`` label is dropped
-    (the pywb convention). Simplified SURT: no percent-decoding or
-    session-id stripping — the same string-level stance as
-    ``canonicalize_url``, documented so the key is replayable by an
-    independent engine."""
+    ``com,example)/a/b?a=1&b=2``.
+
+    r15 fidelity rules (closing the gap to real pywb/Common Crawl
+    urlkeys, pinned by ``tests/data/surt_fixture.cdxj``):
+
+    - a leading ``www`` / ``www2`` / ``www3``... label is dropped
+      (surt massages ``www\\d*.``);
+    - the scheme-DEFAULT port is dropped, any other port is kept
+      after the reversed host (``com,example:8080)/``);
+    - session-id params (``jsessionid``/``phpsessid``/``sid``/
+      ``aspsessionid*``/``cfid``/``cftoken``) are always stripped,
+      as is a ``;jsessionid=...`` path parameter (the IA
+      canonicalizer rule);
+    - ``%XX`` escapes of UNRESERVED characters decode
+      (``%7E`` -> ``~``), other escapes keep lowercase-hex literals.
+
+    ``tracking_re`` drops click/campaign params (``utm_*`` etc.) —
+    the engine's dedup default. REAL CDX/Common Crawl urlkeys do NOT
+    strip tracking params; pass ``tracking_re=None`` when joining
+    against an external index (``read_cdxj``/``read_cc_index``).
+    Remaining documented divergences (enumerated in
+    ``tests/test_urls.py::TestSurtFixture``): no IDN/punycode
+    mapping, no repeated-unquote of double-encoded escapes."""
     c = _col(col)
     host = url_host(c)
-    host = F.regexp_replace(host, r"^www\.", "")
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    scheme = F.lower(F.regexp_extract(c, r"^([^:/?#]+)://", 1))
+    port = F.regexp_extract(
+        c, r"^[^:/?#]+://(?:[^@/?#]*@)?[^/:?#]*:(\d+)", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    rev = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")))
     rest = F.lower(F.regexp_extract(c, r"^[^:/?#]+://[^/?#]*([^#]*)", 1))
+    rest = _pct_decode_unreserved(rest)
     path = F.regexp_replace(F.regexp_replace(rest, r"\?.*$", ""),
                             "/+$", "")
+    path = F.regexp_replace(path, r";jsessionid=[^/?]*", "")
     qs = F.when(rest.contains("?"),
                 F.regexp_replace(rest, r"^[^?]*\?", "")) \
         .otherwise(F.lit(""))
+    def _dropped(p: Column) -> Column:
+        d = p.rlike(SESSION_PARAM_RE)
+        if tracking_re is not None:
+            d = d | p.rlike(tracking_re)
+        return d
+
     kept = F.array_join(F.array_sort(F.filter(
         F.split(qs, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))), "&")
+        lambda p: (p != "") & ~_dropped(p))), "&")
     tail = F.concat(path,
                     F.when(kept == "", F.lit(""))
                     .otherwise(F.concat(F.lit("?"), kept)))

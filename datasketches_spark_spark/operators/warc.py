@@ -465,6 +465,70 @@ def read_cdxj(spark, path: str):
         F.col("__p.length").cast("long").alias("length"))
 
 
+def read_cc_index(spark, path: str, warc_root: str | None = None):
+    """Common Crawl COLUMNAR index (the cc-index parquet table) ->
+    this engine's CDX contract — the companion to :func:`read_cdxj`
+    for the parquet side of the same index. Plain
+    ``spark.read.parquet`` + column mapping (scan-stage: predicate
+    pushdown / column pruning / partition pruning on the index's
+    crawl/subset partitions all apply), renaming the public cc-index
+    columns onto the ``read_cdxj`` output shape::
+
+        url_surtkey          -> urlkey
+        url                  -> url
+        content_mime_type    -> mime
+        fetch_status         -> status  (int)
+        content_digest       -> digest
+        warc_filename        -> filename
+        warc_record_offset   -> offset  (long)
+        warc_record_length   -> length  (long)
+        fetch_time           -> timestamp (yyyyMMddHHmmss string, the
+                                CDX convention)
+
+    Absent optional columns surface as typed nulls (the three
+    range-read columns are required). ``warc_root`` prepends a base
+    directory/URI onto ``filename`` as a ``path`` column, making the
+    result DIRECTLY consumable by :func:`read_warc_slices` — index
+    scan, partition prune, then record-level range reads; the corpus
+    files are never enumerated. Join crawl-side URLs against
+    ``urlkey`` via ``functions.urls.url_surt_key(url,
+    tracking_re=None)`` (real cc-index keys keep tracking params)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    have = set(df.columns)
+    required = ("warc_filename", "warc_record_offset",
+                "warc_record_length")
+    missing = [c for c in required if c not in have]
+    if missing:
+        raise ValueError(
+            f"read_cc_index: {path} lacks required cc-index columns "
+            f"{missing} — not a Common Crawl columnar index?")
+
+    def opt(name: str, typ: str):
+        return (F.col(name) if name in have
+                else F.lit(None)).cast(typ).alias(name)
+
+    ts = (F.date_format(F.col("fetch_time"), "yyyyMMddHHmmss")
+          if "fetch_time" in have
+          else F.lit(None).cast("string")).alias("timestamp")
+    out = df.select(
+        opt("url_surtkey", "string").alias("urlkey"),
+        ts,
+        opt("url", "string").alias("url"),
+        opt("content_mime_type", "string").alias("mime"),
+        opt("fetch_status", "int").alias("status"),
+        opt("content_digest", "string").alias("digest"),
+        F.col("warc_filename").cast("string").alias("filename"),
+        F.col("warc_record_offset").cast("long").alias("offset"),
+        F.col("warc_record_length").cast("long").alias("length"))
+    if warc_root is not None:
+        out = out.withColumn(
+            "path", F.concat(F.lit(warc_root.rstrip("/") + "/"),
+                             F.col("filename")))
+    return out
+
+
 def write_warc(df, path: str, uri_col: str = "target_uri",
                payload_col: str = "payload",
                warc_type: str = "conversion",

@@ -1,5 +1,6 @@
 """URL canonicalization functions (functions/urls.py)."""
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -359,5 +360,65 @@ class TestSitemapStructured:
         from datasketches_spark_spark.functions import sitemap_entries
         df = spark.createDataFrame([("<urlset/>",)], "x string")
         plan = df.select(sitemap_entries("x")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
+
+
+class TestSurtFixture:
+    """r15: fidelity of url_surt_key against a committed fixture of
+    real-FORMAT CDXJ lines (tests/data/surt_fixture.cdxj — urlkeys
+    authored per the published surt/IA-canonicalizer rules: www\\d*
+    massage, default-port drop + non-default keep, session-id strip
+    incl. the ;jsessionid path param, alphabetical param sort,
+    unreserved %XX decode, lowercase everything).
+
+    ENUMERATED DIVERGENCES (the two fixture lines the key is expected
+    to miss, by design): (1) IDN hosts — no punycode mapping
+    (bücher.example vs xn--bcher-kva); (2) double-encoded escapes —
+    no repeated-unquote (%2541 stays %2541, real canonicalizers fold
+    it to /a). Everything else must hit."""
+
+    FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                           "surt_fixture.cdxj")
+    EXPECTED_MISS_URLS = {"https://bücher.example/de",
+                          "http://example.com/%2541"}
+
+    def test_join_hit_rate(self, spark):
+        from datasketches_spark_spark.functions import url_surt_key
+        from datasketches_spark_spark.operators import read_cdxj
+        idx = read_cdxj(spark, self.FIXTURE)
+        n = idx.count()
+        assert n == 24
+        # real CDX keys keep tracking params: join with tracking_re=None
+        keyed = idx.select(
+            "url", "urlkey",
+            url_surt_key("url", tracking_re=None).alias("mykey"))
+        rows = keyed.collect()
+        hits = [r for r in rows if r.mykey == r.urlkey]
+        misses = {r.url for r in rows if r.mykey != r.urlkey}
+        assert misses == self.EXPECTED_MISS_URLS, misses
+        assert len(hits) == n - 2          # 22/24 = 0.917 pinned exact
+
+    def test_default_mode_still_strips_tracking(self, spark):
+        from datasketches_spark_spark.functions import url_surt_key
+        df = spark.createDataFrame(
+            [("http://example.com/q?x=1&utm_source=feed&jsessionid=z",)],
+            "u string")
+        assert df.select(url_surt_key("u")).collect()[0][0] == \
+            "com,example)/q?x=1"
+
+    def test_session_params_always_stripped(self, spark):
+        from datasketches_spark_spark.functions import url_surt_key
+        df = spark.createDataFrame(
+            [("http://example.com/q?PHPSESSID=abc&x=1",)], "u string")
+        for kw in ({}, {"tracking_re": None}):
+            assert df.select(url_surt_key("u", **kw)).collect()[0][0] \
+                == "com,example)/q?x=1"
+
+    def test_still_pure_expressions(self, spark):
+        from datasketches_spark_spark.functions import url_surt_key
+        df = spark.createDataFrame([("https://a.com:8443/x%41",)],
+                                   "u string")
+        plan = df.select(url_surt_key("u", tracking_re=None)) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()

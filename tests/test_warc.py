@@ -567,3 +567,92 @@ class TestWriteWarc:
                       "rb").read()
         assert first == second
         assert [f for f in os.listdir(out) if f.startswith(".")] == []
+
+
+class TestCcIndex:
+    """r15: read_cc_index — the Common Crawl columnar-index companion
+    to read_cdxj, mapped onto the same contract and consumable by
+    read_warc_slices."""
+
+    def _mk_corpus_and_index(self, spark, tmp_path):
+        from datasketches_spark_spark.functions import url_surt_key
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(f"https://h{i}.example.com/p/{i}", f"payload {i}")
+             for i in range(12)],
+            "target_uri string, payload string").repartition(2)
+        corpus = str(tmp_path / "corpus")
+        write_warc(df, corpus)
+        # engine-written offsets index -> cc-index COLUMN NAMES
+        idx = (read_warc(spark, corpus, with_offsets=True)
+               .select(
+                   url_surt_key("target_uri", tracking_re=None)
+                   .alias("url_surtkey"),
+                   F.col("target_uri").alias("url"),
+                   F.lit("text/plain").alias("content_mime_type"),
+                   F.lit(200).alias("fetch_status"),
+                   F.md5("payload").alias("content_digest"),
+                   F.to_timestamp(F.lit("2025-06-01 12:00:00"))
+                   .alias("fetch_time"),
+                   F.element_at(F.split("path", "/"), -1)
+                   .alias("warc_filename"),
+                   F.col("offset").alias("warc_record_offset"),
+                   F.col("length").alias("warc_record_length")))
+        ccdir = str(tmp_path / "ccindex")
+        idx.write.parquet(ccdir)
+        return corpus, ccdir
+
+    def test_mapping_and_slice_reread(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import (read_cc_index,
+                                                        read_warc_slices)
+        corpus, ccdir = self._mk_corpus_and_index(spark, tmp_path)
+        idx = read_cc_index(spark, ccdir, warc_root=corpus)
+        assert set(idx.columns) == {
+            "urlkey", "timestamp", "url", "mime", "status", "digest",
+            "filename", "offset", "length", "path"}
+        rows = idx.collect()
+        assert len(rows) == 12
+        assert all(r.timestamp == "20250601120000" for r in rows)
+        assert all(r.urlkey.startswith("com,example,") for r in rows)
+        assert all(r.status == 200 for r in rows)
+        # the contract read_warc_slices consumes, directly
+        back = read_warc_slices(spark, idx.select(
+            "path", "offset", "length")).collect()
+        assert sorted(bytes(r.payload).decode() for r in back) == \
+            sorted(f"payload {i}" for i in range(12))
+
+    def test_pruned_slice_fetch(self, spark, tmp_path):
+        """The 100 TB pattern: filter the INDEX (pushdown-friendly
+        parquet scan), range-read only the selected records."""
+        from datasketches_spark_spark.operators import (read_cc_index,
+                                                        read_warc_slices)
+        corpus, ccdir = self._mk_corpus_and_index(spark, tmp_path)
+        idx = read_cc_index(spark, ccdir, warc_root=corpus)
+        want = idx.where("urlkey like 'com,example,h3)%'")
+        back = read_warc_slices(spark, want).collect()
+        assert [bytes(r.payload).decode() for r in back] == ["payload 3"]
+        # filter reaches the parquet scan
+        plan = want._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan
+
+    def test_missing_required_columns_raise(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import read_cc_index
+        bad = str(tmp_path / "bad")
+        spark.createDataFrame([("x",)], "url string").write.parquet(bad)
+        import pytest
+        with pytest.raises(ValueError, match="warc_filename"):
+            read_cc_index(spark, bad)
+
+    def test_optional_columns_null_not_crash(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import read_cc_index
+        sparse = str(tmp_path / "sparse")
+        spark.createDataFrame(
+            [("f.warc.gz", 0, 10)],
+            "warc_filename string, warc_record_offset long, "
+            "warc_record_length long").write.parquet(sparse)
+        (r,) = read_cc_index(spark, sparse).collect()
+        assert r.filename == "f.warc.gz" and r.offset == 0
+        assert r.urlkey is None and r.timestamp is None
+        assert r.status is None
