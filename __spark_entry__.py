@@ -1991,10 +1991,10 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Leg 'warc' (r15 — the flagship crawl chain promoted onto the
     hash-gated board): the markup-free subset of the same texts
     re-frames as WARC *response* records whose HTML bodies rotate
-    through the three production encodings (chunked+gzip / brotli /
-    brotli+UTF-16-BOM-overriding-a-lying-header), then ``read_warc ->
-    http_decode_body -> html_to_text -> redact_pii`` must land on
-    byte-identical redacted text — the whole ingestion chain under
+    through the four production encodings (chunked+gzip / brotli /
+    brotli+UTF-16-BOM-overriding-a-lying-header / zstd), then
+    ``read_warc -> http_decode_body -> html_to_text -> redact_pii``
+    must land on byte-identical redacted text — the whole ingestion chain under
     the per-round value-hash gate. q50 re-locked for this leg (see
     BASELINE.md r15)."""
     import gzip as _gzip
@@ -2010,6 +2010,7 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark_spark.operators import read_warc
     from datasketches_spark_spark.operators.brotlinative import \
         brotli_encode
+    from datasketches_spark_spark.operators.zstdnative import zstd_encode
 
     ev = read_table(spark, sf_dir, "events")
     uid = F.col("user_id").cast("string")
@@ -2042,7 +2043,7 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs = []
             for eid, t in zip(pdf["event_id"], pdf["t"]):
                 html = f"<html><body><p>{t}</p></body></html>"
-                leg = int(eid) % 3
+                leg = int(eid) % 4
                 if leg == 0:
                     body = _gzip.compress(html.encode("utf-8"))
                     body = b"".join(
@@ -2056,12 +2057,16 @@ def _q50_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     body = brotli_encode(html.encode("utf-8"))
                     hdr = (b"Content-Type: text/html; charset=utf-8\r\n"
                            b"Content-Encoding: br")
-                else:
+                elif leg == 2:
                     body = brotli_encode(
                         b"\xff\xfe" + html.encode("utf-16-le"))
                     hdr = (b"Content-Type: text/html; "
                            b"charset=iso-8859-1\r\n"
                            b"Content-Encoding: br")
+                else:
+                    body = zstd_encode(html.encode("utf-8"))
+                    hdr = (b"Content-Type: text/html; charset=utf-8\r\n"
+                           b"Content-Encoding: zstd")
                 msg = b"HTTP/1.1 200 OK\r\n" + hdr + b"\r\n\r\n" + body
                 head = (
                     "WARC/1.0\r\nWARC-Type: response\r\n"
@@ -3370,12 +3375,13 @@ def _demo_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoded HTTP response bodies decode end-to-end (r14, extended
     r15 — functions/http.py): docs re-frame as WARC *response* records
-    across THREE encoding legs by doc_id % 3 — (0) gzip-compressed AND
+    across FOUR encoding legs by doc_id % 4 — (0) gzip-compressed AND
     chunk-framed, (1) brotli (``Content-Encoding: br`` via the system
     libbrotlidec, r15), (2) brotli + a UTF-16LE body carrying a BOM
     while the header falsely claims iso-8859-1 (the BOM must win —
-    WHATWG sniffing order, r15). Then ``read_warc -> http_decode_body
-    -> html_to_text`` recovers the identical visible text on every
+    WHATWG sniffing order, r15), (3) zstd (RFC 8878, via the system
+    libzstd, r15). Then ``read_warc -> http_decode_body ->
+    html_to_text`` recovers the identical visible text on every
     leg. The ``guarded`` column pins the companion fix: the
     as-captured ``http_body`` slice is null (loud) on encoded
     messages, never silent framing garbage. Docs are pre-filtered
@@ -3393,6 +3399,7 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark_spark.operators import read_warc
     from datasketches_spark_spark.operators.brotlinative import \
         brotli_encode
+    from datasketches_spark_spark.operators.zstdnative import zstd_encode
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 300)
@@ -3413,7 +3420,7 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 html = (f"<html><head><title>T{int(did)}</title></head>"
                         f"<body><p>{text}</p><p>end {int(did)}</p>"
                         "</body></html>")
-                leg = int(did) % 3
+                leg = int(did) % 4
                 if leg == 0:
                     body = _chunked(gzip.compress(html.encode("utf-8")))
                     msg = (b"HTTP/1.1 200 OK\r\n"
@@ -3425,7 +3432,7 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     msg = (b"HTTP/1.1 200 OK\r\n"
                            b"Content-Type: text/html; charset=utf-8\r\n"
                            b"Content-Encoding: br\r\n\r\n" + body)
-                else:
+                elif leg == 2:
                     # BOM > header: UTF-16LE body, header lies
                     body = brotli_encode(
                         b"\xff\xfe" + html.encode("utf-16-le"))
@@ -3433,6 +3440,11 @@ def _demo_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            b"Content-Type: text/html; "
                            b"charset=iso-8859-1\r\n"
                            b"Content-Encoding: br\r\n\r\n" + body)
+                else:
+                    body = zstd_encode(html.encode("utf-8"))
+                    msg = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html; charset=utf-8\r\n"
+                           b"Content-Encoding: zstd\r\n\r\n" + body)
                 head = (
                     "WARC/1.0\r\n"
                     "WARC-Type: response\r\n"
@@ -5662,15 +5674,16 @@ def demo_oracle_sql() -> dict[str, str]:
               AND text = trim(text)
             ORDER BY doc_id
         """,
-        # r14 (extended r15): chunked+gzip, brotli, and brotli+UTF-16-
-        # BOM-overrides-header response bodies all decode to identical
-        # text; the guard column proves the as-captured http_body
-        # slice is loudly null on encoded messages
+        # r14 (extended r15): chunked+gzip, brotli, brotli+UTF-16-BOM-
+        # overrides-header, and zstd response bodies all decode to
+        # identical text; the guard column proves the as-captured
+        # http_body slice is loudly null on encoded messages
         "demo_http_decode": """
             SELECT doc_id,
                    text || chr(10) || 'end '
                         || CAST(doc_id AS VARCHAR) AS text_out,
-                   CASE WHEN doc_id % 3 = 0 THEN 'gzip'
+                   CASE WHEN doc_id % 4 = 0 THEN 'gzip'
+                        WHEN doc_id % 4 = 3 THEN 'zstd'
                         ELSE 'br' END AS enc,
                    TRUE AS guarded
             FROM documents

@@ -133,10 +133,12 @@ def _dechunk(b: bytes) -> bytes:
 def _inflate(b: bytes, encoding: str) -> bytes:
     """Reverse one Content-Encoding token. gzip/x-gzip/deflate via
     zlib (deflate tries zlib-wrapped then raw — servers ship both);
-    ``br`` via the system libbrotlidec (``operators/brotlinative.py``
-    — streaming, bomb-guarded; raises -> null row only where the
-    shared object is genuinely absent). Lenient on truncated streams
-    (decoded prefix); genuinely unsupported codings raise -> null."""
+    ``br`` via the system libbrotlidec (``operators/brotlinative.py``)
+    and ``zstd`` via the system libzstd (``operators/zstdnative.py``)
+    — both streaming and bomb-guarded, raising -> null row only where
+    the shared object is genuinely absent. Lenient on truncated
+    streams (decoded prefix); genuinely unsupported codings (e.g. the
+    LZW ``compress``) raise -> null."""
     import zlib
     enc = encoding.strip().lower()
     if enc in ("", "identity"):
@@ -145,6 +147,12 @@ def _inflate(b: bytes, encoding: str) -> bytes:
         from ..operators.brotlinative import brotli_decode
         try:
             return brotli_decode(b)
+        except NotImplementedError as ex:
+            raise ValueError(str(ex)) from ex
+    if enc == "zstd":
+        from ..operators.zstdnative import zstd_decode
+        try:
+            return zstd_decode(b)
         except NotImplementedError as ex:
             raise ValueError(str(ex)) from ex
     if enc in ("gzip", "x-gzip"):

@@ -70,8 +70,8 @@ class TestPureDecode:
         raw = zlib.compressobj(wbits=-15)
         assert _inflate(raw.compress(body) + raw.flush(),
                         "deflate") == body                            # raw deflate
-        with pytest.raises(ValueError, match="zstd"):
-            _inflate(b"\x00", "zstd")   # genuinely unsupported coding
+        with pytest.raises(ValueError, match="compress"):
+            _inflate(b"\x00", "compress")  # genuinely unsupported (LZW)
 
     def test_inflate_empty_entity_bodies(self):
         """A valid encoding of an EMPTY body (redirects/204s) decodes
@@ -93,6 +93,17 @@ class TestPureDecode:
         body = b"brotli inflate me " * 50
         assert _inflate(brotli_encode(body), "br") == body
         assert _inflate(brotli_encode(b""), "br") == b""
+
+    def test_inflate_zstd(self):
+        """Content-Encoding: zstd decodes via the system libzstd
+        (r15 — RFC 8878 content coding)."""
+        from datasketches_spark_spark.operators.zstdnative import (
+            zstd_available, zstd_encode)
+        if not zstd_available():
+            pytest.skip("no system libzstd")
+        body = b"zstd inflate me " * 50
+        assert _inflate(zstd_encode(body), "zstd") == body
+        assert _inflate(zstd_encode(b""), "zstd") == b""
 
     def test_dechunk_malformed_size_tokens_raise(self):
         """int(x, 16) looseness is closed (r15, ADVICE fix): '-5',
@@ -160,7 +171,7 @@ class TestSparkColumns:
             "Content-Type: text/html; charset=utf-8",
             "Transfer-Encoding: chunked",
             "Content-Encoding: gzip"])
-        bad = _msg(b"\x00\x01", ["Content-Encoding: zstd"])
+        bad = _msg(b"\x00\x01", ["Content-Encoding: compress"])
         rows = [(1, bytearray(plain), "plain body"),
                 (2, bytearray(enc), text),
                 (3, bytearray(bad), None),
