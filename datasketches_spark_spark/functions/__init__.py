@@ -11,7 +11,8 @@ from . import quality_rules, text, urls
 from .html import (html_decode_numeric_refs, html_meta_charset,
                    html_title, html_to_text)
 from .robots import (parse_robots, parse_robots_text,
-                     robots_allowed, robots_sitemaps)
+                     robots_allowed, robots_crawl_delay,
+                     robots_sitemaps)
 from .http import (http_body, http_charset, http_decode_body,
                    http_decode_body_bytes, http_header,
                    http_status, http_text)
@@ -96,6 +97,7 @@ __all__ = [
     "parse_robots",
     "parse_robots_text",
     "robots_allowed",
+    "robots_crawl_delay",
     "robots_sitemaps",
     "sitemap_entries",
     "sitemap_is_index",

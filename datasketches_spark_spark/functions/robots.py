@@ -36,17 +36,16 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = ["parse_robots_text", "parse_robots", "robots_allowed",
-           "robots_sitemaps"]
+           "robots_crawl_delay", "robots_sitemaps"]
 
 
-def parse_robots_text(text: str, user_agent: str = "*"):
-    """Pure-python single-document parser (the per-row kernel of
-    :func:`parse_robots`, exposed for tests and driver-side use).
-    Returns ``(rules, sitemaps)``: rules is ``[(path, allow), ...]``
-    for the group selected for ``user_agent``; sitemaps collects every
-    ``Sitemap:`` URL regardless of group."""
-    ua = user_agent.strip().lower()
-    groups: dict[str, list] = {}
+def _parse_groups(text: str):
+    """Shared group parser: ``(groups, sitemaps)`` where groups maps
+    UA token -> ``{"rules": [(path, allow), ...], "delay": float |
+    None}``. Group selection state per RFC 9309 §2.2.1 (consecutive
+    User-agent lines share a group; any group-member line after them
+    closes the header)."""
+    groups: dict[str, dict] = {}
     sitemaps: list[str] = []
     current: list[str] = []     # UA tokens of the open group
     in_group_rules = False
@@ -70,7 +69,7 @@ def parse_robots_text(text: str, user_agent: str = "*"):
             tok = val.lower()
             if tok:
                 current.append(tok)
-                groups.setdefault(tok, [])
+                groups.setdefault(tok, {"rules": [], "delay": None})
             continue
         if key in ("allow", "disallow"):
             in_group_rules = True
@@ -79,10 +78,38 @@ def parse_robots_text(text: str, user_agent: str = "*"):
                 # Disallow (or Allow) value is a no-op rule
                 continue
             for tok in current:
-                groups[tok].append((val, key == "allow"))
+                groups[tok]["rules"].append((val, key == "allow"))
+        elif key == "crawl-delay":
+            # non-standard but near-universal extension: a per-group
+            # member line (closes the UA header like allow/disallow)
+            in_group_rules = True
+            try:
+                delay = float(val)
+            except ValueError:
+                continue                # malformed value: ignore line
+            if delay < 0:
+                continue
+            for tok in current:
+                if groups[tok]["delay"] is None:
+                    groups[tok]["delay"] = delay    # first wins
+    return groups, sitemaps
+
+
+def _select_group(groups: dict, user_agent: str) -> dict:
+    ua = user_agent.strip().lower()
     if ua in groups:
-        return groups[ua], sitemaps
-    return groups.get("*", []), sitemaps
+        return groups[ua]
+    return groups.get("*", {"rules": [], "delay": None})
+
+
+def parse_robots_text(text: str, user_agent: str = "*"):
+    """Pure-python single-document parser (the per-row kernel of
+    :func:`parse_robots`, exposed for tests and driver-side use).
+    Returns ``(rules, sitemaps)``: rules is ``[(path, allow), ...]``
+    for the group selected for ``user_agent``; sitemaps collects every
+    ``Sitemap:`` URL regardless of group."""
+    groups, sitemaps = _parse_groups(text)
+    return _select_group(groups, user_agent)["rules"], sitemaps
 
 
 def _decode(t) -> str:
@@ -134,6 +161,37 @@ def robots_sitemaps(df, host: str, text: str):
 
     return df.select(host, text).mapInPandas(
         run, "host string, sitemap_url string")
+
+
+def robots_crawl_delay(df, host: str, text: str,
+                       user_agent: str = "*",
+                       default_delay: float | None = None):
+    """``(host, text)`` -> ``(host, crawl_delay)`` for ``user_agent``
+    (r15) — the politeness dimension a fetch scheduler joins against
+    its frontier. ``Crawl-delay`` is the non-standard but
+    near-universal extension line; it is group-scoped like
+    Allow/Disallow (the agent's own group wins over ``*``), the FIRST
+    value in a group wins, and malformed/negative values are ignored.
+    Hosts that declare no delay emit ``default_delay`` (null by
+    default, so schedulers can tell "unspecified" from an explicit
+    0). One Arrow pass over the host-bounded dimension, like
+    :func:`parse_robots`."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            hosts, delays = [], []
+            for h, t in zip(pdf[host], pdf[text]):
+                groups, _ = _parse_groups(_decode(t))
+                d = _select_group(groups, user_agent)["delay"]
+                hosts.append(h)
+                delays.append(default_delay if d is None else d)
+            yield pd.DataFrame(
+                {"host": hosts,
+                 "crawl_delay": pd.Series(delays, dtype="float64")})
+
+    return df.select(host, text).mapInPandas(
+        run, "host string, crawl_delay double")
 
 
 def _rule_regex(rule: Column) -> Column:

@@ -178,3 +178,74 @@ class TestSitemaps:
         plan = df.select(sitemap_locs("x")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()
+
+
+class TestCrawlDelay:
+    """r15: robots_crawl_delay — group-scoped Crawl-delay extraction."""
+
+    TXT = """# politeness
+User-agent: fastbot
+Crawl-delay: 0.5
+Disallow: /private/
+
+User-agent: *
+Crawl-delay: 10
+Crawl-delay: 20
+Disallow: /tmp/
+
+User-agent: rudebot
+Crawl-delay: nonsense
+Crawl-delay: -3
+Disallow: /
+"""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("a.com", self.TXT), ("b.com", "User-agent: *\nDisallow:")],
+            "host string, text string")
+
+    def test_group_selection_and_first_wins(self, spark):
+        from datasketches_spark_spark.functions import robots_crawl_delay
+        df = self._df(spark)
+        star = {r.host: r.crawl_delay
+                for r in robots_crawl_delay(df, "host", "text").collect()}
+        assert star["a.com"] == 10.0      # first value in the * group
+        assert star["b.com"] is None      # no delay declared
+        fast = {r.host: r.crawl_delay
+                for r in robots_crawl_delay(
+                    df, "host", "text", user_agent="FastBot").collect()}
+        assert fast["a.com"] == 0.5       # own group beats *
+
+    def test_malformed_values_ignored_fall_to_star(self, spark):
+        from datasketches_spark_spark.functions import robots_crawl_delay
+        got = {r.host: r.crawl_delay
+               for r in robots_crawl_delay(
+                   self._df(spark), "host", "text",
+                   user_agent="rudebot").collect()}
+        assert got["a.com"] is None       # both rudebot values invalid
+
+    def test_default_delay(self, spark):
+        from datasketches_spark_spark.functions import robots_crawl_delay
+        got = {r.host: r.crawl_delay
+               for r in robots_crawl_delay(
+                   self._df(spark), "host", "text",
+                   default_delay=1.0).collect()}
+        assert got["b.com"] == 1.0 and got["a.com"] == 10.0
+
+    def test_crawl_delay_closes_ua_header(self, spark):
+        """A Crawl-delay line after User-agent lines is a group-member
+        line: a following User-agent starts a NEW group (RFC 9309
+        group-header semantics applied to the extension)."""
+        from datasketches_spark_spark.functions import (
+            parse_robots, robots_crawl_delay)
+        txt = ("User-agent: a\nCrawl-delay: 2\n"
+               "User-agent: b\nDisallow: /x\n")
+        df = spark.createDataFrame([("h", txt)], "host string, text string")
+        da = robots_crawl_delay(df, "host", "text", user_agent="a").collect()
+        db = robots_crawl_delay(df, "host", "text", user_agent="b").collect()
+        assert da[0].crawl_delay == 2.0 and db[0].crawl_delay is None
+        # and agent b's group (not a's) owns the Disallow
+        ra = parse_robots(df, "host", "text", user_agent="a").collect()
+        rb = parse_robots(df, "host", "text", user_agent="b").collect()
+        assert [r.rule_path for r in ra] == []
+        assert [r.rule_path for r in rb] == ["/x"]
