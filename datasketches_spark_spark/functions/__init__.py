@@ -8,8 +8,8 @@ Import as::
 """
 
 from . import quality_rules, text, urls
-from .html import (html_decode_numeric_refs, html_meta_charset,
-                   html_title, html_to_text)
+from .html import (html_decode_numeric_refs, html_links,
+                   html_meta_charset, html_title, html_to_text)
 from .robots import (parse_robots, parse_robots_text,
                      robots_allowed, robots_crawl_delay,
                      robots_sitemaps)
@@ -18,7 +18,7 @@ from .http import (http_body, http_charset, http_decode_body,
                    http_status, http_text)
 from .urls import (canonicalize_url, sitemap_entries, sitemap_is_index,
                    sitemap_locs, sitemap_text, url_host,
-                   url_registered_domain, url_surt_key)
+                   url_registered_domain, url_resolve, url_surt_key)
 from .embeddings import (
     dequantize_int8,
     l2_normalize,
@@ -90,6 +90,7 @@ __all__ = [
     # URL canonicalization (extension; crawl-pipeline normalization)
     "canonicalize_url",
     "html_decode_numeric_refs",
+    "html_links",
     "html_meta_charset",
     "html_title",
     "html_to_text",
@@ -103,6 +104,7 @@ __all__ = [
     "sitemap_is_index",
     "sitemap_locs",
     "sitemap_text",
+    "url_resolve",
     "url_surt_key",
     "http_charset",
     "http_decode_body",

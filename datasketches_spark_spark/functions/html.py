@@ -37,7 +37,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["html_to_text", "html_title", "html_decode_numeric_refs",
-           "html_meta_charset"]
+           "html_links", "html_meta_charset"]
 
 _BLOCK_TAGS = ("p|div|li|ul|ol|tr|td|th|table|h[1-6]|br|hr|section|"
                "article|header|footer|blockquote|pre")
@@ -157,6 +157,33 @@ def html_to_text(col) -> Column:
     s = F.regexp_replace(s, r"\n{2,}", "\n")
     # NOT F.trim: Spark's trim strips spaces only, not newlines
     return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+def html_links(col) -> Column:
+    """``href`` targets of ``<a>`` elements as an array column (r15)
+    — the LINK-GRAPH / frontier-expansion step: explode, resolve each
+    against the record's base URL with
+    ``functions.urls.url_resolve(target_uri, link)``, key by
+    ``url_surt_key``, and the crawl frontier grows. Pure Column exprs:
+    one ``regexp_extract_all`` over quoted/unquoted attribute forms,
+    quote strip, the one-pass entity decode (``&amp;`` inside hrefs is
+    ubiquitous), trim; non-navigational targets
+    (``javascript:``/``mailto:``/``data:``/``tel:`` and
+    fragment-only) are filtered out."""
+    s = _col(col)
+    toks = F.regexp_extract_all(
+        s, F.lit(r"(?is)<a\b[^>]*?\shref\s*=\s*"
+                 r"(\"[^\"]*\"|'[^']*'|[^\s>]+)"), 1)
+
+    def _clean(t: Column) -> Column:
+        t = F.regexp_replace(t, r"^[\"']|[\"']$", "")
+        return F.trim(_decode_entities(t))
+
+    return F.filter(
+        F.transform(toks, _clean),
+        lambda u: (u != "")
+        & ~F.lower(u).rlike(r"^(javascript|mailto|data|tel):")
+        & ~u.startswith("#"))
 
 
 def html_meta_charset(col) -> Column:

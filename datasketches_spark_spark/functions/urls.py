@@ -295,6 +295,64 @@ def sitemap_entries(col) -> Column:
                     lambda e: e["loc"].isNotNull())
 
 
+def _remove_dot_segments(p: Column) -> Column:
+    """RFC 3986 §5.2.4 over a path Column, as a BOUNDED chain of
+    regexp passes (each pass resolves one nesting level of
+    ``/seg/../`` — 12 passes cover any realistic path; a deeper
+    dot-chain is left partially resolved, documented). Pure Column
+    exprs so the whole resolver stays scan-stage and replayable."""
+    p = F.regexp_replace(p, r"^(\.\./|\./)+", "")
+    for _ in range(4):
+        p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    seg = r"/(?!\.\.(?:/|$))[^/]+"
+    for _ in range(12):
+        p = F.regexp_replace(p, seg + r"/\.\./", "/")
+    p = F.regexp_replace(p, seg + r"/\.\.$", "/")
+    for _ in range(4):
+        p = F.regexp_replace(p, r"^/\.\.(/|$)", "/")
+    return p
+
+
+def url_resolve(base, ref) -> Column:
+    """RFC 3986 §5 reference resolution (r15) — turn the ``href``
+    targets :func:`functions.html.html_links` extracts into absolute
+    crawl-frontier URLs against the record's base
+    (``WARC-Target-URI``). Pure Column exprs, scan-stage.
+
+    Cases per §5.2.2: a ref with its own scheme passes through;
+    ``//host/...`` takes the base scheme; ``/abs`` takes
+    scheme+authority; ``?query`` replaces the base query; an empty (or
+    fragment-only) ref returns the base without its fragment; anything
+    else merges with the base directory. Dot-segments are removed via
+    :func:`_remove_dot_segments` (bounded passes). Fragments never
+    survive (crawl keys are fragment-free). Null when the base has no
+    ``scheme://authority``. Divergence from the legacy urljoin
+    behavior, by design: a same-scheme relative ref (``http:g``) is
+    treated as absolute per the RFC's strict reading."""
+    b, r = _col(base), _col(ref)
+    r = F.regexp_replace(F.trim(r), r"#.*$", "")
+    b_scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    b_auth = F.regexp_extract(b, r"^[^:/?#]+://([^/?#]*)", 1)
+    b_pathq = F.regexp_extract(b, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    b_path = F.regexp_replace(b_pathq, r"\?.*$", "")
+    prefix = F.concat(b_scheme, F.lit("://"), b_auth)
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    merged = F.concat(
+        F.when(b_dir == "", F.lit("/")).otherwise(b_dir), r)
+    out = (F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), r)
+           .when(r.startswith("//"),
+                 F.concat(b_scheme, F.lit(":"), r))
+           .when(r.startswith("/"),
+                 F.concat(prefix, _remove_dot_segments(r)))
+           .when(r.startswith("?"),
+                 F.concat(prefix, b_path, r))
+           .when(r == "", F.concat(prefix, b_pathq))
+           .otherwise(F.concat(prefix, _remove_dot_segments(merged))))
+    return F.when((b_scheme == "") | (b_auth == ""),
+                  F.lit(None).cast("string")).otherwise(out)
+
+
 def sitemap_text(col) -> Column:
     """BINARY sitemap payload -> document text: gzipped payloads
     (``.xml.gz`` — magic-sniffed ``1f 8b``, inflated via the same

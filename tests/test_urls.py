@@ -422,3 +422,122 @@ class TestSurtFixture:
         plan = df.select(url_surt_key("u", tracking_re=None)) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()
+
+
+class TestUrlResolve:
+    """r15: url_resolve — RFC 3986 §5 reference resolution as pure
+    Column exprs, oracled against python's urllib.parse.urljoin (an
+    independent implementation of the same RFC). Divergence by
+    design: same-scheme relative refs ('http:g') resolve strictly
+    (pass through) rather than via the legacy COMPAT rule, so such
+    cases are excluded from the urljoin sweep and pinned separately."""
+
+    CASES = [
+        # (base, ref) — expected = urljoin(base, ref) minus fragment
+        ("http://a.com/b/c/d?q=1#f", "g"),
+        ("http://a.com/b/c/d?q=1", "./g"),
+        ("http://a.com/b/c/d", "g/"),
+        ("http://a.com/b/c/d", "/g"),
+        ("http://a.com/b/c/d", "//other.org/x"),
+        ("http://a.com/b/c/d?q=1", "?y=2"),
+        ("http://a.com/b/c/d?q=1#f", ""),
+        ("http://a.com/b/c/d#f", "#s"),
+        ("http://a.com/b/c/d", "../e"),
+        ("http://a.com/b/c/d", "../../e"),
+        ("http://a.com/b/c/d", "../../../e"),
+        ("http://a.com/b/c/d/", "../../x/y"),
+        ("https://a.com", "rel"),
+        ("https://a.com/", "rel/./sub/../leaf"),
+        ("http://a.com/p", "https://secure.org/abs"),
+        ("http://a.com/deep/x/y/z", "./.././w"),
+        ("http://a.com/b/", "c/d/../../../up"),
+        ("http://a.com/b/c;p=1/d", "e"),
+        ("http://u:pw@a.com:8080/b/c", "x"),
+        ("http://a.com/b/c/d", "g?y=9"),
+    ]
+
+    def test_vs_urljoin(self, spark):
+        from urllib.parse import urljoin, urldefrag
+        from datasketches_spark_spark.functions import url_resolve
+        df = spark.createDataFrame(self.CASES, "base string, ref string")
+        got = df.select("base", "ref",
+                        url_resolve("base", "ref").alias("r")).collect()
+        bad = []
+        for r in got:
+            want = urldefrag(urljoin(r.base, r.ref))[0]
+            if r.r != want:
+                bad.append((r.base, r.ref, r.r, want))
+        assert not bad, bad
+
+    def test_strict_scheme_ref_and_null_base(self, spark):
+        from datasketches_spark_spark.functions import url_resolve
+        df = spark.createDataFrame(
+            [("http://a.com/b", "http:g"), ("not-a-url", "x"),
+             ("http://a.com/b", "mailto:x@y.z")],
+            "base string, ref string")
+        got = [r.r for r in df.select(
+            url_resolve("base", "ref").alias("r")).collect()]
+        assert got[0] == "http:g"        # strict RFC, documented
+        assert got[1] is None            # base without authority
+        assert got[2] == "mailto:x@y.z"  # scheme refs pass through
+
+    def test_pure_expressions(self, spark):
+        from datasketches_spark_spark.functions import url_resolve
+        df = spark.createDataFrame([("http://a.com/", "x")],
+                                   "base string, ref string")
+        plan = df.select(url_resolve("base", "ref")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
+
+
+class TestHtmlLinks:
+    """r15: html_links — anchor-href extraction for the link graph."""
+
+    def test_extraction_and_filtering(self, spark):
+        from datasketches_spark_spark.functions import html_links
+        html = ('<html><body>'
+                '<a href="/abs/path">a</a>'
+                "<a href='rel?x=1&amp;y=2'>b</a>"
+                '<a href=bare/unquoted>c</a>'
+                '<a class="x" href="https://other.org/p">d</a>'
+                '<A HREF="UPPER">e</A>'
+                '<a href="#frag-only">skip</a>'
+                '<a href="javascript:void(0)">skip</a>'
+                '<a href="mailto:a@b.c">skip</a>'
+                '<a name="anchor-no-href">skip</a>'
+                '<a href="">skip</a>'
+                '</body></html>',)
+        df = spark.createDataFrame([html], "h string")
+        (got,) = df.select(html_links("h")).collect()[0]
+        assert got == ["/abs/path", "rel?x=1&y=2", "bare/unquoted",
+                       "https://other.org/p", "UPPER"]
+
+    def test_frontier_recipe(self, spark):
+        """The composition the docstring promises: links -> resolve ->
+        surt keys."""
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.functions import (html_links,
+                                                        url_resolve,
+                                                        url_surt_key)
+        df = spark.createDataFrame(
+            [("https://www.Site.com/dir/page.html",
+              '<a href="../up">u</a><a href="sib?b=2&amp;a=1">s</a>')],
+            "base string, h string")
+        out = (df.select("base", F.explode(html_links("h")).alias("l"))
+               .select(url_resolve("base", "l").alias("u"))
+               .select(F.col("u"), url_surt_key("u").alias("k"))
+               .collect())
+        # case preserved through resolution (urljoin semantics);
+        # the surt key does the lowercasing
+        assert [r.u for r in out] == [
+            "https://www.Site.com/up",
+            "https://www.Site.com/dir/sib?b=2&a=1"]
+        assert [r.k for r in out] == [
+            "com,site)/up", "com,site)/dir/sib?a=1&b=2"]
+
+    def test_pure_expressions(self, spark):
+        from datasketches_spark_spark.functions import html_links
+        df = spark.createDataFrame([("<a href=x>y</a>",)], "h string")
+        plan = df.select(html_links("h")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonUDF" not in plan.lower()
