@@ -465,6 +465,81 @@ def read_cdxj(spark, path: str):
         F.col("__p.length").cast("long").alias("length"))
 
 
+def read_wet(spark, path: str):
+    """Common Crawl WET files -> ``(path, url, warc_date, record_id,
+    text)`` — one row per extracted-text document. WET is plain WARC
+    whose documents are ``conversion`` records with UTF-8 text
+    payloads (the warcinfo preamble is dropped here), so this is
+    :func:`read_warc` + type filter + a JVM ``decode`` — a
+    convenience entry for the most common Common Crawl text workflow.
+    Pipe ``text`` straight into the quality/dedup/LM stack."""
+    from pyspark.sql import functions as F
+
+    return (read_warc(spark, path, types=("conversion",))
+            .select("path",
+                    F.col("target_uri").alias("url"),
+                    "warc_date", "record_id",
+                    F.decode("payload", "utf-8").alias("text")))
+
+
+# The WAT fields this reader lifts to columns: the envelope header
+# (addressing) plus the HTTP/HTML metadata a pipeline filters and
+# joins on. Everything else in the (deeply nested, sparsely populated)
+# WAT JSON stays reachable via the raw `json` column + get_json_object.
+_WAT_SCHEMA = (
+    "Envelope struct<"
+    "  `WARC-Header-Metadata` struct<"
+    "    `WARC-Type` string, `WARC-Target-URI` string,"
+    "    `WARC-Date` string>,"
+    "  `Payload-Metadata` struct<"
+    "    `HTTP-Response-Metadata` struct<"
+    "      `Response-Message` struct<Status string>,"
+    "      `Headers` struct<`Content-Type` string>,"
+    "      `HTML-Metadata` struct<"
+    "        Head struct<Title string>,"
+    "        Links array<struct<url string, text string,"
+    "                           path string>>>>>>")
+
+
+def read_wat(spark, path: str):
+    """Common Crawl WAT files -> one row per described record with the
+    common metadata lifted to columns::
+
+        (path, url, warc_date, rec_type, status, mime, title,
+         links array<struct<url, text, path>>, json)
+
+    WAT is WARC whose ``metadata`` records carry a JSON payload
+    describing the corresponding crawl record (envelope header, HTTP
+    response metadata, extracted HTML links). The parse is
+    :func:`read_warc` + one JVM ``from_json`` against a PARTIAL schema
+    (Spark leaves unlisted JSON fields unread — schema pruning keeps
+    this cheap however deep the real documents are); the raw ``json``
+    string column stays available for ``get_json_object`` digs into
+    anything unlisted. ``links`` feeds the same frontier recipe as
+    ``html_links`` (resolve against ``url``, key by
+    ``url_surt_key``)."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, types=("metadata",))
+    js = F.decode("payload", "utf-8")
+    p = F.from_json(js, _WAT_SCHEMA).getField("Envelope")
+    hdr = p.getField("WARC-Header-Metadata")
+    http = p.getField("Payload-Metadata") \
+        .getField("HTTP-Response-Metadata")
+    return recs.select(
+        "path",
+        hdr.getField("WARC-Target-URI").alias("url"),
+        hdr.getField("WARC-Date").alias("warc_date"),
+        hdr.getField("WARC-Type").alias("rec_type"),
+        http.getField("Response-Message").getField("Status")
+        .cast("int").alias("status"),
+        http.getField("Headers").getField("Content-Type").alias("mime"),
+        http.getField("HTML-Metadata").getField("Head")
+        .getField("Title").alias("title"),
+        http.getField("HTML-Metadata").getField("Links").alias("links"),
+        js.alias("json"))
+
+
 def read_cc_index(spark, path: str, warc_root: str | None = None):
     """Common Crawl COLUMNAR index (the cc-index parquet table) ->
     this engine's CDX contract — the companion to :func:`read_cdxj`
@@ -538,7 +613,8 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
                type_col: str | None = None,
                date_col: str | None = None,
                id_col: str | None = None,
-               ctype_col: str | None = None):
+               ctype_col: str | None = None,
+               warcinfo: str | None = None):
     """WARC SINK — the write half of the ingestion symmetry: emit a
     filtered/transformed corpus back out in the ecosystem format so
     downstream consumers (or this engine's own :func:`read_warc`) can
@@ -567,6 +643,11 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
     message is the payload; its headers re-emit byte-identically).
     Null cells fall back to the corresponding literal default
     (``WARC-Record-ID`` to the md5 rule below).
+
+    ``warcinfo`` (r15): warc-fields text (e.g. ``"software: x\\r\\n"``)
+    emitted as a leading ``warcinfo`` record in every shard — the
+    convention real WARC consumers expect at file start; its record id
+    derives from the fields text so shards stay deterministic.
 
     DETERMINISTIC by construction, so written shards are
     oracle-comparable: ``WARC-Date`` is the caller's literal (never
@@ -634,6 +715,21 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
                     rec = head + body + b"\r\n\r\n"
                     if fh is None:
                         fh = open(tmp, "wb")
+                        if warcinfo is not None:
+                            wi_body = warcinfo.encode("utf-8")
+                            wi_id = hashlib.md5(
+                                b"warcinfo\x00" + wi_body).hexdigest()
+                            wi = (
+                                "WARC/1.0\r\n"
+                                "WARC-Type: warcinfo\r\n"
+                                f"WARC-Date: {warc_date}\r\n"
+                                f"WARC-Record-ID: <urn:uuid:{wi_id}>\r\n"
+                                "Content-Type: application/"
+                                "warc-fields\r\n"
+                                f"Content-Length: {len(wi_body)}\r\n"
+                                "\r\n").encode() + wi_body + b"\r\n\r\n"
+                            fh.write(_gzip.compress(wi, 9, mtime=0)
+                                     if compress else wi)
                     fh.write(_gzip.compress(rec, 9, mtime=0)
                              if compress else rec)
                     n += 1

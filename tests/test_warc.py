@@ -656,3 +656,147 @@ class TestCcIndex:
         assert r.filename == "f.warc.gz" and r.offset == 0
         assert r.urlkey is None and r.timestamp is None
         assert r.status is None
+
+
+class TestWetWat:
+    """r15: read_wet / read_wat — the other two formats of the Common
+    Crawl WARC/WAT/WET triple, plus the warcinfo preamble option of
+    write_warc."""
+
+    def _wet_file(self, tmp_path):
+        import gzip as _g
+        d = str(tmp_path / "wet")
+        os.makedirs(d)
+        recs = [_g.compress(_record(
+            "warcinfo", None, b"software: engine\r\n",
+            "application/warc-fields"), mtime=0)]
+        for i in range(6):
+            recs.append(_g.compress(_record(
+                "conversion", f"https://h{i}.ex.com/{i}",
+                f"extracted text {i} — φ".encode("utf-8"),
+                "text/plain", rid=f"urn:uuid:w{i}"), mtime=0))
+        with open(os.path.join(d, "f.warc.wet.gz"), "wb") as fh:
+            fh.write(b"".join(recs))
+        return d
+
+    def test_read_wet(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import read_wet
+        rows = read_wet(spark, self._wet_file(tmp_path)) \
+            .orderBy("url").collect()
+        assert len(rows) == 6            # warcinfo dropped
+        assert [r.text for r in rows] == \
+            [f"extracted text {i} — φ" for i in range(6)]
+        assert rows[0].url == "https://h0.ex.com/0"
+        assert rows[0].record_id == "urn:uuid:w0"
+
+    def test_read_wat(self, spark, tmp_path):
+        import gzip as _g
+        import json as _json
+        d = str(tmp_path / "wat")
+        os.makedirs(d)
+        recs = []
+        for i in range(4):
+            doc = {"Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"https://h{i}.ex.com/{i}",
+                    "WARC-Date": "2025-05-05T00:00:00Z"},
+                "Payload-Metadata": {
+                    "Actual-Content-Length": str(100 + i),
+                    "HTTP-Response-Metadata": {
+                        "Response-Message": {"Status": "200"},
+                        "Headers": {"Content-Type": "text/html"},
+                        "HTML-Metadata": {
+                            "Head": {"Title": f"Title {i}"},
+                            "Links": [
+                                {"url": f"/l/{i}", "text": "in",
+                                 "path": "A@/href"},
+                                {"url": "https://ext.org/x",
+                                 "text": "out", "path": "A@/href"},
+                            ]}}}}}
+            recs.append(_g.compress(_record(
+                "metadata", f"https://h{i}.ex.com/{i}",
+                _json.dumps(doc).encode(),
+                "application/json", rid=f"urn:uuid:m{i}"), mtime=0))
+        with open(os.path.join(d, "f.warc.wat.gz"), "wb") as fh:
+            fh.write(b"".join(recs))
+        from datasketches_spark_spark.operators import read_wat
+        rows = read_wat(spark, d).orderBy("url").collect()
+        assert len(rows) == 4
+        r = rows[1]
+        assert r.url == "https://h1.ex.com/1"
+        assert r.status == 200 and r.mime == "text/html"
+        assert r.title == "Title 1" and r.rec_type == "response"
+        assert [link.url for link in r.links] == \
+            ["/l/1", "https://ext.org/x"]
+        # everything unlisted in the partial schema stays reachable
+        assert F is not None
+        got = (read_wat(spark, d)
+               .select(F.get_json_object(
+                   "json",
+                   "$.Envelope.Payload-Metadata"
+                   ".Actual-Content-Length").alias("acl"))
+               .orderBy("acl").collect())
+        assert [r.acl for r in got] == ["100", "101", "102", "103"]
+
+    def test_wat_links_feed_frontier(self, spark, tmp_path):
+        """WAT links resolve through the same recipe as html_links."""
+        import gzip as _g
+        import json as _json
+        from datasketches_spark_spark.functions import (url_resolve,
+                                                        url_surt_key)
+        d = str(tmp_path / "wat2")
+        os.makedirs(d)
+        doc = {"Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://www.Site.com/dir/p.html",
+                "WARC-Date": "2025-05-05T00:00:00Z"},
+            "Payload-Metadata": {"HTTP-Response-Metadata": {
+                "Response-Message": {"Status": "200"},
+                "Headers": {"Content-Type": "text/html"},
+                "HTML-Metadata": {"Links": [
+                    {"url": "../up", "text": "u", "path": "A@/href"},
+                    {"url": "sib?b=2&a=1", "text": "s",
+                     "path": "A@/href"}]}}}}}
+        with open(os.path.join(d, "f.warc.wat.gz"), "wb") as fh:
+            fh.write(_g.compress(_record(
+                "metadata", "https://www.Site.com/dir/p.html",
+                _json.dumps(doc).encode(), "application/json"),
+                mtime=0))
+        from datasketches_spark_spark.operators import read_wat
+        out = (read_wat(spark, d)
+               .select("url", F.explode("links").alias("l"))
+               .select(url_surt_key(
+                   url_resolve("url", F.col("l.url"))).alias("k"))
+               .orderBy("k").collect())
+        assert [r.k for r in out] == \
+            ["com,site)/dir/sib?a=1&b=2", "com,site)/up"]
+
+    def test_write_warc_warcinfo_preamble(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        df = spark.createDataFrame(
+            [(f"u{i}", f"t{i}") for i in range(4)],
+            "target_uri string, payload string").repartition(2)
+        out = str(tmp_path / "wi")
+        write_warc(df, out,
+                   warcinfo="software: engine r15\r\nformat: WARC/1.0\r\n")
+        rows = read_warc(spark, out).collect()
+        infos = [r for r in rows if r.warc_type == "warcinfo"]
+        convs = [r for r in rows if r.warc_type == "conversion"]
+        assert len(infos) == 2           # one per shard, leading
+        assert len(convs) == 4
+        assert all(bytes(r.payload) ==
+                   b"software: engine r15\r\nformat: WARC/1.0\r\n"
+                   for r in infos)
+        assert all(r.record_index == 0 for r in infos)
+        # determinism holds with the preamble
+        out2 = str(tmp_path / "wi2")
+        write_warc(df.coalesce(1), out2, warcinfo="x: y\r\n")
+        write_warc(df.coalesce(1), str(tmp_path / "wi3"),
+                   warcinfo="x: y\r\n")
+        a = open(os.path.join(out2, "part-00000.warc.gz"), "rb").read()
+        b = open(os.path.join(str(tmp_path / "wi3"),
+                              "part-00000.warc.gz"), "rb").read()
+        assert a == b
