@@ -309,7 +309,7 @@ def _remove_dot_segments(p: Column) -> Column:
     for _ in range(12):
         p = F.regexp_replace(p, seg + r"/\.\./", "/")
     p = F.regexp_replace(p, seg + r"/\.\.$", "/")
-    for _ in range(4):
+    for _ in range(12):
         p = F.regexp_replace(p, r"^/\.\.(/|$)", "/")
     return p
 

