@@ -321,3 +321,69 @@ class TestMetaCharsetFallback:
         blob = _g.compress(rec) + b"\x1f\x8bGARBAGE-NOT-GZIP"
         with pytest.raises(ValueError, match="corrupt gzip member"):
             list(parse_warc(blob))
+
+
+class TestDecodeProperties:
+    """Property-based (hypothesis): for ANY text and any composition
+    of framing + coding + charset, _decode_http_payload inverts what
+    a conformant server would produce."""
+
+    def test_roundtrip_any_composition(self):
+        from hypothesis import given, settings, strategies as st
+        from datasketches_spark_spark.operators.brotlinative import (
+            brotli_available, brotli_encode)
+        from datasketches_spark_spark.operators.zstdnative import (
+            zstd_available, zstd_encode)
+
+        codings = ["identity", "gzip", "deflate"]
+        if brotli_available():
+            codings.append("br")
+        if zstd_available():
+            codings.append("zstd")
+
+        @given(
+            text=st.text(
+                alphabet=st.characters(min_codepoint=0x20,
+                                       max_codepoint=0x24F,
+                                       exclude_characters="\x7f"),
+                max_size=400),
+            coding=st.sampled_from(codings),
+            chunked=st.booleans(),
+            chunk_size=st.integers(1, 97),
+            charset=st.sampled_from(["utf-8", "utf-16-le", "utf-16-be"]),
+            bom=st.booleans())
+        @settings(max_examples=120, deadline=None)
+        def check(text, coding, chunked, chunk_size, charset, bom):
+            if charset.startswith("utf-16") and not bom:
+                return              # undeclared BOM-less utf-16: not
+            #                         recoverable by ANY sniffer
+            body = text.encode(charset)
+            if bom:
+                body = "﻿".encode(charset) + body
+            headers = [b"Content-Type: text/plain; charset=utf-8"
+                       if bom else
+                       b"Content-Type: text/plain; charset=" +
+                       charset.encode()]
+            if coding == "gzip":
+                body = gzip.compress(body)
+            elif coding == "deflate":
+                body = zlib.compress(body)
+            elif coding == "br":
+                body = brotli_encode(body)
+            elif coding == "zstd":
+                body = zstd_encode(body)
+            if coding != "identity":
+                headers.append(b"Content-Encoding: " + coding.encode())
+            if chunked:
+                body = b"".join(
+                    b"%x\r\n%s\r\n" % (len(body[i:i + chunk_size]),
+                                       body[i:i + chunk_size])
+                    for i in range(0, len(body), chunk_size)) \
+                    + b"0\r\n\r\n"
+                headers.append(b"Transfer-Encoding: chunked")
+            blob = (b"HTTP/1.1 200 OK\r\n" + b"\r\n".join(headers)
+                    + b"\r\n\r\n" + body)
+            got = _decode_http_payload(blob, True, "utf-8")
+            assert got == text, (coding, chunked, charset, bom)
+
+        check()
