@@ -399,17 +399,21 @@ def _pct_decode_unreserved(s: Column) -> Column:
     every other escape keeps its literal (lowercase-hex) ``%xx`` text.
     Real CDX urlkeys normalize exactly these (``%7E`` -> ``~``,
     ``%41`` -> ``a``) while keeping reserved escapes — the same
-    split / conv / unhex-decode machinery as the HTML NCR pass, pure
-    Column exprs."""
+    split/zip machinery as the HTML NCR pass, pure Column exprs.
+    Unreserved-ness is decided on the CODE POINT (never by decoding
+    the byte: ``decode('UTF-8')`` THROWS on the lead byte of a
+    multi-byte escape like ``%C3%A9``, which must stay literal) and
+    the character comes from throw-free ``char()``."""
     parts = F.split(s, r"%[0-9a-fA-F]{2}", -1)
     toks = F.regexp_extract_all(s, F.lit(r"%([0-9a-fA-F]{2})"), 1)
 
     def _chr(tok: Column) -> Column:
         cp = F.conv(tok, 16, 10).cast("int")
-        ch = F.lower(F.decode(F.unhex(F.lpad(F.hex(cp), 2, "0")),
-                              "UTF-8"))
-        unreserved = ch.rlike(r"^[a-z0-9._~-]$")
-        return F.when(unreserved, ch) \
+        unreserved = (cp.between(0x30, 0x39)      # 0-9
+                      | cp.between(0x41, 0x5A)    # A-Z
+                      | cp.between(0x61, 0x7A)    # a-z
+                      | cp.isin(0x2D, 0x2E, 0x5F, 0x7E))  # - . _ ~
+        return F.when(unreserved, F.lower(F.char(cp))) \
             .otherwise(F.concat(F.lit("%"), F.lower(tok)))
 
     return F.array_join(

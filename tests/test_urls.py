@@ -415,6 +415,24 @@ class TestSurtFixture:
             assert df.select(url_surt_key("u", **kw)).collect()[0][0] \
                 == "com,example)/q?x=1"
 
+    def test_percent_escape_edges_never_throw(self, spark):
+        """Multi-byte escapes (%C3%A9) stay literal lowercase —
+        decoding their lead byte would THROW (Spark decode is strict
+        on invalid UTF-8); malformed escapes and bare '%' pass
+        through untouched (r15 self-review regression)."""
+        from datasketches_spark_spark.functions import url_surt_key
+        cases = [("http://ex.com/p%C3%A9age", "com,ex)/p%c3%a9age"),
+                 ("http://ex.com/%e9", "com,ex)/%e9"),
+                 ("http://ex.com/a%zztail", "com,ex)/a%zztail"),
+                 ("http://ex.com/100%", "com,ex)/100%"),
+                 ("http://ex.com/%41%2F%7e", "com,ex)/a%2f~")]
+        df = spark.createDataFrame(cases, "u string, want string")
+        got = df.select("want",
+                        url_surt_key("u", tracking_re=None)
+                        .alias("k")).collect()
+        assert all(r.k == r.want for r in got), \
+            [(r.want, r.k) for r in got if r.k != r.want]
+
     def test_still_pure_expressions(self, spark):
         from datasketches_spark_spark.functions import url_surt_key
         df = spark.createDataFrame([("https://a.com:8443/x%41",)],
