@@ -338,17 +338,24 @@ def url_resolve(base, ref) -> Column:
     b_path = F.regexp_replace(b_pathq, r"\?.*$", "")
     prefix = F.concat(b_scheme, F.lit("://"), b_auth)
     b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    # §5.2.4 applies to the PATH only: a '?next=/old/../new' query
+    # must survive verbatim, so split the ref's query off before any
+    # dot-segment removal and reattach it after
+    r_path = F.regexp_replace(r, r"\?.*$", "")
+    r_q = F.when(r.contains("?"),
+                 F.regexp_extract(r, r"(\?.*)$", 1)).otherwise(F.lit(""))
     merged = F.concat(
-        F.when(b_dir == "", F.lit("/")).otherwise(b_dir), r)
+        F.when(b_dir == "", F.lit("/")).otherwise(b_dir), r_path)
     out = (F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), r)
            .when(r.startswith("//"),
                  F.concat(b_scheme, F.lit(":"), r))
            .when(r.startswith("/"),
-                 F.concat(prefix, _remove_dot_segments(r)))
+                 F.concat(prefix, _remove_dot_segments(r_path), r_q))
            .when(r.startswith("?"),
                  F.concat(prefix, b_path, r))
            .when(r == "", F.concat(prefix, b_pathq))
-           .otherwise(F.concat(prefix, _remove_dot_segments(merged))))
+           .otherwise(F.concat(prefix, _remove_dot_segments(merged),
+                               r_q)))
     return F.when((b_scheme == "") | (b_auth == ""),
                   F.lit(None).cast("string")).otherwise(out)
 
@@ -456,8 +463,12 @@ def url_surt_key(col, tracking_re: str | None = TRACKING_PARAM_RE
     host = url_host(c)
     host = F.regexp_replace(host, r"^www\d*\.", "")
     scheme = F.lower(F.regexp_extract(c, r"^([^:/?#]+)://", 1))
+    # port from the authority AFTER stripping userinfo on the LAST
+    # '@' — a one-regex version backtracks into 'user:8080pass@host'
+    # and extracts a phantom port
+    auth = F.regexp_extract(c, r"^[^:/?#]+://([^/?#]*)", 1)
     port = F.regexp_extract(
-        c, r"^[^:/?#]+://(?:[^@/?#]*@)?[^/:?#]*:(\d+)", 1)
+        F.substring_index(auth, "@", -1), r":(\d+)$", 1)
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443")))

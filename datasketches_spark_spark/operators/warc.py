@@ -50,7 +50,8 @@ import zlib
 from collections.abc import Iterator
 
 __all__ = ["is_warc", "is_gzip", "parse_warc", "stream_warc_records",
-           "warc_records", "read_warc", "read_warc_slices", "read_cdxj", "write_warc"]
+           "warc_records", "read_warc", "read_warc_slices", "read_cdxj",
+           "read_cc_index", "read_wet", "read_wat", "write_warc"]
 
 _MAX_HEADER = 1 << 20   # spec headers are tiny; 1 MB guards corrupt sizes
 _CHUNK = 1 << 18        # compressed bytes fed per decompress call
@@ -470,16 +471,23 @@ def read_wet(spark, path: str):
     text)`` — one row per extracted-text document. WET is plain WARC
     whose documents are ``conversion`` records with UTF-8 text
     payloads (the warcinfo preamble is dropped here), so this is
-    :func:`read_warc` + type filter + a JVM ``decode`` — a
+    :func:`read_warc` + type filter + a JVM ``make_valid_utf8`` — a
     convenience entry for the most common Common Crawl text workflow.
-    Pipe ``text`` straight into the quality/dedup/LM stack."""
+    Pipe ``text`` straight into the quality/dedup/LM stack.
+
+    LENIENT decode by design: real WET shards contain records with
+    truncated multi-byte characters or mislabeled charsets, and
+    Spark's strict ``decode('utf-8')`` would abort the whole scan on
+    the first one — invalid sequences become U+FFFD instead (the
+    loud-in-band, never-crash posture; filter
+    ``contains(text, '\\uFFFD')`` for the strict view)."""
     from pyspark.sql import functions as F
 
     return (read_warc(spark, path, types=("conversion",))
             .select("path",
                     F.col("target_uri").alias("url"),
                     "warc_date", "record_id",
-                    F.decode("payload", "utf-8").alias("text")))
+                    F.make_valid_utf8("payload").alias("text")))
 
 
 # The WAT fields this reader lifts to columns: the envelope header
@@ -521,7 +529,9 @@ def read_wat(spark, path: str):
     from pyspark.sql import functions as F
 
     recs = read_warc(spark, path, types=("metadata",))
-    js = F.decode("payload", "utf-8")
+    # lenient: a malformed byte in one WAT record must not abort the
+    # scan (strict decode throws); from_json nulls unparseable docs
+    js = F.make_valid_utf8("payload")
     p = F.from_json(js, _WAT_SCHEMA).getField("Envelope")
     hdr = p.getField("WARC-Header-Metadata")
     http = p.getField("Payload-Metadata") \
@@ -584,7 +594,14 @@ def read_cc_index(spark, path: str, warc_root: str | None = None):
         return (F.col(name) if name in have
                 else F.lit(None)).cast(typ).alias(name)
 
-    ts = (F.date_format(F.col("fetch_time"), "yyyyMMddHHmmss")
+    # CDX timestamp14 is UTC; date_format renders in the SESSION
+    # timezone, so shift the instant first (the to_utc_timestamp /
+    # current_timezone idiom) — otherwise a non-UTC cluster emits
+    # keys hours off the pywb convention
+    ts = (F.date_format(
+              F.to_utc_timestamp(F.col("fetch_time"),
+                                 F.current_timezone()),
+              "yyyyMMddHHmmss")
           if "fetch_time" in have
           else F.lit(None).cast("string")).alias("timestamp")
     out = df.select(

@@ -800,3 +800,50 @@ class TestWetWat:
         b = open(os.path.join(str(tmp_path / "wi3"),
                               "part-00000.warc.gz"), "rb").read()
         assert a == b
+
+
+class TestReviewRegressions:
+    """r15 code-review findings, pinned."""
+
+    def test_read_wet_lenient_on_invalid_utf8(self, spark, tmp_path):
+        """One truncated multi-byte char must not abort the scan —
+        strict decode('utf-8') throws; make_valid_utf8 replaces."""
+        import gzip as _g
+        d = str(tmp_path / "badwet")
+        os.makedirs(d)
+        recs = [
+            _g.compress(_record("conversion", "https://ok.com/1",
+                                "fine é text".encode("utf-8")), mtime=0),
+            _g.compress(_record("conversion", "https://bad.com/2",
+                                b"broken \xff\xfe tail \x80"), mtime=0),
+        ]
+        with open(os.path.join(d, "f.warc.wet.gz"), "wb") as fh:
+            fh.write(b"".join(recs))
+        from datasketches_spark_spark.operators import read_wet
+        rows = {r.url: r.text
+                for r in read_wet(spark, d).collect()}
+        assert rows["https://ok.com/1"] == "fine é text"
+        assert "broken" in rows["https://bad.com/2"]
+        assert "�" in rows["https://bad.com/2"]   # loud in-band
+
+    def test_cc_index_timestamp_is_utc(self, spark, tmp_path):
+        """CDX timestamp14 is UTC regardless of the session timezone."""
+        from datasketches_spark_spark.operators import read_cc_index
+        from pyspark.sql import functions as F
+        d = str(tmp_path / "tzidx")
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.createDataFrame(
+                [("f.warc.gz", 0, 10)],
+                "warc_filename string, warc_record_offset long, "
+                "warc_record_length long") \
+                .withColumn("fetch_time", F.to_timestamp(
+                    F.lit("2025-06-01 12:00:00"))) \
+                .write.parquet(d)
+            for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                (r,) = read_cc_index(spark, d).collect()
+                assert r.timestamp == "20250601120000", (tz, r.timestamp)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
