@@ -51,7 +51,8 @@ from collections.abc import Iterator
 
 __all__ = ["is_warc", "is_gzip", "parse_warc", "stream_warc_records",
            "warc_records", "read_warc", "read_warc_slices", "read_cdxj",
-           "read_cc_index", "read_wet", "read_wat", "write_warc"]
+           "read_cc_index", "read_wet", "read_wat", "stream_warc",
+           "write_warc"]
 
 _MAX_HEADER = 1 << 20   # spec headers are tiny; 1 MB guards corrupt sizes
 _CHUNK = 1 << 18        # compressed bytes fed per decompress call
@@ -330,11 +331,19 @@ def read_warc(spark, path: str, types: tuple | None = None,
     file) — see the module docstring. For text pipelines follow with
     ``F.decode(payload, 'utf-8')`` on conversion records — response
     records still carry their HTTP block (``functions/http.py``)."""
+    df = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    run = _decode_runner(types, with_offsets, yield_mb)
+    return df.mapInPandas(run, _OFFSET_SCHEMA if with_offsets else _SCHEMA)
+
+
+def _decode_runner(types, with_offsets: bool, yield_mb: int):
+    """The shared per-task WARC decode pass of :func:`read_warc` and
+    :func:`stream_warc` — (path, content) batches in, record rows out,
+    flushed every ``yield_mb`` MB of payload."""
     import pandas as pd
 
     keep = tuple(types) if types else None
-    df = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
     cols = _COLS + (["offset", "length"] if with_offsets else [])
     limit = int(yield_mb) << 20
 
@@ -360,7 +369,39 @@ def read_warc(spark, path: str, types: tuple | None = None,
         if rows:
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(run, _OFFSET_SCHEMA if with_offsets else _SCHEMA)
+    return run
+
+
+def stream_warc(spark, path: str, types: tuple | None = None,
+                with_offsets: bool = False, yield_mb: int = 64):
+    """STRUCTURED-STREAMING WARC source (r15): continuous ingestion of
+    a landing directory — each micro-batch decodes the newly arrived
+    ``.warc``/``.warc.gz`` shards through the SAME member-at-a-time
+    runner as :func:`read_warc` (mapInPandas composes with streaming),
+    emitting the same record schema. The crawl-side contract: shards
+    are written atomically (rename into the directory — exactly what
+    this engine's :func:`write_warc` commit protocol does), so Spark's
+    file-stream source sees only complete files, tracks them in the
+    checkpoint, and each shard is decoded EXACTLY ONCE across
+    restarts.
+
+    Compose downstream like any streaming DataFrame: the decode chain
+    (``http_decode_body`` -> ``html_to_text``) is stateless and
+    per-row, so it runs unchanged; windowed/sketch aggregations attach
+    via ``streaming/sketch_stream.py``. Use
+    ``.trigger(availableNow=True)`` for catch-up-and-stop runs,
+    ``maxFilesPerTrigger`` (source option) to bound batch size.
+    ``with_offsets=True`` streams the CDX index rows instead — a
+    continuously-maintained side index (append it to parquet and
+    :func:`read_cc_index`/:func:`read_warc_slices` serve random access
+    over the growing corpus)."""
+    schema = ("path string, modificationTime timestamp, "
+              "length long, content binary")
+    sdf = (spark.readStream.format("binaryFile").schema(schema)
+           .load(path).select("path", "content"))
+    run = _decode_runner(types, with_offsets, yield_mb)
+    return sdf.mapInPandas(
+        run, _OFFSET_SCHEMA if with_offsets else _SCHEMA)
 
 
 def _local_path(uri: str) -> str:

@@ -847,3 +847,101 @@ class TestReviewRegressions:
                 assert r.timestamp == "20250601120000", (tz, r.timestamp)
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
+
+
+class TestStreamWarcSource:
+    """r15: stream_warc — Structured-Streaming WARC ingestion (the
+    landing-directory pattern; exactly-once per shard via the file
+    source checkpoint)."""
+
+    def _shard(self, d, name, start, n):
+        import gzip as _g
+        with open(os.path.join(d, name), "wb") as fh:
+            for i in range(start, start + n):
+                fh.write(_g.compress(_record(
+                    "conversion", f"https://h.ex.com/{i}",
+                    f"stream text {i}".encode(),
+                    rid=f"urn:uuid:s{i}"), mtime=0))
+
+    def test_available_now_and_incremental_restart(self, spark,
+                                                   tmp_path):
+        from datasketches_spark_spark.operators import stream_warc
+        d = str(tmp_path / "landing")
+        ck = str(tmp_path / "ck")
+        sink = str(tmp_path / "sink")
+        os.makedirs(d)
+        self._shard(d, "s0.warc.gz", 0, 5)
+
+        def drain():
+            # parquet sink: supports checkpoint recovery (memory sink
+            # does not), so restarts pick up where the last run left
+            out = stream_warc(spark, d, types=("conversion",)) \
+                .select("target_uri",
+                        F.decode("payload", "utf-8").alias("text"))
+            q = (out.writeStream.format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return sorted(r.text for r in
+                          spark.read.parquet(sink).collect())
+
+        assert drain() == [f"stream text {i}" for i in range(5)]
+        # a new shard lands; restart from the checkpoint processes
+        # ONLY the new file — the sink grows by exactly 3 rows
+        # (exactly-once per shard)
+        self._shard(d, "s1.warc.gz", 5, 3)
+        assert drain() == sorted(f"stream text {i}" for i in range(8))
+
+    def test_streaming_index_maintenance(self, spark, tmp_path):
+        """with_offsets=True streams CDX rows; appended to parquet they
+        serve read_warc_slices over the growing corpus."""
+        from datasketches_spark_spark.operators import (read_warc_slices,
+                                                        stream_warc)
+        d = str(tmp_path / "landing2")
+        ck = str(tmp_path / "ck2")
+        idxdir = str(tmp_path / "idx")
+        os.makedirs(d)
+        self._shard(d, "s0.warc.gz", 0, 4)
+        idx = stream_warc(spark, d, with_offsets=True) \
+            .select("path", "offset", "length", "record_index")
+        q = (idx.writeStream.format("parquet")
+             .option("path", idxdir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        stored = spark.read.parquet(idxdir)
+        assert stored.count() == 4
+        back = read_warc_slices(spark, stored)
+        assert sorted(bytes(r.payload).decode() for r in back.collect()) \
+            == [f"stream text {i}" for i in range(4)]
+
+    def test_decode_chain_composes_with_streaming(self, spark,
+                                                  tmp_path):
+        """http_decode_body -> html_to_text run unchanged on the
+        streaming DataFrame (stateless per-row)."""
+        import gzip as _g
+        from datasketches_spark_spark.functions import (html_to_text,
+                                                        http_decode_body)
+        from datasketches_spark_spark.operators import stream_warc
+        d = str(tmp_path / "landing3")
+        ck = str(tmp_path / "ck3")
+        os.makedirs(d)
+        html = b"<html><body><p>streamed page</p></body></html>"
+        msg = (b"HTTP/1.1 200 OK\r\n"
+               b"Content-Type: text/html; charset=utf-8\r\n"
+               b"Content-Encoding: gzip\r\n\r\n" + _g.compress(html))
+        with open(os.path.join(d, "r.warc.gz"), "wb") as fh:
+            fh.write(_g.compress(_record(
+                "response", "https://h.ex.com/p", msg,
+                "application/http; msgtype=response"), mtime=0))
+        out = stream_warc(spark, d, types=("response",)) \
+            .select(html_to_text(http_decode_body("payload"))
+                    .alias("text"))
+        q = (out.writeStream.format("memory").queryName("swdec")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination(120)
+        assert [r.text for r in
+                spark.sql("SELECT text FROM swdec").collect()] == \
+            ["streamed page"]
