@@ -342,8 +342,7 @@ def url_resolve(base, ref) -> Column:
     # must survive verbatim, so split the ref's query off before any
     # dot-segment removal and reattach it after
     r_path = F.regexp_replace(r, r"\?.*$", "")
-    r_q = F.when(r.contains("?"),
-                 F.regexp_extract(r, r"(\?.*)$", 1)).otherwise(F.lit(""))
+    r_q = F.regexp_extract(r, r"(\?.*)$", 1)   # "" when no query
     merged = F.concat(
         F.when(b_dir == "", F.lit("/")).otherwise(b_dir), r_path)
     out = (F.when(r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), r)

@@ -636,13 +636,17 @@ def read_cc_index(spark, path: str, warc_root: str | None = None):
                 else F.lit(None)).cast(typ).alias(name)
 
     # CDX timestamp14 is UTC; date_format renders in the SESSION
-    # timezone, so shift the instant first (the to_utc_timestamp /
-    # current_timezone idiom) — otherwise a non-UTC cluster emits
-    # keys hours off the pywb convention
-    ts = (F.date_format(
-              F.to_utc_timestamp(F.col("fetch_time"),
-                                 F.current_timezone()),
-              "yyyyMMddHHmmss")
+    # timezone, and the to_utc_timestamp shift-idiom reinterprets
+    # wall-clocks (wrong by an hour inside the session zone's DST
+    # spring-forward gap). to_json's timeZone OPTION renders the
+    # INSTANT in UTC directly — exact for every instant on any
+    # cluster timezone (tz-matrix incl. a gap instant pinned in
+    # tests/test_warc.py)
+    ts = (F.get_json_object(
+              F.to_json(F.struct(F.col("fetch_time").alias("t")),
+                        {"timestampFormat": "yyyyMMddHHmmss",
+                         "timeZone": "UTC"}),
+              "$.t")
           if "fetch_time" in have
           else F.lit(None).cast("string")).alias("timestamp")
     out = df.select(

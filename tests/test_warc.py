@@ -834,17 +834,24 @@ class TestReviewRegressions:
         old = spark.conf.get("spark.sql.session.timeZone")
         try:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # epoch-pinned instants: 2025-03-09T02:30:00Z falls in
+            # the America/Los_Angeles DST spring-forward GAP — the
+            # to_utc_timestamp idiom rendered it an hour off
             spark.createDataFrame(
-                [("f.warc.gz", 0, 10)],
+                [("f.warc.gz", 0, 10, 1748779200),
+                 ("g.warc.gz", 10, 10, 1741487400)],
                 "warc_filename string, warc_record_offset long, "
-                "warc_record_length long") \
-                .withColumn("fetch_time", F.to_timestamp(
-                    F.lit("2025-06-01 12:00:00"))) \
-                .write.parquet(d)
-            for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+                "warc_record_length long, e long") \
+                .withColumn("fetch_time", F.timestamp_seconds("e")) \
+                .drop("e").write.parquet(d)
+            want = {"f.warc.gz": "20250601120000",
+                    "g.warc.gz": "20250309023000"}
+            for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo",
+                       "Australia/Lord_Howe"):
                 spark.conf.set("spark.sql.session.timeZone", tz)
-                (r,) = read_cc_index(spark, d).collect()
-                assert r.timestamp == "20250601120000", (tz, r.timestamp)
+                for r in read_cc_index(spark, d).collect():
+                    assert r.timestamp == want[r.filename], \
+                        (tz, r.filename, r.timestamp)
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
 
