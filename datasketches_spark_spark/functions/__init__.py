@@ -18,7 +18,8 @@ from .http import (http_body, http_charset, http_decode_body,
                    http_status, http_text)
 from .urls import (canonicalize_url, sitemap_entries, sitemap_is_index,
                    sitemap_locs, sitemap_text, url_host,
-                   url_registered_domain, url_resolve, url_surt_key)
+                   url_idna, url_registered_domain, url_resolve,
+                   url_surt_key)
 from .embeddings import (
     dequantize_int8,
     l2_normalize,
@@ -104,6 +105,7 @@ __all__ = [
     "sitemap_is_index",
     "sitemap_locs",
     "sitemap_text",
+    "url_idna",
     "url_resolve",
     "url_surt_key",
     "http_charset",

@@ -314,6 +314,53 @@ def _remove_dot_segments(p: Column) -> Column:
     return p
 
 
+def url_idna(col) -> Column:
+    """Replace a URL's host with its IDNA ASCII (punycode) form (r15)
+    — ``https://bücher.example/de`` -> ``https://xn--bcher-kva.example
+    /de``. Composes with :func:`url_surt_key` to close the enumerated
+    IDN divergence against real CDX urlkeys:
+    ``url_surt_key(url_idna(u), tracking_re=None)``.
+
+    One Arrow-batched pass (python's stdlib ``idna`` codec — the
+    label-wise RFC 3492 bootstring; not expressible as Column exprs);
+    all-ASCII rows (the overwhelming majority of a crawl) short-
+    circuit inside the batch via ``str.isascii``. Labels the codec
+    rejects (empty, over-long, already-encoded oddities) keep their
+    original text — the key must never crash on a weird URL.
+    Scan-stage, no shuffle."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def enc(p):
+        out = []
+        for u in p:
+            if u is None or u.isascii():
+                out.append(u)
+                continue
+            m = re.match(r"^([^:/?#]+://(?:[^@/?#]*@)?)([^/:?#]*)(.*)$",
+                         u, re.S)
+            if not m:
+                out.append(u)
+                continue
+            pre, host, rest = m.groups()
+            labels = []
+            for lab in host.split("."):
+                try:
+                    labels.append(
+                        lab.encode("idna").decode("ascii")
+                        if lab else lab)
+                except UnicodeError:
+                    labels.append(lab)
+            out.append(pre + ".".join(labels) + rest)
+        return pd.Series(out, dtype=object)
+
+    enc.__annotations__ = {"p": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, StringType())(_col(col))
+
+
 def url_resolve(base, ref) -> Column:
     """RFC 3986 §5 reference resolution (r15) — turn the ``href``
     targets :func:`functions.html.html_links` extracts into absolute
@@ -456,8 +503,10 @@ def url_surt_key(col, tracking_re: str | None = TRACKING_PARAM_RE
     strip tracking params; pass ``tracking_re=None`` when joining
     against an external index (``read_cdxj``/``read_cc_index``).
     Remaining documented divergences (enumerated in
-    ``tests/test_urls.py::TestSurtFixture``): no IDN/punycode
-    mapping, no repeated-unquote of double-encoded escapes."""
+    ``tests/test_urls.py::TestSurtFixture``): no IDN/punycode mapping
+    in the pure-Column key — compose :func:`url_idna` to close it
+    (``url_surt_key(url_idna(u), tracking_re=None)``, fixture-pinned
+    23/24) — and no repeated-unquote of double-encoded escapes."""
     c = _col(col)
     host = url_host(c)
     host = F.regexp_replace(host, r"^www\d*\.", "")

@@ -632,3 +632,38 @@ class TestReviewRegressions:
         got = df.select("want", url_surt_key("u").alias("k")).collect()
         assert all(r.k == r.want for r in got), \
             [(r.want, r.k) for r in got]
+
+
+class TestUrlIdna:
+    """r15: url_idna closes the fixture's enumerated IDN divergence
+    when composed with url_surt_key."""
+
+    def test_punycode_host(self, spark):
+        from datasketches_spark_spark.functions import url_idna
+        cases = [
+            ("https://bücher.example/de", "https://xn--bcher-kva.example/de"),
+            ("https://пример.испытание/p?q=1",
+             "https://xn--e1afmkfd.xn--80akhbyknj4f/p?q=1"),
+            ("https://ascii.example.com/x", "https://ascii.example.com/x"),
+            ("http://u:p@müller.de:8080/x#f",
+             "http://u:p@xn--mller-kva.de:8080/x#f"),
+            ("not a url ü", "not a url ü"),
+        ]
+        df = spark.createDataFrame(cases, "u string, want string")
+        got = df.select("want",
+                        url_idna("u").alias("g")).collect()
+        assert all(r.g == r.want for r in got), \
+            [(r.want, r.g) for r in got if r.g != r.want]
+
+    def test_closes_fixture_idn_divergence(self, spark):
+        from datasketches_spark_spark.functions import (url_idna,
+                                                        url_surt_key)
+        from datasketches_spark_spark.operators import read_cdxj
+        idx = read_cdxj(spark, TestSurtFixture.FIXTURE)
+        keyed = idx.select(
+            "url", "urlkey",
+            url_surt_key(url_idna("url"), tracking_re=None).alias("k"))
+        rows = keyed.collect()
+        misses = {r.url for r in rows if r.k != r.urlkey}
+        # only the double-encoding divergence remains: 23/24
+        assert misses == {"http://example.com/%2541"}, misses
