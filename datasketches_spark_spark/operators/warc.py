@@ -51,7 +51,8 @@ from collections.abc import Iterator
 
 __all__ = ["is_warc", "is_gzip", "parse_warc", "stream_warc_records",
            "warc_records", "read_warc", "read_warc_slices", "read_cdxj",
-           "read_cc_index", "read_wet", "read_wat", "stream_warc",
+           "cc_index_diff", "read_cc_index", "read_wet", "read_wat",
+           "stream_warc",
            "write_warc"]
 
 _MAX_HEADER = 1 << 20   # spec headers are tiny; 1 MB guards corrupt sizes
@@ -167,6 +168,10 @@ class _Framer:
             "content_type": fields.get("content-type"),
             "content_length": clen,
             "payload": bytes(buf[body_start:body_end]),
+            # the COMPLETE header map (lowercased keys, verbatim
+            # values) — revisit/segment/digest fields and any
+            # extension header survive a read (r15)
+            "headers": fields,
         }
         end = body_end + len(trailer)
         span = (self._base, self._base + end)
@@ -311,12 +316,20 @@ _OFFSET_SCHEMA = _SCHEMA + ", offset long, length long"
 
 
 def read_warc(spark, path: str, types: tuple | None = None,
-              with_offsets: bool = False, yield_mb: int = 64):
+              with_offsets: bool = False, with_headers: bool = False,
+              yield_mb: int = 64):
     """Read WARC / WARC.gz files into one row per record::
 
         (path, record_index, warc_type, target_uri, warc_date,
          record_id, content_type, content_length, payload
-         [, offset, length])
+         [, offset, length] [, headers])
+
+    ``with_headers=True`` (r15) appends the record's COMPLETE header
+    block as a ``map<string,string>`` (lowercased keys, verbatim
+    values) — revisit records' ``warc-refers-to`` /
+    ``warc-payload-digest``, segmentation fields, and any extension
+    header survive the read (pair with ``write_warc(headers_col=...)``
+    for full-fidelity rewrites).
 
     ``types`` keeps only the named WARC-Types at the parser (e.g.
     ``("response", "conversion")`` — conversion = WET text records);
@@ -333,18 +346,32 @@ def read_warc(spark, path: str, types: tuple | None = None,
     records still carry their HTTP block (``functions/http.py``)."""
     df = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
-    run = _decode_runner(types, with_offsets, yield_mb)
-    return df.mapInPandas(run, _OFFSET_SCHEMA if with_offsets else _SCHEMA)
+    run = _decode_runner(types, with_offsets, yield_mb, with_headers)
+    return df.mapInPandas(run, _schema_for(with_offsets, with_headers))
 
 
-def _decode_runner(types, with_offsets: bool, yield_mb: int):
+def _schema_for(with_offsets: bool, with_headers: bool) -> str:
+    s = _SCHEMA
+    if with_offsets:
+        s += ", offset long, length long"
+    if with_headers:
+        s += ", headers map<string,string>"
+    return s
+
+
+def _decode_runner(types, with_offsets: bool, yield_mb: int,
+                   with_headers: bool = False):
     """The shared per-task WARC decode pass of :func:`read_warc` and
     :func:`stream_warc` — (path, content) batches in, record rows out,
     flushed every ``yield_mb`` MB of payload."""
     import pandas as pd
 
     keep = tuple(types) if types else None
-    cols = _COLS + (["offset", "length"] if with_offsets else [])
+    cols = list(_COLS)
+    if with_offsets:
+        cols += ["offset", "length"]
+    if with_headers:
+        cols += ["headers"]
     limit = int(yield_mb) << 20
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -361,6 +388,8 @@ def _decode_runner(types, with_offsets: bool, yield_mb: int):
                            rec["payload"])
                     if with_offsets:
                         row += (off, ln)
+                    if with_headers:
+                        row += (rec["headers"],)
                     rows.append(row)
                     acc += rec["content_length"]
                     if acc >= limit:
@@ -373,7 +402,8 @@ def _decode_runner(types, with_offsets: bool, yield_mb: int):
 
 
 def stream_warc(spark, path: str, types: tuple | None = None,
-                with_offsets: bool = False, yield_mb: int = 64):
+                with_offsets: bool = False, with_headers: bool = False,
+                yield_mb: int = 64):
     """STRUCTURED-STREAMING WARC source (r15): continuous ingestion of
     a landing directory — each micro-batch decodes the newly arrived
     ``.warc``/``.warc.gz`` shards through the SAME member-at-a-time
@@ -399,9 +429,8 @@ def stream_warc(spark, path: str, types: tuple | None = None,
               "length long, content binary")
     sdf = (spark.readStream.format("binaryFile").schema(schema)
            .load(path).select("path", "content"))
-    run = _decode_runner(types, with_offsets, yield_mb)
-    return sdf.mapInPandas(
-        run, _OFFSET_SCHEMA if with_offsets else _SCHEMA)
+    run = _decode_runner(types, with_offsets, yield_mb, with_headers)
+    return sdf.mapInPandas(run, _schema_for(with_offsets, with_headers))
 
 
 def _local_path(uri: str) -> str:
@@ -666,6 +695,57 @@ def read_cc_index(spark, path: str, warc_root: str | None = None):
     return out
 
 
+def cc_index_diff(old, new, key: str = "urlkey",
+                  digest: str = "digest",
+                  timestamp: str | None = "timestamp"):
+    """Snapshot DIFF of two CDX/cc-index tables (r15) — the re-crawl
+    candidate generator: which URLs appeared, vanished, or changed
+    content between two crawls. Inputs are any DataFrames with the
+    ``read_cdxj``/``read_cc_index`` columns (``key`` join column,
+    ``digest`` content hash, optional ``timestamp``); output is one
+    row per key::
+
+        (urlkey, change, old_digest, new_digest,
+         old_timestamp, new_timestamp)
+
+    with ``change`` in ``added`` (new-only) / ``removed`` (old-only) /
+    ``changed`` (both, digests differ) / ``unchanged``.
+
+    Spark-first shape: each side first reduces to its LATEST capture
+    per key (``max_by(digest, timestamp)`` — one partial-aggregated
+    exchange per side, carrying two small strings per URL), then ONE
+    full outer join on the key. At Common Crawl scale both sides are
+    index tables (billions of rows but kilobyte-wide), and the join
+    keys are SURT-sorted so AQE's skew handling has uniform hash
+    material; the corpora themselves are never touched. Filter
+    ``change != 'unchanged'`` and feed ``added``/``changed`` straight
+    to :func:`schedule_fetches`."""
+    from pyspark.sql import functions as F
+
+    def latest(df, side: str):
+        has_ts = timestamp is not None and timestamp in df.columns
+        agg = [
+            (F.max_by(digest, timestamp) if has_ts
+             else F.max(digest)).alias(f"{side}_digest"),
+            (F.max(timestamp) if has_ts
+             else F.lit(None).cast("string"))
+            .alias(f"{side}_timestamp"),
+        ]
+        return df.groupBy(F.col(key).alias(key)).agg(*agg)
+
+    o = latest(old, "old")
+    n = latest(new, "new")
+    joined = o.join(n, key, "full_outer")
+    change = (F.when(F.col("old_digest").isNull(), "added")
+              .when(F.col("new_digest").isNull(), "removed")
+              .when(F.col("old_digest") == F.col("new_digest"),
+                    "unchanged")
+              .otherwise("changed"))
+    return joined.select(key, change.alias("change"),
+                         "old_digest", "new_digest",
+                         "old_timestamp", "new_timestamp")
+
+
 def write_warc(df, path: str, uri_col: str = "target_uri",
                payload_col: str = "payload",
                warc_type: str = "conversion",
@@ -676,6 +756,7 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
                date_col: str | None = None,
                id_col: str | None = None,
                ctype_col: str | None = None,
+               headers_col: str | None = None,
                warcinfo: str | None = None):
     """WARC SINK — the write half of the ingestion symmetry: emit a
     filtered/transformed corpus back out in the ecosystem format so
@@ -706,6 +787,13 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
     Null cells fall back to the corresponding literal default
     (``WARC-Record-ID`` to the md5 rule below).
 
+    ``headers_col`` (r15): a ``map<string,string>`` column of EXTRA
+    WARC header fields written verbatim after the standard ones
+    (standard keys are skipped case-insensitively) — revisit records'
+    ``WARC-Refers-To`` / ``WARC-Payload-Digest``, segmentation
+    fields, or any extension header. Pair with
+    ``read_warc(with_headers=True)`` for full-fidelity rewrites.
+
     ``warcinfo`` (r15): warc-fields text (e.g. ``"software: x\\r\\n"``)
     emitted as a leading ``warcinfo`` record in every shard — the
     convention real WARC consumers expect at file start; its record id
@@ -732,6 +820,10 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
     per_rec = {"type": type_col, "date": date_col,
                "id": id_col, "ctype": ctype_col}
     cols += [c for c in per_rec.values() if c is not None]
+    if headers_col is not None:
+        cols.append(headers_col)
+    _std = {"warc-type", "warc-target-uri", "warc-date",
+            "warc-record-id", "content-type", "content-length"}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tc = TaskContext.get()
@@ -765,12 +857,22 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
                     rid = cell(pdf, "id", i, None) or \
                         "urn:uuid:" + hashlib.md5(
                             u.encode() + b"\x00" + body).hexdigest()
+                    extra = ""
+                    if headers_col is not None:
+                        hmap = pdf[headers_col].iloc[i]
+                        if hmap:
+                            extra = "".join(
+                                f"{k}: {v}\r\n"
+                                for k, v in sorted(hmap.items())
+                                if v is not None
+                                and k.lower() not in _std)
                     head = (
                         "WARC/1.0\r\n"
                         f"WARC-Type: {cell(pdf, 'type', i, warc_type)}\r\n"
                         + (f"WARC-Target-URI: <{u}>\r\n" if u else "")
                         + f"WARC-Date: {cell(pdf, 'date', i, warc_date)}\r\n"
                         f"WARC-Record-ID: <{rid}>\r\n"
+                        + extra +
                         f"Content-Type: {cell(pdf, 'ctype', i, content_type)}\r\n"
                         f"Content-Length: {len(body)}\r\n\r\n"
                     ).encode()

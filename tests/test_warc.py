@@ -952,3 +952,128 @@ class TestStreamWarcSource:
         assert [r.text for r in
                 spark.sql("SELECT text FROM swdec").collect()] == \
             ["streamed page"]
+
+
+class TestHeaderFidelity:
+    """r15: with_headers / headers_col — revisit-record fidelity."""
+
+    def test_full_header_roundtrip_revisit(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        df = spark.createDataFrame(
+            [("https://ex.com/1", "body one",
+              {"WARC-Payload-Digest": "sha1:AAA111",
+               "WARC-Refers-To": "<urn:uuid:orig-1>",
+               "WARC-Truncated": "length"}),
+             ("https://ex.com/2", "", 
+              {"WARC-Payload-Digest": "sha1:BBB222",
+               "WARC-Refers-To": "<urn:uuid:orig-2>",
+               "WARC-Profile": "http://netpreserve.org/warc/1.1/"
+                               "revisit/identical-payload-digest"})],
+            "target_uri string, payload string, "
+            "xh map<string,string>").coalesce(1)
+        out = str(tmp_path / "revisit")
+        write_warc(df, out, warc_type="revisit", headers_col="xh")
+        back = {r.target_uri: r for r in
+                read_warc(spark, out, with_headers=True).collect()}
+        r1 = back["https://ex.com/1"]
+        assert r1.warc_type == "revisit"
+        assert r1.headers["warc-payload-digest"] == "sha1:AAA111"
+        assert r1.headers["warc-refers-to"] == "<urn:uuid:orig-1>"
+        assert r1.headers["warc-truncated"] == "length"
+        r2 = back["https://ex.com/2"]
+        assert "revisit/identical-payload-digest" in \
+            r2.headers["warc-profile"]
+        # standard fields still present in the map too
+        assert r2.headers["warc-type"] == "revisit"
+
+    def test_headers_col_cannot_override_standard_fields(self, spark,
+                                                         tmp_path):
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        df = spark.createDataFrame(
+            [("u", "b", {"Content-Length": "9999",
+                         "WARC-Type": "response",
+                         "X-Custom": "kept"})],
+            "target_uri string, payload string, xh map<string,string>"
+        ).coalesce(1)
+        out = str(tmp_path / "guard")
+        write_warc(df, out, headers_col="xh")
+        (r,) = read_warc(spark, out, with_headers=True).collect()
+        assert r.warc_type == "conversion"     # not overridden
+        assert r.content_length == 1           # real length
+        assert r.headers["x-custom"] == "kept"
+
+    def test_default_schema_unchanged(self, spark, tmp_path):
+        """with_headers defaults OFF: existing consumers see the same
+        9/11-column schema (board hashes depend on it)."""
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        df = spark.createDataFrame([("u", "b")],
+                                   "target_uri string, payload string")
+        out = str(tmp_path / "plain")
+        write_warc(df, out)
+        assert "headers" not in read_warc(spark, out).columns
+        assert "headers" in read_warc(spark, out,
+                                      with_headers=True).columns
+
+
+class TestCcIndexDiff:
+    """r15: cc_index_diff — snapshot-over-snapshot re-crawl set."""
+
+    def _idx(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "urlkey string, digest string, timestamp string")
+
+    def test_diff_classification(self, spark):
+        from datasketches_spark_spark.operators import cc_index_diff
+        old = self._idx(spark, [
+            ("com,a)/1", "d1", "20250101000000"),
+            ("com,a)/2", "d2", "20250101000000"),
+            ("com,a)/3", "d3", "20250101000000"),
+            # two captures: the LATEST digest (d4b) must win
+            ("com,a)/4", "d4a", "20250101000000"),
+            ("com,a)/4", "d4b", "20250102000000"),
+        ])
+        new = self._idx(spark, [
+            ("com,a)/1", "d1", "20250601000000"),     # unchanged
+            ("com,a)/2", "d2x", "20250601000000"),    # changed
+            ("com,a)/4", "d4b", "20250601000000"),    # unchanged (latest)
+            ("com,a)/5", "d5", "20250601000000"),     # added
+        ])
+        got = {r.urlkey: r for r in
+               cc_index_diff(old, new).collect()}
+        assert got["com,a)/1"].change == "unchanged"
+        assert got["com,a)/2"].change == "changed"
+        assert got["com,a)/2"].old_digest == "d2"
+        assert got["com,a)/2"].new_digest == "d2x"
+        assert got["com,a)/3"].change == "removed"
+        assert got["com,a)/4"].change == "unchanged"
+        assert got["com,a)/5"].change == "added"
+        assert got["com,a)/5"].old_digest is None
+
+    def test_without_timestamps(self, spark):
+        from datasketches_spark_spark.operators import cc_index_diff
+        old = spark.createDataFrame([("k1", "d1")],
+                                    "urlkey string, digest string")
+        new = spark.createDataFrame([("k1", "d9")],
+                                    "urlkey string, digest string")
+        (r,) = cc_index_diff(old, new, timestamp=None).collect()
+        assert r.change == "changed" and r.old_timestamp is None
+
+    def test_feeds_scheduler(self, spark):
+        """The promised composition: added/changed -> schedule_fetches
+        (urlkey is not a URL — join back to the index's url column)."""
+        from datasketches_spark_spark.operators import (cc_index_diff,
+                                                        schedule_fetches)
+        old = self._idx(spark, [("com,a)/1", "d1", "1")])
+        new = spark.createDataFrame(
+            [("com,a)/1", "d1x", "2", "https://a.com/1"),
+             ("com,a)/2", "d2", "2", "https://a.com/2")],
+            "urlkey string, digest string, timestamp string, url string")
+        todo = (cc_index_diff(old, new)
+                .where("change IN ('added', 'changed')")
+                .join(new.select("urlkey", "url"), "urlkey"))
+        plan = schedule_fetches(todo).collect()
+        assert sorted((r.url, r.seq) for r in plan) == \
+            [("https://a.com/1", 1), ("https://a.com/2", 2)]
