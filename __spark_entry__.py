@@ -3609,6 +3609,40 @@ def _demo_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("host", "seq"))
 
 
+def _demo_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diffing (r15, operators/warc.py::cc_index_diff):
+    two synthetic cc-index snapshots over documents — the old one with
+    a SECOND stale capture for every 10th key (latest-wins must reduce
+    it away), the new one shifted by 100 keys with every 3rd digest
+    unchanged — classify added/removed/changed/unchanged; DuckDB
+    recomputes the whole table with a relational FULL OUTER JOIN."""
+    from datasketches_spark_spark.operators import cc_index_diff
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+    key = F.concat(F.lit("com,site)/d/"), F.col("doc_id"))
+    old = (docs.where(F.col("doc_id") < 400)
+           .select(key.alias("urlkey"),
+                   F.concat(F.lit("d"), F.col("doc_id") % 50)
+                   .alias("digest"),
+                   F.lit("20250101000000").alias("timestamp")))
+    stale = (docs.where((F.col("doc_id") < 400)
+                        & (F.col("doc_id") % 10 == 0))
+             .select(key.alias("urlkey"),
+                     F.concat(F.lit("stale"), F.col("doc_id"))
+                     .alias("digest"),
+                     F.lit("20240101000000").alias("timestamp")))
+    new = (docs.where(F.col("doc_id") >= 100)
+           .select(key.alias("urlkey"),
+                   F.when(F.col("doc_id") % 3 == 0,
+                          F.concat(F.lit("d"), F.col("doc_id") % 50))
+                   .otherwise(F.concat(F.lit("x"), F.col("doc_id")))
+                   .alias("digest"),
+                   F.lit("20250601000000").alias("timestamp")))
+    return (cc_index_diff(old.unionByName(stale), new)
+            .orderBy("urlkey"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -3647,6 +3681,7 @@ def demo_queries() -> dict[str, str]:
         "demo_sitemap_frontier": _demo_sitemap_frontier,
         "demo_link_frontier": _demo_link_frontier,
         "demo_fetch_schedule": _demo_fetch_schedule,
+        "demo_snapshot_diff": _demo_snapshot_diff,
     }
 
 
@@ -5836,6 +5871,35 @@ def demo_oracle_sql() -> dict[str, str]:
                    TRUE AS is_index
             FROM range(5) t(g)
             ORDER BY loc
+        """,
+        # demo_snapshot_diff (r15): the latest capture per key wins on
+        # the old side (the stale duplicate vanishes), then the whole
+        # classification is one relational FULL OUTER JOIN
+        "demo_snapshot_diff": """
+            WITH o AS (
+              SELECT 'com,site)/d/' || CAST(doc_id AS VARCHAR)
+                       AS urlkey,
+                     'd' || CAST(doc_id % 50 AS VARCHAR) AS old_digest,
+                     '20250101000000' AS old_timestamp
+              FROM documents WHERE doc_id < 400),
+            n AS (
+              SELECT 'com,site)/d/' || CAST(doc_id AS VARCHAR)
+                       AS urlkey,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'd' || CAST(doc_id % 50 AS VARCHAR)
+                          ELSE 'x' || CAST(doc_id AS VARCHAR)
+                     END AS new_digest,
+                     '20250601000000' AS new_timestamp
+              FROM documents WHERE doc_id >= 100 AND doc_id < 500)
+            SELECT coalesce(o.urlkey, n.urlkey) AS urlkey,
+                   CASE WHEN o.urlkey IS NULL THEN 'added'
+                        WHEN n.urlkey IS NULL THEN 'removed'
+                        WHEN old_digest = new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS change,
+                   old_digest, new_digest,
+                   old_timestamp, new_timestamp
+            FROM o FULL OUTER JOIN n ON o.urlkey = n.urlkey
+            ORDER BY urlkey
         """,
         # demo_fetch_schedule (r15): per-host polite sequencing — the
         # window and the Crawl-delay CASE both replay relationally
