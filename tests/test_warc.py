@@ -1077,3 +1077,78 @@ class TestCcIndexDiff:
         plan = schedule_fetches(todo).collect()
         assert sorted((r.url, r.seq) for r in plan) == \
             [("https://a.com/1", 1), ("https://a.com/2", 2)]
+
+
+class TestFramerProperties:
+    """r15: property-based (hypothesis) fuzz of the core framer — for
+    ANY record set, any framing (raw / member-per-record gzip /
+    whole-file gzip) and any feed-chunk size, stream_warc_records
+    reproduces every record and every member-aligned offset re-reads
+    exactly its record."""
+
+    def test_roundtrip_any_records(self):
+        import gzip as _g
+        from hypothesis import given, settings, strategies as st
+        from datasketches_spark_spark.operators.warc import (
+            stream_warc_records)
+
+        token = st.text(
+            alphabet=st.characters(min_codepoint=0x21,
+                                   max_codepoint=0x7E,
+                                   exclude_characters=":<>"),
+            min_size=1, max_size=12)
+        record = st.tuples(
+            st.sampled_from(["response", "conversion", "metadata",
+                             "revisit"]),
+            st.one_of(st.none(), token),             # uri
+            st.binary(max_size=3000),                # payload
+            st.dictionaries(                         # extra headers
+                # lowercase keys: header names are case-insensitive,
+                # so mixed-case duplicates would collide after parse
+                token.map(lambda t: "x-" + t.lower()), token,
+                max_size=3))
+
+        @given(recs=st.lists(record, min_size=1, max_size=8),
+               framing=st.sampled_from(["raw", "members", "whole"]),
+               chunk=st.integers(7, 4096))
+        @settings(max_examples=80, deadline=None)
+        def check(recs, framing, chunk):
+            raws = []
+            for typ, uri, payload, extra in recs:
+                h = ["WARC/1.0", f"WARC-Type: {typ}"]
+                if uri:
+                    h.append(f"WARC-Target-URI: <u:{uri}>")
+                h += [f"{k}: {v}" for k, v in sorted(extra.items())]
+                h += ["WARC-Record-ID: <urn:uuid:x>",
+                      f"Content-Length: {len(payload)}"]
+                raws.append("\r\n".join(h).encode() + b"\r\n\r\n"
+                            + payload + b"\r\n\r\n")
+            if framing == "raw":
+                blob = b"".join(raws)
+            elif framing == "members":
+                blob = b"".join(_g.compress(r, mtime=0) for r in raws)
+            else:
+                blob = _g.compress(b"".join(raws), mtime=0)
+            got = list(stream_warc_records(blob, chunk=chunk))
+            assert len(got) == len(recs)
+            for (typ, uri, payload, extra), (rec, off, ln) in \
+                    zip(recs, got):
+                assert rec["warc_type"] == typ
+                assert rec["payload"] == payload
+                assert rec["target_uri"] == \
+                    (f"u:{uri}" if uri else None)
+                for k, v in extra.items():
+                    assert rec["headers"][k.lower()] == v
+                if framing == "members":
+                    # member-aligned: the slice re-parses to itself
+                    assert off is not None
+                    (rec2, _o, _l), = list(
+                        stream_warc_records(blob[off:off + ln]))
+                    assert rec2["payload"] == payload
+                elif framing == "raw":
+                    assert off is not None
+                    (rec3, _o, _l), = list(stream_warc_records(
+                        blob[off:off + ln]))
+                    assert rec3["payload"] == payload
+
+        check()
