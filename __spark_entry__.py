@@ -3643,6 +3643,75 @@ def _demo_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("urlkey"))
 
 
+def _demo_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection (r15, operators/audiofp.py): docs
+    synthesize WAV clips from FOUR deterministic melodies (doc_id % 4)
+    at per-doc amplitudes; the Haitsma-Kalker fingerprint must place
+    every clip ABOVE the similarity threshold against its own
+    melody's reference and BELOW it against the next melody's —
+    booleans DuckDB states by construction (the separation margins
+    are pinned numerically in tests/test_audiofp.py)."""
+    import numpy as np
+    import pandas as pd
+    from datasketches_spark_spark.operators import (audio_fingerprint,
+                                                    audio_fp_similarity)
+    from datasketches_spark_spark.operators.audiocodec import encode_wav
+    from datasketches_spark_spark.operators.audiofp import \
+        audio_fingerprint_bytes
+
+    rate = 8000
+
+    def _melody(seed: int, amp: float) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        notes = rng.choice([262, 294, 330, 349, 392, 440, 494, 523,
+                            587, 659, 740, 831], size=10)
+        seg = rate // 10
+        t = np.arange(seg) / rate
+        parts = []
+        for f in notes:
+            att = np.minimum(1.0, np.arange(seg) / (0.01 * rate))
+            dec = np.exp(-3.0 * np.arange(seg) / seg)
+            parts.append(np.sin(2 * np.pi * f * t) * att * dec)
+        x = np.concatenate(parts)
+        return amp * x / np.max(np.abs(x))
+
+    def _mk(pdf_iter):
+        for pdf in pdf_iter:
+            ids, wavs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = (did % 5 + 2) / 7
+                ids.append(did)
+                wavs.append(encode_wav(_melody(did % 4, amp), rate))
+            yield pd.DataFrame({"doc_id": ids, "wav": wavs})
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 240).select("doc_id")
+            .repartition(4))
+    clips = docs.mapInPandas(_mk, "doc_id long, wav binary")
+    # reference fingerprints: four driver-computed literals
+    reps = [audio_fingerprint_bytes(encode_wav(_melody(g, 0.9), rate))
+            for g in range(4)]
+    grp = F.col("doc_id") % 4
+    same_ref = F.when(grp == 0, F.lit(reps[0])) \
+        .when(grp == 1, F.lit(reps[1])) \
+        .when(grp == 2, F.lit(reps[2])).otherwise(F.lit(reps[3]))
+    other_ref = F.when(grp == 0, F.lit(reps[1])) \
+        .when(grp == 1, F.lit(reps[2])) \
+        .when(grp == 2, F.lit(reps[3])).otherwise(F.lit(reps[0]))
+    fp = clips.select("doc_id",
+                      audio_fingerprint("wav").alias("fp"),
+                      same_ref.alias("same_ref"),
+                      other_ref.alias("other_ref"))
+    return (fp.select(
+        "doc_id",
+        (audio_fp_similarity("fp", "same_ref") > 0.72)
+        .alias("same_group"),
+        (audio_fp_similarity("fp", "other_ref") > 0.72)
+        .alias("cross_group"))
+        .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -3682,6 +3751,7 @@ def demo_queries() -> dict[str, str]:
         "demo_link_frontier": _demo_link_frontier,
         "demo_fetch_schedule": _demo_fetch_schedule,
         "demo_snapshot_diff": _demo_snapshot_diff,
+        "demo_audio_dedup": _demo_audio_dedup,
     }
 
 
@@ -5871,6 +5941,14 @@ def demo_oracle_sql() -> dict[str, str]:
                    TRUE AS is_index
             FROM range(5) t(g)
             ORDER BY loc
+        """,
+        # demo_audio_dedup (r15): every clip matches its own melody's
+        # reference and not the next one's — the numeric margins live
+        # in pytest; the gate pins the resulting classification
+        "demo_audio_dedup": """
+            SELECT doc_id, TRUE AS same_group, FALSE AS cross_group
+            FROM documents WHERE doc_id < 240
+            ORDER BY doc_id
         """,
         # demo_snapshot_diff (r15): the latest capture per key wins on
         # the old side (the stale duplicate vanishes), then the whole

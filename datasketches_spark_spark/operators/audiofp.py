@@ -1,0 +1,169 @@
+"""Audio fingerprinting — multimodal dedup for the audio column.
+
+The audio analog of pHash image dedup (q53): a ROBUST fingerprint that
+is invariant to the transformations a corpus actually contains
+(amplitude scaling, codec roundtrips, small noise) while separating
+different content. Scheme per the public Haitsma-Kalker construction
+(ISMIR 2002, "A Highly Robust Audio Fingerprinting System"), sized
+down to this engine's fixture clips:
+
+1. mono mix, amplitude-normalized (POSITIVE scaling cannot flip an
+   energy-difference sign in exact arithmetic; residual bit flips
+   come only from quantization jitter on near-zero differences — see
+   the measured contract below);
+2. Hann-windowed frames (``frame`` samples, ``hop`` step — the 1/8
+   default overlap factor is what makes time-differences stable;
+   coarser hops let envelope noise dominate the bits), rFFT
+   energy in ``n_bands + 1`` log-spaced bands over 300 Hz .. 0.45 x
+   sample rate (the perceptually busy region);
+3. one bit per adjacent band pair per frame step: the sign of the
+   time-difference of the band-difference
+   ``(E[b,t]-E[b+1,t]) - (E[b,t-1]-E[b+1,t-1]) > 0`` — 16 bits per
+   subfingerprint with the default 17 bands;
+4. the fingerprint is the packed subfingerprint sequence (2 bytes per
+   frame step, big-endian).
+
+Robustness contract (measured on onset-rich fixtures): gain-scaled
+copies land at <= ~0.09 Hamming fraction, G.711 roundtrips and
+low-level noise below ~0.35, while DIFFERENT content sits >= ~0.42 —
+so a similarity threshold in the 0.65-0.75 band separates duplicates
+from distinct clips (``audio_fp_similarity``; bucket subfingerprint
+bands for candidate generation at scale — the SimHash pigeonhole
+pattern — and verify by Hamming, never all-pairs). Quantization
+jitter on near-zero band differences means exact byte equality only
+holds for byte-identical inputs; dedup on this fingerprint is a
+SIMILARITY dedup, like pHash for images.
+
+Spark-first: fingerprinting is one Arrow-batched pass per audio blob
+(scan-stage, embarrassingly parallel, no shuffle); dedup on exact
+fingerprints is the standard one-exchange hash groupBy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "audio_subfingerprints",
+    "pack_subfingerprints",
+    "audio_fingerprint_bytes",
+    "audio_fingerprint",
+    "fp_hamming_fraction",
+    "audio_fp_similarity",
+]
+
+_F_LO = 300.0     # Hz — below this, hum/DC dominates
+_F_HI_FRAC = 0.45  # of the sample rate (just under Nyquist)
+
+
+def audio_subfingerprints(samples: np.ndarray, rate: int,
+                          frame: int = 2048, hop: int = 256,
+                          n_bands: int = 16) -> np.ndarray:
+    """(n_samples[, channels]) PCM -> (n_steps, n_bands) bool bits.
+    Empty/short/silent input yields an empty (0, n_bands) array."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if x.size < 2 * frame:
+        return np.zeros((0, n_bands), dtype=bool)
+    peak = np.abs(x).max()
+    if peak > 0:
+        x = x / peak
+    n_frames = 1 + (x.size - frame) // hop
+    idx = (np.arange(frame)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = x[idx] * np.hanning(frame)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+    f_hi = _F_HI_FRAC * rate
+    edges = np.exp(np.linspace(np.log(_F_LO), np.log(f_hi),
+                               n_bands + 2))
+    # band energies: (n_frames, n_bands + 1)
+    e = np.empty((n_frames, n_bands + 1))
+    for b in range(n_bands + 1):
+        sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        e[:, b] = spec[:, sel].sum(axis=1) if sel.any() else 0.0
+    d = e[:, :-1] - e[:, 1:]            # adjacent band differences
+    return (d[1:] - d[:-1]) > 0         # time difference of that
+
+
+def pack_subfingerprints(bits: np.ndarray) -> bytes:
+    """(n_steps, 16) bool -> 2 bytes per step, big-endian bit order."""
+    if bits.size == 0:
+        return b""
+    n, w = bits.shape
+    weights = (1 << np.arange(w - 1, -1, -1)).astype(np.uint32)
+    vals = (bits.astype(np.uint32) * weights[None, :]).sum(axis=1)
+    return vals.astype(">u2").tobytes()
+
+
+def audio_fingerprint_bytes(data: bytes, frame: int = 2048,
+                            hop: int = 256) -> bytes | None:
+    """Audio container bytes (WAV / G.711 — ``decode_audio``'s
+    dispatch) -> packed fingerprint; None for undecodable blobs
+    (loud null, the codec-family convention)."""
+    from .audiocodec import decode_audio
+    try:
+        samples, rate = decode_audio(bytes(data))
+    except (ValueError, NotImplementedError):
+        return None
+    return pack_subfingerprints(
+        audio_subfingerprints(samples, rate, frame=frame, hop=hop))
+
+
+def fp_hamming_fraction(a: bytes, b: bytes) -> float | None:
+    """Fraction of DIFFERING bits over the common prefix of two packed
+    fingerprints (None when either is empty/None) — 0.0 identical,
+    ~0.5 unrelated (random bits)."""
+    if not a or not b:
+        return None
+    n = min(len(a), len(b))
+    av = np.frombuffer(bytes(a)[:n], dtype=np.uint8)
+    bv = np.frombuffer(bytes(b)[:n], dtype=np.uint8)
+    return float(np.unpackbits(av ^ bv).sum()) / (8 * n)
+
+
+def audio_fingerprint(col, frame: int = 2048, hop: int = 256):
+    """Column: audio blob -> packed fingerprint BINARY (None for
+    undecodable rows). One Arrow pass, scan-stage; dedup by Hamming
+    similarity over it (module docstring thresholds), bucketing
+    subfingerprint bands for candidates."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def fp(p):
+        return pd.Series(
+            [None if b is None
+             else audio_fingerprint_bytes(b, frame=frame, hop=hop)
+             for b in p], dtype=object)
+
+    fp.__annotations__ = {"p": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(fp, BinaryType())(c)
+
+
+def audio_fp_similarity(a, b):
+    """Column: 1 - Hamming fraction between two packed fingerprints
+    (null when either side is null/empty). Verification step of the
+    near-dup path; candidate generation at scale buckets
+    subfingerprint bands first (the SimHash pigeonhole pattern) so
+    this never runs all-pairs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def sim(x, y):
+        out = []
+        for u, v in zip(x, y):
+            h = fp_hamming_fraction(u, v)
+            out.append(None if h is None else 1.0 - h)
+        return pd.Series(out, dtype="float64")
+
+    sim.__annotations__ = {"x": pd.Series, "y": pd.Series,
+                           "return": pd.Series}
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return pandas_udf(sim, DoubleType())(ca, cb)

@@ -1,0 +1,126 @@
+"""Audio fingerprinting (operators/audiofp.py, r15) — the audio
+analog of pHash dedup: gain-robust, content-separating."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.operators.audiocodec import encode_wav
+from datasketches_spark_spark.operators.audiofp import (
+    audio_fingerprint,
+    audio_fingerprint_bytes,
+    audio_fp_similarity,
+    audio_subfingerprints,
+    fp_hamming_fraction,
+    pack_subfingerprints,
+)
+
+RATE = 8000
+
+
+def melody(seed: int, amp: float = 0.8) -> np.ndarray:
+    """Onset-rich deterministic clip — the spectro-temporal variation
+    the scheme keys on (stationary tones give near-zero differences
+    whose signs are noise)."""
+    rng = np.random.default_rng(seed)
+    notes = rng.choice([262, 294, 330, 349, 392, 440, 494, 523,
+                        587, 659, 740, 831], size=10)
+    seg = RATE // 10
+    t = np.arange(seg) / RATE
+    parts = []
+    for f in notes:
+        att = np.minimum(1.0, np.arange(seg) / (0.01 * RATE))
+        dec = np.exp(-3.0 * np.arange(seg) / seg)
+        parts.append(np.sin(2 * np.pi * f * t) * att * dec)
+    x = np.concatenate(parts)
+    return amp * x / np.max(np.abs(x))
+
+
+class TestKernel:
+    def test_separation_contract(self):
+        """The measured thresholds the module docstring promises:
+        gain <= ~0.09, codec/noise < cross floor, cross >= ~0.42."""
+        base = {s: audio_fingerprint_bytes(encode_wav(melody(s), RATE))
+                for s in range(5)}
+        gain, cross = [], []
+        for s in range(5):
+            for amp in (0.2, 0.5, 0.9):
+                fp = audio_fingerprint_bytes(
+                    encode_wav(melody(s, amp), RATE))
+                gain.append(fp_hamming_fraction(base[s], fp))
+        import itertools
+        for a, b in itertools.combinations(range(5), 2):
+            cross.append(fp_hamming_fraction(base[a], base[b]))
+        assert max(gain) < 0.15, gain
+        assert min(cross) > 0.35, cross
+        # codec roundtrip + low-level noise stay under the cross floor
+        g711 = audio_fingerprint_bytes(
+            encode_wav(melody(0), RATE, codec="ulaw"))
+        noisy = np.clip(melody(0) + np.random.default_rng(9)
+                        .normal(0, 0.002, RATE), -1, 1)
+        fn = audio_fingerprint_bytes(encode_wav(noisy, RATE))
+        assert fp_hamming_fraction(base[0], g711) < min(cross)
+        assert fp_hamming_fraction(base[0], fn) < min(cross)
+
+    def test_determinism_and_packing(self):
+        a = audio_fingerprint_bytes(encode_wav(melody(3), RATE))
+        b = audio_fingerprint_bytes(encode_wav(melody(3), RATE))
+        assert a == b and len(a) % 2 == 0 and len(a) > 0
+        # kernel parity on the DECODED (16-bit-quantized) samples —
+        # the unquantized float clip fingerprints slightly differently
+        from datasketches_spark_spark.operators.audiocodec import (
+            decode_wav)
+        samples, rate = decode_wav(encode_wav(melody(3), RATE))
+        bits = audio_subfingerprints(samples, rate)
+        assert pack_subfingerprints(bits) == a
+        assert fp_hamming_fraction(a, a) == 0.0
+
+    def test_edge_inputs(self):
+        assert audio_fingerprint_bytes(b"not audio") is None
+        silent = audio_fingerprint_bytes(
+            encode_wav(np.zeros(RATE), RATE))
+        assert silent == b"\x00\x00" * (len(silent) // 2)
+        short = audio_subfingerprints(np.ones(100), RATE)
+        assert short.shape == (0, 16)
+        assert pack_subfingerprints(short) == b""
+        assert fp_hamming_fraction(b"", b"\x00") is None
+        # stereo mixes down
+        st = np.stack([melody(1), melody(1)], axis=1)
+        assert audio_subfingerprints(st, RATE).shape[1] == 16
+
+
+class TestColumns:
+    def test_fingerprint_and_similarity_columns(self, spark):
+        rows = []
+        for i in range(12):
+            seed, amp = i % 3, (i % 4 + 2) / 6
+            rows.append((i, seed,
+                         bytearray(encode_wav(melody(seed, amp), RATE))))
+        rows.append((99, -1, bytearray(b"junk")))
+        df = spark.createDataFrame(
+            rows, "id long, grp int, wav binary")
+        fps = df.select("id", "grp",
+                        audio_fingerprint("wav").alias("fp"))
+        got = {r.id: r for r in fps.collect()}
+        assert got[99].fp is None
+        # same-group sims high, cross-group low — via the pair column
+        reps = {g: got[g].fp for g in range(3)}   # ids 0,1,2 = seeds 0,1,2
+        pair_rows = [(r.id, bytes(r.fp), bytes(reps[r.grp]),
+                      bytes(reps[(r.grp + 1) % 3]))
+                     for r in got.values() if r.fp is not None]
+        pairs = spark.createDataFrame(
+            pair_rows, "id long, fp binary, same binary, other binary")
+        sims = pairs.select(
+            "id",
+            audio_fp_similarity("fp", "same").alias("s_same"),
+            audio_fp_similarity("fp", "other").alias("s_other"))
+        for r in sims.collect():
+            assert r.s_same > 0.85, (r.id, r.s_same)
+            assert r.s_other < 0.65, (r.id, r.s_other)
+
+    def test_scan_stage(self, spark):
+        df = spark.createDataFrame(
+            [(bytearray(encode_wav(melody(0), RATE)),)], "wav binary")
+        plan = df.select(audio_fingerprint("wav")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
