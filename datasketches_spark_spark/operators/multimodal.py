@@ -230,6 +230,34 @@ def perceptual_hash_images(df: DataFrame, id_col: str,
         PHASH_FIELDS, payload_col=payload_col, keep_cols=keep_cols)
 
 
+def video_phash_signature(df: DataFrame, id_col: str,
+                          num_frames: int = 8,
+                          payload_col: str = "payload",
+                          grid: int = 8) -> DataFrame:
+    """Per-video ORDERED frame-pHash sequence (r15) — the video
+    near-dup signature, composing :func:`sample_frames` (evenly-spaced
+    Motion-JPEG frames) with :func:`perceptual_hash_images` per frame:
+    ``(id_col, phash_seq: array<string>)``. Re-encoded copies of the
+    same footage collapse to the same sequence (pHash absorbs the
+    pixel-level re-encode differences), so EXACT groupBy/join on
+    ``phash_seq`` is the video near-dup operator; for
+    trimmed/reordered variants compare hash SETS instead —
+    ``size(array_intersect(a, b)) / size(array_union(a, b))`` is a
+    pure-Column Jaccard. One Arrow frame explosion + one per-id
+    aggregation (the only exchange; rows are id + a few hex strings,
+    never pixels)."""
+    frames = sample_frames(df, id_col, num_frames,
+                           payload_col=payload_col)
+    hashed = perceptual_hash_images(frames, id_col,
+                                    payload_col="frame", grid=grid,
+                                    keep_cols=["frame_idx"])
+    return (hashed.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("frame_idx", "phash"))),
+                lambda s: s["phash"]).alias("phash_seq")))
+
+
 def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                   payload_col: str = "payload",
                   decoder: Callable[[bytes, int], list] | None = None,

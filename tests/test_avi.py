@@ -169,3 +169,69 @@ class TestUncompressedRgb:
         (p,) = avi_frame_payloads(raw)
         with pytest.raises(NotImplementedError, match="BI_RGB"):
             decode_avi_frame(p)
+
+
+def _gradient_frames(n=6, w=32, h=16, shift=0):
+    out = []
+    for k in range(n):
+        row = (np.arange(w, dtype=np.float64) * 4 + 8 * k + shift)
+        img = np.clip(np.tile(row, (h, 1)) % 200 + 20, 0, 255)
+        out.append(img.astype(np.uint8))
+    return out
+
+
+class TestVideoPhashSignature:
+    """r15: video_phash_signature — per-video ordered frame-pHash
+    sequences; re-encoded copies collide, different footage separates,
+    and the set-Jaccard column handles trimmed variants."""
+
+    def test_reencode_collides_and_content_separates(self, spark):
+        from datasketches_spark_spark.operators import (
+            video_phash_signature)
+        a1 = encode_avi_mjpeg(_gradient_frames(), fps=5)
+        a2 = encode_avi_mjpeg(_gradient_frames(), fps=30)  # re-encode
+        b = encode_avi_mjpeg(_gradient_frames(shift=100), fps=5)
+        df = spark.createDataFrame(
+            [(1, bytearray(a1)), (2, bytearray(a2)), (3, bytearray(b))],
+            "id long, payload binary")
+        sig = {r.id: tuple(r.phash_seq)
+               for r in video_phash_signature(df, "id", 4).collect()}
+        assert len(sig[1]) == 4
+        assert sig[1] == sig[2]           # same footage, different fps
+        assert sig[1] != sig[3]           # different footage
+
+    def test_set_jaccard_for_trimmed_variant(self, spark):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import (
+            video_phash_signature)
+        full = encode_avi_mjpeg(_gradient_frames(8), fps=5)
+        trimmed = encode_avi_mjpeg(_gradient_frames(8)[:6], fps=5)
+        other = encode_avi_mjpeg(_gradient_frames(8, shift=100), fps=5)
+        df = spark.createDataFrame(
+            [(1, bytearray(full)), (2, bytearray(trimmed)),
+             (3, bytearray(other))], "id long, payload binary")
+        sig = video_phash_signature(df, "id", 8)
+        a = sig.where("id = 1").select(
+            F.col("phash_seq").alias("a"))
+        pairs = a.crossJoin(
+            sig.where("id != 1").select("id",
+                                        F.col("phash_seq").alias("b")))
+        jac = pairs.select(
+            "id",
+            (F.size(F.array_intersect("a", "b"))
+             / F.size(F.array_union("a", "b"))).alias("j"))
+        got = {r.id: r.j for r in jac.collect()}
+        assert got[2] > 0.6               # trimmed variant overlaps
+        assert got[3] == 0.0              # unrelated footage
+
+    def test_exchange_budget(self, spark):
+        """One aggregation exchange; pixels never shuffle (rows into
+        the exchange are id + hex strings)."""
+        from datasketches_spark_spark.operators import (
+            video_phash_signature)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_avi_mjpeg(_gradient_frames())))],
+            "id long, payload binary")
+        plan = video_phash_signature(df, "id", 4) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
