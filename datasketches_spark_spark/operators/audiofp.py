@@ -35,8 +35,11 @@ holds for byte-identical inputs; dedup on this fingerprint is a
 SIMILARITY dedup, like pHash for images.
 
 Spark-first: fingerprinting is one Arrow-batched pass per audio blob
-(scan-stage, embarrassingly parallel, no shuffle); dedup on exact
-fingerprints is the standard one-exchange hash groupBy.
+(scan-stage, embarrassingly parallel, no shuffle);
+``audio_neardup_pairs`` is the corpus-scale path — positional-gram
+buckets (one exchange carrying ids + tens-of-byte fingerprints, with
+the LSH family's ``max_bucket`` cap) then Hamming verification of
+bucket pairs only, never all-pairs and never shuffled audio bytes.
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ __all__ = [
     "audio_fingerprint",
     "fp_hamming_fraction",
     "audio_fp_similarity",
+    "audio_neardup_pairs",
 ]
 
 _F_LO = 300.0     # Hz — below this, hum/DC dominates
@@ -142,6 +146,70 @@ def audio_fingerprint(col, frame: int = 2048, hop: int = 256):
     fp.__annotations__ = {"p": pd.Series, "return": pd.Series}
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(fp, BinaryType())(c)
+
+
+def audio_neardup_pairs(df, id_col: str, fp_col: str = "fp",
+                        min_sim: float = 0.7, gram_steps: int = 2,
+                        max_bucket: int = 2000):
+    """Audio near-dup PAIRS at corpus scale (r15) — the banded-bucket
+    path (the MinHash-LSH / SimHash-pigeonhole pattern, never
+    all-pairs): explode each packed fingerprint into positional
+    ``gram_steps``-subfingerprint grams, bucket by ``(position,
+    gram)`` — near-duplicates share at least one EXACT gram at the
+    same position with overwhelming probability (a handful of
+    bit-flips cannot hit every gram), unrelated clips collide only at
+    the 16x``gram_steps``-bit birthday rate — then emit each bucket's
+    pairs and VERIFY by Hamming similarity (``>= min_sim``).
+
+    Returns ``(id_a, id_b, sim)`` with ``id_a < id_b``, exact-verified.
+    ``max_bucket`` caps degenerate buckets (all-silence grams etc.) the
+    same way the LSH family does — dropped buckets are the
+    pathological-collision case, not signal. Fingerprints ride through
+    the bucket exchange (tens of bytes per row); audio bytes never
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    gram_bytes = 2 * gram_steps
+    fps = df.select(F.col(id_col).alias("_aid"),
+                    F.col(fp_col).alias("_afp")) \
+        .where(F.col("_afp").isNotNull()
+               & (F.length("_afp") >= gram_bytes))
+    n_pos = (F.length("_afp") / 2 - (gram_steps - 1)).cast("int")
+    grams = fps.select(
+        "_aid", "_afp",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), n_pos - 1),
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.substring(F.col("_afp"), p * 2 + 1, gram_bytes)
+                .alias("gram")))).alias("g")) \
+        .select("_aid", "_afp", "g.pos", "g.gram")
+    buckets = (grams.groupBy("pos", "gram")
+               .agg(F.collect_list(F.struct("_aid", "_afp"))
+                    .alias("members"))
+               .where((F.size("members") > 1)
+                      & (F.size("members") <= max_bucket)))
+    pairs = (buckets.select(F.explode(_pairs_expr()).alias("p"))
+             .select(F.col("p.a._aid").alias("id_a"),
+                     F.col("p.a._afp").alias("fp_a"),
+                     F.col("p.b._aid").alias("id_b"),
+                     F.col("p.b._afp").alias("fp_b"))
+             .where(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    sim = audio_fp_similarity("fp_a", "fp_b")
+    return (pairs.select("id_a", "id_b", sim.alias("sim"))
+            .where(F.col("sim") >= float(min_sim)))
+
+
+def _pairs_expr():
+    """All member pairs of a bucket as a flat array of structs —
+    pure HOF expression (flatten of per-element cross sections)."""
+    from pyspark.sql import functions as F
+    m = F.col("members")
+    return F.flatten(F.transform(
+        m, lambda a, i: F.transform(
+            F.slice(m, i + 2, F.size(m)),
+            lambda b: F.struct(a.alias("a"), b.alias("b")))))
 
 
 def audio_fp_similarity(a, b):

@@ -124,3 +124,65 @@ class TestColumns:
         plan = df.select(audio_fingerprint("wav")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestNearDupPairs:
+    """r15: audio_neardup_pairs — banded positional-gram buckets +
+    Hamming verify, never all-pairs."""
+
+    def _clips(self, spark):
+        rows = []
+        i = 0
+        for seed in range(3):
+            for amp in (0.3, 0.6, 0.9):
+                rows.append((i, seed, bytearray(
+                    encode_wav(melody(seed, amp), RATE))))
+                i += 1
+        return spark.createDataFrame(
+            rows, "id long, grp int, wav binary")
+
+    def test_finds_groups_and_only_groups(self, spark):
+        from datasketches_spark_spark.operators import (
+            audio_fingerprint, audio_neardup_pairs)
+        df = self._clips(spark)
+        fps = df.select("id", "grp",
+                        audio_fingerprint("wav").alias("fp"))
+        pairs = audio_neardup_pairs(fps, "id", min_sim=0.72).collect()
+        grp = {r.id: r.grp for r in df.select("id", "grp").collect()}
+        found = {(p.id_a, p.id_b) for p in pairs}
+        # every within-group pair found, no cross-group pair
+        import itertools
+        by_g = {}
+        for i, g in grp.items():
+            by_g.setdefault(g, []).append(i)
+        want = set()
+        for g, ids in by_g.items():
+            want |= {tuple(sorted(p))
+                     for p in itertools.combinations(ids, 2)}
+        assert found == want, (sorted(found), sorted(want))
+        assert all(p.sim > 0.72 for p in pairs)
+
+    def test_bucket_cap_drops_degenerate(self, spark):
+        from datasketches_spark_spark.operators import (
+            audio_fingerprint, audio_neardup_pairs)
+        # many identical silent clips -> one mega-bucket per position:
+        # the cap drops them instead of exploding quadratically
+        sil = bytearray(encode_wav(np.zeros(RATE), RATE))
+        df = spark.createDataFrame(
+            [(i, sil) for i in range(12)], "id long, wav binary")
+        fps = df.select("id", audio_fingerprint("wav").alias("fp"))
+        n = audio_neardup_pairs(fps, "id", max_bucket=5).count()
+        assert n == 0
+        # with the cap lifted the silent clips all pair up
+        n2 = audio_neardup_pairs(fps, "id", max_bucket=100).count()
+        assert n2 == 12 * 11 // 2
+
+    def test_no_cartesian_in_plan(self, spark):
+        from datasketches_spark_spark.operators import (
+            audio_fingerprint, audio_neardup_pairs)
+        df = self._clips(spark)
+        fps = df.select("id", audio_fingerprint("wav").alias("fp"))
+        plan = audio_neardup_pairs(fps, "id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
