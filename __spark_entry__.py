@@ -3715,8 +3715,9 @@ def _demo_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup via frame-pHash sequences (r15,
     operators/multimodal.py::video_phash_signature): docs synthesize
-    Motion-JPEG AVIs — footage keyed by doc_id % 3, fps/quality
-    varied per doc so the BYTES differ within a group — and the
+    Motion-JPEG AVIs — footage keyed by doc_id % 3, fps AND JPEG
+    quality (35..90) varied per doc so the frame BYTES genuinely
+    differ within a group — and the
     signature must collapse each group to ONE distinct hash sequence;
     DuckDB recomputes the group sizes relationally."""
     import numpy as np
@@ -3738,9 +3739,11 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif g == 1:
                 img[:, (pos % 24):(pos % 24) + 8] = 220
             else:
-                for r in range(16):
-                    c = (r + pos) % 28
-                    img[r, c:c + 4] = 220
+                # coarse moving quadrant (thin diagonals sit on the
+                # hash threshold and flip with JPEG quality)
+                r0 = 8 * (k % 2)
+                c0 = 8 * (k % 3)
+                img[r0:r0 + 8, c0:c0 + 16] = 220
             out.append(img)
         return out
 
@@ -3751,7 +3754,8 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 ids.append(did)
                 avis.append(encode_avi_mjpeg(
-                    _frames(did % 3), fps=5 + did % 4))
+                    _frames(did % 3), fps=5 + did % 4,
+                    quality=(35, 50, 75, 90)[did % 4]))
             yield pd.DataFrame({"doc_id": ids, "avi": avis})
 
     docs = (read_table(spark, sf_dir, "documents")

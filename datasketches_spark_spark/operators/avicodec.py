@@ -215,13 +215,16 @@ def mjpeg_frame_sampler(raw: bytes, num_frames: int) -> list[bytes]:
     return frames
 
 
-def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 50) -> bytes:
     """Encode a list of ``(H, W[, 3]) uint8`` arrays as a Motion-JPEG
-    AVI (each frame an `encode_jpeg` baseline JPEG)."""
+    AVI (each frame an `encode_jpeg` baseline JPEG at ``quality`` —
+    r15: exposed so re-encode robustness of downstream perceptual
+    hashing is testable against genuinely different frame bytes)."""
     from .jpegcodec import encode_jpeg
     if not frames:
         raise ValueError("encode_avi_mjpeg needs at least one frame")
-    jpegs = [encode_jpeg(np.asarray(f)) for f in frames]
+    jpegs = [encode_jpeg(np.asarray(f), quality=quality)
+             for f in frames]
     h, w = np.asarray(frames[0]).shape[:2]
 
     def chunk(fcc: bytes, payload: bytes) -> bytes:

@@ -188,8 +188,9 @@ class TestVideoPhashSignature:
     def test_reencode_collides_and_content_separates(self, spark):
         from datasketches_spark_spark.operators import (
             video_phash_signature)
-        a1 = encode_avi_mjpeg(_gradient_frames(), fps=5)
-        a2 = encode_avi_mjpeg(_gradient_frames(), fps=30)  # re-encode
+        a1 = encode_avi_mjpeg(_gradient_frames(), fps=5, quality=40)
+        a2 = encode_avi_mjpeg(_gradient_frames(), fps=30,
+                              quality=85)   # genuine re-encode
         b = encode_avi_mjpeg(_gradient_frames(shift=100), fps=5)
         df = spark.createDataFrame(
             [(1, bytearray(a1)), (2, bytearray(a2)), (3, bytearray(b))],
@@ -197,7 +198,7 @@ class TestVideoPhashSignature:
         sig = {r.id: tuple(r.phash_seq)
                for r in video_phash_signature(df, "id", 4).collect()}
         assert len(sig[1]) == 4
-        assert sig[1] == sig[2]           # same footage, different fps
+        assert sig[1] == sig[2]   # same footage, new fps AND quality
         assert sig[1] != sig[3]           # different footage
 
     def test_set_jaccard_for_trimmed_variant(self, spark):
