@@ -92,10 +92,15 @@ def audio_subfingerprints(samples: np.ndarray, rate: int,
 
 
 def pack_subfingerprints(bits: np.ndarray) -> bytes:
-    """(n_steps, 16) bool -> 2 bytes per step, big-endian bit order."""
+    """(n_steps, 16) bool -> 2 bytes per step, big-endian bit order.
+    Width is capped at 16 (the packed dtype) — wider bit matrices
+    raise instead of silently truncating."""
     if bits.size == 0:
         return b""
     n, w = bits.shape
+    if w > 16:
+        raise ValueError(f"pack_subfingerprints: width {w} > 16 bits "
+                         "per step does not fit the packed format")
     weights = (1 << np.arange(w - 1, -1, -1)).astype(np.uint32)
     vals = (bits.astype(np.uint32) * weights[None, :]).sum(axis=1)
     return vals.astype(">u2").tobytes()
@@ -106,10 +111,14 @@ def audio_fingerprint_bytes(data: bytes, frame: int = 2048,
     """Audio container bytes (WAV / G.711 — ``decode_audio``'s
     dispatch) -> packed fingerprint; None for undecodable blobs
     (loud null, the codec-family convention)."""
+    import struct
+
     from .audiocodec import decode_audio
     try:
         samples, rate = decode_audio(bytes(data))
-    except (ValueError, NotImplementedError):
+    except (ValueError, NotImplementedError, struct.error):
+        # struct.error: truncated RIFF headers (corrupt crawled WAVs)
+        # raise it from the chunk walk — must null, not kill the scan
         return None
     return pack_subfingerprints(
         audio_subfingerprints(samples, rate, frame=frame, hop=hop))
@@ -164,9 +173,12 @@ def audio_neardup_pairs(df, id_col: str, fp_col: str = "fp",
     Returns ``(id_a, id_b, sim)`` with ``id_a < id_b``, exact-verified.
     ``max_bucket`` caps degenerate buckets (all-silence grams etc.) the
     same way the LSH family does — dropped buckets are the
-    pathological-collision case, not signal. Fingerprints ride through
-    the bucket exchange (tens of bytes per row); audio bytes never
-    shuffle."""
+    pathological-collision case, not signal. The bucket exchange
+    carries only ``(pos, gram, id)`` rows (never the fingerprints —
+    a long clip would otherwise copy its fingerprint onto every gram
+    row); fingerprints join back onto the SURVIVING candidate pairs
+    for verification, the same shape as the MinHash-LSH family.
+    Audio bytes never shuffle."""
     from pyspark.sql import functions as F
 
     gram_bytes = 2 * gram_steps
@@ -176,40 +188,39 @@ def audio_neardup_pairs(df, id_col: str, fp_col: str = "fp",
                & (F.length("_afp") >= gram_bytes))
     n_pos = (F.length("_afp") / 2 - (gram_steps - 1)).cast("int")
     grams = fps.select(
-        "_aid", "_afp",
+        "_aid",
         F.explode(F.transform(
             F.sequence(F.lit(0), n_pos - 1),
             lambda p: F.struct(
                 p.alias("pos"),
                 F.substring(F.col("_afp"), p * 2 + 1, gram_bytes)
                 .alias("gram")))).alias("g")) \
-        .select("_aid", "_afp", "g.pos", "g.gram")
+        .select("_aid", "g.pos", "g.gram")
     buckets = (grams.groupBy("pos", "gram")
-               .agg(F.collect_list(F.struct("_aid", "_afp"))
-                    .alias("members"))
+               .agg(F.collect_list("_aid").alias("members"))
                .where((F.size("members") > 1)
                       & (F.size("members") <= max_bucket)))
-    pairs = (buckets.select(F.explode(_pairs_expr()).alias("p"))
-             .select(F.col("p.a._aid").alias("id_a"),
-                     F.col("p.a._afp").alias("fp_a"),
-                     F.col("p.b._aid").alias("id_b"),
-                     F.col("p.b._afp").alias("fp_b"))
-             .where(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    # unordered member pairs, CANONICALIZED by least/greatest — a
+    # bucket whose collect_list happens to arrive descending must not
+    # lose its pairs to an id_a < id_b filter
+    m = F.col("members")
+    pair_arr = F.flatten(F.transform(
+        m, lambda a, i: F.transform(
+            F.slice(m, i + 2, F.size(m)),
+            lambda b: F.struct(F.least(a, b).alias("id_a"),
+                               F.greatest(a, b).alias("id_b")))))
+    cand = (buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .where(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    fa = fps.select(F.col("_aid").alias("id_a"),
+                    F.col("_afp").alias("fp_a"))
+    fb = fps.select(F.col("_aid").alias("id_b"),
+                    F.col("_afp").alias("fp_b"))
+    pairs = cand.join(fa, "id_a").join(fb, "id_b")
     sim = audio_fp_similarity("fp_a", "fp_b")
     return (pairs.select("id_a", "id_b", sim.alias("sim"))
             .where(F.col("sim") >= float(min_sim)))
-
-
-def _pairs_expr():
-    """All member pairs of a bucket as a flat array of structs —
-    pure HOF expression (flatten of per-element cross sections)."""
-    from pyspark.sql import functions as F
-    m = F.col("members")
-    return F.flatten(F.transform(
-        m, lambda a, i: F.transform(
-            F.slice(m, i + 2, F.size(m)),
-            lambda b: F.struct(a.alias("a"), b.alias("b")))))
 
 
 def audio_fp_similarity(a, b):

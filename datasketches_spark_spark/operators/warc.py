@@ -140,8 +140,15 @@ class _Framer:
         fields = {}
         for line in header.split("\r\n")[1:]:
             k, sep, v = line.partition(":")
-            if sep:
-                fields[k.strip().lower()] = v.strip()
+            if not sep:
+                continue
+            k = k.strip().lower()
+            v = v.strip()
+            # REPEATED fields (legal — e.g. multiple
+            # WARC-Concurrent-To lines) join with ', ' so the headers
+            # map loses nothing; a repeated Content-Length would stop
+            # parsing as an int and raise below (strict framing)
+            fields[k] = (fields[k] + ", " + v) if k in fields else v
         try:
             clen = int(fields["content-length"])
         except (KeyError, ValueError):
@@ -312,7 +319,6 @@ _COLS = ["path", "record_index", "warc_type", "target_uri", "warc_date",
 _SCHEMA = ("path string, record_index long, warc_type string, "
            "target_uri string, warc_date string, record_id string, "
            "content_type string, content_length long, payload binary")
-_OFFSET_SCHEMA = _SCHEMA + ", offset long, length long"
 
 
 def read_warc(spark, path: str, types: tuple | None = None,
@@ -730,15 +736,19 @@ def cc_index_diff(old, new, key: str = "urlkey",
             (F.max(timestamp) if has_ts
              else F.lit(None).cast("string"))
             .alias(f"{side}_timestamp"),
+            # explicit presence marker: digests are NULLABLE in real
+            # indexes (read_cdxj nulls unparseable lines), so digest
+            # nullability must not double as the presence test
+            F.lit(True).alias(f"{side}_present"),
         ]
         return df.groupBy(F.col(key).alias(key)).agg(*agg)
 
     o = latest(old, "old")
     n = latest(new, "new")
     joined = o.join(n, key, "full_outer")
-    change = (F.when(F.col("old_digest").isNull(), "added")
-              .when(F.col("new_digest").isNull(), "removed")
-              .when(F.col("old_digest") == F.col("new_digest"),
+    change = (F.when(F.col("old_present").isNull(), "added")
+              .when(F.col("new_present").isNull(), "removed")
+              .when(F.col("old_digest").eqNullSafe(F.col("new_digest")),
                     "unchanged")
               .otherwise("changed"))
     return joined.select(key, change.alias("change"),
@@ -861,11 +871,23 @@ def write_warc(df, path: str, uri_col: str = "target_uri",
                     if headers_col is not None:
                         hmap = pdf[headers_col].iloc[i]
                         if hmap:
-                            extra = "".join(
-                                f"{k}: {v}\r\n"
-                                for k, v in sorted(hmap.items())
-                                if v is not None
-                                and k.lower() not in _std)
+                            # sanitize: a CR/LF inside a value would
+                            # corrupt the record framing (and could
+                            # smuggle a standard field past the skip);
+                            # keys must be token-shaped
+                            lines = []
+                            for k, v in sorted(hmap.items()):
+                                if v is None:
+                                    continue
+                                k = str(k)
+                                if (k.lower() in _std or not k
+                                        or any(ch in k
+                                               for ch in ":\r\n \t")):
+                                    continue
+                                v = str(v).replace("\r", " ") \
+                                    .replace("\n", " ")
+                                lines.append(f"{k}: {v}\r\n")
+                            extra = "".join(lines)
                     head = (
                         "WARC/1.0\r\n"
                         f"WARC-Type: {cell(pdf, 'type', i, warc_type)}\r\n"

@@ -186,3 +186,38 @@ class TestNearDupPairs:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestReviewRegressions:
+    """r15 second-review findings, pinned."""
+
+    def test_descending_id_order_pairs_survive(self, spark):
+        """A bucket whose collect_list arrives descending must not
+        lose its pairs to an ordering filter (canonicalized via
+        least/greatest now)."""
+        from datasketches_spark_spark.operators import (
+            audio_fingerprint, audio_neardup_pairs)
+        rows = [(5, bytearray(encode_wav(melody(0, 0.9), RATE))),
+                (3, bytearray(encode_wav(melody(0, 0.4), RATE)))]
+        df = spark.createDataFrame(rows, "id long, wav binary") \
+            .coalesce(1).sortWithinPartitions(F.desc("id"))
+        fps = df.select("id", audio_fingerprint("wav").alias("fp"))
+        got = audio_neardup_pairs(fps, "id", min_sim=0.7).collect()
+        assert [(p.id_a, p.id_b) for p in got] == [(3, 5)]
+
+    def test_truncated_wav_nulls_not_crashes(self, spark):
+        """struct.error from a truncated RIFF header must surface as
+        the documented None, not kill the scan."""
+        trunc = b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+        assert audio_fingerprint_bytes(trunc) is None
+        df = spark.createDataFrame(
+            [(1, bytearray(trunc)),
+             (2, bytearray(encode_wav(melody(0), RATE)))],
+            "id long, wav binary")
+        got = {r.id: r.fp for r in df.select(
+            "id", audio_fingerprint("wav").alias("fp")).collect()}
+        assert got[1] is None and got[2] is not None
+
+    def test_pack_width_guard(self):
+        with pytest.raises(ValueError, match="16 bits"):
+            pack_subfingerprints(np.ones((3, 20), dtype=bool))

@@ -1152,3 +1152,61 @@ class TestFramerProperties:
                     assert rec3["payload"] == payload
 
         check()
+
+
+class TestSecondReviewRegressions:
+    """r15 second-review findings, pinned."""
+
+    def test_diff_null_digests_use_presence(self, spark):
+        """Keys present with NULL digests must not classify as
+        added/removed; null==null digests are 'unchanged' (null-safe)."""
+        from datasketches_spark_spark.operators import cc_index_diff
+        old = spark.createDataFrame(
+            [("k1", None, "1"), ("k2", None, "1"), ("k3", "d3", "1")],
+            "urlkey string, digest string, timestamp string")
+        new = spark.createDataFrame(
+            [("k1", "d1", "2"), ("k2", None, "2"), ("k4", None, "2")],
+            "urlkey string, digest string, timestamp string")
+        got = {r.urlkey: r.change
+               for r in cc_index_diff(old, new).collect()}
+        assert got == {"k1": "changed", "k2": "unchanged",
+                       "k3": "removed", "k4": "added"}
+
+    def test_headers_col_crlf_injection_blocked(self, spark, tmp_path):
+        """A CRLF inside a header value must not corrupt framing or
+        smuggle a standard field past the skip."""
+        from datasketches_spark_spark.operators import (read_warc,
+                                                        write_warc)
+        df = spark.createDataFrame(
+            [("u", "body", {"X-Note": "a\r\nContent-Length: 0",
+                            "Bad Key": "x", "Also:Bad": "y",
+                            "X-Ok": "fine"})],
+            "target_uri string, payload string, xh map<string,string>"
+        ).coalesce(1)
+        out = str(tmp_path / "inj")
+        write_warc(df, out, headers_col="xh")
+        (r,) = read_warc(spark, out, with_headers=True).collect()
+        assert bytes(r.payload) == b"body"       # framing intact
+        assert r.content_length == 4
+        assert r.headers["x-note"] == "a  Content-Length: 0"
+        assert r.headers["x-ok"] == "fine"
+        assert "bad key" not in r.headers
+
+    def test_repeated_warc_fields_join(self, spark, tmp_path):
+        """Legal repeated fields (WARC-Concurrent-To) survive the
+        headers map as a ', '-joined value instead of last-wins."""
+        import gzip as _g
+        from datasketches_spark_spark.operators import read_warc
+        rec = ("WARC/1.0\r\nWARC-Type: metadata\r\n"
+               "WARC-Concurrent-To: <urn:uuid:a>\r\n"
+               "WARC-Concurrent-To: <urn:uuid:b>\r\n"
+               "WARC-Record-ID: <urn:uuid:m>\r\n"
+               "Content-Type: application/json\r\n"
+               "Content-Length: 2\r\n\r\n{}\r\n\r\n").encode()
+        d = str(tmp_path / "rep")
+        os.makedirs(d)
+        with open(os.path.join(d, "r.warc.gz"), "wb") as fh:
+            fh.write(_g.compress(rec))
+        (r,) = read_warc(spark, d, with_headers=True).collect()
+        assert r.headers["warc-concurrent-to"] == \
+            "<urn:uuid:a>, <urn:uuid:b>"
