@@ -8,11 +8,13 @@ Import as::
 """
 
 from . import quality_rules, text, urls
-from .html import (html_decode_numeric_refs, html_links,
-                   html_meta_charset, html_title, html_to_text)
+from .html import (html_blocks, html_decode_numeric_refs, html_links,
+                   html_main_text, html_meta_charset, html_title,
+                   html_to_text)
 from .robots import (parse_robots, parse_robots_text,
                      robots_allowed, robots_crawl_delay,
                      robots_sitemaps)
+from .mime import detect_mime, is_binary_payload
 from .http import (http_body, http_charset, http_decode_body,
                    http_decode_body_bytes, http_header,
                    http_status, http_text)

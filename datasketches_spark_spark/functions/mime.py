@@ -1,0 +1,141 @@
+"""Content sniffing over binary payloads as pure JVM expressions.
+
+The ROUTING step of the crawl chain: a WARC response record's decoded
+entity body (``http_decode_body_bytes``) is an opaque ``binary`` whose
+Content-Type header is missing or wrong often enough that real
+pipelines sniff — WHATWG MIME Sniffing is the normative algorithm
+browsers use, and this module implements its byte-pattern core as one
+scan-stage Column expression (``detect_mime``): magic-byte matches for
+every container the engine's codec operators decode (PNG/JPEG/GIF/
+WEBP/BMP/TIFF/PPM, WAV/AVI/FLAC/MP3/OGG/MP4, gzip/zip/zstd, PDF),
+the tag-probe for HTML/XML, BOMs, and the binary-vs-text fallback.
+
+Spec basis (public): WHATWG MIME Sniffing Standard §6-7 (the
+"identifying a resource" byte patterns and the binary-data-byte set);
+container magics from the format specs already cited in the codec
+operators (PNG ISO 15948 §5.2, JPEG T.81 SOI, RIFF forms, FLAC
+`fLaC`, ID3v2/MPEG sync, ISO BMFF `ftyp`, RFC 1952 gzip, APPNOTE zip,
+RFC 8878 zstd). Deviations are documented on the function.
+
+Everything here is ``substring``/``hex``/``startswith``/``rlike`` on
+the payload prefix — no Python row path, no shuffle, and each rule is
+replayable relationally (the demo gate recomputes the dispatch from
+``hex(payload[:k])`` in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["detect_mime", "is_binary_payload"]
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# WHATWG §7.1 "binary data byte": 0x00-0x08, 0x0B, 0x0E-0x1A,
+# 0x1C-0x1F. Probed on the first 512 bytes (the spec's resource
+# header size) through the lossless latin-1 view.
+_BINARY_BYTE_CLASS = (
+    "[\\x00-\\x08\\x0B\\x0E-\\x1A\\x1C-\\x1F]")
+
+# The WHATWG §7.1 tag probe set: case-insensitive, after optional
+# whitespace, each terminated by space or '>'. '<!--' needs no
+# terminator in practice (the spec pairs it with the same rule; a
+# comment opener is unambiguous at 4 bytes).
+_HTML_TAGS = ("!doctype html|html|head|script|iframe|h1|div|font|"
+              "table|a|style|title|b|body|br|p")
+
+
+def is_binary_payload(payload, probe_bytes: int = 512) -> Column:
+    """True when the first ``probe_bytes`` of the payload contain a
+    WHATWG "binary data byte" (0x00-0x08, 0x0B, 0x0E-0x1A, 0x1C-0x1F)
+    — the standard's text-vs-binary discriminator. Null payloads are
+    null."""
+    head = F.decode(F.substring(_col(payload), 1, int(probe_bytes)),
+                    "ISO-8859-1")
+    return head.rlike(_BINARY_BYTE_CLASS)
+
+
+def detect_mime(payload, probe_bytes: int = 512) -> Column:
+    """MIME type of a binary payload from its leading bytes — the
+    WHATWG MIME Sniffing byte patterns as ONE scan-stage Column
+    expression. Returns the essence string (``image/png``, ...);
+    ``application/octet-stream`` for unrecognized binary,
+    ``text/plain`` for unrecognized text; null for null payloads.
+
+    Match order (first hit wins, mirroring the spec's table order —
+    exact magics before the tag probe, the tag probe before the
+    binary/text fallback):
+
+    - BOM'd text: UTF-8 / UTF-16LE / UTF-16BE -> ``text/plain``
+      (WHATWG returns text/plain for BOM'd resources at this stage);
+    - images: PNG, JPEG (SOI), GIF87a/89a, WEBP (RIFF form), BMP,
+      TIFF (both byte orders), PPM/PGM (P6/P5 + whitespace — engine
+      extension, the codec set's native format);
+    - audio/video: WAVE and "AVI " RIFF forms, FLAC ``fLaC``, MP3 via
+      ID3v2 header or a bare MPEG sync (0xFFEx/0xFFFx), OGG ``OggS``,
+      ISO BMFF ``ftyp`` at offset 4 -> ``video/mp4``;
+    - archives: gzip (RFC 1952), zip (PK\\x03\\x04), zstd frame
+      (0x28B52FFD little-endian magic);
+    - PDF ``%PDF-``;
+    - markup probe on the whitespace-trimmed head: an HTML tag from
+      the spec's set (case-insensitive, terminated by space or '>')
+      or ``<!--`` -> ``text/html``; ``<?xml`` -> ``text/xml``;
+    - fallback: :func:`is_binary_payload` ?
+      ``application/octet-stream`` : ``text/plain``.
+
+    Deviations from the letter of the spec, documented: sniffing here
+    is header-independent (the "sniff-scriptable" branch — crawl
+    pipelines distrust the declared type by construction); TIFF/PPM/
+    FLAC/zstd are engine extensions the spec doesn't enumerate; MP4
+    checks only the ``ftyp`` box, not the minor-brand walk."""
+    p = _col(payload)
+    h8 = F.hex(F.substring(p, 1, 8))        # 16 hex chars
+    h4 = F.substring(h8, 1, 8)
+    h3 = F.substring(h8, 1, 6)
+    h2 = F.substring(h8, 1, 4)
+    riff_form = F.decode(F.substring(p, 9, 4), "ISO-8859-1")
+    ftyp = F.decode(F.substring(p, 5, 4), "ISO-8859-1")
+    head = F.decode(F.substring(p, 1, int(probe_bytes)), "ISO-8859-1")
+    # leading-whitespace strip for the markup probe (WHATWG trims
+    # 0x09 0x0A 0x0C 0x0D 0x20 before tag matching)
+    trimmed = F.lower(F.regexp_replace(head, r"^[\t\n\f\r ]+", ""))
+    is_riff = h4 == "52494646"
+    mime = (
+        F.when(h3 == "EFBBBF", "text/plain")                  # UTF-8 BOM
+         .when(h2 == "FFFE", "text/plain")                    # UTF-16LE
+         .when(h2 == "FEFF", "text/plain")                    # UTF-16BE
+         .when(h8 == "89504E470D0A1A0A", "image/png")
+         .when(h3 == "FFD8FF", "image/jpeg")
+         .when(F.substring(h8, 1, 12).isin("474946383761",
+                                           "474946383961"), "image/gif")
+         .when(is_riff & (riff_form == "WEBP"), "image/webp")
+         .when(h2 == "424D", "image/bmp")
+         .when(h4.isin("49492A00", "4D4D002A"), "image/tiff")
+         .when(F.decode(F.substring(p, 1, 2), "ISO-8859-1")
+                .isin("P5", "P6")
+               & F.decode(F.substring(p, 3, 1), "ISO-8859-1")
+                  .rlike(r"^[\t\n\r ]$"),
+               "image/x-portable-pixmap")
+         .when(is_riff & (riff_form == "WAVE"), "audio/wave")
+         .when(is_riff & (riff_form == "AVI "), "video/avi")
+         .when(h4 == "664C6143", "audio/flac")                # fLaC
+         .when(h3 == "494433", "audio/mpeg")                  # ID3v2
+         .when(h2.rlike("^FF[EF]"), "audio/mpeg")             # MPEG sync
+         .when(h4 == "4F676753", "application/ogg")           # OggS
+         .when(ftyp == "ftyp", "video/mp4")
+         .when(h2 == "1F8B", "application/gzip")
+         .when(h4 == "504B0304", "application/zip")
+         .when(h4 == "28B52FFD", "application/zstd")
+         .when(F.decode(F.substring(p, 1, 5), "ISO-8859-1") == "%PDF-",
+               "application/pdf")
+         .when(trimmed.rlike(rf"^<(?:{_HTML_TAGS})[ >]"), "text/html")
+         .when(trimmed.startswith("<!--"), "text/html")
+         .when(trimmed.startswith("<?xml"), "text/xml")
+         .when(head.rlike(_BINARY_BYTE_CLASS),
+               "application/octet-stream")
+         .otherwise("text/plain"))
+    return F.when(p.isNull(), F.lit(None).cast("string")).otherwise(mime)

@@ -185,3 +185,88 @@ class TestMetaCharset:
         plan = df.select(html_meta_charset("h")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "pythonUDF" not in plan.lower()
+
+
+class TestMainContent:
+    """r15: block segmentation + boilerplate features
+    (html_blocks / html_main_text) — the main-content-extraction
+    primitive between WET-style html_to_text and the quality stack."""
+
+    PAGE = (
+        "<html><head><title>T</title><style>p{}</style></head><body>"
+        # nav: long enough to pass min_chars, dropped ONLY by density
+        "<div id='nav'>"
+        "<a href='/a'>Home page navigation link text here</a> | "
+        "<a href='/b'>About the company page link text</a> | "
+        "<a href='/c'>Contact and support page link text</a></div>"
+        # article: two long prose paragraphs, one with an inline link
+        "<p>This opening paragraph carries the actual article prose, "
+        "long enough to clear the default eighty character floor with "
+        "room to spare for the test.</p>"
+        "<p>The second paragraph also reads like prose and keeps one "
+        "inline <a href='/ref'>reference</a> without tripping the "
+        "density threshold because the text around it dominates.</p>"
+        # footer: plain but short -> dropped ONLY by length
+        "<div>Copyright footer.</div>"
+        "</body></html>")
+
+    def _blocks(self, spark, html):
+        from datasketches_spark_spark.functions import html_blocks
+        df = spark.createDataFrame([(html,)], ["h"])
+        return (df.select(F.explode(html_blocks("h")).alias("b"))
+                .select("b.text", "b.char_len", "b.word_count",
+                        "b.link_density").collect())
+
+    def test_segmentation_and_features(self, spark):
+        rows = self._blocks(spark, self.PAGE)
+        assert len(rows) == 4          # nav, p1, p2, footer (head gone)
+        nav, p1, p2, foot = rows
+        assert nav.text.startswith("Home page navigation")
+        assert nav.link_density > 0.9          # separators only
+        assert p1.link_density == 0.0
+        assert 0.0 < p2.link_density < 0.15    # one short inline link
+        assert foot.text == "Copyright footer."
+        for r in rows:
+            assert r.char_len == len(r.text)
+            assert r.word_count == len(r.text.split(" "))
+
+    def test_main_text_keeps_prose_only(self, spark):
+        from datasketches_spark_spark.functions import html_main_text
+        got = _one(spark, self.PAGE, html_main_text("h"))
+        paras = got.split("\n")
+        assert len(paras) == 2
+        assert paras[0].startswith("This opening paragraph")
+        assert "inline reference without tripping" in paras[1]
+        assert "Home page" not in got and "Copyright" not in got
+
+    def test_thresholds_are_knobs(self, spark):
+        from datasketches_spark_spark.functions import html_main_text
+        # min_chars=1 + density cap 1.0 keeps everything
+        all_in = _one(spark, self.PAGE,
+                      html_main_text("h", min_chars=1,
+                                     max_link_density=1.0))
+        assert len(all_in.split("\n")) == 4
+        # impossible thresholds -> empty string, not null
+        none_in = _one(spark, self.PAGE,
+                       html_main_text("h", min_chars=10_000))
+        assert none_in == ""
+
+    def test_entities_decode_in_block_text(self, spark):
+        from datasketches_spark_spark.functions import html_blocks
+        rows = self._blocks(
+            spark, "<p>Tom &amp; Jerry &#8212; friends&nbsp;4ever</p>")
+        assert rows[0].text == "Tom & Jerry — friends 4ever"
+        assert rows[0].char_len == len(rows[0].text)
+
+    def test_empty_blocks_dropped(self, spark):
+        rows = self._blocks(
+            spark, "<div></div><div>  </div><p>x</p><br><hr>")
+        assert [r.text for r in rows] == ["x"]
+
+    def test_scan_stage_only(self, spark):
+        from datasketches_spark_spark.functions import html_main_text
+        df = spark.createDataFrame([("<p>x</p>",)], ["h"])
+        out = df.select(html_main_text("h"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "pythonudf" not in plan.lower()
