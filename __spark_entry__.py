@@ -3772,6 +3772,127 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("min_id"))
 
 
+def _demo_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (r15,
+    functions/html.py::html_main_text): each markup-free doc becomes a
+    full page — a link-saturated nav block (LONG enough to pass the
+    length floor, so density is what kills it), the doc text as the
+    lead paragraph (kept iff >= 80 chars — the length rule), a fixed
+    closing paragraph with one inline link (always kept — inline links
+    under the density cap survive), and a short footer (killed by
+    length alone). Every block's visible text is an exact string
+    expression over relational columns, so DuckDB rebuilds the
+    expected main text with concatenation + one length CASE — no
+    regexp replay. n_blocks pins the segmentation itself."""
+    from datasketches_spark_spark.functions import (html_blocks,
+                                                    html_main_text)
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 400) \
+        .where(~F.col("text").rlike("[<>&\t\n\r]")
+               & ~F.col("text").contains("  ")
+               & (F.col("text") == F.trim(F.col("text")))
+               & (F.length("text") >= 1))
+    page = F.concat(
+        F.lit("<html><head><title>d</title>"
+              "<script>nav('<p>junk</p>')</script></head><body>"
+              "<div><a href='/n1'>Home page navigation link text for "
+              "document "), F.col("doc_id"),
+        F.lit("</a> | <a href='/n2'>Second navigation menu entry link "
+              "text here</a></div><p>"), F.col("text"),
+        F.lit("</p><p>Closing paragraph for document "),
+        F.col("doc_id"),
+        F.lit(" keeps one inline <a href='/r'>reference link</a> and "
+              "enough surrounding prose to stay well under the density "
+              "cap.</p><div>footer "), F.col("doc_id"),
+        F.lit("</div></body></html>"))
+    return (docs.select(
+        "doc_id",
+        html_main_text(page).alias("main"),
+        F.size(html_blocks(page)).alias("n_blocks"))
+        .orderBy("doc_id"))
+
+
+def _demo_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content sniffing as the crawl-chain router (r15,
+    functions/mime.py::detect_mime): docs rotate through FOURTEEN
+    payload constructions — ten real engine-encoder outputs
+    (PNG/BMP/PPM/JPEG/GIF/TIFF/WAV/FLAC/AVI/gzip), markup (html/xml)
+    and plain text built from the doc text, and a control-byte blob
+    for the binary fallback — and the WHATWG dispatch must route every
+    one to its construction's MIME type. The oracle recomputes the
+    routing from the modality rule (doc_id % 14) relationally; text
+    docs are pre-filtered (no '<', no control bytes) and the plain
+    leg carries a ``doc N:`` prefix so no text leg can collide with a
+    byte magic."""
+    import numpy as np
+    import pandas as pd
+    from datasketches_spark_spark.functions import detect_mime
+    from datasketches_spark_spark.operators import (encode_ppm,
+                                                    encode_wav)
+    from datasketches_spark_spark.operators.avicodec import \
+        encode_avi_rgb
+    from datasketches_spark_spark.operators.flaccodec import encode_flac
+    from datasketches_spark_spark.operators.gifcodec import encode_gif
+    from datasketches_spark_spark.operators.imagecodec import encode_bmp
+    from datasketches_spark_spark.operators.jpegcodec import encode_jpeg
+    from datasketches_spark_spark.operators.pngcodec import encode_png
+    from datasketches_spark_spark.operators.tiffcodec import encode_tiff
+
+    def _payload(did: int, text: str) -> bytes:
+        import gzip as _gz
+        m = did % 14
+        img = np.full((4, 8, 3), [60 + m, 160, 200], np.uint8)
+        pcm = (np.where(np.arange(64) % 2 == 0, 1, -1)
+               * 8192).astype(np.int16)
+        if m == 0:
+            return bytes(encode_png(img))
+        if m == 1:
+            return bytes(encode_bmp(img))
+        if m == 2:
+            return bytes(encode_ppm(img))
+        if m == 3:
+            return bytes(encode_jpeg(np.full((8, 8), 120, np.uint8)))
+        if m == 4:
+            return bytes(encode_gif(img))
+        if m == 5:
+            return bytes(encode_tiff(img))
+        if m == 6:
+            return bytes(encode_wav(pcm / 32768.0, 8000))
+        if m == 7:
+            return bytes(encode_flac(pcm, 8000))
+        if m == 8:
+            return bytes(encode_avi_rgb(
+                [np.full((4, 4, 3), 90, np.uint8)] * 2, 4))
+        if m == 9:
+            return _gz.compress(text.encode(), mtime=0)
+        if m == 10:
+            return ("<html><body><p>%s</p></body></html>"
+                    % text).encode()
+        if m == 11:
+            return ("<?xml version=\"1.0\"?><urlset><loc>%d</loc>"
+                    "</urlset>" % did).encode()
+        if m == 12:
+            return ("doc %d: %s" % (did, text)).encode()
+        return b"\x00\x01\x02" + text.encode()
+
+    def _mk(pdf_iter):
+        for pdf in pdf_iter:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [_payload(int(d), str(t)) for d, t in
+                            zip(pdf["doc_id"], pdf["text"])]})
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 390)
+            .where(~F.col("text").rlike("[<>&\t\n\r\\x00-\\x1f]")
+                   & (F.length("text") >= 1))
+            .select("doc_id", "text").repartition(4))
+    payloads = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return (payloads.select(
+        "doc_id", detect_mime("payload").alias("mime"))
+        .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -3813,6 +3934,8 @@ def demo_queries() -> dict[str, str]:
         "demo_snapshot_diff": _demo_snapshot_diff,
         "demo_audio_dedup": _demo_audio_dedup,
         "demo_video_dedup": _demo_video_dedup,
+        "demo_main_content": _demo_main_content,
+        "demo_mime_route": _demo_mime_route,
     }
 
 
@@ -6111,5 +6234,54 @@ def demo_oracle_sql() -> dict[str, str]:
                    avg(CAST(n_chars % 256 AS DOUBLE)) AS g_avg
             FROM documents WHERE doc_id < 400
             GROUP BY source ORDER BY source
+        """,
+        # demo_main_content (r15): every block's visible text is an
+        # exact string expression over the columns, so the expected
+        # main text is concatenation + one length CASE (the nav block
+        # dies by density, the footer by length, the closing paragraph
+        # always survives with its inline link)
+        "demo_main_content": """
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 80
+                        THEN text || chr(10) ELSE '' END
+                   || 'Closing paragraph for document '
+                   || CAST(doc_id AS VARCHAR)
+                   || ' keeps one inline reference link and enough '
+                   || 'surrounding prose to stay well under the '
+                   || 'density cap.' AS main,
+                   4 AS n_blocks
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[<>&\t\n\r]')
+              AND text NOT LIKE '%  %' AND text = trim(text)
+              AND length(text) >= 1
+            ORDER BY doc_id
+        """,
+        # demo_mime_route (r15): the WHATWG dispatch must land every
+        # constructed payload on its modality's type — the oracle
+        # recomputes the routing from the doc_id % 14 rule
+        "demo_mime_route": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 14 AS INT)
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/bmp'
+                     WHEN 2 THEN 'image/x-portable-pixmap'
+                     WHEN 3 THEN 'image/jpeg'
+                     WHEN 4 THEN 'image/gif'
+                     WHEN 5 THEN 'image/tiff'
+                     WHEN 6 THEN 'audio/wave'
+                     WHEN 7 THEN 'audio/flac'
+                     WHEN 8 THEN 'video/avi'
+                     WHEN 9 THEN 'application/gzip'
+                     WHEN 10 THEN 'text/html'
+                     WHEN 11 THEN 'text/xml'
+                     WHEN 12 THEN 'text/plain'
+                     ELSE 'application/octet-stream'
+                   END AS mime
+            FROM documents
+            WHERE doc_id < 390
+              AND NOT regexp_matches(text, '[<>&\\x00-\\x1f]')
+              AND length(text) >= 1
+            ORDER BY doc_id
         """,
     }
