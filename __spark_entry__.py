@@ -3893,6 +3893,62 @@ def _demo_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _demo_avif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF decode via the system libavif (r15,
+    operators/avifnative.py): the committed fixtures (encoded once
+    with the system aom, frozen in tests/data/) decode through the
+    ctypes binding — dav1d on this image, an INDEPENDENT AV1
+    implementation from the encoder — inside the demo_webp_lossy
+    mapInPandas shape, to (name, h, w, px_md5, mime). AV1
+    reconstruction is exactly specified, so the oracle pins the
+    decoded-pixel md5s as literals, stable across decoder versions;
+    the mime column pins detect_mime's ftyp-brand dispatch on the
+    same payloads."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from datasketches_spark_spark.functions import detect_mime
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "data")
+    rows = []
+    for name in ("avif_solid.avif", "avif_gradient.avif",
+                 "avif_texture.avif"):
+        with open(os.path.join(data_dir, name), "rb") as fh:
+            rows.append((name, bytearray(fh.read())))
+    df = spark.createDataFrame(rows, "name string, payload binary") \
+        .repartition(2)
+    schema = StructType([
+        StructField("name", StringType()),
+        StructField("h", LongType()),
+        StructField("w", LongType()),
+        StructField("px_md5", StringType()),
+    ])
+
+    def run(batches):
+        from datasketches_spark_spark.operators.avifnative import \
+            avif_decode_rgb
+        for pdf in batches:
+            out = []
+            for name, payload in zip(pdf["name"], pdf["payload"]):
+                img = avif_decode_rgb(bytes(payload))
+                out.append((name, img.shape[0], img.shape[1],
+                            hashlib.md5(img.tobytes()).hexdigest()))
+            yield pd.DataFrame(out,
+                               columns=["name", "h", "w", "px_md5"])
+
+    mime = df.select("name", detect_mime("payload").alias("mime"))
+    return (df.mapInPandas(run, schema)
+            .join(F.broadcast(mime), "name")
+            .orderBy("name"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -3936,6 +3992,7 @@ def demo_queries() -> dict[str, str]:
         "demo_video_dedup": _demo_video_dedup,
         "demo_main_content": _demo_main_content,
         "demo_mime_route": _demo_mime_route,
+        "demo_avif_decode": _demo_avif_decode,
     }
 
 
@@ -6283,5 +6340,22 @@ def demo_oracle_sql() -> dict[str, str]:
               AND NOT regexp_matches(text, '[<>&\\x00-\\x1f]')
               AND length(text) >= 1
             ORDER BY doc_id
+        """,
+        # demo_avif_decode (r15): AV1 reconstruction is exactly
+        # specified -> pinned decoded-pixel md5s (regenerate with
+        # devtools/gen_avif_fixtures.py); mime pins the ftyp-brand
+        # dispatch
+        "demo_avif_decode": """
+            SELECT * FROM (VALUES
+              ('avif_solid.avif', CAST(24 AS BIGINT),
+               CAST(32 AS BIGINT),
+               'fc01c1bc24fc38b2f775e92080b52d9b', 'image/avif'),
+              ('avif_gradient.avif', CAST(32 AS BIGINT),
+               CAST(48 AS BIGINT),
+               '449f19c80d084c90f1dc63115c54abdd', 'image/avif'),
+              ('avif_texture.avif', CAST(40 AS BIGINT),
+               CAST(40 AS BIGINT),
+               '443b24cc2eedd5e5784cfda18adf4c5a', 'image/avif')
+            ) AS t(name, h, w, px_md5, mime) ORDER BY name
         """,
     }

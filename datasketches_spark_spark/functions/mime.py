@@ -77,7 +77,9 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
       extension, the codec set's native format);
     - audio/video: WAVE and "AVI " RIFF forms, FLAC ``fLaC``, MP3 via
       ID3v2 header or a bare MPEG sync (0xFFEx/0xFFFx), OGG ``OggS``,
-      ISO BMFF ``ftyp`` at offset 4 -> ``video/mp4``;
+      ISO BMFF ``ftyp`` at offset 4 with brand dispatch —
+      ``avif``/``avis`` -> ``image/avif``, ``heic``/``heix``/
+      ``mif1``/``msf1`` -> ``image/heic``, else ``video/mp4``;
     - archives: gzip (RFC 1952), zip (PK\\x03\\x04), zstd frame
       (0x28B52FFD little-endian magic);
     - PDF ``%PDF-``;
@@ -126,6 +128,13 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
          .when(h3 == "494433", "audio/mpeg")                  # ID3v2
          .when(h2.rlike("^FF[EF]"), "audio/mpeg")             # MPEG sync
          .when(h4 == "4F676753", "application/ogg")           # OggS
+         .when((ftyp == "ftyp")
+               & F.decode(F.substring(p, 9, 4), "ISO-8859-1")
+                  .isin("avif", "avis"), "image/avif")
+         .when((ftyp == "ftyp")
+               & F.decode(F.substring(p, 9, 4), "ISO-8859-1")
+                  .isin("heic", "heix", "mif1", "msf1"),
+               "image/heic")
          .when(ftyp == "ftyp", "video/mp4")
          .when(h2 == "1F8B", "application/gzip")
          .when(h4 == "504B0304", "application/zip")

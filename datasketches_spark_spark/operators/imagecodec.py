@@ -54,6 +54,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[4:8] == b"ftyp" and data[8:12] in (b"avif", b"avis"):
+        return "avif"
     for magic, name in _STUB_MAGICS:
         if data.startswith(magic):
             return name
@@ -84,12 +86,16 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "tiff":
         from .tiffcodec import decode_tiff
         return decode_tiff(data)
+    if fmt == "avif":
+        from .avifnative import avif_decode_rgb
+        return avif_decode_rgb(data)
     raise NotImplementedError(
         f"no built-in codec for format {fmt or 'unknown'!r}: "
         "PPM/PGM (P6/P5), BMP (BI_RGB), baseline+progressive JPEG, "
         "PNG (all legal depths), GIF, lossless WebP (VP8L) and "
         "baseline TIFF (none/LZW/PackBits) decode without native "
-        "image libraries; inject a codec for other compressed formats")
+        "image libraries; AVIF decodes via the system libavif where "
+        "present; inject a codec for other compressed formats")
 
 
 # ------------------------------------------------------------ PPM / PGM
