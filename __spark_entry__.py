@@ -3894,16 +3894,16 @@ def _demo_mime_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_avif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AVIF decode via the system libavif (r15,
-    operators/avifnative.py): the committed fixtures (encoded once
-    with the system aom, frozen in tests/data/) decode through the
-    ctypes binding — dav1d on this image, an INDEPENDENT AV1
-    implementation from the encoder — inside the demo_webp_lossy
-    mapInPandas shape, to (name, h, w, px_md5, mime). AV1
-    reconstruction is exactly specified, so the oracle pins the
-    decoded-pixel md5s as literals, stable across decoder versions;
-    the mime column pins detect_mime's ftyp-brand dispatch on the
-    same payloads."""
+    """AVIF + HEIC decode via the system libraries (r15,
+    operators/avifnative.py / heifnative.py): the committed fixtures
+    (encoded once with the system aom / x265, frozen in tests/data/)
+    decode through the ``decode_image`` sniff dispatch — dav1d and
+    libde265 on this image, INDEPENDENT implementations from their
+    encoders — inside the demo_webp_lossy mapInPandas shape, to
+    (name, h, w, px_md5, mime). AV1 and HEVC reconstruction are
+    exactly specified, so the oracle pins the decoded-pixel md5s as
+    literals, stable across decoder versions; the mime column pins
+    detect_mime's ftyp-brand dispatch on the same payloads."""
     import hashlib
     import os
 
@@ -3919,7 +3919,8 @@ def _demo_avif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "tests", "data")
     rows = []
     for name in ("avif_solid.avif", "avif_gradient.avif",
-                 "avif_texture.avif"):
+                 "avif_texture.avif", "heic_solid.heic",
+                 "heic_gradient.heic", "heic_texture.heic"):
         with open(os.path.join(data_dir, name), "rb") as fh:
             rows.append((name, bytearray(fh.read())))
     df = spark.createDataFrame(rows, "name string, payload binary") \
@@ -3932,12 +3933,11 @@ def _demo_avif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def run(batches):
-        from datasketches_spark_spark.operators.avifnative import \
-            avif_decode_rgb
+        from datasketches_spark_spark.operators import decode_image
         for pdf in batches:
             out = []
             for name, payload in zip(pdf["name"], pdf["payload"]):
-                img = avif_decode_rgb(bytes(payload))
+                img = decode_image(bytes(payload))
                 out.append((name, img.shape[0], img.shape[1],
                             hashlib.md5(img.tobytes()).hexdigest()))
             yield pd.DataFrame(out,
@@ -6341,10 +6341,10 @@ def demo_oracle_sql() -> dict[str, str]:
               AND length(text) >= 1
             ORDER BY doc_id
         """,
-        # demo_avif_decode (r15): AV1 reconstruction is exactly
+        # demo_avif_decode (r15): AV1/HEVC reconstruction is exactly
         # specified -> pinned decoded-pixel md5s (regenerate with
-        # devtools/gen_avif_fixtures.py); mime pins the ftyp-brand
-        # dispatch
+        # devtools/gen_avif_fixtures.py / gen_heic_fixtures.py); mime
+        # pins the ftyp-brand dispatch
         "demo_avif_decode": """
             SELECT * FROM (VALUES
               ('avif_solid.avif', CAST(24 AS BIGINT),
@@ -6355,7 +6355,16 @@ def demo_oracle_sql() -> dict[str, str]:
                '449f19c80d084c90f1dc63115c54abdd', 'image/avif'),
               ('avif_texture.avif', CAST(40 AS BIGINT),
                CAST(40 AS BIGINT),
-               '443b24cc2eedd5e5784cfda18adf4c5a', 'image/avif')
+               '443b24cc2eedd5e5784cfda18adf4c5a', 'image/avif'),
+              ('heic_solid.heic', CAST(24 AS BIGINT),
+               CAST(32 AS BIGINT),
+               'fc01c1bc24fc38b2f775e92080b52d9b', 'image/heic'),
+              ('heic_gradient.heic', CAST(32 AS BIGINT),
+               CAST(48 AS BIGINT),
+               '6b5c9330c84405f9c7b43301cea2cbd6', 'image/heic'),
+              ('heic_texture.heic', CAST(40 AS BIGINT),
+               CAST(40 AS BIGINT),
+               '3bc6f5737308a19be4814080ba774d15', 'image/heic')
             ) AS t(name, h, w, px_md5, mime) ORDER BY name
         """,
     }

@@ -56,6 +56,9 @@ def sniff_format(data: bytes) -> str | None:
         return "tiff"
     if data[4:8] == b"ftyp" and data[8:12] in (b"avif", b"avis"):
         return "avif"
+    if data[4:8] == b"ftyp" and data[8:12] in (b"heic", b"heix",
+                                               b"mif1", b"msf1"):
+        return "heic"
     for magic, name in _STUB_MAGICS:
         if data.startswith(magic):
             return name
@@ -89,13 +92,17 @@ def decode_image(data: bytes) -> np.ndarray:
     if fmt == "avif":
         from .avifnative import avif_decode_rgb
         return avif_decode_rgb(data)
+    if fmt == "heic":
+        from .heifnative import heic_decode_rgb
+        return heic_decode_rgb(data)
     raise NotImplementedError(
         f"no built-in codec for format {fmt or 'unknown'!r}: "
         "PPM/PGM (P6/P5), BMP (BI_RGB), baseline+progressive JPEG, "
         "PNG (all legal depths), GIF, lossless WebP (VP8L) and "
         "baseline TIFF (none/LZW/PackBits) decode without native "
-        "image libraries; AVIF decodes via the system libavif where "
-        "present; inject a codec for other compressed formats")
+        "image libraries; AVIF/HEIC decode via the system "
+        "libavif/libheif where present; inject a codec for other "
+        "compressed formats")
 
 
 # ------------------------------------------------------------ PPM / PGM
