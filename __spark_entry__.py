@@ -3949,6 +3949,33 @@ def _demo_avif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("name"))
 
 
+def _demo_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization + invisible-char stripping (r15,
+    functions/text.py::unicode_normalize / strip_invisible): each doc
+    text gains a DECOMPOSED suffix (base letters + combining acute /
+    diaeresis, chr-constructed on both sides) and an interior
+    zero-width space; the engine must NFC-fold the suffix to the
+    precomposed forms and strip the ZWSP, and DuckDB replays both
+    with its own ``nfc_normalize`` + ``replace`` — an independent UCD
+    implementation agreeing on the fold is the whole point."""
+    from datasketches_spark_spark.functions import (strip_invisible,
+                                                    unicode_normalize)
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 400) \
+        .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+               & (F.length("text") >= 10))
+    zwsp = F.lit("\u200b")
+    suffix = F.lit(" cafe\u0301 nai\u0308ve")
+    planted = F.concat(F.substring("text", 1, 5), zwsp,
+                       F.expr("substring(text, 6)"), suffix)
+    return (docs.select(
+        "doc_id",
+        unicode_normalize(strip_invisible(planted)).alias("folded"),
+        F.length(unicode_normalize(planted)).cast("long")
+        .alias("folded_len"))
+        .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -3993,6 +4020,7 @@ def demo_queries() -> dict[str, str]:
         "demo_main_content": _demo_main_content,
         "demo_mime_route": _demo_mime_route,
         "demo_avif_decode": _demo_avif_decode,
+        "demo_unicode_fold": _demo_unicode_fold,
     }
 
 
@@ -6366,5 +6394,26 @@ def demo_oracle_sql() -> dict[str, str]:
                CAST(40 AS BIGINT),
                '3bc6f5737308a19be4814080ba774d15', 'image/heic')
             ) AS t(name, h, w, px_md5, mime) ORDER BY name
+        """,
+        # demo_unicode_fold (r15): DuckDB's own UCD replays the NFC
+        # fold (chr-built combining marks), replace() replays the
+        # ZWSP strip; the retained-ZWSP length pins that
+        # strip_invisible (not the normalizer) removed it
+        "demo_unicode_fold": """
+            SELECT doc_id,
+                   nfc_normalize(
+                     substr(text, 1, 5) || substr(text, 6) ||
+                     ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                   ) AS folded,
+                   CAST(length(nfc_normalize(
+                     substr(text, 1, 5) || chr(8203) ||
+                     substr(text, 6) ||
+                     ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                   )) AS BIGINT) AS folded_len
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND length(text) >= 10
+            ORDER BY doc_id
         """,
     }

@@ -8,6 +8,7 @@ Import as::
 """
 
 from . import quality_rules, text, urls
+from .text import strip_invisible, unicode_normalize
 from .html import (html_blocks, html_decode_numeric_refs, html_links,
                    html_main_text, html_meta_charset, html_title,
                    html_to_text)

@@ -176,6 +176,56 @@ def normalize_text(col, case: bool = True, collapse_ws: bool = True,
     return out
 
 
+# Invisible code points that survive naive cleaning and defeat
+# fingerprint dedup: the soft hyphen (U+00AD), zero-width
+# spaces/joiners (U+200B-200D, U+2060), bidi marks and
+# embedding/override/isolate controls (U+200E/200F, U+202A-202E,
+# U+2066-2069), and the BOM-as-ZWNBSP (U+FEFF). Built from code
+# points (the characters themselves are invisible in source/diffs);
+# literal characters in the compiled pattern are portable across
+# Java regex and RE2 — no escape-dialect divergence.
+_INVISIBLE_CLASS = "[" + "".join(map(chr, [
+    0x00AD, 0x200B, 0x200C, 0x200D, 0x200E, 0x200F, 0x2060,
+    *range(0x202A, 0x202F), *range(0x2066, 0x206A), 0xFEFF])) + "]"
+
+
+def strip_invisible(col) -> Column:
+    """Remove invisible code points (zero-width spaces/joiners, bidi
+    controls, soft hyphens, BOM) — the characters that make two
+    visually identical documents hash differently and slip through
+    exact/fingerprint dedup. Pure ``regexp_replace`` (scan-stage,
+    codegen); compose with :func:`normalize_text` /
+    :func:`unicode_normalize` ahead of ``doc_fingerprint``."""
+    return F.regexp_replace(_col(col), _INVISIBLE_CLASS, "")
+
+
+def unicode_normalize(col, form: str = "NFC") -> Column:
+    """Unicode normalization (UAX #15) — ``NFC``/``NFKC``/``NFD``/
+    ``NFKD``. Canonically equivalent text (precomposed ``é`` vs
+    ``e`` + combining acute) must fingerprint identically or dedup
+    misses real duplicates; NFKC additionally folds compatibility
+    forms (fullwidth ASCII, ligatures) the way LLM-corpus cleaners
+    do. Normalization is a codepoint-table computation, not an
+    expression, so this is ONE Arrow-batched pass
+    (``unicodedata.normalize`` over each batch) — scan-stage, no
+    shuffle. NFC output is independently replayable (DuckDB
+    ``nfc_normalize`` — the demo gate does); the other forms pin to
+    the same UCD tables via pytest."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def norm(p):
+        import unicodedata
+        return p.map(lambda s: None if s is None
+                     else unicodedata.normalize(form, s))
+
+    norm.__annotations__ = {"p": pd.Series, "return": pd.Series}
+    return pandas_udf(norm, StringType())(_col(col))
+
+
 def simhash_expr(col, sep: str = " ", bits: int = 60) -> Column:
     """SimHash signature (Charikar, STOC'02) as a pure Column expression
     with the PORTABLE md5-prefix token hash: per token, each of ``bits``

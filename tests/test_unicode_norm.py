@@ -1,0 +1,138 @@
+"""Unicode normalization + invisible-char stripping
+(functions/text.py::unicode_normalize / strip_invisible): canonical
+equivalence folds to one fingerprint, NFC replays in DuckDB, and the
+zero-width adversary class strips identically in both engines.
+
+Every non-ASCII test string is built from explicit escapes — the
+whole point of these characters is that an editor can't see them.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.functions import (strip_invisible,
+                                                unicode_normalize)
+
+
+def _one(spark, s: str, col) -> str | None:
+    df = spark.createDataFrame([(s,)], ["t"])
+    return df.select(col.alias("v")).collect()[0].v
+
+
+PRECOMPOSED = "Café naïve"               # é, ï composed
+DECOMPOSED = "Café naïve"              # e+acute, i+diaeresis
+FULLWIDTH = "ＨＥＬＬＯ"       # fullwidth HELLO
+
+
+class TestUnicodeNormalize:
+    def test_nfc_folds_canonical_equivalence(self, spark):
+        assert _one(spark, DECOMPOSED,
+                    unicode_normalize("t", "NFC")) == PRECOMPOSED
+
+    def test_nfd_is_the_inverse_direction(self, spark):
+        assert _one(spark, PRECOMPOSED,
+                    unicode_normalize("t", "NFD")) == DECOMPOSED
+
+    def test_nfkc_folds_compatibility_forms(self, spark):
+        assert _one(spark, FULLWIDTH,
+                    unicode_normalize("t", "NFKC")) == "HELLO"
+        # NFC must NOT touch compatibility forms
+        assert _one(spark, FULLWIDTH,
+                    unicode_normalize("t", "NFC")) == FULLWIDTH
+
+    def test_matches_duckdb_nfc(self, spark):
+        rows = [DECOMPOSED, PRECOMPOSED, FULLWIDTH, "plain ascii",
+                "mixed ẹ́ clusters"]   # reorderable marks
+        df = spark.createDataFrame([(s,) for s in rows], ["t"])
+        got = [r.v for r in
+               df.select(unicode_normalize("t").alias("v")).collect()]
+        con = duckdb.connect()
+        want = [con.execute("SELECT nfc_normalize(?)",
+                            [s]).fetchone()[0] for s in rows]
+        assert got == want
+
+    def test_null_propagates_and_bad_form_raises(self, spark):
+        df = spark.createDataFrame([(None,)], "t string")
+        assert df.select(unicode_normalize("t").alias("v")) \
+                 .collect()[0].v is None
+        with pytest.raises(ValueError, match="normalization form"):
+            unicode_normalize("t", "NFX")
+
+    def test_dedup_motivation(self, spark):
+        # the point: canonically equivalent docs must fingerprint
+        # identically after normalization
+        from datasketches_spark_spark.functions.text import (
+            doc_fingerprint)
+        df = spark.createDataFrame(
+            [(DECOMPOSED,), (PRECOMPOSED,)], ["t"])
+        n = df.select(doc_fingerprint(
+            unicode_normalize("t")).alias("fp")) \
+            .agg(F.countDistinct("fp").alias("n")).collect()[0].n
+        assert n == 1
+        raw = df.select(doc_fingerprint("t").alias("fp")) \
+            .agg(F.countDistinct("fp").alias("n")).collect()[0].n
+        assert raw == 2
+
+
+class TestStripInvisible:
+    # soft hyphen, ZWSP, ZWNJ, ZWJ, word joiner, BOM-as-ZWNBSP
+    ADVERSARIAL = ("du​pli‌cate­ "
+                   "te⁠xt﻿‍")
+
+    def test_strips_the_class(self, spark):
+        assert _one(spark, self.ADVERSARIAL,
+                    strip_invisible("t")) == "duplicate text"
+
+    def test_bidi_controls(self, spark):
+        s = ("a‮b‬c⁦d⁩e‏‎"
+             "‪‫‭")
+        assert _one(spark, s, strip_invisible("t")) == "abcde"
+
+    def test_visible_text_untouched(self, spark):
+        s = "Café — em–dash 100 km"  # nbsp kept
+        assert _one(spark, s, strip_invisible("t")) == s
+
+    def test_matches_python_reference(self, spark):
+        from datasketches_spark_spark.functions.text import (
+            _INVISIBLE_CLASS)
+        rows = [self.ADVERSARIAL, "plain", "​​", ""]
+        df = spark.createDataFrame([(s,) for s in rows], ["t"])
+        got = [r.v for r in
+               df.select(strip_invisible("t").alias("v")).collect()]
+        want = [re.sub(_INVISIBLE_CLASS, "", s) for s in rows]
+        assert got == want
+
+    def test_scan_stage_only(self, spark):
+        df = spark.createDataFrame([("x",)], ["t"])
+        plan = df.select(strip_invisible("t")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "pythonudf" not in plan.lower()
+
+
+class TestNormalizationTables:
+    """The UDF rides CPython's bundled UCD — pin a few known spec
+    mappings so a unicodedata regression is loud."""
+
+    @pytest.mark.parametrize("src,form,want", [
+        ("Å", "NFC", "Å"),        # ANGSTROM SIGN -> Å
+        ("ﬁ", "NFKC", "fi"),           # fi ligature
+        ("①", "NFKC", "1"),            # circled digit one
+        # canonical ordering + unblocked composition: marks reorder
+        # by ccc (dot-below 220 before diaeresis 230), then x still
+        # composes with the diaeresis PAST the lower-ccc dot-below
+        # (UAX #15 blocking rule) -> U+1E8D + dot-below
+        ("x\u0308\u0323", "NFC", "\u1e8d\u0323"),
+    ])
+    def test_known_mappings(self, spark, src, form, want):
+        assert unicodedata.normalize(form, src) == want  # sanity
+        df = spark.createDataFrame([(src,)], ["t"])
+        got = df.select(unicode_normalize("t", form).alias("v")) \
+            .collect()[0].v
+        assert got == want
