@@ -125,3 +125,28 @@ class TestRefusal:
         with pytest.raises(NotImplementedError, match="libavif"):
             av.avif_encode_rgb(np.zeros((4, 4, 3), np.uint8))
         assert not av.libavif_available()
+
+
+@needs_lib
+class TestCrossFormatDedup:
+    """The payoff of routing modern formats through decode_image: the
+    SAME picture re-encoded as PNG / AVIF / HEIC collapses to one
+    perceptual hash — container-independent image dedup."""
+
+    def test_same_picture_three_containers_one_hash(self):
+        from datasketches_spark_spark.operators.heifnative import (
+            heic_codec_support, libheif_available)
+        from datasketches_spark_spark.operators.imagecodec import (
+            average_hash, decode_image)
+        from datasketches_spark_spark.operators.pngcodec import (
+            encode_png)
+        img = np.full((32, 32, 3), 40, np.uint8)
+        img[8:24, :, :] = 210          # bright band: structured hash
+        payloads = [bytes(encode_png(img)), av.avif_encode_rgb(img)]
+        if libheif_available() and heic_codec_support()[1]:
+            from datasketches_spark_spark.operators.heifnative import (
+                heic_encode_rgb)
+            payloads.append(heic_encode_rgb(img, quality=90))
+        hashes = {average_hash(decode_image(p)) for p in payloads}
+        assert len(hashes) == 1
+        assert len(payloads) >= 2
