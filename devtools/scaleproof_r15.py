@@ -171,9 +171,31 @@ def op_sitemap_entries(spark, d):
     return consume(out, "loc", "lastmod")
 
 
+def op_main_content_route(spark, d):
+    # the r15 extraction/routing extension of the decode chain:
+    # WARC -> http_decode_body -> html_main_text (block features as
+    # Column HOFs) alongside detect_mime over the decoded BYTES —
+    # still one scan stage, zero exchanges
+    from pyspark.sql import functions as F
+    from datasketches_spark_spark.functions import (
+        detect_mime, html_main_text, http_decode_body,
+        http_decode_body_bytes)
+    from datasketches_spark_spark.operators import read_warc
+    out = (read_warc(spark, d, types=("response",))
+           .select(
+               F.col("record_id"),
+               html_main_text(http_decode_body("payload"),
+                              min_chars=20).alias("main"),
+               detect_mime(http_decode_body_bytes("payload"))
+               .alias("mime")))
+    _assert_no_exchange(out, "main_content_route")
+    return consume(out, "record_id", "mime")
+
+
 OPS = [("br_zstd_chain", op_br_zstd_chain),
        ("cc_index_slices", op_cc_index_slices),
-       ("sitemap_entries", op_sitemap_entries)]
+       ("sitemap_entries", op_sitemap_entries),
+       ("main_content_route", op_main_content_route)]
 
 
 def run_op(name, fn, scale_dir):

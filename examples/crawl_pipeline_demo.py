@@ -147,13 +147,18 @@ def main() -> None:
                        "left_semi")
              .select("target_uri",
                      http_decode_body("payload").alias("html")))
+    from datasketches_spark_spark.functions import (detect_mime,
+                                                    html_main_text)
     pages = pages.select(
         "target_uri",
         html_to_text("html").alias("text"),
+        html_main_text("html", min_chars=20).alias("main"),
+        detect_mime(F.encode("html", "UTF-8")).alias("mime"),
         html_links("html").alias("links"))
-    sample = pages.select("target_uri", "text").first()
-    print(f"[3] decoded e.g. {sample.target_uri!r} -> "
-          f"{sample.text[:60]!r}...")
+    sample = pages.select("target_uri", "text", "main", "mime").first()
+    print(f"[3] decoded e.g. {sample.target_uri!r} ({sample.mime}) -> "
+          f"{sample.text[:48]!r}... | main content: "
+          f"{sample.main[:48]!r}...")
 
     # ---- 4. frontier expansion + politeness plan
     frontier = (pages
