@@ -208,6 +208,23 @@ def html_blocks(col) -> Column:
     s = F.regexp_replace(
         s, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ")
     s = F.regexp_replace(s, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    # HTML5-legal block-wrapping anchors (<a><div>card/nav text</div>
+    # </a>) must not be SPLIT by the block pass — the opener and
+    # closer would land in different blocks, the per-block anchor
+    # regexp would match nothing, and a 100%-link card would score
+    # density 0 and pass as prose. Neutralize block tags INSIDE each
+    # anchor span (one split/extract/zip pass) so the whole anchor
+    # stays in one block and its text counts as link text.
+    anchor_pat = r"(?is)(<a\b[^>]*>.*?</a\s*>)"
+    seg = F.split(s, anchor_pat, -1)
+    anchors = F.regexp_extract_all(s, F.lit(anchor_pat), 1)
+    s = F.array_join(
+        F.zip_with(
+            seg,
+            F.transform(anchors, lambda a: F.regexp_replace(
+                a, rf"(?i)</?({_BLOCK_TAGS})\b[^>]*/?>", " ")),
+            lambda p, a: F.concat(p, F.coalesce(a, F.lit("")))),
+        "")
     raw = F.split(s, rf"(?i)</?({_BLOCK_TAGS})\b[^>]*/?>", -1)
 
     def _visible_len(t: Column) -> Column:

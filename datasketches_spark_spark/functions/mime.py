@@ -78,8 +78,10 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
     - audio/video: WAVE and "AVI " RIFF forms, FLAC ``fLaC``, MP3 via
       ID3v2 header or a bare MPEG sync (0xFFEx/0xFFFx), OGG ``OggS``,
       ISO BMFF ``ftyp`` at offset 4 with brand dispatch —
-      ``avif``/``avis`` -> ``image/avif``, ``heic``/``heix``/
-      ``mif1``/``msf1`` -> ``image/heic``, else ``video/mp4``;
+      ``avif``/``avis`` -> ``image/avif``; the format-agnostic HEIF
+      structural brands ``mif1``/``msf1`` go ``image/avif`` when
+      'avif' appears in the compatible-brands head, else
+      ``image/heic`` alongside ``heic``/``heix``; else ``video/mp4``;
     - archives: gzip (RFC 1952), zip (PK\\x03\\x04), zstd frame
       (0x28B52FFD little-endian magic);
     - PDF ``%PDF-``;
@@ -99,13 +101,19 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
     h4 = F.substring(h8, 1, 8)
     h3 = F.substring(h8, 1, 6)
     h2 = F.substring(h8, 1, 4)
-    riff_form = F.decode(F.substring(p, 9, 4), "ISO-8859-1")
+    # bytes 9-12 are BOTH the RIFF form and the ISO-BMFF major brand
+    word9 = F.decode(F.substring(p, 9, 4), "ISO-8859-1")
     ftyp = F.decode(F.substring(p, 5, 4), "ISO-8859-1")
+    # for the format-agnostic HEIF structural brands (mif1/msf1) the
+    # major brand doesn't pick a codec — scan the compatible-brands
+    # list (the rest of the ftyp box head) for 'avif'
+    compat = F.decode(F.substring(p, 13, 20), "ISO-8859-1")
     head = F.decode(F.substring(p, 1, int(probe_bytes)), "ISO-8859-1")
     # leading-whitespace strip for the markup probe (WHATWG trims
     # 0x09 0x0A 0x0C 0x0D 0x20 before tag matching)
     trimmed = F.lower(F.regexp_replace(head, r"^[\t\n\f\r ]+", ""))
     is_riff = h4 == "52494646"
+    is_ftyp = ftyp == "ftyp"
     mime = (
         F.when(h3 == "EFBBBF", "text/plain")                  # UTF-8 BOM
          .when(h2 == "FFFE", "text/plain")                    # UTF-16LE
@@ -114,7 +122,7 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
          .when(h3 == "FFD8FF", "image/jpeg")
          .when(F.substring(h8, 1, 12).isin("474946383761",
                                            "474946383961"), "image/gif")
-         .when(is_riff & (riff_form == "WEBP"), "image/webp")
+         .when(is_riff & (word9 == "WEBP"), "image/webp")
          .when(h2 == "424D", "image/bmp")
          .when(h4.isin("49492A00", "4D4D002A"), "image/tiff")
          .when(F.decode(F.substring(p, 1, 2), "ISO-8859-1")
@@ -122,20 +130,18 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
                & F.decode(F.substring(p, 3, 1), "ISO-8859-1")
                   .rlike(r"^[\t\n\r ]$"),
                "image/x-portable-pixmap")
-         .when(is_riff & (riff_form == "WAVE"), "audio/wave")
-         .when(is_riff & (riff_form == "AVI "), "video/avi")
+         .when(is_riff & (word9 == "WAVE"), "audio/wave")
+         .when(is_riff & (word9 == "AVI "), "video/avi")
          .when(h4 == "664C6143", "audio/flac")                # fLaC
          .when(h3 == "494433", "audio/mpeg")                  # ID3v2
          .when(h2.rlike("^FF[EF]"), "audio/mpeg")             # MPEG sync
          .when(h4 == "4F676753", "application/ogg")           # OggS
-         .when((ftyp == "ftyp")
-               & F.decode(F.substring(p, 9, 4), "ISO-8859-1")
-                  .isin("avif", "avis"), "image/avif")
-         .when((ftyp == "ftyp")
-               & F.decode(F.substring(p, 9, 4), "ISO-8859-1")
-                  .isin("heic", "heix", "mif1", "msf1"),
+         .when(is_ftyp & word9.isin("avif", "avis"), "image/avif")
+         .when(is_ftyp & word9.isin("mif1", "msf1")
+               & compat.contains("avif"), "image/avif")
+         .when(is_ftyp & word9.isin("heic", "heix", "mif1", "msf1"),
                "image/heic")
-         .when(ftyp == "ftyp", "video/mp4")
+         .when(is_ftyp, "video/mp4")
          .when(h2 == "1F8B", "application/gzip")
          .when(h4 == "504B0304", "application/zip")
          .when(h4 == "28B52FFD", "application/zstd")

@@ -162,26 +162,33 @@ def _rgb_struct(lib, image_ptr):
 
 def _alloc_pixels(lib, buf, width: int):
     """AllocatePixels + discover (pixels_ptr, rowBytes) by diffing the
-    struct buffer: the library wrote exactly one pointer-magnitude
-    8-aligned word. rowBytes (u32 right after the pointer) must equal
-    width*4 for the default RGBA format — anything else means the
-    layout assumption broke, so raise rather than read garbage."""
+    struct buffer: the library wrote a (pointer, rowBytes) pair, and
+    the SIGNATURE we match is structural, not magnitude — a changed
+    8-aligned word that is non-zero whose following u32 equals
+    width*4 (the default-RGBA rowBytes the library itself computes).
+    Matching on the rowBytes value rather than pointer size keeps the
+    discovery correct on 32-bit platforms and low-address heaps; an
+    ambiguous match (two candidates) or none means the layout
+    assumption broke, so raise rather than read garbage."""
     before = bytes(buf.raw)
     lib.avifRGBImageAllocatePixels(buf)
     after = bytes(buf.raw)
-    for off in range(0, _RGBBUF - 8, 8):
-        if before[off:off + 8] == after[off:off + 8]:
+    psz = ctypes.sizeof(ctypes.c_void_p)     # rowBytes sits at +psz
+    pfmt = "<Q" if psz == 8 else "<I"
+    hits = []
+    for off in range(0, _RGBBUF - psz - 4, psz):
+        if before[off:off + psz] == after[off:off + psz]:
             continue
-        v = struct.unpack_from("<Q", after, off)[0]
-        if v > (1 << 40):
-            row_bytes = struct.unpack_from("<I", after, off + 8)[0]
-            if row_bytes != width * 4:
-                raise ValueError(
-                    "libavif RGB layout mismatch: rowBytes "
-                    f"{row_bytes} != width*4 {width * 4}")
-            return v, row_bytes
-    raise ValueError("libavif pixel pointer not found after "
-                     "AllocatePixels (unexpected struct layout)")
+        v = struct.unpack_from(pfmt, after, off)[0]
+        rb = struct.unpack_from("<I", after, off + psz)[0]
+        if v != 0 and rb == width * 4:
+            hits.append((off, v, rb))
+    if len(hits) != 1:
+        raise ValueError(
+            "libavif pixel pointer not identified after "
+            f"AllocatePixels ({len(hits)} candidates — unexpected "
+            "struct layout)")
+    return hits[0][1], hits[0][2]
 
 
 def _decode(data: bytes, keep_alpha: bool) -> np.ndarray:

@@ -139,8 +139,14 @@ def _require():
 
 def heic_codec_support() -> tuple[bool, bool]:
     """(can_decode, can_encode) for HEVC on this image — decode needs
-    libde265, encode needs x265 behind libheif."""
-    lib = _require()
+    libde265, encode needs x265 behind libheif. Probes the raw
+    library (NOT ``_require``, which demands the decoder): an
+    encode-only build reports ``(False, True)`` instead of raising."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError(
+            "HEIC support probe requires the system libheif, which "
+            "was not found (see operators/heifnative.py)")
     return (bool(lib.heif_have_decoder_for_format(_COMPRESSION_HEVC)),
             bool(lib.heif_have_encoder_for_format(_COMPRESSION_HEVC)))
 
@@ -181,10 +187,17 @@ def _decode(data: bytes, keep_alpha: bool) -> np.ndarray:
         if not plane:
             raise ValueError("libheif returned no interleaved plane")
         ch = 4 if keep_alpha else 3
-        rows = [np.frombuffer(
-            ctypes.string_at(plane + y * stride.value, w * ch),
-            np.uint8) for y in range(h)]
-        return np.vstack(rows).reshape(h, w, ch)
+        # one bulk copy, not h string_at calls: read through the last
+        # row's pixels and stride-slice away any row padding
+        s = stride.value
+        buf = np.frombuffer(
+            ctypes.string_at(plane, s * (h - 1) + w * ch), np.uint8)
+        if s == w * ch:
+            return buf.reshape(h, w, ch).copy()
+        out = np.empty((h, w * ch), np.uint8)
+        out[:] = np.lib.stride_tricks.as_strided(
+            buf, shape=(h, w * ch), strides=(s, 1))
+        return out.reshape(h, w, ch)
     finally:
         if img:
             lib.heif_image_release(img)

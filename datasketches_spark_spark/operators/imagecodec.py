@@ -54,11 +54,16 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
-    if data[4:8] == b"ftyp" and data[8:12] in (b"avif", b"avis"):
-        return "avif"
-    if data[4:8] == b"ftyp" and data[8:12] in (b"heic", b"heix",
-                                               b"mif1", b"msf1"):
-        return "heic"
+    if data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            return "avif"
+        if brand in (b"mif1", b"msf1"):
+            # format-agnostic HEIF structural brands: the codec hides
+            # in the compatible-brands list
+            return "avif" if b"avif" in data[12:32] else "heic"
+        if brand in (b"heic", b"heix"):
+            return "heic"
     for magic, name in _STUB_MAGICS:
         if data.startswith(magic):
             return name

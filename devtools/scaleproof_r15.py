@@ -189,7 +189,9 @@ def op_main_content_route(spark, d):
                detect_mime(http_decode_body_bytes("payload"))
                .alias("mime")))
     _assert_no_exchange(out, "main_content_route")
-    return consume(out, "record_id", "mime")
+    # 'main' MUST be in the consume column set: the aggregate is what
+    # stops Catalyst pruning the block-feature HOFs this op measures
+    return consume(out, "record_id", "main", "mime")
 
 
 OPS = [("br_zstd_chain", op_br_zstd_chain),

@@ -270,3 +270,22 @@ class TestMainContent:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "pythonudf" not in plan.lower()
+
+    def test_block_wrapping_anchor_is_link_dense(self, spark):
+        # HTML5-legal card/nav pattern: <a> wrapping a <div> — the
+        # block pass must NOT split through the anchor, or the card
+        # scores density 0 and passes as prose (r15 review finding)
+        card = ("<body><a href='/promo'><div>Promoted teaser text "
+                "well over eighty characters of navigation chrome "
+                "that links somewhere else entirely.</div></a>"
+                "<p>Real article paragraph that is long enough to "
+                "clear the default floor and contains no links at "
+                "all, just prose.</p></body>")
+        rows = self._blocks(spark, card)
+        texts = {r.text[:15]: r.link_density for r in rows}
+        assert texts["Promoted teaser"] > 0.9
+        assert texts["Real article pa"] == 0.0
+        from datasketches_spark_spark.functions import html_main_text
+        got = _one(spark, card, html_main_text("h"))
+        assert got.startswith("Real article")
+        assert "Promoted" not in got

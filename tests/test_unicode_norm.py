@@ -25,9 +25,9 @@ def _one(spark, s: str, col) -> str | None:
     return df.select(col.alias("v")).collect()[0].v
 
 
-PRECOMPOSED = "Café naïve"               # é, ï composed
-DECOMPOSED = "Café naïve"              # e+acute, i+diaeresis
-FULLWIDTH = "ＨＥＬＬＯ"       # fullwidth HELLO
+PRECOMPOSED = "Caf\u00e9 na\u00efve"               # é, ï composed
+DECOMPOSED = "Cafe\u0301 nai\u0308ve"              # e+acute, i+diaeresis
+FULLWIDTH = "\uff28\uff25\uff2c\uff2c\uff2f"       # fullwidth HELLO
 
 
 class TestUnicodeNormalize:
@@ -48,7 +48,7 @@ class TestUnicodeNormalize:
 
     def test_matches_duckdb_nfc(self, spark):
         rows = [DECOMPOSED, PRECOMPOSED, FULLWIDTH, "plain ascii",
-                "mixed ẹ́ clusters"]   # reorderable marks
+                "mixed e\u0301\u0323 clusters"]   # reorderable marks
         df = spark.createDataFrame([(s,) for s in rows], ["t"])
         got = [r.v for r in
                df.select(unicode_normalize("t").alias("v")).collect()]
@@ -82,26 +82,26 @@ class TestUnicodeNormalize:
 
 class TestStripInvisible:
     # soft hyphen, ZWSP, ZWNJ, ZWJ, word joiner, BOM-as-ZWNBSP
-    ADVERSARIAL = ("du​pli‌cate­ "
-                   "te⁠xt﻿‍")
+    ADVERSARIAL = ("du\u200bpli\u200ccate\u00ad "
+                   "te\u2060xt\ufeff\u200d")
 
     def test_strips_the_class(self, spark):
         assert _one(spark, self.ADVERSARIAL,
                     strip_invisible("t")) == "duplicate text"
 
     def test_bidi_controls(self, spark):
-        s = ("a‮b‬c⁦d⁩e‏‎"
-             "‪‫‭")
+        s = ("a\u202eb\u202cc\u2066d\u2069e\u200f\u200e"
+             "\u202a\u202b\u202d")
         assert _one(spark, s, strip_invisible("t")) == "abcde"
 
     def test_visible_text_untouched(self, spark):
-        s = "Café — em–dash 100 km"  # nbsp kept
+        s = "Caf\u00e9 \u2014 em\u2013dash 100\u00a0km"  # nbsp kept
         assert _one(spark, s, strip_invisible("t")) == s
 
     def test_matches_python_reference(self, spark):
         from datasketches_spark_spark.functions.text import (
             _INVISIBLE_CLASS)
-        rows = [self.ADVERSARIAL, "plain", "​​", ""]
+        rows = [self.ADVERSARIAL, "plain", "\u200b\u200b", ""]
         df = spark.createDataFrame([(s,) for s in rows], ["t"])
         got = [r.v for r in
                df.select(strip_invisible("t").alias("v")).collect()]
@@ -121,9 +121,9 @@ class TestNormalizationTables:
     mappings so a unicodedata regression is loud."""
 
     @pytest.mark.parametrize("src,form,want", [
-        ("Å", "NFC", "Å"),        # ANGSTROM SIGN -> Å
-        ("ﬁ", "NFKC", "fi"),           # fi ligature
-        ("①", "NFKC", "1"),            # circled digit one
+        ("\u212b", "NFC", "\u00c5"),        # ANGSTROM SIGN -> Å
+        ("\ufb01", "NFKC", "fi"),           # fi ligature
+        ("\u2460", "NFKC", "1"),            # circled digit one
         # canonical ordering + unblocked composition: marks reorder
         # by ccc (dot-below 220 before diaeresis 230), then x still
         # composes with the diaeresis PAST the lower-ccc dot-below
