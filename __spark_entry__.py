@@ -3976,6 +3976,60 @@ def _demo_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _demo_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability metrics (r15,
+    functions/quality_rules.py::readability_struct/metrics): Flesch
+    Reading Ease + FK grade over the documents table — DuckDB replays
+    the ENTIRE computation (word split, sentence-run count, the
+    vowel-group/silent-e syllable heuristic via list lambdas, and the
+    published Flesch constants in the same association order, so the
+    doubles match bit-for-bit)."""
+    from datasketches_spark_spark.functions.quality_rules import (
+        readability_metrics, readability_struct)
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 400) \
+        .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+               & (F.length("text") >= 1))
+    bound = docs.withColumn("r", readability_struct("text"))
+    m = readability_metrics(F.col("r"))
+    return (bound.select(
+        "doc_id",
+        F.col("r")["words"].alias("words"),
+        F.col("r")["sentences"].alias("sentences"),
+        F.col("r")["syllables"].alias("syllables"),
+        m["flesch_reading_ease"].alias("fre"),
+        m["fk_grade_level"].alias("fkgl"))
+        .orderBy("doc_id"))
+
+
+def _demo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order keys (r15, operators/ordering.py::zorder_key): the
+    bit-interleaved layout key over two doc-derived dimensions,
+    replayed by DuckDB with the explicit shift/and/or formula — plus
+    the LOCALITY property the layout exists for, recomputed
+    relationally: bucketing by the key's high bits must bound BOTH
+    dimensions inside every bucket (that bound is what parquet
+    min/max pruning cashes in on at 100 TB)."""
+    from datasketches_spark_spark.operators.ordering import zorder_key
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 4096) \
+        .select("doc_id",
+                (F.col("doc_id") % 64).alias("x"),
+                (F.col("doc_id") / 64).cast("long").alias("y"))
+    keyed = docs.select(
+        "doc_id", "x", "y",
+        zorder_key(["x", "y"], bits=6).alias("z"))
+    spans = (keyed.groupBy(F.shiftright("z", 8).alias("bucket"))
+             .agg(F.count("*").alias("n"),
+                  (F.max("x") - F.min("x")).alias("span_x"),
+                  (F.max("y") - F.min("y")).alias("span_y")))
+    return (keyed.join(spans,
+                       F.shiftright(keyed["z"], 8) == spans["bucket"])
+            .select("doc_id", "x", "y", "z",
+                    "bucket", "n", "span_x", "span_y")
+            .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -4021,6 +4075,8 @@ def demo_queries() -> dict[str, str]:
         "demo_mime_route": _demo_mime_route,
         "demo_avif_decode": _demo_avif_decode,
         "demo_unicode_fold": _demo_unicode_fold,
+        "demo_readability": _demo_readability,
+        "demo_zorder": _demo_zorder,
     }
 
 
@@ -6415,5 +6471,95 @@ def demo_oracle_sql() -> dict[str, str]:
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
               AND length(text) >= 10
             ORDER BY doc_id
+        """,
+        # demo_readability (r15): the whole Flesch computation —
+        # word split, sentence runs, vowel-group/silent-e syllables
+        # (list lambdas), and the published constants in the same
+        # association order — replayed relationally
+        "demo_readability": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '),
+                                 w -> w <> '') AS ws
+              FROM documents
+              WHERE doc_id < 400
+                AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+                AND length(text) >= 1
+            ), cnt AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS words,
+                     CAST(greatest(len(regexp_extract_all(
+                       text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+                     CAST(list_aggregate(list_transform(ws, w ->
+                       greatest(
+                         len(regexp_extract_all(
+                           lower(regexp_replace(w, '[^A-Za-z]+', '',
+                                                'g')),
+                           '[aeiouy]+'))
+                         - CASE WHEN regexp_matches(
+                               lower(regexp_replace(w, '[^A-Za-z]+',
+                                                    '', 'g')),
+                               '[^aeiouy]e$')
+                             AND len(regexp_extract_all(
+                               lower(regexp_replace(w, '[^A-Za-z]+',
+                                                    '', 'g')),
+                               '[aeiouy]+')) > 1
+                           THEN 1 ELSE 0 END,
+                         1)), 'sum') AS BIGINT) AS syllables
+              FROM base
+            )
+            SELECT doc_id, words, sentences, syllables,
+                   CASE WHEN words = 0 THEN NULL ELSE
+                     206.835
+                     - 1.015 * (CAST(words AS DOUBLE)
+                                / CAST(sentences AS DOUBLE))
+                     - 84.6 * (CAST(syllables AS DOUBLE)
+                               / CAST(words AS DOUBLE)) END AS fre,
+                   CASE WHEN words = 0 THEN NULL ELSE
+                     0.39 * (CAST(words AS DOUBLE)
+                             / CAST(sentences AS DOUBLE))
+                     + 11.8 * (CAST(syllables AS DOUBLE)
+                               / CAST(words AS DOUBLE))
+                     - 15.59 END AS fkgl
+            FROM cnt ORDER BY doc_id
+        """,
+        # demo_zorder (r15): the Morton interleave as explicit SQL
+        # bit arithmetic, plus the locality property (high-bit
+        # buckets bound both dimensions) recomputed relationally
+        "demo_zorder": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     CAST(doc_id % 64 AS BIGINT) AS x,
+                     CAST(doc_id // 64 AS BIGINT) AS y,
+                     -- NOTE: DuckDB's << binds LOOSER than | and +,
+                     -- so every interleave term is fully
+                     -- parenthesized and the disjoint bits combine
+                     -- with +
+                     CAST(
+                       ((((doc_id % 64) >> 0) & 1) << 0)
+                     + ((((doc_id // 64) >> 0) & 1) << 1)
+                     + ((((doc_id % 64) >> 1) & 1) << 2)
+                     + ((((doc_id // 64) >> 1) & 1) << 3)
+                     + ((((doc_id % 64) >> 2) & 1) << 4)
+                     + ((((doc_id // 64) >> 2) & 1) << 5)
+                     + ((((doc_id % 64) >> 3) & 1) << 6)
+                     + ((((doc_id // 64) >> 3) & 1) << 7)
+                     + ((((doc_id % 64) >> 4) & 1) << 8)
+                     + ((((doc_id // 64) >> 4) & 1) << 9)
+                     + ((((doc_id % 64) >> 5) & 1) << 10)
+                     + ((((doc_id // 64) >> 5) & 1) << 11)
+                       AS BIGINT) AS z
+              FROM documents WHERE doc_id < 4096
+            ), spans AS (
+              SELECT z >> 8 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n,
+                     max(x) - min(x) AS span_x,
+                     max(y) - min(y) AS span_y
+              FROM keyed GROUP BY 1
+            )
+            SELECT k.doc_id, k.x, k.y, k.z,
+                   s.bucket, s.n, s.span_x, s.span_y
+            FROM keyed k JOIN spans s ON (k.z >> 8) = s.bucket
+            ORDER BY k.doc_id
         """,
     }

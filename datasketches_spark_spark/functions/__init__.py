@@ -10,8 +10,9 @@ Import as::
 from . import quality_rules, text, urls
 from .text import strip_invisible, unicode_normalize
 from .html import (html_blocks, html_decode_numeric_refs, html_links,
-                   html_main_text, html_meta_charset, html_title,
-                   html_to_text)
+                   html_main_text, html_meta_charset,
+                   html_meta_content, html_title, html_to_text)
+from .quality_rules import readability_metrics, readability_struct
 from .robots import (parse_robots, parse_robots_text,
                      robots_allowed, robots_crawl_delay,
                      robots_sitemaps)

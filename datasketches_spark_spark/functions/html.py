@@ -31,6 +31,7 @@ expression):
 
 from __future__ import annotations
 
+import re as _re
 from functools import reduce
 
 from pyspark.sql import Column
@@ -38,7 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["html_to_text", "html_title", "html_decode_numeric_refs",
            "html_links", "html_meta_charset", "html_blocks",
-           "html_main_text"]
+           "html_main_text", "html_meta_content"]
 
 _BLOCK_TAGS = ("p|div|li|ul|ol|tr|td|th|table|h[1-6]|br|hr|section|"
                "article|header|footer|blockquote|pre")
@@ -318,6 +319,39 @@ def html_meta_charset(col) -> Column:
            r"([\w.:-]+)", 1)
     cs = F.lower(direct)
     return F.when(cs == "", None).otherwise(cs)
+
+
+def html_meta_content(col, name: str) -> Column:
+    """``content`` of a ``<meta name=...>`` / ``<meta property=...>``
+    element (entity-decoded, trimmed; null when absent) — the
+    document-metadata step of the crawl chain: ``og:title`` /
+    ``og:description`` / ``description`` / ``keywords`` carry the
+    page's self-description, which pipelines keep alongside the
+    extracted text. ``name`` is a literal python string escaped into
+    the pattern at plan time (case-insensitive match, both attribute
+    orders: name-then-content and content-then-name). Pure Column
+    regexp — scan-stage, replayable."""
+    s = _col(col)
+    nm = _re.escape(name)
+    # the name value must TERMINATE (quote, or delimiter for the
+    # unquoted form) — 'description' must not match 'description2'
+    nm_val = rf"(?:\"{nm}\"|'{nm}'|{nm}(?=[\s/>]))"
+    attr = r"(?:[^>]*?\s)?"     # attributes may precede immediately
+    # name= (or property=) before content=
+    fwd = F.regexp_extract(
+        s, rf"(?is)<meta\s{attr}(?:name|property)\s*=\s*{nm_val}"
+           rf"[^>]*?\scontent\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)",
+        1)
+    # content= before name= (real pages ship both orders)
+    rev = F.regexp_extract(
+        s, rf"(?is)<meta\s{attr}content\s*=\s*"
+           rf"(\"[^\"]*\"|'[^']*'|[^\s>]+)"
+           rf"[^>]*?\s(?:name|property)\s*=\s*{nm_val}",
+        1)
+    v = F.when(fwd != "", fwd).otherwise(rev)
+    v = F.trim(_decode_entities(
+        F.regexp_replace(v, r"^[\"']|[\"']$", "")))
+    return F.when(v == "", None).otherwise(v)
 
 
 def html_title(col) -> Column:

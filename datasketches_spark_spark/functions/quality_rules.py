@@ -138,3 +138,70 @@ def filter_gopher(df, text_col: str, keep: bool = True,
     flags = gopher_flags(F.col("_g"), **thresholds)
     pred = flags["passes"] if keep else ~flags["passes"]
     return bound.where(pred).drop("_g")
+
+
+# ------------------------------------------------------- readability
+
+def _syllable_count(words: Column) -> Column:
+    """Heuristic syllable count: vowel-group runs per word
+    (``[aeiouy]+`` case-insensitive), minimum 1 per word, minus one
+    for a silent trailing 'e' on multi-group words ("date" = 1, "tea"
+    = 1, "audio" = 2). The classic Flesch implementation heuristic —
+    documented, deterministic, and replayable with the same two
+    regexes in any engine."""
+    def per_word(w: Column) -> Column:
+        # syllables live in the LETTERS — strip attached punctuation
+        # ("one..." is one word, not a longer vowel sequence)
+        letters = F.lower(F.regexp_replace(w, r"[^A-Za-z]+", ""))
+        groups = F.regexp_count(letters, F.lit(r"[aeiouy]+"))
+        silent_e = (letters.rlike(r"[^aeiouy]e$")
+                    & (groups > 1)).cast("int")
+        return F.greatest(groups - silent_e, F.lit(1))
+    return F.aggregate(F.transform(words, per_word), F.lit(0),
+                       lambda acc, x: acc + x)
+
+
+def readability_struct(col, sep: str = " ") -> Column:
+    """Counting pass for readability metrics — ONE struct with
+    ``words`` / ``sentences`` / ``syllables`` / ``chars`` (bind it to
+    a named column before fanning out, the ``gopher_struct``
+    convention). Sentences = runs of ``.!?`` (minimum 1 so empty/
+    fragment docs don't divide by zero); syllables per the
+    vowel-group heuristic. All pure Column expressions."""
+    s = _col_q(col)
+    words = F.filter(F.split(s, sep), lambda w: w != "")
+    sentences = F.greatest(
+        F.regexp_count(s, F.lit(r"[.!?]+")), F.lit(1))
+    return F.struct(
+        F.size(words).cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        _syllable_count(words).cast("long").alias("syllables"),
+        F.length(s).cast("long").alias("chars"))
+
+
+def readability_metrics(r: Column) -> dict[str, Column]:
+    """Flesch Reading Ease and Flesch-Kincaid Grade Level from a
+    bound :func:`readability_struct` column — the standard
+    pretraining-corpus readability filters (drop both the unreadable
+    and the trivially-templated tails). Each metric is one
+    double expression over the struct's integer counts, so an
+    independent engine replays it bit-identically. Zero-word docs
+    yield null metrics (filterable)."""
+    w = r["words"].cast("double")
+    st = r["sentences"].cast("double")
+    sy = r["syllables"].cast("double")
+    empty = r["words"] == 0
+    fre = (F.lit(206.835) - F.lit(1.015) * (w / st)
+           - F.lit(84.6) * (sy / w))
+    fkgl = (F.lit(0.39) * (w / st) + F.lit(11.8) * (sy / w)
+            - F.lit(15.59))
+    return {
+        "flesch_reading_ease": F.when(empty, None).otherwise(fre),
+        "fk_grade_level": F.when(empty, None).otherwise(fkgl),
+        "words_per_sentence": F.when(empty, None).otherwise(w / st),
+        "syllables_per_word": F.when(empty, None).otherwise(sy / w),
+    }
+
+
+def _col_q(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c

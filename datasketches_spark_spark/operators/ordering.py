@@ -67,3 +67,60 @@ def global_shuffle(df: DataFrame, id_col: str,
                         (F.col("_off") + F.row_number().over(w) - 1)
                         .cast("long"))
             .drop("_sk", "_bk", "_off"))
+
+
+# ------------------------------------------------------ Z-order layout
+
+def zorder_key(cols, bits: int = 21):
+    """Bit-interleaved Z-order (Morton) key over 2-3 integer columns —
+    the multi-dimensional DATA-LAYOUT primitive (the Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` idea, public: Morton 1966; Delta Lake docs):
+    sorting/range-partitioning by this key co-locates rows that are
+    close in EVERY dimension, so parquet min/max stats prune scans
+    filtered on ANY of the dimensions, not just the leading sort key.
+    At 100 TB this is the difference between "predicate on the second
+    column reads the whole table" and "reads ~sqrt of it".
+
+    ``cols``: 2 or 3 integer Columns/names. Each value is clamped to
+    ``[0, 2^bits)`` (callers bucket/rank skewed or signed dimensions
+    first — raw interleave is only as balanced as its inputs);
+    ``bits`` defaults to the max that fits a signed long (21 for 3
+    dims; up to 31 for 2). Pure Column bit arithmetic (shift/and/or
+    terms, whole-stage codegen) — an independent SQL engine replays
+    the key with the same formula, which the demo gate does."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cols)
+    if n not in (2, 3):
+        raise ValueError("zorder_key interleaves 2 or 3 columns")
+    if not (1 <= bits * n <= 63):
+        raise ValueError(f"bits*dims must fit a signed long "
+                         f"(got {bits}*{n})")
+    hi = (1 << bits) - 1
+    clamped = [F.greatest(F.lit(0),
+                          F.least(c.cast("long"), F.lit(hi)))
+               for c in cols]
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(clamped):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)),
+                            b * n + i))
+    return out
+
+
+def zorder_layout(df: DataFrame, cols, bits: int = 21,
+                  num_files: int | None = None) -> DataFrame:
+    """Lay a DataFrame out in Z-order: range-partition by
+    :func:`zorder_key` (one exchange — the layout pass IS the
+    shuffle, paid once at write time) and sort within partitions, so
+    a subsequent ``.write.parquet`` produces files whose min/max
+    column stats are tight on EVERY interleaved dimension. Read-side
+    filter pruning then works for any of the dimensions. Pass
+    ``num_files`` to fix the output file count (defaults to the
+    session shuffle parallelism)."""
+    key = zorder_key(cols, bits).alias("_zkey")
+    out = df.withColumn("_zkey", key)
+    parts = [num_files] if num_files else []
+    return (out.repartitionByRange(*parts, F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey"))
