@@ -4030,6 +4030,76 @@ def _demo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_langid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten-language lang_id (r15, functions/text.py — the extension
+    set behind ``langs=LANG_ORDER_WIDE``; the board query q22 keeps
+    the original five and its lock): each doc takes a short natural
+    prefix plus TWENTY repetitions of its doc_id-selected language's
+    stopword list (the planted signal dominates any natural-text
+    hits), and the argmax-with-tie-break rule is replayed
+    relationally from the SAME stopword dict the engine uses — the
+    oracle SQL is GENERATED from functions.text.STOPWORDS at call
+    time, so engine and oracle cannot drift."""
+    from datasketches_spark_spark.functions.text import (
+        LANG_ORDER_WIDE, STOPWORDS, lang_id)
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 400) \
+        .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+               & ~F.col("text").contains("  ")
+               & (F.length("text") >= 10))
+    n = len(LANG_ORDER_WIDE)
+    planted_tail = F.element_at(
+        F.array(*[F.lit(" " + " ".join(STOPWORDS[lg] * 20))
+                  for lg in LANG_ORDER_WIDE]),
+        (F.col("doc_id") % n + 1).cast("int"))
+    planted = F.concat(F.substring("text", 1, 120), planted_tail)
+    return (docs.select(
+        "doc_id",
+        lang_id(planted, langs=LANG_ORDER_WIDE).alias("lang"))
+        .orderBy("doc_id"))
+
+
+def _demo_langid_wide_oracle() -> str:
+    """Generated from the engine's own STOPWORDS — see the gate."""
+    from datasketches_spark_spark.functions.text import (
+        LANG_ORDER_WIDE, STOPWORDS)
+    n = len(LANG_ORDER_WIDE)
+    tails = ", ".join(
+        "'" + " " + " ".join(STOPWORDS[lg] * 20) + "'"
+        for lg in LANG_ORDER_WIDE)
+    score_cols = ",\n".join(
+        f"  len(list_filter(string_split(planted, ' '), "
+        f"x -> list_contains([{', '.join(repr(w) for w in STOPWORDS[lg])}], x))) "
+        f"AS s_{lg}" for lg in LANG_ORDER_WIDE)
+    best = "greatest(" + ", ".join(
+        f"s_{lg}" for lg in LANG_ORDER_WIDE) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'"
+        for lg in LANG_ORDER_WIDE) + " END"
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 substr(text, 1, 120) ||
+                   ([{tails}])[CAST(doc_id % {n} AS INT) + 1]
+                   AS planted
+          FROM documents
+          WHERE doc_id < 400
+            AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+            AND text NOT LIKE '%  %'
+            AND length(text) >= 10
+        ), scored AS (
+          SELECT doc_id,
+{score_cols}
+          FROM planted
+        ), ranked AS (
+          SELECT doc_id, {best} AS best, * FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS lang
+        FROM ranked ORDER BY doc_id
+    """
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -4077,6 +4147,7 @@ def demo_queries() -> dict[str, str]:
         "demo_unicode_fold": _demo_unicode_fold,
         "demo_readability": _demo_readability,
         "demo_zorder": _demo_zorder,
+        "demo_langid_wide": _demo_langid_wide,
     }
 
 
@@ -6562,4 +6633,5 @@ def demo_oracle_sql() -> dict[str, str]:
             FROM keyed k JOIN spans s ON (k.z >> 8) = s.bucket
             ORDER BY k.doc_id
         """,
+        "demo_langid_wide": _demo_langid_wide_oracle(),
     }

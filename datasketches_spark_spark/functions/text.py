@@ -27,8 +27,19 @@ STOPWORDS = {
     "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du"],
     "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de"],
     "zh": ["de", "shi", "bu", "le", "wo", "ni", "ta"],
+    # r15 extension languages — available via lang_id(col, langs=...)
+    # (the DEFAULT stays LANG_ORDER so the board query's behavior and
+    # its lock are untouched)
+    "it": ["il", "di", "che", "e", "la", "per", "un", "una", "non"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "uma"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "dat", "niet", "op"],
+    "ru": ["и", "в", "не", "на", "что", "с", "это", "как", "он"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "ini", "untuk",
+           "dari", "tidak"],
 }
 LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # tie-break priority
+# priority order when callers opt into the full set
+LANG_ORDER_WIDE = LANG_ORDER + ["it", "pt", "nl", "ru", "id"]
 
 
 def _col(c) -> Column:
@@ -105,12 +116,20 @@ def stopword_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.filter(tokens, lambda x: x.isin(*sw)))
 
 
-def lang_id(col, sep: str = " ") -> Column:
-    """Heuristic language ID: argmax of stopword hits over LANG_ORDER with
-    fixed tie-break (earlier language wins ties). Pure expression — at 100 TB
-    this is a per-row map with no shuffle."""
+def lang_id(col, sep: str = " ", langs: list[str] | None = None) -> Column:
+    """Heuristic language ID: argmax of stopword hits with fixed
+    tie-break (earlier language wins ties). Pure expression — at
+    100 TB this is a per-row map with no shuffle. ``langs`` selects
+    the candidate set in priority order (default ``LANG_ORDER``, the
+    original five; pass ``LANG_ORDER_WIDE`` for the r15 ten-language
+    set — the cost is one more array filter per extra language,
+    inside the same scan)."""
+    order = list(langs) if langs is not None else LANG_ORDER
+    unknown = set(order) - set(STOPWORDS)
+    if unknown:
+        raise ValueError(f"no stopword list for {sorted(unknown)}")
     toks = tokenize(col, sep)
-    scores = [(lang, stopword_hits(toks, lang)) for lang in LANG_ORDER]
+    scores = [(lang, stopword_hits(toks, lang)) for lang in order]
     best = F.greatest(*[s for _, s in scores])
     # first language (in priority order) reaching `best` wins ties
     result = F.lit("und")

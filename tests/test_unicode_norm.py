@@ -136,3 +136,35 @@ class TestNormalizationTables:
         got = df.select(unicode_normalize("t", form).alias("v")) \
             .collect()[0].v
         assert got == want
+
+
+class TestLangIdWide:
+    """r15: the ten-language extension set (langs=LANG_ORDER_WIDE);
+    the default set and therefore the q22 board behavior/lock are
+    untouched."""
+
+    def test_extension_languages_detected(self, spark):
+        from datasketches_spark_spark.functions.text import (
+            LANG_ORDER_WIDE, STOPWORDS, lang_id)
+        rows = [(lg, " ".join(STOPWORDS[lg] * 3))
+                for lg in ("it", "pt", "nl", "ru", "id")]
+        df = spark.createDataFrame(rows, ["want", "t"])
+        got = df.select("want", lang_id(
+            "t", langs=LANG_ORDER_WIDE).alias("lang")).collect()
+        for r in got:
+            assert r.lang == r.want, r
+
+    def test_default_set_unchanged(self, spark):
+        from datasketches_spark_spark.functions.text import (
+            LANG_ORDER, lang_id)
+        assert LANG_ORDER == ["en", "de", "fr", "es", "zh"]
+        df = spark.createDataFrame(
+            [("il di che e la per un una non",)], ["t"])
+        # the default candidate set cannot answer 'it'
+        assert df.select(lang_id("t").alias("v")).collect()[0].v != "it"
+
+    def test_unknown_language_raises(self):
+        from datasketches_spark_spark.functions.text import lang_id
+        import pytest as _pt
+        with _pt.raises(ValueError, match="no stopword list"):
+            lang_id("t", langs=["en", "xx"])
