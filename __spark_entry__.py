@@ -4100,6 +4100,39 @@ def _demo_langid_wide_oracle() -> str:
     """
 
 
+def _demo_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (r15, operators/pdfcodec.py — the
+    write/read-symmetry gate, the demo_warc_roundtrip convention:
+    no PDF tool exists in this environment): each doc becomes a
+    two-page Flate-compressed PDF through the deterministic writer,
+    then ``extract_pdf_text`` must recover the exact text plus the
+    structural counts — all of which DuckDB rebuilds relationally
+    from the documents columns."""
+    import pandas as pd
+    from datasketches_spark_spark.operators import extract_pdf_text
+    from datasketches_spark_spark.operators.pdfcodec import \
+        encode_pdf_text
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & (F.length("text") >= 60))
+            .select("doc_id", "text").repartition(4))
+
+    def _mk(pdf_iter):
+        for pdf in pdf_iter:
+            payloads = [encode_pdf_text(
+                [str(t)[:60], "doc %d second page" % int(d)])
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pdfs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return (extract_pdf_text(pdfs, "doc_id")
+            .select("doc_id", "text", "pages", "streams")
+            .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -4148,6 +4181,7 @@ def demo_queries() -> dict[str, str]:
         "demo_readability": _demo_readability,
         "demo_zorder": _demo_zorder,
         "demo_langid_wide": _demo_langid_wide,
+        "demo_pdf_text": _demo_pdf_text,
     }
 
 
@@ -6634,4 +6668,19 @@ def demo_oracle_sql() -> dict[str, str]:
             ORDER BY k.doc_id
         """,
         "demo_langid_wide": _demo_langid_wide_oracle(),
+        # demo_pdf_text (r15): write/read symmetry — the expected
+        # extracted text is a pure string expression over the columns
+        "demo_pdf_text": """
+            SELECT doc_id,
+                   substr(text, 1, 60) || chr(10) ||
+                     'doc ' || CAST(doc_id AS VARCHAR) ||
+                     ' second page' AS text,
+                   CAST(2 AS BIGINT) AS pages,
+                   CAST(2 AS BIGINT) AS streams
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND length(text) >= 60
+            ORDER BY doc_id
+        """,
     }

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -349,3 +350,35 @@ def extract_features(df: DataFrame, id_col: str,
                 yield pd.DataFrame(rows)
 
     return src.mapInPandas(build, out_schema).withColumnRenamed("_id", id_col)
+
+
+PDF_TEXT_FIELDS = [
+    StructField("text", StringType()),
+    StructField("pages", LongType()),
+    StructField("streams", LongType()),
+    StructField("has_type0", BooleanType()),
+]
+
+
+def extract_pdf_text(df: DataFrame, id_col: str,
+                     payload_col: str = "payload",
+                     keep_cols: list[str] | None = None) -> DataFrame:
+    """PDF text extraction (r15, ``operators/pdfcodec.py`` — the
+    document sibling of ``html_to_text``): visible text from every
+    content stream's text-showing operators plus the structural
+    metadata pipelines route on, one streaming Arrow pass per
+    partition. Encrypted/undecodable payloads raise (loud null via
+    the wrapper, never silent garbage); composite-font documents are
+    flagged via ``has_type0`` so CJK extraction quality can be
+    filtered on."""
+    from .pdfcodec import pdf_info, pdf_text
+
+    def one(raw: bytes) -> dict:
+        info = pdf_info(raw)
+        return {"text": pdf_text(raw), "pages": info["pages"],
+                "streams": info["streams"],
+                "has_type0": info["has_type0"]}
+
+    return transform_payloads(df, id_col, one, PDF_TEXT_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)

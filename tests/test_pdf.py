@@ -1,0 +1,160 @@
+"""PDF text codec (operators/pdfcodec.py): write/read symmetry (the
+WARC convention — no PDF tool exists in this environment, probed),
+string-syntax edge cases per ISO 32000-1 §7.3.4, stream-boundary
+hazards, refusal paths, and the Arrow operator wrapper."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from datasketches_spark_spark.operators.pdfcodec import (
+    MAX_INPUT_BYTES, encode_pdf_text, pdf_info, pdf_text)
+
+
+def _hand_pdf(content: bytes, filt: bool = True,
+              length: int | None = None) -> bytes:
+    """One-object PDF around a raw content stream."""
+    data = zlib.compress(content) if filt else content
+    ln = len(data) if length is None else length
+    d = b"<< /Length " + str(ln).encode()
+    if filt:
+        d += b" /Filter /FlateDecode"
+    return (b"%PDF-1.4\n1 0 obj\n" + d + b" >>\nstream\n" + data
+            + b"\nendstream\nendobj\n%%EOF\n")
+
+
+class TestRoundtrip:
+    def test_multipage_roundtrip(self):
+        pages = ["Hello, world!\nSecond line.",
+                 "Page two text with (parens) and a \\ backslash."]
+        pdf = encode_pdf_text(pages)
+        assert pdf.startswith(b"%PDF-1.4")
+        assert pdf_text(pdf) == "\n".join(pages)
+        info = pdf_info(pdf)
+        assert info["pages"] == 2 and info["streams"] == 2
+        assert not info["encrypted"] and not info["has_type0"]
+
+    def test_uncompressed_mode(self):
+        pdf = encode_pdf_text(["raw stream page"], compress=False)
+        assert b"FlateDecode" not in pdf
+        assert pdf_text(pdf) == "raw stream page"
+
+    def test_byte_determinism(self):
+        a = encode_pdf_text(["same text"])
+        assert a == encode_pdf_text(["same text"])
+
+    def test_latin1_range_and_refusal(self):
+        pdf = encode_pdf_text(["caf\xe9 na\xefve"])
+        assert pdf_text(pdf) == "caf\xe9 na\xefve"
+        with pytest.raises(ValueError, match="Latin-1"):
+            encode_pdf_text(["☃ snowman"])
+
+    def test_xref_offsets_are_correct(self):
+        # the classic xref must point at each 'N 0 obj' exactly
+        pdf = encode_pdf_text(["a", "b"])
+        xref_at = int(pdf.rsplit(b"startxref\n", 1)[1].split()[0])
+        lines = pdf[xref_at:].split(b"\n")
+        assert lines[0] == b"xref"
+        n = int(lines[1].split()[1])
+        for i, entry in enumerate(lines[3:3 + n - 1], 1):
+            off = int(entry.split()[0])
+            assert pdf[off:].startswith(b"%d 0 obj" % i)
+
+
+class TestStringSyntax:
+    def test_tj_array_and_hex(self):
+        c = b"BT [(ab) -120 (cd)] TJ T* <48495f21> Tj ET"
+        assert pdf_text(_hand_pdf(c)) == "abcd\nHI_!"
+
+    def test_escapes_and_octal(self):
+        # adjacent Tj strings CONCATENATE (no implicit space — text
+        # position just continues); \n inside a literal is real text
+        c = rb"BT (tab\there\n) Tj (oct\101l) Tj (par\(en\)s) Tj ET"
+        assert pdf_text(_hand_pdf(c)) == "tab\there\noctAlpar(en)s"
+
+    def test_nested_parens_and_continuation(self):
+        c = b"BT ((nested (deep)) ok) Tj (spl\\\nit) Tj ET"
+        assert pdf_text(_hand_pdf(c)) == "(nested (deep)) ok.split" \
+            .replace(".", "")
+
+    def test_quote_ops_break_lines(self):
+        # ' / " are T*-then-show: the break precedes their string
+        c = b"BT (one) Tj (two) ' (three) \" ET"
+        assert pdf_text(_hand_pdf(c)) == "one\ntwo\nthree"
+
+    def test_odd_hex_pads(self):
+        c = b"BT <414> Tj ET"          # 'A' + 0x40 '@'
+        assert pdf_text(_hand_pdf(c)) == "A@"
+
+
+class TestStreamBoundaries:
+    def test_length_protects_embedded_endstream(self):
+        # compressed bytes that CONTAIN 'endstream' must not truncate
+        # when /Length is honest
+        payload = b"BT (guarded) Tj ET"
+        fake = zlib.compress(payload)
+        planted = fake + b"endstream junk"        # scan bait
+        pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length "
+               + str(len(planted)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + planted
+               + b"\nendstream\nendobj\n")
+        # honest Length covers the bait; inflate ignores the tail
+        assert pdf_text(pdf) == "guarded"
+
+    def test_broken_length_falls_back_to_scan(self):
+        content = b"BT (fallback) Tj ET"
+        pdf = _hand_pdf(content, filt=False, length=999_999)
+        assert pdf_text(pdf) == "fallback"
+
+    def test_undecodable_stream_skipped(self):
+        bad = (b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter "
+               b"/FlateDecode >>\nstream\nJUNK\nendstream\nendobj\n")
+        good = _hand_pdf(b"BT (kept) Tj ET")
+        assert pdf_text(bad + good[9:]) == "kept"
+
+    def test_non_text_streams_ignored(self):
+        img = _hand_pdf(b"\x00\x01\x02 not text ops", filt=False)
+        assert pdf_text(img) == ""
+
+
+class TestRefusals:
+    def test_encrypted_raises(self):
+        with pytest.raises(NotImplementedError, match="encrypted"):
+            pdf_text(b"%PDF-1.7\ntrailer << /Encrypt 9 0 R >>")
+
+    def test_non_pdf_raises(self):
+        with pytest.raises(ValueError, match="%PDF-"):
+            pdf_text(b"<html>nope</html>")
+
+    def test_bomb_guard(self):
+        with pytest.raises(ValueError, match="bomb guard"):
+            pdf_text(b"%PDF-" + b"\0" * (MAX_INPUT_BYTES + 1))
+
+    def test_type0_flagged(self):
+        pdf = _hand_pdf(b"BT (x) Tj ET", filt=False)
+        pdf += b"\n2 0 obj << /Subtype /Type0 >> endobj\n"
+        assert pdf_info(pdf)["has_type0"]
+
+
+class TestOperator:
+    def test_extract_pdf_text_operator(self, spark):
+        from datasketches_spark_spark.operators import extract_pdf_text
+        rows = [(1, bytearray(encode_pdf_text(["doc one text"]))),
+                (2, bytearray(encode_pdf_text(["page a", "page b"]))),
+                (3, None)]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r.id: (r.text, r.pages) for r in
+               extract_pdf_text(df, "id").collect()}
+        assert out[1] == ("doc one text", 1)
+        assert out[2] == ("page a\npage b", 2)
+        assert 3 not in out      # null payloads drop (the
+        #                          transform_payloads convention)
+
+    def test_detect_mime_routes_pdf(self, spark):
+        from datasketches_spark_spark.functions import detect_mime
+        df = spark.createDataFrame(
+            [(bytearray(encode_pdf_text(["x"])),)], "payload binary")
+        assert df.select(detect_mime("payload").alias("m")) \
+                 .collect()[0].m == "application/pdf"
