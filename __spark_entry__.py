@@ -4133,6 +4133,38 @@ def _demo_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction (r15, operators/docxcodec.py — the
+    demo_pdf_text pattern): each doc becomes a two-paragraph .docx
+    through the deterministic writer (the second paragraph carries
+    XML specials that must escape and decode: ``< & >``), and
+    ``extract_docx_text`` must recover the exact text plus the
+    paragraph count — rebuilt relationally by DuckDB."""
+    import pandas as pd
+    from datasketches_spark_spark.operators import extract_docx_text
+    from datasketches_spark_spark.operators.docxcodec import \
+        encode_docx_text
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & (F.length("text") >= 40))
+            .select("doc_id", "text").repartition(4))
+
+    def _mk(pdf_iter):
+        for pdf in pdf_iter:
+            payloads = [encode_docx_text(
+                [str(t)[:40], "doc %d: a < b & c > d" % int(d)])
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pkgs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return (extract_docx_text(pkgs, "doc_id")
+            .select("doc_id", "text", "paragraphs")
+            .orderBy("doc_id"))
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -4182,6 +4214,7 @@ def demo_queries() -> dict[str, str]:
         "demo_zorder": _demo_zorder,
         "demo_langid_wide": _demo_langid_wide,
         "demo_pdf_text": _demo_pdf_text,
+        "demo_docx_text": _demo_docx_text,
     }
 
 
@@ -6681,6 +6714,20 @@ def demo_oracle_sql() -> dict[str, str]:
             WHERE doc_id < 400
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
               AND length(text) >= 60
+            ORDER BY doc_id
+        """,
+        # demo_docx_text (r15): write/read symmetry, XML specials
+        # escape-and-decode through the package
+        "demo_docx_text": """
+            SELECT doc_id,
+                   substr(text, 1, 40) || chr(10) ||
+                     'doc ' || CAST(doc_id AS VARCHAR) ||
+                     ': a < b & c > d' AS text,
+                   CAST(2 AS BIGINT) AS paragraphs
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND length(text) >= 40
             ORDER BY doc_id
         """,
     }

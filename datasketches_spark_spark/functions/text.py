@@ -138,6 +138,25 @@ def lang_id(col, sep: str = " ", langs: list[str] | None = None) -> Column:
     return F.when(best > 0, result).otherwise(F.lit("und"))
 
 
+def split_sentences(col) -> Column:
+    """Sentence segmentation as a pure Column expression — the
+    chunking/decontamination unit between character offsets and
+    whole documents: maximal runs of non-terminator text plus their
+    terminating ``.!?`` run, trimmed, empties dropped. Deliberately
+    abbreviation-blind (``"Dr. Smith"`` splits — a lexicon-free
+    deterministic contract both engines replay identically;
+    extractive quality beats silent divergence for dedup keys).
+    Trailing unterminated text is a sentence."""
+    s = _col(col)
+    toks = F.regexp_extract_all(
+        s, F.lit(r"[^.!?]+(?:[.!?]+|$)|[.!?]+"), 0)
+    # NB: not F.transform(toks, F.trim) — trim's optional second
+    # parameter makes transform pass the ELEMENT INDEX as the trim
+    # character set
+    return F.filter(F.transform(toks, lambda x: F.trim(x)),
+                    lambda x: x != "")
+
+
 def winnow_fingerprints_expr(col, k: int = 16, window: int = 4) -> Column:
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03) as a pure
     Column expression with a PORTABLE gram hash — the first 15 hex chars

@@ -382,3 +382,31 @@ def extract_pdf_text(df: DataFrame, id_col: str,
     return transform_payloads(df, id_col, one, PDF_TEXT_FIELDS,
                               payload_col=payload_col,
                               keep_cols=keep_cols)
+
+
+DOCX_TEXT_FIELDS = [
+    StructField("text", StringType()),
+    StructField("paragraphs", LongType()),
+    StructField("tables", LongType()),
+]
+
+
+def extract_docx_text(df: DataFrame, id_col: str,
+                      payload_col: str = "payload",
+                      keep_cols: list[str] | None = None) -> DataFrame:
+    """DOCX text extraction (r15, ``operators/docxcodec.py``):
+    paragraph text from ``word/document.xml`` plus the structural
+    counts, one streaming Arrow pass per partition. Legacy ``.doc``
+    and non-DOCX ZIPs raise (loud, filterable) — route payloads with
+    ``detect_mime`` first."""
+    from .docxcodec import docx_info, docx_text
+
+    def one(raw: bytes) -> dict:
+        info = docx_info(raw)
+        return {"text": docx_text(raw),
+                "paragraphs": info["paragraphs"],
+                "tables": info["tables"]}
+
+    return transform_payloads(df, id_col, one, DOCX_TEXT_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)

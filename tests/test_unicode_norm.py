@@ -168,3 +168,32 @@ class TestLangIdWide:
         import pytest as _pt
         with _pt.raises(ValueError, match="no stopword list"):
             lang_id("t", langs=["en", "xx"])
+
+
+class TestSplitSentences:
+    """r15: lexicon-free deterministic sentence segmentation."""
+
+    @pytest.mark.parametrize("text,want", [
+        ("One. Two! Three?", ["One.", "Two!", "Three?"]),
+        ("Ellipsis... then more.", ["Ellipsis...", "then more."]),
+        ("No terminator at all", ["No terminator at all"]),
+        ("Dr. Smith arrived.", ["Dr.", "Smith arrived."]),
+        ("", []),
+        ("  .  ", ["."]),
+    ])
+    def test_contract(self, spark, text, want):
+        from datasketches_spark_spark.functions.text import (
+            split_sentences)
+        df = spark.createDataFrame([(text,)], ["t"])
+        got = df.select(split_sentences("t").alias("v")) \
+            .collect()[0].v
+        assert got == want
+
+    def test_scan_stage_only(self, spark):
+        from datasketches_spark_spark.functions.text import (
+            split_sentences)
+        df = spark.createDataFrame([("a. b.",)], ["t"])
+        plan = df.select(split_sentences("t")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "pythonudf" not in plan.lower()
