@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import STOPWORDS, tokenize
+from .text import STOPWORDS, _col as _col_q, tokenize
 
 # Gopher §A1.1 thresholds (word-level rules; the line-level rules take
 # their thresholds from the same table).
@@ -201,7 +201,3 @@ def readability_metrics(r: Column) -> dict[str, Column]:
         "words_per_sentence": F.when(empty, None).otherwise(w / st),
         "syllables_per_word": F.when(empty, None).otherwise(sy / w),
     }
-
-
-def _col_q(c) -> Column:
-    return F.col(c) if isinstance(c, str) else c

@@ -125,12 +125,16 @@ def lang_id(col, sep: str = " ", langs: list[str] | None = None) -> Column:
     set — the cost is one more array filter per extra language,
     inside the same scan)."""
     order = list(langs) if langs is not None else LANG_ORDER
+    if not order:
+        raise ValueError("langs must name at least one language")
     unknown = set(order) - set(STOPWORDS)
     if unknown:
         raise ValueError(f"no stopword list for {sorted(unknown)}")
     toks = tokenize(col, sep)
     scores = [(lang, stopword_hits(toks, lang)) for lang in order]
-    best = F.greatest(*[s for _, s in scores])
+    # F.greatest requires >= 2 columns; a one-language set is legal
+    best = (scores[0][1] if len(scores) == 1
+            else F.greatest(*[s for _, s in scores]))
     # first language (in priority order) reaching `best` wins ties
     result = F.lit("und")
     for lang, score in reversed(scores):

@@ -29,7 +29,8 @@ import io
 import re
 import zipfile
 
-__all__ = ["encode_docx_text", "docx_text", "docx_info"]
+__all__ = ["encode_docx_text", "docx_text", "docx_info",
+           "docx_extract"]
 
 MAX_INPUT_BYTES = 256 << 20
 _MAX_PART_BYTES = 64 << 20
@@ -107,7 +108,11 @@ def _xml_unescape(s: str) -> str:
             cp = int(body[1:])
         else:
             return _ENT.get(body, m.group(0))
-        return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        # exclude surrogates: a lone chr(0xD800) poisons downstream
+        # UTF-8 (Arrow serialization of the batch would fail)
+        if 0 < cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+        return m.group(0)
     return re.sub(r"&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-z]+);",
                   sub, s)
 
@@ -144,9 +149,21 @@ def _main_part(data: bytes) -> str:
 
 def docx_text(data: bytes) -> str:
     """Visible text of a .docx (module-docstring contract)."""
+    return docx_extract(data)["text"]
+
+
+def docx_extract(data: bytes) -> dict:
+    """One-pass extraction: ``text`` + ``paragraphs``/``tables`` from
+    a single read of ``word/document.xml`` (the Arrow operator calls
+    THIS — one unzip per document, not two)."""
     xml = _main_part(data)
     out = []
-    for pm in re.finditer(r"<w:p[ >].*?</w:p>|<w:p/>", xml, re.S):
+    # self-closing paragraphs FIRST — real Word output is full of
+    # rsid-attributed <w:p .../>, and the paired alternative's
+    # [^>]* would swallow the '/' and merge it into the next <w:p>
+    for pm in re.finditer(
+            r"<w:p(?:\s[^>]*?)?/>|<w:p(?:\s[^>]*)?>.*?</w:p>",
+            xml, re.S):
         para = pm.group(0)
         pieces = []
         for m in re.finditer(
@@ -161,15 +178,18 @@ def docx_text(data: bytes) -> str:
             else:
                 pieces.append("\n")
         out.append("".join(pieces))
-    return "\n".join(out)
-
-
-def docx_info(data: bytes) -> dict:
-    """Structural metadata: paragraph/table counts and the part list
-    size (pipelines route on these before extracting)."""
-    xml = _main_part(data)
     return {
-        "paragraphs": len(re.findall(r"<w:p[ >/]", xml)),
+        "text": "\n".join(out),
+        "paragraphs": len(out),
         "tables": len(re.findall(r"<w:tbl[ >/]", xml)),
         "chars": len(xml),
     }
+
+
+def docx_info(data: bytes) -> dict:
+    """Structural metadata: paragraph/table counts and the part size
+    (pipelines route on these before extracting). Paragraph count is
+    the EXTRACTOR's count, so text lines and paragraphs stay
+    consistent (a self-closing ``<w:p/>`` is one empty paragraph)."""
+    info = docx_extract(data)
+    return {k: info[k] for k in ("paragraphs", "tables", "chars")}

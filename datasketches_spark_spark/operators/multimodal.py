@@ -366,16 +366,22 @@ def extract_pdf_text(df: DataFrame, id_col: str,
     """PDF text extraction (r15, ``operators/pdfcodec.py`` — the
     document sibling of ``html_to_text``): visible text from every
     content stream's text-showing operators plus the structural
-    metadata pipelines route on, one streaming Arrow pass per
-    partition. Encrypted/undecodable payloads raise (loud null via
-    the wrapper, never silent garbage); composite-font documents are
+    metadata pipelines route on, ONE parse per document
+    (``pdf_extract``) in one streaming Arrow pass per partition.
+    Encrypted/undecodable payloads become an all-null row (LOUD:
+    filterable on ``text IS NULL`` — a single bad capture must not
+    abort a 100 TB extraction job); composite-font documents are
     flagged via ``has_type0`` so CJK extraction quality can be
     filtered on."""
-    from .pdfcodec import pdf_info, pdf_text
+    from .pdfcodec import pdf_extract
 
     def one(raw: bytes) -> dict:
-        info = pdf_info(raw)
-        return {"text": pdf_text(raw), "pages": info["pages"],
+        try:
+            info = pdf_extract(raw)
+        except (ValueError, NotImplementedError):
+            return {"text": None, "pages": None, "streams": None,
+                    "has_type0": None}
+        return {"text": info["text"], "pages": info["pages"],
                 "streams": info["streams"],
                 "has_type0": info["has_type0"]}
 
@@ -396,14 +402,20 @@ def extract_docx_text(df: DataFrame, id_col: str,
                       keep_cols: list[str] | None = None) -> DataFrame:
     """DOCX text extraction (r15, ``operators/docxcodec.py``):
     paragraph text from ``word/document.xml`` plus the structural
-    counts, one streaming Arrow pass per partition. Legacy ``.doc``
-    and non-DOCX ZIPs raise (loud, filterable) — route payloads with
-    ``detect_mime`` first."""
-    from .docxcodec import docx_info, docx_text
+    counts, ONE unzip per document (``docx_extract``) in one
+    streaming Arrow pass per partition. Legacy ``.doc``, non-DOCX
+    ZIPs, and bomb-guard hits become an all-null row (LOUD:
+    filterable on ``text IS NULL``) instead of aborting the job —
+    route payloads with ``detect_mime`` upstream to keep the null
+    fraction visible."""
+    from .docxcodec import docx_extract
 
     def one(raw: bytes) -> dict:
-        info = docx_info(raw)
-        return {"text": docx_text(raw),
+        try:
+            info = docx_extract(raw)
+        except (ValueError, NotImplementedError):
+            return {"text": None, "paragraphs": None, "tables": None}
+        return {"text": info["text"],
                 "paragraphs": info["paragraphs"],
                 "tables": info["tables"]}
 

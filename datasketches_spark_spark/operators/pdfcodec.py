@@ -40,7 +40,8 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["encode_pdf_text", "pdf_text", "pdf_info"]
+__all__ = ["encode_pdf_text", "pdf_text", "pdf_info",
+           "pdf_extract"]
 
 MAX_INPUT_BYTES = 256 << 20
 _MAX_STREAM_OUT = 64 << 20      # per-stream inflate bomb guard
@@ -151,9 +152,12 @@ def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():
+            elif nxt and nxt in b"01234567":
+                # octal digits ONLY — \8 / \9 from buggy generators
+                # fall through to the drop-the-backslash rule below
                 j = i + 1
-                while j < min(i + 4, n) and data[j:j + 1].isdigit():
+                while (j < min(i + 4, n)
+                       and data[j:j + 1] in b"01234567"):
                     j += 1
                 out.append(int(data[i + 1:j], 8) & 0xFF)
                 i = j
@@ -288,37 +292,64 @@ def pdf_text(data: bytes) -> str:
     non-PDF payloads, oversized inputs, and encrypted documents
     (loud null row through the Arrow wrapper — never silent
     garbage)."""
+    return pdf_extract(data)["text"]
+
+
+def _is_encrypted(data: bytes) -> bool:
+    """/Encrypt belongs to the TRAILER dictionary (§7.6.1) — probing
+    the whole byte stream would false-refuse valid documents whose
+    CONTENT mentions '/Encrypt' (e.g. text about the PDF format), so
+    the scan is scoped to a bounded window after each ``trailer``
+    keyword."""
+    return bool(re.search(rb"trailer[^>]{0,1024}?/Encrypt\b", data,
+                          re.S))
+
+
+def pdf_extract(data: bytes) -> dict:
+    """One-pass extraction: ``text`` plus the structural metadata
+    (``pages``/``streams``/``encrypted``/``has_type0``) from a single
+    walk of the object streams — the Arrow operator calls THIS so a
+    100 TB corpus inflates every stream once, not twice."""
     data = bytes(data)
     if len(data) > MAX_INPUT_BYTES:
         raise ValueError(f"PDF payload {len(data)} B exceeds the "
                          f"{MAX_INPUT_BYTES} B bomb guard")
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    if re.search(rb"/Encrypt\b", data):
+    if _is_encrypted(data):
         raise NotImplementedError(
             "encrypted PDF: text extraction requires the document "
             "decryption keys (ISO 32000-1 §7.6); decrypt upstream")
     parts = []
+    n_streams = 0
     for _d, raw in _iter_streams(data):
+        n_streams += 1
         if b"BT" in raw and b"ET" in raw:
             t = _extract_text_ops(raw)
             if t:
                 parts.append(t)
-    return "\n".join(parts)
+    return {
+        "text": "\n".join(parts),
+        "version": data[5:8].decode("latin-1", "replace"),
+        "pages": len(re.findall(rb"/Type\s*/Page\b(?!s)", data)),
+        "streams": n_streams,
+        "encrypted": False,
+        "has_type0": bool(re.search(rb"/Subtype\s*/Type0\b", data)),
+    }
 
 
 def pdf_info(data: bytes) -> dict:
-    """Structural metadata: version, page count, stream count, and
-    the ``has_type0`` flag (composite/CMap fonts present — extraction
-    is code-bytes best-effort for those)."""
+    """Structural metadata: version, page count, stream count, the
+    trailer-scoped ``encrypted`` flag, and ``has_type0``
+    (composite/CMap fonts present — extraction is code-bytes
+    best-effort for those)."""
     data = bytes(data)
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    ver = data[5:8].decode("latin-1", "replace")
     return {
-        "version": ver,
+        "version": data[5:8].decode("latin-1", "replace"),
         "pages": len(re.findall(rb"/Type\s*/Page\b(?!s)", data)),
         "streams": sum(1 for _ in _iter_streams(data)),
-        "encrypted": bool(re.search(rb"/Encrypt\b", data)),
+        "encrypted": _is_encrypted(data),
         "has_type0": bool(re.search(rb"/Subtype\s*/Type0\b", data)),
     }

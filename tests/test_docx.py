@@ -110,3 +110,41 @@ class TestOperator:
                extract_docx_text(df, "id").collect()}
         assert out[1] == ("hello docx", 1)
         assert out[2] == ("p1\np2", 2)
+
+
+class TestReviewFixes:
+    """r15 second-review regressions."""
+
+    def test_self_closing_paragraph_with_attrs(self):
+        xml = ('<w:document><w:body>'
+               '<w:p w:rsidR="00AB12EF"/>'
+               '<w:p><w:r><w:t>hello</w:t></w:r></w:p>'
+               '<w:p><w:r><w:t>world</w:t></w:r></w:p>'
+               '</w:body></w:document>')
+        pkg = TestWildShapes()._pkg(xml)
+        assert docx_text(pkg) == "\nhello\nworld"
+        assert docx_info(pkg)["paragraphs"] == 3
+
+    def test_surrogate_entities_stay_literal(self):
+        xml = ('<w:document><w:body><w:p><w:r>'
+               '<w:t>a&#xD800;b</w:t></w:r></w:p>'
+               '</w:body></w:document>')
+        assert docx_text(TestWildShapes()._pkg(xml)) == "a&#xD800;b"
+
+    def test_bad_payload_is_null_row_not_job_abort(self, spark):
+        from datasketches_spark_spark.operators import extract_docx_text
+        ole = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 64
+        rows = [(1, bytearray(encode_docx_text(["good"]))),
+                (2, bytearray(ole)),
+                (3, bytearray(b"neither zip nor ole"))]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r.id: r.text for r in
+               extract_docx_text(df, "id").collect()}
+        assert out[1] == "good"
+        assert out[2] is None and out[3] is None
+
+    def test_single_pass_extract(self):
+        from datasketches_spark_spark.operators.docxcodec import \
+            docx_extract
+        info = docx_extract(encode_docx_text(["a", "b"]))
+        assert info["text"] == "a\nb" and info["paragraphs"] == 2

@@ -158,3 +158,42 @@ class TestOperator:
             [(bytearray(encode_pdf_text(["x"])),)], "payload binary")
         assert df.select(detect_mime("payload").alias("m")) \
                  .collect()[0].m == "application/pdf"
+
+
+class TestReviewFixes:
+    """r15 second-review regressions."""
+
+    def test_non_octal_digit_escape_drops_backslash(self):
+        c = rb"BT (bad\9escape \8too) Tj ET"
+        assert pdf_text(_hand_pdf(c)) == "bad9escape 8too"
+
+    def test_encrypt_in_content_not_refused(self):
+        c = b"BT ((see /Encrypt dictionary)) Tj ET"
+        assert pdf_text(_hand_pdf(c)) == "(see /Encrypt dictionary)"
+        assert not pdf_info(_hand_pdf(c))["encrypted"]
+
+    def test_encrypt_in_trailer_refused(self):
+        pdf = (_hand_pdf(b"BT (x) Tj ET")
+               + b"trailer\n<< /Size 2 /Encrypt 9 0 R >>\n")
+        with pytest.raises(NotImplementedError, match="encrypted"):
+            pdf_text(pdf)
+        assert pdf_info(pdf)["encrypted"]
+
+    def test_bad_payload_is_null_row_not_job_abort(self, spark):
+        from datasketches_spark_spark.operators import extract_pdf_text
+        enc = (b"%PDF-1.7\ntrailer << /Encrypt 9 0 R >>")
+        rows = [(1, bytearray(encode_pdf_text(["good"]))),
+                (2, bytearray(enc)),
+                (3, bytearray(b"not a pdf at all"))]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r.id: r.text for r in
+               extract_pdf_text(df, "id").collect()}
+        assert out[1] == "good"
+        assert out[2] is None and out[3] is None
+
+    def test_single_pass_extract(self):
+        from datasketches_spark_spark.operators.pdfcodec import \
+            pdf_extract
+        info = pdf_extract(encode_pdf_text(["a", "b"]))
+        assert info["text"] == "a\nb"
+        assert info["pages"] == 2 and info["streams"] == 2

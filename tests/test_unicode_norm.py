@@ -197,3 +197,11 @@ class TestSplitSentences:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "pythonudf" not in plan.lower()
+
+    def test_single_language_set_works(self, spark):
+        from datasketches_spark_spark.functions.text import lang_id
+        df = spark.createDataFrame([("the cat and the hat",)], ["t"])
+        assert df.select(lang_id("t", langs=["en"]).alias("v")) \
+                 .collect()[0].v == "en"
+        with pytest.raises(ValueError, match="at least one"):
+            lang_id("t", langs=[])
