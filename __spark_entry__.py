@@ -4165,6 +4165,123 @@ def _demo_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX + PPTX extraction (r15, operators/ooxmlcodec.py — the
+    write/read-symmetry gate completing the Office triple): even docs
+    become a two-row spreadsheet (a text cell, a numeric cell, and an
+    XML-special cell that must escape and decode), odd docs a
+    two-slide deck; the extracted flat text and unit counts rebuild
+    relationally from the documents columns."""
+    import pandas as pd
+    from datasketches_spark_spark.operators import (extract_pptx_text,
+                                                    extract_xlsx_text)
+    from datasketches_spark_spark.operators.ooxmlcodec import (
+        encode_pptx_text, encode_xlsx_cells)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & (F.length("text") >= 30))
+            .select("doc_id", "text").repartition(4))
+
+    def _mk(pdf_iter):
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(d), str(t)[:30]
+                if d % 2 == 0:
+                    payloads.append(encode_xlsx_cells(
+                        [[t, d], ["a < b & c", d * 2]]))
+                else:
+                    payloads.append(encode_pptx_text(
+                        [t, "slide two of doc %d" % d]))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pkgs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 2 == 0),
+                           "doc_id")
+    pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 2 == 1),
+                           "doc_id")
+    return (xl.select("doc_id", "text", "units")
+            .unionByName(pp.select("doc_id", "text", "units"))
+            .orderBy("doc_id"))
+
+
+def _demo_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-level language signals (r15, functions/text.py::
+    script_counts / dominant_script / lang_id_cjk): each doc gains a
+    doc_id-selected CJK/Cyrillic tail and the script rules must
+    classify it — DuckDB replays the per-script counting with the
+    SAME length-minus-regexp_replace formula over the SAME ranges
+    (oracle generated from the engine's SCRIPT_RANGES dict, so the
+    two sides cannot drift)."""
+    from datasketches_spark_spark.functions.text import (
+        dominant_script, lang_id_cjk, script_counts)
+    docs = read_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 400) \
+        .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+               & (F.length("text") >= 10))
+    tails = ["ひらがな漢字",   # ja kana+cjk
+             "한국어텍스트",   # ko hangul
+             "中文文本内容",   # zh ideographs
+             ""]                                        # none
+    tail = F.element_at(F.array(*[F.lit(t) for t in tails]),
+                        (F.col("doc_id") % 4 + 1).cast("int"))
+    planted = F.concat(F.substring("text", 1, 40), tail)
+    c = script_counts(planted)
+    return (docs.select(
+        "doc_id",
+        lang_id_cjk(planted).alias("cjk_lang"),
+        dominant_script(tail).alias("tail_script"),
+        c["latin"].alias("n_latin"),
+        (c["hiragana"] + c["katakana"] + c["hangul"] + c["cjk"])
+        .alias("n_cjk_chars"))
+        .orderBy("doc_id"))
+
+
+def _demo_script_id_oracle() -> str:
+    """Generated from the engine's SCRIPT_RANGES — see the gate."""
+    from datasketches_spark_spark.functions.text import SCRIPT_RANGES
+
+    def cnt(expr: str, name: str) -> str:
+        rng = SCRIPT_RANGES[name]
+        return (f"(length({expr}) - length(regexp_replace({expr}, "
+                f"'[{rng}]', '', 'g')))")
+
+    tails = ("['ひらがな漢字',"
+             "'한국어텍스트',"
+             "'中文文本内容','']")
+    kana = (f"({cnt('p', 'hiragana')} + {cnt('p', 'katakana')})")
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 substr(text, 1, 40) ||
+                   ({tails})[CAST(doc_id % 4 AS INT) + 1] AS p,
+                 ({tails})[CAST(doc_id % 4 AS INT) + 1] AS tail
+          FROM documents
+          WHERE doc_id < 400
+            AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+            AND length(text) >= 10
+        )
+        SELECT doc_id,
+               CASE WHEN {kana} > 0 THEN 'ja'
+                    WHEN {cnt('p', 'hangul')} > 0 THEN 'ko'
+                    WHEN {cnt('p', 'cjk')} >= 1 THEN 'zh'
+                    ELSE NULL END AS cjk_lang,
+               CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN 'hiragana'
+                    WHEN 1 THEN 'hangul'
+                    WHEN 2 THEN 'cjk'
+                    ELSE 'und' END AS tail_script,
+               CAST({cnt('p', 'latin')} AS BIGINT) AS n_latin,
+               CAST({cnt('p', 'hiragana')} + {cnt('p', 'katakana')}
+                    + {cnt('p', 'hangul')} + {cnt('p', 'cjk')}
+                    AS BIGINT) AS n_cjk_chars
+        FROM planted ORDER BY doc_id
+    """
+
+
 def demo_queries() -> dict[str, str]:
     """Redundant-coverage variants OUTSIDE the driver's 50-slot
     correctness window (round 9: the board is exactly the 50 recorded
@@ -4215,6 +4332,8 @@ def demo_queries() -> dict[str, str]:
         "demo_langid_wide": _demo_langid_wide,
         "demo_pdf_text": _demo_pdf_text,
         "demo_docx_text": _demo_docx_text,
+        "demo_office_text": _demo_office_text,
+        "demo_script_id": _demo_script_id,
     }
 
 
@@ -6730,4 +6849,28 @@ def demo_oracle_sql() -> dict[str, str]:
               AND length(text) >= 40
             ORDER BY doc_id
         """,
+        # demo_office_text (r15): write/read symmetry for the XLSX
+        # (tab/newline flat text, 4 cells) and PPTX (blank-line slide
+        # separator, 2 slides) extractors
+        "demo_office_text": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN substr(text, 1, 30) || chr(9) ||
+                             CAST(doc_id AS VARCHAR) || chr(10) ||
+                             'a < b & c' || chr(9) ||
+                             CAST(doc_id * 2 AS VARCHAR)
+                        ELSE substr(text, 1, 30) || chr(10) ||
+                             chr(10) || 'slide two of doc ' ||
+                             CAST(doc_id AS VARCHAR)
+                   END AS text,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(4 AS BIGINT)
+                        ELSE CAST(2 AS BIGINT) END AS units
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND length(text) >= 30
+            ORDER BY doc_id
+        """,
+        "demo_script_id": _demo_script_id_oracle(),
     }

@@ -142,6 +142,71 @@ def lang_id(col, sep: str = " ", langs: list[str] | None = None) -> Column:
     return F.when(best > 0, result).otherwise(F.lit("und"))
 
 
+# Unicode script/block ranges (public: Unicode Standard, Blocks.txt)
+# for script-level language signals — whitespace-free scripts (CJK,
+# Thai) defeat the stopword heuristic entirely, and one regexp count
+# per script is a pure Column expression any engine replays.
+SCRIPT_RANGES = {
+    "latin": "A-Za-z\u00c0-\u024f",
+    "cyrillic": "\u0400-\u04ff",
+    "greek": "\u0370-\u03ff",
+    "arabic": "\u0600-\u06ff",
+    "hebrew": "\u0590-\u05ff",
+    "devanagari": "\u0900-\u097f",
+    "hangul": "\uac00-\ud7af\u1100-\u11ff\u3130-\u318f",
+    "hiragana": "\u3040-\u309f",
+    "katakana": "\u30a0-\u30ff",
+    "cjk": "\u4e00-\u9fff\u3400-\u4dbf",
+    "thai": "\u0e00-\u0e7f",
+}
+SCRIPT_ORDER = list(SCRIPT_RANGES)      # tie-break priority
+
+
+def script_counts(col) -> Column:
+    """Per-script character counts as ONE struct column (bind it to a
+    named column before fanning out, the ``gopher_struct``
+    convention): for each entry of ``SCRIPT_RANGES``, the number of
+    characters in that range — computed as ``length(s) -
+    length(regexp_replace(s, '[range]', ''))``, a pure JVM expression
+    pair per script."""
+    s = _col(col)
+    total = F.length(s)
+    fields = []
+    for name, rng in SCRIPT_RANGES.items():
+        kept = F.length(F.regexp_replace(s, f"[{rng}]", ""))
+        fields.append((total - kept).cast("long").alias(name))
+    return F.struct(*fields)
+
+
+def dominant_script(col) -> Column:
+    """Name of the script with the most characters (``SCRIPT_ORDER``
+    tie-break, earlier wins); ``'und'`` when no script character at
+    all. The routing signal for script-specific pipelines."""
+    c = script_counts(col)
+    scores = [(name, c[name]) for name in SCRIPT_ORDER]
+    best = F.greatest(*[v for _, v in scores])
+    result = F.lit("und")
+    for name, v in reversed(scores):
+        result = F.when(v == best, F.lit(name)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def lang_id_cjk(col, min_chars: int = 1) -> Column:
+    """CJK language disambiguation — the classic script rule
+    stopwords cannot express (none of ja/ko/zh uses spaces): ANY kana
+    -> ``ja`` (Japanese text always mixes kana with ideographs),
+    else ANY hangul -> ``ko``, else >= ``min_chars`` ideographs ->
+    ``zh``; null otherwise (not a CJK document — fall back to
+    :func:`lang_id`). Pure Column expressions; the demo gate replays
+    the rule relationally."""
+    c = script_counts(col)
+    kana = c["hiragana"] + c["katakana"]
+    return (F.when(kana > 0, "ja")
+            .when(c["hangul"] > 0, "ko")
+            .when(c["cjk"] >= int(min_chars), "zh")
+            .otherwise(F.lit(None).cast("string")))
+
+
 def split_sentences(col) -> Column:
     """Sentence segmentation as a pure Column expression — the
     chunking/decontamination unit between character offsets and

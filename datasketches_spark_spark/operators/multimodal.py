@@ -422,3 +422,52 @@ def extract_docx_text(df: DataFrame, id_col: str,
     return transform_payloads(df, id_col, one, DOCX_TEXT_FIELDS,
                               payload_col=payload_col,
                               keep_cols=keep_cols)
+
+
+OFFICE_TEXT_FIELDS = [
+    StructField("text", StringType()),
+    StructField("units", LongType()),
+]
+
+
+def extract_xlsx_text(df: DataFrame, id_col: str,
+                      payload_col: str = "payload",
+                      keep_cols: list[str] | None = None) -> DataFrame:
+    """XLSX flat-text extraction (r15, ``operators/ooxmlcodec.py``):
+    cell values tab/newline-joined plus the cell count (``units``),
+    one unzip per document in one Arrow pass. Legacy ``.xls`` /
+    non-XLSX ZIPs / bomb-guard hits become an all-null row (loud,
+    filterable)."""
+    from .ooxmlcodec import xlsx_cells, xlsx_text
+
+    def one(raw: bytes) -> dict:
+        try:
+            cells = xlsx_cells(raw)
+            return {"text": xlsx_text(raw), "units": len(cells)}
+        except (ValueError, NotImplementedError):
+            return {"text": None, "units": None}
+
+    return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)
+
+
+def extract_pptx_text(df: DataFrame, id_col: str,
+                      payload_col: str = "payload",
+                      keep_cols: list[str] | None = None) -> DataFrame:
+    """PPTX slide-text extraction (r15): slide text (slides separated
+    by blank lines) plus the slide count (``units``); same loud-null
+    contract as the other document extractors."""
+    from .ooxmlcodec import pptx_text
+
+    def one(raw: bytes) -> dict:
+        try:
+            t = pptx_text(raw)
+            n = t.count("\n\n") + 1 if t else 0
+            return {"text": t, "units": n}
+        except (ValueError, NotImplementedError):
+            return {"text": None, "units": None}
+
+    return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)

@@ -205,3 +205,55 @@ class TestSplitSentences:
                  .collect()[0].v == "en"
         with pytest.raises(ValueError, match="at least one"):
             lang_id("t", langs=[])
+
+
+class TestScriptFunctions:
+    """r15: script_counts / dominant_script / lang_id_cjk — the
+    script-level signals whitespace-free languages need."""
+
+    def test_counts_match_python_reference(self, spark):
+        import re as _re
+        from datasketches_spark_spark.functions.text import (
+            SCRIPT_RANGES, script_counts)
+        texts = ["abc да あア中",
+                 "가각 latin", "", "123 !?"]
+        df = spark.createDataFrame([(t,) for t in texts], ["t"])
+        rows = df.select(script_counts("t").alias("c")) \
+            .select("c.*").collect()
+        for t, r in zip(texts, rows):
+            for name, rng in SCRIPT_RANGES.items():
+                want = len(_re.findall(f"[{rng}]", t))
+                assert getattr(r, name) == want, (t, name)
+
+    @pytest.mark.parametrize("text,want", [
+        ("日本語のテキスト", "ja"),
+        ("한국어 텍스트", "ko"),
+        ("这是中文文本", "zh"),
+        ("plain latin text", None),
+        ("漢字とひらがな", "ja"),
+    ])
+    def test_cjk_disambiguation(self, spark, text, want):
+        from datasketches_spark_spark.functions.text import lang_id_cjk
+        df = spark.createDataFrame([(text,)], ["t"])
+        assert df.select(lang_id_cjk("t").alias("v")) \
+                 .collect()[0].v == want
+
+    def test_dominant_script(self, spark):
+        from datasketches_spark_spark.functions.text import (
+            dominant_script)
+        cases = [("mostly latin д", "latin"),
+                 ("далеко x", "cyrillic"),
+                 ("12345 !?", "und")]
+        df = spark.createDataFrame(cases, ["t", "want"])
+        for r in df.select("want",
+                           dominant_script("t").alias("got")).collect():
+            assert r.got == r.want
+
+    def test_scan_stage_only(self, spark):
+        from datasketches_spark_spark.functions.text import (
+            dominant_script, lang_id_cjk)
+        df = spark.createDataFrame([("x",)], ["t"])
+        plan = df.select(lang_id_cjk("t"), dominant_script("t")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "pythonudf" not in plan.lower()
