@@ -4198,7 +4198,10 @@ def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    pkgs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    # persist: both parity branches read this, and the filter sits
+    # above mapInPandas — without a cache every doc is ENCODED twice
+    pkgs = docs.mapInPandas(
+        _mk, "doc_id long, payload binary").persist()
     xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 2 == 0),
                            "doc_id")
     pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 2 == 1),

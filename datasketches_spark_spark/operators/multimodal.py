@@ -376,9 +376,11 @@ def extract_pdf_text(df: DataFrame, id_col: str,
     from .pdfcodec import pdf_extract
 
     def one(raw: bytes) -> dict:
+        # broad catch: any per-payload failure nulls the row (the
+        # 100 TB job-survival contract), never aborts the task
         try:
             info = pdf_extract(raw)
-        except (ValueError, NotImplementedError):
+        except Exception:
             return {"text": None, "pages": None, "streams": None,
                     "has_type0": None}
         return {"text": info["text"], "pages": info["pages"],
@@ -413,7 +415,7 @@ def extract_docx_text(df: DataFrame, id_col: str,
     def one(raw: bytes) -> dict:
         try:
             info = docx_extract(raw)
-        except (ValueError, NotImplementedError):
+        except Exception:
             return {"text": None, "paragraphs": None, "tables": None}
         return {"text": info["text"],
                 "paragraphs": info["paragraphs"],
@@ -438,13 +440,17 @@ def extract_xlsx_text(df: DataFrame, id_col: str,
     one unzip per document in one Arrow pass. Legacy ``.xls`` /
     non-XLSX ZIPs / bomb-guard hits become an all-null row (loud,
     filterable)."""
-    from .ooxmlcodec import xlsx_cells, xlsx_text
+    from .ooxmlcodec import xlsx_extract
 
     def one(raw: bytes) -> dict:
+        # broad catch is the contract here: ANY per-payload parse
+        # failure (corrupt deflate raises zlib.error, truncated
+        # members BadZipFile — neither a ValueError) must null the
+        # row, not abort the job
         try:
-            cells = xlsx_cells(raw)
-            return {"text": xlsx_text(raw), "units": len(cells)}
-        except (ValueError, NotImplementedError):
+            info = xlsx_extract(raw)
+            return {"text": info["text"], "units": info["units"]}
+        except Exception:
             return {"text": None, "units": None}
 
     return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
@@ -458,14 +464,13 @@ def extract_pptx_text(df: DataFrame, id_col: str,
     """PPTX slide-text extraction (r15): slide text (slides separated
     by blank lines) plus the slide count (``units``); same loud-null
     contract as the other document extractors."""
-    from .ooxmlcodec import pptx_text
+    from .ooxmlcodec import pptx_extract
 
     def one(raw: bytes) -> dict:
         try:
-            t = pptx_text(raw)
-            n = t.count("\n\n") + 1 if t else 0
-            return {"text": t, "units": n}
-        except (ValueError, NotImplementedError):
+            info = pptx_extract(raw)
+            return {"text": info["text"], "units": info["units"]}
+        except Exception:
             return {"text": None, "units": None}
 
     return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,

@@ -30,13 +30,12 @@ import io
 import re
 import zipfile
 
-from .docxcodec import _xml_escape, _xml_unescape
+from .docxcodec import (MAX_INPUT_BYTES, _MAX_PART_BYTES,
+                        _xml_escape, _xml_unescape)
 
 __all__ = ["encode_xlsx_cells", "xlsx_cells", "xlsx_text",
-           "encode_pptx_text", "pptx_text"]
-
-MAX_INPUT_BYTES = 256 << 20
-_MAX_PART_BYTES = 64 << 20
+           "xlsx_extract", "encode_pptx_text", "pptx_text",
+           "pptx_extract"]
 
 _OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
@@ -146,16 +145,34 @@ def encode_xlsx_cells(rows: list[list], sheet: str = "Sheet1") -> bytes:
                        ("xl/worksheets/sheet1.xml", sheet_xml)])
 
 
+# self-closing cells FIRST (styled-but-empty <c r="A1" s="1"/> is
+# ubiquitous in real Excel output — the paired alternative's [^>]*
+# would swallow the '/' and merge it into the next cell, the same
+# swallow family docxcodec's paragraph regex documents)
 _CELL_RE = re.compile(
-    r'<c\b([^>]*)>(.*?)</c>|<c\b[^>]*/>', re.S)
+    r'<c\b[^>]*?/>|<c\b([^>]*)>(.*?)</c>', re.S)
+_ROW_RE = re.compile(r"<row\b([^>]*)>(.*?)</row>", re.S)
 _V_RE = re.compile(r"<v>(.*?)</v>", re.S)
 _IS_T_RE = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
 _SI_RE = re.compile(r"<si>(.*?)</si>", re.S)
 
 
-def xlsx_cells(data: bytes) -> list[tuple[str, str, str]]:
-    """All cells as ``(sheet_part, cell_ref, text_value)`` in part /
-    document order (module-docstring contract)."""
+def _col_index(letters: str) -> int:
+    col = 0
+    for ch in letters:
+        col = col * 26 + ord(ch) - 64
+    return col
+
+
+def xlsx_extract(data: bytes) -> dict:
+    """One-pass extraction: ``cells`` as ``(sheet_part, cell_ref,
+    text_value)`` in document order, the flat ``text`` view (cells
+    tab-joined within a row, rows newline-joined, sheets separated by
+    blank lines), and ``units`` (cell count) — ONE unzip per
+    document. Sheets order NUMERICALLY (sheet10 after sheet9, not
+    after sheet1); cells without an ``r=`` attribute take their
+    spec-implied position (next column after the previous cell), so
+    text and units always agree."""
     with _open_pkg(data, "xl/", "XLSX") as z:
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
@@ -164,58 +181,78 @@ def xlsx_cells(data: bytes) -> list[tuple[str, str, str]]:
                 shared.append("".join(
                     _xml_unescape(m.group(1))
                     for m in _IS_T_RE.finditer(si.group(1))))
-        out: list[tuple[str, str, str]] = []
-        sheets = sorted(n for n in z.namelist()
-                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml",
-                                        n))
+        cells: list[tuple[str, str, str]] = []
+        sheet_blocks: list[str] = []
+        sheets = sorted(
+            (n for n in z.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1])
+                              .group(0)))
         for part in sheets:
             xml = _read_part(z, part)
             sheet = part.rsplit("/", 1)[1].rsplit(".", 1)[0]
-            for cm in _CELL_RE.finditer(xml):
-                attrs, body = cm.group(1) or "", cm.group(2) or ""
-                rm = re.search(r'r="([A-Z]+\d+)"', attrs)
-                ref = rm.group(1) if rm else ""
-                tm = re.search(r't="(\w+)"', attrs)
-                ctype = tm.group(1) if tm else "n"
-                if ctype == "inlineStr":
-                    val = "".join(_xml_unescape(m.group(1))
-                                  for m in _IS_T_RE.finditer(body))
-                elif ctype == "s":
-                    vm = _V_RE.search(body)
-                    idx = int(vm.group(1)) if vm else -1
-                    val = (shared[idx]
-                           if 0 <= idx < len(shared) else "")
-                else:                        # n / str / b: cached <v>
-                    vm = _V_RE.search(body)
-                    val = _xml_unescape(vm.group(1)) if vm else ""
-                if val != "":
-                    out.append((sheet, ref, val))
-        return out
+            row_texts: list[str] = []
+            row_seq = 0
+            for rm_ in _ROW_RE.finditer(xml):
+                rattrs, rbody = rm_.group(1), rm_.group(2)
+                rnum = re.search(r'r="(\d+)"', rattrs)
+                row_seq = int(rnum.group(1)) if rnum else row_seq + 1
+                col_seq = 0
+                vals: list[str] = []
+                for cm in _CELL_RE.finditer(rbody):
+                    attrs, body = cm.group(1), cm.group(2)
+                    if attrs is None:
+                        # self-closing: no value, but it ADVANCES the
+                        # implied position when it carries a ref
+                        sm = re.search(r'r="([A-Z]+)\d+"',
+                                       cm.group(0))
+                        if sm:
+                            col_seq = _col_index(sm.group(1))
+                        else:
+                            col_seq += 1
+                        continue
+                    rm2 = re.search(r'r="([A-Z]+)(\d+)"', attrs)
+                    if rm2:
+                        col_seq = _col_index(rm2.group(1))
+                        ref = rm2.group(1) + rm2.group(2)
+                    else:
+                        col_seq += 1
+                        ref = _col_letters(col_seq - 1) + str(row_seq)
+                    tm = re.search(r't="(\w+)"', attrs)
+                    ctype = tm.group(1) if tm else "n"
+                    if ctype == "inlineStr":
+                        val = "".join(
+                            _xml_unescape(m.group(1))
+                            for m in _IS_T_RE.finditer(body))
+                    elif ctype == "s":
+                        vm = _V_RE.search(body)
+                        idx = int(vm.group(1)) if vm else -1
+                        val = (shared[idx]
+                               if 0 <= idx < len(shared) else "")
+                    else:                    # n / str / b: cached <v>
+                        vm = _V_RE.search(body)
+                        val = _xml_unescape(vm.group(1)) if vm else ""
+                    if val != "":
+                        cells.append((sheet, ref, val))
+                        vals.append(val)
+                if vals:
+                    row_texts.append("\t".join(vals))
+            sheet_blocks.append("\n".join(row_texts))
+        return {"cells": cells,
+                "text": "\n\n".join(sheet_blocks),
+                "units": len(cells)}
+
+
+def xlsx_cells(data: bytes) -> list[tuple[str, str, str]]:
+    """All cells as ``(sheet_part, cell_ref, text_value)`` in
+    document order (module-docstring contract)."""
+    return xlsx_extract(data)["cells"]
 
 
 def xlsx_text(data: bytes) -> str:
-    """Flat text view: cell values joined with tabs within a row,
-    rows with newlines, sheets with blank lines — the mineable-table
-    form for the text-quality / dedup stack."""
-    cells = xlsx_cells(data)
-    by_sheet: dict[str, dict[int, list[tuple[int, str]]]] = {}
-    for sheet, ref, val in cells:
-        m = re.match(r"([A-Z]+)(\d+)", ref)
-        if not m:
-            continue
-        col = 0
-        for ch in m.group(1):
-            col = col * 26 + ord(ch) - 64
-        by_sheet.setdefault(sheet, {}).setdefault(
-            int(m.group(2)), []).append((col, val))
-    sheets = []
-    for sheet in sorted(by_sheet):
-        rows = []
-        for r in sorted(by_sheet[sheet]):
-            rows.append("\t".join(
-                v for _, v in sorted(by_sheet[sheet][r])))
-        sheets.append("\n".join(rows))
-    return "\n\n".join(sheets)
+    """Flat text view — the mineable-table form for the text-quality
+    / dedup stack (see :func:`xlsx_extract`)."""
+    return xlsx_extract(data)["text"]
 
 
 # ----------------------------------------------------------------- pptx
@@ -268,13 +305,17 @@ def encode_pptx_text(slides: list[str]) -> bytes:
 
 
 _A_T_RE = re.compile(r"<a:t(?:\s[^>]*)?>(.*?)</a:t>", re.S)
-_A_P_RE = re.compile(r"<a:p[ >].*?</a:p>|<a:p/>", re.S)
+# self-closing paragraphs FIRST (the docxcodec <w:p .../> rule)
+_A_P_RE = re.compile(
+    r"<a:p(?:\s[^>]*?)?/>|<a:p(?:\s[^>]*)?>.*?</a:p>", re.S)
 
 
-def pptx_text(data: bytes) -> str:
-    """Visible slide text (module-docstring contract): slides in
-    numeric part order, paragraphs joined with newlines, slides with
-    blank lines."""
+def pptx_extract(data: bytes) -> dict:
+    """One-pass extraction: slide ``text`` (numeric part order,
+    paragraphs newline-joined, slides separated by blank lines) and
+    ``units`` = the SLIDE COUNT from the parts list — never
+    reverse-engineered from the joined text, which miscounts when a
+    slide contains consecutive empty paragraphs."""
     with _open_pkg(data, "ppt/", "PPTX") as z:
         parts = sorted(
             (n for n in z.namelist()
@@ -290,4 +331,9 @@ def pptx_text(data: bytes) -> str:
                               for m in _A_T_RE.finditer(pm.group(0)))
                 paras.append(txt)
             slides.append("\n".join(paras))
-        return "\n\n".join(slides)
+        return {"text": "\n\n".join(slides), "units": len(parts)}
+
+
+def pptx_text(data: bytes) -> str:
+    """Visible slide text (module-docstring contract)."""
+    return pptx_extract(data)["text"]

@@ -120,3 +120,86 @@ class TestOperators:
                extract_pptx_text(df, "id").collect()}
         assert out[1] == ("one\n\ntwo", 2)
         assert out[2] == (None, None)
+
+
+class TestReviewFixes:
+    """r15 third-review regressions."""
+
+    def test_self_closing_cell_does_not_swallow_neighbor(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", "<workbook/>")
+            z.writestr("xl/sharedStrings.xml",
+                       "<sst><si><t>hello</t></si></sst>")
+            z.writestr("xl/worksheets/sheet1.xml",
+                       '<worksheet><sheetData><row r="1">'
+                       '<c r="A1" s="1"/>'
+                       '<c r="B1" t="s"><v>0</v></c>'
+                       '</row></sheetData></worksheet>')
+        assert xlsx_cells(buf.getvalue()) == [
+            ("sheet1", "B1", "hello")]
+
+    def test_sheets_order_numerically(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", "<workbook/>")
+            for i in (1, 2, 10):
+                z.writestr(
+                    "xl/worksheets/sheet%d.xml" % i,
+                    '<worksheet><sheetData><row r="1">'
+                    '<c r="A1" t="inlineStr"><is><t>s%d</t></is></c>'
+                    '</row></sheetData></worksheet>' % i)
+        from datasketches_spark_spark.operators.ooxmlcodec import (
+            xlsx_extract)
+        assert xlsx_extract(buf.getvalue())["text"] == \
+            "s1\n\ns2\n\ns10"
+
+    def test_unref_cells_take_implied_position(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", "<workbook/>")
+            z.writestr("xl/worksheets/sheet1.xml",
+                       '<worksheet><sheetData><row>'
+                       '<c t="inlineStr"><is><t>x</t></is></c>'
+                       '<c t="inlineStr"><is><t>y</t></is></c>'
+                       '</row></sheetData></worksheet>')
+        from datasketches_spark_spark.operators.ooxmlcodec import (
+            xlsx_extract)
+        info = xlsx_extract(buf.getvalue())
+        assert info["cells"] == [("sheet1", "A1", "x"),
+                                 ("sheet1", "B1", "y")]
+        assert info["text"] == "x\ty" and info["units"] == 2
+
+    def test_pptx_self_closing_paragraph_with_space(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("ppt/slides/slide1.xml",
+                       "<p:sld><a:p /><a:p><a:r><a:t>hi</a:t></a:r>"
+                       "</a:p></p:sld>")
+        assert pptx_text(buf.getvalue()) == "\nhi"
+
+    def test_pptx_units_from_parts_not_text(self):
+        from datasketches_spark_spark.operators.ooxmlcodec import (
+            pptx_extract)
+        one_slide = encode_pptx_text(["a\n\nb"])
+        assert pptx_extract(one_slide)["units"] == 1
+        empty_slide = encode_pptx_text([""])
+        assert pptx_extract(empty_slide)["units"] == 1
+
+    def test_corrupt_member_is_null_row_not_job_abort(self, spark):
+        from datasketches_spark_spark.operators import extract_xlsx_text
+        good = encode_xlsx_cells([["a"]])
+        # corrupt the SHEET member's deflate bytes but keep the
+        # central directory valid: flip bytes right after the sheet
+        # part's local-header filename (zlib.error at read time —
+        # not a ValueError, the contract the broad catch exists for)
+        bad = bytearray(encode_xlsx_cells([["b"]]))
+        at = bad.find(b"xl/worksheets/sheet1.xml")
+        start = at + len(b"xl/worksheets/sheet1.xml")
+        bad[start:start + 8] = b"\xff" * 8
+        rows = [(1, bytearray(good)), (2, bad)]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r.id: r.text for r in
+               extract_xlsx_text(df, "id").collect()}
+        assert out[1] == "a"
+        assert out[2] is None
