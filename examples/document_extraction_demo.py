@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""End-to-end document-format extraction demo.
+
+A mixed corpus of PDF / DOCX / XLSX / PPTX payloads (plus one
+encrypted PDF and one corrupt blob — the survivors) routes by
+``detect_mime``, extracts per format, and lands in one unified text
+table ready for the quality/dedup stack. Run:
+
+    python examples/document_extraction_demo.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datasketches_spark_spark.functions import detect_mime
+from datasketches_spark_spark.operators import (extract_docx_text,
+                                                extract_pdf_text,
+                                                extract_pptx_text,
+                                                extract_xlsx_text)
+from datasketches_spark_spark.operators.docxcodec import encode_docx_text
+from datasketches_spark_spark.operators.ooxmlcodec import (
+    encode_pptx_text, encode_xlsx_cells)
+from datasketches_spark_spark.operators.pdfcodec import encode_pdf_text
+from datasketches_spark_spark.sources import session_builder
+
+
+def main() -> None:
+    spark = (session_builder(master="local[4]", shuffle_partitions=4)
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = [
+        (1, bytearray(encode_pdf_text(
+            ["Quarterly report.\nRevenue grew 12%."]))),
+        (2, bytearray(encode_docx_text(
+            ["Meeting notes", "Action: ship the pipeline."]))),
+        (3, bytearray(encode_xlsx_cells(
+            [["region", "sales"], ["north", 1200], ["south", 900]]))),
+        (4, bytearray(encode_pptx_text(
+            ["Roadmap 2026", "Q1: extraction\nQ2: scale"]))),
+        (5, bytearray(b"%PDF-1.7\ntrailer << /Encrypt 9 0 R >>")),
+        (6, bytearray(b"\x00\x01 corrupt blob")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary") \
+        .withColumn("mime", detect_mime("payload"))
+    print("[1] routing:")
+    for r in docs.select("doc_id", "mime").orderBy("doc_id").collect():
+        print("   ", r.doc_id, "->", r.mime)
+
+    # application/pdf routes to the PDF extractor; the OOXML family
+    # all sniffs as application/zip, so a cheap second probe (the
+    # package marker part) picks the extractor — here we just try
+    # each extractor on the zip subset and keep the non-null rows
+    pdfs = extract_pdf_text(
+        docs.where(F.col("mime") == "application/pdf"), "doc_id") \
+        .where(F.col("text").isNotNull()) \
+        .select("doc_id", "text").withColumn("fmt", F.lit("pdf"))
+    zips = docs.where(F.col("mime") == "application/zip").persist()
+    office = None
+    for fmt, fn in (("docx", extract_docx_text),
+                    ("xlsx", extract_xlsx_text),
+                    ("pptx", extract_pptx_text)):
+        part = fn(zips, "doc_id").where(F.col("text").isNotNull()) \
+            .select("doc_id", "text").withColumn("fmt", F.lit(fmt))
+        office = part if office is None else office.unionByName(part)
+    unified = pdfs.unionByName(office).orderBy("doc_id")
+    print("[2] extracted text (nulls = honest refusals, filtered):")
+    for r in unified.collect():
+        print(f"    {r.doc_id} [{r.fmt}] {r.text[:48]!r}")
+    n_total = docs.count()
+    n_ok = unified.count()
+    print(f"[3] {n_ok}/{n_total} payloads extracted; "
+          f"{n_total - n_ok} loud-null survivors filtered "
+          "(encrypted PDF, corrupt blob)")
+    spark.stop()
+    print("document extraction demo complete")
+
+
+if __name__ == "__main__":
+    main()
