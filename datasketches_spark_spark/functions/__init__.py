@@ -16,7 +16,7 @@ from .quality_rules import readability_metrics, readability_struct
 from .robots import (parse_robots, parse_robots_text,
                      robots_allowed, robots_crawl_delay,
                      robots_sitemaps)
-from .mime import detect_mime, is_binary_payload
+from .mime import detect_mime, detect_ooxml, is_binary_payload
 from .http import (http_body, http_charset, http_decode_body,
                    http_decode_body_bytes, http_header,
                    http_status, http_text)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["detect_mime", "is_binary_payload"]
+__all__ = ["detect_mime", "detect_ooxml", "is_binary_payload"]
 
 
 def _col(c) -> Column:
@@ -154,3 +154,66 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
                "application/octet-stream")
          .otherwise("text/plain"))
     return F.when(p.isNull(), F.lit(None).cast("string")).otherwise(mime)
+
+
+# OOXML essence strings (ECMA-376 / IANA registrations, public)
+_OOXML_TYPES = (
+    ("word/document.xml",
+     "application/vnd.openxmlformats-officedocument."
+     "wordprocessingml.document"),
+    ("xl/workbook.xml",
+     "application/vnd.openxmlformats-officedocument."
+     "spreadsheetml.sheet"),
+    ("ppt/presentation.xml",
+     "application/vnd.openxmlformats-officedocument."
+     "presentationml.presentation"),
+    ("META-INF/MANIFEST.MF", "application/java-archive"),
+    ("mimetype", None),          # ODF stores its type AS a member
+)
+
+
+def detect_ooxml(payload) -> Column:
+    """Refine ZIP payloads to their package subtype — DOCX / XLSX /
+    PPTX (and JAR / ODF) all sniff as ``application/zip`` under the
+    byte-prefix rules because the type lives in the member LIST, not
+    the magic. This reads ONLY the central directory (one Arrow pass,
+    no member decompression — a few KB at the payload tail), returns
+    the OOXML/ODF/JAR essence for recognized packages,
+    ``application/zip`` for other archives, and NULL for non-ZIP
+    payloads — so the composition
+    ``F.coalesce(detect_ooxml(p), detect_mime(p))`` is the full
+    routing column the document extractors dispatch on."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def sniff_one(b) -> str | None:
+        import io
+        import zipfile
+        if b is None:
+            return None
+        b = bytes(b)
+        if b[:4] != b"PK\x03\x04":
+            return None
+        try:
+            with zipfile.ZipFile(io.BytesIO(b)) as z:
+                names = set(z.namelist())
+                for marker, essence in _OOXML_TYPES:
+                    if marker in names:
+                        if essence is not None:
+                            return essence
+                        # ODF: the type IS the (stored) member text
+                        info = z.getinfo("mimetype")
+                        if info.file_size <= 256:
+                            return z.read(info).decode(
+                                "ascii", "replace").strip() or \
+                                "application/zip"
+        except Exception:
+            return "application/zip"     # ZIP magic but unreadable
+        return "application/zip"
+
+    def sniff(p):
+        return p.map(sniff_one)
+
+    sniff.__annotations__ = {"p": pd.Series, "return": pd.Series}
+    return pandas_udf(sniff, StringType())(_col(payload))

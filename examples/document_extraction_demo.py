@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 from pyspark.sql import functions as F
 
-from datasketches_spark_spark.functions import detect_mime
+from datasketches_spark_spark.functions import detect_mime, detect_ooxml
 from datasketches_spark_spark.operators import (extract_docx_text,
                                                 extract_pdf_text,
                                                 extract_pptx_text,
@@ -50,29 +50,34 @@ def main() -> None:
         (5, bytearray(b"%PDF-1.7\ntrailer << /Encrypt 9 0 R >>")),
         (6, bytearray(b"\x00\x01 corrupt blob")),
     ]
+    # the full routing column: detect_ooxml refines ZIP packages to
+    # their subtype from the member list (one Arrow pass over the
+    # central directory), detect_mime covers everything else from
+    # the byte prefix
     docs = spark.createDataFrame(rows, "doc_id long, payload binary") \
-        .withColumn("mime", detect_mime("payload"))
+        .withColumn("mime", F.coalesce(detect_ooxml("payload"),
+                                       detect_mime("payload"))) \
+        .persist()
     print("[1] routing:")
     for r in docs.select("doc_id", "mime").orderBy("doc_id").collect():
         print("   ", r.doc_id, "->", r.mime)
 
-    # application/pdf routes to the PDF extractor; the OOXML family
-    # all sniffs as application/zip, so a cheap second probe (the
-    # package marker part) picks the extractor — here we just try
-    # each extractor on the zip subset and keep the non-null rows
-    pdfs = extract_pdf_text(
-        docs.where(F.col("mime") == "application/pdf"), "doc_id") \
-        .where(F.col("text").isNotNull()) \
-        .select("doc_id", "text").withColumn("fmt", F.lit("pdf"))
-    zips = docs.where(F.col("mime") == "application/zip").persist()
-    office = None
-    for fmt, fn in (("docx", extract_docx_text),
-                    ("xlsx", extract_xlsx_text),
-                    ("pptx", extract_pptx_text)):
-        part = fn(zips, "doc_id").where(F.col("text").isNotNull()) \
+    dispatch = [
+        ("pdf", "application/pdf", extract_pdf_text),
+        ("docx", "application/vnd.openxmlformats-officedocument."
+                 "wordprocessingml.document", extract_docx_text),
+        ("xlsx", "application/vnd.openxmlformats-officedocument."
+                 "spreadsheetml.sheet", extract_xlsx_text),
+        ("pptx", "application/vnd.openxmlformats-officedocument."
+                 "presentationml.presentation", extract_pptx_text),
+    ]
+    unified = None
+    for fmt, essence, fn in dispatch:
+        part = fn(docs.where(F.col("mime") == essence), "doc_id") \
+            .where(F.col("text").isNotNull()) \
             .select("doc_id", "text").withColumn("fmt", F.lit(fmt))
-        office = part if office is None else office.unionByName(part)
-    unified = pdfs.unionByName(office).orderBy("doc_id")
+        unified = part if unified is None else unified.unionByName(part)
+    unified = unified.orderBy("doc_id")
     print("[2] extracted text (nulls = honest refusals, filtered):")
     for r in unified.collect():
         print(f"    {r.doc_id} [{r.fmt}] {r.text[:48]!r}")

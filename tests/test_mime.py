@@ -145,3 +145,61 @@ class TestDetectMime:
         # bytes inside the probe window make it binary, NOT image/png —
         # sniffing before decode routes wrong either way
         assert r.raw_m == "application/octet-stream"
+
+
+class TestDetectOoxml:
+    """r15: ZIP-subtype refinement — the package type lives in the
+    member list, not the byte magic."""
+
+    def test_office_triple_and_odf(self, spark):
+        import io
+        import zipfile
+        from datasketches_spark_spark.functions import detect_ooxml
+        from datasketches_spark_spark.operators.docxcodec import (
+            encode_docx_text)
+        from datasketches_spark_spark.operators.ooxmlcodec import (
+            encode_pptx_text, encode_xlsx_cells)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            zi = zipfile.ZipInfo("mimetype")
+            zi.compress_type = zipfile.ZIP_STORED
+            z.writestr(zi, "application/vnd.oasis.opendocument.text")
+        rows = [
+            ("docx", encode_docx_text(["x"]),
+             "application/vnd.openxmlformats-officedocument."
+             "wordprocessingml.document"),
+            ("xlsx", encode_xlsx_cells([["x"]]),
+             "application/vnd.openxmlformats-officedocument."
+             "spreadsheetml.sheet"),
+            ("pptx", encode_pptx_text(["x"]),
+             "application/vnd.openxmlformats-officedocument."
+             "presentationml.presentation"),
+            ("odf", buf.getvalue(),
+             "application/vnd.oasis.opendocument.text"),
+            ("plainzip", _plain_zip(), "application/zip"),
+            ("brokenzip", b"PK\x03\x04 broken central dir",
+             "application/zip"),
+            ("notzip", b"%PDF-1.4", None),
+        ]
+        df = spark.createDataFrame([(n, bytearray(p))
+                                    for n, p, _ in rows],
+                                   ["name", "payload"])
+        got = {r.name: r.m for r in df.select(
+            "name", detect_ooxml("payload").alias("m")).collect()}
+        assert got == {n: m for n, _, m in rows}
+
+    def test_null_payload(self, spark):
+        from datasketches_spark_spark.functions import detect_ooxml
+        df = spark.createDataFrame([(None,)],
+                                   "payload binary")
+        assert df.select(detect_ooxml("payload").alias("m")) \
+                 .collect()[0].m is None
+
+
+def _plain_zip() -> bytes:
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("readme.txt", "hi")
+    return buf.getvalue()
