@@ -2618,9 +2618,33 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.abs(dsf.approx_membership_estimate("bs").cast("double")
                 - F.col("nd")) <= 0.1 * F.col("nd")))
         .cast("long").alias("extra")))
+    # 'extremes_est' (round 16, the r15 verdict's estimation-regime
+    # extremes gate): MERGEABLE (float64 KLL core) at k=64 over ~20k
+    # rows/group — deep in the estimation regime — must still answer
+    # quantile(0.0)/quantile(1.0) EXACTLY (tracked stream extrema,
+    # sketches/kll.py serde v3; the DataSketches getMinValue/
+    # getMaxValue contract). lo/hi = the sketch's own rank-0/1
+    # answers, hash-matched against DuckDB's exact MIN/MAX; extra = 1
+    # iff the sketch's own rank-error interval at p50 is non-degenerate
+    # (proof the state actually left the exact regime — DuckDB
+    # recomputes as count(*) far past the k=64 capacity).
+    ex_est = sketch_accumulate(li, ["l_returnflag"], "l_extendedprice",
+                               family="quantile", impl="MERGEABLE",
+                               k=64, state_col="xs")
+    xb = dsf.approx_percentile_bounds("xs", 0.5)
+    extremes_est = ex_est.select(
+        F.lit("extremes_est").alias("leg"),
+        F.col("l_returnflag").alias("k"),
+        dsf.approx_percentile_estimate("xs", 0.0)
+        .cast("double").alias("lo"),
+        dsf.approx_percentile_estimate("xs", 1.0)
+        .cast("double").alias("hi"),
+        (F.element_at(xb, 1) != F.element_at(xb, 2))
+        .cast("long").alias("extra"))
     return (quant.unionByName(ndv).unionByName(ndv_est)
             .unionByName(quant_est).unionByName(freq_est)
             .unionByName(tuple_est).unionByName(bloom_leg)
+            .unionByName(extremes_est)
             .orderBy("leg", "k"))
 
 
@@ -5769,6 +5793,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'bloom' AS leg, event_type AS k,
                    1.0 AS lo, 1.0 AS hi, CAST(1 AS BIGINT) AS extra
             FROM events GROUP BY event_type
+            UNION ALL
+            -- estimation-regime EXTREMES (r16): the sketch's rank-0/1
+            -- answers must equal the exact MIN/MAX even after
+            -- compaction (tracked stream extrema); extra = the state
+            -- left the exact regime (count far past the k=64
+            -- capacity of ~192 retained items)
+            SELECT 'extremes_est' AS leg, l_returnflag AS k,
+                   CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+                   CAST(CASE WHEN count(*) > 1000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS extra
+            FROM lineitem GROUP BY l_returnflag
             ORDER BY leg, k
         """,
                     }

@@ -82,22 +82,34 @@ class WeightedSample:
     weight fraction with ``value <= x``; pmf bins use ``value < split``.
     """
 
-    __slots__ = ("values", "weights", "n")
+    __slots__ = ("values", "weights", "n", "vmin", "vmax")
 
     def __init__(self, values: np.ndarray, weights: np.ndarray,
-                 n: int | None = None):
+                 n: int | None = None, vmin: float | None = None,
+                 vmax: float | None = None):
         values = np.asarray(values, dtype=np.float64)
         weights = np.asarray(weights, dtype=np.uint64)
         order = np.argsort(values, kind="stable")
         self.values = values[order]
         self.weights = weights[order]
         self.n = int(n if n is not None else self.weights.sum())
+        # EXACT stream extrema from the wire image when the format
+        # stores them (KLL/REQ/Doubles all do) — the retained items may
+        # have dropped the true extremes under compaction.
+        self.vmin = float(vmin) if vmin is not None else (
+            float(self.values[0]) if self.values.size else None)
+        self.vmax = float(vmax) if vmax is not None else (
+            float(self.values[-1]) if self.values.size else None)
 
     def quantile(self, p: float) -> float | None:
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentage must be in [0, 1], got {p}")
         if self.values.size == 0:
             return None
+        if p <= 0.0:
+            return self.vmin
+        if p >= 1.0:
+            return self.vmax
         cum = np.cumsum(self.weights.astype(np.float64))
         rank = max(np.ceil(p * cum[-1]), 1.0)
         idx = int(np.searchsorted(cum, rank, side="left"))
@@ -128,7 +140,7 @@ class WeightedSample:
             return None
         if num_splits <= 1:
             raise ValueError("numSplits must be greater than 1")
-        lo, hi = float(self.values[0]), float(self.values[-1])
+        lo, hi = self.vmin, self.vmax  # exact range, not retained range
         width = (hi - lo) / num_splits
         splits = [lo + i * width for i in range(1, num_splits)]
         cum = np.cumsum(self.weights.astype(np.float64))
@@ -178,7 +190,12 @@ def decode_kll_floats(data: bytes) -> WeightedSample:
     off = 20
     levels = list(struct.unpack_from(f"<{num_levels}i", data, off))
     off += 4 * num_levels
-    off += 8  # min, max floats (recomputable from items for our purposes)
+    # EXACT stream min/max — the image stores them because compaction
+    # drops extreme items; they are NOT recomputable from retained items
+    # (r15 verdict: an earlier revision skipped them and answered
+    # quantile(0)/PMF wrong on estimation-mode foreign states).
+    mn, mx = struct.unpack_from("<ff", data, off)
+    off += 8
     items = np.frombuffer(data, dtype="<f4", offset=off).astype(np.float64)
     bounds = levels + [levels[0] + items.size]
     values, weights = [], []
@@ -187,7 +204,8 @@ def decode_kll_floats(data: bytes) -> WeightedSample:
         if hi > lo:
             values.append(items[lo:hi])
             weights.append(np.full(hi - lo, 1 << lvl, dtype=np.uint64))
-    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n)
+    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n,
+                        vmin=float(mn), vmax=float(mx))
     if ws.weights.sum() != n:
         raise ValueError(
             f"corrupt KLL state: retained weight {int(ws.weights.sum())} "
@@ -239,7 +257,10 @@ def decode_req_floats(data: bytes) -> WeightedSample:
         raise ValueError(
             "corrupt REQ state: non-empty, non-raw image with 0 levels")
     (n,) = struct.unpack_from("<Q", data, 8)
-    off = 16 + 8  # skip min/max f32 (recomputable from retained items)
+    # exact stream min/max (stored precisely because compaction drops
+    # extremes — see decode_kll_floats)
+    mn, mx = struct.unpack_from("<ff", data, 16)
+    off = 16 + 8
     values, weights = [], []
     for _ in range(num_levels):
         lg_weight = data[off + 12]
@@ -254,7 +275,8 @@ def decode_req_floats(data: bytes) -> WeightedSample:
             off += 4 * num_items
     if not values:
         raise ValueError("corrupt REQ state: no retained items but n > 0")
-    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n)
+    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n,
+                        vmin=float(mn), vmax=float(mx))
     if ws.weights.sum() != n:
         raise ValueError(
             f"corrupt REQ state: retained weight {int(ws.weights.sum())} "
@@ -282,7 +304,9 @@ def decode_doubles(data: bytes) -> WeightedSample:
         return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
     (k,) = struct.unpack_from("<H", data, 4)
     (n,) = struct.unpack_from("<Q", data, 8)
-    off = 16 + 16  # skip min/max doubles
+    # exact stream min/max doubles (see decode_kll_floats)
+    mn, mx = struct.unpack_from("<dd", data, 16)
+    off = 16 + 16
     bb_count = int(n % (2 * k))
     values, weights = [], []
     if bb_count:
@@ -302,7 +326,8 @@ def decode_doubles(data: bytes) -> WeightedSample:
         lvl += 1
     if not values:
         return WeightedSample(np.empty(0), np.empty(0, dtype=np.uint64), 0)
-    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n)
+    ws = WeightedSample(np.concatenate(values), np.concatenate(weights), n,
+                        vmin=float(mn), vmax=float(mx))
     if ws.weights.sum() != n:
         raise ValueError(
             f"corrupt DoublesSketch state: retained weight "
@@ -403,6 +428,10 @@ def _sample_to_levels(ws: WeightedSample, sketch):
         levels.append(ws.values[mask].astype(sketch.dtype))
     sketch._levels = levels
     sketch.n = ws.n
+    # carry the image's EXACT extrema (retained items may have dropped
+    # the true min/max under compaction)
+    if ws.n:
+        sketch._min, sketch._max = ws.vmin, ws.vmax
     return sketch
 
 
@@ -514,9 +543,10 @@ def encode_kll_floats(sk) -> bytes:
     invariant its merge path relies on). A 0-anchored levels array (the
     r12 form) makes Java heapify read ``capacity`` items from a
     ``retained``-item buffer and throw — the live validation caught it.
-    min/max are the engine's retained extrema (the engine does not
-    carry dropped stream extrema; its own rank-0/1 answers round-trip
-    unchanged)."""
+    min/max are the engine's TRACKED exact stream extrema (carried
+    through update/merge/serde since serde v3) — the same contract as
+    Java's getMinValue/getMaxValue, so rank-0/1 answers round-trip
+    exactly even when compaction dropped the extreme items."""
     sk._consolidate()
     n = int(sk.n)
     _require(n > 0, "empty KLL state has no export")
@@ -546,13 +576,13 @@ def encode_kll_floats(sk) -> bytes:
         [[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
     body = [levels[0][::-1]] + [np.sort(a) for a in levels[1:]]
     items = np.concatenate(body) if body else np.empty(0, np.float32)
-    vals = np.concatenate([a for a in levels if a.size]) \
-        if any(sizes) else np.empty(0, np.float32)
     head = struct.pack("<BBBBHBB", 5, 1, _FAMILY_KLL, 0, k, 8, 0)
     head += struct.pack("<Q", n)
     head += struct.pack("<HBB", k, num_levels, 0)
     head += struct.pack(f"<{num_levels}i", *starts.tolist())
-    head += struct.pack("<ff", float(vals.min()), float(vals.max()))
+    # tracked exact extrema — Java getMinValue/getMaxValue read these
+    head += struct.pack("<ff", float(np.float32(sk.min_value)),
+                        float(np.float32(sk.max_value)))
     return head + items.astype("<f4").tobytes()
 
 
@@ -582,7 +612,7 @@ def encode_doubles(sk) -> bytes:
     _require(0 < n < 2 * k, "export needs 0 < n < 2k (base-buffer regime)")
     head = struct.pack("<BBBBHH", 2, 3, _FAMILY_QUANTILES, 0, k, 0)
     head += struct.pack("<Q", n)
-    head += struct.pack("<dd", float(items.min()), float(items.max()))
+    head += struct.pack("<dd", sk.min_value, sk.max_value)
     return head + items.tobytes()
 
 

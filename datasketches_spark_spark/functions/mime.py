@@ -113,7 +113,14 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
     # 0x09 0x0A 0x0C 0x0D 0x20 before tag matching)
     trimmed = F.lower(F.regexp_replace(head, r"^[\t\n\f\r ]+", ""))
     is_riff = h4 == "52494646"
-    is_ftyp = ftyp == "ftyp"
+    # ISO-BMFF: 'ftyp' at offset 4 alone is not enough — WHATWG requires
+    # the leading big-endian box-size field to be plausible (>= 12, a
+    # multiple of 4, and no larger than the payload), else plain text
+    # containing 'ftyp' at offset 4 routes to video/mp4 ahead of the
+    # markup/text fallback (r15 ADVICE)
+    box_size = F.conv(h4, 16, 10).cast("long")
+    is_ftyp = ((ftyp == "ftyp") & (box_size >= 12) & (box_size % 4 == 0)
+               & (F.length(p) >= box_size))
     mime = (
         F.when(h3 == "EFBBBF", "text/plain")                  # UTF-8 BOM
          .when(h2 == "FFFE", "text/plain")                    # UTF-16LE
@@ -176,10 +183,13 @@ def detect_ooxml(payload) -> Column:
     """Refine ZIP payloads to their package subtype — DOCX / XLSX /
     PPTX (and JAR / ODF) all sniff as ``application/zip`` under the
     byte-prefix rules because the type lives in the member LIST, not
-    the magic. This reads ONLY the central directory (one Arrow pass,
-    no member decompression — a few KB at the payload tail), returns
+    the magic. One Arrow pass over the member list (zipfile walks the
+    central directory plus local headers; for the ODF branch the one
+    tiny ``mimetype`` member — ≤256 B, conventionally STORED first —
+    is additionally read, the only member content touched). Returns
     the OOXML/ODF/JAR essence for recognized packages,
-    ``application/zip`` for other archives, and NULL for non-ZIP
+    ``application/zip`` for other archives — including corrupt-but-ZIP
+    payloads whose directory can't be walked — and NULL for non-ZIP
     payloads — so the composition
     ``F.coalesce(detect_ooxml(p), detect_mime(p))`` is the full
     routing column the document extractors dispatch on."""

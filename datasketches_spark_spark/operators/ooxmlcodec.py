@@ -151,7 +151,10 @@ def encode_xlsx_cells(rows: list[list], sheet: str = "Sheet1") -> bytes:
 # swallow family docxcodec's paragraph regex documents)
 _CELL_RE = re.compile(
     r'<c\b[^>]*?/>|<c\b([^>]*)>(.*?)</c>', re.S)
-_ROW_RE = re.compile(r"<row\b([^>]*)>(.*?)</row>", re.S)
+# self-closing rows too: some producers emit <row r="N"/> for empty
+# styled rows; skipping them would desync row_seq and give following
+# r=-less rows wrong implied cell refs (r15 ADVICE)
+_ROW_RE = re.compile(r"<row\b([^>]*?)/>|<row\b([^>]*)>(.*?)</row>", re.S)
 _V_RE = re.compile(r"<v>(.*?)</v>", re.S)
 _IS_T_RE = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
 _SI_RE = re.compile(r"<si>(.*?)</si>", re.S)
@@ -194,7 +197,13 @@ def xlsx_extract(data: bytes) -> dict:
             row_texts: list[str] = []
             row_seq = 0
             for rm_ in _ROW_RE.finditer(xml):
-                rattrs, rbody = rm_.group(1), rm_.group(2)
+                if rm_.group(1) is not None:
+                    # self-closing empty row: no cells, but it still
+                    # advances the implied row counter
+                    rnum = re.search(r'r="(\d+)"', rm_.group(1))
+                    row_seq = int(rnum.group(1)) if rnum else row_seq + 1
+                    continue
+                rattrs, rbody = rm_.group(2), rm_.group(3)
                 rnum = re.search(r'r="(\d+)"', rattrs)
                 row_seq = int(rnum.group(1)) if rnum else row_seq + 1
                 col_seq = 0

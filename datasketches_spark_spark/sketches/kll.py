@@ -40,7 +40,7 @@ import struct
 
 import numpy as np
 
-from .serde import FAMILY_KLL, pack, unpack
+from .serde import FAMILY_KLL, pack, unpack_versioned
 
 _MIN_LEVEL_CAP = 8
 _GROWTH = 2.0 / 3.0
@@ -59,7 +59,8 @@ class KllSketch:
 
     FAMILY = FAMILY_KLL
 
-    __slots__ = ("k", "dtype", "n", "_levels", "_buf", "_buf_len", "_rng")
+    __slots__ = ("k", "dtype", "n", "_levels", "_buf", "_buf_len", "_rng",
+                 "_min", "_max")
 
     def __init__(self, k: int = 200, dtype=np.float32):
         self.k = int(k)
@@ -67,6 +68,14 @@ class KllSketch:
         if self.dtype not in _DTYPE_CODES:
             raise ValueError(f"unsupported dtype {dtype}")
         self.n = 0
+        # EXACT stream extrema, tracked through update/merge/serde —
+        # compaction drops extreme items, so the retained multiset
+        # understates the true range once n exceeds capacity. The
+        # reference's DataSketches KLL/REQ/Doubles all track and
+        # serialize these exactly (getMinValue/getMaxValue). None only
+        # for empty sketches or states decoded from pre-v3 engine wire.
+        self._min: float | None = None
+        self._max: float | None = None
         # _levels[h] : np.ndarray of items with weight 2**h (h >= 1 sorted-ish,
         # sorted lazily at query/compaction time). Level 0 is buffered in _buf.
         self._levels: list[np.ndarray] = [np.empty(0, self.dtype)]
@@ -86,6 +95,9 @@ class KllSketch:
         if v.size == 0:
             return
         v = v.astype(self.dtype, copy=False)
+        lo, hi = float(v.min()), float(v.max())
+        self._min = lo if self._min is None else min(self._min, lo)
+        self._max = hi if self._max is None else max(self._max, hi)
         self._buf.append(v)
         self._buf_len += v.size
         self.n += v.size
@@ -114,6 +126,12 @@ class KllSketch:
             if arr.size:
                 self._levels[h] = np.concatenate([self._levels[h], arr])
         self.n += other.n
+        for mine, theirs, pick in (("_min", other.min_value, min),
+                                   ("_max", other.max_value, max)):
+            cur = getattr(self, mine)
+            if theirs is not None:
+                setattr(self, mine,
+                        theirs if cur is None else pick(cur, theirs))
         self._compress()
         return self
 
@@ -147,6 +165,16 @@ class KllSketch:
     def quantile(self, p: float, rule: str = "disc") -> float | None:
         if self.n == 0:
             return None
+        # Rank 0 / rank 1 are EXACT (tracked extrema), matching
+        # DataSketches getQuantile(0)/getQuantile(1) == getMinValue/
+        # getMaxValue — the retained multiset may have dropped the true
+        # extremes under compaction (r15 verdict finding).
+        if p <= 0.0:
+            self._rank_target(p, rule)  # still validate the range
+            return self.min_value
+        if p >= 1.0:
+            self._rank_target(p, rule)
+            return self.max_value
         v, w = self._weighted_items()
         cum = np.cumsum(w)
         idx = int(np.searchsorted(cum, self._rank_target(p, rule),
@@ -161,6 +189,10 @@ class KllSketch:
         cum = np.cumsum(w)
         out = []
         for p in ps:
+            if p <= 0.0 or p >= 1.0:
+                self._rank_target(p, rule)
+                out.append(self.min_value if p <= 0.0 else self.max_value)
+                continue
             idx = min(int(np.searchsorted(cum, self._rank_target(p, rule),
                                           side="left")), v.size - 1)
             out.append(float(v[idx]))
@@ -170,14 +202,18 @@ class KllSketch:
     def min_value(self) -> float | None:
         if self.n == 0:
             return None
-        v, _ = self._weighted_items()
+        if self._min is not None:
+            return self._min
+        v, _ = self._weighted_items()  # pre-v3 decoded state fallback
         return float(v[0])
 
     @property
     def max_value(self) -> float | None:
         if self.n == 0:
             return None
-        v, _ = self._weighted_items()
+        if self._max is not None:
+            return self._max
+        v, _ = self._weighted_items()  # pre-v3 decoded state fallback
         return float(v[-1])
 
     def pmf(self, num_splits: int) -> list[float] | None:
@@ -196,7 +232,10 @@ class KllSketch:
         if num_splits <= 1:
             raise ValueError("numSplits must be greater than 1")
         v, w = self._weighted_items()
-        lo, hi = float(v[0]), float(v[-1])
+        # Bins span the EXACT stream range (tracked extrema), not the
+        # retained range — DataSketches anchors PMF splits the same way
+        # (its getMinValue/getMaxValue are exact).
+        lo, hi = self.min_value, self.max_value
         width = (hi - lo) / num_splits
         splits = [lo + i * width for i in range(1, num_splits)]
         cum = np.cumsum(w)
@@ -216,6 +255,10 @@ class KllSketch:
     def serialize(self) -> bytes:
         self._consolidate()
         head = struct.pack("<IBQ", self.k, _DTYPE_CODES[self.dtype], self.n)
+        # v3: exact stream extrema follow n (see serde.py version notes).
+        mn = self.min_value if self.n else 0.0
+        mx = self.max_value if self.n else 0.0
+        head += struct.pack("<dd", mn, mx)
         nlev = len(self._levels)
         lens = struct.pack(f"<H{nlev}I", nlev, *(a.size for a in self._levels))
         body = b"".join(np.ascontiguousarray(a).tobytes() for a in self._levels)
@@ -223,11 +266,15 @@ class KllSketch:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "KllSketch":
-        family, payload = unpack(data)
+        family, payload, version = unpack_versioned(data)
         if family != cls.FAMILY:
             raise ValueError(f"not a {cls.__name__} state (family={family})")
         k, dcode, n = struct.unpack_from("<IBQ", payload, 0)
         off = struct.calcsize("<IBQ")
+        mn = mx = None
+        if version >= 3:
+            mn, mx = struct.unpack_from("<dd", payload, off)
+            off += 16
         (nlev,) = struct.unpack_from("<H", payload, off)
         off += 2
         lens = struct.unpack_from(f"<{nlev}I", payload, off)
@@ -241,6 +288,8 @@ class KllSketch:
             levels.append(np.frombuffer(payload, dtype=sk.dtype, count=ln, offset=off).copy())
             off += nbytes
         sk._levels = levels if levels else [np.empty(0, sk.dtype)]
+        if n and mn is not None:
+            sk._min, sk._max = float(mn), float(mx)
         return sk
 
     # ------------------------------------------------------------------ internals

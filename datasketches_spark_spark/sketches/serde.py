@@ -21,8 +21,13 @@ MAGIC = b"DSSS"
 # v2: HLL payload gained a mode byte after lgk for the sparse coupon
 #     phase; every other family's payload is unchanged. Decoders accept
 #     both versions; writers emit the current VERSION.
-VERSION = 2
-_ACCEPTED_VERSIONS = frozenset({1, 2})
+# v3: KLL/REQ payloads carry the EXACT stream min/max (two f64 after n) —
+#     compaction drops extreme items, so retained extrema understate the
+#     true range (r15 verdict: quantile(0) wrong in the estimation
+#     regime). Apache DataSketches KLL/REQ/Doubles all serialize exact
+#     min/max for the same reason. Other families' payloads unchanged.
+VERSION = 3
+_ACCEPTED_VERSIONS = frozenset({1, 2, 3})
 
 FAMILY_KLL = 1
 FAMILY_FREQ_STR = 2

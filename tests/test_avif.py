@@ -83,10 +83,12 @@ class TestDispatch:
         rows = [
             ("real", av.avif_encode_rgb(
                 np.full((4, 4, 3), 9, np.uint8)), "image/avif"),
-            ("heic", b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00",
-             "image/heic"),
-            ("mp4", b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00",
-             "video/mp4"),
+            # full 0x18-byte ftyp boxes — detect_mime now enforces the
+            # WHATWG box-size plausibility rule (length >= box size)
+            ("heic", b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00"
+                     b"heicmif1", "image/heic"),
+            ("mp4", b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00"
+                    b"isomavc1", "video/mp4"),
         ]
         df = spark.createDataFrame([(n, p) for n, p, _ in rows],
                                    ["name", "payload"])

@@ -448,7 +448,12 @@ class TestMultiLevelKll:
         assert sorted(ws.weights.tolist()) == [1, 1, 1, 1, 2, 2, 2, 2]
         assert ws.quantile(1.0) == 90.0
         sk = deserialize_quantile(blob)
-        assert sk.quantiles([0.0, 1.0]) == [1.0, 90.0]
+        # the image's STORED exact min (0.0) wins over the retained
+        # minimum (1.0): compaction may have dropped the true extreme,
+        # so rank-0 answers must come from the serialized min/max
+        # (r15 verdict finding)
+        assert sk.quantiles([0.0, 1.0]) == [0.0, 90.0]
+        assert sk.min_value == 0.0 and sk.max_value == 90.0
         assert sk.n == 12
 
     def test_weight_mismatch_rejected(self):
@@ -755,3 +760,73 @@ class TestExportLiveDoublesAndFreq:
                 mem.wrap(bytearray(to_datasketches_state(fl.serialize()))))
         for i in range(5):
             assert jl.getEstimate(i) == fl.estimate(i) == 100
+
+
+class TestExactExtremaWireLive:
+    """r15 verdict #7: the min/max wire fields must stay EXACT through
+    both interop directions in the estimation regime — DataSketches
+    KLL/REQ serialize exact stream extrema, and the engine now tracks
+    them (sketches/kll.py serde v3)."""
+
+    @staticmethod
+    def _jmem(spark, data: bytes):
+        return spark._jvm.org.apache.datasketches.memory.Memory.wrap(
+            bytearray(data))
+
+    def test_kll_export_carries_exact_extrema_to_java(self, spark):
+        import numpy as np
+
+        from datasketches_spark_spark.compat.datasketches import (
+            to_datasketches_state)
+        from datasketches_spark_spark.sketches.kll import KllSketch
+        sk = KllSketch(k=32)
+        # single extreme outliers in a long uniform stream: compaction
+        # is near-certain to drop them from the retained set
+        vals = np.concatenate([[-1e6], np.random.RandomState(3)
+                               .uniform(0, 1, 20_000), [1e6]])
+        sk.update_batch(vals)
+        assert not sk.is_exact()
+        jsk = spark._jvm.org.apache.datasketches.kll.KllFloatsSketch \
+            .heapify(self._jmem(spark,
+                                to_datasketches_state(sk.serialize())))
+        assert jsk.getMinItem() == np.float32(-1e6)
+        assert jsk.getMaxItem() == np.float32(1e6)
+
+    def test_kll_import_consumes_java_exact_extrema(self, spark):
+        import numpy as np
+
+        from datasketches_spark_spark.compat.datasketches import (
+            to_engine_sketch)
+        jvm = spark._jvm
+        jsk = jvm.org.apache.datasketches.kll.KllFloatsSketch \
+            .newHeapInstance(32)
+        jsk.update(float(-1e6))
+        rnd = 99
+        for _ in range(20_000):
+            rnd = (rnd * 1103515245 + 12345) % (1 << 31)
+            jsk.update(float(rnd % 1000))
+        jsk.update(float(1e6))
+        back = to_engine_sketch(bytes(jsk.toByteArray()))
+        # engine answers rank-0/1 from the image's STORED exact
+        # extrema, not the retained items (which likely dropped them)
+        assert back.quantile(0.0) == np.float32(-1e6)
+        assert back.quantile(1.0) == np.float32(1e6)
+        assert back.min_value == np.float32(-1e6)
+        assert back.max_value == np.float32(1e6)
+
+    def test_req_export_carries_exact_extrema_to_java(self, spark):
+        import numpy as np
+
+        from datasketches_spark_spark.compat.datasketches import (
+            to_datasketches_state)
+        from datasketches_spark_spark.sketches.req import ReqSketch
+        sk = ReqSketch(k=8)
+        vals = np.concatenate([[-5e5], np.random.RandomState(5)
+                               .uniform(0, 1, 10_000), [5e5]])
+        sk.update_batch(vals)
+        assert not sk.is_exact()
+        jsk = spark._jvm.org.apache.datasketches.req.ReqSketch \
+            .heapify(self._jmem(spark,
+                                to_datasketches_state(sk.serialize())))
+        assert jsk.getMinItem() == np.float32(-5e5)
+        assert jsk.getMaxItem() == np.float32(5e5)

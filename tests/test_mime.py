@@ -59,7 +59,17 @@ SPEC_CASES = [
     ("id3", b"ID3\x04\x00\x00\x00\x00\x00\x00", "audio/mpeg"),
     ("mp3sync", b"\xff\xfb\x90\x44" + b"\x00" * 8, "audio/mpeg"),
     ("ogg", b"OggS\x00\x02", "application/ogg"),
-    ("mp4", b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00", "video/mp4"),
+    # full 0x18-byte ftyp box (WHATWG requires length >= box size)
+    ("mp4", b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomavc1",
+     "video/mp4"),
+    # 'ftyp' at offset 4 is NOT enough: the leading box-size field
+    # must be plausible (>= 12, multiple of 4 — WHATWG), else text
+    # payloads containing the bytes route to video/mp4 (r15 ADVICE)
+    ("ftyptext", b"textftyp in prose, not a box header.", "text/plain"),
+    ("ftypsize2", b"\x00\x00\x00\x02ftypisom\x00\x00\x02\x00",
+     "application/octet-stream"),
+    ("ftypodd", b"\x00\x00\x00\x1aftypisom\x00\x00\x02\x00",
+     "application/octet-stream"),
     ("zip", b"PK\x03\x04\x14\x00", "application/zip"),
     ("zstd", b"\x28\xb5\x2f\xfd\x20\x00", "application/zstd"),
     ("pdf", b"%PDF-1.7\n%\xe2\xe3\xcf\xd3", "application/pdf"),

@@ -203,3 +203,43 @@ class TestReviewFixes:
                extract_xlsx_text(df, "id").collect()}
         assert out[1] == "a"
         assert out[2] is None
+
+
+class TestR16AdviceFixes:
+    """r15 ADVICE regressions."""
+
+    def test_self_closing_row_advances_row_seq(self):
+        # <row r="2"/> (empty styled row, some producers emit it
+        # self-closing) must advance the implied row counter so the
+        # following r=-less row lands on row 3, not row 2
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", "<workbook/>")
+            z.writestr("xl/worksheets/sheet1.xml",
+                       '<worksheet><sheetData>'
+                       '<row r="1"><c t="inlineStr">'
+                       '<is><t>top</t></is></c></row>'
+                       '<row r="2" ht="12" customHeight="1"/>'
+                       '<row><c t="inlineStr">'
+                       '<is><t>below</t></is></c></row>'
+                       '</sheetData></worksheet>')
+        from datasketches_spark_spark.operators.ooxmlcodec import (
+            xlsx_extract)
+        info = xlsx_extract(buf.getvalue())
+        assert info["cells"] == [("sheet1", "A1", "top"),
+                                 ("sheet1", "A3", "below")]
+
+    def test_self_closing_row_without_ref_advances_too(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", "<workbook/>")
+            z.writestr("xl/worksheets/sheet1.xml",
+                       '<worksheet><sheetData>'
+                       '<row/>'
+                       '<row><c t="inlineStr">'
+                       '<is><t>v</t></is></c></row>'
+                       '</sheetData></worksheet>')
+        from datasketches_spark_spark.operators.ooxmlcodec import (
+            xlsx_extract)
+        assert xlsx_extract(buf.getvalue())["cells"] == [
+            ("sheet1", "A2", "v")]
