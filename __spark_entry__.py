@@ -4125,17 +4125,21 @@ def _demo_langid_wide_oracle() -> str:
 
 
 def _demo_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF text extraction (r15, operators/pdfcodec.py — the
-    write/read-symmetry gate, the demo_warc_roundtrip convention:
-    no PDF tool exists in this environment): each doc becomes a
-    two-page Flate-compressed PDF through the deterministic writer,
-    then ``extract_pdf_text`` must recover the exact text plus the
-    structural counts — all of which DuckDB rebuilds relationally
-    from the documents columns."""
+    """PDF text extraction (r15 + r16 packagings,
+    operators/pdfcodec.py — the write/read-symmetry gate, the
+    demo_warc_roundtrip convention: no PDF tool exists in this
+    environment): doc_id % 3 picks the document shape — classic
+    simple-font, Identity-H ``/Type0`` with a ToUnicode CMap (the
+    page-two text carries a non-ASCII character ONLY the CMap decode
+    path can recover), or PDF 1.5 ObjStm + xref-stream packaging —
+    and ``extract_pdf_text`` must recover the exact text plus the
+    structural counts (stream counts differ per shape: content only /
+    +CMap / +ObjStm+XRef; the ObjStm page count needs member
+    unpacking) — all rebuilt relationally by DuckDB."""
     import pandas as pd
     from datasketches_spark_spark.operators import extract_pdf_text
-    from datasketches_spark_spark.operators.pdfcodec import \
-        encode_pdf_text
+    from datasketches_spark_spark.operators.pdfcodec import (
+        encode_pdf_text, encode_pdf_text_objstm, encode_pdf_text_type0)
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 400)
@@ -4144,10 +4148,15 @@ def _demo_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text").repartition(4))
 
     def _mk(pdf_iter):
+        enc = [encode_pdf_text, encode_pdf_text_type0,
+               encode_pdf_text_objstm]
         for pdf in pdf_iter:
-            payloads = [encode_pdf_text(
-                [str(t)[:60], "doc %d second page" % int(d)])
-                for d, t in zip(pdf["doc_id"], pdf["text"])]
+            payloads = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                p2 = ("doc %d second page ✓" % d if d % 3 == 1
+                      else "doc %d second page" % d)
+                payloads.append(enc[d % 3]([str(t)[:60], p2]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -4190,15 +4199,21 @@ def _demo_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XLSX + PPTX extraction (r15, operators/ooxmlcodec.py — the
-    write/read-symmetry gate completing the Office triple): even docs
-    become a two-row spreadsheet (a text cell, a numeric cell, and an
-    XML-special cell that must escape and decode), odd docs a
-    two-slide deck; the extracted flat text and unit counts rebuild
+    """XLSX + PPTX + ODT extraction (r15 + r16 ODT,
+    operators/ooxmlcodec.py + odfcodec.py — the write/read-symmetry
+    gate across the Office triple AND the OpenDocument branch
+    detect_ooxml routes): doc_id % 3 picks the package species —
+    a two-row spreadsheet (a text cell, a numeric cell, and an
+    XML-special cell that must escape and decode), a two-slide deck,
+    or a two-paragraph OpenDocument text (with an entity-bearing
+    paragraph); the extracted flat text and unit counts rebuild
     relationally from the documents columns."""
     import pandas as pd
-    from datasketches_spark_spark.operators import (extract_pptx_text,
+    from datasketches_spark_spark.operators import (extract_odt_text,
+                                                    extract_pptx_text,
                                                     extract_xlsx_text)
+    from datasketches_spark_spark.operators.odfcodec import (
+        encode_odt_text)
     from datasketches_spark_spark.operators.ooxmlcodec import (
         encode_pptx_text, encode_xlsx_cells)
 
@@ -4213,25 +4228,32 @@ def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d, t = int(d), str(t)[:30]
-                if d % 2 == 0:
+                if d % 3 == 0:
                     payloads.append(encode_xlsx_cells(
                         [[t, d], ["a < b & c", d * 2]]))
-                else:
+                elif d % 3 == 1:
                     payloads.append(encode_pptx_text(
                         [t, "slide two of doc %d" % d]))
+                else:
+                    payloads.append(encode_odt_text(
+                        [t, "odt & <para> two of doc %d" % d]))
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    # persist: both parity branches read this, and the filter sits
-    # above mapInPandas — without a cache every doc is ENCODED twice
+    # persist: all three parity branches read this, and the filter
+    # sits above mapInPandas — without a cache every doc is ENCODED
+    # three times
     pkgs = docs.mapInPandas(
         _mk, "doc_id long, payload binary").persist()
-    xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 2 == 0),
+    xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 3 == 0),
                            "doc_id")
-    pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 2 == 1),
+    pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 3 == 1),
                            "doc_id")
+    od = extract_odt_text(pkgs.where(F.col("doc_id") % 3 == 2),
+                          "doc_id")
     return (xl.select("doc_id", "text", "units")
             .unionByName(pp.select("doc_id", "text", "units"))
+            .unionByName(od.select("doc_id", "text", "units"))
             .orderBy("doc_id"))
 
 
@@ -6861,13 +6883,20 @@ def demo_oracle_sql() -> dict[str, str]:
         "demo_langid_wide": _demo_langid_wide_oracle(),
         # demo_pdf_text (r15): write/read symmetry — the expected
         # extracted text is a pure string expression over the columns
+        # r16: doc_id % 3 picks classic / Type0+ToUnicode (page two
+        # carries a CMap-only non-ASCII char) / ObjStm+xref-stream;
+        # stream counts are shape-specific (content / +CMap /
+        # +ObjStm+XRef) and the ObjStm page count needs unpacking
         "demo_pdf_text": """
             SELECT doc_id,
                    substr(text, 1, 60) || chr(10) ||
                      'doc ' || CAST(doc_id AS VARCHAR) ||
-                     ' second page' AS text,
+                     ' second page' ||
+                     CASE WHEN doc_id % 3 = 1 THEN ' ✓'
+                          ELSE '' END AS text,
                    CAST(2 AS BIGINT) AS pages,
-                   CAST(2 AS BIGINT) AS streams
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 2
+                        WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS streams
             FROM documents
             WHERE doc_id < 400
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
@@ -6888,21 +6917,26 @@ def demo_oracle_sql() -> dict[str, str]:
               AND length(text) >= 40
             ORDER BY doc_id
         """,
-        # demo_office_text (r15): write/read symmetry for the XLSX
-        # (tab/newline flat text, 4 cells) and PPTX (blank-line slide
-        # separator, 2 slides) extractors
+        # demo_office_text (r15 + r16 ODT): write/read symmetry for
+        # the XLSX (tab/newline flat text, 4 cells), PPTX (blank-line
+        # slide separator, 2 slides), and ODT (newline paragraphs
+        # with XML entities decoded, 2 paragraphs) extractors
         "demo_office_text": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0
+                   CASE WHEN doc_id % 3 = 0
                         THEN substr(text, 1, 30) || chr(9) ||
                              CAST(doc_id AS VARCHAR) || chr(10) ||
                              'a < b & c' || chr(9) ||
                              CAST(doc_id * 2 AS VARCHAR)
-                        ELSE substr(text, 1, 30) || chr(10) ||
+                        WHEN doc_id % 3 = 1
+                        THEN substr(text, 1, 30) || chr(10) ||
                              chr(10) || 'slide two of doc ' ||
                              CAST(doc_id AS VARCHAR)
+                        ELSE substr(text, 1, 30) || chr(10) ||
+                             'odt & <para> two of doc ' ||
+                             CAST(doc_id AS VARCHAR)
                    END AS text,
-                   CASE WHEN doc_id % 2 = 0
+                   CASE WHEN doc_id % 3 = 0
                         THEN CAST(4 AS BIGINT)
                         ELSE CAST(2 AS BIGINT) END AS units
             FROM documents

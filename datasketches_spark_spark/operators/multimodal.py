@@ -476,3 +476,25 @@ def extract_pptx_text(df: DataFrame, id_col: str,
     return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
                               payload_col=payload_col,
                               keep_cols=keep_cols)
+
+
+def extract_odt_text(df: DataFrame, id_col: str,
+                     payload_col: str = "payload",
+                     keep_cols: list[str] | None = None) -> DataFrame:
+    """OpenDocument Text extraction (r16, ``operators/odfcodec.py``):
+    paragraph text from ``content.xml`` plus the paragraph count
+    (``units``) — the consumer for the ``application/vnd.oasis.
+    opendocument.text`` routing ``detect_ooxml`` already emits; same
+    loud-null contract as the other document extractors."""
+    from .odfcodec import odt_extract
+
+    def one(raw: bytes) -> dict:
+        try:
+            info = odt_extract(raw)
+            return {"text": info["text"], "units": info["paragraphs"]}
+        except Exception:
+            return {"text": None, "units": None}
+
+    return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)
