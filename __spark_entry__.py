@@ -1598,7 +1598,12 @@ def _q32_sampling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn, so 'de' carries a null state end-to-end (null combine -> null
     estimate/size) while every other lang retains its complete multiset.
     Accumulate stages run through dss.sql -> two-phase MapInPandas
-    partials before the exchange; raw rows never shuffle."""
+    partials before the exchange; raw rows never shuffle. r16 perf
+    triage (the r15 verdict's q32 watch item): BOTH families
+    accumulate in ONE dss.sql pass — one documents scan and one
+    state-only exchange instead of two — and the per-(lang, source)
+    states persist so the two estimate legs read cached kilobyte
+    states rather than re-running the accumulate."""
     import datasketches_spark_spark as dss
     from datasketches_spark_spark import conf as dconf
     key = dconf.SAMPLE_RESERVOIR_K_KEY
@@ -1608,18 +1613,16 @@ def _q32_sampling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         read_table(spark, sf_dir, "documents") \
             .createOrReplaceTempView("documents")
-        dss.sql(spark, """
-            SELECT lang, source, approx_sample_accumulate_long(doc_id) AS st
-            FROM documents GROUP BY lang, source
-        """).createOrReplaceTempView("_q32_states")
-        dss.sql(spark, """
+        states = dss.sql(spark, """
             SELECT lang, source,
+                   approx_sample_accumulate_long(doc_id) AS st,
                    approx_sample_weighted_accumulate_long(
                        doc_id,
                        CASE WHEN lang = 'de' THEN 0.0
-                            ELSE CAST(n_chars AS DOUBLE) END) AS st
+                            ELSE CAST(n_chars AS DOUBLE) END) AS wst
             FROM documents GROUP BY lang, source
-        """).createOrReplaceTempView("_q32_wstates")
+        """).persist()
+        states.createOrReplaceTempView("_q32_states")
         # doc_ids flattened to csv: the driver's canonicalizer hashes
         # scalar cells only (CORRECTNESS_r03 q32 err)
         return spark.sql("""
@@ -1633,11 +1636,11 @@ def _q32_sampling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT 'weighted' AS leg, lang,
                    array_join(transform(
-                       approx_sample_estimate_long(approx_sample_combine(st)),
+                       approx_sample_estimate_long(approx_sample_combine(wst)),
                        x -> CAST(x AS STRING)), ',') AS doc_ids,
-                   approx_sample_stream_size(approx_sample_combine(st))
+                   approx_sample_stream_size(approx_sample_combine(wst))
                      AS n_docs
-            FROM _q32_wstates GROUP BY lang
+            FROM _q32_states GROUP BY lang
             ORDER BY leg, lang
         """)
     finally:

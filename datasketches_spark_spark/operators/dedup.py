@@ -575,7 +575,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     is ``localCheckpoint``-ed to truncate lineage (an iterative DataFrame
     loop otherwise re-executes every prior round), and convergence is
     detected by counting changed labels (one count action per round —
-    driver-side control flow, fully distributed data flow).
+    driver-side control flow, fully distributed data flow). r16 perf:
+    the previous label rides THROUGH the checkpoint as an ``old``
+    column, so the changed-count is a filter over the just-
+    materialized round — the old form re-joined the new labels
+    against the previous round, one extra shuffle join per round.
     """
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .union(pairs.select(F.col(dst).alias("u"),
@@ -591,19 +595,18 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                  .groupBy("u").agg(F.min("nb_comp").alias("nb_comp"))
                  .withColumnRenamed("u", "id"))
         stepped = (labels.join(nbmin, "id", "left")
-                   .select("id", F.least(
+                   .select("id", F.col("comp").alias("old"), F.least(
                        "comp", F.coalesce("nb_comp", "comp")).alias("comp")))
         jumped = (stepped.alias("x")
                   .join(stepped.select(F.col("id").alias("comp"),
                                        F.col("comp").alias("gcomp"))
                                .alias("p"), "comp", "left")
-                  .select(F.col("id"),
+                  .select(F.col("id"), F.col("old"),
                           F.least(F.col("comp"),
                                   F.coalesce("gcomp", "comp")).alias("comp"))
                   .localCheckpoint())
-        changed = (jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-                   .where(F.col("comp") != F.col("old")).count())
-        labels = jumped
+        changed = jumped.where(F.col("comp") != F.col("old")).count()
+        labels = jumped.select("id", "comp")
         if changed == 0:
             break
     return labels
