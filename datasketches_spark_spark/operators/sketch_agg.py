@@ -792,3 +792,29 @@ def sketch_accumulate(df: DataFrame, keys: list[str], col: str,
     """
     return sketch_merge(sketch_partial(df, keys, col, family, state_col,
                                        **params), keys, state_col)
+
+
+def state_measure(name: str, col, family: str, **params) -> Measure:
+    """A :class:`Measure` whose output is the raw merged STATE (for
+    summary tables that estimate later), not an estimate — the
+    multi-measure counterpart of :func:`sketch_accumulate`."""
+    return Measure(name, col, family, lambda c: c, **params)
+
+
+def sketch_accumulate_multi(df: DataFrame, keys: list[str],
+                            measures: list[Measure],
+                            max_groups: int = 100_000) -> DataFrame:
+    """Two-phase accumulate for SEVERAL measures in ONE pass (r16):
+    the source scans once, one live sketch per (group, measure) on the
+    map side, ONE state-only shuffle row per group, and the output is
+    ``(keys..., <measure name> binary state ...)`` — what a summary
+    table writing N sketch families per key should run instead of N
+    :func:`sketch_accumulate` scans. Build measures with
+    :func:`state_measure` (any family the single-measure path
+    accepts, incl. tuple's two-column input as a col tuple)."""
+    ms = list(measures)
+    partial = sketch_partial_multi(df, keys, ms, max_groups=max_groups)
+    combines = [combine_udf()(F.col(f"{m.name}__state")).alias(m.name)
+                for m in ms]
+    return (partial.groupBy(*keys).agg(*combines) if keys
+            else partial.agg(*combines))

@@ -1661,3 +1661,82 @@ class TestTrigramLM:
         with _pt.raises(ValueError):
             perplexity_score_trigram(df, "doc_id", "text", uni, bi, tri,
                                      lambdas=(0.5, 0.3, 0.3))
+
+
+class TestSketchAccumulateMulti:
+    """r16: sketch_accumulate_multi — N families, one scan, one
+    state-only shuffle row per group; states must equal the
+    single-measure sketch_accumulate states family-by-family."""
+
+    def test_states_match_single_measure(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import (
+            sketch_accumulate, sketch_accumulate_multi, state_measure)
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.sources import read_table
+        ev = read_table(spark, sf_dir, "events")
+        multi = sketch_accumulate_multi(
+            ev, ["event_type"],
+            [state_measure("ts", "user_id", "theta", k=4096),
+             state_measure("hs", "event_id", "hll", lgk=12)])
+        est = {r.event_type: (r.t, r.h) for r in multi.select(
+            "event_type",
+            dsf.approx_count_distinct_estimate("ts").alias("t"),
+            dsf.approx_count_distinct_estimate("hs").alias("h"))
+            .collect()}
+        single_t = {r.event_type: r.t for r in sketch_accumulate(
+            ev, ["event_type"], "user_id", family="theta", k=4096)
+            .select("event_type", dsf.approx_count_distinct_estimate(
+                "state").alias("t")).collect()}
+        exact = {r.event_type: (r.nu, r.ne) for r in ev.groupBy(
+            "event_type").agg(
+                F.countDistinct("user_id").alias("nu"),
+                F.countDistinct("event_id").alias("ne")).collect()}
+        assert set(est) == set(exact)
+        for k, (t, h) in est.items():
+            assert t == single_t[k] == exact[k][0]   # exact regime
+            # HLL lgk=12 may estimate past its sparse phase
+            assert abs(h - exact[k][1]) <= max(0.05 * exact[k][1], 1)
+
+    def test_tuple_and_bloom_families(self, spark, sf_dir):
+        from datasketches_spark_spark.operators import (
+            sketch_accumulate_multi, state_measure)
+        from datasketches_spark_spark import functions as dsf
+        from datasketches_spark_spark.sources import read_table
+        from datasketches_spark_spark.sketches import ITEM_LONG
+        ev = read_table(spark, sf_dir, "events")
+        multi = sketch_accumulate_multi(
+            ev, ["event_type"],
+            [state_measure("tst", ("user_id", "value"), "tuple",
+                           k=8192),
+             state_measure("bs", "user_id", "membership",
+                           expected_items=1024, fpp=0.01),
+             state_measure("fs", "user_id", "freq",
+                           item_type=ITEM_LONG, max_map_size=8192)])
+        rows = multi.select(
+            "event_type",
+            dsf.approx_tuple_estimate("tst")["ndv"].alias("tn"),
+            dsf.approx_membership_estimate("bs").alias("bn")).collect()
+        from pyspark.sql import functions as F
+        exact = {r.event_type: r.nu for r in
+                 read_table(spark, sf_dir, "events")
+                 .groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("nu")).collect()}
+        for r in rows:
+            assert r.tn == exact[r.event_type]       # exact regime
+            assert abs(r.bn - exact[r.event_type]) <= \
+                max(0.1 * exact[r.event_type], 2)
+
+    def test_empty_partitions_and_global(self, spark):
+        from datasketches_spark_spark.operators import (
+            sketch_accumulate_multi, state_measure)
+        from datasketches_spark_spark import functions as dsf
+        df = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(100)],
+            "g int, v double").repartition(16)
+        multi = sketch_accumulate_multi(
+            df, [], [state_measure("q", "v", "quantile",
+                                   impl="MERGEABLE", k=4096)])
+        got = multi.select(dsf.approx_percentile_estimate("q", 0.5)
+                           .alias("m")).collect()[0].m
+        assert got == 49.0  # quantile_disc p50 of 0..99
