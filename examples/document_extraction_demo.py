@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """End-to-end document-format extraction demo.
 
-A mixed corpus of PDF / DOCX / XLSX / PPTX payloads (plus one
-encrypted PDF and one corrupt blob — the survivors) routes by
+A mixed corpus of PDF (classic, Identity-H Type0, ObjStm/xref-stream
+packagings) / DOCX / XLSX / PPTX / ODT payloads (plus one encrypted
+PDF and one corrupt blob — the survivors) routes by
 ``detect_mime``, extracts per format, and lands in one unified text
 table ready for the quality/dedup stack. Run:
 
@@ -21,13 +22,16 @@ from pyspark.sql import functions as F
 
 from datasketches_spark_spark.functions import detect_mime, detect_ooxml
 from datasketches_spark_spark.operators import (extract_docx_text,
+                                                extract_odt_text,
                                                 extract_pdf_text,
                                                 extract_pptx_text,
                                                 extract_xlsx_text)
 from datasketches_spark_spark.operators.docxcodec import encode_docx_text
 from datasketches_spark_spark.operators.ooxmlcodec import (
     encode_pptx_text, encode_xlsx_cells)
-from datasketches_spark_spark.operators.pdfcodec import encode_pdf_text
+from datasketches_spark_spark.operators.odfcodec import encode_odt_text
+from datasketches_spark_spark.operators.pdfcodec import (
+    encode_pdf_text, encode_pdf_text_objstm, encode_pdf_text_type0)
 from datasketches_spark_spark.sources import session_builder
 
 
@@ -49,6 +53,12 @@ def main() -> None:
             ["Roadmap 2026", "Q1: extraction\nQ2: scale"]))),
         (5, bytearray(b"%PDF-1.7\ntrailer << /Encrypt 9 0 R >>")),
         (6, bytearray(b"\x00\x01 corrupt blob")),
+        (7, bytearray(encode_odt_text(
+            ["Design doc", "Open formats \u2764 open tooling."]))),
+        (8, bytearray(encode_pdf_text_type0(
+            ["Unicode r\u00e9sum\u00e9 \u2014 \u65e5\u672c\u8a9e"]))),
+        (9, bytearray(encode_pdf_text_objstm(
+            ["Packed PDF 1.5 object streams."]))),
     ]
     # the full routing column: detect_ooxml refines ZIP packages to
     # their subtype from the member list (one Arrow pass over the
@@ -70,6 +80,8 @@ def main() -> None:
                  "spreadsheetml.sheet", extract_xlsx_text),
         ("pptx", "application/vnd.openxmlformats-officedocument."
                  "presentationml.presentation", extract_pptx_text),
+        ("odt", "application/vnd.oasis.opendocument.text",
+         extract_odt_text),
     ]
     unified = None
     for fmt, essence, fn in dispatch:
