@@ -4029,6 +4029,52 @@ def _demo_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _demo_sketch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven shuffle/layout planning (r16,
+    operators/ordering.py): the two decisions a 100 TB write stage
+    makes from PERSISTED kilobyte states instead of extra passes over
+    the data. Leg 'bucket' — equi-depth range layout: boundaries
+    decoded from a quantile state (quantile_boundaries; exact regime,
+    so DuckDB's quantile_disc reproduces them bit-for-bit), bucket ids
+    as pure scan-stage Column arithmetic (quantile_bucket), per-bucket
+    min/max/count prove depth balance and contiguity. Leg 'salt' —
+    skew salting driven by a freq-items state: languages above 1/4 of
+    the corpus (hot_keys_from_state, exact regime) fan out into 4
+    deterministic doc_id-keyed subkeys (skew_salt), cold keys keep
+    salt 0; per-language salt fan-out and row count replay exactly."""
+    from datasketches_spark_spark.operators import (
+        hot_keys_from_state, quantile_bucket, quantile_boundaries,
+        skew_salt, sketch_accumulate)
+
+    docs = read_table(spark, sf_dir, "documents")
+    qstate = bytes(sketch_accumulate(
+        docs, [], "n_chars", family="quantile", impl="MERGEABLE",
+        k=65536).collect()[0]["state"])
+    bounds = quantile_boundaries(qstate, 4)
+    bucket = (docs.groupBy(
+        quantile_bucket(F.col("n_chars").cast("double"), bounds)
+        .alias("bk"))
+        .agg(F.min("n_chars").cast("double").alias("lo"),
+             F.max("n_chars").cast("double").alias("hi"),
+             F.count("*").alias("n"))
+        .select(F.lit("bucket").alias("leg"),
+                F.col("bk").cast("string").alias("k"),
+                "lo", "hi", "n"))
+    fstate = bytes(sketch_accumulate(
+        docs, [], "lang", family="freq", max_map_size=1024)
+        .collect()[0]["state"])
+    total = docs.count()
+    hot = hot_keys_from_state(fstate, total // 4)
+    salt = skew_salt("lang", hot, 4, F.col("doc_id"))
+    salted = (docs.groupBy("lang")
+              .agg(F.countDistinct(salt).cast("double").alias("lo"),
+                   F.lit(0.0).alias("hi"),
+                   F.count("*").alias("n"))
+              .select(F.lit("salt").alias("leg"),
+                      F.col("lang").alias("k"), "lo", "hi", "n"))
+    return bucket.unionByName(salted).orderBy("leg", "k")
+
+
 def _demo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order keys (r15, operators/ordering.py::zorder_key): the
     bit-interleaved layout key over two doc-derived dimensions,
@@ -4380,6 +4426,7 @@ def demo_queries() -> dict[str, str]:
         "demo_avif_decode": _demo_avif_decode,
         "demo_unicode_fold": _demo_unicode_fold,
         "demo_readability": _demo_readability,
+        "demo_sketch_layout": _demo_sketch_layout,
         "demo_zorder": _demo_zorder,
         "demo_langid_wide": _demo_langid_wide,
         "demo_pdf_text": _demo_pdf_text,
@@ -6847,6 +6894,46 @@ def demo_oracle_sql() -> dict[str, str]:
         # demo_zorder (r15): the Morton interleave as explicit SQL
         # bit arithmetic, plus the locality property (high-bit
         # buckets bound both dimensions) recomputed relationally
+        # demo_sketch_layout (r16): equi-depth boundaries from a
+        # quantile state == quantile_disc splits (exact regime);
+        # bucket id = CASE-sum over the same literals; hot languages
+        # (>= 1/4 of the corpus, exact-regime freq state) fan out to
+        # 4 doc_id-keyed salts, cold keep salt 0
+        "demo_sketch_layout": """
+            WITH b AS (
+              SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.25) AS b1,
+                     quantile_disc(CAST(n_chars AS DOUBLE), 0.50) AS b2,
+                     quantile_disc(CAST(n_chars AS DOUBLE), 0.75) AS b3
+              FROM documents),
+            hot AS (
+              SELECT lang FROM documents GROUP BY lang
+              HAVING count(*) >=
+                (SELECT count(*) // 4 FROM documents))
+            SELECT 'bucket' AS leg,
+                   CAST((CASE WHEN CAST(n_chars AS DOUBLE) >
+                                   (SELECT b1 FROM b)
+                         THEN 1 ELSE 0 END) +
+                        (CASE WHEN CAST(n_chars AS DOUBLE) >
+                                   (SELECT b2 FROM b)
+                         THEN 1 ELSE 0 END) +
+                        (CASE WHEN CAST(n_chars AS DOUBLE) >
+                                   (SELECT b3 FROM b)
+                         THEN 1 ELSE 0 END) AS VARCHAR) AS k,
+                   CAST(min(n_chars) AS DOUBLE) AS lo,
+                   CAST(max(n_chars) AS DOUBLE) AS hi,
+                   count(*) AS n
+            FROM documents GROUP BY k
+            UNION ALL
+            SELECT 'salt' AS leg, lang AS k,
+                   CAST(count(DISTINCT
+                        CASE WHEN lang IN (SELECT lang FROM hot)
+                             THEN doc_id % 4 ELSE 0 END) AS DOUBLE)
+                     AS lo,
+                   0.0 AS hi,
+                   count(*) AS n
+            FROM documents GROUP BY lang
+            ORDER BY leg, k
+        """,
         "demo_zorder": """
             WITH keyed AS (
               SELECT doc_id,

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_shuffle", "epoch_seed"]
+__all__ = ["global_shuffle", "epoch_seed", "zorder_key",
+           "zorder_layout", "quantile_boundaries",
+           "quantile_bucket", "quantile_range_layout",
+           "hot_keys_from_state", "skew_salt"]
 
 
 def epoch_seed(base_seed: int, epoch: int) -> int:
@@ -124,3 +127,99 @@ def zorder_layout(df: DataFrame, cols, bits: int = 21,
     return (out.repartitionByRange(*parts, F.col("_zkey"))
             .sortWithinPartitions("_zkey")
             .drop("_zkey"))
+
+
+# ------------------------------------------- sketch-driven layout (r16)
+
+def quantile_boundaries(state: bytes, num_buckets: int) -> list[float]:
+    """Equi-depth split points from a PERSISTED quantile state —
+    ``num_buckets - 1`` interior boundaries at ranks i/num_buckets.
+    Accepts engine wire bytes OR foreign Apache DataSketches
+    KLL/REQ/Doubles images (the ``deserialize_quantile`` fallback).
+    Driver-side and O(state): this is how yesterday's rollup state
+    sizes today's shuffle — Spark's ``repartitionByRange`` re-SAMPLES
+    the input on every write, a full extra scan-and-collect at 100 TB;
+    a kilobyte state answers the same question for free."""
+    from ..sketches import deserialize_quantile
+    if num_buckets < 2:
+        raise ValueError("num_buckets must be >= 2")
+    sk = deserialize_quantile(bytes(state))
+    qs = sk.quantiles([i / num_buckets for i in range(1, num_buckets)])
+    if qs is None:
+        raise ValueError("empty quantile state has no boundaries")
+    return [float(q) for q in qs]
+
+
+def quantile_bucket(col, boundaries) -> "F.Column":
+    """Equi-depth bucket id (0..len(boundaries)) for a value against
+    :func:`quantile_boundaries` splits: the count of boundaries the
+    value exceeds. Pure Column arithmetic over a literal array
+    (whole-stage codegen, scan-stage — no shuffle, no UDF); an
+    independent SQL engine replays it as a CASE-sum over the same
+    literals."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for b in boundaries:
+        total = total + F.when(c > F.lit(float(b)), 1).otherwise(0)
+    return total.cast("int")
+
+
+def quantile_range_layout(df: DataFrame, col, state: bytes,
+                          num_buckets: int) -> DataFrame:
+    """Range-partition ``df`` into ``num_buckets`` equi-DEPTH
+    partitions using boundaries decoded from a persisted quantile
+    state: one exchange keyed on the scan-stage bucket id, rows
+    sorted within partitions — balanced output files without the
+    sampling pass ``repartitionByRange`` would run over the new data.
+    The bucket column is dropped from the result."""
+    bounds = quantile_boundaries(state, num_buckets)
+    c = F.col(col) if isinstance(col, str) else col
+    out = df.withColumn("_qbucket", quantile_bucket(c, bounds))
+    return (out.repartitionByRange(num_buckets, "_qbucket")
+            .sortWithinPartitions("_qbucket", c)
+            .drop("_qbucket"))
+
+
+def hot_keys_from_state(state: bytes, min_count: int,
+                        max_keys: int = 1024) -> list:
+    """Heavy-hitter keys above ``min_count`` from a persisted
+    frequent-items state (engine or foreign DataSketches image) —
+    the skew list a salting stage needs, O(state) on the driver.
+    Uses the sketch's estimate (an upper bound in the purged regime:
+    over-selecting a borderline key costs one redundant salt fan-out,
+    never a wrong result)."""
+    from ..sketches import deserialize_any
+    from ..sketches.freq import FreqItemsSketch
+    sk = deserialize_any(bytes(state))
+    if not isinstance(sk, FreqItemsSketch):
+        raise ValueError("not a frequent-items state")
+    hot = [item for item, est in sk.frequent_items()
+           if est >= min_count]
+    return hot[:max_keys]
+
+
+def skew_salt(key_col, hot_keys, salts: int, salt_from) -> "F.Column":
+    """Salt column for two-stage skew-safe aggregation: keys in
+    ``hot_keys`` fan out into ``salts`` deterministic subkeys (from
+    the row attribute ``salt_from`` — reproducible, oracle-replayable;
+    use ``F.spark_partition_id()`` if no attribute fits), cold keys
+    keep salt 0. Pattern::
+
+        salt = skew_salt("k", hot, 16, F.col("id"))
+        partial = df.groupBy("k", salt.alias("s")).agg(...partial...)
+        final   = partial.groupBy("k").agg(...merge...)
+
+    The hot keys' groups shuffle as ``salts`` state-sized rows instead
+    of one straggler partition — the standard salting rewrite, driven
+    by a persisted freq-items state (:func:`hot_keys_from_state`)
+    instead of a guess. At 100 TB the skew list comes from yesterday's
+    rollup; no extra pass over today's data."""
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    s = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    if not hot_keys:
+        return F.lit(0)
+    return (F.when(k.isin(list(hot_keys)),
+                   F.pmod(s.cast("long"), F.lit(salts)).cast("int"))
+            .otherwise(F.lit(0)))
