@@ -489,7 +489,7 @@ def _iter_streams(data: bytes):
         sm = _STREAM_HEAD_RE.search(data, pos)
         if not sm:
             return
-        d = sm.group(1)
+        d, _dstart = _narrow_stream_dict(data, sm)
         raw, pos = _raw_stream_span(data, d, sm.end())
         if raw is None:
             return
@@ -497,6 +497,32 @@ def _iter_streams(data: bytes):
         if dec is None:
             continue        # undecodable / unsupported filter: skip
         yield d, dec
+
+
+_DICT_TOK_RE = re.compile(rb"<<|>>")
+
+
+def _narrow_stream_dict(data: bytes, sm: "re.Match") -> tuple[bytes, int]:
+    """The dict IMMEDIATELY owning a ``stream`` keyword. The lazy
+    ``_STREAM_HEAD_RE`` can open at an earlier object's ``<<`` and
+    swallow whole non-stream objects before reaching ``>> stream``
+    (verified against the Type0 writer's uncompressed output), which
+    would mis-scope /Length//Filter//Type checks and object-owner
+    attribution. Walk the ``<<``/``>>`` tokens of the match backward
+    from its closing ``>>`` to the balancing ``<<`` — nesting-safe
+    (e.g. /DecodeParms << ... >>). Returns (inner dict bytes, absolute
+    offset of the opening ``<<``)."""
+    close = sm.end(1)                      # just before the final >>
+    toks = list(_DICT_TOK_RE.finditer(data, sm.start(), close + 2))
+    depth = 0
+    for t in reversed(toks):
+        if t.group(0) == b">>":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return data[t.end():close], t.start()
+    return sm.group(1), sm.start()         # already minimal
 
 
 def _raw_stream_span(data: bytes, d: bytes,
@@ -547,39 +573,60 @@ _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _MAX_OBJSTM_MEMBERS = 50_000     # header-pair bomb guard
 
 
-def _scan_objects(data: bytes) -> tuple[dict, bytes]:
-    """Whole-file object scan (xref-independent, like ``_iter_streams``
-    — crawl PDFs routinely have broken xrefs): ``{obj_num: (body_bytes,
-    decoded_stream_or_None)}`` for every top-level ``N G obj`` span,
-    PLUS the members of every ``/Type/ObjStm`` object stream (§7.5.7:
-    ``/N`` pairs of ``objnum offset`` relative to ``/First``) — the
-    PDF 1.5 packed form that holds page/font dicts in most post-2005
-    documents. Returns ``(objects, unpacked_blob)`` where
-    ``unpacked_blob`` is the concatenated ObjStm member bytes (NOT
-    present in the raw file — metadata regexes over the raw bytes must
-    also scan it)."""
+def _document_model(data: bytes) -> tuple[list, dict, bytes]:
+    """ONE decode pass over the whole file (xref-independent — crawl
+    PDFs routinely have broken xrefs, and compressed data can contain
+    ``endobj``/``endstream`` bytes, so streams are located by the
+    whole-file ``<<dict>> stream`` scan, never by object bounds):
+
+    * ``streams`` — ``[(dict_bytes, decoded_or_None)]`` in document
+      order; every stream body is inflated exactly ONCE here (the
+      100 TB contract: the Arrow operator must not pay the Flate cost
+      twice per document).
+    * ``objs`` — ``{obj_num: (body_bytes, decoded_stream_or_None)}``:
+      stream objects map to their dict + the SAME decode (owner = the
+      last ``N G obj`` header before the stream head); non-stream
+      objects to their body slice (no decompression), bounded by the
+      nearer of ``endobj`` and the next object header (corrupt-file
+      tolerance). ``/Type/ObjStm`` members (§7.5.7: ``/N`` pairs of
+      ``objnum offset`` relative to ``/First``) are unpacked and added.
+    * ``unpacked_blob`` — concatenated ObjStm member bytes (NOT present
+      in the raw file; metadata regexes over raw bytes must also scan
+      this).
+    """
+    import bisect
+    heads = [(m.start(), int(m.group(1)), m.end())
+             for m in _OBJ_HEAD_RE.finditer(data)]
+    head_pos = [h[0] for h in heads]
+    streams: list[tuple[bytes, bytes | None]] = []
     objs: dict[int, tuple[bytes, bytes | None]] = {}
-    pos, n = 0, len(data)
+    stream_owner: set[int] = set()
+    pos = 0
     while True:
-        m = _OBJ_HEAD_RE.search(data, pos)
-        if not m:
+        sm = _STREAM_HEAD_RE.search(data, pos)
+        if not sm:
             break
-        start = m.end()
-        em = data.find(b"endobj", start)
-        if em < 0:
-            em = n
-        sm = _STREAM_HEAD_RE.search(data, start, em + 7)
-        if sm:
-            d = sm.group(1)
-            raw, pos = _raw_stream_span(data, d, sm.end())
-            objs[int(m.group(1))] = (
-                d, _inflate(d, raw) if raw is not None else None)
-        else:
-            objs[int(m.group(1))] = (data[start:em], None)
-            pos = em + 6
+        d, dstart = _narrow_stream_dict(data, sm)
+        raw, pos = _raw_stream_span(data, d, sm.end())
+        if raw is None:
+            break
+        dec = _inflate(d, raw)
+        streams.append((d, dec))
+        i = bisect.bisect_right(head_pos, dstart) - 1
+        if i >= 0:
+            objs[heads[i][1]] = (d, dec)
+            stream_owner.add(i)
+    n = len(data)
+    for i, (hstart, num, hend) in enumerate(heads):
+        if i in stream_owner or num in objs:
+            continue
+        em = data.find(b"endobj", hend)
+        nxt = heads[i + 1][0] if i + 1 < len(heads) else n
+        end = min(em if em >= 0 else n, nxt)
+        objs[num] = (data[hend:end], None)
     unpacked: list[bytes] = []
     extra: dict[int, tuple[bytes, None]] = {}
-    for _num, (d, dec) in list(objs.items()):
+    for d, dec in streams:
         if dec is None or not re.search(rb"/Type\s*/ObjStm\b", d):
             continue
         nm = re.search(rb"/N\s+(\d+)", d)
@@ -600,7 +647,13 @@ def _scan_objects(data: bytes) -> tuple[dict, bytes]:
             unpacked.append(body)
     for k, v in extra.items():
         objs.setdefault(k, v)
-    return objs, b"\n".join(unpacked)
+    return streams, objs, b"\n".join(unpacked)
+
+
+def _scan_objects(data: bytes) -> tuple[dict, bytes]:
+    """Object table + ObjStm member blob (see ``_document_model``)."""
+    _streams, objs, unpacked = _document_model(data)
+    return objs, unpacked
 
 
 # --------------------------------------------- Type0 / ToUnicode (r16)
@@ -758,9 +811,10 @@ def _is_encrypted(data: bytes) -> bool:
             return True
     # xref-stream documents (PDF 1.5 §7.5.8) have no ``trailer``
     # keyword — the trailer entries (incl. /Encrypt) live in the
-    # ``/Type/XRef`` stream dictionary
+    # ``/Type/XRef`` stream dictionary (narrowed to the owning dict:
+    # the lazy head regex can span earlier objects)
     for sm in _STREAM_HEAD_RE.finditer(data):
-        d = sm.group(1)
+        d, _ = _narrow_stream_dict(data, sm)
         if re.search(rb"/Type\s*/XRef\b", d) and b"/Encrypt" in d:
             return True
     return False
@@ -792,11 +846,13 @@ def pdf_extract(data: bytes) -> dict:
         raise NotImplementedError(
             "encrypted PDF: text extraction requires the document "
             "decryption keys (ISO 32000-1 §7.6); decrypt upstream")
-    objs, unpacked = _scan_objects(data)
+    streams, objs, unpacked = _document_model(data)
     cid_fonts = _type0_font_maps(objs)
     parts = []
     n_streams = 0
-    for d, raw in _iter_streams(data):
+    for d, raw in streams:
+        if raw is None:
+            continue    # undecodable / unsupported filter
         n_streams += 1
         if _NONTEXT_STREAM_RE.search(d):
             continue    # packed objects / xref / XMP, not page content
@@ -827,14 +883,14 @@ def pdf_info(data: bytes) -> dict:
     data = bytes(data)
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    _objs, unpacked = _scan_objects(data)
+    streams, _objs, unpacked = _document_model(data)
     page_re = rb"/Type\s*/Page\b(?!s)"
     type0_re = rb"/Subtype\s*/Type0\b"
     return {
         "version": data[5:8].decode("latin-1", "replace"),
         "pages": (len(re.findall(page_re, data))
                   + len(re.findall(page_re, unpacked))),
-        "streams": sum(1 for _ in _iter_streams(data)),
+        "streams": sum(1 for _d, dec in streams if dec is not None),
         "encrypted": _is_encrypted(data),
         "has_type0": bool(re.search(type0_re, data)
                           or re.search(type0_re, unpacked)),

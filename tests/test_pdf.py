@@ -341,3 +341,50 @@ class TestType0AndObjStm:
         out = {r.id: r.text for r in
                extract_pdf_text(df, "id").collect()}
         assert out == {1: "unicode ✓", 2: "packed", 3: "classic"}
+
+
+class TestStreamDictNarrowing:
+    """r16: the lazy stream-head regex can open at an EARLIER object's
+    '<<' and swallow whole non-stream objects before reaching
+    '>> stream' — dict-scoped checks (/Length, /Filter, /Type) and
+    object-owner attribution must use the dict immediately owning the
+    stream (exposed by the Type0 writer's uncompressed output)."""
+
+    def test_uncompressed_stream_after_dict_objects(self):
+        # catalog + font dicts precede an UNCOMPRESSED stream: the
+        # mega-match would attribute the stream to object 1
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\n"
+               b"endobj\n"
+               b"3 0 obj\n<< /Length 16 >>\nstream\nBT (ok) Tj ET\n\n\n"
+               b"endstream\nendobj\n"
+               b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 3 0 R"
+               b" >>\nendobj\n")
+        from datasketches_spark_spark.operators.pdfcodec import (
+            _document_model)
+        streams, objs, _ = _document_model(pdf)
+        assert len(streams) == 1
+        assert objs[3][1] is not None          # stream owned by obj 3
+        assert objs[1][1] is None and b"/Catalog" in objs[1][0]
+        assert pdf_text(pdf) == "ok"
+
+    def test_nested_dict_in_stream_dict(self):
+        import zlib as z
+        body = z.compress(b"BT (nested) Tj ET")
+        pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " +
+               str(len(body)).encode() +
+               b" /Filter /FlateDecode /DecodeParms << /Columns 4 >>"
+               b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+        # /DecodeParms nests a dict INSIDE the stream dict — the
+        # backward balance walk must not stop at its inner '<<'
+        assert pdf_text(pdf) == "nested"
+
+    def test_xref_type_in_earlier_object_no_false_encrypt(self):
+        # an earlier non-stream object mentioning /Type /XRef plus an
+        # /Encrypt ref must NOT mark a later unrelated stream encrypted
+        pdf = (_hand_pdf(b"BT (clean) Tj ET")
+               + b"8 0 obj\n<< /Note (/Type /XRef /Encrypt here) >>\n"
+                 b"endobj\n")
+        assert not pdf_info(pdf)["encrypted"]
+        assert pdf_text(pdf) == "clean"
