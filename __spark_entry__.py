@@ -1622,6 +1622,13 @@ def _q32_sampling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ELSE CAST(n_chars AS DOUBLE) END) AS wst
             FROM documents GROUP BY lang, source
         """).persist()
+        # the returned DF is lazy, so this call can't unpersist its own
+        # states — cap residency at ONE cached copy across repeated
+        # invocations (bench runs the query 3x per session)
+        prev = getattr(_q32_sampling_sql, "_states", None)
+        if prev is not None:
+            prev.unpersist()
+        _q32_sampling_sql._states = states
         states.createOrReplaceTempView("_q32_states")
         # doc_ids flattened to csv: the driver's canonicalizer hashes
         # scalar cells only (CORRECTNESS_r03 q32 err)
@@ -4046,7 +4053,10 @@ def _demo_sketch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         hot_keys_from_state, quantile_bucket, quantile_boundaries,
         skew_salt, sketch_accumulate)
 
-    docs = read_table(spark, sf_dir, "documents")
+    # persisted: the two state collects, the count, and the two
+    # output legs would otherwise rescan the source five times
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "n_chars").persist()
     qstate = bytes(sketch_accumulate(
         docs, [], "n_chars", family="quantile", impl="MERGEABLE",
         k=65536).collect()[0]["state"])

@@ -475,28 +475,15 @@ def _extract_text_ops(content: bytes, cid_fonts=None) -> str:
 
 
 def _iter_streams(data: bytes):
-    """Yield (dict_bytes, decoded_stream) for every object stream.
-    Stream heads are scanned over the WHOLE file (not within
-    ``endobj``-bounded spans — compressed data can contain the bytes
-    ``endobj``/``endstream``, and an object-bounded scan would
-    truncate such streams). A DIRECT integer ``/Length`` is used when
-    it checks out (an ``endstream`` token follows the claimed span —
-    §7.3.8); otherwise fall back to the ``endstream`` scan with the
-    trailing EOL trimmed, since crawl PDFs routinely carry broken or
-    indirect Lengths."""
-    pos = 0
-    while True:
-        sm = _STREAM_HEAD_RE.search(data, pos)
-        if not sm:
-            return
-        d, _dstart = _narrow_stream_dict(data, sm)
-        raw, pos = _raw_stream_span(data, d, sm.end())
-        if raw is None:
-            return
-        dec = _inflate(d, raw)
-        if dec is None:
-            continue        # undecodable / unsupported filter: skip
-        yield d, dec
+    """Yield (dict_bytes, decoded_stream) for every DECODABLE object
+    stream, in document order — a thin iterator view over
+    ``_document_model`` (the single decode pass; the standalone scan
+    this used to be would double the per-document inflate cost when
+    combined with the model)."""
+    streams, _objs, _unpacked = _document_model(data)
+    for d, dec in streams:
+        if dec is not None:
+            yield d, dec
 
 
 _DICT_TOK_RE = re.compile(rb"<<|>>")
@@ -650,12 +637,6 @@ def _document_model(data: bytes) -> tuple[list, dict, bytes]:
     return streams, objs, b"\n".join(unpacked)
 
 
-def _scan_objects(data: bytes) -> tuple[dict, bytes]:
-    """Object table + ObjStm member blob (see ``_document_model``)."""
-    _streams, objs, unpacked = _document_model(data)
-    return objs, unpacked
-
-
 # --------------------------------------------- Type0 / ToUnicode (r16)
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -781,7 +762,7 @@ def pdf_text(data: bytes) -> str:
     return pdf_extract(data)["text"]
 
 
-def _is_encrypted(data: bytes) -> bool:
+def _is_encrypted(data: bytes, streams=None) -> bool:
     """/Encrypt belongs to the TRAILER dictionary (§7.6.1) — probing
     the whole byte stream would false-refuse valid documents whose
     CONTENT mentions '/Encrypt' (e.g. text about the PDF format), so
@@ -812,9 +793,13 @@ def _is_encrypted(data: bytes) -> bool:
     # xref-stream documents (PDF 1.5 §7.5.8) have no ``trailer``
     # keyword — the trailer entries (incl. /Encrypt) live in the
     # ``/Type/XRef`` stream dictionary (narrowed to the owning dict:
-    # the lazy head regex can span earlier objects)
-    for sm in _STREAM_HEAD_RE.finditer(data):
-        d, _ = _narrow_stream_dict(data, sm)
+    # the lazy head regex can span earlier objects). Callers that
+    # already built the ``_document_model`` pass its stream list so
+    # the file is walked ONCE per document, not twice.
+    if streams is None:
+        streams = ((_narrow_stream_dict(data, sm)[0], None)
+                   for sm in _STREAM_HEAD_RE.finditer(data))
+    for d, _dec in streams:
         if re.search(rb"/Type\s*/XRef\b", d) and b"/Encrypt" in d:
             return True
     return False
@@ -842,11 +827,11 @@ def pdf_extract(data: bytes) -> dict:
                          f"{MAX_INPUT_BYTES} B bomb guard")
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    if _is_encrypted(data):
+    streams, objs, unpacked = _document_model(data)
+    if _is_encrypted(data, streams):
         raise NotImplementedError(
             "encrypted PDF: text extraction requires the document "
             "decryption keys (ISO 32000-1 §7.6); decrypt upstream")
-    streams, objs, unpacked = _document_model(data)
     cid_fonts = _type0_font_maps(objs)
     parts = []
     n_streams = 0
@@ -891,7 +876,7 @@ def pdf_info(data: bytes) -> dict:
         "pages": (len(re.findall(page_re, data))
                   + len(re.findall(page_re, unpacked))),
         "streams": sum(1 for _d, dec in streams if dec is not None),
-        "encrypted": _is_encrypted(data),
+        "encrypted": _is_encrypted(data, streams),
         "has_type0": bool(re.search(type0_re, data)
                           or re.search(type0_re, unpacked)),
     }

@@ -95,6 +95,7 @@ class KllSketch:
         if v.size == 0:
             return
         v = v.astype(self.dtype, copy=False)
+        self._seed_extrema()
         lo, hi = float(v.min()), float(v.max())
         self._min = lo if self._min is None else min(self._min, lo)
         self._max = hi if self._max is None else max(self._max, hi)
@@ -118,6 +119,7 @@ class KllSketch:
         if other.FAMILY != self.FAMILY:
             raise ValueError("cannot merge KLL and REQ sketch states")
         self.k = min(self.k, other.k)
+        self._seed_extrema()           # BEFORE other's items mix in
         other_levels = other._snapshot_levels()
         while len(self._levels) < len(other_levels):
             self._levels.append(np.empty(0, self.dtype))
@@ -293,6 +295,21 @@ class KllSketch:
         return sk
 
     # ------------------------------------------------------------------ internals
+
+    def _seed_extrema(self) -> None:
+        """States decoded from pre-v3 wire images carry no tracked
+        extrema (``_min is None`` while ``n > 0``): before combining
+        with NEW data, seed from the retained items — the best
+        available information — else update/merge would clobber the
+        old state's range with only the new batch's (r16 review
+        finding: a mixed-version pipeline whose FIRST combine partial
+        is an old persisted state answered rank-0/1 from the new data
+        alone)."""
+        if self._min is not None or not self.n:
+            return
+        v, _ = self._weighted_items()
+        if v.size:
+            self._min, self._max = float(v[0]), float(v[-1])
 
     def _retained_above0(self) -> int:
         return sum(a.size for a in self._levels)

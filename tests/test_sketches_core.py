@@ -788,3 +788,32 @@ class TestExactExtremaTracking:
         from datasketches_spark_spark.sketches import deserialize_any
         back = deserialize_any(sk.serialize())
         assert back.min_value == -7.0 and back.max_value == 95.0
+
+    def test_pre_v3_state_update_and_merge_keep_retained_extrema(self):
+        """r16 review finding: combining NEW data into a pre-v3
+        decoded state (no tracked extrema) must seed min/max from the
+        retained items first — else update/merge clobber the old
+        state's range with only the new data's."""
+        import struct
+        import numpy as np
+        from datasketches_spark_spark.sketches import KllSketch
+        from datasketches_spark_spark.sketches.serde import (
+            MAGIC, FAMILY_KLL)
+
+        def legacy(items):
+            a = np.asarray(items, dtype=np.float32)
+            payload = (struct.pack("<IBQ", 16, 0, a.size)
+                       + struct.pack("<HI", 1, a.size) + a.tobytes())
+            return struct.pack("<4sBB", MAGIC, FAMILY_KLL, 2) + payload
+
+        sk = KllSketch.deserialize(legacy([1.0, 7.0, 3.0]))
+        sk.update(500.0)
+        assert sk.min_value == 1.0 and sk.max_value == 500.0
+        assert sk.quantile(0.0) == 1.0
+
+        acc = KllSketch.deserialize(legacy([1.0, 7.0, 3.0]))
+        other = KllSketch(k=16, dtype=np.float32)
+        other.update_batch(np.asarray([50.0, 60.0]))
+        acc.merge(other)
+        assert acc.min_value == 1.0 and acc.max_value == 60.0
+        assert acc.quantile(0.0) == 1.0 and acc.quantile(1.0) == 60.0
