@@ -4036,6 +4036,54 @@ def _demo_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _demo_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG (SOF3, r16, operators/jpeglossless.py — closes
+    the r15 'lossless JPEG' documented refusal): per doc, a
+    deterministic pattern image px[y][x] = (doc_id + 3y + 5x) mod 251
+    at a doc_id-dependent size encodes with predictor (doc_id mod 7)+1
+    and decodes back through the SOF3 path; the output pixel sum and
+    far-corner value are recomputed RELATIONALLY by DuckDB from the
+    same formula — the gate only matches if reconstruction is
+    bit-exact for every predictor."""
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StructField, StructType)
+    from datasketches_spark_spark.operators.jpeglossless import (
+        decode_jpeg_lossless, encode_jpeg_lossless)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300)
+            .select("doc_id").repartition(4))
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("h", LongType()),
+        StructField("w", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("corner", LongType()),
+    ])
+
+    def _run(pdfs):
+        import numpy as np
+        for pdf in pdfs:
+            rows = {"doc_id": [], "h": [], "w": [], "px_sum": [],
+                    "corner": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 8 + d % 5, 8 + d % 7
+                img = ((d + 3 * np.arange(h)[:, None]
+                        + 5 * np.arange(w)[None, :]) % 251) \
+                    .astype(np.uint8)
+                out = decode_jpeg_lossless(encode_jpeg_lossless(
+                    img, predictor=d % 7 + 1))
+                rows["doc_id"].append(d)
+                rows["h"].append(out.shape[0])
+                rows["w"].append(out.shape[1])
+                rows["px_sum"].append(int(out.astype(np.int64).sum()))
+                rows["corner"].append(int(out[-1, -1]))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(_run, schema).orderBy("doc_id")
+
+
 def _demo_sketch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven shuffle/layout planning (r16,
     operators/ordering.py): the two decisions a 100 TB write stage
@@ -4436,6 +4484,7 @@ def demo_queries() -> dict[str, str]:
         "demo_avif_decode": _demo_avif_decode,
         "demo_unicode_fold": _demo_unicode_fold,
         "demo_readability": _demo_readability,
+        "demo_jpeg_lossless": _demo_jpeg_lossless,
         "demo_sketch_layout": _demo_sketch_layout,
         "demo_zorder": _demo_zorder,
         "demo_langid_wide": _demo_langid_wide,
@@ -6904,6 +6953,26 @@ def demo_oracle_sql() -> dict[str, str]:
         # demo_zorder (r15): the Morton interleave as explicit SQL
         # bit arithmetic, plus the locality property (high-bit
         # buckets bound both dimensions) recomputed relationally
+        # demo_jpeg_lossless (r16): SOF3 reconstruction must be
+        # bit-exact for every predictor — DuckDB replays the pattern
+        # formula relationally (lateral generate_series per doc)
+        "demo_jpeg_lossless": """
+            SELECT d.doc_id,
+                   CAST(8 + d.doc_id % 5 AS BIGINT) AS h,
+                   CAST(8 + d.doc_id % 7 AS BIGINT) AS w,
+                   (SELECT CAST(sum((d.doc_id + 3 * y.g + 5 * x.g)
+                                    % 251) AS BIGINT)
+                    FROM generate_series(0, 11) y(g),
+                         generate_series(0, 13) x(g)
+                    WHERE y.g < 8 + d.doc_id % 5
+                      AND x.g < 8 + d.doc_id % 7) AS px_sum,
+                   CAST((d.doc_id + 3 * (7 + d.doc_id % 5)
+                         + 5 * (7 + d.doc_id % 7)) % 251 AS BIGINT)
+                     AS corner
+            FROM documents d
+            WHERE d.doc_id < 300
+            ORDER BY d.doc_id
+        """,
         # demo_sketch_layout (r16): equi-depth boundaries from a
         # quantile state == quantile_disc splits (exact regime);
         # bucket id = CASE-sum over the same literals; hot languages

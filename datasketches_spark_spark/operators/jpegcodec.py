@@ -10,11 +10,10 @@ Scope is deliberately exact:
   Annex G: spectral selection + successive approximation with DC/AC
   refinement scans and EOB runs; 8- or 12-bit) JFIF/EXIF, grayscale or
   YCbCr with any of the standard subsampling factors (4:4:4, 4:2:2,
-  4:2:0), restart intervals (DRI/RSTn), byte stuffing. Arithmetic
-  coding (the QM-coder's normative state machine has no in-container
-  reference to validate against — the lossy-VP8/MP3 verifiability
-  rule), hierarchical and lossless modes stay refused with a named
-  error.
+  4:2:0), restart intervals (DRI/RSTn), byte stuffing. LOSSLESS
+  (SOF3) dispatches to ``jpeglossless.py`` (r16 — predictive Annex H,
+  exact reconstruction, write/read-symmetric). Arithmetic-lossless
+  (SOF11) and hierarchical modes stay refused with a named error.
 * encode: baseline-sequential (grayscale or 4:4:4 YCbCr, the T.81
   Annex K example tables scaled by the usual IJG quality formula) and
   12-bit extended sequential (``bits=12``: Annex K x16 quant tables as
@@ -351,16 +350,20 @@ def _decode_jpeg_markers(data: bytes) -> np.ndarray:
                 else:
                     arith_ac_cond[tb] = cs                    # Kx
                 s += 2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:  # SOF3 lossless (r16)
+            from .jpeglossless import decode_jpeg_lossless
+            return decode_jpeg_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF{marker - 0xC0} (lossless/hierarchical) — "
-                "sequential (SOF0/SOF1) and progressive (SOF2) Huffman "
-                "plus sequential (SOF9) and progressive (SOF10) "
-                "arithmetic decode (r14 — T.81 Annex D QM-coder + "
-                "Annex G.2 successive-approximation models, "
-                "libjpeg-cross-validated); lossless and hierarchical "
-                "modes remain out of scope")
+                f"JPEG: SOF{marker - 0xC0} (arithmetic-lossless/"
+                "hierarchical) — sequential (SOF0/SOF1), progressive "
+                "(SOF2) and LOSSLESS (SOF3, r16 — predictive Annex H) "
+                "Huffman decode plus sequential (SOF9) and progressive "
+                "(SOF10) arithmetic decode (r14 — T.81 Annex D "
+                "QM-coder + Annex G.2 successive-approximation models, "
+                "libjpeg-cross-validated); arithmetic-lossless (SOF11) "
+                "and hierarchical modes remain out of scope")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
