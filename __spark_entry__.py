@@ -1624,10 +1624,12 @@ def _q32_sampling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """).persist()
         # the returned DF is lazy, so this call can't unpersist its own
         # states — cap residency at ONE cached copy across repeated
-        # invocations (bench runs the query 3x per session)
-        prev = getattr(_q32_sampling_sql, "_states", None)
-        if prev is not None:
-            prev.unpersist()
+        # invocations (bench runs the query 3x per session). NB: a
+        # fresh local name — reusing `prev` would clobber the saved
+        # conf value the finally block restores (r16 review finding)
+        prev_states = getattr(_q32_sampling_sql, "_states", None)
+        if prev_states is not None:
+            prev_states.unpersist()
         _q32_sampling_sql._states = states
         states.createOrReplaceTempView("_q32_states")
         # doc_ids flattened to csv: the driver's canonicalizer hashes
@@ -4102,9 +4104,14 @@ def _demo_sketch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew_salt, sketch_accumulate)
 
     # persisted: the two state collects, the count, and the two
-    # output legs would otherwise rescan the source five times
+    # output legs would otherwise rescan the source five times; one
+    # cached copy max across invocations (the q32 pattern)
     docs = read_table(spark, sf_dir, "documents") \
         .select("doc_id", "lang", "n_chars").persist()
+    prev_docs = getattr(_demo_sketch_layout, "_docs", None)
+    if prev_docs is not None:
+        prev_docs.unpersist()
+    _demo_sketch_layout._docs = docs
     qstate = bytes(sketch_accumulate(
         docs, [], "n_chars", family="quantile", impl="MERGEABLE",
         k=65536).collect()[0]["state"])

@@ -129,6 +129,14 @@ def _huffman_bits_vals(freq: np.ndarray) -> tuple[list, list]:
     # unchanged — and the real Kraft sum is now strictly < 1, so no
     # real code can be the all-ones pattern (T.81 C.2 requirement).
     depth[DUMMY] = max(depth.values())
+    if max(depth.values()) > 16:
+        # 18 leaves can reach depth 17 on Fibonacci-like histograms —
+        # a 17-bit code is unrepresentable in a DHT. Fall back to the
+        # always-valid flat 5-bit table (review finding: the previous
+        # revision indexed bits[16] and crashed on such inputs).
+        bits = [0] * 16
+        bits[4] = 17
+        return bits, list(range(17))
     order = sorted((ln, s) for s, ln in depth.items() if s != DUMMY)
     bits = [0] * 16
     vals = []
@@ -231,6 +239,11 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
     except (IndexError, struct.error) as e:
         raise ValueError(
             f"lossless JPEG: truncated or corrupt stream: {e}") from e
+    except _RestartMarker:
+        # an FF D0-D7 pair mid-amplitude-bits (decode_symbol's own
+        # guard can't see it): corrupt stream, public error type
+        raise ValueError(
+            "lossless JPEG: unexpected restart marker") from None
 
 
 def _decode_markers(data: bytes) -> np.ndarray:

@@ -169,3 +169,27 @@ class TestDispatchAndRefusals:
         blob[blob.index(b"\xff\xc3") + 1] = 0xC5
         with pytest.raises(NotImplementedError, match="SOF5"):
             decode_jpeg(bytes(blob))
+
+    def test_restart_bytes_mid_amplitude_raise_value_error(self):
+        # FF D0 landing where amplitude bits are expected must surface
+        # as the public ValueError, not the private _RestartMarker
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = bytearray(encode_jpeg_lossless(img))
+        sos = blob.index(b"\xff\xda")
+        (ln,) = struct.unpack(">H", bytes(blob[sos + 2:sos + 4]))
+        ent = sos + 2 + ln
+        blob[ent + 2:ent + 4] = b"\xff\xd0"
+        with pytest.raises(ValueError):
+            decode_jpeg_lossless(bytes(blob))
+
+    def test_fibonacci_histogram_falls_back_to_flat_table(self):
+        # depth-17 Huffman shapes must not crash the encoder — the
+        # builder falls back to the flat 5-bit table
+        import numpy as np
+        from datasketches_spark_spark.operators.jpeglossless import (
+            _huffman_bits_vals)
+        fib = [1, 1]
+        while len(fib) < 17:
+            fib.append(fib[-1] + fib[-2])
+        bits, vals = _huffman_bits_vals(np.array(fib))
+        assert bits[4] == 17 and vals == list(range(17))

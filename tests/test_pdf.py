@@ -388,3 +388,40 @@ class TestStreamDictNarrowing:
                  b"endobj\n")
         assert not pdf_info(pdf)["encrypted"]
         assert pdf_text(pdf) == "clean"
+
+
+class TestR16SecondReview:
+    def test_later_object_redefinition_wins(self):
+        # incremental updates append a superseding object (§7.5.6):
+        # the Type0 font's ToUnicode must resolve from the LATER one
+        import zlib as z
+        cmap1 = (b"begincmap 1 beginbfchar <0001> <0041> endbfchar "
+                 b"endcmap")                                 # A
+        cmap2 = (b"begincmap 1 beginbfchar <0001> <005A> endbfchar "
+                 b"endcmap")                                 # Z
+        content = z.compress(b"BT /F1 8 Tf <0001> Tj ET")
+
+        def stream_obj(num, body):
+            return (b"%d 0 obj\n<< /Length %d /Filter /FlateDecode "
+                    b">>\nstream\n" % (num, len(body)) + body
+                    + b"\nendstream\nendobj\n")
+
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Page /Resources << /Font << /F1 "
+               b"2 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding "
+               b"/Identity-H /ToUnicode 3 0 R >>\nendobj\n"
+               + stream_obj(3, z.compress(cmap1))
+               + stream_obj(4, content)
+               # the incremental update: object 3 redefined
+               + stream_obj(3, z.compress(cmap2)))
+        assert pdf_text(pdf) == "Z"
+
+    def test_encrypted_classic_refused_before_inflation(self):
+        # guard order: the trailer check must fire without touching
+        # streams (a bomb-sized fake stream would otherwise inflate)
+        pdf = (b"%PDF-1.7\ntrailer\n<< /Encrypt 9 0 R >>\n"
+               b"1 0 obj\n<< /Length 10 /Filter /FlateDecode >>\n"
+               b"stream\n" + b"\x00" * 10 + b"\nendstream\nendobj\n")
+        with pytest.raises(NotImplementedError, match="encrypted"):
+            pdf_text(pdf)
