@@ -1629,7 +1629,10 @@ def _q32_sampling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         # conf value the finally block restores (r16 review finding)
         prev_states = getattr(_q32_sampling_sql, "_states", None)
         if prev_states is not None:
-            prev_states.unpersist()
+            try:
+                prev_states.unpersist()
+            except Exception:
+                pass    # stale handle from a stopped session
         _q32_sampling_sql._states = states
         states.createOrReplaceTempView("_q32_states")
         # doc_ids flattened to csv: the driver's canonicalizer hashes
@@ -4110,7 +4113,10 @@ def _demo_sketch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars").persist()
     prev_docs = getattr(_demo_sketch_layout, "_docs", None)
     if prev_docs is not None:
-        prev_docs.unpersist()
+        try:
+            prev_docs.unpersist()
+        except Exception:
+            pass        # stale handle from a stopped session
     _demo_sketch_layout._docs = docs
     qstate = bytes(sketch_accumulate(
         docs, [], "n_chars", family="quantile", impl="MERGEABLE",
