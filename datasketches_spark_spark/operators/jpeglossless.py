@@ -39,7 +39,8 @@ import struct
 import numpy as np
 
 from .jpegcodec import (_BitReader, _BitWriter, _RestartMarker,
-                        _decode_table, _encode_table, _extend)
+                        _canonical_codes, _decode_table, _encode_table,
+                        _extend)
 
 __all__ = ["encode_jpeg_lossless", "decode_jpeg_lossless"]
 
@@ -168,8 +169,9 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
         prec = 16
     else:
         raise ValueError("lossless JPEG: uint8 or uint16 samples")
-    if not 1 <= predictor <= 7:
-        raise ValueError("predictor must be 1-7")
+    auto = predictor in ("auto", 0)
+    if not auto and not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7 or 'auto'")
     pt = int(point_transform)
     if not 0 <= pt < prec:
         raise ValueError("point transform must be in [0, precision)")
@@ -177,18 +179,37 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
     planes = (a.astype(np.int64) >> pt)
     half = 1 << (prec - pt - 1)
 
-    # pass 1: residuals (vectorized) + category histogram
-    diffs = np.stack([_residual_plane(planes[:, :, c], predictor, half)
-                      for c in range(nc)], axis=2)
-    d = diffs & 0xFFFF
-    is32768 = d == 32768
-    d = np.where(d >= 32768, d - 65536, d)
-    mag = np.abs(d)
-    ssss = np.zeros(d.shape, dtype=np.int64)
-    nzmask = mag > 0
-    ssss[nzmask] = np.floor(np.log2(mag[nzmask])).astype(np.int64) + 1
-    ssss[is32768] = 16
-    freq = np.bincount(ssss.ravel(), minlength=17)
+    def _categorize(sel):
+        # pass 1: residuals (vectorized) + category histogram
+        diffs = np.stack(
+            [_residual_plane(planes[:, :, c], sel, half)
+             for c in range(nc)], axis=2)
+        dd = diffs & 0xFFFF
+        i32 = dd == 32768
+        dd = np.where(dd >= 32768, dd - 65536, dd)
+        mag = np.abs(dd)
+        cat = np.zeros(dd.shape, dtype=np.int64)
+        nz = mag > 0
+        cat[nz] = np.floor(np.log2(mag[nz])).astype(np.int64) + 1
+        cat[i32] = 16
+        return dd, i32, cat, np.bincount(cat.ravel(), minlength=17)
+
+    if auto:
+        # exact cost per predictor: its own tuned table's code length
+        # plus the category's amplitude bits, summed over the
+        # histogram (ties -> lowest selector, deterministic)
+        best = None
+        for sel in range(1, 8):
+            dd, i32, cat, freq = _categorize(sel)
+            b_, v_ = _huffman_bits_vals(freq)
+            lens = {s: ln for s, _c, ln in _canonical_codes(b_, v_)}
+            cost = sum(int(freq[s]) * (lens[s] + (0 if s == 16 else s))
+                       for s in range(17) if freq[s])
+            if best is None or cost < best[0]:
+                best = (cost, sel, dd, i32, cat, freq)
+        _cost, predictor, d, is32768, ssss, freq = best
+    else:
+        d, is32768, ssss, freq = _categorize(predictor)
     bits, vals = _huffman_bits_vals(freq)
     enc = _encode_table(bits, vals)
 

@@ -403,6 +403,41 @@ def _hex_string(data: bytes, i: int) -> tuple[bytes, int]:
         return b"", j + 1
 
 
+_TJ_SPACE_THRESHOLD = -180        # thousandths of em; pdfminer's value
+_TJ_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+def _tj_array(body: bytes, i: int):
+    """Parse a ``[ ... ]`` TJ operand starting at the '[': returns
+    (items, pos_after_bracket) where items are ("s", bytes, at) for
+    strings and ("n", float, at) for kerning numbers — or (None, i)
+    when the span is not a plausible TJ array (unbalanced, or holding
+    tokens other than strings/numbers/whitespace)."""
+    items = []
+    j, n = i + 1, len(body)
+    while j < n:
+        c = body[j:j + 1]
+        if c == b"]":
+            return items, j + 1
+        if c == b"(":
+            at = j
+            s, j = _literal_string(body, j)
+            items.append(("s", s, at))
+        elif c == b"<":
+            at = j
+            s, j = _hex_string(body, j)
+            items.append(("s", s, at))
+        elif c in b" \t\r\n\f\0":
+            j += 1
+        else:
+            m = _TJ_NUM_RE.match(body, j)
+            if not m:
+                return None, i              # not a TJ operand
+            items.append(("n", float(m.group(0)), j))
+            j = m.end()
+    return None, i                          # unterminated
+
+
 def _extract_text_ops(content: bytes, cid_fonts=None) -> str:
     """Walk BT..ET text objects; show-ops append, line-ops newline.
     ``cid_fonts`` maps font resource names to ToUnicode code maps
@@ -440,7 +475,28 @@ def _extract_text_ops(content: bytes, cid_fonts=None) -> str:
 
         while i < n:
             c = body[i:i + 1]
-            if c == b"(":
+            if c == b"[":
+                # TJ array (§9.4.3): strings interleaved with kerning
+                # offsets in thousandths of the text-space unit. A
+                # strongly negative offset IS the inter-word gap in
+                # wild PDFs that never write literal spaces (LaTeX /
+                # word-processor output) — insert one space per gap
+                # below the -180/1000 em threshold (the public
+                # heuristic pdfminer.six established). Only applied
+                # when the array is followed by the TJ operator.
+                arr, j = _tj_array(body, i)
+                if arr is not None and \
+                        re.match(rb"\s*TJ(?![0-9A-Za-z])", body[j:j + 4]):
+                    for kind, v, at in arr:
+                        if kind == "s":
+                            line.append(show(v, at))
+                        elif v < _TJ_SPACE_THRESHOLD:
+                            if line and not line[-1].endswith(" "):
+                                line.append(" ")
+                    i = j
+                else:
+                    i += 1
+            elif c == b"(":
                 at = i
                 s, i = _literal_string(body, i)
                 line.append(show(s, at))

@@ -425,3 +425,27 @@ class TestR16SecondReview:
                b"stream\n" + b"\x00" * 10 + b"\nendstream\nendobj\n")
         with pytest.raises(NotImplementedError, match="encrypted"):
             pdf_text(pdf)
+
+    def test_tj_negative_offsets_become_word_spaces(self):
+        # wild PDFs (LaTeX/word-processor output) encode inter-word
+        # gaps as TJ kerning below the -180/1000-em threshold
+        c = b"BT [(Hello) -250 (world) -120 (!)] TJ ET"
+        assert pdf_text(_hand_pdf(c)) == "Hello world!"
+
+    def test_tj_fractional_and_positive_offsets(self):
+        c = b"BT [(a) -250.5 (b) 90 (c) -179.9 (d)] TJ ET"
+        assert pdf_text(_hand_pdf(c)) == "a bcd"
+
+    def test_tj_space_not_duplicated(self):
+        c = b"BT [(end ) -400 (start)] TJ ET"
+        assert pdf_text(_hand_pdf(c)) == "end start"
+
+    def test_bracket_without_tj_is_not_an_array(self):
+        # an array operand of a DIFFERENT operator (e.g. a dash
+        # pattern [3 1] 0 d) must not eat following strings' offsets
+        c = b"BT [3 1] 0 d (x) Tj [(y) -300 (z)] TJ ET"
+        assert pdf_text(_hand_pdf(c)) == "xy z"
+
+    def test_tj_array_with_hex_strings(self):
+        c = b"BT [<4142> -300 <4344>] TJ ET"
+        assert pdf_text(_hand_pdf(c)) == "AB CD"
