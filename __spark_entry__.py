@@ -4319,21 +4319,24 @@ def _demo_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XLSX + PPTX + ODT extraction (r15 + r16 ODT,
+    """XLSX + PPTX + ODT + ODS extraction (r15 + r16 OpenDocument,
     operators/ooxmlcodec.py + odfcodec.py — the write/read-symmetry
-    gate across the Office triple AND the OpenDocument branch
-    detect_ooxml routes): doc_id % 3 picks the package species —
-    a two-row spreadsheet (a text cell, a numeric cell, and an
+    gate across the Office triple AND both OpenDocument branches
+    detect_ooxml routes): doc_id % 4 picks the package species —
+    a two-row OOXML spreadsheet (a text cell, a numeric cell, and an
     XML-special cell that must escape and decode), a two-slide deck,
-    or a two-paragraph OpenDocument text (with an entity-bearing
-    paragraph); the extracted flat text and unit counts rebuild
+    a two-paragraph OpenDocument text (entity-bearing paragraph), or
+    a two-row OpenDocument spreadsheet (same cell shapes as the XLSX
+    branch — the two spreadsheet species must agree on the flat-text
+    contract); the extracted flat text and unit counts rebuild
     relationally from the documents columns."""
     import pandas as pd
-    from datasketches_spark_spark.operators import (extract_odt_text,
+    from datasketches_spark_spark.operators import (extract_ods_text,
+                                                    extract_odt_text,
                                                     extract_pptx_text,
                                                     extract_xlsx_text)
     from datasketches_spark_spark.operators.odfcodec import (
-        encode_odt_text)
+        encode_ods_cells, encode_odt_text)
     from datasketches_spark_spark.operators.ooxmlcodec import (
         encode_pptx_text, encode_xlsx_cells)
 
@@ -4348,32 +4351,38 @@ def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d, t = int(d), str(t)[:30]
-                if d % 3 == 0:
+                if d % 4 == 0:
                     payloads.append(encode_xlsx_cells(
                         [[t, d], ["a < b & c", d * 2]]))
-                elif d % 3 == 1:
+                elif d % 4 == 1:
                     payloads.append(encode_pptx_text(
                         [t, "slide two of doc %d" % d]))
-                else:
+                elif d % 4 == 2:
                     payloads.append(encode_odt_text(
                         [t, "odt & <para> two of doc %d" % d]))
+                else:
+                    payloads.append(encode_ods_cells(
+                        [[t, d], ["a < b & c", d * 2]]))
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    # persist: all three parity branches read this, and the filter
+    # persist: all four parity branches read this, and the filter
     # sits above mapInPandas — without a cache every doc is ENCODED
-    # three times
+    # four times
     pkgs = docs.mapInPandas(
         _mk, "doc_id long, payload binary").persist()
-    xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 3 == 0),
+    xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 4 == 0),
                            "doc_id")
-    pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 3 == 1),
+    pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 4 == 1),
                            "doc_id")
-    od = extract_odt_text(pkgs.where(F.col("doc_id") % 3 == 2),
+    od = extract_odt_text(pkgs.where(F.col("doc_id") % 4 == 2),
                           "doc_id")
+    os_ = extract_ods_text(pkgs.where(F.col("doc_id") % 4 == 3),
+                           "doc_id")
     return (xl.select("doc_id", "text", "units")
             .unionByName(pp.select("doc_id", "text", "units"))
             .unionByName(od.select("doc_id", "text", "units"))
+            .unionByName(os_.select("doc_id", "text", "units"))
             .orderBy("doc_id"))
 
 
@@ -7099,18 +7108,19 @@ def demo_oracle_sql() -> dict[str, str]:
               AND length(text) >= 40
             ORDER BY doc_id
         """,
-        # demo_office_text (r15 + r16 ODT): write/read symmetry for
-        # the XLSX (tab/newline flat text, 4 cells), PPTX (blank-line
-        # slide separator, 2 slides), and ODT (newline paragraphs
-        # with XML entities decoded, 2 paragraphs) extractors
+        # demo_office_text (r15 + r16 OpenDocument pair): write/read
+        # symmetry for XLSX and ODS (the SAME tab/newline flat-text
+        # contract, 4 cells), PPTX (blank-line slide separator, 2
+        # slides), and ODT (newline paragraphs with XML entities
+        # decoded, 2 paragraphs)
         "demo_office_text": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0
+                   CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 3
                         THEN substr(text, 1, 30) || chr(9) ||
                              CAST(doc_id AS VARCHAR) || chr(10) ||
                              'a < b & c' || chr(9) ||
                              CAST(doc_id * 2 AS VARCHAR)
-                        WHEN doc_id % 3 = 1
+                        WHEN doc_id % 4 = 1
                         THEN substr(text, 1, 30) || chr(10) ||
                              chr(10) || 'slide two of doc ' ||
                              CAST(doc_id AS VARCHAR)
@@ -7118,7 +7128,7 @@ def demo_oracle_sql() -> dict[str, str]:
                              'odt & <para> two of doc ' ||
                              CAST(doc_id AS VARCHAR)
                    END AS text,
-                   CASE WHEN doc_id % 3 = 0
+                   CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 3
                         THEN CAST(4 AS BIGINT)
                         ELSE CAST(2 AS BIGINT) END AS units
             FROM documents

@@ -498,3 +498,26 @@ def extract_odt_text(df: DataFrame, id_col: str,
     return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
                               payload_col=payload_col,
                               keep_cols=keep_cols)
+
+
+def extract_ods_text(df: DataFrame, id_col: str,
+                     payload_col: str = "payload",
+                     keep_cols: list[str] | None = None) -> DataFrame:
+    """OpenDocument SPREADSHEET extraction (r16,
+    ``operators/odfcodec.py::ods_extract``): cell display text
+    (tab/newline flat view, tables separated by blank lines) plus the
+    cell count (``units``) — the consumer for ``application/vnd.
+    oasis.opendocument.spreadsheet`` routing; same loud-null contract
+    as the other document extractors."""
+    from .odfcodec import ods_extract
+
+    def one(raw: bytes) -> dict:
+        try:
+            info = ods_extract(raw)
+            return {"text": info["text"], "units": info["units"]}
+        except Exception:
+            return {"text": None, "units": None}
+
+    return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)

@@ -37,7 +37,9 @@ import zipfile
 
 from .docxcodec import _xml_unescape
 
-__all__ = ["encode_odt_text", "odt_text", "odt_info", "odt_extract"]
+__all__ = ["encode_odt_text", "odt_text", "odt_info",
+           "odt_extract", "encode_ods_cells", "ods_extract",
+           "ods_text"]
 
 MAX_INPUT_BYTES = 256 << 20
 _MAX_PART_BYTES = 64 << 20
@@ -186,3 +188,153 @@ def odt_info(data: bytes) -> dict:
     (pipelines route on these before extracting)."""
     info = odt_extract(data)
     return {k: info[k] for k in ("paragraphs", "tables", "chars")}
+
+
+# ------------------------------------------- spreadsheet (.ods, r16)
+
+ODS_MIME = "application/vnd.oasis.opendocument.spreadsheet"
+
+_ODS_MANIFEST = _MANIFEST.replace(b"opendocument.text",
+                                  b"opendocument.spreadsheet")
+
+_TABLE_RE = re.compile(
+    r'<table:table\s[^>]*?table:name="([^"]*)"[^>]*>(.*?)</table:table>',
+    re.S)
+_TROW_RE = re.compile(
+    r"<table:table-row(?:\s[^>]*?)?/>|"
+    r"<table:table-row(?:\s[^>]*)?>(.*?)</table:table-row>", re.S)
+# the paired close tag must match the OPEN tag's covered-ness (a
+# backreference on an always-participating group): a plain
+# </table:table-cell> close would let a covered cell's non-greedy
+# body swallow the following normal cell
+_TCELL_RE = re.compile(
+    r"<table:(?:covered-)?table-cell(?:\s[^>]*?)?/>|"
+    r"<table:((?:covered-)?)table-cell(\s[^>]*)?>(.*?)"
+    r"</table:\1table-cell>",
+    re.S)
+_REPEAT_RE = re.compile(r'table:number-columns-repeated="(\d+)"')
+_ROWREPEAT_RE = re.compile(r'table:number-rows-repeated="(\d+)"')
+_MAX_REPEAT = 4096      # trailing-filler bomb guard (real sheets pad
+#                         to 16384 columns; only positions advance)
+
+
+def encode_ods_cells(rows: list[list], sheet: str = "Sheet1") -> bytes:
+    """Deterministic one-table .ods mirroring ``encode_xlsx_cells``:
+    strings as text cells, ints/floats as float cells whose DISPLAY
+    text is ``repr``-stable, ``None`` skipped (position advances).
+    Stored-first mimetype, fixed timestamps — byte-identical across
+    runs."""
+    body = []
+    for row in rows:
+        cells = []
+        for val in row:
+            if val is None:
+                cells.append("<table:table-cell/>")
+            elif isinstance(val, (int, float)) and not isinstance(
+                    val, bool):
+                cells.append(
+                    '<table:table-cell office:value-type="float" '
+                    'office:value="%r"><text:p>%r</text:p>'
+                    "</table:table-cell>" % (val, val))
+            else:
+                cells.append(
+                    '<table:table-cell office:value-type="string">'
+                    "<text:p>%s</text:p></table:table-cell>"
+                    % _xml_escape(str(val)))
+        body.append("<table:table-row>%s</table:table-row>"
+                    % "".join(cells))
+    content = (
+        b'<?xml version="1.0" encoding="UTF-8"?>'
+        b'<office:document-content xmlns:office="urn:oasis:names:tc:'
+        b'opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names'
+        b':tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:'
+        b'names:tc:opendocument:xmlns:text:1.0" office:version="1.3">'
+        b"<office:body><office:spreadsheet>"
+        + ('<table:table table:name="%s">%s</table:table>'
+           % (_xml_escape(sheet), "".join(body))).encode("utf-8")
+        + b"</office:spreadsheet></office:body>"
+          b"</office:document-content>")
+    import io as _io
+    import zipfile as _zf
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        mi = _zf.ZipInfo("mimetype", (1980, 1, 1, 0, 0, 0))
+        z.writestr(mi, ODS_MIME, compress_type=_zf.ZIP_STORED)
+        for name, data in (("META-INF/manifest.xml", _ODS_MANIFEST),
+                           ("content.xml", content)):
+            zi = _zf.ZipInfo(name, (1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, data, compress_type=_zf.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+def _ods_col_letters(idx: int) -> str:
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def ods_extract(data: bytes) -> dict:
+    """One-pass .ods extraction mirroring ``xlsx_extract``: ``cells``
+    as ``(table_name, A1-style ref, display_text)`` in document order
+    (refs computed from position — ODF cells carry no refs;
+    ``table:number-columns/rows-repeated`` advance positions, with
+    only NON-EMPTY repeats emitting cells and a repeat bomb guard for
+    the 16384-column trailing filler real sheets carry), the flat
+    ``text`` view, and ``units`` (cell count)."""
+    xml = _content_part(data)
+    cells: list[tuple[str, str, str]] = []
+    blocks: list[str] = []
+    for tm in _TABLE_RE.finditer(xml):
+        name, body = tm.group(1), tm.group(2)
+        row_seq = 0
+        row_texts: list[str] = []
+        for rm in _TROW_RE.finditer(body):
+            head = rm.group(0)[:rm.group(0).find(">") + 1]
+            rrep = _ROWREPEAT_RE.search(head)
+            nrows = min(int(rrep.group(1)) if rrep else 1, _MAX_REPEAT)
+            rbody = rm.group(1)
+            texts_vals: list[tuple[int, str]] = []
+            if rbody is not None:
+                col_seq = 0
+                for cm in _TCELL_RE.finditer(rbody):
+                    chead = cm.group(0)[:cm.group(0).find(">") + 1]
+                    crep = _REPEAT_RE.search(chead)
+                    ncols = min(int(crep.group(1)) if crep else 1,
+                                _MAX_REPEAT)
+                    inner = cm.group(3)
+                    covered = (cm.group(0)
+                               .startswith("<table:covered-"))
+                    if inner and not covered:
+                        val = "\n".join(
+                            _para_text(p.group(1))
+                            if p.group(1) is not None else ""
+                            for p in _P_RE.finditer(inner))
+                        if val:
+                            for k in range(ncols):
+                                texts_vals.append((col_seq + k, val))
+                    col_seq += ncols
+            for _ in range(nrows):
+                row_seq += 1
+                for col, val in texts_vals:
+                    cells.append((name,
+                                  f"{_ods_col_letters(col)}{row_seq}",
+                                  val))
+            if texts_vals:
+                row_texts.extend(
+                    "\t".join(v for _c, v in texts_vals)
+                    for _ in range(nrows))
+        blocks.append("\n".join(row_texts))
+    return {
+        "text": "\n\n".join(b for b in blocks if b),
+        "cells": cells,
+        "tables": len(blocks),
+        "units": len(cells),
+    }
+
+
+def ods_text(data: bytes) -> str:
+    """Flat text of an .ods (module-docstring contract)."""
+    return ods_extract(data)["text"]

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from datasketches_spark_spark.functions import detect_mime, detect_ooxml
 from datasketches_spark_spark.operators import (extract_docx_text,
+                                                extract_ods_text,
                                                 extract_odt_text,
                                                 extract_pdf_text,
                                                 extract_pptx_text,
@@ -29,7 +30,8 @@ from datasketches_spark_spark.operators import (extract_docx_text,
 from datasketches_spark_spark.operators.docxcodec import encode_docx_text
 from datasketches_spark_spark.operators.ooxmlcodec import (
     encode_pptx_text, encode_xlsx_cells)
-from datasketches_spark_spark.operators.odfcodec import encode_odt_text
+from datasketches_spark_spark.operators.odfcodec import (
+    encode_ods_cells, encode_odt_text)
 from datasketches_spark_spark.operators.pdfcodec import (
     encode_pdf_text, encode_pdf_text_objstm, encode_pdf_text_type0)
 from datasketches_spark_spark.sources import session_builder
@@ -57,6 +59,8 @@ def main() -> None:
             ["Design doc", "Open formats \u2764 open tooling."]))),
         (8, bytearray(encode_pdf_text_type0(
             ["Unicode r\u00e9sum\u00e9 \u2014 \u65e5\u672c\u8a9e"]))),
+        (10, bytearray(encode_ods_cells(
+            [["metric", "value"], ["coverage", 45]]))),
         (9, bytearray(encode_pdf_text_objstm(
             ["Packed PDF 1.5 object streams."]))),
     ]
@@ -82,6 +86,8 @@ def main() -> None:
                  "presentationml.presentation", extract_pptx_text),
         ("odt", "application/vnd.oasis.opendocument.text",
          extract_odt_text),
+        ("ods", "application/vnd.oasis.opendocument.spreadsheet",
+         extract_ods_text),
     ]
     unified = None
     for fmt, essence, fn in dispatch:

@@ -158,3 +158,97 @@ class TestOperatorAndRouting:
             [(bytearray(encode_odt_text(["x"])),)], "payload binary")
         got = df.select(detect_ooxml("payload").alias("m")).collect()
         assert got[0].m == ODT_MIME
+
+
+class TestOds:
+    """r16: OpenDocument SPREADSHEET cells (the xlsx_extract mirror)."""
+
+    def test_roundtrip_cells_and_text(self):
+        from datasketches_spark_spark.operators.odfcodec import (
+            encode_ods_cells, ods_extract)
+        info = ods_extract(encode_ods_cells(
+            [["region", "sales"], ["north", 1200],
+             [None, "x & <y>"]]))
+        assert info["cells"] == [
+            ("Sheet1", "A1", "region"), ("Sheet1", "B1", "sales"),
+            ("Sheet1", "A2", "north"), ("Sheet1", "B2", "1200"),
+            ("Sheet1", "B3", "x & <y>")]
+        assert info["text"] == "region\tsales\nnorth\t1200\nx & <y>"
+        assert info["units"] == 5 and info["tables"] == 1
+
+    def test_deterministic(self):
+        from datasketches_spark_spark.operators.odfcodec import (
+            encode_ods_cells)
+        assert encode_ods_cells([["a", 1]]) == encode_ods_cells(
+            [["a", 1]])
+
+    def test_column_and_row_repeats(self):
+        from datasketches_spark_spark.operators.odfcodec import (
+            ods_extract)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype",
+                       "application/vnd.oasis.opendocument.spreadsheet")
+            z.writestr("content.xml", (
+                '<office:spreadsheet>'
+                '<table:table table:name="T">'
+                '<table:table-row>'
+                '<table:table-cell table:number-columns-repeated="2">'
+                '<text:p>dup</text:p></table:table-cell>'
+                '<table:table-cell table:number-columns-repeated='
+                '"16384"/>'
+                '<table:table-cell><text:p>end</text:p>'
+                '</table:table-cell></table:table-row>'
+                '<table:table-row table:number-rows-repeated="2">'
+                '<table:table-cell><text:p>r</text:p>'
+                '</table:table-cell></table:table-row>'
+                '</table:table></office:spreadsheet>'))
+        info = ods_extract(buf.getvalue())
+        refs = [(r, v) for _t, r, v in info["cells"]]
+        assert refs[0] == ("A1", "dup") and refs[1] == ("B1", "dup")
+        # the 16384-wide empty filler advances position (bomb-guard
+        # capped) without emitting cells; 'end' lands past it
+        assert refs[2][1] == "end"
+        assert refs[3] == ("A2", "r") and refs[4] == ("A3", "r")
+
+    def test_covered_cells_advance_but_do_not_emit(self):
+        from datasketches_spark_spark.operators.odfcodec import (
+            ods_extract)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype",
+                       "application/vnd.oasis.opendocument.spreadsheet")
+            z.writestr("content.xml", (
+                '<office:spreadsheet><table:table table:name="T">'
+                '<table:table-row>'
+                '<table:table-cell><text:p>m</text:p>'
+                '</table:table-cell>'
+                '<table:covered-table-cell><text:p>hidden</text:p>'
+                '</table:covered-table-cell>'
+                '<table:table-cell><text:p>v</text:p>'
+                '</table:table-cell>'
+                '</table:table-row></table:table></office:spreadsheet>'))
+        cells = ods_extract(buf.getvalue())["cells"]
+        assert [(r, v) for _t, r, v in cells] == [("A1", "m"),
+                                                  ("C1", "v")]
+
+    def test_operator_loud_null(self, spark):
+        from datasketches_spark_spark.operators import extract_ods_text
+        from datasketches_spark_spark.operators.odfcodec import (
+            encode_ods_cells)
+        rows = [(1, bytearray(encode_ods_cells([["a", 7]]))),
+                (2, bytearray(b"not a package"))]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {r.id: (r.text, r.units) for r in
+               extract_ods_text(df, "id").collect()}
+        assert out[1] == ("a\t7", 2)
+        assert out[2] == (None, None)
+
+    def test_detect_ooxml_routes_ods(self, spark):
+        from datasketches_spark_spark.functions import detect_ooxml
+        from datasketches_spark_spark.operators.odfcodec import (
+            ODS_MIME, encode_ods_cells)
+        df = spark.createDataFrame(
+            [(bytearray(encode_ods_cells([["x"]])),)], "payload binary")
+        assert df.select(detect_ooxml("payload").alias("m")) \
+                 .collect()[0].m == ODS_MIME
