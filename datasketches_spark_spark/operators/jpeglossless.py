@@ -195,22 +195,30 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 4,
         return dd, i32, cat, np.bincount(cat.ravel(), minlength=17)
 
     if auto:
-        # exact cost per predictor: its own tuned table's code length
-        # plus the category's amplitude bits, summed over the
-        # histogram (ties -> lowest selector, deterministic)
+        # FILE cost per predictor: entropy bits ceil'd to bytes PLUS
+        # its DHT segment (19 + len(vals) bytes — tables differ in
+        # symbol count, and ignoring that let 'auto' lose to a fixed
+        # predictor by a few bytes; r16 review, reproduced). The one
+        # remaining unmodeled term is FF byte-stuffing (data-
+        # dependent, unknowable before emission), so 'auto' is
+        # minimal up to a few stuffing bytes — documented, not
+        # "never loses". Ties -> lowest selector, deterministic.
         best = None
         for sel in range(1, 8):
             dd, i32, cat, freq = _categorize(sel)
             b_, v_ = _huffman_bits_vals(freq)
             lens = {s: ln for s, _c, ln in _canonical_codes(b_, v_)}
-            cost = sum(int(freq[s]) * (lens[s] + (0 if s == 16 else s))
-                       for s in range(17) if freq[s])
-            if best is None or cost < best[0]:
-                best = (cost, sel, dd, i32, cat, freq)
-        _cost, predictor, d, is32768, ssss, freq = best
+            ebits = sum(int(freq[s]) * (lens[s]
+                                        + (0 if s == 16 else s))
+                        for s in range(17) if freq[s])
+            nbytes = (ebits + 7) // 8 + 19 + len(v_)
+            if best is None or nbytes < best[0]:
+                best = (nbytes, sel, dd, i32, cat, freq, b_, v_)
+        (_cost, predictor, d, is32768, ssss, freq,
+         bits, vals) = best
     else:
         d, is32768, ssss, freq = _categorize(predictor)
-    bits, vals = _huffman_bits_vals(freq)
+        bits, vals = _huffman_bits_vals(freq)
     enc = _encode_table(bits, vals)
 
     out = bytearray(b"\xff\xd8")                       # SOI

@@ -65,8 +65,10 @@ _CONTENT_TAIL = b"</office:text></office:body></office:document-content>"
 
 
 def _xml_escape(s: str) -> str:
+    # quotes too: the same helper feeds ATTRIBUTE values (table:name)
+    # where a raw '"' breaks the document (r16 review)
     return (s.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;"))
+            .replace(">", "&gt;").replace('"', "&quot;"))
 
 
 def encode_odt_text(paragraphs: list[str]) -> bytes:
@@ -97,10 +99,15 @@ def encode_odt_text(paragraphs: list[str]) -> bytes:
     return buf.getvalue()
 
 
-def _content_part(data: bytes) -> str:
+def _content_part(data: bytes, species: str | None = None) -> str:
+    """``species``: 'text' / 'spreadsheet' — when the package carries
+    a stored mimetype, the species must MATCH, like the OOXML
+    extractors' part checks: a misrouted .odt into ``ods_extract``
+    previously returned a plausible-looking empty result instead of
+    the loud null the operator contract promises (r16 review)."""
     data = bytes(data)
     if len(data) > MAX_INPUT_BYTES:
-        raise ValueError(f"ODT payload {len(data)} B exceeds the "
+        raise ValueError(f"ODF payload {len(data)} B exceeds the "
                          f"{MAX_INPUT_BYTES} B bomb guard")
     if data[:4] != b"PK\x03\x04":
         raise ValueError("not a ZIP package (missing PK magic)")
@@ -119,7 +126,13 @@ def _content_part(data: bytes) -> str:
                     raise ValueError(
                         f"ZIP package declares {mime!r} — not an "
                         "OpenDocument (routing should not reach the "
-                        "ODT extractor)")
+                        "ODF extractors)")
+                if (species and mime
+                        and not mime.endswith("." + species)):
+                    raise ValueError(
+                        f"OpenDocument species mismatch: package "
+                        f"declares {mime!r}, extractor expects "
+                        f".{species} (route on detect_ooxml)")
         try:
             info = z.getinfo("content.xml")
         except KeyError:
@@ -170,7 +183,7 @@ def odt_extract(data: bytes) -> dict:
     """One-pass extraction: ``text`` + ``paragraphs``/``tables`` from
     a single read of ``content.xml`` (the Arrow operator calls THIS —
     one unzip per document, not two)."""
-    xml = _content_part(data)
+    xml = _content_part(data, "text")
     out = []
     for pm in _P_RE.finditer(xml):
         out.append(_para_text(pm.group(1)) if pm.group(1) is not None
@@ -267,34 +280,29 @@ def encode_ods_cells(rows: list[list], sheet: str = "Sheet1") -> bytes:
     return buf.getvalue()
 
 
-def _ods_col_letters(idx: int) -> str:
-    out = ""
-    idx += 1
-    while idx:
-        idx, rem = divmod(idx - 1, 26)
-        out = chr(65 + rem) + out
-    return out
-
-
 def ods_extract(data: bytes) -> dict:
     """One-pass .ods extraction mirroring ``xlsx_extract``: ``cells``
     as ``(table_name, A1-style ref, display_text)`` in document order
-    (refs computed from position — ODF cells carry no refs;
-    ``table:number-columns/rows-repeated`` advance positions, with
-    only NON-EMPTY repeats emitting cells and a repeat bomb guard for
-    the 16384-column trailing filler real sheets carry), the flat
-    ``text`` view, and ``units`` (cell count)."""
-    xml = _content_part(data)
+    (refs computed from position — ODF cells carry no refs). Repeat
+    semantics (r16 review): EMPTY/covered ``number-columns-repeated``
+    fillers advance the position in FULL (a position is just an
+    integer — the 16384-column trailing filler costs nothing, and
+    capping it would corrupt following refs); NON-EMPTY repeats emit
+    that many cells and are bomb-guarded LOUDLY (a ``ValueError``,
+    never a silent truncation that would make ``units`` disagree with
+    the document)."""
+    from .ooxmlcodec import _col_letters
+    xml = _content_part(data, "spreadsheet")
     cells: list[tuple[str, str, str]] = []
     blocks: list[str] = []
     for tm in _TABLE_RE.finditer(xml):
-        name, body = tm.group(1), tm.group(2)
+        name, body = _xml_unescape(tm.group(1)), tm.group(2)
         row_seq = 0
         row_texts: list[str] = []
         for rm in _TROW_RE.finditer(body):
             head = rm.group(0)[:rm.group(0).find(">") + 1]
             rrep = _ROWREPEAT_RE.search(head)
-            nrows = min(int(rrep.group(1)) if rrep else 1, _MAX_REPEAT)
+            nrows = int(rrep.group(1)) if rrep else 1
             rbody = rm.group(1)
             texts_vals: list[tuple[int, str]] = []
             if rbody is not None:
@@ -302,8 +310,7 @@ def ods_extract(data: bytes) -> dict:
                 for cm in _TCELL_RE.finditer(rbody):
                     chead = cm.group(0)[:cm.group(0).find(">") + 1]
                     crep = _REPEAT_RE.search(chead)
-                    ncols = min(int(crep.group(1)) if crep else 1,
-                                _MAX_REPEAT)
+                    ncols = int(crep.group(1)) if crep else 1
                     inner = cm.group(3)
                     covered = (cm.group(0)
                                .startswith("<table:covered-"))
@@ -313,19 +320,30 @@ def ods_extract(data: bytes) -> dict:
                             if p.group(1) is not None else ""
                             for p in _P_RE.finditer(inner))
                         if val:
+                            if ncols > _MAX_REPEAT:
+                                raise ValueError(
+                                    f"ODS cell repeat {ncols} exceeds "
+                                    f"the {_MAX_REPEAT} emission bomb "
+                                    "guard")
                             for k in range(ncols):
                                 texts_vals.append((col_seq + k, val))
                     col_seq += ncols
+            if texts_vals and nrows > _MAX_REPEAT:
+                raise ValueError(
+                    f"ODS row repeat {nrows} exceeds the "
+                    f"{_MAX_REPEAT} emission bomb guard")
+            if not texts_vals:
+                row_seq += nrows     # empty filler rows: advance only
+                continue
             for _ in range(nrows):
                 row_seq += 1
                 for col, val in texts_vals:
                     cells.append((name,
-                                  f"{_ods_col_letters(col)}{row_seq}",
+                                  f"{_col_letters(col)}{row_seq}",
                                   val))
-            if texts_vals:
-                row_texts.extend(
-                    "\t".join(v for _c, v in texts_vals)
-                    for _ in range(nrows))
+            row_texts.extend(
+                "\t".join(v for _c, v in texts_vals)
+                for _ in range(nrows))
         blocks.append("\n".join(row_texts))
     return {
         "text": "\n\n".join(b for b in blocks if b),

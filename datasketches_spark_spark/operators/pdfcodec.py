@@ -404,7 +404,10 @@ def _hex_string(data: bytes, i: int) -> tuple[bytes, int]:
 
 
 _TJ_SPACE_THRESHOLD = -180        # thousandths of em; pdfminer's value
-_TJ_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+# PDF reals allow a trailing dot ('4.' — §7.3.3); rejecting one would
+# void the whole array and drop its word gaps (r16 review)
+_TJ_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_TJ_OP_RE = re.compile(rb"\s*TJ(?![0-9A-Za-z])")
 
 
 def _tj_array(body: bytes, i: int):
@@ -485,8 +488,9 @@ def _extract_text_ops(content: bytes, cid_fonts=None) -> str:
                 # heuristic pdfminer.six established). Only applied
                 # when the array is followed by the TJ operator.
                 arr, j = _tj_array(body, i)
-                if arr is not None and \
-                        re.match(rb"\s*TJ(?![0-9A-Za-z])", body[j:j + 4]):
+                # match at position j, NOT a fixed slice — multi-byte
+                # whitespace runs before 'TJ' are common (r16 review)
+                if arr is not None and _TJ_OP_RE.match(body, j):
                     for kind, v, at in arr:
                         if kind == "s":
                             line.append(show(v, at))

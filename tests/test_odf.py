@@ -206,10 +206,44 @@ class TestOds:
         info = ods_extract(buf.getvalue())
         refs = [(r, v) for _t, r, v in info["cells"]]
         assert refs[0] == ("A1", "dup") and refs[1] == ("B1", "dup")
-        # the 16384-wide empty filler advances position (bomb-guard
-        # capped) without emitting cells; 'end' lands past it
-        assert refs[2][1] == "end"
+        # the 16384-wide EMPTY filler advances the position in FULL
+        # (capping would corrupt following refs); 'end' lands exactly
+        # past it: column index 2 + 16384
+        from datasketches_spark_spark.operators.ooxmlcodec import (
+            _col_letters)
+        assert refs[2] == (f"{_col_letters(2 + 16384)}1", "end")
         assert refs[3] == ("A2", "r") and refs[4] == ("A3", "r")
+
+    def test_nonempty_repeat_beyond_guard_raises(self):
+        from datasketches_spark_spark.operators.odfcodec import (
+            ods_extract)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype",
+                       "application/vnd.oasis.opendocument.spreadsheet")
+            z.writestr("content.xml", (
+                '<office:spreadsheet><table:table table:name="T">'
+                '<table:table-row>'
+                '<table:table-cell table:number-columns-repeated='
+                '"100000"><text:p>x</text:p></table:table-cell>'
+                '</table:table-row></table:table></office:spreadsheet>'))
+        with pytest.raises(ValueError, match="bomb guard"):
+            ods_extract(buf.getvalue())
+
+    def test_species_mismatch_is_loud(self):
+        from datasketches_spark_spark.operators.odfcodec import (
+            encode_ods_cells, ods_extract, odt_extract)
+        with pytest.raises(ValueError, match="species mismatch"):
+            ods_extract(encode_odt_text(["hello"]))
+        with pytest.raises(ValueError, match="species mismatch"):
+            odt_extract(encode_ods_cells([["x"]]))
+
+    def test_quoted_sheet_name_roundtrips(self):
+        from datasketches_spark_spark.operators.odfcodec import (
+            encode_ods_cells, ods_extract)
+        cells = ods_extract(encode_ods_cells(
+            [["v"]], sheet='a"b'))["cells"]
+        assert cells == [('a"b', "A1", "v")]
 
     def test_covered_cells_advance_but_do_not_emit(self):
         from datasketches_spark_spark.operators.odfcodec import (
