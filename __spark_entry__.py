@@ -4368,9 +4368,16 @@ def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persist: all four parity branches read this, and the filter
     # sits above mapInPandas — without a cache every doc is ENCODED
-    # four times
+    # four times; one cached copy max across invocations
     pkgs = docs.mapInPandas(
         _mk, "doc_id long, payload binary").persist()
+    prev_pkgs = getattr(_demo_office_text, "_pkgs", None)
+    if prev_pkgs is not None:
+        try:
+            prev_pkgs.unpersist()
+        except Exception:
+            pass        # stale handle from a stopped session
+    _demo_office_text._pkgs = pkgs
     xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 4 == 0),
                            "doc_id")
     pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 4 == 1),
