@@ -40,6 +40,22 @@ _BM25_QUERIES = [("q1", "spark window merge"),
                  ("q3", "stream filter vector hash")]
 
 
+def _rotate_persisted(owner, attr: str, new_df):
+    """Cap a query function's persisted-DataFrame residency at ONE
+    cached copy across repeated invocations (bench runs each query 3x
+    per session; the returned result DF is lazy, so a function cannot
+    unpersist its OWN cache). The previous handle may belong to a
+    stopped session — unpersist best-effort. Returns ``new_df``."""
+    prev = getattr(owner, attr, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    setattr(owner, attr, new_df)
+    return new_df
+
+
 # --------------------------------------------------------------------- queries
 
 def _q01_percentile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,18 +1638,10 @@ def _q32_sampling_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ELSE CAST(n_chars AS DOUBLE) END) AS wst
             FROM documents GROUP BY lang, source
         """).persist()
-        # the returned DF is lazy, so this call can't unpersist its own
-        # states — cap residency at ONE cached copy across repeated
-        # invocations (bench runs the query 3x per session). NB: a
-        # fresh local name — reusing `prev` would clobber the saved
-        # conf value the finally block restores (r16 review finding)
-        prev_states = getattr(_q32_sampling_sql, "_states", None)
-        if prev_states is not None:
-            try:
-                prev_states.unpersist()
-            except Exception:
-                pass    # stale handle from a stopped session
-        _q32_sampling_sql._states = states
+        # NB: _rotate_persisted keeps its own local names — an early
+        # revision reused `prev` here and clobbered the saved conf
+        # value the finally block restores (r16 review finding)
+        _rotate_persisted(_q32_sampling_sql, "_states", states)
         states.createOrReplaceTempView("_q32_states")
         # doc_ids flattened to csv: the driver's canonicalizer hashes
         # scalar cells only (CORRECTNESS_r03 q32 err)
@@ -4111,13 +4119,7 @@ def _demo_sketch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached copy max across invocations (the q32 pattern)
     docs = read_table(spark, sf_dir, "documents") \
         .select("doc_id", "lang", "n_chars").persist()
-    prev_docs = getattr(_demo_sketch_layout, "_docs", None)
-    if prev_docs is not None:
-        try:
-            prev_docs.unpersist()
-        except Exception:
-            pass        # stale handle from a stopped session
-    _demo_sketch_layout._docs = docs
+    _rotate_persisted(_demo_sketch_layout, "_docs", docs)
     qstate = bytes(sketch_accumulate(
         docs, [], "n_chars", family="quantile", impl="MERGEABLE",
         k=65536).collect()[0]["state"])
@@ -4371,13 +4373,7 @@ def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four times; one cached copy max across invocations
     pkgs = docs.mapInPandas(
         _mk, "doc_id long, payload binary").persist()
-    prev_pkgs = getattr(_demo_office_text, "_pkgs", None)
-    if prev_pkgs is not None:
-        try:
-            prev_pkgs.unpersist()
-        except Exception:
-            pass        # stale handle from a stopped session
-    _demo_office_text._pkgs = pkgs
+    _rotate_persisted(_demo_office_text, "_pkgs", pkgs)
     xl = extract_xlsx_text(pkgs.where(F.col("doc_id") % 4 == 0),
                            "doc_id")
     pp = extract_pptx_text(pkgs.where(F.col("doc_id") % 4 == 1),
