@@ -150,18 +150,32 @@ def quantile_boundaries(state: bytes, num_buckets: int) -> list[float]:
     return [float(q) for q in qs]
 
 
+_BUCKET_WHEN_CHAIN_MAX = 128
+
+
 def quantile_bucket(col, boundaries) -> "F.Column":
     """Equi-depth bucket id (0..len(boundaries)) for a value against
     :func:`quantile_boundaries` splits: the count of boundaries the
-    value exceeds. Pure Column arithmetic over a literal array
-    (whole-stage codegen, scan-stage — no shuffle, no UDF); an
-    independent SQL engine replays it as a CASE-sum over the same
-    literals."""
+    value exceeds. Pure Column arithmetic (whole-stage codegen,
+    scan-stage — no shuffle, no UDF); an independent SQL engine
+    replays it as a CASE-sum over the same literals.
+
+    Two physical forms with identical semantics: up to
+    ``_BUCKET_WHEN_CHAIN_MAX`` boundaries a CASE-sum chain (the
+    codegen-friendliest shape at layout-realistic bucket counts);
+    above that a FLAT literal array + higher-order ``filter`` +
+    ``size`` — the chained sum nests one Add node per boundary and
+    blows Catalyst's expression-tree depth / 64 KB codegen-method
+    limits in the thousands, while an array literal is breadth, not
+    depth (tested at 4096 buckets)."""
     c = F.col(col) if isinstance(col, str) else col
-    total = F.lit(0)
-    for b in boundaries:
-        total = total + F.when(c > F.lit(float(b)), 1).otherwise(0)
-    return total.cast("int")
+    if len(boundaries) <= _BUCKET_WHEN_CHAIN_MAX:
+        total = F.lit(0)
+        for b in boundaries:
+            total = total + F.when(c > F.lit(float(b)), 1).otherwise(0)
+        return total.cast("int")
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(arr, lambda x: c > x)).cast("int")
 
 
 def quantile_range_layout(df: DataFrame, col, state: bytes,
@@ -220,6 +234,10 @@ def skew_salt(key_col, hot_keys, salts: int, salt_from) -> "F.Column":
     s = F.col(salt_from) if isinstance(salt_from, str) else salt_from
     if not hot_keys:
         return F.lit(0)
+    # NULL salt_from would otherwise yield a NULL salt and split a hot
+    # key's null-attribute rows into their own group: coalesce to 0.
     return (F.when(k.isin(list(hot_keys)),
-                   F.pmod(s.cast("long"), F.lit(salts)).cast("int"))
+                   F.coalesce(F.pmod(s.cast("long"),
+                                     F.lit(salts)).cast("int"),
+                              F.lit(0)))
             .otherwise(F.lit(0)))

@@ -248,7 +248,7 @@ def encode_pdf_text_objstm(pages: list[str]) -> bytes:
     font document as ``encode_pdf_text`` but with EVERY non-stream
     object (catalog, pages tree, font, page dicts) packed into one
     ``/Type/ObjStm`` object stream and a cross-reference STREAM
-    (``/Type/XRef``, ``/W [1 2 2]``, type-2 entries for packed
+    (``/Type/XRef``, ``/W [1 4 2]``, type-2 entries for packed
     members — §7.5.7/§7.5.8) instead of a classic table — the shape
     most post-2005 producers emit. Exercises the reader's ObjStm
     unpacking; byte-identical across runs."""
@@ -674,10 +674,18 @@ def _document_model(data: bytes) -> tuple[list, dict, bytes]:
             continue
         cnt = min(int(nm.group(1)), _MAX_OBJSTM_MEMBERS)
         first = int(fm.group(1))
-        head = dec[:first].split()
-        pairs = [(int(head[i]), int(head[i + 1]))
-                 for i in range(0, min(len(head) - 1, 2 * cnt - 1), 2)
-                 if head[i].isdigit() and head[i + 1].isdigit()]
+        # Anchored pair-by-pair scan, stopped at /N pairs OR at the
+        # first non-conforming token: a stray token in the header
+        # region truncates the pair list instead of silently
+        # misaligning every later (objnum, offset) pair.
+        pairs: list[tuple[int, int]] = []
+        hdr, pos = dec[:first], 0
+        while len(pairs) < cnt:
+            m = re.match(rb"\s*(\d+)\s+(\d+)", hdr[pos:])
+            if not m:
+                break
+            pairs.append((int(m.group(1)), int(m.group(2))))
+            pos += m.end()
         for i, (onum, off) in enumerate(pairs):
             end = (first + pairs[i + 1][1]
                    if i + 1 < len(pairs) else len(dec))

@@ -184,3 +184,57 @@ class TestSkewSalt:
         df = spark.createDataFrame([("a", 1)], "k string, id long")
         assert df.select(skew_salt("k", [], 8, F.col("id"))
                          .alias("s")).collect()[0].s == 0
+
+
+class TestR17Advice:
+    def test_skew_salt_null_attribute_folds_to_zero(self, spark):
+        # r17 (ADVICE): a NULL salt_from must not split a hot key's
+        # rows into a separate null-salt group — coalesces to salt 0.
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import skew_salt
+        df = spark.createDataFrame(
+            [("hot", None), ("hot", 5), ("cold", None)],
+            "k string, id long")
+        got = {(r.k, r.id): r.s for r in df.select(
+            "k", "id",
+            skew_salt("k", ["hot"], 8, F.col("id")).alias("s"))
+            .collect()}
+        assert got[("hot", None)] == 0       # not NULL
+        assert got[("hot", 5)] == 5 % 8
+        assert got[("cold", None)] == 0
+
+    def test_quantile_bucket_large_n_array_path(self, spark):
+        # r17: >_BUCKET_WHEN_CHAIN_MAX boundaries switch to the flat
+        # array+filter form — same semantics, no codegen depth blowup.
+        # 4096 boundaries would nest ~4k Add nodes in the when-chain.
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import quantile_bucket
+        bounds = [float(i) for i in range(1, 4096)]   # 1..4095
+        df = spark.createDataFrame(
+            [(0.5,), (1.0,), (1.5,), (2047.2,), (4095.5,), (None,)],
+            "v double")
+        got = [r.b for r in df.select(
+            quantile_bucket("v", bounds).alias("b")).collect()]
+        # bucket = count of boundaries strictly below v
+        assert got == [0, 0, 1, 2047, 4095, 0]
+
+    def test_quantile_bucket_paths_agree(self, spark):
+        # both physical forms give identical ids on the same data
+        import numpy as np
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.operators import ordering as om
+        rng = np.random.default_rng(11)
+        vals = [float(v) for v in rng.normal(0, 100, 500)]
+        bounds = sorted(float(v) for v in rng.normal(0, 100, 200))
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        old_max = om._BUCKET_WHEN_CHAIN_MAX
+        try:
+            om._BUCKET_WHEN_CHAIN_MAX = 10_000   # force when-chain
+            a = [r.b for r in df.select(
+                om.quantile_bucket("v", bounds).alias("b")).collect()]
+            om._BUCKET_WHEN_CHAIN_MAX = 0        # force array path
+            b = [r.b for r in df.select(
+                om.quantile_bucket("v", bounds).alias("b")).collect()]
+        finally:
+            om._BUCKET_WHEN_CHAIN_MAX = old_max
+        assert a == b

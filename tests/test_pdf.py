@@ -330,6 +330,30 @@ class TestType0AndObjStm:
                + b"\nendstream\nendobj\n")
         assert pdf_text(pdf) == "real"
 
+    def test_objstm_corrupt_header_token_truncates_not_misaligns(self):
+        # r17 (ADVICE): a stray token INSIDE an (objnum, offset) pair
+        # must TRUNCATE the pair list at that point, never shift the
+        # pairing of later members. Header: pair 1 valid, pair 2
+        # corrupted ("6 X 7"), pair 3 valid-looking — a pairwise-
+        # filtering parser would mispair (7, 14) from the tail.
+        import zlib as z
+        m1 = b"<< /A 1 >>"
+        m2 = b"<< /B 2 >>"
+        header = b"5 0 6 X 7 %d\n" % len(m1)
+        stm = z.compress(header + m1 + m2, 6)
+        pdf = (_hand_pdf(b"BT (base) Tj ET")
+               + b"4 0 obj\n<< /Type /ObjStm /N 3 /First "
+               + str(len(header)).encode() + b" /Length "
+               + str(len(stm)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + stm
+               + b"\nendstream\nendobj\n%%EOF\n")
+        from datasketches_spark_spark.operators.pdfcodec import (
+            _document_model)
+        _, objs, _ = _document_model(pdf)
+        assert 5 in objs                # the valid leading pair
+        assert 6 not in objs and 7 not in objs   # truncated, not shifted
+        assert pdf_text(pdf) == "base"  # and extraction still works
+
     def test_type0_operator_batch(self, spark):
         from datasketches_spark_spark.operators import extract_pdf_text
         from datasketches_spark_spark.operators.pdfcodec import (
