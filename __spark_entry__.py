@@ -4148,6 +4148,67 @@ def _demo_sketch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket.unionByName(salted).orderBy("leg", "k")
 
 
+def _demo_multi_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N sketch families in ONE scan (r17,
+    operators/sketch_agg.py::sketch_accumulate_multi): the summary-
+    table WRITE shape at 100 TB — a daily rollup persisting
+    quantile + NDV + freq + bloom states per key must scan the day
+    once and shuffle ONE state-only row per group, not run four
+    independent aggregate jobs. Leg 'multi' estimates all four
+    measures from one sketch_accumulate_multi pass; leg 'single'
+    recomputes them from four independent sketch_accumulate runs —
+    the gate pins multi == single == exact (every family in its
+    exact regime at gate scale, so DuckDB replays every value:
+    quantile_disc, COUNT DISTINCT, the max per-source count, and a
+    guaranteed-member bloom probe that must hit)."""
+    from datasketches_spark_spark import functions as dsf
+    from datasketches_spark_spark.operators import (
+        sketch_accumulate, sketch_accumulate_multi, state_measure)
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source",
+                F.col("n_chars").cast("double").alias("n_chars")) \
+        .persist()
+    _rotate_persisted(_demo_multi_accumulate, "_docs", docs)
+    probes = docs.groupBy("lang").agg(F.min("doc_id").alias("probe"))
+
+    def _estimates(states: DataFrame, leg: str) -> DataFrame:
+        return (states.join(probes, "lang").select(
+            F.lit(leg).alias("leg"), "lang",
+            dsf.approx_percentile_estimate("q", 0.5).alias("p50"),
+            dsf.approx_count_distinct_estimate("t")
+            .cast("long").alias("ndv"),
+            F.element_at(dsf.approx_freqitems_estimate("f"),
+                         1)["estimated"].cast("long").alias("top_n"),
+            dsf.approx_membership_contains("b", F.col("probe"))
+            .cast("int").alias("probe_hit")))
+
+    measures = [
+        state_measure("q", "n_chars", "quantile",
+                      impl="MERGEABLE", k=65536),
+        state_measure("t", "doc_id", "theta", k=4096),
+        state_measure("f", "source", "freq", max_map_size=1024),
+        state_measure("b", "doc_id", "membership",
+                      expected_items=4096, fpp=0.001),
+    ]
+    multi = sketch_accumulate_multi(docs, ["lang"], measures)
+    single = (
+        sketch_accumulate(docs, ["lang"], "n_chars", family="quantile",
+                          impl="MERGEABLE", k=65536, state_col="q")
+        .join(sketch_accumulate(docs, ["lang"], "doc_id",
+                                family="theta", k=4096,
+                                state_col="t"), "lang")
+        .join(sketch_accumulate(docs, ["lang"], "source",
+                                family="freq", max_map_size=1024,
+                                state_col="f"), "lang")
+        .join(sketch_accumulate(docs, ["lang"], "doc_id",
+                                family="membership",
+                                expected_items=4096, fpp=0.001,
+                                state_col="b"), "lang"))
+    return (_estimates(multi, "multi")
+            .unionByName(_estimates(single, "single"))
+            .orderBy("leg", "lang"))
+
+
 def _demo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order keys (r15, operators/ordering.py::zorder_key): the
     bit-interleaved layout key over two doc-derived dimensions,
@@ -4511,6 +4572,7 @@ def demo_queries() -> dict[str, str]:
         "demo_readability": _demo_readability,
         "demo_jpeg_lossless": _demo_jpeg_lossless,
         "demo_sketch_layout": _demo_sketch_layout,
+        "demo_multi_accumulate": _demo_multi_accumulate,
         "demo_zorder": _demo_zorder,
         "demo_langid_wide": _demo_langid_wide,
         "demo_pdf_text": _demo_pdf_text,
@@ -7037,6 +7099,29 @@ def demo_oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM documents GROUP BY lang
             ORDER BY leg, k
+        """,
+        # demo_multi_accumulate (r17): every family exact-regime at
+        # gate scale — one-scan multi states must estimate to the
+        # same exact values as four single-family runs: p50 =
+        # quantile_disc, theta NDV = COUNT DISTINCT, freq top =
+        # the max per-source count, bloom probe of a known member = 1
+        "demo_multi_accumulate": """
+            WITH ex AS (
+              SELECT lang,
+                     quantile_disc(CAST(n_chars AS DOUBLE), 0.5)
+                       AS p50,
+                     COUNT(DISTINCT doc_id) AS ndv
+              FROM documents GROUP BY lang),
+            sc AS (
+              SELECT lang, source, COUNT(*) AS c
+              FROM documents GROUP BY lang, source),
+            tn AS (SELECT lang, MAX(c) AS top_n FROM sc GROUP BY lang)
+            SELECT legs.leg, ex.lang, ex.p50, ex.ndv, tn.top_n,
+                   1 AS probe_hit
+            FROM ex
+            JOIN tn ON ex.lang = tn.lang
+            CROSS JOIN (VALUES ('multi'), ('single')) AS legs(leg)
+            ORDER BY legs.leg, ex.lang
         """,
         "demo_zorder": """
             WITH keyed AS (
