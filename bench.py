@@ -82,6 +82,13 @@ def main() -> None:
     spark.stop()
 
 
+# Box-drift controls: board queries untouched since their locks, spanning
+# the three cost shapes (JVM agg via engine UDAF, stock-Spark JVM agg,
+# pure Column expressions). Chosen per the r16 verdict protocol ask.
+_CONTROL_QUERIES = ["q01_percentile_by_flag", "q07_ndv_hll",
+                    "q20_textstats"]
+
+
 def _compare(timings: dict, total: float) -> None:
     """Regression gate vs a recorded baseline (BASELINE.md engine table):
     ``--compare FILE.json`` or $SPARK_GRAFT_BASELINE. Accepts either the
@@ -109,22 +116,42 @@ def _compare(timings: dict, total: float) -> None:
     except Exception as e:
         print(f"bench: cannot read baseline {path}: {e}", file=sys.stderr)
         return
+    # Control normalization (r17): this box drifts ±40-60% session to
+    # session, which turns raw t/lock ratios into false regression
+    # flags across the whole board. Three CONTROL queries whose bodies
+    # have been untouched since their locks (pure-Spark shapes with no
+    # engine code in the hot path) measure the BOX, not the engine;
+    # per-query flags fire on the control-normalized ratio
+    # (t / lock) / control_factor > 2. The raw ratio is still printed
+    # so a genuinely slow box remains visible.
+    controls = [c for c in _CONTROL_QUERIES
+                if base_q.get(c, 0) > 0 and timings.get(c, 0) > 0]
+    cratios = sorted(timings[c] / base_q[c] for c in controls)
+    cf = cratios[len(cratios) // 2] if cratios else 1.0
+    cf = max(cf, 1.0)   # a fast box never excuses a slow query
+    print(f"bench controls {controls}: ratios "
+          f"{[round(r, 2) for r in cratios]} -> factor {cf:.2f}",
+          file=sys.stderr)
     flagged = []
     for name, t in timings.items():
         b = base_q.get(name)
         if b and b > 0 and t > 0:
             ratio = t / b
-            if ratio > 2.0:
-                flagged.append((name, b, t, ratio))
+            norm = ratio / cf
+            if norm > 2.0:
+                flagged.append((name, b, t, ratio, norm))
     bt = base.get("value")
     print(f"bench compare vs {path}: total {bt}s -> {total}s "
-          f"({total / bt:.2f}x)" if bt else "bench compare: no baseline total",
+          f"({total / bt:.2f}x raw, {total / bt / cf:.2f}x "
+          f"control-normalized)" if bt
+          else "bench compare: no baseline total",
           file=sys.stderr)
-    for name, b, t, ratio in sorted(flagged, key=lambda x: -x[3]):
-        print(f"bench REGRESSION {name}: {b}s -> {t}s ({ratio:.2f}x > 2x)",
-              file=sys.stderr)
+    for name, b, t, ratio, norm in sorted(flagged, key=lambda x: -x[4]):
+        print(f"bench REGRESSION {name}: {b}s -> {t}s ({ratio:.2f}x raw, "
+              f"{norm:.2f}x control-normalized > 2x)", file=sys.stderr)
     if not flagged:
-        print("bench compare: no query above 2x baseline", file=sys.stderr)
+        print("bench compare: no query above 2x control-normalized "
+              "baseline", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -14,8 +14,11 @@ the standard text-showing operators. Everything cites ISO 32000-1
 
 Honest limits (loud, documented — the codec-refusal posture):
 
-* encrypted documents (``/Encrypt`` in a trailer OR a ``/Type/XRef``
-  stream dict) raise;
+* encrypted documents with an EMPTY user password (owner-
+  restrictions-only — the common wild encrypted shape) DECRYPT via
+  the standard security handler (r17, ``pdfcrypt.py``: RC4, AES-128
+  /AESV2, AES-256 /AESV3 R6); a real (non-empty) user password
+  raises — never silent garbage;
 * ``/Type0`` composite fonts DECODE when a ``/ToUnicode`` CMap
   resolves (r16: Identity-H 2-byte codes through the CMap, ``bfchar``
   + both ``bfrange`` forms); Type0 WITHOUT a usable ToUnicode still
@@ -226,8 +229,11 @@ def encode_pdf_text_type0(pages: list[str],
     return _assemble_classic(objs)
 
 
-def _assemble_classic(objs: list[bytes]) -> bytes:
-    """1-indexed object bodies -> classic-xref document bytes."""
+def _assemble_classic(objs: list[bytes],
+                      trailer_extra: bytes = b"") -> bytes:
+    """1-indexed object bodies -> classic-xref document bytes.
+    ``trailer_extra`` appends entries (e.g. ``/Encrypt``/``/ID``) to
+    the trailer dictionary."""
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, body in enumerate(objs, 1):
@@ -238,9 +244,67 @@ def _assemble_classic(objs: list[bytes]) -> bytes:
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
-            b"%%%%EOF\n" % (len(objs) + 1, xref_at))
+    out += (b"trailer\n<< /Size %d /Root 1 0 R" % (len(objs) + 1)
+            + trailer_extra + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at)
     return bytes(out)
+
+
+def encode_pdf_text_encrypted(pages: list[str],
+                              scheme: str = "rc4") -> bytes:
+    """Deterministic ENCRYPTED single-font PDF (r17): the same
+    document as :func:`encode_pdf_text` but with every content stream
+    encrypted under the standard security handler with an EMPTY user
+    password — the owner-restrictions-only shape most wild encrypted
+    PDFs use. ``scheme``: ``rc4`` (V2/R3, 128-bit), ``aes128``
+    (V4/R4, /AESV2 crypt filter), ``aes256`` (V5/R6, /AESV3,
+    PDF 2.0). Byte-identical across runs: fixed /ID and salts,
+    per-object AES IVs derived from object numbers (spec-legal —
+    randomness there is hygiene, not validity). AES schemes require
+    the ``cryptography`` package (present in this environment; the
+    reader refuses loudly without it)."""
+    from .pdfcrypt import _FIXED_ID, _make_writer_handler
+    if not pages:
+        raise ValueError("encode_pdf_text_encrypted needs >= 1 page")
+    handler, enc_dict = _make_writer_handler(scheme)
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    add(b"<< /Type /Catalog /Pages 2 0 R >>")     # 1
+    add(b"")                                      # 2 pages tree (later)
+    font_id = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids, content_ids = [], []
+    for text in pages:
+        parts = [b"BT /F1 11 Tf 72 720 Td 13 TL"]
+        for i, line in enumerate(text.split("\n")):
+            if i > 0:
+                parts.append(b"T*")
+            parts.append(b"(" + _esc_literal(line) + b") Tj")
+        parts.append(b"ET")
+        data = zlib.compress(b"\n".join(parts), 6)
+        cid = len(objs) + 1           # the object number it will get
+        data = handler.encrypt(data, cid, 0)
+        cid = add(b"<< /Length " + str(len(data)).encode()
+                  + b" /Filter /FlateDecode >>\nstream\n" + data
+                  + b"\nendstream")
+        content_ids.append(cid)
+        page_ids.append(add(b""))
+    for pid, cid in zip(page_ids, content_ids):
+        objs[pid - 1] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 " + str(font_id).encode()
+            + b" 0 R >> >> /Contents " + str(cid).encode() + b" 0 R >>")
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    objs[1] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+               + str(len(page_ids)).encode() + b" >>")
+    enc_id = add(enc_dict)
+    idhex = _FIXED_ID.hex().encode()
+    trailer = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+               % (enc_id, idhex, idhex))
+    return _assemble_classic(objs, trailer)
 
 
 def encode_pdf_text_objstm(pages: list[str]) -> bytes:
@@ -604,11 +668,12 @@ def _inflate(d: bytes, raw: bytes) -> bytes | None:
 
 # ------------------------------------------------- object table (r16)
 
-_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _MAX_OBJSTM_MEMBERS = 50_000     # header-pair bomb guard
 
 
-def _document_model(data: bytes) -> tuple[list, dict, bytes]:
+def _document_model(data: bytes,
+                    decryptor=None) -> tuple[list, dict, bytes]:
     """ONE decode pass over the whole file (xref-independent — crawl
     PDFs routinely have broken xrefs, and compressed data can contain
     ``endobj``/``endstream`` bytes, so streams are located by the
@@ -630,7 +695,7 @@ def _document_model(data: bytes) -> tuple[list, dict, bytes]:
       this).
     """
     import bisect
-    heads = [(m.start(), int(m.group(1)), m.end())
+    heads = [(m.start(), int(m.group(1)), m.end(), int(m.group(2)))
              for m in _OBJ_HEAD_RE.finditer(data)]
     head_pos = [h[0] for h in heads]
     streams: list[tuple[bytes, bytes | None]] = []
@@ -644,9 +709,21 @@ def _document_model(data: bytes) -> tuple[list, dict, bytes]:
         raw, pos = _raw_stream_span(data, d, sm.end())
         if raw is None:
             break
+        i = bisect.bisect_right(head_pos, dstart) - 1
+        if decryptor is not None and raw and i >= 0:
+            # §7.6.1: the XRef stream is never encrypted; /Metadata
+            # follows /EncryptMetadata. Decrypt BEFORE filters.
+            skip = (re.search(rb"/Type\s*/XRef\b", d)
+                    or (not decryptor.encrypt_metadata
+                        and re.search(rb"/Type\s*/Metadata\b", d)))
+            if not skip:
+                try:
+                    raw = decryptor.decrypt(raw, heads[i][1],
+                                            heads[i][3])
+                except ValueError:
+                    pass        # leave raw: _inflate returns None
         dec = _inflate(d, raw)
         streams.append((d, dec))
-        i = bisect.bisect_right(head_pos, dstart) - 1
         if i >= 0:
             owners[i] = (d, dec)
     # object table in DOCUMENT ORDER so a later redefinition of the
@@ -655,7 +732,7 @@ def _document_model(data: bytes) -> tuple[list, dict, bytes]:
     # resolved Type0/ToUnicode from the stale original object)
     n = len(data)
     objs: dict[int, tuple[bytes, bytes | None]] = {}
-    for i, (hstart, num, hend) in enumerate(heads):
+    for i, (hstart, num, hend, _gen) in enumerate(heads):
         if i in owners:
             objs[num] = owners[i]
             continue
@@ -900,13 +977,29 @@ def pdf_extract(data: bytes) -> dict:
                          f"{MAX_INPUT_BYTES} B bomb guard")
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    _ENC_MSG = ("encrypted PDF: text extraction requires the document "
-                "decryption keys (ISO 32000-1 §7.6); decrypt upstream")
+    _ENC_MSG = ("encrypted PDF: a non-empty user password is set — "
+                "text extraction requires the real document password "
+                "(ISO 32000-1 §7.6); decrypt upstream")
+    decryptor = None
+    was_encrypted = False
     if _trailer_encrypted(data):
-        raise NotImplementedError(_ENC_MSG)   # before any inflation
-    streams, objs, unpacked = _document_model(data)
-    if _xref_encrypted(streams):
-        raise NotImplementedError(_ENC_MSG)
+        # r17: the standard security handler with the EMPTY user
+        # password (owner-restrictions-only documents — the common
+        # wild encrypted shape) decrypts with no secret; only a real
+        # user password refuses.
+        from .pdfcrypt import build_decryptor
+        decryptor = build_decryptor(data)
+        if decryptor is None:
+            raise NotImplementedError(_ENC_MSG)   # before any inflation
+        was_encrypted = True
+    streams, objs, unpacked = _document_model(data, decryptor)
+    if decryptor is None and _xref_encrypted(streams):
+        from .pdfcrypt import build_decryptor
+        decryptor = build_decryptor(data)
+        if decryptor is None:
+            raise NotImplementedError(_ENC_MSG)
+        was_encrypted = True
+        streams, objs, unpacked = _document_model(data, decryptor)
     cid_fonts = _type0_font_maps(objs)
     parts = []
     n_streams = 0
@@ -928,7 +1021,7 @@ def pdf_extract(data: bytes) -> dict:
         "pages": (len(re.findall(page_re, data))
                   + len(re.findall(page_re, unpacked))),
         "streams": n_streams,
-        "encrypted": False,
+        "encrypted": was_encrypted,
         "has_type0": bool(re.search(type0_re, data)
                           or re.search(type0_re, unpacked)),
     }
@@ -944,6 +1037,14 @@ def pdf_info(data: bytes) -> dict:
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     streams, _objs, unpacked = _document_model(data)
+    encrypted = _is_encrypted(data, streams)
+    if encrypted:
+        # empty-user-password documents still yield honest stream /
+        # page counts (r17); a real password leaves counts best-effort
+        from .pdfcrypt import build_decryptor
+        dec_h = build_decryptor(data)
+        if dec_h is not None:
+            streams, _objs, unpacked = _document_model(data, dec_h)
     page_re = rb"/Type\s*/Page\b(?!s)"
     type0_re = rb"/Subtype\s*/Type0\b"
     return {
@@ -951,7 +1052,7 @@ def pdf_info(data: bytes) -> dict:
         "pages": (len(re.findall(page_re, data))
                   + len(re.findall(page_re, unpacked))),
         "streams": sum(1 for _d, dec in streams if dec is not None),
-        "encrypted": _is_encrypted(data, streams),
+        "encrypted": encrypted,
         "has_type0": bool(re.search(type0_re, data)
                           or re.search(type0_re, unpacked)),
     }

@@ -473,3 +473,93 @@ class TestR16SecondReview:
     def test_tj_array_with_hex_strings(self):
         c = b"BT [<4142> -300 <4344>] TJ ET"
         assert pdf_text(_hand_pdf(c)) == "AB CD"
+
+
+class TestEncryption:
+    """r17: standard security handler, empty-user-password decrypt
+    (operators/pdfcrypt.py). Write/read symmetry is the oracle for
+    the composed handler; RC4 is additionally pinned to the public
+    known-answer vector so the one hand-rolled primitive is validated
+    against something external to this repo."""
+
+    PAGES = ["Top secret page one\nsecond line", "Encrypted page 2"]
+
+    @pytest.mark.parametrize("scheme", ["rc4", "aes128", "aes256"])
+    def test_roundtrip_and_determinism(self, scheme):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        blob = encode_pdf_text_encrypted(self.PAGES, scheme)
+        assert blob == encode_pdf_text_encrypted(self.PAGES, scheme)
+        assert pdf_text(blob) == "\n".join(self.PAGES)
+        info = pdf_info(blob)
+        assert info["encrypted"] and info["pages"] == 2
+        assert info["streams"] == 2     # bodies decrypt + inflate
+
+    def test_rc4_known_answer_vector(self):
+        # public RC4 test vector (key "Key", plaintext "Plaintext")
+        from datasketches_spark_spark.operators.pdfcrypt import _rc4
+        out = _rc4(b"Key", b"Plaintext")
+        assert out.hex() == "bbf316e8d940af0ad3"
+        assert _rc4(b"Key", out) == b"Plaintext"   # self-inverse
+
+    @pytest.mark.parametrize("scheme", ["rc4", "aes256"])
+    def test_real_user_password_still_refuses(self, scheme):
+        # corrupt /U so empty-password validation fails — the
+        # equivalent of a document with a REAL user password
+        import re as _re
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        blob = encode_pdf_text_encrypted(self.PAGES, scheme)
+        m = _re.search(rb"/U <([0-9a-f]+)>", blob)
+        assert m
+        bad = b"00" * (len(m.group(1)) // 2)
+        blob = blob[:m.start(1)] + bad + blob[m.end(1):]
+        with pytest.raises(NotImplementedError, match="password"):
+            pdf_text(blob)
+        assert pdf_info(blob)["encrypted"]   # info stays non-raising
+
+    def test_cross_scheme_bytes_differ_but_text_matches(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text, encode_pdf_text_encrypted)
+        plain = encode_pdf_text(self.PAGES)
+        rc4 = encode_pdf_text_encrypted(self.PAGES, "rc4")
+        aes = encode_pdf_text_encrypted(self.PAGES, "aes256")
+        assert plain != rc4 != aes
+        # ciphertext must not leak the plaintext stream bytes
+        content = zlib.compress(
+            b"BT /F1 11 Tf 72 720 Td 13 TL\n(" +
+            self.PAGES[0].split("\n")[0].encode() + b") Tj", 6)
+        assert content[:16] not in rc4 and content[:16] not in aes
+
+    def test_aes_stream_not_block_aligned_is_loud(self):
+        from datasketches_spark_spark.operators.pdfcrypt import (
+            StandardDecryptor)
+        h = StandardDecryptor(b"\x01" * 32, "aesv3", 6)
+        with pytest.raises(ValueError, match="block-aligned"):
+            h.decrypt(b"short", 4, 0)
+
+    def test_hash_2b_r5_vs_r6_differ(self):
+        # R5 is a plain SHA-256; R6 runs the 2.B iteration — they
+        # must not collapse to the same value (guards the loop
+        # actually executing)
+        from datasketches_spark_spark.operators.pdfcrypt import (
+            _hash_2b)
+        assert _hash_2b(b"", b"salt-bytes", b"", 5) != \
+            _hash_2b(b"", b"salt-bytes", b"", 6)
+
+    def test_operator_batch_with_encrypted_docs(self, spark):
+        from datasketches_spark_spark.operators import extract_pdf_text
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text, encode_pdf_text_encrypted)
+        rows = [
+            (1, bytearray(encode_pdf_text(["plain"]))),
+            (2, bytearray(encode_pdf_text_encrypted(["rc4 text"],
+                                                    "rc4"))),
+            (3, bytearray(encode_pdf_text_encrypted(["aes text"],
+                                                    "aes256"))),
+        ]
+        df = spark.createDataFrame(rows, "id int, blob binary")
+        got = {r.id: r.text for r in
+               extract_pdf_text(df, "id", payload_col="blob")
+               .select("id", "text").collect()}
+        assert got == {1: "plain", 2: "rc4 text", 3: "aes text"}
