@@ -46,11 +46,12 @@ String syntax per §7.3.4: literal ``( )`` with backslash escapes
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 __all__ = ["encode_pdf_text", "encode_pdf_text_type0",
-           "encode_pdf_text_objstm", "pdf_text", "pdf_info",
-           "pdf_extract"]
+           "encode_pdf_text_objstm", "encode_pdf_text_encrypted",
+           "pdf_text", "pdf_info", "pdf_extract"]
 
 MAX_INPUT_BYTES = 256 << 20
 _MAX_STREAM_OUT = 64 << 20      # per-stream inflate bomb guard
@@ -142,7 +143,8 @@ def encode_pdf_text(pages: list[str], compress: bool = True) -> bytes:
 
 
 def encode_pdf_text_type0(pages: list[str],
-                          compress: bool = True) -> bytes:
+                          compress: bool = True,
+                          mapping: str = "tounicode") -> bytes:
     """Deterministic Identity-H ``/Type0`` writer (r16) — the common
     wild shape for CJK / full-Unicode documents: text shows as hex
     strings of 2-byte codes assigned in first-appearance order, with a
@@ -150,7 +152,18 @@ def encode_pdf_text_type0(pages: list[str],
     astral chars as surrogate pairs, §9.10.3) so conforming extractors
     (including this module's) recover the exact text. Classic xref;
     byte-identical across runs (write/read-symmetry fixture for the
-    Type0 decode path)."""
+    Type0 decode path).
+
+    ``mapping`` (r17) picks how text becomes recoverable:
+    ``tounicode`` — the /ToUnicode CMap (above); ``fontfile`` — NO
+    /ToUnicode, but the descendant font embeds a /FontFile2 whose
+    sfnt ``cmap`` (format 12) maps unicode->glyph, the wild shape
+    subsetting tools emit when they drop ToUnicode — recoverable only
+    through the embedded-font fallback; ``none`` — neither (the
+    glyph-id-only document a pipeline must QUARANTINE via the
+    measured ``type0_coverage`` column)."""
+    if mapping not in ("tounicode", "fontfile", "none"):
+        raise ValueError("mapping must be tounicode|fontfile|none")
     if not pages:
         raise ValueError("encode_pdf_text_type0 needs at least one page")
     codes: dict[str, int] = {}
@@ -187,18 +200,38 @@ def encode_pdf_text_type0(pages: list[str],
     add(b"")    # 1 catalog
     add(b"")    # 2 pages tree
     desc_id = 4
-    tounicode_id = 5
-    add(b"<< /Type /Font /Subtype /Type0 /BaseFont /EngineCID"
-        b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
-        b" /ToUnicode %d 0 R >>" % (desc_id, tounicode_id))   # 3
-    add(b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /EngineCID"
-        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
-        b" /Supplement 0 >> /CIDToGIDMap /Identity >>")       # 4
-    cdata, cfilt = cmap, b""
-    if compress:
-        cdata, cfilt = zlib.compress(cmap, 6), b" /Filter /FlateDecode"
-    add(b"<< /Length " + str(len(cdata)).encode() + cfilt
-        + b" >>\nstream\n" + cdata + b"\nendstream")          # 5
+    aux_id = 5          # ToUnicode stream OR FontDescriptor
+    if mapping == "tounicode":
+        add(b"<< /Type /Font /Subtype /Type0 /BaseFont /EngineCID"
+            b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+            b" /ToUnicode %d 0 R >>" % (desc_id, aux_id))     # 3
+    else:
+        add(b"<< /Type /Font /Subtype /Type0 /BaseFont /EngineCID"
+            b" /Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+            % desc_id)                                        # 3
+    desc = (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+            b" /EngineCID /CIDSystemInfo << /Registry (Adobe)"
+            b" /Ordering (Identity) /Supplement 0 >>"
+            b" /CIDToGIDMap /Identity")
+    if mapping == "fontfile":
+        desc += b" /FontDescriptor %d 0 R" % aux_id
+    add(desc + b" >>")                                        # 4
+    if mapping == "tounicode":
+        cdata, cfilt = cmap, b""
+        if compress:
+            cdata, cfilt = (zlib.compress(cmap, 6),
+                            b" /Filter /FlateDecode")
+        add(b"<< /Length " + str(len(cdata)).encode() + cfilt
+            + b" >>\nstream\n" + cdata + b"\nendstream")      # 5
+    elif mapping == "fontfile":
+        font = _encode_truetype_cmap12(
+            {ord(ch): c for ch, c in codes.items()})
+        add(b"<< /Type /FontDescriptor /FontName /EngineCID"
+            b" /Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0"
+            b" /Ascent 800 /Descent -200 /CapHeight 700 /StemV 80"
+            b" /FontFile2 %d 0 R >>" % (aux_id + 1))          # 5
+        add(b"<< /Length " + str(len(font)).encode()
+            + b" >>\nstream\n" + font + b"\nendstream")       # 6
     page_ids, content_ids = [], []
     for text in pages:
         parts = [b"BT /F1 11 Tf 72 720 Td 13 TL"]
@@ -505,7 +538,8 @@ def _tj_array(body: bytes, i: int):
     return None, i                          # unterminated
 
 
-def _extract_text_ops(content: bytes, cid_fonts=None) -> str:
+def _extract_text_ops(content: bytes, cid_fonts=None,
+                      stats: dict | None = None) -> str:
     """Walk BT..ET text objects; show-ops append, line-ops newline.
     ``cid_fonts`` maps font resource names to ToUnicode code maps
     (``_type0_font_maps``): while such a font is selected (tracked via
@@ -537,7 +571,7 @@ def _extract_text_ops(content: bytes, cid_fonts=None) -> str:
                 if k >= 0:
                     cmap = cid_fonts.get(tf_name[k])
                     if cmap is not None:
-                        return _decode_cids(s, cmap)
+                        return _decode_cids(s, cmap, stats)
             return s.decode("latin-1")
 
         while i < n:
@@ -846,6 +880,119 @@ _FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R\b")
 _TF_RE = re.compile(rb"/(\w+)\s+[-\d.]+\s+Tf\b")
 
 
+def _truetype_cmap_to_unicode(font: bytes) -> dict[int, str]:
+    """glyph-id -> unicode from an sfnt font program's ``cmap`` table
+    (TrueType spec, public): the fallback text source for Identity-H
+    Type0 fonts WITHOUT a /ToUnicode CMap (r17) — under /Encoding
+    /Identity-H + /CIDToGIDMap /Identity, CID == GID, so inverting the
+    font's unicode->glyph table recovers text. Supports the two
+    subtable formats that cover virtually all real fonts: format 4
+    (segmented BMP) and format 12 (sequential groups, full Unicode);
+    format 12 preferred when both exist. Defensive bounds checks
+    throughout — a truncated font yields a partial (or empty) map,
+    never an exception; first-wins inversion keeps the result
+    deterministic when several codepoints share a glyph."""
+    out: dict[int, str] = {}
+
+    def u16(o):
+        return struct.unpack_from(">H", font, o)[0]
+
+    def u32(o):
+        return struct.unpack_from(">I", font, o)[0]
+
+    try:
+        ntab = u16(4)
+        cmap_off = None
+        for i in range(ntab):
+            rec = 12 + 16 * i
+            if font[rec:rec + 4] == b"cmap":
+                cmap_off = u32(rec + 8)
+                break
+        if cmap_off is None or cmap_off + 4 > len(font):
+            return out
+        nsub = u16(cmap_off + 2)
+        subs = []          # (format, offset)
+        for i in range(nsub):
+            rec = cmap_off + 4 + 8 * i
+            off = cmap_off + u32(rec + 4)
+            if off + 2 <= len(font):
+                subs.append((u16(off), off))
+        # format 12 beats format 4 (full-Unicode vs BMP-only)
+        for want in (12, 4):
+            for fmt, off in subs:
+                if fmt != want:
+                    continue
+                if fmt == 12:
+                    ngroups = u32(off + 12)
+                    for g in range(min(ngroups, 0x10000)):
+                        go = off + 16 + 12 * g
+                        if go + 12 > len(font):
+                            break
+                        s, e, gid = (u32(go), u32(go + 4),
+                                     u32(go + 8))
+                        if e < s or e - s > 0x10000 or s > 0x10FFFF:
+                            break
+                        for k in range(e - s + 1):
+                            out.setdefault(gid + k, chr(s + k))
+                else:
+                    segx2 = u16(off + 6)
+                    ends = off + 14
+                    starts = ends + segx2 + 2
+                    deltas = starts + segx2
+                    ranges = deltas + segx2
+                    for s_i in range(segx2 // 2):
+                        end_c = u16(ends + 2 * s_i)
+                        start_c = u16(starts + 2 * s_i)
+                        delta = u16(deltas + 2 * s_i)
+                        ro = u16(ranges + 2 * s_i)
+                        if start_c > end_c or start_c == 0xFFFF:
+                            continue
+                        for c in range(start_c, end_c + 1):
+                            if ro == 0:
+                                gid = (c + delta) & 0xFFFF
+                            else:
+                                ga = (ranges + 2 * s_i + ro
+                                      + 2 * (c - start_c))
+                                if ga + 2 > len(font):
+                                    break
+                                gid = u16(ga)
+                                if gid:
+                                    gid = (gid + delta) & 0xFFFF
+                            if gid:
+                                out.setdefault(gid, chr(c))
+                return out
+        return out
+    except struct.error:
+        return out
+
+
+def _encode_truetype_cmap12(uni2gid: dict[int, int]) -> bytes:
+    """Minimal deterministic sfnt carrying ONE table — a ``cmap``
+    with a single format-12 subtable (writer side of the FontFile2
+    fixture; correct checksums, merged sequential groups)."""
+    pairs = sorted(uni2gid.items())
+    groups = []
+    for u, g in pairs:
+        if groups and u == groups[-1][1] + 1 and g == groups[-1][2] \
+                + (groups[-1][1] - groups[-1][0]) + 1:
+            groups[-1] = (groups[-1][0], u, groups[-1][2])
+        else:
+            groups.append((u, u, g))
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0,
+                      len(groups))
+    for s, e, g in groups:
+        sub += struct.pack(">III", s, e, g)
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 10, 12) \
+        + sub
+    if len(cmap) % 4:
+        cmap += b"\x00" * (4 - len(cmap) % 4)
+    csum = sum(struct.unpack(">%dI" % (len(cmap) // 4), cmap)) \
+        & 0xFFFFFFFF
+    head = struct.pack(">IHHHH", 0x00010000, 1, 16, 4, 0)
+    rec = b"cmap" + struct.pack(">III", csum, 28, len(cmap))
+    return head + rec + cmap
+
+
 def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
     """{font resource name: code->unicode} for every ``/Subtype/Type0``
     font whose ``/ToUnicode`` CMap stream resolves and parses. The map
@@ -859,13 +1006,48 @@ def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
         if not re.search(rb"/Subtype\s*/Type0\b", body):
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R\b", body)
-        if not tm:
+        if tm:
+            tgt = objs.get(int(tm.group(1)))
+            if tgt is not None and tgt[1]:
+                mp = _parse_tounicode(tgt[1])
+                if mp:
+                    fmaps[num] = mp
+                    continue
+        # r17 fallback — NO usable /ToUnicode: under /Identity-H with
+        # /CIDToGIDMap /Identity (or absent = the default), CID == GID,
+        # so the embedded font program's own cmap table, inverted,
+        # recovers text. Chain: /DescendantFonts [N 0 R] ->
+        # /FontDescriptor -> /FontFile2 stream (sfnt).
+        if not re.search(rb"/Encoding\s*/Identity-[HV]\b", body):
             continue
-        tgt = objs.get(int(tm.group(1)))
-        if tgt is not None and tgt[1]:
-            mp = _parse_tounicode(tgt[1])
-            if mp:
-                fmaps[num] = mp
+        dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R",
+                       body)
+        if not dm:
+            continue
+        desc = objs.get(int(dm.group(1)))
+        if desc is None:
+            continue
+        c2g = re.search(rb"/CIDToGIDMap\s*/(\w+)", desc[0])
+        if c2g and c2g.group(1) != b"Identity":
+            continue           # a CIDToGIDMap stream: GID != CID
+        fdm = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc[0])
+        fd = objs.get(int(fdm.group(1))) if fdm else None
+        if fd is not None:
+            ffm = re.search(rb"/FontFile2\s+(\d+)\s+\d+\s+R", fd[0])
+            ff = objs.get(int(ffm.group(1))) if ffm else None
+            if ff is not None and ff[1]:
+                mp = _truetype_cmap_to_unicode(ff[1])
+                if mp:
+                    fmaps[num] = mp
+                    continue
+        # Identity-H with NO text source at all (glyph-id-only): an
+        # EMPTY map — strings under this font decode to U+FFFD and
+        # COUNT into type0_coverage (-> 0.0), instead of leaking the
+        # raw 2-byte codes into text as latin-1 garbage (r17; the
+        # pre-r17 "raw best-effort" behavior polluted text with
+        # binary for exactly the documents a pipeline must
+        # quarantine).
+        fmaps[num] = {}
     if not fmaps:
         return {}
     out: dict[bytes, dict[int, str]] = {}
@@ -877,15 +1059,30 @@ def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
     return out
 
 
-def _decode_cids(raw: bytes, cmap: dict[int, str]) -> str:
+def _decode_cids(raw: bytes, cmap: dict[int, str],
+                 stats: dict | None = None) -> str:
     """String bytes under an Identity-H Type0 font: big-endian 2-byte
     codes through the ToUnicode map (unmapped codes and an odd trailing
-    byte -> U+FFFD, loud in the output rather than silently dropped)."""
+    byte -> U+FFFD, loud in the output rather than silently dropped).
+    ``stats`` (r17) accumulates ``cid_total``/``cid_mapped`` so
+    ``pdf_extract`` can report a measured decode-coverage fraction —
+    the quarantine signal for glyph-id-only documents."""
     out = []
+    mapped = total = 0
     for i in range(0, len(raw) - 1, 2):
-        out.append(cmap.get((raw[i] << 8) | raw[i + 1], "�"))
+        total += 1
+        ch = cmap.get((raw[i] << 8) | raw[i + 1])
+        if ch is None:
+            out.append("�")
+        else:
+            mapped += 1
+            out.append(ch)
     if len(raw) % 2:
+        total += 1
         out.append("�")
+    if stats is not None:
+        stats["cid_total"] += total
+        stats["cid_mapped"] += mapped
     return "".join(out)
 
 
@@ -1003,6 +1200,7 @@ def pdf_extract(data: bytes) -> dict:
     cid_fonts = _type0_font_maps(objs)
     parts = []
     n_streams = 0
+    stats = {"cid_total": 0, "cid_mapped": 0}
     for d, raw in streams:
         if raw is None:
             continue    # undecodable / unsupported filter
@@ -1010,7 +1208,7 @@ def pdf_extract(data: bytes) -> dict:
         if _NONTEXT_STREAM_RE.search(d):
             continue    # packed objects / xref / XMP, not page content
         if b"BT" in raw and b"ET" in raw:
-            t = _extract_text_ops(raw, cid_fonts or None)
+            t = _extract_text_ops(raw, cid_fonts or None, stats)
             if t:
                 parts.append(t)
     page_re = rb"/Type\s*/Page\b(?!s)"
@@ -1024,6 +1222,12 @@ def pdf_extract(data: bytes) -> dict:
         "encrypted": was_encrypted,
         "has_type0": bool(re.search(type0_re, data)
                           or re.search(type0_re, unpacked)),
+        # r17: measured Type0 decode coverage — mapped CIDs / shown
+        # CIDs (None when no composite-font text was shown). A
+        # pipeline quarantines glyph-id-only documents on
+        # coverage < 1 instead of trusting partial text silently.
+        "type0_coverage": (stats["cid_mapped"] / stats["cid_total"]
+                           if stats["cid_total"] else None),
     }
 
 
