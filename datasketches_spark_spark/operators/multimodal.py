@@ -357,6 +357,7 @@ PDF_TEXT_FIELDS = [
     StructField("pages", LongType()),
     StructField("streams", LongType()),
     StructField("has_type0", BooleanType()),
+    StructField("type0_coverage", DoubleType()),
 ]
 
 
@@ -371,8 +372,11 @@ def extract_pdf_text(df: DataFrame, id_col: str,
     Encrypted/undecodable payloads become an all-null row (LOUD:
     filterable on ``text IS NULL`` — a single bad capture must not
     abort a 100 TB extraction job); composite-font documents are
-    flagged via ``has_type0`` so CJK extraction quality can be
-    filtered on."""
+    flagged via ``has_type0``, and ``type0_coverage`` (r17) reports
+    the measured fraction of composite-font codes that actually
+    mapped to text — quarantine glyph-id-only documents on
+    ``has_type0 AND coalesce(type0_coverage, 0) < 1`` instead of
+    trusting partial text silently."""
     from .pdfcodec import pdf_extract
 
     def one(raw: bytes) -> dict:
@@ -382,10 +386,11 @@ def extract_pdf_text(df: DataFrame, id_col: str,
             info = pdf_extract(raw)
         except Exception:
             return {"text": None, "pages": None, "streams": None,
-                    "has_type0": None}
+                    "has_type0": None, "type0_coverage": None}
         return {"text": info["text"], "pages": info["pages"],
                 "streams": info["streams"],
-                "has_type0": info["has_type0"]}
+                "has_type0": info["has_type0"],
+                "type0_coverage": info["type0_coverage"]}
 
     return transform_payloads(df, id_col, one, PDF_TEXT_FIELDS,
                               payload_col=payload_col,

@@ -21,9 +21,14 @@ Honest limits (loud, documented — the codec-refusal posture):
   raises — never silent garbage;
 * ``/Type0`` composite fonts DECODE when a ``/ToUnicode`` CMap
   resolves (r16: Identity-H 2-byte codes through the CMap, ``bfchar``
-  + both ``bfrange`` forms); Type0 WITHOUT a usable ToUnicode still
-  extracts raw code bytes best-effort and stays flagged via
-  ``has_type0``;
+  + both ``bfrange`` forms) — or (r17) when the descendant font
+  embeds a ``/FontFile2`` whose sfnt ``cmap`` table (format 4 or 12)
+  inverts to glyph->unicode (valid under Identity-H + Identity
+  CIDToGIDMap, the shape subsetters emit when they drop ToUnicode).
+  Identity-H fonts with NEITHER source decode to U+FFFD and report
+  ``type0_coverage`` 0.0 (quarantine signal), never latin-1 garbage;
+  loose Type0 dicts with no DescendantFonts keep the raw best-effort
+  path, and everything stays flagged via ``has_type0``;
 * object streams (``/ObjStm``) ARE unpacked (r16, §7.5.7) so
   page/font dicts in PDF 1.5 xref-stream documents resolve; the xref
   stream itself is never needed (extraction scans the whole file);

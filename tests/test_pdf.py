@@ -563,3 +563,97 @@ class TestEncryption:
                extract_pdf_text(df, "id", payload_col="blob")
                .select("id", "text").collect()}
         assert got == {1: "plain", 2: "rc4 text", 3: "aes text"}
+
+
+class TestType0FontFileFallback:
+    """r17: Type0 WITHOUT /ToUnicode — embedded-font cmap fallback +
+    the measured type0_coverage quarantine column."""
+
+    PAGES = ["Hello 日本語 world", "page two ✓ 𝕌nicode astral"]
+
+    def test_fontfile_roundtrip_including_astral(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0, pdf_extract)
+        blob = encode_pdf_text_type0(self.PAGES, mapping="fontfile")
+        assert b"/ToUnicode" not in blob
+        assert blob == encode_pdf_text_type0(self.PAGES,
+                                             mapping="fontfile")
+        r = pdf_extract(blob)
+        assert r["text"] == "\n".join(self.PAGES)
+        assert r["type0_coverage"] == 1.0 and r["has_type0"]
+
+    def test_glyph_id_only_quarantines_with_zero_coverage(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0, pdf_extract)
+        r = pdf_extract(encode_pdf_text_type0(self.PAGES,
+                                              mapping="none"))
+        # all shown codes become U+FFFD — no latin-1 garbage leaks
+        assert set(r["text"]) <= {"�", "\n"}
+        assert r["type0_coverage"] == 0.0 and r["has_type0"]
+
+    def test_tounicode_coverage_reported(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0, pdf_extract)
+        r = pdf_extract(encode_pdf_text_type0(self.PAGES))
+        assert r["type0_coverage"] == 1.0
+        # simple-font documents report no coverage at all
+        r2 = pdf_extract(encode_pdf_text(["plain ascii"]))
+        assert r2["type0_coverage"] is None
+
+    def test_partial_coverage_is_fractional(self):
+        # a ToUnicode map missing one code: coverage in (0, 1)
+        import re as _re
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0, pdf_extract)
+        blob = encode_pdf_text_type0(["abc"], compress=False)
+        # drop the bfchar line for code 0002 ('b')
+        blob2 = _re.sub(rb"<0002> <\w+>\n?", b"", blob, count=1)
+        r = pdf_extract(blob2)
+        assert r["text"] == "a�c"
+        assert 0 < r["type0_coverage"] < 1
+
+    def test_truetype_cmap_format4_parses(self):
+        # hand-built format-4 subtable: 'A'(0x41)->gid 7, 'B'->gid 8
+        import struct as st
+        from datasketches_spark_spark.operators.pdfcodec import (
+            _truetype_cmap_to_unicode)
+        # format, length, language, segCountX2, searchRange,
+        # entrySelector, rangeShift; then end/pad/start/delta/rangeOff
+        seg = st.pack(">HHHHHHH", 4, 40, 0, 4, 4, 1, 0) \
+            + st.pack(">HH", 0x42, 0xFFFF) \
+            + st.pack(">H", 0) \
+            + st.pack(">HH", 0x41, 0xFFFF) \
+            + st.pack(">HH", (7 - 0x41) & 0xFFFF, 1) \
+            + st.pack(">HH", 0, 0)
+        cmap = st.pack(">HH", 0, 1) + st.pack(">HHI", 3, 1, 12) + seg
+        font = (st.pack(">IHHHH", 0x00010000, 1, 16, 4, 0)
+                + b"cmap" + st.pack(">III", 0, 28, len(cmap)) + cmap)
+        mp = _truetype_cmap_to_unicode(font)
+        assert mp[7] == "A" and mp[8] == "B"
+
+    def test_truncated_font_is_safe(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            _encode_truetype_cmap12, _truetype_cmap_to_unicode)
+        font = _encode_truetype_cmap12({0x41: 1, 0x42: 2})
+        full = _truetype_cmap_to_unicode(font)
+        assert full == {1: "A", 2: "B"}
+        for cut in (3, 10, 20, len(font) - 1):
+            _truetype_cmap_to_unicode(font[:cut])   # never raises
+
+    def test_operator_reports_coverage_column(self, spark):
+        from datasketches_spark_spark.operators import extract_pdf_text
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text, encode_pdf_text_type0)
+        rows = [
+            (1, bytearray(encode_pdf_text(["plain"]))),
+            (2, bytearray(encode_pdf_text_type0(["好 text"],
+                                                mapping="fontfile"))),
+            (3, bytearray(encode_pdf_text_type0(["lost text"],
+                                                mapping="none"))),
+        ]
+        df = spark.createDataFrame(rows, "id int, payload binary")
+        got = {r.id: (r.text, r.type0_coverage) for r in
+               extract_pdf_text(df, "id").collect()}
+        assert got[1] == ("plain", None)
+        assert got[2] == ("好 text", 1.0)
+        assert got[3][1] == 0.0 and set(got[3][0]) <= {"�"}
