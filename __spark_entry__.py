@@ -3760,13 +3760,18 @@ def _demo_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-dup via frame-pHash sequences (r15,
+    """Video near-dup via frame-pHash sequences (r15 + r17,
     operators/multimodal.py::video_phash_signature): docs synthesize
-    Motion-JPEG AVIs — footage keyed by doc_id % 3, fps AND JPEG
-    quality (35..90) varied per doc so the frame BYTES genuinely
-    differ within a group — and the
-    signature must collapse each group to ONE distinct hash sequence;
-    DuckDB recomputes the group sizes relationally."""
+    footage keyed by doc_id % 3 in TWO containers — Motion-JPEG AVI
+    (fps AND JPEG quality 35..90 varied per doc so frame BYTES
+    genuinely differ within a group) for even doc_ids, raw Annex B
+    H.264 I_PCM keyframe streams (r17, operators/h264codec.py; chroma
+    plane varied as the re-encode stand-in) for odd ones. The
+    signature must collapse each footage group to ONE hash sequence
+    ACROSS containers — n_containers == 2 per group pins that the
+    lossy-JPEG and exact-H.264 decode paths land on the same pHash —
+    and DuckDB recomputes group sizes + container counts
+    relationally."""
     import numpy as np
     import pandas as pd
     from datasketches_spark_spark.operators import video_phash_signature
@@ -3795,15 +3800,21 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     def _mk(pdf_iter):
+        from datasketches_spark_spark.operators.h264codec import (
+            encode_h264_ipcm)
         for pdf in pdf_iter:
-            ids, avis = [], []
+            ids, vids = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 ids.append(did)
-                avis.append(encode_avi_mjpeg(
-                    _frames(did % 3), fps=5 + did % 4,
-                    quality=(35, 50, 75, 90)[did % 4]))
-            yield pd.DataFrame({"doc_id": ids, "avi": avis})
+                if did % 2 == 0:
+                    vids.append(encode_avi_mjpeg(
+                        _frames(did % 3), fps=5 + did % 4,
+                        quality=(35, 50, 75, 90)[did % 4]))
+                else:
+                    vids.append(encode_h264_ipcm(
+                        _frames(did % 3), chroma=64 + did % 64))
+            yield pd.DataFrame({"doc_id": ids, "avi": vids})
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 180).select("doc_id")
@@ -3811,11 +3822,15 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = docs.mapInPandas(_mk, "doc_id long, avi binary")
     sig = video_phash_signature(vids, "doc_id", num_frames=4,
                                 payload_col="avi")
-    return (sig.groupBy(F.concat_ws("|", "phash_seq").alias("sig"))
+    container = (F.when(F.col("doc_id") % 2 == 0, "avi")
+                 .otherwise("h264"))
+    return (sig.withColumn("container", container)
+            .groupBy(F.concat_ws("|", "phash_seq").alias("sig"))
             .agg(F.count("*").alias("n"),
                  F.min("doc_id").alias("min_id"),
-                 F.max("doc_id").alias("max_id"))
-            .select("n", "min_id", "max_id")
+                 F.max("doc_id").alias("max_id"),
+                 F.countDistinct("container").alias("n_containers"))
+            .select("n", "min_id", "max_id", "n_containers")
             .orderBy("min_id"))
 
 
@@ -6798,7 +6813,9 @@ def demo_oracle_sql() -> dict[str, str]:
         # exactly, so sizes/extremes recompute relationally
         "demo_video_dedup": """
             SELECT CAST(count(*) AS BIGINT) AS n,
-                   min(doc_id) AS min_id, max(doc_id) AS max_id
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   CAST(count(DISTINCT doc_id % 2) AS BIGINT)
+                     AS n_containers
             FROM documents WHERE doc_id < 180
             GROUP BY doc_id % 3 ORDER BY min_id
         """,

@@ -9,8 +9,9 @@ extracted features is ordinary JVM-side relational work.
 Decode is REAL via the pure-Python/numpy codecs: images through
 ``imagecodec`` (PPM/PGM, BI_RGB BMP, baseline+progressive JPEG, 8-bit
 PNG, GIF), audio through ``audiocodec`` (RIFF/WAVE PCM/float, FLAC),
-video frames through ``avicodec`` (Motion-JPEG AVI). Formats beyond
-those (WebP, MP3, non-MJPG video, ...) stay honestly stubbed:
+video frames through ``avicodec`` (Motion-JPEG AVI) and ``h264codec``
+(raw Annex B H.264, I_PCM keyframe subset — r17). Formats beyond
+those stay honestly stubbed:
 ``decode_payload`` raises ``NotImplementedError`` unless a codec
 callback is injected, and ``extract_features`` falls back to a
 deterministic byte-level featurizer (length, checksum, byte histogram
@@ -268,9 +269,12 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
     of round 8: the RIFF container is parsed and ``num_frames`` evenly
     spaced video-stream frames are emitted (each an independent JPEG for
     Motion-JPEG files, decodable downstream by ``decode_image`` —
-    `operators/avicodec.py`). An injected ``decoder`` overrides; any
-    other payload falls back to ``num_frames`` evenly-spaced byte
-    slices (deterministic fake; the row-explosion plumbing is real).
+    `operators/avicodec.py`); raw Annex B H.264 streams decode their
+    I_PCM keyframes to PPM frames (r17, `operators/h264codec.py` —
+    coded macroblocks refuse loudly). An injected ``decoder``
+    overrides; any other payload falls back to ``num_frames``
+    evenly-spaced byte slices (deterministic fake; the row-explosion
+    plumbing is real).
     ``keep_cols`` ride through the explosion (round 11) so downstream
     feature rollups need no join back to the source table — at corpus
     scale that join is a full shuffle of the frame rows."""
@@ -285,6 +289,7 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avicodec import is_avi, mjpeg_frame_sampler
+        from .h264codec import h264_frame_sampler, is_h264
         for pdf in batches:
             rows = []
             for j, raw in enumerate(pdf["_p"]):
@@ -295,6 +300,10 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                     fs = decoder(raw, num_frames)
                 elif is_avi(raw):
                     fs = mjpeg_frame_sampler(raw, num_frames)
+                elif is_h264(raw):
+                    # r17: raw Annex B H.264 — I_PCM keyframes decode
+                    # to PPM frames (h264codec; coded MBs refuse loud)
+                    fs = h264_frame_sampler(raw, num_frames)
                 else:
                     step = max(len(raw) // num_frames, 1)
                     fs = [raw[i * step:(i + 1) * step]
