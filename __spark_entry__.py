@@ -3690,6 +3690,56 @@ def _demo_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("urlkey"))
 
 
+def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 tag-invariant dedup (r17, operators/mp3codec.py::
+    mp3_audio_hash): re-TAGGED copies of one MPEG stream — the
+    dominant crawl duplication mode for audio — collapse with NO
+    sample decode (none exists on this image; see mp3native.py).
+    Each doc synthesizes a structurally valid Layer III frame chain
+    whose audio-frame bytes are keyed by doc_id % 3 (the content
+    identity) while doc_id % 4 picks the tag dressing: bare / ID3v2
+    with doc-specific payload / ID3v2 + ID3v1 / Xing metadata frame
+    + ID3v1. The frame-walk hash must collapse each content group
+    across all four tag shapes (n_tagshapes == 4 pins exactly that);
+    DuckDB recomputes group sizes and tag-shape counts relationally."""
+    import hashlib as _hl
+    import pandas as pd
+    from datasketches_spark_spark.operators.mp3codec import (
+        build_frame_stream, mp3_audio_hash)
+
+    def _mk(pdf_iter):
+        for pdf in pdf_iter:
+            ids, hs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = build_frame_stream(b"grp%d" % (did % 3), 8,
+                                       xing=(did % 4 == 3))
+                shape = did % 4
+                if shape in (1, 2):
+                    pay = _hl.md5(b"tag%d" % did).digest()
+                    s = (b"ID3\x04\x00\x00\x00\x00\x00\x20"
+                         + (pay * 2)[:32] + s)
+                if shape in (2, 3):
+                    s = s + b"TAG" + _hl.md5(
+                        b"v1%d" % did).digest()[:1] * 125
+                ids.append(did)
+                hs.append(mp3_audio_hash(s))
+            yield pd.DataFrame({"doc_id": ids, "h": hs})
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 180).select("doc_id")
+            .repartition(4))
+    hashed = docs.mapInPandas(_mk, "doc_id long, h string")
+    return (hashed.groupBy("h")
+            .agg(F.count("*").alias("n"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"),
+                 F.countDistinct(F.col("doc_id") % 4)
+                 .alias("n_tagshapes"))
+            .select("n", "min_id", "max_id", "n_tagshapes")
+            .orderBy("min_id"))
+
+
 def _demo_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup detection (r15, operators/audiofp.py): docs
     synthesize WAV clips from FOUR deterministic melodies (doc_id % 4)
@@ -4590,6 +4640,7 @@ def demo_queries() -> dict[str, str]:
         "demo_link_frontier": _demo_link_frontier,
         "demo_fetch_schedule": _demo_fetch_schedule,
         "demo_snapshot_diff": _demo_snapshot_diff,
+        "demo_mp3_dedup": _demo_mp3_dedup,
         "demo_audio_dedup": _demo_audio_dedup,
         "demo_video_dedup": _demo_video_dedup,
         "demo_main_content": _demo_main_content,
@@ -6822,6 +6873,16 @@ def demo_oracle_sql() -> dict[str, str]:
         # demo_audio_dedup (r15): every clip matches its own melody's
         # reference and not the next one's — the numeric margins live
         # in pytest; the gate pins the resulting classification
+        # demo_mp3_dedup (r17): content groups by doc_id % 3, four
+        # tag dressings per group must collapse to one frame-walk hash
+        "demo_mp3_dedup": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   CAST(count(DISTINCT doc_id % 4) AS BIGINT)
+                     AS n_tagshapes
+            FROM documents WHERE doc_id < 180
+            GROUP BY doc_id % 3 ORDER BY min_id
+        """,
         "demo_audio_dedup": """
             SELECT doc_id, TRUE AS same_group, FALSE AS cross_group
             FROM documents WHERE doc_id < 240

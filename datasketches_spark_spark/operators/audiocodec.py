@@ -170,10 +170,19 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         return decode_wav(data)
     from .mp3codec import is_mp3
     if is_mp3(data):
+        # r17: system libmpg123 is the validated MP3 decode path
+        # (mp3native.py); absent (this image), the honest refusal
+        # stands — with the tag-invariant dedup alternative named
+        from .mp3native import mp3_decode_pcm, mpg123_available
+        if mpg123_available():
+            return mp3_decode_pcm(data)
         raise NotImplementedError(
-            "MPEG audio (MP3) sample decode needs the Layer III Huffman"
-            "/IMDCT/filterbank stack; frame metadata (duration, bitrate,"
-            " sample rate, channels) is available via operators.mp3_info")
+            "MPEG audio (MP3) sample decode needs the system libmpg123"
+            " (absent on this image; the pure-Python route would need"
+            " the unverifiable ISO 11172-3 Huffman/window tables —"
+            " see operators/mp3native.py); metadata via"
+            " operators.mp3_info, tag-invariant dedup via"
+            " operators.mp3_audio_hash")
     raise NotImplementedError(
         f"no built-in audio codec for magic {data[:4]!r}: RIFF/WAVE "
         "(PCM + IEEE float) and FLAC decode without native libraries")

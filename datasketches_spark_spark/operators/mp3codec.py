@@ -177,3 +177,75 @@ def mp3_info(data: bytes) -> dict:
         "bitrate_kbps": round(avg_kbps, 1),
         "vbr": len(bitrates) > 1 or xing is not None,
     }
+
+
+def mp3_audio_hash(data: bytes) -> str:
+    """Tag-invariant CONTENT identity for an MPEG audio stream (r17):
+    md5 over the audio FRAME bytes only — ID3v2 leader, ID3v1 trailer,
+    trailing tag-writer padding, and a leading Xing/Info/VBRI metadata
+    frame (it carries no audio) are all excluded. Re-TAGGED copies of
+    one MP3 — the dominant crawl duplication mode for audio (same rip,
+    different metadata) — collapse to one hash with NO sample decode,
+    so MP3 dedup works even where no system decoder exists. This is
+    exact-stream identity modulo metadata, not perceptual identity: a
+    re-ENCODE changes the hash (route decodable formats through
+    ``audio_fingerprint`` for that)."""
+    import hashlib
+    data = bytes(data)
+    pos = _skip_id3v2(data)
+    end = len(data)
+    if data[end - 128:end - 125] == b"TAG":
+        end -= 128
+    first = _parse_header(data, pos)
+    if first is None:
+        raise ValueError(
+            "not an MPEG audio stream (no frame sync after tags)")
+    if _xing_frames(data, pos, first) is not None:
+        pos += first["frame_len"]          # metadata frame: no audio
+    h = hashlib.md5()
+    p = pos
+    while p + 4 <= end:
+        hdr = _parse_header(data, p)
+        if hdr is None:
+            if end - p < first["frame_len"]:
+                break                      # tag-writer tail padding
+            raise ValueError(f"MP3: lost frame sync at byte {p}")
+        h.update(data[p:p + hdr["frame_len"]])
+        p += hdr["frame_len"]
+    return h.hexdigest()
+
+
+def build_frame_stream(payload_seed: bytes, n_frames: int,
+                       bitrate_idx: int = 9, sr_idx: int = 0,
+                       xing: bool = False) -> bytes:
+    """TEST/FIXTURE writer: a structurally valid MPEG-1 Layer III
+    frame chain whose frame PAYLOADS are deterministic filler derived
+    from ``payload_seed`` — exercising every structural consumer
+    (``mp3_info``, ``mp3_audio_hash``, tag walks) for real. The
+    payloads are NOT encoded audio (sample decode of these frames is
+    meaningless and the engine's decoder refusal stands); building
+    genuinely decodable Layer III frames would need the same normative
+    Huffman tables whose absence keeps sample decode refused. With
+    ``xing`` a leading Info frame (frame-count field set) is emitted —
+    the metadata frame ``mp3_audio_hash`` must skip."""
+    import hashlib
+    if not 1 <= bitrate_idx <= 14 or not 0 <= sr_idx <= 2:
+        raise ValueError("bad bitrate/sample-rate index")
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2), 0x00])
+    parsed = _parse_header(hdr, 0)
+    assert parsed is not None
+    flen = parsed["frame_len"]
+    out = bytearray()
+    if xing:
+        body = bytearray(flen - 4)
+        body[32:36] = b"Info"              # stereo MPEG-1 offset 36-4
+        body[36:40] = (1).to_bytes(4, "big")   # flags: FRAMES field
+        body[40:44] = n_frames.to_bytes(4, "big")
+        out += hdr + bytes(body)
+    for i in range(n_frames):
+        fill = hashlib.md5(payload_seed + i.to_bytes(4, "big")).digest()
+        body = (fill * ((flen - 4) // 16 + 1))[:flen - 4]
+        # keep filler from faking a frame-sync byte pair
+        body = bytes(b if b != 0xFF else 0xFE for b in body)
+        out += hdr + body
+    return bytes(out)
