@@ -300,15 +300,29 @@ def build_decryptor(data: bytes,
     encrypt_metadata = not (em and em.group(1) == b"false")
 
     if v in (1, 2) or (v == 4 and r in (3, 4)):
-        n = 5 if r == 2 else max(5, min(16, _dict_int(
-            enc, b"Length", 40) // 8))
+        # top-level /Length is in BITS (40..128); V4 crypt-filter
+        # /Length fields are in BYTES in the wild — normalize small
+        # values rather than mis-deriving a 2-byte key
+        ln = _dict_int(enc, b"Length", 40)
+        if ln <= 32:
+            ln *= 8
+        n = 5 if r == 2 else max(5, min(16, ln // 8))
         method = "rc4"
         if v == 4:
-            cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+            stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+            if stmf and stmf.group(1) == b"Identity":
+                # streams unencrypted by declaration (§7.6.5); key
+                # still validates so the refusal/accept decision is
+                # honest
+                cfm = None
+                method = "identity"
+            else:
+                cfm = re.search(rb"/CFM\s*/(\w+)", enc)
             if cfm and cfm.group(1) == b"AESV2":
                 if not aes_available():
                     return None
                 method = "aesv2"
+                n = 16          # AES-128: the key is always 16 bytes
             elif cfm and cfm.group(1) == b"V2":
                 method = "rc4"
             elif cfm and cfm.group(1) == b"None":
