@@ -372,7 +372,8 @@ PDF_TEXT_FIELDS = [
 
 def extract_pdf_text(df: DataFrame, id_col: str,
                      payload_col: str = "payload",
-                     keep_cols: list[str] | None = None) -> DataFrame:
+                     keep_cols: list[str] | None = None,
+                     password: bytes = b"") -> DataFrame:
     """PDF text extraction (r15, ``operators/pdfcodec.py`` — the
     document sibling of ``html_to_text``): visible text from every
     content stream's text-showing operators plus the structural
@@ -392,7 +393,7 @@ def extract_pdf_text(df: DataFrame, id_col: str,
         # broad catch: any per-payload failure nulls the row (the
         # 100 TB job-survival contract), never aborts the task
         try:
-            info = pdf_extract(raw)
+            info = pdf_extract(raw, password)
         except Exception:
             return {"text": None, "pages": None, "streams": None,
                     "has_type0": None, "type0_coverage": None}

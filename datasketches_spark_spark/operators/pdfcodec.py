@@ -288,7 +288,8 @@ def _assemble_classic(objs: list[bytes],
 
 
 def encode_pdf_text_encrypted(pages: list[str],
-                              scheme: str = "rc4") -> bytes:
+                              scheme: str = "rc4",
+                              user_password: bytes = b"") -> bytes:
     """Deterministic ENCRYPTED single-font PDF (r17): the same
     document as :func:`encode_pdf_text` but with every content stream
     encrypted under the standard security handler with an EMPTY user
@@ -303,7 +304,7 @@ def encode_pdf_text_encrypted(pages: list[str],
     from .pdfcrypt import _FIXED_ID, _make_writer_handler
     if not pages:
         raise ValueError("encode_pdf_text_encrypted needs >= 1 page")
-    handler, enc_dict = _make_writer_handler(scheme)
+    handler, enc_dict = _make_writer_handler(scheme, user_password)
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -1091,14 +1092,14 @@ def _decode_cids(raw: bytes, cmap: dict[int, str],
     return "".join(out)
 
 
-def pdf_text(data: bytes) -> str:
+def pdf_text(data: bytes, password: bytes = b"") -> str:
     """Visible text of a PDF (writer's subset + simple wild PDFs):
     text-showing operators from every BT/ET block of every content
     stream, in document order, lines joined with ``\\n``. Raises on
     non-PDF payloads, oversized inputs, and encrypted documents
     (loud null row through the Arrow wrapper — never silent
     garbage)."""
-    return pdf_extract(data)["text"]
+    return pdf_extract(data, password)["text"]
 
 
 def _trailer_encrypted(data: bytes) -> bool:
@@ -1161,7 +1162,7 @@ _NONTEXT_STREAM_RE = re.compile(
     rb"/Type\s*/(ObjStm|XRef|Metadata)\b")
 
 
-def pdf_extract(data: bytes) -> dict:
+def pdf_extract(data: bytes, password: bytes = b"") -> dict:
     """One-pass extraction: ``text`` plus the structural metadata
     (``pages``/``streams``/``encrypted``/``has_type0``) from a single
     walk of the object streams — the Arrow operator calls THIS so a
@@ -1190,14 +1191,14 @@ def pdf_extract(data: bytes) -> dict:
         # wild encrypted shape) decrypts with no secret; only a real
         # user password refuses.
         from .pdfcrypt import build_decryptor
-        decryptor = build_decryptor(data)
+        decryptor = build_decryptor(data, password)
         if decryptor is None:
             raise NotImplementedError(_ENC_MSG)   # before any inflation
         was_encrypted = True
     streams, objs, unpacked = _document_model(data, decryptor)
     if decryptor is None and _xref_encrypted(streams):
         from .pdfcrypt import build_decryptor
-        decryptor = build_decryptor(data)
+        decryptor = build_decryptor(data, password)
         if decryptor is None:
             raise NotImplementedError(_ENC_MSG)
         was_encrypted = True

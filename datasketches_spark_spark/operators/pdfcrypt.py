@@ -20,12 +20,16 @@ RC4 and all hashes are stdlib; AES comes from the ``cryptography``
 package behind an import-try — if absent, AES documents keep the loud
 ``NotImplementedError`` refusal (never silent garbage).
 
-The deterministic writer (``encrypt_pdf``) applies the same handler in
-the forward direction to the classic writer's object list — fixture
-generation for the write/read-symmetry convention (no PDF tool exists
-in this container): fixed /ID, fixed validation/key salts, and
-per-object IVs derived from object numbers, all spec-legal (randomness
-is a hygiene recommendation, not a validity requirement).
+The deterministic writer side (``_make_writer_handler``, consumed by
+``pdfcodec.encode_pdf_text_encrypted``) applies the same handler in
+the forward direction — fixture generation for the write/read-symmetry
+convention (no PDF tool exists in this container): fixed /ID, fixed
+validation/key salts, and per-object IVs derived from object numbers,
+all spec-legal (randomness is a hygiene recommendation, not a validity
+requirement). Both sides take an optional USER PASSWORD, so callers
+that know a document's real password can decrypt it
+(``pdf_text(data, password=...)`` / the operator's ``password=``);
+only an unknown non-empty password refuses.
 
 Reference parity note: the reference engine (1,856 LoC of Scala UDF
 registration) has no document ingestion at all — this is engine
@@ -350,6 +354,17 @@ def build_decryptor(data: bytes,
             return None               # real user password required
         ikey = _hash_2b(password, ksalt, b"", r)
         fkey = _aes_cbc(ikey, b"\x00" * 16, ue[:32], encrypt=False)
+        # /Perms integrity check (§7.6.4.4.8): decrypting it with the
+        # file key must reveal the 'adb' marker — an INDEPENDENT
+        # validation of the derived key (not just the U hash chain).
+        # Absent or malformed /Perms is tolerated (some producers omit
+        # it); a PRESENT Perms that fails the marker means the key is
+        # wrong and the document must refuse.
+        perms = _dict_string(enc, b"Perms")
+        if perms is not None and len(perms) >= 16:
+            dec = _aes_ecb(fkey, perms[:16], encrypt=False)
+            if dec[9:12] != b"adb":
+                return None
         return StandardDecryptor(fkey, "aesv3", r, encrypt_metadata)
 
     return None
@@ -360,17 +375,19 @@ def build_decryptor(data: bytes,
 _FIXED_ID = hashlib.md5(b"dss-encrypted-fixture").digest()
 
 
-def _make_writer_handler(scheme: str):
-    """(handler, encrypt_dict_bytes, id0) for a deterministic
-    empty-user-password document."""
+def _make_writer_handler(scheme: str, user_pw: bytes = b""):
+    """(handler, encrypt_dict_bytes) for a deterministic document —
+    empty user password by default (the owner-restrictions-only wild
+    shape); pass ``user_pw`` to mint a REAL-password fixture (the
+    reader then needs the same password)."""
     p = -44     # typical owner-restriction permission bits
     id0 = _FIXED_ID
     if scheme in ("rc4", "aes128"):
         r = 3 if scheme == "rc4" else 4
         v = 2 if scheme == "rc4" else 4
         n = 16
-        o = _algorithm3_o(b"", b"", r, n)
-        key = _algorithm2(b"", o, p, id0, r, n, True)
+        o = _algorithm3_o(user_pw, user_pw, r, n)
+        key = _algorithm2(user_pw, o, p, id0, r, n, True)
         u = _algorithm45_u(key, id0, r)
         method = "rc4" if scheme == "rc4" else "aesv2"
         extra = b""
@@ -387,14 +404,14 @@ def _make_writer_handler(scheme: str):
         fkey = hashlib.sha256(b"dss-aes256-file-key").digest()
         uvs = hashlib.md5(b"dss-uvs").digest()[:8]
         uks = hashlib.md5(b"dss-uks").digest()[:8]
-        u = _hash_2b(b"", uvs, b"", r) + uvs + uks
-        ue = _aes_cbc(_hash_2b(b"", uks, b"", r), b"\x00" * 16, fkey,
-                      encrypt=True)
+        u = _hash_2b(user_pw, uvs, b"", r) + uvs + uks
+        ue = _aes_cbc(_hash_2b(user_pw, uks, b"", r), b"\x00" * 16,
+                      fkey, encrypt=True)
         ovs = hashlib.md5(b"dss-ovs").digest()[:8]
         oks = hashlib.md5(b"dss-oks").digest()[:8]
-        o = _hash_2b(b"", ovs, u, r) + ovs + oks
-        oe = _aes_cbc(_hash_2b(b"", oks, u, r), b"\x00" * 16, fkey,
-                      encrypt=True)
+        o = _hash_2b(user_pw, ovs, u, r) + ovs + oks
+        oe = _aes_cbc(_hash_2b(user_pw, oks, u, r), b"\x00" * 16,
+                      fkey, encrypt=True)
         perms = _aes_ecb(fkey, struct.pack("<i", p)
                          + b"\xff\xff\xff\xffTadb\x00\x00\x00\x00",
                          encrypt=True)

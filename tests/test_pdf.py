@@ -565,6 +565,67 @@ class TestEncryption:
         assert got == {1: "plain", 2: "rc4 text", 3: "aes text"}
 
 
+    def test_aes128_key_length_independent_of_length_field(self):
+        # wild V4 files often omit the top-level /Length (bits) and
+        # carry only the crypt filter's /Length 16 (BYTES): the key
+        # must still be the 16-byte AES-128 key
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        blob = encode_pdf_text_encrypted(self.PAGES, "aes128")
+        stripped = blob.replace(b" /R 4 /Length 128 ", b" /R 4 ", 1)
+        assert stripped != blob
+        assert pdf_text(stripped) == "\n".join(self.PAGES)
+
+    def test_stmf_identity_streams_stay_plaintext(self):
+        # §7.6.5: /StmF /Identity declares streams unencrypted even
+        # though an /Encrypt dict exists — extraction must not
+        # "decrypt" them into garbage
+        from datasketches_spark_spark.operators.pdfcrypt import (
+            _FIXED_ID, _make_writer_handler, build_decryptor)
+        _h, enc_dict = _make_writer_handler("aes128")
+        enc_dict = enc_dict.replace(b"/StmF /StdCF", b"/StmF /Identity")
+        plain = encode_pdf_text(["identity stream text"])
+        head, tail = plain.rsplit(b"trailer\n<< /Size", 1)
+        idhex = _FIXED_ID.hex().encode()
+        pdf = (head + b"9 0 obj\n" + enc_dict + b"\nendobj\n"
+               + b"trailer\n<< /Size" + tail).replace(
+            b"/Root 1 0 R >>",
+            b"/Root 1 0 R /Encrypt 9 0 R /ID [<%s> <%s>] >>"
+            % (idhex, idhex), 1)
+        d = build_decryptor(pdf)
+        assert d is not None and d.method == "identity"
+        assert pdf_text(pdf) == "identity stream text"
+
+    @pytest.mark.parametrize("scheme", ["rc4", "aes128", "aes256"])
+    def test_known_user_password_decrypts(self, scheme):
+        # a REAL user password: refuses without it, decrypts with it
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        blob = encode_pdf_text_encrypted(self.PAGES, scheme,
+                                         user_password=b"s3cret")
+        with pytest.raises(NotImplementedError, match="password"):
+            pdf_text(blob)
+        with pytest.raises(NotImplementedError, match="password"):
+            pdf_text(blob, password=b"wrong")
+        assert pdf_text(blob, password=b"s3cret") == \
+            "\n".join(self.PAGES)
+
+    def test_operator_password_parameter(self, spark):
+        from datasketches_spark_spark.operators import extract_pdf_text
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        blob = encode_pdf_text_encrypted(["locked text"], "aes256",
+                                         user_password=b"pw")
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "id int, payload binary")
+        # without the password: loud null row
+        no_pw = extract_pdf_text(df, "id").collect()
+        assert no_pw[0].text is None
+        with_pw = extract_pdf_text(df, "id", password=b"pw").collect()
+        assert with_pw[0].text == "locked text"
+
+
+
 class TestType0FontFileFallback:
     """r17: Type0 WITHOUT /ToUnicode — embedded-font cmap fallback +
     the measured type0_coverage quarantine column."""
@@ -657,34 +718,3 @@ class TestType0FontFileFallback:
         assert got[1] == ("plain", None)
         assert got[2] == ("好 text", 1.0)
         assert got[3][1] == 0.0 and set(got[3][0]) <= {"�"}
-
-    def test_aes128_key_length_independent_of_length_field(self):
-        # wild V4 files often omit the top-level /Length (bits) and
-        # carry only the crypt filter's /Length 16 (BYTES): the key
-        # must still be the 16-byte AES-128 key
-        from datasketches_spark_spark.operators.pdfcodec import (
-            encode_pdf_text_encrypted)
-        blob = encode_pdf_text_encrypted(self.PAGES, "aes128")
-        stripped = blob.replace(b" /R 4 /Length 128 ", b" /R 4 ", 1)
-        assert stripped != blob
-        assert pdf_text(stripped) == "\n".join(self.PAGES)
-
-    def test_stmf_identity_streams_stay_plaintext(self):
-        # §7.6.5: /StmF /Identity declares streams unencrypted even
-        # though an /Encrypt dict exists — extraction must not
-        # "decrypt" them into garbage
-        from datasketches_spark_spark.operators.pdfcrypt import (
-            _FIXED_ID, _make_writer_handler, build_decryptor)
-        _h, enc_dict = _make_writer_handler("aes128")
-        enc_dict = enc_dict.replace(b"/StmF /StdCF", b"/StmF /Identity")
-        plain = encode_pdf_text(["identity stream text"])
-        head, tail = plain.rsplit(b"trailer\n<< /Size", 1)
-        idhex = _FIXED_ID.hex().encode()
-        pdf = (head + b"9 0 obj\n" + enc_dict + b"\nendobj\n"
-               + b"trailer\n<< /Size" + tail).replace(
-            b"/Root 1 0 R >>",
-            b"/Root 1 0 R /Encrypt 9 0 R /ID [<%s> <%s>] >>"
-            % (idhex, idhex), 1)
-        d = build_decryptor(pdf)
-        assert d is not None and d.method == "identity"
-        assert pdf_text(pdf) == "identity stream text"
