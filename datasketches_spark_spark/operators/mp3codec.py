@@ -132,7 +132,9 @@ def mp3_info(data: bytes) -> dict:
     data = bytes(data)
     pos = _skip_id3v2(data)
     end = len(data)
-    if data[end - 128:end - 125] == b"TAG":   # ID3v1 trailer
+    # guard: for < 128-byte inputs the slice would wrap into the frame
+    # body and a chance 'TAG' would drive `end` negative
+    if end >= 128 and data[end - 128:end - 125] == b"TAG":
         end -= 128
     first = _parse_header(data, pos)
     if first is None:
@@ -194,7 +196,7 @@ def mp3_audio_hash(data: bytes) -> str:
     data = bytes(data)
     pos = _skip_id3v2(data)
     end = len(data)
-    if data[end - 128:end - 125] == b"TAG":
+    if end >= 128 and data[end - 128:end - 125] == b"TAG":
         end -= 128
     first = _parse_header(data, pos)
     if first is None:
@@ -210,7 +212,7 @@ def mp3_audio_hash(data: bytes) -> str:
             if end - p < first["frame_len"]:
                 break                      # tag-writer tail padding
             raise ValueError(f"MP3: lost frame sync at byte {p}")
-        h.update(data[p:p + hdr["frame_len"]])
+        h.update(data[p:min(p + hdr["frame_len"], end)])
         p += hdr["frame_len"]
     return h.hexdigest()
 

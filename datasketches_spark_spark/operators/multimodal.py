@@ -302,8 +302,16 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                     fs = mjpeg_frame_sampler(raw, num_frames)
                 elif is_h264(raw):
                     # r17: raw Annex B H.264 — I_PCM keyframes decode
-                    # to PPM frames (h264codec; coded MBs refuse loud)
-                    fs = h264_frame_sampler(raw, num_frames)
+                    # to PPM frames (h264codec). Coded (CAVLC/CABAC)
+                    # or corrupt streams refuse PER PAYLOAD: zero
+                    # frames for this video (filterable — its id is
+                    # absent downstream), never a task abort (the
+                    # 100 TB job-survival contract).
+                    try:
+                        fs = h264_frame_sampler(raw, num_frames)
+                    except (NotImplementedError, ValueError,
+                            IndexError):
+                        continue
                 else:
                     step = max(len(raw) // num_frames, 1)
                     fs = [raw[i * step:(i + 1) * step]

@@ -81,32 +81,28 @@ def _esc_literal(s: str) -> bytes:
     return "".join(out).encode("latin-1")
 
 
-def encode_pdf_text(pages: list[str], compress: bool = True) -> bytes:
-    """Deterministic single-font PDF: one content stream per page,
-    11 pt Helvetica, one text line per input line (``\\n`` splits),
-    Letter media box, classic xref. Byte-identical across runs (no
-    dates, no /ID) — the oracle-comparability property the WARC sink
-    established."""
-    if not pages:
-        raise ValueError("encode_pdf_text needs at least one page")
+def _simple_doc_objs(pages: list[str], compress: bool,
+                     encrypt_stream=None) -> list[bytes]:
+    """Object list for the single-Helvetica-font document shared by
+    the plain and encrypted writers (r17 dedup): one content stream
+    per page, 11 pt, Letter media box. ``encrypt_stream(data, objnum)``
+    transforms each (compressed) content stream body — the ONLY
+    difference between the two writers."""
     objs: list[bytes] = []           # 1-indexed object bodies
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)
 
-    page_ids = []
-    content_ids = []
-    font_id_placeholder = None
-    # reserve: 1 catalog, 2 pages-tree, 3 font; then page/content pairs
+    # reserve: 1 catalog, 2 pages-tree, 3 font; then content/page pairs
     add(b"")   # 1 catalog (filled later)
     add(b"")   # 2 pages tree (filled later)
-    font_id_placeholder = add(
+    font_id = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids, content_ids = [], []
     for text in pages:
-        lines = text.split("\n")
         parts = [b"BT /F1 11 Tf 72 720 Td 13 TL"]
-        for i, line in enumerate(lines):
+        for i, line in enumerate(text.split("\n")):
             if i > 0:
                 parts.append(b"T*")
             parts.append(b"(" + _esc_literal(line) + b") Tj")
@@ -116,35 +112,34 @@ def encode_pdf_text(pages: list[str], compress: bool = True) -> bytes:
         if compress:
             data = zlib.compress(data, 6)
             filt = b" /Filter /FlateDecode"
+        if encrypt_stream is not None:
+            data = encrypt_stream(data, len(objs) + 1)
         cid = add(b"<< /Length " + str(len(data)).encode() + filt
                   + b" >>\nstream\n" + data + b"\nendstream")
         content_ids.append(cid)
-        pid = add(b"")               # page dict (filled after loop)
-        page_ids.append(pid)
+        page_ids.append(add(b""))    # page dict (filled after loop)
     for pid, cid in zip(page_ids, content_ids):
         objs[pid - 1] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 "
-            + str(font_id_placeholder).encode()
+            + str(font_id).encode()
             + b" 0 R >> >> /Contents " + str(cid).encode() + b" 0 R >>")
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
     objs[1] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count "
                + str(len(page_ids)).encode() + b" >>")
     objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    return objs
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]                    # object 0 is the free head
-    for i, body in enumerate(objs, 1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
-            b"%%%%EOF\n" % (len(objs) + 1, xref_at))
-    return bytes(out)
+
+def encode_pdf_text(pages: list[str], compress: bool = True) -> bytes:
+    """Deterministic single-font PDF: one content stream per page,
+    11 pt Helvetica, one text line per input line (``\\n`` splits),
+    Letter media box, classic xref. Byte-identical across runs (no
+    dates, no /ID) — the oracle-comparability property the WARC sink
+    established."""
+    if not pages:
+        raise ValueError("encode_pdf_text needs at least one page")
+    return _assemble_classic(_simple_doc_objs(pages, compress))
 
 
 def encode_pdf_text_type0(pages: list[str],
@@ -291,55 +286,27 @@ def encode_pdf_text_encrypted(pages: list[str],
                               scheme: str = "rc4",
                               user_password: bytes = b"") -> bytes:
     """Deterministic ENCRYPTED single-font PDF (r17): the same
-    document as :func:`encode_pdf_text` but with every content stream
-    encrypted under the standard security handler with an EMPTY user
-    password — the owner-restrictions-only shape most wild encrypted
-    PDFs use. ``scheme``: ``rc4`` (V2/R3, 128-bit), ``aes128``
-    (V4/R4, /AESV2 crypt filter), ``aes256`` (V5/R6, /AESV3,
-    PDF 2.0). Byte-identical across runs: fixed /ID and salts,
-    per-object AES IVs derived from object numbers (spec-legal —
-    randomness there is hygiene, not validity). AES schemes require
-    the ``cryptography`` package (present in this environment; the
-    reader refuses loudly without it)."""
+    document as :func:`encode_pdf_text` (shared ``_simple_doc_objs``
+    builder) but with every content stream encrypted under the
+    standard security handler — EMPTY user password by default (the
+    owner-restrictions-only shape most wild encrypted PDFs use), or a
+    real ``user_password`` for known-password fixtures. ``scheme``:
+    ``rc4`` (V2/R3, 128-bit), ``aes128`` (V4/R4, /AESV2 crypt
+    filter), ``aes256`` (V5/R6, /AESV3, PDF 2.0). Byte-identical
+    across runs: fixed /ID and salts, per-object AES IVs derived from
+    object numbers (spec-legal — randomness there is hygiene, not
+    validity). AES schemes require the ``cryptography`` package
+    (present in this environment; the reader refuses loudly without
+    it)."""
     from .pdfcrypt import _FIXED_ID, _make_writer_handler
     if not pages:
         raise ValueError("encode_pdf_text_encrypted needs >= 1 page")
     handler, enc_dict = _make_writer_handler(scheme, user_password)
-    objs: list[bytes] = []
-
-    def add(body: bytes) -> int:
-        objs.append(body)
-        return len(objs)
-
-    add(b"<< /Type /Catalog /Pages 2 0 R >>")     # 1
-    add(b"")                                      # 2 pages tree (later)
-    font_id = add(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    page_ids, content_ids = [], []
-    for text in pages:
-        parts = [b"BT /F1 11 Tf 72 720 Td 13 TL"]
-        for i, line in enumerate(text.split("\n")):
-            if i > 0:
-                parts.append(b"T*")
-            parts.append(b"(" + _esc_literal(line) + b") Tj")
-        parts.append(b"ET")
-        data = zlib.compress(b"\n".join(parts), 6)
-        cid = len(objs) + 1           # the object number it will get
-        data = handler.encrypt(data, cid, 0)
-        cid = add(b"<< /Length " + str(len(data)).encode()
-                  + b" /Filter /FlateDecode >>\nstream\n" + data
-                  + b"\nendstream")
-        content_ids.append(cid)
-        page_ids.append(add(b""))
-    for pid, cid in zip(page_ids, content_ids):
-        objs[pid - 1] = (
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 " + str(font_id).encode()
-            + b" 0 R >> >> /Contents " + str(cid).encode() + b" 0 R >>")
-    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
-    objs[1] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count "
-               + str(len(page_ids)).encode() + b" >>")
-    enc_id = add(enc_dict)
+    objs = _simple_doc_objs(
+        pages, True,
+        encrypt_stream=lambda d, num: handler.encrypt(d, num, 0))
+    enc_id = len(objs) + 1
+    objs.append(enc_dict)
     idhex = _FIXED_ID.hex().encode()
     trailer = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
                % (enc_id, idhex, idhex))
@@ -936,8 +903,8 @@ def _truetype_cmap_to_unicode(font: bytes) -> dict[int, str]:
                             break
                         s, e, gid = (u32(go), u32(go + 4),
                                      u32(go + 8))
-                        if e < s or e - s > 0x10000 or s > 0x10FFFF:
-                            break
+                        if e < s or e - s > 0x10000 or e > 0x10FFFF:
+                            break      # e bound guards chr() too
                         for k in range(e - s + 1):
                             out.setdefault(gid + k, chr(s + k))
                 else:
@@ -968,7 +935,8 @@ def _truetype_cmap_to_unicode(font: bytes) -> dict[int, str]:
                                 out.setdefault(gid, chr(c))
                 return out
         return out
-    except struct.error:
+    except (struct.error, IndexError, ValueError):
+        # truncated/corrupt font: partial (or empty) map, never raise
         return out
 
 
@@ -1035,7 +1003,21 @@ def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
             continue
         c2g = re.search(rb"/CIDToGIDMap\s*/(\w+)", desc[0])
         if c2g and c2g.group(1) != b"Identity":
-            continue           # a CIDToGIDMap stream: GID != CID
+            continue           # a named non-Identity map: no text path
+        c2g_map = None
+        c2gs = re.search(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R",
+                         desc[0])
+        if c2gs:
+            # a CIDToGIDMap STREAM: big-endian u16 GID per CID
+            # (§9.7.4.3) — GID != CID, so compose through it rather
+            # than silently inverting the sfnt under a false identity
+            tgt = objs.get(int(c2gs.group(1)))
+            if tgt is None or not tgt[1]:
+                fmaps[num] = {}     # unreadable map: quarantine
+                continue
+            raw = tgt[1]
+            c2g_map = [(raw[i] << 8) | raw[i + 1]
+                       for i in range(0, len(raw) - 1, 2)]
         fdm = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc[0])
         fd = objs.get(int(fdm.group(1))) if fdm else None
         if fd is not None:
@@ -1043,6 +1025,11 @@ def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
             ff = objs.get(int(ffm.group(1))) if ffm else None
             if ff is not None and ff[1]:
                 mp = _truetype_cmap_to_unicode(ff[1])
+                if mp and c2g_map is not None:
+                    # compose cid -> gid -> unicode through the map
+                    mp = {cid: mp[gid]
+                          for cid, gid in enumerate(c2g_map)
+                          if gid in mp}
                 if mp:
                     fmaps[num] = mp
                     continue
@@ -1237,7 +1224,7 @@ def pdf_extract(data: bytes, password: bytes = b"") -> dict:
     }
 
 
-def pdf_info(data: bytes) -> dict:
+def pdf_info(data: bytes, password: bytes = b"") -> dict:
     """Structural metadata: version, page count (incl. pages whose
     dicts live in ObjStm members), stream count, the trailer/xref-
     stream-scoped ``encrypted`` flag, and ``has_type0`` (composite
@@ -1246,13 +1233,19 @@ def pdf_info(data: bytes) -> dict:
     data = bytes(data)
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    streams, _objs, unpacked = _document_model(data)
-    encrypted = _is_encrypted(data, streams)
-    if encrypted:
-        # empty-user-password documents still yield honest stream /
-        # page counts (r17); a real password leaves counts best-effort
+    # probe the cheap trailer regex BEFORE the first inflate pass so a
+    # classic encrypted document (the common encrypted shape) is not
+    # walked twice — once over ciphertext, once decrypted
+    dec_h = None
+    if _trailer_encrypted(data):
         from .pdfcrypt import build_decryptor
-        dec_h = build_decryptor(data)
+        dec_h = build_decryptor(data, password)
+    streams, _objs, unpacked = _document_model(data, dec_h)
+    encrypted = dec_h is not None or _is_encrypted(data, streams)
+    if encrypted and dec_h is None:
+        # xref-stream-dict /Encrypt (no trailer keyword) — one rebuild
+        from .pdfcrypt import build_decryptor
+        dec_h = build_decryptor(data, password)
         if dec_h is not None:
             streams, _objs, unpacked = _document_model(data, dec_h)
     page_re = rb"/Type\s*/Page\b(?!s)"

@@ -102,7 +102,10 @@ def _algorithm2(password: bytes, o_entry: bytes, p: int, id0: bytes,
     h = hashlib.md5()
     h.update((password + _PAD)[:32])
     h.update(o_entry[:32])
-    h.update(struct.pack("<i", p))
+    # /P is SIGNED in the spec but wild writers store the same bit
+    # pattern unsigned (e.g. 4294963392 for -3904): only the low 32
+    # bits enter the key, so mask instead of crashing in struct.pack
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -255,11 +258,19 @@ def _encrypt_dict_bytes(data: bytes) -> bytes | None:
     The Encrypt dict itself is never encrypted (§7.6.1)."""
     m = re.search(rb"/Encrypt\s*<<", data)
     if m:
+        from .pdfcodec import _literal_string
         start = m.end() - 2
         depth, pos = 0, start
-        while pos < min(len(data), start + 8192) - 1:
+        limit = min(len(data), start + 65536)
+        while pos < limit - 1:
+            c = data[pos:pos + 1]
             two = data[pos:pos + 2]
-            if two == b"<<":
+            if c == b"(":
+                # /O, /U etc. are literal strings of raw binary that
+                # can contain '>>' bytes — skip the whole string span
+                # instead of letting it unbalance the depth scan
+                _s, pos = _literal_string(data, pos)
+            elif two == b"<<":
                 depth += 1
                 pos += 2
             elif two == b">>":
@@ -267,6 +278,9 @@ def _encrypt_dict_bytes(data: bytes) -> bytes | None:
                 pos += 2
                 if depth == 0:
                     return data[start:pos]
+            elif c == b"<":
+                j = data.find(b">", pos + 1, limit)
+                pos = (j + 1) if j >= 0 else pos + 1
             else:
                 pos += 1
         return None

@@ -158,3 +158,29 @@ class TestPipelineIntegration:
                .collect()}
         assert sig[1] == sig[2]
         assert sig[1] != sig[3]
+
+
+class TestReviewR17:
+    def test_coded_h264_payload_is_skipped_not_job_abort(self, spark):
+        # r17 review: a real-world (coded-macroblock) H.264 stream in
+        # a mixed corpus must drop to zero frames for THAT video, not
+        # abort the whole sample_frames job
+        from datasketches_spark_spark.operators import sample_frames
+        from datasketches_spark_spark.operators.h264codec import (
+            _BitWriter, _nal, encode_h264_ipcm)
+        good = encode_h264_ipcm(_footage(4, n=2))
+        idx = good.find(b"\x00\x00\x00\x01\x65")
+        sl = _BitWriter()
+        sl.ue(0); sl.ue(7); sl.ue(0); sl.u(0, 4); sl.ue(0)
+        sl.u(0, 1); sl.u(0, 1); sl.se(0)
+        sl.ue(0)                      # coded macroblock (I_4x4)
+        sl.trailing()
+        coded = good[:idx] + _nal(5, 3, sl.bytes_aligned())
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(coded))],
+            "vid int, payload binary")
+        got = sample_frames(df, "vid", 2).groupBy("vid").count() \
+            .collect()
+        counts = {r.vid: r["count"] for r in got}
+        assert counts.get(1, 0) == 2      # good video sampled
+        assert 2 not in counts            # coded video dropped, job OK

@@ -173,3 +173,35 @@ class TestNativeDecode:
             decode_audio(build_frame_stream(b"x", 4))
         msg = str(ei.value)
         assert "libmpg123" in msg and "mp3_audio_hash" in msg
+
+
+class TestReviewR17:
+    """r17 code-review regressions (mp3 side)."""
+
+    def test_truncated_final_frame_keeps_tag_invariance(self):
+        from datasketches_spark_spark.operators import mp3_audio_hash
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        full = build_frame_stream(b"A", 6)
+        trunc = full[:-40]                   # cut the last frame short
+        h = mp3_audio_hash(trunc)
+        assert mp3_audio_hash(trunc + b"TAG" + b"\x00" * 125) == h
+        assert mp3_audio_hash(trunc + b"TAG" + b"\x01" * 125) == h
+
+    def test_sub_128_byte_stream_does_not_wrap(self):
+        # a single 104-byte frame (32 kbps / 44.1 kHz) whose body
+        # happens to contain 'TAG' at the wrap offset must still hash
+        # its frame, not md5-of-nothing
+        from datasketches_spark_spark.operators import mp3_audio_hash
+        from datasketches_spark_spark.operators.mp3codec import (
+            mp3_info)
+        hdr = bytes([0xFF, 0xFB, 0x10, 0x00])  # 32 kbps / 44.1 kHz
+        body = bytearray(100)
+        # the pre-fix probe read data[len-128:len-125] == data[-24:-21]
+        body[100 - 24:100 - 21] = b"TAG"
+        frame = hdr + bytes(body)
+        assert len(frame) == 104
+        import hashlib
+        assert mp3_audio_hash(frame) == \
+            hashlib.md5(frame).hexdigest()
+        assert mp3_info(frame)["n_frames"] == 1

@@ -626,6 +626,31 @@ class TestEncryption:
 
 
 
+    def test_unsigned_p_entry_still_decrypts(self):
+        # wild writers store /P as the unsigned bit pattern; the key
+        # only uses the low 32 bits, so -44 and 4294967252 must both
+        # work (previously struct.pack('<i', ...) crashed)
+        import re as _re
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        blob = encode_pdf_text_encrypted(self.PAGES, "rc4")
+        m = _re.search(rb"/P (-\d+)", blob)
+        assert m
+        unsigned = str(int(m.group(1)) & 0xFFFFFFFF).encode()
+        blob2 = blob[:m.start(1)] + unsigned + blob[m.end(1):]
+        assert pdf_text(blob2) == "\n".join(self.PAGES)
+
+    def test_string_content_cannot_unbalance_encrypt_dict_scan(self):
+        # an INLINE /Encrypt dict whose /O literal contains '>>' bytes
+        # must still parse to the full dict (string spans are skipped)
+        from datasketches_spark_spark.operators.pdfcrypt import (
+            _encrypt_dict_bytes)
+        data = (b"%PDF-1.4\ntrailer << /Encrypt << /Filter /Standard"
+                b" /V 2 /R 3 /O (ab>>cd) /U <0011> /P -44 >> >>")
+        enc = _encrypt_dict_bytes(data)
+        assert enc is not None and b"/U <0011>" in enc
+
+
 class TestType0FontFileFallback:
     """r17: Type0 WITHOUT /ToUnicode — embedded-font cmap fallback +
     the measured type0_coverage quarantine column."""
@@ -718,3 +743,53 @@ class TestType0FontFileFallback:
         assert got[1] == ("plain", None)
         assert got[2] == ("好 text", 1.0)
         assert got[3][1] == 0.0 and set(got[3][0]) <= {"�"}
+
+
+class TestReviewR17:
+    """r17 code-review regressions (pdf side)."""
+
+    def test_cidtogidmap_stream_composes_not_identity(self):
+        # a CIDToGIDMap STREAM remaps CID->GID; the FontFile2 fallback
+        # must compose through it, not assume CID == GID
+        import struct as st
+        import zlib as z
+        from datasketches_spark_spark.operators.pdfcodec import (
+            _encode_truetype_cmap12, pdf_extract)
+        # font maps unicode 'A'->gid 5, 'B'->gid 6
+        font = _encode_truetype_cmap12({0x41: 5, 0x42: 6})
+        # CIDToGIDMap: cid 1 -> gid 6 ('B'), cid 2 -> gid 5 ('A')
+        c2g = b"\x00\x00" + st.pack(">HH", 6, 5)
+        content = z.compress(b"BT /F1 11 Tf <00010002> Tj ET", 6)
+        pdf = (b"%PDF-1.4\n"
+               b"1 0 obj\n<< /Type /Page /Resources << /Font <<"
+               b" /F1 2 0 R >> >> /Contents 5 0 R >>\nendobj\n"
+               b"2 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X"
+               b" /Encoding /Identity-H /DescendantFonts [3 0 R] >>\n"
+               b"endobj\n"
+               b"3 0 obj\n<< /Type /Font /Subtype /CIDFontType2"
+               b" /FontDescriptor 4 0 R /CIDToGIDMap 6 0 R >>\nendobj\n"
+               b"4 0 obj\n<< /Type /FontDescriptor /FontFile2 7 0 R >>"
+               b"\nendobj\n"
+               b"5 0 obj\n<< /Length " + str(len(content)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + content
+               + b"\nendstream\nendobj\n"
+               b"6 0 obj\n<< /Length " + str(len(c2g)).encode()
+               + b" >>\nstream\n" + c2g + b"\nendstream\nendobj\n"
+               b"7 0 obj\n<< /Length " + str(len(font)).encode()
+               + b" >>\nstream\n" + font + b"\nendstream\nendobj\n")
+        r = pdf_extract(pdf)
+        assert r["text"] == "BA"        # composed, not identity "AB"
+        assert r["type0_coverage"] == 1.0
+
+    def test_cmap12_group_past_unicode_max_is_safe(self):
+        # a format-12 group ending above U+10FFFF must not raise from
+        # chr() — partial map, never an exception
+        import struct as st
+        from datasketches_spark_spark.operators.pdfcodec import (
+            _truetype_cmap_to_unicode)
+        sub = st.pack(">HHIII", 12, 0, 16 + 12, 0, 1) \
+            + st.pack(">III", 0x10FFFF, 0x110000, 1)
+        cmap = st.pack(">HH", 0, 1) + st.pack(">HHI", 3, 10, 12) + sub
+        font = (st.pack(">IHHHH", 0x00010000, 1, 16, 4, 0)
+                + b"cmap" + st.pack(">III", 0, 28, len(cmap)) + cmap)
+        assert _truetype_cmap_to_unicode(font) == {}
