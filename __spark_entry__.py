@@ -3690,6 +3690,64 @@ def _demo_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("urlkey"))
 
 
+def _demo_audio_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container audio content identity (r17,
+    operators/audiocodec.py::audio_content_hash): the SAME PCM tone
+    (keyed by doc_id % 3) is packaged four ways per content group —
+    plain WAV, WAV with an injected LIST/INFO metadata chunk, FLAC,
+    and FLAC with a per-doc VORBIS_COMMENT tag block — and every copy
+    must collapse to ONE hash: WAV hashes its raw ``data`` chunk and
+    FLAC carries the spec's STREAMINFO raw-samples MD5, which are the
+    same bytes for the same PCM (cross-container identity, no decode).
+    n_species == 4 pins that all four packagings really collapsed;
+    DuckDB recomputes group sizes and species counts relationally."""
+    import struct as _st
+    import numpy as np
+    import pandas as pd
+    from datasketches_spark_spark.operators import (
+        audio_content_hash, encode_wav)
+    from datasketches_spark_spark.operators.flaccodec import encode_flac
+
+    def _mk(pdf_iter):
+        tones = {g: np.sin(np.linspace(0, 30 + 10 * g, 1500))
+                 for g in range(3)}
+        for pdf in pdf_iter:
+            ids, hs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = tones[did % 3]
+                sp = did % 4
+                if sp == 0:
+                    b = encode_wav(t, 8000)
+                elif sp == 1:
+                    w = encode_wav(t, 8000)
+                    lst = (b"LIST" + _st.pack("<I", 12) + b"INFOIART"
+                           + _st.pack("<I", 0))
+                    b = w[:12] + lst + w[12:]
+                    b = (b[:4] + _st.pack("<I", len(b) - 8) + b[8:])
+                elif sp == 2:
+                    b = encode_flac(t, 8000)
+                else:
+                    b = encode_flac(t, 8000,
+                                    tags={"title": "doc %d" % did})
+                ids.append(did)
+                hs.append(audio_content_hash(b))
+            yield pd.DataFrame({"doc_id": ids, "h": hs})
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 180).select("doc_id")
+            .repartition(4))
+    hashed = docs.mapInPandas(_mk, "doc_id long, h string")
+    return (hashed.groupBy("h")
+            .agg(F.count("*").alias("n"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"),
+                 F.countDistinct(F.col("doc_id") % 4)
+                 .alias("n_species"))
+            .select("n", "min_id", "max_id", "n_species")
+            .orderBy("min_id"))
+
+
 def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 tag-invariant dedup (r17, operators/mp3codec.py::
     mp3_audio_hash): re-TAGGED copies of one MPEG stream — the
@@ -4640,6 +4698,7 @@ def demo_queries() -> dict[str, str]:
         "demo_link_frontier": _demo_link_frontier,
         "demo_fetch_schedule": _demo_fetch_schedule,
         "demo_snapshot_diff": _demo_snapshot_diff,
+        "demo_audio_content": _demo_audio_content,
         "demo_mp3_dedup": _demo_mp3_dedup,
         "demo_audio_dedup": _demo_audio_dedup,
         "demo_video_dedup": _demo_video_dedup,
@@ -6873,6 +6932,16 @@ def demo_oracle_sql() -> dict[str, str]:
         # demo_audio_dedup (r15): every clip matches its own melody's
         # reference and not the next one's — the numeric margins live
         # in pytest; the gate pins the resulting classification
+        # demo_audio_content (r17): one PCM identity across four
+        # container packagings (WAV / WAV+LIST / FLAC / FLAC+tags)
+        "demo_audio_content": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   CAST(count(DISTINCT doc_id % 4) AS BIGINT)
+                     AS n_species
+            FROM documents WHERE doc_id < 180
+            GROUP BY doc_id % 3 ORDER BY min_id
+        """,
         # demo_mp3_dedup (r17): content groups by doc_id % 3, four
         # tag dressings per group must collapse to one frame-walk hash
         "demo_mp3_dedup": """

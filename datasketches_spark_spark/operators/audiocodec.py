@@ -22,6 +22,7 @@ import struct
 import numpy as np
 
 __all__ = [
+    "audio_content_hash",
     "decode_wav",
     "encode_wav",
     "audio_features",
@@ -259,3 +260,56 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
         "peak": float(np.abs(x).max()) if n else 0.0,
         "zero_cross_rate": float(zc / max(n - 1, 1)),
     }
+
+
+def audio_content_hash(data: bytes) -> str:
+    """Container-metadata-invariant audio CONTENT identity (r17) —
+    the cross-format dedup key: re-tagged or re-containered copies of
+    the same PCM collapse to one 32-char hash with no decode.
+
+    * FLAC: the STREAMINFO raw-samples MD5 (the spec's own content
+      signature — identical for ANY lossless encode of the same PCM);
+      streams whose encoder left it unset (all-zero) fall back to the
+      frame bytes after the metadata blocks, so re-TAGGED copies
+      still collapse (re-encodes then need the md5).
+    * RIFF/WAVE integer PCM: MD5 of the ``data`` chunk bytes — the
+      same interleaved little-endian samples STREAMINFO hashes, so a
+      WAV and a FLAC of the SAME audio produce the SAME hash
+      (cross-container identity); LIST/INFO/id3/bext metadata chunks
+      never contribute.
+    * MPEG audio: :func:`mp3codec.mp3_audio_hash` (frame bytes,
+      tag-invariant — exact-stream identity, lossy formats have no
+      raw-PCM signature to key on).
+    """
+    import hashlib
+    data = bytes(data)
+    if data[:4] == b"fLaC":
+        pos = 4
+        si_md5 = None
+        while pos + 4 <= len(data):
+            flags = data[pos]
+            size = int.from_bytes(data[pos + 1:pos + 4], "big")
+            if flags & 0x7F == 0 and size >= 34:
+                si_md5 = data[pos + 22:pos + 38]
+            pos += 4 + size
+            if flags & 0x80:
+                break
+        if si_md5 and si_md5 != bytes(16):
+            return si_md5.hex()
+        return hashlib.md5(data[pos:]).hexdigest()
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            size = int.from_bytes(data[pos + 4:pos + 8], "little")
+            if cid == b"data":
+                return hashlib.md5(
+                    data[pos + 8:pos + 8 + size]).hexdigest()
+            pos += 8 + size + (size & 1)
+        raise ValueError("WAV: no data chunk")
+    from .mp3codec import is_mp3, mp3_audio_hash
+    if is_mp3(data):
+        return mp3_audio_hash(data)
+    raise ValueError(
+        f"no content-hash rule for magic {data[:4]!r}: FLAC, "
+        "RIFF/WAVE and MPEG audio are supported")

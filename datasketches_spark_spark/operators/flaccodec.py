@@ -392,14 +392,32 @@ def _best_rice_param(res: np.ndarray) -> int:
     return p
 
 
+def raw_samples_md5(q: np.ndarray, bits_per_sample: int) -> bytes:
+    """The STREAMINFO content signature (FLAC spec §streaminfo): MD5
+    of the raw interleaved little-endian signed samples — the
+    spec-defined CONTENT identity of the audio, independent of how it
+    was compressed. Exposed so content-dedup can recompute it from
+    decoded samples (the decode path cross-checks the encode path)."""
+    import hashlib
+    nbytes = bits_per_sample // 8
+    inter = np.ascontiguousarray(q.astype("<i8"))
+    raw = inter.view(np.uint8).reshape(q.shape[0], q.shape[1], 8)
+    return hashlib.md5(raw[:, :, :nbytes].tobytes()).digest()
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int,
                 bits_per_sample: int = 16,
-                block_size: int = 4096) -> bytes:
+                block_size: int = 4096,
+                tags: dict | None = None) -> bytes:
     """Encode ``(n,)`` or ``(n, channels<=2)`` float64 in [-1, 1] to a
     FLAC stream (independent channels, FIXED predictors with
     single-partition Rice residuals; picks the cheapest of orders 0-2
     per subframe). Lossless for values representable at
-    ``bits_per_sample``."""
+    ``bits_per_sample``. r17: STREAMINFO carries the spec-defined MD5
+    of the raw samples (the container-independent content identity
+    ``audio_content_hash`` keys on), and ``tags`` writes a
+    VORBIS_COMMENT metadata block (the re-tagged-copy fixture for
+    tag-invariant dedup)."""
     x = np.asarray(samples, np.float64)
     if x.ndim == 1:
         x = x[:, None]
@@ -419,8 +437,20 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     si.write(nch - 1, 3)
     si.write(bits_per_sample - 1, 5)
     si.write(n, 36)
-    si.out += bytes(16)  # md5 of raw samples: unset (all zero = unknown)
-    out += bytes([0x80]) + struct.pack(">I", len(si.out))[1:] + si.out
+    si.out += raw_samples_md5(q, bits_per_sample)
+    last = 0x80 if tags is None else 0x00
+    out += bytes([last]) + struct.pack(">I", len(si.out))[1:] + si.out
+    if tags is not None:
+        # VORBIS_COMMENT (type 4): vendor string + key=value list,
+        # little-endian length prefixes (the Vorbis comment spec)
+        body = bytearray()
+        vendor = b"datasketches-spark-spark"
+        body += struct.pack("<I", len(vendor)) + vendor
+        items = [f"{k}={v}".encode() for k, v in sorted(tags.items())]
+        body += struct.pack("<I", len(items))
+        for it in items:
+            body += struct.pack("<I", len(it)) + it
+        out += bytes([0x80 | 4]) + struct.pack(">I", len(body))[1:]             + body
 
     frame_no = 0
     for start in range(0, n, block_size):

@@ -215,3 +215,82 @@ def test_unknown_total_samples_with_trailing_bytes():
     dec, rate = decode_flac(data)
     assert rate == 8000 and dec.shape == (2048, 1)
     assert np.abs(dec[:, 0] - x).max() == 0.0
+
+
+class TestContentHashR17:
+    """r17: container-metadata-invariant audio identity
+    (audiocodec.audio_content_hash) + the STREAMINFO raw-samples md5
+    the FLAC encoder now writes (spec content signature, cross-checked
+    against the DECODE path)."""
+
+    def _tone(self, f=40):
+        import numpy as np
+        return np.sin(np.linspace(0, f, 2000))
+
+    def test_streaminfo_md5_matches_decoded_samples(self):
+        import numpy as np
+        from datasketches_spark_spark.operators.flaccodec import (
+            decode_flac, encode_flac, raw_samples_md5)
+        blob = encode_flac(self._tone(), 8000)
+        x, _ = decode_flac(blob)
+        q = np.clip(np.round(x * 32768), -32768, 32767).astype(np.int64)
+        # STREAMINFO md5 field: after 'fLaC' + block header(4) + 18
+        assert blob[26:42] == raw_samples_md5(q, 16)
+
+    def test_cross_container_and_tag_invariance(self):
+        import struct
+        from datasketches_spark_spark.operators import (
+            audio_content_hash, encode_wav)
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        t = self._tone()
+        flac = encode_flac(t, 8000)
+        tagged = encode_flac(t, 8000, tags={"artist": "a", "t": "x"})
+        assert tagged != flac
+        wav = encode_wav(t, 8000)
+        lst = (b"LIST" + struct.pack("<I", 12) + b"INFOIART"
+               + struct.pack("<I", 0))
+        wav_meta = wav[:12] + lst + wav[12:]
+        wav_meta = (wav_meta[:4]
+                    + struct.pack("<I", len(wav_meta) - 8)
+                    + wav_meta[8:])
+        hs = {audio_content_hash(b)
+              for b in (flac, tagged, wav, wav_meta)}
+        assert len(hs) == 1          # one identity across containers
+        assert audio_content_hash(
+            encode_wav(self._tone(25), 8000)) not in hs
+
+    def test_tagged_flac_still_decodes(self):
+        import numpy as np
+        from datasketches_spark_spark.operators.flaccodec import (
+            decode_flac, encode_flac)
+        t = self._tone()
+        x, r = decode_flac(encode_flac(t, 8000, tags={"k": "v"}))
+        x0, _ = decode_flac(encode_flac(t, 8000))
+        assert r == 8000 and np.array_equal(x, x0)
+
+    def test_unset_streaminfo_md5_falls_back_to_frames(self):
+        from datasketches_spark_spark.operators import (
+            audio_content_hash)
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        blob = bytearray(encode_flac(self._tone(), 8000))
+        blob[26:42] = bytes(16)          # encoder left md5 unset
+        h1 = audio_content_hash(bytes(blob))
+        assert h1 != audio_content_hash(
+            bytes(blob[:200]) + b"\x00" + bytes(blob[201:]))
+
+    def test_mp3_routes_through_frame_hash(self):
+        from datasketches_spark_spark.operators import (
+            audio_content_hash, mp3_audio_hash)
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        s = build_frame_stream(b"x", 5)
+        assert audio_content_hash(s) == mp3_audio_hash(s)
+
+    def test_unknown_container_raises(self):
+        import pytest as _pt
+        from datasketches_spark_spark.operators import (
+            audio_content_hash)
+        with _pt.raises(ValueError, match="content-hash"):
+            audio_content_hash(b"OggS garbage here")
