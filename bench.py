@@ -78,8 +78,54 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }))
-    _compare(timings, total)
+    flagged = _compare(timings, total)
+    if flagged:
+        # In-run flag ADJUDICATION (r17): transient host-contention
+        # episodes on this box can inflate a CONSECUTIVE band of
+        # queries straight through best-of-3 (see BASELINE.md round-17
+        # triage) — whole-run control medians cannot catch a
+        # 30-second episode. Re-measure every flagged query (plus the
+        # controls for a fresh box factor) AFTER the sweep, when the
+        # episode has passed; a flag that does not reproduce is box
+        # noise, one that does is a real regression.
+        qs = entrymod.queries()
+        redo = list(flagged) + [c for c in _CONTROL_QUERIES
+                                if c in qs]
+        re_t = {}
+        for name in redo:
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                try:
+                    qs[name](spark, sf_dir).collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception:
+                    break
+            if best is not None:
+                re_t[name] = round(best, 3)
+        _adjudicate(flagged, re_t)
     spark.stop()
+
+
+def _adjudicate(flagged: list, re_t: dict) -> None:
+    base = _load_baseline()
+    if not base:
+        return
+    base_q = base["queries"]
+    cr = sorted(re_t[c] / base_q[c] for c in _CONTROL_QUERIES
+                if base_q.get(c, 0) > 0 and re_t.get(c, 0) > 0)
+    cf = max(cr[len(cr) // 2] if cr else 1.0, 1.0)
+    for name in flagged:
+        t, b = re_t.get(name), base_q.get(name)
+        if not t or not b:
+            continue
+        norm = t / b / cf
+        verdict = ("REPRODUCED (real regression)" if norm > 2.0
+                   else "not reproduced (box episode)")
+        print(f"bench ADJUDICATION {name}: re-run {t}s = "
+              f"{t / b:.2f}x raw, {norm:.2f}x control-normalized "
+              f"-> {verdict}", file=sys.stderr)
 
 
 # Box-drift controls: board queries untouched since their locks, spanning
@@ -89,13 +135,8 @@ _CONTROL_QUERIES = ["q01_percentile_by_flag", "q07_ndv_hll",
                     "q20_textstats"]
 
 
-def _compare(timings: dict, total: float) -> None:
-    """Regression gate vs a recorded baseline (BASELINE.md engine table):
-    ``--compare FILE.json`` or $SPARK_GRAFT_BASELINE. Accepts either the
-    driver's BENCH_r{N}.json (uses .parsed) or bench.py's own output.
-    Report goes to stderr; stdout stays the one-line JSON contract. A query
-    over 2x its baseline is flagged; exit status is unchanged (the wall
-    clock on this box is +-40% noisy - the flag is a review signal, not CI)."""
+def _load_baseline() -> dict | None:
+    """The --compare / $SPARK_GRAFT_BASELINE baseline, parsed."""
     path = None
     if "--compare" in sys.argv:
         i = sys.argv.index("--compare") + 1
@@ -107,15 +148,33 @@ def _compare(timings: dict, total: float) -> None:
         if os.path.exists(cand):
             path = cand
     if not path:
-        return
+        return None
     try:
         with open(path) as fh:
             base = json.load(fh)
         base = base.get("parsed") or base
-        base_q = base["queries"]
+        base["_path"] = path
+        return base
     except Exception as e:
-        print(f"bench: cannot read baseline {path}: {e}", file=sys.stderr)
-        return
+        print(f"bench: cannot read baseline {path}: {e}",
+              file=sys.stderr)
+        return None
+
+
+def _compare(timings: dict, total: float) -> list:
+    """Regression gate vs a recorded baseline (BASELINE.md engine table):
+    ``--compare FILE.json`` or $SPARK_GRAFT_BASELINE. Accepts either the
+    driver's BENCH_r{N}.json (uses .parsed) or bench.py's own output.
+    Report goes to stderr; stdout stays the one-line JSON contract. A query
+    over 2x its control-normalized baseline is flagged, RE-MEASURED
+    after the sweep (main's adjudication pass), and returned; exit
+    status is unchanged (the wall clock on this box is +-40% noisy -
+    the flag is a review signal, not CI)."""
+    base = _load_baseline()
+    if base is None:
+        return []
+    path = base["_path"]
+    base_q = base["queries"]
     # Control normalization (r17): this box drifts ±40-60% session to
     # session, which turns raw t/lock ratios into false regression
     # flags across the whole board. Three CONTROL queries whose bodies
@@ -152,6 +211,7 @@ def _compare(timings: dict, total: float) -> None:
     if not flagged:
         print("bench compare: no query above 2x control-normalized "
               "baseline", file=sys.stderr)
+    return [f[0] for f in flagged]
 
 
 if __name__ == "__main__":
