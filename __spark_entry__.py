@@ -3749,30 +3749,36 @@ def _demo_audio_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP3 tag-invariant dedup (r17, operators/mp3codec.py::
-    mp3_audio_hash): re-TAGGED copies of one MPEG stream — the
-    dominant crawl duplication mode for audio — collapse with NO
-    sample decode (none exists on this image; see mp3native.py).
-    Each doc synthesizes a structurally valid Layer III frame chain
-    whose audio-frame bytes are keyed by doc_id % 3 (the content
-    identity) while doc_id % 4 picks the tag dressing: bare / ID3v2
-    with doc-specific payload / ID3v2 + ID3v1 / Xing metadata frame
-    + ID3v1. The frame-walk hash must collapse each content group
-    across all four tag shapes (n_tagshapes == 4 pins exactly that);
-    DuckDB recomputes group sizes and tag-shape counts relationally."""
+    """Compressed-audio tag-invariant dedup (r17,
+    operators/mp3codec.py::mp3_audio_hash +
+    operators/oggcodec.py::ogg_audio_hash): re-TAGGED copies of one
+    stream — the dominant crawl duplication mode for audio — collapse
+    with NO sample decode (none exists on this image; see
+    mp3native.py). Leg 'mp3': structurally valid Layer III frame
+    chains keyed by doc_id % 3 (the content identity) while doc_id %
+    4 picks the tag dressing — bare / ID3v2 with doc-specific payload
+    / ID3v2 + ID3v1 / Xing metadata frame + ID3v1. Leg 'ogg': the
+    same content groups as RFC 3533 Opus streams (CRC-validated page
+    walk, packet reassembly across a 255-lacing boundary) where the
+    tag shape varies the OpusTags comment packet. Each leg's hash
+    must collapse every content group across all four tag shapes
+    (n_tagshapes == 4 pins exactly that); DuckDB recomputes group
+    sizes and tag-shape counts relationally."""
     import hashlib as _hl
     import pandas as pd
     from datasketches_spark_spark.operators.mp3codec import (
         build_frame_stream, mp3_audio_hash)
+    from datasketches_spark_spark.operators.oggcodec import (
+        build_ogg_stream, ogg_audio_hash)
 
     def _mk(pdf_iter):
         for pdf in pdf_iter:
-            ids, hs = [], []
+            legs, ids, hs = [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                s = build_frame_stream(b"grp%d" % (did % 3), 8,
-                                       xing=(did % 4 == 3))
                 shape = did % 4
+                s = build_frame_stream(b"grp%d" % (did % 3), 8,
+                                       xing=(shape == 3))
                 if shape in (1, 2):
                     pay = _hl.md5(b"tag%d" % did).digest()
                     s = (b"ID3\x04\x00\x00\x00\x00\x00\x20"
@@ -3780,22 +3786,30 @@ def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if shape in (2, 3):
                     s = s + b"TAG" + _hl.md5(
                         b"v1%d" % did).digest()[:1] * 125
+                legs.append("mp3")
                 ids.append(did)
                 hs.append(mp3_audio_hash(s))
-            yield pd.DataFrame({"doc_id": ids, "h": hs})
+                o = build_ogg_stream(
+                    b"grp%d" % (did % 3), 6,
+                    tags=b"" if shape == 0
+                    else b"comment=%d" % (did * 7 + shape))
+                legs.append("ogg")
+                ids.append(did)
+                hs.append(ogg_audio_hash(o))
+            yield pd.DataFrame({"leg": legs, "doc_id": ids, "h": hs})
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 180).select("doc_id")
             .repartition(4))
-    hashed = docs.mapInPandas(_mk, "doc_id long, h string")
-    return (hashed.groupBy("h")
+    hashed = docs.mapInPandas(_mk, "leg string, doc_id long, h string")
+    return (hashed.groupBy("leg", "h")
             .agg(F.count("*").alias("n"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id"),
                  F.countDistinct(F.col("doc_id") % 4)
                  .alias("n_tagshapes"))
-            .select("n", "min_id", "max_id", "n_tagshapes")
-            .orderBy("min_id"))
+            .select("leg", "n", "min_id", "max_id", "n_tagshapes")
+            .orderBy("leg", "min_id"))
 
 
 def _demo_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6945,12 +6959,14 @@ def demo_oracle_sql() -> dict[str, str]:
         # demo_mp3_dedup (r17): content groups by doc_id % 3, four
         # tag dressings per group must collapse to one frame-walk hash
         "demo_mp3_dedup": """
-            SELECT CAST(count(*) AS BIGINT) AS n,
+            SELECT legs.leg, CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
                    CAST(count(DISTINCT doc_id % 4) AS BIGINT)
                      AS n_tagshapes
-            FROM documents WHERE doc_id < 180
-            GROUP BY doc_id % 3 ORDER BY min_id
+            FROM documents
+            CROSS JOIN (VALUES ('mp3'), ('ogg')) AS legs(leg)
+            WHERE doc_id < 180
+            GROUP BY legs.leg, doc_id % 3 ORDER BY legs.leg, min_id
         """,
         "demo_audio_dedup": """
             SELECT doc_id, TRUE AS same_group, FALSE AS cross_group

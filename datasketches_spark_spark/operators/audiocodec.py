@@ -169,6 +169,13 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         return decode_flac(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    from .oggcodec import is_ogg
+    if is_ogg(data):
+        raise NotImplementedError(
+            "Ogg (Opus/Vorbis) sample decode needs the codec's"
+            " normative tables (no system library on this image);"
+            " container metadata via operators.ogg_info, tag-invariant"
+            " dedup via operators.audio_content_hash")
     from .mp3codec import is_mp3
     if is_mp3(data):
         # r17: system libmpg123 is the validated MP3 decode path
@@ -280,6 +287,8 @@ def audio_content_hash(data: bytes) -> str:
     * MPEG audio: :func:`mp3codec.mp3_audio_hash` (frame bytes,
       tag-invariant — exact-stream identity, lossy formats have no
       raw-PCM signature to key on).
+    * Ogg (Opus/Vorbis): :func:`oggcodec.ogg_audio_hash` (audio
+      packet bytes, comment/tags header excluded — same contract).
     """
     import hashlib
     data = bytes(data)
@@ -310,6 +319,9 @@ def audio_content_hash(data: bytes) -> str:
     from .mp3codec import is_mp3, mp3_audio_hash
     if is_mp3(data):
         return mp3_audio_hash(data)
+    from .oggcodec import is_ogg, ogg_audio_hash
+    if is_ogg(data):
+        return ogg_audio_hash(data)
     raise ValueError(
         f"no content-hash rule for magic {data[:4]!r}: FLAC, "
-        "RIFF/WAVE and MPEG audio are supported")
+        "RIFF/WAVE, MPEG audio and Ogg are supported")

@@ -174,8 +174,11 @@ def test_decode_audio_dispatches_flac():
     # ID3-tagged payloads now route to the mp3 metadata path's refusal
     with pytest.raises(NotImplementedError, match="mp3_info"):
         decode_audio(b"ID3\x04" + b"\x00" * 32)
+    # r17: Ogg has its own refusal naming the structural alternatives
+    with pytest.raises(NotImplementedError, match="ogg_info"):
+        decode_audio(b"OggS" + b"\x00" * 32)
     with pytest.raises(NotImplementedError, match="audio codec"):
-        decode_audio(b"OggS" + b"\x00" * 32)  # ogg: still unnamed
+        decode_audio(b"MThd" + b"\x00" * 32)  # MIDI: still unnamed
 
 
 def test_crc_values_and_corruption_detected():
@@ -293,4 +296,4 @@ class TestContentHashR17:
         from datasketches_spark_spark.operators import (
             audio_content_hash)
         with _pt.raises(ValueError, match="content-hash"):
-            audio_content_hash(b"OggS garbage here")
+            audio_content_hash(b"MThd not audio we hash")

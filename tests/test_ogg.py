@@ -1,0 +1,95 @@
+"""Ogg container codec (operators/oggcodec.py): RFC 3533 page
+framing + CRC, packet reassembly across lacing boundaries, codec
+identification, tag-invariant content hashing, and the dispatch
+surface. Write/read symmetry via build_ogg_stream (no Ogg tool in
+this environment — the documented fixture convention)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from datasketches_spark_spark.operators.oggcodec import (
+    _packets, _pages, build_ogg_stream, is_ogg, ogg_audio_hash,
+    ogg_info)
+
+
+class TestStructure:
+    @pytest.mark.parametrize("codec", ["opus", "vorbis"])
+    def test_info_fields(self, codec):
+        s = build_ogg_stream(b"seed", 6, codec=codec)
+        assert is_ogg(s)
+        info = ogg_info(s)
+        assert info["codec"] == codec and info["channels"] == 2
+        assert info["sample_rate"] == (48000 if codec == "opus"
+                                       else 44100)
+        hdrs = 2 if codec == "opus" else 3
+        assert info["n_packets"] == 6 + hdrs
+        assert info["duration_s"] > 0
+
+    def test_determinism(self):
+        assert build_ogg_stream(b"s", 4) == build_ogg_stream(b"s", 4)
+
+    def test_crc_corruption_detected(self):
+        s = bytearray(build_ogg_stream(b"s", 4))
+        s[60] ^= 1
+        with pytest.raises(ValueError, match="CRC|sync"):
+            ogg_info(bytes(s))
+
+    def test_lost_sync_detected(self):
+        s = build_ogg_stream(b"s", 4)
+        # clobber the SECOND page's capture pattern specifically
+        at = s.find(b"OggS", 4)
+        with pytest.raises(ValueError, match="sync"):
+            ogg_info(s[:at] + b"XXXX" + s[at + 4:])
+
+    def test_packet_spans_255_lacing_boundary(self):
+        # the first audio packet is 300 B: lacing 255 + 45 — the
+        # reassembler must yield ONE 300-byte packet
+        s = build_ogg_stream(b"s", 3, codec="opus")
+        pages = list(_pages(s))
+        pkts = list(_packets(pages, pages[0]["serial"]))
+        audio = pkts[2:]                  # after OpusHead + OpusTags
+        assert len(audio[0]) == 300 and len(audio[1]) == 64
+
+    def test_bos_eos_flags(self):
+        s = build_ogg_stream(b"s", 3)
+        pages = list(_pages(s))
+        assert pages[0]["htype"] & 0x02            # BOS
+        assert pages[-1]["htype"] & 0x04           # EOS
+        assert not any(p["htype"] & 0x06 for p in pages[1:-1])
+
+
+class TestContentHash:
+    @pytest.mark.parametrize("codec", ["opus", "vorbis"])
+    def test_tag_invariance(self, codec):
+        a = build_ogg_stream(b"grp", 5, codec=codec)
+        b = build_ogg_stream(b"grp", 5, codec=codec,
+                             tags=b"artist=someone else")
+        assert a != b
+        assert ogg_audio_hash(a) == ogg_audio_hash(b)
+
+    def test_content_sensitivity(self):
+        assert ogg_audio_hash(build_ogg_stream(b"A", 5)) != \
+            ogg_audio_hash(build_ogg_stream(b"B", 5))
+        assert ogg_audio_hash(build_ogg_stream(b"A", 5)) != \
+            ogg_audio_hash(build_ogg_stream(b"A", 6))
+
+    def test_audio_content_hash_routes_ogg(self):
+        from datasketches_spark_spark.operators import (
+            audio_content_hash)
+        s = build_ogg_stream(b"x", 4)
+        assert audio_content_hash(s) == ogg_audio_hash(s)
+
+    def test_decode_audio_refusal_names_alternatives(self):
+        from datasketches_spark_spark.operators import decode_audio
+        with pytest.raises(NotImplementedError) as ei:
+            decode_audio(build_ogg_stream(b"x", 3))
+        assert "ogg_info" in str(ei.value)
+        assert "audio_content_hash" in str(ei.value)
+
+    def test_empty_and_garbage(self):
+        assert not is_ogg(b"RIFF")
+        with pytest.raises(ValueError):
+            ogg_audio_hash(b"OggS" + b"\x00" * 10)
