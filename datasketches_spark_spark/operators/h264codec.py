@@ -347,7 +347,8 @@ def decode_h264_ipcm(data: bytes) -> dict:
             if sps is None:
                 raise ValueError("slice before SPS")
             frames.append(_decode_slice(_BitReader(rbsp), sps,
-                                        idr=(ntype == 5)))
+                                        idr=(ntype == 5),
+                                        nal_ref_idc=(nal[0] >> 5) & 0x3))
     if sps is None:
         raise ValueError("no SPS in stream")
     w, h = 16 * sps["mbs_w"], 16 * sps["mbs_h"]
@@ -358,7 +359,8 @@ def decode_h264_ipcm(data: bytes) -> dict:
             "frames": out_frames, "num_frames": len(out_frames)}
 
 
-def _decode_slice(r: "_BitReader", sps: dict, idr: bool) -> np.ndarray:
+def _decode_slice(r: "_BitReader", sps: dict, idr: bool,
+                  nal_ref_idc: int = 0) -> np.ndarray:
     r.ue()                   # first_mb_in_slice
     slice_type = r.ue()
     if slice_type % 5 != 2:  # 2/7 = I
@@ -374,6 +376,17 @@ def _decode_slice(r: "_BitReader", sps: dict, idr: bool) -> np.ndarray:
     if idr:
         r.u(1)               # no_output_of_prior_pics
         r.u(1)               # long_term_reference_flag
+    elif nal_ref_idc != 0:
+        # dec_ref_pic_marking for a non-IDR reference slice (§7.3.3.3,
+        # r18 ADVICE fix: skipping this field misaligned every later
+        # read — a misaligned ue() landing on 25 could emit wrong
+        # pixels). The sliding-window form (flag 0) is a single bit;
+        # the adaptive form carries an MMCO op loop this subset
+        # refuses rather than risk misparsing.
+        if r.u(1):           # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError(
+                "adaptive dec_ref_pic_marking (MMCO) not supported "
+                "(I_PCM keyframe subset)")
     r.se()                   # slice_qp_delta
     mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
     y = np.zeros((16 * mbs_h, 16 * mbs_w), dtype=np.uint8)

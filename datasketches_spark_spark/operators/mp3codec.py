@@ -104,6 +104,21 @@ def _skip_id3v2(data: bytes) -> int:
     return 10 + size + footer
 
 
+# Trailing-metadata markers that legitimately terminate the frame
+# chain (r18, ADVICE fix): APEv1/v2 tags start with "APETAGEX"
+# (header or footer — either can be the first bytes after the last
+# frame), Lyrics3v1/v2 blocks with "LYRICSBEGIN", extended ID3v1
+# with "TAG+", and some writers append a whole ID3v2 tag ("ID3") or
+# its footer ("3DI") at EOF. Any of these at the walk position ends
+# the stream cleanly; anything else mid-stream is still corruption.
+_TRAIL_TAGS = (b"APETAGEX", b"LYRICSBEGIN", b"TAG+", b"ID3", b"3DI")
+
+
+def _is_trailing_tag(data: bytes, p: int) -> bool:
+    head = data[p:p + 11]
+    return any(head.startswith(m) for m in _TRAIL_TAGS)
+
+
 def _xing_frames(data: bytes, pos: int, hdr) -> int | None:
     """Frame count from a Xing/Info (or VBRI) header in the first frame."""
     if hdr["layer"] == 3:
@@ -148,9 +163,10 @@ def mp3_info(data: bytes) -> dict:
     while p + 4 <= end:
         hdr = _parse_header(data, p)
         if hdr is None:
-            # allow trailing garbage only at the very end (common: tag
-            # writers pad); mid-stream desync is corruption
-            if end - p < first["frame_len"]:
+            # allow trailing metadata (APEv2/Lyrics3/ID3 variants) and
+            # short tag-writer padding at the very end; mid-stream
+            # desync is corruption
+            if _is_trailing_tag(data, p) or end - p < first["frame_len"]:
                 break
             raise ValueError(
                 f"MP3: lost frame sync at byte {p} of {end}")
@@ -209,8 +225,8 @@ def mp3_audio_hash(data: bytes) -> str:
     while p + 4 <= end:
         hdr = _parse_header(data, p)
         if hdr is None:
-            if end - p < first["frame_len"]:
-                break                      # tag-writer tail padding
+            if _is_trailing_tag(data, p) or end - p < first["frame_len"]:
+                break                      # trailing tag / tail padding
             raise ValueError(f"MP3: lost frame sync at byte {p}")
         h.update(data[p:min(p + hdr["frame_len"], end)])
         p += hdr["frame_len"]

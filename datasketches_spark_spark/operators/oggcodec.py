@@ -151,6 +151,23 @@ def _codec_of(first_packet: bytes):
 _HEADER_PACKETS = {"opus": 2, "vorbis": 3, "flac": 2}
 
 
+def _header_packet_count(codec: str, first_packet: bytes) -> int:
+    """Non-audio header packets to exclude from the content hash.
+    Opus and Vorbis fix the count (2 and 3, per RFC 7845 §5 and the
+    Vorbis I spec §4.2); the Ogg-FLAC mapping instead DECLARES it —
+    bytes 7-8 of the ``\\x7fFLAC`` mapping header are the big-endian
+    u16 count of header packets that FOLLOW the first one (r18,
+    ADVICE fix: encoders commonly emit seektable/padding metadata
+    packets beyond the mandatory comment packet; hardcoding 2 leaked
+    those into the hash). A declared 0 means "unknown"; fall back to
+    the mandatory minimum (ident + comment)."""
+    if codec == "flac" and len(first_packet) >= 9:
+        declared = int.from_bytes(first_packet[7:9], "big")
+        if declared > 0:
+            return 1 + declared
+    return _HEADER_PACKETS.get(codec, 1)
+
+
 def ogg_info(data: bytes) -> dict:
     """Walk every page (CRC-validated): ``{codec, channels,
     sample_rate, pre_skip, n_pages, n_packets, duration_s, serials}``
@@ -211,7 +228,7 @@ def ogg_audio_hash(data: bytes) -> str:
     except StopIteration:
         raise ValueError("Ogg: stream has no packets") from None
     codec = _codec_of(first)
-    skip = _HEADER_PACKETS.get(codec, 1) - 1   # `first` already read
+    skip = _header_packet_count(codec, first) - 1  # `first` already read
     h = hashlib.md5()
     for i, pk in enumerate(pkts):
         if i < skip:
@@ -243,7 +260,8 @@ def _page(serial: int, seq: int, granule: int, htype: int,
 
 def build_ogg_stream(payload_seed: bytes, n_packets: int,
                      codec: str = "opus",
-                     tags: bytes = b"") -> bytes:
+                     tags: bytes = b"",
+                     extra_headers: int = 0) -> bytes:
     """TEST/FIXTURE writer: a structurally valid single-stream Ogg
     (correct CRCs, lacing, BOS/EOS flags, header-packet layout) whose
     AUDIO packets are deterministic filler from ``payload_seed`` —
@@ -251,8 +269,25 @@ def build_ogg_stream(payload_seed: bytes, n_packets: int,
     Opus/Vorbis packets would need the codecs' normative tables).
     ``tags`` varies the comment header packet — the retagged-copy
     fixture. One packet exceeds 255 bytes so lacing continuation is
-    always exercised."""
-    if codec == "opus":
+    always exercised. ``codec='flac'`` emits the Ogg-FLAC mapping
+    header with its DECLARED header-packet count (1 comment packet +
+    ``extra_headers`` metadata packets — the seektable/padding shapes
+    real encoders append), exercising the declared-count exclusion in
+    ``ogg_audio_hash``."""
+    extra_pkts: list[bytes] = []
+    if codec == "flac":
+        # \x7fFLAC major minor nheaders(BE u16, excludes this packet)
+        # + "fLaC" + a STREAMINFO-shaped block (not decodable audio)
+        nheaders = 1 + extra_headers
+        ident = (b"\x7fFLAC" + bytes([1, 0])
+                 + nheaders.to_bytes(2, "big")
+                 + b"fLaC" + bytes([0x00, 0, 0, 34]) + b"\x00" * 34)
+        comment = (bytes([0x84, 0, 0, 4 + len(tags)])
+                   + struct.pack("<I", len(tags)) + tags)
+        for j in range(extra_headers):
+            pad = hashlib.md5(b"hdr" + j.to_bytes(2, "big")).digest()
+            extra_pkts.append(bytes([0x81, 0, 0, len(pad)]) + pad)
+    elif codec == "opus":
         ident = (b"OpusHead" + bytes([1, 2])          # ver, channels
                  + struct.pack("<H", 312)             # pre-skip
                  + struct.pack("<I", 48000) + b"\x00\x00" + b"\x00")
@@ -265,7 +300,7 @@ def build_ogg_stream(payload_seed: bytes, n_packets: int,
         comment = b"\x03vorbis" + struct.pack("<I", len(tags)) + tags \
             + struct.pack("<I", 0) + b"\x01"
     else:
-        raise ValueError("fixture writer: opus | vorbis")
+        raise ValueError("fixture writer: opus | vorbis | flac")
     serial, out, seq = 0x5F17AB1E, bytearray(), 0
     out += _page(serial, seq, 0, 0x02, [ident])       # BOS
     seq += 1
@@ -274,6 +309,9 @@ def build_ogg_stream(payload_seed: bytes, n_packets: int,
     if codec == "vorbis":                              # setup header
         out += _page(serial, seq, 0, 0x00,
                      [b"\x05vorbis" + b"\x00" * 32])
+        seq += 1
+    for pk in extra_pkts:                              # flac metadata
+        out += _page(serial, seq, 0, 0x00, [pk])
         seq += 1
     granule = 0
     for i in range(n_packets):

@@ -77,21 +77,40 @@ def _aes_ecb(key: bytes, data: bytes, encrypt: bool) -> bytes:
     return op.update(data) + op.finalize()
 
 
+# RC4 keystream generation is inherently per-byte sequential and runs
+# in pure Python (the cryptography package dropped ARC4 from its
+# supported set); the XOR is vectorized with numpy, but a pathological
+# single RC4 stream near the general 256 MiB bomb guard would still
+# cost minutes of interpreter time in the Arrow worker path (r18,
+# ADVICE fix). Real-world RC4-era PDFs (pre-2006 handlers) keep
+# streams far below this; refuse loudly above it.
+_RC4_MAX = 64 * 1024 * 1024
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 is its own inverse — used for both directions."""
+    """RC4 is its own inverse — used for both directions. Keystream
+    bytes come from the sequential PRGA loop; the data XOR is one
+    vectorized numpy op."""
+    if len(data) > _RC4_MAX:
+        raise ValueError(
+            f"RC4 stream of {len(data)} bytes exceeds the "
+            f"{_RC4_MAX >> 20} MiB pure-Python RC4 guard")
     S = list(range(256))
     j = 0
     for i in range(256):
         j = (j + S[i] + key[i % len(key)]) & 0xFF
         S[i], S[j] = S[j], S[i]
-    out = bytearray(len(data))
+    ks = bytearray(len(data))
     i = j = 0
-    for n, b in enumerate(data):
+    for n in range(len(data)):
         i = (i + 1) & 0xFF
-        j = (j + S[i]) & 0xFF
-        S[i], S[j] = S[j], S[i]
-        out[n] = b ^ S[(S[i] + S[j]) & 0xFF]
-    return bytes(out)
+        sj = S[j := (j + S[i]) & 0xFF]
+        S[j] = S[i]
+        S[i] = sj
+        ks[n] = S[(sj + S[j]) & 0xFF]
+    import numpy as _np
+    return (_np.frombuffer(data, dtype=_np.uint8)
+            ^ _np.frombuffer(bytes(ks), dtype=_np.uint8)).tobytes()
 
 
 # --------------------------------------------------- R2/R3/R4 (MD5 era)
@@ -255,8 +274,14 @@ def _first_id(data: bytes) -> bytes:
 def _encrypt_dict_bytes(data: bytes) -> bytes | None:
     """Locate the /Encrypt dictionary body: inline ``/Encrypt <<..>>``
     or an indirect ``/Encrypt N G R`` resolved against ``N G obj``.
-    The Encrypt dict itself is never encrypted (§7.6.1)."""
-    m = re.search(rb"/Encrypt\s*<<", data)
+    The Encrypt dict itself is never encrypted (§7.6.1). Matches are
+    resolved LAST-wins (r18, ADVICE fix): incrementally-updated PDFs
+    carry multiple trailers and object generations, and the
+    document-order-last trailer/definition is the live one — the same
+    rule ``pdfcodec._document_model`` applies to ordinary objects."""
+    m = None
+    for m in re.finditer(rb"/Encrypt\s*<<", data):
+        pass
     if m:
         from .pdfcodec import _literal_string
         start = m.end() - 2
@@ -284,11 +309,16 @@ def _encrypt_dict_bytes(data: bytes) -> bytes | None:
             else:
                 pos += 1
         return None
-    m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R\b", data)
+    m = None
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R\b", data):
+        pass
     if not m:
         return None
     num, gen = int(m.group(1)), int(m.group(2))
-    om = re.search(rb"(?<![0-9])%d\s+%d\s+obj\b" % (num, gen), data)
+    om = None
+    for om in re.finditer(
+            rb"(?<![0-9])%d\s+%d\s+obj\b" % (num, gen), data):
+        pass
     if not om:
         return None
     end = data.find(b"endobj", om.end())

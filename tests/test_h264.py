@@ -184,3 +184,52 @@ class TestReviewR17:
         counts = {r.vid: r["count"] for r in got}
         assert counts.get(1, 0) == 2      # good video sampled
         assert 2 not in counts            # coded video dropped, job OK
+
+
+class TestNonIdrRefMarking:
+    """r18 ADVICE fix: dec_ref_pic_marking for non-IDR reference
+    slices (nal_ref_idc != 0) is now parsed — sliding-window (flag 0)
+    decodes bit-exact at the right offset; adaptive MMCO refuses."""
+
+    def _non_idr_slice(self, frame, adaptive=None, ref_idc=2):
+        # hand-build an ntype-1 I slice over one 16x16 macroblock
+        from datasketches_spark_spark.operators.h264codec import (
+            _BitWriter, _nal)
+        sl = _BitWriter()
+        sl.ue(0); sl.ue(7)      # first_mb, slice_type I
+        sl.ue(0); sl.u(1, 4)    # pps id, frame_num=1
+        if adaptive is not None:   # dec_ref_pic_marking present
+            sl.u(1 if adaptive else 0, 1)
+        sl.se(0)                # slice_qp_delta
+        sl.ue(25); sl.align()   # I_PCM
+        sl.raw_bytes(frame.tobytes())
+        sl.raw_bytes(bytes([128]) * 128)
+        sl.trailing()
+        return _nal(1, ref_idc, sl.bytes_aligned())
+
+    def _prefix(self):
+        frames = _footage(3, n=1, shape=(16, 16))
+        blob = encode_h264_ipcm(frames)
+        return blob[:blob.find(b"\x00\x00\x00\x01\x65")], frames[0]
+
+    def test_sliding_window_non_idr_decodes_bit_exact(self):
+        prefix, f0 = self._prefix()
+        f1 = _footage(11, n=1, shape=(16, 16))[0]
+        blob = prefix + self._non_idr_slice(f1, adaptive=False)
+        dec = decode_h264_ipcm(blob)
+        assert np.array_equal(dec["frames"][0], f1)
+
+    def test_non_reference_non_idr_has_no_marking_bit(self):
+        prefix, _ = self._prefix()
+        f1 = _footage(12, n=1, shape=(16, 16))[0]
+        blob = prefix + self._non_idr_slice(f1, adaptive=None,
+                                            ref_idc=0)
+        dec = decode_h264_ipcm(blob)
+        assert np.array_equal(dec["frames"][0], f1)
+
+    def test_adaptive_mmco_refused(self):
+        prefix, _ = self._prefix()
+        f1 = _footage(13, n=1, shape=(16, 16))[0]
+        blob = prefix + self._non_idr_slice(f1, adaptive=True)
+        with pytest.raises(NotImplementedError, match="MMCO"):
+            decode_h264_ipcm(blob)

@@ -205,3 +205,50 @@ class TestReviewR17:
         assert mp3_audio_hash(frame) == \
             hashlib.md5(frame).hexdigest()
         assert mp3_info(frame)["n_frames"] == 1
+
+
+class TestTrailingTags:
+    """r18 ADVICE fix: trailing APEv2/Lyrics3/extended-ID3v1 metadata
+    (>= one frame length) terminates the walk cleanly instead of
+    raising 'lost frame sync'; mid-stream desync still raises."""
+
+    def _stream(self, seed=b"A", n=6):
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        return build_frame_stream(seed, n)
+
+    def _ape_tag(self, nbytes=512):
+        # APEv2 footer-only tag: 32-byte header/footer marker + items
+        body = b"\x00" * (nbytes - 32)
+        footer = (b"APETAGEX" + (2000).to_bytes(4, "little")
+                  + nbytes.to_bytes(4, "little")
+                  + (1).to_bytes(4, "little") + b"\x00" * 12)
+        return body[:0] + footer + body  # marker leads in this layout
+
+    def test_apev2_tail_tolerated(self):
+        from datasketches_spark_spark.operators import mp3_audio_hash
+        from datasketches_spark_spark.operators.mp3codec import mp3_info
+        base = self._stream()
+        tagged = base + self._ape_tag(600)
+        assert mp3_info(tagged)["n_frames"] == 6
+        assert mp3_audio_hash(tagged) == mp3_audio_hash(base)
+
+    def test_lyrics3_tail_tolerated(self):
+        from datasketches_spark_spark.operators import mp3_audio_hash
+        base = self._stream()
+        lyr = b"LYRICSBEGIN" + b"L" * 900 + b"LYRICS200"
+        tagged = base + lyr + b"TAG" + b"\x00" * 125
+        assert mp3_audio_hash(tagged) == mp3_audio_hash(base)
+
+    def test_trailing_id3v2_tolerated(self):
+        from datasketches_spark_spark.operators import mp3_audio_hash
+        base = self._stream()
+        id3 = b"ID3\x04\x00\x00\x00\x00\x04\x00" + b"\x00" * 512
+        assert mp3_audio_hash(base + id3) == mp3_audio_hash(base)
+
+    def test_mid_stream_desync_still_raises(self):
+        from datasketches_spark_spark.operators.mp3codec import mp3_info
+        base = self._stream(n=8)
+        corrupt = base[:500] + b"\x00" * 800 + base[500:]
+        with pytest.raises(ValueError, match="lost frame sync"):
+            mp3_info(corrupt)

@@ -93,3 +93,43 @@ class TestContentHash:
         assert not is_ogg(b"RIFF")
         with pytest.raises(ValueError):
             ogg_audio_hash(b"OggS" + b"\x00" * 10)
+
+
+class TestFlacDeclaredHeaders:
+    """r18 ADVICE fix: the Ogg-FLAC mapping header DECLARES its
+    header-packet count (BE u16 at bytes 7-8); extra metadata packets
+    (seektable/padding) must not leak into ogg_audio_hash."""
+
+    def test_flac_tag_invariance_with_extra_headers(self):
+        a = build_ogg_stream(b"grp", 5, codec="flac", extra_headers=3)
+        b = build_ogg_stream(b"grp", 5, codec="flac", extra_headers=3,
+                             tags=b"artist=someone else")
+        assert a != b
+        assert ogg_audio_hash(a) == ogg_audio_hash(b)
+
+    def test_extra_metadata_packets_excluded(self):
+        # same audio, different number of metadata header packets:
+        # the content hash must collapse them
+        a = build_ogg_stream(b"grp", 5, codec="flac", extra_headers=0)
+        b = build_ogg_stream(b"grp", 5, codec="flac", extra_headers=4)
+        assert ogg_audio_hash(a) == ogg_audio_hash(b)
+
+    def test_flac_content_sensitivity(self):
+        assert ogg_audio_hash(
+            build_ogg_stream(b"A", 5, codec="flac", extra_headers=2)
+        ) != ogg_audio_hash(
+            build_ogg_stream(b"B", 5, codec="flac", extra_headers=2))
+
+    def test_declared_count_parsed(self):
+        from datasketches_spark_spark.operators.oggcodec import (
+            _codec_of, _header_packet_count)
+        s = build_ogg_stream(b"x", 3, codec="flac", extra_headers=2)
+        first = next(_packets(list(_pages(s)), 0x5F17AB1E))
+        assert _codec_of(first) == "flac"
+        assert _header_packet_count("flac", first) == 4  # ident+cmt+2
+
+    def test_declared_zero_falls_back_to_minimum(self):
+        from datasketches_spark_spark.operators.oggcodec import (
+            _header_packet_count)
+        ident = b"\x7fFLAC" + bytes([1, 0]) + b"\x00\x00" + b"fLaC"
+        assert _header_packet_count("flac", ident) == 2

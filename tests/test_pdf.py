@@ -793,3 +793,63 @@ class TestReviewR17:
         font = (st.pack(">IHHHH", 0x00010000, 1, 16, 4, 0)
                 + b"cmap" + st.pack(">III", 0, 28, len(cmap)) + cmap)
         assert _truetype_cmap_to_unicode(font) == {}
+
+
+class TestIncrementalUpdateEncrypt:
+    """r18 ADVICE fix: /Encrypt resolution is last-wins (latest
+    trailer / latest object definition), matching the document-order
+    rule the document model applies to ordinary objects."""
+
+    def _updated(self, scheme="rc4"):
+        import re as _re
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        blob = encode_pdf_text_encrypted(["incremental text"], scheme)
+        m = _re.search(rb"(\d+) 0 obj\s*<< /Filter /Standard.*?endobj",
+                       blob, _re.S)
+        assert m, "encrypt object not found in fixture"
+        enc_obj, num = m.group(0), m.group(1)
+        # stale generation left in the body (filter name a first-match
+        # resolver cannot open), live definition appended by the update
+        stale = enc_obj.replace(b"/Filter /Standard",
+                                b"/Filter /Oddball")
+        doc = blob[:m.start()] + stale + blob[m.end():]
+        return (doc + b"\n" + enc_obj
+                + b"\ntrailer\n<< /Size 99 /Encrypt " + num
+                + b" 0 R >>\nstartxref\n0\n%%EOF\n")
+
+    def test_last_object_definition_wins(self):
+        from datasketches_spark_spark.operators.pdfcodec import pdf_text
+        assert pdf_text(self._updated()) == "incremental text"
+
+    def test_last_encrypt_reference_wins(self):
+        # a dangling /Encrypt reference from an earlier trailer must
+        # not shadow the live one
+        import re as _re
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted, pdf_text)
+        blob = encode_pdf_text_encrypted(["ref text"], "aes128")
+        head, sep, tail = blob.partition(b"\ntrailer")
+        assert sep
+        decoy = b"\ntrailer\n<< /Size 1 /Encrypt 999 0 R >>\n"
+        assert pdf_text(head + decoy + sep + tail) == "ref text"
+
+    def test_build_decryptor_resolves_live_dict(self):
+        from datasketches_spark_spark.operators.pdfcrypt import (
+            build_decryptor)
+        d = build_decryptor(self._updated())
+        assert d is not None and d.method == "rc4"
+
+
+class TestRc4Guard:
+    def test_oversized_rc4_stream_refused(self):
+        from datasketches_spark_spark.operators import pdfcrypt
+        from datasketches_spark_spark.operators.pdfcrypt import _rc4
+        orig = pdfcrypt._RC4_MAX
+        pdfcrypt._RC4_MAX = 1024
+        try:
+            with pytest.raises(ValueError, match="RC4 stream"):
+                _rc4(b"key", b"\x00" * 2048)
+            assert len(_rc4(b"key", b"\x00" * 1024)) == 1024
+        finally:
+            pdfcrypt._RC4_MAX = orig
