@@ -2946,7 +2946,16 @@ def _demo_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode (state-carrying exchange — the 100 TB path; see SCALE.md) in
     its exact regime, where theta retains every hash below k and the
     estimate IS the distinct count, so the oracle is the same
-    ``count(DISTINCT ...)``."""
+    ``count(DISTINCT ...)``.
+
+    CAVEAT: registered-domain grouping uses the bundled PSL snapshot
+    (640 rules vs ~9,600 in the current Mozilla list — no network in
+    this build environment; gap enumerated in
+    ``data/psl_snapshot.dat``'s header). Hosts under the ~2,270
+    missing PRIVATE-section suffixes (small PaaS/CDN/dyn-DNS) group
+    at the registry level instead of the service-customer level; for
+    production parity load the full list via
+    ``PublicSuffixList.load(path)`` — same format, same code path."""
     from datasketches_spark_spark.operators import (
         cap_per_domain, domain_drop_list, domain_stats, filter_by_domain)
     docs = read_table(spark, sf_dir, "documents") \
