@@ -3700,28 +3700,39 @@ def _demo_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_audio_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-container audio content identity (r17,
-    operators/audiocodec.py::audio_content_hash): the SAME PCM tone
-    (keyed by doc_id % 3) is packaged four ways per content group —
-    plain WAV, WAV with an injected LIST/INFO metadata chunk, FLAC,
-    and FLAC with a per-doc VORBIS_COMMENT tag block — and every copy
-    must collapse to ONE hash: WAV hashes its raw ``data`` chunk and
-    FLAC carries the spec's STREAMINFO raw-samples MD5, which are the
-    same bytes for the same PCM (cross-container identity, no decode).
-    n_species == 4 pins that all four packagings really collapsed;
-    DuckDB recomputes group sizes and species counts relationally."""
+    """Cross-container audio content identity (r17 + r18,
+    operators/audiocodec.py::audio_content_hash): leg 'pcm' packages
+    the SAME PCM tone (keyed by doc_id % 3) four ways per content
+    group — plain WAV, WAV with an injected LIST/INFO metadata chunk,
+    FLAC, and FLAC with a per-doc VORBIS_COMMENT tag block — and
+    every copy must collapse to ONE hash (WAV hashes its raw ``data``
+    chunk and FLAC carries the spec's STREAMINFO raw-samples MD5 —
+    the same bytes for the same PCM). Leg 'aac' (r18) does the same
+    for COMPRESSED audio: one AAC encode per content group packaged
+    as bare ADTS, ID3v2+ID3v1-dressed ADTS, an MP4 ``mp4a`` track
+    (operators/mp4codec.py — the stbl-addressed sample bytes ARE the
+    ADTS raw_data_block payloads), and an MP4 with udta tags + co64
+    + multi-sample chunks + moov-after-mdat layout — the ``.aac`` ↔
+    ``.m4a`` collapse with NO decode. n_species == 4 pins that all
+    four packagings per leg really collapsed; DuckDB recomputes group
+    sizes and species counts relationally."""
     import struct as _st
     import numpy as np
     import pandas as pd
     from datasketches_spark_spark.operators import (
         audio_content_hash, encode_wav)
+    from datasketches_spark_spark.operators.aaccodec import (
+        aac_frame_payloads, build_adts_stream)
     from datasketches_spark_spark.operators.flaccodec import encode_flac
+    from datasketches_spark_spark.operators.mp4codec import build_mp4
 
     def _mk(pdf_iter):
         tones = {g: np.sin(np.linspace(0, 30 + 10 * g, 1500))
                  for g in range(3)}
+        payloads = {g: aac_frame_payloads(
+            build_adts_stream(b"grp%d" % g, 7)) for g in range(3)}
         for pdf in pdf_iter:
-            ids, hs = [], []
+            legs, ids, hs = [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 t = tones[did % 3]
@@ -3739,22 +3750,41 @@ def _demo_audio_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     b = encode_flac(t, 8000,
                                     tags={"title": "doc %d" % did})
+                legs.append("pcm")
                 ids.append(did)
                 hs.append(audio_content_hash(b))
-            yield pd.DataFrame({"doc_id": ids, "h": hs})
+                pls = payloads[did % 3]
+                if sp == 0:
+                    a = build_adts_stream(b"", 0, payloads=pls)
+                elif sp == 1:
+                    a = (b"ID3\x04\x00\x00\x00\x00\x00\x20"
+                         + b"\x00" * 32
+                         + build_adts_stream(b"", 0, payloads=pls)
+                         + b"TAG" + b"\x00" * 125)
+                elif sp == 2:
+                    a = build_mp4(audio_payloads=pls)
+                else:
+                    a = build_mp4(audio_payloads=pls,
+                                  tags=b"title=doc %d" % did,
+                                  moov_first=False, co64=True,
+                                  per_chunk=3)
+                legs.append("aac")
+                ids.append(did)
+                hs.append(audio_content_hash(a))
+            yield pd.DataFrame({"leg": legs, "doc_id": ids, "h": hs})
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 180).select("doc_id")
             .repartition(4))
-    hashed = docs.mapInPandas(_mk, "doc_id long, h string")
-    return (hashed.groupBy("h")
+    hashed = docs.mapInPandas(_mk, "leg string, doc_id long, h string")
+    return (hashed.groupBy("leg", "h")
             .agg(F.count("*").alias("n"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id"),
                  F.countDistinct(F.col("doc_id") % 4)
                  .alias("n_species"))
-            .select("n", "min_id", "max_id", "n_species")
-            .orderBy("min_id"))
+            .select("leg", "n", "min_id", "max_id", "n_species")
+            .orderBy("leg", "min_id"))
 
 
 def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3769,12 +3799,18 @@ def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     / ID3v2 + ID3v1 / Xing metadata frame + ID3v1. Leg 'ogg': the
     same content groups as RFC 3533 Opus streams (CRC-validated page
     walk, packet reassembly across a 255-lacing boundary) where the
-    tag shape varies the OpusTags comment packet. Each leg's hash
-    must collapse every content group across all four tag shapes
-    (n_tagshapes == 4 pins exactly that); DuckDB recomputes group
-    sizes and tag-shape counts relationally."""
+    tag shape varies the OpusTags comment packet. Leg 'aac' (r18,
+    operators/aaccodec.py): the same groups as ADTS AAC frame chains
+    where the dressing varies bare / ID3v2 / ID3v2+ID3v1 /
+    CRC-protected headers + a trailing APEv2 tag (the 9-byte header
+    form and the r18 trailing-tag tolerance both excluded from the
+    hash). Each leg's hash must collapse every content group across
+    all four tag shapes (n_tagshapes == 4 pins exactly that); DuckDB
+    recomputes group sizes and tag-shape counts relationally."""
     import hashlib as _hl
     import pandas as pd
+    from datasketches_spark_spark.operators.aaccodec import (
+        aac_audio_hash, build_adts_stream)
     from datasketches_spark_spark.operators.mp3codec import (
         build_frame_stream, mp3_audio_hash)
     from datasketches_spark_spark.operators.oggcodec import (
@@ -3786,6 +3822,21 @@ def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 shape = did % 4
+                a = build_adts_stream(b"grp%d" % (did % 3), 6,
+                                      crc=(shape == 3))
+                if shape in (1, 2):
+                    pay = _hl.md5(b"atag%d" % did).digest()
+                    a = (b"ID3\x04\x00\x00\x00\x00\x00\x20"
+                         + (pay * 2)[:32] + a)
+                if shape == 2:
+                    a = a + b"TAG" + _hl.md5(
+                        b"av1%d" % did).digest()[:1] * 125
+                if shape == 3:
+                    a = a + b"APETAGEX" + _hl.md5(
+                        b"ape%d" % did).digest() * 8
+                legs.append("aac")
+                ids.append(did)
+                hs.append(aac_audio_hash(a))
                 s = build_frame_stream(b"grp%d" % (did % 3), 8,
                                        xing=(shape == 3))
                 if shape in (1, 2):
@@ -3891,25 +3942,32 @@ def _demo_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-dup via frame-pHash sequences (r15 + r17,
+    """Video near-dup via frame-pHash sequences (r15 + r17 + r18,
     operators/multimodal.py::video_phash_signature): docs synthesize
-    footage keyed by doc_id % 3 in TWO containers — Motion-JPEG AVI
-    (fps AND JPEG quality 35..90 varied per doc so frame BYTES
-    genuinely differ within a group) for even doc_ids, raw Annex B
-    H.264 I_PCM keyframe streams (r17, operators/h264codec.py; chroma
-    plane varied as the re-encode stand-in) for odd ones. The
-    signature must collapse each footage group to ONE hash sequence
-    ACROSS containers — n_containers == 2 per group pins that the
-    lossy-JPEG and exact-H.264 decode paths land on the same pHash —
-    and DuckDB recomputes group sizes + container counts
-    relationally."""
+    footage keyed by doc_id % 3 in FOUR containers keyed by
+    (doc_id // 3) % 4 — Motion-JPEG AVI (fps AND JPEG quality 35..90
+    varied per doc so frame BYTES genuinely differ within a group),
+    raw Annex B H.264 I_PCM keyframe streams (r17,
+    operators/h264codec.py; chroma plane varied as the re-encode
+    stand-in), H.264-in-MP4 (r18, operators/mp4codec.py — the demux →
+    Annex B → decode chain, with udta tags / chunking / co64 /
+    moov-placement varied per doc so container BYTES differ), and
+    HEVC-in-MP4 (r18, operators/hevcnative.py — REAL x265-encoded
+    streams decoded by the system libde265, quality varied as the
+    re-encode stand-in, footage carried at 4x resolution as a
+    re-scale stand-in — average-hash is resolution-invariant for
+    scaled patterns). The signature must collapse each footage group
+    to ONE hash sequence ACROSS all four containers — n_containers ==
+    4 pins that the lossy-JPEG, exact-H.264, MP4-demux and
+    lossy-HEVC decode paths land on the same pHash — and DuckDB
+    recomputes group sizes + container counts relationally."""
     import numpy as np
     import pandas as pd
     from datasketches_spark_spark.operators import video_phash_signature
     from datasketches_spark_spark.operators.avicodec import \
         encode_avi_mjpeg
 
-    def _frames(g: int):
+    def _frames(g: int, scale: int = 1):
         # structurally DISTINCT footage per group (a moving bright
         # band: horizontal / vertical / diagonal) — average_hash
         # collapses same-shape gradients, so shape is the identity
@@ -3927,24 +3985,48 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r0 = 8 * (k % 2)
                 c0 = 8 * (k % 3)
                 img[r0:r0 + 8, c0:c0 + 16] = 220
+            if scale > 1:
+                # nearest-neighbor upscale: identical block means, so
+                # the same pHash — and CTU-aligned dims for x265
+                img = np.kron(img, np.ones((scale, scale), np.uint8))
             out.append(img)
         return out
 
     def _mk(pdf_iter):
         from datasketches_spark_spark.operators.h264codec import (
             encode_h264_ipcm)
+        from datasketches_spark_spark.operators.hevcnative import (
+            hevc_encode_keyframes)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
         for pdf in pdf_iter:
             ids, vids = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 ids.append(did)
-                if did % 2 == 0:
+                container = (did // 3) % 4
+                if container == 0:
                     vids.append(encode_avi_mjpeg(
                         _frames(did % 3), fps=5 + did % 4,
                         quality=(35, 50, 75, 90)[did % 4]))
-                else:
+                elif container == 1:
                     vids.append(encode_h264_ipcm(
                         _frames(did % 3), chroma=64 + did % 64))
+                elif container == 2:
+                    vids.append(build_mp4(
+                        video_annexb=encode_h264_ipcm(
+                            _frames(did % 3), chroma=64 + did % 64),
+                        tags=b"" if did % 2 else b"doc %d" % did,
+                        per_chunk=1 + did % 3,
+                        moov_first=bool(did % 2),
+                        co64=(did % 4 == 0)))
+                else:
+                    rgb = [np.repeat(f[:, :, None], 3, axis=2)
+                           for f in _frames(did % 3, scale=4)]
+                    vids.append(build_mp4(
+                        video_annexb=hevc_encode_keyframes(
+                            rgb, quality=(60, 75, 90, 85)[did % 4]),
+                        video_dims=(128, 64)))
             yield pd.DataFrame({"doc_id": ids, "avi": vids})
 
     docs = (read_table(spark, sf_dir, "documents")
@@ -3953,9 +4035,8 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = docs.mapInPandas(_mk, "doc_id long, avi binary")
     sig = video_phash_signature(vids, "doc_id", num_frames=4,
                                 payload_col="avi")
-    container = (F.when(F.col("doc_id") % 2 == 0, "avi")
-                 .otherwise("h264"))
-    return (sig.withColumn("container", container)
+    return (sig.withColumn("container", (F.col("doc_id") / 3)
+                           .cast("long") % 4)
             .groupBy(F.concat_ws("|", "phash_seq").alias("sig"))
             .agg(F.count("*").alias("n"),
                  F.min("doc_id").alias("min_id"),
@@ -6941,13 +7022,15 @@ def demo_oracle_sql() -> dict[str, str]:
             FROM range(5) t(g)
             ORDER BY loc
         """,
-        # demo_video_dedup (r15): three footage groups, bytes varied
-        # by fps/quality within each — the signature collapses groups
-        # exactly, so sizes/extremes recompute relationally
+        # demo_video_dedup (r15/r18): three footage groups across
+        # FOUR containers (AVI / raw H.264 / H.264-in-MP4 /
+        # HEVC-in-MP4), bytes varied by fps/quality/layout within
+        # each — the signature collapses groups exactly, so
+        # sizes/extremes recompute relationally
         "demo_video_dedup": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
-                   CAST(count(DISTINCT doc_id % 2) AS BIGINT)
+                   CAST(count(DISTINCT (doc_id // 3) % 4) AS BIGINT)
                      AS n_containers
             FROM documents WHERE doc_id < 180
             GROUP BY doc_id % 3 ORDER BY min_id
@@ -6955,15 +7038,18 @@ def demo_oracle_sql() -> dict[str, str]:
         # demo_audio_dedup (r15): every clip matches its own melody's
         # reference and not the next one's — the numeric margins live
         # in pytest; the gate pins the resulting classification
-        # demo_audio_content (r17): one PCM identity across four
-        # container packagings (WAV / WAV+LIST / FLAC / FLAC+tags)
+        # demo_audio_content (r17/r18): one content identity across
+        # four packagings per leg — PCM (WAV / WAV+LIST / FLAC /
+        # FLAC+tags) and AAC (ADTS / dressed ADTS / MP4 / MP4+tags)
         "demo_audio_content": """
-            SELECT CAST(count(*) AS BIGINT) AS n,
+            SELECT legs.leg, CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
                    CAST(count(DISTINCT doc_id % 4) AS BIGINT)
                      AS n_species
-            FROM documents WHERE doc_id < 180
-            GROUP BY doc_id % 3 ORDER BY min_id
+            FROM documents
+            CROSS JOIN (VALUES ('aac'), ('pcm')) AS legs(leg)
+            WHERE doc_id < 180
+            GROUP BY legs.leg, doc_id % 3 ORDER BY legs.leg, min_id
         """,
         # demo_mp3_dedup (r17): content groups by doc_id % 3, four
         # tag dressings per group must collapse to one frame-walk hash
@@ -6973,7 +7059,7 @@ def demo_oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id % 4) AS BIGINT)
                      AS n_tagshapes
             FROM documents
-            CROSS JOIN (VALUES ('mp3'), ('ogg')) AS legs(leg)
+            CROSS JOIN (VALUES ('aac'), ('mp3'), ('ogg')) AS legs(leg)
             WHERE doc_id < 180
             GROUP BY legs.leg, doc_id % 3 ORDER BY legs.leg, min_id
         """,

@@ -289,6 +289,13 @@ def audio_content_hash(data: bytes) -> str:
       raw-PCM signature to key on).
     * Ogg (Opus/Vorbis): :func:`oggcodec.ogg_audio_hash` (audio
       packet bytes, comment/tags header excluded — same contract).
+    * ADTS AAC (r18): :func:`aaccodec.aac_audio_hash` (raw_data_block
+      payloads; ADTS headers/CRC/ID3 excluded) — equals the MP4 hash
+      below for the same encode.
+    * MP4/ISO-BMFF (r18): :func:`mp4codec.mp4_audio_hash` (audio
+      track sample bytes via the stbl tables; udta/meta/free never
+      contribute) — an ``.aac`` and an ``.m4a`` of one encode
+      collapse cross-container, the WAV↔FLAC precedent.
     """
     import hashlib
     data = bytes(data)
@@ -316,12 +323,21 @@ def audio_content_hash(data: bytes) -> str:
                     data[pos + 8:pos + 8 + size]).hexdigest()
             pos += 8 + size + (size & 1)
         raise ValueError("WAV: no data chunk")
+    # ADTS before MPEG audio: both sync on 0xFFF, but an ID3-wrapped
+    # ADTS stream would satisfy is_mp3's ID3 branch and then fail the
+    # MP3 frame walk — the ADTS sniff validates the actual frame chain
+    from .aaccodec import aac_audio_hash, is_adts
+    if is_adts(data):
+        return aac_audio_hash(data)
     from .mp3codec import is_mp3, mp3_audio_hash
     if is_mp3(data):
         return mp3_audio_hash(data)
     from .oggcodec import is_ogg, ogg_audio_hash
     if is_ogg(data):
         return ogg_audio_hash(data)
+    from .mp4codec import is_mp4, mp4_audio_hash
+    if is_mp4(data):
+        return mp4_audio_hash(data)
     raise ValueError(
         f"no content-hash rule for magic {data[:4]!r}: FLAC, "
-        "RIFF/WAVE, MPEG audio and Ogg are supported")
+        "RIFF/WAVE, MPEG audio, ADTS AAC, Ogg and MP4 are supported")

@@ -1,0 +1,767 @@
+"""MP4 / ISO-BMFF container demux (ISO/IEC 14496-12) — the dominant
+wild audio/video container, structural parsing without codec decode.
+
+Until r18 the engine routed ``ftyp`` brands at the MIME level
+(``functions/mime.py``) but could not see inside an MP4: video dedup
+covered only AVI-MJPG and raw Annex B H.264, audio identity only
+MP3/Ogg/WAV/FLAC. This module parses the REAL sample tables — no
+byte-scan heuristics — and re-expresses the container's content in
+the forms the existing chains consume:
+
+* ``mp4_info`` — brands + one row per track (handler, codec fourcc,
+  dimensions or channels/rate, sample count, duration) from
+  ``moov/trak/mdia/{mdhd,hdlr}`` and ``stbl/{stsd,stts,stsc,stsz,
+  stco|co64}``.
+* ``mp4_extract_video`` — the video track as an **Annex B byte
+  stream**: parameter sets (SPS/PPS from ``avcC``, VPS/SPS/PPS from
+  ``hvcC``) followed by every sample's length-prefixed NAL units
+  converted to start codes — exactly what ``h264codec`` (and the
+  libde265 HEVC binding) consume.
+* ``mp4_audio_hash`` / ``mp4_video_hash`` — metadata-invariant
+  content identity: md5 over the track's SAMPLE bytes (audio) or its
+  VCL NAL payloads (video), reconstructed from the sample tables, so
+  ``udta``/``meta``/``free`` boxes, moov placement, chunk layout and
+  interleaving NEVER contribute. The audio hash equals
+  :func:`aaccodec.aac_audio_hash` of the same AAC encode muxed as
+  ADTS; the video hash equals :func:`video_content_hash` of the same
+  encode as a raw Annex B stream — cross-container collapse, the
+  WAV↔FLAC precedent extended to compressed A/V.
+* ``video_content_hash`` — the cross-container dispatcher (the
+  ``audio_content_hash`` pattern): MP4, raw Annex B, and AVI all
+  produce packaging-invariant identities.
+* ``mp4_frame_sampler`` — ``sample_frames`` hook: demux → Annex B →
+  the existing ``h264_frame_sampler`` (I_PCM keyframes decode, coded
+  macroblocks refuse per payload) or the libde265 HEVC path
+  (``hevcnative``) when the track is ``hev1``/``hvc1``.
+* ``build_mp4`` — deterministic TEST/FIXTURE writer (the WARC/PDF/
+  JPEG/H.264/Ogg write/read-symmetry convention): real box structure
+  (ftyp/mvhd/tkhd/mdhd/hdlr/vmhd|smhd/dinf/stsd[avcC|esds]/stts/
+  stsc/stsz/stco|co64), multi-chunk interleaving, optional co64 and
+  moov-after-mdat layouts, and ``udta`` tags — the shapes the reader
+  must be invariant to.
+
+Scale shape: every hash is one sequential pass over the payload
+inside the Arrow worker; only 32-char hex keys shuffle. Sample decode
+stays where it was: H.264 I_PCM in pure Python, HEVC via the system
+libde265 when present, everything else a loud refusal.
+
+Reference parity note: /root/reference (1,856 LoC of sketch-function
+registration) has no media handling; this module belongs to the
+engine's training-data-pipeline extension surface (SURVEY.md §2,
+multimodal columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+__all__ = ["is_mp4", "mp4_info", "mp4_extract_video",
+           "mp4_audio_hash", "mp4_video_hash", "video_content_hash",
+           "mp4_frame_sampler", "build_mp4"]
+
+MAX_INPUT_BYTES = 256 << 20
+_MAX_SAMPLES = 1 << 20
+_MAX_BOXES = 1 << 16
+
+
+# ------------------------------------------------------------ box walk
+
+def _boxes(data: bytes, start: int, end: int):
+    """Yield ``(type, payload_start, payload_end)`` for the box
+    sequence in ``data[start:end]`` — 32-bit, 64-bit (``size == 1``)
+    and to-end (``size == 0``) forms. Truncation raises."""
+    pos = start
+    n = 0
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"MP4: truncated box header at byte {pos}")
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"MP4: truncated largesize at {pos}")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"MP4: box '{btype.decode('latin1')}' at byte {pos} "
+                f"overruns its container")
+        yield btype, pos + hdr, pos + size
+        pos += size
+        n += 1
+        if n > _MAX_BOXES:
+            raise ValueError("MP4: box count guard exceeded")
+
+
+def _child(data: bytes, start: int, end: int, btype: bytes):
+    for t, ps, pe in _boxes(data, start, end):
+        if t == btype:
+            return ps, pe
+    return None
+
+
+def _children(data: bytes, start: int, end: int, btype: bytes):
+    return [(ps, pe) for t, ps, pe in _boxes(data, start, end)
+            if t == btype]
+
+
+def is_mp4(data: bytes) -> bool:
+    """``ftyp`` at offset 4 with a non-image brand (images route to
+    the AVIF/HEIC codecs; see ``functions/mime.py`` for the brand
+    table this mirrors)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return False
+    brand = data[8:12]
+    return brand not in (b"avif", b"avis", b"heic", b"heix")
+
+
+# ------------------------------------------------------- sample tables
+
+def _full_payload(data: bytes, ps: int, pe: int) -> tuple[int, int, int]:
+    """(version, flags, body_start) of a FullBox payload."""
+    if ps + 4 > pe:
+        raise ValueError("MP4: truncated FullBox")
+    return data[ps], int.from_bytes(data[ps + 1:ps + 4], "big"), ps + 4
+
+
+def _parse_stbl(data: bytes, ps: int, pe: int) -> dict:
+    out: dict = {}
+    for t, cs, ce in _boxes(data, ps, pe):
+        if t == b"stsd":
+            _, _, b = _full_payload(data, cs, ce)
+            n_entries = struct.unpack_from(">I", data, b)[0]
+            if n_entries < 1:
+                raise ValueError("MP4: empty stsd")
+            for et, eps, epe in _boxes(data, b + 4, ce):
+                out["format"] = et.decode("latin1")
+                out["entry"] = (eps, epe)
+                break
+        elif t == b"stts":
+            _, _, b = _full_payload(data, cs, ce)
+            cnt = struct.unpack_from(">I", data, b)[0]
+            runs = [struct.unpack_from(">II", data, b + 4 + 8 * i)
+                    for i in range(min(cnt, _MAX_SAMPLES))]
+            out["stts"] = runs
+        elif t == b"stsc":
+            _, _, b = _full_payload(data, cs, ce)
+            cnt = struct.unpack_from(">I", data, b)[0]
+            out["stsc"] = [struct.unpack_from(">III", data, b + 4 + 12 * i)
+                           for i in range(min(cnt, _MAX_SAMPLES))]
+        elif t == b"stsz":
+            _, _, b = _full_payload(data, cs, ce)
+            fixed, cnt = struct.unpack_from(">II", data, b)
+            if cnt > _MAX_SAMPLES:
+                raise ValueError("MP4: sample count guard exceeded")
+            if fixed:
+                out["sizes"] = [fixed] * cnt
+            else:
+                if b + 8 + 4 * cnt > ce:
+                    raise ValueError("MP4: truncated stsz table")
+                out["sizes"] = list(struct.unpack_from(
+                    ">%dI" % cnt, data, b + 8))
+        elif t == b"stco":
+            _, _, b = _full_payload(data, cs, ce)
+            cnt = struct.unpack_from(">I", data, b)[0]
+            if b + 4 + 4 * cnt > ce:
+                raise ValueError("MP4: truncated stco table")
+            out["chunks"] = list(struct.unpack_from(
+                ">%dI" % cnt, data, b + 4))
+        elif t == b"co64":
+            _, _, b = _full_payload(data, cs, ce)
+            cnt = struct.unpack_from(">I", data, b)[0]
+            if b + 4 + 8 * cnt > ce:
+                raise ValueError("MP4: truncated co64 table")
+            out["chunks"] = list(struct.unpack_from(
+                ">%dQ" % cnt, data, b + 4))
+    return out
+
+
+def _sample_spans(stbl: dict, file_len: int) -> list[tuple[int, int]]:
+    """Per-sample ``(offset, size)`` in FILE order, reconstructed from
+    stsc runs x chunk offsets x stsz sizes — the real §8.7 mapping,
+    including chunks that the last stsc run extends to the chunk-table
+    end."""
+    sizes = stbl.get("sizes")
+    chunks = stbl.get("chunks")
+    stsc = stbl.get("stsc")
+    if not sizes or not chunks or not stsc:
+        raise ValueError("MP4: incomplete sample tables "
+                         "(need stsz + stco/co64 + stsc)")
+    spans: list[tuple[int, int]] = []
+    si = 0
+    n_chunks = len(chunks)
+    for ri, (first, per_chunk, _desc) in enumerate(stsc):
+        last = (stsc[ri + 1][0] - 1) if ri + 1 < len(stsc) else n_chunks
+        if first < 1 or last > n_chunks:
+            raise ValueError("MP4: stsc run outside the chunk table")
+        for ci in range(first - 1, last):
+            off = chunks[ci]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                sz = sizes[si]
+                if off + sz > file_len:
+                    raise ValueError(
+                        f"MP4: sample {si} overruns the file "
+                        "(truncated mdat)")
+                spans.append((off, sz))
+                off += sz
+                si += 1
+    if si < len(sizes):
+        raise ValueError(
+            f"MP4: sample tables cover only {si} of {len(sizes)} samples")
+    return spans
+
+
+def _parse_tracks(data: bytes) -> list[dict]:
+    data = bytes(data)
+    if len(data) > MAX_INPUT_BYTES:
+        raise ValueError("MP4 exceeds the input size guard")
+    moov = _child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4: no moov box")
+    tracks = []
+    for tps, tpe in _children(data, moov[0], moov[1], b"trak"):
+        mdia = _child(data, tps, tpe, b"mdia")
+        if mdia is None:
+            continue
+        t: dict = {}
+        hd = _child(data, mdia[0], mdia[1], b"hdlr")
+        if hd:
+            _, _, b = _full_payload(data, hd[0], hd[1])
+            t["handler"] = data[b + 4:b + 8].decode("latin1")
+        mh = _child(data, mdia[0], mdia[1], b"mdhd")
+        if mh:
+            v, _, b = _full_payload(data, mh[0], mh[1])
+            if v == 1:
+                t["timescale"], t["duration"] = struct.unpack_from(
+                    ">IQ", data, b + 16)
+            else:
+                t["timescale"], t["duration"] = struct.unpack_from(
+                    ">II", data, b + 8)
+        minf = _child(data, mdia[0], mdia[1], b"minf")
+        stbl_span = minf and _child(data, minf[0], minf[1], b"stbl")
+        if not stbl_span:
+            continue
+        stbl = _parse_stbl(data, stbl_span[0], stbl_span[1])
+        t["format"] = stbl.get("format", "????")
+        t["stbl"] = stbl
+        t["spans"] = _sample_spans(stbl, len(data))
+        eps, epe = stbl.get("entry", (0, 0))
+        if t.get("handler") == "vide" and eps:
+            t["width"], t["height"] = struct.unpack_from(
+                ">HH", data, eps + 24)
+            # child boxes of a VisualSampleEntry start at +78
+            for ct, cs, ce in _boxes(data, eps + 78, epe):
+                if ct in (b"avcC", b"hvcC"):
+                    t["config_type"] = ct.decode("latin1")
+                    t["config"] = data[cs:ce]
+                    break
+        elif t.get("handler") == "soun" and eps:
+            t["channels"], t["sample_size"] = struct.unpack_from(
+                ">HH", data, eps + 16)
+            t["sample_rate"] = struct.unpack_from(
+                ">I", data, eps + 24)[0] >> 16
+        tracks.append(t)
+    if not tracks:
+        raise ValueError("MP4: moov has no usable trak")
+    return tracks
+
+
+def mp4_info(data: bytes) -> dict:
+    """Container summary: ``{brand, compatible_brands, n_tracks,
+    tracks: [{handler, format, n_samples, duration_s, width/height |
+    channels/sample_rate}], has_tags}``. Pure structure — no sample
+    bytes are touched."""
+    data = bytes(data)
+    if not is_mp4(data):
+        raise ValueError("not an ISO-BMFF/MP4 payload")
+    ft = _child(data, 0, len(data), b"ftyp")
+    assert ft is not None
+    brand = data[ft[0]:ft[0] + 4].decode("latin1")
+    compat = [data[p:p + 4].decode("latin1")
+              for p in range(ft[0] + 8, ft[1], 4)]
+    moov = _child(data, 0, len(data), b"moov")
+    has_tags = bool(moov and _child(data, moov[0], moov[1], b"udta"))
+    rows = []
+    for t in _parse_tracks(data):
+        row = {"handler": t.get("handler"), "format": t["format"],
+               "n_samples": len(t["spans"])}
+        if t.get("timescale"):
+            row["duration_s"] = round(t["duration"] / t["timescale"], 3)
+        for k in ("width", "height", "channels", "sample_rate"):
+            if k in t:
+                row[k] = t[k]
+        rows.append(row)
+    return {"brand": brand, "compatible_brands": compat,
+            "n_tracks": len(rows), "tracks": rows,
+            "has_tags": has_tags}
+
+
+# ------------------------------------------------- stream re-expression
+
+def _config_nals(config_type: str, cfg: bytes) -> tuple[list[bytes], int]:
+    """Parameter-set NALs + NAL length-prefix size from an ``avcC``
+    (ISO 14496-15 §5.3.3.1) or ``hvcC`` (§8.3.3.1) record."""
+    nals: list[bytes] = []
+    if config_type == "avcC":
+        if len(cfg) < 7:
+            raise ValueError("MP4: truncated avcC")
+        length_size = (cfg[4] & 0x3) + 1
+        pos = 5
+        n_sps = cfg[pos] & 0x1F
+        pos += 1
+        for _ in range(n_sps):
+            ln = struct.unpack_from(">H", cfg, pos)[0]
+            nals.append(cfg[pos + 2:pos + 2 + ln])
+            pos += 2 + ln
+        n_pps = cfg[pos]
+        pos += 1
+        for _ in range(n_pps):
+            ln = struct.unpack_from(">H", cfg, pos)[0]
+            nals.append(cfg[pos + 2:pos + 2 + ln])
+            pos += 2 + ln
+        return nals, length_size
+    if config_type == "hvcC":
+        if len(cfg) < 23:
+            raise ValueError("MP4: truncated hvcC")
+        length_size = (cfg[21] & 0x3) + 1
+        n_arrays = cfg[22]
+        pos = 23
+        for _ in range(n_arrays):
+            n_nalus = struct.unpack_from(">H", cfg, pos + 1)[0]
+            pos += 3
+            for _ in range(n_nalus):
+                ln = struct.unpack_from(">H", cfg, pos)[0]
+                nals.append(cfg[pos + 2:pos + 2 + ln])
+                pos += 2 + ln
+        return nals, length_size
+    raise ValueError(f"MP4: unknown decoder config '{config_type}'")
+
+
+def _sample_nals(data: bytes, spans, length_size: int):
+    """Yield NAL units from length-prefixed samples."""
+    for off, sz in spans:
+        end = off + sz
+        pos = off
+        while pos < end:
+            if pos + length_size > end:
+                raise ValueError("MP4: truncated NAL length prefix")
+            ln = int.from_bytes(data[pos:pos + length_size], "big")
+            pos += length_size
+            if pos + ln > end:
+                raise ValueError("MP4: NAL overruns its sample")
+            yield data[pos:pos + ln]
+            pos += ln
+
+
+def _video_track(data: bytes) -> dict:
+    vids = [t for t in _parse_tracks(data) if t.get("handler") == "vide"]
+    if not vids:
+        raise ValueError("MP4: no video track")
+    t = vids[0]
+    if "config" not in t:
+        raise ValueError(
+            f"MP4: video track '{t['format']}' has no avcC/hvcC "
+            "decoder configuration")
+    return t
+
+
+def mp4_extract_video(data: bytes) -> dict:
+    """The first video track as an Annex B byte stream:
+    ``{"codec": "h264" | "hevc", "annexb": bytes, "width", "height",
+    "n_samples"}`` — parameter sets from the decoder configuration
+    record first, then every sample's NALs, all start-code delimited.
+    This is the exact input ``h264codec.decode_h264_ipcm`` /
+    ``hevcnative.hevc_decode_frames`` take."""
+    data = bytes(data)
+    t = _video_track(data)
+    cfg_nals, length_size = _config_nals(t["config_type"], t["config"])
+    out = bytearray()
+    for nal in cfg_nals:
+        out += b"\x00\x00\x00\x01" + nal
+    for nal in _sample_nals(data, t["spans"], length_size):
+        out += b"\x00\x00\x00\x01" + nal
+    return {"codec": "h264" if t["config_type"] == "avcC" else "hevc",
+            "annexb": bytes(out), "width": t.get("width"),
+            "height": t.get("height"), "n_samples": len(t["spans"])}
+
+
+def mp4_audio_hash(data: bytes) -> str:
+    """Metadata-invariant audio content identity for an MP4: md5 over
+    the first audio track's SAMPLE bytes in track order. For an AAC
+    (``mp4a``) track these are the raw_data_block payloads, so the
+    hash equals :func:`aaccodec.aac_audio_hash` of the same encode in
+    ADTS packaging — cross-container collapse with no decode.
+    ``udta``/``meta``/``free`` boxes, chunk layout, and moov placement
+    never contribute (the hash reads only table-addressed bytes)."""
+    data = bytes(data)
+    auds = [t for t in _parse_tracks(data) if t.get("handler") == "soun"]
+    if not auds:
+        raise ValueError("MP4: no audio track")
+    h = hashlib.md5()
+    for off, sz in auds[0]["spans"]:
+        h.update(data[off:off + sz])
+    return h.hexdigest()
+
+
+def _is_vcl(nal: bytes, codec: str) -> bool:
+    if not nal:
+        return False
+    if codec == "h264":
+        return (nal[0] & 0x1F) in (1, 2, 3, 4, 5)
+    return ((nal[0] >> 1) & 0x3F) <= 31          # hevc: VCL 0..31
+
+
+def mp4_video_hash(data: bytes) -> str:
+    """Metadata-invariant video content identity for an MP4: md5 over
+    the video track's VCL NAL bytes (slice data only — parameter
+    sets, SEI and other non-VCL units excluded). Equals
+    :func:`video_content_hash` of the same encode as a raw Annex B
+    stream, where parameter sets travel in-band instead of in
+    ``avcC`` — packaging-invariant identity across the two shapes
+    wild H.264/HEVC arrives in."""
+    data = bytes(data)
+    t = _video_track(data)
+    codec = "h264" if t["config_type"] == "avcC" else "hevc"
+    _, length_size = _config_nals(t["config_type"], t["config"])
+    h = hashlib.md5()
+    for nal in _sample_nals(data, t["spans"], length_size):
+        if _is_vcl(nal, codec):
+            h.update(nal)
+    return h.hexdigest()
+
+
+def video_content_hash(data: bytes) -> str:
+    """Cross-container video CONTENT identity — the
+    :func:`audiocodec.audio_content_hash` contract for video:
+
+    * MP4 (``avc1``/``hev1``/``hvc1``): :func:`mp4_video_hash`.
+    * raw Annex B H.264/HEVC: md5 over the VCL NAL bytes (start
+      codes and non-VCL units excluded) — the SAME bytes the MP4
+      form hashes, so one encode collapses across both packagings.
+    * AVI: md5 over the video-stream frame payloads
+      (``avicodec.avi_frame_payloads`` — LIST/INFO/JUNK metadata
+      never contributes).
+
+    Exact-stream identity modulo packaging: re-encodes change the
+    hash (route decodable video through ``video_phash_signature``
+    for perceptual identity)."""
+    data = bytes(data)
+    if is_mp4(data):
+        return mp4_video_hash(data)
+    from .h264codec import _split_nals, is_h264
+    if is_h264(data) or _looks_annexb_hevc(data):
+        codec = "h264" if is_h264(data) else "hevc"
+        h = hashlib.md5()
+        for nal in _split_nals(data):
+            if _is_vcl(nal, codec):
+                h.update(nal)
+        return h.hexdigest()
+    from .avicodec import avi_frame_payloads, is_avi
+    if is_avi(data):
+        h = hashlib.md5()
+        for frame in avi_frame_payloads(data):
+            h.update(frame)
+        return h.hexdigest()
+    raise ValueError(
+        f"no video content-hash rule for magic {data[:4]!r}: MP4, "
+        "Annex B H.264/HEVC and AVI are supported")
+
+
+def _looks_annexb_hevc(data: bytes) -> bool:
+    """Annex B whose first NAL is an HEVC VPS/SPS (types 32/33,
+    forbidden_zero_bit clear — disjoint from H.264's type range)."""
+    for off in (3, 4):
+        if data[:off] in (b"\x00\x00\x01", b"\x00\x00\x00\x01") \
+                and len(data) > off:
+            ntype = (data[off] >> 1) & 0x3F
+            return (data[off] & 0x80) == 0 and ntype in (32, 33)
+    return False
+
+
+def mp4_frame_sampler(raw: bytes, num_frames: int) -> list[bytes]:
+    """``sample_frames`` hook for MP4 payloads (mirrors
+    ``mjpeg_frame_sampler`` / ``h264_frame_sampler``): demux the video
+    track to Annex B, then decode through the codec-appropriate path —
+    ``h264codec`` (I_PCM keyframes; coded macroblocks refuse) or the
+    system libde265 binding for HEVC. Raises for payloads it cannot
+    decode; ``sample_frames`` turns that into zero rows per payload,
+    never a task abort."""
+    v = mp4_extract_video(raw)
+    if v["codec"] == "h264":
+        from .h264codec import h264_frame_sampler
+        return h264_frame_sampler(v["annexb"], num_frames)
+    from .hevcnative import hevc_frame_sampler
+    return hevc_frame_sampler(v["annexb"], num_frames)
+
+
+# --------------------------------------------------------------- writer
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int,
+          payload: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big")
+                + payload)
+
+
+_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+
+
+def _chunk_samples(sizes: list[int], per_chunk: int):
+    """Chunk layout: runs of ``per_chunk`` samples with a short final
+    chunk when it doesn't divide — TWO stsc runs, exercising the
+    run-extension logic readers commonly get wrong."""
+    n = len(sizes)
+    chunks = [sizes[i:i + per_chunk] for i in range(0, n, per_chunk)]
+    runs = [(1, per_chunk, 1)]
+    if chunks and len(chunks[-1]) != per_chunk:
+        runs.append((len(chunks), len(chunks[-1]), 1))
+    return chunks, runs
+
+
+def _stbl(fmt_entry: bytes, sizes: list[int], per_chunk: int,
+          timescale: int, sample_delta: int, co64: bool,
+          chunk_offsets: list[int]) -> bytes:
+    chunks, runs = _chunk_samples(sizes, per_chunk)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + fmt_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, len(sizes),
+                                            sample_delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(runs))
+                 + b"".join(struct.pack(">III", *r) for r in runs))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, len(sizes))
+                 + struct.pack(">%dI" % len(sizes), *sizes))
+    if co64:
+        stco = _full(b"co64", 0, 0,
+                     struct.pack(">I", len(chunk_offsets))
+                     + struct.pack(">%dQ" % len(chunk_offsets),
+                                   *chunk_offsets))
+    else:
+        stco = _full(b"stco", 0, 0,
+                     struct.pack(">I", len(chunk_offsets))
+                     + struct.pack(">%dI" % len(chunk_offsets),
+                                   *chunk_offsets))
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def _avc1_entry(sps: list[bytes], pps: list[bytes], width: int,
+                height: int) -> bytes:
+    profile, compat, level = (sps[0][1], sps[0][2], sps[0][3]) \
+        if sps and len(sps[0]) >= 4 else (66, 0, 30)
+    avcc = bytes([1, profile, compat, level, 0xFF,
+                  0xE0 | len(sps)])
+    for s in sps:
+        avcc += struct.pack(">H", len(s)) + s
+    avcc += bytes([len(pps)])
+    for p in pps:
+        avcc += struct.pack(">H", len(p)) + p
+    body = (b"\x00" * 6 + struct.pack(">H", 1)        # data_ref_idx
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x480000, 0x480000)
+            + b"\x00" * 4 + struct.pack(">H", 1)      # frame_count
+            + b"\x00" * 32                             # compressorname
+            + struct.pack(">Hh", 24, -1))
+    return _box(b"avc1", body + _box(b"avcC", avcc))
+
+
+def _hev1_entry(ps_nals: list[bytes], width: int, height: int) -> bytes:
+    """Minimal-but-valid hvcC: the 23-byte header with conservative
+    profile/level fields, then one array per parameter-set type."""
+    by_type: dict[int, list[bytes]] = {}
+    for nal in ps_nals:
+        by_type.setdefault((nal[0] >> 1) & 0x3F, []).append(nal)
+    hvcc = bytearray()
+    hvcc += bytes([1])                     # configurationVersion
+    hvcc += bytes([0x01])                  # profile_space/tier/idc
+    hvcc += struct.pack(">I", 0x60000000)  # profile compat flags
+    hvcc += b"\x90\x00\x00\x00\x00\x00"    # constraint flags
+    hvcc += bytes([93])                    # level_idc
+    hvcc += struct.pack(">H", 0xF000)      # spatial seg idc
+    hvcc += bytes([0xFC, 0xFD, 0xF8, 0xF8])  # chroma/depth
+    hvcc += struct.pack(">H", 0)           # avg frame rate
+    hvcc += bytes([0x03 | (0 << 2) | (0 << 3)])   # lengthSize-1 = 3
+    hvcc += bytes([len(by_type)])
+    for ntype in sorted(by_type):
+        hvcc += bytes([0x80 | ntype])
+        hvcc += struct.pack(">H", len(by_type[ntype]))
+        for nal in by_type[ntype]:
+            hvcc += struct.pack(">H", len(nal)) + nal
+    body = (b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x480000, 0x480000)
+            + b"\x00" * 4 + struct.pack(">H", 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1))
+    return _box(b"hev1", body + _box(b"hvcC", bytes(hvcc)))
+
+
+def _mp4a_entry(channels: int, sample_rate: int) -> bytes:
+    # AudioSpecificConfig: AAC-LC (2), freq index, channel config
+    freq_table = [96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                  22050, 16000, 12000, 11025, 8000, 7350]
+    fi = freq_table.index(sample_rate) if sample_rate in freq_table \
+        else 4
+    asc = bytes([(2 << 3) | (fi >> 1),
+                 ((fi & 1) << 7) | (channels << 3)])
+
+    def _desc(tag: int, body: bytes) -> bytes:
+        return bytes([tag, len(body)]) + body
+    dec_cfg = _desc(0x04, bytes([0x40, 0x15, 0, 0, 0])
+                    + struct.pack(">II", 0, 0) + _desc(0x05, asc))
+    es = _desc(0x03, struct.pack(">HB", 1, 0) + dec_cfg
+               + _desc(0x06, b"\x02"))
+    esds = _full(b"esds", 0, 0, es)
+    body = (b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HH", channels, 16)
+            + b"\x00" * 4
+            + struct.pack(">I", sample_rate << 16))
+    return _box(b"mp4a", body + esds)
+
+
+def _trak(handler: bytes, fmt_entry: bytes, sizes: list[int],
+          per_chunk: int, timescale: int, sample_delta: int,
+          co64: bool, chunk_offsets: list[int], track_id: int,
+          width: int = 0, height: int = 0) -> bytes:
+    duration = len(sizes) * sample_delta
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, track_id, 0)
+                 + struct.pack(">I", duration) + b"\x00" * 8
+                 + struct.pack(">HHHH", 0, 0,
+                               0x100 if handler == b"soun" else 0, 0)
+                 + _MATRIX
+                 + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale,
+                                            duration)
+                 + struct.pack(">HH", 0x55C4, 0))
+    name = b"VideoHandler\x00" if handler == b"vide" \
+        else b"SoundHandler\x00"
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12
+                 + name)
+    mhd = _full(b"vmhd", 0, 1, b"\x00" * 8) if handler == b"vide" \
+        else _full(b"smhd", 0, 0, b"\x00" * 4)
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1)
+                               + _full(b"url ", 0, 1, b"")))
+    stbl = _stbl(fmt_entry, sizes, per_chunk, timescale, sample_delta,
+                 co64, chunk_offsets)
+    minf = _box(b"minf", mhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def build_mp4(video_annexb: bytes | None = None,
+              audio_payloads: list[bytes] | None = None,
+              tags: bytes = b"", moov_first: bool = True,
+              co64: bool = False, per_chunk: int = 2,
+              free_pad: int = 0, video_fps: int = 10,
+              audio_rate: int = 48000, audio_channels: int = 2,
+              video_dims: tuple[int, int] | None = None) -> bytes:
+    """TEST/FIXTURE writer: a structurally valid MP4 carrying a video
+    track (an Annex B H.264/HEVC stream — parameter sets land in
+    avcC/hvcC, each VCL NAL becomes one length-prefixed sample) and/or
+    an audio track (``audio_payloads`` become mp4a samples — feed the
+    same list to ``aaccodec.build_adts_stream(payloads=...)`` for the
+    cross-container pair). Deterministic; layout knobs exercise
+    reader invariance: ``tags`` (udta box), ``moov_first`` (False =
+    moov after mdat, the non-faststart shape), ``co64`` (64-bit chunk
+    offsets), ``per_chunk`` (multi-sample chunks + a two-run stsc),
+    ``free_pad`` (a free box before mdat)."""
+    if video_annexb is None and audio_payloads is None:
+        raise ValueError("build_mp4 needs a video and/or audio track")
+    traks = []           # (handler, fmt_entry_fn, sample list, ...)
+    if video_annexb is not None:
+        from .h264codec import _split_nals
+        nals = _split_nals(bytes(video_annexb))
+        if not nals:
+            raise ValueError("video_annexb has no NAL units")
+        hevc = _looks_annexb_hevc(bytes(video_annexb))
+        ps, samples = [], []
+        for nal in nals:
+            if _is_vcl(nal, "hevc" if hevc else "h264"):
+                samples.append(struct.pack(">I", len(nal)) + nal)
+            else:
+                ps.append(nal)
+        if not samples:
+            raise ValueError("video_annexb has no VCL NALs")
+        if hevc:
+            # dedupe repeated parameter sets (per-IDR repeats are
+            # normal in Annex B; hvcC carries each once)
+            seen: set[bytes] = set()
+            ps = [n for n in ps
+                  if not (bytes(n) in seen or seen.add(bytes(n)))]
+            w, h = video_dims or (0, 0)    # HEVC SPS dims: caller's
+            entry = _hev1_entry(ps, w, h)
+        else:
+            sps = [n for n in ps if n[0] & 0x1F == 7]
+            pps = [n for n in ps if n[0] & 0x1F == 8]
+            if not sps or not pps:
+                raise ValueError("H.264 annexb without SPS/PPS")
+            from .h264codec import _BitReader, _parse_sps, \
+                _unescape_rbsp
+            info = _parse_sps(_BitReader(_unescape_rbsp(sps[0][1:])))
+            w, h = 16 * info["mbs_w"], 16 * info["mbs_h"]
+            entry = _avc1_entry(sps, pps, w, h)
+        traks.append(("vide", entry, samples, video_fps, 1, w, h))
+    if audio_payloads is not None:
+        entry = _mp4a_entry(audio_channels, audio_rate)
+        traks.append(("soun", entry, [bytes(p) for p in audio_payloads],
+                      audio_rate, 1024, 0, 0))
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                + b"isomiso2avc1mp41")
+    free = _box(b"free", b"\x00" * free_pad) if free_pad else b""
+
+    # mdat: tracks' chunks interleaved track-by-track (track 1 chunks
+    # then track 2 — valid; interleaving is a layout choice)
+    mdat_body = bytearray()
+    chunk_offsets_rel: list[list[int]] = []
+    for _handler, _entry, samples, *_ in traks:
+        chunks, _runs = _chunk_samples([len(s) for s in samples],
+                                       per_chunk)
+        offs = []
+        i = 0
+        for ch in chunks:
+            offs.append(len(mdat_body))
+            for _ in ch:
+                mdat_body += samples[i]
+                i += 1
+        chunk_offsets_rel.append(offs)
+    mdat = _box(b"mdat", bytes(mdat_body))
+
+    def _moov(mdat_payload_at: int) -> bytes:
+        body = b""
+        mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                     + struct.pack(">IHH", 0x10000, 0x100, 0)
+                     + b"\x00" * 8 + _MATRIX + b"\x00" * 24
+                     + struct.pack(">I", len(traks) + 1))
+        body += mvhd
+        for ti, (handler, entry, samples, timescale, delta, w, h) in \
+                enumerate(traks):
+            body += _trak(
+                handler.encode(), entry, [len(s) for s in samples],
+                per_chunk, timescale, delta, co64,
+                [mdat_payload_at + o for o in chunk_offsets_rel[ti]],
+                ti + 1, w, h)
+        if tags:
+            body += _box(b"udta", _box(b"meta", _box(
+                b"ilst", _box(b"\xa9nam", _box(b"data", b"\x00" * 8
+                                               + tags)))))
+        return _box(b"moov", body)
+
+    if moov_first:
+        # moov size does not depend on offset VALUES (fixed-width
+        # stco/co64 entries): measure with zeros, then re-render
+        probe = _moov(0)
+        at = len(ftyp) + len(probe) + len(free) + 8
+        return ftyp + _moov(at) + free + mdat
+    at = len(ftyp) + len(free) + 8
+    return ftyp + free + mdat + _moov(at)

@@ -21,6 +21,7 @@ signature — is real and tested end-to-end for every format class.
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Callable, Iterator
 
@@ -290,6 +291,7 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avicodec import is_avi, mjpeg_frame_sampler
         from .h264codec import h264_frame_sampler, is_h264
+        from .mp4codec import is_mp4, mp4_frame_sampler
         for pdf in batches:
             rows = []
             for j, raw in enumerate(pdf["_p"]):
@@ -311,6 +313,16 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                         fs = h264_frame_sampler(raw, num_frames)
                     except (NotImplementedError, ValueError,
                             IndexError):
+                        continue
+                elif is_mp4(raw):
+                    # r18: MP4/ISO-BMFF — demux the video track to
+                    # Annex B and decode through h264codec (I_PCM) or
+                    # the system libde265 (HEVC). Same per-payload
+                    # refusal contract as the raw H.264 branch.
+                    try:
+                        fs = mp4_frame_sampler(raw, num_frames)
+                    except (NotImplementedError, ValueError,
+                            IndexError, struct.error):
                         continue
                 else:
                     step = max(len(raw) // num_frames, 1)
