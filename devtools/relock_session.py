@@ -2,21 +2,28 @@
 """One isolated perf-lock session (BASELINE.md three-session
 protocol, r18 episode-filter revision).
 
-Usage: ``python devtools/relock_session.py q42_ngram_jaccard_dedup
-q36_streaming_dedup`` — starts a fresh local[32] session at sf0.1
-(bench.py's exact warmup), runs the three control queries best-of-3,
-then each named query best-of-3, and prints ONE JSON line::
+Usage: ``python devtools/relock_session.py q42_ngram_jaccard_dedup``
+— fresh local[32] session at sf0.1 (bench.py's exact warmup), the
+three control queries best-of-3 BEFORE and AFTER the targets, each
+target best-of-3, one JSON line out.
 
-    {"controls": {...}, "control_factor": 1.12, "contended": false,
-     "queries": {...}}
+The r18 rule (r17 verdict "What's wrong" #3): a session whose
+control factor reads **> 1.5x** is CONTENDED — discard it and run a
+replacement, so a host-I/O episode can never inflate a lock (the old
+worst/1.9 guard merely damped it). Two r18 calibration findings
+baked in:
 
-``control_factor`` is the median control ratio vs
-ENGINE_BASELINE.json. The r18 rule (r17 verdict "What's wrong" #3): a
-session whose controls read **> 1.5x** is CONTENDED — discard it and
-run a replacement session, so a host-I/O episode can never inflate a
-lock (the old worst/1.9 guard merely damped it). Lock formula over
-the surviving sessions' best-of-3 values stays
-``max(best, worst/1.9, 0.25)``.
+* Control baselines are SOLO-SESSION floors (min over >= 7 isolated
+  sessions, 2026-08-16), NOT bench.py's mid-sweep numbers — the
+  bench sweep runs controls with a far warmer JVM, so q07/q20 there
+  read ~1.6x faster and every lock session would look contended.
+* Controls bracket the targets (pre AND post medians, factor = the
+  worse one): an episode striking mid-session hits the post set even
+  when the pre set was clean.
+
+Lock formula over surviving sessions' best-of-3 values stays
+``max(best, worst/1.9, 0.25)``. Zero targets = a controls-only
+calibration session.
 """
 
 from __future__ import annotations
@@ -31,7 +38,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import __spark_entry__ as entrymod  # noqa: E402
 from datasketches_spark_spark.sources import session_builder  # noqa: E402
 
-_CONTROLS = ["q01_percentile_by_flag", "q07_ndv_hll", "q20_textstats"]
+# solo-session floors, min over 7 isolated sessions (see module doc)
+_CONTROLS = {"q01_percentile_by_flag": 1.476,
+             "q07_ndv_hll": 0.386,
+             "q20_textstats": 1.076}
 
 
 def _best_of_3(fn, spark, sf_dir) -> float:
@@ -44,16 +54,16 @@ def _best_of_3(fn, spark, sf_dir) -> float:
     return round(best, 3)
 
 
+def _control_factor(vals: dict) -> float:
+    ratios = sorted(vals[c] / b for c, b in _CONTROLS.items())
+    return round(ratios[len(ratios) // 2], 3)
+
+
 def main() -> None:
     targets = sys.argv[1:]
-    if not targets:
-        raise SystemExit("usage: relock_session.py <query> [...]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "ENGINE_BASELINE.json")) as f:
-        base_q = json.load(f)["queries"]
 
     spark = (session_builder(master=f"local[{cpus}]",
                              shuffle_partitions=cpus)
@@ -72,16 +82,15 @@ def main() -> None:
     warm.mapInPandas(_warm, warm.schema).selectExpr("count(*)").collect()
 
     qs = entrymod.queries()
-    controls = {c: _best_of_3(qs[c], spark, sf_dir) for c in _CONTROLS}
-    ratios = sorted(controls[c] / base_q[c] for c in _CONTROLS
-                    if base_q.get(c, 0) > 0)
-    cf = ratios[len(ratios) // 2] if ratios else 1.0
-    out = {"controls": controls, "control_factor": round(cf, 3),
-           "contended": cf > 1.5,
-           "queries": {t: _best_of_3(qs[t], spark, sf_dir)
-                       for t in targets}}
+    pre = {c: _best_of_3(qs[c], spark, sf_dir) for c in _CONTROLS}
+    res = {t: _best_of_3(qs[t], spark, sf_dir) for t in targets}
+    post = {c: _best_of_3(qs[c], spark, sf_dir) for c in _CONTROLS}
+    cf = max(_control_factor(pre), _control_factor(post))
     spark.stop()
-    print(json.dumps(out))
+    print(json.dumps({
+        "controls_pre": pre, "controls_post": post,
+        "control_factor": cf, "contended": cf > 1.5,
+        "queries": res}))
 
 
 if __name__ == "__main__":
