@@ -141,6 +141,12 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
          .when(is_riff & (word9 == "AVI "), "video/avi")
          .when(h4 == "664C6143", "audio/flac")                # fLaC
          .when(h3 == "494433", "audio/mpeg")                  # ID3v2
+         # ADTS AAC before the generic MPEG sync: layer bits 00 put
+         # byte 2 in {F0,F1,F8,F9}, disjoint from every MPEG audio
+         # layer (r18; ID3-wrapped ADTS still routes audio/mpeg —
+         # skipping a syncsafe tag needs byte math a Column sniff
+         # doesn't do, and aaccodec.is_adts disambiguates downstream)
+         .when(h2.rlike("^FF(F0|F1|F8|F9)$"), "audio/aac")
          .when(h2.rlike("^FF[EF]"), "audio/mpeg")             # MPEG sync
          .when(h4 == "4F676753", "application/ogg")           # OggS
          .when(is_ftyp & word9.isin("avif", "avis"), "image/avif")

@@ -170,10 +170,15 @@ def _header_packet_count(codec: str, first_packet: bytes) -> int:
 
 def ogg_info(data: bytes) -> dict:
     """Walk every page (CRC-validated): ``{codec, channels,
-    sample_rate, pre_skip, n_pages, n_packets, duration_s, serials}``
-    for the FIRST logical stream (the audio stream in the common
-    single-stream files); multiplexed streams are counted in
-    ``serials``."""
+    sample_rate, pre_skip, n_pages, n_packets, duration_s, serials,
+    n_audio_packets, audio_bytes, mean_packet_bytes,
+    max_packet_bytes, bitrate_kbps}`` for the FIRST logical stream
+    (the audio stream in the common single-stream files); multiplexed
+    streams are counted in ``serials``. The packet-level fields (r18
+    — the ``mp3_info`` parity) describe the AUDIO packets only
+    (header packets excluded via the same per-codec rule
+    ``ogg_audio_hash`` uses, incl. the declared Ogg-FLAC count), so
+    audio quality filtering can run on Ogg without any decode."""
     pages = list(_pages(data))
     if not pages:
         raise ValueError("Ogg: no pages")
@@ -204,11 +209,21 @@ def ogg_info(data: bytes) -> dict:
     if rate:
         ticks = last_granule - (pre_skip or 0)
         duration = round(max(ticks, 0) / rate, 3)
+    audio = pkts[_header_packet_count(codec, pkts[0]):]
+    audio_bytes = sum(len(p) for p in audio)
     return {"codec": codec, "channels": channels,
             "sample_rate": rate, "pre_skip": pre_skip,
             "n_pages": sum(1 for p in pages if p["serial"] == main),
             "n_packets": len(pkts), "duration_s": duration,
-            "serials": serials}
+            "serials": serials,
+            "n_audio_packets": len(audio),
+            "audio_bytes": audio_bytes,
+            "mean_packet_bytes": (round(audio_bytes / len(audio), 1)
+                                  if audio else 0.0),
+            "max_packet_bytes": max((len(p) for p in audio),
+                                    default=0),
+            "bitrate_kbps": (round(audio_bytes * 8 / 1000 / duration,
+                                   1) if duration else None)}
 
 
 def ogg_audio_hash(data: bytes) -> str:

@@ -993,6 +993,17 @@ def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
         # recovers text. Chain: /DescendantFonts [N 0 R] ->
         # /FontDescriptor -> /FontFile2 stream (sfnt).
         if not re.search(rb"/Encoding\s*/Identity-[HV]\b", body):
+            # r18: a PREDEFINED (non-Identity) CMap — /UniGB-UCS2-H
+            # and friends — or an embedded CMap stream, with no
+            # usable /ToUnicode: this engine carries no predefined
+            # CMap tables (large normative data; gap documented in
+            # pdf_info via ``type0_encodings``), so the font has NO
+            # text source. An EMPTY map quarantines its strings to
+            # U+FFFD and counts them into type0_coverage (-> 0.0)
+            # instead of leaking 2-byte codes into text as latin-1
+            # garbage (which also escaped the coverage metric
+            # entirely — the pre-r18 behavior).
+            fmaps[num] = {}
             continue
         dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R",
                        body)
@@ -1250,6 +1261,24 @@ def pdf_info(data: bytes, password: bytes = b"") -> dict:
             streams, _objs, unpacked = _document_model(data, dec_h)
     page_re = rb"/Type\s*/Page\b(?!s)"
     type0_re = rb"/Subtype\s*/Type0\b"
+    # r18: name every Type0 /Encoding so pipelines can ROUTE
+    # documents this engine quarantines (predefined CJK CMaps —
+    # Adobe-GB1/Japan1/... orderings — have no tables here; their
+    # strings decode to U+FFFD with type0_coverage 0.0) to an
+    # external tool instead of discovering the gap from garbage.
+    encodings: list[str] = []
+    for _num, (body, _dec) in _objs.items():
+        if not re.search(type0_re, body):
+            continue
+        em = re.search(rb"/Encoding\s*/([\w-]+)", body)
+        if em:
+            name = em.group(1).decode("latin-1")
+        elif re.search(rb"/Encoding\s+\d+\s+\d+\s+R\b", body):
+            name = "(embedded CMap)"
+        else:
+            name = "(none)"
+        if name not in encodings:
+            encodings.append(name)
     return {
         "version": data[5:8].decode("latin-1", "replace"),
         "pages": (len(re.findall(page_re, data))
@@ -1258,4 +1287,8 @@ def pdf_info(data: bytes, password: bytes = b"") -> dict:
         "encrypted": encrypted,
         "has_type0": bool(re.search(type0_re, data)
                           or re.search(type0_re, unpacked)),
+        "type0_encodings": sorted(encodings),
+        "has_predefined_cmap": any(
+            e not in ("Identity-H", "Identity-V", "(embedded CMap)",
+                      "(none)") for e in encodings),
     }

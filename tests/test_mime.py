@@ -58,6 +58,11 @@ SPEC_CASES = [
     ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
     ("id3", b"ID3\x04\x00\x00\x00\x00\x00\x00", "audio/mpeg"),
     ("mp3sync", b"\xff\xfb\x90\x44" + b"\x00" * 8, "audio/mpeg"),
+    # ADTS AAC: layer bits 00 put byte 2 in {F0,F1,F8,F9} (r18)
+    ("adts", b"\xff\xf1\x4c\x80\x1e\x7f\xfc" + b"\x00" * 8,
+     "audio/aac"),
+    ("adts_crc", b"\xff\xf0\x4c\x80\x1e\x7f\xfc\x00\x00" + b"\x00" * 8,
+     "audio/aac"),
     ("ogg", b"OggS\x00\x02", "application/ogg"),
     # full 0x18-byte ftyp box (WHATWG requires length >= box size)
     ("mp4", b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomavc1",

@@ -133,3 +133,33 @@ class TestFlacDeclaredHeaders:
             _header_packet_count)
         ident = b"\x7fFLAC" + bytes([1, 0]) + b"\x00\x00" + b"fLaC"
         assert _header_packet_count("flac", ident) == 2
+
+
+class TestPacketStats:
+    """r18: ogg_info packet-level fields (the mp3_info parity) —
+    audio-quality filtering on Ogg without decode."""
+
+    def test_audio_packet_fields(self):
+        s = build_ogg_stream(b"seed", 6, codec="opus")
+        info = ogg_info(s)
+        assert info["n_audio_packets"] == 6
+        # fixture: first audio packet 300 B, the rest 64 B
+        assert info["audio_bytes"] == 300 + 5 * 64
+        assert info["max_packet_bytes"] == 300
+        assert info["mean_packet_bytes"] == round((300 + 5 * 64) / 6, 1)
+        assert info["bitrate_kbps"] == round(
+            info["audio_bytes"] * 8 / 1000 / info["duration_s"], 1)
+
+    def test_header_packets_excluded_per_codec(self):
+        v = ogg_info(build_ogg_stream(b"x", 5, codec="vorbis"))
+        assert v["n_packets"] == 5 + 3 and v["n_audio_packets"] == 5
+        f = ogg_info(build_ogg_stream(b"x", 5, codec="flac",
+                                      extra_headers=3))
+        assert f["n_packets"] == 5 + 5 and f["n_audio_packets"] == 5
+
+    def test_tags_do_not_change_audio_stats(self):
+        a = ogg_info(build_ogg_stream(b"g", 4))
+        b = ogg_info(build_ogg_stream(b"g", 4, tags=b"artist=x"))
+        for k in ("n_audio_packets", "audio_bytes",
+                  "mean_packet_bytes", "max_packet_bytes"):
+            assert a[k] == b[k]

@@ -853,3 +853,58 @@ class TestRc4Guard:
             assert len(_rc4(b"key", b"\x00" * 1024)) == 1024
         finally:
             pdfcrypt._RC4_MAX = orig
+
+
+class TestPredefinedCMap:
+    """r18 (verdict #7): Type0 fonts under PREDEFINED CJK CMaps
+    (/UniGB-UCS2-H etc. — no tables in this engine) quarantine like
+    glyph-id-only fonts instead of leaking 2-byte codes as latin-1,
+    and pdf_info NAMES the CMap so pipelines can route the document
+    to an external tool."""
+
+    def _blob(self, name=b"UniGB-UCS2-H"):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0)
+        blob = encode_pdf_text_type0(["Hello 日本語"], mapping="none")
+        out = blob.replace(b"/Identity-H", b"/" + name)
+        assert out != blob
+        return out
+
+    def test_quarantined_not_garbage(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            pdf_extract)
+        r = pdf_extract(self._blob())
+        assert set(r["text"]) <= {"�", "\n"}
+        assert r["type0_coverage"] == 0.0 and r["has_type0"]
+
+    def test_pdf_info_names_the_cmap(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            pdf_info)
+        info = pdf_info(self._blob())
+        assert info["type0_encodings"] == ["UniGB-UCS2-H"]
+        assert info["has_predefined_cmap"]
+
+    def test_identity_h_not_flagged_predefined(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0, pdf_info)
+        info = pdf_info(encode_pdf_text_type0(["abc"]))
+        assert info["type0_encodings"] == ["Identity-H"]
+        assert not info["has_predefined_cmap"]
+
+    def test_tounicode_still_wins_over_predefined_encoding(self):
+        # a predefined CMap WITH a usable /ToUnicode decodes fully
+        # (ToUnicode maps the same code space)
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0, pdf_extract)
+        blob = encode_pdf_text_type0(["hi there"]) \
+            .replace(b"/Identity-H", b"/UniJIS-UCS2-H")
+        r = pdf_extract(blob)
+        assert r["text"] == "hi there"
+        assert r["type0_coverage"] == 1.0
+
+    def test_simple_pdf_reports_no_encodings(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            pdf_info)
+        info = pdf_info(encode_pdf_text(["plain"]))
+        assert info["type0_encodings"] == []
+        assert not info["has_predefined_cmap"]
