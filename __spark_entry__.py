@@ -4538,7 +4538,7 @@ def _demo_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (r15-r17 packagings,
     operators/pdfcodec.py — the write/read-symmetry gate, the
     demo_warc_roundtrip convention: no PDF tool exists in this
-    environment): doc_id % 6 picks the document shape — classic
+    environment): doc_id % 7 picks the document shape — classic
     simple-font, Identity-H ``/Type0`` with a ToUnicode CMap (the
     page-two text carries a non-ASCII character ONLY the CMap decode
     path can recover), PDF 1.5 ObjStm + xref-stream packaging, an
@@ -4548,12 +4548,16 @@ def _demo_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     decrypt with no secret), or (r17) Identity-H Type0 WITHOUT
     /ToUnicode whose text is recoverable only by inverting the
     embedded /FontFile2 sfnt ``cmap`` table (its page-two ✓ proves
-    the font-program path decodes, not latin-1 fallback).
-    ``extract_pdf_text`` recovers the exact text plus the structural
-    counts (stream counts differ per shape: content only / +CMap /
-    +ObjStm+XRef / content only for the encrypted pair — decryption
-    happening before inflation is exactly what the count pins —
-    / +FontFile2) — all rebuilt relationally by DuckDB."""
+    the font-program path decodes, not latin-1 fallback), or (r18) a
+    PREDEFINED ``/UniGB-UCS2-H`` CMap with neither ToUnicode nor
+    FontFile2 — recoverable because the UCS2 family's code space IS
+    UTF-16BE (``_UTF16CMap``; its page-two ✓ proves the table-free
+    predefined path decodes). ``extract_pdf_text`` recovers the
+    exact text plus the structural counts (stream counts differ per
+    shape: content only / +CMap / +ObjStm+XRef / content only for
+    the encrypted pair — decryption happening before inflation is
+    exactly what the count pins — / +FontFile2 / content only for
+    ucs2) — all rebuilt relationally by DuckDB."""
     import pandas as pd
     from datasketches_spark_spark.operators import extract_pdf_text
     from datasketches_spark_spark.operators.pdfcodec import (
@@ -4571,14 +4575,15 @@ def _demo_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                encode_pdf_text_objstm,
                lambda p: encode_pdf_text_encrypted(p, "rc4"),
                lambda p: encode_pdf_text_encrypted(p, "aes256"),
-               lambda p: encode_pdf_text_type0(p, mapping="fontfile")]
+               lambda p: encode_pdf_text_type0(p, mapping="fontfile"),
+               lambda p: encode_pdf_text_type0(p, mapping="ucs2")]
         for pdf in pdf_iter:
             payloads = []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
-                p2 = ("doc %d second page ✓" % d if d % 6 in (1, 5)
+                p2 = ("doc %d second page ✓" % d if d % 7 in (1, 5, 6)
                       else "doc %d second page" % d)
-                payloads.append(enc[d % 6]([str(t)[:60], p2]))
+                payloads.append(enc[d % 7]([str(t)[:60], p2]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
@@ -7441,10 +7446,10 @@ def demo_oracle_sql() -> dict[str, str]:
                    substr(text, 1, 60) || chr(10) ||
                      'doc ' || CAST(doc_id AS VARCHAR) ||
                      ' second page' ||
-                     CASE WHEN doc_id % 6 IN (1, 5) THEN ' ✓'
+                     CASE WHEN doc_id % 7 IN (1, 5, 6) THEN ' ✓'
                           ELSE '' END AS text,
                    CAST(2 AS BIGINT) AS pages,
-                   CAST(CASE doc_id % 6 WHEN 0 THEN 2
+                   CAST(CASE doc_id % 7 WHEN 0 THEN 2
                         WHEN 1 THEN 3 WHEN 2 THEN 4
                         WHEN 5 THEN 3 ELSE 2 END AS BIGINT)
                      AS streams

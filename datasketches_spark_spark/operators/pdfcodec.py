@@ -161,9 +161,13 @@ def encode_pdf_text_type0(pages: list[str],
     subsetting tools emit when they drop ToUnicode — recoverable only
     through the embedded-font fallback; ``none`` — neither (the
     glyph-id-only document a pipeline must QUARANTINE via the
-    measured ``type0_coverage`` column)."""
-    if mapping not in ("tounicode", "fontfile", "none"):
-        raise ValueError("mapping must be tounicode|fontfile|none")
+    measured ``type0_coverage`` column); ``ucs2`` (r18) — a
+    predefined ``/UniGB-UCS2-H`` encoding whose show-string codes are
+    the UTF-16BE units of the text (the CMap family's defined code
+    space) — recoverable with NO tables via the ``_UTF16CMap`` path,
+    astral chars as surrogate pairs."""
+    if mapping not in ("tounicode", "fontfile", "none", "ucs2"):
+        raise ValueError("mapping must be tounicode|fontfile|none|ucs2")
     if not pages:
         raise ValueError("encode_pdf_text_type0 needs at least one page")
     codes: dict[str, int] = {}
@@ -205,6 +209,10 @@ def encode_pdf_text_type0(pages: list[str],
         add(b"<< /Type /Font /Subtype /Type0 /BaseFont /EngineCID"
             b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
             b" /ToUnicode %d 0 R >>" % (desc_id, aux_id))     # 3
+    elif mapping == "ucs2":
+        add(b"<< /Type /Font /Subtype /Type0 /BaseFont /EngineCID"
+            b" /Encoding /UniGB-UCS2-H /DescendantFonts [%d 0 R] >>"
+            % desc_id)                                        # 3
     else:
         add(b"<< /Type /Font /Subtype /Type0 /BaseFont /EngineCID"
             b" /Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
@@ -238,7 +246,10 @@ def encode_pdf_text_type0(pages: list[str],
         for i, line in enumerate(text.split("\n")):
             if i > 0:
                 parts.append(b"T*")
-            hx = "".join(f"{codes[ch]:04X}" for ch in line)
+            if mapping == "ucs2":
+                hx = line.encode("utf-16-be").hex().upper()
+            else:
+                hx = "".join(f"{codes[ch]:04X}" for ch in line)
             parts.append(b"<" + hx.encode("ascii") + b"> Tj")
         parts.append(b"ET")
         data = b"\n".join(parts)
@@ -967,6 +978,11 @@ def _encode_truetype_cmap12(uni2gid: dict[int, int]) -> bytes:
     return head + rec + cmap
 
 
+# Adobe's predefined Unicode CMaps (UniGB/UniCNS/UniJIS/UniKS/UniAKR
+# x UCS2/UTF16, incl. the -HW half-width variants): code == UTF-16BE
+_UCS2_CMAP_RE = rb"/Encoding\s*/(Uni\w+-(?:UCS2|UTF16)(?:-HW)?-[HV])\b"
+
+
 def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
     """{font resource name: code->unicode} for every ``/Subtype/Type0``
     font whose ``/ToUnicode`` CMap stream resolves and parses. The map
@@ -993,7 +1009,13 @@ def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
         # recovers text. Chain: /DescendantFonts [N 0 R] ->
         # /FontDescriptor -> /FontFile2 stream (sfnt).
         if not re.search(rb"/Encoding\s*/Identity-[HV]\b", body):
-            # r18: a PREDEFINED (non-Identity) CMap — /UniGB-UCS2-H
+            # r18: the UCS2/UTF16 predefined family needs NO tables —
+            # its code space IS UTF-16BE (see _UTF16CMap); full text
+            # recovery
+            if re.search(_UCS2_CMAP_RE, body):
+                fmaps[num] = _UTF16CMap()
+                continue
+            # any OTHER predefined (non-Identity) CMap — GBK-EUC-H
             # and friends — or an embedded CMap stream, with no
             # usable /ToUnicode: this engine carries no predefined
             # CMap tables (large normative data; gap documented in
@@ -1063,6 +1085,18 @@ def _type0_font_maps(objs: dict) -> dict[bytes, dict[int, str]]:
     return out
 
 
+class _UTF16CMap(dict):
+    """Sentinel map for the predefined UCS2/UTF16 CMap family (r18):
+    Adobe's ``Uni*-UCS2-*`` / ``Uni*-UTF16-*`` CMaps define their CODE
+    SPACE as UCS-2/UTF-16BE values of the characters themselves (the
+    CMap's job is code→CID for glyph lookup; the code→TEXT direction
+    needs no tables at all), so text extraction decodes string bytes
+    as UTF-16BE directly — full recovery without the normative
+    Adobe-GB1/Japan1/... tables this engine doesn't carry. Non-UCS2
+    predefined CMaps (GBK-EUC-H etc.) still quarantine via an empty
+    plain dict."""
+
+
 def _decode_cids(raw: bytes, cmap: dict[int, str],
                  stats: dict | None = None) -> str:
     """String bytes under an Identity-H Type0 font: big-endian 2-byte
@@ -1070,9 +1104,38 @@ def _decode_cids(raw: bytes, cmap: dict[int, str],
     byte -> U+FFFD, loud in the output rather than silently dropped).
     ``stats`` (r17) accumulates ``cid_total``/``cid_mapped`` so
     ``pdf_extract`` can report a measured decode-coverage fraction —
-    the quarantine signal for glyph-id-only documents."""
+    the quarantine signal for glyph-id-only documents. A
+    :class:`_UTF16CMap` decodes as UTF-16BE (surrogate pairs consume
+    two units and count as one mapped unit each; lone surrogates ->
+    U+FFFD, unmapped)."""
     out = []
     mapped = total = 0
+    if isinstance(cmap, _UTF16CMap):
+        i = 0
+        while i + 1 < len(raw):
+            total += 1
+            u = (raw[i] << 8) | raw[i + 1]
+            i += 2
+            if 0xD800 <= u < 0xDC00 and i + 1 < len(raw):
+                lo = (raw[i] << 8) | raw[i + 1]
+                if 0xDC00 <= lo < 0xE000:
+                    i += 2
+                    out.append(chr(0x10000 + ((u - 0xD800) << 10)
+                                   + (lo - 0xDC00)))
+                    mapped += 1
+                    continue
+            if 0xD800 <= u < 0xE000:
+                out.append("�")            # lone surrogate
+            else:
+                out.append(chr(u))
+                mapped += 1
+        if i < len(raw):
+            total += 1
+            out.append("�")                # odd trailing byte
+        if stats is not None:
+            stats["cid_total"] += total
+            stats["cid_mapped"] += mapped
+        return "".join(out)
     for i in range(0, len(raw) - 1, 2):
         total += 1
         ch = cmap.get((raw[i] << 8) | raw[i + 1])
@@ -1288,7 +1351,13 @@ def pdf_info(data: bytes, password: bytes = b"") -> dict:
         "has_type0": bool(re.search(type0_re, data)
                           or re.search(type0_re, unpacked)),
         "type0_encodings": sorted(encodings),
+        # True only for predefined CMaps this engine CANNOT decode
+        # (GBK-EUC-H etc.) — the UCS2/UTF16 family decodes natively
+        # (_UTF16CMap), Identity through ToUnicode/FontFile2
         "has_predefined_cmap": any(
             e not in ("Identity-H", "Identity-V", "(embedded CMap)",
-                      "(none)") for e in encodings),
+                      "(none)")
+            and not re.fullmatch(r"Uni\w+-(?:UCS2|UTF16)(?:-HW)?-[HV]",
+                                 e)
+            for e in encodings),
     }

@@ -856,13 +856,14 @@ class TestRc4Guard:
 
 
 class TestPredefinedCMap:
-    """r18 (verdict #7): Type0 fonts under PREDEFINED CJK CMaps
-    (/UniGB-UCS2-H etc. — no tables in this engine) quarantine like
+    """r18 (verdict #7): Type0 fonts under PREDEFINED CJK CMaps this
+    engine has no tables for (GBK-EUC-H etc.) quarantine like
     glyph-id-only fonts instead of leaking 2-byte codes as latin-1,
     and pdf_info NAMES the CMap so pipelines can route the document
-    to an external tool."""
+    to an external tool. The UCS2/UTF16 predefined family needs NO
+    tables (its code space IS UTF-16BE) and decodes fully."""
 
-    def _blob(self, name=b"UniGB-UCS2-H"):
+    def _blob(self, name=b"GBK-EUC-H"):
         from datasketches_spark_spark.operators.pdfcodec import (
             encode_pdf_text_type0)
         blob = encode_pdf_text_type0(["Hello 日本語"], mapping="none")
@@ -881,8 +882,29 @@ class TestPredefinedCMap:
         from datasketches_spark_spark.operators.pdfcodec import (
             pdf_info)
         info = pdf_info(self._blob())
-        assert info["type0_encodings"] == ["UniGB-UCS2-H"]
+        assert info["type0_encodings"] == ["GBK-EUC-H"]
         assert info["has_predefined_cmap"]
+
+    def test_ucs2_family_decodes_without_tables(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_type0, pdf_extract, pdf_info)
+        pages = ["Hello 日本語 world", "astral 𝕌 pair"]
+        blob = encode_pdf_text_type0(pages, mapping="ucs2")
+        assert b"/UniGB-UCS2-H" in blob and b"/ToUnicode" not in blob
+        r = pdf_extract(blob)
+        assert r["text"] == "\n".join(pages)
+        assert r["type0_coverage"] == 1.0
+        info = pdf_info(blob)
+        assert info["type0_encodings"] == ["UniGB-UCS2-H"]
+        assert not info["has_predefined_cmap"]   # decodable natively
+
+    def test_lone_surrogate_counts_unmapped(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            _UTF16CMap, _decode_cids)
+        stats = {"cid_total": 0, "cid_mapped": 0}
+        s = _decode_cids(b"\x00h\xd8\x35\x00i", _UTF16CMap(), stats)
+        assert s == "h�i"
+        assert stats == {"cid_total": 3, "cid_mapped": 2}
 
     def test_identity_h_not_flagged_predefined(self):
         from datasketches_spark_spark.operators.pdfcodec import (
