@@ -3951,7 +3951,9 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/h264codec.py; chroma plane varied as the re-encode
     stand-in), H.264-in-MP4 (r18, operators/mp4codec.py — the demux →
     Annex B → decode chain, with udta tags / chunking / co64 /
-    moov-placement varied per doc so container BYTES differ), and
+    moov-placement / FRAGMENTED moof/trun DASH segmenting varied per
+    doc so container BYTES and even the sample-addressing scheme
+    differ), and
     HEVC-in-MP4 (r18, operators/hevcnative.py — REAL x265-encoded
     streams decoded by the system libde265, quality varied as the
     re-encode stand-in, footage carried at 4x resolution as a
@@ -4019,7 +4021,8 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         tags=b"" if did % 2 else b"doc %d" % did,
                         per_chunk=1 + did % 3,
                         moov_first=bool(did % 2),
-                        co64=(did % 4 == 0)))
+                        co64=(did % 4 == 0),
+                        fragmented=(did % 5 == 0)))
                 else:
                     rgb = [np.repeat(f[:, :, None], 3, axis=2)
                            for f in _frames(did % 3, scale=4)]

@@ -180,6 +180,107 @@ def _parse_stbl(data: bytes, ps: int, pe: int) -> dict:
     return out
 
 
+def _trex_defaults(data: bytes, mps: int, mpe: int) -> dict:
+    """{track_id: {duration, size}} from moov/mvex/trex — the
+    per-track defaults movie fragments inherit (§8.8.3)."""
+    out: dict[int, dict] = {}
+    mvex = _child(data, mps, mpe, b"mvex")
+    if mvex is None:
+        return out
+    for t, ps, pe in _boxes(data, mvex[0], mvex[1]):
+        if t == b"trex":
+            _, _, b = _full_payload(data, ps, pe)
+            tid, _sdi, ddur, dsize, _dfl = struct.unpack_from(
+                ">5I", data, b)
+            out[tid] = {"duration": ddur, "size": dsize}
+    return out
+
+
+def _fragment_spans(data: bytes, track_id: int,
+                    trex: dict) -> tuple[list[tuple[int, int]], int]:
+    """Per-sample ``(offset, size)`` + total duration for one track
+    across every movie fragment (§8.8): moof/traf/tfhd defaults +
+    trun runs. Supports explicit base_data_offset, the
+    default-base-is-moof flag, and the absent-flags case (base =
+    first byte of the enclosing moof, the shape every shipping
+    segmenter emits); consecutive truns without a data_offset
+    continue where the previous run ended."""
+    spans: list[tuple[int, int]] = []
+    total_dur = 0
+    for t, ps, pe in _boxes(data, 0, len(data)):
+        if t != b"moof":
+            continue
+        moof_start = ps - 8
+        for tt, tps, tpe in _boxes(data, ps, pe):
+            if tt != b"traf":
+                continue
+            tf = _child(data, tps, tpe, b"tfhd")
+            if tf is None:
+                continue
+            _, flags, b = _full_payload(data, tf[0], tf[1])
+            tid = struct.unpack_from(">I", data, b)[0]
+            if tid != track_id:
+                continue
+            p = b + 4
+            base = None
+            if flags & 0x1:                       # base-data-offset
+                base = struct.unpack_from(">Q", data, p)[0]
+                p += 8
+            if flags & 0x2:                       # sample-desc-index
+                p += 4
+            def_dur = trex.get("duration", 0)
+            def_size = trex.get("size", 0)
+            if flags & 0x8:
+                def_dur = struct.unpack_from(">I", data, p)[0]
+                p += 4
+            if flags & 0x10:
+                def_size = struct.unpack_from(">I", data, p)[0]
+                p += 4
+            if base is None:
+                base = moof_start     # default-base-is-moof / absent
+            cursor = None
+            for rt, rps, rpe in _boxes(data, tps, tpe):
+                if rt != b"trun":
+                    continue
+                _, fl, b2 = _full_payload(data, rps, rpe)
+                cnt = struct.unpack_from(">I", data, b2)[0]
+                if cnt > _MAX_SAMPLES:
+                    raise ValueError("MP4: trun sample-count guard")
+                q = b2 + 4
+                if fl & 0x1:                      # data-offset
+                    off = base + struct.unpack_from(">i", data, q)[0]
+                    q += 4
+                else:
+                    off = cursor if cursor is not None else base
+                if fl & 0x4:                      # first-sample-flags
+                    q += 4
+                for _ in range(cnt):
+                    dur, size = def_dur, def_size
+                    if fl & 0x100:
+                        dur = struct.unpack_from(">I", data, q)[0]
+                        q += 4
+                    if fl & 0x200:
+                        size = struct.unpack_from(">I", data, q)[0]
+                        q += 4
+                    if fl & 0x400:                # sample-flags
+                        q += 4
+                    if fl & 0x800:                # composition offset
+                        q += 4
+                    if size <= 0:
+                        raise ValueError(
+                            "MP4: fragment sample without a size "
+                            "(no trun size, no tfhd/trex default)")
+                    if off + size > len(data):
+                        raise ValueError(
+                            "MP4: fragment sample overruns the file "
+                            "(truncated segment)")
+                    spans.append((off, size))
+                    off += size
+                    total_dur += dur
+                cursor = off
+    return spans, total_dur
+
+
 def _sample_spans(stbl: dict, file_len: int) -> list[tuple[int, int]]:
     """Per-sample ``(offset, size)`` in FILE order, reconstructed from
     stsc runs x chunk offsets x stsz sizes — the real §8.7 mapping,
@@ -224,12 +325,18 @@ def _parse_tracks(data: bytes) -> list[dict]:
     moov = _child(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("MP4: no moov box")
+    trex = _trex_defaults(data, moov[0], moov[1])
     tracks = []
     for tps, tpe in _children(data, moov[0], moov[1], b"trak"):
         mdia = _child(data, tps, tpe, b"mdia")
         if mdia is None:
             continue
         t: dict = {}
+        tk = _child(data, tps, tpe, b"tkhd")
+        if tk:
+            v, _, b = _full_payload(data, tk[0], tk[1])
+            t["track_id"] = struct.unpack_from(
+                ">I", data, b + (16 if v == 1 else 8))[0]
         hd = _child(data, mdia[0], mdia[1], b"hdlr")
         if hd:
             _, _, b = _full_payload(data, hd[0], hd[1])
@@ -250,7 +357,22 @@ def _parse_tracks(data: bytes) -> list[dict]:
         stbl = _parse_stbl(data, stbl_span[0], stbl_span[1])
         t["format"] = stbl.get("format", "????")
         t["stbl"] = stbl
-        t["spans"] = _sample_spans(stbl, len(data))
+        if stbl.get("sizes"):
+            t["spans"] = _sample_spans(stbl, len(data))
+        else:
+            # fragmented MP4 (DASH/streaming init+segments in one
+            # file): the moov tables are empty and samples live in
+            # moof/trun runs
+            spans, fdur = _fragment_spans(
+                data, t.get("track_id", 0),
+                trex.get(t.get("track_id", 0), {}))
+            if not spans:
+                raise ValueError(
+                    "MP4: incomplete sample tables (need stsz + "
+                    "stco/co64 + stsc, or moof fragments)")
+            t["spans"] = spans
+            if not t.get("duration"):
+                t["duration"] = fdur
         eps, epe = stbl.get("entry", (0, 0))
         if t.get("handler") == "vide" and eps:
             t["width"], t["height"] = struct.unpack_from(
@@ -531,8 +653,16 @@ def _chunk_samples(sizes: list[int], per_chunk: int):
 def _stbl(fmt_entry: bytes, sizes: list[int], per_chunk: int,
           timescale: int, sample_delta: int, co64: bool,
           chunk_offsets: list[int]) -> bytes:
-    chunks, runs = _chunk_samples(sizes, per_chunk)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + fmt_entry)
+    if not sizes:
+        # fragmented layout: the moov tables are present but EMPTY
+        # (§8.8.1) — samples are described by moof/trun runs
+        return _box(b"stbl", stsd
+                    + _full(b"stts", 0, 0, struct.pack(">I", 0))
+                    + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+                    + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                    + _full(b"stco", 0, 0, struct.pack(">I", 0)))
+    chunks, runs = _chunk_samples(sizes, per_chunk)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, len(sizes),
                                             sample_delta))
     stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(runs))
@@ -664,7 +794,8 @@ def build_mp4(video_annexb: bytes | None = None,
               co64: bool = False, per_chunk: int = 2,
               free_pad: int = 0, video_fps: int = 10,
               audio_rate: int = 48000, audio_channels: int = 2,
-              video_dims: tuple[int, int] | None = None) -> bytes:
+              video_dims: tuple[int, int] | None = None,
+              fragmented: bool = False) -> bytes:
     """TEST/FIXTURE writer: a structurally valid MP4 carrying a video
     track (an Annex B H.264/HEVC stream — parameter sets land in
     avcC/hvcC, each VCL NAL becomes one length-prefixed sample) and/or
@@ -674,7 +805,10 @@ def build_mp4(video_annexb: bytes | None = None,
     reader invariance: ``tags`` (udta box), ``moov_first`` (False =
     moov after mdat, the non-faststart shape), ``co64`` (64-bit chunk
     offsets), ``per_chunk`` (multi-sample chunks + a two-run stsc),
-    ``free_pad`` (a free box before mdat)."""
+    ``free_pad`` (a free box before mdat), ``fragmented`` (r18: the
+    DASH/streaming shape — EMPTY moov tables + mvex/trex defaults,
+    samples in per-chunk moof/traf/trun + mdat pairs under
+    default-base-is-moof addressing)."""
     if video_annexb is None and audio_payloads is None:
         raise ValueError("build_mp4 needs a video and/or audio track")
     traks = []           # (handler, fmt_entry_fn, sample list, ...)
@@ -719,6 +853,61 @@ def build_mp4(video_annexb: bytes | None = None,
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
                 + b"isomiso2avc1mp41")
     free = _box(b"free", b"\x00" * free_pad) if free_pad else b""
+
+    if fragmented:
+        body = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                     + struct.pack(">IHH", 0x10000, 0x100, 0)
+                     + b"\x00" * 8 + _MATRIX + b"\x00" * 24
+                     + struct.pack(">I", len(traks) + 1))
+        mvex = b""
+        for ti, (handler, entry, _s, timescale, delta, w, h) in \
+                enumerate(traks):
+            body += _trak(handler.encode(), entry, [], per_chunk,
+                          timescale, delta, False, [], ti + 1, w, h)
+            # track 1 inherits its duration from trex; later tracks
+            # override via the tfhd flag — both paths exercised
+            mvex += _full(b"trex", 0, 0, struct.pack(
+                ">5I", ti + 1, 1, delta if ti == 0 else 0, 0, 0))
+        body += _box(b"mvex", mvex)
+        if tags:
+            body += _box(b"udta", _box(b"meta", _box(
+                b"ilst", _box(b"\xa9nam", _box(b"data", b"\x00" * 8
+                                               + tags)))))
+        out = bytearray(ftyp + _box(b"moov", body) + free)
+        seq = 1
+        for ti, (handler, _e, samples, _ts, delta, _w, _h) in \
+                enumerate(traks):
+            chunks, _runs = _chunk_samples([len(s) for s in samples],
+                                           per_chunk)
+            i = 0
+            for ch in chunks:
+                payload = b"".join(samples[i:i + len(ch)])
+                i += len(ch)
+                tf_flags = 0x020000 | (0x8 if ti > 0 else 0)
+                tfhd = _full(b"tfhd", 0, tf_flags,
+                             struct.pack(">I", ti + 1)
+                             + (struct.pack(">I", delta) if ti > 0
+                                else b""))
+
+                def _trun(doff: int) -> bytes:
+                    return _full(b"trun", 0, 0x000201,
+                                 struct.pack(">Ii", len(ch), doff)
+                                 + b"".join(struct.pack(">I", len(s))
+                                            for s in
+                                            samples[i - len(ch):i]))
+
+                def _moof(doff: int) -> bytes:
+                    return _box(b"moof",
+                                _full(b"mfhd", 0, 0,
+                                      struct.pack(">I", seq))
+                                + _box(b"traf", tfhd + _trun(doff)))
+
+                # data_offset is moof-relative; moof size does not
+                # depend on the offset VALUE — probe then re-render
+                moof = _moof(len(_moof(0)) + 8)
+                out += moof + _box(b"mdat", payload)
+                seq += 1
+        return bytes(out)
 
     # mdat: tracks' chunks interleaved track-by-track (track 1 chunks
     # then track 2 — valid; interleaving is a layout choice)

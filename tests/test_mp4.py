@@ -212,3 +212,71 @@ class TestSampler:
                .collect()}
         assert sig[1] == sig[2] == sig[3]
         assert sig[4] != sig[1]
+
+
+class TestFragmented:
+    """r18: fragmented MP4 (the DASH/streaming shape) — empty moov
+    tables + mvex/trex defaults, samples in moof/traf/trun runs."""
+
+    def test_info_and_decode(self):
+        frames = _footage(21, n=5)
+        pls = aac_frame_payloads(build_adts_stream(b"fr", 9))
+        frag = build_mp4(video_annexb=encode_h264_ipcm(frames),
+                         audio_payloads=pls, fragmented=True,
+                         tags=b"frag tags")
+        info = mp4_info(frag)
+        assert info["tracks"][0]["n_samples"] == 5
+        assert info["tracks"][1]["n_samples"] == 9
+        assert info["tracks"][1]["duration_s"] == round(
+            9 * 1024 / 48000, 3)
+        v = mp4_extract_video(frag)
+        dec = decode_h264_ipcm(v["annexb"])
+        assert all(np.array_equal(a, b)
+                   for a, b in zip(dec["frames"], frames))
+
+    def test_hashes_collapse_with_classic_and_adts(self):
+        adts = build_adts_stream(b"xf", 8)
+        pls = aac_frame_payloads(adts)
+        annexb = encode_h264_ipcm(_footage(22, n=4))
+        frag = build_mp4(video_annexb=annexb, audio_payloads=pls,
+                         fragmented=True, per_chunk=3)
+        classic = build_mp4(video_annexb=annexb, audio_payloads=pls,
+                            co64=True, tags=b"t")
+        assert mp4_video_hash(frag) == mp4_video_hash(classic)
+        assert mp4_audio_hash(frag) == mp4_audio_hash(classic)
+        assert mp4_audio_hash(frag) == aac_audio_hash(adts)
+        assert mp4_video_hash(frag) == video_content_hash(annexb)
+
+    def test_fragment_chunking_invariant(self):
+        annexb = encode_h264_ipcm(_footage(23, n=6))
+        a = build_mp4(video_annexb=annexb, fragmented=True,
+                      per_chunk=1)
+        b = build_mp4(video_annexb=annexb, fragmented=True,
+                      per_chunk=4)
+        assert a != b
+        assert mp4_video_hash(a) == mp4_video_hash(b)
+
+    def test_sampler_routes_fragmented(self):
+        frag = build_mp4(
+            video_annexb=encode_h264_ipcm(_footage(24, n=6)),
+            fragmented=True)
+        assert len(mp4_frame_sampler(frag, 3)) == 3
+
+    def test_truncated_segment_raises(self):
+        frag = build_mp4(
+            video_annexb=encode_h264_ipcm(_footage(25, n=4)),
+            fragmented=True)
+        with pytest.raises(ValueError,
+                           match="overruns|truncated|box"):
+            mp4_info(frag[: len(frag) - 200])
+
+    def test_empty_tables_without_fragments_raises(self):
+        frag = build_mp4(
+            video_annexb=encode_h264_ipcm(_footage(26, n=4)),
+            fragmented=True)
+        # cut everything after moov: an init segment alone has no
+        # samples
+        import struct as _st
+        i = frag.find(b"moof") - 4
+        with pytest.raises(ValueError, match="sample tables"):
+            mp4_info(frag[:i])
