@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""r18 scale proof: the new container/codec paths must be O(bytes)
+with sane constants — time each at 1x and 8x input and report the
+growth exponent (wall ~ bytes^e; e ~ 1.0 = linear). Run:
+``python devtools/scaleproof_r18.py``."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def best_of(fn, n=3):
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def report(name, t1, t8, b1, b8):
+    import math
+    e = math.log(t8 / t1) / math.log(b8 / b1)
+    print(f"{name:30s} 1x {t1*1e3:8.1f} ms   8x {t8*1e3:8.1f} ms   "
+          f"bytes x{b8/b1:.1f}   exponent {e:.2f}")
+    return e
+
+
+def main():
+    from datasketches_spark_spark.operators.aaccodec import (
+        aac_audio_hash, aac_frame_payloads, build_adts_stream)
+    from datasketches_spark_spark.operators.h264codec import (
+        encode_h264_ipcm)
+    from datasketches_spark_spark.operators.mp4codec import (
+        build_mp4, mp4_audio_hash, mp4_extract_video, mp4_video_hash)
+    from datasketches_spark_spark.operators.pdfcodec import (
+        encode_pdf_text_type0, pdf_text)
+
+    results = {}
+
+    # --- ADTS walk + hash
+    a1 = build_adts_stream(b"sp", 200)
+    a8 = build_adts_stream(b"sp", 1600)
+    t1 = best_of(lambda: aac_audio_hash(a1))
+    t8 = best_of(lambda: aac_audio_hash(a8))
+    results["aac_audio_hash"] = report(
+        "aac adts hash", t1, t8, len(a1), len(a8))
+
+    # --- MP4 classic: demux tables + audio hash
+    pls1 = aac_frame_payloads(a1)
+    pls8 = aac_frame_payloads(a8)
+    m1 = build_mp4(audio_payloads=pls1, per_chunk=7)
+    m8 = build_mp4(audio_payloads=pls8, per_chunk=7)
+    t1 = best_of(lambda: mp4_audio_hash(m1))
+    t8 = best_of(lambda: mp4_audio_hash(m8))
+    results["mp4_audio_hash"] = report(
+        "mp4 classic audio hash", t1, t8, len(m1), len(m8))
+
+    # --- fragmented MP4: moof/trun walk + audio hash
+    f1 = build_mp4(audio_payloads=pls1, fragmented=True, per_chunk=4)
+    f8 = build_mp4(audio_payloads=pls8, fragmented=True, per_chunk=4)
+    t1 = best_of(lambda: mp4_audio_hash(f1))
+    t8 = best_of(lambda: mp4_audio_hash(f8))
+    results["fmp4_audio_hash"] = report(
+        "mp4 fragmented audio hash", t1, t8, len(f1), len(f8))
+
+    # --- MP4 video: demux + VCL hash + Annex B re-expression
+    rng = np.random.default_rng(3)
+    fr1 = [rng.integers(0, 256, (32, 48), np.uint8) for _ in range(4)]
+    v1 = build_mp4(video_annexb=encode_h264_ipcm(fr1))
+    v8 = build_mp4(video_annexb=encode_h264_ipcm(fr1 * 8))
+    t1 = best_of(lambda: mp4_video_hash(v1))
+    t8 = best_of(lambda: mp4_video_hash(v8))
+    results["mp4_video_hash"] = report(
+        "mp4 video vcl hash", t1, t8, len(v1), len(v8))
+    t1 = best_of(lambda: mp4_extract_video(v1))
+    t8 = best_of(lambda: mp4_extract_video(v8))
+    results["mp4_extract_video"] = report(
+        "mp4 -> annexb extract", t1, t8, len(v1), len(v8))
+
+    # --- UCS2 predefined-CMap text extraction
+    page = "unicode 日本語 text line for the ucs2 cmap path %d"
+    p1 = encode_pdf_text_type0([page % i for i in range(12)],
+                               mapping="ucs2")
+    p8 = encode_pdf_text_type0([page % i for i in range(96)],
+                               mapping="ucs2")
+    t1 = best_of(lambda: pdf_text(p1))
+    t8 = best_of(lambda: pdf_text(p8))
+    results["pdf_ucs2_extract"] = report(
+        "pdf ucs2 cmap extract", t1, t8, len(p1), len(p8))
+
+    # --- HEVC decode via libde265 (pixels scale, bytes roughly too)
+    from datasketches_spark_spark.operators.hevcnative import (
+        hevc_decode_frames, hevc_encode_keyframes, libde265_available)
+    if libde265_available():
+        rgb = [np.repeat(rng.integers(0, 256, (64, 96, 1), np.uint8),
+                         3, axis=2) for _ in range(2)]
+        h1 = hevc_encode_keyframes(rgb)
+        h8 = hevc_encode_keyframes(rgb * 8)
+        t1 = best_of(lambda: hevc_decode_frames(h1))
+        t8 = best_of(lambda: hevc_decode_frames(h8))
+        results["hevc_decode"] = report(
+            "hevc libde265 decode", t1, t8, len(h1), len(h8))
+
+    bad = {k: round(e, 2) for k, e in results.items() if e > 1.25}
+    print("exponents:", {k: round(e, 2) for k, e in results.items()})
+    print("PASS" if not bad else f"FAIL superlinear: {bad}")
+
+
+if __name__ == "__main__":
+    main()
