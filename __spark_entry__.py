@@ -3713,9 +3713,15 @@ def _demo_audio_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/mp4codec.py — the stbl-addressed sample bytes ARE the
     ADTS raw_data_block payloads), and an MP4 with udta tags + co64
     + multi-sample chunks + moov-after-mdat layout — the ``.aac`` ↔
-    ``.m4a`` collapse with NO decode. n_species == 4 pins that all
-    four packagings per leg really collapsed; DuckDB recomputes group
-    sizes and species counts relationally."""
+    ``.m4a`` collapse with NO decode. Leg 'opus' (r18,
+    operators/mkvcodec.py) crosses the Ogg ↔ Matroska/WebM container
+    pair: one Opus packet sequence packaged as bare Ogg, re-tagged
+    Ogg (OpusTags varied), bare WebM, and re-tagged + Xiph-laced +
+    re-clustered WebM — MKV block payloads ARE the codec packets
+    (headers live in CodecPrivate), so all four collapse to ONE hash
+    (the ``.opus`` ↔ ``.webm`` collapse). n_species == 4 pins that
+    all four packagings per leg really collapsed; DuckDB recomputes
+    group sizes and species counts relationally."""
     import struct as _st
     import numpy as np
     import pandas as pd
@@ -3724,13 +3730,18 @@ def _demo_audio_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark_spark.operators.aaccodec import (
         aac_frame_payloads, build_adts_stream)
     from datasketches_spark_spark.operators.flaccodec import encode_flac
+    from datasketches_spark_spark.operators.mkvcodec import build_mkv
     from datasketches_spark_spark.operators.mp4codec import build_mp4
+    from datasketches_spark_spark.operators.oggcodec import (
+        build_ogg_stream, ogg_audio_packets)
 
     def _mk(pdf_iter):
         tones = {g: np.sin(np.linspace(0, 30 + 10 * g, 1500))
                  for g in range(3)}
         payloads = {g: aac_frame_payloads(
             build_adts_stream(b"grp%d" % g, 7)) for g in range(3)}
+        opus = {g: ogg_audio_packets(
+            build_ogg_stream(b"opus%d" % g, 6)) for g in range(3)}
         for pdf in pdf_iter:
             legs, ids, hs = [], [], []
             for did in pdf["doc_id"]:
@@ -3771,6 +3782,21 @@ def _demo_audio_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                 legs.append("aac")
                 ids.append(did)
                 hs.append(audio_content_hash(a))
+                pk = opus[did % 3]
+                if sp == 0:
+                    o = build_ogg_stream(b"opus%d" % (did % 3), 6)
+                elif sp == 1:
+                    o = build_ogg_stream(b"opus%d" % (did % 3), 6,
+                                         tags=b"T=%d" % did)
+                elif sp == 2:
+                    o = build_mkv(audio_payloads=pk)
+                else:
+                    o = build_mkv(audio_payloads=pk,
+                                  tags=b"doc %d" % did,
+                                  lacing="xiph", per_cluster=2)
+                legs.append("opus")
+                ids.append(did)
+                hs.append(audio_content_hash(o))
             yield pd.DataFrame({"leg": legs, "doc_id": ids, "h": hs})
 
     docs = (read_table(spark, sf_dir, "documents")
@@ -3804,19 +3830,28 @@ def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the dressing varies bare / ID3v2 / ID3v2+ID3v1 /
     CRC-protected headers + a trailing APEv2 tag (the 9-byte header
     form and the r18 trailing-tag tolerance both excluded from the
-    hash). Each leg's hash must collapse every content group across
-    all four tag shapes (n_tagshapes == 4 pins exactly that); DuckDB
-    recomputes group sizes and tag-shape counts relationally."""
+    hash). Leg 'mkv' (r18, operators/mkvcodec.py): the same content
+    groups as Opus-in-WebM where the dressing varies the CONTAINER
+    LAYOUT itself — bare / Tags element / Xiph lacing + re-clustered
+    / EBML lacing + Void padding + matroska DocType — all reassembled
+    by the EBML block walk to the same packet bytes. Each leg's hash
+    must collapse every content group across all four tag shapes
+    (n_tagshapes == 4 pins exactly that); DuckDB recomputes group
+    sizes and tag-shape counts relationally."""
     import hashlib as _hl
     import pandas as pd
     from datasketches_spark_spark.operators.aaccodec import (
         aac_audio_hash, build_adts_stream)
+    from datasketches_spark_spark.operators.mkvcodec import (
+        build_mkv, mkv_audio_hash)
     from datasketches_spark_spark.operators.mp3codec import (
         build_frame_stream, mp3_audio_hash)
     from datasketches_spark_spark.operators.oggcodec import (
-        build_ogg_stream, ogg_audio_hash)
+        build_ogg_stream, ogg_audio_hash, ogg_audio_packets)
 
     def _mk(pdf_iter):
+        opus = {g: ogg_audio_packets(
+            build_ogg_stream(b"mk%d" % g, 6)) for g in range(3)}
         for pdf in pdf_iter:
             legs, ids, hs = [], [], []
             for did in pdf["doc_id"]:
@@ -3856,6 +3891,22 @@ def _demo_mp3_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 legs.append("ogg")
                 ids.append(did)
                 hs.append(ogg_audio_hash(o))
+                pk = opus[did % 3]
+                if shape == 0:
+                    m = build_mkv(audio_payloads=pk)
+                elif shape == 1:
+                    m = build_mkv(audio_payloads=pk,
+                                  tags=b"TITLE=doc %d" % did)
+                elif shape == 2:
+                    m = build_mkv(audio_payloads=pk, lacing="xiph",
+                                  per_cluster=2)
+                else:
+                    m = build_mkv(audio_payloads=pk, lacing="ebml",
+                                  void_pad=11 + did % 7,
+                                  doctype="matroska")
+                legs.append("mkv")
+                ids.append(did)
+                hs.append(mkv_audio_hash(m))
             yield pd.DataFrame({"leg": legs, "doc_id": ids, "h": hs})
 
     docs = (read_table(spark, sf_dir, "documents")
@@ -3944,8 +3995,8 @@ def _demo_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup via frame-pHash sequences (r15 + r17 + r18,
     operators/multimodal.py::video_phash_signature): docs synthesize
-    footage keyed by doc_id % 3 in FOUR containers keyed by
-    (doc_id // 3) % 4 — Motion-JPEG AVI (fps AND JPEG quality 35..90
+    footage keyed by doc_id % 3 in SIX containers keyed by
+    (doc_id // 3) % 6 — Motion-JPEG AVI (fps AND JPEG quality 35..90
     varied per doc so frame BYTES genuinely differ within a group),
     raw Annex B H.264 I_PCM keyframe streams (r17,
     operators/h264codec.py; chroma plane varied as the re-encode
@@ -3953,16 +4004,22 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Annex B → decode chain, with udta tags / chunking / co64 /
     moov-placement / FRAGMENTED moof/trun DASH segmenting varied per
     doc so container BYTES and even the sample-addressing scheme
-    differ), and
-    HEVC-in-MP4 (r18, operators/hevcnative.py — REAL x265-encoded
-    streams decoded by the system libde265, quality varied as the
-    re-encode stand-in, footage carried at 4x resolution as a
-    re-scale stand-in — average-hash is resolution-invariant for
-    scaled patterns). The signature must collapse each footage group
-    to ONE hash sequence ACROSS all four containers — n_containers ==
-    4 pins that the lossy-JPEG, exact-H.264, MP4-demux and
-    lossy-HEVC decode paths land on the same pHash — and DuckDB
-    recomputes group sizes + container counts relationally."""
+    differ), HEVC-in-MP4 (r18, operators/hevcnative.py — REAL
+    x265-encoded streams decoded by the system libde265, quality
+    varied as the re-encode stand-in, footage carried at 4x
+    resolution as a re-scale stand-in — average-hash is
+    resolution-invariant for scaled patterns), H.264-in-Matroska
+    (r18, operators/mkvcodec.py — the EBML block walk → CodecPrivate
+    avcC → Annex B chain, with Tags / cluster splits / Void padding /
+    DocType varied per doc), and VP8-in-WebM (r18 — REAL
+    system-libwebp VP8 keyframe encodes carried as WebM blocks and
+    decoded by rewrapping each frame as a one-chunk WebP, encode
+    quality varied as the re-encode stand-in). The signature must
+    collapse each footage group to ONE hash sequence ACROSS all six
+    containers — n_containers == 6 pins that the lossy-JPEG,
+    exact-H.264, MP4-demux, lossy-HEVC, MKV-demux and lossy-VP8
+    decode paths land on the same pHash — and DuckDB recomputes
+    group sizes + container counts relationally."""
     import numpy as np
     import pandas as pd
     from datasketches_spark_spark.operators import video_phash_signature
@@ -3999,14 +4056,18 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_h264_ipcm)
         from datasketches_spark_spark.operators.hevcnative import (
             hevc_encode_keyframes)
+        from datasketches_spark_spark.operators.mkvcodec import (
+            annexb_to_mkv_track, build_mkv, webp_vp8_payload)
         from datasketches_spark_spark.operators.mp4codec import (
             build_mp4)
+        from datasketches_spark_spark.operators.webpnative import (
+            webp_encode_rgb)
         for pdf in pdf_iter:
             ids, vids = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 ids.append(did)
-                container = (did // 3) % 4
+                container = (did // 3) % 6
                 if container == 0:
                     vids.append(encode_avi_mjpeg(
                         _frames(did % 3), fps=5 + did % 4,
@@ -4023,13 +4084,31 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         moov_first=bool(did % 2),
                         co64=(did % 4 == 0),
                         fragmented=(did % 5 == 0)))
-                else:
+                elif container == 3:
                     rgb = [np.repeat(f[:, :, None], 3, axis=2)
                            for f in _frames(did % 3, scale=4)]
                     vids.append(build_mp4(
                         video_annexb=hevc_encode_keyframes(
                             rgb, quality=(60, 75, 90, 85)[did % 4]),
                         video_dims=(128, 64)))
+                elif container == 4:
+                    cid, priv, blocks = annexb_to_mkv_track(
+                        encode_h264_ipcm(_frames(did % 3),
+                                         chroma=64 + did % 64))
+                    vids.append(build_mkv(
+                        video_frames=blocks, video_codec=cid,
+                        video_private=priv, video_dims=(32, 16),
+                        tags=b"" if did % 2 else b"doc %d" % did,
+                        per_cluster=1 + did % 3,
+                        void_pad=(did % 4) * 5,
+                        doctype="matroska" if did % 2 else "webm"))
+                else:
+                    frames = [webp_vp8_payload(webp_encode_rgb(
+                        np.repeat(f[:, :, None], 3, axis=2),
+                        quality=(65.0, 75.0, 85.0, 90.0)[did % 4]))
+                        for f in _frames(did % 3)]
+                    vids.append(build_mkv(video_frames=frames,
+                                          video_dims=(32, 16)))
             yield pd.DataFrame({"doc_id": ids, "avi": vids})
 
     docs = (read_table(spark, sf_dir, "documents")
@@ -4039,7 +4118,7 @@ def _demo_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = video_phash_signature(vids, "doc_id", num_frames=4,
                                 payload_col="avi")
     return (sig.withColumn("container", (F.col("doc_id") / 3)
-                           .cast("long") % 4)
+                           .cast("long") % 6)
             .groupBy(F.concat_ws("|", "phash_seq").alias("sig"))
             .agg(F.count("*").alias("n"),
                  F.min("doc_id").alias("min_id"),
@@ -4697,6 +4776,86 @@ def _demo_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle text extraction across EVERY crawl shape (r18,
+    operators/subtitlecodec.py::subtitle_text +
+    operators/multimodal.py::extract_subtitle_text — subtitles as a
+    crawl TEXT source): doc_id % 5 picks the packaging — an
+    S_TEXT/UTF8 Matroska track (the SRT-in-Matroska mapping, cues
+    verbatim, written as BlockGroup/Block + BlockDuration like real
+    muxers), an S_TEXT/ASS Matroska track (Dialogue lines whose
+    ``{\\b1}``-style override tags must strip and whose ``\\N`` soft
+    break becomes a newline), a bare SRT sidecar (CRLF + BOM
+    dressings rotate per doc — the Windows-tooling shapes the parser
+    normalizes away), a bare WebVTT file (NOTE block, cue
+    identifiers, cue settings, and ``<i>`` cue-text tags all present
+    and all invisible in the extraction), and a bare ASS/SSA script
+    (the SSA ``Marked`` Format variant rotates in) — each carrying
+    the doc's text as cue one and a doc-numbered cue two, with the
+    Matroska legs declaring a track language (eng/spa) and the bare
+    files reporting ``und`` (the formats carry none). The extracted
+    text, cue count, format and language rebuild relationally from
+    the documents columns in DuckDB."""
+    import pandas as pd
+    from datasketches_spark_spark.operators import extract_subtitle_text
+    from datasketches_spark_spark.operators.mkvcodec import build_mkv
+    from datasketches_spark_spark.operators.subtitlecodec import (
+        build_ass, build_srt, build_vtt)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & ~F.col("text").rlike("[{}\\\\<>&]")
+                   & (F.length("text") >= 30))
+            .select("doc_id", "text").repartition(4))
+
+    def _mk(pdf_iter):
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(d), str(t)[:30]
+                leg = d % 5
+                if leg == 0:
+                    payloads.append(build_mkv(
+                        subtitle_cues=[t.encode(),
+                                       b"cue two of doc %d" % d],
+                        subtitle_lang="eng",
+                        tags=b"" if d % 4 else b"doc %d" % d))
+                elif leg == 1:
+                    payloads.append(build_mkv(
+                        subtitle_cues=[
+                            b"1,0,Default,,0,0,0,,{\\b1}" + t.encode()
+                            + b"{\\b0}",
+                            b"2,0,Default,,0,0,0,,line two\\Nof doc "
+                            b"%d" % d],
+                        subtitle_codec="S_TEXT/ASS",
+                        subtitle_lang="spa"))
+                elif leg == 2:
+                    payloads.append(build_srt(
+                        [(0, 1500, t),
+                         (2000, 3500, "cue two of doc %d" % d)],
+                        crlf=bool(d % 2), bom=bool((d // 5) % 2)))
+                elif leg == 3:
+                    payloads.append(build_vtt(
+                        [(0, 1500, "<i>%s</i>" % t),
+                         (2000, 3500, "cue two of doc %d" % d)],
+                        note="doc %d" % d, ids=bool(d % 2),
+                        settings="align:start" if d % 3 else ""))
+                else:
+                    payloads.append(build_ass(
+                        [(0, 1500, "{\\b1}%s{\\b0}" % t),
+                         (2000, 3000,
+                          "line two\\Nof doc %d" % d)],
+                        ssa=bool((d // 5) % 2)))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pkgs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return (extract_subtitle_text(pkgs, "doc_id")
+            .select("doc_id", "text", "cues", "sub_codec", "lang")
+            .orderBy("doc_id"))
+
+
 def _demo_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-level language signals (r15, functions/text.py::
     script_counts / dominant_script / lang_id_cjk): each doc gains a
@@ -4827,6 +4986,7 @@ def demo_queries() -> dict[str, str]:
         "demo_pdf_text": _demo_pdf_text,
         "demo_docx_text": _demo_docx_text,
         "demo_office_text": _demo_office_text,
+        "demo_subtitle_text": _demo_subtitle_text,
         "demo_script_id": _demo_script_id,
     }
 
@@ -7031,14 +7191,14 @@ def demo_oracle_sql() -> dict[str, str]:
             ORDER BY loc
         """,
         # demo_video_dedup (r15/r18): three footage groups across
-        # FOUR containers (AVI / raw H.264 / H.264-in-MP4 /
-        # HEVC-in-MP4), bytes varied by fps/quality/layout within
-        # each — the signature collapses groups exactly, so
-        # sizes/extremes recompute relationally
+        # SIX containers (AVI / raw H.264 / H.264-in-MP4 /
+        # HEVC-in-MP4 / H.264-in-MKV / VP8-in-WebM), bytes varied by
+        # fps/quality/layout within each — the signature collapses
+        # groups exactly, so sizes/extremes recompute relationally
         "demo_video_dedup": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
-                   CAST(count(DISTINCT (doc_id // 3) % 4) AS BIGINT)
+                   CAST(count(DISTINCT (doc_id // 3) % 6) AS BIGINT)
                      AS n_containers
             FROM documents WHERE doc_id < 180
             GROUP BY doc_id % 3 ORDER BY min_id
@@ -7048,26 +7208,30 @@ def demo_oracle_sql() -> dict[str, str]:
         # in pytest; the gate pins the resulting classification
         # demo_audio_content (r17/r18): one content identity across
         # four packagings per leg — PCM (WAV / WAV+LIST / FLAC /
-        # FLAC+tags) and AAC (ADTS / dressed ADTS / MP4 / MP4+tags)
+        # FLAC+tags), AAC (ADTS / dressed ADTS / MP4 / MP4+tags) and
+        # Opus (Ogg / re-tagged Ogg / WebM / re-tagged+laced WebM)
         "demo_audio_content": """
             SELECT legs.leg, CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
                    CAST(count(DISTINCT doc_id % 4) AS BIGINT)
                      AS n_species
             FROM documents
-            CROSS JOIN (VALUES ('aac'), ('pcm')) AS legs(leg)
+            CROSS JOIN (VALUES ('aac'), ('opus'), ('pcm'))
+              AS legs(leg)
             WHERE doc_id < 180
             GROUP BY legs.leg, doc_id % 3 ORDER BY legs.leg, min_id
         """,
-        # demo_mp3_dedup (r17): content groups by doc_id % 3, four
-        # tag dressings per group must collapse to one frame-walk hash
+        # demo_mp3_dedup (r17/r18): content groups by doc_id % 3,
+        # four tag/layout dressings per group and leg (mp3/ogg/aac/
+        # mkv) must collapse to one frame-walk hash
         "demo_mp3_dedup": """
             SELECT legs.leg, CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS min_id, max(doc_id) AS max_id,
                    CAST(count(DISTINCT doc_id % 4) AS BIGINT)
                      AS n_tagshapes
             FROM documents
-            CROSS JOIN (VALUES ('aac'), ('mp3'), ('ogg')) AS legs(leg)
+            CROSS JOIN (VALUES ('aac'), ('mkv'), ('mp3'), ('ogg'))
+              AS legs(leg)
             WHERE doc_id < 180
             GROUP BY legs.leg, doc_id % 3 ORDER BY legs.leg, min_id
         """,
@@ -7502,6 +7666,39 @@ def demo_oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id < 400
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND length(text) >= 30
+            ORDER BY doc_id
+        """,
+        # demo_subtitle_text (r18): cue one is the doc text, cue two
+        # is doc-numbered; UTF8/SRT/VTT cues end up verbatim (markup
+        # tags stripped), ASS Dialogue lines (muxed OR bare) lose
+        # their {\b1} override tags and \N becomes a newline — so the
+        # whole five-packaging extraction rebuilds relationally
+        "demo_subtitle_text": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 IN (1, 4)
+                        THEN trim(substr(text, 1, 30)) || chr(10) ||
+                             'line two' || chr(10) || 'of doc ' ||
+                             CAST(doc_id AS VARCHAR)
+                        ELSE trim(substr(text, 1, 30)) || chr(10) ||
+                             'cue two of doc ' ||
+                             CAST(doc_id AS VARCHAR)
+                   END AS text,
+                   CAST(2 AS BIGINT) AS cues,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'S_TEXT/UTF8'
+                        WHEN 1 THEN 'S_TEXT/ASS'
+                        WHEN 2 THEN 'srt'
+                        WHEN 3 THEN 'vtt'
+                        ELSE 'ass' END AS sub_codec,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'eng'
+                        WHEN 1 THEN 'spa'
+                        ELSE 'und' END AS lang
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND NOT regexp_matches(text, '[{}\\\\<>&]')
               AND length(text) >= 30
             ORDER BY doc_id
         """,

@@ -70,6 +70,11 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
     exact magics before the tag probe, the tag probe before the
     binary/text fallback):
 
+    - subtitle sidecar files (r18, engine extension — crawl text
+      sources the codec layer extracts): ``WEBVTT`` signature ->
+      ``text/vtt``, SRT index+time head -> ``application/x-subrip``,
+      ``[Script Info]`` -> ``text/x-ssa``; checked before the bare
+      BOM rules so a BOM'd subtitle file keeps its specific type;
     - BOM'd text: UTF-8 / UTF-16LE / UTF-16BE -> ``text/plain``
       (WHATWG returns text/plain for BOM'd resources at this stage);
     - images: PNG, JPEG (SOI), GIF87a/89a, WEBP (RIFF form), BMP,
@@ -77,6 +82,8 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
       extension, the codec set's native format);
     - audio/video: WAVE and "AVI " RIFF forms, FLAC ``fLaC``, MP3 via
       ID3v2 header or a bare MPEG sync (0xFFEx/0xFFFx), OGG ``OggS``,
+      EBML ``1A45DFA3`` -> ``video/webm`` (the WHATWG mapping; the
+      matroska/webm DocType split is a demux concern),
       ISO BMFF ``ftyp`` at offset 4 with brand dispatch —
       ``avif``/``avis`` -> ``image/avif``; the format-agnostic HEIF
       structural brands ``mif1``/``msf1`` go ``image/avif`` when
@@ -121,8 +128,19 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
     box_size = F.conv(h4, 16, 10).cast("long")
     is_ftyp = ((ftyp == "ftyp") & (box_size >= 12) & (box_size % 4 == 0)
                & (F.length(p) >= box_size))
+    # Subtitle sidecar files (r18): sniffed BEFORE the bare BOM rules
+    # — a BOM'd WebVTT/SRT is still a subtitle file, and these rules
+    # are strictly more specific than "some Unicode text" (documented
+    # WHATWG deviation; the standard has no subtitle patterns at
+    # all). The latin-1 view shows a UTF-8 BOM as \xEF\xBB\xBF.
+    sub_head = F.regexp_replace(head, "^ï»¿", "")
     mime = (
-        F.when(h3 == "EFBBBF", "text/plain")                  # UTF-8 BOM
+        F.when(sub_head.rlike(r"^WEBVTT([ \t\n]|$)"), "text/vtt")
+         .when(sub_head.rlike(
+                   r"^\d+\r?\n\d{1,2}:\d{2}:\d{2}[,.]\d{1,3} *-->"),
+               "application/x-subrip")
+         .when(sub_head.rlike(r"^\[Script Info\]"), "text/x-ssa")
+         .when(h3 == "EFBBBF", "text/plain")                  # UTF-8 BOM
          .when(h2 == "FFFE", "text/plain")                    # UTF-16LE
          .when(h2 == "FEFF", "text/plain")                    # UTF-16BE
          .when(h8 == "89504E470D0A1A0A", "image/png")
@@ -149,6 +167,10 @@ def detect_mime(payload, probe_bytes: int = 512) -> Column:
          .when(h2.rlike("^FF(F0|F1|F8|F9)$"), "audio/aac")
          .when(h2.rlike("^FF[EF]"), "audio/mpeg")             # MPEG sync
          .when(h4 == "4F676753", "application/ogg")           # OggS
+         # EBML magic (WHATWG maps 1A 45 DF A3 -> video/webm; the
+         # matroska/webm split needs the DocType element — demux with
+         # operators/mkvcodec.mkv_info downstream)
+         .when(h4 == "1A45DFA3", "video/webm")
          .when(is_ftyp & word9.isin("avif", "avis"), "image/avif")
          .when(is_ftyp & word9.isin("mif1", "msf1")
                & compat.contains("avif"), "image/avif")

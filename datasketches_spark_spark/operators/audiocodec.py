@@ -338,6 +338,12 @@ def audio_content_hash(data: bytes) -> str:
     from .mp4codec import is_mp4, mp4_audio_hash
     if is_mp4(data):
         return mp4_audio_hash(data)
+    from .mkvcodec import is_mkv, mkv_audio_hash
+    if is_mkv(data):
+        # block payloads ARE the codec packets (headers live in
+        # CodecPrivate), so MKV-Opus == Ogg-Opus of the same encode
+        return mkv_audio_hash(data)
     raise ValueError(
         f"no content-hash rule for magic {data[:4]!r}: FLAC, "
-        "RIFF/WAVE, MPEG audio, ADTS AAC, Ogg and MP4 are supported")
+        "RIFF/WAVE, MPEG audio, ADTS AAC, Ogg, MP4 and "
+        "Matroska/WebM are supported")

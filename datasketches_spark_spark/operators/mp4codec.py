@@ -569,6 +569,9 @@ def video_content_hash(data: bytes) -> str:
     * AVI: md5 over the video-stream frame payloads
       (``avicodec.avi_frame_payloads`` — LIST/INFO/JUNK metadata
       never contributes).
+    * Matroska/WebM (r18): :func:`mkvcodec.mkv_video_hash` — VCL
+      NALs for H.264/HEVC tracks (collapsing with the MP4 and Annex
+      B forms of the same encode), raw frame payloads for VP8/VP9.
 
     Exact-stream identity modulo packaging: re-encodes change the
     hash (route decodable video through ``video_phash_signature``
@@ -576,6 +579,9 @@ def video_content_hash(data: bytes) -> str:
     data = bytes(data)
     if is_mp4(data):
         return mp4_video_hash(data)
+    from .mkvcodec import is_mkv, mkv_video_hash
+    if is_mkv(data):
+        return mkv_video_hash(data)
     from .h264codec import _split_nals, is_h264
     if is_h264(data) or _looks_annexb_hevc(data):
         codec = "h264" if is_h264(data) else "hevc"
@@ -592,7 +598,7 @@ def video_content_hash(data: bytes) -> str:
         return h.hexdigest()
     raise ValueError(
         f"no video content-hash rule for magic {data[:4]!r}: MP4, "
-        "Annex B H.264/HEVC and AVI are supported")
+        "Matroska/WebM, Annex B H.264/HEVC and AVI are supported")
 
 
 def _looks_annexb_hevc(data: bytes) -> bool:
@@ -682,8 +688,9 @@ def _stbl(fmt_entry: bytes, sizes: list[int], per_chunk: int,
     return _box(b"stbl", stsd + stts + stsc + stsz + stco)
 
 
-def _avc1_entry(sps: list[bytes], pps: list[bytes], width: int,
-                height: int) -> bytes:
+def _avcc_record(sps: list[bytes], pps: list[bytes]) -> bytes:
+    """A bare AVCDecoderConfigurationRecord (§5.3.3.1) — shared by
+    the MP4 avc1 entry and the Matroska CodecPrivate."""
     profile, compat, level = (sps[0][1], sps[0][2], sps[0][3]) \
         if sps and len(sps[0]) >= 4 else (66, 0, 30)
     avcc = bytes([1, profile, compat, level, 0xFF,
@@ -693,6 +700,12 @@ def _avc1_entry(sps: list[bytes], pps: list[bytes], width: int,
     avcc += bytes([len(pps)])
     for p in pps:
         avcc += struct.pack(">H", len(p)) + p
+    return avcc
+
+
+def _avc1_entry(sps: list[bytes], pps: list[bytes], width: int,
+                height: int) -> bytes:
+    avcc = _avcc_record(sps, pps)
     body = (b"\x00" * 6 + struct.pack(">H", 1)        # data_ref_idx
             + b"\x00" * 16
             + struct.pack(">HH", width, height)
@@ -703,9 +716,11 @@ def _avc1_entry(sps: list[bytes], pps: list[bytes], width: int,
     return _box(b"avc1", body + _box(b"avcC", avcc))
 
 
-def _hev1_entry(ps_nals: list[bytes], width: int, height: int) -> bytes:
-    """Minimal-but-valid hvcC: the 23-byte header with conservative
-    profile/level fields, then one array per parameter-set type."""
+def _hvcc_record(ps_nals: list[bytes]) -> bytes:
+    """A bare HEVCDecoderConfigurationRecord (§8.3.3.1): the 23-byte
+    header with conservative profile/level fields, then one array per
+    parameter-set type — shared by the MP4 hev1 entry and the
+    Matroska CodecPrivate."""
     by_type: dict[int, list[bytes]] = {}
     for nal in ps_nals:
         by_type.setdefault((nal[0] >> 1) & 0x3F, []).append(nal)
@@ -725,6 +740,10 @@ def _hev1_entry(ps_nals: list[bytes], width: int, height: int) -> bytes:
         hvcc += struct.pack(">H", len(by_type[ntype]))
         for nal in by_type[ntype]:
             hvcc += struct.pack(">H", len(nal)) + nal
+    return bytes(hvcc)
+
+
+def _hev1_entry(ps_nals: list[bytes], width: int, height: int) -> bytes:
     body = (b"\x00" * 6 + struct.pack(">H", 1)
             + b"\x00" * 16
             + struct.pack(">HH", width, height)
@@ -732,7 +751,7 @@ def _hev1_entry(ps_nals: list[bytes], width: int, height: int) -> bytes:
             + b"\x00" * 4 + struct.pack(">H", 1)
             + b"\x00" * 32
             + struct.pack(">Hh", 24, -1))
-    return _box(b"hev1", body + _box(b"hvcC", bytes(hvcc)))
+    return _box(b"hev1", body + _box(b"hvcC", _hvcc_record(ps_nals)))
 
 
 def _mp4a_entry(channels: int, sample_rate: int) -> bytes:

@@ -291,6 +291,7 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avicodec import is_avi, mjpeg_frame_sampler
         from .h264codec import h264_frame_sampler, is_h264
+        from .mkvcodec import is_mkv, mkv_frame_sampler
         from .mp4codec import is_mp4, mp4_frame_sampler
         for pdf in batches:
             rows = []
@@ -321,6 +322,17 @@ def sample_frames(df: DataFrame, id_col: str, num_frames: int,
                     # refusal contract as the raw H.264 branch.
                     try:
                         fs = mp4_frame_sampler(raw, num_frames)
+                    except (NotImplementedError, ValueError,
+                            IndexError, struct.error):
+                        continue
+                elif is_mkv(raw):
+                    # r18: Matroska/WebM — VP8 keyframes decode
+                    # through the system libwebp (each frame
+                    # rewrapped as a one-chunk WebP), H.264/HEVC
+                    # tracks re-expressed as Annex B and routed like
+                    # the MP4 branch. Same per-payload refusal.
+                    try:
+                        fs = mkv_frame_sampler(raw, num_frames)
                     except (NotImplementedError, ValueError,
                             IndexError, struct.error):
                         continue
@@ -554,5 +566,46 @@ def extract_ods_text(df: DataFrame, id_col: str,
             return {"text": None, "units": None}
 
     return transform_payloads(df, id_col, one, OFFICE_TEXT_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)
+
+
+SUBTITLE_TEXT_FIELDS = [
+    StructField("text", StringType()),
+    StructField("cues", LongType()),
+    StructField("sub_codec", StringType()),
+    StructField("lang", StringType()),
+]
+
+
+def extract_subtitle_text(df: DataFrame, id_col: str,
+                          payload_col: str = "payload",
+                          keep_cols: list[str] | None = None
+                          ) -> DataFrame:
+    """Subtitle text out of subtitle payloads in EVERY crawl shape
+    (r18, ``operators/subtitlecodec.py::subtitle_text``): Matroska/
+    WebM subtitle tracks (S_TEXT/UTF8 verbatim, S_TEXT/ASS with
+    override tags stripped) AND the bare sidecar files — SRT, WebVTT
+    (NOTE/STYLE blocks skipped, cue tags and character escapes
+    decoded), ASS/SSA (``Format:``-declared field order) — one sniff
+    dispatch per payload. Returns the text, cue count, the format
+    (the MKV track's CodecID or ``srt``/``vtt``/``ass``) and the
+    declared language (``und`` for bare files, which carry none).
+    Payloads with no extractable subtitle text (bitmap subs,
+    unrecognized bytes) become an all-null row — same loud-null
+    contract as the document extractors."""
+    from .subtitlecodec import subtitle_text
+
+    def one(raw: bytes) -> dict:
+        try:
+            info = subtitle_text(raw)
+            return {"text": info["text"], "cues": info["cues"],
+                    "sub_codec": info["format"],
+                    "lang": info["lang"]}
+        except Exception:
+            return {"text": None, "cues": None, "sub_codec": None,
+                    "lang": None}
+
+    return transform_payloads(df, id_col, one, SUBTITLE_TEXT_FIELDS,
                               payload_col=payload_col,
                               keep_cols=keep_cols)

@@ -40,7 +40,7 @@ import hashlib
 import struct
 
 __all__ = ["is_ogg", "ogg_info", "ogg_audio_hash",
-           "build_ogg_stream"]
+           "ogg_audio_packets", "build_ogg_stream"]
 
 _MAX_INPUT = 256 << 20
 _MAX_SEGS = 255
@@ -250,6 +250,26 @@ def ogg_audio_hash(data: bytes) -> str:
             continue
         h.update(pk)
     return h.hexdigest()
+
+
+def ogg_audio_packets(data: bytes) -> list[bytes]:
+    """The AUDIO packets of the first logical stream, header packets
+    excluded — exactly the bytes ``ogg_audio_hash`` hashes, returned
+    for re-packaging (an MKV/WebM Block carries one codec packet per
+    frame with headers in CodecPrivate, so feeding these to
+    ``mkvcodec.build_mkv`` yields a file whose ``mkv_audio_hash``
+    EQUALS this stream's ``ogg_audio_hash`` — the cross-container
+    fixture plumbing)."""
+    pages = list(_pages(data))
+    if not pages:
+        raise ValueError("Ogg: no pages")
+    pkts = _packets(pages, pages[0]["serial"])
+    try:
+        first = next(pkts)
+    except StopIteration:
+        raise ValueError("Ogg: stream has no packets") from None
+    skip = _header_packet_count(_codec_of(first), first) - 1
+    return [pk for i, pk in enumerate(pkts) if i >= skip]
 
 
 # ------------------------------------------------------------- writer

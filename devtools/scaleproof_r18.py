@@ -107,6 +107,35 @@ def main():
         results["hevc_decode"] = report(
             "hevc libde265 decode", t1, t8, len(h1), len(h8))
 
+    # --- Matroska/WebM: EBML walk + lacing reassembly + hashes
+    from datasketches_spark_spark.operators.mkvcodec import (
+        annexb_to_mkv_track, build_mkv, mkv_audio_hash,
+        mkv_extract_video, mkv_video_hash)
+    from datasketches_spark_spark.operators.oggcodec import (
+        build_ogg_stream, ogg_audio_packets)
+    k1 = ogg_audio_packets(build_ogg_stream(b"sc", 120))
+    k8 = ogg_audio_packets(build_ogg_stream(b"sc", 960))
+    mk1 = build_mkv(audio_payloads=k1, lacing="xiph", per_cluster=8)
+    mk8 = build_mkv(audio_payloads=k8, lacing="xiph", per_cluster=8)
+    t1 = best_of(lambda: mkv_audio_hash(mk1))
+    t8 = best_of(lambda: mkv_audio_hash(mk8))
+    results["mkv_audio_hash"] = report(
+        "mkv laced audio hash", t1, t8, len(mk1), len(mk8))
+    cid, priv, blocks = annexb_to_mkv_track(encode_h264_ipcm(fr1))
+    _, _, blocks8 = annexb_to_mkv_track(encode_h264_ipcm(fr1 * 8))
+    w1 = build_mkv(video_frames=blocks, video_codec=cid,
+                   video_private=priv, video_dims=(48, 32))
+    w8 = build_mkv(video_frames=blocks8, video_codec=cid,
+                   video_private=priv, video_dims=(48, 32))
+    t1 = best_of(lambda: mkv_video_hash(w1))
+    t8 = best_of(lambda: mkv_video_hash(w8))
+    results["mkv_video_hash"] = report(
+        "mkv video vcl hash", t1, t8, len(w1), len(w8))
+    t1 = best_of(lambda: mkv_extract_video(w1))
+    t8 = best_of(lambda: mkv_extract_video(w8))
+    results["mkv_extract_video"] = report(
+        "mkv -> annexb extract", t1, t8, len(w1), len(w8))
+
     bad = {k: round(e, 2) for k, e in results.items() if e > 1.25}
     print("exponents:", {k: round(e, 2) for k, e in results.items()})
     print("PASS" if not bad else f"FAIL superlinear: {bad}")
