@@ -58,7 +58,7 @@ import struct
 
 __all__ = ["is_mp4", "mp4_info", "mp4_extract_video",
            "mp4_audio_hash", "mp4_video_hash", "video_content_hash",
-           "mp4_frame_sampler", "build_mp4"]
+           "mp4_frame_sampler", "mp4_subtitle_text", "build_mp4"]
 
 MAX_INPUT_BYTES = 256 << 20
 _MAX_SAMPLES = 1 << 20
@@ -347,9 +347,13 @@ def _parse_tracks(data: bytes) -> list[dict]:
             if v == 1:
                 t["timescale"], t["duration"] = struct.unpack_from(
                     ">IQ", data, b + 16)
+                t["lang"] = _unpack_lang(
+                    struct.unpack_from(">H", data, b + 28)[0])
             else:
                 t["timescale"], t["duration"] = struct.unpack_from(
                     ">II", data, b + 8)
+                t["lang"] = _unpack_lang(
+                    struct.unpack_from(">H", data, b + 16)[0])
         minf = _child(data, mdia[0], mdia[1], b"minf")
         stbl_span = minf and _child(data, minf[0], minf[1], b"stbl")
         if not stbl_span:
@@ -529,6 +533,45 @@ def mp4_audio_hash(data: bytes) -> str:
     for off, sz in auds[0]["spans"]:
         h.update(data[off:off + sz])
     return h.hexdigest()
+
+
+def mp4_subtitle_text(data: bytes) -> dict:
+    """Subtitle text out of the first timed-text track (3GPP TS
+    26.245 ``tx3g`` — the MP4 subtitle mapping): ``{"text", "cues",
+    "codec_id": "tx3g", "lang"}``, the ``mkv_subtitle_text`` shape.
+    Each sample is a u16-BE text length + UTF-8 text (UTF-16 when it
+    leads with a BOM, §5.17.1) optionally followed by modifier boxes
+    (``styl`` etc.) which are skipped; zero-length samples are the
+    spec's gap encoding and are not counted as cues. ``lang`` is the
+    track's mdhd packed ISO-639-2 code. Non-``tx3g`` subtitle
+    formats refuse by name."""
+    data = bytes(data)
+    tracks = _parse_tracks(data)
+    t = next((t for t in tracks
+              if t.get("format") == "tx3g"
+              or t.get("handler") in ("sbtl", "text")), None)
+    if t is None:
+        raise ValueError("MP4: no subtitle (timed text) track")
+    if t.get("format") != "tx3g":
+        raise NotImplementedError(
+            f"MP4 subtitle format '{t['format']}': text extraction "
+            "covers tx3g (3GPP timed text); wvtt/bitmap formats are "
+            "out of scope")
+    cues = []
+    for off, sz in t["spans"]:
+        if sz < 2:
+            continue
+        n = struct.unpack_from(">H", data, off)[0]
+        if n == 0:
+            continue                      # gap sample, not a cue
+        raw = data[off + 2:off + 2 + min(n, sz - 2)]
+        if raw[:2] in (b"\xfe\xff", b"\xff\xfe"):
+            cues.append(raw.decode("utf-16", "replace").strip())
+        else:
+            cues.append(raw.decode("utf-8", "replace").strip())
+    return {"text": "\n".join(c for c in cues if c),
+            "cues": len(cues), "codec_id": "tx3g",
+            "lang": t.get("lang", "und")}
 
 
 def _is_vcl(nal: bytes, codec: str) -> bool:
@@ -778,10 +821,41 @@ def _mp4a_entry(channels: int, sample_rate: int) -> bytes:
     return _box(b"mp4a", body + esds)
 
 
+def _tx3g_entry() -> bytes:
+    """A 3GPP TS 26.245 §5.16 TextSampleEntry: display flags,
+    justification, background color, default text box, default style
+    record, and the mandatory font table."""
+    body = (b"\x00" * 6 + struct.pack(">H", 1)      # data_ref_idx
+            + struct.pack(">I", 0)                   # displayFlags
+            + struct.pack(">bb", 1, -1)              # h/v just.
+            + b"\x00\x00\x00\x00"                    # bg rgba
+            + struct.pack(">hhhh", 0, 0, 0, 0)       # default box
+            + struct.pack(">HHH", 0, 0, 1)           # style rec.
+            + bytes([0, 12]) + b"\xff\xff\xff\xff")  # face/size/rgba
+    ftab = _box(b"ftab", struct.pack(">HH", 1, 1)
+                + bytes([5]) + b"Serif")
+    return _box(b"tx3g", body + ftab)
+
+
+def _pack_lang(code: str) -> int:
+    """ISO-639-2/T three-letter code -> the mdhd packed 15-bit form
+    (three 5-bit letters biased by 0x60, §8.4.2.3)."""
+    c = (code.lower() + "und")[:3]
+    return (((ord(c[0]) - 0x60) << 10) | ((ord(c[1]) - 0x60) << 5)
+            | (ord(c[2]) - 0x60))
+
+
+def _unpack_lang(v: int) -> str:
+    if not v or v == 0x7FFF:
+        return "und"
+    return "".join(chr(((v >> s) & 0x1F) + 0x60) for s in (10, 5, 0))
+
+
 def _trak(handler: bytes, fmt_entry: bytes, sizes: list[int],
           per_chunk: int, timescale: int, sample_delta: int,
           co64: bool, chunk_offsets: list[int], track_id: int,
-          width: int = 0, height: int = 0) -> bytes:
+          width: int = 0, height: int = 0,
+          lang: int = 0x55C4) -> bytes:
     duration = len(sizes) * sample_delta
     tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, track_id, 0)
                  + struct.pack(">I", duration) + b"\x00" * 8
@@ -791,13 +865,19 @@ def _trak(handler: bytes, fmt_entry: bytes, sizes: list[int],
                  + struct.pack(">II", width << 16, height << 16))
     mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale,
                                             duration)
-                 + struct.pack(">HH", 0x55C4, 0))
-    name = b"VideoHandler\x00" if handler == b"vide" \
-        else b"SoundHandler\x00"
+                 + struct.pack(">HH", lang, 0))
+    name = {b"vide": b"VideoHandler\x00",
+            b"soun": b"SoundHandler\x00"}.get(
+                handler, b"SubtitleHandler\x00")
     hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12
                  + name)
-    mhd = _full(b"vmhd", 0, 1, b"\x00" * 8) if handler == b"vide" \
-        else _full(b"smhd", 0, 0, b"\x00" * 4)
+    if handler == b"vide":
+        mhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    elif handler == b"soun":
+        mhd = _full(b"smhd", 0, 0, b"\x00" * 4)
+    else:
+        # timed text uses the null media header (3GPP TS 26.245 §5.2)
+        mhd = _full(b"nmhd", 0, 0, b"")
     dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1)
                                + _full(b"url ", 0, 1, b"")))
     stbl = _stbl(fmt_entry, sizes, per_chunk, timescale, sample_delta,
@@ -814,7 +894,10 @@ def build_mp4(video_annexb: bytes | None = None,
               free_pad: int = 0, video_fps: int = 10,
               audio_rate: int = 48000, audio_channels: int = 2,
               video_dims: tuple[int, int] | None = None,
-              fragmented: bool = False) -> bytes:
+              fragmented: bool = False,
+              subtitle_cues: list[bytes | str] | None = None,
+              subtitle_lang: str = "und",
+              subtitle_styl: bool = False) -> bytes:
     """TEST/FIXTURE writer: a structurally valid MP4 carrying a video
     track (an Annex B H.264/HEVC stream — parameter sets land in
     avcC/hvcC, each VCL NAL becomes one length-prefixed sample) and/or
@@ -828,8 +911,10 @@ def build_mp4(video_annexb: bytes | None = None,
     DASH/streaming shape — EMPTY moov tables + mvex/trex defaults,
     samples in per-chunk moof/traf/trun + mdat pairs under
     default-base-is-moof addressing)."""
-    if video_annexb is None and audio_payloads is None:
-        raise ValueError("build_mp4 needs a video and/or audio track")
+    if (video_annexb is None and audio_payloads is None
+            and subtitle_cues is None):
+        raise ValueError("build_mp4 needs a video, audio and/or "
+                         "subtitle track")
     traks = []           # (handler, fmt_entry_fn, sample list, ...)
     if video_annexb is not None:
         from .h264codec import _split_nals
@@ -863,11 +948,27 @@ def build_mp4(video_annexb: bytes | None = None,
             info = _parse_sps(_BitReader(_unescape_rbsp(sps[0][1:])))
             w, h = 16 * info["mbs_w"], 16 * info["mbs_h"]
             entry = _avc1_entry(sps, pps, w, h)
-        traks.append(("vide", entry, samples, video_fps, 1, w, h))
+        traks.append(("vide", entry, samples, video_fps, 1, w, h,
+                      0x55C4))
     if audio_payloads is not None:
         entry = _mp4a_entry(audio_channels, audio_rate)
         traks.append(("soun", entry, [bytes(p) for p in audio_payloads],
-                      audio_rate, 1024, 0, 0))
+                      audio_rate, 1024, 0, 0, 0x55C4))
+    if subtitle_cues is not None:
+        # tx3g samples: u16 BE text length + UTF-8 text, optionally
+        # followed by modifier boxes (a 'styl' here — readers must
+        # skip them, TS 26.245 §5.17)
+        samples = []
+        for c in subtitle_cues:
+            raw = c.encode("utf-8") if isinstance(c, str) else bytes(c)
+            s = struct.pack(">H", len(raw)) + raw
+            if subtitle_styl:
+                s += _box(b"styl", struct.pack(">H", 1)
+                          + struct.pack(">HHH", 0, 0, 1)
+                          + bytes([1, 12]) + b"\xff\xff\xff\xff")
+            samples.append(s)
+        traks.append(("sbtl", _tx3g_entry(), samples, 1000, 1000,
+                      0, 0, _pack_lang(subtitle_lang)))
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
                 + b"isomiso2avc1mp41")
@@ -879,10 +980,11 @@ def build_mp4(video_annexb: bytes | None = None,
                      + b"\x00" * 8 + _MATRIX + b"\x00" * 24
                      + struct.pack(">I", len(traks) + 1))
         mvex = b""
-        for ti, (handler, entry, _s, timescale, delta, w, h) in \
+        for ti, (handler, entry, _s, timescale, delta, w, h, lang) in \
                 enumerate(traks):
             body += _trak(handler.encode(), entry, [], per_chunk,
-                          timescale, delta, False, [], ti + 1, w, h)
+                          timescale, delta, False, [], ti + 1, w, h,
+                          lang)
             # track 1 inherits its duration from trex; later tracks
             # override via the tfhd flag — both paths exercised
             mvex += _full(b"trex", 0, 0, struct.pack(
@@ -894,7 +996,7 @@ def build_mp4(video_annexb: bytes | None = None,
                                                + tags)))))
         out = bytearray(ftyp + _box(b"moov", body) + free)
         seq = 1
-        for ti, (handler, _e, samples, _ts, delta, _w, _h) in \
+        for ti, (handler, _e, samples, _ts, delta, _w, _h, _lg) in \
                 enumerate(traks):
             chunks, _runs = _chunk_samples([len(s) for s in samples],
                                            per_chunk)
@@ -952,13 +1054,13 @@ def build_mp4(video_annexb: bytes | None = None,
                      + b"\x00" * 8 + _MATRIX + b"\x00" * 24
                      + struct.pack(">I", len(traks) + 1))
         body += mvhd
-        for ti, (handler, entry, samples, timescale, delta, w, h) in \
-                enumerate(traks):
+        for ti, (handler, entry, samples, timescale, delta, w, h,
+                 lang) in enumerate(traks):
             body += _trak(
                 handler.encode(), entry, [len(s) for s in samples],
                 per_chunk, timescale, delta, co64,
                 [mdat_payload_at + o for o in chunk_offsets_rel[ti]],
-                ti + 1, w, h)
+                ti + 1, w, h, lang)
         if tags:
             body += _box(b"udta", _box(b"meta", _box(
                 b"ilst", _box(b"\xa9nam", _box(b"data", b"\x00" * 8

@@ -585,7 +585,9 @@ def extract_subtitle_text(df: DataFrame, id_col: str,
     """Subtitle text out of subtitle payloads in EVERY crawl shape
     (r18, ``operators/subtitlecodec.py::subtitle_text``): Matroska/
     WebM subtitle tracks (S_TEXT/UTF8 verbatim, S_TEXT/ASS with
-    override tags stripped) AND the bare sidecar files — SRT, WebVTT
+    override tags stripped), MP4 tx3g timed-text tracks (3GPP TS
+    26.245 — u16-length-prefixed samples, modifier boxes skipped,
+    mdhd language decoded) AND the bare sidecar files — SRT, WebVTT
     (NOTE/STYLE blocks skipped, cue tags and character escapes
     decoded), ASS/SSA (``Format:``-declared field order) — one sniff
     dispatch per payload. Returns the text, cue count, the format

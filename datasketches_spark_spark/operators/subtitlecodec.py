@@ -186,14 +186,21 @@ def subtitle_text(data: bytes) -> dict:
     """One call for every subtitle shape the crawl meets — sniffs and
     dispatches: EBML magic -> the Matroska/WebM subtitle track
     (``mkvcodec.mkv_subtitle_text``; ``format`` is the track's
-    CodecID and ``lang`` its declared Language element), ``WEBVTT``
-    signature -> WebVTT, ``[Script Info]`` head -> ASS/SSA, else the
-    SRT cue-block grammar. Raises ValueError for payloads that are
-    none of the four."""
+    CodecID and ``lang`` its declared Language element), ``ftyp`` at
+    offset 4 -> the MP4 tx3g timed-text track
+    (``mp4codec.mp4_subtitle_text``; ``lang`` from the mdhd packed
+    code), ``WEBVTT`` signature -> WebVTT, ``[Script Info]`` head ->
+    ASS/SSA, else the SRT cue-block grammar. Raises ValueError for
+    payloads that are none of the five."""
     data = bytes(data)
     if data[:4] == b"\x1aE\xdf\xa3":
         from .mkvcodec import mkv_subtitle_text
         info = mkv_subtitle_text(data)
+        return {"text": info["text"], "cues": info["cues"],
+                "format": info["codec_id"], "lang": info["lang"]}
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from .mp4codec import mp4_subtitle_text
+        info = mp4_subtitle_text(data)
         return {"text": info["text"], "cues": info["cues"],
                 "format": info["codec_id"], "lang": info["lang"]}
     head = data[3:] if data[:3] == b"\xef\xbb\xbf" else data

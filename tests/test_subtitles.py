@@ -107,6 +107,57 @@ class TestASS:
             ass_text(b"[Script Info]\nTitle: no events here\n")
 
 
+class TestMP4TimedText:
+    def test_roundtrip_with_lang(self):
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4, mp4_subtitle_text)
+        m = build_mp4(subtitle_cues=["Hello world", "cue two"],
+                      subtitle_lang="deu")
+        assert mp4_subtitle_text(m) == {
+            "text": "Hello world\ncue two", "cues": 2,
+            "codec_id": "tx3g", "lang": "deu"}
+
+    def test_styl_modifier_boxes_skipped_and_layout_invariance(self):
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4, mp4_subtitle_text)
+        base = mp4_subtitle_text(build_mp4(subtitle_cues=["a", "b"]))
+        for kw in ({"subtitle_styl": True}, {"moov_first": False},
+                   {"co64": True}, {"tags": b"dressing"},
+                   {"fragmented": True}):
+            got = mp4_subtitle_text(
+                build_mp4(subtitle_cues=["a", "b"], **kw))
+            assert got == base, kw
+
+    def test_utf16_bom_cue(self):
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4, mp4_subtitle_text)
+        m = build_mp4(subtitle_cues=[
+            "﻿utf16 cue".encode("utf-16-be")])
+        assert mp4_subtitle_text(m)["text"] == "utf16 cue"
+
+    def test_alongside_video_track(self):
+        import numpy as np
+        from datasketches_spark_spark.operators.h264codec import (
+            encode_h264_ipcm)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4, mp4_extract_video, mp4_subtitle_text)
+        fr = [np.full((32, 48, 3), 80, np.uint8)]
+        m = build_mp4(video_annexb=encode_h264_ipcm(fr),
+                      subtitle_cues=["mixed"], subtitle_lang="eng")
+        assert mp4_subtitle_text(m)["text"] == "mixed"
+        assert mp4_extract_video(m)["codec"] == "h264"
+
+    def test_refuses_without_subtitle_track(self):
+        from datasketches_spark_spark.operators.aaccodec import (
+            aac_frame_payloads, build_adts_stream)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4, mp4_subtitle_text)
+        payloads = aac_frame_payloads(build_adts_stream(b"seed", 8))
+        m = build_mp4(audio_payloads=payloads)
+        with pytest.raises(ValueError, match="no subtitle"):
+            mp4_subtitle_text(m)
+
+
 class TestSniffDispatch:
     def test_all_four_shapes(self):
         from datasketches_spark_spark.operators.mkvcodec import (
@@ -116,6 +167,13 @@ class TestSniffDispatch:
         assert subtitle_text(mkv) == {
             "text": "from mkv", "cues": 1,
             "format": "S_TEXT/UTF8", "lang": "eng"}
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        mp4 = build_mp4(subtitle_cues=["from mp4"],
+                        subtitle_lang="fra")
+        assert subtitle_text(mp4) == {
+            "text": "from mp4", "cues": 1,
+            "format": "tx3g", "lang": "fra"}
         assert subtitle_text(build_srt(CUES))["format"] == "srt"
         assert subtitle_text(build_vtt(CUES))["format"] == "vtt"
         assert subtitle_text(build_ass(CUES))["format"] == "ass"
