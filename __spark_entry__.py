@@ -4866,6 +4866,129 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded media metadata as one uniform record (r18,
+    operators/mediameta.py::media_metadata + operators/multimodal.py
+    ::extract_media_metadata — curation/provenance signals the files
+    themselves carry, incl. the ``has_gps`` PII flag image redaction
+    must see): doc_id % 7 picks the carrier — a JPEG whose APP1 EXIF
+    holds Make/Artist/Software/Orientation, a GPS IFD with an actual
+    lat+lon fix on even docs, a DateTimeOriginal in the Exif sub-IFD,
+    and a COM comment segment; an ID3v2.3 latin-1 tag (five text
+    frames + a COMM language frame) and an ID3v2.4 UTF-16 tag
+    (syncsafe frame sizes) ahead of MPEG frames; a FLAC
+    VORBIS_COMMENT block; an Ogg comment packet whose codec
+    alternates OpusTags / \\x03vorbis per doc; PNG tEXt chunks (zTXt
+    zlib-compressed on odd docs); and a RIFF LIST/INFO chunk on a
+    real WAV. Every field value derives from the doc's columns, so
+    the full 14-column record — including per-leg n_fields counts —
+    rebuilds relationally in DuckDB."""
+    import pandas as pd
+    from datasketches_spark_spark.operators import (
+        extract_media_metadata)
+    from datasketches_spark_spark.operators.mediameta import (
+        build_id3v2, jpeg_add_exif, png_add_text, wav_add_info)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & (F.length("text") >= 30)
+                   & (F.trim(F.substring("text", 1, 12)) != ""))
+            .select("doc_id", "text").repartition(4))
+
+    def _mk(pdf_iter):
+        import numpy as np
+        from datasketches_spark_spark.operators.audiocodec import (
+            encode_wav)
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg)
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        from datasketches_spark_spark.operators.oggcodec import (
+            build_ogg_stream)
+        from datasketches_spark_spark.operators.pngcodec import (
+            encode_png)
+        img = np.full((8, 8, 3), 90, np.uint8)
+        jpg, png = encode_jpeg(img), encode_png(img)
+        wav = encode_wav(np.zeros(64), 8000)
+        mp3 = build_frame_stream(b"m", 3)
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(d), str(t)
+                leg = d % 7
+                if leg == 0:
+                    payloads.append(jpeg_add_exif(
+                        jpg,
+                        {"make": "Cam %d" % (d % 5),
+                         "artist": t[:12].strip(),
+                         "software": "engine"},
+                        orientation=(d % 8) + 1,
+                        gps=(d % 2 == 0),
+                        date_original="2024:05:01 10:00:0%d"
+                                      % (d % 10),
+                        comment="doc %d" % d))
+                elif leg == 1:
+                    payloads.append(build_id3v2(
+                        {"title": t[:20].strip(),
+                         "artist": "band %d" % (d % 4),
+                         "album": "LP %d" % (d % 6),
+                         "date": str(1990 + d % 30),
+                         "genre": "genre %d" % (d % 3)},
+                        version=3, comment="c doc %d" % d) + mp3)
+                elif leg == 2:
+                    payloads.append(build_id3v2(
+                        {"title": t[:20].strip(),
+                         "artist": "uband %d" % (d % 5),
+                         "date": str(2000 + d % 20)},
+                        version=4, utf16=True) + mp3)
+                elif leg == 3:
+                    payloads.append(encode_flac(
+                        np.zeros(64), 8000,
+                        tags={"TITLE": t[:16].strip(),
+                              "ARTIST": "flacband %d" % (d % 3),
+                              "ALBUM": "falb %d" % (d % 4),
+                              "ENCODER": "engine"}))
+                elif leg == 4:
+                    payloads.append(build_ogg_stream(
+                        b"o%d" % d, 4,
+                        codec="opus" if (d // 7) % 2 else "vorbis",
+                        tags=b"vend",
+                        comments={"TITLE": t[:16].strip(),
+                                  "ARTIST": "oggband %d" % (d % 3),
+                                  "DATE": str(2010 + d % 10),
+                                  "DESCRIPTION": "odesc %d" % d}))
+                elif leg == 5:
+                    payloads.append(png_add_text(
+                        png,
+                        {"Title": t[:16].strip(),
+                         "Author": "author %d" % (d % 4),
+                         "Software": "engine",
+                         "Creation Time": str(2015 + d % 5)},
+                        compressed=bool(d % 2)))
+                else:
+                    payloads.append(wav_add_info(
+                        wav,
+                        {"title": t[:16].strip(),
+                         "artist": "wband %d" % (d % 4),
+                         "date": str(1995 + d % 15),
+                         "software": "engine",
+                         "genre": "wgen %d" % (d % 2),
+                         "comment": "wc %d" % d}))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pkgs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    return (extract_media_metadata(pkgs, "doc_id")
+            .select("doc_id", "kind", "title", "artist", "album",
+                    "date", "software", "genre", "comment",
+                    "copyright", "make", "model", "orientation",
+                    "has_gps", "n_fields")
+            .orderBy("doc_id"))
+
+
 def _demo_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-level language signals (r15, functions/text.py::
     script_counts / dominant_script / lang_id_cjk): each doc gains a
@@ -4997,6 +5120,7 @@ def demo_queries() -> dict[str, str]:
         "demo_docx_text": _demo_docx_text,
         "demo_office_text": _demo_office_text,
         "demo_subtitle_text": _demo_subtitle_text,
+        "demo_media_metadata": _demo_media_metadata,
         "demo_script_id": _demo_script_id,
     }
 
@@ -7712,6 +7836,104 @@ def demo_oracle_sql() -> dict[str, str]:
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
               AND NOT regexp_matches(text, '[{}\\\\<>&]')
               AND length(text) >= 30
+            ORDER BY doc_id
+        """,
+        # demo_media_metadata (r18): every tag value derives from
+        # documents columns, so the whole 14-column uniform record —
+        # EXIF/ID3/Vorbis/PNG/RIFF per doc_id % 7, incl. per-leg
+        # n_fields counts and the even-doc GPS flag — rebuilds as a
+        # CASE ladder
+        "demo_media_metadata": """
+            SELECT doc_id,
+                   CASE doc_id % 7
+                        WHEN 0 THEN 'exif'
+                        WHEN 1 THEN 'id3' WHEN 2 THEN 'id3'
+                        WHEN 3 THEN 'vorbis' WHEN 4 THEN 'vorbis'
+                        WHEN 5 THEN 'png' ELSE 'riff' END AS kind,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        WHEN doc_id % 7 IN (1, 2)
+                             THEN trim(substr(text, 1, 20))
+                        ELSE trim(substr(text, 1, 16))
+                   END AS title,
+                   CASE doc_id % 7
+                        WHEN 0 THEN trim(substr(text, 1, 12))
+                        WHEN 1 THEN 'band ' ||
+                             CAST(doc_id % 4 AS VARCHAR)
+                        WHEN 2 THEN 'uband ' ||
+                             CAST(doc_id % 5 AS VARCHAR)
+                        WHEN 3 THEN 'flacband ' ||
+                             CAST(doc_id % 3 AS VARCHAR)
+                        WHEN 4 THEN 'oggband ' ||
+                             CAST(doc_id % 3 AS VARCHAR)
+                        WHEN 5 THEN 'author ' ||
+                             CAST(doc_id % 4 AS VARCHAR)
+                        ELSE 'wband ' ||
+                             CAST(doc_id % 4 AS VARCHAR)
+                   END AS artist,
+                   CASE doc_id % 7
+                        WHEN 1 THEN 'LP ' ||
+                             CAST(doc_id % 6 AS VARCHAR)
+                        WHEN 3 THEN 'falb ' ||
+                             CAST(doc_id % 4 AS VARCHAR)
+                        ELSE NULL END AS album,
+                   CASE doc_id % 7
+                        WHEN 0 THEN '2024:05:01 10:00:0' ||
+                             CAST(doc_id % 10 AS VARCHAR)
+                        WHEN 1 THEN CAST(1990 + doc_id % 30
+                                         AS VARCHAR)
+                        WHEN 2 THEN CAST(2000 + doc_id % 20
+                                         AS VARCHAR)
+                        WHEN 4 THEN CAST(2010 + doc_id % 10
+                                         AS VARCHAR)
+                        WHEN 5 THEN CAST(2015 + doc_id % 5
+                                         AS VARCHAR)
+                        WHEN 6 THEN CAST(1995 + doc_id % 15
+                                         AS VARCHAR)
+                        ELSE NULL END AS date,
+                   CASE WHEN doc_id % 7 IN (0, 5, 6) THEN 'engine'
+                        WHEN doc_id % 7 = 3 THEN 'engine'
+                        ELSE NULL END AS software,
+                   CASE doc_id % 7
+                        WHEN 1 THEN 'genre ' ||
+                             CAST(doc_id % 3 AS VARCHAR)
+                        WHEN 6 THEN 'wgen ' ||
+                             CAST(doc_id % 2 AS VARCHAR)
+                        ELSE NULL END AS genre,
+                   CASE doc_id % 7
+                        WHEN 0 THEN 'doc ' ||
+                             CAST(doc_id AS VARCHAR)
+                        WHEN 1 THEN 'c doc ' ||
+                             CAST(doc_id AS VARCHAR)
+                        WHEN 4 THEN 'odesc ' ||
+                             CAST(doc_id AS VARCHAR)
+                        WHEN 6 THEN 'wc ' ||
+                             CAST(doc_id AS VARCHAR)
+                        ELSE NULL END AS comment,
+                   CAST(NULL AS VARCHAR) AS copyright,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'Cam ' || CAST(doc_id % 5 AS VARCHAR)
+                        ELSE NULL END AS make,
+                   CAST(NULL AS VARCHAR) AS model,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN CAST(doc_id % 8 + 1 AS BIGINT)
+                        ELSE NULL END AS orientation,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN doc_id % 2 = 0
+                        ELSE NULL END AS has_gps,
+                   CAST(CASE doc_id % 7
+                        WHEN 0 THEN 6 + CASE WHEN doc_id % 2 = 0
+                                             THEN 1 ELSE 0 END
+                        WHEN 1 THEN 6
+                        WHEN 2 THEN 3
+                        WHEN 3 THEN 4
+                        WHEN 4 THEN 4
+                        WHEN 5 THEN 4
+                        ELSE 6 END AS BIGINT) AS n_fields
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND length(text) >= 30
+              AND trim(substr(text, 1, 12)) != ''
             ORDER BY doc_id
         """,
         "demo_script_id": _demo_script_id_oracle(),

@@ -1,0 +1,662 @@
+"""Embedded media metadata extraction — EXIF, ID3, Vorbis comments,
+PNG text chunks, RIFF INFO — as ONE uniform record.
+
+Curation and provenance for a multimodal crawl need the metadata the
+files themselves carry: who/what produced an image (EXIF Make/Model/
+Software), when (DateTimeOriginal), whether it embeds a GPS fix (a
+PII signal the redaction chain must see), and the title/artist/album
+tags on audio. Every family stores this differently; this module
+parses each from the raw container bytes and maps them onto one
+nullable record so pipelines filter and redact with ordinary Column
+predicates.
+
+Formats (all public specs): EXIF/TIFF IFDs (CIPA DC-008 / TIFF 6.0 —
+JPEG APP1 ``Exif\\0\\0`` payloads and bare TIFF files share the
+structure), JPEG ``COM`` segments, ID3v2.2/2.3/2.4 (id3.org informal
+standard: syncsafe sizes, text-frame encodings 0-3, COMM language
+frames) and the ID3v1 trailer, the Vorbis comment spec (FLAC
+``VORBIS_COMMENT`` blocks, Ogg ``OpusTags`` / ``\\x03vorbis``
+packets — one parser, three carriers), PNG ``tEXt``/``zTXt``/
+``iTXt`` chunks (ISO 15948 §11.3.4), and RIFF ``LIST``/``INFO``
+subchunks. The reference engine has no metadata extraction (its
+``src/main`` is sketch SQL bindings); this belongs to the engine's
+multimodal curation surface, same family as ``mime.py``.
+
+Scale shape: one bounded pass per payload inside the Arrow batch
+(``multimodal.py::extract_media_metadata``); no decode, no shuffle.
+Unrecognized payloads refuse loudly (ValueError) and become all-null
+rows under the operator's loud-null contract. IFD/frame walks are
+bounds-checked and entry-capped — a malformed file can't loop or
+over-read.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "media_metadata", "exif_info", "id3_info", "vorbis_comment_info",
+    "png_text_info", "riff_info", "build_exif_app1", "jpeg_add_exif",
+    "build_id3v2", "png_add_text", "wav_add_info", "META_KEYS",
+]
+
+# The uniform record: every parser returns exactly these keys
+# (None where the format has no value).
+META_KEYS = ("kind", "title", "artist", "album", "date", "software",
+             "genre", "comment", "copyright", "make", "model",
+             "orientation", "has_gps", "n_fields")
+
+_MAX_IFD_ENTRIES = 512           # bomb guard for IFD/frame walks
+
+
+def _blank(kind: str) -> dict:
+    d = {k: None for k in META_KEYS}
+    d["kind"] = kind
+    d["n_fields"] = 0
+    return d
+
+
+# ------------------------------------------------------------- EXIF
+
+# IFD0 / Exif-IFD tags -> uniform keys (TIFF 6.0 / CIPA DC-008)
+_EXIF_TAGS = {
+    0x010E: "title",            # ImageDescription
+    0x010F: "make",
+    0x0110: "model",
+    0x0131: "software",
+    0x0132: "date",             # DateTime (overridden by 0x9003)
+    0x013B: "artist",
+    0x8298: "copyright",
+}
+
+
+def _parse_ifd(data: bytes, bo: str, off: int, out: dict,
+               depth: int = 0) -> None:
+    if depth > 2 or off + 2 > len(data):
+        return
+    (n,) = struct.unpack_from(bo + "H", data, off)
+    n = min(n, _MAX_IFD_ENTRIES)
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(data):
+            return
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, e)
+        val = data[e + 8:e + 12]
+        if typ == 2:                       # ASCII
+            if cnt <= 4:
+                raw = val[:cnt]
+            else:
+                (p,) = struct.unpack_from(bo + "I", val, 0)
+                if p + cnt > len(data):
+                    continue
+                raw = data[p:p + cnt]
+            text = raw.split(b"\x00", 1)[0].decode(
+                "utf-8", "replace").strip()
+            if tag == 0x9003:              # DateTimeOriginal
+                out["_dto"] = text
+            else:
+                key = _EXIF_TAGS.get(tag)
+                if key and text:
+                    out[key] = text
+                    out["n_fields"] += 1
+        elif typ == 3 and tag == 0x0112:   # Orientation, SHORT
+            out["orientation"] = struct.unpack_from(bo + "H", val)[0]
+            out["n_fields"] += 1
+        elif typ == 4 and tag in (0x8769, 0x8825):
+            (p,) = struct.unpack_from(bo + "I", val, 0)
+            if tag == 0x8769:              # Exif IFD
+                sub: dict = {"n_fields": 0}
+                _parse_ifd(data, bo, p, sub, depth + 1)
+                # DateTimeOriginal read via the shared table? no —
+                # it has its own tag; handle below
+                if sub.get("_dto"):
+                    out["date"] = sub["_dto"]
+                    out["n_fields"] += 1
+            else:                          # GPS IFD: presence only
+                if p + 2 <= len(data):
+                    (gn,) = struct.unpack_from(bo + "H", data, p)
+                    tags = set()
+                    for j in range(min(gn, _MAX_IFD_ENTRIES)):
+                        ge = p + 2 + 12 * j
+                        if ge + 2 > len(data):
+                            break
+                        tags.add(struct.unpack_from(
+                            bo + "H", data, ge)[0])
+                    # GPSLatitude (2) + GPSLongitude (4)
+                    out["has_gps"] = bool({2, 4} <= tags)
+                    if out["has_gps"]:
+                        out["n_fields"] += 1
+
+
+def _parse_tiff_meta(tiff: bytes) -> dict:
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("EXIF: not a TIFF structure")
+    if struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+        raise ValueError("EXIF: bad TIFF magic number")
+    out = _blank("exif")
+    if out.get("has_gps") is None:
+        out["has_gps"] = False
+    (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
+    _parse_ifd(tiff, bo, ifd0, out)
+    out.pop("_dto", None)
+    return out
+
+
+def exif_info(data: bytes) -> dict:
+    """EXIF out of a JPEG (the APP1 ``Exif\\0\\0`` segment; ``COM``
+    segments land in ``comment``) or a bare TIFF file. ``has_gps``
+    reports whether the GPS IFD carries an actual latitude+longitude
+    fix — the PII routing signal. ``date`` prefers
+    DateTimeOriginal over the file-modification DateTime."""
+    data = bytes(data)
+    if data[:2] == b"\xff\xd8":            # JPEG segment walk
+        out = None
+        comment = None
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xDA:             # SOS: entropy data follows
+                break
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            seg = data[pos + 4:pos + 2 + seglen]
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                try:
+                    out = _parse_tiff_meta(seg[6:])
+                except ValueError:
+                    pass
+            elif marker == 0xFE and seg:   # COM
+                comment = seg.decode("utf-8", "replace").strip()
+            pos += 2 + seglen
+        if out is None:
+            out = _blank("exif")
+            out["has_gps"] = False
+        if comment:
+            out["comment"] = comment
+            out["n_fields"] += 1
+        return out
+    if data[:2] in (b"II", b"MM"):
+        return _parse_tiff_meta(data)
+    raise ValueError("exif_info: not a JPEG or TIFF payload")
+
+
+# -------------------------------------------------------------- ID3
+
+_ID3_FRAMES = {                  # v2.3/v2.4 ids and v2.2 ids
+    "TIT2": "title", "TT2": "title",
+    "TPE1": "artist", "TP1": "artist",
+    "TALB": "album", "TAL": "album",
+    "TDRC": "date", "TYER": "date", "TYE": "date",
+    "TCON": "genre", "TCO": "genre",
+    "TSSE": "software", "TSS": "software",
+    "TCOP": "copyright", "TCR": "copyright",
+}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                  3: "utf-8"}
+
+
+def _id3_text(payload: bytes) -> str:
+    if not payload:
+        return ""
+    enc = _ID3_ENCODINGS.get(payload[0], "latin-1")
+    return payload[1:].decode(enc, "replace").split("\x00", 1)[0] \
+        .strip()
+
+
+def _syncsafe(b: bytes) -> int:
+    return ((b[0] & 0x7F) << 21) | ((b[1] & 0x7F) << 14) \
+        | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
+
+
+def id3_info(data: bytes) -> dict:
+    """ID3v2.2/2.3/2.4 text frames (+ COMM comments) from the head of
+    an MPEG audio stream, falling back to the 128-byte ID3v1 trailer
+    when no v2 tag exists. Unsynchronised tags are de-unsynchronised
+    first (v2 §5)."""
+    data = bytes(data)
+    out = _blank("id3")
+    if data[:3] == b"ID3" and len(data) >= 10:
+        ver = data[3]
+        flags = data[5]
+        size = _syncsafe(data[6:10])
+        body = data[10:10 + size]
+        if flags & 0x80:                   # unsynchronisation
+            body = body.replace(b"\xff\x00", b"\xff")
+        pos = 0
+        if flags & 0x40:                   # extended header
+            if ver >= 4:
+                pos += _syncsafe(body[0:4])
+            else:
+                pos += 4 + struct.unpack_from(">I", body, 0)[0]
+        idlen = 3 if ver <= 2 else 4
+        for _ in range(_MAX_IFD_ENTRIES):
+            if pos + idlen * 2 > len(body) or body[pos] == 0:
+                break
+            fid = body[pos:pos + idlen].decode("latin-1")
+            if ver <= 2:
+                fsz = int.from_bytes(body[pos + 3:pos + 6], "big")
+                hdr = 6
+            else:
+                raw = body[pos + 4:pos + 8]
+                fsz = _syncsafe(raw) if ver >= 4 \
+                    else struct.unpack(">I", raw)[0]
+                hdr = 10
+            payload = body[pos + hdr:pos + hdr + fsz]
+            pos += hdr + fsz
+            key = _ID3_FRAMES.get(fid)
+            if key:
+                text = _id3_text(payload)
+                if text:
+                    out[key] = text
+                    out["n_fields"] += 1
+            elif fid in ("COMM", "COM") and len(payload) > 4:
+                enc = _ID3_ENCODINGS.get(payload[0], "latin-1")
+                rest = payload[4:].decode(enc, "replace")
+                # short-description \0 full-text
+                parts = rest.split("\x00", 1)
+                text = (parts[1] if len(parts) > 1 else parts[0]) \
+                    .strip("\x00").strip()
+                if text:
+                    out["comment"] = text
+                    out["n_fields"] += 1
+        return out
+    if len(data) >= 128 and data[-128:-125] == b"TAG":
+        t = data[-128:]
+        for key, sl in (("title", slice(3, 33)),
+                        ("artist", slice(33, 63)),
+                        ("album", slice(63, 93)),
+                        ("date", slice(93, 97))):
+            v = t[sl].split(b"\x00", 1)[0].decode(
+                "latin-1").strip()
+            if v:
+                out[key] = v
+                out["n_fields"] += 1
+        return out
+    raise ValueError("id3_info: no ID3v2 header or ID3v1 trailer")
+
+
+# -------------------------------------------- Vorbis comments (×3)
+
+_VC_KEYS = {"title": "title", "artist": "artist", "album": "album",
+            "date": "date", "genre": "genre", "comment": "comment",
+            "description": "comment", "encoder": "software",
+            "copyright": "copyright"}
+
+
+def _parse_vc_body(body: bytes, out: dict) -> None:
+    if len(body) < 4:
+        return
+    (vl,) = struct.unpack_from("<I", body, 0)
+    pos = 4 + vl
+    if pos + 4 > len(body):
+        return
+    (n,) = struct.unpack_from("<I", body, pos)
+    pos += 4
+    for _ in range(min(n, _MAX_IFD_ENTRIES)):
+        if pos + 4 > len(body):
+            break
+        (ln,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+        item = body[pos:pos + ln].decode("utf-8", "replace")
+        pos += ln
+        if "=" in item:
+            k, v = item.split("=", 1)
+            key = _VC_KEYS.get(k.lower())
+            if key and v.strip():
+                out[key] = v.strip()
+                out["n_fields"] += 1
+
+
+def vorbis_comment_info(data: bytes) -> dict:
+    """The Vorbis comment block from any of its three carriers: a
+    FLAC file (metadata block type 4), an Ogg Opus stream (the
+    ``OpusTags`` packet), or an Ogg Vorbis stream (the
+    ``\\x03vorbis`` packet)."""
+    data = bytes(data)
+    out = _blank("vorbis")
+    if data[:4] == b"fLaC":
+        pos = 4
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            size = int.from_bytes(data[pos + 1:pos + 4], "big")
+            if hdr & 0x7F == 4:
+                _parse_vc_body(data[pos + 4:pos + 4 + size], out)
+                return out
+            pos += 4 + size
+            if hdr & 0x80:
+                break
+        return out
+    if data[:4] == b"OggS":
+        from .oggcodec import _packets, _pages
+        pages = list(_pages(data))
+        if not pages:
+            raise ValueError("vorbis_comment_info: no Ogg pages")
+        serial = pages[0]["serial"]
+        pkts = []
+        for p in _packets(iter(pages), serial):
+            pkts.append(p)
+            if len(pkts) >= 2:
+                break
+        if len(pkts) >= 2:
+            second = pkts[1]
+            if second[:8] == b"OpusTags":
+                _parse_vc_body(second[8:], out)
+            elif second[:7] == b"\x03vorbis":
+                _parse_vc_body(second[7:], out)
+        return out
+    raise ValueError("vorbis_comment_info: not a FLAC or Ogg payload")
+
+
+# ------------------------------------------------------- PNG / RIFF
+
+_PNG_KEYS = {"title": "title", "author": "artist",
+             "description": "comment", "software": "software",
+             "copyright": "copyright", "creation time": "date",
+             "comment": "comment"}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_text_info(data: bytes) -> dict:
+    """PNG ``tEXt`` / ``zTXt`` (zlib) / ``iTXt`` chunks mapped via
+    their registered keywords (ISO 15948 §11.3.4.2)."""
+    data = bytes(data)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("png_text_info: not a PNG payload")
+    out = _blank("png")
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        kw_text = None
+        if ctype == b"tEXt":
+            kw, _, txt = body.partition(b"\x00")
+            kw_text = (kw, txt.decode("latin-1", "replace"))
+        elif ctype == b"zTXt":
+            kw, _, rest = body.partition(b"\x00")
+            if rest[:1] == b"\x00":
+                try:
+                    kw_text = (kw, zlib.decompress(
+                        rest[1:]).decode("latin-1", "replace"))
+                except zlib.error:
+                    pass
+        elif ctype == b"iTXt":
+            kw, _, rest = body.partition(b"\x00")
+            if len(rest) >= 2:
+                comp, meth = rest[0], rest[1]
+                rest = rest[2:]
+                _lang, _, rest = rest.partition(b"\x00")
+                _tkw, _, txt = rest.partition(b"\x00")
+                if comp == 1 and meth == 0:
+                    try:
+                        txt = zlib.decompress(txt)
+                    except zlib.error:
+                        txt = b""
+                kw_text = (kw, txt.decode("utf-8", "replace"))
+        elif ctype == b"IEND":
+            break
+        if kw_text:
+            key = _PNG_KEYS.get(
+                kw_text[0].decode("latin-1", "replace").lower())
+            if key and kw_text[1].strip():
+                out[key] = kw_text[1].strip()
+                out["n_fields"] += 1
+    return out
+
+
+_RIFF_KEYS = {b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+              b"ICRD": "date", b"IGNR": "genre", b"ICMT": "comment",
+              b"ISFT": "software", b"ICOP": "copyright"}
+
+
+def riff_info(data: bytes) -> dict:
+    """``LIST``/``INFO`` subchunks of a RIFF container (WAV/AVI) —
+    the classic INAM/IART/ICRD tagging scheme."""
+    data = bytes(data)
+    if data[:4] != b"RIFF":
+        raise ValueError("riff_info: not a RIFF payload")
+    out = _blank("riff")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"LIST" and data[pos + 8:pos + 12] == b"INFO":
+            sub = data[pos + 12:pos + 8 + sz]
+            sp = 0
+            while sp + 8 <= len(sub):
+                sk = sub[sp:sp + 4]
+                (ssz,) = struct.unpack_from("<I", sub, sp + 4)
+                val = sub[sp + 8:sp + 8 + ssz].split(b"\x00", 1)[0] \
+                    .decode("latin-1", "replace").strip()
+                key = _RIFF_KEYS.get(sk)
+                if key and val:
+                    out[key] = val
+                    out["n_fields"] += 1
+                sp += 8 + ssz + (ssz & 1)
+        pos += 8 + sz + (sz & 1)
+    return out
+
+
+# ------------------------------------------------------ dispatcher
+
+def media_metadata(data: bytes) -> dict:
+    """One call for any media payload: sniffs the container and runs
+    the matching parser — JPEG/TIFF -> :func:`exif_info`, MPEG audio
+    (ID3 or bare sync) -> :func:`id3_info`, FLAC / Ogg ->
+    :func:`vorbis_comment_info`, PNG -> :func:`png_text_info`,
+    RIFF (WAV/AVI) -> :func:`riff_info`. Raises ValueError for
+    anything else."""
+    data = bytes(data)
+    if data[:2] == b"\xff\xd8" or data[:2] in (b"II", b"MM"):
+        return exif_info(data)
+    if data[:8] == _PNG_SIG:
+        return png_text_info(data)
+    if data[:4] == b"fLaC" or data[:4] == b"OggS":
+        return vorbis_comment_info(data)
+    if data[:4] == b"RIFF":
+        return riff_info(data)
+    if data[:3] == b"ID3" or (
+            len(data) >= 2 and data[0] == 0xFF
+            and (data[1] & 0xE0) == 0xE0):
+        return id3_info(data)
+    raise ValueError(
+        "media_metadata: unrecognized payload (JPEG/TIFF/PNG/FLAC/"
+        "Ogg/RIFF/MPEG-audio supported)")
+
+
+# --------------------------------------------------------- writers
+# Deterministic fixture writers (the build_mkv convention).
+
+def build_exif_app1(fields: dict | None = None,
+                    orientation: int | None = None,
+                    gps: bool = False,
+                    date_original: str | None = None) -> bytes:
+    """An APP1 ``Exif\\0\\0`` segment body (marker not included):
+    little-endian TIFF with an IFD0 carrying ``fields`` (uniform-key
+    names: title/make/model/software/date/artist/copyright), an
+    optional Exif IFD (DateTimeOriginal) and an optional GPS IFD
+    with an actual lat/lon fix."""
+    inv = {v: k for k, v in _EXIF_TAGS.items()}
+    entries: list[tuple[int, int, int, bytes]] = []   # tag,type,cnt,val
+    extra: list[tuple[int, bytes]] = []               # (entry idx, data)
+    for key, val in sorted((fields or {}).items(),
+                           key=lambda kv: inv[kv[0]]):
+        raw = str(val).encode() + b"\x00"
+        entries.append((inv[key], 2, len(raw), raw))
+    if orientation is not None:
+        entries.append((0x0112, 3, 1,
+                        struct.pack("<H", orientation) + b"\x00\x00"))
+    sub_ptr_slots = []
+    if date_original:
+        sub_ptr_slots.append(0x8769)
+    if gps:
+        sub_ptr_slots.append(0x8825)
+    total_entries = len(entries) + len(sub_ptr_slots)
+    # layout: TIFF header(8) + IFD0 dir + next-IFD ptr + value area
+    # + sub-IFDs; sub-IFD pointers are patched once sizes are known
+    value_at = 8 + 2 + 12 * total_entries + 4
+    values = bytearray()
+
+    def _entry(tag, typ, cnt, raw):
+        nonlocal values
+        if len(raw) <= 4:
+            val4 = raw + b"\x00" * (4 - len(raw))
+        else:
+            val4 = struct.pack("<I", value_at + len(values))
+            values += raw + (b"\x00" if len(raw) & 1 else b"")
+        return struct.pack("<HHI", tag, typ, cnt) + val4
+
+    all_tags = sorted(entries + [(t, 4, 1, b"") for t in sub_ptr_slots])
+    dirent = bytearray(struct.pack("<H", total_entries))
+    patch: list[tuple[int, int]] = []     # (dirent offset, which sub)
+    for tag, typ, cnt, raw in all_tags:
+        if typ == 4 and tag in (0x8769, 0x8825):
+            patch.append((len(dirent) + 8, tag))
+            dirent += struct.pack("<HHII", tag, typ, cnt, 0)
+        else:
+            dirent += _entry(tag, typ, cnt, raw)
+    dirent += struct.pack("<I", 0)        # next-IFD = none
+    subs = bytearray()
+    sub_offsets = {}
+    if date_original:
+        raw = date_original.encode() + b"\x00"
+        sub_offsets[0x8769] = value_at + len(values) + len(subs)
+        s = bytearray(struct.pack("<H", 1))
+        if len(raw) <= 4:
+            s += struct.pack("<HHI", 0x9003, 2, len(raw)) \
+                + raw + b"\x00" * (4 - len(raw))
+        else:
+            s += struct.pack("<HHII", 0x9003, 2, len(raw),
+                             sub_offsets[0x8769] + 2 + 12 + 4)
+        s += struct.pack("<I", 0)
+        if len(raw) > 4:
+            s += raw
+        subs += s
+    if gps:
+        sub_offsets[0x8825] = value_at + len(values) + len(subs)
+        at = sub_offsets[0x8825]
+        # two RATIONAL triplets (lat/lon) in a data area after the IFD
+        s = bytearray(struct.pack("<H", 2))
+        data_at = at + 2 + 24 + 4
+        s += struct.pack("<HHII", 0x0002, 5, 3, data_at)
+        s += struct.pack("<HHII", 0x0004, 5, 3, data_at + 24)
+        s += struct.pack("<I", 0)
+        for num in (52, 30, 15, 13, 24, 36):           # deg/min/sec
+            s += struct.pack("<II", num, 1)
+        subs += s
+    for doff, tag in patch:
+        dirent[doff:doff + 4] = struct.pack("<I", sub_offsets[tag])
+    tiff = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + bytes(dirent) + bytes(values) + bytes(subs))
+    return b"Exif\x00\x00" + tiff
+
+
+def jpeg_add_exif(jpeg: bytes, *args, comment: str | None = None,
+                  **kw) -> bytes:
+    """Inject an APP1 EXIF segment (args forwarded to
+    :func:`build_exif_app1`) and an optional COM segment right after
+    SOI of an existing JPEG."""
+    jpeg = bytes(jpeg)
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("jpeg_add_exif: not a JPEG")
+    seg = b""
+    app1 = build_exif_app1(*args, **kw)
+    seg += b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    if comment is not None:
+        raw = comment.encode()
+        seg += b"\xff\xfe" + struct.pack(">H", len(raw) + 2) + raw
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def build_id3v2(fields: dict, version: int = 3,
+                comment: str | None = None,
+                utf16: bool = False) -> bytes:
+    """An ID3v2.3 or v2.4 tag block carrying ``fields`` (uniform-key
+    names). ``utf16`` switches the text encoding byte to 1 (UTF-16
+    with BOM) — the common Windows-tagger shape."""
+    inv = {}
+    for fid, key in _ID3_FRAMES.items():
+        if len(fid) == 4 and key not in inv:
+            inv[key] = fid
+    if version == 3:
+        inv["date"] = "TYER"
+    frames = bytearray()
+
+    def _enc(text: str) -> bytes:
+        if utf16:
+            return b"\x01" + text.encode("utf-16")    # BOM included
+        return b"\x00" + text.encode("latin-1", "replace")
+
+    def _fsize(n: int) -> bytes:
+        if version >= 4:
+            return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                          (n >> 7) & 0x7F, n & 0x7F])
+        return struct.pack(">I", n)
+
+    for key, val in sorted(fields.items()):
+        payload = _enc(str(val))
+        frames += inv[key].encode() + _fsize(len(payload)) \
+            + b"\x00\x00" + payload
+    if comment is not None:
+        payload = b"\x00eng" + b"\x00" \
+            + comment.encode("latin-1", "replace")
+        frames += b"COMM" + _fsize(len(payload)) + b"\x00\x00" \
+            + payload
+    n = len(frames)
+    hdr = (b"ID3" + bytes([version, 0, 0])
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F]))
+    return hdr + bytes(frames)
+
+
+def png_add_text(png: bytes, pairs: dict,
+                 compressed: bool = False) -> bytes:
+    """Insert ``tEXt`` (or ``zTXt`` when ``compressed``) chunks after
+    IHDR of an existing PNG, CRCs included."""
+    png = bytes(png)
+    if png[:8] != _PNG_SIG:
+        raise ValueError("png_add_text: not a PNG")
+    (ihdr_len,) = struct.unpack_from(">I", png, 8)
+    cut = 8 + 12 + ihdr_len
+    chunks = bytearray()
+    for k, v in sorted(pairs.items()):
+        if compressed:
+            body = k.encode("latin-1") + b"\x00\x00" \
+                + zlib.compress(str(v).encode("latin-1", "replace"))
+            ctype = b"zTXt"
+        else:
+            body = k.encode("latin-1") + b"\x00" \
+                + str(v).encode("latin-1", "replace")
+            ctype = b"tEXt"
+        chunks += struct.pack(">I", len(body)) + ctype + body \
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    return png[:cut] + bytes(chunks) + png[cut:]
+
+
+def wav_add_info(wav: bytes, fields: dict) -> bytes:
+    """Append a ``LIST``/``INFO`` chunk (uniform-key names) to an
+    existing RIFF/WAVE file, fixing the RIFF size."""
+    wav = bytes(wav)
+    if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("wav_add_info: not a RIFF/WAVE")
+    inv = {v: k for k, v in _RIFF_KEYS.items()}
+    sub = bytearray(b"INFO")
+    for key, val in sorted(fields.items()):
+        raw = str(val).encode("latin-1", "replace") + b"\x00"
+        if len(raw) & 1:
+            raw += b"\x00"
+        sub += inv[key] + struct.pack("<I", len(raw)) + raw
+    chunk = b"LIST" + struct.pack("<I", len(sub)) + bytes(sub)
+    out = bytearray(wav) + chunk
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    return bytes(out)

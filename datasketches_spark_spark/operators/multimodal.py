@@ -611,3 +611,49 @@ def extract_subtitle_text(df: DataFrame, id_col: str,
     return transform_payloads(df, id_col, one, SUBTITLE_TEXT_FIELDS,
                               payload_col=payload_col,
                               keep_cols=keep_cols)
+
+
+MEDIA_META_FIELDS = [
+    StructField("kind", StringType()),
+    StructField("title", StringType()),
+    StructField("artist", StringType()),
+    StructField("album", StringType()),
+    StructField("date", StringType()),
+    StructField("software", StringType()),
+    StructField("genre", StringType()),
+    StructField("comment", StringType()),
+    StructField("copyright", StringType()),
+    StructField("make", StringType()),
+    StructField("model", StringType()),
+    StructField("orientation", LongType()),
+    StructField("has_gps", BooleanType()),
+    StructField("n_fields", LongType()),
+]
+
+
+def extract_media_metadata(df: DataFrame, id_col: str,
+                           payload_col: str = "payload",
+                           keep_cols: list[str] | None = None
+                           ) -> DataFrame:
+    """Embedded media metadata as one uniform nullable record (r18,
+    ``operators/mediameta.py::media_metadata``): EXIF IFDs out of
+    JPEG/TIFF (Make/Model/Software/Artist/dates/Orientation and the
+    ``has_gps`` lat+lon-present flag — the PII routing signal for
+    image redaction), JPEG COM comments, ID3v2.2/2.3/2.4 text frames
+    (+ the ID3v1 trailer) from MPEG audio, Vorbis comments from all
+    three carriers (FLAC blocks, OpusTags, ``\\x03vorbis``), PNG
+    tEXt/zTXt/iTXt chunks, and RIFF LIST/INFO. One bounded pass per
+    payload in the Arrow batch; unrecognized payloads become an
+    all-null row (loud-null contract) so curation filters run as
+    plain Column predicates downstream."""
+    from .mediameta import media_metadata
+
+    def one(raw: bytes) -> dict:
+        try:
+            return dict(media_metadata(raw))
+        except Exception:
+            return {f.name: None for f in MEDIA_META_FIELDS}
+
+    return transform_payloads(df, id_col, one, MEDIA_META_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)

@@ -296,7 +296,8 @@ def _page(serial: int, seq: int, granule: int, htype: int,
 def build_ogg_stream(payload_seed: bytes, n_packets: int,
                      codec: str = "opus",
                      tags: bytes = b"",
-                     extra_headers: int = 0) -> bytes:
+                     extra_headers: int = 0,
+                     comments: dict | None = None) -> bytes:
     """TEST/FIXTURE writer: a structurally valid single-stream Ogg
     (correct CRCs, lacing, BOS/EOS flags, header-packet layout) whose
     AUDIO packets are deterministic filler from ``payload_seed`` —
@@ -309,6 +310,15 @@ def build_ogg_stream(payload_seed: bytes, n_packets: int,
     ``extra_headers`` metadata packets — the seektable/padding shapes
     real encoders append), exercising the declared-count exclusion in
     ``ogg_audio_hash``."""
+    # Vorbis-comment body: vendor (the `tags` bytes) + key=value
+    # list (`comments`) — byte-identical to the historical zero-item
+    # form when `comments` is None
+    items = [f"{k}={v}".encode()
+             for k, v in sorted((comments or {}).items())]
+    cbody = (struct.pack("<I", len(tags)) + tags
+             + struct.pack("<I", len(items))
+             + b"".join(struct.pack("<I", len(i)) + i
+                        for i in items))
     extra_pkts: list[bytes] = []
     if codec == "flac":
         # \x7fFLAC major minor nheaders(BE u16, excludes this packet)
@@ -326,14 +336,12 @@ def build_ogg_stream(payload_seed: bytes, n_packets: int,
         ident = (b"OpusHead" + bytes([1, 2])          # ver, channels
                  + struct.pack("<H", 312)             # pre-skip
                  + struct.pack("<I", 48000) + b"\x00\x00" + b"\x00")
-        comment = b"OpusTags" + struct.pack("<I", len(tags)) + tags \
-            + struct.pack("<I", 0)
+        comment = b"OpusTags" + cbody
     elif codec == "vorbis":
         ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
                  + struct.pack("<I", 44100)
                  + struct.pack("<iii", 0, 128000, 0) + bytes([0xB8, 1]))
-        comment = b"\x03vorbis" + struct.pack("<I", len(tags)) + tags \
-            + struct.pack("<I", 0) + b"\x01"
+        comment = b"\x03vorbis" + cbody + b"\x01"
     else:
         raise ValueError("fixture writer: opus | vorbis | flac")
     serial, out, seq = 0x5F17AB1E, bytearray(), 0

@@ -136,6 +136,31 @@ def main():
     results["mkv_extract_video"] = report(
         "mkv -> annexb extract", t1, t8, len(w1), len(w8))
 
+    # --- media metadata: ID3 frame walk + Vorbis comment parse
+    from datasketches_spark_spark.operators.mediameta import (
+        build_id3v2, id3_info, vorbis_comment_info)
+    from datasketches_spark_spark.operators.flaccodec import (
+        encode_flac)
+    f1 = {f"k{i:03d}": "v" * 40 for i in range(8)}
+    f8 = {f"k{i:03d}": "v" * 40 for i in range(64)}
+    # n_fields caps at the recognized set; raw walks still scale
+    i1 = build_id3v2({"title": "t" * 40}) + b"\xff\xfb" + b"\x00" * 64
+    i8 = build_id3v2({"title": "t" * 40, "artist": "a" * 300,
+                      "album": "b" * 300, "genre": "g" * 300,
+                      "date": "2000", "software": "s" * 300,
+                      "copyright": "c" * 300}) \
+        + b"\xff\xfb" + b"\x00" * 64
+    t1 = best_of(lambda: id3_info(i1))
+    t8 = best_of(lambda: id3_info(i8))
+    results["id3_parse"] = report(
+        "id3 frame walk", t1, t8, len(i1), len(i8))
+    v1 = encode_flac(np.zeros(64), 8000, tags=f1)
+    v8 = encode_flac(np.zeros(64), 8000, tags=f8)
+    t1 = best_of(lambda: vorbis_comment_info(v1))
+    t8 = best_of(lambda: vorbis_comment_info(v8))
+    results["vorbis_comment_parse"] = report(
+        "vorbis comment parse", t1, t8, len(v1), len(v8))
+
     bad = {k: round(e, 2) for k, e in results.items() if e > 1.25}
     print("exponents:", {k: round(e, 2) for k, e in results.items()})
     print("PASS" if not bad else f"FAIL superlinear: {bad}")

@@ -1,0 +1,211 @@
+"""Embedded media metadata extraction (r18,
+operators/mediameta.py): EXIF (incl. the has_gps PII signal), ID3v2
+across versions and encodings, Vorbis comments from all three
+carriers, PNG text chunks, RIFF INFO, the one-call sniff dispatch,
+and the Spark operator's loud-null contract."""
+
+import numpy as np
+import pytest
+
+from datasketches_spark_spark.operators.mediameta import (
+    META_KEYS, build_exif_app1, build_id3v2, exif_info, id3_info,
+    jpeg_add_exif, media_metadata, png_add_text, png_text_info,
+    riff_info, vorbis_comment_info, wav_add_info)
+
+
+def _img():
+    return np.full((16, 16, 3), 120, np.uint8)
+
+
+class TestExif:
+    def test_full_roundtrip_with_gps_and_com(self):
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg)
+        j = jpeg_add_exif(
+            encode_jpeg(_img()),
+            {"make": "CamCo", "model": "X100", "artist": "ann",
+             "software": "engine", "title": "a pic",
+             "copyright": "cc"},
+            orientation=6, gps=True,
+            date_original="2024:05:01 10:00:00",
+            comment="jpeg comment")
+        r = exif_info(j)
+        assert r["make"] == "CamCo" and r["model"] == "X100"
+        assert r["artist"] == "ann" and r["title"] == "a pic"
+        assert r["date"] == "2024:05:01 10:00:00"
+        assert r["orientation"] == 6
+        assert r["has_gps"] is True
+        assert r["comment"] == "jpeg comment"
+        assert r["copyright"] == "cc"
+        assert r["n_fields"] == 10
+
+    def test_no_gps_reads_false(self):
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg)
+        j = jpeg_add_exif(encode_jpeg(_img()), {"make": "M"})
+        r = exif_info(j)
+        assert r["has_gps"] is False and r["make"] == "M"
+
+    def test_plain_jpeg_is_empty_not_error(self):
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg)
+        r = exif_info(encode_jpeg(_img()))
+        assert r["n_fields"] == 0 and r["has_gps"] is False
+
+    def test_bare_tiff_structure(self):
+        app1 = build_exif_app1({"make": "TiffCam"}, orientation=3)
+        r = exif_info(app1[6:])       # strip Exif\0\0 -> bare TIFF
+        assert r["make"] == "TiffCam" and r["orientation"] == 3
+
+    def test_refuses_non_image(self):
+        with pytest.raises(ValueError, match="not a JPEG or TIFF"):
+            exif_info(b"\x89PNG\r\n\x1a\n")
+
+
+class TestId3:
+    def test_v23_text_frames_and_comment(self):
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        raw = build_id3v2(
+            {"title": "Song", "artist": "Band", "album": "LP",
+             "date": "2021", "genre": "rock"},
+            version=3, comment="nice") + build_frame_stream(b"x", 4)
+        r = id3_info(raw)
+        assert (r["title"], r["artist"], r["album"], r["date"],
+                r["genre"], r["comment"]) == (
+            "Song", "Band", "LP", "2021", "rock", "nice")
+        assert media_metadata(raw) == r
+
+    def test_v24_utf16(self):
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        raw = build_id3v2({"title": "Smörgås", "artist": "Ääkkö"},
+                          version=4, utf16=True) \
+            + build_frame_stream(b"x", 4)
+        r = id3_info(raw)
+        assert r["title"] == "Smörgås" and r["artist"] == "Ääkkö"
+
+    def test_id3v1_trailer_fallback(self):
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        raw = (build_frame_stream(b"x", 4) + b"TAG"
+               + b"V1 title".ljust(30, b"\x00")
+               + b"V1 artist".ljust(30, b"\x00")
+               + b"V1 album".ljust(30, b"\x00") + b"1999"
+               + b"\x00" * 31)
+        r = id3_info(raw)
+        assert (r["title"], r["artist"], r["album"], r["date"]) == (
+            "V1 title", "V1 artist", "V1 album", "1999")
+
+    def test_refuses_untagged(self):
+        with pytest.raises(ValueError, match="no ID3"):
+            id3_info(b"no tags here at all, just text")
+
+
+class TestVorbisComments:
+    def test_flac_block(self):
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        f = encode_flac(np.zeros(256), 8000,
+                        tags={"TITLE": "ft", "ARTIST": "fa",
+                              "ENCODER": "enc", "ALBUM": "al"})
+        r = vorbis_comment_info(f)
+        assert (r["title"], r["artist"], r["software"],
+                r["album"]) == ("ft", "fa", "enc", "al")
+        assert media_metadata(f) == r
+
+    @pytest.mark.parametrize("codec", ["opus", "vorbis"])
+    def test_ogg_carriers(self, codec):
+        from datasketches_spark_spark.operators.oggcodec import (
+            build_ogg_stream)
+        o = build_ogg_stream(
+            b"s", 6, codec=codec, tags=b"vendorX",
+            comments={"TITLE": "ot", "ARTIST": "oa",
+                      "DATE": "2019", "DESCRIPTION": "dd"})
+        r = vorbis_comment_info(o)
+        assert (r["title"], r["artist"], r["date"],
+                r["comment"]) == ("ot", "oa", "2019", "dd")
+
+    def test_untagged_flac_is_empty(self):
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        r = vorbis_comment_info(encode_flac(np.zeros(256), 8000))
+        assert r["n_fields"] == 0
+
+
+class TestPngRiff:
+    def test_png_text_and_ztxt(self):
+        from datasketches_spark_spark.operators.pngcodec import (
+            encode_png)
+        p = png_add_text(encode_png(_img()),
+                         {"Title": "t1", "Author": "au",
+                          "Software": "sw", "Creation Time": "2018"})
+        r = png_text_info(p)
+        assert (r["title"], r["artist"], r["software"],
+                r["date"]) == ("t1", "au", "sw", "2018")
+        pz = png_add_text(encode_png(_img()),
+                          {"Description": "zzz"}, compressed=True)
+        assert png_text_info(pz)["comment"] == "zzz"
+
+    def test_png_decodes_unchanged_after_insert(self):
+        from datasketches_spark_spark.operators.pngcodec import (
+            decode_png, encode_png)
+        p = png_add_text(encode_png(_img()), {"Title": "x"})
+        assert (decode_png(p) == _img()).all()
+
+    def test_riff_info_wav(self):
+        from datasketches_spark_spark.operators.audiocodec import (
+            decode_wav, encode_wav)
+        w = wav_add_info(encode_wav(np.zeros(128), 8000),
+                         {"title": "wt", "artist": "wa",
+                          "date": "2020", "software": "sw"})
+        r = riff_info(w)
+        assert (r["title"], r["artist"], r["date"],
+                r["software"]) == ("wt", "wa", "2020", "sw")
+        # the INFO chunk must not break audio decode
+        samples, rate = decode_wav(w)
+        assert rate == 8000 and len(samples) == 128
+
+
+class TestDispatchAndOperator:
+    def test_uniform_keys_everywhere(self):
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg)
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        for payload in (
+                jpeg_add_exif(encode_jpeg(_img()), {"make": "M"}),
+                encode_flac(np.zeros(64), 8000, tags={"TITLE": "t"}),
+                build_id3v2({"title": "s"}) + b"\xff\xfb" + b"\x00" * 8):
+            r = media_metadata(payload)
+            assert tuple(sorted(r)) == tuple(sorted(META_KEYS))
+
+    def test_refusal(self):
+        with pytest.raises(ValueError, match="unrecognized"):
+            media_metadata(b"%PDF-1.4 nope")
+
+    def test_spark_operator_mixed_and_loud_null(self, spark):
+        from datasketches_spark_spark.operators import (
+            extract_media_metadata)
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg)
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        rows = [
+            (0, bytearray(jpeg_add_exif(
+                encode_jpeg(_img()), {"make": "CamCo"}, gps=True,
+                date_original="2024:01:01 00:00:00"))),
+            (1, bytearray(build_id3v2({"title": "Song"})
+                          + b"\xff\xfb" + b"\x00" * 16)),
+            (2, bytearray(encode_flac(np.zeros(64), 8000,
+                                      tags={"ARTIST": "fa"}))),
+            (3, bytearray(b"%PDF- not media")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r.asDict()
+               for r in extract_media_metadata(df, "doc_id").collect()}
+        assert got[0]["make"] == "CamCo" and got[0]["has_gps"] is True
+        assert got[0]["date"] == "2024:01:01 00:00:00"
+        assert got[1]["title"] == "Song" and got[1]["kind"] == "id3"
+        assert got[2]["artist"] == "fa" and got[2]["kind"] == "vorbis"
+        assert got[3]["kind"] is None and got[3]["n_fields"] is None
