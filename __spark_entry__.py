@@ -4871,7 +4871,7 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/mediameta.py::media_metadata + operators/multimodal.py
     ::extract_media_metadata — curation/provenance signals the files
     themselves carry, incl. the ``has_gps`` PII flag image redaction
-    must see): doc_id % 7 picks the carrier — a JPEG whose APP1 EXIF
+    must see): doc_id % 9 picks the carrier — a JPEG whose APP1 EXIF
     holds Make/Artist/Software/Orientation, a GPS IFD with an actual
     lat+lon fix on even docs, a DateTimeOriginal in the Exif sub-IFD,
     and a COM comment segment; an ID3v2.3 latin-1 tag (five text
@@ -4879,15 +4879,21 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (syncsafe frame sizes) ahead of MPEG frames; a FLAC
     VORBIS_COMMENT block; an Ogg comment packet whose codec
     alternates OpusTags / \\x03vorbis per doc; PNG tEXt chunks (zTXt
-    zlib-compressed on odd docs); and a RIFF LIST/INFO chunk on a
-    real WAV. Every field value derives from the doc's columns, so
-    the full 14-column record — including per-leg n_fields counts —
-    rebuilds relationally in DuckDB."""
+    zlib-compressed on odd docs); a RIFF LIST/INFO chunk on a real
+    WAV; the PDF /Info document-information dictionary (ISO 32000
+    §14.3.3 — literal strings on even docs, BOM-led UTF-16BE hex
+    strings on odd); and a JPEG whose ONLY metadata is an XMP APP1
+    packet (dc:title/dc:creator element forms + CreateDate/
+    CreatorTool attribute forms — the fill-when-EXIF-is-silent
+    path). Every field value derives from the doc's columns, so the
+    full 14-column record — including per-leg n_fields counts —
+    rebuilds relationally in DuckDB. doc_id % 9 picks the leg."""
     import pandas as pd
     from datasketches_spark_spark.operators import (
         extract_media_metadata)
     from datasketches_spark_spark.operators.mediameta import (
-        build_id3v2, jpeg_add_exif, png_add_text, wav_add_info)
+        build_id3v2, jpeg_add_exif, jpeg_add_xmp, pdf_with_info,
+        png_add_text, wav_add_info)
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 400)
@@ -4918,7 +4924,7 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d, t = int(d), str(t)
-                leg = d % 7
+                leg = d % 9
                 if leg == 0:
                     payloads.append(jpeg_add_exif(
                         jpg,
@@ -4968,7 +4974,7 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "Software": "engine",
                          "Creation Time": str(2015 + d % 5)},
                         compressed=bool(d % 2)))
-                else:
+                elif leg == 6:
                     payloads.append(wav_add_info(
                         wav,
                         {"title": t[:16].strip(),
@@ -4977,6 +4983,22 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "software": "engine",
                          "genre": "wgen %d" % (d % 2),
                          "comment": "wc %d" % d}))
+                elif leg == 7:
+                    payloads.append(pdf_with_info(
+                        ["pg of doc %d" % d],
+                        {"title": t[:18].strip(),
+                         "artist": "pauthor %d" % (d % 4),
+                         "software": "engine",
+                         "date": "2024010112000%d" % (d % 10),
+                         "comment": "psubj %d" % d},
+                        utf16=bool(d % 2)))
+                else:
+                    payloads.append(jpeg_add_xmp(
+                        jpg,
+                        {"title": t[:16].strip(),
+                         "artist": "xmpartist %d" % (d % 3),
+                         "date": str(2020 + d % 5),
+                         "software": "xmptool"}))
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -7845,17 +7867,20 @@ def demo_oracle_sql() -> dict[str, str]:
         # CASE ladder
         "demo_media_metadata": """
             SELECT doc_id,
-                   CASE doc_id % 7
+                   CASE doc_id % 9
                         WHEN 0 THEN 'exif'
                         WHEN 1 THEN 'id3' WHEN 2 THEN 'id3'
                         WHEN 3 THEN 'vorbis' WHEN 4 THEN 'vorbis'
-                        WHEN 5 THEN 'png' ELSE 'riff' END AS kind,
-                   CASE WHEN doc_id % 7 = 0 THEN NULL
-                        WHEN doc_id % 7 IN (1, 2)
+                        WHEN 5 THEN 'png' WHEN 6 THEN 'riff'
+                        WHEN 7 THEN 'pdf' ELSE 'exif' END AS kind,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        WHEN doc_id % 9 IN (1, 2)
                              THEN trim(substr(text, 1, 20))
+                        WHEN doc_id % 9 = 7
+                             THEN trim(substr(text, 1, 18))
                         ELSE trim(substr(text, 1, 16))
                    END AS title,
-                   CASE doc_id % 7
+                   CASE doc_id % 9
                         WHEN 0 THEN trim(substr(text, 1, 12))
                         WHEN 1 THEN 'band ' ||
                              CAST(doc_id % 4 AS VARCHAR)
@@ -7867,16 +7892,20 @@ def demo_oracle_sql() -> dict[str, str]:
                              CAST(doc_id % 3 AS VARCHAR)
                         WHEN 5 THEN 'author ' ||
                              CAST(doc_id % 4 AS VARCHAR)
-                        ELSE 'wband ' ||
+                        WHEN 6 THEN 'wband ' ||
                              CAST(doc_id % 4 AS VARCHAR)
+                        WHEN 7 THEN 'pauthor ' ||
+                             CAST(doc_id % 4 AS VARCHAR)
+                        ELSE 'xmpartist ' ||
+                             CAST(doc_id % 3 AS VARCHAR)
                    END AS artist,
-                   CASE doc_id % 7
+                   CASE doc_id % 9
                         WHEN 1 THEN 'LP ' ||
                              CAST(doc_id % 6 AS VARCHAR)
                         WHEN 3 THEN 'falb ' ||
                              CAST(doc_id % 4 AS VARCHAR)
                         ELSE NULL END AS album,
-                   CASE doc_id % 7
+                   CASE doc_id % 9
                         WHEN 0 THEN '2024:05:01 10:00:0' ||
                              CAST(doc_id % 10 AS VARCHAR)
                         WHEN 1 THEN CAST(1990 + doc_id % 30
@@ -7889,17 +7918,22 @@ def demo_oracle_sql() -> dict[str, str]:
                                          AS VARCHAR)
                         WHEN 6 THEN CAST(1995 + doc_id % 15
                                          AS VARCHAR)
+                        WHEN 7 THEN '2024010112000' ||
+                             CAST(doc_id % 10 AS VARCHAR)
+                        WHEN 8 THEN CAST(2020 + doc_id % 5
+                                         AS VARCHAR)
                         ELSE NULL END AS date,
-                   CASE WHEN doc_id % 7 IN (0, 5, 6) THEN 'engine'
-                        WHEN doc_id % 7 = 3 THEN 'engine'
+                   CASE WHEN doc_id % 9 IN (0, 3, 5, 6, 7)
+                             THEN 'engine'
+                        WHEN doc_id % 9 = 8 THEN 'xmptool'
                         ELSE NULL END AS software,
-                   CASE doc_id % 7
+                   CASE doc_id % 9
                         WHEN 1 THEN 'genre ' ||
                              CAST(doc_id % 3 AS VARCHAR)
                         WHEN 6 THEN 'wgen ' ||
                              CAST(doc_id % 2 AS VARCHAR)
                         ELSE NULL END AS genre,
-                   CASE doc_id % 7
+                   CASE doc_id % 9
                         WHEN 0 THEN 'doc ' ||
                              CAST(doc_id AS VARCHAR)
                         WHEN 1 THEN 'c doc ' ||
@@ -7908,19 +7942,22 @@ def demo_oracle_sql() -> dict[str, str]:
                              CAST(doc_id AS VARCHAR)
                         WHEN 6 THEN 'wc ' ||
                              CAST(doc_id AS VARCHAR)
+                        WHEN 7 THEN 'psubj ' ||
+                             CAST(doc_id AS VARCHAR)
                         ELSE NULL END AS comment,
                    CAST(NULL AS VARCHAR) AS copyright,
-                   CASE WHEN doc_id % 7 = 0
+                   CASE WHEN doc_id % 9 = 0
                         THEN 'Cam ' || CAST(doc_id % 5 AS VARCHAR)
                         ELSE NULL END AS make,
                    CAST(NULL AS VARCHAR) AS model,
-                   CASE WHEN doc_id % 7 = 0
+                   CASE WHEN doc_id % 9 = 0
                         THEN CAST(doc_id % 8 + 1 AS BIGINT)
                         ELSE NULL END AS orientation,
-                   CASE WHEN doc_id % 7 = 0
+                   CASE WHEN doc_id % 9 = 0
                         THEN doc_id % 2 = 0
+                        WHEN doc_id % 9 = 8 THEN FALSE
                         ELSE NULL END AS has_gps,
-                   CAST(CASE doc_id % 7
+                   CAST(CASE doc_id % 9
                         WHEN 0 THEN 6 + CASE WHEN doc_id % 2 = 0
                                              THEN 1 ELSE 0 END
                         WHEN 1 THEN 6
@@ -7928,7 +7965,9 @@ def demo_oracle_sql() -> dict[str, str]:
                         WHEN 3 THEN 4
                         WHEN 4 THEN 4
                         WHEN 5 THEN 4
-                        ELSE 6 END AS BIGINT) AS n_fields
+                        WHEN 6 THEN 6
+                        WHEN 7 THEN 5
+                        ELSE 4 END AS BIGINT) AS n_fields
             FROM documents
             WHERE doc_id < 400
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')

@@ -37,8 +37,9 @@ import zlib
 
 __all__ = [
     "media_metadata", "exif_info", "id3_info", "vorbis_comment_info",
-    "png_text_info", "riff_info", "build_exif_app1", "jpeg_add_exif",
-    "build_id3v2", "png_add_text", "wav_add_info", "META_KEYS",
+    "png_text_info", "riff_info", "pdf_meta_info", "build_exif_app1",
+    "jpeg_add_exif", "jpeg_add_xmp", "build_id3v2", "png_add_text",
+    "wav_add_info", "pdf_with_info", "META_KEYS",
 ]
 
 # The uniform record: every parser returns exactly these keys
@@ -157,6 +158,7 @@ def exif_info(data: bytes) -> dict:
     if data[:2] == b"\xff\xd8":            # JPEG segment walk
         out = None
         comment = None
+        xmp = None
         pos = 2
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
@@ -174,6 +176,8 @@ def exif_info(data: bytes) -> dict:
                     out = _parse_tiff_meta(seg[6:])
                 except ValueError:
                     pass
+            elif marker == 0xE1 and seg.startswith(_XMP_HEADER):
+                xmp = seg[len(_XMP_HEADER):]
             elif marker == 0xFE and seg:   # COM
                 comment = seg.decode("utf-8", "replace").strip()
             pos += 2 + seglen
@@ -183,6 +187,8 @@ def exif_info(data: bytes) -> dict:
         if comment:
             out["comment"] = comment
             out["n_fields"] += 1
+        if xmp:
+            _merge_xmp(xmp, out)
         return out
     if data[:2] in (b"II", b"MM"):
         return _parse_tiff_meta(data)
@@ -356,6 +362,38 @@ def vorbis_comment_info(data: bytes) -> dict:
     raise ValueError("vorbis_comment_info: not a FLAC or Ogg payload")
 
 
+# ---------------------------------------------------- XMP (in JPEG)
+
+_XMP_HEADER = b"http://ns.adobe.com/xap/1.0/\x00"
+# element and attribute forms both occur in the wild
+_XMP_PATTERNS = {
+    "title": (rb"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>",),
+    "artist": (rb"<dc:creator>.*?<rdf:li[^>]*>(.*?)</rdf:li>",),
+    "date": (rb"<xmp:CreateDate>(.*?)</xmp:CreateDate>",
+             rb'xmp:CreateDate="([^"]*)"'),
+    "software": (rb"<xmp:CreatorTool>(.*?)</xmp:CreatorTool>",
+                 rb'xmp:CreatorTool="([^"]*)"'),
+}
+
+
+def _merge_xmp(xmp: bytes, out: dict) -> None:
+    """Fill keys still empty from an XMP packet (EXIF wins — the
+    usual precedence; regex extraction over the size-capped packet,
+    no XML parser on untrusted bytes)."""
+    import re as _re
+    for key, pats in _XMP_PATTERNS.items():
+        if out.get(key):
+            continue
+        for pat in pats:
+            m = _re.search(pat, xmp, _re.DOTALL)
+            if m:
+                text = m.group(1).decode("utf-8", "replace").strip()
+                if text:
+                    out[key] = text
+                    out["n_fields"] += 1
+                break
+
+
 # ------------------------------------------------------- PNG / RIFF
 
 _PNG_KEYS = {"title": "title", "author": "artist",
@@ -447,6 +485,112 @@ def riff_info(data: bytes) -> dict:
     return out
 
 
+# -------------------------------------------------------------- PDF
+
+_PDF_INFO_KEYS = {b"Title": "title", b"Author": "artist",
+                  b"Creator": "software", b"Subject": "comment",
+                  b"CreationDate": "date"}
+
+
+def _pdf_string_at(data: bytes, pos: int) -> str | None:
+    """Decode the PDF string object starting at ``pos`` — a literal
+    ``(...)`` (balanced nested parens, backslash escapes §7.3.4.2) or
+    hex ``<...>``; UTF-16BE when the decoded bytes lead with a BOM,
+    else PDFDocEncoding ~ Latin-1."""
+    while pos < len(data) and data[pos:pos + 1] in b" \t\r\n":
+        pos += 1
+    if data[pos:pos + 1] == b"(":
+        depth, i, out = 1, pos + 1, bytearray()
+        while i < len(data) and depth:
+            c = data[i]
+            if c == 0x5C and i + 1 < len(data):        # backslash
+                nxt = data[i + 1]
+                esc = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                       0x62: b"\b", 0x66: b"\f", 0x28: b"(",
+                       0x29: b")", 0x5C: b"\\"}.get(nxt)
+                if esc is not None:
+                    out += esc
+                    i += 2
+                    continue
+                if 0x30 <= nxt <= 0x37:                # \ooo octal
+                    j = i + 1
+                    oct_s = b""
+                    while j < len(data) and len(oct_s) < 3 \
+                            and 0x30 <= data[j] <= 0x37:
+                        oct_s += data[j:j + 1]
+                        j += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                    i = j
+                    continue
+                i += 2                                 # \<other>
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if not depth:
+                    break
+            out.append(c)
+            i += 1
+        raw = bytes(out)
+    elif data[pos:pos + 1] == b"<":
+        end = data.find(b">", pos)
+        if end < 0:
+            return None
+        hx = bytes(c for c in data[pos + 1:end]
+                   if c not in b" \t\r\n")
+        if len(hx) & 1:
+            hx += b"0"
+        try:
+            raw = bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+    else:
+        return None
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace").strip()
+    return raw.decode("latin-1").strip()
+
+
+def pdf_meta_info(data: bytes) -> dict:
+    """The PDF document-information dictionary (ISO 32000 §14.3.3):
+    the trailer's ``/Info`` object's Title/Author/Creator/Subject/
+    CreationDate, document-order last-wins for both the reference and
+    the object (incremental updates). Encrypted documents return the
+    blank record — /Info strings are ciphertext without the key, and
+    guessing is worse than reporting nothing."""
+    import re as _re
+    data = bytes(data)
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("pdf_meta_info: not a PDF payload")
+    out = _blank("pdf")
+    tail = data[-4096:]
+    if _re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", tail):
+        return out
+    refs = list(_re.finditer(rb"/Info\s+(\d+)\s+(\d+)\s+R", data))
+    if not refs:
+        return out
+    num = int(refs[-1].group(1))
+    objs = list(_re.finditer(
+        rb"(?:^|[\r\n])%d\s+\d+\s+obj\b" % num, data))
+    if not objs:
+        return out
+    start = objs[-1].end()
+    end = data.find(b"endobj", start)
+    body = data[start:end if end > 0 else len(data)]
+    for raw_key, key in _PDF_INFO_KEYS.items():
+        m = _re.search(rb"/" + raw_key + rb"\s*(?=[(<])", body)
+        if not m:
+            continue
+        val = _pdf_string_at(body, m.end())
+        if val:
+            if key == "date" and val.startswith("D:"):
+                val = val[2:]
+            out[key] = val
+            out["n_fields"] += 1
+    return out
+
+
 # ------------------------------------------------------ dispatcher
 
 def media_metadata(data: bytes) -> dict:
@@ -469,9 +613,11 @@ def media_metadata(data: bytes) -> dict:
             len(data) >= 2 and data[0] == 0xFF
             and (data[1] & 0xE0) == 0xE0):
         return id3_info(data)
+    if data[:5] == b"%PDF-":
+        return pdf_meta_info(data)
     raise ValueError(
         "media_metadata: unrecognized payload (JPEG/TIFF/PNG/FLAC/"
-        "Ogg/RIFF/MPEG-audio supported)")
+        "Ogg/RIFF/MPEG-audio/PDF supported)")
 
 
 # --------------------------------------------------------- writers
@@ -576,6 +722,67 @@ def jpeg_add_exif(jpeg: bytes, *args, comment: str | None = None,
         raw = comment.encode()
         seg += b"\xff\xfe" + struct.pack(">H", len(raw) + 2) + raw
     return jpeg[:2] + seg + jpeg[2:]
+
+
+def jpeg_add_xmp(jpeg: bytes, fields: dict) -> bytes:
+    """Inject a standard XMP APP1 segment (xpacket + rdf:Description
+    with dc:title/dc:creator element forms and CreateDate/CreatorTool
+    attribute forms) after SOI of an existing JPEG."""
+    jpeg = bytes(jpeg)
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("jpeg_add_xmp: not a JPEG")
+    attrs = ""
+    elems = ""
+    if "date" in fields:
+        attrs += ' xmp:CreateDate="%s"' % fields["date"]
+    if "software" in fields:
+        attrs += ' xmp:CreatorTool="%s"' % fields["software"]
+    if "title" in fields:
+        elems += ("<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\""
+                  ">%s</rdf:li></rdf:Alt></dc:title>"
+                  % fields["title"])
+    if "artist" in fields:
+        elems += ("<dc:creator><rdf:Seq><rdf:li>%s</rdf:li>"
+                  "</rdf:Seq></dc:creator>" % fields["artist"])
+    xml = ('<?xpacket begin="﻿" '
+           'id="W5M0MpCehiHzreSzNTczkc9d"?>'
+           '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+           '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+           '22-rdf-syntax-ns#"><rdf:Description '
+           'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+           'xmlns:xmp="http://ns.adobe.com/xap/1.0/"%s>%s'
+           '</rdf:Description></rdf:RDF></x:xmpmeta>'
+           '<?xpacket end="w"?>' % (attrs, elems)).encode("utf-8")
+    seg = _XMP_HEADER + xml
+    return jpeg[:2] + b"\xff\xe1" \
+        + struct.pack(">H", len(seg) + 2) + seg + jpeg[2:]
+
+
+def pdf_with_info(pages: list[str], fields: dict,
+                  utf16: bool = False) -> bytes:
+    """A deterministic PDF (the ``encode_pdf_text`` document) whose
+    trailer carries an ``/Info`` dictionary built from uniform-key
+    ``fields``; ``utf16`` writes the values as BOM-led UTF-16BE hex
+    strings (the other spec-legal string shape)."""
+    from .pdfcodec import (_assemble_classic, _esc_literal,
+                           _simple_doc_objs)
+    inv = {v: k for k, v in _PDF_INFO_KEYS.items()}
+    objs = _simple_doc_objs(pages, compress=True)
+    body = bytearray(b"<<")
+    for key, val in sorted(fields.items()):
+        sval = str(val)
+        if key == "date":
+            sval = "D:" + sval
+        if utf16:
+            raw = b"\xfe\xff" + sval.encode("utf-16-be")
+            enc = b"<" + raw.hex().upper().encode("ascii") + b">"
+        else:
+            enc = b"(" + _esc_literal(sval) + b")"
+        body += b" /" + inv[key] + b" " + enc
+    body += b" >>"
+    objs.append(bytes(body))
+    return _assemble_classic(
+        objs, trailer_extra=b" /Info %d 0 R" % len(objs))
 
 
 def build_id3v2(fields: dict, version: int = 3,

@@ -642,7 +642,11 @@ def extract_media_metadata(df: DataFrame, id_col: str,
     image redaction), JPEG COM comments, ID3v2.2/2.3/2.4 text frames
     (+ the ID3v1 trailer) from MPEG audio, Vorbis comments from all
     three carriers (FLAC blocks, OpusTags, ``\\x03vorbis``), PNG
-    tEXt/zTXt/iTXt chunks, and RIFF LIST/INFO. One bounded pass per
+    tEXt/zTXt/iTXt chunks, RIFF LIST/INFO, XMP packets in JPEG APP1
+    (filling keys EXIF left empty — the usual precedence), and the
+    PDF ``/Info`` document-information dictionary (last-wins across
+    incremental updates; encrypted documents report the blank record
+    rather than ciphertext). One bounded pass per
     payload in the Arrow batch; unrecognized payloads become an
     all-null row (loud-null contract) so curation filters run as
     plain Column predicates downstream."""

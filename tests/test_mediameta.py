@@ -9,8 +9,9 @@ import pytest
 
 from datasketches_spark_spark.operators.mediameta import (
     META_KEYS, build_exif_app1, build_id3v2, exif_info, id3_info,
-    jpeg_add_exif, media_metadata, png_add_text, png_text_info,
-    riff_info, vorbis_comment_info, wav_add_info)
+    jpeg_add_exif, jpeg_add_xmp, media_metadata, pdf_meta_info,
+    pdf_with_info, png_add_text, png_text_info, riff_info,
+    vorbis_comment_info, wav_add_info)
 
 
 def _img():
@@ -167,6 +168,65 @@ class TestPngRiff:
         assert rate == 8000 and len(samples) == 128
 
 
+class TestXmp:
+    def test_xmp_fills_and_exif_wins(self):
+        from datasketches_spark_spark.operators.jpegcodec import (
+            encode_jpeg)
+        jx = jpeg_add_xmp(encode_jpeg(_img()),
+                          {"title": "X Title", "artist": "X Artist",
+                           "date": "2023-01-01T00:00:00",
+                           "software": "xtool"})
+        r = exif_info(jx)
+        assert (r["title"], r["artist"], r["software"]) == (
+            "X Title", "X Artist", "xtool")
+        both = jpeg_add_xmp(
+            jpeg_add_exif(encode_jpeg(_img()),
+                          {"software": "exiftool"}),
+            {"software": "xmptool", "title": "only from xmp"})
+        r2 = exif_info(both)
+        assert r2["software"] == "exiftool"     # EXIF precedence
+        assert r2["title"] == "only from xmp"   # XMP fills the gap
+
+
+class TestPdfInfo:
+    def test_literal_strings_with_escapes(self):
+        p = pdf_with_info(["page one"],
+                          {"title": "T(itle)", "artist": "Au\\thor",
+                           "software": "engine",
+                           "date": "20240101120000",
+                           "comment": "subj"})
+        r = pdf_meta_info(p)
+        assert r["title"] == "T(itle)"
+        assert r["artist"] == "Au\\thor"
+        assert r["date"] == "20240101120000"   # D: prefix stripped
+        assert r["n_fields"] == 5
+        assert media_metadata(p) == r
+
+    def test_utf16_hex_strings(self):
+        p = pdf_with_info(["x"], {"title": "Ünïcode Tïtle",
+                                  "artist": "Åuthor"}, utf16=True)
+        r = pdf_meta_info(p)
+        assert r["title"] == "Ünïcode Tïtle"
+        assert r["artist"] == "Åuthor"
+
+    def test_encrypted_reports_blank_not_ciphertext(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text_encrypted)
+        r = pdf_meta_info(encode_pdf_text_encrypted(["secret"]))
+        assert r["kind"] == "pdf" and r["n_fields"] == 0
+
+    def test_no_info_dict_is_blank(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            encode_pdf_text)
+        assert pdf_meta_info(encode_pdf_text(["a"]))["n_fields"] == 0
+
+    def test_pdf_still_extracts_text(self):
+        from datasketches_spark_spark.operators.pdfcodec import (
+            pdf_text)
+        p = pdf_with_info(["page body text"], {"title": "t"})
+        assert "page body text" in pdf_text(p)
+
+
 class TestDispatchAndOperator:
     def test_uniform_keys_everywhere(self):
         from datasketches_spark_spark.operators.jpegcodec import (
@@ -182,7 +242,7 @@ class TestDispatchAndOperator:
 
     def test_refusal(self):
         with pytest.raises(ValueError, match="unrecognized"):
-            media_metadata(b"%PDF-1.4 nope")
+            media_metadata(b"PK\x03\x04 a zip, not media metadata")
 
     def test_spark_operator_mixed_and_loud_null(self, spark):
         from datasketches_spark_spark.operators import (
@@ -199,7 +259,8 @@ class TestDispatchAndOperator:
                           + b"\xff\xfb" + b"\x00" * 16)),
             (2, bytearray(encode_flac(np.zeros(64), 8000,
                                       tags={"ARTIST": "fa"}))),
-            (3, bytearray(b"%PDF- not media")),
+            (3, bytearray(pdf_with_info(["pg"], {"title": "pt"}))),
+            (4, bytearray(b"PK\x03\x04 not media")),
         ]
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         got = {r["doc_id"]: r.asDict()
@@ -208,4 +269,5 @@ class TestDispatchAndOperator:
         assert got[0]["date"] == "2024:01:01 00:00:00"
         assert got[1]["title"] == "Song" and got[1]["kind"] == "id3"
         assert got[2]["artist"] == "fa" and got[2]["kind"] == "vorbis"
-        assert got[3]["kind"] is None and got[3]["n_fields"] is None
+        assert got[3]["title"] == "pt" and got[3]["kind"] == "pdf"
+        assert got[4]["kind"] is None and got[4]["n_fields"] is None
