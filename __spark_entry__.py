@@ -4780,7 +4780,7 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtitle text extraction across EVERY crawl shape (r18,
     operators/subtitlecodec.py::subtitle_text +
     operators/multimodal.py::extract_subtitle_text — subtitles as a
-    crawl TEXT source): doc_id % 6 picks the packaging — an
+    crawl TEXT source): doc_id % 7 picks the packaging — an
     S_TEXT/UTF8 Matroska track (the SRT-in-Matroska mapping, cues
     verbatim, written as BlockGroup/Block + BlockDuration like real
     muxers), an S_TEXT/ASS Matroska track (Dialogue lines whose
@@ -4790,14 +4790,17 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizes away), a bare WebVTT file (NOTE block, cue
     identifiers, cue settings, and ``<i>`` cue-text tags all present
     and all invisible in the extraction), a bare ASS/SSA script
-    (the SSA ``Marked`` Format variant rotates in), and an MP4
-    ``tx3g`` timed-text track (3GPP TS 26.245 — the ``styl``
-    modifier-box and moov-after-mdat dressings rotate per doc) —
-    each carrying the doc's text as cue one and a doc-numbered cue
-    two, with the container legs declaring a track language
-    (eng/spa/deu) and the bare files reporting ``und`` (the formats
-    carry none). The extracted text, cue count, format and language
-    rebuild relationally from the documents columns in DuckDB."""
+    (the SSA ``Marked`` Format variant rotates in), an MP4 ``tx3g``
+    timed-text track (3GPP TS 26.245 — the ``styl`` modifier-box and
+    moov-after-mdat dressings rotate per doc), and an MP4 ``wvtt``
+    track (WebVTT in MP4, ISO 14496-30 — vttc cue boxes whose payl
+    payloads are the text; iden/sttg dressing and the fragmented
+    moof/trun layout rotate per doc) — each carrying the doc's text
+    as cue one and a doc-numbered cue two, with the container legs
+    declaring a track language (eng/spa/deu/nld) and the bare files
+    reporting ``und`` (the formats carry none). The extracted text,
+    cue count, format and language rebuild relationally from the
+    documents columns in DuckDB."""
     import pandas as pd
     from datasketches_spark_spark.operators import extract_subtitle_text
     from datasketches_spark_spark.operators.mkvcodec import build_mkv
@@ -4817,7 +4820,7 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d, t = int(d), str(t)[:30]
-                leg = d % 6
+                leg = d % 7
                 if leg == 0:
                     payloads.append(build_mkv(
                         subtitle_cues=[t.encode(),
@@ -4837,7 +4840,7 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(build_srt(
                         [(0, 1500, t),
                          (2000, 3500, "cue two of doc %d" % d)],
-                        crlf=bool(d % 2), bom=bool((d // 6) % 2)))
+                        crlf=bool(d % 2), bom=bool((d // 7) % 2)))
                 elif leg == 3:
                     payloads.append(build_vtt(
                         [(0, 1500, "<i>%s</i>" % t),
@@ -4849,14 +4852,21 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [(0, 1500, "{\\b1}%s{\\b0}" % t),
                          (2000, 3000,
                           "line two\\Nof doc %d" % d)],
-                        ssa=bool((d // 6) % 2)))
-                else:
+                        ssa=bool((d // 7) % 2)))
+                elif leg == 5:
                     payloads.append(build_mp4(
                         subtitle_cues=[t, "cue two of doc %d" % d],
                         subtitle_lang="deu",
                         subtitle_styl=bool(d % 2),
-                        moov_first=bool((d // 6) % 2),
+                        moov_first=bool((d // 7) % 2),
                         tags=b"" if d % 4 else b"doc %d" % d))
+                else:
+                    payloads.append(build_mp4(
+                        subtitle_cues=[t, "cue two of doc %d" % d],
+                        subtitle_lang="nld",
+                        subtitle_format="wvtt",
+                        subtitle_styl=bool(d % 2),
+                        fragmented=bool((d // 7) % 2)))
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -7826,13 +7836,14 @@ def demo_oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         # demo_subtitle_text (r18): cue one is the doc text, cue two
-        # is doc-numbered; UTF8/SRT/VTT/tx3g cues end up verbatim
-        # (markup tags stripped), ASS Dialogue lines (muxed OR bare)
-        # lose their {\b1} override tags and \N becomes a newline —
-        # so the whole six-packaging extraction rebuilds relationally
+        # is doc-numbered; UTF8/SRT/VTT/tx3g/wvtt cues end up
+        # verbatim (markup tags stripped), ASS Dialogue lines (muxed
+        # OR bare) lose their {\b1} override tags and \N becomes a
+        # newline — so the whole seven-packaging extraction rebuilds
+        # relationally
         "demo_subtitle_text": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 6 IN (1, 4)
+                   CASE WHEN doc_id % 7 IN (1, 4)
                         THEN trim(substr(text, 1, 30)) || chr(10) ||
                              'line two' || chr(10) || 'of doc ' ||
                              CAST(doc_id AS VARCHAR)
@@ -7841,17 +7852,19 @@ def demo_oracle_sql() -> dict[str, str]:
                              CAST(doc_id AS VARCHAR)
                    END AS text,
                    CAST(2 AS BIGINT) AS cues,
-                   CASE doc_id % 6
+                   CASE doc_id % 7
                         WHEN 0 THEN 'S_TEXT/UTF8'
                         WHEN 1 THEN 'S_TEXT/ASS'
                         WHEN 2 THEN 'srt'
                         WHEN 3 THEN 'vtt'
                         WHEN 4 THEN 'ass'
-                        ELSE 'tx3g' END AS sub_codec,
-                   CASE doc_id % 6
+                        WHEN 5 THEN 'tx3g'
+                        ELSE 'wvtt' END AS sub_codec,
+                   CASE doc_id % 7
                         WHEN 0 THEN 'eng'
                         WHEN 1 THEN 'spa'
                         WHEN 5 THEN 'deu'
+                        WHEN 6 THEN 'nld'
                         ELSE 'und' END AS lang
             FROM documents
             WHERE doc_id < 400

@@ -537,28 +537,43 @@ def mp4_audio_hash(data: bytes) -> str:
 
 def mp4_subtitle_text(data: bytes) -> dict:
     """Subtitle text out of the first timed-text track (3GPP TS
-    26.245 ``tx3g`` — the MP4 subtitle mapping): ``{"text", "cues",
-    "codec_id": "tx3g", "lang"}``, the ``mkv_subtitle_text`` shape.
-    Each sample is a u16-BE text length + UTF-8 text (UTF-16 when it
-    leads with a BOM, §5.17.1) optionally followed by modifier boxes
-    (``styl`` etc.) which are skipped; zero-length samples are the
-    spec's gap encoding and are not counted as cues. ``lang`` is the
-    track's mdhd packed ISO-639-2 code. Non-``tx3g`` subtitle
-    formats refuse by name."""
+    26.245 ``tx3g`` — the MP4 subtitle mapping — or ISO 14496-30
+    ``wvtt``, WebVTT in MP4): ``{"text", "cues", "codec_id",
+    "lang"}``, the ``mkv_subtitle_text`` shape. A tx3g sample is a
+    u16-BE text length + UTF-8 text (UTF-16 when it leads with a
+    BOM, §5.17.1) optionally followed by modifier boxes (``styl``
+    etc.) which are skipped; zero-length samples are the spec's gap
+    encoding and are not counted as cues. A wvtt sample holds
+    ``vttc`` cue boxes whose ``payl`` payloads are the cue text
+    (``iden``/``sttg``/``vsid`` siblings ignored) and ``vtte``
+    empty-cue boxes are gaps. ``lang`` is the track's mdhd packed
+    ISO-639-2 code. Other subtitle formats (bitmaps) refuse by
+    name."""
     data = bytes(data)
     tracks = _parse_tracks(data)
     t = next((t for t in tracks
-              if t.get("format") == "tx3g"
+              if t.get("format") in ("tx3g", "wvtt")
               or t.get("handler") in ("sbtl", "text")), None)
     if t is None:
         raise ValueError("MP4: no subtitle (timed text) track")
-    if t.get("format") != "tx3g":
+    fmt = t.get("format")
+    if fmt not in ("tx3g", "wvtt"):
         raise NotImplementedError(
-            f"MP4 subtitle format '{t['format']}': text extraction "
-            "covers tx3g (3GPP timed text); wvtt/bitmap formats are "
-            "out of scope")
+            f"MP4 subtitle format '{fmt}': text extraction covers "
+            "tx3g (3GPP timed text) and wvtt (WebVTT in MP4); "
+            "bitmap formats are out of scope")
     cues = []
     for off, sz in t["spans"]:
+        if fmt == "wvtt":
+            for bt, bs, be in _boxes(data, off, off + sz):
+                if bt != b"vttc":          # vtte gaps, vsid, ...
+                    continue
+                for ct, cs, ce in _boxes(data, bs, be):
+                    if ct == b"payl":
+                        cues.append(data[cs:ce].decode(
+                            "utf-8", "replace").strip())
+                        break
+            continue
         if sz < 2:
             continue
         n = struct.unpack_from(">H", data, off)[0]
@@ -570,7 +585,7 @@ def mp4_subtitle_text(data: bytes) -> dict:
         else:
             cues.append(raw.decode("utf-8", "replace").strip())
     return {"text": "\n".join(c for c in cues if c),
-            "cues": len(cues), "codec_id": "tx3g",
+            "cues": len(cues), "codec_id": fmt,
             "lang": t.get("lang", "und")}
 
 
@@ -821,6 +836,13 @@ def _mp4a_entry(channels: int, sample_rate: int) -> bytes:
     return _box(b"mp4a", body + esds)
 
 
+def _wvtt_entry(config: bytes = b"WEBVTT") -> bytes:
+    """An ISO 14496-30 §6.4 WVTTSampleEntry: the vttC configuration
+    box carries the WebVTT file header the cues belong under."""
+    body = b"\x00" * 6 + struct.pack(">H", 1)       # data_ref_idx
+    return _box(b"wvtt", body + _box(b"vttC", config))
+
+
 def _tx3g_entry() -> bytes:
     """A 3GPP TS 26.245 §5.16 TextSampleEntry: display flags,
     justification, background color, default text box, default style
@@ -897,7 +919,8 @@ def build_mp4(video_annexb: bytes | None = None,
               fragmented: bool = False,
               subtitle_cues: list[bytes | str] | None = None,
               subtitle_lang: str = "und",
-              subtitle_styl: bool = False) -> bytes:
+              subtitle_styl: bool = False,
+              subtitle_format: str = "tx3g") -> bytes:
     """TEST/FIXTURE writer: a structurally valid MP4 carrying a video
     track (an Annex B H.264/HEVC stream — parameter sets land in
     avcC/hvcC, each VCL NAL becomes one length-prefixed sample) and/or
@@ -955,20 +978,35 @@ def build_mp4(video_annexb: bytes | None = None,
         traks.append(("soun", entry, [bytes(p) for p in audio_payloads],
                       audio_rate, 1024, 0, 0, 0x55C4))
     if subtitle_cues is not None:
-        # tx3g samples: u16 BE text length + UTF-8 text, optionally
-        # followed by modifier boxes (a 'styl' here — readers must
-        # skip them, TS 26.245 §5.17)
         samples = []
-        for c in subtitle_cues:
+        for i, c in enumerate(subtitle_cues):
             raw = c.encode("utf-8") if isinstance(c, str) else bytes(c)
-            s = struct.pack(">H", len(raw)) + raw
-            if subtitle_styl:
-                s += _box(b"styl", struct.pack(">H", 1)
-                          + struct.pack(">HHH", 0, 0, 1)
-                          + bytes([1, 12]) + b"\xff\xff\xff\xff")
-            samples.append(s)
-        traks.append(("sbtl", _tx3g_entry(), samples, 1000, 1000,
-                      0, 0, _pack_lang(subtitle_lang)))
+            if subtitle_format == "wvtt":
+                # ISO 14496-30 §7: a vttc cue box per sample; the
+                # iden/sttg siblings are dressing readers must skip
+                inner = b""
+                if subtitle_styl:
+                    inner += _box(b"iden", b"cue-%d" % (i + 1))
+                    inner += _box(b"sttg", b"align:start")
+                inner += _box(b"payl", raw)
+                samples.append(_box(b"vttc", inner))
+            else:
+                # tx3g samples: u16 BE text length + UTF-8 text,
+                # optionally followed by modifier boxes (a 'styl'
+                # here — readers must skip them, TS 26.245 §5.17)
+                s = struct.pack(">H", len(raw)) + raw
+                if subtitle_styl:
+                    s += _box(b"styl", struct.pack(">H", 1)
+                              + struct.pack(">HHH", 0, 0, 1)
+                              + bytes([1, 12]) + b"\xff\xff\xff\xff")
+                samples.append(s)
+        if subtitle_format == "wvtt":
+            # 14496-30 uses the 'text' handler for WebVTT tracks
+            traks.append(("text", _wvtt_entry(), samples, 1000, 1000,
+                          0, 0, _pack_lang(subtitle_lang)))
+        else:
+            traks.append(("sbtl", _tx3g_entry(), samples, 1000, 1000,
+                          0, 0, _pack_lang(subtitle_lang)))
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
                 + b"isomiso2avc1mp41")

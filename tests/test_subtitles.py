@@ -147,6 +147,30 @@ class TestMP4TimedText:
         assert mp4_subtitle_text(m)["text"] == "mixed"
         assert mp4_extract_video(m)["codec"] == "h264"
 
+    def test_wvtt_roundtrip_and_dressing_invariance(self):
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4, mp4_subtitle_text)
+        m = build_mp4(subtitle_cues=["wvtt cue one", "cue two"],
+                      subtitle_lang="nld", subtitle_format="wvtt")
+        assert mp4_subtitle_text(m) == {
+            "text": "wvtt cue one\ncue two", "cues": 2,
+            "codec_id": "wvtt", "lang": "nld"}
+        base = mp4_subtitle_text(
+            build_mp4(subtitle_cues=["a", "b"],
+                      subtitle_format="wvtt"))
+        for kw in ({"subtitle_styl": True}, {"moov_first": False},
+                   {"fragmented": True}):
+            assert mp4_subtitle_text(build_mp4(
+                subtitle_cues=["a", "b"], subtitle_format="wvtt",
+                **kw)) == base, kw
+
+    def test_wvtt_via_sniff_dispatch(self):
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        m = build_mp4(subtitle_cues=["dispatched"],
+                      subtitle_format="wvtt")
+        assert subtitle_text(m)["format"] == "wvtt"
+
     def test_refuses_without_subtitle_track(self):
         from datasketches_spark_spark.operators.aaccodec import (
             aac_frame_payloads, build_adts_stream)
