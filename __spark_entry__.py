@@ -4881,7 +4881,7 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/mediameta.py::media_metadata + operators/multimodal.py
     ::extract_media_metadata — curation/provenance signals the files
     themselves carry, incl. the ``has_gps`` PII flag image redaction
-    must see): doc_id % 9 picks the carrier — a JPEG whose APP1 EXIF
+    must see): doc_id % 12 picks the carrier — a JPEG whose APP1 EXIF
     holds Make/Artist/Software/Orientation, a GPS IFD with an actual
     lat+lon fix on even docs, a DateTimeOriginal in the Exif sub-IFD,
     and a COM comment segment; an ID3v2.3 latin-1 tag (five text
@@ -4895,15 +4895,20 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings on odd); and a JPEG whose ONLY metadata is an XMP APP1
     packet (dc:title/dc:creator element forms + CreateDate/
     CreatorTool attribute forms — the fill-when-EXIF-is-silent
-    path). Every field value derives from the doc's columns, so the
-    full 14-column record — including per-leg n_fields counts —
-    rebuilds relationally in DuckDB. doc_id % 9 picks the leg."""
+    path); a Matroska ``Tags`` element (SimpleTag TagName/TagString
+    pairs, the official tagging-registry names); an MP4
+    ``udta/meta/ilst`` atom list (the iTunes-style scheme); and a
+    WebP whose extended-format ``EXIF`` chunk carries a TIFF with a
+    GPS fix on even docs plus an ``XMP `` chunk filling the title.
+    Every field value derives from the doc's columns, so the full
+    14-column record — including per-leg n_fields counts — rebuilds
+    relationally in DuckDB."""
     import pandas as pd
     from datasketches_spark_spark.operators import (
         extract_media_metadata)
     from datasketches_spark_spark.operators.mediameta import (
         build_id3v2, jpeg_add_exif, jpeg_add_xmp, pdf_with_info,
-        png_add_text, wav_add_info)
+        png_add_text, wav_add_info, webp_add_metadata)
 
     docs = (read_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 400)
@@ -4926,15 +4931,22 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_ogg_stream)
         from datasketches_spark_spark.operators.pngcodec import (
             encode_png)
+        from datasketches_spark_spark.operators.webpcodec import (
+            encode_webp_lossless)
+        from datasketches_spark_spark.operators.mkvcodec import (
+            build_mkv)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
         img = np.full((8, 8, 3), 90, np.uint8)
         jpg, png = encode_jpeg(img), encode_png(img)
         wav = encode_wav(np.zeros(64), 8000)
         mp3 = build_frame_stream(b"m", 3)
+        webp = encode_webp_lossless(img)
         for pdf in pdf_iter:
             ids, payloads = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d, t = int(d), str(t)
-                leg = d % 9
+                leg = d % 12
                 if leg == 0:
                     payloads.append(jpeg_add_exif(
                         jpg,
@@ -5002,13 +5014,36 @@ def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "date": "2024010112000%d" % (d % 10),
                          "comment": "psubj %d" % d},
                         utf16=bool(d % 2)))
-                else:
+                elif leg == 8:
                     payloads.append(jpeg_add_xmp(
                         jpg,
                         {"title": t[:16].strip(),
                          "artist": "xmpartist %d" % (d % 3),
                          "date": str(2020 + d % 5),
                          "software": "xmptool"}))
+                elif leg == 9:
+                    payloads.append(build_mkv(
+                        subtitle_cues=[b"c"],
+                        tag_fields={"title": t[:16].strip(),
+                                    "artist": "mkband %d" % (d % 3),
+                                    "date": str(2005 + d % 5),
+                                    "genre": "mkg %d" % (d % 2),
+                                    "software": "mkmux"}))
+                elif leg == 10:
+                    payloads.append(build_mp4(
+                        subtitle_cues=["c"],
+                        tag_fields={"title": t[:16].strip(),
+                                    "artist": "m4band %d" % (d % 4),
+                                    "album": "m4alb %d" % (d % 3),
+                                    "date": str(2012 + d % 8),
+                                    "software": "m4mux"}))
+                else:
+                    payloads.append(webp_add_metadata(
+                        webp,
+                        {"make": "WCam %d" % (d % 5),
+                         "artist": t[:12].strip()},
+                        gps=(d % 2 == 0),
+                        xmp_fields={"title": "wx %d" % d}))
                 ids.append(d)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -7880,20 +7915,24 @@ def demo_oracle_sql() -> dict[str, str]:
         # CASE ladder
         "demo_media_metadata": """
             SELECT doc_id,
-                   CASE doc_id % 9
+                   CASE doc_id % 12
                         WHEN 0 THEN 'exif'
                         WHEN 1 THEN 'id3' WHEN 2 THEN 'id3'
                         WHEN 3 THEN 'vorbis' WHEN 4 THEN 'vorbis'
                         WHEN 5 THEN 'png' WHEN 6 THEN 'riff'
-                        WHEN 7 THEN 'pdf' ELSE 'exif' END AS kind,
-                   CASE WHEN doc_id % 9 = 0 THEN NULL
-                        WHEN doc_id % 9 IN (1, 2)
+                        WHEN 7 THEN 'pdf' WHEN 8 THEN 'exif'
+                        WHEN 9 THEN 'mkv' WHEN 10 THEN 'mp4'
+                        ELSE 'exif' END AS kind,
+                   CASE WHEN doc_id % 12 = 0 THEN NULL
+                        WHEN doc_id % 12 IN (1, 2)
                              THEN trim(substr(text, 1, 20))
-                        WHEN doc_id % 9 = 7
+                        WHEN doc_id % 12 = 7
                              THEN trim(substr(text, 1, 18))
+                        WHEN doc_id % 12 = 11
+                             THEN 'wx ' || CAST(doc_id AS VARCHAR)
                         ELSE trim(substr(text, 1, 16))
                    END AS title,
-                   CASE doc_id % 9
+                   CASE doc_id % 12
                         WHEN 0 THEN trim(substr(text, 1, 12))
                         WHEN 1 THEN 'band ' ||
                              CAST(doc_id % 4 AS VARCHAR)
@@ -7909,16 +7948,23 @@ def demo_oracle_sql() -> dict[str, str]:
                              CAST(doc_id % 4 AS VARCHAR)
                         WHEN 7 THEN 'pauthor ' ||
                              CAST(doc_id % 4 AS VARCHAR)
-                        ELSE 'xmpartist ' ||
+                        WHEN 8 THEN 'xmpartist ' ||
                              CAST(doc_id % 3 AS VARCHAR)
+                        WHEN 9 THEN 'mkband ' ||
+                             CAST(doc_id % 3 AS VARCHAR)
+                        WHEN 10 THEN 'm4band ' ||
+                             CAST(doc_id % 4 AS VARCHAR)
+                        ELSE trim(substr(text, 1, 12))
                    END AS artist,
-                   CASE doc_id % 9
+                   CASE doc_id % 12
                         WHEN 1 THEN 'LP ' ||
                              CAST(doc_id % 6 AS VARCHAR)
                         WHEN 3 THEN 'falb ' ||
                              CAST(doc_id % 4 AS VARCHAR)
+                        WHEN 10 THEN 'm4alb ' ||
+                             CAST(doc_id % 3 AS VARCHAR)
                         ELSE NULL END AS album,
-                   CASE doc_id % 9
+                   CASE doc_id % 12
                         WHEN 0 THEN '2024:05:01 10:00:0' ||
                              CAST(doc_id % 10 AS VARCHAR)
                         WHEN 1 THEN CAST(1990 + doc_id % 30
@@ -7935,18 +7981,26 @@ def demo_oracle_sql() -> dict[str, str]:
                              CAST(doc_id % 10 AS VARCHAR)
                         WHEN 8 THEN CAST(2020 + doc_id % 5
                                          AS VARCHAR)
+                        WHEN 9 THEN CAST(2005 + doc_id % 5
+                                         AS VARCHAR)
+                        WHEN 10 THEN CAST(2012 + doc_id % 8
+                                          AS VARCHAR)
                         ELSE NULL END AS date,
-                   CASE WHEN doc_id % 9 IN (0, 3, 5, 6, 7)
+                   CASE WHEN doc_id % 12 IN (0, 3, 5, 6, 7)
                              THEN 'engine'
-                        WHEN doc_id % 9 = 8 THEN 'xmptool'
+                        WHEN doc_id % 12 = 8 THEN 'xmptool'
+                        WHEN doc_id % 12 = 9 THEN 'mkmux'
+                        WHEN doc_id % 12 = 10 THEN 'm4mux'
                         ELSE NULL END AS software,
-                   CASE doc_id % 9
+                   CASE doc_id % 12
                         WHEN 1 THEN 'genre ' ||
                              CAST(doc_id % 3 AS VARCHAR)
                         WHEN 6 THEN 'wgen ' ||
                              CAST(doc_id % 2 AS VARCHAR)
+                        WHEN 9 THEN 'mkg ' ||
+                             CAST(doc_id % 2 AS VARCHAR)
                         ELSE NULL END AS genre,
-                   CASE doc_id % 9
+                   CASE doc_id % 12
                         WHEN 0 THEN 'doc ' ||
                              CAST(doc_id AS VARCHAR)
                         WHEN 1 THEN 'c doc ' ||
@@ -7959,18 +8013,22 @@ def demo_oracle_sql() -> dict[str, str]:
                              CAST(doc_id AS VARCHAR)
                         ELSE NULL END AS comment,
                    CAST(NULL AS VARCHAR) AS copyright,
-                   CASE WHEN doc_id % 9 = 0
+                   CASE WHEN doc_id % 12 = 0
                         THEN 'Cam ' || CAST(doc_id % 5 AS VARCHAR)
+                        WHEN doc_id % 12 = 11
+                        THEN 'WCam ' || CAST(doc_id % 5 AS VARCHAR)
                         ELSE NULL END AS make,
                    CAST(NULL AS VARCHAR) AS model,
-                   CASE WHEN doc_id % 9 = 0
+                   CASE WHEN doc_id % 12 = 0
                         THEN CAST(doc_id % 8 + 1 AS BIGINT)
                         ELSE NULL END AS orientation,
-                   CASE WHEN doc_id % 9 = 0
+                   CASE WHEN doc_id % 12 = 0
                         THEN doc_id % 2 = 0
-                        WHEN doc_id % 9 = 8 THEN FALSE
+                        WHEN doc_id % 12 = 8 THEN FALSE
+                        WHEN doc_id % 12 = 11
+                        THEN doc_id % 2 = 0
                         ELSE NULL END AS has_gps,
-                   CAST(CASE doc_id % 9
+                   CAST(CASE doc_id % 12
                         WHEN 0 THEN 6 + CASE WHEN doc_id % 2 = 0
                                              THEN 1 ELSE 0 END
                         WHEN 1 THEN 6
@@ -7980,7 +8038,12 @@ def demo_oracle_sql() -> dict[str, str]:
                         WHEN 5 THEN 4
                         WHEN 6 THEN 6
                         WHEN 7 THEN 5
-                        ELSE 4 END AS BIGINT) AS n_fields
+                        WHEN 8 THEN 4
+                        WHEN 9 THEN 5
+                        WHEN 10 THEN 5
+                        ELSE 3 + CASE WHEN doc_id % 2 = 0
+                                      THEN 1 ELSE 0 END
+                        END AS BIGINT) AS n_fields
             FROM documents
             WHERE doc_id < 400
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')

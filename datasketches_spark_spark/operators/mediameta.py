@@ -37,9 +37,11 @@ import zlib
 
 __all__ = [
     "media_metadata", "exif_info", "id3_info", "vorbis_comment_info",
-    "png_text_info", "riff_info", "pdf_meta_info", "build_exif_app1",
-    "jpeg_add_exif", "jpeg_add_xmp", "build_id3v2", "png_add_text",
-    "wav_add_info", "pdf_with_info", "META_KEYS",
+    "png_text_info", "riff_info", "pdf_meta_info", "mkv_tags_info",
+    "mp4_tags_info", "build_exif_app1", "jpeg_add_exif",
+    "jpeg_add_xmp", "build_id3v2", "png_add_text", "png_add_exif",
+    "wav_add_info", "webp_add_metadata", "pdf_with_info",
+    "META_KEYS",
 ]
 
 # The uniform record: every parser returns exactly these keys
@@ -362,6 +364,96 @@ def vorbis_comment_info(data: bytes) -> dict:
     raise ValueError("vorbis_comment_info: not a FLAC or Ogg payload")
 
 
+# -------------------------------------- MKV Tags / MP4 ilst atoms
+
+# Matroska official tag names (matroska.org tagging registry)
+_MKV_TAG_KEYS = {"title": "title", "artist": "artist",
+                 "album": "album", "date_released": "date",
+                 "date": "date", "genre": "genre",
+                 "comment": "comment", "encoder": "software",
+                 "copyright": "copyright"}
+_MKV_TAG, _MKV_SIMPLETAG = 0x7373, 0x67C8
+_MKV_TAGNAME, _MKV_TAGSTRING = 0x45A3, 0x4487
+
+
+def mkv_tags_info(data: bytes) -> dict:
+    """Matroska/WebM ``Tags`` element: SimpleTag TagName/TagString
+    pairs mapped via the official tagging registry names."""
+    from .mkvcodec import _SEGMENT, _TAGS, _child, _elements
+    data = bytes(data)
+    if data[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("mkv_tags_info: not an EBML/Matroska "
+                         "payload")
+    out = _blank("mkv")
+    seg = _child(data, 0, len(data), _SEGMENT)
+    if seg is None:
+        return out
+    tags = _child(data, seg[0], seg[1], _TAGS)
+    if tags is None:
+        return out
+    for tid, ts, te in _elements(data, tags[0], tags[1]):
+        if tid != _MKV_TAG:
+            continue
+        for sid, ss, se in _elements(data, ts, te):
+            if sid != _MKV_SIMPLETAG:
+                continue
+            name = val = None
+            for eid, es, ee in _elements(data, ss, se):
+                if eid == _MKV_TAGNAME:
+                    name = data[es:ee].decode("utf-8", "replace")
+                elif eid == _MKV_TAGSTRING:
+                    val = data[es:ee].decode("utf-8", "replace")
+            key = name and _MKV_TAG_KEYS.get(name.lower())
+            if key and val and val.strip():
+                out[key] = val.strip()
+                out["n_fields"] += 1
+    return out
+
+
+# iTunes-style ilst atoms (the de-facto MP4 tagging scheme)
+_ILST_KEYS = {b"\xa9nam": "title", b"\xa9ART": "artist",
+              b"\xa9alb": "album", b"\xa9day": "date",
+              b"\xa9gen": "genre", b"\xa9cmt": "comment",
+              b"\xa9too": "software", b"cprt": "copyright"}
+
+
+def mp4_tags_info(data: bytes) -> dict:
+    """The MP4 ``moov/udta/meta/ilst`` atom list (the iTunes-style
+    tagging scheme): each item's ``data`` box value, UTF-8. The
+    ``meta`` box is parsed both as the spec's FullBox (4
+    version/flags bytes) and as the bare-box shape some muxers
+    emit."""
+    from .mp4codec import _boxes, _child, is_mp4
+    data = bytes(data)
+    if not is_mp4(data):
+        raise ValueError("mp4_tags_info: not an ISO-BMFF payload")
+    out = _blank("mp4")
+    moov = _child(data, 0, len(data), b"moov")
+    udta = moov and _child(data, moov[0], moov[1], b"udta")
+    meta = udta and _child(data, udta[0], udta[1], b"meta")
+    if not meta:
+        return out
+    ms, me = meta
+    if data[ms + 4:ms + 8] not in (b"hdlr", b"ilst"):
+        ms += 4                            # FullBox version/flags
+    ilst = _child(data, ms, me, b"ilst")
+    if not ilst:
+        return out
+    for bt, bs, be in _boxes(data, ilst[0], ilst[1]):
+        key = _ILST_KEYS.get(bt)
+        if not key:
+            continue
+        for ct, cs, ce in _boxes(data, bs, be):
+            if ct == b"data" and ce - cs > 8:
+                val = data[cs + 8:ce].decode(
+                    "utf-8", "replace").strip()
+                if val:
+                    out[key] = val
+                    out["n_fields"] += 1
+                break
+    return out
+
+
 # ---------------------------------------------------- XMP (in JPEG)
 
 _XMP_HEADER = b"http://ns.adobe.com/xap/1.0/\x00"
@@ -417,6 +509,19 @@ def png_text_info(data: bytes) -> dict:
         body = data[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         kw_text = None
+        if ctype == b"eXIf":               # PNG 3rd ed.: raw TIFF
+            try:
+                ex = _parse_tiff_meta(body)
+            except ValueError:
+                ex = None
+            if ex:
+                for k in META_KEYS:
+                    if k in ("kind", "n_fields"):
+                        continue
+                    if out.get(k) is None and ex.get(k) is not None:
+                        out[k] = ex[k]
+                out["n_fields"] += ex["n_fields"]
+            continue
         if ctype == b"tEXt":
             kw, _, txt = body.partition(b"\x00")
             kw_text = (kw, txt.decode("latin-1", "replace"))
@@ -457,12 +562,45 @@ _RIFF_KEYS = {b"INAM": "title", b"IART": "artist", b"IPRD": "album",
               b"ISFT": "software", b"ICOP": "copyright"}
 
 
+def _webp_meta(data: bytes) -> dict:
+    """WebP ``EXIF`` / ``XMP `` chunks (the extended-format
+    metadata): the EXIF chunk holds a TIFF structure (an optional
+    ``Exif\\0\\0`` prefix some writers include is stripped), XMP
+    merges into keys EXIF left empty — same precedence as JPEG."""
+    out = None
+    xmp = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"EXIF":
+            t = body[6:] if body[:6] == b"Exif\x00\x00" else body
+            try:
+                out = _parse_tiff_meta(t)
+            except ValueError:
+                pass
+        elif cid == b"XMP ":
+            xmp = body
+        pos += 8 + sz + (sz & 1)
+    if out is None:
+        out = _blank("exif")
+        out["has_gps"] = False
+    if xmp:
+        _merge_xmp(xmp, out)
+    return out
+
+
 def riff_info(data: bytes) -> dict:
     """``LIST``/``INFO`` subchunks of a RIFF container (WAV/AVI) —
-    the classic INAM/IART/ICRD tagging scheme."""
+    the classic INAM/IART/ICRD tagging scheme. A ``WEBP`` form
+    routes to its own ``EXIF``/``XMP `` chunk scheme instead (the
+    record comes back with kind ``exif``, like JPEG)."""
     data = bytes(data)
     if data[:4] != b"RIFF":
         raise ValueError("riff_info: not a RIFF payload")
+    if data[8:12] == b"WEBP":
+        return _webp_meta(data)
     out = _blank("riff")
     pos = 12
     while pos + 8 <= len(data):
@@ -609,6 +747,10 @@ def media_metadata(data: bytes) -> dict:
         return vorbis_comment_info(data)
     if data[:4] == b"RIFF":
         return riff_info(data)
+    if data[:4] == b"\x1aE\xdf\xa3":
+        return mkv_tags_info(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return mp4_tags_info(data)
     if data[:3] == b"ID3" or (
             len(data) >= 2 and data[0] == 0xFF
             and (data[1] & 0xE0) == 0xE0):
@@ -724,13 +866,10 @@ def jpeg_add_exif(jpeg: bytes, *args, comment: str | None = None,
     return jpeg[:2] + seg + jpeg[2:]
 
 
-def jpeg_add_xmp(jpeg: bytes, fields: dict) -> bytes:
-    """Inject a standard XMP APP1 segment (xpacket + rdf:Description
-    with dc:title/dc:creator element forms and CreateDate/CreatorTool
-    attribute forms) after SOI of an existing JPEG."""
-    jpeg = bytes(jpeg)
-    if jpeg[:2] != b"\xff\xd8":
-        raise ValueError("jpeg_add_xmp: not a JPEG")
+def _xmp_packet(fields: dict) -> bytes:
+    """A standard XMP packet (xpacket + rdf:Description with
+    dc:title/dc:creator element forms and CreateDate/CreatorTool
+    attribute forms) from uniform-key fields."""
     attrs = ""
     elems = ""
     if "date" in fields:
@@ -744,16 +883,24 @@ def jpeg_add_xmp(jpeg: bytes, fields: dict) -> bytes:
     if "artist" in fields:
         elems += ("<dc:creator><rdf:Seq><rdf:li>%s</rdf:li>"
                   "</rdf:Seq></dc:creator>" % fields["artist"])
-    xml = ('<?xpacket begin="﻿" '
-           'id="W5M0MpCehiHzreSzNTczkc9d"?>'
-           '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
-           '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
-           '22-rdf-syntax-ns#"><rdf:Description '
-           'xmlns:dc="http://purl.org/dc/elements/1.1/" '
-           'xmlns:xmp="http://ns.adobe.com/xap/1.0/"%s>%s'
-           '</rdf:Description></rdf:RDF></x:xmpmeta>'
-           '<?xpacket end="w"?>' % (attrs, elems)).encode("utf-8")
-    seg = _XMP_HEADER + xml
+    return ('<?xpacket begin="﻿" '
+            'id="W5M0MpCehiHzreSzNTczkc9d"?>'
+            '<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+            '22-rdf-syntax-ns#"><rdf:Description '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+            'xmlns:xmp="http://ns.adobe.com/xap/1.0/"%s>%s'
+            '</rdf:Description></rdf:RDF></x:xmpmeta>'
+            '<?xpacket end="w"?>' % (attrs, elems)).encode("utf-8")
+
+
+def jpeg_add_xmp(jpeg: bytes, fields: dict) -> bytes:
+    """Inject a standard XMP APP1 segment (:func:`_xmp_packet`)
+    after SOI of an existing JPEG."""
+    jpeg = bytes(jpeg)
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("jpeg_add_xmp: not a JPEG")
+    seg = _XMP_HEADER + _xmp_packet(fields)
     return jpeg[:2] + b"\xff\xe1" \
         + struct.pack(">H", len(seg) + 2) + seg + jpeg[2:]
 
@@ -848,6 +995,44 @@ def png_add_text(png: bytes, pairs: dict,
         chunks += struct.pack(">I", len(body)) + ctype + body \
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
     return png[:cut] + bytes(chunks) + png[cut:]
+
+
+def png_add_exif(png: bytes, *args, **kw) -> bytes:
+    """Insert a PNG 3rd-edition ``eXIf`` chunk (raw TIFF from
+    :func:`build_exif_app1`, header stripped) after IHDR."""
+    png = bytes(png)
+    if png[:8] != _PNG_SIG:
+        raise ValueError("png_add_exif: not a PNG")
+    tiff = build_exif_app1(*args, **kw)[6:]
+    (ihdr_len,) = struct.unpack_from(">I", png, 8)
+    cut = 8 + 12 + ihdr_len
+    chunk = struct.pack(">I", len(tiff)) + b"eXIf" + tiff \
+        + struct.pack(">I", zlib.crc32(b"eXIf" + tiff) & 0xFFFFFFFF)
+    return png[:cut] + chunk + png[cut:]
+
+
+def webp_add_metadata(webp: bytes, fields: dict | None = None,
+                      xmp_fields: dict | None = None,
+                      **exif_kw) -> bytes:
+    """Append WebP extended-format ``EXIF`` (Exif\\0\\0 + TIFF) and
+    ``XMP `` chunks to an existing WebP, fixing the RIFF size. The
+    VP8X feature-flag bookkeeping real muxers maintain is omitted —
+    the reader walks chunks, it does not gate on flags."""
+    webp = bytes(webp)
+    if webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
+        raise ValueError("webp_add_metadata: not a WebP")
+    out = bytearray(webp)
+    if fields is not None or exif_kw:
+        body = build_exif_app1(fields, **exif_kw)
+        if len(body) & 1:
+            body += b"\x00"
+        out += b"EXIF" + struct.pack("<I", len(body)) + body
+    if xmp_fields is not None:
+        xml = _xmp_packet(xmp_fields)
+        pad = b"\x00" if len(xml) & 1 else b""
+        out += b"XMP " + struct.pack("<I", len(xml)) + xml + pad
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    return bytes(out)
 
 
 def wav_add_info(wav: bytes, fields: dict) -> bytes:

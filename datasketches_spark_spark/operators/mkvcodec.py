@@ -650,7 +650,8 @@ def build_mkv(video_frames: list[bytes] | None = None,
               subtitle_lang: str = "und",
               tags: bytes = b"", lacing: str = "none",
               per_cluster: int = 4, void_pad: int = 0,
-              doctype: str = "webm") -> bytes:
+              doctype: str = "webm",
+              tag_fields: dict | None = None) -> bytes:
     """TEST/FIXTURE writer: a structurally valid Matroska/WebM file.
     ``video_frames`` become one video track's blocks (real VP8
     keyframes from ``webpnative.webp_encode_rgb`` make the decode
@@ -743,7 +744,18 @@ def build_mkv(video_frames: list[bytes] | None = None,
         if void_pad:
             clusters += _el(_VOID, b"\x00" * void_pad)
         ci += 1
-    if tags:
-        body += _el(_TAGS, _el(0x7373, _el(
-            0x67C8, _el(0x45A3, b"TITLE") + _el(0x4487, tags))))
+    if tags or tag_fields:
+        # uniform-key names -> the official tagging-registry names
+        inv = {"title": b"TITLE", "artist": b"ARTIST",
+               "album": b"ALBUM", "date": b"DATE_RELEASED",
+               "genre": b"GENRE", "comment": b"COMMENT",
+               "software": b"ENCODER", "copyright": b"COPYRIGHT"}
+        sts = b""
+        if tags:
+            sts += _el(0x67C8, _el(0x45A3, b"TITLE")
+                       + _el(0x4487, tags))
+        for k, v in sorted((tag_fields or {}).items()):
+            sts += _el(0x67C8, _el(0x45A3, inv[k])
+                       + _el(0x4487, str(v).encode()))
+        body += _el(_TAGS, _el(0x7373, sts))
     return header + _el(_SEGMENT, body + clusters)

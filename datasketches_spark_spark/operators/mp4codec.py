@@ -843,6 +843,25 @@ def _wvtt_entry(config: bytes = b"WEBVTT") -> bytes:
     return _box(b"wvtt", body + _box(b"vttC", config))
 
 
+# iTunes-style ilst atoms for the fixture writer (uniform-key names)
+_ILST_WRITE = {"title": b"\xa9nam", "artist": b"\xa9ART",
+               "album": b"\xa9alb", "date": b"\xa9day",
+               "genre": b"\xa9gen", "comment": b"\xa9cmt",
+               "software": b"\xa9too", "copyright": b"cprt"}
+
+
+def _udta_box(tags: bytes, tag_fields: dict | None) -> bytes:
+    items = b""
+    if tags:
+        items += _box(b"\xa9nam", _box(b"data", b"\x00" * 8 + tags))
+    for k, v in sorted((tag_fields or {}).items()):
+        # data box: type 1 (UTF-8) + 4-byte locale
+        items += _box(_ILST_WRITE[k],
+                      _box(b"data", b"\x00\x00\x00\x01" + b"\x00" * 4
+                           + str(v).encode()))
+    return _box(b"udta", _box(b"meta", _box(b"ilst", items)))
+
+
 def _tx3g_entry() -> bytes:
     """A 3GPP TS 26.245 §5.16 TextSampleEntry: display flags,
     justification, background color, default text box, default style
@@ -920,7 +939,8 @@ def build_mp4(video_annexb: bytes | None = None,
               subtitle_cues: list[bytes | str] | None = None,
               subtitle_lang: str = "und",
               subtitle_styl: bool = False,
-              subtitle_format: str = "tx3g") -> bytes:
+              subtitle_format: str = "tx3g",
+              tag_fields: dict | None = None) -> bytes:
     """TEST/FIXTURE writer: a structurally valid MP4 carrying a video
     track (an Annex B H.264/HEVC stream — parameter sets land in
     avcC/hvcC, each VCL NAL becomes one length-prefixed sample) and/or
@@ -1028,10 +1048,8 @@ def build_mp4(video_annexb: bytes | None = None,
             mvex += _full(b"trex", 0, 0, struct.pack(
                 ">5I", ti + 1, 1, delta if ti == 0 else 0, 0, 0))
         body += _box(b"mvex", mvex)
-        if tags:
-            body += _box(b"udta", _box(b"meta", _box(
-                b"ilst", _box(b"\xa9nam", _box(b"data", b"\x00" * 8
-                                               + tags)))))
+        if tags or tag_fields:
+            body += _udta_box(tags, tag_fields)
         out = bytearray(ftyp + _box(b"moov", body) + free)
         seq = 1
         for ti, (handler, _e, samples, _ts, delta, _w, _h, _lg) in \
@@ -1099,10 +1117,8 @@ def build_mp4(video_annexb: bytes | None = None,
                 per_chunk, timescale, delta, co64,
                 [mdat_payload_at + o for o in chunk_offsets_rel[ti]],
                 ti + 1, w, h, lang)
-        if tags:
-            body += _box(b"udta", _box(b"meta", _box(
-                b"ilst", _box(b"\xa9nam", _box(b"data", b"\x00" * 8
-                                               + tags)))))
+        if tags or tag_fields:
+            body += _udta_box(tags, tag_fields)
         return _box(b"moov", body)
 
     if moov_first:

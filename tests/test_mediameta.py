@@ -227,6 +227,95 @@ class TestPdfInfo:
         assert "page body text" in pdf_text(p)
 
 
+class TestContainerTags:
+    def test_mkv_simpletags(self):
+        from datasketches_spark_spark.operators.mkvcodec import (
+            build_mkv)
+        from datasketches_spark_spark.operators.mediameta import (
+            mkv_tags_info)
+        k = build_mkv(subtitle_cues=[b"c"],
+                      tag_fields={"title": "MK Title",
+                                  "artist": "MK Artist",
+                                  "date": "2005", "genre": "g1",
+                                  "software": "mkmux"})
+        r = mkv_tags_info(k)
+        assert (r["title"], r["artist"], r["date"], r["genre"],
+                r["software"]) == ("MK Title", "MK Artist", "2005",
+                                   "g1", "mkmux")
+        assert media_metadata(k) == r
+        # the legacy single-TITLE tags param still parses
+        assert mkv_tags_info(build_mkv(
+            subtitle_cues=[b"c"], tags=b"old"))["title"] == "old"
+        # untagged -> blank, not error
+        assert mkv_tags_info(build_mkv(
+            subtitle_cues=[b"c"]))["n_fields"] == 0
+
+    def test_mp4_ilst(self):
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        from datasketches_spark_spark.operators.mediameta import (
+            mp4_tags_info)
+        m = build_mp4(subtitle_cues=["x"],
+                      tag_fields={"title": "M4 Title",
+                                  "artist": "M4 Artist",
+                                  "album": "M4 Alb", "date": "2022"})
+        r = mp4_tags_info(m)
+        assert (r["title"], r["artist"], r["album"], r["date"]) == (
+            "M4 Title", "M4 Artist", "M4 Alb", "2022")
+        assert media_metadata(m) == r
+
+    def test_mp4_fullbox_meta_shape(self):
+        # real iTunes files write meta as a FullBox (4 version/flags
+        # bytes before the children) — build that shape by hand
+        import struct as st
+        from datasketches_spark_spark.operators.mp4codec import (
+            _box, build_mp4)
+        from datasketches_spark_spark.operators.mediameta import (
+            mp4_tags_info)
+        plain = build_mp4(subtitle_cues=["x"],
+                          tag_fields={"title": "FB Title"})
+        # locate the meta box and splice version/flags in
+        i = plain.find(b"meta")
+        assert i > 0
+        sz = st.unpack_from(">I", plain, i - 4)[0]
+        body = plain[i + 4:i - 4 + sz]
+        full = st.pack(">I", sz + 4) + b"meta" + b"\x00" * 4 + body
+        # rebuild a minimal container around the FullBox meta (the
+        # spliced original would have stale moov/udta sizes)
+        ftyp = plain[:plain.find(b"moov") - 4]
+        doc = ftyp + _box(b"moov", _box(b"udta", full))
+        assert mp4_tags_info(doc)["title"] == "FB Title"
+
+    def test_webp_exif_xmp(self):
+        from datasketches_spark_spark.operators.webpcodec import (
+            encode_webp_lossless)
+        from datasketches_spark_spark.operators.mediameta import (
+            webp_add_metadata)
+        w = webp_add_metadata(
+            encode_webp_lossless(_img()),
+            {"make": "WCam", "artist": "wann"}, gps=True,
+            xmp_fields={"title": "W Title"})
+        r = media_metadata(w)
+        assert (r["kind"], r["make"], r["artist"], r["title"],
+                r["has_gps"]) == ("exif", "WCam", "wann", "W Title",
+                                  True)
+        # plain WebP -> blank exif record
+        r2 = media_metadata(encode_webp_lossless(_img()))
+        assert r2["kind"] == "exif" and r2["n_fields"] == 0
+
+    def test_png_exif_chunk(self):
+        from datasketches_spark_spark.operators.pngcodec import (
+            decode_png, encode_png)
+        from datasketches_spark_spark.operators.mediameta import (
+            png_add_exif)
+        p = png_add_exif(encode_png(_img()), {"make": "PCam"},
+                         orientation=5)
+        r = png_text_info(p)
+        assert r["make"] == "PCam" and r["orientation"] == 5
+        assert r["kind"] == "png"
+        assert (decode_png(p) == _img()).all()
+
+
 class TestDispatchAndOperator:
     def test_uniform_keys_everywhere(self):
         from datasketches_spark_spark.operators.jpegcodec import (
