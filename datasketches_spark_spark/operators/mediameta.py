@@ -250,6 +250,7 @@ def id3_info(data: bytes) -> dict:
             if pos + idlen * 2 > len(body) or body[pos] == 0:
                 break
             fid = body[pos:pos + idlen].decode("latin-1")
+            fflags = 0
             if ver <= 2:
                 fsz = int.from_bytes(body[pos + 3:pos + 6], "big")
                 hdr = 6
@@ -257,9 +258,24 @@ def id3_info(data: bytes) -> dict:
                 raw = body[pos + 4:pos + 8]
                 fsz = _syncsafe(raw) if ver >= 4 \
                     else struct.unpack(">I", raw)[0]
+                fflags = body[pos + 9] if pos + 10 <= len(body) else 0
                 hdr = 10
             payload = body[pos + hdr:pos + hdr + fsz]
             pos += hdr + fsz
+            # format flags: compressed (v3 0x80 / v4 0x08) or
+            # encrypted (v3 0x40 / v4 0x04) frames would decode to
+            # garbage — skip them rather than store noise; v4
+            # per-frame unsync (0x02) and the data-length indicator
+            # (0x01) are reversible, so handle those
+            if ver == 3 and fflags & 0xC0:
+                continue
+            if ver >= 4:
+                if fflags & 0x0C:
+                    continue
+                if fflags & 0x02:
+                    payload = payload.replace(b"\xff\x00", b"\xff")
+                if fflags & 0x01 and len(payload) >= 4:
+                    payload = payload[4:]
             key = _ID3_FRAMES.get(fid)
             if key:
                 text = _id3_text(payload)

@@ -160,6 +160,28 @@ def main():
     t8 = best_of(lambda: vorbis_comment_info(v8))
     results["vorbis_comment_parse"] = report(
         "vorbis comment parse", t1, t8, len(v1), len(v8))
+    from datasketches_spark_spark.operators.mediameta import (
+        mkv_tags_info, mp4_tags_info, pdf_meta_info, pdf_with_info)
+    flds = {"title": "t" * 30, "artist": "a" * 30}
+    p1 = pdf_with_info(["line\n" * 40], flds)
+    p8 = pdf_with_info(["line\n" * 40] * 8, flds)
+    t1 = best_of(lambda: pdf_meta_info(p1))
+    t8 = best_of(lambda: pdf_meta_info(p8))
+    results["pdf_meta_parse"] = report(
+        "pdf /Info parse", t1, t8, len(p1), len(p8))
+    g1 = build_mkv(audio_payloads=k1, tag_fields=flds)
+    g8 = build_mkv(audio_payloads=k8, tag_fields=flds)
+    t1 = best_of(lambda: mkv_tags_info(g1))
+    t8 = best_of(lambda: mkv_tags_info(g8))
+    results["mkv_tags_parse"] = report(
+        "mkv Tags parse", t1, t8, len(g1), len(g8))
+    from datasketches_spark_spark.operators.mp4codec import build_mp4
+    q1 = build_mp4(audio_payloads=k1, tag_fields=flds)
+    q8 = build_mp4(audio_payloads=k8, tag_fields=flds)
+    t1 = best_of(lambda: mp4_tags_info(q1))
+    t8 = best_of(lambda: mp4_tags_info(q8))
+    results["mp4_ilst_parse"] = report(
+        "mp4 ilst parse", t1, t8, len(q1), len(q8))
 
     bad = {k: round(e, 2) for k, e in results.items() if e > 1.25}
     print("exponents:", {k: round(e, 2) for k, e in results.items()})

@@ -4,8 +4,14 @@ across versions and encodings, Vorbis comments from all three
 carriers, PNG text chunks, RIFF INFO, the one-call sniff dispatch,
 and the Spark operator's loud-null contract."""
 
+import struct
+
 import numpy as np
 import pytest
+
+
+def struct_pack_be32(n: int) -> bytes:
+    return struct.pack(">I", n)
 
 from datasketches_spark_spark.operators.mediameta import (
     META_KEYS, build_exif_app1, build_id3v2, exif_info, id3_info,
@@ -97,6 +103,46 @@ class TestId3:
         r = id3_info(raw)
         assert (r["title"], r["artist"], r["album"], r["date"]) == (
             "V1 title", "V1 artist", "V1 album", "1999")
+
+    def test_v22_three_char_frames(self):
+        # ID3v2.2: 3-char ids, 3-byte sizes, no frame flags
+        body = b""
+        for fid, val in ((b"TT2", b"old title"), (b"TP1", b"old art")):
+            payload = b"\x00" + val
+            body += fid + len(payload).to_bytes(3, "big") + payload
+        n = len(body)
+        raw = (b"ID3" + bytes([2, 0, 0])
+               + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F]) + body)
+        r = id3_info(raw)
+        assert r["title"] == "old title" and r["artist"] == "old art"
+
+    def test_tag_level_unsynchronisation(self):
+        # flag 0x80: every 0xFF in the tag is followed by a stuffed
+        # 0x00 the reader must remove before parsing frames
+        payload = b"\x00" + "danger ÿ title".encode("latin-1")
+        frame = b"TIT2" + struct_pack_be32(len(payload)) \
+            + b"\x00\x00" + payload
+        stuffed = frame.replace(b"\xff", b"\xff\x00")
+        n = len(stuffed)
+        raw = (b"ID3" + bytes([3, 0, 0x80])
+               + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F]) + stuffed)
+        assert id3_info(raw)["title"] == "danger ÿ title"
+
+    def test_compressed_encrypted_frames_skipped(self):
+        # a v2.3 frame with the compression flag set must be skipped,
+        # not decoded as garbage; a clean frame after it still parses
+        p1 = b"\x00" + b"zlibgarbagenotreally"
+        f1 = b"TIT2" + struct_pack_be32(len(p1)) + b"\x00\x80" + p1
+        p2 = b"\x00" + b"clean artist"
+        f2 = b"TPE1" + struct_pack_be32(len(p2)) + b"\x00\x00" + p2
+        n = len(f1 + f2)
+        raw = (b"ID3" + bytes([3, 0, 0])
+               + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F]) + f1 + f2)
+        r = id3_info(raw)
+        assert r["title"] is None and r["artist"] == "clean artist"
 
     def test_refuses_untagged(self):
         with pytest.raises(ValueError, match="no ID3"):
