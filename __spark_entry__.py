@@ -4876,6 +4876,64 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_article_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-page article provenance as one struct (r18,
+    functions/html.py::html_article_meta + html_jsonld — the page
+    counterpart of demo_media_metadata's uniform record): doc_id % 3
+    picks the page species — a full schema.org JSON-LD article
+    (headline / nested author.name / datePublished / publisher.name
+    / description, extracted with JVM get_json_object over the
+    html_jsonld regexp), an OpenGraph-only page (og:title +
+    meta description fill what JSON-LD would have provided — the
+    coalesce fallback chain), and a bare page whose only signal is
+    ``<title>``. All five output columns are pure Column expressions
+    (no Python row path) and rebuild relationally from the documents
+    columns in DuckDB."""
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & ~F.col("text").rlike("[{}\\\\<>&\"']")
+                   & (F.length("text") >= 30)
+                   & (F.trim(F.substring("text", 1, 24)) != ""))
+            .select("doc_id", "text"))
+
+    from datasketches_spark_spark.functions import html_article_meta
+    head = F.trim(F.substring("text", 1, 24))
+    ld = F.concat(
+        F.lit('{"@type": "NewsArticle", "headline": "'), head,
+        F.lit('", "author": {"name": "writer '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('"}, "datePublished": "2024-0'),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit('-15", "publisher": {"name": "site '),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('"}, "description": "about doc '),
+        F.col("doc_id").cast("string"), F.lit('"}'))
+    page = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("<html><head><title>ignored</title>"
+                  "<script type=\"application/ld+json\">"), ld,
+            F.lit("</script></head><body>body</body></html>")))
+         .when(F.col("doc_id") % 3 == 1, F.concat(
+            F.lit("<html><head><title>tfall</title>"
+                  "<meta property=\"og:title\" content=\""), head,
+            F.lit("\"><meta name=\"description\" content=\"md doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("\"></head><body>b</body></html>")))
+         .otherwise(F.concat(
+            F.lit("<html><head><title>"), head,
+            F.lit("</title></head><body>b</body></html>"))))
+    return (docs.select("doc_id", page.alias("html"))
+            .select("doc_id",
+                    html_article_meta("html").alias("m"))
+            .select("doc_id", F.col("m.title").alias("title"),
+                    F.col("m.author").alias("author"),
+                    F.col("m.date_published").alias("date_published"),
+                    F.col("m.publisher").alias("publisher"),
+                    F.col("m.description").alias("description"))
+            .orderBy("doc_id"))
+
+
 def _demo_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded media metadata as one uniform record (r18,
     operators/mediameta.py::media_metadata + operators/multimodal.py
@@ -5188,6 +5246,7 @@ def demo_queries() -> dict[str, str]:
         "demo_office_text": _demo_office_text,
         "demo_subtitle_text": _demo_subtitle_text,
         "demo_media_metadata": _demo_media_metadata,
+        "demo_article_meta": _demo_article_meta,
         "demo_script_id": _demo_script_id,
     }
 
@@ -8049,6 +8108,36 @@ def demo_oracle_sql() -> dict[str, str]:
               AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
               AND length(text) >= 30
               AND trim(substr(text, 1, 12)) != ''
+            ORDER BY doc_id
+        """,
+        # demo_article_meta (r18): the three page species' outputs
+        # derive entirely from doc columns — the JSON-LD leg's five
+        # fields, the OpenGraph leg's title/description with the
+        # rest NULL, and the title-only leg
+        "demo_article_meta": """
+            SELECT doc_id,
+                   trim(substr(text, 1, 24)) AS title,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'writer ' || CAST(doc_id % 5 AS VARCHAR)
+                        ELSE NULL END AS author,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '2024-0' ||
+                             CAST(doc_id % 9 + 1 AS VARCHAR) || '-15'
+                        ELSE NULL END AS date_published,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'site ' || CAST(doc_id % 4 AS VARCHAR)
+                        ELSE NULL END AS publisher,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'about doc ' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                        THEN 'md doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE NULL END AS description
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND NOT regexp_matches(text, '[{}\\\\<>&"'']')
+              AND length(text) >= 30
+              AND trim(substr(text, 1, 24)) != ''
             ORDER BY doc_id
         """,
         "demo_script_id": _demo_script_id_oracle(),

@@ -9,7 +9,8 @@ Import as::
 
 from . import quality_rules, text, urls
 from .text import strip_invisible, unicode_normalize
-from .html import (html_blocks, html_decode_numeric_refs, html_links,
+from .html import (html_article_meta, html_blocks,
+                   html_decode_numeric_refs, html_jsonld, html_links,
                    html_main_text, html_meta_charset,
                    html_meta_content, html_title, html_to_text)
 from .quality_rules import readability_metrics, readability_struct
@@ -98,6 +99,8 @@ __all__ = [
     "html_links",
     "html_meta_charset",
     "html_title",
+    "html_jsonld",
+    "html_article_meta",
     "html_to_text",
     "http_body",
     "parse_robots",

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["html_to_text", "html_title", "html_decode_numeric_refs",
            "html_links", "html_meta_charset", "html_blocks",
-           "html_main_text", "html_meta_content"]
+           "html_main_text", "html_meta_content", "html_jsonld",
+           "html_article_meta"]
 
 _BLOCK_TAGS = ("p|div|li|ul|ol|tr|td|th|table|h[1-6]|br|hr|section|"
                "article|header|footer|blockquote|pre")
@@ -360,3 +361,48 @@ def html_title(col) -> Column:
     t = F.regexp_extract(s, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
     t = F.trim(_decode_entities(t))
     return F.when(t == "", None).otherwise(t)
+
+
+def html_jsonld(col) -> Column:
+    """The first ``<script type="application/ld+json">`` body — the
+    schema.org structured-data block modern pages carry (articles:
+    headline/author/datePublished). Returned raw (a JSON string) for
+    ``get_json_object`` downstream; null when the page has none.
+    Pure Column regexp — scan-stage, replayable."""
+    s = _col(col)
+    j = F.regexp_extract(
+        s, r"(?is)<script[^>]*type\s*=\s*[\"']application/ld\+json"
+           r"[\"'][^>]*>(.*?)</script\s*>", 1)
+    j = F.trim(j)
+    return F.when(j == "", None).otherwise(j)
+
+
+def html_article_meta(col) -> Column:
+    """Article-level provenance as one struct — the web-page
+    counterpart of ``operators/mediameta.py``'s uniform record:
+    ``(title, author, date_published, publisher, description)``.
+    JSON-LD is the primary source (``$.headline``, ``$.author.name``
+    with the plain-string ``$.author`` fallback, ``$.datePublished``,
+    ``$.publisher.name``); OpenGraph/meta tags and ``<title>`` fill
+    what JSON-LD leaves empty. Every leg is a JVM expression
+    (``regexp_extract`` + ``get_json_object``) — no Python row path,
+    each field replayable relationally."""
+    s = _col(col)
+    j = html_jsonld(s)
+    author = F.coalesce(F.get_json_object(j, "$.author.name"),
+                        F.get_json_object(j, "$.author"))
+    return F.struct(
+        F.coalesce(F.get_json_object(j, "$.headline"),
+                   html_meta_content(s, "og:title"),
+                   html_title(s)).alias("title"),
+        author.alias("author"),
+        F.get_json_object(j, "$.datePublished")
+         .alias("date_published"),
+        F.coalesce(F.get_json_object(j, "$.publisher.name"),
+                   F.get_json_object(j, "$.publisher"))
+         .alias("publisher"),
+        F.coalesce(F.get_json_object(j, "$.description"),
+                   html_meta_content(s, "og:description"),
+                   html_meta_content(s, "description"))
+         .alias("description"),
+    )

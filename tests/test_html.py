@@ -289,3 +289,67 @@ class TestMainContent:
         got = _one(spark, card, html_main_text("h"))
         assert got.startswith("Real article")
         assert "Promoted" not in got
+
+
+class TestJsonLd:
+    def test_full_jsonld_article(self, spark):
+        import json
+        from datasketches_spark_spark.functions import (
+            html_article_meta, html_jsonld)
+        ld = json.dumps({
+            "@type": "NewsArticle", "headline": "JSON Headline",
+            "author": {"@type": "Person", "name": "Jo Writer"},
+            "datePublished": "2024-03-01",
+            "publisher": {"name": "The Paper"},
+            "description": "ld desc"})
+        page = ('<html><head><title>T1</title><script '
+                'type="application/ld+json">' + ld
+                + '</script></head><body>x</body></html>')
+        df = spark.createDataFrame([(page,)], "h string")
+        m = df.select(html_article_meta("h").alias("m")) \
+              .collect()[0]["m"]
+        assert m.asDict() == {
+            "title": "JSON Headline", "author": "Jo Writer",
+            "date_published": "2024-03-01",
+            "publisher": "The Paper", "description": "ld desc"}
+        j = df.select(html_jsonld("h").alias("j")).collect()[0]["j"]
+        assert json.loads(j)["headline"] == "JSON Headline"
+
+    def test_fallback_chain_og_then_title(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_article_meta)
+        pages = [
+            # no JSON-LD: og:title + meta description win
+            ('<html><head><title>Fallback</title>'
+             '<meta property="og:title" content="OG Title">'
+             '<meta name="description" content="meta desc">'
+             '</head></html>'),
+            # nothing but <title>
+            '<html><head><title>Only Title</title></head></html>',
+        ]
+        df = spark.createDataFrame([(p,) for p in pages], "h string")
+        got = [r["m"].asDict() for r in
+               df.select(html_article_meta("h").alias("m")).collect()]
+        assert got[0]["title"] == "OG Title"
+        assert got[0]["description"] == "meta desc"
+        assert got[1]["title"] == "Only Title"
+        assert got[1]["author"] is None
+
+    def test_plain_string_author(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_article_meta)
+        page = ('<html><head><script type="application/ld+json">'
+                '{"headline": "H", "author": "Plain Author"}'
+                '</script></head></html>')
+        df = spark.createDataFrame([(page,)], "h string")
+        m = df.select(html_article_meta("h").alias("m")) \
+              .collect()[0]["m"]
+        assert m["author"] == "Plain Author"
+
+    def test_scan_stage_only(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_article_meta)
+        df = spark.createDataFrame([("<html></html>",)], "h string")
+        plan = df.select(html_article_meta("h").alias("m")) \
+                 ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonudf" not in plan.lower()
