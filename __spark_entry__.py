@@ -4876,6 +4876,86 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-feed parsing as crawl discovery (r18,
+    functions/urls.py::feed_kind/feed_title/feed_entries — the other
+    discovery document next to sitemaps, carrying entry URLs WITH
+    titles and timestamps): even docs become an RSS 2.0 channel (a
+    CDATA-wrapped channel title, two ``<item>`` blocks with
+    entity-escaped links, plus a link-less third item that must
+    DROP), odd docs an Atom feed (a ``rel="self"`` bookkeeping link
+    on the feed AND on entry one that must LOSE to the
+    ``rel="alternate"`` link, entry two with a bare ``href``). The
+    entries posexplode to one row each and every output column —
+    kind, feed title, position, url, title, published — rebuilds
+    relationally from the documents columns in DuckDB."""
+    from datasketches_spark_spark.functions import (
+        feed_entries, feed_kind, feed_title)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & ~F.col("text").rlike("[{}\\\\<>&\"']")
+                   & (F.length("text") >= 30)
+                   & (F.trim(F.substring("text", 1, 20)) != ""))
+            .select("doc_id", "text"))
+
+    head = F.trim(F.substring("text", 1, 20))
+    d = F.col("doc_id").cast("string")
+    site = (F.col("doc_id") % 7).cast("string")
+
+    def _iurl(i):
+        return F.concat(F.lit("https://site"), site,
+                        F.lit(".example/p"), d, F.lit("-%d" % i))
+
+    def _ititle(i):
+        return F.concat(F.lit("post %d of doc " % i), d)
+
+    def _ipub(i):
+        return F.concat(F.lit("2024-0"),
+                        (F.col("doc_id") % 9 + 1).cast("string"),
+                        F.lit("-0%d" % i))
+
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title><![CDATA['), head,
+        F.lit(']]></title>'),
+        F.lit("<item><title>"), _ititle(1),
+        F.lit("</title><link>"), _iurl(1),
+        F.lit("</link><pubDate>"), _ipub(1),
+        F.lit("</pubDate></item>"),
+        F.lit("<item><title>"), _ititle(2),
+        F.lit("</title><link>"), _iurl(2),
+        F.lit("</link><pubDate>"), _ipub(2),
+        F.lit("</pubDate></item>"),
+        F.lit("<item><title>dropped: no link</title></item>"
+              "</channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>'),
+        head,
+        F.lit('</title><link rel="self" href="https://x.example/f"/>'
+              '<entry><title>'), _ititle(1),
+        F.lit('</title><link rel="self" '
+              'href="https://x.example/e1.atom"/>'
+              '<link rel="alternate" href="'), _iurl(1),
+        F.lit('"/><published>'), _ipub(1),
+        F.lit('</published></entry><entry><title>'), _ititle(2),
+        F.lit('</title><link href="'), _iurl(2),
+        F.lit('"/><updated>'), _ipub(2),
+        F.lit("</updated></entry></feed>"))
+    doc = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+    feeds = docs.select("doc_id", doc.alias("feed"))
+    return (feeds.select(
+                "doc_id", feed_kind("feed").alias("kind"),
+                feed_title("feed").alias("feed_title"),
+                F.posexplode(feed_entries("feed"))
+                 .alias("pos", "e"))
+            .select("doc_id", "kind", "feed_title", "pos",
+                    F.col("e.url").alias("url"),
+                    F.col("e.title").alias("title"),
+                    F.col("e.published").alias("published"))
+            .orderBy("doc_id", "pos"))
+
+
 def _demo_article_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-page article provenance as one struct (r18,
     functions/html.py::html_article_meta + html_jsonld — the page
@@ -5247,6 +5327,7 @@ def demo_queries() -> dict[str, str]:
         "demo_subtitle_text": _demo_subtitle_text,
         "demo_media_metadata": _demo_media_metadata,
         "demo_article_meta": _demo_article_meta,
+        "demo_feed_entries": _demo_feed_entries,
         "demo_script_id": _demo_script_id,
     }
 
@@ -8139,6 +8220,38 @@ def demo_oracle_sql() -> dict[str, str]:
               AND length(text) >= 30
               AND trim(substr(text, 1, 24)) != ''
             ORDER BY doc_id
+        """,
+        # demo_feed_entries (r18): two entries per doc (the link-less
+        # RSS item drops), every column a deterministic function of
+        # doc columns — rebuilt as a two-row UNION per doc
+        "demo_feed_entries": """
+            WITH base AS (
+                SELECT doc_id, trim(substr(text, 1, 20)) AS head
+                FROM documents
+                WHERE doc_id < 400
+                  AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+                  AND NOT regexp_matches(text, '[{}\\\\<>&"'']')
+                  AND length(text) >= 30
+                  AND trim(substr(text, 1, 20)) != ''
+            ), numbered AS (
+                SELECT doc_id, head, 0 AS pos, 1 AS i FROM base
+                UNION ALL
+                SELECT doc_id, head, 1 AS pos, 2 AS i FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS kind,
+                   head AS feed_title,
+                   CAST(pos AS INTEGER) AS pos,
+                   'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+                   '.example/p' || CAST(doc_id AS VARCHAR) || '-' ||
+                   CAST(i AS VARCHAR) AS url,
+                   'post ' || CAST(i AS VARCHAR) || ' of doc ' ||
+                   CAST(doc_id AS VARCHAR) AS title,
+                   '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+                   '-0' || CAST(i AS VARCHAR) AS published
+            FROM numbered
+            ORDER BY doc_id, pos
         """,
         "demo_script_id": _demo_script_id_oracle(),
     }

@@ -21,7 +21,8 @@ from .mime import detect_mime, detect_ooxml, is_binary_payload
 from .http import (http_body, http_charset, http_decode_body,
                    http_decode_body_bytes, http_header,
                    http_status, http_text)
-from .urls import (canonicalize_url, sitemap_entries, sitemap_is_index,
+from .urls import (canonicalize_url, feed_entries, feed_kind,
+                   feed_title, sitemap_entries, sitemap_is_index,
                    sitemap_locs, sitemap_text, url_host,
                    url_idna, url_registered_domain, url_resolve,
                    url_surt_key)
@@ -109,6 +110,9 @@ __all__ = [
     "robots_crawl_delay",
     "robots_sitemaps",
     "sitemap_entries",
+    "feed_kind",
+    "feed_title",
+    "feed_entries",
     "sitemap_is_index",
     "sitemap_locs",
     "sitemap_text",

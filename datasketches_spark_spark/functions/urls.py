@@ -295,6 +295,87 @@ def sitemap_entries(col) -> Column:
                     lambda e: e["loc"].isNotNull())
 
 
+def feed_kind(col) -> Column:
+    """``rss`` / ``atom`` / null — the two wild web-feed formats,
+    sniffed from the root element (RSS 2.0 ``<rss>``, Atom
+    ``<feed>``). Feeds are the other crawl-discovery document next
+    to sitemaps: they carry entry URLs WITH titles and timestamps."""
+    s = _col(col)
+    return (F.when(s.rlike(r"(?is)<\s*rss[\s>]"), "rss")
+             .when(s.rlike(r"(?is)<\s*feed[\s>]"), "atom")
+             .otherwise(F.lit(None).cast("string")))
+
+
+def _cdata_unwrap(t: Column) -> Column:
+    return F.regexp_replace(
+        t, r"(?s)^\s*<!\[CDATA\[(.*?)\]\]>\s*$", "$1")
+
+
+def feed_title(col) -> Column:
+    """The channel/feed ``<title>`` (the FIRST title in document
+    order — both formats put it before the entries), CDATA-unwrapped
+    and entity-decoded; null when absent."""
+    t = F.regexp_extract(_col(col),
+                         r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    t = F.trim(_xml_unescape(_cdata_unwrap(t)))
+    return F.when(t == "", None).otherwise(t)
+
+
+def feed_entries(col) -> Column:
+    """Structured feed parse — ``array<struct<url, title,
+    published>>`` over RSS ``<item>`` or Atom ``<entry>`` blocks,
+    pure Column exprs (the :func:`sitemap_entries` pattern). The
+    entry URL is the RSS ``<link>`` text, else the Atom link in
+    priority order: ``rel="alternate"`` (either attribute order),
+    a link WITHOUT a rel (Atom's default is alternate — never the
+    ``rel="self"`` bookkeeping link), else any ``href``. Titles
+    CDATA-unwrap and entity-decode; ``published`` is the verbatim
+    ``<pubDate>`` / ``<published>`` / ``<updated>`` text (RFC 822
+    vs RFC 3339 — the caller casts). Blocks without a URL drop.
+
+    Frontier recipe: explode; join URLs by
+    :func:`url_surt_key` against the seen set, with ``published``
+    driving re-crawl priority — the feed IS the freshness signal."""
+    s = _col(col)
+    blocks = F.regexp_extract_all(
+        s, F.lit(r"(?is)<(?:item|entry)[\s>](.*?)"
+                 r"</(?:item|entry)\s*>"), 1)
+
+    def _entry(b: Column) -> Column:
+        rss = F.regexp_extract(
+            b, r"(?is)<link\s*>\s*(.*?)\s*</link\s*>", 1)
+        alt1 = F.regexp_extract(
+            b, r"(?is)<link[^>]*rel\s*=\s*[\"']alternate[\"']"
+               r"[^>]*href\s*=\s*[\"']([^\"']*)", 1)
+        alt2 = F.regexp_extract(
+            b, r"(?is)<link[^>]*href\s*=\s*[\"']([^\"']*)[\"']"
+               r"[^>]*rel\s*=\s*[\"']alternate[\"']", 1)
+        norel = F.regexp_extract(
+            b, r"(?is)<link(?![^>]*\brel\s*=)[^>]*href\s*=\s*"
+               r"[\"']([^\"']*)", 1)
+        anyh = F.regexp_extract(
+            b, r"(?is)<link[^>]*href\s*=\s*[\"']([^\"']*)", 1)
+        url = (F.when(rss != "", rss).when(alt1 != "", alt1)
+                .when(alt2 != "", alt2).when(norel != "", norel)
+                .otherwise(anyh))
+        url = _xml_unescape(F.trim(url))
+        title = F.trim(_xml_unescape(_cdata_unwrap(
+            F.regexp_extract(
+                b, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))))
+        pub = F.regexp_extract(
+            b, r"(?is)<(pubDate|published|updated)[^>]*>\s*"
+               r"(.*?)\s*</(?:pubDate|published|updated)\s*>", 2)
+        return F.struct(
+            F.when(url == "", None).otherwise(url).alias("url"),
+            F.when(title == "", None).otherwise(title)
+             .alias("title"),
+            F.when(pub == "", None).otherwise(pub)
+             .alias("published"))
+
+    return F.filter(F.transform(blocks, _entry),
+                    lambda e: e["url"].isNotNull())
+
+
 def _remove_dot_segments(p: Column) -> Column:
     """RFC 3986 §5.2.4 over a path Column, as a BOUNDED chain of
     regexp passes (each pass resolves one nesting level of

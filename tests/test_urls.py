@@ -667,3 +667,62 @@ class TestUrlIdna:
         misses = {r.url for r in rows if r.k != r.urlkey}
         # only the double-encoding divergence remains: 23/24
         assert misses == {"http://example.com/%2541"}, misses
+
+
+class TestFeeds:
+    RSS = """<rss version="2.0"><channel>
+<title><![CDATA[My Blog]]></title>
+<item><title>Post &amp; One</title><link>https://b.example/p1</link>
+<pubDate>Mon, 01 Apr 2024 10:00:00 GMT</pubDate></item>
+<item><title>Post Two</title>
+<link>https://b.example/p2?a=1&amp;b=2</link></item>
+<item><title>No link at all</title></item>
+</channel></rss>"""
+    ATOM = """<feed xmlns="http://www.w3.org/2005/Atom">
+<title>Atom Feed</title><link rel="self" href="https://a.example/f"/>
+<entry><title>E1</title>
+<link rel="self" href="https://a.example/entry1.atom"/>
+<link rel="alternate" href="https://a.example/e1"/>
+<published>2024-04-01T10:00:00Z</published></entry>
+<entry><title>E2</title><link href="https://a.example/e2"/>
+<updated>2024-04-02T00:00:00Z</updated></entry>
+</feed>"""
+
+    def _parse(self, spark, doc):
+        from datasketches_spark_spark.functions import (
+            feed_entries, feed_kind, feed_title)
+        df = spark.createDataFrame([(doc,)], "doc string")
+        r = df.select(feed_kind("doc").alias("k"),
+                      feed_title("doc").alias("t"),
+                      feed_entries("doc").alias("e")).collect()[0]
+        return r["k"], r["t"], [x.asDict() for x in r["e"]]
+
+    def test_rss_items(self, spark):
+        k, t, es = self._parse(spark, self.RSS)
+        assert k == "rss"
+        assert t == "My Blog"                  # CDATA unwrapped
+        assert es == [
+            {"url": "https://b.example/p1", "title": "Post & One",
+             "published": "Mon, 01 Apr 2024 10:00:00 GMT"},
+            {"url": "https://b.example/p2?a=1&b=2",
+             "title": "Post Two", "published": None},
+        ]                                      # link-less item drops
+
+    def test_atom_entries_prefer_alternate_over_self(self, spark):
+        k, t, es = self._parse(spark, self.ATOM)
+        assert k == "atom" and t == "Atom Feed"
+        assert [e["url"] for e in es] == [
+            "https://a.example/e1", "https://a.example/e2"]
+        assert es[0]["published"] == "2024-04-01T10:00:00Z"
+        assert es[1]["published"] == "2024-04-02T00:00:00Z"
+
+    def test_non_feed_is_null_and_empty(self, spark):
+        k, t, es = self._parse(spark, "<html><body>x</body></html>")
+        assert k is None and es == []
+
+    def test_scan_stage_only(self, spark):
+        from datasketches_spark_spark.functions import feed_entries
+        df = spark.createDataFrame([(self.RSS,)], "doc string")
+        plan = df.select(feed_entries("doc").alias("e")) \
+                 ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonudf" not in plan.lower()
