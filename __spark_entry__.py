@@ -4876,6 +4876,71 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_page_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level curation signals (r18, functions/html.py::
+    html_canonical_url / html_noindex / html_feed_links): the three
+    head-element signals a crawl pipeline reads before any content
+    work — the page's own canonical URL (the URL-variant dedup
+    signal; even docs carry one, either attribute order by doc
+    parity), the robots meta directive (doc_id % 3 rotates
+    ``noindex, follow`` / ``index, follow`` / absent — only the
+    first is True, and the regex must match the TOKEN, not a
+    ``noindexing`` substring), and feed autodiscovery links
+    (doc_id % 4 picks 2 / 1 / 1 / 0 rss+atom link elements, with a
+    stylesheet link that must NOT match). All pure Column exprs;
+    every output rebuilds relationally in DuckDB."""
+    from datasketches_spark_spark.functions import (
+        html_canonical_url, html_feed_links, html_noindex)
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .select("doc_id"))
+
+    d = F.col("doc_id").cast("string")
+    canon_url = F.concat(F.lit("https://canon"),
+                         (F.col("doc_id") % 5).cast("string"),
+                         F.lit(".example/page"), d)
+    canon = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit('<link rel="canonical" href="'), canon_url,
+            F.lit('">')))
+         .when(F.col("doc_id") % 4 == 2, F.concat(
+            F.lit('<link href="'), canon_url,
+            F.lit('" rel="canonical">')))
+         .otherwise(F.lit("")))
+    robots = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit('<meta name="robots" '
+                     'content="noindex, follow">'))
+         .when(F.col("doc_id") % 3 == 1,
+               F.lit('<meta name="robots" '
+                     'content="index, follow">'))
+         .otherwise(F.lit("")))
+    feed1 = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="/feed'), d, F.lit('-1.xml">'))
+    feed2 = F.concat(
+        F.lit('<link type="application/atom+xml" href="/feed'),
+        d, F.lit('-2.xml">'))
+    feeds = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(feed1, feed2))
+         .when(F.col("doc_id") % 4 == 3, F.lit(""))
+         .otherwise(feed1))
+    page = F.concat(
+        F.lit("<html><head><title>t</title>"), canon, robots, feeds,
+        F.lit('<link rel="stylesheet" href="/style.css">'
+              "</head><body>b</body></html>"))
+    pages = docs.select("doc_id", page.alias("html"))
+    fl = html_feed_links("html")
+    return (pages.select(
+                "doc_id",
+                html_canonical_url("html").alias("canonical"),
+                html_noindex("html").alias("noindex"),
+                F.size(fl).alias("n_feeds"),
+                F.try_element_at(fl, F.lit(1)).alias("first_feed"))
+            .orderBy("doc_id"))
+
+
 def _demo_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-feed parsing as crawl discovery (r18,
     functions/urls.py::feed_kind/feed_title/feed_entries — the other
@@ -5328,6 +5393,7 @@ def demo_queries() -> dict[str, str]:
         "demo_media_metadata": _demo_media_metadata,
         "demo_article_meta": _demo_article_meta,
         "demo_feed_entries": _demo_feed_entries,
+        "demo_page_signals": _demo_page_signals,
         "demo_script_id": _demo_script_id,
     }
 
@@ -8252,6 +8318,28 @@ def demo_oracle_sql() -> dict[str, str]:
                    '-0' || CAST(i AS VARCHAR) AS published
             FROM numbered
             ORDER BY doc_id, pos
+        """,
+        # demo_page_signals (r18): canonical on doc_id % 4 in {0,2}
+        # (the two attribute orders), noindex only for % 3 == 0,
+        # feed-link counts by % 4 — all deterministic
+        "demo_page_signals": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 IN (0, 2)
+                        THEN 'https://canon' ||
+                             CAST(doc_id % 5 AS VARCHAR) ||
+                             '.example/page' ||
+                             CAST(doc_id AS VARCHAR)
+                        ELSE NULL END AS canonical,
+                   doc_id % 3 = 0 AS noindex,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 2
+                        WHEN 3 THEN 0 ELSE 1 END
+                        AS INTEGER) AS n_feeds,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE '/feed' || CAST(doc_id AS VARCHAR)
+                             || '-1.xml' END AS first_feed
+            FROM documents
+            WHERE doc_id < 400
+            ORDER BY doc_id
         """,
         "demo_script_id": _demo_script_id_oracle(),
     }

@@ -10,9 +10,11 @@ Import as::
 from . import quality_rules, text, urls
 from .text import strip_invisible, unicode_normalize
 from .html import (html_article_meta, html_blocks,
-                   html_decode_numeric_refs, html_jsonld, html_links,
+                   html_canonical_url, html_decode_numeric_refs,
+                   html_feed_links, html_jsonld, html_links,
                    html_main_text, html_meta_charset,
-                   html_meta_content, html_title, html_to_text)
+                   html_meta_content, html_noindex, html_title,
+                   html_to_text)
 from .quality_rules import readability_metrics, readability_struct
 from .robots import (parse_robots, parse_robots_text,
                      robots_allowed, robots_crawl_delay,
@@ -102,6 +104,9 @@ __all__ = [
     "html_title",
     "html_jsonld",
     "html_article_meta",
+    "html_canonical_url",
+    "html_noindex",
+    "html_feed_links",
     "html_to_text",
     "http_body",
     "parse_robots",

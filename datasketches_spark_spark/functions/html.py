@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 __all__ = ["html_to_text", "html_title", "html_decode_numeric_refs",
            "html_links", "html_meta_charset", "html_blocks",
            "html_main_text", "html_meta_content", "html_jsonld",
-           "html_article_meta"]
+           "html_article_meta", "html_canonical_url",
+           "html_noindex", "html_feed_links"]
 
 _BLOCK_TAGS = ("p|div|li|ul|ol|tr|td|th|table|h[1-6]|br|hr|section|"
                "article|header|footer|blockquote|pre")
@@ -361,6 +362,55 @@ def html_title(col) -> Column:
     t = F.regexp_extract(s, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
     t = F.trim(_decode_entities(t))
     return F.when(t == "", None).otherwise(t)
+
+
+def html_canonical_url(col) -> Column:
+    """The ``<link rel="canonical" href=...>`` URL (either attribute
+    order; entity-decoded; null when absent) — the page's OWN dedup
+    signal: crawl pipelines collapse URL variants onto it before any
+    content hashing. Pure Column regexp — scan-stage, replayable."""
+    s = _col(col)
+    fwd = F.regexp_extract(
+        s, r"(?is)<link[^>]*rel\s*=\s*[\"']canonical[\"']"
+           r"[^>]*href\s*=\s*[\"']([^\"']*)", 1)
+    rev = F.regexp_extract(
+        s, r"(?is)<link[^>]*href\s*=\s*[\"']([^\"']*)[\"']"
+           r"[^>]*rel\s*=\s*[\"']canonical[\"']", 1)
+    v = F.trim(_decode_entities(
+        F.when(fwd != "", fwd).otherwise(rev)))
+    return F.when(v == "", None).otherwise(v)
+
+
+def html_noindex(col) -> Column:
+    """True when the page's robots meta directive carries
+    ``noindex`` or ``none`` (the ``none`` token means
+    noindex+nofollow) — the page asked to stay out of indexes, and
+    training-data pipelines honor the same signal. False when the
+    directive is absent or permissive; null for null input."""
+    s = _col(col)
+    robots = F.lower(F.coalesce(
+        html_meta_content(s, "robots"), F.lit("")))
+    v = robots.rlike(r"(?:^|[\s,])(?:noindex|none)(?:$|[\s,])")
+    return F.when(s.isNull(), F.lit(None).cast("boolean")) \
+        .otherwise(v)
+
+
+def html_feed_links(col) -> Column:
+    """Feed AUTODISCOVERY: the ``href`` of every ``<link
+    type="application/rss+xml">`` / ``atom+xml`` element as an array
+    (document order, entity-decoded) — how crawlers find the feed
+    :func:`~datasketches_spark_spark.functions.urls.feed_entries`
+    then parses. Pure Column exprs."""
+    s = _col(col)
+    links = F.regexp_extract_all(
+        s, F.lit(r"(?is)<link\b[^>]*"
+                 r"type\s*=\s*[\"']application/(?:rss|atom)\+xml"
+                 r"[\"'][^>]*>"), 0)
+    hrefs = F.transform(
+        links,
+        lambda el: F.trim(_decode_entities(F.regexp_extract(
+            el, r"(?is)href\s*=\s*[\"']([^\"']*)", 1))))
+    return F.filter(hrefs, lambda h: h != "")
 
 
 def html_jsonld(col) -> Column:

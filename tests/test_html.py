@@ -353,3 +353,63 @@ class TestJsonLd:
         plan = df.select(html_article_meta("h").alias("m")) \
                  ._jdf.queryExecution().executedPlan().toString()
         assert "pythonudf" not in plan.lower()
+
+
+class TestPageSignals:
+    def test_canonical_both_attribute_orders(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_canonical_url)
+        pages = [
+            ('<html><head><link rel="canonical" '
+             'href="https://e.com/a?x=1&amp;y=2"></head></html>'),
+            ('<html><head><link href="https://e.com/b" '
+             'rel="canonical"></head></html>'),
+            '<html><head></head></html>',
+        ]
+        df = spark.createDataFrame([(p,) for p in pages], "h string")
+        got = [r["c"] for r in
+               df.select(html_canonical_url("h").alias("c"))
+                 .collect()]
+        assert got == ["https://e.com/a?x=1&y=2",
+                       "https://e.com/b", None]
+
+    def test_noindex_tokens(self, spark):
+        from datasketches_spark_spark.functions import html_noindex
+        cases = [
+            ('<meta name="robots" content="noindex, follow">', True),
+            ('<meta name="robots" content="none">', True),
+            ('<meta name="robots" content="index, nofollow">',
+             False),
+            # 'noindexing' must not match the noindex token
+            ('<meta name="robots" content="noindexing">', False),
+            ("", False),
+        ]
+        df = spark.createDataFrame(
+            [("<html><head>%s</head></html>" % c,) for c, _ in cases],
+            "h string")
+        got = [r["n"] for r in
+               df.select(html_noindex("h").alias("n")).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_feed_autodiscovery(self, spark):
+        from datasketches_spark_spark.functions import html_feed_links
+        page = ('<html><head>'
+                '<link rel="alternate" type="application/rss+xml" '
+                'href="/feed.xml">'
+                '<link type="application/atom+xml" '
+                'href="https://e.com/atom">'
+                '<link rel="stylesheet" href="/style.css">'
+                '</head></html>')
+        df = spark.createDataFrame([(page,)], "h string")
+        got = df.select(html_feed_links("h").alias("f")) \
+                .collect()[0]["f"]
+        assert got == ["/feed.xml", "https://e.com/atom"]
+
+    def test_scan_stage_only(self, spark):
+        from datasketches_spark_spark.functions import (
+            html_canonical_url, html_feed_links, html_noindex)
+        df = spark.createDataFrame([("<html></html>",)], "h string")
+        plan = df.select(html_canonical_url("h"), html_noindex("h"),
+                         html_feed_links("h")) \
+                 ._jdf.queryExecution().executedPlan().toString()
+        assert "pythonudf" not in plan.lower()
