@@ -4876,6 +4876,106 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_cover_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Album-art dedup across every audio/AV carrier (r18,
+    operators/mediameta.py::cover_art + operators/multimodal.py::
+    extract_cover_art — the demo_video_dedup pattern applied to
+    embedded pictures): doc_id % 3 picks the art (deterministic
+    pixels), (doc_id // 3) % 5 the carrier — ID3v2 APIC, a FLAC
+    PICTURE block, the Ogg METADATA_BLOCK_PICTURE base64 comment,
+    an MP4 covr atom, a Matroska image attachment — and the PNG
+    encode level alternates by doc parity so the embedded BYTES
+    genuinely differ within a group. The extracted covers decode
+    (imagecodec.decode_image) and hash on PIXELS: every art group
+    must collapse to ONE pixel hash across all FIVE carriers."""
+    import hashlib
+
+    import pandas as pd
+    from datasketches_spark_spark.operators import extract_cover_art
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300)
+            .select("doc_id").repartition(4))
+
+    def _mk(pdf_iter):
+        import numpy as np
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        from datasketches_spark_spark.operators.mediameta import (
+            build_id3v2, flac_add_picture, ogg_cover_comment)
+        from datasketches_spark_spark.operators.mkvcodec import (
+            build_mkv)
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        from datasketches_spark_spark.operators.oggcodec import (
+            build_ogg_stream)
+        from datasketches_spark_spark.operators.pngcodec import (
+            encode_png)
+        mp3 = build_frame_stream(b"m", 3)
+        arts = {}
+        for g in range(3):
+            px = ((np.arange(192).reshape(8, 8, 3) * (g + 3)) % 251
+                  ).astype(np.uint8)
+            arts[g] = px
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = arts[d % 3]
+                png = encode_png(img, level=1 if d % 2 else 6)
+                cov = ("image/png", png)
+                leg = (d // 3) % 5
+                if leg == 0:
+                    payloads.append(
+                        build_id3v2({"title": "s"}, cover=cov) + mp3)
+                elif leg == 1:
+                    payloads.append(flac_add_picture(
+                        encode_flac(np.zeros(64), 8000),
+                        "image/png", png))
+                elif leg == 2:
+                    payloads.append(build_ogg_stream(
+                        b"o", 4, codec="opus",
+                        comments={"METADATA_BLOCK_PICTURE":
+                                  ogg_cover_comment(
+                                      "image/png", png)}))
+                elif leg == 3:
+                    payloads.append(build_mp4(
+                        subtitle_cues=["c"], cover=cov))
+                else:
+                    payloads.append(build_mkv(
+                        subtitle_cues=[b"c"],
+                        attachments=[("cover.png",
+                                      "image/png", png)]))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pkgs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+    covers = extract_cover_art(pkgs, "doc_id")
+
+    def _pix(pdf_iter):
+        from datasketches_spark_spark.operators.imagecodec import (
+            decode_image)
+        for pdf in pdf_iter:
+            hs = [hashlib.md5(
+                decode_image(bytes(c)).tobytes()).hexdigest()
+                for c in pdf["cover"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "pixel_hash": hs})
+
+    hashed = covers.mapInPandas(_pix, "doc_id long, pixel_hash string")
+    return (hashed
+            .withColumn("art", F.col("doc_id") % 3)
+            .withColumn("carrier", (F.col("doc_id") / 3)
+                        .cast("long") % 5)
+            .groupBy("art")
+            .agg(F.countDistinct("pixel_hash").alias("n_hashes"),
+                 F.countDistinct("carrier").alias("n_carriers"),
+                 F.count("*").alias("n_docs"))
+            .orderBy("art"))
+
+
 def _demo_page_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level curation signals (r18, functions/html.py::
     html_canonical_url / html_noindex / html_feed_links): the three
@@ -5394,6 +5494,7 @@ def demo_queries() -> dict[str, str]:
         "demo_article_meta": _demo_article_meta,
         "demo_feed_entries": _demo_feed_entries,
         "demo_page_signals": _demo_page_signals,
+        "demo_cover_dedup": _demo_cover_dedup,
         "demo_script_id": _demo_script_id,
     }
 
@@ -8340,6 +8441,19 @@ def demo_oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id < 400
             ORDER BY doc_id
+        """,
+        # demo_cover_dedup (r18): each art group must collapse to ONE
+        # pixel hash across FIVE carriers — counts rebuild from the
+        # doc_id keying alone
+        "demo_cover_dedup": """
+            SELECT doc_id % 3 AS art,
+                   CAST(1 AS BIGINT) AS n_hashes,
+                   CAST(5 AS BIGINT) AS n_carriers,
+                   COUNT(*) AS n_docs
+            FROM documents
+            WHERE doc_id < 300
+            GROUP BY doc_id % 3
+            ORDER BY art
         """,
         "demo_script_id": _demo_script_id_oracle(),
     }

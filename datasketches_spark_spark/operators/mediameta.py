@@ -38,7 +38,8 @@ import zlib
 __all__ = [
     "media_metadata", "exif_info", "id3_info", "vorbis_comment_info",
     "png_text_info", "riff_info", "pdf_meta_info", "mkv_tags_info",
-    "mp4_tags_info", "build_exif_app1", "jpeg_add_exif",
+    "mp4_tags_info", "cover_art", "flac_add_picture",
+    "ogg_cover_comment", "build_exif_app1", "jpeg_add_exif",
     "jpeg_add_xmp", "build_id3v2", "png_add_text", "png_add_exif",
     "wav_add_info", "webp_add_metadata", "pdf_with_info",
     "META_KEYS",
@@ -225,6 +226,59 @@ def _syncsafe(b: bytes) -> int:
         | ((b[2] & 0x7F) << 7) | (b[3] & 0x7F)
 
 
+def _id3_frames(data: bytes):
+    """Yield ``(version, frame_id, payload)`` over an ID3v2 tag —
+    the shared walk behind :func:`id3_info` and :func:`cover_art`:
+    tag-level unsynchronisation undone, extended header skipped,
+    compressed/encrypted frames dropped, v2.4 per-frame unsync and
+    data-length indicator reversed."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return
+    ver = data[3]
+    flags = data[5]
+    size = _syncsafe(data[6:10])
+    body = data[10:10 + size]
+    if flags & 0x80:                       # unsynchronisation
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40:                       # extended header
+        if ver >= 4:
+            pos += _syncsafe(body[0:4])
+        else:
+            pos += 4 + struct.unpack_from(">I", body, 0)[0]
+    idlen = 3 if ver <= 2 else 4
+    for _ in range(_MAX_IFD_ENTRIES):
+        if pos + idlen * 2 > len(body) or body[pos] == 0:
+            break
+        fid = body[pos:pos + idlen].decode("latin-1")
+        fflags = 0
+        if ver <= 2:
+            fsz = int.from_bytes(body[pos + 3:pos + 6], "big")
+            hdr = 6
+        else:
+            raw = body[pos + 4:pos + 8]
+            fsz = _syncsafe(raw) if ver >= 4 \
+                else struct.unpack(">I", raw)[0]
+            fflags = body[pos + 9] if pos + 10 <= len(body) else 0
+            hdr = 10
+        payload = body[pos + hdr:pos + hdr + fsz]
+        pos += hdr + fsz
+        # format flags: compressed (v3 0x80 / v4 0x08) or encrypted
+        # (v3 0x40 / v4 0x04) frames would decode to garbage — skip
+        # them rather than yield noise; v4 per-frame unsync (0x02)
+        # and the data-length indicator (0x01) are reversible
+        if ver == 3 and fflags & 0xC0:
+            continue
+        if ver >= 4:
+            if fflags & 0x0C:
+                continue
+            if fflags & 0x02:
+                payload = payload.replace(b"\xff\x00", b"\xff")
+            if fflags & 0x01 and len(payload) >= 4:
+                payload = payload[4:]
+        yield ver, fid, payload
+
+
 def id3_info(data: bytes) -> dict:
     """ID3v2.2/2.3/2.4 text frames (+ COMM comments) from the head of
     an MPEG audio stream, falling back to the 128-byte ID3v1 trailer
@@ -233,49 +287,7 @@ def id3_info(data: bytes) -> dict:
     data = bytes(data)
     out = _blank("id3")
     if data[:3] == b"ID3" and len(data) >= 10:
-        ver = data[3]
-        flags = data[5]
-        size = _syncsafe(data[6:10])
-        body = data[10:10 + size]
-        if flags & 0x80:                   # unsynchronisation
-            body = body.replace(b"\xff\x00", b"\xff")
-        pos = 0
-        if flags & 0x40:                   # extended header
-            if ver >= 4:
-                pos += _syncsafe(body[0:4])
-            else:
-                pos += 4 + struct.unpack_from(">I", body, 0)[0]
-        idlen = 3 if ver <= 2 else 4
-        for _ in range(_MAX_IFD_ENTRIES):
-            if pos + idlen * 2 > len(body) or body[pos] == 0:
-                break
-            fid = body[pos:pos + idlen].decode("latin-1")
-            fflags = 0
-            if ver <= 2:
-                fsz = int.from_bytes(body[pos + 3:pos + 6], "big")
-                hdr = 6
-            else:
-                raw = body[pos + 4:pos + 8]
-                fsz = _syncsafe(raw) if ver >= 4 \
-                    else struct.unpack(">I", raw)[0]
-                fflags = body[pos + 9] if pos + 10 <= len(body) else 0
-                hdr = 10
-            payload = body[pos + hdr:pos + hdr + fsz]
-            pos += hdr + fsz
-            # format flags: compressed (v3 0x80 / v4 0x08) or
-            # encrypted (v3 0x40 / v4 0x04) frames would decode to
-            # garbage — skip them rather than store noise; v4
-            # per-frame unsync (0x02) and the data-length indicator
-            # (0x01) are reversible, so handle those
-            if ver == 3 and fflags & 0xC0:
-                continue
-            if ver >= 4:
-                if fflags & 0x0C:
-                    continue
-                if fflags & 0x02:
-                    payload = payload.replace(b"\xff\x00", b"\xff")
-                if fflags & 0x01 and len(payload) >= 4:
-                    payload = payload[4:]
+        for _ver, fid, payload in _id3_frames(data):
             key = _ID3_FRAMES.get(fid)
             if key:
                 text = _id3_text(payload)
@@ -745,6 +757,204 @@ def pdf_meta_info(data: bytes) -> dict:
     return out
 
 
+# --------------------------------------------------- cover art (×5)
+
+def _flac_picture_block(body: bytes) -> dict | None:
+    """Decode a METADATA_BLOCK_PICTURE body (the FLAC spec §
+    picture structure — also what Ogg's base64 comment carries)."""
+    if len(body) < 32:
+        return None
+    pos = 4                                    # picture type
+    (ml,) = struct.unpack_from(">I", body, pos)
+    pos += 4
+    mime = body[pos:pos + ml].decode("latin-1")
+    pos += ml
+    (dl,) = struct.unpack_from(">I", body, pos)
+    pos += 4 + dl + 16                         # desc + w/h/depth/idx
+    if pos + 4 > len(body):
+        return None
+    (il,) = struct.unpack_from(">I", body, pos)
+    pos += 4
+    img = body[pos:pos + il]
+    return {"mime": mime, "image": img} if img else None
+
+
+def cover_art(data: bytes) -> dict:
+    """Embedded cover art / attached picture out of any audio or A/V
+    container: ``{"mime", "image"}`` — ID3v2 ``APIC`` (v2.2
+    ``PIC``), the FLAC ``PICTURE`` metadata block, the Ogg
+    ``METADATA_BLOCK_PICTURE`` base64 comment (the Opus/Vorbis
+    convention — same structure as FLAC's), the MP4 ``covr`` ilst
+    atom, and Matroska ``Attachments`` (the first ``image/*``
+    AttachedFile). The extracted image feeds the existing
+    ``decode_image`` chain for album-art dedup. Raises ValueError
+    when the payload kind is unrecognized or carries no picture."""
+    data = bytes(data)
+    if data[:3] == b"ID3":
+        for ver, fid, payload in _id3_frames(data):
+            if fid == "APIC" and len(payload) > 4:
+                enc = payload[0]
+                i = payload.index(b"\x00", 1)
+                mime = payload[1:i].decode("latin-1")
+                i += 2                          # \0 + picture type
+                if enc in (1, 2):               # utf-16 description
+                    while i + 1 < len(payload) \
+                            and payload[i:i + 2] != b"\x00\x00":
+                        i += 2
+                    i += 2
+                else:
+                    i = payload.index(b"\x00", i) + 1
+                if payload[i:]:
+                    return {"mime": mime, "image": payload[i:]}
+            elif fid == "PIC" and len(payload) > 6:
+                fmt = payload[1:4].decode("latin-1").lower()
+                i = payload.index(b"\x00", 5) + 1
+                if payload[i:]:
+                    return {"mime": "image/png" if fmt == "png"
+                            else "image/jpeg", "image": payload[i:]}
+        raise ValueError("cover_art: no APIC/PIC frame in the "
+                         "ID3v2 tag")
+    if data[:4] == b"fLaC":
+        pos = 4
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            size = int.from_bytes(data[pos + 1:pos + 4], "big")
+            if hdr & 0x7F == 6:                # PICTURE
+                pic = _flac_picture_block(
+                    data[pos + 4:pos + 4 + size])
+                if pic:
+                    return pic
+            pos += 4 + size
+            if hdr & 0x80:
+                break
+        raise ValueError("cover_art: no PICTURE block in the FLAC "
+                         "stream")
+    if data[:4] == b"OggS":
+        import base64
+        from .oggcodec import _packets, _pages
+        pages = list(_pages(data))
+        if pages:
+            pkts = []
+            for p in _packets(iter(pages), pages[0]["serial"]):
+                pkts.append(p)
+                if len(pkts) >= 2:
+                    break
+            if len(pkts) >= 2:
+                body = None
+                if pkts[1][:8] == b"OpusTags":
+                    body = pkts[1][8:]
+                elif pkts[1][:7] == b"\x03vorbis":
+                    body = pkts[1][7:]
+                if body is not None and len(body) >= 4:
+                    # raw item walk (the value is binary-ish base64,
+                    # not a text field the uniform record carries)
+                    (vl,) = struct.unpack_from("<I", body, 0)
+                    pos = 4 + vl
+                    if pos + 4 <= len(body):
+                        (n,) = struct.unpack_from("<I", body, pos)
+                        pos += 4
+                        for _ in range(min(n, _MAX_IFD_ENTRIES)):
+                            if pos + 4 > len(body):
+                                break
+                            (ln,) = struct.unpack_from(
+                                "<I", body, pos)
+                            pos += 4
+                            item = body[pos:pos + ln]
+                            pos += ln
+                            k, _, v = item.partition(b"=")
+                            if k.lower() == b"metadata_block_picture":
+                                try:
+                                    pic = _flac_picture_block(
+                                        base64.b64decode(v))
+                                except Exception:
+                                    pic = None
+                                if pic:
+                                    return pic
+        raise ValueError("cover_art: no METADATA_BLOCK_PICTURE "
+                         "comment in the Ogg stream")
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from .mp4codec import _boxes, _child
+        moov = _child(data, 0, len(data), b"moov")
+        udta = moov and _child(data, moov[0], moov[1], b"udta")
+        meta = udta and _child(data, udta[0], udta[1], b"meta")
+        if meta:
+            ms, me = meta
+            if data[ms + 4:ms + 8] not in (b"hdlr", b"ilst"):
+                ms += 4
+            ilst = _child(data, ms, me, b"ilst")
+            covr = ilst and _child(data, ilst[0], ilst[1], b"covr")
+            d = covr and _child(data, covr[0], covr[1], b"data")
+            if d and d[1] - d[0] > 8:
+                (dtype,) = struct.unpack_from(">I", data, d[0])
+                return {"mime": "image/png" if dtype == 14
+                        else "image/jpeg",
+                        "image": data[d[0] + 8:d[1]]}
+        raise ValueError("cover_art: no covr atom in the MP4")
+    if data[:4] == b"\x1aE\xdf\xa3":
+        from .mkvcodec import _SEGMENT, _child, _elements
+        seg = _child(data, 0, len(data), _SEGMENT)
+        if seg:
+            att = _child(data, seg[0], seg[1], 0x1941A469)
+            if att:
+                for fid_, fs, fe in _elements(data, att[0], att[1]):
+                    if fid_ != 0x61A7:         # AttachedFile
+                        continue
+                    mime = img = None
+                    for eid, es, ee in _elements(data, fs, fe):
+                        if eid == 0x4660:
+                            mime = data[es:ee].decode("latin-1")
+                        elif eid == 0x465C:
+                            img = data[es:ee]
+                    if mime and mime.startswith("image/") and img:
+                        return {"mime": mime, "image": img}
+        raise ValueError("cover_art: no image attachment in the "
+                         "Matroska file")
+    raise ValueError(
+        "cover_art: unrecognized payload (ID3/FLAC/Ogg/MP4/Matroska "
+        "supported)")
+
+
+def flac_add_picture(flac: bytes, mime: str, image: bytes) -> bytes:
+    """Insert a ``PICTURE`` metadata block (type 6) into an existing
+    FLAC stream, fixing the last-metadata-block flag."""
+    flac = bytes(flac)
+    if flac[:4] != b"fLaC":
+        raise ValueError("flac_add_picture: not a FLAC stream")
+    mb = mime.encode("latin-1")
+    body = (struct.pack(">I", 3)               # front cover
+            + struct.pack(">I", len(mb)) + mb
+            + struct.pack(">I", 0)             # description
+            + struct.pack(">IIII", 0, 0, 0, 0)
+            + struct.pack(">I", len(image)) + bytes(image))
+    out = bytearray(flac[:4])
+    pos = 4
+    while pos + 4 <= len(flac):
+        hdr = flac[pos]
+        size = int.from_bytes(flac[pos + 1:pos + 4], "big")
+        last = bool(hdr & 0x80)
+        out += bytes([hdr & 0x7F]) + flac[pos + 1:pos + 4 + size]
+        pos += 4 + size
+        if last:
+            break
+    out += bytes([0x80 | 6]) + len(body).to_bytes(3, "big") + body
+    out += flac[pos:]
+    return bytes(out)
+
+
+def ogg_cover_comment(mime: str, image: bytes) -> str:
+    """The ``METADATA_BLOCK_PICTURE`` base64 value for
+    ``build_ogg_stream(comments=...)`` — the Opus/Vorbis cover-art
+    convention (the FLAC picture structure, base64-encoded)."""
+    import base64
+    mb = mime.encode("latin-1")
+    body = (struct.pack(">I", 3)
+            + struct.pack(">I", len(mb)) + mb
+            + struct.pack(">I", 0)
+            + struct.pack(">IIII", 0, 0, 0, 0)
+            + struct.pack(">I", len(image)) + bytes(image))
+    return base64.b64encode(body).decode("ascii")
+
+
 # ------------------------------------------------------ dispatcher
 
 def media_metadata(data: bytes) -> dict:
@@ -950,7 +1160,8 @@ def pdf_with_info(pages: list[str], fields: dict,
 
 def build_id3v2(fields: dict, version: int = 3,
                 comment: str | None = None,
-                utf16: bool = False) -> bytes:
+                utf16: bool = False,
+                cover: tuple[str, bytes] | None = None) -> bytes:
     """An ID3v2.3 or v2.4 tag block carrying ``fields`` (uniform-key
     names). ``utf16`` switches the text encoding byte to 1 (UTF-16
     with BOM) — the common Windows-tagger shape."""
@@ -981,6 +1192,13 @@ def build_id3v2(fields: dict, version: int = 3,
         payload = b"\x00eng" + b"\x00" \
             + comment.encode("latin-1", "replace")
         frames += b"COMM" + _fsize(len(payload)) + b"\x00\x00" \
+            + payload
+    if cover is not None:
+        mime, img = cover
+        payload = (b"\x00" + mime.encode("latin-1") + b"\x00"
+                   + bytes([3])                 # front cover
+                   + b"\x00" + bytes(img))      # empty description
+        frames += b"APIC" + _fsize(len(payload)) + b"\x00\x00" \
             + payload
     n = len(frames)
     hdr = (b"ID3" + bytes([version, 0, 0])

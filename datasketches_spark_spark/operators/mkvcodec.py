@@ -651,7 +651,9 @@ def build_mkv(video_frames: list[bytes] | None = None,
               tags: bytes = b"", lacing: str = "none",
               per_cluster: int = 4, void_pad: int = 0,
               doctype: str = "webm",
-              tag_fields: dict | None = None) -> bytes:
+              tag_fields: dict | None = None,
+              attachments: list[tuple[str, str, bytes]]
+              | None = None) -> bytes:
     """TEST/FIXTURE writer: a structurally valid Matroska/WebM file.
     ``video_frames`` become one video track's blocks (real VP8
     keyframes from ``webpnative.webp_encode_rgb`` make the decode
@@ -758,4 +760,15 @@ def build_mkv(video_frames: list[bytes] | None = None,
             sts += _el(0x67C8, _el(0x45A3, inv[k])
                        + _el(0x4487, str(v).encode()))
         body += _el(_TAGS, _el(0x7373, sts))
+    if attachments:
+        # Attachments/AttachedFile: FileName + FileMediaType +
+        # FileData + the mandatory FileUID (matroska.org §4.1.10)
+        afs = b""
+        for uid, (name, mime, payload) in enumerate(attachments, 1):
+            afs += _el(0x61A7,
+                       _el(0x466E, name.encode())
+                       + _el(0x4660, mime.encode())
+                       + _el(0x465C, bytes(payload))
+                       + _el_uint(0x46AE, uid))
+        body += _el(0x1941A469, afs)
     return header + _el(_SEGMENT, body + clusters)

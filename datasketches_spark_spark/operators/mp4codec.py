@@ -850,7 +850,8 @@ _ILST_WRITE = {"title": b"\xa9nam", "artist": b"\xa9ART",
                "software": b"\xa9too", "copyright": b"cprt"}
 
 
-def _udta_box(tags: bytes, tag_fields: dict | None) -> bytes:
+def _udta_box(tags: bytes, tag_fields: dict | None,
+              cover: tuple[str, bytes] | None = None) -> bytes:
     items = b""
     if tags:
         items += _box(b"\xa9nam", _box(b"data", b"\x00" * 8 + tags))
@@ -859,6 +860,12 @@ def _udta_box(tags: bytes, tag_fields: dict | None) -> bytes:
         items += _box(_ILST_WRITE[k],
                       _box(b"data", b"\x00\x00\x00\x01" + b"\x00" * 4
                            + str(v).encode()))
+    if cover is not None:
+        mime, img = cover
+        dtype = 14 if "png" in mime else 13    # 13 JPEG / 14 PNG
+        items += _box(b"covr",
+                      _box(b"data", struct.pack(">I", dtype)
+                           + b"\x00" * 4 + bytes(img)))
     return _box(b"udta", _box(b"meta", _box(b"ilst", items)))
 
 
@@ -940,7 +947,8 @@ def build_mp4(video_annexb: bytes | None = None,
               subtitle_lang: str = "und",
               subtitle_styl: bool = False,
               subtitle_format: str = "tx3g",
-              tag_fields: dict | None = None) -> bytes:
+              tag_fields: dict | None = None,
+              cover: tuple[str, bytes] | None = None) -> bytes:
     """TEST/FIXTURE writer: a structurally valid MP4 carrying a video
     track (an Annex B H.264/HEVC stream — parameter sets land in
     avcC/hvcC, each VCL NAL becomes one length-prefixed sample) and/or
@@ -1048,8 +1056,8 @@ def build_mp4(video_annexb: bytes | None = None,
             mvex += _full(b"trex", 0, 0, struct.pack(
                 ">5I", ti + 1, 1, delta if ti == 0 else 0, 0, 0))
         body += _box(b"mvex", mvex)
-        if tags or tag_fields:
-            body += _udta_box(tags, tag_fields)
+        if tags or tag_fields or cover:
+            body += _udta_box(tags, tag_fields, cover)
         out = bytearray(ftyp + _box(b"moov", body) + free)
         seq = 1
         for ti, (handler, _e, samples, _ts, delta, _w, _h, _lg) in \
@@ -1117,8 +1125,8 @@ def build_mp4(video_annexb: bytes | None = None,
                 per_chunk, timescale, delta, co64,
                 [mdat_payload_at + o for o in chunk_offsets_rel[ti]],
                 ti + 1, w, h, lang)
-        if tags or tag_fields:
-            body += _udta_box(tags, tag_fields)
+        if tags or tag_fields or cover:
+            body += _udta_box(tags, tag_fields, cover)
         return _box(b"moov", body)
 
     if moov_first:

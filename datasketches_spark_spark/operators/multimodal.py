@@ -613,6 +613,38 @@ def extract_subtitle_text(df: DataFrame, id_col: str,
                               keep_cols=keep_cols)
 
 
+COVER_ART_FIELDS = [
+    StructField("cover_mime", StringType()),
+    StructField("cover", BinaryType()),
+]
+
+
+def extract_cover_art(df: DataFrame, id_col: str,
+                      payload_col: str = "payload",
+                      keep_cols: list[str] | None = None
+                      ) -> DataFrame:
+    """Embedded cover art out of any audio/AV container (r18,
+    ``operators/mediameta.py::cover_art``): ID3v2 APIC, FLAC PICTURE
+    blocks, the Ogg METADATA_BLOCK_PICTURE base64 comment, MP4
+    ``covr`` atoms, Matroska image attachments — the extracted image
+    feeds ``decode_image`` for album-art dedup (byte-different
+    re-encodes of the same art collapse on decoded pixels).
+    Payloads without a picture become an all-null row (loud-null
+    contract)."""
+    from .mediameta import cover_art
+
+    def one(raw: bytes) -> dict:
+        try:
+            c = cover_art(raw)
+            return {"cover_mime": c["mime"], "cover": c["image"]}
+        except Exception:
+            return {"cover_mime": None, "cover": None}
+
+    return transform_payloads(df, id_col, one, COVER_ART_FIELDS,
+                              payload_col=payload_col,
+                              keep_cols=keep_cols)
+
+
 MEDIA_META_FIELDS = [
     StructField("kind", StringType()),
     StructField("title", StringType()),

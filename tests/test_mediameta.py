@@ -362,6 +362,128 @@ class TestContainerTags:
         assert (decode_png(p) == _img()).all()
 
 
+class TestCoverArt:
+    def _png(self):
+        from datasketches_spark_spark.operators.pngcodec import (
+            encode_png)
+        return encode_png(
+            np.arange(192, dtype=np.uint8).reshape(8, 8, 3))
+
+    def test_all_five_carriers_roundtrip(self):
+        import hashlib
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        from datasketches_spark_spark.operators.mediameta import (
+            cover_art, flac_add_picture, ogg_cover_comment)
+        from datasketches_spark_spark.operators.mkvcodec import (
+            build_mkv)
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        from datasketches_spark_spark.operators.oggcodec import (
+            build_ogg_stream)
+        png = self._png()
+        carriers = {
+            "id3": build_id3v2({"title": "s"},
+                               cover=("image/png", png))
+            + build_frame_stream(b"x", 3),
+            "flac": flac_add_picture(
+                encode_flac(np.zeros(64), 8000,
+                            tags={"TITLE": "t"}),
+                "image/png", png),
+            "ogg": build_ogg_stream(
+                b"s", 4, codec="opus",
+                comments={"METADATA_BLOCK_PICTURE":
+                          ogg_cover_comment("image/png", png)}),
+            "mp4": build_mp4(subtitle_cues=["c"],
+                             cover=("image/png", png)),
+            "mkv": build_mkv(subtitle_cues=[b"c"],
+                             attachments=[("cover.png",
+                                           "image/png", png)]),
+        }
+        ref = hashlib.md5(png).hexdigest()
+        for name, payload in carriers.items():
+            c = cover_art(payload)
+            assert c["mime"] == "image/png", name
+            assert hashlib.md5(c["image"]).hexdigest() == ref, name
+
+    def test_utf16_apic_description(self):
+        # enc 1 description terminates on an ALIGNED \x00\x00 — a
+        # hand-built frame whose description contains single nulls
+        import struct as st
+        from datasketches_spark_spark.operators.mediameta import (
+            cover_art)
+        png = self._png()
+        desc = "Ω cover".encode("utf-16")      # BOM + 2-byte units
+        payload = (b"\x01" + b"image/png\x00" + bytes([3])
+                   + desc + b"\x00\x00" + png)
+        frame = b"APIC" + st.pack(">I", len(payload)) + b"\x00\x00" \
+            + payload
+        n = len(frame)
+        raw = (b"ID3" + bytes([3, 0, 0])
+               + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F]) + frame)
+        assert cover_art(raw)["image"] == png
+
+    def test_v22_pic_frame(self):
+        from datasketches_spark_spark.operators.mediameta import (
+            cover_art)
+        png = self._png()
+        payload = b"\x00" + b"PNG" + bytes([3]) + b"d\x00" + png
+        frame = b"PIC" + len(payload).to_bytes(3, "big") + payload
+        n = len(frame)
+        raw = (b"ID3" + bytes([2, 0, 0])
+               + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F]) + frame)
+        c = cover_art(raw)
+        assert c["mime"] == "image/png" and c["image"] == png
+
+    def test_refusals(self):
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        from datasketches_spark_spark.operators.mediameta import (
+            cover_art)
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        for payload, msg in (
+                (build_id3v2({"title": "x"})
+                 + build_frame_stream(b"x", 2), "no APIC"),
+                (encode_flac(np.zeros(64), 8000), "no PICTURE"),
+                (b"PK\x03\x04zip", "unrecognized")):
+            with pytest.raises(ValueError, match=msg):
+                cover_art(payload)
+
+    def test_flac_still_decodes_after_insert(self):
+        from datasketches_spark_spark.operators.flaccodec import (
+            decode_flac, encode_flac)
+        from datasketches_spark_spark.operators.mediameta import (
+            flac_add_picture, vorbis_comment_info)
+        f = flac_add_picture(
+            encode_flac(np.zeros(128), 8000, tags={"TITLE": "t"}),
+            "image/png", self._png())
+        samples, rate = decode_flac(f)
+        assert rate == 8000 and len(samples) == 128
+        assert vorbis_comment_info(f)["title"] == "t"
+
+    def test_spark_operator(self, spark):
+        from datasketches_spark_spark.operators import (
+            extract_cover_art)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        png = self._png()
+        rows = [(0, bytearray(build_mp4(subtitle_cues=["c"],
+                                        cover=("image/png", png)))),
+                (1, bytearray(b"PK\x03\x04 nope"))]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, payload binary")
+        got = {r["doc_id"]: (r["cover_mime"],
+                             bytes(r["cover"]) if r["cover"] else None)
+               for r in extract_cover_art(df, "doc_id").collect()}
+        assert got[0] == ("image/png", png)
+        assert got[1] == (None, None)
+
+
 class TestDispatchAndOperator:
     def test_uniform_keys_everywhere(self):
         from datasketches_spark_spark.operators.jpegcodec import (
