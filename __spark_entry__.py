@@ -4876,6 +4876,86 @@ def _demo_subtitle_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _demo_media_lyrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded lyrics as a crawl text source (r18,
+    operators/mediameta.py::media_lyrics): doc_id % 4 picks the
+    carrier — an ID3v2 USLT frame (with its ISO-639-2 language), a
+    FLAC LYRICS Vorbis comment, an Ogg Vorbis UNSYNCEDLYRICS
+    comment, or an MP4 ``©lyr`` ilst atom — each carrying two
+    doc-derived verse lines; text and language rebuild relationally
+    in DuckDB (the comment carriers declare no language)."""
+    import pandas as pd
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 400)
+            .where(~F.col("text").rlike("[^\\x20-\\x7e]")
+                   & ~F.col("text").rlike("[{}\\\\<>&\"'=]")
+                   & (F.length("text") >= 30)
+                   & (F.trim(F.substring("text", 1, 24)) != ""))
+            .select("doc_id", "text").repartition(4))
+
+    def _mk(pdf_iter):
+        import numpy as np
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        from datasketches_spark_spark.operators.mediameta import (
+            build_id3v2)
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        from datasketches_spark_spark.operators.oggcodec import (
+            build_ogg_stream)
+        mp3 = build_frame_stream(b"m", 3)
+        for pdf in pdf_iter:
+            ids, payloads = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                verse = ("%s\nsecond line of doc %d"
+                         % (str(t)[:24].strip(), d))
+                leg = d % 4
+                if leg == 0:
+                    payloads.append(build_id3v2(
+                        {"title": "s"},
+                        lyrics=("eng", verse)) + mp3)
+                elif leg == 1:
+                    payloads.append(encode_flac(
+                        np.zeros(64), 8000,
+                        tags={"LYRICS": verse}))
+                elif leg == 2:
+                    payloads.append(build_ogg_stream(
+                        b"o%d" % d, 4, codec="vorbis",
+                        comments={"UNSYNCEDLYRICS": verse}))
+                else:
+                    payloads.append(build_mp4(
+                        subtitle_cues=["c"],
+                        tag_fields={"lyrics": verse}))
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    pkgs = docs.mapInPandas(_mk, "doc_id long, payload binary")
+
+    def _lyr(pdf_iter):
+        from datasketches_spark_spark.operators.mediameta import (
+            media_lyrics)
+        for pdf in pdf_iter:
+            texts, langs = [], []
+            for raw in pdf["payload"]:
+                try:
+                    r = media_lyrics(bytes(raw))
+                    texts.append(r["text"])
+                    langs.append(r["lang"])
+                except ValueError:
+                    texts.append(None)
+                    langs.append(None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "text": texts, "lang": langs})
+
+    return (pkgs.mapInPandas(
+                _lyr, "doc_id long, text string, lang string")
+            .orderBy("doc_id"))
+
+
 def _demo_cover_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Album-art dedup across every audio/AV carrier (r18,
     operators/mediameta.py::cover_art + operators/multimodal.py::
@@ -5495,6 +5575,7 @@ def demo_queries() -> dict[str, str]:
         "demo_feed_entries": _demo_feed_entries,
         "demo_page_signals": _demo_page_signals,
         "demo_cover_dedup": _demo_cover_dedup,
+        "demo_media_lyrics": _demo_media_lyrics,
         "demo_script_id": _demo_script_id,
     }
 
@@ -8440,6 +8521,23 @@ def demo_oracle_sql() -> dict[str, str]:
                              || '-1.xml' END AS first_feed
             FROM documents
             WHERE doc_id < 400
+            ORDER BY doc_id
+        """,
+        # demo_media_lyrics (r18): two verse lines from doc columns;
+        # only the USLT carrier declares a language
+        "demo_media_lyrics": """
+            SELECT doc_id,
+                   trim(substr(text, 1, 24)) || chr(10) ||
+                   'second line of doc ' ||
+                   CAST(doc_id AS VARCHAR) AS text,
+                   CASE WHEN doc_id % 4 = 0 THEN 'eng'
+                        ELSE NULL END AS lang
+            FROM documents
+            WHERE doc_id < 400
+              AND NOT regexp_matches(text, '[^\\x20-\\x7e]')
+              AND NOT regexp_matches(text, '[{}\\\\<>&"''=]')
+              AND length(text) >= 30
+              AND trim(substr(text, 1, 24)) != ''
             ORDER BY doc_id
         """,
         # demo_cover_dedup (r18): each art group must collapse to ONE

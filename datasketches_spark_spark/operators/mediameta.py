@@ -38,7 +38,7 @@ import zlib
 __all__ = [
     "media_metadata", "exif_info", "id3_info", "vorbis_comment_info",
     "png_text_info", "riff_info", "pdf_meta_info", "mkv_tags_info",
-    "mp4_tags_info", "cover_art", "flac_add_picture",
+    "mp4_tags_info", "media_lyrics", "cover_art", "flac_add_picture",
     "ogg_cover_comment", "build_exif_app1", "jpeg_add_exif",
     "jpeg_add_xmp", "build_id3v2", "png_add_text", "png_add_exif",
     "wav_add_info", "webp_add_metadata", "pdf_with_info",
@@ -757,6 +757,111 @@ def pdf_meta_info(data: bytes) -> dict:
     return out
 
 
+# ------------------------------------------------------ lyrics (×3)
+
+def media_lyrics(data: bytes) -> dict:
+    """Embedded lyrics — audio files double as a crawl TEXT source:
+    ``{"text", "lang"}`` from ID3v2 ``USLT`` (unsynchronised-lyrics
+    frames: encoding byte, ISO-639-2 language, descriptor, text),
+    the Vorbis ``LYRICS``/``UNSYNCEDLYRICS`` comment (FLAC blocks
+    and both Ogg packet carriers), or the MP4 ``©lyr`` ilst atom
+    (``lang`` is null — ilst atoms carry none). Raises ValueError
+    when the payload kind is unrecognized or carries no lyrics."""
+    data = bytes(data)
+    if data[:3] == b"ID3":
+        for _ver, fid, payload in _id3_frames(data):
+            if fid in ("USLT", "ULT") and len(payload) > 4:
+                enc = _ID3_ENCODINGS.get(payload[0], "latin-1")
+                lang = payload[1:4].decode("latin-1").strip("\x00") \
+                    or None
+                rest = payload[4:].decode(enc, "replace")
+                parts = rest.split("\x00", 1)
+                text = (parts[1] if len(parts) > 1 else parts[0]) \
+                    .strip("\x00").strip()
+                if text:
+                    return {"text": text, "lang": lang}
+        raise ValueError("media_lyrics: no USLT frame in the ID3v2 "
+                         "tag")
+    if data[:4] == b"fLaC" or data[:4] == b"OggS":
+        # LYRICS is not in the uniform record — walk for it directly
+        text = _vorbis_field(data, (b"lyrics", b"unsyncedlyrics"))
+        if text:
+            return {"text": text, "lang": None}
+        raise ValueError("media_lyrics: no LYRICS comment")
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from .mp4codec import _boxes, _child
+        moov = _child(data, 0, len(data), b"moov")
+        udta = moov and _child(data, moov[0], moov[1], b"udta")
+        meta = udta and _child(data, udta[0], udta[1], b"meta")
+        if meta:
+            ms, me = meta
+            if data[ms + 4:ms + 8] not in (b"hdlr", b"ilst"):
+                ms += 4
+            ilst = _child(data, ms, me, b"ilst")
+            lyr = ilst and _child(data, ilst[0], ilst[1],
+                                  b"\xa9lyr")
+            d = lyr and _child(data, lyr[0], lyr[1], b"data")
+            if d and d[1] - d[0] > 8:
+                text = data[d[0] + 8:d[1]].decode(
+                    "utf-8", "replace").strip()
+                if text:
+                    return {"text": text, "lang": None}
+        raise ValueError("media_lyrics: no ©lyr atom in the MP4")
+    raise ValueError("media_lyrics: unrecognized payload "
+                     "(ID3/FLAC/Ogg/MP4 supported)")
+
+
+def _vorbis_field(data: bytes, keys: tuple) -> str | None:
+    """A raw Vorbis-comment value by key, from any of the three
+    carriers — for fields outside the uniform record."""
+    bodies = []
+    if data[:4] == b"fLaC":
+        pos = 4
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            size = int.from_bytes(data[pos + 1:pos + 4], "big")
+            if hdr & 0x7F == 4:
+                bodies.append(data[pos + 4:pos + 4 + size])
+                break
+            pos += 4 + size
+            if hdr & 0x80:
+                break
+    elif data[:4] == b"OggS":
+        from .oggcodec import _packets, _pages
+        pages = list(_pages(data))
+        if pages:
+            pkts = []
+            for p in _packets(iter(pages), pages[0]["serial"]):
+                pkts.append(p)
+                if len(pkts) >= 2:
+                    break
+            if len(pkts) >= 2:
+                if pkts[1][:8] == b"OpusTags":
+                    bodies.append(pkts[1][8:])
+                elif pkts[1][:7] == b"\x03vorbis":
+                    bodies.append(pkts[1][7:])
+    for body in bodies:
+        if len(body) < 4:
+            continue
+        (vl,) = struct.unpack_from("<I", body, 0)
+        pos = 4 + vl
+        if pos + 4 > len(body):
+            continue
+        (n,) = struct.unpack_from("<I", body, pos)
+        pos += 4
+        for _ in range(min(n, _MAX_IFD_ENTRIES)):
+            if pos + 4 > len(body):
+                break
+            (ln,) = struct.unpack_from("<I", body, pos)
+            pos += 4
+            item = body[pos:pos + ln]
+            pos += ln
+            k, _, v = item.partition(b"=")
+            if k.lower() in keys and v.strip():
+                return v.decode("utf-8", "replace").strip()
+    return None
+
+
 # --------------------------------------------------- cover art (×5)
 
 def _flac_picture_block(body: bytes) -> dict | None:
@@ -1161,7 +1266,8 @@ def pdf_with_info(pages: list[str], fields: dict,
 def build_id3v2(fields: dict, version: int = 3,
                 comment: str | None = None,
                 utf16: bool = False,
-                cover: tuple[str, bytes] | None = None) -> bytes:
+                cover: tuple[str, bytes] | None = None,
+                lyrics: tuple[str, str] | None = None) -> bytes:
     """An ID3v2.3 or v2.4 tag block carrying ``fields`` (uniform-key
     names). ``utf16`` switches the text encoding byte to 1 (UTF-16
     with BOM) — the common Windows-tagger shape."""
@@ -1199,6 +1305,12 @@ def build_id3v2(fields: dict, version: int = 3,
                    + bytes([3])                 # front cover
                    + b"\x00" + bytes(img))      # empty description
         frames += b"APIC" + _fsize(len(payload)) + b"\x00\x00" \
+            + payload
+    if lyrics is not None:
+        lang, text = lyrics
+        payload = (b"\x00" + lang.encode("latin-1") + b"\x00"
+                   + text.encode("latin-1", "replace"))
+        frames += b"USLT" + _fsize(len(payload)) + b"\x00\x00" \
             + payload
     n = len(frames)
     hdr = (b"ID3" + bytes([version, 0, 0])

@@ -847,7 +847,8 @@ def _wvtt_entry(config: bytes = b"WEBVTT") -> bytes:
 _ILST_WRITE = {"title": b"\xa9nam", "artist": b"\xa9ART",
                "album": b"\xa9alb", "date": b"\xa9day",
                "genre": b"\xa9gen", "comment": b"\xa9cmt",
-               "software": b"\xa9too", "copyright": b"cprt"}
+               "software": b"\xa9too", "copyright": b"cprt",
+               "lyrics": b"\xa9lyr"}
 
 
 def _udta_box(tags: bytes, tag_fields: dict | None,

@@ -362,6 +362,53 @@ class TestContainerTags:
         assert (decode_png(p) == _img()).all()
 
 
+class TestLyrics:
+    def test_all_carriers(self):
+        from datasketches_spark_spark.operators.flaccodec import (
+            encode_flac)
+        from datasketches_spark_spark.operators.mediameta import (
+            media_lyrics)
+        from datasketches_spark_spark.operators.mp3codec import (
+            build_frame_stream)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        from datasketches_spark_spark.operators.oggcodec import (
+            build_ogg_stream)
+        m = build_id3v2({"title": "s"},
+                        lyrics=("eng", "verse one\nverse two")) \
+            + build_frame_stream(b"x", 3)
+        assert media_lyrics(m) == {"text": "verse one\nverse two",
+                                   "lang": "eng"}
+        f = encode_flac(np.zeros(64), 8000,
+                        tags={"LYRICS": "flac verse"})
+        assert media_lyrics(f) == {"text": "flac verse",
+                                   "lang": None}
+        o = build_ogg_stream(b"s", 4, codec="vorbis",
+                             comments={"UNSYNCEDLYRICS": "ogg v"})
+        assert media_lyrics(o)["text"] == "ogg v"
+        p = build_mp4(subtitle_cues=["c"],
+                      tag_fields={"lyrics": "mp4 verse"})
+        assert media_lyrics(p)["text"] == "mp4 verse"
+
+    def test_lyrics_atom_not_in_uniform_record(self):
+        from datasketches_spark_spark.operators.mediameta import (
+            mp4_tags_info)
+        from datasketches_spark_spark.operators.mp4codec import (
+            build_mp4)
+        p = build_mp4(subtitle_cues=["c"],
+                      tag_fields={"lyrics": "v", "title": "t"})
+        r = mp4_tags_info(p)
+        assert r["title"] == "t" and r["n_fields"] == 1
+
+    def test_refusals(self):
+        from datasketches_spark_spark.operators.mediameta import (
+            media_lyrics)
+        with pytest.raises(ValueError, match="no USLT"):
+            media_lyrics(build_id3v2({"title": "x"}) + b"\xff\xfb")
+        with pytest.raises(ValueError, match="unrecognized"):
+            media_lyrics(b"PK\x03\x04")
+
+
 class TestCoverArt:
     def _png(self):
         from datasketches_spark_spark.operators.pngcodec import (
