@@ -824,18 +824,37 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm, encode_wav, extract_audio_features,
         extract_image_features, resize_images)
 
+    # r18 optimization (guide §4.2/§4.5): every synthetic payload is a
+    # pure function of a few small doc_id-derived integers, and the
+    # derivations collapse thousands of rows onto tens-to-hundreds of
+    # distinct parameter tuples — so each encoder memoizes per BATCH
+    # (cache created inside the UDF call: no state survives the batch,
+    # nothing is shared across runs; identical bytes per row as before).
+    # The same applies to the decode side (operators/multimodal.py::
+    # transform_payloads memoizes per batch on payload bytes).
     def _mk_img(r, g):
-        return pd.Series(
-            [encode_ppm(np.full((4, 8, 3), [int(rv), int(gv), 7],
-                                dtype=np.uint8))
-             for rv, gv in zip(r, g)], dtype=object)
+        cache = {}
+        out = []
+        for rv, gv in zip(r, g):
+            key = (int(rv), int(gv))
+            blob = cache.get(key)
+            if blob is None:
+                blob = cache[key] = encode_ppm(np.full(
+                    (4, 8, 3), [key[0], key[1], 7], dtype=np.uint8))
+            out.append(blob)
+        return pd.Series(out, dtype=object)
 
     def _mk_wav(amp_k, n):
+        cache = {}
         out = []
         for k, nf in zip(amp_k, n):
-            a = (int(k) + 1) / 128
-            x = np.where(np.arange(int(nf)) % 2 == 0, a, -a)
-            out.append(encode_wav(x, 8000))
+            key = (int(k), int(nf))
+            blob = cache.get(key)
+            if blob is None:
+                a = (key[0] + 1) / 128
+                x = np.where(np.arange(key[1]) % 2 == 0, a, -a)
+                blob = cache[key] = encode_wav(x, 8000)
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     def _mk_jpg(v, p):
@@ -847,15 +866,21 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc parity covers both variants and the hash gate pins the
         # 16-bit-DQT/flat-table/uint16 decode path
         from datasketches_spark_spark.operators import encode_jpeg
+        cache = {}
         out = []
         for vv, pp in zip(v, p):
-            if int(pp) % 2:
-                out.append(encode_jpeg(
-                    np.full((8, 16), int(vv) * 16, dtype=np.uint16),
-                    bits=12))
-            else:
-                out.append(encode_jpeg(
-                    np.full((8, 16), int(vv), dtype=np.uint8)))
+            key = (int(vv), int(pp) % 2)
+            blob = cache.get(key)
+            if blob is None:
+                if key[1]:
+                    blob = encode_jpeg(
+                        np.full((8, 16), key[0] * 16, dtype=np.uint16),
+                        bits=12)
+                else:
+                    blob = encode_jpeg(
+                        np.full((8, 16), key[0], dtype=np.uint8))
+                cache[key] = blob
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     def _mk_png(r, g):
@@ -866,22 +891,34 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from datasketches_spark_spark.operators import (
             encode_png, encode_png_palette)
         idx4 = (np.arange(4 * 8, dtype=np.uint8) % 16).reshape(4, 8)
+        cache = {}
         out = []
         for rv, gv in zip(r, g):
-            if int(rv) % 2:
-                pal = np.tile([[int(rv), int(gv), 7]], (16, 1))
-                out.append(encode_png_palette(idx4, pal, depth=4))
-            else:
-                out.append(encode_png(np.full(
-                    (4, 8, 3), [int(rv), int(gv), 7], dtype=np.uint8)))
+            key = (int(rv), int(gv))
+            blob = cache.get(key)
+            if blob is None:
+                if key[0] % 2:
+                    pal = np.tile([[key[0], key[1], 7]], (16, 1))
+                    blob = encode_png_palette(idx4, pal, depth=4)
+                else:
+                    blob = encode_png(np.full(
+                        (4, 8, 3), [key[0], key[1], 7], dtype=np.uint8))
+                cache[key] = blob
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     def _mk_webp(r, g):
         from datasketches_spark_spark.operators import encode_webp_lossless
-        return pd.Series(
-            [encode_webp_lossless(np.full((4, 8, 3), [int(rv), int(gv), 9],
-                                          dtype=np.uint8))
-             for rv, gv in zip(r, g)], dtype=object)
+        cache = {}
+        out = []
+        for rv, gv in zip(r, g):
+            key = (int(rv), int(gv))
+            blob = cache.get(key)
+            if blob is None:
+                blob = cache[key] = encode_webp_lossless(np.full(
+                    (4, 8, 3), [key[0], key[1], 9], dtype=np.uint8))
+            out.append(blob)
+        return pd.Series(out, dtype=object)
 
     def _mk_mp3(k):
         # synthetic MPEG1 Layer III CBR chains (zero payloads): the
@@ -891,26 +928,45 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3 128k 44100
         flen = _parse_header(hdr, 0)["frame_len"]
         frame = hdr + b"\x00" * (flen - 4)
-        return pd.Series([frame * (int(kv) + 5) for kv in k],
-                         dtype=object)
+        cache = {}
+        out = []
+        for kv in k:
+            key = int(kv)
+            blob = cache.get(key)
+            if blob is None:
+                blob = cache[key] = frame * (key + 5)
+            out.append(blob)
+        return pd.Series(out, dtype=object)
 
     def _mp3_meta(p):
         from datasketches_spark_spark.operators import mp3_info
+        cache = {}
         out_f, out_ms = [], []
         for blob in p:
-            info = mp3_info(bytes(blob))
-            out_f.append(info["n_frames"])
-            out_ms.append(info["n_frames"] * 1152 * 1000
-                          // info["sample_rate"])
+            key = bytes(blob)
+            res = cache.get(key)
+            if res is None:
+                info = mp3_info(key)
+                res = cache[key] = (
+                    info["n_frames"],
+                    info["n_frames"] * 1152 * 1000 // info["sample_rate"])
+            out_f.append(res[0])
+            out_ms.append(res[1])
         return pd.DataFrame({"n_frames": out_f, "dur_ms": out_ms})
 
     def _mk_avi(v):
         from datasketches_spark_spark.operators import encode_avi_mjpeg
-        return pd.Series(
-            [encode_avi_mjpeg(
-                [np.full((8, 8), int(vv) + 2 * k, dtype=np.uint8)
-                 for k in range(4)])
-             for vv in v], dtype=object)
+        cache = {}
+        out = []
+        for vv in v:
+            key = int(vv)
+            blob = cache.get(key)
+            if blob is None:
+                blob = cache[key] = encode_avi_mjpeg(
+                    [np.full((8, 8), key + 2 * k, dtype=np.uint8)
+                     for k in range(4)])
+            out.append(blob)
+        return pd.Series(out, dtype=object)
 
     def _mk_rgbv(v):
         # round 11: UNCOMPRESSED BI_RGB AVI — 3 solid-color frames whose
@@ -918,19 +974,30 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the sampled-frame means pin the DIB raster decode AND that
         # the sampler picked the evenly spaced endpoints (0 and 2)
         from datasketches_spark_spark.operators import encode_avi_rgb
-        return pd.Series(
-            [encode_avi_rgb(
-                [np.full((6, 10, 3), [int(vv) + 5 * k, 90, 9],
-                         dtype=np.uint8) for k in range(3)])
-             for vv in v], dtype=object)
+        cache = {}
+        out = []
+        for vv in v:
+            key = int(vv)
+            blob = cache.get(key)
+            if blob is None:
+                blob = cache[key] = encode_avi_rgb(
+                    [np.full((6, 10, 3), [key + 5 * k, 90, 9],
+                             dtype=np.uint8) for k in range(3)])
+            out.append(blob)
+        return pd.Series(out, dtype=object)
 
     def _mk_flac(amp_k, n):
         from datasketches_spark_spark.operators import encode_flac
+        cache = {}
         out = []
         for k, nf in zip(amp_k, n):
-            a = (int(k) + 1) / 128
-            x = np.where(np.arange(int(nf)) % 2 == 0, a, -a)
-            out.append(encode_flac(x, 8000))
+            key = (int(k), int(nf))
+            blob = cache.get(key)
+            if blob is None:
+                a = (key[0] + 1) / 128
+                x = np.where(np.arange(key[1]) % 2 == 0, a, -a)
+                blob = cache[key] = encode_flac(x, 8000)
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     def _mk_arj(v):
@@ -940,10 +1007,16 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the decoded mean is the planted value relationally
         from datasketches_spark_spark.operators.jpegcodec import (
             encode_jpeg_arith)
-        return pd.Series(
-            [encode_jpeg_arith(np.full((8, 16), int(vv),
-                                       dtype=np.uint8), quality=50)
-             for vv in v], dtype=object)
+        cache = {}
+        out = []
+        for vv in v:
+            key = int(vv)
+            blob = cache.get(key)
+            if blob is None:
+                blob = cache[key] = encode_jpeg_arith(
+                    np.full((8, 16), key, dtype=np.uint8), quality=50)
+            out.append(blob)
+        return pd.Series(out, dtype=object)
 
     # explicit annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot evaluate here
@@ -1767,7 +1840,10 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy("lang")
                   .agg(dsf.approx_tuple_accumulate_wire("source", "n_chars")
                        .alias("st")))
-        states_df = java_df.unionByName(eng_df)
+        # r18 optimization: two legs (per_lang, glob) consume states_df —
+        # checkpoint the 5 tiny state rows so the engine-side accumulate
+        # scan doesn't re-execute per leg (guide §2.4).
+        states_df = java_df.unionByName(eng_df).localCheckpoint()
         per_lang = states_df.select(
             "lang", dsf.approx_tuple_estimate("st").alias("e")).select(
             "lang", F.col("e.rows").alias("tup_rows"),
@@ -1786,8 +1862,10 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in a 39k-bit filter the FP chance is ~1e-17 per probe).
         bloom_builder = (spark._jvm.org.apache.datasketches.filters
                          .bloomfilter.BloomFilterBuilder)
-        pair_rows = (docs.select("lang", "source").distinct()
-                     .collect())  # bounded: |langs| x |sources| ~ 100
+        # r18 optimization: `pairs` above IS this exact distinct collect
+        # (same projection, same table) — reuse it instead of re-running
+        # the scan+exchange (guide §2.4).
+        pair_rows = pairs  # bounded: |langs| x |sources| ~ 100
         jbf = {}
         for r in pair_rows:
             if r.lang not in java_langs:
@@ -1806,8 +1884,16 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(dsf.approx_membership_accumulate_wire(
                      "source", expected_items=4096, fpp=0.01,
                      seed=7).alias("bs")))
-        bstates = bj_df.unionByName(be_df)
-        pairs_df = docs.select("lang", "source").distinct()
+        # r18 optimization: bm_per_lang joins bstates and bm_union merges
+        # it — checkpoint the 5 filter states so the engine-side bloom
+        # accumulate scan runs once, not once per leg.
+        bstates = bj_df.unionByName(be_df).localCheckpoint()
+        # r18 optimization: build the probe pair table from the already-
+        # collected distinct pairs (two legs reference it — as a fresh
+        # distinct it would re-execute the scan+exchange per leg).
+        pairs_df = spark.createDataFrame(
+            [(r.lang, r.source) for r in pairs],
+            "lang string, source string")
         bm_per_lang = (pairs_df.join(bstates, "lang")
                        .select("lang",
                                dsf.approx_membership_contains(
@@ -2205,14 +2291,22 @@ def _q53_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm, perceptual_hash_images)
 
     def _make(a, b, noise):
+        # per-batch memo (r18): payload bytes are a pure function of the
+        # <=16*16*2 distinct (a, b, noise) tuples — encode each once per
+        # batch instead of once per row (guide §4.2)
+        cache = {}
         out = []
         for av, bv, nv in zip(a, b, noise):
-            img = np.zeros((8, 8, 3), np.uint8)
-            img[:, :4] = int(av)
-            img[:, 4:] = int(bv)
-            if av != bv and nv:
-                img[0, 0] = int(av) + 1
-            out.append(encode_ppm(img))
+            key = (int(av), int(bv), bool(nv))
+            blob = cache.get(key)
+            if blob is None:
+                img = np.zeros((8, 8, 3), np.uint8)
+                img[:, :4] = key[0]
+                img[:, 4:] = key[1]
+                if key[0] != key[1] and key[2]:
+                    img[0, 0] = key[0] + 1
+                blob = cache[key] = encode_ppm(img)
+            out.append(blob)
         return pd.Series(out, dtype=object)
 
     _make.__annotations__ = {"a": pd.Series, "b": pd.Series,
@@ -2270,11 +2364,24 @@ def _q55_cross_state_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     a naive self-join of the state DataFrame re-executes the accumulate
     scan per side (found in the round-8 plan audit). Exact regime for
     both, so DuckDB reproduces the values relationally."""
+    from datasketches_spark_spark.operators.sketch_agg import (
+        sketch_accumulate_multi, state_measure)
     ev = read_table(spark, sf_dir, "events")
-    fstates = (ev.groupBy("event_type")
-               .agg(dsf.approx_freqitems_accumulate(
-                   "user_id", item_type="long",
-                   max_map_size=8192).alias("state")).collect())
+    # r18 optimization: the freq states (collected for pair assembly)
+    # and the tuple states (kept distributed) used to be two separate
+    # full scans + aggregations of events; ONE multi-measure pass now
+    # builds both (guide §2.3 "aggregate before you shuffle", §2.4
+    # shared exchange), localCheckpoint-ed so the collect and the tuple
+    # leg don't re-execute the scan.
+    ftstates = sketch_accumulate_multi(
+        ev.withColumn("vi", F.floor(F.col("value") * 100)
+          .cast("double")),
+        ["event_type"],
+        [state_measure("state", "user_id", "freq", item_type="long",
+                       max_map_size=8192),
+         state_measure("st", ("user_id", "vi"),
+                       "tuple")]).localCheckpoint()
+    fstates = ftstates.select("event_type", "state").collect()
     fpairs = [(a.event_type, b.event_type, a.state, b.state)
               for a in fstates for b in fstates
               if a.event_type < b.event_type]
@@ -2309,9 +2416,7 @@ def _q55_cross_state_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64, so summation order cannot enter the hash. Exact regime
     # (NDV per type << k=4096); estimation-mode coverage is gated by
     # accuracy_report.py.
-    tstates = sketch_accumulate(
-        ev.withColumn("vi", F.floor(F.col("value") * 100).cast("double")),
-        ["event_type"], ("user_id", "vi"), family="tuple", state_col="st")
+    tstates = ftstates.select("event_type", "st")
     te = dsf.approx_tuple_estimate("st")
     tseg = dsf.approx_tuple_segment_estimate("st", 20)
     tup = tstates.select(
@@ -2452,10 +2557,33 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     also pins the exact-regime default (eps omitted collapses the
     interval, extra=1). Leg 'ndv' (approx_count_distinct_bounds,
     approx_freqitems_maxerr): the NDV interval collapses to the exact
-    count and the freq-items max error is 0 (extra)."""
+    count and the freq-items max error is 0 (extra).
+
+    Round 18 (optimization): the eight legs used to build their inputs
+    independently — 4 lineitem scans (three quantile accumulates + the
+    exact window) and ~8 events scans (five sketch aggregations, three
+    countDistinct passes, plus the bloom aggregation executing TWICE:
+    once for the driver collect and again inside the bloom leg's join).
+    Now ONE ``sketch_accumulate_multi`` pass per base table builds every
+    sketch state (guide §2.3/§2.4: aggregate before the shuffle, share
+    the scan), one grouped aggregate computes all three exact NDVs, and
+    the tiny state/exact tables are ``localCheckpoint``-ed so the
+    8-way union cannot re-execute their lineage per leg. Values are
+    unchanged: every state family here is update-order-independent in
+    what the legs surface (see each leg's comment), and the two-phase
+    machinery is the same one ``sketch_accumulate`` used."""
+    from datasketches_spark_spark.operators.sketch_agg import (
+        sketch_accumulate_multi, state_measure)
     li = read_table(spark, sf_dir, "lineitem")
-    summ = sketch_accumulate(li, ["l_returnflag"], "l_extendedprice",
-                             family="quantile", impl="MERGEABLE", k=_QK)
+    li_states = sketch_accumulate_multi(
+        li, ["l_returnflag"],
+        [state_measure("state", "l_extendedprice", "quantile",
+                       impl="MERGEABLE", k=_QK),
+         state_measure("qs", "l_extendedprice", "quantile",
+                       impl="KLL", k=200),
+         state_measure("xs", "l_extendedprice", "quantile",
+                       impl="MERGEABLE", k=64)]).localCheckpoint()
+    summ = li_states.select("l_returnflag", "state")
     b = dsf.approx_percentile_bounds("state", 0.95, eps=0.02)
     b0 = dsf.approx_percentile_bounds("state", 0.95)
     quant = (summ.select(
@@ -2466,12 +2594,30 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at(b0, 1) == F.element_at(b0, 2))
         .cast("long").alias("extra")))
     ev = read_table(spark, sf_dir, "events")
-    st = (ev.groupBy("event_type")
-          .agg(dsf.approx_count_distinct_accumulate(
-              "user_id", impl="theta", k=_TK).alias("ts"),
-               dsf.approx_freqitems_accumulate(
-              "user_id", item_type="long",
-              max_map_size=8192).alias("fs")))
+    # item = user_id with every 10th user collapsed onto {0,1,2} (the
+    # freq_est leg's deterministic heavy-hitter mapping, see below) —
+    # derived here so the single multi-measure pass can sketch it.
+    item = F.when(F.col("user_id") % 10 == 0, F.col("user_id") % 3) \
+        .otherwise(F.col("user_id"))
+    evx = ev.select("event_type", "user_id", "event_id", "value",
+                    item.alias("item"))
+    ev_states = sketch_accumulate_multi(
+        evx, ["event_type"],
+        [state_measure("ts", "user_id", "theta", k=_TK),
+         state_measure("fs", "user_id", "freq", item_type="long",
+                       max_map_size=8192),
+         state_measure("hs", "event_id", "hll", lgk=12),
+         state_measure("fst", "item", "freq", item_type="long",
+                       max_map_size=64),
+         state_measure("tst", ("user_id", "value"), "tuple", k=64),
+         state_measure("bs", "user_id", "bloom",
+                       expected_items=32_768, fpp=0.01)]).localCheckpoint()
+    exact = (evx.groupBy("event_type")
+             .agg(F.countDistinct("event_id").alias("nd"),
+                  F.countDistinct("item").alias("nu_item"),
+                  F.countDistinct("user_id").alias("nu_raw"))
+             ).localCheckpoint()
+    st = ev_states.select("event_type", "ts", "fs")
     nb = dsf.approx_count_distinct_bounds("ts")
     ndv = (st.select(
         F.lit("ndv").alias("leg"),
@@ -2489,10 +2635,8 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact NDV lies inside the engine's published 3-sigma envelope
     # est/(1 +/- 3*1.04/sqrt(2^12)) (DuckDB emits literal 1 — the hash
     # gate fails if the dense-mode estimate ever leaves its bound).
-    hll_summ = sketch_accumulate(ev, ["event_type"], "event_id",
-                                 family="hll", lgk=12, state_col="hs")
-    exact_ndv = ev.groupBy("event_type").agg(
-        F.countDistinct("event_id").alias("nd"))
+    hll_summ = ev_states.select("event_type", "hs")
+    exact_ndv = exact.select("event_type", "nd")
     nb3 = dsf.approx_count_distinct_bounds("hs", num_std=3.0)
     ndv_est = (hll_summ.join(F.broadcast(exact_ndv), "event_type")
                .select(
@@ -2508,9 +2652,7 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (estimation mode). lo/hi = the EXACT values at ranks 0.95 +/- 0.02
     # (Spark percentile_disc, relational; DuckDB quantile_disc), extra =
     # 1 iff the sketch's p95 estimate lies inside that exact rank window.
-    q_est = sketch_accumulate(li, ["l_returnflag"], "l_extendedprice",
-                              family="quantile", impl="KLL", k=200,
-                              state_col="qs")
+    q_est = li_states.select("l_returnflag", "qs")
     exact_win = li.groupBy("l_returnflag").agg(
         F.expr("percentile_disc(0.93) WITHIN GROUP "
                "(ORDER BY l_extendedprice)").cast("double").alias("wlo"),
@@ -2540,14 +2682,9 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~65 rows each) over a ~138-distinct tail, so MG both purges
     # (NDV > 64) AND reports items (the fixture's raw columns are
     # uniform — nothing would clear the NO_FALSE_POSITIVES threshold).
-    item = F.when(F.col("user_id") % 10 == 0, F.col("user_id") % 3) \
-        .otherwise(F.col("user_id"))
-    evm = ev.select("event_type", item.alias("item"))
-    exact_users = evm.groupBy("event_type").agg(
-        F.countDistinct("item").alias("nu"))
-    fr = evm.groupBy("event_type").agg(
-        dsf.approx_freqitems_accumulate(
-            "item", item_type="long", max_map_size=64).alias("fst"))
+    evm = evx.select("event_type", "item")
+    exact_users = exact.select("event_type", F.col("nu_item").alias("nu"))
+    fr = ev_states.select("event_type", "fst")
     per_item = evm.groupBy("event_type", "item").agg(
         F.count("*").alias("tc"))
     fx = fr.select(
@@ -2583,10 +2720,9 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the 3-sigma KMV envelope AND segment_estimate(1) equals
     # estimate() (the one-sample invariant; accuracy_report proves the
     # envelope at 2M rows — this pins it at the driver gate).
-    exact_raw_users = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("nu"))
-    tst = ev.groupBy("event_type").agg(
-        dsf.approx_tuple_accumulate("user_id", "value", k=64).alias("ts"))
+    exact_raw_users = exact.select("event_type",
+                                   F.col("nu_raw").alias("nu"))
+    tst = ev_states.select("event_type", F.col("tst").alias("ts"))
     tb = dsf.approx_tuple_bounds("ts", num_std=3.0)
     te = dsf.approx_tuple_estimate("ts")
     seg = dsf.approx_tuple_segment_estimate("ts", 1)
@@ -2611,9 +2747,7 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra = 1 iff the fill-ratio NDV estimate (Swamidass-Baldi) is
     # within 10% of the exact NDV. DuckDB emits the literals — the
     # hash gate fails if any guarantee is ever violated.
-    bst = ev.groupBy("event_type").agg(
-        dsf.approx_membership_accumulate(
-            "user_id", expected_items=32_768, fpp=0.01).alias("bs"))
+    bst = ev_states.select("event_type", "bs")
     # bounded collect (|event types| rows of 39 KB states): probes run
     # through the keyed-broadcast UDF so the state never rides a column
     # past Arrow once per probe row (functions/udfs.py rationale)
@@ -2651,9 +2785,7 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iff the sketch's own rank-error interval at p50 is non-degenerate
     # (proof the state actually left the exact regime — DuckDB
     # recomputes as count(*) far past the k=64 capacity).
-    ex_est = sketch_accumulate(li, ["l_returnflag"], "l_extendedprice",
-                               family="quantile", impl="MERGEABLE",
-                               k=64, state_col="xs")
+    ex_est = li_states.select("l_returnflag", "xs")
     xb = dsf.approx_percentile_bounds("xs", 0.5)
     extremes_est = ex_est.select(
         F.lit("extremes_est").alias("leg"),
