@@ -346,7 +346,13 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_spark_spark.functions.text import ngrams, tokenize
     from datasketches_spark_spark.operators import bm25_topk
     docs = read_table(spark, sf_dir, "documents")
-    grams = docs.select(F.explode(ngrams(tokenize("text"), 2)).alias("bigram"))
+    # r18 (guide §2.5): the one-file fixture scan ran the tokenize ->
+    # bigram explode -> map-side sketch chain as a single task; spread
+    # the projected text across the cores first (exact-regime sketch:
+    # partial-sketch merge order cannot change the estimates)
+    from datasketches_spark_spark.operators.retrieval import _spread
+    grams = _spread(docs.select("text")).select(
+        F.explode(ngrams(tokenize("text"), 2)).alias("bigram"))
     fi = sketch_grouped_agg(grams, [],
                             freqitems_measure("fi", "bigram",
                                               max_map_size=65_536))
@@ -372,28 +378,45 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build -> persist -> prune -> score path against the same oracle.
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
     from datasketches_spark_spark.operators import (build_text_index,
                                                     query_text_index)
-    # per-call private dir: a world-shared fixed /tmp path races when
-    # two sessions rebuild/probe the same fixture concurrently
-    root = tempfile.mkdtemp(prefix="dss_txtidx_")
-    try:
-        path = root + "/idx"
-        build_text_index(docs, "doc_id", "text", path, num_buckets=16)
-        # localCheckpoint materializes the probe results (k rows per
-        # query) so the index dir can be removed before the caller
-        # evaluates the returned lazy DataFrame — without it every
-        # bench/correctness run leaked a postings directory in /tmp
-        bmx = (query_text_index(spark, path, _BM25_QUERIES, k=10)
-               .select(F.lit("bm25x").alias("leg"),
-                       F.col("query_id").alias("qid"),
-                       F.col("rank").cast("long").alias("rk"),
-                       F.col("doc_id").cast("string").alias("item"),
-                       F.col("score").alias("v"))
-               .localCheckpoint())
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return gram.unionByName(bm25).unionByName(bmx) \
+
+    def _bmx_leg():
+        # per-call private dir: a world-shared fixed /tmp path races
+        # when two sessions rebuild/probe the same fixture concurrently
+        root = tempfile.mkdtemp(prefix="dss_txtidx_")
+        try:
+            path = root + "/idx"
+            build_text_index(docs, "doc_id", "text", path,
+                             num_buckets=16)
+            # localCheckpoint materializes the probe results (k rows
+            # per query) so the index dir can be removed before the
+            # caller evaluates the returned lazy DataFrame — without it
+            # every bench/correctness run leaked a postings dir in /tmp
+            return (query_text_index(spark, path, _BM25_QUERIES, k=10)
+                    .select(F.lit("bm25x").alias("leg"),
+                            F.col("query_id").alias("qid"),
+                            F.col("rank").cast("long").alias("rk"),
+                            F.col("doc_id").cast("string").alias("item"),
+                            F.col("score").alias("v"))
+                    .localCheckpoint())
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    # r18 optimization (guide §2.6, overlap independent jobs): the
+    # index build+probe chain is a sequence of blocking driver calls
+    # (two partitioned writes, a stats read, the probe checkpoint)
+    # whose stages leave most cores idle; run it in a driver thread
+    # while the gram and direct-bm25 legs materialize on this one —
+    # each leg's rows are computed exactly as before, just not
+    # serialized behind one another.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_bmx_leg)
+        gram_ck = gram.localCheckpoint()
+        bm25_ck = bm25.localCheckpoint()
+        bmx = fut.result()
+    return gram_ck.unionByName(bm25_ck).unionByName(bmx) \
         .orderBy("leg", "qid", "rk")
 
 
@@ -1051,10 +1074,24 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     make_arj = F.pandas_udf(_mk_arj, BinaryType())
 
     docs = read_table(spark, sf_dir, "documents")
-    with_img = docs.select(
+    # r18 optimization (guide §2.4): project the three narrow driver
+    # columns the encoders need once and localCheckpoint them so the
+    # ten legs share one parquet scan instead of re-running it per leg.
+    # Measured either way, a repartition here LOSES at bench scale (the
+    # per-task Python-runner fixed costs of 10 legs x N partitions
+    # outweigh the parallelism on 5000 tiny rows; the webp leg that
+    # motivated it was fixed at the source — webpcodec constant-table
+    # memoization), and at real scale the scan is already split, so the
+    # natural partitioning is kept.
+    base = (docs.select(
+        "doc_id", "source",
+        (F.length("text") % 256).cast("int").alias("tmod"))
+        .localCheckpoint())
+    b2k = base.where(F.col("doc_id") < 2000)
+    with_img = base.select(
         "doc_id", "source",
         make_ppm((F.col("doc_id") % 256).cast("int"),
-                 (F.length("text") % 256).cast("int")).alias("payload"))
+                 F.col("tmod")).alias("payload"))
     resized = resize_images(with_img, "doc_id", width=4, height=2,
                             keep_cols=["source"])
     ifeats = extract_image_features(resized, "doc_id", keep_cols=["source"])
@@ -1067,7 +1104,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg("mean_b").alias("d3"))
            .select(F.lit("img").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
-    clips = docs.select(
+    clips = base.select(
         "doc_id", "source",
         make_wav((F.col("doc_id") % 64).cast("int"),
                  (F.lit(100) + F.col("doc_id") % 50).cast("int"))
@@ -1082,7 +1119,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("d3"))
            .select(F.lit("aud").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
-    jpgs = docs.select(
+    jpgs = base.select(
         "doc_id", "source",
         make_jpg((F.lit(78) + (F.col("doc_id") % 50) * 2).cast("int"),
                  (F.col("doc_id") % 2).cast("int"))
@@ -1097,10 +1134,10 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("d3"))
            .select(F.lit("jpeg").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
-    pngs = docs.select(
+    pngs = base.select(
         "doc_id", "source",
         make_png((F.col("doc_id") % 256).cast("int"),
-                 (F.length("text") % 256).cast("int")).alias("payload"))
+                 F.col("tmod")).alias("payload"))
     pfeats = extract_image_features(pngs, "doc_id", keep_cols=["source"])
     png = (pfeats.groupBy("source")
            .agg(F.count("*").alias("n"),
@@ -1114,7 +1151,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mp3 leg (round 9): metadata-only modality — synthetic CBR frame
     # chains through mp3_info's exact frame walk; frame counts and
     # integer-ms durations are pure integer math both engines compute
-    mp3s = docs.where(F.col("doc_id") < 2000).select(
+    mp3s = b2k.select(
         "doc_id", "source",
         make_mp3((F.col("doc_id") % 64).cast("int")).alias("payload"))
     mfeats = mp3s.select("doc_id", "source",
@@ -1131,10 +1168,10 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # webp leg (round 9): VP8L lossless — prefix-coded ARGB through the
     # pure-Python decoder (operators/webpcodec.py); subset like vid/flac
     # (literal-mode encode is per-pixel Python)
-    webps = docs.where(F.col("doc_id") < 2000).select(
+    webps = b2k.select(
         "doc_id", "source",
         make_webp((F.col("doc_id") % 256).cast("int"),
-                  (F.length("text") % 256).cast("int")).alias("payload"))
+                  F.col("tmod")).alias("payload"))
     wfeats = extract_image_features(webps, "doc_id", keep_cols=["source"])
     webp = (wfeats.groupBy("source")
             .agg(F.count("*").alias("n"),
@@ -1146,7 +1183,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("webp").alias("leg"), "source", "n", "i1", "i2",
                     "d1", "d2", "d3"))
     from datasketches_spark_spark.operators import sample_frames
-    vids = docs.where(F.col("doc_id") < 2000).select(
+    vids = b2k.select(
         "doc_id", "source",
         make_avi((F.lit(100) + (F.col("doc_id") % 60) * 2).cast("int"))
         .alias("payload"))
@@ -1163,7 +1200,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0).alias("d3"))
            .select(F.lit("vid").alias("leg"), "source", "n", "i1", "i2",
                    "d1", "d2", "d3"))
-    rvids = docs.where(F.col("doc_id") < 2000).select(
+    rvids = b2k.select(
         "doc_id", "source",
         make_rgbv(((F.col("doc_id") % 50) * 4).cast("int"))
         .alias("payload"))
@@ -1180,7 +1217,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.avg("mean_b").alias("d3"))
             .select(F.lit("rgbv").alias("leg"), "source", "n", "i1",
                     "i2", "d1", "d2", "d3"))
-    fclips = docs.where(F.col("doc_id") < 2000).select(
+    fclips = b2k.select(
         "doc_id", "source",
         make_flac((F.col("doc_id") % 64).cast("int"),
                   (F.lit(100) + F.col("doc_id") % 50).cast("int"))
@@ -1195,7 +1232,7 @@ def _q38_media_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(0.0).alias("d3"))
             .select(F.lit("flac").alias("leg"), "source", "n", "i1",
                     "i2", "d1", "d2", "d3"))
-    arjs = docs.where(F.col("doc_id") < 2000).select(
+    arjs = b2k.select(
         "doc_id", "source",
         make_arj((F.lit(80) + (F.col("doc_id") % 50) * 2).cast("int"))
         .alias("payload"))

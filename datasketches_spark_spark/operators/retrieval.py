@@ -43,6 +43,29 @@ __all__ = ["bm25_topk", "build_text_index", "mine_hard_negatives",
            "query_text_index"]
 
 
+def _spread(df: DataFrame, checkpoint: bool = False) -> DataFrame:
+    """Round-robin a low-parallelism scan across the session's cores.
+
+    The fixture tables are single parquet files, so the tokenize ->
+    explode -> partial-aggregate chain otherwise runs as ONE task while
+    the rest of the box idles (guide §2.5, input skew: one unsplittable
+    input). A real-scale corpus scan already has at least
+    ``defaultParallelism`` splits, in which case this is a no-op — the
+    repartition only fires when the scan is narrower than the session's
+    cores, and only tiny projected rows cross the exchange (callers
+    project first).
+
+    ``checkpoint=True`` additionally materializes the spread result so
+    a MULTI-pass consumer (bm25's stats + match passes) does not pay
+    the exchange once per pass; it only applies when the repartition
+    actually fired, so a real-scale corpus is never checkpointed."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        out = df.repartition(par)
+        return out.localCheckpoint() if checkpoint else out
+    return df
+
+
 def _query_terms(queries: Sequence[tuple[str, str]]) -> list[tuple[str, str]]:
     """(query_id, term) rows, distinct terms per query, driver-side.
 
@@ -82,18 +105,23 @@ def bm25_topk(
     qt = spark.createDataFrame(_query_terms(queries),
                                "query_id string, term string")
 
+    # Both passes tokenize the corpus; project to the two columns they
+    # need and spread a too-narrow scan across the cores (r18, §2.5).
+    src = _spread(docs.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text")),
+                  checkpoint=True)
+
     # Pass 1 (corpus stats): zero-match documents still count toward N
     # and avgdl, so this cannot be derived from the match table.
-    stats = docs.select(
+    stats = src.select(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(tokenize(text_col))).alias("avgdl"))
+        F.avg(F.size(tokenize("_text"))).alias("avgdl"))
 
     # Pass 2: tokenize -> explode -> broadcast-prune to query terms.
     # The join is map-side (BroadcastHashJoin), so no corpus row
     # survives to a shuffle unless it matches a query term.
-    matched = (docs
-               .select(F.col(id_col).alias("doc_id"),
-                       tokenize(text_col).alias("_toks"))
+    matched = (src
+               .select("doc_id", tokenize("_text").alias("_toks"))
                .select("doc_id", F.size("_toks").alias("dl"),
                        F.explode("_toks").alias("term"))
                .join(F.broadcast(qt.select("term").distinct()), "term"))
@@ -154,10 +182,13 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str,
     At 100 TB the build is one corpus scan + one (doc, term) aggregate —
     the same shuffle ``bm25_topk`` pays per query, paid once.
     """
-    toks = tokenize(text_col)
-    tf = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.size(toks).alias("dl"),
-                      F.explode(tokenize(text_col)).alias("term"))
+    src = _spread(docs.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("_text")),
+                  checkpoint=True)
+    toks = tokenize("_text")
+    tf = (src.select("doc_id",
+                     F.size(toks).alias("dl"),
+                     F.explode(tokenize("_text")).alias("term"))
           .groupBy("term", "doc_id", "dl")
           .agg(F.count("*").alias("tf"))
           .withColumn("bucket",
@@ -175,9 +206,9 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str,
              .agg(F.count("*").alias("df")))
     dfreq.repartition("bucket").write.mode("overwrite") \
         .partitionBy("bucket").parquet(path + "/df")
-    (docs.select(F.count("*").alias("n_docs"),
-                 F.avg(F.size(tokenize(text_col))).alias("avgdl"),
-                 F.lit(num_buckets).alias("num_buckets"))
+    (src.select(F.count("*").alias("n_docs"),
+                F.avg(F.size(tokenize("_text"))).alias("avgdl"),
+                F.lit(num_buckets).alias("num_buckets"))
      .write.mode("overwrite").parquet(path + "/stats"))
 
 

@@ -35,6 +35,7 @@ reference codec in this container to validate against.
 
 from __future__ import annotations
 
+import functools as _functools
 import struct
 
 import numpy as np
@@ -94,6 +95,16 @@ class _Bits:
         self.pos = end
         return chunk & ((1 << n) - 1)
 
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits WITHOUT advancing, zero-padded past the end
+        (the table-based prefix reader advances by the decoded code's
+        real length and checks the bound itself)."""
+        first = self.pos >> 3
+        last = min((self.pos + n + 7) >> 3, len(self.data))
+        chunk = int.from_bytes(self.data[first:last], "little")
+        chunk >>= self.pos - first * 8
+        return chunk & ((1 << n) - 1)
+
 
 # ------------------------------------------------------------ prefix codes
 
@@ -101,18 +112,24 @@ _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
              14, 15]
 
 
-class _Prefix:
-    """Canonical prefix code as a flat lookup: walk bits LSB-first via a
-    (length, code)->symbol dict (codes are short; dict walk is fine at
-    fixture scale)."""
+_BITREV16 = np.array([int(f"{i:016b}"[::-1], 2) for i in range(1 << 8)],
+                     np.uint16)  # bit-reverse of i<<8 as a 16-bit value
 
-    __slots__ = ("table", "single")
+
+class _Prefix:
+    """Canonical prefix code decoded via a flat ``2^max_len``-entry
+    lookup table: one ``peek`` + one table read per symbol instead of a
+    bit-by-bit tree walk (r18 — the walk was ~70% of a small-image
+    decode). Completeness is enforced at build time, so every peeked
+    value maps to exactly one symbol; truncation is detected by the
+    post-advance bound check, matching the walker's behavior."""
+
+    __slots__ = ("single", "max_len", "lut")
 
     def __init__(self, lengths):
         lengths = np.asarray(lengths, np.int32)
         used = np.nonzero(lengths)[0]
         self.single = None
-        self.table = {}
         if len(used) == 0:
             raise ValueError("WebP: empty prefix code")
         if len(used) == 1:
@@ -124,7 +141,7 @@ class _Prefix:
         bl_count = np.bincount(lengths, minlength=max_len + 1)
         bl_count[0] = 0
         code = 0
-        next_code = [0] * (max_len + 1)
+        next_code = np.zeros(max_len + 1, np.int64)
         for ln in range(1, max_len + 1):
             code = (code + int(bl_count[ln - 1])) << 1
             next_code[ln] = code
@@ -132,24 +149,66 @@ class _Prefix:
                     for ln in range(1, max_len + 1))
         if total != (1 << max_len):
             raise ValueError("WebP: prefix code is not complete")
-        for sym in used:
-            ln = int(lengths[sym])
-            c = next_code[ln]
-            next_code[ln] += 1
-            # store with the MSB-first code; reader accumulates MSB-first
-            self.table[(ln, c)] = int(sym)
+        # vectorized canonical codes: symbols sorted by (length, symbol)
+        # get consecutive codes within each length
+        lens_a = lengths[used].astype(np.int64)
+        order = np.argsort(lens_a, kind="stable")  # used asc already
+        syms_a = used[order]
+        lens_a = lens_a[order]
+        # rank within each length run
+        starts = np.r_[0, np.flatnonzero(np.diff(lens_a)) + 1]
+        rank = np.arange(len(lens_a)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(lens_a)]))
+        codes_a = next_code[lens_a] + rank
+        # LSB-first table index = bit-reversed code (low `ln` bits):
+        # reverse as a 16-bit value via the byte table, shift down
+        rev16 = (_BITREV16[codes_a & 0xFF].astype(np.int64)
+                 | (_BITREV16[(codes_a >> 8) & 0xFF].astype(np.int64)
+                    >> 8))
+        rev = rev16 >> (16 - lens_a)
+        self.max_len = max_len
+        lut_sym = np.empty(1 << max_len, np.int32)
+        lut_len = np.empty(1 << max_len, np.int32)
+        for ln in np.unique(lens_a):
+            m = lens_a == ln
+            pad = int(max_len - ln)
+            fill = np.arange(1 << pad, dtype=np.int64) << int(ln)
+            idx = (rev[m][:, None] | fill[None, :]).ravel()
+            lut_sym[idx] = np.repeat(syms_a[m], 1 << pad)
+            lut_len[idx] = int(ln)
+        # plain Python list: scalar lookups are ~4x faster than numpy
+        # element access in the per-symbol read loop
+        self.lut = list(zip(lut_sym.tolist(), lut_len.tolist()))
 
     def read(self, bits: _Bits) -> int:
         if self.single is not None:
             return self.single
-        code, ln = 0, 0
-        while ln <= 15:
-            code = (code << 1) | bits.read(1)
-            ln += 1
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("WebP: invalid prefix code in stream")
+        sym, ln = self.lut[bits.peek(self.max_len)]
+        bits.pos += ln
+        if bits.pos > len(bits.data) * 8:
+            raise ValueError("WebP: truncated VP8L stream")
+        return sym
+
+
+def _make_prefix(lengths) -> _Prefix:
+    """LRU-memoized ``_Prefix`` build: the decode table is a pure
+    function of the code-length vector, and real batches (and the
+    fixture payloads) repeat the same handful of codes across many
+    images — reuse the built table instead of rebuilding per image
+    (r18). Bounded cache; keyed on the raw length bytes."""
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    key = lengths.tobytes()
+    hit = _PREFIX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    p = _Prefix(lengths)
+    if len(_PREFIX_CACHE) >= 64:
+        _PREFIX_CACHE.pop(next(iter(_PREFIX_CACHE)))
+    _PREFIX_CACHE[key] = p
+    return p
+
+
+_PREFIX_CACHE: dict = {}
 
 
 def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Prefix:
@@ -168,13 +227,13 @@ def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Prefix:
             if s0 >= alphabet_size:
                 raise ValueError("WebP: simple-code symbol out of range")
             lengths[s0] = 1
-        return _Prefix(lengths)
+        return _make_prefix(lengths)
     # code-length-coded
     num_codes = bits.read(4) + 4
     cl_lengths = np.zeros(19, np.int32)
     for i in range(num_codes):
         cl_lengths[_CL_ORDER[i]] = bits.read(3)
-    cl_code = _Prefix(cl_lengths)
+    cl_code = _make_prefix(cl_lengths)
     max_symbol = alphabet_size
     if bits.read(1):  # use length / max_symbol
         length_nbits = 2 + 2 * bits.read(3)
@@ -182,6 +241,13 @@ def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Prefix:
         if max_symbol > alphabet_size:
             raise ValueError("WebP: max_symbol exceeds alphabet")
     lengths = np.zeros(alphabet_size, np.int32)
+    if cl_code.single is not None and cl_code.single < 16:
+        # single-length cl code, no repeat symbols possible: the loop
+        # below reads ZERO bits per entry and writes `single` into
+        # every slot — emit the whole vector at once (r18; this was
+        # 256 no-op reads per flat channel code)
+        lengths[:min(alphabet_size, max_symbol)] = cl_code.single
+        return _make_prefix(lengths)
     prev = 8
     sym = 0
     while sym < alphabet_size and max_symbol > 0:
@@ -200,7 +266,7 @@ def _read_prefix_code(bits: _Bits, alphabet_size: int) -> _Prefix:
             sym += 3 + bits.read(3)
         else:  # 18
             sym += 11 + bits.read(7)
-    return _Prefix(lengths)
+    return _make_prefix(lengths)
 
 
 # --------------------------------------------------------------- LZ77 bits
@@ -663,6 +729,46 @@ def _revbits(v: int, n: int) -> int:
     return r
 
 
+@_functools.lru_cache(maxsize=1)
+def _literal_mode_tables():
+    """Constant side data for ``encode_webp_lossless`` literal mode:
+    the four code-length-coded prefix headers + the distance simple
+    code, pre-serialized as ONE (value, nbits) LSB-first bit segment,
+    plus the pre-bit-reversed per-symbol code tables. Nothing here
+    depends on the image — only on the fixed complete codes — so it is
+    computed once per process (r18: building these per call was ~80%
+    of a small-image encode)."""
+    glen = _fixed_green_lengths()
+    flat8 = np.full(256, 8, np.int32)
+    wtr = _BitW()
+    _write_code_lengths(wtr, glen)       # green+length
+    for _ in range(3):                   # red, blue, alpha
+        _write_code_lengths(wtr, flat8)
+    # distance: simple code, single symbol 0 (never used)
+    wtr.write(1, 1)
+    wtr.write(0, 1)
+    wtr.write(0, 1)
+    wtr.write(0, 1)
+    seg = (int.from_bytes(bytes(wtr.out), "little")
+           | (wtr.cur << (8 * len(wtr.out))))
+    segbits = 8 * len(wtr.out) + wtr.n
+    genc = _canonical_codes(glen)
+    benc = _canonical_codes(flat8)
+    gcode = np.zeros(256, np.uint64)
+    gbits = np.zeros(256, np.uint64)
+    for sym in range(256):
+        c, nb = genc[sym]
+        gcode[sym] = _revbits(c, nb)
+        gbits[sym] = nb
+    bcode = np.zeros(256, np.uint64)
+    for sym in range(256):
+        c, nb = benc[sym]
+        bcode[sym] = _revbits(c, nb)
+    for a in (gcode, gbits, bcode):      # shared across calls: freeze
+        a.setflags(write=False)
+    return seg, segbits, gcode, gbits, bcode
+
+
 # pixels per packing band (~35 MB scratch at <=33 bits/pixel); module
 # constant so tests can shrink it to pin band-boundary byte-identity
 _PACK_CHUNK = 1 << 20
@@ -690,16 +796,14 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     wtr.write(0, 1)             # no color cache
     wtr.write(0, 1)             # no meta prefix codes
 
-    glen = _fixed_green_lengths()
-    flat8 = np.full(256, 8, np.int32)
-    _write_code_lengths(wtr, glen)       # green+length
-    for _ in range(3):                   # red, blue, alpha
-        _write_code_lengths(wtr, flat8)
-    # distance: simple code, single symbol 0 (never used)
-    wtr.write(1, 1)
-    wtr.write(0, 1)
-    wtr.write(0, 1)
-    wtr.write(0, 1)
+    # The prefix-code headers and symbol tables are CONSTANT (literal
+    # mode always uses the same fixed complete codes), and building
+    # them per call dominated small-image encodes (~80% of a 2 ms call:
+    # 792 _revbits + 4 _write_code_lengths per image). Emit the cached
+    # pre-serialized bit segment and reuse the cached code tables —
+    # bit-identical output (r18; the DEFLATE-fixed-tables pattern).
+    seg, segbits, gcode, gbits, bcode = _literal_mode_tables()
+    wtr.write(seg, segbits)
 
     # Vectorized pixel stream: each pixel emits green(8-9b) + red(8b)
     # + blue(8b) + alpha(8b), all codes pre-bit-reversed; fuse the four
@@ -707,18 +811,6 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     # stream with numpy (33 masked scatter ops + one packbits) instead
     # of a per-pixel Python loop — this was the repo's slowest inner
     # loop (round-9 verdict item #5).
-    genc = _canonical_codes(glen)
-    benc = _canonical_codes(flat8)
-    gcode = np.zeros(256, np.uint64)
-    gbits = np.zeros(256, np.uint64)
-    for sym in range(256):
-        c, nb = genc[sym]
-        gcode[sym] = _revbits(c, nb)
-        gbits[sym] = nb
-    bcode = np.zeros(256, np.uint64)
-    for sym in range(256):
-        c, nb = benc[sym]
-        bcode[sym] = _revbits(c, nb)
 
     gn = gbits[img[:, :, 1].ravel()]
     val = (gcode[img[:, :, 1].ravel()]
