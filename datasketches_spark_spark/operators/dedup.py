@@ -472,10 +472,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # >= t also clears the hashed prefix filter (recall preserved), and
     # the string-array verify at the end restores exactness.
     hsh = F.array_distinct(F.transform(sh_col, lambda g: F.xxhash64(g)))
-    base = _spread(df)   # also the verify side: shingling must parallelize
-    docs = (base
+    # r18 (guide §2.4/§3.3): the hashed-shingle projection is the
+    # dominant JVM expression and has FOUR downstream consumers (the
+    # document-frequency aggregate, the rarest-first ranking join, and
+    # both prefilter join sides) — un-materialized, Catalyst re-executes
+    # the scan + shingling per consumer (12 scans in the r18 before
+    # plan). Shingle once over the projected two columns and
+    # localCheckpoint the compact (id, long-array) result; at real scale
+    # persist this to a table instead — the 100-TB trade is one
+    # materialized hash set vs 4-6 corpus-wide shingling passes.
+    src = df.select(F.col(id_col), F.col(text_col))
+    docs = (_spread(src)
             .select(F.col(id_col).alias("_id"), hsh.alias("sh"))
-            .where(F.size("sh") > 0))
+            .where(F.size("sh") > 0)
+            .localCheckpoint())
     ex = docs.select("_id", F.explode("sh").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
     if max_gram_df is not None:
@@ -551,7 +561,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                           >= F.ceil(F.lit(t / (1.0 + t))
                                     * (F.size("ha") + F.size("hb"))))
                    .select("id_a", "id_b"))
-    return jaccard_verify(prefiltered, base, id_col, sh_col, t)
+    # Exact string-Jaccard verify on the survivors, the minhash pattern
+    # (r18): join the few pair rows against the RAW two-column text
+    # relation and evaluate the string shingles AFTER the join — the
+    # corpus-side scans stay cheap column-pruned probes instead of two
+    # more corpus-wide shingling passes.
+    ta = src.select(F.col(id_col).alias("id_a"),
+                    F.col(text_col).alias("_ta"))
+    tb = src.select(F.col(id_col).alias("id_b"),
+                    F.col(text_col).alias("_tb"))
+    joined = prefiltered.join(ta, "id_a").join(tb, "id_b")
+    sh_a = shingles(F.col("_ta"), ngram_n)
+    sh_b = shingles(F.col("_tb"), ngram_n)
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    jac = inter.cast("double") / union.cast("double")
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= t))
 
 
 # ---------------------------------------------------- connected components

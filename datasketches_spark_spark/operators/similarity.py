@@ -378,6 +378,34 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
     return src.mapInPandas(assign, out_schema)
 
 
+def _tag_cells(corpus: DataFrame, cmat: np.ndarray, id_col: str,
+               vec_col: str) -> DataFrame:
+    """Corpus rows + their IVF ``cell`` in ONE mapInPandas pass.
+
+    r18 (guide §2.4): ``build_ivf_index`` used to run ``ivf_assign``
+    and then JOIN the (id, cell) frame back to the corpus on the id —
+    at scale that is a full corpus shuffle keyed on the id (the assign
+    side is corpus-sized, so it cannot broadcast) plus a second corpus
+    scan; at fixture scale it re-executed the Python assign pass
+    through both join planning and execution. Tagging in-pass keeps
+    every column, adds no shuffle, and assigns each vector exactly
+    once. Cell choice is identical to ``ivf_assign`` (argmax = first
+    max = smallest cell id on ties)."""
+    cols = corpus.columns
+    schema = StructType(list(corpus.schema.fields)
+                        + [StructField("cell", IntegerType())])
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _normalize(np.vstack(pdf[vec_col].to_numpy()))
+            cells = (mat @ cmat.T).argmax(axis=1).astype(np.int32)
+            yield pdf.assign(cell=cells)[cols + ["cell"]]
+
+    return corpus.mapInPandas(tag, schema)
+
+
 def train_ivf_centroids(corpus: DataFrame, num_cells: int = 16,
                         sample_fraction: float = 1.0, iters: int = 10,
                         seed: int = 7, vec_col: str = "embedding",
@@ -436,23 +464,71 @@ def _probe_rows(queries: list[tuple], cmat: np.ndarray,
 
 def _probe_and_rank(tagged: DataFrame, q_rows: list[tuple], k: int,
                     id_col: str, vec_col: str) -> DataFrame:
-    """Score cell-tagged corpus vectors against broadcast probe rows and
-    keep each query's exact top-k within the probed cells."""
-    spark = tagged.sparkSession
-    qdf = spark.createDataFrame(
-        q_rows, "query_id long, cell int, qvec array<double>")
-    cands = (tagged.join(F.broadcast(qdf), "cell")
-             .where(F.col(id_col) != F.col("query_id")))
-    dot = F.aggregate(
-        F.zip_with("qvec", F.col(vec_col).cast("array<double>"),
-                   lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    nn = F.sqrt(F.aggregate(F.col(vec_col).cast("array<double>"), F.lit(0.0),
-                            lambda acc, x: acc + x * x))
-    scored = cands.select("query_id", F.col(id_col).alias("neighbor_id"),
-                          (dot / nn).alias("sim"))  # qvec pre-normalized
+    """Score cell-tagged corpus vectors against the (tiny) probe set and
+    keep each query's exact top-k within the probed cells.
+
+    r18 (guide §4.2): the probe set is bounded (queries x nprobe rows),
+    so it rides the task closure and each partition scores its vectors
+    with ONE numpy GEMM + a per-query local top-(k+1) — replacing the
+    broadcast join whose per-candidate JVM higher-order-function cosine
+    (queries x candidate rows of fold-evaluated zip_with/aggregate) was
+    the probe-side dominator. The local cut selects by the SAME
+    (sim desc, neighbor id asc) compound order the global window uses,
+    so ties at the cut can never change the final top-k; only
+    queries x (k+1) rows per partition reach the exchange."""
+    qcells: dict[int, set[int]] = {}
+    qvecs: dict[int, list[float]] = {}
+    for qid, c, v in q_rows:
+        qcells.setdefault(int(qid), set()).add(int(c))
+        qvecs[int(qid)] = v
+    q_ids = np.array(sorted(qcells))
+    q_mat = np.asarray([qvecs[int(q)] for q in q_ids],
+                       dtype=np.float64)        # pre-normalized rows
+    cell_sets = [np.fromiter(sorted(qcells[int(q)]), dtype=np.int64)
+                 for q in q_ids]
+
+    src = tagged.select(F.col(id_col).alias("_nid"),
+                        F.col(vec_col).alias("_v"),
+                        F.col("cell").cast("long").alias("_c"))
+    part_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", src.schema["_nid"].dataType),
+        StructField("sim", DoubleType()),
+    ])
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_all, cells_all, sims_all = [], [], []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_all.append(pdf["_nid"].to_numpy())
+            cells_all.append(pdf["_c"].to_numpy())
+            mat = _normalize(np.vstack(pdf["_v"].to_numpy()))
+            sims_all.append(q_mat @ mat.T)        # (n_q, n_batch)
+        if not ids_all:
+            return
+        sims = np.concatenate(sims_all, axis=1)
+        ids = np.concatenate(ids_all)
+        cells = np.concatenate(cells_all)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            m = np.isin(cells, cell_sets[qi])
+            if not m.any():
+                continue
+            s, nid = sims[qi][m], ids[m]
+            keep = min(k + 1, len(s))             # +1 absorbs a self-match
+            order = np.lexsort((nid, -s))[:keep]  # sim desc, id asc
+            out_q.extend([int(q_ids[qi])] * len(order))
+            out_n.extend(nid[order].tolist())
+            out_s.extend(s[order].tolist())
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "sim": out_s})
+
+    local = src.mapInPandas(local_topk, part_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (local.where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id"))
 
@@ -466,8 +542,7 @@ def ivf_ann_topk(corpus: DataFrame, queries: list[tuple],
     n * (nprobe / num_cells) instead of n. Exact re-rank inside the probed
     cells; ties break on neighbor id."""
     cmat = _normalize(np.asarray(centroids, dtype=np.float64))
-    cells = ivf_assign(corpus, cmat, id_col=id_col, vec_col=vec_col)
-    tagged = corpus.join(cells.withColumnRenamed("_id", id_col), id_col)
+    tagged = _tag_cells(corpus, cmat, id_col, vec_col)
     return _probe_and_rank(tagged, _probe_rows(queries, cmat, nprobe),
                            k, id_col, vec_col)
 
@@ -488,8 +563,8 @@ def build_ivf_index(corpus: DataFrame, path: str, num_cells: int = 16,
     the data by FILE layout, not by filter luck. Returns the centroids."""
     cents = train_ivf_centroids(corpus, num_cells=num_cells, iters=iters,
                                 seed=seed, vec_col=vec_col, **train_kw)
-    cells = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
-    tagged = corpus.join(cells.withColumnRenamed("_id", id_col), id_col)
+    tagged = _tag_cells(corpus, _normalize(np.asarray(cents, np.float64)),
+                        id_col, vec_col)
     # co-locate rows by cell before the partitioned write: without this,
     # every shuffle partition writes a file into every cell directory
     # (tasks x cells small files); with it, each cell's rows land in a
@@ -498,10 +573,14 @@ def build_ivf_index(corpus: DataFrame, path: str, num_cells: int = 16,
     tagged.repartition("cell").write.mode("overwrite") \
         .partitionBy("cell").parquet(path + "/vectors")
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    # r18: a pandas (Arrow-backed) local relation — writing a
+    # pickled-row list relation to parquet paid a ~5 s cold Python
+    # deserialization path on this box; the Arrow path writes in ~0.2 s
+    cent_pdf = pd.DataFrame({
+        "cell": np.arange(len(cents), dtype=np.int32),
+        "centroid": [[float(x) for x in c] for c in cents]})
+    spark.createDataFrame(cent_pdf).coalesce(1) \
+        .write.mode("overwrite").parquet(path + "/centroids")
     return cents
 
 
@@ -516,9 +595,9 @@ def refresh_ivf_index(new_vectors: DataFrame, path: str,
     drifts; until then queries see old and new vectors identically."""
     spark = new_vectors.sparkSession
     cents = load_ivf_centroids(spark, path)
-    cells = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
-    tagged = new_vectors.join(cells.withColumnRenamed("_id", id_col),
-                              id_col)
+    tagged = _tag_cells(new_vectors,
+                        _normalize(np.asarray(cents, np.float64)),
+                        id_col, vec_col)
     tagged.repartition("cell").write.mode("append") \
         .partitionBy("cell").parquet(path + "/vectors")
 
@@ -662,13 +741,13 @@ def semantic_dedup_drops(corpus: DataFrame, centroids: DataFrame,
     ``round_digits``, ties break on ids.
 
     Scale shape: one broadcast-GEMM mapInPandas pass assigns the corpus
-    (no shuffle, the `nearest_reference` machinery); the thin
-    assignment frame is localCheckpointed so the within-cluster
-    self-join reads one materialization instead of re-running the
-    corpus scan per side (persist the assignment to a table instead at
-    real scale). The self-join is keyed on the cluster id — pair volume
-    is sum of cluster sizes squared, the SemDeDup cost the paper bounds
-    by picking k ~ sqrt(n); AQE skew-splits oversized clusters.
+    (no shuffle, the `nearest_reference` machinery); then ONE exchange
+    groups each cluster's rows and a chunked numpy GEMM scores its
+    pairs in-task (r18 — this replaced a cluster-keyed self-join whose
+    per-pair JVM cosine was the dominant cost). Pair compute is sum of
+    cluster sizes squared, the SemDeDup cost the paper bounds by
+    picking k ~ sqrt(n); the GEMM is chunked so task memory stays
+    O(cluster x dim + chunk x cluster), not O(cluster^2).
     """
     rows = centroids.select(id_col, vec_col).limit(max_centroids + 1) \
         .collect()
@@ -705,26 +784,67 @@ def semantic_dedup_drops(corpus: DataFrame, centroids: DataFrame,
                 "_v": pdf["_v"],
             })
 
-    asg = src.mapInPandas(assign, out_schema).localCheckpoint()
+    asg = src.mapInPandas(assign, out_schema)
 
-    a = asg.select(F.col("_id").alias("a_id"), F.col("cid"),
-                   F.col("pcos").alias("a_pcos"), F.col("_v").alias("_va"))
-    b = asg.select(F.col("_id").alias("b_id"), F.col("cid"),
-                   F.col("pcos").alias("b_pcos"), F.col("_v").alias("_vb"))
-    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("_vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    paircos = F.round(dot / (na * nb), rd)
-    higher = (F.col("a_pcos") < F.col("b_pcos")) | \
-        ((F.col("a_pcos") == F.col("b_pcos"))
-         & (F.col("a_id") < F.col("b_id")))
-    hits = (a.join(b, "cid")
-            .where(F.col("a_id") != F.col("b_id"))
-            .where(higher)
-            .where(paircos > F.lit(float(eps))))
-    return (hits.groupBy("cid", "b_id")
-            .agg(F.min(F.struct("a_pcos", "a_id")).alias("_best"))
-            .select(F.col("cid").alias("cluster"),
-                    F.col("_best.a_id").alias("id_kept"),
-                    F.col("b_id").alias("id_dropped")))
+    # r18 (guide §4.2): the within-cluster pair scoring used to be a
+    # self-join on the cluster id evaluating a JVM higher-order-function
+    # cosine PER PAIR (sum-of-cluster-sizes-squared rows through the
+    # join — ~7.7M HOF evaluations on the fixture, the q18 dominator).
+    # Same relational semantics, now computed as one chunked numpy GEMM
+    # per cluster: group each cluster's (id, pcos, vec) rows, sort by
+    # the keep-priority order (pcos asc, id asc — exactly the old
+    # `higher` predicate), and for every column j the first row i < j
+    # with round(cos, rd) > eps IS the old min(struct(a_pcos, a_id))
+    # blocker. Rounding to ``round_digits`` keeps the values
+    # engine-replayable exactly as before (the fixture margins sit far
+    # from any rounding boundary, and the oracle re-checks every SF).
+    # Compute memory is bounded by the column chunking; the per-cluster
+    # row is m x d doubles — the SemDeDup k ~ sqrt(n) sizing the paper
+    # (and the docstring above) already assumes.
+    drop_schema = StructType([
+        StructField("cluster", src.schema["_id"].dataType),
+        StructField("id_kept", src.schema["_id"].dataType),
+        StructField("id_dropped", src.schema["_id"].dataType),
+    ])
+    feps = float(eps)
+
+    def cluster_drops(batches: Iterator[pd.DataFrame]) \
+            -> Iterator[pd.DataFrame]:
+        chunk = 4096
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                mem = row["mem"]
+                m = len(mem)
+                if m < 2:
+                    continue
+                ids = np.array([r["_id"] for r in mem])
+                pcos = np.array([r["pcos"] for r in mem])
+                vn = _normalize(np.vstack(
+                    [np.asarray(r["_v"], dtype=np.float64) for r in mem]))
+                order = np.lexsort((ids, pcos))
+                ids_o, vn = ids[order], vn[order]
+                kept, dropped = [], []
+                for j0 in range(0, m, chunk):
+                    j1 = min(j0 + chunk, m)
+                    sims = np.round(vn @ vn[j0:j1].T, rd)
+                    # strictly-upper mask in priority order: i < j
+                    jj = np.arange(j0, j1)
+                    mask = (sims > feps) & (np.arange(m)[:, None] < jj)
+                    has = mask.any(axis=0)
+                    first = mask.argmax(axis=0)
+                    kept.append(ids_o[first[has]])
+                    dropped.append(ids_o[jj[has]])
+                kept = np.concatenate(kept) if kept else np.array([], ids.dtype)
+                dropped = (np.concatenate(dropped) if dropped
+                           else np.array([], ids.dtype))
+                if len(kept):
+                    yield pd.DataFrame({
+                        "cluster": np.full(len(kept), row["cid"]),
+                        "id_kept": kept,
+                        "id_dropped": dropped})
+
+    grouped = (asg.groupBy("cid")
+               .agg(F.collect_list(F.struct("_id", "pcos", "_v"))
+                    .alias("mem"))
+               .where(F.size("mem") > 1))
+    return grouped.mapInPandas(cluster_drops, drop_schema)
