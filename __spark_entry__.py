@@ -25,7 +25,7 @@ from datasketches_spark_spark.operators import (
     sketch_accumulate,
     sketch_grouped_agg,
 )
-from datasketches_spark_spark.sources import read_table
+from datasketches_spark_spark.sources import arrow_local_df, read_table
 
 # Sketch sizes chosen so sf0.01 (and sf0.1 for the pipeline queries on
 # `events`) stays in the exact regime; see module docstring.
@@ -1290,8 +1290,11 @@ def _q41_theta_wire_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("st")).collect())
     pairs = [(a.lang, b.lang, a.st, b.st)
              for a in states for b in states if a.lang < b.lang]
-    pdf = spark.createDataFrame(
-        pairs, "lang_a string, lang_b string, st_a binary, st_b binary")
+    # r18: Arrow-backed local relation — the pickled-tuple relation made
+    # every consumer re-run a Python deserialization job (guide §4.1)
+    pdf = arrow_local_df(
+        spark, pairs,
+        "lang_a string, lang_b string, st_a binary, st_b binary")
     return (pdf.select(
         "lang_a", "lang_b",
         dsf.approx_set_intersection("st_a", "st_b")
@@ -1845,7 +1848,8 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in sources:
                 sk.update(s)
             states.append((lang, bytes(sk.toByteArray())))
-        cpc_df = spark.createDataFrame(states, "lang string, cpc_state binary")
+        cpc_df = arrow_local_df(
+            spark, states, "lang string, cpc_state binary")
         cpc_df.createOrReplaceTempView("_q34_cpc_states")
         # --- tuple/AoD mixed-origin split (round 11) ---
         langs = sorted(by_lang)
@@ -1868,9 +1872,9 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr[0] = 1.0
             arr[1] = float(r.n_chars)
             sk.update(r.source, arr)
-        java_df = spark.createDataFrame(
-            [(lang, bytes(sk.compact().toByteArray()))
-             for lang, sk in sorted(jstates.items())],
+        java_df = arrow_local_df(
+            spark, [(lang, bytes(sk.compact().toByteArray()))
+                    for lang, sk in sorted(jstates.items())],
             "lang string, st binary")
         eng_df = (docs.where(F.col("doc_id") < 1000)
                   .where(F.col("lang").isin(eng_langs))
@@ -1912,9 +1916,9 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 jbf[r.lang] = sk = bloom_builder.createByAccuracy(
                     4096, 0.01, 7)
             sk.update(r.source)
-        bj_df = spark.createDataFrame(
-            [(lang, bytes(sk.toByteArray()))
-             for lang, sk in sorted(jbf.items())],
+        bj_df = arrow_local_df(
+            spark, [(lang, bytes(sk.toByteArray()))
+                    for lang, sk in sorted(jbf.items())],
             "lang string, bs binary")
         be_df = (docs.where(F.col("lang").isin(eng_langs))
                  .groupBy("lang")
@@ -1928,8 +1932,8 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r18 optimization: build the probe pair table from the already-
         # collected distinct pairs (two legs reference it — as a fresh
         # distinct it would re-execute the scan+exchange per leg).
-        pairs_df = spark.createDataFrame(
-            [(r.lang, r.source) for r in pairs],
+        pairs_df = arrow_local_df(
+            spark, [(r.lang, r.source) for r in pairs],
             "lang string, source string")
         bm_per_lang = (pairs_df.join(bstates, "lang")
                        .select("lang",
@@ -2422,8 +2426,8 @@ def _q55_cross_state_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpairs = [(a.event_type, b.event_type, a.state, b.state)
               for a in fstates for b in fstates
               if a.event_type < b.event_type]
-    fdf = spark.createDataFrame(
-        fpairs, "ka string, kb string, st_a binary, st_b binary")
+    fdf = arrow_local_df(
+        spark, fpairs, "ka string, kb string, st_a binary, st_b binary")
     joinsize = fdf.select(
         F.lit("joinsize").alias("leg"), "ka", "kb",
         dsf.approx_join_size("st_a", "st_b").cast("double").alias("v"))
@@ -2439,8 +2443,8 @@ def _q55_cross_state_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     kpairs = [(t, by_key[(t, "a")], by_key[(t, "b")])
               for t in sorted({r.event_type for r in qstates})
               if (t, "a") in by_key and (t, "b") in by_key]
-    kdf = spark.createDataFrame(
-        kpairs, "ka string, st_a binary, st_b binary")
+    kdf = arrow_local_df(
+        spark, kpairs, "ka string, st_a binary, st_b binary")
     ks = kdf.select(F.lit("ks").alias("leg"), "ka",
                     F.lit("").alias("kb"),
                     dsf.approx_ks_distance("st_a", "st_b").alias("v"))

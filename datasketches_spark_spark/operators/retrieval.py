@@ -102,8 +102,9 @@ def bm25_topk(
     1 per query, ordered by rounded score desc, then doc id.
     """
     spark = docs.sparkSession
-    qt = spark.createDataFrame(_query_terms(queries),
-                               "query_id string, term string")
+    from ..sources import arrow_local_df
+    qt = arrow_local_df(spark, _query_terms(queries),
+                        "query_id string, term string")
 
     # Both passes tokenize the corpus; project to the two columns they
     # need and spread a too-narrow scan across the cores (r18, §2.5).
@@ -224,7 +225,8 @@ def query_text_index(spark, path: str,
     not the corpus. No window/aggregate runs over the postings beyond
     the matched terms (df is precomputed at build time)."""
     qrows = _query_terms(queries)
-    qt = spark.createDataFrame(qrows, "query_id string, term string")
+    from ..sources import arrow_local_df
+    qt = arrow_local_df(spark, qrows, "query_id string, term string")
     # bucket ids for the probe terms: computed with the SAME hash and
     # modulus Spark used at build time (num_buckets is recorded in the
     # stats table — bucket DIRECTORIES can't be counted because empty
@@ -233,7 +235,7 @@ def query_text_index(spark, path: str,
     terms = sorted({t for _, t in qrows})
     st = spark.read.parquet(path + "/stats").collect()[0]
     nb = st.num_buckets
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tdf = arrow_local_df(spark, [(t,) for t in terms], "term string")
     buckets = [r.bucket for r in tdf.select(
         F.pmod(F.xxhash64("term"), F.lit(nb)).alias("bucket"))
         .distinct().collect()]

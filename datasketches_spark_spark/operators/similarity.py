@@ -691,8 +691,10 @@ def rhp_ann_topk(corpus: DataFrame, queries: list[tuple], k: int = 5,
             bucket = int(((v @ planes[t].T) > 0).astype(np.int64) @ weights)
             q_rows.append((qid, t, bucket, [float(x) for x in v]))
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(
-        q_rows, "query_id long, table int, bucket long, qvec array<double>")
+    from ..sources import arrow_local_df
+    qdf = arrow_local_df(
+        spark, q_rows,
+        "query_id long, table int, bucket long, qvec array<double>")
 
     cands = (sig.join(F.broadcast(qdf), ["table", "bucket"])
              .where(F.col("_id") != F.col("query_id"))

@@ -1,5 +1,6 @@
 from .tables import (
     TABLE_NAMES,
+    arrow_local_df,
     load_tables,
     read_csv,
     read_table,
@@ -8,4 +9,4 @@ from .tables import (
 )
 
 __all__ = ["read_table", "read_csv", "load_tables", "session_builder",
-           "write_summary", "TABLE_NAMES"]
+           "write_summary", "arrow_local_df", "TABLE_NAMES"]

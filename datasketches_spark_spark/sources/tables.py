@@ -54,6 +54,42 @@ def session_builder(master: str = "local[*]", app: str = "datasketches_spark_spa
     return b
 
 
+def arrow_local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A driver-assembled local relation via the Arrow path.
+
+    ``spark.createDataFrame(list_of_tuples, ddl)`` builds a *pickled*
+    Python-RDD-backed plan: every downstream action re-runs the pickle
+    deserialization job (measured 0.4-1.5 s per action on this box, and
+    it makes any expression over the frame re-pay that cost — a 10-row
+    pair table cost seconds per consumer). Routing the same rows through
+    a pandas DataFrame + the declared schema hits the Arrow conversion
+    instead, which plants a JVM-local relation (~0.05 s, no re-execution
+    cost). Guide §4.1/§6 ("Arrow for driver transfers"). Semantically
+    identical: the declared DDL schema is authoritative either way.
+    """
+    import pandas as pd
+
+    # split the DDL on top-level commas (array<struct<a:int,b:int>> safe)
+    names, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(cur).strip().split()[0])
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        names.append("".join(cur).strip().split()[0])
+    rows = list(rows)
+    pdf = pd.DataFrame(
+        {n: [r[i] for r in rows] for i, n in enumerate(names)},
+        columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, restoring nanos columns to TimestampType."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
