@@ -351,8 +351,9 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the projected text across the cores first (exact-regime sketch:
     # partial-sketch merge order cannot change the estimates)
     from datasketches_spark_spark.operators.retrieval import _spread
-    grams = _spread(docs.select("text")).select(
-        F.explode(ngrams(tokenize("text"), 2)).alias("bigram"))
+    grams = (_spread(docs.select("text"))
+             .select(tokenize("text").alias("_tk"))
+             .select(F.explode(ngrams(F.col("_tk"), 2)).alias("bigram")))
     fi = sketch_grouped_agg(grams, [],
                             freqitems_measure("fi", "bigram",
                                               max_map_size=65_536))
@@ -574,7 +575,13 @@ def _q21_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count; scores round before surfacing so the oracle is exact.
     from datasketches_spark_spark.operators import (perplexity_score,
                                                     train_bigram_lm)
+    # r18: the model tables are vocabulary-bounded but their lineage is
+    # a full-corpus explode — the scorer references `uni` three times
+    # (first-token join, bigram-context join, the totals agg) and `bi`
+    # once, so unchecked the corpus was re-tokenized four extra times
+    # (q21's before-plan shows 24 parquet scans, zero reuse; guide §2.4).
     uni, bi = train_bigram_lm(docs, "text")
+    uni, bi = uni.localCheckpoint(), bi.localCheckpoint()
     ppl = (perplexity_score(docs.where(F.col("doc_id") < 200),
                             "doc_id", "text", uni, bi, k=0.5)
            .select(F.lit("ppl").alias("leg"), "doc_id",
@@ -2264,17 +2271,23 @@ def _q52_rollup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     from datasketches_spark_spark.operators import SketchRollup
     from datasketches_spark_spark.operators.sketch_agg import (
-        distinct_measure, percentile_measure)
+        distinct_measure, percentile_measure, sketch_accumulate_multi,
+        state_measure)
     ev = read_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
-    qs = sketch_accumulate(ev.select(day, "value"), ["day"], "value",
-                           family="quantile", impl="MERGEABLE", k=_QK)
-    th = (sketch_accumulate(ev.select(day, "user_id"), ["day"], "user_id",
-                            family="theta", k=_TK)
-          .withColumnRenamed("state", "ustate"))
+    # r18: the quantile and Theta day-states used to come from two
+    # separate accumulate scans of events joined on day — ONE
+    # multi-measure pass builds both (guide §2.3/§2.4: one scan, one
+    # exchange, no join). Identical states: same two-phase machinery,
+    # and neither family's accumulation sees the other.
+    qt = sketch_accumulate_multi(
+        ev.select(day, "value", "user_id"), ["day"],
+        [state_measure("state", "value", "quantile",
+                       impl="MERGEABLE", k=_QK),
+         state_measure("ustate", "user_id", "theta", k=_TK)])
     path = ("/tmp/dss_rollup_"
             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    qs.join(th, "day").write.mode("overwrite").parquet(path)
+    qt.write.mode("overwrite").parquet(path)
     roll = spark.read.parquet(path)
 
     def window(label, lo, hi):
@@ -2548,11 +2561,20 @@ def _q60_rollup_algebra_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("day"),
         "event_type", "user_id", "event_id")
+    # r18: ONE rollup carrying both measures — the two legs used to
+    # build two separate rollups over the same (day, event_type) keys,
+    # i.e. two full scans of events and two /tmp parquet writes where
+    # one multi-measure pass suffices (guide §2.3 "aggregate before you
+    # shuffle", §2.4 shared exchange). States are identical per measure:
+    # the rollup build machinery is the same sketch_partial_multi either
+    # way, and neither family's state depends on the other's presence.
     path = ("/tmp/dss_rollup_setops_"
             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
     roll = SketchRollup(path, ["day", "event_type"],
-                        [distinct_measure("ndv", "user_id", k=_TK)])
-    roll.build(ev.select("day", "event_type", "user_id"))
+                        [distinct_measure("ndv", "user_id", k=_TK),
+                         sample_measure("ids", "event_id", k=262_144,
+                                        item_type="long")])
+    roll.build(ev)
 
     def week(lo, hi):
         return roll.query(
@@ -2569,14 +2591,8 @@ def _q60_rollup_algebra_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long").alias("n"),
                       F.lit("").alias("h"),
                       dsf.approx_set_jaccard("s1", "s2").alias("jaccard")))
-    spath = ("/tmp/dss_rollup_sample_"
-             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    sroll = SketchRollup(spath, ["day", "event_type"],
-                         [sample_measure("ids", "event_id", k=262_144,
-                                         item_type="long")])
-    sroll.build(ev.select("day", "event_type", "event_id"))
     win = (F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-15")
-    sample = (sroll.estimate(spark, where=win, group_by=["event_type"])
+    sample = (roll.estimate(spark, where=win, group_by=["event_type"])
               .select(F.lit("sample").alias("leg"), "event_type",
                       F.size("ids").cast("long").alias("n"),
                       F.md5(F.array_join(

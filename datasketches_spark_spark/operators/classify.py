@@ -73,7 +73,12 @@ def train_token_classifier(df: DataFrame, text_col: str, label_col,
            .agg(F.sum(F.when(F.col("_pos"), 1).otherwise(0))
                 .cast("long").alias("_c1"),
                 F.sum(F.when(~F.col("_pos"), 1).otherwise(0))
-                .cast("long").alias("_c0")))
+                .cast("long").alias("_c0"))
+           # vocabulary-bounded; materialized so the totals collect, the
+           # weights table, and every scorer consuming the weights do
+           # not each re-run the corpus explode (three full scans
+           # observed in the q21 plan — guide §2.4 / §5 "caching")
+           .localCheckpoint())
     # O(1) totals: class token totals + vocabulary size + doc counts
     tot = cnt.agg(F.sum("_c1").alias("n1"), F.sum("_c0").alias("n0"),
                   F.count("*").alias("v")).collect()[0]

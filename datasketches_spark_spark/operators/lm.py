@@ -57,7 +57,11 @@ def train_bigram_lm(df: DataFrame, text_col: str) -> tuple[DataFrame,
     toks = tokenize(text_col)
     uni = (df.select(F.explode(toks).alias("w"))
            .groupBy("w").agg(F.count("*").alias("c1")))
-    bi = (df.select(F.explode(ngrams(tokenize(text_col), 2)).alias("bg"))
+    # r18: bind the token array before ngrams — its two slice
+    # references otherwise each inline the split and re-tokenize the
+    # document (the ngrams docstring's CSE caveat; guide §1.2)
+    bi = (df.select(tokenize(text_col).alias("_tk"))
+          .select(F.explode(ngrams(F.col("_tk"), 2)).alias("bg"))
           .groupBy("bg").agg(F.count("*").alias("c2")))
     return uni, bi
 
@@ -95,8 +99,8 @@ def perplexity_score(docs: DataFrame, id_col: str, text_col: str,
 
     prev = F.substring_index(F.col("bg"), " ", 1)
     rest = (docs.select(F.col(id_col).alias("_id"),
-                        F.explode(ngrams(tokenize(text_col), 2))
-                        .alias("bg"))
+                        tokenize(text_col).alias("_tk"))
+            .select("_id", F.explode(ngrams(F.col("_tk"), 2)).alias("bg"))
             .join(bigrams, "bg", "left")
             .select("_id", prev.alias("w"),
                     F.coalesce(F.col("c2"), F.lit(0)).alias("c2"))
@@ -131,7 +135,8 @@ def train_trigram_lm(df: DataFrame, text_col: str
     :func:`train_bigram_lm`, plus one more vocabulary-bounded shuffle
     for the trigram table."""
     uni, bi = train_bigram_lm(df, text_col)
-    tri = (df.select(F.explode(ngrams(tokenize(text_col), 3)).alias("tg"))
+    tri = (df.select(tokenize(text_col).alias("_tk"))
+           .select(F.explode(ngrams(F.col("_tk"), 3)).alias("tg"))
            .groupBy("tg").agg(F.count("*").alias("c3")))
     return uni, bi, tri
 
@@ -223,8 +228,8 @@ def perplexity_score_trigram(docs: DataFrame, id_col: str, text_col: str,
     u_c = unigrams.select(F.col("w").alias("_cw"),
                           F.col("c1").alias("_c1c"))
     rest = (docs.select(F.col(id_col).alias("_id"),
-                        F.explode(ngrams(tokenize(text_col), 3))
-                        .alias("tg"))
+                        tokenize(text_col).alias("_tk"))
+            .select("_id", F.explode(ngrams(F.col("_tk"), 3)).alias("tg"))
             .select("_id", "tg", ctx_ab.alias("_ab"),
                     gram_bc.alias("_bc"), w_b.alias("_b"),
                     w_c.alias("_cw"))

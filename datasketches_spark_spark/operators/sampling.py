@@ -293,13 +293,18 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     tgt = F.col(target_col) if isinstance(target_col, str) else target_col
-    toks = tokenize(text_col)
-    feats = F.concat(toks, ngrams(tokenize(text_col), 2))
     s = F.lit(float(smoothing))
     nb = F.lit(float(buckets))
 
-    exploded = df.select(F.col(id_col).alias("_id"), tgt.alias("_t"),
-                         F.explode(feats).alias("f"))
+    # r18: bind the token array to a named column first — Catalyst
+    # inlines `tokenize(text)` into every reference (here the unigram
+    # leg AND the n+2 slice references inside ngrams), re-splitting each
+    # document several times per row; one bound column splits once
+    # (guide §1.2 per-task work; the ngrams docstring's CSE caveat).
+    feats = F.concat(F.col("_tk"), ngrams(F.col("_tk"), 2))
+    exploded = (df.select(F.col(id_col).alias("_id"), tgt.alias("_t"),
+                          tokenize(text_col).alias("_tk"))
+                .select("_id", "_t", F.explode(feats).alias("f")))
     exploded = exploded.withColumn(
         "b", F.pmod(F.conv(F.substring(F.md5("f"), 1, 15), 16, 10)
                     .cast("long"), F.lit(buckets)))
