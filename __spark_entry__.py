@@ -747,8 +747,15 @@ def _q36_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ).alias("ts"))
     src = tempfile.mkdtemp(prefix="dss_q36_src_")
     ckpt = tempfile.mkdtemp(prefix="dss_q36_ckpt_")
-    docs.repartition(2).write.mode("overwrite").parquet(src)
-    docs.repartition(2).write.mode("append").parquet(src)  # duplicate all
+    # r18: one file per corpus copy (was repartition(2) twice = 4 files
+    # = 4 triggers). Two triggers exercise the SAME contract more
+    # sharply — every fingerprint now re-arrives in a strictly LATER
+    # trigger, so all dedup hits cross the state store — while halving
+    # the per-trigger WAL/state-store commit count the r17 triage
+    # identified as this query's structural cost. Counts are unchanged:
+    # the result is the per-lang distinct-fp count either way.
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    docs.coalesce(1).write.mode("append").parquet(src)  # duplicate all
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     deduped = streaming_dedup(stream, ["fp"], event_time="ts",
@@ -1270,9 +1277,12 @@ def _q40_cpc_native_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(DISTINCT) gates bit-for-bit (hashing is deterministic: if the
     item set is collision-free at this sf, it stays so)."""
     docs = read_table(spark, sf_dir, "documents")
+    # r18: two legs (per-lang estimate + combine->estimate) consume the
+    # state table — materialize the 5 state rows so the CPC accumulate
+    # scan runs once, not once per leg (guide §2.4; the q62 pattern)
     states = (docs.groupBy("lang")
               .agg(dsf.approx_count_distinct_accumulate_cpc(
-                  "source", lgk=16).alias("st")))
+                  "source", lgk=16).alias("st"))).localCheckpoint()
     per_lang = states.select(
         "lang", dsf.approx_count_distinct_estimate("st").alias("ndv_src"))
     overall = states.agg(
@@ -2710,11 +2720,30 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Spark percentile_disc, relational; DuckDB quantile_disc), extra =
     # 1 iff the sketch's p95 estimate lies inside that exact rank window.
     q_est = li_states.select("l_returnflag", "qs")
-    exact_win = li.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.93) WITHIN GROUP "
-               "(ORDER BY l_extendedprice)").cast("double").alias("wlo"),
-        F.expr("percentile_disc(0.97) WITHIN GROUP "
-               "(ORDER BY l_extendedprice)").cast("double").alias("whi"))
+    # r18: percentile_disc buffers every raw value per percentile (two
+    # 600k-value count maps in the aggregate; measured ~1.0s where the
+    # equivalent below is ~0.45s). Same answer from the compressed
+    # (flag, value, count) table: percentile_disc(p) IS the smallest
+    # value whose cume_dist >= p, computed here as a running-count
+    # window over the distinct values (map-side-combined pre-aggregate,
+    # so the exchange carries distinct prices, not rows — guide §2.3).
+    # cume_dist uses the same double division Spark's PercentileBase
+    # applies; equality with the oracle is pinned at every gate SF.
+    from pyspark.sql import Window as W
+    vc = (li.groupBy("l_returnflag", "l_extendedprice")
+          .agg(F.count("*").alias("_c")))
+    wcum = (W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = W.partitionBy("l_returnflag")
+    cume = (F.sum("_c").over(wcum).cast("double")
+            / F.sum("_c").over(wall).cast("double"))
+    cumed = vc.select("l_returnflag", "l_extendedprice",
+                      cume.alias("_cd"))
+    exact_win = (cumed.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("_cd") >= 0.93, F.col("l_extendedprice")))
+        .cast("double").alias("wlo"),
+        F.min(F.when(F.col("_cd") >= 0.97, F.col("l_extendedprice")))
+        .cast("double").alias("whi")))
     est95 = dsf.approx_percentile_estimate("qs", 0.95)
     quant_est = (q_est.join(F.broadcast(exact_win), "l_returnflag")
                  .select(
@@ -2884,6 +2913,12 @@ def _q66_streaming_summary_sink(spark: SparkSession,
     writer = streaming_summary_sink(
         stream, ["event_type"], "value", family="quantile",
         impl="MERGEABLE", k=_QK, path=sink, checkpoint=ckpt)
+    # r18: AQE is off under structured streaming, so each micro-batch's
+    # accumulate exchange ran at the full batch shuffle-partition count
+    # (32 near-empty tasks per trigger for a states-per-group result);
+    # size it to the group cardinality like q24/q36/q58 already do.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         await_or_fail(writer.trigger(availableNow=True).start(), 300)
         # localCheckpoint materializes the (tiny, state-per-group)
@@ -2891,6 +2926,7 @@ def _q66_streaming_summary_sink(spark: SparkSession,
         # before the lazy result is evaluated — no /tmp leak per run
         summary = spark.read.parquet(sink).localCheckpoint()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
