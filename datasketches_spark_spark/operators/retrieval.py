@@ -171,13 +171,13 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str,
 
     Layout under ``path``:
 
-    - ``postings/`` — ``(term, doc_id, tf, dl)`` parquet partitioned by
-      ``bucket = pmod(xxhash64(term), num_buckets)``, so a probe reads
-      only the bucket directories its query terms hash into (static
-      partition pruning, file-level).
-    - ``df/`` — per-term document frequencies, same bucketing: df is
-      PRECOMPUTED at build time (query time does no window/aggregate
-      over postings beyond the matched terms).
+    - ``postings/`` — ``(term, doc_id, tf, dl, df)`` parquet
+      partitioned by ``bucket = pmod(xxhash64(term), num_buckets)``, so
+      a probe reads only the bucket directories its query terms hash
+      into (static partition pruning, file-level). The per-term
+      document frequency ``df`` is PRECOMPUTED at build time and
+      denormalized onto each posting row (r18 — probes read it off the
+      matched rows instead of joining a second table).
     - ``stats/`` — one row: corpus size and average document length.
 
     At 100 TB the build is one corpus scan + one (doc, term) aggregate —
@@ -194,19 +194,20 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str,
           .agg(F.count("*").alias("tf"))
           .withColumn("bucket",
                       F.pmod(F.xxhash64("term"), F.lit(num_buckets))))
+    # df DENORMALIZED onto each posting row (r18): the df used to be a
+    # second parquet table derived by reading the postings back — an
+    # extra write job + partitioned-commit + read-back, and a per-term
+    # broadcast join at every probe. One window over the term gives the
+    # same integer (postings rows per term = documents containing it)
+    # in the build pass, and probes read it off the matched rows for
+    # free (guide §2.4: one exchange replaces a write+read+join).
+    wdf = Window.partitionBy("term")
+    tf = tf.withColumn("df", F.count("*").over(wdf))
     # repartition on the bucket before writing: each bucket directory
     # gets co-located, right-sized files (the q54 IVF layout) instead of
     # shuffle-partitions x buckets file fragments
     tf.repartition("bucket").write.mode("overwrite") \
         .partitionBy("bucket").parquet(path + "/postings")
-    # df derives from the postings JUST WRITTEN (column-pruned read of
-    # term+bucket) — recomputing it from `tf` would re-execute the whole
-    # corpus explode+aggregate a second time
-    dfreq = (docs.sparkSession.read.parquet(path + "/postings")
-             .groupBy("term", "bucket")
-             .agg(F.count("*").alias("df")))
-    dfreq.repartition("bucket").write.mode("overwrite") \
-        .partitionBy("bucket").parquet(path + "/df")
     (src.select(F.count("*").alias("n_docs"),
                 F.avg(F.size(tokenize("_text"))).alias("avgdl"),
                 F.lit(num_buckets).alias("num_buckets"))
@@ -247,13 +248,8 @@ def query_text_index(spark, path: str,
     post = (spark.read.parquet(path + "/postings")
             .where(F.col("bucket").isin(buckets)
                    & F.col("term").isin(terms)))
-    dfreq = (spark.read.parquet(path + "/df")
-             .where(F.col("bucket").isin(buckets)
-                    & F.col("term").isin(terms))
-             .select("term", "df"))
     scored = (post
               .join(F.broadcast(qt), "term")
-              .join(F.broadcast(dfreq), "term")
               .withColumn(
                   "idf",
                   F.log(F.lit(1.0)
