@@ -85,6 +85,17 @@ def shingles(col, n: int = 3, sep: str = " ") -> Column:
     return F.array_distinct(ngrams(tokenize(col, sep), n))
 
 
+def token_shingles(tokens: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an ALREADY-TOKENIZED array column. Catalyst
+    inlines ``tokenize`` into each of the ``n`` slice references inside
+    :func:`ngrams` (see its CSE caveat), re-splitting the document n
+    times per row; callers on hot corpus-sized paths bind the token
+    array to a named column first and shingle through this form (r18,
+    guide §1.2). Identical values by construction — the expression tree
+    below ``tokenize`` is unchanged."""
+    return F.array_distinct(ngrams(tokens, n))
+
+
 def token_set_fingerprint(col, sep: str = " ") -> Column:
     """Deterministic fingerprint of the distinct-token SET — exact dedup of
     documents that use the same vocabulary regardless of order/repetition."""

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.text import shingles, tokenize
+from ..functions.text import shingles, token_shingles, tokenize, tokenize
 from ..sketches.theta import hash_longs
 
 _U64 = np.uint64
@@ -59,6 +59,26 @@ def exact_dedup_groups(df: DataFrame, id_col: str,
             .agg(F.min(id_col).alias("group_id"), F.count("*").alias("n_dups"))
             .where(F.col("n_dups") > 1)
             .select("group_id", "n_dups"))
+
+
+def _exact_jaccard(joined: DataFrame, ids: list[str], a_col: str,
+                   b_col: str, n: int) -> DataFrame:
+    """Exact string-shingle Jaccard over candidate-pair rows carrying
+    both texts. Binds each side's token array, then its shingle array,
+    to NAMED columns across stacked projections (r18, guide §1.2):
+    inline, `array_intersect`/`array_union` each re-evaluated the whole
+    tokenize->ngrams->distinct chain per reference — four shinglings
+    per pair row where two suffice (Catalyst has no CSE across
+    references to a non-cheap expression unless it is column-bound).
+    Values are bit-identical: the expression tree per evaluation is
+    unchanged, only the evaluation count drops."""
+    tk = joined.select(*ids, tokenize(F.col(a_col)).alias("_tka"),
+                       tokenize(F.col(b_col)).alias("_tkb"))
+    sh = tk.select(*ids, token_shingles(F.col("_tka"), n).alias("_sa"),
+                   token_shingles(F.col("_tkb"), n).alias("_sb"))
+    jac = (F.size(F.array_intersect("_sa", "_sb")).cast("double")
+           / F.size(F.array_union("_sa", "_sb")).cast("double"))
+    return sh.select(*ids, jac.alias("jaccard"))
 
 
 # ------------------------------------------------------------------ minhash
@@ -209,13 +229,17 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     instead of the x3 corpus-sized passes a shingle-carrying verify
     relation would cost (one per join side, Spark cannot reuse an
     un-materialized subplan across join sides)."""
-    sh = shingles(text_col, n=shingle_n)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    # r18: bind the token array before shingling — inline, tokenize is
+    # re-evaluated once per ngram slice reference (guide §1.2)
+    hashed = F.transform(token_shingles(F.col("_tk"), shingle_n),
+                         lambda s: F.xxhash64(s))
     src = df.select(F.col(id_col), F.col(text_col))
     # spread ONLY the signature input (per-row numpy compute wants the
     # cores); the verify text relations are join probes and must not pay
     # a corpus-sized repartition for nothing
-    base = _spread(src).select(F.col(id_col), hashed.alias("_shh"))
+    base = (_spread(src)
+            .select(F.col(id_col), tokenize(text_col).alias("_tk"))
+            .select(F.col(id_col), hashed.alias("_shh")))
     bands_df = minhash_bands(base, id_col, F.col("_shh"),
                              num_hashes=num_hashes, bands=bands)
     cands = lsh_candidate_pairs(bands_df, max_bucket=max_bucket)
@@ -224,12 +248,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     tb = src.select(F.col(id_col).alias("id_b"),
                     F.col(text_col).alias("_tb"))
     joined = cands.join(ta, "id_a").join(tb, "id_b")
-    sh_a = shingles(F.col("_ta"), n=shingle_n)
-    sh_b = shingles(F.col("_tb"), n=shingle_n)
-    inter = F.size(F.array_intersect(sh_a, sh_b))
-    union = F.size(F.array_union(sh_a, sh_b))
-    jac = inter.cast("double") / union.cast("double")
-    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+    return (_exact_jaccard(joined, ["id_a", "id_b"], "_ta", "_tb",
+                           shingle_n)
             .where(F.col("jaccard") >= threshold))
 
 
@@ -571,12 +591,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     tb = src.select(F.col(id_col).alias("id_b"),
                     F.col(text_col).alias("_tb"))
     joined = prefiltered.join(ta, "id_a").join(tb, "id_b")
-    sh_a = shingles(F.col("_ta"), ngram_n)
-    sh_b = shingles(F.col("_tb"), ngram_n)
-    inter = F.size(F.array_intersect(sh_a, sh_b))
-    union = F.size(F.array_union(sh_a, sh_b))
-    jac = inter.cast("double") / union.cast("double")
-    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+    return (_exact_jaccard(joined, ["id_a", "id_b"], "_ta", "_tb",
+                           ngram_n)
             .where(F.col("jaccard") >= t))
 
 
@@ -678,12 +694,14 @@ def minhash_match(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
     signature pass for the corpus can be precomputed once with
     ``minhash_bands`` and reused.
     """
-    sh = shingles(text_col, n=shingle_n)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    hashed = F.transform(token_shingles(F.col("_tk"), shingle_n),
+                         lambda s: F.xxhash64(s))
 
     def _bands(df: DataFrame, side: str) -> DataFrame:
         src = df.select(F.col(id_col), F.col(text_col))
-        base = _spread(src).select(F.col(id_col), hashed.alias("_shh"))
+        base = (_spread(src)
+                .select(F.col(id_col), tokenize(text_col).alias("_tk"))
+                .select(F.col(id_col), hashed.alias("_shh")))
         return (minhash_bands(base, id_col, F.col("_shh"),
                               num_hashes=num_hashes, bands=bands)
                 .withColumnRenamed("_id", side))
@@ -705,12 +723,8 @@ def minhash_match(query_df: DataFrame, corpus_df: DataFrame, id_col: str,
     tb = corpus_df.select(F.col(id_col).alias("corpus_id"),
                           F.col(text_col).alias("_tb"))
     joined = cands.join(ta, "query_id").join(tb, "corpus_id")
-    sh_a = shingles(F.col("_ta"), n=shingle_n)
-    sh_b = shingles(F.col("_tb"), n=shingle_n)
-    inter = F.size(F.array_intersect(sh_a, sh_b))
-    union = F.size(F.array_union(sh_a, sh_b))
-    jac = inter.cast("double") / union.cast("double")
-    return (joined.select("query_id", "corpus_id", jac.alias("jaccard"))
+    return (_exact_jaccard(joined, ["query_id", "corpus_id"],
+                           "_ta", "_tb", shingle_n)
             .where(F.col("jaccard") >= threshold))
 
 
@@ -768,10 +782,14 @@ def ngram_overlap_flags(corpus_df: DataFrame, benchmark_df: DataFrame,
     negligible, and it can only OVER-flag, never miss contamination).
     """
     g = F.explode(F.array_distinct(
-        F.transform(shingles(F.col(text_col), ngram_n),
+        F.transform(token_shingles(F.col("_tk"), ngram_n),
                     lambda s: F.xxhash64(s)))).alias("g")
-    cg = corpus_df.select(F.col(id_col).alias("_id"), g)
-    bg = benchmark_df.select(g).distinct()
+    cg = (corpus_df
+          .select(F.col(id_col).alias("_id"),
+                  tokenize(F.col(text_col)).alias("_tk"))
+          .select("_id", g))
+    bg = (benchmark_df.select(tokenize(F.col(text_col)).alias("_tk"))
+          .select(g).distinct())
     return (cg.join(F.broadcast(bg), "g")
             .groupBy("_id")
             .agg(F.count_distinct("g").alias("n_hits"))
