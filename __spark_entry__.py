@@ -1900,12 +1900,9 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("st")))
         # r18 optimization: two legs (per_lang, glob) consume states_df —
         # checkpoint the 5 tiny state rows so the engine-side accumulate
-        # scan doesn't re-execute per leg (guide §2.4).
-        states_df = java_df.unionByName(eng_df).localCheckpoint()
-        per_lang = states_df.select(
-            "lang", dsf.approx_tuple_estimate("st").alias("e")).select(
-            "lang", F.col("e.rows").alias("tup_rows"),
-            F.col("e.value_sum").alias("tup_sum"))
+        # scan doesn't re-execute per leg (guide §2.4). Materialization
+        # happens in the overlapped pool below (§2.6).
+        states_lazy = java_df.unionByName(eng_df)
         # --- BloomFilter mixed-origin split (round 12, compat/
         # bloomwire.py): odd langs' source-membership filters built by
         # the REAL datasketches-java BloomFilter, even langs by the
@@ -1944,8 +1941,28 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                      seed=7).alias("bs")))
         # r18 optimization: bm_per_lang joins bstates and bm_union merges
         # it — checkpoint the 5 filter states so the engine-side bloom
-        # accumulate scan runs once, not once per leg.
-        bstates = bj_df.unionByName(be_df).localCheckpoint()
+        # accumulate scan runs once, not once per leg (materialized in
+        # the overlapped pool below).
+        bstates_lazy = bj_df.unionByName(be_df)
+        # r18 (guide §2.6): the two state checkpoints and the KLL wire
+        # accumulate are independent blocking jobs — overlap them so the
+        # engine-side scans back-fill each other's idle cores. Rows are
+        # computed exactly as before.
+        from concurrent.futures import ThreadPoolExecutor
+        from datasketches_spark_spark.operators import sketch_accumulate
+        kll_lazy = sketch_accumulate(
+            docs.select(F.col("n_chars").cast("double").alias("v")),
+            [], "v", family="kll", k=16, state_col="st")
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_st = pool.submit(states_lazy.localCheckpoint)
+            f_bs = pool.submit(bstates_lazy.localCheckpoint)
+            f_kll = pool.submit(kll_lazy.collect)
+            states_df, bstates = f_st.result(), f_bs.result()
+            (kst,) = f_kll.result()
+        per_lang = states_df.select(
+            "lang", dsf.approx_tuple_estimate("st").alias("e")).select(
+            "lang", F.col("e.rows").alias("tup_rows"),
+            F.col("e.value_sum").alias("tup_sum"))
         # r18 optimization: build the probe pair table from the already-
         # collected distinct pairs (two legs reference it — as a fresh
         # distinct it would re-execute the scan+exchange per leg).
@@ -1995,11 +2012,7 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver work: one state, one py4j heapify.
         from datasketches_spark_spark.compat.datasketches import (
             to_datasketches_state, to_engine_sketch)
-        from datasketches_spark_spark.operators import sketch_accumulate
         from datasketches_spark_spark.sketches import deserialize_any
-        (kst,) = sketch_accumulate(
-            docs.select(F.col("n_chars").cast("double").alias("v")),
-            [], "v", family="kll", k=16, state_col="st").collect()
         eng = deserialize_any(bytes(kst.st))
         exported = to_datasketches_state(bytes(kst.st))
         jkll = spark._jvm.org.apache.datasketches.kll.KllFloatsSketch \
@@ -2297,8 +2310,6 @@ def _q52_rollup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
          state_measure("ustate", "user_id", "theta", k=_TK)])
     path = ("/tmp/dss_rollup_"
             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    qt.write.mode("overwrite").parquet(path)
-    roll = spark.read.parquet(path)
 
     def window(label, lo, hi):
         m = (roll.where((F.col("day") >= lo) & (F.col("day") < hi))
@@ -2321,8 +2332,20 @@ def _q52_rollup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [percentile_measure("p50_value", "value", 0.5,
                             impl="MERGEABLE", k=_QK),
          distinct_measure("ndv_users", "user_id", k=_TK)])
-    mgr.build(ev2.where(F.col("day") < "2024-01-15"))
-    mgr.refresh(ev2.where(F.col("day") >= "2024-01-15"))
+
+    # r18 (guide §2.6): the window-leg rollup write and the managed
+    # build->refresh chain are independent blocking driver calls; run
+    # the write in a driver thread while build+refresh (which must stay
+    # ordered: overwrite, then append) proceed on this one. Same jobs,
+    # same rows — only the submission overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            lambda: qt.write.mode("overwrite").parquet(path))
+        mgr.build(ev2.where(F.col("day") < "2024-01-15"))
+        mgr.refresh(ev2.where(F.col("day") >= "2024-01-15"))
+        fut.result()
+    roll = spark.read.parquet(path)
     win = ((F.col("day") >= "2024-01-08") & (F.col("day") < "2024-01-22"))
     refresh = (mgr.estimate(spark, where=win, group_by=["event_type"])
                .select(F.lit("refresh").alias("leg"),
@@ -2639,17 +2662,52 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged: every state family here is update-order-independent in
     what the legs surface (see each leg's comment), and the two-phase
     machinery is the same one ``sketch_accumulate`` used."""
+    from concurrent.futures import ThreadPoolExecutor
     from datasketches_spark_spark.operators.sketch_agg import (
         sketch_accumulate_multi, state_measure)
     li = read_table(spark, sf_dir, "lineitem")
-    li_states = sketch_accumulate_multi(
+    li_states_lazy = sketch_accumulate_multi(
         li, ["l_returnflag"],
         [state_measure("state", "l_extendedprice", "quantile",
                        impl="MERGEABLE", k=_QK),
          state_measure("qs", "l_extendedprice", "quantile",
                        impl="KLL", k=200),
          state_measure("xs", "l_extendedprice", "quantile",
-                       impl="MERGEABLE", k=64)]).localCheckpoint()
+                       impl="MERGEABLE", k=64)])
+    ev = read_table(spark, sf_dir, "events")
+    # item = user_id with every 10th user collapsed onto {0,1,2} (the
+    # freq_est leg's deterministic heavy-hitter mapping, see below) —
+    # derived here so the single multi-measure pass can sketch it.
+    item = F.when(F.col("user_id") % 10 == 0, F.col("user_id") % 3) \
+        .otherwise(F.col("user_id"))
+    evx = ev.select("event_type", "user_id", "event_id", "value",
+                    item.alias("item"))
+    ev_states_lazy = sketch_accumulate_multi(
+        evx, ["event_type"],
+        [state_measure("ts", "user_id", "theta", k=_TK),
+         state_measure("fs", "user_id", "freq", item_type="long",
+                       max_map_size=8192),
+         state_measure("hs", "event_id", "hll", lgk=12),
+         state_measure("fst", "item", "freq", item_type="long",
+                       max_map_size=64),
+         state_measure("tst", ("user_id", "value"), "tuple", k=64),
+         state_measure("bs", "user_id", "bloom",
+                       expected_items=32_768, fpp=0.01)])
+    exact_lazy = (evx.groupBy("event_type")
+                  .agg(F.countDistinct("event_id").alias("nd"),
+                       F.countDistinct("item").alias("nu_item"),
+                       F.countDistinct("user_id").alias("nu_raw")))
+    # r18 (guide §2.6, overlap independent jobs): the three checkpoint
+    # materializations are independent blocking driver calls whose
+    # stages leave most cores idle when run back to back — compute them
+    # concurrently. Each frame's rows are computed exactly as before;
+    # only the job submission overlaps.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_li = pool.submit(li_states_lazy.localCheckpoint)
+        f_ev = pool.submit(ev_states_lazy.localCheckpoint)
+        f_ex = pool.submit(exact_lazy.localCheckpoint)
+        li_states, ev_states, exact = (f_li.result(), f_ev.result(),
+                                       f_ex.result())
     summ = li_states.select("l_returnflag", "state")
     b = dsf.approx_percentile_bounds("state", 0.95, eps=0.02)
     b0 = dsf.approx_percentile_bounds("state", 0.95)
@@ -2660,30 +2718,6 @@ def _q62_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(b, 2).cast("double").alias("hi"),
         (F.element_at(b0, 1) == F.element_at(b0, 2))
         .cast("long").alias("extra")))
-    ev = read_table(spark, sf_dir, "events")
-    # item = user_id with every 10th user collapsed onto {0,1,2} (the
-    # freq_est leg's deterministic heavy-hitter mapping, see below) —
-    # derived here so the single multi-measure pass can sketch it.
-    item = F.when(F.col("user_id") % 10 == 0, F.col("user_id") % 3) \
-        .otherwise(F.col("user_id"))
-    evx = ev.select("event_type", "user_id", "event_id", "value",
-                    item.alias("item"))
-    ev_states = sketch_accumulate_multi(
-        evx, ["event_type"],
-        [state_measure("ts", "user_id", "theta", k=_TK),
-         state_measure("fs", "user_id", "freq", item_type="long",
-                       max_map_size=8192),
-         state_measure("hs", "event_id", "hll", lgk=12),
-         state_measure("fst", "item", "freq", item_type="long",
-                       max_map_size=64),
-         state_measure("tst", ("user_id", "value"), "tuple", k=64),
-         state_measure("bs", "user_id", "bloom",
-                       expected_items=32_768, fpp=0.01)]).localCheckpoint()
-    exact = (evx.groupBy("event_type")
-             .agg(F.countDistinct("event_id").alias("nd"),
-                  F.countDistinct("item").alias("nu_item"),
-                  F.countDistinct("user_id").alias("nu_raw"))
-             ).localCheckpoint()
     st = ev_states.select("event_type", "ts", "fs")
     nb = dsf.approx_count_distinct_bounds("ts")
     ndv = (st.select(
