@@ -349,11 +349,19 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r18 (guide §2.5): the one-file fixture scan ran the tokenize ->
     # bigram explode -> map-side sketch chain as a single task; spread
     # the projected text across the cores first (exact-regime sketch:
-    # partial-sketch merge order cannot change the estimates)
+    # partial-sketch merge order cannot change the estimates).
+    # r18 session 3 (guide §1.2/§2.4): the three legs tokenized the
+    # corpus FIVE times per run (gram once, bm25's stats+match passes,
+    # the index build's tf+stats passes) behind TWO separate spread
+    # checkpoints. Tokenize ONCE into a materialized (doc_id, toks)
+    # table and share it: every leg consumes the same token arrays
+    # (tokens_col=), so values are identical by construction and the
+    # corpus text is split exactly once per run.
     from datasketches_spark_spark.operators.retrieval import _spread
-    grams = (_spread(docs.select("text"))
-             .select(tokenize("text").alias("_tk"))
-             .select(F.explode(ngrams(F.col("_tk"), 2)).alias("bigram")))
+    tok = (_spread(docs.select("doc_id", "text"))
+           .select("doc_id", tokenize("text").alias("toks"))
+           .localCheckpoint())
+    grams = tok.select(F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
     fi = sketch_grouped_agg(grams, [],
                             freqitems_measure("fi", "bigram",
                                               max_map_size=65_536))
@@ -365,7 +373,8 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rk").cast("long").alias("rk"),
                     F.col("item"),
                     F.col("estimated").cast("double").alias("v")))
-    bm = bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=10)
+    bm = bm25_topk(tok, "doc_id", None, _BM25_QUERIES, k=10,
+                   tokens_col="toks")
     bm25 = bm.select(F.lit("bm25").alias("leg"),
                      F.col("query_id").alias("qid"),
                      F.col("rank").cast("long").alias("rk"),
@@ -389,8 +398,8 @@ def _q16_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = tempfile.mkdtemp(prefix="dss_txtidx_")
         try:
             path = root + "/idx"
-            build_text_index(docs, "doc_id", "text", path,
-                             num_buckets=16)
+            build_text_index(tok, "doc_id", None, path,
+                             num_buckets=16, tokens_col="toks")
             # localCheckpoint materializes the probe results (k rows
             # per query) so the index dir can be removed before the
             # caller evaluates the returned lazy DataFrame — without it

@@ -84,12 +84,13 @@ def _query_terms(queries: Sequence[tuple[str, str]]) -> list[tuple[str, str]]:
 def bm25_topk(
     docs: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     queries: Sequence[tuple[str, str]],
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25.
 
@@ -97,6 +98,15 @@ def bm25_topk(
     is whitespace-tokenized with duplicate terms dropped (binary query
     term frequency — the common BM25 simplification).  The idf is the
     non-negative variant ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    ``tokens_col`` (r18, guide §1.2/§2.4): the corpus is ALREADY
+    tokenized — ``docs[tokens_col]`` holds the token array and
+    ``text_col`` is ignored.  Callers that feed several corpus passes
+    (bm25 + an index build + n-gram legs) tokenize once into a
+    materialized column and share it, instead of re-splitting the
+    corpus inside every consumer.  Values are identical by
+    construction: the token arrays are the same ``tokenize`` output,
+    just bound to a column instead of inlined per pass.
 
     Returns ``(query_id, doc_id, rank, score)`` with ``rank`` dense from
     1 per query, ordered by rounded score desc, then doc id.
@@ -108,21 +118,31 @@ def bm25_topk(
 
     # Both passes tokenize the corpus; project to the two columns they
     # need and spread a too-narrow scan across the cores (r18, §2.5).
-    src = _spread(docs.select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("_text")),
-                  checkpoint=True)
+    # With tokens_col the projection is the pre-tokenized array and the
+    # checkpoint is normally a no-op (the caller's materialized table
+    # already spans the cores).
+    if tokens_col is not None:
+        src = _spread(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(tokens_col).alias("_tk")),
+                      checkpoint=True)
+        toks = F.col("_tk")
+    else:
+        src = _spread(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("_text")),
+                      checkpoint=True)
+        toks = tokenize("_text")
 
     # Pass 1 (corpus stats): zero-match documents still count toward N
     # and avgdl, so this cannot be derived from the match table.
     stats = src.select(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(tokenize("_text"))).alias("avgdl"))
+        F.avg(F.size(toks)).alias("avgdl"))
 
     # Pass 2: tokenize -> explode -> broadcast-prune to query terms.
     # The join is map-side (BroadcastHashJoin), so no corpus row
     # survives to a shuffle unless it matches a query term.
     matched = (src
-               .select("doc_id", tokenize("_text").alias("_toks"))
+               .select("doc_id", toks.alias("_toks"))
                .select("doc_id", F.size("_toks").alias("dl"),
                        F.explode("_toks").alias("term"))
                .join(F.broadcast(qt.select("term").distinct()), "term"))
@@ -163,8 +183,9 @@ def bm25_topk(
             .select("query_id", "doc_id", "rank", "score"))
 
 
-def build_text_index(docs: DataFrame, id_col: str, text_col: str,
-                     path: str, num_buckets: int = 64) -> None:
+def build_text_index(docs: DataFrame, id_col: str, text_col: str | None,
+                     path: str, num_buckets: int = 64,
+                     tokens_col: str | None = None) -> None:
     """Persist an inverted index for BM25 serving — the text analogue of
     the IVF index lifecycle (build once, partition-pruned probes, the
     corpus never rescans at query time).
@@ -182,14 +203,24 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str,
 
     At 100 TB the build is one corpus scan + one (doc, term) aggregate —
     the same shuffle ``bm25_topk`` pays per query, paid once.
+
+    ``tokens_col``: as in :func:`bm25_topk` — the corpus is already
+    tokenized, ``text_col`` is ignored, and the build skips its own
+    tokenize passes.
     """
-    src = _spread(docs.select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("_text")),
-                  checkpoint=True)
-    toks = tokenize("_text")
+    if tokens_col is not None:
+        src = _spread(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(tokens_col).alias("_tk")),
+                      checkpoint=True)
+        toks = F.col("_tk")
+    else:
+        src = _spread(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("_text")),
+                      checkpoint=True)
+        toks = tokenize("_text")
     tf = (src.select("doc_id",
                      F.size(toks).alias("dl"),
-                     F.explode(tokenize("_text")).alias("term"))
+                     F.explode(toks).alias("term"))
           .groupBy("term", "doc_id", "dl")
           .agg(F.count("*").alias("tf"))
           .withColumn("bucket",
@@ -201,15 +232,23 @@ def build_text_index(docs: DataFrame, id_col: str, text_col: str,
     # same integer (postings rows per term = documents containing it)
     # in the build pass, and probes read it off the matched rows for
     # free (guide §2.4: one exchange replaces a write+read+join).
-    wdf = Window.partitionBy("term")
-    tf = tf.withColumn("df", F.count("*").over(wdf))
-    # repartition on the bucket before writing: each bucket directory
-    # gets co-located, right-sized files (the q54 IVF layout) instead of
-    # shuffle-partitions x buckets file fragments
-    tf.repartition("bucket").write.mode("overwrite") \
+    #
+    # r18 session 3 (guide §2.4, share one exchange): ``bucket`` is a
+    # function of ``term``, so windowing by (bucket, term) counts the
+    # same rows as windowing by term — and hash-partitioning on bucket
+    # satisfies that window's clustering, so the single
+    # ``repartition("bucket")`` exchange (needed anyway for co-located
+    # right-sized bucket files, the q54 IVF layout) serves BOTH the df
+    # window and the partitioned write. Before: Exchange(term) for the
+    # window + Exchange(bucket) for the layout — two full shuffles of
+    # the postings table; now one.
+    wdf = Window.partitionBy("bucket", "term")
+    tf = (tf.repartition("bucket")
+          .withColumn("df", F.count("*").over(wdf)))
+    tf.write.mode("overwrite") \
         .partitionBy("bucket").parquet(path + "/postings")
     (src.select(F.count("*").alias("n_docs"),
-                F.avg(F.size(tokenize("_text"))).alias("avgdl"),
+                F.avg(F.size(toks)).alias("avgdl"),
                 F.lit(num_buckets).alias("num_buckets"))
      .write.mode("overwrite").parquet(path + "/stats"))
 

@@ -137,6 +137,51 @@ class TestTextIndex:
             spark, path, [("q", "zzzznotaword")], k=5).count() == 0
 
 
+class TestTokensCol:
+    """The r18 pre-tokenized fast path (tokens_col=) must be
+    row-identical to the text path: same token arrays, same scores,
+    same persisted index."""
+
+    def _tok(self, spark):
+        from pyspark.sql import functions as F
+        from datasketches_spark_spark.functions.text import tokenize
+        df = spark.createDataFrame(
+            [(d, t) for d, t in TestBM25.CORPUS.items()],
+            ["doc_id", "text"])
+        return df, df.select("doc_id", tokenize("text").alias("toks"))
+
+    def test_bm25_pretokenized_identical(self, spark):
+        from datasketches_spark_spark.operators import bm25_topk
+        df, tok = self._tok(spark)
+        direct = sorted(tuple(r) for r in bm25_topk(
+            df, "doc_id", "text", TestBM25.QUERIES, k=10).collect())
+        pre = sorted(tuple(r) for r in bm25_topk(
+            tok, "doc_id", None, TestBM25.QUERIES, k=10,
+            tokens_col="toks").collect())
+        assert direct == pre and pre
+
+    def test_index_pretokenized_identical(self, spark, tmp_path):
+        from datasketches_spark_spark.operators import (build_text_index,
+                                                        query_text_index)
+        df, tok = self._tok(spark)
+        p1 = str(tmp_path / "idx_text")
+        p2 = str(tmp_path / "idx_tok")
+        build_text_index(df, "doc_id", "text", p1, num_buckets=8)
+        build_text_index(tok, "doc_id", None, p2, num_buckets=8,
+                         tokens_col="toks")
+        r1 = sorted(tuple(r) for r in query_text_index(
+            spark, p1, TestBM25.QUERIES, k=10).collect())
+        r2 = sorted(tuple(r) for r in query_text_index(
+            spark, p2, TestBM25.QUERIES, k=10).collect())
+        assert r1 == r2 and r1
+        # the persisted postings themselves are row-identical
+        post1 = sorted(tuple(r) for r in
+                       spark.read.parquet(p1 + "/postings").collect())
+        post2 = sorted(tuple(r) for r in
+                       spark.read.parquet(p2 + "/postings").collect())
+        assert post1 == post2
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_bm25_random_corpus_vs_scalar(spark, seed):
     """Randomized small-vocab corpora against the scalar model — dense
