@@ -756,17 +756,23 @@ def _q36_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ).alias("ts"))
     src = tempfile.mkdtemp(prefix="dss_q36_src_")
     ckpt = tempfile.mkdtemp(prefix="dss_q36_ckpt_")
-    # r18: one file per corpus copy (was repartition(2) twice = 4 files
-    # = 4 triggers). Two triggers exercise the SAME contract more
-    # sharply — every fingerprint now re-arrives in a strictly LATER
-    # trigger, so all dedup hits cross the state store — while halving
-    # the per-trigger WAL/state-store commit count the r17 triage
-    # identified as this query's structural cost. Counts are unchanged:
-    # the result is the per-lang distinct-fp count either way.
-    docs.coalesce(1).write.mode("overwrite").parquet(src)
-    docs.coalesce(1).write.mode("append").parquet(src)  # duplicate all
+    # r19 (fixing the r18 regression the round-18 verdict adjudicated as
+    # real): r18's coalesce(1) wrote each corpus copy as ONE file, which
+    # serialized BOTH the write (one task computes every md5) and each
+    # trigger's ingest — slower in both driver runs, and one file per
+    # corpus copy is unwritable at 100 TB. Keep the sharper 2-trigger
+    # contract (every fingerprint re-arrives in a strictly LATER
+    # trigger) but restore parallelism: each copy is N splittable files
+    # and maxFilesPerTrigger=N ingests one whole copy per trigger. The
+    # md5/interval projection is materialized once (localCheckpoint) so
+    # the two copy writes don't recompute it. Counts are unchanged: the
+    # result is the per-lang distinct-fp count either way.
+    n_files = 4
+    docs = docs.repartition(n_files).localCheckpoint()
+    docs.write.mode("overwrite").parquet(src)
+    docs.write.mode("append").parquet(src)  # duplicate all
     stream = (spark.readStream.schema(docs.schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+              .option("maxFilesPerTrigger", n_files).parquet(src))
     deduped = streaming_dedup(stream, ["fp"], event_time="ts",
                               delay="1 day")
     name = f"q36_dedup_sink_{uuid.uuid4().hex[:8]}"
@@ -1849,8 +1855,12 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     The foreign-state GENERATION collects the distinct (lang, source)
     pairs (~100 rows) and the doc_id<1000 rows of the Java-side langs
     (<= 1000 rows) to the driver — both bounded by constants; that
-    simulates the external reference system. The engine-side decode /
-    combine / estimate all run distributed."""
+    simulates the external reference system. The corpus-sized
+    aggregates (per-lang percentile, engine tuple/bloom accumulates)
+    run distributed; the decode/combine/estimate legs over the
+    resulting <=10-row state tables run in the driver with the same
+    kernels the UDFs use (r19, guide §4.4 — each was a separate
+    Python-UDF stage whose fixed overhead dwarfed the sketch math)."""
     import datasketches_spark_spark as dss
     from datasketches_spark_spark import conf as dconf
     from pyspark.sql import functions as F
@@ -1874,9 +1884,6 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in sources:
                 sk.update(s)
             states.append((lang, bytes(sk.toByteArray())))
-        cpc_df = arrow_local_df(
-            spark, states, "lang string, cpc_state binary")
-        cpc_df.createOrReplaceTempView("_q34_cpc_states")
         # --- tuple/AoD mixed-origin split (round 11) ---
         langs = sorted(by_lang)
         java_langs = langs[0::2]
@@ -1907,10 +1914,9 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy("lang")
                   .agg(dsf.approx_tuple_accumulate_wire("source", "n_chars")
                        .alias("st")))
-        # r18 optimization: two legs (per_lang, glob) consume states_df —
-        # checkpoint the 5 tiny state rows so the engine-side accumulate
-        # scan doesn't re-execute per leg (guide §2.4). Materialization
-        # happens in the overlapped pool below (§2.6).
+        # The 5 tiny state rows materialize ONCE in the overlapped pool
+        # below (§2.4/§2.6) — r19 collects them (driver-side leg fusion,
+        # see the pool comment) where r18 localCheckpoint-ed.
         states_lazy = java_df.unionByName(eng_df)
         # --- BloomFilter mixed-origin split (round 12, compat/
         # bloomwire.py): odd langs' source-membership filters built by
@@ -1948,64 +1954,76 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(dsf.approx_membership_accumulate_wire(
                      "source", expected_items=4096, fpp=0.01,
                      seed=7).alias("bs")))
-        # r18 optimization: bm_per_lang joins bstates and bm_union merges
-        # it — checkpoint the 5 filter states so the engine-side bloom
-        # accumulate scan runs once, not once per leg (materialized in
-        # the overlapped pool below).
+        # bm_per_lang and bm_union both read these 5 filter states — one
+        # materialization in the overlapped pool below serves both legs.
         bstates_lazy = bj_df.unionByName(be_df)
-        # r18 (guide §2.6): the two state checkpoints and the KLL wire
-        # accumulate are independent blocking jobs — overlap them so the
-        # engine-side scans back-fill each other's idle cores. Rows are
-        # computed exactly as before.
+        # r18 (guide §2.6): the two state materializations and the KLL
+        # wire accumulate are independent blocking jobs — overlap them so
+        # the engine-side scans back-fill each other's idle cores.
+        # r19 (guide §4.4 / round-18 verdict #5): the tuple/bloom legs
+        # used to be ~6 separate Python-UDF stages over ≤10-row state
+        # tables — ~2 s of fixed per-stage Arrow/task overhead for
+        # microseconds of sketch math. The states are bounded by the
+        # lang count (a constant), so COLLECT them (instead of
+        # localCheckpoint) and run the identical kernels —
+        # deserialize_any + merge (combine_udf's loop), estimate
+        # methods (tuple_est_udf), _bloom_state/_bloom_probe
+        # (membership_contains_udf) — in the driver; the scalar results
+        # re-enter the plan as Arrow local relations with the same
+        # schemas, so values and dtypes are unchanged. The corpus-sized
+        # aggregates (percentile leg, eng/bloom accumulates) stay
+        # distributed.
         from concurrent.futures import ThreadPoolExecutor
         from datasketches_spark_spark.operators import sketch_accumulate
         kll_lazy = sketch_accumulate(
             docs.select(F.col("n_chars").cast("double").alias("v")),
             [], "v", family="kll", k=16, state_col="st")
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_st = pool.submit(states_lazy.localCheckpoint)
-            f_bs = pool.submit(bstates_lazy.localCheckpoint)
+            f_st = pool.submit(states_lazy.collect)
+            f_bs = pool.submit(bstates_lazy.collect)
             f_kll = pool.submit(kll_lazy.collect)
-            states_df, bstates = f_st.result(), f_bs.result()
+            state_rows, bstate_rows = f_st.result(), f_bs.result()
             (kst,) = f_kll.result()
-        per_lang = states_df.select(
-            "lang", dsf.approx_tuple_estimate("st").alias("e")).select(
-            "lang", F.col("e.rows").alias("tup_rows"),
-            F.col("e.value_sum").alias("tup_sum"))
-        # r18 optimization: build the probe pair table from the already-
-        # collected distinct pairs (two legs reference it — as a fresh
-        # distinct it would re-execute the scan+exchange per leg).
-        pairs_df = arrow_local_df(
-            spark, [(r.lang, r.source) for r in pairs],
-            "lang string, source string")
-        bm_per_lang = (pairs_df.join(bstates, "lang")
-                       .select("lang",
-                               dsf.approx_membership_contains(
-                                   F.col("bs"), F.col("source"))
-                               .alias("hit"),
-                               dsf.approx_membership_contains(
-                                   F.col("bs"),
-                                   F.concat(F.col("source"),
-                                            F.lit("#none")))
-                               .alias("fp"))
-                       .groupBy("lang")
-                       .agg(F.min(F.col("hit").cast("int")).cast("long")
-                            .alias("bm_self"),
-                            F.max(F.col("fp").cast("int")).cast("long")
-                            .alias("bm_absent")))
-        bm_union = (pairs_df.crossJoin(F.broadcast(
-                        bstates.agg(dsf.approx_membership_combine("bs")
-                                    .alias("bu"))))
-                    .select(dsf.approx_membership_contains(
-                        F.col("bu"), F.col("source")).alias("hit"))
-                    .agg(F.min(F.col("hit").cast("int")).cast("long")
-                         .alias("bm_union")))
-        glob = (states_df
-                .agg(dsf.approx_tuple_combine("st").alias("u"))
-                .select(dsf.approx_tuple_estimate("u").alias("e"))
-                .select(F.col("e.ndv").alias("tup_ndv_all"),
-                        F.col("e.rows").alias("tup_rows_all"),
-                        F.col("e.value_sum").alias("tup_sum_all")))
+        from datasketches_spark_spark.functions.udfs import (
+            _bloom_probe, _bloom_state)
+        from datasketches_spark_spark.sketches import deserialize_any
+        import pandas as pd
+        # per-lang tuple estimates + global union (tuple_est_udf /
+        # combine_udf kernels over the collected states)
+        pl_rows, tmerged = [], None
+        for r in sorted(state_rows, key=lambda r: r.lang):
+            sk = deserialize_any(bytes(r.st))
+            pl_rows.append((r.lang, int(sk.rows_estimate()),
+                            float(sk.sum_estimate())))
+            tmerged = sk if tmerged is None else tmerged.merge(sk)
+        per_lang = arrow_local_df(
+            spark, pl_rows, "lang string, tup_rows bigint, tup_sum double")
+        glob = arrow_local_df(
+            spark, [(int(tmerged.estimate()), int(tmerged.rows_estimate()),
+                     float(tmerged.sum_estimate()))],
+            "tup_ndv_all bigint, tup_rows_all bigint, tup_sum_all double")
+        # bloom membership legs (membership_contains/combine kernels)
+        blooms = {r.lang: _bloom_state(bytes(r.bs)) for r in bstate_rows}
+        bm_rows = []
+        for lang in sorted(by_lang):
+            srcs = pd.Series(by_lang[lang], dtype=object)
+            hit = _bloom_probe(blooms[lang], srcs, None)
+            fp = _bloom_probe(
+                blooms[lang], srcs.map(lambda s: s + "#none"), None)
+            bm_rows.append((lang, int(min(bool(h) for h in hit)),
+                            int(max(bool(x) for x in fp))))
+        bm_per_lang = arrow_local_df(
+            spark, bm_rows, "lang string, bm_self bigint, bm_absent bigint")
+        bmerged = None
+        for r in bstate_rows:
+            sk = deserialize_any(bytes(r.bs))
+            bmerged = sk if bmerged is None else bmerged.merge(sk)
+        ub = _bloom_state(bmerged.serialize())
+        uhits = _bloom_probe(
+            ub, pd.Series([r.source for r in pairs], dtype=object), None)
+        bm_union = arrow_local_df(
+            spark, [(int(min(bool(h) for h in uhits)),)],
+            "bm_union bigint")
         # --- estimation-regime KLL wire EXPORT (round 13, compat/
         # datasketches.py): one engine KLL state at k=16 over every
         # doc's n_chars is deep in estimation mode at any gate SF;
@@ -2040,31 +2058,35 @@ def _q34_wire_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 for a, j, b in zip(lo, jq, hi)))
         kllx_roundtrip = int(back.n == eng.n
                              and back.quantiles(ps) == eq)
-        base = spark.sql("""
-            SELECT q.lang, q.p50_chars,
-                   approx_count_distinct_estimate(c.cpc_state) AS ndv_src,
-                   g.ndv_src_all, g.ndv_src_roundtrip
-            FROM (
-              SELECT lang,
-                     approx_percentile_estimate(
-                       export_datasketches_state(
-                         approx_percentile_accumulate(
-                           CAST(n_chars AS DOUBLE))), 0.5) AS p50_chars
-              FROM documents GROUP BY lang
-            ) q
-            JOIN _q34_cpc_states c ON q.lang = c.lang
-            CROSS JOIN (
-              SELECT approx_count_distinct_estimate(
-                       approx_count_distinct_combine(cpc_state))
-                       AS ndv_src_all,
-                     approx_count_distinct_estimate(
-                       export_datasketches_state(
-                         approx_count_distinct_combine(cpc_state)))
-                       AS ndv_src_roundtrip
-              FROM _q34_cpc_states
-            ) g
-            ORDER BY q.lang
-        """)
+        # r19 (guide §4.4): the CPC legs were three more Python-UDF
+        # stages over the 5-row driver-built state table — same fusion
+        # as the tuple/bloom legs: run the identical estimate/combine/
+        # export kernels (deserialize_any/merge/to_datasketches_state —
+        # exactly what theta_est_udf, combine_udf and
+        # export_datasketches_state execute) in the driver over the
+        # bounded states; the per-lang percentile aggregate stays the
+        # distributed pass it was.
+        cpc_rows, cmerged = [], None
+        for lang, blob in states:
+            sk = deserialize_any(blob)
+            cpc_rows.append((lang, int(sk.estimate())))
+            cmerged = sk if cmerged is None else cmerged.merge(sk)
+        ndv_all = int(cmerged.estimate())
+        ndv_rt = int(deserialize_any(
+            to_datasketches_state(cmerged.serialize())).estimate())
+        cpc_leg = arrow_local_df(
+            spark, [(lang, est, ndv_all, ndv_rt)
+                    for lang, est in cpc_rows],
+            "lang string, ndv_src bigint, ndv_src_all bigint, "
+            "ndv_src_roundtrip bigint")
+        base = (spark.sql("""
+            SELECT lang,
+                   approx_percentile_estimate(
+                     export_datasketches_state(
+                       approx_percentile_accumulate(
+                         CAST(n_chars AS DOUBLE))), 0.5) AS p50_chars
+            FROM documents GROUP BY lang
+        """).join(cpc_leg, "lang"))
         return (base.join(per_lang, "lang").join(bm_per_lang, "lang")
                 .crossJoin(F.broadcast(glob))
                 .crossJoin(F.broadcast(bm_union))
@@ -2098,14 +2120,28 @@ def _q35_rank_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(dconf.QUANTILE_MERGEABLE_K_KEY, "262144")
     dss.install(spark)
     try:
-        read_table(spark, sf_dir, "lineitem") \
-            .createOrReplaceTempView("lineitem")
-        dss.sql(spark, """
-            SELECT l_returnflag,
-                   approx_percentile_accumulate(CAST(l_quantity AS DOUBLE))
-                     AS st
-            FROM lineitem GROUP BY l_returnflag
-        """).createOrReplaceTempView("_q35_states")
+        from datasketches_spark_spark.functions import (
+            approx_percentile_accumulate_weighted)
+        li = read_table(spark, sf_dir, "lineitem")
+        # r19 (guide §2.3 "aggregate before you shuffle", the round-18
+        # verdict's #4): the k=262144 exact-regime accumulate used to
+        # buffer every raw l_quantity in the Python sketch pass (~600k
+        # rows through the exchange and the Arrow boundary). l_quantity
+        # has ~50 distinct values, and sketch updates are weight-
+        # expandable and update-order-independent in everything this
+        # query surfaces (rank/cdf are exact-fraction reads of the
+        # weighted multiset) — so a map-side-combined (flag, value,
+        # count) table feeds the same state from ~150 rows. Value-
+        # identical: KllSketch.update_weighted places each value at its
+        # count's set-bit levels, preserving n, extrema and every
+        # cumulative weight.
+        pre = (li.groupBy("l_returnflag",
+                          F.col("l_quantity").cast("double").alias("v"))
+               .agg(F.count("*").alias("c")))
+        (pre.groupBy("l_returnflag")
+            .agg(approx_percentile_accumulate_weighted(
+                "v", "c", impl="MERGEABLE", k=262144).alias("st"))
+            .createOrReplaceTempView("_q35_states"))
         # CDF points surfaced as scalar columns (q04's element_at pattern)
         # so the driver canonicalizer can hash them.
         return spark.sql("""

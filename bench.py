@@ -71,51 +71,73 @@ def main() -> None:
         timings[name] = round(best, 3) if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # r19 (round-18 verdict ask): the bench is SELF-DEFENDING against
+    # host-contention episodes. The baseline compare now runs by default
+    # (ENGINE_BASELINE.json when no --compare/$SPARK_GRAFT_BASELINE is
+    # given), flagged queries are re-measured after the sweep, and the
+    # control-normalized evidence lands in the one-line JSON itself as
+    # ADDITIVE keys ("controls", "adjudication") so a contended sweep is
+    # visible in the run's own output. Everything is guarded: a compare
+    # failure can never suppress the JSON contract line.
+    extra: dict = {}
+    try:
+        extra = _self_defense(spark, sf_dir, timings, total)
+    except Exception as e:  # never let the watchdog kill the contract
+        print(f"bench: self-defense pass failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        **extra,
     }))
-    flagged = _compare(timings, total)
-    if flagged:
-        # In-run flag ADJUDICATION (r17): transient host-contention
-        # episodes on this box can inflate a CONSECUTIVE band of
-        # queries straight through best-of-3 (see BASELINE.md round-17
-        # triage) — whole-run control medians cannot catch a
-        # 30-second episode. Re-measure every flagged query (plus the
-        # controls for a fresh box factor) AFTER the sweep, when the
-        # episode has passed; a flag that does not reproduce is box
-        # noise, one that does is a real regression.
-        qs = entrymod.queries()
-        redo = list(flagged) + [c for c in _CONTROL_QUERIES
-                                if c in qs]
-        re_t = {}
-        for name in redo:
-            best = None
-            for _ in range(3):
-                t0 = time.perf_counter()
-                try:
-                    qs[name](spark, sf_dir).collect()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                except Exception:
-                    break
-            if best is not None:
-                re_t[name] = round(best, 3)
-        _adjudicate(flagged, re_t)
     spark.stop()
 
 
-def _adjudicate(flagged: list, re_t: dict) -> None:
+def _self_defense(spark, sf_dir: str, timings: dict,
+                  total: float) -> dict:
+    """Baseline compare + in-run adjudication; returns additive JSON keys."""
     base = _load_baseline()
-    if not base:
-        return
+    if base is None:
+        return {}
+    flagged, controls = _compare(timings, total, base)
+    extra: dict = {"controls": controls}
+    if not flagged:
+        return extra
+    # In-run flag ADJUDICATION (r17): transient host-contention
+    # episodes on this box can inflate a CONSECUTIVE band of
+    # queries straight through best-of-3 (see BASELINE.md round-17
+    # triage) — whole-run control medians cannot catch a
+    # 30-second episode. Re-measure every flagged query (plus the
+    # controls for a fresh box factor) AFTER the sweep, when the
+    # episode has passed; a flag that does not reproduce is box
+    # noise, one that does is a real regression.
+    qs = entrymod.queries()
+    redo = list(flagged) + [c for c in _CONTROL_QUERIES if c in qs]
+    re_t = {}
+    for name in redo:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception:
+                break
+        if best is not None:
+            re_t[name] = round(best, 3)
+    extra["adjudication"] = _adjudicate(flagged, re_t, base)
+    return extra
+
+
+def _adjudicate(flagged: list, re_t: dict, base: dict) -> dict:
     base_q = base["queries"]
     cr = sorted(re_t[c] / base_q[c] for c in _CONTROL_QUERIES
                 if base_q.get(c, 0) > 0 and re_t.get(c, 0) > 0)
     cf = max(cr[len(cr) // 2] if cr else 1.0, 1.0)
+    out = {}
     for name in flagged:
         t, b = re_t.get(name), base_q.get(name)
         if not t or not b:
@@ -123,9 +145,12 @@ def _adjudicate(flagged: list, re_t: dict) -> None:
         norm = t / b / cf
         verdict = ("REPRODUCED (real regression)" if norm > 2.0
                    else "not reproduced (box episode)")
+        out[name] = {"rerun_sec": t, "raw_ratio": round(t / b, 2),
+                     "norm_ratio": round(norm, 2), "verdict": verdict}
         print(f"bench ADJUDICATION {name}: re-run {t}s = "
               f"{t / b:.2f}x raw, {norm:.2f}x control-normalized "
               f"-> {verdict}", file=sys.stderr)
+    return out
 
 
 # Box-drift controls: board queries untouched since their locks, spanning
@@ -142,7 +167,11 @@ def _load_baseline() -> dict | None:
         i = sys.argv.index("--compare") + 1
         path = sys.argv[i] if i < len(sys.argv) else None
     path = path or os.environ.get("SPARK_GRAFT_BASELINE")
-    if not path and "--compare" in sys.argv:
+    if not path:
+        # r19: the committed engine baseline is the DEFAULT compare
+        # target (round-18 verdict ask) — a driver run never passes
+        # --compare, and without a baseline a contended sweep poisons
+        # the round verdict invisibly.
         here = os.path.dirname(os.path.abspath(__file__))
         cand = os.path.join(here, "ENGINE_BASELINE.json")
         if os.path.exists(cand):
@@ -161,18 +190,16 @@ def _load_baseline() -> dict | None:
         return None
 
 
-def _compare(timings: dict, total: float) -> list:
+def _compare(timings: dict, total: float, base: dict) -> tuple:
     """Regression gate vs a recorded baseline (BASELINE.md engine table):
-    ``--compare FILE.json`` or $SPARK_GRAFT_BASELINE. Accepts either the
-    driver's BENCH_r{N}.json (uses .parsed) or bench.py's own output.
-    Report goes to stderr; stdout stays the one-line JSON contract. A query
-    over 2x its control-normalized baseline is flagged, RE-MEASURED
-    after the sweep (main's adjudication pass), and returned; exit
-    status is unchanged (the wall clock on this box is +-40% noisy -
-    the flag is a review signal, not CI)."""
-    base = _load_baseline()
-    if base is None:
-        return []
+    ``--compare FILE.json`` / $SPARK_GRAFT_BASELINE / the committed
+    ENGINE_BASELINE.json by default. Accepts either the driver's
+    BENCH_r{N}.json (uses .parsed) or bench.py's own output. Report goes
+    to stderr; stdout stays the one-line JSON contract. A query over 2x
+    its control-normalized baseline is flagged, RE-MEASURED after the
+    sweep (main's adjudication pass), and returned along with the
+    control evidence dict; exit status is unchanged (the wall clock on
+    this box is +-40% noisy - the flag is a review signal, not CI)."""
     path = base["_path"]
     base_q = base["queries"]
     # Control normalization (r17): this box drifts ±40-60% session to
@@ -211,7 +238,16 @@ def _compare(timings: dict, total: float) -> list:
     if not flagged:
         print("bench compare: no query above 2x control-normalized "
               "baseline", file=sys.stderr)
-    return [f[0] for f in flagged]
+    controls = {
+        "baseline": os.path.basename(path),
+        "control_queries": controls,
+        "control_ratios": {c: round(timings[c] / base_q[c], 3)
+                           for c in controls},
+        "factor": round(cf, 3),
+        "total_ratio_raw": round(total / bt, 3) if bt else None,
+        "flagged": [f[0] for f in flagged],
+    }
+    return [f[0] for f in flagged], controls
 
 
 if __name__ == "__main__":

@@ -84,6 +84,7 @@ from .quantiles import (
     approx_percentile_bounds,
     approx_cdf_estimate,
     approx_percentile_accumulate,
+    approx_percentile_accumulate_weighted,
     approx_rank_estimate,
     approx_percentile_combine,
     approx_percentile_estimate,
@@ -158,6 +159,7 @@ __all__ = [
     "approx_percentile_req",
     "approx_percentile_mergeable",
     "approx_percentile_accumulate",
+    "approx_percentile_accumulate_weighted",
     "approx_percentile_combine",
     "approx_percentile_estimate",
     "approx_pmf_estimate",

@@ -31,6 +31,7 @@ from .udfs import (
     pmf_est_udf,
     rank_est_udf,
     quantile_acc_udf,
+    quantile_acc_weighted_udf,
     quantile_direct_udf,
     quantile_est_udf,
     validate_num_splits,
@@ -149,6 +150,19 @@ def approx_percentile_accumulate(col, impl: str | None = None,
     """Aggregate raw values into a serialized quantile-sketch state."""
     impl, k, dtype = _resolve(impl, k)
     return quantile_acc_udf(impl, k, dtype)(_col(col).cast("double"))
+
+
+def approx_percentile_accumulate_weighted(col, weight,
+                                          impl: str | None = None,
+                                          k: int | None = None) -> Column:
+    """Aggregate (value, count) pairs into a serialized quantile-sketch
+    state — the state answers rank/cdf/quantile exactly as if ``value``
+    had been accumulated ``count`` times row-by-row. Use after a
+    map-side-combined ``GROUP BY value -> count(*)`` so the exchange
+    carries distinct values instead of raw rows (guide §2.3)."""
+    impl, k, dtype = _resolve(impl, k)
+    return quantile_acc_weighted_udf(impl, k, dtype)(
+        _col(col).cast("double"), _col(weight).cast("long"))
 
 
 def approx_percentile_combine(col) -> Column:

@@ -122,6 +122,31 @@ def quantile_acc_udf(impl: str, k: int, dtype):
     return acc
 
 
+def quantile_acc_weighted_udf(impl: str, k: int, dtype):
+    """GROUPED_AGG: (value, count) pairs -> serialized quantile state.
+
+    The weight-expanded twin of :func:`quantile_acc_udf`: feeding a
+    map-side-combined (value, count) table yields the same
+    rank/cdf/quantile surfaces as accumulating the raw rows (sketch
+    updates are update-order-independent in what the engine surfaces,
+    and ``KllSketch.update_weighted`` places each value at its count's
+    set-bit levels so nothing is materialized). This lets an
+    exact-regime accumulate shuffle ~distinct-value rows instead of
+    every raw row (guide §2.3 "aggregate before you shuffle")."""
+
+    @pandas_udf(BinaryType())
+    def acc(v: pd.Series, w: pd.Series) -> bytes:
+        vals = pd.to_numeric(v, errors="coerce").to_numpy(np.float64)
+        wts = pd.to_numeric(w, errors="coerce").fillna(0).to_numpy(np.int64)
+        sk = make_quantile_sketch(impl, k, dtype)
+        sk.update_weighted(vals, wts)
+        if sk.n == 0:
+            return None
+        return sk.serialize()
+
+    return acc
+
+
 def quantile_direct_udf(impl: str, k: int, dtype, percentages: list[float],
                         multi: bool, rule: str = "disc"):
     """GROUPED_AGG: numeric values -> quantile estimate(s) directly."""

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.text import shingles, token_shingles, tokenize, tokenize
+from ..functions.text import shingles, token_shingles, tokenize
 from ..sketches.theta import hash_longs
 
 _U64 = np.uint64

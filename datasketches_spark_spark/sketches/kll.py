@@ -109,6 +109,42 @@ class KllSketch:
     def update(self, value: float) -> None:
         self.update_batch(np.asarray([value], dtype=self.dtype))
 
+    def update_weighted(self, values, counts) -> None:
+        """Batch update of ``values[i]`` repeated ``counts[i]`` times,
+        WITHOUT materializing the expansion: each count decomposes in
+        binary and the value is placed once at every set-bit level ``h``
+        (KLL items at level ``h`` carry weight ``2**h``), so the
+        retained weighted multiset — hence every rank/cdf/quantile/pmf
+        surface — is identical to ``count`` repeated updates while
+        holding O(log count) items per distinct value. This is what
+        makes a map-side-combined (value, count) table a drop-in feed
+        for the sketch at any scale: a billion-row group costs ~30
+        retained items per distinct value, not a billion buffered rows.
+        Rank answers stay EXACT as long as no compaction has occurred,
+        exactly like the unweighted path."""
+        v = np.asarray(values, dtype=np.float64)
+        c = np.asarray(counts, dtype=np.int64)
+        keep = ~np.isnan(v) & (c > 0)
+        v, c = v[keep], c[keep]
+        if v.size == 0:
+            return
+        v = v.astype(self.dtype, copy=False)
+        self._seed_extrema()
+        lo, hi = float(v.min()), float(v.max())
+        self._min = lo if self._min is None else min(self._min, lo)
+        self._max = hi if self._max is None else max(self._max, hi)
+        self._consolidate()
+        for h in range(int(c.max()).bit_length()):
+            sel = ((c >> h) & 1).astype(bool)
+            if not sel.any():
+                continue
+            while len(self._levels) <= h:
+                self._levels.append(np.empty(0, self.dtype))
+            self._levels[h] = np.concatenate([self._levels[h], v[sel]])
+        self.n += int(c.sum())
+        if self._retained_above0() > self._total_capacity():
+            self._compress()
+
     # ------------------------------------------------------------------ merge
 
     def merge(self, other: "KllSketch") -> "KllSketch":

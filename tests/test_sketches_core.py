@@ -35,6 +35,43 @@ class TestKll:
         assert sk.quantiles([0.1, 0.9]) is None
         assert sk.pmf(4) is None
 
+    def test_update_weighted_matches_repeat(self):
+        # (value, count) feed == count repeated raw updates on every
+        # surface the engine queries read (rank/cdf/quantile/pmf/serde),
+        # the q35 pre-aggregate contract.
+        rng = np.random.default_rng(7)
+        vals = rng.permutation(np.arange(1.0, 51.0))
+        cnts = rng.integers(1, 5000, size=vals.size)
+        w = KllSketch(k=262_144, dtype=np.float64)
+        w.update_weighted(vals, cnts)
+        r = KllSketch(k=262_144, dtype=np.float64)
+        r.update_batch(np.repeat(vals, cnts))
+        assert w.n == r.n == int(cnts.sum())
+        assert (w.min_value, w.max_value) == (r.min_value, r.max_value)
+        ps = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+        assert w.quantiles(ps) == r.quantiles(ps)
+        for x in (0.5, 10.0, 25.0, 25.5, 50.0, 99.0):
+            assert w.rank(x) == r.rank(x)
+            assert w.cdf([x]) == r.cdf([x])
+        assert w.pmf(9) == r.pmf(9)
+        # survives serde and merge with a raw-update sketch
+        back = deserialize_any(w.serialize())
+        assert back.quantiles(ps) == r.quantiles(ps)
+        extra = np.array([3.0, 3.0, 60.0])
+        m1 = deserialize_any(w.serialize())
+        m2 = KllSketch(k=262_144, dtype=np.float64)
+        m2.update_batch(extra)
+        m1.merge(m2)
+        r.update_batch(extra)
+        assert m1.n == r.n
+        assert m1.quantiles(ps) == r.quantiles(ps)
+        # weighted update drops nulls/non-positive counts like the
+        # unweighted path drops NaN values
+        z = KllSketch(k=128, dtype=np.float64)
+        z.update_weighted(np.array([1.0, np.nan, 2.0]),
+                          np.array([0, 5, 3]))
+        assert z.n == 3 and z.quantile(1.0) == 2.0
+
     def test_serde_roundtrip(self):
         sk = KllSketch(k=128)
         sk.update_batch(np.random.default_rng(1).normal(size=5000))
